@@ -1,38 +1,62 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2.6
+declared surface + LLM-data operators), each ``(spark, sf_dir) -> DataFrame``.
+``oracle_sql()`` — DuckDB-dialect equivalent per query.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_rust_spark.catalog import register_views
+from etl_rust_spark.queries import DECLARED
+
+
+def _declared_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(DECLARED[name].spark_sql)
+
+    run.__name__ = f"run_{name}"
+    run.__doc__ = f"[{DECLARED[name].category}] {DECLARED[name].notes or DECLARED[name].spark_sql.splitlines()[0]}"
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: DQ-08 (TPC-H Q5 shape, 5-way star join) at sf0.001."""
+    register_views(spark, "/root/testdata/sf0.001")
+    return spark.sql(DECLARED["dq08"].spark_sql)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _declared_runner(name) for name in DECLARED
+    }
+    try:
+        from etl_rust_spark.operators import entry_queries as _op_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        out.update(_op_queries())
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {name: q.oracle_sql for name, q in DECLARED.items()}
+    try:
+        from etl_rust_spark.operators import entry_oracle_sql as _op_oracle
+
+        out.update(_op_oracle())
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,185 @@
+"""Schema registry + loaders for the engine's tables.
+
+The reference fixes every table schema at compile time (proto messages
+compiled by prost, ``/root/reference/docs/protobuf.md:3-8``,
+``src/example_config/build_proto.rs:216-278``); there is no runtime schema
+inference.  The Spark-native equivalent is this module: one declared
+``StructType`` per table, a canonical loader, and view registration —
+every query runs against these views, never ad-hoc reads.
+
+The synthetic test tables (TESTDATA.md) stand in for the reference's
+per-chain tables; ``etl_rust_spark.etl`` adds the blockchain-domain
+tables (FIXTURES.md §4) on top of the same registry mechanism.
+
+Scale notes (100 TB design):
+- Loads are plain ``spark.read.parquet`` — Catalyst handles predicate
+  pushdown, column pruning and partition pruning against these views, so
+  a query touching 2 of 16 lineitem columns scans only those pages.
+- ``events.ts`` normalization (parquet TIMESTAMP(NANOS) → TimestampType
+  via integer-division to micros) lives HERE, once, not per-query:
+  the cast is a cheap projection fused into the scan by codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["TABLES", "SCHEMAS", "load_table", "register_views"]
+
+# The ten driver-provided synthetic tables (TESTDATA.md / FIXTURES.md §1).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Declared schemas — the engine's analog of the reference's compiled
+# .proto messages.  Used for validation (tests assert the parquet files
+# actually match) and as documentation for writers of new queries.
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    # ts arrives as parquet TIMESTAMP(NANOS, adjusted=false): read as
+    # LongType (nanosAsLong) and normalized to TimestampType (micros) in
+    # load_table — matching DuckDB's ns→us truncation exactly.
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table from ``{sf_dir}/{name}.parquet`` with canonical types.
+
+    ``events.ts`` normalization: integer-divide nanos by 1000 (NOT float
+    division — epoch-nanos ~1.7e18 exceeds double's 2^53 integer range)
+    and reinterpret as micros.  This matches the DuckDB oracle's ns→us
+    truncation bit-for-bit (FIXTURES.md §3).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:
+    """Register every table as a temp view under its bare name.
+
+    Idempotent and cached per (session, sf_dir) via a session conf marker
+    so the 40-query suite doesn't re-register 10 views per query.
+    """
+    marker = "etl_rust_spark.registered_sf_dir"
+    try:
+        if not force and spark.conf.get(marker, "") == sf_dir:
+            return
+    except Exception:
+        pass
+    # Self-sufficient on foreign sessions (e.g. the driver's harness):
+    # these are runtime-settable and required for correct reads — events.ts
+    # is parquet TIMESTAMP(NANOS) and the oracle compares in UTC.
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark.conf.set(marker, sf_dir)
