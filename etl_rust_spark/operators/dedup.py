@@ -1,0 +1,329 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Reference parity: the reference has no dedup (extract→publish only,
+SURVEY §2.5); these are the LLM-training-data operators required by the
+north star, built as pure DataFrame compositions — no Python UDFs in any
+hot path, everything stays in whole-stage codegen.
+
+Scale design (100 TB):
+- Exact dedup: hash-groupBy on a 64-bit content hash — one shuffle on
+  the hash key, map-side partial aggregation; never groupBy raw text
+  (shuffling full documents to compare them is the classic mistake).
+- MinHash-LSH: per-doc signature (k=8 permutations over 3-token
+  shingles) computed scan-side with array HOFs; banding (4 bands × 2
+  rows) turns all-pairs O(n²) into a shuffle on (band_idx, band_hash)
+  where only same-bucket docs ever meet.  Candidate verification
+  (exact Jaccard) touches candidate pairs only.  Skew: a degenerate
+  band bucket (e.g. near-empty docs) is the hot-key risk — cap bucket
+  size or salt in a production run; AQE skew-join split handles the
+  join stage.
+- SimHash: 32-bit signature via bit-vote aggregation; near-dup = small
+  Hamming distance.  Bucketing on 16-bit halves gives the classic
+  "distance ≤ d with d/2 exact half" LSH trick.
+- All signatures derive from the portable md5-based hash (hashes.py) so
+  every operator below is oracle-gateable bit-for-bit; swap in
+  ``xxhash64`` via ``hash_expr`` for ~2-3x faster signatures when
+  cross-engine equality is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_rust_spark.operators.hashes import (
+    MINHASH_P,
+    MINHASH_PERMS,
+    duck_h,
+    spark_h,
+)
+
+__all__ = [
+    "exact_dedupe",
+    "duplicate_groups",
+    "with_shingles",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "shingle_jaccard_pairs",
+]
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedupe(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-``id_col`` row per distinct ``cols`` combination.
+
+    Deterministic (unlike ``dropDuplicates``, which keeps an arbitrary
+    row).  One shuffle on ``cols``; at scale prefer a content-hash
+    column as the key so the shuffle moves 8-byte keys, not documents.
+    """
+    w = Window.partitionBy(*cols).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Groups with >1 identical ``cols``: (group hash, count, min/max id hint)."""
+    key = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+    return (
+        df.groupBy(key.alias("dup_key"))
+        .agg(F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash
+# ---------------------------------------------------------------------------
+
+def with_shingles(df: DataFrame, text_col: str, width: int = 3) -> DataFrame:
+    """Add ``shingles``: distinct ``width``-token shingles of ``text_col``.
+
+    Texts with fewer than ``width`` tokens contribute the whole text as
+    one shingle (guard keeps short docs comparable instead of null).
+    Pure array HOFs — evaluated inside codegen at scan time.
+    """
+    parts = ", ".join(f"element_at(__toks, i + {j})" for j in range(width))
+    expr = f"""
+    CASE WHEN size(__toks) >= {width}
+         THEN array_distinct(transform(sequence(1, size(__toks) - {width - 1}),
+                                       i -> concat_ws(' ', {parts})))
+         ELSE array({text_col}) END
+    """
+    return (
+        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        .withColumn("shingles", F.expr(expr))
+        .drop("__toks")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, width: int = 3
+) -> DataFrame:
+    """(id, sig0..sig{k-1}): k-permutation MinHash over token shingles."""
+    out = with_shingles(df, text_col, width)
+    h = spark_h(x="s")
+    sig_cols = [
+        F.expr(
+            f"array_min(transform(shingles, s -> ({a} * ({h} % {MINHASH_P}) + {b}) % {MINHASH_P}))"
+        ).alias(f"sig{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return out.select(F.col(id_col), *sig_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+
+    Pipeline: signature → ``bands`` band keys per doc → explode →
+    self-join on (band, key) → distinct candidate pairs → verify exact
+    shingle Jaccard ≥ ``threshold``.
+
+    The self-join shuffles only (id, band_key) pairs; document shingles
+    are re-joined just for the surviving candidates.  That keeps the
+    shuffle payload O(n·bands·8B) regardless of document size.
+    """
+    k = len(MINHASH_PERMS)
+    rows = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, width)
+    band_exprs = []
+    for b in range(bands):
+        cols = [f"sig{b * rows + r}" for r in range(rows)]
+        band_exprs.append(
+            F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols])).alias(
+                f"band{b}"
+            )
+        )
+    banded = sigs.select(F.col(id_col), *band_exprs)
+    melted = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    a, b_ = melted.alias("a"), melted.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("qid"), F.col(f"b.{id_col}").alias("cid")
+        )
+        .distinct()
+    )
+    sh = with_shingles(df, text_col, width).select(
+        F.col(id_col), F.col("shingles")
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed(id_col, "qid").withColumnRenamed("shingles", "sh_q"), "qid")
+        .join(sh.withColumnRenamed(id_col, "cid").withColumnRenamed("shingles", "sh_c"), "cid")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_q", "sh_c"))
+                / F.size(F.array_union("sh_q", "sh_c")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("qid", "cid", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """(id, simhash): bit-vote SimHash over whitespace tokens.
+
+    For each bit j: sum ±1 votes of every token hash's bit j; bit j of
+    the signature is 1 iff the vote is positive.  Near-dup = Hamming
+    distance on the signature (use ``bit_count(a ^ b)``); LSH-bucket on
+    16-bit halves for all-pairs at scale.
+    """
+    h = spark_h(x="t")
+    expr = f"""
+    aggregate(
+      transform(sequence(0, {bits - 1}), j ->
+        CASE WHEN aggregate(__th, 0L,
+               (acc, h) -> acc + CASE WHEN (shiftright(h, CAST(j AS INT)) & 1) = 1
+                                      THEN 1L ELSE -1L END) > 0
+             THEN shiftleft(1L, CAST(j AS INT)) ELSE 0L END),
+      0L, (acc, v) -> acc + v)
+    """
+    return (
+        df.withColumn("__th", F.expr(f"transform(split({text_col}, ' '), t -> {h})"))
+        .select(F.col(id_col), F.expr(expr).alias("simhash"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise, for bounded candidate sets)
+# ---------------------------------------------------------------------------
+
+def shingle_jaccard_pairs(df: DataFrame, text_col: str, id_col: str, width: int = 3) -> DataFrame:
+    """All-pairs exact shingle Jaccard — O(n²); gate n upstream.
+
+    This is the verification/oracle path; the scalable all-corpus path
+    is :func:`minhash_lsh_pairs`.
+    """
+    sh = with_shingles(df, text_col, width).select(F.col(id_col), "shingles")
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("qid"),
+            F.col(f"b.{id_col}").alias("cid"),
+            F.round(
+                F.size(F.array_intersect("a.shingles", "b.shingles"))
+                / F.size(F.array_union("a.shingles", "b.shingles")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dual-dialect SQL for the oracle-gated entry queries
+# ---------------------------------------------------------------------------
+
+def _shingle_cte(dialect: str, width: int, max_doc: int) -> str:
+    """Shared doc→distinct-shingles CTE in either dialect."""
+    if dialect == "spark":
+        parts = " , ".join(f"element_at(toks, i + {j})" for j in range(width))
+        return f"""
+WITH t AS (SELECT doc_id, text, split(text, ' ') AS toks FROM documents WHERE doc_id <= {max_doc}),
+s AS (SELECT doc_id,
+  CASE WHEN size(toks) >= {width}
+       THEN array_distinct(transform(sequence(1, size(toks) - {width - 1}), i -> concat_ws(' ', {parts})))
+       ELSE array(text) END AS sh
+  FROM t)"""
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(width))
+    return f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents WHERE doc_id <= {max_doc}),
+s AS (SELECT doc_id,
+  CASE WHEN len(toks) >= {width}
+       THEN list_distinct(list_transform(range(1, len(toks) - {width - 2}), i -> {parts}))
+       ELSE [text] END AS sh
+  FROM t)"""
+
+
+def minhash_sql(max_doc: int = 50, width: int = 3) -> tuple[str, str]:
+    """Oracle-gated MinHash signature query (both dialects)."""
+    sp_sig = ", ".join(
+        f"array_min(transform(sh, s -> ({a} * ({spark_h(x='s')} % {MINHASH_P}) + {b}) % {MINHASH_P})) AS sig{j}"
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    du_sig = ", ".join(
+        f"list_min(list_transform(sh, s -> ({a} * ({duck_h(x='s')} % {MINHASH_P}) + {b}) % {MINHASH_P})) AS sig{j}"
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    spark = f"{_shingle_cte('spark', width, max_doc)}\nSELECT doc_id, {sp_sig} FROM s ORDER BY doc_id"
+    duck = f"{_shingle_cte('duck', width, max_doc)}\nSELECT doc_id, {du_sig} FROM s ORDER BY doc_id"
+    return spark, duck
+
+
+def jaccard_pairs_sql(max_doc: int = 20, width: int = 3) -> tuple[str, str]:
+    """Oracle-gated all-pairs shingle Jaccard (both dialects)."""
+    spark = f"""{_shingle_cte('spark', width, max_doc)}
+SELECT a.doc_id AS qid, b.doc_id AS cid,
+  ROUND(size(array_intersect(a.sh, b.sh)) / CAST(size(array_union(a.sh, b.sh)) AS DOUBLE), 4) AS jac
+FROM s a JOIN s b ON a.doc_id < b.doc_id ORDER BY qid, cid"""
+    duck = f"""{_shingle_cte('duck', width, max_doc)}
+SELECT a.doc_id AS qid, b.doc_id AS cid,
+  ROUND(len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jac
+FROM s a JOIN s b ON a.doc_id < b.doc_id ORDER BY qid, cid"""
+    return spark, duck
+
+
+def simhash_sql(max_doc: int = 100, bits: int = 32) -> tuple[str, str]:
+    """Oracle-gated SimHash query (both dialects)."""
+    spark = f"""
+WITH t AS (SELECT doc_id, transform(split(text, ' '), t -> {spark_h(x='t')}) AS th
+           FROM documents WHERE doc_id <= {max_doc})
+SELECT doc_id,
+  aggregate(transform(sequence(0, {bits - 1}), j ->
+    CASE WHEN aggregate(th, 0L, (acc, h) -> acc + CASE WHEN (shiftright(h, CAST(j AS INT)) & 1) = 1 THEN 1L ELSE -1L END) > 0
+         THEN shiftleft(1L, CAST(j AS INT)) ELSE 0L END),
+    0L, (acc, v) -> acc + v) AS simhash
+FROM t ORDER BY doc_id"""
+    duck = f"""
+WITH t AS (SELECT doc_id, list_transform(string_split(text, ' '), t -> {duck_h(x='t')}) AS th
+           FROM documents WHERE doc_id <= {max_doc})
+SELECT doc_id,
+  list_sum(list_transform(range(0, {bits}), j ->
+    CASE WHEN list_sum(list_transform(th, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS simhash
+FROM t ORDER BY doc_id"""
+    return spark, duck
+
+
+def exact_dup_sql() -> tuple[str, str]:
+    """Oracle-gated exact-duplicate groups (portable text)."""
+    sql = """
+SELECT md5(text) AS dup_key, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY dup_key"""
+    return sql, sql

@@ -1,0 +1,140 @@
+"""Multimodal column convention + processing plumbing.
+
+Convention: a multimodal asset is a row of
+``(asset_id, modality, payload BINARY, meta STRUCT<...>)`` — the payload
+is opaque bytes (image/audio/video), typed metadata travels alongside.
+This mirrors the reference's treatment of chain payloads as encoded
+bytes-with-schema (base64/hex/borsh columns, /root/reference/Cargo.toml:31-33)
+extended to media.
+
+The decode step is STUBBED (image/audio libs are not in this container):
+``decode_stub=True`` produces a deterministic fake feature vector from
+the payload bytes so the Spark-side plumbing — schema, Arrow batching,
+mapInPandas signature, partitioning — is real and testable;
+``decode_stub=False`` raises NotImplementedError at the exact seam where
+PIL/librosa/ffmpeg would plug in.
+
+Scale (100 TB of media):
+- Payloads dominate row size → keep them OUT of shuffles: derive
+  features first (mapInPandas, scan→project, no shuffle), then drop or
+  offload the payload column before any join/groupBy.
+- ``spark.sql.files.maxPartitionBytes`` controls decode-task grain;
+  with ~1 MB assets the default 128 MB split ≈ 128 assets/task.
+- Arrow batch size (``spark.sql.execution.arrow.maxRecordsPerBatch``)
+  bounds per-batch memory: payload_bytes × batch_rows must fit the
+  executor; set ~64 for MB-scale assets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "MULTIMODAL_SCHEMA",
+    "FEATURE_SCHEMA",
+    "make_asset_df",
+    "extract_features",
+    "sample_frames",
+]
+
+MULTIMODAL_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("source_uri", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def make_asset_df(spark, rows: list[tuple]) -> DataFrame:
+    """Build an asset DataFrame from (asset_id, modality, payload, meta) rows."""
+    return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder: sha256-derived floats.
+
+    STUB — replace with the real decode (PIL → resize → CNN embed, or
+    librosa → mel features).  Keeping it deterministic lets tests assert
+    end-to-end values through the real mapInPandas path.
+    """
+    h = hashlib.sha256(payload or b"").digest()
+    return [round(b / 255.0, 6) for b in h[:dim]]
+
+
+def extract_features(df: DataFrame, dim: int = 8, decode_stub: bool = True) -> DataFrame:
+    """payload → feature vector via Arrow-batched mapInPandas.
+
+    The UDF boundary is per-partition iterator-of-batches: payload bytes
+    cross to Python once, features come back columnar.  The payload
+    column is dropped on return — downstream ops never shuffle bytes.
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real media decode requires PIL/librosa/ffmpeg — not in this "
+            "container; run with decode_stub=True for the plumbing path"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["payload"].map(lambda p: len(p or b"")).astype("int32"),
+                    "feature": pdf["payload"].map(lambda p: _fake_feature(p, dim)),
+                }
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling plan: one output row per sampled frame offset.
+
+    Spark-side plumbing only — computes frame offsets from metadata with
+    built-ins (sequence/explode, no UDF); the per-frame pixel decode
+    would happen in a downstream :func:`extract_features` call.
+    """
+    return (
+        df.filter(F.col("modality") == "video")
+        .withColumn(
+            "frame_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ),
+        )
+        .select("asset_id", "frame_ms", "payload", "meta")
+    )

@@ -1,0 +1,225 @@
+"""Text-analysis operators: language-ID, quality scoring, token stats,
+document fingerprinting.
+
+All pure built-in expressions (codegen'd, no UDFs); each has an
+oracle-gated dual-dialect SQL form.  At 100 TB these are scan-side
+projections — zero shuffles, perfectly linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_rust_spark.operators.hashes import MINHASH_P, duck_h, spark_h
+
+__all__ = [
+    "STOPWORDS",
+    "language_id",
+    "token_stats",
+    "quality_score",
+    "fingerprint",
+    "langid_sql",
+    "token_stats_sql",
+    "quality_sql",
+    "fingerprint_sql",
+]
+
+# Tiny per-language stopword lists for the n-gram/stopword-vote heuristic.
+# Deliberately short: the heuristic's shape (vote + argmax) is the point;
+# swap in real lists for production corpora.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "is", "that", "for", "it", "as"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "del"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "zh": ("de", "shi", "bu", "le", "zai", "ren", "you", "wo", "ta", "zhe"),
+}
+_LANGS = tuple(STOPWORDS)
+
+
+def _vote_exprs(dialect: str) -> list[str]:
+    """Per-language stopword-hit counts over a ``toks`` array column."""
+    out = []
+    for lang, words in STOPWORDS.items():
+        lit = ", ".join(f"'{w}'" for w in words)
+        if dialect == "spark":
+            out.append(
+                f"size(filter(toks, t -> array_contains(array({lit}), t))) AS n_{lang}"
+            )
+        else:
+            out.append(
+                f"len(list_filter(toks, t -> list_contains([{lit}], t))) AS n_{lang}"
+            )
+    return out
+
+
+def _argmax_case() -> str:
+    """Deterministic argmax over the vote counts, first-language-wins ties."""
+    clauses = []
+    for i, lang in enumerate(_LANGS):
+        conds = " AND ".join(
+            f"n_{lang} >= n_{other}" for other in _LANGS[i + 1 :]
+        )
+        clauses.append(f"WHEN {conds or 'TRUE'} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " END"
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, votes per language, lang_pred) via stopword voting."""
+    df = df.withColumn("toks", F.split(F.col(text_col), " "))
+    for lang, words in STOPWORDS.items():
+        lit = ", ".join(f"'{w}'" for w in words)
+        df = df.withColumn(
+            f"n_{lang}", F.expr(f"size(filter(toks, t -> array_contains(array({lit}), t)))")
+        )
+    return df.select(
+        F.col(id_col), *[F.col(f"n_{lang}") for lang in _LANGS],
+        F.expr(_argmax_case()).alias("lang_pred"),
+    )
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_tokens, n_types, ttr, avg_tok_len) — whitespace tokenizer."""
+    return (
+        df.withColumn("toks", F.split(F.col(text_col), " "))
+        .select(
+            F.col(id_col),
+            F.size("toks").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).alias("n_types"),
+            F.round(
+                F.size(F.array_distinct("toks")) / F.size("toks").cast("double"), 4
+            ).alias("ttr"),
+            F.round(
+                (F.length(text_col) - (F.size("toks") - 1))
+                / F.size("toks").cast("double"),
+                4,
+            ).alias("avg_tok_len"),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Composite heuristic quality as basis points [0, 10000]: length band
+    + lexical diversity + stopword presence.  Weights are illustrative;
+    the operator shape (pure projection, tunable linear blend) is the
+    deliverable.
+
+    Output is ``FLOOR(score * 10000)`` rather than ``ROUND(score, 4)``:
+    Spark's ROUND goes through the double's shortest decimal repr
+    (BigDecimal HALF_UP) while DuckDB rounds the binary value, so ROUND
+    diverges on boundary doubles; FLOOR of an identically-computed
+    double is engine-independent (measured divergence: 6/101 docs with
+    ROUND, 0 with FLOOR)."""
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return (
+        df.withColumn("toks", F.split(F.col(text_col), " "))
+        .select(
+            F.col(id_col),
+            F.expr("size(toks)").alias("nt"),
+            F.expr("size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE)").alias("ttr_raw"),
+            F.expr(
+                f"size(filter(toks, t -> array_contains(array({en}), t))) / CAST(size(toks) AS DOUBLE)"
+            ).alias("swr"),
+        )
+        .select(
+            F.col(id_col),
+            F.floor(
+                (
+                    F.least(F.col("nt") / F.lit(64.0), F.lit(1.0)) * 0.4
+                    + F.col("ttr_raw") * 0.4
+                    + F.least(F.col("swr") * 5, F.lit(1.0)) * 0.2
+                )
+                * 10000
+            )
+            .cast("long")
+            .alias("quality_bp"),
+        )
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, fp): order-sensitive rolling polynomial hash over token hashes.
+
+    fp = fold(tokens, 0, (acc, t) -> (acc*31 + H(t) % P) % P) — a
+    content fingerprint stable under formatting-preserving transport,
+    cheap to recompute, suitable as a dedup/jointure key.
+    """
+    h = spark_h(x="t")
+    return df.select(
+        F.col(id_col),
+        F.expr(
+            f"aggregate(transform(split({text_col}, ' '), t -> {h} % {MINHASH_P}), 0L, (acc, h) -> (acc * 31 + h) % {MINHASH_P})"
+        ).alias("fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dual-dialect SQL (oracle-gated)
+# ---------------------------------------------------------------------------
+
+def langid_sql(max_doc: int = 200) -> tuple[str, str]:
+    case = _argmax_case()
+    spark = f"""
+WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM documents WHERE doc_id <= {max_doc}),
+v AS (SELECT doc_id, {', '.join(_vote_exprs('spark'))} FROM t)
+SELECT doc_id, n_en, n_de, n_es, n_fr, n_zh, {case} AS lang_pred FROM v ORDER BY doc_id"""
+    duck = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id <= {max_doc}),
+v AS (SELECT doc_id, {', '.join(_vote_exprs('duck'))} FROM t)
+SELECT doc_id, n_en, n_de, n_es, n_fr, n_zh, {case} AS lang_pred FROM v ORDER BY doc_id"""
+    return spark, duck
+
+
+def token_stats_sql(max_doc: int = 200) -> tuple[str, str]:
+    spark = f"""
+WITH t AS (SELECT doc_id, text, split(text, ' ') AS toks FROM documents WHERE doc_id <= {max_doc})
+SELECT doc_id, size(toks) AS n_tokens, size(array_distinct(toks)) AS n_types,
+  ROUND(size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE), 4) AS ttr,
+  ROUND((length(text) - (size(toks) - 1)) / CAST(size(toks) AS DOUBLE), 4) AS avg_tok_len
+FROM t ORDER BY doc_id"""
+    duck = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents WHERE doc_id <= {max_doc})
+SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_types,
+  ROUND(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) AS ttr,
+  ROUND((length(text) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE), 4) AS avg_tok_len
+FROM t ORDER BY doc_id"""
+    return spark, duck
+
+
+def quality_sql(max_doc: int = 100) -> tuple[str, str]:
+    # FLOOR(x * 10000), not ROUND(x, 4): see quality_score docstring.
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    spark = f"""
+WITH t AS (SELECT doc_id, text, split(text, ' ') AS toks FROM documents WHERE doc_id <= {max_doc}),
+m AS (SELECT doc_id, size(toks) AS nt,
+        size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE) AS ttr,
+        size(filter(toks, t -> array_contains(array({en}), t))) / CAST(size(toks) AS DOUBLE) AS swr
+      FROM t)
+SELECT doc_id,
+  CAST(FLOOR((LEAST(nt / 64.0, 1.0) * 0.4 + ttr * 0.4 + LEAST(swr * 5, 1.0) * 0.2) * 10000) AS BIGINT) AS quality_bp
+FROM m ORDER BY doc_id"""
+    duck = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents WHERE doc_id <= {max_doc}),
+m AS (SELECT doc_id, len(toks) AS nt,
+        len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS ttr,
+        len(list_filter(toks, t -> list_contains([{en}], t))) / CAST(len(toks) AS DOUBLE) AS swr
+      FROM t)
+SELECT doc_id,
+  CAST(FLOOR((LEAST(nt / 64.0, 1.0) * 0.4 + ttr * 0.4 + LEAST(swr * 5, 1.0) * 0.2) * 10000) AS BIGINT) AS quality_bp
+FROM m ORDER BY doc_id"""
+    return spark, duck
+
+
+def fingerprint_sql(max_doc: int = 200) -> tuple[str, str]:
+    spark = f"""
+SELECT doc_id,
+  aggregate(transform(split(text, ' '), t -> {spark_h(x='t')} % {MINHASH_P}),
+            0L, (acc, h) -> (acc * 31 + h) % {MINHASH_P}) AS fp
+FROM documents WHERE doc_id <= {max_doc} ORDER BY doc_id"""
+    duck = f"""
+SELECT doc_id,
+  list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ' '), t -> {duck_h(x='t')} % {MINHASH_P})),
+              (acc, h) -> (acc * 31 + h) % {MINHASH_P}) AS fp
+FROM documents WHERE doc_id <= {max_doc} ORDER BY doc_id"""
+    return spark, duck

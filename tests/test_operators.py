@@ -1,0 +1,137 @@
+"""Quality + correctness tests for the LLM-data operators.
+
+- Oracle-gated entries (minhash/simhash/jaccard/langid/...): hash-match
+  DuckDB at sf0.001 (driver re-checks at sf0.01).
+- Approximate pipelines (MinHash-LSH, sign-LSH ANN): recall asserted on
+  planted near-duplicates — the synthetic corpus is near-random (mean
+  top-1 cosine 0.37), so "find the planted neighbor" is the meaningful
+  quality bar, not top-k overlap on noise.
+- Multimodal: plumbing end-to-end through mapInPandas with the
+  deterministic stub decoder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_rust_spark.catalog import load_table
+from etl_rust_spark.functions.hashing import canonical_hash
+from etl_rust_spark.operators import dedup, entry_oracle_sql, entry_queries, similarity, text
+from tests.oracle import run_duck
+
+
+@pytest.mark.parametrize("name", sorted(entry_oracle_sql()))
+def test_operator_entry_matches_oracle(spark, duck, sf_dir, name):
+    df = entry_queries()[name](spark, sf_dir)
+    rows = [tuple(r) for r in df.collect()]
+    drows, dcols = run_duck(duck, entry_oracle_sql()[name])
+    assert sorted(df.columns) == sorted(dcols), name
+    assert canonical_hash(rows, df.columns) == canonical_hash(drows, dcols), name
+
+
+def test_exact_dedupe_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(3, "aa"), (1, "aa"), (2, "bb"), (7, "aa")], ["id", "t"]
+    )
+    out = dedup.exact_dedupe(df, ["t"], "id").collect()
+    assert {(r.t, r.id) for r in out} == {("aa", 1), ("bb", 2)}
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    base = docs.select("doc_id", "text").collect()
+    # plant: copy of each doc with its first token altered (high Jaccard)
+    planted = [(r.doc_id + 100000, "zzz" + r.text[3:]) for r in base]
+    aug = docs.select("doc_id", "text").union(
+        spark.createDataFrame(planted, ["doc_id", "text"])
+    )
+    pairs = dedup.minhash_lsh_pairs(aug, "text", "doc_id", threshold=0.5).collect()
+    found = {(p.qid, p.cid) for p in pairs}
+    expected = {(r.doc_id, r.doc_id + 100000) for r in base}
+    recall = len(found & expected) / len(expected)
+    assert recall >= 0.9, f"LSH recall {recall} < 0.9 ({len(found)} pairs found)"
+
+
+def test_ann_lsh_recall_on_planted_neighbors(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding").orderBy("vec_id").limit(40).collect()
+    rng = np.random.default_rng(7)
+    queries = []
+    for r in base:
+        v = np.array(r.embedding, dtype=np.float64)
+        noisy = v + 0.03 * np.linalg.norm(v) / 8.0 * rng.standard_normal(64)
+        queries.append((r.vec_id + 100000, [float(x) for x in noisy]))
+    qdf = spark.createDataFrame(queries, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    corpus = emb.select("vec_id", "embedding")
+    got = (
+        similarity.ann_lsh_topk(qdf, corpus, k=1, prefix_bits=4)
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    hits = sum(1 for r in got if r.cid == r.qid - 100000)
+    recall = hits / len(base)
+    assert recall >= 0.9, f"ANN recall@1 {recall} < 0.9"
+
+
+def test_simhash_hamming_separates_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    base = docs.select("doc_id", "text").collect()
+    planted = [(r.doc_id + 100000, "zzz" + r.text[3:]) for r in base]
+    aug = docs.select("doc_id", "text").union(
+        spark.createDataFrame(planted, ["doc_id", "text"])
+    )
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(aug, "text", "doc_id").collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    near = [ham(sh[r.doc_id], sh[r.doc_id + 100000]) for r in base]
+    far = [
+        ham(sh[a.doc_id], sh[b.doc_id])
+        for a in base
+        for b in base
+        if a.doc_id < b.doc_id
+    ]
+    assert max(near) < np.mean(far), (near, np.mean(far))
+
+
+def test_multimodal_feature_pipeline(spark):
+    from etl_rust_spark.operators import multimodal as mm
+
+    rows = [
+        (1, "image", b"\x89PNGfake", ("image/png", 32, 32, None, "s3://x/1.png")),
+        (2, "video", b"\x00\x00ftyp", ("video/mp4", 640, 480, 3500, "s3://x/2.mp4")),
+        (3, "audio", None, ("audio/wav", None, None, 1200, "s3://x/3.wav")),
+    ]
+    df = mm.make_asset_df(spark, rows)
+    feats = mm.extract_features(df).collect()
+    assert {r.asset_id for r in feats} == {1, 2, 3}
+    byid = {r.asset_id: r for r in feats}
+    assert byid[1].n_bytes == 8 and len(byid[1].feature) == 8
+    assert byid[3].n_bytes == 0  # None payload handled
+    # determinism through the real Arrow path
+    feats2 = mm.extract_features(df).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+    # frame sampling: 3500 ms @ 1000 ms -> offsets 0,1000,2000,3000
+    frames = mm.sample_frames(df).select("asset_id", "frame_ms").collect()
+    assert [(r.asset_id, r.frame_ms) for r in sorted(frames, key=lambda r: r.frame_ms)] == [
+        (2, 0), (2, 1000), (2, 2000), (2, 3000)
+    ]
+    with pytest.raises(NotImplementedError):
+        mm.extract_features(df, decode_stub=False)
+
+
+def test_langid_agrees_with_sql_form(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
+    api = text.language_id(docs, "text", "doc_id")
+    from etl_rust_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    sql = spark.sql(text.langid_sql(50)[0])
+    assert canonical_hash([tuple(r) for r in api.collect()], api.columns) == canonical_hash(
+        [tuple(r) for r in sql.collect()], sql.columns
+    )
