@@ -1,0 +1,78 @@
+"""CLI mirroring the reference's commands (``python -m etl_rust_spark``).
+
+Reference CLI (/root/reference/src/main.rs:49-105): ``index-range``,
+``index-list``, ``index-subscription``, ``save-range``,
+``create-test-set``.  Same verbs here, Spark execution underneath; the
+chain is selected by name (only ``synthetic`` ships in-repo — real chain
+configs register via the :class:`ChainConfig` protocol, SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from etl_rust_spark import get_spark
+from etl_rust_spark.etl import create_test_set, run_range, save_range
+from etl_rust_spark.sources.chain import SyntheticChain
+from etl_rust_spark.sources.ranges import block_list_csv
+
+CHAINS = {"synthetic": SyntheticChain}
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="etl_rust_spark")
+    p.add_argument("--chain", default="synthetic", choices=sorted(CHAINS))
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("index-range", help="extract blocks [start, end)")
+    pr.add_argument("start", type=int)
+    pr.add_argument("end", type=int)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--resume", action="store_true")
+    pr.add_argument("--format", default="parquet", choices=["parquet", "jsonl"])
+    pr.add_argument("--layout", default="block", choices=["block", "time", "flat"])
+
+    pl = sub.add_parser("index-list", help="extract blocks from a CSV list")
+    pl.add_argument("csv")
+    pl.add_argument("--out", required=True)
+    pl.add_argument("--format", default="parquet", choices=["parquet", "jsonl"])
+
+    ps = sub.add_parser("save-range", help="persist raw extracted data")
+    ps.add_argument("start", type=int)
+    ps.add_argument("end", type=int)
+    ps.add_argument("--out", required=True)
+
+    pt = sub.add_parser("create-test-set", help="persist raw + expected outputs")
+    pt.add_argument("start", type=int)
+    pt.add_argument("end", type=int)
+    pt.add_argument("--name", required=True)
+    pt.add_argument("--dir", default="tests/examples")
+
+    args = p.parse_args(argv)
+    spark = get_spark(app_name=f"etl-rust-spark-{args.cmd}")
+    chain = CHAINS[args.chain]()
+
+    if args.cmd == "index-range":
+        stats = run_range(
+            spark, chain, args.start, args.end, args.out,
+            resume=args.resume, fmt=args.format, layout=args.layout,
+        )
+        print(json.dumps({"raw_blocks": stats.raw_blocks, "records": stats.records}))
+    elif args.cmd == "index-list":
+        from etl_rust_spark.etl.writer import write_tables
+
+        indices = block_list_csv(spark, args.csv)
+        raw = chain.fetch(indices)
+        counts = write_tables(chain.transform(raw), args.out, fmt=args.format)
+        print(json.dumps({"records": counts}))
+    elif args.cmd == "save-range":
+        print(save_range(spark, chain, args.start, args.end, args.out))
+    elif args.cmd == "create-test-set":
+        print(create_test_set(spark, chain, args.start, args.end, args.name, args.dir))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

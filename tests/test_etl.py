@@ -1,0 +1,98 @@
+"""Tests for the batch ETL pipeline: fan-out writes, idempotency, resume,
+time-bucket layout, goldens (reference §3.1 / S-08 / S-09 / X-06 parity)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_rust_spark.etl import check_golden, create_test_set, run_range, write_tables
+from etl_rust_spark.sources.chain import SyntheticChain, TABLE_NAMES
+
+
+@pytest.fixture(scope="module")
+def chain():
+    return SyntheticChain()
+
+
+def _read_blocks(spark, out):
+    return spark.read.parquet(f"{out}/blocks")
+
+
+def test_run_range_end_to_end(spark, chain, tmp_path):
+    out = str(tmp_path / "sink")
+    stats = run_range(spark, chain, 0, 30, out, bucket_size=10)
+    assert stats.raw_blocks == 30
+    for t in TABLE_NAMES:
+        assert stats.records[t] > 0
+    blocks = _read_blocks(spark, out)
+    assert blocks.count() == 30
+    assert blocks.select("block_index").distinct().count() == 30
+    # Fan-out consistency: written transactions match blocks' tx_count sum.
+    tx_total = blocks.agg(F.sum("tx_count")).collect()[0][0]
+    assert spark.read.parquet(f"{out}/transactions").count() == tx_total
+
+
+def test_run_range_idempotent_rerun(spark, chain, tmp_path):
+    out = str(tmp_path / "sink")
+    first = run_range(spark, chain, 0, 20, out, bucket_size=10)
+    second = run_range(spark, chain, 0, 20, out, bucket_size=10)
+    assert first.records == second.records
+    blocks = _read_blocks(spark, out)
+    assert blocks.count() == 20
+    assert blocks.select("block_index").distinct().count() == 20
+
+
+def test_run_range_resume_mid_bucket(spark, chain, tmp_path):
+    out = str(tmp_path / "sink")
+    run_range(spark, chain, 0, 15, out, bucket_size=10)
+    # Resume: picks up at 15 (hw=14), re-derives bucket 1 wholly.
+    stats = run_range(spark, chain, 0, 30, out, resume=True, bucket_size=10)
+    assert stats.start == 15
+    blocks = _read_blocks(spark, out)
+    assert blocks.count() == 30
+    assert blocks.select("block_index").distinct().count() == 30
+    # Fully-indexed resume errors like the reference (S-08 panic).
+    with pytest.raises(RuntimeError):
+        run_range(spark, chain, 0, 30, out, resume=True, bucket_size=10)
+
+
+def test_time_layout_dq44_dirs(spark, chain, tmp_path):
+    out = str(tmp_path / "sink")
+    run_range(spark, chain, 0, 20, out, layout="time")
+    # blocks has block_timestamp → GCS-style d=/h=/half= directories.
+    parts = {p.name.split("=")[0] for p in Path(f"{out}/blocks").glob("d=*")}
+    assert parts == {"d"}
+    halves = {p.name for p in Path(f"{out}/blocks").glob("d=*/h=*/half=*")}
+    assert all(h.startswith("half=") for h in halves) and halves
+    # instructions has no timestamp → falls back to block buckets.
+    assert list(Path(f"{out}/instructions").glob("block_bucket=*"))
+
+
+def test_jsonl_sink(spark, chain, tmp_path):
+    out = str(tmp_path / "sink")
+    run_range(spark, chain, 0, 5, out, fmt="jsonl", layout="flat")
+    lines = []
+    for f in Path(f"{out}/blocks").glob("*.json"):
+        lines += [ln for ln in f.read_text().splitlines() if ln.strip()]
+    assert len(lines) == 5
+    assert all(ln.startswith("{") for ln in lines)
+
+
+def test_goldens_roundtrip(spark, chain, tmp_path):
+    base = create_test_set(spark, chain, 3, 9, "mini", dir=str(tmp_path))
+    diffs = check_golden(spark, chain, base)
+    assert set(diffs) == set(TABLE_NAMES)
+    assert all(v == 0 for v in diffs.values()), diffs
+
+
+def test_write_tables_counts_match(spark, chain, tmp_path):
+    from etl_rust_spark.sources.ranges import block_range
+
+    raw = chain.fetch(block_range(spark, 0, 10))
+    tables = chain.transform(raw)
+    counts = write_tables(tables, str(tmp_path / "w"), bucket_size=5)
+    for t in TABLE_NAMES:
+        assert counts[t] == spark.read.parquet(str(tmp_path / "w" / t)).count()
