@@ -48,6 +48,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(_op_queries())
     except ImportError:
         pass
+    try:
+        from etl_rust_spark.streaming import entry_queries as _stream_queries
+
+        out.update(_stream_queries())
+    except ImportError:
+        pass
     return out
 
 
@@ -57,6 +63,12 @@ def oracle_sql() -> dict[str, str]:
         from etl_rust_spark.operators import entry_oracle_sql as _op_oracle
 
         out.update(_op_oracle())
+    except ImportError:
+        pass
+    try:
+        from etl_rust_spark.streaming import entry_oracle_sql as _stream_oracle
+
+        out.update(_stream_oracle())
     except ImportError:
         pass
     return out

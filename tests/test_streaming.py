@@ -1,0 +1,230 @@
+"""Streaming semantics tests (SURVEY §5.4) — not DuckDB-hash-gated.
+
+Strategy: the window operators are the SAME code in batch and streaming
+(etl_rust_spark.streaming.windows), so batch results — themselves
+oracle-gated via op_{tumbling,sliding,session}_window — serve as the
+expected output for the streaming runs.  Plus: watermark late-data drop,
+exact-gap session merge semantics, and checkpoint-resume of the
+subscription pipeline without duplicates.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_rust_spark.catalog import load_table
+from etl_rust_spark.streaming import (
+    events_stream,
+    run_subscription,
+    session_window_agg,
+    sliding_window,
+    tumbling_window,
+)
+from etl_rust_spark.sources.chain import SyntheticChain
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", sorted(["op_tumbling_window", "op_sliding_window", "op_session_window"]))
+def test_window_entry_matches_oracle(spark, duck, sf_dir, name):
+    from etl_rust_spark.functions.hashing import canonical_hash
+    from etl_rust_spark.streaming import entry_oracle_sql, entry_queries
+    from tests.oracle import run_duck
+
+    df = entry_queries()[name](spark, sf_dir)
+    rows = [tuple(r) for r in df.collect()]
+    drows, dcols = run_duck(duck, entry_oracle_sql()[name])
+    assert sorted(df.columns) == sorted(dcols), name
+    assert canonical_hash(rows, df.columns) == canonical_hash(drows, dcols), name
+
+
+@pytest.fixture(scope="module")
+def events_src(spark, sf_dir, tmp_path_factory):
+    """sf0.001 events rewritten as micros-timestamp parquet for streaming
+    (file-source streams read the normalized form, as a real feed would)."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    load_table(spark, sf_dir, "events").write.parquet(path)
+    return path
+
+
+def _run_stream(spark, agg, name):
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.table(name)
+    finally:
+        q.stop()
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, events_src):
+    batch = tumbling_window(load_table(spark, sf_dir, "events"))
+    stream = tumbling_window(events_stream(spark, events_src))
+    got = _run_stream(spark, stream, "t_tumbling")
+    assert _rows(got) == _rows(batch)
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, events_src):
+    batch = sliding_window(load_table(spark, sf_dir, "events"))
+    stream = sliding_window(events_stream(spark, events_src))
+    got = _run_stream(spark, stream, "t_sliding")
+    assert _rows(got) == _rows(batch)
+
+
+def test_session_stream_matches_batch(spark, sf_dir, events_src):
+    batch = session_window_agg(load_table(spark, sf_dir, "events"))
+    stream = session_window_agg(events_stream(spark, events_src))
+    got = _run_stream(spark, stream, "t_session")
+    assert _rows(got) == _rows(batch)
+
+
+def test_session_counts_match_dq35(spark, sf_dir):
+    """session_window sessions-per-user == DQ-35 gaps-and-islands."""
+    from etl_rust_spark.queries import DECLARED
+    from etl_rust_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    want = {
+        r["user_id"]: r["n_sessions"]
+        for r in spark.sql(DECLARED["dq35"].spark_sql).collect()
+    }
+    per_user = {
+        r["user_id"]: r["n"]
+        for r in session_window_agg(load_table(spark, sf_dir, "events"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {u: n for u, n in per_user.items() if u in want}  # dq35 LIMITs users
+    assert got == want
+
+
+def test_session_exact_gap_merges(spark):
+    """Boundary semantics the DuckDB oracle encodes: diff == gap merges,
+    diff == gap + 1µs splits."""
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, 0, 0)),
+        (1, dt.datetime(2024, 1, 1, 10, 30, 0)),
+        (2, dt.datetime(2024, 1, 1, 10, 0, 0)),
+        (2, dt.datetime(2024, 1, 1, 10, 30, 0, 1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["user_id"],): r
+        for r in df.groupBy("user_id")
+        .agg(F.count(F.lit(1)))
+        .collect()
+    }
+    sess = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    n_sessions = {r["user_id"]: r["count"] for r in sess}
+    assert n_sessions == {1: 1, 2: 2}, (n_sessions, got)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append mode + 10-min watermark: a row older than the watermark is
+    discarded; the already-emitted window is not revised."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(i, minute, second=0):
+        return (i, t0.replace(minute=minute % 60, hour=10 + minute // 60, second=second), 1, "click", 1.0, "{}")
+
+    # Batch 1: three rows in [10:00, 10:10) and a row at 10:40 that will
+    # push the watermark to 10:30 → the 10:00 window emits.
+    _write("b1", [ev(1, 0), ev(2, 3), ev(3, 9), ev(4, 40)])
+
+    agg = tumbling_window(
+        events_stream(spark, str(src), max_files_per_trigger=1).withWatermark(
+            "ts", "10 minutes"
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = {tuple(r) for r in spark.table("t_late").collect()}
+        first = {r for r in emitted if r[0] == t0}
+        assert first == {(t0, t0.replace(minute=10), 3, 300)}
+        # Batch 2: one LATE row at 10:05 (< watermark 10:30 → dropped) and
+        # one at 11:20 (advances watermark past 10:40's window).
+        _write("b2", [ev(5, 5), ev(6, 80)])
+        q.processAllAvailable()
+        emitted = {tuple(r) for r in spark.table("t_late").collect()}
+        # 10:00 window unchanged (late row discarded, no revision)...
+        assert {r for r in emitted if r[0] == t0} == {(t0, t0.replace(minute=10), 3, 300)}
+        # ...and the 10:40 window emitted with only its on-time row.
+        t40 = t0.replace(minute=40)
+        assert {r for r in emitted if r[0] == t40} == {(t40, t0.replace(minute=50), 1, 100)}
+    finally:
+        q.stop()
+
+
+def test_subscription_checkpoint_resume(spark, tmp_path):
+    """S-03 + S-08 parity: work items drive run_range via foreachBatch;
+    restart from checkpoint neither reprocesses committed items nor
+    duplicates output rows."""
+    chain = SyntheticChain()
+    work = tmp_path / "work"
+    work.mkdir()
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def submit(name, start, end):
+        (work / f"{name}.json").write_text(json.dumps({"start": start, "end": end}) + "\n")
+
+    submit("w1", 0, 10)
+    q = run_subscription(spark, chain, str(work), out, ckpt, bucket_size=5)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    blocks = spark.read.parquet(f"{out}/blocks")
+    assert blocks.count() == 10
+
+    # Restart with one new item: only the new range is processed; the
+    # committed item is not replayed; no duplicate blocks appear.
+    submit("w2", 10, 25)
+    q = run_subscription(spark, chain, str(work), out, ckpt, bucket_size=5)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    blocks = spark.read.parquet(f"{out}/blocks")
+    assert blocks.count() == 25
+    assert blocks.select("block_index").distinct().count() == 25
+
+    # Third restart with no new work: a no-op.
+    q = run_subscription(spark, chain, str(work), out, ckpt, bucket_size=5)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(f"{out}/blocks").count() == 25
