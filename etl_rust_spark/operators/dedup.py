@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from etl_rust_spark.operators.hashes import (
     MINHASH_P,
@@ -103,19 +104,43 @@ def with_shingles(df: DataFrame, text_col: str, width: int = 3) -> DataFrame:
     )
 
 
+def _hashed_shingles() -> "F.Column":
+    """``shingles`` → one 62-bit hash per shingle, computed ONCE.
+
+    Every permutation then works on this array with two integer ops —
+    without this hoist each of the k signature columns re-evaluates md5
+    over every shingle (k× the dominant cost)."""
+    return F.expr(f"transform(shingles, s -> {spark_h(x='s')} % {MINHASH_P})")
+
+
+def _sig_exprs(hs_col: str = "__hs") -> list:
+    """MinHash signature columns over a hashed-shingle array column."""
+    return [
+        F.expr(
+            f"array_min(transform({hs_col}, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        ).alias(f"sig{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition up to the session's parallelism when the scan produced
+    fewer splits than cores (small files serialize the expensive
+    shingle/hash evaluation into one task; one cheap shuffle of raw rows
+    unlocks full parallelism).  No-op when the input is already wide —
+    at 100 TB the scan has thousands of splits and this never fires."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, width: int = 3
 ) -> DataFrame:
     """(id, sig0..sig{k-1}): k-permutation MinHash over token shingles."""
-    out = with_shingles(df, text_col, width)
-    h = spark_h(x="s")
-    sig_cols = [
-        F.expr(
-            f"array_min(transform(shingles, s -> ({a} * ({h} % {MINHASH_P}) + {b}) % {MINHASH_P}))"
-        ).alias(f"sig{j}")
-        for j, (a, b) in enumerate(MINHASH_PERMS)
-    ]
-    return out.select(F.col(id_col), *sig_cols)
+    out = with_shingles(df, text_col, width).withColumn("__hs", _hashed_shingles())
+    return out.select(F.col(id_col), *_sig_exprs())
 
 
 def minhash_lsh_pairs(
@@ -125,20 +150,41 @@ def minhash_lsh_pairs(
     width: int = 3,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
 
-    Pipeline: signature → ``bands`` band keys per doc → explode →
-    self-join on (band, key) → distinct candidate pairs → verify exact
-    shingle Jaccard ≥ ``threshold``.
+    Pipeline: shingle once → signature → ``bands`` band keys per doc →
+    explode → groupBy (band, key) collecting bucket members → explode
+    each bucket's pairs → distinct candidates → verify exact shingle
+    Jaccard ≥ ``threshold`` against the (single, reused) shingled frame.
 
-    The self-join shuffles only (id, band_key) pairs; document shingles
-    are re-joined just for the surviving candidates.  That keeps the
-    shuffle payload O(n·bands·8B) regardless of document size.
+    Shuffle budget: ONE shuffle of (band, key, id) triples — 8-byte ids,
+    never documents — plus the candidate verify join.  The bucket
+    groupBy replaces a melted self-join, halving the banding compute and
+    removing a second exchange.  ``max_bucket`` caps a degenerate bucket
+    (the hot-key risk: near-empty docs all hash together) so one skewed
+    key cannot go quadratic; ids are sorted first, so the cap is
+    deterministic.
+
+    The verify step computes Jaccard over HASHED shingles (62-bit values,
+    P = 1e9+7): identical to string-shingle Jaccard up to hash collisions
+    (~|shingles|²/2P per doc pair — negligible), and it means the one
+    persisted frame is compact long-arrays, not document text, so the
+    cache footprint stays a small fraction of corpus size at 100 TB.
     """
     k = len(MINHASH_PERMS)
     rows = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, width)
+    # Persist the hashed-shingle frame: three plan branches consume it
+    # (the banding path and both sides of the verify join); without a
+    # persist the shingle + hash evaluation runs three times.
+    # MEMORY_AND_DISK spills gracefully (same policy as MLlib's LSH join).
+    hs_all = (
+        with_shingles(_spread(df.select(id_col, text_col), id_col), text_col, width)
+        .select(F.col(id_col), _hashed_shingles().alias("hs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sigs = hs_all.select(F.col(id_col), *_sig_exprs("hs"))
     band_exprs = []
     for b in range(bands):
         cols = [f"sig{b * rows + r}" for r in range(rows)]
@@ -159,30 +205,34 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
-    a, b_ = melted.alias("a"), melted.alias("b")
+    buckets = (
+        melted.groupBy("band", "key")
+        .agg(F.slice(F.sort_array(F.collect_list(F.col(id_col))), 1, max_bucket).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # All intra-bucket pairs; ids sorted ascending → qid < cid by
+    # construction, one id per (band, key) → no self-pairs.
     cand = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(ids) - 1), i -> "
+                    "transform(slice(ids, i + 1, size(ids) - i), x -> "
+                    "struct(element_at(ids, i) AS qid, x AS cid))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("qid"), F.col(f"b.{id_col}").alias("cid")
-        )
+        .select("p.qid", "p.cid")
         .distinct()
     )
-    sh = with_shingles(df, text_col, width).select(
-        F.col(id_col), F.col("shingles")
-    )
     verified = (
-        cand.join(sh.withColumnRenamed(id_col, "qid").withColumnRenamed("shingles", "sh_q"), "qid")
-        .join(sh.withColumnRenamed(id_col, "cid").withColumnRenamed("shingles", "sh_c"), "cid")
+        cand.join(hs_all.withColumnRenamed(id_col, "qid").withColumnRenamed("hs", "hs_q"), "qid")
+        .join(hs_all.withColumnRenamed(id_col, "cid").withColumnRenamed("hs", "hs_c"), "cid")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_q", "sh_c"))
-                / F.size(F.array_union("sh_q", "sh_c")).cast("double"),
+                F.size(F.array_intersect("hs_q", "hs_c"))
+                / F.size(F.array_union("hs_q", "hs_c")).cast("double"),
                 4,
             ),
         )
