@@ -1,0 +1,91 @@
+"""Plan-shape assertions: the 100 TB design pass enforced in CI.
+
+Every assertion here encodes a property that holds on a 1000-executor
+cluster reading 100 TB, checked on the local plan: pushdown reaches the
+scan, projections prune, dims broadcast, Python stays out of relational
+queries, no cartesian blowups hide in the declared suite.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_rust_spark.catalog import register_views
+from etl_rust_spark.plans import audit
+from etl_rust_spark.queries import DECLARED
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark, sf_dir):
+    register_views(spark, sf_dir)
+
+
+def _df(spark, name):
+    return spark.sql(DECLARED[name].spark_sql)
+
+
+def test_dq01_pushdown_and_pruning(spark):
+    rep = audit(
+        _df(spark, "dq01"),
+        expect_columns={"lineitem": {"l_orderkey", "l_linenumber", "l_quantity"}},
+    )
+    assert any("l_orderkey" in f and "100" in f for f in rep.pushed_filters), rep.pushed_filters
+    assert rep.read_columns("lineitem") == {"l_orderkey", "l_linenumber", "l_quantity"}
+    assert not rep.warnings, rep.warnings
+
+
+def test_dq04_single_shuffle_agg(spark):
+    # TPC-H Q1 shape: partial agg → one exchange on group keys → final agg
+    # (+ at most a sort exchange for the ORDER BY).
+    rep = audit(_df(spark, "dq04"))
+    assert rep.num_exchanges <= 2, rep.plan
+    assert rep.read_columns("lineitem") <= {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+    }
+
+
+def test_dq08_star_join_broadcasts_dims(spark):
+    # 5-way star join: region/nation/customer are small → broadcast, no
+    # shuffle for the dimension sides at plan time.
+    rep = audit(_df(spark, "dq08"))
+    assert rep.broadcast_joins >= 2, rep.plan
+    assert rep.cartesian_products == 0
+
+
+def test_dq12_interval_join_not_cartesian(spark):
+    # The theta join has an equi component (user_id) → must plan as a
+    # hash/SMJ join with range predicate, never CartesianProduct.
+    rep = audit(_df(spark, "dq12"))
+    assert rep.cartesian_products == 0, rep.plan
+
+
+def test_dq14_cross_join_is_declared(spark):
+    # The one declared cross join: tiny × tiny, broadcast NL is the
+    # correct physical choice.
+    rep = audit(_df(spark, "dq14"))
+    assert rep.broadcast_nl_joins + rep.cartesian_products >= 1
+
+
+@pytest.mark.parametrize("name", sorted(DECLARED))
+def test_no_python_in_declared_suite(spark, name):
+    # Entire declared surface runs JVM-side: no row-at-a-time or pandas
+    # Python evaluation anywhere (SURVEY §2.7 — the gate avoids UDFs).
+    rep = audit(_df(spark, name))
+    assert rep.python_evals == 0, f"{name}: python eval in plan"
+
+
+@pytest.mark.parametrize(
+    "name", ["dq02", "dq26", "dq27", "dq28", "dq29", "dq30", "dq42"]
+)
+def test_filter_queries_push_predicates(spark, name):
+    # Every query with a base-table predicate must show a pushed filter.
+    rep = audit(_df(spark, name))
+    assert rep.pushed_filters, f"{name}: no PushedFilters\n{rep.plan}"
+
+
+def test_streaming_window_ops_prune_events(spark, sf_dir):
+    from etl_rust_spark.streaming import entry_queries
+
+    rep = audit(entry_queries()["op_tumbling_window"](spark, sf_dir))
+    # Only ts + value needed from the 6-column events table.
+    assert rep.read_columns("events") <= {"ts", "value"}, rep.plan
