@@ -91,6 +91,10 @@ def _op_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _op_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_near_dup_pairs(_emb(spark, sf_dir)).orderBy("qid", "cid")
+
+
 def _op_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Rows-only: approximate by design; recall vs cosine_topk asserted in
     # tests (≥0.9 with 8-bit bucket prefix on the synthetic corpus).
@@ -109,6 +113,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_quality": _op_quality,
         "op_fingerprint": _op_fingerprint,
         "op_cosine_topk": _op_cosine_topk,
+        "op_embedding_dedup": _op_embedding_dedup,
         "op_minhash_lsh_pairs": _op_minhash_lsh_pairs,
         "op_ann_lsh_topk": _op_ann_lsh_topk,
     }
@@ -125,6 +130,7 @@ def entry_oracle_sql() -> dict[str, str]:
         "op_quality": text.quality_sql(100)[1],
         "op_fingerprint": text.fingerprint_sql(200)[1],
         "op_cosine_topk": similarity.cosine_topk_sql(20)[1],
+        "op_embedding_dedup": similarity.near_dup_sql()[1],
         # op_minhash_lsh_pairs / op_ann_lsh_topk: intentionally no oracle
         # (approximate pipelines) → driver records rows-only checks.
     }

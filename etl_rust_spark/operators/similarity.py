@@ -28,7 +28,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_topk", "ann_lsh_topk", "cosine_topk_sql", "HYPERPLANES"]
+__all__ = [
+    "cosine_topk",
+    "ann_lsh_topk",
+    "cosine_near_dup_pairs",
+    "cosine_topk_sql",
+    "near_dup_sql",
+    "HYPERPLANES",
+]
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
@@ -162,4 +169,63 @@ pairs AS (
 SELECT qid, cid, cos, rn FROM (
   SELECT qid, cid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM pairs) t
 WHERE rn <= {k} ORDER BY qid, rn"""
+    return spark, duck
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (qid < cid, cos ≥ threshold).
+
+    Exact all-pairs — the dedup-by-embedding baseline and the oracle for
+    the approximate path.  At corpus scale run :func:`ann_lsh_topk` per
+    shard instead and keep neighbors above the threshold: sign-LSH
+    recall at a *near-dup* threshold (cos ≥ ~0.95) is high because the
+    angle is tiny; this exact form is for bounded slices and audits.
+
+    Determinism: the ROUNDed cosine (4 dp) is both the filter input and
+    the output, so engine summation order can't flip a boundary pair.
+    """
+    n = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("nrm", F.expr(_norm("v")))
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(_DOT.format(a="a.v", b="b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+                4,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a.id").alias("qid"), F.col("b.id").alias("cid"), "cos")
+    )
+
+
+def near_dup_sql(threshold: float = 0.35, dim: int = 64) -> tuple[str, str]:
+    """Oracle-gated embedding near-dup pairs (both dialects)."""
+    spark = f"""
+WITH n AS (SELECT vec_id, embedding,
+             sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+           FROM embeddings)
+SELECT a.vec_id AS qid, b.vec_id AS cid,
+  ROUND({_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 4) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ROUND({_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 4) >= {threshold}
+ORDER BY qid, cid"""
+    ddot = "list_sum(list_transform(range(1, {d} + 1), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    duck = f"""
+WITH n AS (SELECT vec_id, embedding,
+             sqrt({ddot.format(a='embedding', b='embedding', d=dim)}) AS nrm
+           FROM embeddings)
+SELECT a.vec_id AS qid, b.vec_id AS cid,
+  ROUND({ddot.format(a='a.embedding', b='b.embedding', d=dim)} / (a.nrm * b.nrm), 4) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ROUND({ddot.format(a='a.embedding', b='b.embedding', d=dim)} / (a.nrm * b.nrm), 4) >= {threshold}
+ORDER BY qid, cid"""
     return spark, duck

@@ -52,6 +52,7 @@ __all__ = [
     "rpc_fetch_blocks",
     "get_block_height",
     "fetch_multiple_accounts",
+    "estimate_throughput",
     "RAW_SCHEMA",
     "ACCOUNTS_SCHEMA",
 ]
@@ -289,3 +290,39 @@ def fetch_multiple_accounts(
         .withColumnRenamed(key_col, "pubkey")
         .mapInPandas(gen, ACCOUNTS_SCHEMA)
     )
+
+
+def estimate_throughput(
+    endpoint: str,
+    height_method: str = "getBlockHeight",
+    block_method: str = "getBlock",
+    period_s: float = 60.0,
+    probe_blocks: int = 1,
+    timeout_s: float = 30.0,
+) -> dict[str, float]:
+    """Chain-throughput probe (reference O-03, src/benchmark.rs:18-64).
+
+    Reference formula re-expressed: bytes/sec ≈ size of a recent valid
+    block's serialized JSON × blocks produced in ``period_s`` ÷
+    ``period_s``.  Samples the tip twice ``period_s`` apart to count
+    blocks (the reference counts slots in a measurement period the same
+    way); ``probe_blocks`` > 1 averages several block sizes to reduce
+    variance.  Driver-side only — a capacity-planning probe, not part of
+    any data path.
+    """
+    client = RpcClient(endpoint, timeout_s=timeout_s)
+    h0 = int(client.call(height_method))
+    sizes = []
+    for i in range(probe_blocks):
+        blk = client.call(block_method, [h0 - i])
+        sizes.append(len(json.dumps(blk, separators=(",", ":")).encode()))
+    time.sleep(period_s)
+    h1 = int(client.call(height_method))
+    blocks_per_s = max(0, h1 - h0) / period_s
+    avg_block_bytes = sum(sizes) / len(sizes)
+    return {
+        "block_height": float(h1),
+        "blocks_per_s": blocks_per_s,
+        "avg_block_bytes": avg_block_bytes,
+        "bytes_per_s": blocks_per_s * avg_block_bytes,
+    }

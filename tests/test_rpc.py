@@ -140,6 +140,16 @@ def test_get_block_height(node):
     assert get_block_height(f"{node}/ok") == 123_456
 
 
+def test_estimate_throughput(node):
+    from etl_rust_spark.sources.rpc import estimate_throughput
+
+    est = estimate_throughput(f"{node}/ok", period_s=0.01, probe_blocks=2)
+    assert est["block_height"] == 123_456
+    assert est["avg_block_bytes"] > 0
+    # static fake tip → no new blocks in the period
+    assert est["blocks_per_s"] == 0 and est["bytes_per_s"] == 0
+
+
 def test_fetch_multiple_accounts(spark, node):
     keys = spark.createDataFrame(
         [("aa",), ("bb",), ("aa",), (None,), ("cccc",)], ["pubkey"]
