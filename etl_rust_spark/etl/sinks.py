@@ -104,8 +104,14 @@ class DirQueueClient:
 # Encoders (X-03/X-04/X-05) — all JVM-side column expressions
 # ---------------------------------------------------------------------------
 
-def encode_json(df: DataFrame) -> DataFrame:
-    """All columns → one JSON string column ``payload`` (X-05)."""
+def encode_json(df: DataFrame, stamp_ts: bool = False) -> DataFrame:
+    """All columns → one JSON string column ``payload`` (X-05).
+
+    ``stamp_ts=True`` adds ``publish_ts = current_timestamp()`` to every
+    record before encoding — the reference's Kafka publish-time stamping
+    (X-09, src/output/apache_kafka.rs:58-68)."""
+    if stamp_ts:
+        df = df.withColumn("publish_ts", F.current_timestamp())
     return df.select(F.to_json(F.struct(*df.columns)).alias("payload"))
 
 

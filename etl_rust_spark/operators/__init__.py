@@ -91,6 +91,33 @@ def _op_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rows-only: the deterministic decode stub (sha256-derived features)
+    # is not SQL-expressible; plumbing is asserted in tests.  Documents
+    # stand in as assets: payload = utf-8 bytes of the text.
+    from etl_rust_spark.operators import multimodal
+
+    assets = _docs(spark, sf_dir, 50).select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length("text").cast("int").alias("width"),
+            F.lit(1).alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("synthetic://documents").alias("source_uri"),
+        ).alias("meta"),
+    )
+    feats = multimodal.extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f1"),
+    ).orderBy("asset_id")
+
+
 def _op_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(_emb(spark, sf_dir)).orderBy("qid", "cid")
 
@@ -114,6 +141,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_fingerprint": _op_fingerprint,
         "op_cosine_topk": _op_cosine_topk,
         "op_embedding_dedup": _op_embedding_dedup,
+        "op_multimodal_features": _op_multimodal_features,
         "op_minhash_lsh_pairs": _op_minhash_lsh_pairs,
         "op_ann_lsh_topk": _op_ann_lsh_topk,
     }

@@ -1,0 +1,144 @@
+"""Property-based spot checks (SURVEY §5.2 item 4, hypothesis).
+
+Spark-backed properties run few examples (a Spark job per example);
+pure-Python properties run the default budget.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+from hypothesis import given, settings, strategies as st
+
+from etl_rust_spark.functions.hashing import canonical_hash
+
+GAP_S = 1800  # 30 minutes
+
+
+# ---------------------------------------------------------------------------
+# Canonical hasher: order-insensitivity is what makes the oracle compare
+# meaningful — pin it as a property.
+# ---------------------------------------------------------------------------
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(-1000, 1000),
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32)),
+        st.text(max_size=8),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(rows=rows_strategy, seed=st.integers(0, 2**16))
+def test_hash_invariant_under_row_order(rows, seed):
+    cols = ["a", "b", "c"]
+    shuffled = list(rows)
+    random.Random(seed).shuffle(shuffled)
+    assert canonical_hash(rows, cols) == canonical_hash(shuffled, cols)
+
+
+@given(rows=rows_strategy)
+def test_hash_invariant_under_column_order(rows):
+    cols = ["a", "b", "c"]
+    perm = [2, 0, 1]
+    permuted_rows = [tuple(r[i] for i in perm) for r in rows]
+    permuted_cols = [cols[i] for i in perm]
+    assert canonical_hash(rows, cols) == canonical_hash(permuted_rows, permuted_cols)
+
+
+@given(rows=rows_strategy)
+def test_hash_sensitive_to_values(rows):
+    cols = ["a", "b", "c"]
+    mutated = [(r[0] + 1, r[1], r[2]) for r in rows]
+    if rows:
+        assert canonical_hash(rows, cols) != canonical_hash(mutated, cols)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: session_window must agree with a direct gaps-and-islands
+# computation for arbitrary event streams (exact-gap merges included).
+# ---------------------------------------------------------------------------
+
+def _py_sessions(ts_sorted: list[dt.datetime]) -> list[int]:
+    """Session sizes from the DQ-35 rule: new session iff gap > 30 min."""
+    out: list[int] = []
+    for i, t in enumerate(ts_sorted):
+        if i == 0 or (t - ts_sorted[i - 1]).total_seconds() > GAP_S:
+            out.append(1)
+        else:
+            out[-1] += 1
+    return out
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(1, 3),  # user_id
+        st.integers(0, 7200),  # seconds offset; spans several gap widths
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(events=events_strategy)
+def test_session_window_matches_gaps_and_islands(spark, events):
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.streaming import session_window_agg
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(u, t0 + dt.timedelta(seconds=s * 4)) for u, s in events]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = session_window_agg(df, "30 minutes").collect()
+
+    by_user: dict[int, list[dt.datetime]] = {}
+    for u, ts in rows:
+        by_user.setdefault(u, []).append(ts)
+    for u in by_user:
+        by_user[u].sort()
+
+    for u, ts_list in by_user.items():
+        sizes = sorted(_py_sessions(ts_list))
+        got_sizes = sorted(r["n_events"] for r in got if r["user_id"] == u)
+        assert got_sizes == sizes, (u, sizes, got_sizes)
+        # invariants: sessions ≤ events; within-session span bounded
+        assert len(sizes) <= len(ts_list)
+    for r in got:
+        span = (r["session_end"] - r["session_start"]).total_seconds()
+        assert span >= GAP_S  # end = max ts + gap ≥ start + gap
+        assert span <= 7200 * 4 + GAP_S
+
+
+# ---------------------------------------------------------------------------
+# Shingling: cardinality bounds for any text.
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab "), min_size=0, max_size=40
+        ).map(lambda s: s.strip() or "x"),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_shingle_count_bounds(spark, texts):
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.operators.dedup import with_shingles
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    out = with_shingles(df, "text", width=3).select(
+        "id", F.size("shingles").alias("n"), F.size(F.split("text", " ")).alias("toks")
+    ).collect()
+    for r in out:
+        n_tokens = r["toks"]
+        if n_tokens >= 3:
+            assert 1 <= r["n"] <= n_tokens - 2  # distinct ≤ raw shingle count
+        else:
+            assert r["n"] == 1  # whole-text fallback

@@ -107,3 +107,9 @@ def test_encode_json_payload_shape(spark):
     df = spark.createDataFrame([(1, "x")], ["a", "b"])
     out = encode_json(df).collect()
     assert json.loads(out[0]["payload"]) == {"a": 1, "b": "x"}
+
+
+def test_encode_json_stamps_publish_ts(spark):
+    df = spark.createDataFrame([(1,)], ["a"])
+    rec = json.loads(encode_json(df, stamp_ts=True).collect()[0]["payload"])
+    assert set(rec) == {"a", "publish_ts"} and rec["publish_ts"]
