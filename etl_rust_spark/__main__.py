@@ -39,6 +39,13 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--out", required=True)
     pl.add_argument("--format", default="parquet", choices=["parquet", "jsonl"])
 
+    pb = sub.add_parser(
+        "index-subscription", help="stream work items (block ranges) from a directory"
+    )
+    pb.add_argument("work_dir", help="directory receiving {start,end} JSONL work files")
+    pb.add_argument("--out", required=True)
+    pb.add_argument("--checkpoint", required=True)
+
     ps = sub.add_parser("save-range", help="persist raw extracted data")
     ps.add_argument("start", type=int)
     ps.add_argument("end", type=int)
@@ -67,6 +74,14 @@ def main(argv: list[str] | None = None) -> int:
         raw = chain.fetch(indices)
         counts = write_tables(chain.transform(raw), args.out, fmt=args.format)
         print(json.dumps({"records": counts}))
+    elif args.cmd == "index-subscription":
+        from etl_rust_spark.streaming import run_subscription
+
+        q = run_subscription(spark, chain, args.work_dir, args.out, args.checkpoint)
+        try:
+            q.awaitTermination()  # runs until interrupted, like the reference
+        except KeyboardInterrupt:
+            q.stop()  # graceful disconnect (K-09 parity)
     elif args.cmd == "save-range":
         print(save_range(spark, chain, args.start, args.end, args.out))
     elif args.cmd == "create-test-set":
