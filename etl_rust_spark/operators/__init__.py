@@ -84,11 +84,12 @@ def _op_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _op_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Rows-only: candidate generation is banding-dependent; quality is
-    # asserted against planted duplicates in tests.
+    # Hash-gated: the whole pipeline is deterministic md5 arithmetic, so
+    # the oracle (minhash_lsh_pairs_duck_sql) reproduces it stage by
+    # stage; quality is additionally asserted against planted duplicates.
     return dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), "text", "doc_id", threshold=0.2
-    )
+    ).orderBy("qid", "cid")
 
 
 def _op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,6 +160,9 @@ def entry_oracle_sql() -> dict[str, str]:
         "op_fingerprint": text.fingerprint_sql(200)[1],
         "op_cosine_topk": similarity.cosine_topk_sql(20)[1],
         "op_embedding_dedup": similarity.near_dup_sql()[1],
-        # op_minhash_lsh_pairs / op_ann_lsh_topk: intentionally no oracle
-        # (approximate pipelines) → driver records rows-only checks.
+        "op_minhash_lsh_pairs": dedup.minhash_lsh_pairs_duck_sql(),
+        # op_ann_lsh_topk / op_multimodal_features: intentionally no
+        # oracle (random-hyperplane buckets / python decode stub) →
+        # driver records rows-only checks; recall & determinism are
+        # asserted in tests instead.
     }

@@ -377,3 +377,61 @@ def exact_dup_sql() -> tuple[str, str]:
 SELECT md5(text) AS dup_key, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
 FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY dup_key"""
     return sql, sql
+
+
+def minhash_lsh_pairs_duck_sql(
+    threshold: float = 0.2,
+    width: int = 3,
+    bands: int = 4,
+    max_bucket: int = 256,
+) -> str:
+    """DuckDB mirror of :func:`minhash_lsh_pairs` over the full
+    ``documents`` table — upgrades the LSH entry from rows-only to
+    hash-gated: every stage (shingle hash, signatures, band keys, sorted
+    capped buckets, pair explosion, hashed-shingle Jaccard) is
+    deterministic md5 arithmetic, so the oracle can reproduce the
+    pipeline exactly.  Verified equal at sf0.001 and sf0.01."""
+    k = len(MINHASH_PERMS)
+    rows = k // bands
+    h = duck_h(x="s")
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(width))
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P})) AS sig{j}"
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    band_cols = ", ".join(
+        "md5("
+        + " || '_' || ".join(
+            f"CAST(sig{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        + f") AS band{b}"
+        for b in range(bands)
+    )
+    melted = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS key FROM banded"
+        for b in range(bands)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+  CASE WHEN len(toks) >= {width}
+       THEN list_distinct(list_transform(range(1, len(toks) - {width - 2}), i -> {parts}))
+       ELSE [text] END AS sh
+  FROM t),
+hs AS (SELECT doc_id, list_transform(sh, s -> {h} % {MINHASH_P}) AS hs FROM s),
+sig AS (SELECT doc_id, {sig_cols} FROM hs),
+banded AS (SELECT doc_id, {band_cols} FROM sig),
+melted AS ({melted}),
+buckets AS (
+  SELECT band, key, (list_sort(list(doc_id)))[1:{max_bucket}] AS ids
+  FROM melted GROUP BY band, key HAVING count(*) > 1),
+pairs AS (
+  SELECT unnest(flatten(list_transform(range(1, len(ids)),
+    i -> list_transform(ids[i+1:], x -> [ids[i], x])))) AS p
+  FROM buckets),
+cand AS (SELECT DISTINCT p[1] AS qid, p[2] AS cid FROM pairs),
+ver AS (
+  SELECT qid, cid,
+    ROUND(len(list_intersect(ha.hs, hb.hs)) / CAST(len(list_distinct(list_concat(ha.hs, hb.hs))) AS DOUBLE), 4) AS jaccard
+  FROM cand JOIN hs ha ON ha.doc_id = cand.qid JOIN hs hb ON hb.doc_id = cand.cid)
+SELECT qid, cid, jaccard FROM ver WHERE jaccard >= {threshold} ORDER BY qid, cid"""
