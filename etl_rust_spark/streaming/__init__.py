@@ -26,6 +26,7 @@ from etl_rust_spark.streaming.subscription import (
     run_subscription,
     work_stream,
 )
+from etl_rust_spark.streaming.stateful import running_user_totals
 from etl_rust_spark.streaming.windows import (
     events_stream,
     session_window_agg,
@@ -39,6 +40,7 @@ __all__ = [
     "tumbling_window",
     "sliding_window",
     "session_window_agg",
+    "running_user_totals",
     "work_stream",
     "run_subscription",
     "entry_queries",

@@ -1,0 +1,99 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The reference keeps no per-key state at all (each block is processed
+independently; its only "state" is the resume marker, S-08).  This
+module supplies the engine's custom-stateful-operator pattern for
+semantics the built-in windows can't express: arbitrary per-key
+accumulators that survive across micro-batches.
+
+``running_user_totals`` — per-user lifetime counters (event count, value
+sum in integer cents, last-seen timestamp), emitted in ``update`` mode
+every time a user's state changes.  The same aggregate in batch is a
+plain groupBy, which the tests use as the oracle: after all input is
+processed, the final streaming state must equal the batch aggregation.
+
+Scale notes (100 TB / many keys):
+- State lives in the state store, partitioned by the group key — one
+  shuffle per micro-batch on ``user_id``, state size O(distinct users),
+  not O(events).
+- Always configure a timeout in unbounded-key domains
+  (``GroupStateTimeout.ProcessingTimeTimeout`` + ``state.setTimeoutDuration``)
+  so abandoned keys are evicted; exposed via ``ttl_ms``.
+- Arrow moves each group's rows as pandas frames; per-batch memory is
+  bounded by the largest single key's rows in that batch — salt
+  pathological keys upstream if a single user can dominate a batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["running_user_totals", "TOTALS_SCHEMA"]
+
+TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_c", T.LongType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_c", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """Per-user lifetime totals over a streaming events frame.
+
+    Emits one updated row per user per micro-batch in which that user
+    appeared.  ``ttl_ms`` evicts idle users' state (processing-time TTL);
+    None keeps state forever (bounded-key domains only).
+    """
+    import datetime as dt
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (user_id,) = key
+        n, v_c, last_us = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # integer-cents sum, same convention as the declared queries
+            v_c += int(round(float(pdf["value"].sum()) * 100))
+            ts_us = (pdf["ts"].astype("int64") // 1000).max()
+            last_us = max(last_us, int(ts_us))
+        state.update((n, v_c, last_us))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "value_c": [v_c],
+                "last_ts": [dt.datetime.utcfromtimestamp(last_us / 1e6)],
+            }
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, TOTALS_SCHEMA, _STATE_SCHEMA, "update", timeout
+    )

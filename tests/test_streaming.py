@@ -228,3 +228,64 @@ def test_subscription_checkpoint_resume(spark, tmp_path):
     finally:
         q.stop()
     assert spark.read.parquet(f"{out}/blocks").count() == 25
+
+
+def test_stateful_running_totals_match_batch(spark, tmp_path):
+    """applyInPandasWithState totals accumulate across micro-batches and
+    end equal to the batch groupBy over all input."""
+    src = tmp_path / "stateful_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+
+    def rows(batch, n):
+        return [
+            (batch * 100 + i, t0 + dt.timedelta(minutes=batch * 10 + i), (i % 3) + 1, "click", float(i), "{}")
+            for i in range(n)
+        ]
+
+    all_rows = []
+
+    def write(batch, n):
+        data = rows(batch, n)
+        all_rows.extend(data)
+        spark.createDataFrame(data, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    from etl_rust_spark.streaming.stateful import running_user_totals
+    from etl_rust_spark.streaming import events_stream
+
+    write(0, 7)
+    q = (
+        running_user_totals(events_stream(spark, str(src), max_files_per_trigger=1))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_stateful")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write(1, 9)
+        q.processAllAvailable()
+        # update-mode memory sink appends every emitted row; the LAST row
+        # per user is its final state.
+        emitted = spark.table("t_stateful").collect()
+    finally:
+        q.stop()
+
+    final: dict[int, tuple] = {}
+    for r in emitted:  # memory sink preserves batch order
+        final[r["user_id"]] = (r["n_events"], r["value_c"])
+
+    batch_df = spark.createDataFrame(all_rows, schema)
+    want = {
+        r["user_id"]: (r["n"], r["v_c"])
+        for r in batch_df.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("v_c"),
+        )
+        .collect()
+    }
+    assert final == want
+    # intermediate emissions existed: more rows than distinct users
+    assert len(emitted) > len(final)
