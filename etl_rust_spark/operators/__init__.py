@@ -130,6 +130,13 @@ def _op_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb.filter(F.col("vec_id") <= 20), emb)
 
 
+def _op_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rows-only: approximate (learned quantizer); recall vs cosine_topk
+    # asserted in tests.
+    emb = _emb(spark, sf_dir)
+    return similarity.ivf_topk(emb.filter(F.col("vec_id") <= 20), emb)
+
+
 def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "op_dedup_exact": _op_dedup_exact,
@@ -145,6 +152,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_multimodal_features": _op_multimodal_features,
         "op_minhash_lsh_pairs": _op_minhash_lsh_pairs,
         "op_ann_lsh_topk": _op_ann_lsh_topk,
+        "op_ivf_topk": _op_ivf_topk,
     }
 
 

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "cosine_topk",
     "ann_lsh_topk",
+    "ivf_topk",
     "cosine_near_dup_pairs",
     "cosine_topk_sql",
     "near_dup_sql",
@@ -249,3 +250,130 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE ROUND({ddot.format(a='a.embedding', b='b.embedding', d=dim)} / (a.nrm * b.nrm), 4) >= {threshold}
 ORDER BY qid, cid"""
     return spark, duck
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the k-means-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def _kmeans(mat, k: int, iters: int = 10, seed: int = 7):
+    """Tiny seeded k-means on a (sampled) corpus matrix — deterministic,
+    driver-side, O(sample·k·iters); centroids are the only artifact."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)  # cosine on normalized rows
+        for j in range(len(cent)):
+            members = mat[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cent[j] = c / n
+    return cent
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    sample: int = 10_000,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer → inverted lists → probe search.
+
+    Train ``n_lists`` centroids on a corpus sample (driver-side, seeded,
+    deterministic), assign every corpus vector to its nearest centroid
+    (one broadcast matmul per Arrow batch — the centroid table is KBs),
+    then for each query probe the ``n_probe`` nearest lists and re-rank
+    candidates by exact cosine.  Same pipeline shape as sign-LSH with
+    the signature swapped for a learned partition — recall/compute is
+    tuned by ``n_probe`` instead of prefix bits.
+
+    Scale: corpus assignment is a scan-side projection (no shuffle); the
+    probe join shuffles on ``list_id`` — candidates per query ≈
+    |corpus|·n_probe/n_lists.  At billions of vectors raise ``n_lists``
+    ~√N so lists stay ~√N-sized.
+    """
+    import numpy as np
+
+    spark = queries.sparkSession
+    samp = corpus.select(vec_col).limit(sample).collect()
+    mat = np.array([list(r[0]) for r in samp], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = _kmeans(mat, n_lists, seed=seed)
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign_gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "list_id": np.argmax(v @ c.T, axis=1), "v": pdf["v"]}
+            )
+
+    def probe_gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            sims = v @ c.T
+            probes = np.argsort(-sims, axis=1)[:, : min(n_probe, c.shape[0])]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy().repeat(probes.shape[1]),
+                    "list_id": probes.reshape(-1),
+                    "v": [pdf["v"].iloc[i] for i in range(n) for _ in range(probes.shape[1])],
+                }
+            )
+
+    out_schema = f"id long, list_id int, v array<float>"
+    c_assigned = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .mapInPandas(assign_gen, out_schema)
+        .withColumnRenamed("id", "cid")
+        .withColumnRenamed("v", "cv")
+        .withColumn("cn", F.expr(_norm("cv")))
+    )
+    q_probed = (
+        queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .mapInPandas(probe_gen, out_schema)
+        .withColumnRenamed("id", "qid")
+        .withColumnRenamed("v", "qv")
+        .withColumn("qn", F.expr(_norm("qv")))
+    )
+    pairs = (
+        q_probed.join(c_assigned, ["list_id"])
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 4
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "cos", "rn")
+        .dropDuplicates(["qid", "cid"])  # a pair may meet in ≥1 probed list
+    )

@@ -77,6 +77,27 @@ def test_ann_lsh_recall_on_planted_neighbors(spark, sf_dir):
     assert recall >= 0.9, f"ANN recall@1 {recall} < 0.9"
 
 
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") <= 30)
+    exact = {
+        (r.qid, r.cid)
+        for r in similarity.cosine_topk(queries, emb, k=1).filter(F.col("rn") == 1).collect()
+    }
+    # The synthetic embeddings are near-orthogonal (no cluster structure),
+    # the worst case for a learned quantizer — recall requires a high
+    # probe fraction here; clustered real-world embeddings need few
+    # probes.  8 lists / 8 probes (exhaustive) measured 1.00, 6 → 0.87.
+    got = {
+        (r.qid, r.cid)
+        for r in similarity.ivf_topk(queries, emb, k=1, n_lists=8, n_probe=6)
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.85, f"IVF recall@1 {recall}"
+
+
 def test_simhash_hamming_separates_near_dups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
     base = docs.select("doc_id", "text").collect()
