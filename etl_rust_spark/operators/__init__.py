@@ -70,6 +70,12 @@ def _op_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_stats(_docs(spark, sf_dir, 200), "text", "doc_id")
 
 
+def _op_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_token_stats(_docs(spark, sf_dir, 200), "text", "doc_id").orderBy(
+        "doc_id"
+    )
+
+
 def _op_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(_docs(spark, sf_dir, 100), "text", "doc_id")
 
@@ -145,6 +151,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_simhash": _op_simhash,
         "op_langid": _op_langid,
         "op_token_stats": _op_token_stats,
+        "op_bpe_tokens": _op_bpe_tokens,
         "op_quality": _op_quality,
         "op_fingerprint": _op_fingerprint,
         "op_cosine_topk": _op_cosine_topk,
@@ -164,6 +171,7 @@ def entry_oracle_sql() -> dict[str, str]:
         "op_simhash": dedup.simhash_sql(100)[1],
         "op_langid": text.langid_sql(200)[1],
         "op_token_stats": text.token_stats_sql(200)[1],
+        "op_bpe_tokens": text.bpe_token_stats_sql(200)[1],
         "op_quality": text.quality_sql(100)[1],
         "op_fingerprint": text.fingerprint_sql(200)[1],
         "op_cosine_topk": similarity.cosine_topk_sql(20)[1],

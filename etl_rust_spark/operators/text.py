@@ -19,8 +19,10 @@ __all__ = [
     "token_stats",
     "quality_score",
     "fingerprint",
+    "bpe_token_stats",
     "langid_sql",
     "token_stats_sql",
+    "bpe_token_stats_sql",
     "quality_sql",
     "fingerprint_sql",
 ]
@@ -222,4 +224,54 @@ SELECT doc_id,
   list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ' '), t -> {duck_h(x='t')} % {MINHASH_P})),
               (acc, h) -> (acc * 31 + h) % {MINHASH_P}) AS fp
 FROM documents WHERE doc_id <= {max_doc} ORDER BY doc_id"""
+    return spark, duck
+
+
+# BPE-ish pre-tokenizer: alpha runs | digit runs | single punctuation —
+# the GPT-2-style pre-split approximated with a portable regex (verified
+# character-identical between Spark's Java regex and DuckDB's RE2), with
+# subword count estimated as ceil(len/4) per token (~4 chars/BPE piece,
+# the usual English rule of thumb).
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_tokens, n_alpha, n_digit, n_punct, n_subwords) under the
+    BPE-ish regex tokenizer — the token-budget estimator for training
+    pipelines (whitespace counting under-counts punctuation-heavy text)."""
+    toks = f"regexp_extract_all({text_col}, '{BPE_TOKEN_RE}', 0)"
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(f"size(filter({toks}, t -> t RLIKE '^[A-Za-z]'))").alias("n_alpha"),
+        F.expr(f"size(filter({toks}, t -> t RLIKE '^[0-9]'))").alias("n_digit"),
+        F.expr(
+            f"size(filter({toks}, t -> t NOT RLIKE '^[A-Za-z0-9]'))"
+        ).alias("n_punct"),
+        F.expr(
+            f"aggregate({toks}, 0L, (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS BIGINT))"
+        ).alias("n_subwords"),
+    )
+
+
+def bpe_token_stats_sql(max_doc: int = 200) -> tuple[str, str]:
+    pat = BPE_TOKEN_RE
+    spark = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '{pat}', 0) AS toks
+           FROM documents WHERE doc_id <= {max_doc})
+SELECT doc_id, size(toks) AS n_tokens,
+  size(filter(toks, t -> t RLIKE '^[A-Za-z]')) AS n_alpha,
+  size(filter(toks, t -> t RLIKE '^[0-9]')) AS n_digit,
+  size(filter(toks, t -> t NOT RLIKE '^[A-Za-z0-9]')) AS n_punct,
+  aggregate(toks, 0L, (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS BIGINT)) AS n_subwords
+FROM t ORDER BY doc_id"""
+    duck = f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '{pat}') AS toks
+           FROM documents WHERE doc_id <= {max_doc})
+SELECT doc_id, len(toks) AS n_tokens,
+  len(list_filter(toks, t -> regexp_matches(t, '^[A-Za-z]'))) AS n_alpha,
+  len(list_filter(toks, t -> regexp_matches(t, '^[0-9]'))) AS n_digit,
+  len(list_filter(toks, t -> NOT regexp_matches(t, '^[A-Za-z0-9]'))) AS n_punct,
+  CAST(list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+FROM t ORDER BY doc_id"""
     return spark, duck
