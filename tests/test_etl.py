@@ -96,3 +96,13 @@ def test_write_tables_counts_match(spark, chain, tmp_path):
     counts = write_tables(tables, str(tmp_path / "w"), bucket_size=5)
     for t in TABLE_NAMES:
         assert counts[t] == spark.read.parquet(str(tmp_path / "w" / t)).count()
+
+
+def test_committed_golden_fixture(spark, chain):
+    """The frozen fixture in tests/examples pins the transform across
+    rounds: any change to SyntheticChain or the transform that alters
+    output rows fails here (reference tests/README.md idiom)."""
+    base = Path(__file__).parent / "examples" / "committed_3_9"
+    diffs = check_golden(spark, chain, str(base))
+    assert set(diffs) == set(TABLE_NAMES)
+    assert all(v == 0 for v in diffs.values()), diffs
