@@ -33,8 +33,14 @@ def main() -> None:
     spark = get_spark(app_name="etl-rust-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     register_views(spark, sf_dir)
-    # warm the JVM + parquet footers with one trivial action
-    spark.sql("SELECT count(*) FROM lineitem").collect()
+    # Warm session infrastructure (all excluded from per-query times):
+    # parquet footers, the string-collation machinery (first UPPER/LOWER
+    # in a session loads it, ~1.5 s), and the Arrow python-worker pool
+    # (first pandas-path query otherwise pays worker spawn).
+    spark.sql("SELECT count(*), max(upper(l_returnflag)) FROM lineitem").collect()
+    spark.range(0, 64, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     startup = time.perf_counter() - t0
 
     import __spark_entry__ as e
