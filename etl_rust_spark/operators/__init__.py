@@ -1,18 +1,30 @@
 """LLM-data-pipeline operators + their driver-contract entries.
 
 ``entry_queries()`` / ``entry_oracle_sql()`` contribute the operator
-surface to ``__spark_entry__``:
+surface to ``__spark_entry__``.
 
-Oracle-gated (hash-checked vs DuckDB): exact-dup groups, n-gram Jaccard
-pairs, MinHash signatures, SimHash, language-ID, token stats, quality
-score, rolling fingerprint, brute-force cosine top-k — the engine side
-runs the DataFrame-API operator, the oracle runs hand-written DuckDB SQL
-computing the same portable-hash math.
+**Entry consolidation (round 2).** The driver's correctness gate records
+at most 50 entries (observed in round 1: with 58 ``queries()`` keys,
+exactly the first 50 in insertion order got a CORRECTNESS row; the other
+8 were silently absent).  The operator surface is therefore packed into
+7 entries here (+2 streaming) so that 40 DQ + 9 operator entries = 49 ≤
+50 and EVERY key gets a driver row.  Consolidation never weakens a gate:
+merged entries join per-doc operators on doc_id or union tagged result
+sets, and the oracle reproduces the merged shape exactly.
 
-Rows-only (approximate / SQL-inexpressible pipelines, weaker driver
-check): MinHash-LSH candidate pairs, sign-LSH ANN top-k.  Their quality
-(recall vs brute force, dup detection on planted corpora) is asserted in
-``tests/test_operators.py`` instead.
+Oracle-gated (hash-checked vs DuckDB):
+- op_dedup_exact — per-lang kept/removed stats after global exact dedupe
+- op_text_profile — language-ID + token stats + BPE stats + quality +
+  fingerprint, joined on doc_id
+- op_sketches — MinHash signatures + SimHash, joined on doc_id
+- op_near_dup_pairs — n-gram Jaccard (bounded all-pairs) ∪ MinHash-LSH
+  (banded, full corpus) ∪ embedding-cosine near-dups, tagged by ``src``
+- op_cosine_topk — brute-force cosine top-k (exact ANN baseline)
+
+Rows-only (approximate / SQL-inexpressible, weaker driver check):
+- op_ann_topk — sign-LSH ∪ IVF approximate top-k, tagged by ``src``
+  (recall vs brute force asserted in tests)
+- op_multimodal_features — binary-payload feature plumbing (decode stub)
 """
 
 from __future__ import annotations
@@ -44,44 +56,50 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    return spark.sql(dedup.exact_dup_sql()[0])
-
-
-def _op_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.shingle_jaccard_pairs(
-        _docs(spark, sf_dir, 20), "text", "doc_id"
-    ).withColumnRenamed("jaccard", "jac")
-
-
-def _op_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_signatures(_docs(spark, sf_dir, 50), "text", "doc_id")
-
-
-def _op_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(_docs(spark, sf_dir, 100), "text", "doc_id")
-
-
-def _op_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.language_id(_docs(spark, sf_dir, 200), "text", "doc_id")
-
-
-def _op_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.token_stats(_docs(spark, sf_dir, 200), "text", "doc_id")
-
-
-def _op_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.bpe_token_stats(_docs(spark, sf_dir, 200), "text", "doc_id").orderBy(
-        "doc_id"
+    # Per-lang kept/removed counts after global exact dedupe (min doc_id
+    # per distinct text wins).  Runs the real exact_dedupe operator; the
+    # round-1 dup-groups form returned 0 rows at sf0.01 (vacuous gate).
+    docs = _docs(spark, sf_dir)
+    kept = (
+        dedup.exact_dedupe(docs, ["text"], "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        totals.join(kept, "lang", "left")
+        .na.fill(0, ["n_kept"])
+        .withColumn("n_dup_rows", F.col("n_docs") - F.col("n_kept"))
+        .select("lang", "n_docs", "n_kept", "n_dup_rows")
+        .orderBy("lang")
     )
 
 
-def _op_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.quality_score(_docs(spark, sf_dir, 100), "text", "doc_id")
+def _op_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All five per-doc text operators joined on doc_id (one gate slot).
+    d = _docs(spark, sf_dir, 200)
+    lang = text.language_id(d, "text", "doc_id")
+    tok = text.token_stats(d, "text", "doc_id")
+    bpe = text.bpe_token_stats(d, "text", "doc_id").withColumnRenamed(
+        "n_tokens", "n_bpe_tokens"
+    )
+    qual = text.quality_score(d, "text", "doc_id")
+    fp = text.fingerprint(d, "text", "doc_id")
+    return (
+        lang.join(tok, "doc_id")
+        .join(bpe, "doc_id")
+        .join(qual, "doc_id")
+        .join(fp, "doc_id")
+        .orderBy("doc_id")
+    )
 
 
-def _op_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.fingerprint(_docs(spark, sf_dir, 200), "text", "doc_id")
+def _op_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MinHash signatures + SimHash joined on doc_id (one gate slot).
+    d = _docs(spark, sf_dir, 100)
+    mh = dedup.minhash_signatures(d, "text", "doc_id")
+    sh = dedup.simhash(d, "text", "doc_id")
+    return mh.join(sh, "doc_id").orderBy("doc_id")
 
 
 def _op_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,13 +107,25 @@ def _op_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb.filter(F.col("vec_id") <= 20), emb)
 
 
-def _op_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Hash-gated: the whole pipeline is deterministic md5 arithmetic, so
-    # the oracle (minhash_lsh_pairs_duck_sql) reproduces it stage by
-    # stage; quality is additionally asserted against planted duplicates.
-    return dedup.minhash_lsh_pairs(
+def _op_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Three near-dup detectors, tagged union: bounded all-pairs Jaccard
+    # (verification path), MinHash-LSH over the full corpus (the banded
+    # 100 TB path — deterministic md5 arithmetic end-to-end, so it IS
+    # hash-gateable), and embedding-cosine near-dups (sharded cogroup
+    # block-matmul).  Quality is additionally asserted against planted
+    # duplicates in tests.
+    jac = dedup.shingle_jaccard_pairs(
+        _docs(spark, sf_dir, 20), "text", "doc_id"
+    ).select(
+        F.lit("jac").alias("src"), "qid", "cid", F.col("jaccard").alias("val")
+    )
+    lsh = dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), "text", "doc_id", threshold=0.2
-    ).orderBy("qid", "cid")
+    ).select(F.lit("lsh").alias("src"), "qid", "cid", F.col("jaccard").alias("val"))
+    emb = similarity.cosine_near_dup_pairs(_emb(spark, sf_dir)).select(
+        F.lit("emb").alias("src"), "qid", "cid", F.col("cos").alias("val")
+    )
+    return jac.unionByName(lsh).unionByName(emb).orderBy("src", "qid", "cid")
 
 
 def _op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,60 +155,56 @@ def _op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
-def _op_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.cosine_near_dup_pairs(_emb(spark, sf_dir)).orderBy("qid", "cid")
-
-
-def _op_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Rows-only: approximate by design; recall vs cosine_topk asserted in
-    # tests (≥0.9 with 8-bit bucket prefix on the synthetic corpus).
+def _op_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rows-only: both ANN paths are approximate by design (random
+    # hyperplanes / learned quantizer); recall vs cosine_topk is
+    # asserted in tests (≥0.9 sign-LSH, ≥0.85 IVF on the synthetic
+    # corpus).  Tagged union so one entry covers both.
     emb = _emb(spark, sf_dir)
-    return similarity.ann_lsh_topk(emb.filter(F.col("vec_id") <= 20), emb)
+    q = emb.filter(F.col("vec_id") <= 20)
+    lsh = similarity.ann_lsh_topk(q, emb).select(
+        F.lit("lsh").alias("src"), "qid", "cid", "cos", "rn"
+    )
+    ivf = similarity.ivf_topk(q, emb).select(
+        F.lit("ivf").alias("src"), "qid", "cid", "cos", "rn"
+    )
+    return lsh.unionByName(ivf).orderBy("src", "qid", "rn")
 
 
-def _op_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Rows-only: approximate (learned quantizer); recall vs cosine_topk
-    # asserted in tests.
-    emb = _emb(spark, sf_dir)
-    return similarity.ivf_topk(emb.filter(F.col("vec_id") <= 20), emb)
+def _near_dup_pairs_duck_sql() -> str:
+    jac = dedup.jaccard_pairs_sql(20)[1]
+    lsh = dedup.minhash_lsh_pairs_duck_sql(threshold=0.2)
+    emb = similarity.near_dup_sql()[1]
+    return f"""
+SELECT 'jac' AS src, qid, cid, jac AS val FROM ({jac})
+UNION ALL
+SELECT 'lsh' AS src, qid, cid, jaccard AS val FROM ({lsh})
+UNION ALL
+SELECT 'emb' AS src, qid, cid, cos AS val FROM ({emb})
+ORDER BY src, qid, cid"""
 
 
 def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "op_dedup_exact": _op_dedup_exact,
-        "op_jaccard_pairs": _op_jaccard_pairs,
-        "op_minhash": _op_minhash,
-        "op_simhash": _op_simhash,
-        "op_langid": _op_langid,
-        "op_token_stats": _op_token_stats,
-        "op_bpe_tokens": _op_bpe_tokens,
-        "op_quality": _op_quality,
-        "op_fingerprint": _op_fingerprint,
+        "op_text_profile": _op_text_profile,
+        "op_sketches": _op_sketches,
+        "op_near_dup_pairs": _op_near_dup_pairs,
         "op_cosine_topk": _op_cosine_topk,
-        "op_embedding_dedup": _op_embedding_dedup,
+        "op_ann_topk": _op_ann_topk,
         "op_multimodal_features": _op_multimodal_features,
-        "op_minhash_lsh_pairs": _op_minhash_lsh_pairs,
-        "op_ann_lsh_topk": _op_ann_lsh_topk,
-        "op_ivf_topk": _op_ivf_topk,
     }
 
 
 def entry_oracle_sql() -> dict[str, str]:
     return {
-        "op_dedup_exact": dedup.exact_dup_sql()[1],
-        "op_jaccard_pairs": dedup.jaccard_pairs_sql(20)[1],
-        "op_minhash": dedup.minhash_sql(50)[1],
-        "op_simhash": dedup.simhash_sql(100)[1],
-        "op_langid": text.langid_sql(200)[1],
-        "op_token_stats": text.token_stats_sql(200)[1],
-        "op_bpe_tokens": text.bpe_token_stats_sql(200)[1],
-        "op_quality": text.quality_sql(100)[1],
-        "op_fingerprint": text.fingerprint_sql(200)[1],
+        "op_dedup_exact": dedup.exact_dedup_stats_duck_sql(),
+        "op_text_profile": text.text_profile_duck_sql(200),
+        "op_sketches": dedup.sketches_duck_sql(100),
+        "op_near_dup_pairs": _near_dup_pairs_duck_sql(),
         "op_cosine_topk": similarity.cosine_topk_sql(20)[1],
-        "op_embedding_dedup": similarity.near_dup_sql()[1],
-        "op_minhash_lsh_pairs": dedup.minhash_lsh_pairs_duck_sql(),
-        # op_ann_lsh_topk / op_multimodal_features: intentionally no
-        # oracle (random-hyperplane buckets / python decode stub) →
-        # driver records rows-only checks; recall & determinism are
-        # asserted in tests instead.
+        # op_ann_topk / op_multimodal_features: intentionally no oracle
+        # (random-hyperplane buckets + learned quantizer / python decode
+        # stub) → driver records rows-only checks; recall & determinism
+        # are asserted in tests instead.
     }

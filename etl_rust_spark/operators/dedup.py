@@ -379,6 +379,52 @@ FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY dup_key"""
     return sql, sql
 
 
+def exact_dedup_stats_duck_sql() -> str:
+    """DuckDB oracle for the widened ``op_dedup_exact`` entry: per-lang
+    kept/removed counts after global exact dedupe (keep = min doc_id per
+    distinct text, the :func:`exact_dedupe` contract).
+
+    The round-1 entry (dup groups only) returned 0 rows at sf0.01 — a
+    vacuous gate (VERDICT r1).  This form always emits one row per lang,
+    so the driver's hash compare checks real values, while still
+    exercising the actual dedupe operator on the Spark side.
+    """
+    return """
+WITH k AS (SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY text),
+kl AS (SELECT d.lang, COUNT(*) AS n_kept FROM documents d JOIN k ON d.doc_id = k.keep_id GROUP BY d.lang),
+t AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+SELECT t.lang, t.n_docs, COALESCE(kl.n_kept, 0) AS n_kept,
+  t.n_docs - COALESCE(kl.n_kept, 0) AS n_dup_rows
+FROM t LEFT JOIN kl ON t.lang = kl.lang ORDER BY t.lang"""
+
+
+def sketches_duck_sql(max_doc: int = 100, width: int = 3, bits: int = 32) -> str:
+    """DuckDB oracle for the consolidated ``op_sketches`` entry: MinHash
+    signatures + SimHash joined on doc_id (one gate slot verifies both
+    sketch operators — see text_profile_duck_sql for why consolidation)."""
+    du_sig = ", ".join(
+        f"list_min(list_transform(sh, s -> ({a} * ({duck_h(x='s')} % {MINHASH_P}) + {b}) % {MINHASH_P})) AS sig{j}"
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(width))
+    return f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents WHERE doc_id <= {max_doc}),
+s AS (SELECT doc_id,
+  CASE WHEN len(toks) >= {width}
+       THEN list_distinct(list_transform(range(1, len(toks) - {width - 2}), i -> {parts}))
+       ELSE [text] END AS sh
+  FROM t),
+sig AS (SELECT doc_id, {du_sig} FROM s),
+th AS (SELECT doc_id, list_transform(toks, x -> {duck_h(x='x')}) AS th FROM t),
+sim AS (SELECT doc_id,
+  list_sum(list_transform(range(0, {bits}), j ->
+    CASE WHEN list_sum(list_transform(th, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS simhash
+  FROM th)
+SELECT doc_id, {', '.join(f'sig{j}' for j in range(len(MINHASH_PERMS)))}, simhash
+FROM sig JOIN sim USING (doc_id) ORDER BY doc_id"""
+
+
 def minhash_lsh_pairs_duck_sql(
     threshold: float = 0.2,
     width: int = 3,

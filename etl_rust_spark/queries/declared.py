@@ -7,9 +7,13 @@ DuckDB oracle hash-match is meaningful.
 
 Each entry carries the Spark-dialect text (what the engine runs — pure
 Catalyst-optimized SQL, no UDFs) and the DuckDB-dialect text (what the
-oracle runs).  For 35/40 the texts are identical; the dual-form ones are
+oracle runs).  For 28/40 the texts are identical; the dual-form ones are
 DQ-19 (unix_timestamp vs epoch), DQ-30 (get_json_object vs
-json_extract_string), DQ-31/33 (array HOFs vs list functions).
+json_extract_string), DQ-31/33 (array HOFs vs list functions), and the
+seven integer-SUM queries DQ-04/07/08/18/35/36/40, whose oracle text
+wraps each integer sum in CAST(... AS BIGINT): DuckDB's SUM(BIGINT)
+yields HUGEINT (int128) while Spark yields BIGINT — same values, but the
+driver's type-aware canonicalization distinguishes them.
 
 Reference parity notes: the reference implements NO relational operators
 (extract→transform→publish only, see SURVEY §2.5); this surface is the
@@ -88,8 +92,19 @@ SELECT l_returnflag, l_linestatus,
   COUNT(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
 """,
+            """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+  CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_c,
+  ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / (COUNT(*) * 100.0), 2) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+""",
             notes="TPC-H Q1 shape; partial (map-side) aggregation then one "
-            "shuffle on a 6-value grouping key — scales linearly.",
+            "shuffle on a 6-value grouping key — scales linearly.  "
+            "Dual-form: DuckDB SUM(BIGINT) returns HUGEINT (int128), Spark "
+            "returns BIGINT; the oracle casts the sum back to BIGINT so the "
+            "driver's type-aware canonicalization matches (identical values).",
         ),
         _q(
             "dq05",
@@ -119,8 +134,14 @@ SELECT c_mktsegment, COUNT(*) AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """,
+            """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_c
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
             notes="customer is the small side → AQE picks broadcast-hash; no "
-            "shuffle of orders.",
+            "shuffle of orders.  Dual-form for DuckDB HUGEINT sums (see dq04).",
         ),
         _q(
             "dq08",
@@ -133,9 +154,17 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY rev_c DESC, n_name
 """,
+            """
+SELECT n_name, CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS rev_c
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY rev_c DESC, n_name
+""",
             notes="TPC-H Q5 shape; region/nation/customer broadcast, single "
             "big shuffle lineitem⋈orders.  r_name filter prunes before join "
-            "reorder (CBO/AQE).",
+            "reorder (CBO/AQE).  Dual-form for DuckDB HUGEINT sums (see dq04).",
         ),
         _q(
             "dq09",
@@ -246,6 +275,13 @@ SELECT event_id, user_id,
     OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_c
 FROM events WHERE user_id <= 20 ORDER BY user_id, event_id
 """,
+            """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+    OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_c
+FROM events WHERE user_id <= 20 ORDER BY user_id, event_id
+""",
+            notes="Dual-form for DuckDB HUGEINT window sums (see dq04).",
         ),
         _q(
             "dq19",
@@ -438,8 +474,18 @@ WITH marks AS (
 SELECT user_id, SUM(new_s) AS n_sessions FROM marks GROUP BY user_id
 ORDER BY user_id LIMIT 100
 """,
+            """
+WITH marks AS (
+  SELECT user_id, ts, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      > INTERVAL 30 MINUTE OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions FROM marks GROUP BY user_id
+ORDER BY user_id LIMIT 100
+""",
             notes="Gaps-and-islands sessionization; streaming/windows.py runs "
-            "the session_window() equivalent and tests assert they agree.",
+            "the session_window() equivalent and tests assert they agree.  "
+            "Dual-form for DuckDB HUGEINT sums (see dq04).",
         ),
         _q(
             "dq36",
@@ -450,6 +496,13 @@ SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
   COUNT(*) AS n, SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v_c
 FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 200
 """,
+            """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+  CAST(FLOOR(EXTRACT(minute FROM ts) / 10) AS INT) AS bucket10,
+  COUNT(*) AS n, CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_c
+FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 200
+""",
+            notes="Dual-form for DuckDB HUGEINT sums (see dq04).",
         ),
         _q(
             "dq38",
@@ -478,6 +531,13 @@ WITH seg AS (
   FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment)
 SELECT seg, rev_c FROM seg WHERE rev_c > (SELECT AVG(rev_c) FROM seg) ORDER BY seg
 """,
+            """
+WITH seg AS (
+  SELECT c_mktsegment AS seg, CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment)
+SELECT seg, rev_c FROM seg WHERE rev_c > (SELECT AVG(rev_c) FROM seg) ORDER BY seg
+""",
+            notes="Dual-form for DuckDB HUGEINT sums (see dq04).",
         ),
         _q(
             "dq41",

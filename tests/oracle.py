@@ -27,9 +27,21 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def run_duck(con: duckdb.DuckDBPyConnection, sql: str) -> tuple[list[tuple], list[str]]:
+    """Fetch via Arrow, NOT fetchall().
+
+    fetchall() coerces DuckDB HUGEINT (the result type of SUM(BIGINT))
+    to plain Python int, which made the round-1 local harness blind to
+    the int128-vs-int64 type difference the driver's gate detects
+    (VERDICT r1: 7 hash failures, all integer-SUM queries).  Arrow
+    surfaces HUGEINT as decimal128 → Decimal, so the local gate now
+    discriminates exactly like the driver's.
+    """
     cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    return cur.fetchall(), cols
+    tbl = cur.fetch_arrow_table()
+    cols = tbl.column_names
+    pylists = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    rows = [tuple(vals) for vals in zip(*pylists)]
+    return rows, cols
 
 
 def run_spark(spark, sf_dir: str, sql: str) -> tuple[list[tuple], list[str]]:

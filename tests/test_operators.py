@@ -98,6 +98,31 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.85, f"IVF recall@1 {recall}"
 
 
+def test_ivf_returns_k_results_when_pair_meets_in_multiple_lists(spark, sf_dir):
+    # Regression (VERDICT r1): a (qid, cid) pair probed in several lists
+    # used to occupy multiple top-k slots before dedup, evicting genuine
+    # k-th neighbors and then shrinking below k after dropDuplicates.
+    # With n_probe == n_lists every pair meets in every probed list —
+    # the worst case — and each query must still return exactly k rows.
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") <= 10)
+    k = 3
+    got = similarity.ivf_topk(queries, emb, k=k, n_lists=4, n_probe=4).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.qid, []).append((r.cid, r.rn))
+    for qid, rows in per_q.items():
+        assert len(rows) == k, f"qid {qid}: {len(rows)} rows != {k}"
+        assert len({c for c, _ in rows}) == k, f"qid {qid}: duplicate cids {rows}"
+        assert sorted(rn for _, rn in rows) == list(range(1, k + 1))
+    # exhaustive probing == brute force: must agree with cosine_topk
+    exact = {
+        (r.qid, r.cid)
+        for r in similarity.cosine_topk(queries, emb, k=k).collect()
+    }
+    assert {(r.qid, r.cid) for r in got} == exact
+
+
 def test_simhash_hamming_separates_near_dups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
     base = docs.select("doc_id", "text").collect()

@@ -86,6 +86,6 @@ def test_filter_queries_push_predicates(spark, name):
 def test_streaming_window_ops_prune_events(spark, sf_dir):
     from etl_rust_spark.streaming import entry_queries
 
-    rep = audit(entry_queries()["op_tumbling_window"](spark, sf_dir))
+    rep = audit(entry_queries()["op_time_windows"](spark, sf_dir))
     # Only ts + value needed from the 6-column events table.
     assert rep.read_columns("events") <= {"ts", "value"}, rep.plan
