@@ -31,6 +31,11 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("end", type=int)
     pr.add_argument("--out", required=True)
     pr.add_argument("--resume", action="store_true")
+    pr.add_argument(
+        "--reverse",
+        action="store_true",
+        help="work the range from end-1 toward start (guarded at genesis)",
+    )
     pr.add_argument("--format", default="parquet", choices=["parquet", "jsonl"])
     pr.add_argument("--layout", default="block", choices=["block", "time", "flat"])
 
@@ -64,7 +69,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "index-range":
         stats = run_range(
             spark, chain, args.start, args.end, args.out,
-            resume=args.resume, fmt=args.format, layout=args.layout,
+            resume=args.resume, reverse=args.reverse,
+            fmt=args.format, layout=args.layout,
         )
         print(json.dumps({"raw_blocks": stats.raw_blocks, "records": stats.records}))
     elif args.cmd == "index-list":

@@ -31,7 +31,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from etl_rust_spark.etl.writer import DEFAULT_BUCKET_SIZE, write_tables
+from etl_rust_spark.etl.writer import (
+    DEFAULT_BUCKET_SIZE,
+    merge_entity_table,
+    write_tables,
+)
 from etl_rust_spark.sources.chain import ChainConfig
 from etl_rust_spark.sources.checkpoint import pick_up_from_previous_range
 from etl_rust_spark.sources.ranges import block_range
@@ -60,17 +64,27 @@ def run_range(
     end: int,
     out_dir: str,
     resume: bool = False,
+    reverse: bool = False,
     fmt: str = "parquet",
     layout: str = "block",
     bucket_size: int = DEFAULT_BUCKET_SIZE,
     num_partitions: int | None = None,
 ) -> RunStats:
-    """Extract ``[start, end)`` through ``chain`` into ``out_dir``."""
+    """Extract ``[start, end)`` through ``chain`` into ``out_dir``.
+
+    ``reverse=True`` works the range from ``end - 1`` toward ``start``
+    (reference ``--reverse``, /root/reference/src/main.rs:75-83): commit
+    order is descending, and a resumed reverse run picks up below the
+    contiguous top segment already in the sink (min-side watermark) —
+    results are identical to a forward run; only ordering/resume differ.
+    """
     if resume:
         start, end = pick_up_from_previous_range(
-            spark, f"{out_dir}/blocks", start, end
+            spark, f"{out_dir}/blocks", start, end, reverse=reverse
         )
-    blocks = block_range(spark, start, end, num_partitions=num_partitions)
+    blocks = block_range(
+        spark, start, end, reverse=reverse, num_partitions=num_partitions
+    )
 
     raw_path = f"{out_dir}/_raw"
     raw = chain.fetch(blocks).withColumn(
@@ -106,7 +120,18 @@ def run_range(
     )
     stats = RunStats(start=start, end=end, raw_blocks=staged.count())
     tables = chain.transform(staged.select("block_index", "response_json"))
+    # Entity (first-seen dimension) tables can't use the bucket-overwrite
+    # path: their min(block_index) is computed over THIS run's staged
+    # buckets, so a key first seen in an earlier run would gain a second
+    # row in a later bucket (ADVICE r1).  They upsert via a keyed merge
+    # with the existing sink instead.
+    entity_keys = getattr(chain, "entity_keys", {})
+    entities = {t: tables.pop(t) for t in list(tables) if t in entity_keys}
     stats.records = write_tables(
         tables, out_dir, fmt=fmt, layout=layout, bucket_size=bucket_size
     )
+    for name, df in entities.items():
+        stats.records[name] = merge_entity_table(
+            df, f"{out_dir}/{name}", entity_keys[name], fmt=fmt
+        )
     return stats

@@ -32,10 +32,10 @@ touches only affected partitions' metadata; JSONL is an edge format
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
-__all__ = ["time_bucket_cols", "write_table", "write_tables"]
+__all__ = ["time_bucket_cols", "write_table", "write_tables", "merge_entity_table"]
 
 DEFAULT_BUCKET_SIZE = 1000
 
@@ -99,6 +99,51 @@ def write_table(
     else:
         raise ValueError(f"unknown format {fmt!r}")
     return int(obs.get["n_records"])
+
+
+def merge_entity_table(
+    df: DataFrame, path: str, key_col: str, fmt: str = "parquet"
+) -> int:
+    """Upsert an entity (dimension) table keeping the min-``block_index``
+    row per ``key_col``; returns rows in the merged table.
+
+    Entity tables (first-seen accounts/tokens) derive "first seen" from
+    whatever range the current run covers, so a per-run bucket write
+    duplicates a key whose true first sighting was in an earlier,
+    non-staged bucket (ADVICE r1).  The merge reads the existing sink,
+    unions the new derivation, and keeps one row per key — the classic
+    dimension-upsert compaction.  Entity tables are O(distinct entities)
+    (orders of magnitude smaller than facts), so a full rewrite per run
+    is the right trade; on a lakehouse table format (Delta/Iceberg) this
+    becomes a MERGE and the rewrite is avoided.
+
+    ``localCheckpoint`` materializes the merged frame eagerly — Spark
+    cannot overwrite a path it is still reading from.
+    """
+    spark = df.sparkSession
+    try:
+        existing = (
+            spark.read.parquet(path) if fmt == "parquet" else spark.read.json(path)
+        )
+        merged = df.unionByName(existing.select(*df.columns))
+    except Exception:  # first run: sink absent
+        merged = df
+    w = Window.partitionBy(key_col).orderBy(F.col("block_index"))
+    out = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint()
+    )
+    n = out.count()
+    writer = out.write.mode("overwrite")
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "jsonl":
+        writer.json(path)
+    else:
+        raise ValueError(f"unknown format {fmt!r}")
+    return n
 
 
 def write_tables(

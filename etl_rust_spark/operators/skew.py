@@ -88,7 +88,23 @@ def salted_join(
     The dim side replicates ``n_salts``× — keep it the SMALL side (at
     broadcast size prefer ``broadcast()`` outright; salting matters when
     the dim is too big to broadcast but far smaller than the facts).
+
+    ``how`` is restricted to joins that are result-preserving under dim
+    replication: every fact row carries exactly one salt, so fact-side
+    semantics (inner/left/left_semi/left_anti) are exact — but a dim key
+    unmatched in the facts exists once per salt, so right/full (and
+    right_semi/right_anti) would emit it ``n_salts`` times (ADVICE r1).
+    Those modes raise; swap the operands instead.
     """
+    safe = {"inner", "left", "leftouter", "left_outer", "semi", "left_semi",
+            "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join(how={how!r}) is not result-preserving: the dim "
+            f"side is replicated {n_salts}x, so unmatched dim keys would "
+            "be duplicated under right/full joins — swap the operands or "
+            "use a plain join with AQE skew handling"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     f = facts.withColumn("__salt", (F.rand(seed) * n_salts).cast("int"))
     d = dim.withColumn(

@@ -108,9 +108,18 @@ RESPONSE_SCHEMA = T.StructType(
 
 
 class ChainConfig(Protocol):
-    """Per-chain plugin contract (SURVEY §2.7)."""
+    """Per-chain plugin contract (SURVEY §2.7).
+
+    ``entity_keys`` names the *entity* (first-seen dimension) tables and
+    their natural key: these derive "first seen at" from whatever range
+    a run covers, so the pipeline upserts them via
+    :func:`etl_rust_spark.etl.writer.merge_entity_table` instead of the
+    bucket-overwrite fact path (otherwise a key first seen in an earlier
+    run would get a second row — ADVICE r1).
+    """
 
     name: str
+    entity_keys: dict[str, str]
 
     def fetch(self, blocks: DataFrame) -> DataFrame:
         """blocks(block_index) → raw(block_index, response_json)."""
@@ -136,6 +145,7 @@ class SyntheticChain:
     """
 
     name = "synthetic"
+    entity_keys = {"accounts": "pubkey", "tokens": "mint"}
 
     def __init__(self, genesis_ms: int = 1_704_067_200_000, block_ms: int = 400):
         self.genesis_ms = genesis_ms

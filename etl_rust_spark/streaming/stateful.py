@@ -62,6 +62,19 @@ def running_user_totals(events: DataFrame, ttl_ms: int | None = None) -> DataFra
     None keeps state forever (bounded-key domains only).
     """
     import datetime as dt
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def round_cents(v: float) -> int:
+        # Per-ROW round-then-sum, matching the declared-query convention
+        # SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) exactly: Spark's
+        # ROUND is HALF_UP over the double's shortest decimal repr
+        # (BigDecimal), which Decimal(repr(x)) reproduces; Python's
+        # round() is banker's and the round-1 version also rounded the
+        # BATCH sum, making results depend on micro-batch boundaries
+        # (VERDICT/ADVICE r1).
+        return int(
+            Decimal(repr(float(v) * 100)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
 
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -73,8 +86,7 @@ def running_user_totals(events: DataFrame, ttl_ms: int | None = None) -> DataFra
         n, v_c, last_us = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            # integer-cents sum, same convention as the declared queries
-            v_c += int(round(float(pdf["value"].sum()) * 100))
+            v_c += sum(round_cents(v) for v in pdf["value"])
             ts_us = (pdf["ts"].astype("int64") // 1000).max()
             last_us = max(last_us, int(ts_us))
         state.update((n, v_c, last_us))
@@ -85,7 +97,11 @@ def running_user_totals(events: DataFrame, ttl_ms: int | None = None) -> DataFra
                 "user_id": [user_id],
                 "n_events": [n],
                 "value_c": [v_c],
-                "last_ts": [dt.datetime.utcfromtimestamp(last_us / 1e6)],
+                "last_ts": [
+                    dt.datetime.fromtimestamp(
+                        last_us / 1e6, tz=dt.timezone.utc
+                    ).replace(tzinfo=None)
+                ],
             }
         )
 

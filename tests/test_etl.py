@@ -59,6 +59,59 @@ def test_run_range_resume_mid_bucket(spark, chain, tmp_path):
         run_range(spark, chain, 0, 30, out, resume=True, bucket_size=10)
 
 
+def test_entity_tables_unique_across_runs(spark, chain, tmp_path):
+    # ADVICE r1: accounts/tokens derive first-seen from ONLY the current
+    # run's buckets — two disjoint runs used to produce duplicate
+    # pubkey/mint rows.  The entity merge must keep exactly one row per
+    # key, equal to what a single full-range run derives.
+    out = str(tmp_path / "sink")
+    run_range(spark, chain, 0, 10, out, bucket_size=10)
+    run_range(spark, chain, 10, 20, out, bucket_size=10)
+
+    full = str(tmp_path / "full")
+    run_range(spark, chain, 0, 20, full, bucket_size=10)
+
+    for table, key in (("accounts", "pubkey"), ("tokens", "mint")):
+        inc = spark.read.parquet(f"{out}/{table}")
+        assert inc.count() == inc.select(key).distinct().count(), table
+        one = spark.read.parquet(f"{full}/{table}")
+        assert sorted(tuple(r) for r in inc.collect()) == sorted(
+            tuple(r) for r in one.collect()
+        ), table
+
+
+def test_run_range_reverse_resume(spark, chain, tmp_path):
+    out = str(tmp_path / "sink")
+    # Simulate a crashed reverse run over [0, 30) that only finished the
+    # top bucket [20, 30); the reverse resume must pick up with end=20.
+    run_range(spark, chain, 20, 30, out, bucket_size=10)
+    stats = run_range(
+        spark, chain, 0, 30, out, resume=True, reverse=True, bucket_size=10
+    )
+    assert stats.end == 20
+    blocks = _read_blocks(spark, out)
+    assert blocks.count() == 30
+    assert blocks.select("block_index").distinct().count() == 30
+    # Fully-indexed reverse resume errors like the reference.
+    with pytest.raises(RuntimeError):
+        run_range(spark, chain, 0, 30, out, resume=True, reverse=True, bucket_size=10)
+
+
+def test_cli_index_range_reverse(spark, chain, tmp_path):
+    # --reverse is reachable from the CLI (reference src/main.rs:75-83)
+    # and the genesis guard rejects a reverse range ending at 0.
+    import json as _json
+
+    from etl_rust_spark.__main__ import main
+
+    out = str(tmp_path / "cli_sink")
+    rc = main(["index-range", "5", "15", "--out", out, "--reverse"])
+    assert rc == 0
+    assert _read_blocks(spark, out).count() == 10
+    with pytest.raises(ValueError):
+        main(["index-range", "0", "0", "--out", out, "--reverse"])
+
+
 def test_time_layout_dq44_dirs(spark, chain, tmp_path):
     out = str(tmp_path / "sink")
     run_range(spark, chain, 0, 20, out, layout="time")

@@ -63,6 +63,16 @@ def test_salted_join_spreads_hot_key(spark, tables):
     assert "__salt" in rep.plan
 
 
+def test_salted_join_rejects_replication_unsafe_how(spark, tables):
+    # right/full would emit every unmatched dim key once per salt
+    # (ADVICE r1) — the operator must refuse instead of corrupting.
+    ins = tables["instructions"].select("program", "tx_index")
+    dim = tables["instructions"].select("program").distinct()
+    for how in ("right", "full", "outer", "full_outer", "cross"):
+        with pytest.raises(ValueError):
+            salted_join(ins, dim, "program", how=how)
+
+
 def test_salted_join_left_keeps_unmatched(spark, tables):
     ins = tables["instructions"].select("program", "tx_index").limit(200)
     dim = spark.createDataFrame([("nonexistent-program",)], ["program"]).withColumn(

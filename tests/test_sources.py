@@ -85,14 +85,32 @@ def test_resume_forward(spark, tmp_path):
     assert pick_up_from_previous_range(spark, str(tmp_path / "other"), 0, 100) == (0, 100)
 
 
-def test_resume_reverse_and_done(spark, tmp_path):
+def test_resume_forward_done(spark, tmp_path):
     path = str(tmp_path / "blocks")
     _write_blocks(spark, path, [50, 60])
-    assert pick_up_from_previous_range(spark, path, 0, 100, reverse=True) == (0, 60)
     with pytest.raises(RuntimeError):
-        pick_up_from_previous_range(spark, path, 0, 51)  # start beyond hw+1? no: fully covered
+        pick_up_from_previous_range(spark, path, 0, 51)  # fully covered
+
+
+def test_resume_reverse_contiguous_top(spark, tmp_path):
+    # A reverse run completes from the top down: the resume point is the
+    # MIN of the contiguous top segment (reference main.rs:186-238), not
+    # max(block_index) — ADVICE r1.
+    path = str(tmp_path / "blocks")
+    # Top bucket [90, 100) done; a stray earlier FORWARD run left
+    # [0, 10) in the sink — it must not clamp the reverse range.
+    _write_blocks(spark, path, list(range(90, 100)) + list(range(0, 10)))
+    assert pick_up_from_previous_range(spark, path, 50, 100, reverse=True) == (50, 90)
+    # end-1 not committed → the reverse run completed nothing → unchanged.
+    _write_blocks(spark, path, [95, 96, 98])
+    assert pick_up_from_previous_range(spark, path, 50, 100, reverse=True) == (50, 100)
+    # Gap below a contiguous [97, 100) top: resume at 97, 95 is ignored.
+    _write_blocks(spark, path, [99, 98, 97, 95])
+    assert pick_up_from_previous_range(spark, path, 50, 100, reverse=True) == (50, 97)
+    # Fully indexed → hard error, like the reference's panic.
+    _write_blocks(spark, path, list(range(50, 100)))
     with pytest.raises(RuntimeError):
-        pick_up_from_previous_range(spark, path, 70, 100, reverse=True)
+        pick_up_from_previous_range(spark, path, 50, 100, reverse=True)
 
 
 # -- Synthetic chain (extraction + transform fan-out) ------------------------

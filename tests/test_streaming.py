@@ -239,8 +239,19 @@ def test_stateful_running_totals_match_batch(spark, tmp_path):
     t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
 
     def rows(batch, n):
+        # Fractional values so the oracle discriminates rounding rules:
+        # .125 → 12.5 cents exercises HALF_UP-vs-banker's; .004 → 0.4
+        # cents rounds to 0 per row but accumulates per batch — a
+        # per-batch-rounding implementation fails on both (ADVICE r1).
         return [
-            (batch * 100 + i, t0 + dt.timedelta(minutes=batch * 10 + i), (i % 3) + 1, "click", float(i), "{}")
+            (
+                batch * 100 + i,
+                t0 + dt.timedelta(minutes=batch * 10 + i),
+                (i % 3) + 1,
+                "click",
+                float(i) + (0.125 if i % 2 else 0.004),
+                "{}",
+            )
             for i in range(n)
         ]
 
