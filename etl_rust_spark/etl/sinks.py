@@ -46,6 +46,8 @@ __all__ = [
     "encode_json",
     "encode_avro",
     "encode_protobuf",
+    "kafka_batch_writer",
+    "kafka_stream_writer",
     "publish_table",
     "publish_tables",
     "PublishStats",
@@ -143,6 +145,67 @@ def encode_protobuf(df: DataFrame, message_name: str, desc_file_path: str) -> Da
 _ENCODERS: dict[str, Callable[[DataFrame], DataFrame]] = {
     "json": encode_json,
 }
+
+
+# ---------------------------------------------------------------------------
+# Kafka via Spark's built-in connector (K-05)
+# ---------------------------------------------------------------------------
+
+def _kafka_frame(df: DataFrame, encoder, stamp_ts: bool) -> DataFrame:
+    enc = _ENCODERS[encoder] if isinstance(encoder, str) else encoder
+    payload = enc(df, stamp_ts=stamp_ts) if enc is encode_json else enc(df)
+    # Spark's kafka sink contract: a binary/string `value` column
+    # (optional `key`/`topic`).  The reference producer publishes
+    # unkeyed records (partition 0, apache_kafka.rs:31-115); we leave
+    # `key` absent and let the topic come from the writer option.
+    return payload.select(F.col("payload").cast("binary").alias("value"))
+
+
+def kafka_batch_writer(
+    df: DataFrame,
+    topic: str,
+    bootstrap_servers: str,
+    encoder: str | Callable[[DataFrame], DataFrame] = "json",
+    stamp_ts: bool = True,
+):
+    """Batch Kafka publish via Spark's built-in ``kafka`` sink (K-05,
+    reference src/output/apache_kafka.rs:31-115).
+
+    Returns the configured ``DataFrameWriter`` — call ``.save()`` to
+    publish.  Record batching/linger (the reference's
+    ``RecordAggregator(1024)``, linger 0) maps to producer options:
+    pass ``.option("kafka.batch.size", ...)`` / ``kafka.linger.ms`` on
+    the returned writer.  Publish-time stamping (X-09) is on by default.
+    Requires the spark-sql-kafka package on the classpath (absent in
+    this container — the writer still constructs and plan-checks; only
+    ``.save()`` needs the jar).
+    """
+    return (
+        _kafka_frame(df, encoder, stamp_ts)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+    )
+
+
+def kafka_stream_writer(
+    sdf: DataFrame,
+    topic: str,
+    bootstrap_servers: str,
+    checkpoint_dir: str,
+    encoder: str | Callable[[DataFrame], DataFrame] = "json",
+    stamp_ts: bool = True,
+):
+    """Streaming Kafka publish (``writeStream.format("kafka")``) with
+    checkpoint-based exactly-once to the topic; returns the configured
+    ``DataStreamWriter`` — call ``.start()``."""
+    return (
+        _kafka_frame(sdf, encoder, stamp_ts)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )
 
 
 # ---------------------------------------------------------------------------

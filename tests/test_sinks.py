@@ -113,3 +113,101 @@ def test_encode_json_stamps_publish_ts(spark):
     df = spark.createDataFrame([(1,)], ["a"])
     rec = json.loads(encode_json(df, stamp_ts=True).collect()[0]["payload"])
     assert set(rec) == {"a", "publish_ts"} and rec["publish_ts"]
+
+
+# ---------------------------------------------------------------------------
+# K-05 Kafka wiring (plan-level — no broker/jar in this container) and
+# X-03/X-04 encoder golden bytes (skip-marked until jars appear)
+# ---------------------------------------------------------------------------
+
+def test_kafka_batch_writer_plan_shape(spark):
+    from etl_rust_spark.etl.sinks import kafka_batch_writer, _kafka_frame
+
+    df = spark.createDataFrame([(1, "x")], ["a", "b"])
+    kdf = _kafka_frame(df, "json", stamp_ts=False)
+    # Spark's kafka sink contract: exactly a binary `value` column.
+    assert [(f.name, f.dataType.simpleString()) for f in kdf.schema.fields] == [
+        ("value", "binary")
+    ]
+    assert json.loads(bytes(kdf.collect()[0]["value"]).decode()) == {"a": 1, "b": "x"}
+    writer = kafka_batch_writer(df, "blocks", "broker:9092")
+    # The writer is fully constructed; only .save() needs the kafka jar.
+    # In this container the jar is absent → resolution must fail loudly,
+    # proving the format string actually reaches Spark's source registry.
+    with pytest.raises(Exception):
+        writer.save()
+
+
+def test_kafka_stream_writer_constructs(spark, tmp_path):
+    from etl_rust_spark.etl.sinks import kafka_stream_writer
+    from etl_rust_spark.streaming import events_stream
+
+    src = tmp_path / "kafka_src"
+    src.mkdir()
+    sdf = events_stream(spark, str(src))
+    writer = kafka_stream_writer(
+        sdf, "events", "broker:9092", str(tmp_path / "ckpt")
+    )
+    assert writer is not None  # constructed; .start() needs the jar
+
+
+def test_encode_avro_golden_bytes(spark):
+    from pyspark.sql import types as T
+
+    from etl_rust_spark.etl.sinks import encode_avro
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), nullable=False),
+            T.StructField("s", T.StringType(), nullable=False),
+        ]
+    )
+    df = spark.createDataFrame([(1, "a")], schema)
+    try:
+        out = encode_avro(df).collect()
+    except Exception as exc:  # spark-avro jar absent in this container
+        pytest.skip(f"spark-avro not on classpath: {exc}")
+    # Avro binary for record {id: long 1, s: string "a"}:
+    # long 1 -> zigzag varint 0x02; string "a" -> len varint 0x02 + 0x61.
+    assert bytes(out[0]["payload"]) == b"\x02\x02a"
+
+
+def _tiny_descriptor_set() -> bytes:
+    """Hand-encoded FileDescriptorSet for:
+        syntax = "proto3"; message Rec { int64 id = 1; string s = 2; }
+    (built by hand so the golden test needs no protoc in the container).
+    """
+
+    def ld(tag: int, payload: bytes) -> bytes:  # length-delimited field
+        return bytes([tag << 3 | 2, len(payload)]) + payload
+
+    def vi(tag: int, v: int) -> bytes:  # varint field
+        return bytes([tag << 3, v])
+
+    f_id = ld(1, b"id") + vi(3, 1) + vi(4, 1) + vi(5, 3)  # TYPE_INT64
+    f_s = ld(1, b"s") + vi(3, 2) + vi(4, 1) + vi(5, 9)  # TYPE_STRING
+    msg = ld(1, b"Rec") + ld(2, f_id) + ld(2, f_s)
+    fdp = ld(1, b"golden.proto") + ld(4, msg) + ld(12, b"proto3")
+    return ld(1, fdp)
+
+
+def test_encode_protobuf_golden_bytes(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from etl_rust_spark.etl.sinks import encode_protobuf
+
+    desc = tmp_path / "golden.desc"
+    desc.write_bytes(_tiny_descriptor_set())
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), nullable=False),
+            T.StructField("s", T.StringType(), nullable=False),
+        ]
+    )
+    df = spark.createDataFrame([(1, "a")], schema)
+    try:
+        out = encode_protobuf(df, "Rec", str(desc)).collect()
+    except Exception as exc:  # spark-protobuf jar absent in this container
+        pytest.skip(f"spark-protobuf not on classpath: {exc}")
+    # proto3 wire bytes: field 1 varint 1 -> 08 01; field 2 "a" -> 12 01 61.
+    assert bytes(out[0]["payload"]) == b"\x08\x01\x12\x01a"
