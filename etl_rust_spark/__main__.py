@@ -24,6 +24,13 @@ CHAINS = {"synthetic": SyntheticChain}
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="etl_rust_spark")
     p.add_argument("--chain", default="synthetic", choices=sorted(CHAINS))
+    p.add_argument(
+        "--metrics-port",
+        type=int,
+        default=None,
+        help="serve /metrics, /healthz, /ready on this port for the run "
+        "(reference METRICS_PORT / HEALTH_CHECKS_PORT, src/main.rs:279-345)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pr = sub.add_parser("index-range", help="extract blocks [start, end)")
@@ -63,8 +70,25 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--dir", default="tests/examples")
 
     args = p.parse_args(argv)
+
+    srv = None
+    if args.metrics_port is not None:
+        # Servers come up before the command dispatch, readiness flips
+        # once the session exists — the reference's ordering
+        # (src/main.rs:279-353: spawn metric + health servers, then
+        # match on the command).
+        from etl_rust_spark.observability import MetricsServer
+
+        srv = MetricsServer(port=args.metrics_port).start()
+
     spark = get_spark(app_name=f"etl-rust-spark-{args.cmd}")
     chain = CHAINS[args.chain]()
+
+    if srv is not None:
+        from etl_rust_spark.sources.rpc import RpcMetrics
+
+        srv.register("rpc", RpcMetrics.create(spark).snapshot)
+        srv.ready.set()
 
     if args.cmd == "index-range":
         stats = run_range(
@@ -92,6 +116,8 @@ def main(argv: list[str] | None = None) -> int:
         print(save_range(spark, chain, args.start, args.end, args.out))
     elif args.cmd == "create-test-set":
         print(create_test_set(spark, chain, args.start, args.end, args.name, args.dir))
+    if srv is not None:
+        srv.stop()
     return 0
 
 
