@@ -71,6 +71,18 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    # O-04: reject invalid feature combos before any Spark work — the
+    # runtime analog of the reference's compile_error! gates.
+    from etl_rust_spark.config import ConfigError, FeatureConfig
+
+    try:
+        FeatureConfig(
+            chain=args.chain,
+            sinks={getattr(args, "format", "parquet")},
+        ).validate()
+    except ConfigError as exc:
+        p.error(str(exc))
+
     srv = None
     if args.metrics_port is not None:
         # Servers come up before the command dispatch, readiness flips
