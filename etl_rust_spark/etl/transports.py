@@ -31,7 +31,14 @@ import urllib.error
 import urllib.request
 from typing import Any, Callable
 
-__all__ = ["PubSubRestClient", "PubSubPublishError", "pubsub_client_factory"]
+__all__ = [
+    "PubSubRestClient",
+    "PubSubPublishError",
+    "pubsub_client_factory",
+    "GcsRestClient",
+    "GcsUploadError",
+    "publish_gcs_time_bucketed",
+]
 
 
 class PubSubPublishError(RuntimeError):
@@ -108,6 +115,120 @@ class PubSubRestClient:
 
     def disconnect(self) -> None:
         self.connected = False  # REST is connectionless; K-09 parity flag
+
+
+class GcsUploadError(RuntimeError):
+    """Non-2xx / transport failure on an object upload."""
+
+
+class GcsRestClient:
+    """GCS object upload over the public JSON API (K-03 transport).
+
+    ``POST {endpoint}/upload/storage/v1/b/{bucket}/o?uploadType=media&
+    name={object}`` — the simple-media upload the reference performs
+    (``UploadType::Simple(Media::new(path))``, gcs.rs:124-156), and the
+    wire surface fake-gcs-server emulators speak.  Retry-forever
+    semantics (gcs.rs:148-155: log, retry, no backoff) are the default
+    (``max_attempts=None``); deployments that prefer failing the Spark
+    task (which then retries with task attempt accounting) pass a bound.
+    """
+
+    def __init__(
+        self,
+        endpoint: str,
+        token: str | None = None,
+        timeout_s: float = 30.0,
+        max_attempts: int | None = None,
+    ) -> None:
+        self.endpoint = endpoint.rstrip("/")
+        self.token = token
+        self.timeout_s = timeout_s
+        self.max_attempts = max_attempts
+        self.connected = True
+
+    def _try_upload(self, bucket: str, name: str, data: bytes) -> None:
+        from urllib.parse import quote
+
+        url = (
+            f"{self.endpoint}/upload/storage/v1/b/{quote(bucket, safe='')}/o"
+            f"?uploadType=media&name={quote(name, safe='')}"
+        )
+        req = urllib.request.Request(
+            url, data=data, headers={"Content-Type": "application/octet-stream"}
+        )
+        if self.token:
+            req.add_header("Authorization", f"Bearer {self.token}")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                if resp.status // 100 != 2:
+                    raise GcsUploadError(f"upload {resp.status}")
+                resp.read()
+        except (urllib.error.URLError, OSError) as exc:
+            raise GcsUploadError(str(exc)) from exc
+
+    def upload_object(self, bucket: str, name: str, data: bytes) -> None:
+        attempt = 0
+        while True:
+            attempt += 1
+            try:
+                return self._try_upload(bucket, name, data)
+            except GcsUploadError:
+                if self.max_attempts is not None and attempt >= self.max_attempts:
+                    raise
+
+    def disconnect(self) -> None:
+        self.connected = False
+
+
+def publish_gcs_time_bucketed(
+    df,
+    ts_col: str,
+    bucket: str,
+    table: str,
+    client_factory: Callable[[], GcsRestClient],
+) -> None:
+    """Publish a table as newline-joined JSON objects under the
+    reference's ``date/hour/{0|30}/`` keys (gcs.rs:91-162).
+
+    Spark-first: the 30-minute grouping is a JVM-side projection
+    (``time_bucket_cols`` — identical rule to DQ-44), records shuffle
+    once on the directory key so each bucket's records are co-located,
+    and each partition uploads one object per key it holds (pid+uuid
+    object names — concurrent attempts never collide; duplicate objects
+    from task retries are benign for downstream loaders that read whole
+    prefixes, matching the reference's at-least-once upload loop).
+    """
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.etl.writer import time_bucket_cols
+
+    keyed = time_bucket_cols(df, ts_col)
+    payload = keyed.select(
+        F.concat_ws(
+            "/", F.col("d"), F.col("h").cast("string"), F.col("half").cast("string")
+        ).alias("key"),
+        F.to_json(F.struct(*df.columns)).alias("payload"),
+    ).repartition("key")
+
+    def up(rows) -> None:
+        import os
+        import uuid
+        from collections import defaultdict
+
+        groups: dict[str, list[str]] = defaultdict(list)
+        for r in rows:
+            groups[r["key"]].append(r["payload"])
+        if not groups:
+            return
+        client = client_factory()
+        try:
+            for key, recs in groups.items():
+                name = f"{key}/{table}-{os.getpid()}-{uuid.uuid4().hex}.jsonl"
+                client.upload_object(bucket, name, "\n".join(recs).encode())
+        finally:
+            client.disconnect()
+
+    payload.foreachPartition(up)
 
 
 def pubsub_client_factory(
