@@ -25,6 +25,12 @@ from etl_rust_spark.queries import DECLARED
 def _declared_runner(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
+        from etl_rust_spark.queries.engine_forms import ENGINE_FORMS
+
+        if name in ENGINE_FORMS:
+            # Semantics-identical engine rewrite (dq13 precedent); the
+            # oracle still runs the declared SQL spec form.
+            return ENGINE_FORMS[name](spark, sf_dir)
         return spark.sql(DECLARED[name].spark_sql)
 
     run.__name__ = f"run_{name}"

@@ -19,6 +19,25 @@ def test_declared_query_matches_oracle(spark, duck, sf_dir, name):
     assert res["match"], f"{name} diverged from oracle: {res}"
 
 
+def test_engine_forms_match_spec_sql(spark, sf_dir):
+    """Engine-form overrides (dq13-precedent rewrites that need Python,
+    e.g. dq33's BLAS path) must return byte-identical rows to the spec
+    SQL the oracle runs — float fold order and HALF_UP rounding included."""
+    from etl_rust_spark.catalog import register_views
+    from etl_rust_spark.functions.hashing import canonical_hash
+    from etl_rust_spark.queries.engine_forms import ENGINE_FORMS
+
+    register_views(spark, sf_dir)
+    for name, fn in ENGINE_FORMS.items():
+        spec_df = spark.sql(DECLARED[name].spark_sql)
+        eng_df = fn(spark, sf_dir)
+        cols = list(spec_df.columns)
+        assert list(eng_df.columns) == cols, name
+        h_spec = canonical_hash([tuple(r) for r in spec_df.collect()], cols)
+        h_eng = canonical_hash([tuple(r) for r in eng_df.collect()], cols)
+        assert h_spec == h_eng, f"{name} engine form diverged from spec SQL"
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 
