@@ -27,6 +27,7 @@ from etl_rust_spark.streaming.subscription import (
     work_stream,
 )
 from etl_rust_spark.streaming.stateful import running_user_totals
+from etl_rust_spark.streaming.joins import stream_dedupe, stream_interval_join
 from etl_rust_spark.streaming.windows import (
     events_stream,
     session_window_agg,
@@ -41,6 +42,8 @@ __all__ = [
     "sliding_window",
     "session_window_agg",
     "running_user_totals",
+    "stream_dedupe",
+    "stream_interval_join",
     "work_stream",
     "run_subscription",
     "entry_queries",

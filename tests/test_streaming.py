@@ -230,6 +230,64 @@ def test_subscription_checkpoint_resume(spark, tmp_path):
     assert spark.read.parquet(f"{out}/blocks").count() == 25
 
 
+def test_stream_dedupe_matches_batch_and_drops_in_window_dups(spark, sf_dir, events_src):
+    """dropDuplicatesWithinWatermark keeps first arrivals; the batch
+    fallback (plain dropDuplicates) is the row-set oracle."""
+    from etl_rust_spark.streaming import stream_dedupe
+
+    batch = load_table(spark, sf_dir, "events")
+    # plant exact dups: union the stream with itself (source read twice)
+    stream = events_stream(spark, events_src)
+    deduped = stream_dedupe(stream.union(stream), ["event_id"], watermark="1 hour")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sdedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("sdedup").select("event_id")
+    finally:
+        q.stop()
+    expected = stream_dedupe(batch.union(batch), ["event_id"]).select("event_id")
+    assert sorted(_rows(got)) == sorted(_rows(expected))
+    assert got.count() == batch.select("event_id").distinct().count()
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir, events_src):
+    """Stream×stream interval join == the identical join on bounded
+    frames (batch oracle), purchase-after-click attribution shape."""
+    from etl_rust_spark.streaming import stream_interval_join
+
+    batch = load_table(spark, sf_dir, "events")
+    clicks_b = batch.filter(F.col("event_type") == "click")
+    purch_b = batch.filter(F.col("event_type") == "purchase")
+    expected = stream_interval_join(
+        clicks_b, purch_b, on="user_id", upper="10 minutes"
+    ).select("event_id", "event_id_r")
+
+    stream = events_stream(spark, events_src)
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    purch_s = stream.filter(F.col("event_type") == "purchase")
+    joined = stream_interval_join(
+        clicks_s, purch_s, on="user_id", upper="10 minutes"
+    ).select("event_id", "event_id_r")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sjoin")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("sjoin")
+    finally:
+        q.stop()
+    assert sorted(_rows(got)) == sorted(_rows(expected))
+    assert expected.count() > 0  # the fixture must actually exercise the join
+
+
 def test_stateful_running_totals_match_batch(spark, tmp_path):
     """applyInPandasWithState totals accumulate across micro-batches and
     end equal to the batch groupBy over all input."""
