@@ -41,6 +41,7 @@ __all__ = [
     "FEATURE_SCHEMA",
     "make_asset_df",
     "extract_features",
+    "resize_images",
     "sample_frames",
 ]
 
@@ -115,6 +116,73 @@ def extract_features(df: DataFrame, dim: int = 8, decode_stub: bool = True) -> D
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, decode_stub: bool = True
+) -> DataFrame:
+    """Resize image payloads; returns the same asset schema with updated
+    payload bytes and ``meta.width/height``.
+
+    Plumbing is real: Arrow-batched mapInPandas over image rows only
+    (other modalities pass through untouched, no decode cost), payload
+    replaced in place, metadata struct rebuilt JVM-side.  The pixel
+    transform is the documented stub seam — deterministic
+    sha256-derived bytes keyed on (payload, w, h) so tests pin the full
+    path; ``decode_stub=False`` raises where PIL's
+    ``Image.open(...).resize((w, h))`` plugs in.
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real image resize requires PIL — not in this container; "
+            "run with decode_stub=True for the plumbing path"
+        )
+
+    imgs = df.filter(F.col("modality") == "image")
+    rest = df.filter(F.col("modality") != "image")
+    flat = imgs.select(
+        "asset_id", "modality", "payload",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+        F.col("meta.source_uri").alias("source_uri"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("asset_id", T.LongType(), False),
+            T.StructField("modality", T.StringType(), False),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("mime", T.StringType()),
+            T.StructField("duration_ms", T.IntegerType()),
+            T.StructField("source_uri", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_resize(p: bytes | None) -> bytes:
+            # STUB seam: real impl decodes, resizes to (width, height),
+            # re-encodes.  Deterministic fake keeps the contract testable.
+            return hashlib.sha256(
+                (p or b"") + f"{width}x{height}".encode()
+            ).digest()
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = pdf["payload"].map(fake_resize)
+            yield out
+
+    resized = flat.mapInPandas(run, out_schema).select(
+        "asset_id",
+        "modality",
+        "payload",
+        F.struct(
+            F.col("mime"),
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.col("duration_ms"),
+            F.col("source_uri"),
+        ).alias("meta"),
+    )
+    return resized.unionByName(rest)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -221,6 +221,33 @@ def test_multimodal_feature_pipeline(spark):
         mm.extract_features(df, decode_stub=False)
 
 
+def test_multimodal_resize_plumbing(spark):
+    from etl_rust_spark.operators import multimodal as mm
+
+    rows = [
+        (1, "image", b"\x89PNGfake", ("image/png", 32, 32, None, "s3://x/1.png")),
+        (2, "video", b"\x00\x00ftyp", ("video/mp4", 640, 480, 3500, "s3://x/2.mp4")),
+        (3, "image", None, ("image/png", 8, 8, None, "s3://x/3.png")),
+    ]
+    df = mm.make_asset_df(spark, rows)
+    out = mm.resize_images(df, 16, 16)
+    assert out.schema == df.schema  # asset schema preserved end to end
+    byid = {r.asset_id: r for r in out.collect()}
+    assert len(byid) == 3
+    # images: meta carries the new dims, payload replaced (stub bytes)
+    assert (byid[1].meta.width, byid[1].meta.height) == (16, 16)
+    assert bytes(byid[1].payload) != b"\x89PNGfake"
+    assert byid[1].meta.mime == "image/png" and byid[1].meta.source_uri == "s3://x/1.png"
+    # non-image passes through untouched
+    assert (byid[2].meta.width, byid[2].meta.height) == (640, 480)
+    assert bytes(byid[2].payload) == b"\x00\x00ftyp"
+    # determinism through the Arrow path + None payload handled
+    again = {r.asset_id: bytes(r.payload) for r in mm.resize_images(df, 16, 16).collect()}
+    assert bytes(byid[1].payload) == again[1] and bytes(byid[3].payload) == again[3]
+    with pytest.raises(NotImplementedError):
+        mm.resize_images(df, 16, 16, decode_stub=False)
+
+
 def test_langid_agrees_with_sql_form(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 50)
     api = text.language_id(docs, "text", "doc_id")
