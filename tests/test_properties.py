@@ -142,3 +142,147 @@ def test_shingle_count_bounds(spark, texts):
             assert 1 <= r["n"] <= n_tokens - 2  # distinct ≤ raw shingle count
         else:
             assert r["n"] == 1  # whole-text fallback
+
+
+# ---------------------------------------------------------------------------
+# Serialization round-trips (pure Python — full example budget):
+# borsh decode(encode(x)) == x, and the proto3/Avro encoders never crash
+# and respect framing invariants on arbitrary records.
+# ---------------------------------------------------------------------------
+
+BORSH_SPEC = {
+    "struct": [
+        ("a", "u64"),
+        ("b", "i32"),
+        ("c", "string"),
+        ("d", {"option": "f64"}),
+        ("e", {"vec": "u16"}),
+        ("f", "bytes"),
+        ("g", "bool"),
+        ("h", "i128"),
+    ]
+}
+
+borsh_values = st.fixed_dictionaries(
+    {
+        "a": st.integers(0, 2**64 - 1),
+        "b": st.integers(-(2**31), 2**31 - 1),
+        "c": st.text(max_size=40),
+        "d": st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False)),
+        "e": st.lists(st.integers(0, 2**16 - 1), max_size=10),
+        "f": st.binary(max_size=32),
+        "g": st.booleans(),
+        "h": st.integers(-(2**127), 2**127 - 1),
+    }
+)
+
+
+@given(borsh_values)
+def test_borsh_roundtrip_property(val):
+    from etl_rust_spark.functions.borsh import borsh_decode_bytes, borsh_encode_bytes
+
+    assert borsh_decode_bytes(borsh_encode_bytes(val, BORSH_SPEC), BORSH_SPEC) == val
+
+
+@given(
+    st.integers(-(2**63), 2**63 - 1),
+    st.text(max_size=30),
+    st.lists(st.integers(0, 2**63 - 1), max_size=8),
+)
+def test_proto_wire_invariants(n, s, xs):
+    """Wire-level invariants: every field starts with the right tag and
+    the whole buffer is consumed by a minimal tag/len walk."""
+    from etl_rust_spark.functions.wireformats import proto_encode_bytes
+
+    spec = [(1, "n", "int64"), (2, "s", "string"), (3, "xs", ("repeated", "uint64"))]
+    buf = proto_encode_bytes({"n": n, "s": s, "xs": xs}, spec)
+
+    # walk: varint tag -> wire type 0 (varint) or 2 (len-delimited)
+    i, seen = 0, []
+    while i < len(buf):
+        tag = 0
+        shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            tag |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        fno, wt = tag >> 3, tag & 7
+        seen.append(fno)
+        if wt == 0:
+            while buf[i] & 0x80:
+                i += 1
+            i += 1
+        elif wt == 2:
+            ln = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                ln |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            i += ln
+        else:
+            raise AssertionError(f"unexpected wire type {wt}")
+    assert i == len(buf)
+    expected = [1, 2] + ([3] if xs else [])
+    assert seen == expected
+
+
+@given(
+    st.integers(-(2**63), 2**63 - 1),
+    st.one_of(st.none(), st.text(max_size=20)),
+    st.lists(st.integers(-(2**31), 2**31 - 1), max_size=6),
+)
+def test_avro_binary_decodable(n, tag, xs):
+    """Encode then decode with an independent minimal reader — the
+    encoder must produce spec-conformant zigzag/blocks/unions."""
+    from etl_rust_spark.functions.wireformats import avro_encode_bytes
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "n", "type": "long"},
+            {"name": "tag", "type": ["null", "string"]},
+            {"name": "xs", "type": {"type": "array", "items": "int"}},
+        ],
+    }
+    buf = avro_encode_bytes({"n": n, "tag": tag, "xs": xs}, schema)
+
+    pos = [0]
+
+    def zz() -> int:
+        v, shift = 0, 0
+        while True:
+            b = buf[pos[0]]
+            pos[0] += 1
+            v |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        return (v >> 1) ^ -(v & 1)
+
+    assert zz() == n
+    branch = zz()
+    if tag is None:
+        assert branch == 0
+    else:
+        assert branch == 1
+        ln = zz()
+        got = buf[pos[0] : pos[0] + ln].decode()
+        pos[0] += ln
+        assert got == tag
+    got_xs = []
+    while True:
+        cnt = zz()
+        if cnt == 0:
+            break
+        for _ in range(cnt):
+            got_xs.append(zz())
+    assert got_xs == xs
+    assert pos[0] == len(buf)
