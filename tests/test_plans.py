@@ -89,3 +89,30 @@ def test_streaming_window_ops_prune_events(spark, sf_dir):
     rep = audit(entry_queries()["op_time_windows"](spark, sf_dir))
     # Only ts + value needed from the 6-column events table.
     assert rep.read_columns("events") <= {"ts", "value"}, rep.plan
+
+
+def test_curate_pipeline_plan_shape(spark, sf_dir):
+    """The composed curation pipeline stays a sane distributed plan:
+    no cartesian products anywhere (the near-dup stage must remain the
+    banded LSH join, never an all-pairs blowup), and the language/
+    quality stages add no Python evaluation — text scoring is all
+    JVM-side expressions."""
+    from etl_rust_spark.catalog import load_table
+    from etl_rust_spark.operators import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    cur = curate.curate_corpus(docs, languages=["en"], min_quality_bp=1000)
+    rep = audit(cur)
+    assert rep.cartesian_products == 0, rep.plan
+    assert rep.python_evals == 0, rep.plan
+
+
+def test_dq33_engine_form_streams_corpus_once(spark, sf_dir):
+    """The BLAS engine form must read embeddings without a join —
+    one corpus scan into mapInPandas, then a 10-row-per-batch reduce;
+    the quadratic pair relation of the spec SQL must NOT appear."""
+    from etl_rust_spark.queries.engine_forms import dq33_engine
+
+    rep = audit(dq33_engine(spark, sf_dir))
+    assert rep.cartesian_products == 0, rep.plan
+    assert "Join" not in rep.plan, rep.plan
