@@ -1,0 +1,269 @@
+"""Minimal AMQP 0-9-1 publisher (K-06, RabbitMQ classic) — stdlib only.
+
+The reference's RabbitMQ classic sink declares a durable queue and
+publishes each record with ``basic_publish`` to the default exchange
+with routing-key = queue name (src/output/rabbitmq_classic.rs:20-122,
+channel per thread ``with_channel``).  No AMQP client library ships in
+this container, so this implements the small slice of the PUBLIC
+AMQP 0-9-1 spec (https://www.rabbitmq.com/resources/specs/amqp0-9-1.pdf)
+a publisher needs: connection handshake (PLAIN auth), channel open,
+durable queue declare, basic.publish with persistent delivery mode, and
+clean close.  Wire framing is golden-byte tested; the client runs
+against a real RabbitMQ unchanged.
+
+Frame grammar used (all multi-byte ints big-endian):
+    frame       = type:octet channel:short size:long payload frame-end(0xCE)
+    method      = class-id:short method-id:short args
+    shortstr    = len:octet bytes           longstr = len:long bytes
+    field-table = len:long entries          (empty, or one longstr entry)
+
+Executor lifecycle matches the other transports: one client per
+partition via :class:`~etl_rust_spark.etl.sinks.QueueClient`, lazy
+connect, explicit disconnect (K-09).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+from typing import Any
+
+__all__ = ["AmqpError", "AmqpClassicClient", "amqp_client_factory"]
+
+FRAME_METHOD, FRAME_HEADER, FRAME_BODY = 1, 2, 3
+FRAME_END = 0xCE
+PROTOCOL_HEADER = b"AMQP\x00\x00\x09\x01"
+
+# class/method ids (spec §1.x)
+CONN_START, CONN_START_OK = (10, 10), (10, 11)
+CONN_TUNE, CONN_TUNE_OK = (10, 30), (10, 31)
+CONN_OPEN, CONN_OPEN_OK = (10, 40), (10, 41)
+CONN_CLOSE, CONN_CLOSE_OK = (10, 50), (10, 51)
+CH_OPEN, CH_OPEN_OK = (20, 10), (20, 11)
+Q_DECLARE, Q_DECLARE_OK = (50, 10), (50, 11)
+BASIC_PUBLISH = (60, 40)
+BASIC_CLASS = 60
+FLAG_DELIVERY_MODE = 1 << 12  # property flag bit (spec §2.3.5.2 order)
+
+
+class AmqpError(RuntimeError):
+    pass
+
+
+def shortstr(s: str) -> bytes:
+    raw = s.encode("utf-8")
+    if len(raw) > 255:
+        raise AmqpError("shortstr > 255 bytes")
+    return bytes([len(raw)]) + raw
+
+
+def longstr(raw: bytes) -> bytes:
+    return struct.pack(">I", len(raw)) + raw
+
+
+def frame(ftype: int, channel: int, payload: bytes) -> bytes:
+    return (
+        struct.pack(">BHI", ftype, channel, len(payload)) + payload + bytes([FRAME_END])
+    )
+
+
+def method_frame(channel: int, cm: tuple[int, int], args: bytes = b"") -> bytes:
+    return frame(FRAME_METHOD, channel, struct.pack(">HH", *cm) + args)
+
+
+def content_frames(
+    channel: int, body: bytes, frame_max: int, delivery_mode: int = 2
+) -> bytes:
+    header = struct.pack(
+        ">HHQH", BASIC_CLASS, 0, len(body), FLAG_DELIVERY_MODE
+    ) + bytes([delivery_mode])
+    out = frame(FRAME_HEADER, channel, header)
+    # split body across frames if it exceeds the tuned frame-max payload;
+    # zero-length bodies send no body frame (spec: body-size 0 ends the
+    # content after the header frame)
+    chunk = max(frame_max - 8, 1)
+    for i in range(0, len(body), chunk):
+        out += frame(FRAME_BODY, channel, body[i : i + chunk])
+    return out
+
+
+def publish_frames(
+    channel: int, queue: str, body: bytes, frame_max: int = 131072
+) -> bytes:
+    """basic.publish to the default exchange, routing-key = queue —
+    exactly the reference's publish shape (rabbitmq_classic.rs:104-116).
+    Exposed standalone so tests can golden-byte the wire output."""
+    args = struct.pack(">H", 0) + shortstr("") + shortstr(queue) + b"\x00"
+    return method_frame(channel, BASIC_PUBLISH, args) + content_frames(
+        channel, body, frame_max
+    )
+
+
+def declare_frames(channel: int, queue: str, queue_type: str | None = None) -> bytes:
+    """durable=1 (bit 1 of the packed flags octet).  ``queue_type="stream"``
+    adds the ``x-queue-type`` argument-table entry — the public AMQP
+    surface of RabbitMQ streams (K-07): same declare/publish verbs, the
+    broker stores to a stream instead of a classic queue."""
+    if queue_type is None:
+        table = struct.pack(">I", 0)  # empty arguments table
+    else:
+        entry = shortstr("x-queue-type") + b"S" + longstr(queue_type.encode())
+        table = struct.pack(">I", len(entry)) + entry
+    args = struct.pack(">H", 0) + shortstr(queue) + bytes([0b00000010]) + table
+    return method_frame(channel, Q_DECLARE, args)
+
+
+class AmqpClassicClient:
+    """QueueClient over AMQP 0-9-1; one connection + one channel."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int = 5672,
+        user: str = "guest",
+        password: str = "guest",
+        vhost: str = "/",
+        timeout_s: float = 30.0,
+        queue_type: str | None = None,
+    ) -> None:
+        self.host, self.port = host, port
+        self.user, self.password, self.vhost = user, password, vhost
+        self.timeout_s = timeout_s
+        self.queue_type = queue_type  # None = classic (K-06); "stream" = K-07
+        self._sock: socket.socket | None = None
+        self._frame_max = 131072
+        self._declared: set[str] = set()
+        self.connected = False
+
+    # -- framing I/O -------------------------------------------------------
+    def _read_exactly(self, n: int) -> bytes:
+        assert self._sock is not None
+        buf = b""
+        while len(buf) < n:
+            chunk = self._sock.recv(n - len(buf))
+            if not chunk:
+                raise AmqpError("connection closed by peer")
+            buf += chunk
+        return buf
+
+    def _read_frame(self) -> tuple[int, int, bytes]:
+        head = self._read_exactly(7)
+        ftype, channel, size = struct.unpack(">BHI", head)
+        payload = self._read_exactly(size)
+        end = self._read_exactly(1)
+        if end[0] != FRAME_END:
+            raise AmqpError("bad frame end")
+        return ftype, channel, payload
+
+    def _expect_method(self, cm: tuple[int, int]) -> bytes:
+        ftype, _ch, payload = self._read_frame()
+        if ftype != FRAME_METHOD:
+            raise AmqpError(f"expected method frame, got type {ftype}")
+        got = struct.unpack(">HH", payload[:4])
+        if got != cm:
+            raise AmqpError(f"expected {cm}, got {got}")
+        return payload[4:]
+
+    def _send(self, data: bytes) -> None:
+        assert self._sock is not None
+        self._sock.sendall(data)
+
+    # -- lifecycle ---------------------------------------------------------
+    def connect(self) -> None:
+        if self.connected:
+            return
+        try:
+            self._sock = socket.create_connection(
+                (self.host, self.port), timeout=self.timeout_s
+            )
+            self._send(PROTOCOL_HEADER)
+            self._expect_method(CONN_START)
+            props = struct.pack(">I", 0)  # empty client-properties table
+            plain = b"\x00" + self.user.encode() + b"\x00" + self.password.encode()
+            self._send(
+                method_frame(
+                    0,
+                    CONN_START_OK,
+                    props + shortstr("PLAIN") + longstr(plain) + shortstr("en_US"),
+                )
+            )
+            tune = self._expect_method(CONN_TUNE)
+            _ch_max, frame_max, _hb = struct.unpack(">HIH", tune)
+            if frame_max:
+                self._frame_max = frame_max
+            self._send(
+                method_frame(
+                    0, CONN_TUNE_OK, struct.pack(">HIH", 0, self._frame_max, 0)
+                )
+            )
+            self._send(
+                method_frame(0, CONN_OPEN, shortstr(self.vhost) + shortstr("") + b"\x00")
+            )
+            self._expect_method(CONN_OPEN_OK)
+            self._send(method_frame(1, CH_OPEN, shortstr("")))
+            self._expect_method(CH_OPEN_OK)
+            self.connected = True
+        except (OSError, struct.error) as exc:
+            raise AmqpError(str(exc)) from exc
+
+    def _ensure_queue(self, queue: str) -> None:
+        if queue in self._declared:
+            return
+        self._send(declare_frames(1, queue, self.queue_type))
+        self._expect_method(Q_DECLARE_OK)
+        self._declared.add(queue)
+
+    # -- QueueClient protocol ---------------------------------------------
+    def publish(self, table: str, payload: Any) -> None:
+        self.connect()
+        self._ensure_queue(table)
+        body = payload if isinstance(payload, bytes) else str(payload).encode()
+        try:
+            self._send(publish_frames(1, table, body, self._frame_max))
+        except OSError as exc:
+            self.connected = False  # publisher ladder reconnects via factory
+            raise AmqpError(str(exc)) from exc
+
+    def publish_batch(self, table: str, payloads: list[Any]) -> None:
+        # The reference publishes per message even in bulk
+        # (rabbitmq_classic.rs: per-message basic_publish) — same here.
+        for p in payloads:
+            self.publish(table, p)
+
+    def disconnect(self) -> None:
+        if not self.connected or self._sock is None:
+            self.connected = False
+            return
+        try:
+            self._send(
+                method_frame(
+                    0, CONN_CLOSE, struct.pack(">H", 200) + shortstr("bye")
+                    + struct.pack(">HH", 0, 0)
+                )
+            )
+            self._expect_method(CONN_CLOSE_OK)
+        except (AmqpError, OSError):
+            pass  # best-effort close
+        finally:
+            self._sock.close()
+            self._sock = None
+            self.connected = False
+
+
+def amqp_client_factory(
+    host: str,
+    port: int = 5672,
+    user: str = "guest",
+    password: str = "guest",
+    vhost: str = "/",
+    queue_type: str | None = None,
+):
+    """Picklable per-partition factory for ``publish_tables`` (K-09)."""
+
+    def make() -> AmqpClassicClient:
+        return AmqpClassicClient(
+            host, port, user=user, password=password, vhost=vhost,
+            queue_type=queue_type,
+        )
+
+    return make
