@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "QueueClient",
     "DirQueueClient",
+    "JsonPerRecordClient",
     "encode_json",
     "encode_avro",
     "encode_protobuf",
@@ -97,6 +98,60 @@ class DirQueueClient:
 
     def publish_batch(self, table: str, payloads: list[Any]) -> None:
         self._write(table, payloads, "batch")
+
+    def disconnect(self) -> None:
+        self.connected = False
+
+
+class JsonPerRecordClient:
+    """K-02 exact shape: ONE ``{name}.json`` file per record in a
+    per-table directory (reference JSON sink, src/output/json.rs:44-63 —
+    name comes from the record, e.g. the block number).
+
+    ``name_field`` extracts the name from the JSON payload; records
+    without it (or non-JSON payloads) fall back to a collision-free
+    pid+uuid name.  Duplicate names get a numeric suffix rather than the
+    reference's busy-wait-while-exists loop."""
+
+    def __init__(self, root: str, name_field: str | None = None) -> None:
+        self.root = root
+        self.name_field = name_field
+        self.connected = True
+
+    def _name(self, payload: Any) -> str:
+        import json as _json
+        import os
+        import uuid
+
+        if self.name_field:
+            try:
+                v = _json.loads(
+                    payload.decode() if isinstance(payload, bytes) else str(payload)
+                )[self.name_field]
+                return str(v)
+            except Exception:
+                pass
+        return f"{os.getpid()}-{uuid.uuid4().hex}"
+
+    def publish(self, table: str, payload: Any) -> None:
+        from pathlib import Path
+
+        d = Path(self.root) / table
+        d.mkdir(parents=True, exist_ok=True)
+        base = self._name(payload)
+        f = d / f"{base}.json"
+        n = 0
+        while f.exists():
+            n += 1
+            f = d / f"{base}-{n}.json"
+        data = payload if isinstance(payload, str) else (
+            payload.decode() if isinstance(payload, bytes) else str(payload)
+        )
+        f.write_text(data)
+
+    def publish_batch(self, table: str, payloads: list[Any]) -> None:
+        for p in payloads:
+            self.publish(table, p)
 
     def disconnect(self) -> None:
         self.connected = False

@@ -115,6 +115,28 @@ def test_encode_json_stamps_publish_ts(spark):
     assert set(rec) == {"a", "publish_ts"} and rec["publish_ts"]
 
 
+def test_json_per_record_client(spark, tmp_path):
+    """K-02 exact shape: one {name}.json per record, named from the
+    record's key field (reference json.rs:44-63), through the real
+    executor publisher."""
+    from etl_rust_spark.etl.sinks import JsonPerRecordClient, publish_table
+
+    df = spark.createDataFrame([(7, "a"), (9, "b")], ["block_index", "x"]).coalesce(1)
+    publish_table(
+        df, "blocks", lambda: JsonPerRecordClient(str(tmp_path), "block_index")
+    )
+    files = sorted(f.name for f in (tmp_path / "blocks").glob("*.json"))
+    assert files == ["7.json", "9.json"]
+    assert json.loads((tmp_path / "blocks" / "7.json").read_text())["x"] == "a"
+    # name collisions get suffixed, never clobbered or spun on
+    c = JsonPerRecordClient(str(tmp_path), "block_index")
+    c.publish("blocks", '{"block_index": 7, "x": "dup"}')
+    assert (tmp_path / "blocks" / "7-1.json").exists()
+    # no name field -> uuid fallback
+    c.publish("blocks", "not-json")
+    assert len(list((tmp_path / "blocks").glob("*.json"))) == 4
+
+
 # ---------------------------------------------------------------------------
 # K-05 Kafka wiring (plan-level — no broker/jar in this container) and
 # X-03/X-04 encoder golden bytes (skip-marked until jars appear)
