@@ -155,6 +155,22 @@ def _op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+def _op_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The composed curation pipeline (language filter on PREDICTED lang →
+    # quality floor → exact dedupe → LSH near-dup drop) hash-gated end to
+    # end: stage mirrors alone can't catch composition bugs (filter
+    # ordering, which id survives a dedup pair, near-dup corpus scope).
+    from etl_rust_spark.operators import curate
+
+    cur = curate.curate_corpus(
+        _docs(spark, sf_dir),
+        languages=["en"],
+        min_quality_bp=2000,
+        near_dup_threshold=0.2,
+    )
+    return cur.select("doc_id", "lang", "lang_pred", "quality_bp").orderBy("doc_id")
+
+
 def _op_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Rows-only: both ANN paths are approximate by design (random
     # hyperplanes / learned quantizer); recall vs cosine_topk is
@@ -169,6 +185,14 @@ def _op_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf").alias("src"), "qid", "cid", "cos", "rn"
     )
     return lsh.unionByName(ivf).orderBy("src", "qid", "rn")
+
+
+def _curate_duck_sql() -> str:
+    from etl_rust_spark.operators import curate
+
+    return curate.curate_duck_sql(
+        languages=("en",), min_quality_bp=2000, near_dup_threshold=0.2
+    )
 
 
 def _near_dup_pairs_duck_sql() -> str:
@@ -190,6 +214,7 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "op_text_profile": _op_text_profile,
         "op_sketches": _op_sketches,
         "op_near_dup_pairs": _op_near_dup_pairs,
+        "op_curate": _op_curate,
         "op_cosine_topk": _op_cosine_topk,
         "op_ann_topk": _op_ann_topk,
         "op_multimodal_features": _op_multimodal_features,
@@ -202,6 +227,7 @@ def entry_oracle_sql() -> dict[str, str]:
         "op_text_profile": text.text_profile_duck_sql(200),
         "op_sketches": dedup.sketches_duck_sql(100),
         "op_near_dup_pairs": _near_dup_pairs_duck_sql(),
+        "op_curate": _curate_duck_sql(),
         "op_cosine_topk": similarity.cosine_topk_sql(20)[1],
         # op_ann_topk / op_multimodal_features: intentionally no oracle
         # (random-hyperplane buckets + learned quantizer / python decode

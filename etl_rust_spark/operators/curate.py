@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from etl_rust_spark.operators import dedup, text
 
-__all__ = ["curate_corpus", "curation_report"]
+__all__ = ["curate_corpus", "curation_report", "curate_duck_sql"]
 
 
 def curate_corpus(
@@ -44,13 +44,16 @@ def curate_corpus(
     near_dup_threshold: float | None = 0.5,
     shingle_width: int = 3,
 ) -> DataFrame:
-    """Return the curated corpus (original columns + ``lang`` +
-    ``quality_bp``), lazily — one composed plan, no actions."""
+    """Return the curated corpus (original columns + language votes +
+    ``lang_pred`` + ``quality_bp``), lazily — one composed plan, no
+    actions.  The language filter uses the PREDICTED language
+    (``lang_pred``): a production corpus has no ground-truth ``lang``
+    column, so the pipeline must run on its own classifier output."""
     lang = text.language_id(docs, text_col, id_col)
     qual = text.quality_score(docs, text_col, id_col)
     cur = docs.join(lang, id_col).join(qual, id_col)
     if languages is not None:
-        cur = cur.filter(F.col("lang").isin(list(languages)))
+        cur = cur.filter(F.col("lang_pred").isin(list(languages)))
     if min_quality_bp > 0:
         cur = cur.filter(F.col("quality_bp") >= min_quality_bp)
     cur = dedup.exact_dedupe(cur, [text_col], id_col)
@@ -76,3 +79,46 @@ def curation_report(
     n_in = docs.count()
     n_kept = curated.count()
     return {"input": n_in, "kept": n_kept, "removed": n_in - n_kept}
+
+
+def curate_duck_sql(
+    languages: tuple[str, ...] = ("en",),
+    min_quality_bp: int = 2000,
+    near_dup_threshold: float = 0.2,
+    shingle_width: int = 3,
+) -> str:
+    """DuckDB mirror of the full curation composition over ``documents``
+    — language-ID filter (predicted), quality filter, exact dedupe
+    (min-id keep), MinHash-LSH near-dup drop — so the one pipeline a
+    training-data user actually runs is itself hash-gated end to end,
+    not only its stages.  Reuses the stage mirrors verbatim:
+    language/quality CTEs from text.py conventions, LSH CTE chain from
+    :func:`dedup.minhash_lsh_duck_ctes` re-pointed at the filtered
+    corpus."""
+    votes = ", ".join(text._vote_exprs("duck"))
+    case = text._argmax_case()
+    en = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
+    langs = ", ".join(f"'{lang}'" for lang in languages)
+    lsh = dedup.minhash_lsh_duck_ctes(
+        "ded", threshold=near_dup_threshold, width=shingle_width
+    )
+    return f"""
+WITH d0 AS (SELECT doc_id, text, lang FROM documents),
+tq AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d0),
+v AS (SELECT doc_id, {votes} FROM tq),
+langp AS (SELECT doc_id, {case} AS lang_pred FROM v),
+qm AS (SELECT doc_id, len(toks) AS nt,
+        len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS ttr,
+        len(list_filter(toks, x -> list_contains([{en}], x))) / CAST(len(toks) AS DOUBLE) AS swr
+      FROM tq),
+qual AS (SELECT doc_id,
+  CAST(FLOOR((LEAST(nt / 64.0, 1.0) * 0.4 + ttr * 0.4 + LEAST(swr * 5, 1.0) * 0.2) * 10000) AS BIGINT) AS quality_bp
+  FROM qm),
+filt AS (SELECT d0.doc_id, d0.text, d0.lang, langp.lang_pred, qual.quality_bp
+         FROM d0 JOIN langp USING (doc_id) JOIN qual USING (doc_id)
+         WHERE langp.lang_pred IN ({langs}) AND qual.quality_bp >= {min_quality_bp}),
+keep AS (SELECT MIN(doc_id) AS keep_id FROM filt GROUP BY text),
+ded AS (SELECT f.* FROM filt f JOIN keep k ON f.doc_id = k.keep_id),
+{lsh}
+SELECT doc_id, lang, lang_pred, quality_bp FROM ded
+WHERE doc_id NOT IN (SELECT cid FROM lshp) ORDER BY doc_id"""

@@ -425,18 +425,20 @@ SELECT doc_id, {', '.join(f'sig{j}' for j in range(len(MINHASH_PERMS)))}, simhas
 FROM sig JOIN sim USING (doc_id) ORDER BY doc_id"""
 
 
-def minhash_lsh_pairs_duck_sql(
+def minhash_lsh_duck_ctes(
+    source: str = "documents",
     threshold: float = 0.2,
     width: int = 3,
     bands: int = 4,
     max_bucket: int = 256,
 ) -> str:
-    """DuckDB mirror of :func:`minhash_lsh_pairs` over the full
-    ``documents`` table — upgrades the LSH entry from rows-only to
-    hash-gated: every stage (shingle hash, signatures, band keys, sorted
-    capped buckets, pair explosion, hashed-shingle Jaccard) is
-    deterministic md5 arithmetic, so the oracle can reproduce the
-    pipeline exactly.  Verified equal at sf0.001 and sf0.01."""
+    """CTE-chain body (no leading ``WITH``) mirroring
+    :func:`minhash_lsh_pairs` in DuckDB over relation ``source`` —
+    ``source`` must expose ``doc_id`` and ``text``.  Terminal CTE is
+    ``lshp(qid, cid, jaccard)``.  Parameterizing the source lets the
+    same verified mirror gate both the standalone pair entry (full
+    ``documents``) and compositions like the curation pipeline, whose
+    near-dup stage runs over an already-filtered corpus."""
     k = len(MINHASH_PERMS)
     rows = k // bands
     h = duck_h(x="s")
@@ -457,8 +459,7 @@ def minhash_lsh_pairs_duck_sql(
         f"SELECT doc_id, {b} AS band, band{b} AS key FROM banded"
         for b in range(bands)
     )
-    return f"""
-WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    return f"""t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM {source}),
 s AS (SELECT doc_id,
   CASE WHEN len(toks) >= {width}
        THEN list_distinct(list_transform(range(1, len(toks) - {width - 2}), i -> {parts}))
@@ -479,5 +480,21 @@ cand AS (SELECT DISTINCT p[1] AS qid, p[2] AS cid FROM pairs),
 ver AS (
   SELECT qid, cid,
     ROUND(len(list_intersect(ha.hs, hb.hs)) / CAST(len(list_distinct(list_concat(ha.hs, hb.hs))) AS DOUBLE), 4) AS jaccard
-  FROM cand JOIN hs ha ON ha.doc_id = cand.qid JOIN hs hb ON hb.doc_id = cand.cid)
-SELECT qid, cid, jaccard FROM ver WHERE jaccard >= {threshold} ORDER BY qid, cid"""
+  FROM cand JOIN hs ha ON ha.doc_id = cand.qid JOIN hs hb ON hb.doc_id = cand.cid),
+lshp AS (SELECT qid, cid, jaccard FROM ver WHERE jaccard >= {threshold})"""
+
+
+def minhash_lsh_pairs_duck_sql(
+    threshold: float = 0.2,
+    width: int = 3,
+    bands: int = 4,
+    max_bucket: int = 256,
+) -> str:
+    """DuckDB mirror of :func:`minhash_lsh_pairs` over the full
+    ``documents`` table — upgrades the LSH entry from rows-only to
+    hash-gated: every stage (shingle hash, signatures, band keys, sorted
+    capped buckets, pair explosion, hashed-shingle Jaccard) is
+    deterministic md5 arithmetic, so the oracle can reproduce the
+    pipeline exactly.  Verified equal at sf0.001 and sf0.01."""
+    ctes = minhash_lsh_duck_ctes("documents", threshold, width, bands, max_bucket)
+    return f"WITH {ctes}\nSELECT qid, cid, jaccard FROM lshp ORDER BY qid, cid"

@@ -15,8 +15,8 @@ def test_curate_stages_compose(spark, sf_dir):
     cur = curate.curate_corpus(docs, languages=["en"], min_quality_bp=3000)
     rows = cur.collect()
     assert rows, "curation removed everything"
-    assert {"lang", "quality_bp"} <= set(cur.columns)
-    assert all(r["lang"] == "en" and r["quality_bp"] >= 3000 for r in rows)
+    assert {"lang_pred", "quality_bp"} <= set(cur.columns)
+    assert all(r["lang_pred"] == "en" and r["quality_bp"] >= 3000 for r in rows)
     # exact dups gone
     texts = [r["text"] for r in rows]
     assert len(texts) == len(set(texts))
