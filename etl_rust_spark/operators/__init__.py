@@ -35,10 +35,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_rust_spark.catalog import load_table, register_views
-from etl_rust_spark.operators import dedup, similarity, text
+from etl_rust_spark.operators import dedup, pack, scrub, similarity, text
 
 __all__ = [
     "dedup",
+    "pack",
+    "scrub",
     "similarity",
     "text",
     "entry_queries",

@@ -303,6 +303,92 @@ def bpe_token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, n_grams, top_tok_frac, top_2gram_frac): Gopher-style
+    repetition signals — the fraction of token mass held by the most
+    frequent token and by the most frequent 2-gram.  High values mark
+    boilerplate/looping text a training pipeline filters out.
+
+    Shape for 100 TB: explode → per-(doc, gram) count → per-doc max via
+    partial-aggregated groupBy.  The shuffle carries (id, gram-hash)
+    pairs, never text; both levels combine map-side, so skew from a
+    pathological doc stays bounded by its own token count.  Ties need no
+    breaking: only the max count is kept, not the winning gram.
+    """
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("tk"))
+    # hash grams to 62-bit ints before the shuffle (compact keys, same
+    # cardinality); portable md5 arithmetic keeps it oracle-gateable.
+    tok1 = toks.select(
+        id_col, F.explode(F.expr(f"transform(tk, t -> {spark_h(x='t')} % {MINHASH_P})")).alias("g")
+    )
+    gram2_h = spark_h(x="concat_ws(' ', element_at(tk, i), element_at(tk, i + 1))")
+    tok2 = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), "
+                f"i -> {gram2_h} % {MINHASH_P}) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+
+    def top_frac(exploded: DataFrame, out: str) -> DataFrame:
+        per_gram = exploded.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+        return per_gram.groupBy(id_col).agg(
+            F.sum("c").alias(f"__n_{out}"),
+            F.round(F.max("c") / F.sum("c").cast("double"), 4).alias(out),
+        )
+
+    t1 = top_frac(tok1, "top_tok_frac")
+    t2 = top_frac(tok2, "top_2gram_frac")
+    return (
+        t1.join(t2, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__n_top_2gram_frac"), F.lit(0)).alias("n_grams"),
+            F.col("top_tok_frac"),
+            F.coalesce(F.col("top_2gram_frac"), F.lit(0.0)).alias("top_2gram_frac"),
+        )
+    )
+
+
+def repetition_stats_sql(max_doc: int = 200) -> tuple[str, str]:
+    h_sp = spark_h(x="g")
+    h_du = duck_h(x="g")
+    spark = f"""
+WITH t AS (SELECT doc_id, split(text, ' ') AS tk FROM documents WHERE doc_id <= {max_doc}),
+g1 AS (SELECT doc_id, {h_sp} % {MINHASH_P} AS gh
+       FROM (SELECT doc_id, explode(tk) AS g FROM t)),
+g2 AS (SELECT doc_id, {h_sp} % {MINHASH_P} AS gh
+       FROM (SELECT doc_id, explode(CASE WHEN size(tk) >= 2
+               THEN transform(sequence(1, size(tk) - 1), i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))
+               ELSE array() END) AS g FROM t)),
+c1 AS (SELECT doc_id, gh, COUNT(*) AS c FROM g1 GROUP BY doc_id, gh),
+c2 AS (SELECT doc_id, gh, COUNT(*) AS c FROM g2 GROUP BY doc_id, gh),
+f1 AS (SELECT doc_id, ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_tok_frac FROM c1 GROUP BY doc_id),
+f2 AS (SELECT doc_id, SUM(c) AS n_grams, ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_2gram_frac FROM c2 GROUP BY doc_id)
+SELECT f1.doc_id, CAST(COALESCE(f2.n_grams, 0) AS BIGINT) AS n_grams, f1.top_tok_frac,
+  COALESCE(f2.top_2gram_frac, 0.0) AS top_2gram_frac
+FROM f1 LEFT JOIN f2 ON f1.doc_id = f2.doc_id ORDER BY f1.doc_id"""
+    duck = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents WHERE doc_id <= {max_doc}),
+g1 AS (SELECT doc_id, {h_du} % {MINHASH_P} AS gh
+       FROM (SELECT doc_id, unnest(tk) AS g FROM t)),
+g2 AS (SELECT doc_id, {h_du} % {MINHASH_P} AS gh
+       FROM (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+               THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+               ELSE [] END) AS g FROM t)),
+c1 AS (SELECT doc_id, gh, COUNT(*) AS c FROM g1 GROUP BY doc_id, gh),
+c2 AS (SELECT doc_id, gh, COUNT(*) AS c FROM g2 GROUP BY doc_id, gh),
+f1 AS (SELECT doc_id, ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_tok_frac FROM c1 GROUP BY doc_id),
+f2 AS (SELECT doc_id, SUM(c) AS n_grams, ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_2gram_frac FROM c2 GROUP BY doc_id)
+SELECT f1.doc_id, CAST(COALESCE(f2.n_grams, 0) AS BIGINT) AS n_grams, f1.top_tok_frac,
+  COALESCE(f2.top_2gram_frac, 0.0) AS top_2gram_frac
+FROM f1 LEFT JOIN f2 ON f1.doc_id = f2.doc_id ORDER BY f1.doc_id"""
+    return spark, duck
+
+
 def bpe_token_stats_sql(max_doc: int = 200) -> tuple[str, str]:
     pat = BPE_TOKEN_RE
     spark = f"""

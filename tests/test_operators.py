@@ -258,3 +258,33 @@ def test_langid_agrees_with_sql_form(spark, sf_dir):
     assert canonical_hash([tuple(r) for r in api.collect()], api.columns) == canonical_hash(
         [tuple(r) for r in sql.collect()], sql.columns
     )
+
+
+def test_repetition_stats_three_way(spark, duck, sf_dir):
+    """Operator DataFrame == Spark SQL form == DuckDB form."""
+    from etl_rust_spark.catalog import register_views
+    from tests.oracle import run_duck
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    api = text.repetition_stats(docs, "text", "doc_id").orderBy("doc_id")
+    register_views(spark, sf_dir)
+    sp_sql, du_sql = text.repetition_stats_sql(100)
+    sql = spark.sql(sp_sql)
+    h_api = canonical_hash([tuple(r) for r in api.collect()], api.columns)
+    h_sql = canonical_hash([tuple(r) for r in sql.collect()], sql.columns)
+    drows, dcols = run_duck(duck, du_sql)
+    assert h_api == h_sql == canonical_hash(drows, dcols)
+
+
+def test_repetition_stats_flags_looping_text(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam"),
+        (2, "all tokens here are fully distinct words"),
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.repetition_stats(df, "text", "doc_id").collect()}
+    assert got[1]["top_tok_frac"] == 1.0 and got[1]["top_2gram_frac"] == 1.0
+    assert got[2]["top_tok_frac"] < 0.2
+    # single-token doc: no 2-grams, frac coalesces to 0
+    assert got[3]["n_grams"] == 0 and got[3]["top_2gram_frac"] == 0.0

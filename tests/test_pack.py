@@ -1,0 +1,111 @@
+"""Sampling + sequence packing (operators/pack.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_rust_spark.catalog import load_table, register_views
+from etl_rust_spark.functions.hashing import canonical_hash
+from etl_rust_spark.operators import pack, text
+from tests.oracle import run_duck
+
+
+def test_hash_sample_matches_duckdb(spark, duck, sf_dir):
+    register_views(spark, sf_dir)
+    sp_sql, du_sql = pack.hash_sample_sql(0.3)
+    df = spark.sql(sp_sql)
+    drows, dcols = run_duck(duck, du_sql)
+    assert canonical_hash(
+        [tuple(r) for r in df.collect()], list(df.columns)
+    ) == canonical_hash(drows, dcols)
+
+
+def test_hash_sample_operator_matches_sql_form(spark, sf_dir):
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    op = pack.hash_sample(docs, 0.3).orderBy("doc_id")
+    sql = spark.sql(pack.hash_sample_sql(0.3)[0])
+    assert [r["doc_id"] for r in op.collect()] == [r["doc_id"] for r in sql.collect()]
+
+
+def test_hash_sample_properties(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    s30 = pack.hash_sample(docs, 0.3)
+    k = s30.count()
+    # deterministic: same rows on a second evaluation
+    assert sorted(r["doc_id"] for r in s30.collect()) == sorted(
+        r["doc_id"] for r in pack.hash_sample(docs, 0.3).collect()
+    )
+    # rate roughly honored (binomial tolerance, small corpora are noisy)
+    assert 0.12 * n <= k <= 0.5 * n
+    # nested property: a 10% sample is a subset of the 30% sample
+    # (same seed → same hash ordering — lets pipelines grow samples
+    # without resampling everything)
+    s10 = {r["doc_id"] for r in pack.hash_sample(docs, 0.1).collect()}
+    assert s10 <= {r["doc_id"] for r in s30.collect()}
+    # different seed → different draw
+    other = {r["doc_id"] for r in pack.hash_sample(docs, 0.3, seed="s1").collect()}
+    assert other != {r["doc_id"] for r in s30.collect()}
+
+
+def test_hash_sample_stratified(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack.hash_sample(docs, 0.1, strata_rates={"en": 0.9})
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    tot = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["en"] / tot["en"] > 0.6
+    non_en = sum(v for k, v in by_lang.items() if k != "en")
+    non_en_tot = sum(v for k, v in tot.items() if k != "en")
+    assert non_en / non_en_tot < 0.35
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = text.token_stats(docs, "text", "doc_id")
+    max_tokens = 128
+    packed = pack.pack_sequences(with_tokens, max_tokens, n_shards=8)
+    rows = packed.collect()
+    # every doc packed exactly once
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in with_tokens.collect()
+    )
+    # pack budgets respected except singleton-oversized packs
+    from collections import defaultdict
+
+    packs = defaultdict(list)
+    for r in rows:
+        packs[r["pack_id"]].append(r)
+    for members in packs.values():
+        total = sum(m["n_tokens"] for m in members)
+        if len(members) > 1:
+            assert total <= max_tokens
+    # offsets are consistent: sorted offsets tile without overlap
+    for members in packs.values():
+        members = sorted(members, key=lambda m: m["pack_offset"])
+        pos = 0
+        for m in members:
+            assert m["pack_offset"] == pos
+            pos += m["n_tokens"]
+    # deterministic across runs and partition layouts
+    again = pack.pack_sequences(
+        with_tokens.repartition(13), max_tokens, n_shards=8
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_utilization(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = text.token_stats(docs, "text", "doc_id")
+    max_tokens = 256
+    packed = pack.pack_sequences(with_tokens, max_tokens, n_shards=4)
+    agg = packed.groupBy("pack_id").agg(F.sum("n_tokens").alias("t")).collect()
+    fill = sum(r["t"] for r in agg) / (len(agg) * max_tokens)
+    # FFD on many small docs should fill packs well
+    assert fill > 0.7, f"pack utilization {fill:.2f}"
