@@ -15,11 +15,17 @@ sets, and the oracle reproduces the merged shape exactly.
 Oracle-gated (hash-checked vs DuckDB):
 - op_dedup_exact — per-lang kept/removed stats after global exact dedupe
 - op_text_profile — language-ID + token stats + BPE stats + quality +
-  fingerprint, joined on doc_id
-- op_sketches — MinHash signatures + SimHash, joined on doc_id
+  fingerprint + MinHash/SimHash sketches, joined on doc_id (the former
+  op_sketches entry merged in to free a gate slot for op_temporal_join)
 - op_near_dup_pairs — n-gram Jaccard (bounded all-pairs) ∪ MinHash-LSH
   (banded, full corpus) ∪ embedding-cosine near-dups, tagged by ``src``
+- op_curate — the composed curation pipeline end to end
 - op_cosine_topk — brute-force cosine top-k (exact ANN baseline)
+- op_temporal_join — as-of join (union+last-carry) ∪ binned range join,
+  gated against the NAIVE spec forms (correlated LIMIT-1 subquery /
+  theta join) in DuckDB — independent derivations, not mirrors
+- op_rollup — hypertable rollup: hourly from raw, daily MERGED from the
+  hourly counters; oracle computes both levels from raw
 
 Rows-only (approximate / SQL-inexpressible, weaker driver check):
 - op_ann_topk — sign-LSH ∪ IVF approximate top-k, tagged by ``src``
@@ -78,8 +84,10 @@ def _op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _op_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # All five per-doc text operators joined on doc_id (one gate slot).
-    d = _docs(spark, sf_dir, 200)
+    # All five per-doc text operators + the MinHash/SimHash sketches
+    # joined on doc_id (one gate slot; doc cap 100 = the former
+    # op_sketches cap, the binding one).
+    d = _docs(spark, sf_dir, 100)
     lang = text.language_id(d, "text", "doc_id")
     tok = text.token_stats(d, "text", "doc_id")
     bpe = text.bpe_token_stats(d, "text", "doc_id").withColumnRenamed(
@@ -87,21 +95,17 @@ def _op_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qual = text.quality_score(d, "text", "doc_id")
     fp = text.fingerprint(d, "text", "doc_id")
+    mh = dedup.minhash_signatures(d, "text", "doc_id")
+    sh = dedup.simhash(d, "text", "doc_id")
     return (
         lang.join(tok, "doc_id")
         .join(bpe, "doc_id")
         .join(qual, "doc_id")
         .join(fp, "doc_id")
+        .join(mh, "doc_id")
+        .join(sh, "doc_id")
         .orderBy("doc_id")
     )
-
-
-def _op_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # MinHash signatures + SimHash joined on doc_id (one gate slot).
-    d = _docs(spark, sf_dir, 100)
-    mh = dedup.minhash_signatures(d, "text", "doc_id")
-    sh = dedup.simhash(d, "text", "doc_id")
-    return mh.join(sh, "doc_id").orderBy("doc_id")
 
 
 def _op_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,6 +193,70 @@ def _op_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.unionByName(ivf).orderBy("src", "qid", "rn")
 
 
+def _op_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # As-of join (union + last-carry, one shuffle) ∪ binned range join
+    # (bucket-exploded equi-join, no BNLJ), tagged.  The oracle runs the
+    # NAIVE spec forms (correlated LIMIT-1 subquery / theta join) — an
+    # independent derivation, so the gate checks the rewrites.
+    from etl_rust_spark.operators import temporal
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purch = ev.filter(F.col("event_type") == "purchase")
+
+    m = temporal.asof_attach(
+        clicks, purch, "ts", ["user_id"], ["event_id", "value"],
+        right_seq="event_id", left_seq="event_id",
+    )
+    asof = m.select(
+        F.lit("asof").alias("src"),
+        F.col("event_id").alias("qid"),
+        F.col("r_event_id").alias("cid"),
+        F.round(F.col("r_value") * 100, 0).cast("long").alias("val"),
+    )
+    pts = clicks.select(F.col("event_id").alias("c_eid"), "ts")
+    iv = purch.select(
+        F.col("event_id").alias("p_eid"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTE")).alias("hi"),
+    )
+    rng = temporal.range_point_join(pts, iv, "ts", "lo", "hi", bucket_sec=600).select(
+        F.lit("range").alias("src"),
+        F.col("c_eid").alias("qid"),
+        F.col("p_eid").alias("cid"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("lo")).alias("val"),
+    )
+    return asof.unionByName(rng).orderBy("src", "qid", "cid")
+
+
+def _op_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hypertable rollup: hourly level from raw (with exact ndv), daily
+    # level MERGED from the hourly counters (never rescanning raw) — the
+    # oracle derives both levels from raw, gating the mergeability claim.
+    from etl_rust_spark.operators import rollup
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    hourly = rollup.time_rollup(ev, exact_ndv=True, sketch=False)
+    h = hourly.select(F.lit("h").alias("lvl"), "bs", "event_type", "n", "v_c", "n_users")
+    daily = rollup.merge_rollup(hourly.drop("n_users"), 86400)
+    d = daily.select(
+        F.lit("d").alias("lvl"), "bs", "event_type", "n", "v_c",
+        F.lit(None).cast("long").alias("n_users"),
+    )
+    return h.unionByName(d).orderBy("lvl", "bs", "event_type")
+
+
+def _text_profile_duck_sql() -> str:
+    profile = text.text_profile_duck_sql(100)
+    sketches = dedup.sketches_duck_sql(100)
+    return (
+        f"SELECT * FROM ({profile}) p JOIN ({sketches}) s USING (doc_id) "
+        "ORDER BY doc_id"
+    )
+
+
 def _curate_duck_sql() -> str:
     from etl_rust_spark.operators import curate
 
@@ -214,23 +282,27 @@ def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "op_dedup_exact": _op_dedup_exact,
         "op_text_profile": _op_text_profile,
-        "op_sketches": _op_sketches,
         "op_near_dup_pairs": _op_near_dup_pairs,
         "op_curate": _op_curate,
         "op_cosine_topk": _op_cosine_topk,
+        "op_temporal_join": _op_temporal_join,
+        "op_rollup": _op_rollup,
         "op_ann_topk": _op_ann_topk,
         "op_multimodal_features": _op_multimodal_features,
     }
 
 
 def entry_oracle_sql() -> dict[str, str]:
+    from etl_rust_spark.operators import rollup, temporal
+
     return {
         "op_dedup_exact": dedup.exact_dedup_stats_duck_sql(),
-        "op_text_profile": text.text_profile_duck_sql(200),
-        "op_sketches": dedup.sketches_duck_sql(100),
+        "op_text_profile": _text_profile_duck_sql(),
         "op_near_dup_pairs": _near_dup_pairs_duck_sql(),
         "op_curate": _curate_duck_sql(),
         "op_cosine_topk": similarity.cosine_topk_sql(20)[1],
+        "op_temporal_join": temporal.temporal_join_duck_sql(),
+        "op_rollup": rollup.rollup_duck_sql(),
         # op_ann_topk / op_multimodal_features: intentionally no oracle
         # (random-hyperplane buckets + learned quantizer / python decode
         # stub) → driver records rows-only checks; recall & determinism

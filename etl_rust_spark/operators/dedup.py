@@ -399,7 +399,7 @@ FROM t LEFT JOIN kl ON t.lang = kl.lang ORDER BY t.lang"""
 
 
 def sketches_duck_sql(max_doc: int = 100, width: int = 3, bits: int = 32) -> str:
-    """DuckDB oracle for the consolidated ``op_sketches`` entry: MinHash
+    """DuckDB oracle for the sketch half of ``op_text_profile``: MinHash
     signatures + SimHash joined on doc_id (one gate slot verifies both
     sketch operators — see text_profile_duck_sql for why consolidation)."""
     du_sig = ", ".join(

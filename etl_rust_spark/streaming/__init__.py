@@ -59,29 +59,33 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _op_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Tumbling + sliding windows share a schema (ws, we, n, v_c);
-    # one tagged-union entry keeps the total queries() count within the
-    # driver's 50-entry gate (see operators/__init__ docstring).
+    # Tumbling + sliding + session windows in one tagged-union entry
+    # (aligned on src/user_id/ws/we/n/v_c) — keeps the total queries()
+    # count within the driver's 50-entry gate while gating all three
+    # window operators (see operators/__init__ docstring).  Session rows
+    # carry their user and NULL v_c; global windows carry NULL user.
     ev = _events(spark, sf_dir)
+    nouser = F.lit(None).cast("long").alias("user_id")
     t = tumbling_window(ev).select(
-        F.lit("tumble").alias("src"), "ws", "we", "n", "v_c"
+        F.lit("tumble").alias("src"), nouser, "ws", "we", "n", "v_c"
     )
     s = sliding_window(ev).select(
-        F.lit("slide").alias("src"), "ws", "we", "n", "v_c"
+        F.lit("slide").alias("src"), nouser, "ws", "we", "n", "v_c"
     )
-    return t.unionByName(s).orderBy("src", "ws")
-
-
-def _op_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return session_window_agg(_events(spark, sf_dir)).orderBy(
-        "user_id", "session_start"
+    sess = session_window_agg(ev).select(
+        F.lit("session").alias("src"),
+        "user_id",
+        F.col("session_start").alias("ws"),
+        F.col("session_end").alias("we"),
+        F.col("n_events").alias("n"),
+        F.lit(None).cast("long").alias("v_c"),
     )
+    return t.unionByName(s).unionByName(sess).orderBy("src", "ws", "user_id")
 
 
 def entry_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "op_time_windows": _op_time_windows,
-        "op_session_window": _op_session_window,
     }
 
 
@@ -126,11 +130,15 @@ FROM grp GROUP BY user_id, sid ORDER BY user_id, session_start
 
 def entry_oracle_sql() -> dict[str, str]:
     time_windows = (
-        f"SELECT 'tumble' AS src, ws, we, n, v_c FROM ({_TUMBLING_DUCK.strip()})\n"
-        f"UNION ALL\nSELECT 'slide' AS src, ws, we, n, v_c FROM ({_SLIDING_DUCK.strip()})\n"
-        "ORDER BY src, ws"
+        "SELECT 'tumble' AS src, CAST(NULL AS BIGINT) AS user_id, ws, we, n, v_c "
+        f"FROM ({_TUMBLING_DUCK.strip()})\n"
+        "UNION ALL\nSELECT 'slide' AS src, CAST(NULL AS BIGINT) AS user_id, ws, we, n, v_c "
+        f"FROM ({_SLIDING_DUCK.strip()})\n"
+        "UNION ALL\nSELECT 'session' AS src, user_id, session_start AS ws, "
+        "session_end AS we, n_events AS n, CAST(NULL AS BIGINT) AS v_c "
+        f"FROM ({_SESSION_DUCK.strip()})\n"
+        "ORDER BY src, ws, user_id NULLS FIRST"
     )
     return {
         "op_time_windows": time_windows,
-        "op_session_window": _SESSION_DUCK.strip(),
     }

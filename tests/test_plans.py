@@ -87,8 +87,10 @@ def test_streaming_window_ops_prune_events(spark, sf_dir):
     from etl_rust_spark.streaming import entry_queries
 
     rep = audit(entry_queries()["op_time_windows"](spark, sf_dir))
-    # Only ts + value needed from the 6-column events table.
-    assert rep.read_columns("events") <= {"ts", "value"}, rep.plan
+    # Tumble/slide need ts+value; the merged session level adds user_id
+    # (key) and event_id (deterministic tie-break).  event_type and the
+    # wide props column must stay pruned from the 6-column events table.
+    assert rep.read_columns("events") <= {"ts", "value", "user_id", "event_id"}, rep.plan
 
 
 def test_curate_pipeline_plan_shape(spark, sf_dir):
@@ -116,3 +118,34 @@ def test_dq33_engine_form_streams_corpus_once(spark, sf_dir):
     rep = audit(dq33_engine(spark, sf_dir))
     assert rep.cartesian_products == 0, rep.plan
     assert "Join" not in rep.plan, rep.plan
+
+
+def test_asof_join_is_single_exchange(spark, sf_dir):
+    """The as-of rewrite's whole point: ONE shuffle (on the by-key) for
+    union + carry-forward window — no per-row probe join, no second
+    exchange.  This is the property that survives a 100× scale-up."""
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.operators import temporal
+
+    ev = spark.table("events")
+    m = temporal.asof_attach(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "ts", ["user_id"], ["value"], right_seq="event_id", left_seq="event_id",
+    )
+    rep = audit(m)
+    assert rep.num_exchanges <= 1, rep.plan
+    assert rep.python_evals == 0 and rep.cartesian_products == 0
+
+
+def test_rollup_merge_reads_rollup_not_raw(spark, sf_dir):
+    """Daily-from-hourly must not rescan events: the merge plan reads
+    only the hourly aggregate (one more exchange on the coarser key)."""
+    from etl_rust_spark.operators import rollup
+
+    hourly = rollup.time_rollup(spark.table("events"), sketch=False)
+    rep = audit(rollup.merge_rollup(hourly, 86400, estimate=False))
+    # partial agg → exchange (hourly) → final → exchange (daily) → final
+    assert rep.num_exchanges <= 2, rep.plan
+    assert rep.python_evals == 0

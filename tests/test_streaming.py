@@ -31,7 +31,7 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-@pytest.mark.parametrize("name", sorted(["op_time_windows", "op_session_window"]))
+@pytest.mark.parametrize("name", ["op_time_windows"])
 def test_window_entry_matches_oracle(spark, duck, sf_dir, name):
     from etl_rust_spark.functions.hashing import canonical_hash
     from etl_rust_spark.streaming import entry_oracle_sql, entry_queries

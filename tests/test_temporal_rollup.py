@@ -1,0 +1,188 @@
+"""Unit + plan tests for the temporal joins and the hypertable rollup.
+
+The entry-level hash gates (tests/test_operators.py) already check
+op_temporal_join / op_rollup against independent DuckDB derivations;
+these tests pin the operator-level semantics the gates can't see:
+tolerance, tie-breaking, boundary modes, plan shape (no BNLJ), sketch
+mergeability, and incremental-update == full-recompute.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_rust_spark.operators import rollup, temporal
+
+UTC = dt.timezone.utc
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 3, 1, 12, minute, second, tzinfo=UTC)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10)), (1, 101, _ts(20)), (2, 102, _ts(5)), (3, 103, _ts(30))],
+        "k int, lid long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 900, _ts(10), 1.0),   # same-ts as lid=100 → visible (<=)
+            (1, 901, _ts(10), 2.0),   # same ts, higher id → wins the tie
+            (1, 902, _ts(15), 3.0),   # latest before lid=101
+            (2, 903, _ts(6), 4.0),    # AFTER lid=102 → no match for it
+        ],
+        "k int, rid long, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_and_ties(spark, tiny):
+    left, right = tiny
+    m = temporal.asof_attach(
+        left, right, "ts", ["k"], ["rid", "v"], right_seq="rid", left_seq="lid"
+    )
+    got = {r["lid"]: (r["r_rid"], r["r_v"]) for r in m.collect()}
+    assert got[100] == (901, 2.0)  # same-ts match, max rid wins the tie
+    assert got[101] == (902, 3.0)  # latest at-or-before
+    assert got[102] == (None, None)  # only later right rows exist
+    assert got[103] == (None, None)  # key has no right rows at all
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, tiny):
+    left, right = tiny
+    m = temporal.asof_attach(
+        left, right, "ts", ["k"], ["rid"], right_seq="rid", left_seq="lid",
+        tolerance_sec=120,
+    )
+    got = {r["lid"]: r["r_rid"] for r in m.collect()}
+    assert got[100] == 901          # 0s old — within tolerance
+    assert got[101] is None         # match is 5 min old > 120 s
+    assert got[102] is None and got[103] is None
+
+
+def test_asof_join_preserves_left(spark, tiny):
+    left, right = tiny
+    out = temporal.asof_join(
+        left, right, "ts", ["k"], ["v"], right_seq="rid", left_seq="lid"
+    )
+    assert out.count() == left.count()
+    assert set(left.columns) <= set(out.columns) and "r_v" in out.columns
+
+
+def test_range_join_boundary_modes(spark):
+    pts = spark.createDataFrame(
+        [(1, _ts(10)), (2, _ts(15)), (3, _ts(20))], "pid long, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(9, _ts(10), _ts(20))], "iid long, lo timestamp, hi timestamp"
+    )
+    def ids(closed):
+        out = temporal.range_point_join(pts, iv, "ts", "lo", "hi", 600, closed=closed)
+        return sorted(r["pid"] for r in out.collect())
+    assert ids("(]") == [2, 3]
+    assert ids("[)") == [1, 2]
+    assert ids("[]") == [1, 2, 3]
+    assert ids("()") == [2]
+
+
+def test_range_join_guard_rejects_small_bucket(spark):
+    iv = spark.createDataFrame(
+        [(9, _ts(0), _ts(30))], "iid long, lo timestamp, hi timestamp"
+    )
+    pts = spark.createDataFrame([(1, _ts(10))], "pid long, ts timestamp")
+    with pytest.raises(ValueError, match="bucket_sec"):
+        temporal.range_point_join(pts, iv, "ts", "lo", "hi", 600)
+
+
+def test_range_join_plan_has_no_nested_loop(spark, sf_dir):
+    from etl_rust_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    pts = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("pid"), "ts"
+    )
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("iid"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTE")).alias("hi"),
+    )
+    plan = temporal.range_point_join(pts, iv, "ts", "lo", "hi", 600)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # The interval side explodes to ≤2 bucket rows and equi-joins.
+    assert "Generate" in plan
+
+
+def test_rollup_counters_match_direct_aggregation(spark, sf_dir):
+    from etl_rust_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    hourly = rollup.time_rollup(ev, exact_ndv=True, sketch=True)
+    direct = ev.groupBy(
+        rollup.time_bucket("ts", 3600).alias("bs"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    j = hourly.join(direct.withColumnRenamed("n", "n2"), ["bs", "event_type"])
+    assert j.filter(F.col("n") != F.col("n2")).count() == 0
+    # Sketch estimate is near-exact at this cardinality (≤150 users).
+    bad = hourly.withColumn(
+        "est", F.hll_sketch_estimate("user_sketch")
+    ).filter(F.abs(F.col("est") - F.col("n_users")) > F.col("n_users") * 0.05)
+    assert bad.count() == 0
+
+
+def test_merge_rollup_sketches_survive_two_levels(spark, sf_dir):
+    from etl_rust_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    hourly = rollup.time_rollup(ev, bucket_sec=3600)
+    daily = rollup.merge_rollup(hourly, 86400)
+    weekly = rollup.merge_rollup(daily.drop("n_users_est"), 7 * 86400)
+    exact = ev.groupBy(
+        rollup.time_bucket("ts", 7 * 86400).alias("bs"), "event_type"
+    ).agg(F.countDistinct("user_id").alias("exact"))
+    j = weekly.join(exact, ["bs", "event_type"])
+    bad = j.filter(
+        F.abs(F.col("n_users_est") - F.col("exact")) > F.col("exact") * 0.05
+    )
+    assert bad.count() == 0
+    # Counters re-associate exactly across both merge levels.
+    tot = ev.count()
+    assert weekly.agg(F.sum("n")).collect()[0][0] == tot
+
+
+def test_update_rollup_incremental_equals_full(spark, sf_dir, tmp_path):
+    from etl_rust_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    # Mid-day cut so the delta overlaps an already-written date partition
+    # (the interesting incremental case: merge, not just append).
+    cut = dt.datetime(2024, 1, 20, 12, tzinfo=UTC)
+    base, delta = ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)
+
+    path = str(tmp_path / "rollup")
+    rollup.write_rollup(rollup.time_rollup(base), path)
+    rollup.update_rollup(spark, path, delta)
+
+    inc = rollup.read_rollup(spark, path)
+    full = rollup.time_rollup(ev)
+    key = ["bs", "event_type"]
+    j = inc.select(key + ["n", "v_c", F.hll_sketch_estimate("user_sketch").alias("e1")]).join(
+        full.select(key + ["n", "v_c", F.hll_sketch_estimate("user_sketch").alias("e2")])
+        .withColumnRenamed("n", "n2").withColumnRenamed("v_c", "v2"),
+        key,
+        "full",
+    )
+    assert j.filter(
+        F.col("n").isNull() | F.col("n2").isNull()
+        | (F.col("n") != F.col("n2")) | (F.col("v_c") != F.col("v2"))
+    ).count() == 0
+    # Sketch state unions to the same estimates as a one-shot build.
+    assert j.filter(F.col("e1") != F.col("e2")).count() == 0
