@@ -28,7 +28,14 @@ from pyspark.sql import functions as F
 
 from etl_rust_spark.operators.hashes import MINHASH_P, duck_h, spark_h
 
-__all__ = ["hash_sample", "hash_sample_sql", "pack_sequences"]
+__all__ = [
+    "hash_sample",
+    "hash_sample_sql",
+    "pack_sequences",
+    "assign_split",
+    "assign_split_sql",
+    "mix_corpora",
+]
 
 _MOD = 10_000
 
@@ -68,6 +75,100 @@ def hash_sample_sql(
     spark = f"SELECT * FROM {source} WHERE {sp} % {MINHASH_P} % {_MOD} < {thresh} ORDER BY {id_col}"
     duck = f"SELECT * FROM {source} WHERE {du} % {MINHASH_P} % {_MOD} < {thresh} ORDER BY {id_col}"
     return spark, duck
+
+
+def _split_case(weights: dict[str, float], h_expr: str) -> str:
+    """CASE expression mapping a hash bucket in [0, _MOD) to a split
+    name by cumulative weight — shared by both dialects (ANSI text)."""
+    clauses, acc = [], 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        clauses.append(f"WHEN {h_expr} < {int(acc * _MOD)} THEN '{name}'")
+    return f"CASE {' '.join(clauses)} ELSE '{names[-1]}' END"
+
+
+def assign_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "s0",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash of the id.
+
+    ``weights`` maps split name → fraction (must sum to 1; insertion
+    order fixes the bucket layout, so train grows monotonically if you
+    later rebalance val/test within their shared tail).  Hash-based, not
+    ``rand()``: a document keeps its split across re-runs, engine
+    versions, and corpus growth — the property that prevents silent
+    train/test leakage when the pipeline is re-executed.  Scan-shaped,
+    no shuffle.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    key = f"concat('{seed}', '/', CAST({id_col} AS STRING))"
+    h = f"{spark_h(x=key)} % {MINHASH_P} % {_MOD}"
+    return df.withColumn(out_col, F.expr(_split_case(weights, h)))
+
+
+def assign_split_sql(
+    weights: dict[str, float] | None = None,
+    source: str = "documents",
+    id_col: str = "doc_id",
+    seed: str = "s0",
+) -> tuple[str, str]:
+    """Dual-dialect mirror: per-split row counts (the aggregate is what
+    an auditor checks; row membership is covered by the operator test)."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    sp_key = f"concat('{seed}', '/', CAST({id_col} AS STRING))"
+    du_key = f"'{seed}' || '/' || CAST({id_col} AS VARCHAR)"
+    sp_h = f"{spark_h(x=sp_key)} % {MINHASH_P} % {_MOD}"
+    du_h = f"{duck_h(x=du_key)} % {MINHASH_P} % {_MOD}"
+    body = "SELECT {case} AS split FROM {source}"
+    tail = "SELECT split, COUNT(*) AS n FROM t GROUP BY split ORDER BY split"
+    spark = f"WITH t AS ({body.format(case=_split_case(weights, sp_h), source=source)}) {tail}"
+    duck = f"WITH t AS ({body.format(case=_split_case(weights, du_h), source=source)}) {tail}"
+    return spark, duck
+
+
+def mix_corpora(
+    sources: dict[str, tuple[DataFrame, float]],
+    id_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """Weighted corpus mixing: repeat each source ``weight`` epochs.
+
+    ``sources`` maps name → (DataFrame, weight); weight 2.6 means every
+    document appears twice and a deterministic 60% hash-sample appears a
+    third time (standard epoch-weighted mixing for low-resource
+    upsampling).  Output = union of all sources with ``(mix_source,
+    mix_epoch)`` columns prepended (prefixed names — `documents` already
+    has a `source` column); downstream usually feeds
+    :func:`pack_sequences` or a global hash shuffle.
+
+    Scale shape: `explode(sequence(...))` multiplies rows at scan time —
+    narrow, no shuffle, no driver participation; the integer epochs are
+    free (no hashing) and only the fractional epoch pays a hash filter.
+    """
+    out = None
+    for name, (df, weight) in sources.items():
+        if weight <= 0:
+            raise ValueError(f"weight for {name!r} must be positive, got {weight}")
+        whole, frac = int(weight), round(weight - int(weight), 9)
+        n_copies = whole + (1 if frac > 0 else 0)
+        key = f"concat('{seed}', '/', mix_epoch, '/', CAST({id_col} AS STRING))"
+        h = F.expr(f"{spark_h(x=key)} % {MINHASH_P} % {_MOD}")
+        rep = (
+            df.withColumn("mix_epoch", F.explode(F.expr(f"sequence(1, {n_copies})")))
+            .filter((F.col("mix_epoch") <= whole) | (h < int(frac * _MOD)))
+            .select(F.lit(name).alias("mix_source"), "mix_epoch", *df.columns)
+        )
+        out = rep if out is None else out.unionByName(rep)
+    if out is None:
+        raise ValueError("mix_corpora needs at least one source")
+    return out
 
 
 def pack_sequences(

@@ -109,3 +109,68 @@ def test_pack_sequences_utilization(spark, sf_dir):
     fill = sum(r["t"] for r in agg) / (len(agg) * max_tokens)
     # FFD on many small docs should fill packs well
     assert fill > 0.7, f"pack utilization {fill:.2f}"
+
+
+def test_assign_split_matches_duckdb(spark, duck, sf_dir):
+    register_views(spark, sf_dir)
+    sp_sql, du_sql = pack.assign_split_sql()
+    df = spark.sql(sp_sql)
+    drows, dcols = run_duck(duck, du_sql)
+    assert canonical_hash(
+        [tuple(r) for r in df.collect()], list(df.columns)
+    ) == canonical_hash(drows, dcols)
+
+
+def test_assign_split_properties(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = pack.assign_split(docs, w)
+    rows = out.collect()
+    n = len(rows)
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    # full partition of the corpus, deterministic across evaluations
+    assert sum(len(v) for v in by.values()) == n
+    again = {
+        (r["doc_id"], r["split"]) for r in pack.assign_split(docs, w).collect()
+    }
+    assert {(d, s) for s, ds in by.items() for d in ds} == again
+    # rough proportions (small corpus → loose binomial bounds)
+    assert len(by["train"]) / n > 0.6
+    assert 0 < len(by.get("val", set()) | by.get("test", set())) and len(
+        by["train"]
+    ) + len(by.get("val", set())) + len(by.get("test", set())) == n
+    # growing train's share keeps earlier train members in train
+    # (cumulative-bucket layout: train owns a prefix of hash space)
+    w2 = {"train": 0.9, "val": 0.05, "test": 0.05}
+    train2 = {
+        r["doc_id"]
+        for r in pack.assign_split(docs, w2).filter("split='train'").collect()
+    }
+    assert by["train"] <= train2
+    with __import__("pytest").raises(ValueError):
+        pack.assign_split(docs, {"train": 0.5, "val": 0.1})
+
+
+def test_mix_corpora_epoch_weights(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    en = docs.filter("lang = 'en'")
+    rest = docs.filter("lang <> 'en'")
+    n_en, n_rest = en.count(), rest.count()
+    mixed = pack.mix_corpora({"en": (en, 1.0), "rest": (rest, 2.5)})
+    by = {
+        r["mix_source"]: r["n"]
+        for r in mixed.groupBy("mix_source").agg(F.count("*").alias("n")).collect()
+    }
+    # exact integer epochs; fractional epoch within binomial tolerance
+    assert by["en"] == n_en
+    assert 2.2 * n_rest <= by["rest"] <= 2.8 * n_rest
+    # epochs 1..2 of 'rest' contain every doc; epoch 3 is the sample
+    full = mixed.filter("mix_source='rest' AND mix_epoch <= 2").count()
+    assert full == 2 * n_rest
+    # deterministic
+    again = pack.mix_corpora({"en": (en, 1.0), "rest": (rest, 2.5)})
+    assert sorted(
+        (r["mix_source"], r["mix_epoch"], r["doc_id"]) for r in mixed.collect()
+    ) == sorted((r["mix_source"], r["mix_epoch"], r["doc_id"]) for r in again.collect())
