@@ -1,0 +1,181 @@
+"""N-gram language-model training + per-document perplexity scoring.
+
+Perplexity under a small LM trained on a trusted corpus is the classic
+corpus-quality signal (CCNet-style filtering): gibberish, boilerplate,
+and wrong-language text score high.  The reference has no analog
+(extract→publish only, SURVEY §2.5); this implements the fully
+distributed form:
+
+- :func:`train_bigram_lm` — one pass over the training corpus:
+  tokenize → hashed-bigram explode → two partial-aggregated
+  ``groupBy`` counts (bigram and context).  The model IS a pair of
+  DataFrames — at 100 TB it stays distributed, written as parquet,
+  never driver-resident.
+- :func:`score_perplexity` — add-k smoothed negative log-likelihood:
+  ``P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V)``.  Scoring joins the
+  corpus's exploded bigrams against the counts on a single 62-bit
+  **hash key** (compact longs — document text never shuffles; the same
+  trick as MinHash-LSH banding in ``dedup.py``), then one
+  ``groupBy(doc_id)`` average.  Counts tables are keyed equi-joins:
+  broadcast when small, shuffle-hash at full scale — either way the
+  plan has no driver round-trip.
+
+Everything below hashes with the portable md5 reduction
+(`operators/hashes.py`) so the DuckDB mirror is bit-identical; swap in
+``xxhash64`` for production (same plan, JVM intrinsic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_rust_spark.operators.hashes import MINHASH_P, duck_h, spark_h
+
+__all__ = ["train_bigram_lm", "score_perplexity", "perplexity_sql"]
+
+
+def _bigram_hashes(toks_col: str, dialect: str) -> str:
+    """Hashed bigram list of an array<string> column (empty when < 2
+    tokens).  Bigram key = H(w1 || ' ' || w2) % P."""
+    if dialect == "spark":
+        h = spark_h(x=f"concat(element_at({toks_col}, i), ' ', element_at({toks_col}, i + 1))")
+        return (
+            f"CASE WHEN size({toks_col}) >= 2 THEN"
+            f" transform(sequence(1, size({toks_col}) - 1), i -> {h} % {MINHASH_P})"
+            f" ELSE CAST(array() AS array<bigint>) END"
+        )
+    h = duck_h(x=f"{toks_col}[i] || ' ' || {toks_col}[i + 1]")
+    return f"list_transform(range(1, len({toks_col})), i -> {h} % {MINHASH_P})"
+
+
+def _context_hashes(toks_col: str, dialect: str) -> str:
+    """Hashed context (all tokens except the last) — the denominator
+    counts c(w1) as 'occurrences of w1 followed by anything'."""
+    if dialect == "spark":
+        h = spark_h(x=f"element_at({toks_col}, i)")
+        return (
+            f"CASE WHEN size({toks_col}) >= 2 THEN"
+            f" transform(sequence(1, size({toks_col}) - 1), i -> {h} % {MINHASH_P})"
+            f" ELSE CAST(array() AS array<bigint>) END"
+        )
+    h = duck_h(x=f"{toks_col}[i]")
+    return f"list_transform(range(1, len({toks_col})), i -> {h} % {MINHASH_P})"
+
+
+def train_bigram_lm(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Returns ``(bigram_counts(bg, c), context_counts(ctx, cc), vocab)``.
+
+    ``vocab`` is the exact distinct-token count (one number to the
+    driver — the only scalar that crosses; everything else stays
+    distributed).
+    """
+    toks = docs.select(F.split(F.col(text_col), " ").alias("toks"))
+    bg = toks.select(
+        F.explode(F.expr(_bigram_hashes("toks", "spark"))).alias("bg")
+    ).groupBy("bg").agg(F.count("*").alias("c"))
+    ctx = toks.select(
+        F.explode(F.expr(_context_hashes("toks", "spark"))).alias("ctx")
+    ).groupBy("ctx").agg(F.count("*").alias("cc"))
+    vocab = toks.select(F.explode("toks").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    ).collect()[0]["v"]
+    return bg, ctx, int(vocab)
+
+
+def score_perplexity(
+    docs: DataFrame,
+    bigram_counts: DataFrame,
+    context_counts: DataFrame,
+    vocab: int,
+    k: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_bigrams, avg_nll, ppl): add-k smoothed bigram NLL.
+
+    Docs with < 2 tokens have no bigrams: ``avg_nll = 0.0, ppl = 1.0``
+    (nothing to score — filter on ``n_bigrams`` downstream if that
+    matters).  Unseen bigram → c = 0; unseen context → P = 1/V.
+    """
+    pairs = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(F.arrays_zip(
+            F.expr(_bigram_hashes(f"split({text_col}, ' ')", "spark")),
+            F.expr(_context_hashes(f"split({text_col}, ' ')", "spark")),
+        )).alias("pos", "z"),
+    ).select(id_col, F.col("z.0").alias("bg"), F.col("z.1").alias("ctx"))
+    scored = (
+        pairs.join(bigram_counts, "bg", "left")
+        .join(context_counts, "ctx", "left")
+        .withColumn(
+            "nll",
+            F.when(
+                F.col("bg").isNotNull(),
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + k)
+                    / (F.coalesce(F.col("cc"), F.lit(0)) + k * vocab)
+                ),
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("nll").cast("long").alias("n_bigrams"),
+            F.round(F.coalesce(F.avg("nll"), F.lit(0.0)), 4).alias("avg_nll"),
+            F.round(F.exp(F.coalesce(F.avg("nll"), F.lit(0.0))), 2).alias("ppl"),
+        )
+    )
+
+
+def perplexity_sql(max_doc: int = 100, k: float = 1.0) -> tuple[str, str]:
+    """Dual-dialect mirror: train on ALL documents, score docs
+    ``doc_id <= max_doc`` — matches :func:`train_bigram_lm` +
+    :func:`score_perplexity` composed."""
+
+    def body(dialect: str) -> str:
+        split = "split(text, ' ')" if dialect == "spark" else "string_split(text, ' ')"
+        bg_list = _bigram_hashes("toks", dialect)
+        ctx_list = _context_hashes("toks", dialect)
+        if dialect == "spark":
+            explode_bg = "SELECT explode(bgs) AS bg FROM t"
+            explode_ctx = "SELECT explode(ctxs) AS ctx FROM t"
+            vocab = "SELECT COUNT(DISTINCT tok) FROM (SELECT explode(toks) AS tok FROM t)"
+            pairs = (
+                "SELECT doc_id, p.bg, p.ctx FROM s "
+                "LATERAL VIEW OUTER posexplode(arrays_zip(bgs, ctxs)) p AS pos, z "
+                "LATERAL VIEW OUTER inline(array(z)) AS bg, ctx"
+            )
+        else:
+            explode_bg = "SELECT unnest(bgs) AS bg FROM t"
+            explode_ctx = "SELECT unnest(ctxs) AS ctx FROM t"
+            vocab = "SELECT COUNT(DISTINCT tok) FROM (SELECT unnest(toks) AS tok FROM t)"
+            pairs = (
+                "SELECT doc_id,"
+                " unnest(CASE WHEN len(bgs) = 0 THEN [NULL::BIGINT] ELSE bgs END) AS bg,"
+                " unnest(CASE WHEN len(ctxs) = 0 THEN [NULL::BIGINT] ELSE ctxs END) AS ctx"
+                " FROM s"
+            )
+        return f"""
+WITH t AS (SELECT {split} AS toks FROM documents),
+bgc AS (SELECT bg, COUNT(*) AS c FROM ({explode_bg}) GROUP BY bg),
+ctxc AS (SELECT ctx, COUNT(*) AS cc FROM ({explode_ctx}) GROUP BY ctx),
+v AS ({vocab}),
+s AS (SELECT doc_id, {bg_list.replace('toks', 'toks2')} AS bgs, {ctx_list.replace('toks', 'toks2')} AS ctxs
+      FROM (SELECT doc_id, {split} AS toks2 FROM documents WHERE doc_id <= {max_doc})),
+p AS ({pairs}),
+nl AS (SELECT doc_id, p.bg,
+         CASE WHEN p.bg IS NOT NULL THEN
+           -LN((COALESCE(bgc.c, 0) + {k}) / (COALESCE(ctxc.cc, 0) + {k} * (SELECT * FROM v)))
+         END AS nll
+       FROM p LEFT JOIN bgc ON p.bg = bgc.bg LEFT JOIN ctxc ON p.ctx = ctxc.ctx)
+SELECT doc_id, CAST(COUNT(nll) AS BIGINT) AS n_bigrams,
+  ROUND(COALESCE(AVG(nll), 0.0), 4) AS avg_nll,
+  ROUND(EXP(COALESCE(AVG(nll), 0.0)), 2) AS ppl
+FROM nl GROUP BY doc_id ORDER BY doc_id
+"""
+
+    return body("spark"), body("duck")
