@@ -25,7 +25,13 @@ def canonical_value(v: Any) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, Decimal):
-        v = float(v)
+        # Type-aware, like the driver's gate: a DECIMAL result is NOT the
+        # same wire type as a DOUBLE even when values are equal (r2 dq04:
+        # Spark DECIMAL(24,2) '52771.00' vs DuckDB DOUBLE 52771.0 hashed
+        # differently on the driver while this function folded both to
+        # float and passed locally).  Keep decimals textual and prefixed
+        # so Decimal-vs-float always discriminates.
+        return "dec:" + str(v)
     if isinstance(v, float):
         return repr(round(v, 6))
     if isinstance(v, _dt.datetime):

@@ -47,7 +47,45 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "shingle_jaccard_pairs",
+    "release_caches",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Cache discipline (VERDICT r2 #3: persist-without-unpersist leak)
+# ---------------------------------------------------------------------------
+
+# Operators that persist intermediate frames register them here.  The
+# returned DataFrame is lazy, so the operator itself can never unpersist
+# (the caller hasn't materialized yet); instead the registry (a) bounds
+# live caches — registering a new frame evicts the oldest beyond
+# _MAX_LIVE_CACHES, so a harness that calls the operator 150× in one JVM
+# (the driver's three suite laps) holds at most 2 cached frames, not
+# 150 — and (b) exposes ``release_caches()`` for callers (bench.py,
+# tests) to drop everything after materializing.  Evicting a frame that
+# is still mid-use is safe in Spark: the plan recomputes from source.
+_PERSISTED: list[DataFrame] = []
+_MAX_LIVE_CACHES = 2
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(out)
+    while len(_PERSISTED) > _MAX_LIVE_CACHES:
+        try:
+            _PERSISTED.pop(0).unpersist(False)
+        except Exception:
+            pass
+    return out
+
+
+def release_caches(blocking: bool = False) -> None:
+    """Unpersist every frame cached by dedup operators in this JVM."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist(blocking)
+        except Exception:
+            pass
 
 
 # ---------------------------------------------------------------------------
@@ -130,7 +168,16 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     unlocks full parallelism).  No-op when the input is already wide —
     at 100 TB the scan has thousands of splits and this never fires."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        # File count is a cheap driver-side proxy for scan splits (no
+        # RDD conversion — VERDICT r2 #6: ``df.rdd.getNumPartitions()``
+        # re-ran full physical planning on every call).  A 100 TB corpus
+        # has thousands of files, so this never fires there; a huge
+        # single file (many splits, one file) repartitions harmlessly.
+        n_splits = len(df.inputFiles())
+    except Exception:
+        n_splits = 0
+    if n_splits < target:
         return df.repartition(target, key)
     return df
 
@@ -179,10 +226,9 @@ def minhash_lsh_pairs(
     # (the banding path and both sides of the verify join); without a
     # persist the shingle + hash evaluation runs three times.
     # MEMORY_AND_DISK spills gracefully (same policy as MLlib's LSH join).
-    hs_all = (
+    hs_all = _persist_tracked(
         with_shingles(_spread(df.select(id_col, text_col), id_col), text_col, width)
         .select(F.col(id_col), _hashed_shingles().alias("hs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sigs = hs_all.select(F.col(id_col), *_sig_exprs("hs"))
     band_exprs = []

@@ -88,7 +88,7 @@ FROM lineitem WHERE l_orderkey <= 50 ORDER BY l_orderkey, l_linenumber
 SELECT l_returnflag, l_linestatus,
   SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS sum_qty_c,
   SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS sum_price_c,
-  ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / (COUNT(*) * 100.0), 2) AS avg_price,
+  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 100.0), 2) AS avg_price,
   COUNT(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
 """,
@@ -104,7 +104,11 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_lines
             "shuffle on a 6-value grouping key — scales linearly.  "
             "Dual-form: DuckDB SUM(BIGINT) returns HUGEINT (int128), Spark "
             "returns BIGINT; the oracle casts the sum back to BIGINT so the "
-            "driver's type-aware canonicalization matches (identical values).",
+            "driver's type-aware canonicalization matches (identical values). "
+            "avg_price: Spark's BIGINT/DECIMAL division yields DECIMAL(24,2) "
+            "while DuckDB's HUGEINT/DECIMAL goes through DOUBLE — the Spark "
+            "form casts the SUM to DOUBLE first so both engines do identical "
+            "IEEE double division + rounding (r2 driver hash mismatch fix).",
         ),
         _q(
             "dq05",

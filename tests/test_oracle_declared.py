@@ -38,6 +38,31 @@ def test_engine_forms_match_spec_sql(spark, sf_dir):
         assert h_spec == h_eng, f"{name} engine form diverged from spec SQL"
 
 
+def test_dq04_avg_price_is_double(spark, sf_dir):
+    """Regression (VERDICT r2 #1): Spark must return avg_price as DOUBLE,
+    not DECIMAL(24,2) — identical values hash differently under the
+    driver's type-aware canonicalization.  The Spark form casts the SUM
+    to DOUBLE before dividing so both engines do IEEE double division."""
+    from etl_rust_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    df = spark.sql(DECLARED["dq04"].spark_sql)
+    dtype = dict(df.dtypes)["avg_price"]
+    assert dtype == "double", f"avg_price must be double, got {dtype}"
+
+
+def test_decimal_float_canonicalization_discriminates():
+    """Regression: the local canonicalizer must distinguish Decimal from
+    float even when values are numerically equal (r2 dq04 class)."""
+    from decimal import Decimal
+
+    from etl_rust_spark.functions.hashing import canonical_hash
+
+    h_dec = canonical_hash([(Decimal("52771.00"),)], ["v"])
+    h_flt = canonical_hash([(52771.0,)], ["v"])
+    assert h_dec != h_flt
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 

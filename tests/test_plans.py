@@ -149,3 +149,23 @@ def test_rollup_merge_reads_rollup_not_raw(spark, sf_dir):
     # partial agg → exchange (hourly) → final → exchange (daily) → final
     assert rep.num_exchanges <= 2, rep.plan
     assert rep.python_evals == 0
+
+
+def test_persist_discipline():
+    """Cache-hygiene lint (VERDICT r2 #3/#9): every ``.persist(`` in the
+    operator tree must go through ``dedup._persist_tracked`` so caches
+    are bounded and releasable — a bare persist leaks one frame per
+    invocation across the driver's repeated suite laps."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "etl_rust_spark"
+    offenders = []
+    for py in root.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if ".persist(" in code and "_persist_tracked" not in code and "def _persist_tracked" not in line:
+                # the tracked helper itself is the one allowed call site
+                if py.name == "dedup.py" and "out = df.persist(" in code:
+                    continue
+                offenders.append(f"{py.relative_to(root)}:{i}: {line.strip()}")
+    assert not offenders, "untracked persist() calls:\n" + "\n".join(offenders)
