@@ -28,6 +28,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -60,20 +62,36 @@ __all__ = [
 # (the caller hasn't materialized yet); instead the registry (a) bounds
 # live caches — registering a new frame evicts the oldest beyond
 # _MAX_LIVE_CACHES, so a harness that calls the operator 150× in one JVM
-# (the driver's three suite laps) holds at most 2 cached frames, not
-# 150 — and (b) exposes ``release_caches()`` for callers (bench.py,
+# (the driver's three suite laps) holds a bounded set of cached frames,
+# not 150 — and (b) exposes ``release_caches()`` for callers (bench.py,
 # tests) to drop everything after materializing.  Evicting a frame that
 # is still mid-use is safe in Spark: the plan recomputes from source.
+#
+# Concurrency (VERDICT r3 #2): the bench submits the suite through a
+# 24-thread pool, so registrations race.  The registry is guarded by a
+# lock, and the bound must be ≥ the number of concurrently-live
+# dedup-persisting entries (op_curate + op_near_dup_pairs register one
+# frame each per call; warm-up laps leave theirs behind too) — a bound
+# of 2 let one entry's registration evict a sibling's still-mid-job
+# cache, forcing the shingle+hash pipeline to recompute (the r3
+# concurrent-wall regression, 14.3 s → 17.8 s).  8 covers every
+# concurrent combination the suite can produce with headroom while
+# still bounding a pathological many-lap harness.
 _PERSISTED: list[DataFrame] = []
-_MAX_LIVE_CACHES = 2
+_PERSIST_LOCK = threading.Lock()
+_MAX_LIVE_CACHES = 8
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(out)
-    while len(_PERSISTED) > _MAX_LIVE_CACHES:
+    evicted: list[DataFrame] = []
+    with _PERSIST_LOCK:
+        _PERSISTED.append(out)
+        while len(_PERSISTED) > _MAX_LIVE_CACHES:
+            evicted.append(_PERSISTED.pop(0))
+    for old in evicted:
         try:
-            _PERSISTED.pop(0).unpersist(False)
+            old.unpersist(False)
         except Exception:
             pass
     return out
@@ -81,9 +99,11 @@ def _persist_tracked(df: DataFrame) -> DataFrame:
 
 def release_caches(blocking: bool = False) -> None:
     """Unpersist every frame cached by dedup operators in this JVM."""
-    while _PERSISTED:
+    with _PERSIST_LOCK:
+        drop, _PERSISTED[:] = _PERSISTED[:], []
+    for df in drop:
         try:
-            _PERSISTED.pop().unpersist(blocking)
+            df.unpersist(blocking)
         except Exception:
             pass
 

@@ -145,9 +145,8 @@ def perplexity_sql(max_doc: int = 100, k: float = 1.0) -> tuple[str, str]:
             explode_ctx = "SELECT explode(ctxs) AS ctx FROM t"
             vocab = "SELECT COUNT(DISTINCT tok) FROM (SELECT explode(toks) AS tok FROM t)"
             pairs = (
-                "SELECT doc_id, p.bg, p.ctx FROM s "
-                "LATERAL VIEW OUTER posexplode(arrays_zip(bgs, ctxs)) p AS pos, z "
-                "LATERAL VIEW OUTER inline(array(z)) AS bg, ctx"
+                "SELECT doc_id, z.bgs AS bg, z.ctxs AS ctx FROM s "
+                "LATERAL VIEW OUTER posexplode(arrays_zip(bgs, ctxs)) p AS pos, z"
             )
         else:
             explode_bg = "SELECT unnest(bgs) AS bg FROM t"
@@ -160,7 +159,8 @@ def perplexity_sql(max_doc: int = 100, k: float = 1.0) -> tuple[str, str]:
                 " FROM s"
             )
         return f"""
-WITH t AS (SELECT {split} AS toks FROM documents),
+WITH t AS (SELECT toks, {bg_list} AS bgs, {ctx_list} AS ctxs
+           FROM (SELECT {split} AS toks FROM documents)),
 bgc AS (SELECT bg, COUNT(*) AS c FROM ({explode_bg}) GROUP BY bg),
 ctxc AS (SELECT ctx, COUNT(*) AS cc FROM ({explode_ctx}) GROUP BY ctx),
 v AS ({vocab}),

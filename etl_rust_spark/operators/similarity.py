@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "cosine_topk",
     "ann_lsh_topk",
+    "ann_lsh_topk_duck_sql",
     "ivf_topk",
     "cosine_near_dup_pairs",
     "cosine_topk_sql",
@@ -92,12 +93,18 @@ def cosine_topk(
 
 
 def _signature_expr(vec_col: str, n_planes: int) -> F.Column:
-    """Sign-LSH signature: bit j = 1 iff dot(v, plane_j) > 0."""
+    """Sign-LSH signature: bit j = 1 iff dot(v, plane_j) > 0.
+
+    The dot is ROUNDed to 6 dp before the sign test so the bit cannot
+    flip across engines/summation orders when a dot sits within one ulp
+    of zero — the same determinism trick as the 4-dp cosine re-rank.
+    This makes the whole LSH path oracle-gateable (DuckDB mirror:
+    :func:`ann_lsh_topk_duck_sql`)."""
     bits = []
     for j in range(n_planes):
         plane = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in HYPERPLANES[j]) + ")"
         bits.append(
-            f"CASE WHEN {_DOT.format(a=vec_col, b=plane)} > 0 THEN shiftleft(1L, {j}) ELSE 0L END"
+            f"CASE WHEN ROUND({_DOT.format(a=vec_col, b=plane)}, 6) > 0 THEN shiftleft(1L, {j}) ELSE 0L END"
         )
     return F.expr("(" + " + ".join(bits) + ")")
 
@@ -171,6 +178,57 @@ SELECT qid, cid, cos, rn FROM (
   SELECT qid, cid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM pairs) t
 WHERE rn <= {k} ORDER BY qid, rn"""
     return spark, duck
+
+
+def ann_lsh_topk_duck_sql(
+    max_query: int = 20,
+    k: int = 3,
+    prefix_bits: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`ann_lsh_topk` — upgrades the ANN entry
+    from rows-only to hash-gated (VERDICT r3 #3).
+
+    The path is deterministic end to end: fixed inlined hyperplanes,
+    6-dp-rounded sign test, 4-dp-rounded cosine re-rank, cid tie-break.
+    Bucket = low ``prefix_bits`` of the signature, so only planes
+    0..prefix_bits-1 can affect it — the mirror computes exactly those
+    (bits 8..15 are masked out in the Spark form; same key).
+    """
+    plane_rows = ",\n  ".join(
+        "({j}, [{vals}])".format(
+            j=j, vals=", ".join(str(x) for x in HYPERPLANES[j][:dim])
+        )
+        for j in range(prefix_bits)
+    )
+    dot_plane = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i]))"
+    )
+    ddot = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    return f"""
+WITH planes(j, p) AS (VALUES {plane_rows}),
+sig AS (
+  SELECT e.vec_id,
+    CAST(SUM(CASE WHEN ROUND({dot_plane}, 6) > 0
+                  THEN (1::BIGINT << pl.j) ELSE 0::BIGINT END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
+n AS (SELECT vec_id, embedding,
+        sqrt({ddot.format(a='embedding', b='embedding', d=dim)}) AS nrm
+      FROM embeddings),
+b AS (SELECT n.vec_id, n.embedding, n.nrm, sig.bucket
+      FROM n JOIN sig ON n.vec_id = sig.vec_id),
+pairs AS (
+  SELECT a.vec_id AS qid, c.vec_id AS cid,
+    ROUND({ddot.format(a='a.embedding', b='c.embedding', d=dim)} / (a.nrm * c.nrm), 4) AS cos
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id != c.vec_id
+  WHERE a.vec_id <= {max_query})
+SELECT 'lsh' AS src, qid, cid, cos, rn FROM (
+  SELECT qid, cid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM pairs) t
+WHERE rn <= {k} ORDER BY qid, rn"""
 
 
 def cosine_near_dup_pairs(
