@@ -81,7 +81,13 @@ def cosine_topk(
         F.broadcast(q)
         .join(c, F.col("qid") != F.col("cid"))
         .withColumn(
-            "cos", F.round(F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 4)
+            # + 0.0 normalizes IEEE negative zero: Spark's ROUND returns
+            # +0.0 for tiny negatives but DuckDB's keeps the sign, so a
+            # cosine that rounds to zero would hash-mismatch without it
+            # (CORRECTNESS_r04 op_ann_topk: '0.0' vs '-0.0').
+            "cos",
+            F.round(F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 4)
+            + F.lit(0.0),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
@@ -138,7 +144,10 @@ def ann_lsh_topk(
         .withColumn("cn", F.expr(_norm("cv")))
     )
     pairs = q.join(c, ["bucket"]).filter(F.col("qid") != F.col("cid")).withColumn(
-        "cos", F.round(F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 4)
+        # + 0.0: negative-zero normalization (see cosine_topk).
+        "cos",
+        F.round(F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 4)
+        + F.lit(0.0),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (
@@ -156,7 +165,7 @@ WITH n AS (SELECT vec_id, embedding,
            FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS qid, b.vec_id AS cid,
-    ROUND({_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 4) AS cos
+    ROUND({_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 4) + 0.0 AS cos
   FROM n a JOIN n b ON a.vec_id != b.vec_id
   WHERE a.vec_id <= {max_query})
 SELECT qid, cid, cos, rn FROM (
@@ -171,7 +180,7 @@ WITH n AS (SELECT vec_id, embedding,
            FROM embeddings),
 pairs AS (
   SELECT a.vec_id AS qid, b.vec_id AS cid,
-    ROUND({ddot.format(a='a.embedding', b='b.embedding', d=dim)} / (a.nrm * b.nrm), 4) AS cos
+    ROUND({ddot.format(a='a.embedding', b='b.embedding', d=dim)} / (a.nrm * b.nrm), 4) + 0.0 AS cos
   FROM n a JOIN n b ON a.vec_id != b.vec_id
   WHERE a.vec_id <= {max_query})
 SELECT qid, cid, cos, rn FROM (
@@ -223,7 +232,7 @@ b AS (SELECT n.vec_id, n.embedding, n.nrm, sig.bucket
       FROM n JOIN sig ON n.vec_id = sig.vec_id),
 pairs AS (
   SELECT a.vec_id AS qid, c.vec_id AS cid,
-    ROUND({ddot.format(a='a.embedding', b='c.embedding', d=dim)} / (a.nrm * c.nrm), 4) AS cos
+    ROUND({ddot.format(a='a.embedding', b='c.embedding', d=dim)} / (a.nrm * c.nrm), 4) + 0.0 AS cos
   FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id != c.vec_id
   WHERE a.vec_id <= {max_query})
 SELECT 'lsh' AS src, qid, cid, cos, rn FROM (
@@ -308,7 +317,7 @@ WITH n AS (SELECT vec_id, embedding,
              sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
            FROM embeddings)
 SELECT a.vec_id AS qid, b.vec_id AS cid,
-  ROUND({_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 4) AS cos
+  ROUND({_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 4) + 0.0 AS cos
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE ROUND({_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 4) >= {threshold}
 ORDER BY qid, cid"""
@@ -318,7 +327,7 @@ WITH n AS (SELECT vec_id, embedding,
              sqrt({ddot.format(a='embedding', b='embedding', d=dim)}) AS nrm
            FROM embeddings)
 SELECT a.vec_id AS qid, b.vec_id AS cid,
-  ROUND({ddot.format(a='a.embedding', b='b.embedding', d=dim)} / (a.nrm * b.nrm), 4) AS cos
+  ROUND({ddot.format(a='a.embedding', b='b.embedding', d=dim)} / (a.nrm * b.nrm), 4) + 0.0 AS cos
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE ROUND({ddot.format(a='a.embedding', b='b.embedding', d=dim)} / (a.nrm * b.nrm), 4) >= {threshold}
 ORDER BY qid, cid"""

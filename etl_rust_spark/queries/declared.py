@@ -265,7 +265,7 @@ SELECT o_custkey, o_orderkey, rnk FROM (
             "window",
             """
 SELECT event_id, user_id,
-  ROUND(value - LAG(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta,
+  ROUND(value - LAG(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) + 0.0 AS delta,
   LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
 FROM events WHERE user_id <= 20 ORDER BY user_id, event_id
 """,
@@ -409,13 +409,13 @@ FROM events WHERE event_id <= 300 ORDER BY event_id
             "dq31",
             "array",
             """
-SELECT vec_id, size(embedding) AS dim, ROUND(element_at(embedding, 1), 4) AS e1,
-  ROUND(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 3) AS ssum
+SELECT vec_id, size(embedding) AS dim, ROUND(element_at(embedding, 1), 4) + 0.0 AS e1,
+  ROUND(aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), 3) + 0.0 AS ssum
 FROM embeddings WHERE vec_id <= 50 ORDER BY vec_id
 """,
             """
-SELECT vec_id, len(embedding) AS dim, ROUND(embedding[1], 4) AS e1,
-  ROUND(list_sum(embedding), 3) AS ssum
+SELECT vec_id, len(embedding) AS dim, ROUND(embedding[1], 4) + 0.0 AS e1,
+  ROUND(list_sum(embedding), 3) + 0.0 AS ssum
 FROM embeddings WHERE vec_id <= 50 ORDER BY vec_id
 """,
             notes="Proto repeated-field analog (X-02); array HOFs stay inside "
@@ -437,7 +437,7 @@ FROM documents GROUP BY lang ORDER BY lang
             """
 WITH pairs AS (
   SELECT a.vec_id AS qid, b.vec_id AS cid,
-    ROUND(aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 3) AS dot
+    ROUND(aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 3) + 0.0 AS dot
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
   WHERE a.vec_id <= 10)
 SELECT qid, cid, dot FROM (
@@ -447,7 +447,7 @@ WHERE rn = 1 ORDER BY qid
             """
 WITH pairs AS (
   SELECT a.vec_id AS qid, b.vec_id AS cid,
-    ROUND(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 3) AS dot
+    ROUND(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 3) + 0.0 AS dot
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
   WHERE a.vec_id <= 10)
 SELECT qid, cid, dot FROM (

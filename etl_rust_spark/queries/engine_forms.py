@@ -39,8 +39,10 @@ __all__ = ["ENGINE_FORMS", "dq33_engine"]
 
 
 def _half_up_3(x: np.ndarray) -> np.ndarray:
-    # Spark/DuckDB ROUND(x, 3): half away from zero.
-    return np.sign(x) * np.floor(np.abs(x) * 1000.0 + 0.5) / 1000.0
+    # Spark/DuckDB ROUND(x, 3): half away from zero.  + 0.0 folds IEEE
+    # negative zero to +0.0, matching the `ROUND(...) + 0.0` the SQL
+    # forms now apply (sign(x)*floor(...) yields -0.0 for tiny x < 0).
+    return np.sign(x) * np.floor(np.abs(x) * 1000.0 + 0.5) / 1000.0 + 0.0
 
 
 def dq33_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
