@@ -14,6 +14,9 @@ In this engine:
   no SDK dependency.  Plugs into ``publish_tables``'s executor-local
   lifecycle + 900-chunk + bulk→per-message retry ladder, which already
   mirrors the reference's backoff behavior (google_pubsub.rs:122-171).
+  The subscriber half (``pull``/``acknowledge``, S-03) feeds
+  ``streaming.subscription.consume_work_items`` — the reference's
+  orchestrated ``index-subscription`` verb (src/main.rs:357-389).
 - **AMQP (RabbitMQ)** → no broker or client library in this container
   and AMQP 0-9-1 framing is out of scope for stdlib; the QueueClient
   seam is the integration point (a ``pika``-backed client is a ~20-line
@@ -34,6 +37,8 @@ from typing import Any, Callable
 __all__ = [
     "PubSubRestClient",
     "PubSubPublishError",
+    "PubSubPullError",
+    "ReceivedMessage",
     "pubsub_client_factory",
     "GcsRestClient",
     "GcsUploadError",
@@ -44,6 +49,37 @@ __all__ = [
 class PubSubPublishError(RuntimeError):
     """Non-2xx publish response — raised so the publisher's bulk→
     per-message ladder (etl.sinks._publish_partition) takes over."""
+
+
+class PubSubPullError(RuntimeError):
+    """Non-2xx / transport failure on a subscription pull or ack."""
+
+
+class ReceivedMessage:
+    """One pulled Pub/Sub message: ack handle + decoded payload.
+
+    ``ack_id`` is the opaque server handle :meth:`PubSubRestClient.
+    acknowledge` takes; an unacked message is redelivered after the
+    ack deadline — the at-least-once contract the consume loop
+    (streaming.subscription.consume_work_items) builds on.
+    """
+
+    __slots__ = ("ack_id", "data", "message_id", "attributes")
+
+    def __init__(
+        self,
+        ack_id: str,
+        data: bytes,
+        message_id: str = "",
+        attributes: dict[str, str] | None = None,
+    ) -> None:
+        self.ack_id = ack_id
+        self.data = data
+        self.message_id = message_id
+        self.attributes = attributes or {}
+
+    def __repr__(self) -> str:  # debugging aid only
+        return f"ReceivedMessage(ack_id={self.ack_id!r}, message_id={self.message_id!r})"
 
 
 class PubSubRestClient:
@@ -115,6 +151,55 @@ class PubSubRestClient:
 
     def disconnect(self) -> None:
         self.connected = False  # REST is connectionless; K-09 parity flag
+
+    # Subscriber surface (S-03) --------------------------------------------
+    # The reference's orchestrated mode consumes work items from a
+    # subscription (src/main.rs:357-389: gcp_client.subscription(...) →
+    # subscribe_and_extract; ack marks progress).  Same public REST
+    # surface the emulator serves:
+    #   POST /v1/projects/{p}/subscriptions/{s}:pull        {maxMessages}
+    #   POST /v1/projects/{p}/subscriptions/{s}:acknowledge {ackIds}
+
+    def _sub_post(self, subscription: str, verb: str, body: dict) -> dict:
+        url = (
+            f"{self.endpoint}/v1/projects/{self.project}"
+            f"/subscriptions/{subscription}:{verb}"
+        )
+        req = urllib.request.Request(
+            url,
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        if self.token:
+            req.add_header("Authorization", f"Bearer {self.token}")
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                if resp.status // 100 != 2:
+                    raise PubSubPullError(f"{verb} {resp.status}")
+                raw = resp.read()
+        except (urllib.error.URLError, OSError) as exc:
+            raise PubSubPullError(str(exc)) from exc
+        return json.loads(raw) if raw else {}
+
+    def pull(self, subscription: str, max_messages: int = 100) -> list[ReceivedMessage]:
+        """Synchronous pull; an empty list means no messages available."""
+        out = self._sub_post(subscription, "pull", {"maxMessages": max_messages})
+        received = []
+        for rm in out.get("receivedMessages", []):
+            msg = rm.get("message", {})
+            received.append(
+                ReceivedMessage(
+                    ack_id=rm["ackId"],
+                    data=base64.b64decode(msg.get("data", "")),
+                    message_id=msg.get("messageId", ""),
+                    attributes=msg.get("attributes") or {},
+                )
+            )
+        return received
+
+    def acknowledge(self, subscription: str, ack_ids: list[str]) -> None:
+        if ack_ids:
+            self._sub_post(subscription, "acknowledge", {"ackIds": list(ack_ids)})
 
 
 class GcsUploadError(RuntimeError):

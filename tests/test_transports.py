@@ -181,3 +181,145 @@ def test_publish_tables_end_to_end_with_bulk_fallback(spark, broker):
     # bulk failed once, then 10 per-message publishes
     assert stats.snapshot()["published"] == 10
     assert stats.snapshot()["bulk_failures"] == 1
+
+
+# ---------------------------------------------------------------------------
+# S-03: subscriber surface — pull/acknowledge + the consume loop
+# ---------------------------------------------------------------------------
+
+
+class _SubBroker(BaseHTTPRequestHandler):
+    """Fake Pub/Sub subscription endpoint: pull redelivers every unacked
+    message (at-least-once), acknowledge removes by ackId — the emulator
+    wire surface of /v1/projects/{p}/subscriptions/{s}:pull|:acknowledge."""
+
+    queue: list[tuple[str, str]] = []  # (ack_id, b64 data)
+    acked: list[str] = []
+    pulls: int = 0
+    lock = threading.Lock()
+
+    def log_message(self, *a):
+        pass
+
+    def do_POST(self):
+        body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        with _SubBroker.lock:
+            if self.path.endswith(":pull"):
+                _SubBroker.pulls += 1
+                n = int(body.get("maxMessages", 100))
+                out = {
+                    "receivedMessages": [
+                        {"ackId": aid, "message": {"data": data, "messageId": aid}}
+                        for aid, data in _SubBroker.queue[:n]
+                    ]
+                }
+            elif self.path.endswith(":acknowledge"):
+                ids = set(body["ackIds"])
+                _SubBroker.queue = [q for q in _SubBroker.queue if q[0] not in ids]
+                _SubBroker.acked.extend(sorted(ids))
+                out = {}
+            else:
+                return self.send_error(404)
+        raw = json.dumps(out).encode()
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(raw)))
+        self.end_headers()
+        self.wfile.write(raw)
+
+
+def _seed(items) -> None:
+    _SubBroker.queue = [
+        (f"ack-{i}", base64.b64encode(json.dumps(it).encode()).decode())
+        for i, it in enumerate(items)
+    ]
+    _SubBroker.acked = []
+    _SubBroker.pulls = 0
+
+
+@pytest.fixture()
+def sub_broker():
+    _seed([])
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _SubBroker)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", _SubBroker
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_pull_and_acknowledge_roundtrip(sub_broker):
+    url, B = sub_broker
+    _seed([{"start": 0, "end": 5}, {"start": 5, "end": 9}])
+    c = PubSubRestClient(url, "proj")
+    msgs = c.pull("work", max_messages=10)
+    assert [json.loads(m.data) for m in msgs] == [
+        {"start": 0, "end": 5},
+        {"start": 5, "end": 9},
+    ]
+    c.acknowledge("work", [msgs[0].ack_id])
+    again = c.pull("work", max_messages=10)  # unacked msg redelivered
+    assert [m.ack_id for m in again] == [msgs[1].ack_id]
+    assert B.acked == ["ack-0"]
+
+
+def test_consume_work_items_acks_after_process(sub_broker):
+    from etl_rust_spark.streaming.subscription import consume_work_items
+
+    url, B = sub_broker
+    _seed(
+        [
+            {"start": 0, "end": 5},
+            {"bad": "payload"},  # poison: acked + skipped
+            {"start": 5, "end": 7},
+            {"start": 7, "end": 7},  # empty range: acked, not processed
+        ]
+    )
+    c = PubSubRestClient(url, "proj")
+    seen: list[tuple[int, int]] = []
+    done = consume_work_items(
+        c, "work", lambda s, e: seen.append((s, e)), max_empty_pulls=1, sleep_s=0
+    )
+    assert done == 2 and seen == [(0, 5), (5, 7)]
+    assert B.queue == [] and len(B.acked) == 4
+
+
+def test_consume_failure_leaves_message_unacked_then_converges(sub_broker):
+    """A crash mid-item must not ack — the broker redelivers and a
+    rerun converges (at-least-once x idempotent process)."""
+    from etl_rust_spark.streaming.subscription import consume_work_items
+
+    url, B = sub_broker
+    _seed([{"start": 0, "end": 5}, {"start": 5, "end": 9}])
+    c = PubSubRestClient(url, "proj")
+    calls: list[tuple[int, int]] = []
+
+    def flaky(s, e):
+        if e == 9 and not any(x == (5, 9) for x in calls):
+            calls.append((s, e))
+            raise RuntimeError("executor lost")
+        calls.append((s, e))
+
+    with pytest.raises(RuntimeError):
+        consume_work_items(c, "work", flaky, max_empty_pulls=1, sleep_s=0)
+    assert B.acked == ["ack-0"]  # first item acked, failed one not
+    done = consume_work_items(c, "work", flaky, max_empty_pulls=1, sleep_s=0)
+    assert done == 1 and B.queue == []  # redelivered item processed + acked
+
+
+def test_run_pubsub_subscription_end_to_end(spark, sub_broker, tmp_path):
+    """index-subscription parity: Pub/Sub work items drive run_range;
+    blocks land exactly once per height (src/main.rs:357-389)."""
+    from etl_rust_spark.sources.chain import SyntheticChain
+    from etl_rust_spark.streaming.subscription import run_pubsub_subscription
+
+    url, B = sub_broker
+    _seed([{"start": 0, "end": 10}, {"start": 10, "end": 25}])
+    c = PubSubRestClient(url, "proj")
+    out = str(tmp_path / "sink")
+    done = run_pubsub_subscription(
+        spark, SyntheticChain(), c, "work", out, bucket_size=5, max_empty_pulls=1
+    )
+    assert done == 2 and B.queue == []
+    blocks = spark.read.parquet(f"{out}/blocks")
+    assert blocks.count() == 25
+    assert blocks.select("block_index").distinct().count() == 25
