@@ -7,6 +7,7 @@ is the cross-process queue."""
 from __future__ import annotations
 
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -171,6 +172,50 @@ def test_kafka_stream_writer_constructs(spark, tmp_path):
         sdf, "events", "broker:9092", str(tmp_path / "ckpt")
     )
     assert writer is not None  # constructed; .start() needs the jar
+
+
+def _kafka_jar_present(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not os.environ.get("KAFKA_BOOTSTRAP"),
+    reason="K-05 runtime round-trip needs a reachable broker: set "
+    "KAFKA_BOOTSTRAP=host:port (and launch Spark with the "
+    "spark-sql-kafka-0-10 package on the classpath)",
+)
+def test_kafka_runtime_roundtrip(spark, tmp_path):
+    """K-05 runtime validation (VERDICT r3 #6): publish through
+    kafka_batch_writer against a real broker and read the topic back —
+    payload fidelity + publish-time stamping, the behavior
+    src/output/apache_kafka.rs:31-115 ships.  Skips (with the setup
+    recipe in the reason) wherever no broker/jar is available."""
+    import uuid
+
+    bootstrap = os.environ["KAFKA_BOOTSTRAP"]
+    if not _kafka_jar_present(spark):
+        pytest.skip("spark-sql-kafka jar not on the session classpath")
+    from etl_rust_spark.etl.sinks import kafka_batch_writer
+
+    topic = f"etl-test-{uuid.uuid4().hex[:8]}"
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(10)], ["a", "b"])
+    kafka_batch_writer(df, topic, bootstrap).save()
+    back = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    payloads = [json.loads(bytes(r["value"]).decode()) for r in back.collect()]
+    assert sorted(p["a"] for p in payloads) == list(range(10))
+    assert all("_published_at" in p for p in payloads)  # X-09 stamp
 
 
 def test_encode_avro_golden_bytes(spark):
