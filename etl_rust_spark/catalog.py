@@ -26,7 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["TABLES", "SCHEMAS", "load_table", "register_views"]
+__all__ = [
+    "TABLES",
+    "SCHEMAS",
+    "load_table",
+    "register_views",
+    "autotune_shuffle_partitions",
+]
 
 # The ten driver-provided synthetic tables (TESTDATA.md / FIXTURES.md §1).
 TABLES: tuple[str, ...] = (
@@ -143,6 +149,49 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+def autotune_shuffle_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    advisory_bytes: int = 64 * 1024 * 1024,
+    floor: int = 8,
+    cap: int = 4096,
+) -> None:
+    """Size ``spark.sql.shuffle.partitions`` to the dataset, once per
+    (session, sf_dir).
+
+    The scale rule cuts both ways: at 100 TB you want thousands of
+    initial partitions (AQE coalesces/splits at runtime); at bench/test
+    scale (~100 MB) a 32-reducer shuffle is pure scheduling overhead —
+    measured ~3 s across the 50-entry suite at sf0.1.  partitions =
+    clamp(total_input_bytes / 64 MB, 8, 4096); the floor keeps CPU-heavy
+    reduces (hashing, BLAS) parallel even when the data is tiny.  No-op
+    when the input size can't be inspected (non-local paths).
+    """
+    marker = "etl_rust_spark.autotuned_sf_dir"
+    try:
+        if spark.conf.get(marker, "") == sf_dir:
+            return
+    except Exception:
+        pass
+    try:
+        from pathlib import Path
+
+        root = Path(sf_dir)
+        total = sum(
+            sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+            if p.is_dir()
+            else p.stat().st_size
+            for p in root.glob("*.parquet")
+        )
+        if total <= 0:
+            return
+        sp = max(floor, min(cap, total // advisory_bytes))
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(sp)))
+        spark.conf.set(marker, sf_dir)
+    except Exception:
+        return  # foreign filesystem / permissions: keep the session default
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table from ``{sf_dir}/{name}.parquet`` with canonical types.
 
@@ -151,6 +200,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and reinterpret as micros.  This matches the DuckDB oracle's ns→us
     truncation bit-for-bit (FIXTURES.md §3).
     """
+    autotune_shuffle_partitions(spark, sf_dir)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

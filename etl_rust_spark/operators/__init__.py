@@ -93,27 +93,17 @@ def _op_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_rust_spark.operators import lm
 
     d = _docs(spark, sf_dir, 100)
-    lang = text.language_id(d, "text", "doc_id")
-    tok = text.token_stats(d, "text", "doc_id")
-    bpe = text.bpe_token_stats(d, "text", "doc_id").withColumnRenamed(
-        "n_tokens", "n_bpe_tokens"
-    )
-    qual = text.quality_score(d, "text", "doc_id")
-    fp = text.fingerprint(d, "text", "doc_id")
-    mh = dedup.minhash_signatures(d, "text", "doc_id")
-    sh = dedup.simhash(d, "text", "doc_id")
-    bg, ctx, vocab = lm.train_bigram_lm(_docs(spark, sf_dir), "text")
+    # One scan-side projection per granularity instead of a 7-way
+    # self-join: text_profile = the five text operators in one select,
+    # sketches = MinHash+SimHash in one select.  Only perplexity needs a
+    # real join (different granularity: the LM trains on the full
+    # corpus).  lazy_vocab: no eager job at construction — the whole
+    # profile stays one lazy plan.
+    profile = text.text_profile(d, "text", "doc_id")
+    sk = dedup.sketches(d, "text", "doc_id")
+    bg, ctx, vocab = lm.train_bigram_lm(_docs(spark, sf_dir), "text", lazy_vocab=True)
     ppl = lm.score_perplexity(d, bg, ctx, vocab, text_col="text", id_col="doc_id")
-    return (
-        lang.join(tok, "doc_id")
-        .join(bpe, "doc_id")
-        .join(qual, "doc_id")
-        .join(fp, "doc_id")
-        .join(mh, "doc_id")
-        .join(sh, "doc_id")
-        .join(ppl, "doc_id")
-        .orderBy("doc_id")
-    )
+    return profile.join(sk, "doc_id").join(ppl, "doc_id").orderBy("doc_id")
 
 
 def _op_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,9 +187,8 @@ def _op_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_operators.py) rather than diluting this entry back to
     # rows-only.
     emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") <= 20)
     return (
-        similarity.ann_lsh_topk(q, emb)
+        similarity.ann_lsh_topk(None, emb, query_pred=F.col("cid") <= 20)
         .select(F.lit("lsh").alias("src"), "qid", "cid", "cos", "rn")
         .orderBy("qid", "rn")
     )

@@ -48,6 +48,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
+    "sketches",
     "shingle_jaccard_pairs",
     "release_caches",
 ]
@@ -311,6 +312,31 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+
+def sketches(
+    df: DataFrame, text_col: str, id_col: str, width: int = 3, bits: int = 32
+) -> DataFrame:
+    """``minhash_signatures ⋈ simhash`` on ``id_col`` without the join:
+    both are scan-side projections of the same row, so one select
+    (sharing the tokenize/shingle arrays) emits
+    ``(id, sig0..sigk, simhash)`` in a single codegen pass."""
+    h = spark_h(x="t")
+    sim = f"""
+    aggregate(
+      transform(sequence(0, {bits - 1}), j ->
+        CASE WHEN aggregate(__th, 0L,
+               (acc, h) -> acc + CASE WHEN (shiftright(h, CAST(j AS INT)) & 1) = 1
+                                      THEN 1L ELSE -1L END) > 0
+             THEN shiftleft(1L, CAST(j AS INT)) ELSE 0L END),
+      0L, (acc, v) -> acc + v)
+    """
+    base = (
+        with_shingles(df, text_col, width)
+        .withColumn("__hs", _hashed_shingles())
+        .withColumn("__th", F.expr(f"transform(split({text_col}, ' '), t -> {h})"))
+    )
+    return base.select(F.col(id_col), *_sig_exprs(), F.expr(sim).alias("simhash"))
+
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """(id, simhash): bit-vote SimHash over whitespace tokens.

@@ -64,13 +64,17 @@ def _context_hashes(toks_col: str, dialect: str) -> str:
 
 
 def train_bigram_lm(
-    docs: DataFrame, text_col: str = "text"
-) -> tuple[DataFrame, DataFrame, int]:
+    docs: DataFrame, text_col: str = "text", lazy_vocab: bool = False
+) -> tuple[DataFrame, DataFrame, "int | DataFrame"]:
     """Returns ``(bigram_counts(bg, c), context_counts(ctx, cc), vocab)``.
 
-    ``vocab`` is the exact distinct-token count (one number to the
-    driver — the only scalar that crosses; everything else stays
-    distributed).
+    ``vocab`` is the exact distinct-token count.  By default it is
+    collected eagerly (one scalar to the driver).  With
+    ``lazy_vocab=True`` it is returned as a 1-row DataFrame instead so
+    the whole train+score pipeline stays ONE lazy plan — no job runs at
+    construction time, and the vocab aggregation overlaps with the rest
+    of the suite under concurrent submission (score_perplexity
+    cross-joins the single row; Spark plans it as a broadcast).
     """
     toks = docs.select(F.split(F.col(text_col), " ").alias("toks"))
     bg = toks.select(
@@ -79,17 +83,19 @@ def train_bigram_lm(
     ctx = toks.select(
         F.explode(F.expr(_context_hashes("toks", "spark"))).alias("ctx")
     ).groupBy("ctx").agg(F.count("*").alias("cc"))
-    vocab = toks.select(F.explode("toks").alias("t")).agg(
-        F.countDistinct("t").alias("v")
-    ).collect()[0]["v"]
-    return bg, ctx, int(vocab)
+    vocab_df = toks.select(F.explode("toks").alias("t")).agg(
+        F.countDistinct("t").cast("double").alias("_vocab")
+    )
+    if lazy_vocab:
+        return bg, ctx, vocab_df
+    return bg, ctx, int(vocab_df.collect()[0]["_vocab"])
 
 
 def score_perplexity(
     docs: DataFrame,
     bigram_counts: DataFrame,
     context_counts: DataFrame,
-    vocab: int,
+    vocab: "int | DataFrame",
     k: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -99,6 +105,10 @@ def score_perplexity(
     Docs with < 2 tokens have no bigrams: ``avg_nll = 0.0, ppl = 1.0``
     (nothing to score — filter on ``n_bigrams`` downstream if that
     matters).  Unseen bigram → c = 0; unseen context → P = 1/V.
+
+    ``vocab`` is the driver-side int from the default
+    :func:`train_bigram_lm`, or the 1-row DataFrame from its
+    ``lazy_vocab=True`` form (cross-joined here — broadcast of one row).
     """
     pairs = docs.select(
         F.col(id_col),
@@ -107,6 +117,11 @@ def score_perplexity(
             F.expr(_context_hashes(f"split({text_col}, ' ')", "spark")),
         )).alias("pos", "z"),
     ).select(id_col, F.col("z.0").alias("bg"), F.col("z.1").alias("ctx"))
+    if isinstance(vocab, DataFrame):
+        pairs = pairs.crossJoin(F.broadcast(vocab))
+        vocab_expr = F.col("_vocab")
+    else:
+        vocab_expr = F.lit(float(vocab))
     scored = (
         pairs.join(bigram_counts, "bg", "left")
         .join(context_counts, "ctx", "left")
@@ -116,7 +131,7 @@ def score_perplexity(
                 F.col("bg").isNotNull(),
                 -F.log(
                     (F.coalesce(F.col("c"), F.lit(0)) + k)
-                    / (F.coalesce(F.col("cc"), F.lit(0)) + k * vocab)
+                    / (F.coalesce(F.col("cc"), F.lit(0)) + k * vocab_expr)
                 ),
             ),
         )

@@ -115,6 +115,68 @@ def _signature_expr(vec_col: str, n_planes: int) -> F.Column:
     return F.expr("(" + " + ".join(bits) + ")")
 
 
+def _round_half_up(x, dp: int):
+    """Spark/DuckDB ROUND: half away from zero (vectorized, numpy)."""
+    import numpy as np
+
+    m = 10.0**dp
+    return np.sign(x) * np.floor(np.abs(x) * m + 0.5) / m
+
+
+def _sig_norm_pandas(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int, out_id: str, out_vec: str
+) -> DataFrame:
+    """(id, vec, bucket, norm) via one Arrow-batched numpy pass.
+
+    Numerically identical to the ``_signature_expr`` + ``_norm``
+    expression forms (which stay as the documented semantics and the
+    DuckDB-mirror template): per-plane dots and the self-dot reproduce
+    the sequential SQL fold with a cumulative sum along the dim axis
+    (the dq33 engine-form argument — matmul's pairwise SIMD order could
+    flip a boundary round; cumsum cannot), then the identical
+    6-dp half-up sign test.  The expression form evaluates ~n_planes×dim
+    interpreted lambda calls per row (HOFs never enter codegen); this
+    pass is one BLAS-shaped kernel per Arrow batch — ~3× the whole
+    operator at bench scale, and the per-row constant is what dominates
+    at 10⁹ vectors too.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    planes = np.array([HYPERPLANES[j] for j in range(n_planes)], dtype=np.float64)
+    spark_t = df.schema[vec_col].dataType
+
+    out_schema = T.StructType(
+        [
+            T.StructField(out_id, df.schema[id_col].dataType),
+            T.StructField(out_vec, spark_t),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("nrm", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array([np.asarray(v) for v in pdf[vec_col]], dtype=np.float64)
+            prods = mat[:, None, :] * planes[None, :, :]  # (B, planes, dim)
+            dots = _round_half_up(np.cumsum(prods, axis=2)[:, :, -1], 6)
+            bucket = ((dots > 0) @ (1 << np.arange(n_planes))).astype(np.int64)
+            nrm = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+            yield pd.DataFrame(
+                {
+                    out_id: pdf[id_col].to_numpy(),
+                    out_vec: pdf[vec_col],
+                    "bucket": bucket,
+                    "nrm": nrm,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, out_schema)
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -123,6 +185,7 @@ def ann_lsh_topk(
     k: int = 3,
     n_planes: int = 16,
     prefix_bits: int = 8,
+    query_pred=None,
 ) -> DataFrame:
     """Approximate cosine top-k via sign-LSH bucket join + exact re-rank.
 
@@ -131,18 +194,32 @@ def ann_lsh_topk(
     Candidates = corpus vectors sharing the query's bucket; exact cosine
     re-ranks them.  Queries whose bucket has < k candidates simply
     return fewer rows (callers can fall back to brute force for those).
+
+    When the query set IS a slice of ``corpus``, pass ``query_pred`` (a
+    predicate over the renamed corpus signature frame, e.g.
+    ``F.col("cid") <= 20``) instead of ``queries``: the signature pass
+    then runs once over the corpus and the query side is a filter of it.
     """
-    mask = (1 << prefix_bits) - 1
-    q = (
-        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-        .withColumn("bucket", _signature_expr("qv", n_planes).bitwiseAND(F.lit(mask)))
-        .withColumn("qn", F.expr(_norm("qv")))
-    )
-    c = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .withColumn("bucket", _signature_expr("cv", n_planes).bitwiseAND(F.lit(mask)))
-        .withColumn("cn", F.expr(_norm("cv")))
-    )
+    # Bucket = low prefix_bits of the signature, so only planes
+    # 0..prefix_bits-1 can influence it — computing the remaining
+    # n_planes-prefix_bits dots would be discarded by the mask (the
+    # DuckDB mirror computes exactly prefix_bits planes for the same
+    # reason).  Signature + norm run in the numpy pass (_sig_norm_pandas,
+    # fold-exact); only the candidate-pair re-rank dot stays an
+    # expression (pairs ≪ corpus).
+    n_bucket_planes = min(n_planes, prefix_bits)
+    c = _sig_norm_pandas(corpus, id_col, vec_col, n_bucket_planes, "cid", "cv")
+    c = c.withColumnRenamed("nrm", "cn")
+    if query_pred is not None:
+        q = c.filter(query_pred).select(
+            F.col("cid").alias("qid"),
+            F.col("cv").alias("qv"),
+            "bucket",
+            F.col("cn").alias("qn"),
+        )
+    else:
+        q = _sig_norm_pandas(queries, id_col, vec_col, n_bucket_planes, "qid", "qv")
+        q = q.withColumnRenamed("nrm", "qn")
     pairs = q.join(c, ["bucket"]).filter(F.col("qid") != F.col("cid")).withColumn(
         # + 0.0: negative-zero normalization (see cosine_topk).
         "cos",

@@ -20,6 +20,7 @@ __all__ = [
     "quality_score",
     "fingerprint",
     "bpe_token_stats",
+    "text_profile",
     "langid_sql",
     "token_stats_sql",
     "bpe_token_stats_sql",
@@ -138,6 +139,66 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             .cast("long")
             .alias("quality_bp"),
         )
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All five per-doc text operators as ONE scan-side projection.
+
+    Column-for-column identical to ``language_id ⋈ token_stats ⋈
+    bpe_token_stats(n_tokens→n_bpe_tokens) ⋈ quality_score ⋈
+    fingerprint`` on ``id_col`` — but with zero joins: every operator is
+    a pure projection of the same tokenized row, so a single select
+    (sharing the split/regexp arrays) produces the wide row in one
+    whole-stage-codegen pass.  The joined form cost ~6 extra exchanges
+    at bench scale; at 100 TB it would shuffle the doc corpus five
+    times for no reason.
+    """
+    h = spark_h(x="t")
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        F.split(F.col(text_col), " ").alias("toks"),
+        F.expr(f"regexp_extract_all({text_col}, '{BPE_TOKEN_RE}', 0)").alias("btoks"),
+    )
+    for lang, words in STOPWORDS.items():
+        lit = ", ".join(f"'{w}'" for w in words)
+        base = base.withColumn(
+            f"n_{lang}",
+            F.expr(f"size(filter(toks, t -> array_contains(array({lit}), t)))"),
+        )
+    return base.select(
+        F.col(id_col),
+        *[F.col(f"n_{lang}") for lang in _LANGS],
+        F.expr(_argmax_case()).alias("lang_pred"),
+        F.expr("size(toks)").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").alias("n_types"),
+        F.expr("round(size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE), 4)").alias("ttr"),
+        F.expr(
+            "round((length(__text) - (size(toks) - 1)) / CAST(size(toks) AS DOUBLE), 4)"
+        ).alias("avg_tok_len"),
+        F.expr("size(btoks)").alias("n_bpe_tokens"),
+        F.expr("size(filter(btoks, t -> t RLIKE '^[A-Za-z]'))").alias("n_alpha"),
+        F.expr("size(filter(btoks, t -> t RLIKE '^[0-9]'))").alias("n_digit"),
+        F.expr("size(filter(btoks, t -> t NOT RLIKE '^[A-Za-z0-9]'))").alias("n_punct"),
+        F.expr(
+            "aggregate(btoks, 0L, (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS BIGINT))"
+        ).alias("n_subwords"),
+        # NB: `x / 64.0` in Spark SQL *text* is DECIMAL division (the
+        # literal parses as DECIMAL(3,1)) while quality_score's
+        # F.lit(64.0) is a DOUBLE — cast explicitly or FLOOR boundaries
+        # drift by 1 ulp (doc 78 @ sf0.001: 4999 vs 5000).
+        F.expr(
+            f"CAST(FLOOR((LEAST(size(toks) / CAST(64.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 0.4"
+            f" + size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE) * 0.4"
+            f" + LEAST(size(filter(toks, t -> array_contains(array({en}), t)))"
+            f" / CAST(size(toks) AS DOUBLE) * 5, CAST(1.0 AS DOUBLE)) * 0.2) * 10000) AS BIGINT)"
+        ).alias("quality_bp"),
+        F.expr(
+            f"aggregate(transform(toks, t -> {h} % {MINHASH_P}), 0L,"
+            f" (acc, h) -> (acc * 31 + h) % {MINHASH_P})"
+        ).alias("fp"),
     )
 
 
