@@ -21,8 +21,14 @@ Design for 100 TB:
 greedy-vs-connected-component note: dropping the higher id of every
 near-dup PAIR approximates clustering (a→b, b→c drops b and c even if
 a~c was never tested).  That is the standard large-scale choice
-(transitive near-dup chains are overwhelmingly true dup clusters); an
-exact connected-components pass would need an iterative join loop.
+(transitive near-dup chains are overwhelmingly true dup clusters); the
+exact alternative is available opt-in via
+``near_dup_strategy="components"`` — :func:`near_dup_components` runs
+bounded-iteration min-id label propagation over the pair graph and the
+pipeline keeps exactly one representative (the min id) per connected
+component.  The two differ on star shapes: pairs (1,5),(2,5) keep
+{1,2} under greedy (5 is the only larger member) but only {1} under
+components (1-5-2 is one cluster).
 """
 
 from __future__ import annotations
@@ -32,7 +38,80 @@ from pyspark.sql import functions as F
 
 from etl_rust_spark.operators import dedup, text
 
-__all__ = ["curate_corpus", "curation_report", "curate_duck_sql"]
+__all__ = [
+    "curate_corpus",
+    "curation_report",
+    "curate_duck_sql",
+    "near_dup_components",
+]
+
+
+def near_dup_components(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    a_col: str = "qid",
+    b_col: str = "cid",
+) -> DataFrame:
+    """Connected components of the near-dup pair graph: ``(id, rep)``
+    for every id that appears in a pair, ``rep`` = the component's
+    minimum id.
+
+    Min-id label propagation: every node starts labeled with itself;
+    each round every node takes the min of its own label and its
+    neighbors' labels; fixpoint = components.  Rounds needed = graph
+    diameter, which for near-dup clusters (dense blobs of rewrites of
+    one document) is tiny; ``max_iters`` bounds the loop regardless and
+    the loop exits early on convergence (one count per round — the
+    driver only ever sees that scalar).  Each round ``localCheckpoint``s
+    its labels: iterative self-joins grow the logical plan EXPONENTIALLY
+    without lineage truncation (persist bounds recompute, not plan size
+    — round ~10 OOMs the driver just rendering the tree), while a
+    checkpoint makes every round's plan one join deep.
+
+    Scale: the state is (id, rep) pairs — 16 bytes/node — and each
+    round is one join + groupBy on id keys; document text never enters
+    the graph.
+    """
+    fwd = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    edges = fwd.union(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    edges = edges.localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("rep", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("id").alias("b"), F.col("rep").alias("nrep")), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("nrep").alias("min_nbr"))
+        )
+        new = (
+            labels.join(nbr.select(F.col("a").alias("id"), "min_nbr"), "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("min_nbr"), F.col("rep"))
+                ).alias("rep"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
 
 
 def curate_corpus(
@@ -43,6 +122,7 @@ def curate_corpus(
     min_quality_bp: int = 0,
     near_dup_threshold: float | None = 0.5,
     shingle_width: int = 3,
+    near_dup_strategy: str = "greedy",
 ) -> DataFrame:
     """Return the curated corpus (original columns + language votes +
     ``lang_pred`` + ``quality_bp``), lazily — one composed plan, no
@@ -58,13 +138,23 @@ def curate_corpus(
         cur = cur.filter(F.col("quality_bp") >= min_quality_bp)
     cur = dedup.exact_dedupe(cur, [text_col], id_col)
     if near_dup_threshold is not None:
+        if near_dup_strategy not in ("greedy", "components"):
+            raise ValueError(f"unknown near_dup_strategy: {near_dup_strategy!r}")
         pairs = dedup.minhash_lsh_pairs(
             cur, text_col, id_col,
             width=shingle_width, threshold=near_dup_threshold,
         )
-        # keep the lowest id of each pair: drop ids that appear as the
-        # larger member (cid > qid by construction in the pair op)
-        drop = pairs.select(F.col("cid").alias(id_col)).distinct()
+        if near_dup_strategy == "components":
+            # exact clustering: keep one representative (min id) per
+            # connected component of the pair graph (module docstring).
+            comp = near_dup_components(pairs)
+            drop = comp.filter(F.col("rep") != F.col("id")).select(
+                F.col("id").alias(id_col)
+            )
+        else:
+            # keep the lowest id of each pair: drop ids that appear as
+            # the larger member (cid > qid by construction in the pair op)
+            drop = pairs.select(F.col("cid").alias(id_col)).distinct()
         cur = cur.join(drop, id_col, "left_anti")
     return cur
 

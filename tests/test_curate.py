@@ -62,3 +62,93 @@ def test_curation_report(spark, sf_dir):
     assert rep["kept"] == cur.count()
     assert rep["removed"] == rep["input"] - rep["kept"]
     assert 0 < rep["kept"] < rep["input"]
+
+
+# ---------------------------------------------------------------------------
+# Connected-components near-dup strategy (opt-in; default greedy unchanged)
+# ---------------------------------------------------------------------------
+
+
+def _union_find_reps(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference components: id -> min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_components_property_vs_union_find(spark):
+    """Min-id label propagation == union-find on adversarial edge lists
+    (long chains exercise multi-round convergence; stars exercise
+    fan-in; disjoint blobs exercise isolation)."""
+    import random
+
+    rng = random.Random(7)
+    cases = [
+        [(i, i + 1) for i in range(1, 12)],              # one long chain
+        [(1, k) for k in range(2, 9)],                   # star
+        [(1, 2), (3, 4), (5, 6), (2, 3)],                # chain merge
+        [(rng.randint(1, 30), rng.randint(31, 60)) for _ in range(25)],
+    ]
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, ["qid", "cid"])
+        got = {
+            r["id"]: r["rep"]
+            for r in curate.near_dup_components(pairs).collect()
+        }
+        assert got == _union_find_reps(edges), edges
+
+
+def test_curate_components_vs_greedy_star(spark):
+    """Star pairs (1,5),(2,5): greedy keeps {1,2}, components keeps {1}
+    (the module-docstring divergence case).  Verified on a corpus whose
+    LSH pairs form exactly that star."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (1, base),
+        (2, base + " x"),
+        (5, base + " y"),
+        (9, "completely different text about spark adaptive query execution"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.2)
+    got_pairs = {(r["qid"], r["cid"]) for r in pairs.collect()}
+    assert got_pairs, "fixture must produce near-dup pairs"
+    greedy = {
+        r["doc_id"]
+        for r in curate.curate_corpus(
+            docs, near_dup_threshold=0.2, near_dup_strategy="greedy"
+        ).collect()
+    }
+    comp = {
+        r["doc_id"]
+        for r in curate.curate_corpus(
+            docs, near_dup_threshold=0.2, near_dup_strategy="components"
+        ).collect()
+    }
+    # components keeps exactly one representative per cluster
+    reps = _union_find_reps(list(got_pairs))
+    expected_comp = ({1, 2, 5, 9} - set(reps)) | {r for r in reps.values()}
+    assert comp == expected_comp
+    # greedy keeps every id that never appears as the larger member
+    expected_greedy = {1, 2, 5, 9} - {c for _, c in got_pairs}
+    assert greedy == expected_greedy
+    # and components is never larger than greedy
+    assert comp <= greedy
+
+
+def test_curate_rejects_unknown_strategy(spark):
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        curate.curate_corpus(docs, near_dup_strategy="nope").collect()
