@@ -52,11 +52,35 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--format", default="parquet", choices=["parquet", "jsonl"])
 
     pb = sub.add_parser(
-        "index-subscription", help="stream work items (block ranges) from a directory"
+        "index-subscription",
+        help="consume work items (block ranges) from a Pub/Sub subscription "
+        "or a work-file directory",
     )
-    pb.add_argument("work_dir", help="directory receiving {start,end} JSONL work files")
+    pb.add_argument(
+        "work_dir",
+        nargs="?",
+        default=None,
+        help="directory receiving {start,end} JSONL work files "
+        "(file-queue transport; omit when using --subscription)",
+    )
     pb.add_argument("--out", required=True)
-    pb.add_argument("--checkpoint", required=True)
+    pb.add_argument(
+        "--checkpoint",
+        default=None,
+        help="streaming checkpoint dir (file-queue transport only)",
+    )
+    # Pub/Sub pull transport (reference: IndexSubscription{subscription},
+    # src/main.rs:357-389): ack-after-process against the public REST
+    # surface (emulator-compatible).
+    pb.add_argument("--subscription", help="Pub/Sub subscription name")
+    pb.add_argument("--pubsub-endpoint", help="Pub/Sub REST endpoint URL")
+    pb.add_argument("--pubsub-project", help="GCP project id")
+    pb.add_argument(
+        "--max-empty-pulls",
+        type=int,
+        default=None,
+        help="exit after N consecutive empty pulls (default: run forever)",
+    )
 
     ps = sub.add_parser("save-range", help="persist raw extracted data")
     ps.add_argument("start", type=int)
@@ -117,13 +141,28 @@ def main(argv: list[str] | None = None) -> int:
         counts = write_tables(chain.transform(raw), args.out, fmt=args.format)
         print(json.dumps({"records": counts}))
     elif args.cmd == "index-subscription":
-        from etl_rust_spark.streaming import run_subscription
+        if args.subscription:
+            if not (args.pubsub_endpoint and args.pubsub_project):
+                p.error("--subscription requires --pubsub-endpoint and --pubsub-project")
+            from etl_rust_spark.etl.transports import PubSubRestClient
+            from etl_rust_spark.streaming.subscription import run_pubsub_subscription
 
-        q = run_subscription(spark, chain, args.work_dir, args.out, args.checkpoint)
-        try:
-            q.awaitTermination()  # runs until interrupted, like the reference
-        except KeyboardInterrupt:
-            q.stop()  # graceful disconnect (K-09 parity)
+            client = PubSubRestClient(args.pubsub_endpoint, args.pubsub_project)
+            done = run_pubsub_subscription(
+                spark, chain, client, args.subscription, args.out,
+                max_empty_pulls=args.max_empty_pulls,
+            )
+            print(json.dumps({"work_items": done}))
+        else:
+            if not (args.work_dir and args.checkpoint):
+                p.error("file-queue transport requires work_dir and --checkpoint")
+            from etl_rust_spark.streaming import run_subscription
+
+            q = run_subscription(spark, chain, args.work_dir, args.out, args.checkpoint)
+            try:
+                q.awaitTermination()  # runs until interrupted, like the reference
+            except KeyboardInterrupt:
+                q.stop()  # graceful disconnect (K-09 parity)
     elif args.cmd == "save-range":
         print(save_range(spark, chain, args.start, args.end, args.out))
     elif args.cmd == "create-test-set":

@@ -323,3 +323,35 @@ def test_run_pubsub_subscription_end_to_end(spark, sub_broker, tmp_path):
     blocks = spark.read.parquet(f"{out}/blocks")
     assert blocks.count() == 25
     assert blocks.select("block_index").distinct().count() == 25
+
+
+def test_cli_index_subscription_pubsub(spark, sub_broker, tmp_path):
+    """CLI parity with the reference's IndexSubscription verb: the
+    Pub/Sub transport drives the full pipeline from the command line."""
+    from etl_rust_spark.__main__ import main
+
+    url, B = sub_broker
+    _seed([{"start": 0, "end": 8}])
+    out = str(tmp_path / "sink")
+    rc = main(
+        [
+            "index-subscription",
+            "--subscription", "work",
+            "--pubsub-endpoint", url,
+            "--pubsub-project", "proj",
+            "--out", out,
+            "--max-empty-pulls", "1",
+        ]
+    )
+    assert rc == 0 and B.queue == []
+    assert spark.read.parquet(f"{out}/blocks").count() == 8
+
+
+def test_cli_index_subscription_arg_validation(sub_broker, tmp_path):
+    from etl_rust_spark.__main__ import main
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["index-subscription", "--subscription", "work", "--out", str(tmp_path)])
+    with _pytest.raises(SystemExit):
+        main(["index-subscription", "--out", str(tmp_path)])
