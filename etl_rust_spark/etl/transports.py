@@ -17,10 +17,12 @@ In this engine:
   The subscriber half (``pull``/``acknowledge``, S-03) feeds
   ``streaming.subscription.consume_work_items`` — the reference's
   orchestrated ``index-subscription`` verb (src/main.rs:357-389).
-- **AMQP (RabbitMQ)** → no broker or client library in this container
-  and AMQP 0-9-1 framing is out of scope for stdlib; the QueueClient
-  seam is the integration point (a ``pika``-backed client is a ~20-line
-  adapter where an environment provides it).
+- **RabbitMQ** → both wire surfaces are implemented stdlib-only:
+  AMQP 0-9-1 (``etl.amqp.AmqpClassicClient`` — classic queues and
+  ``x-queue-type=stream``) and the native stream binary protocol
+  (``etl.rabbitmq_stream.RabbitMqStreamClient`` — confirmed publisher,
+  K-07).  Both test against in-process socket stubs and run against a
+  real broker unchanged.
 
 Auth note: a real deployment sets ``token`` (OAuth bearer) or fronts
 the endpoint with a metadata-server proxy; the emulator needs none.
