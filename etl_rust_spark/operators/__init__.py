@@ -85,25 +85,31 @@ def _op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _op_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # All six per-doc text operators + the MinHash/SimHash sketches
-    # joined on doc_id (one gate slot; doc cap 100 = the former
-    # op_sketches cap, the binding one).  Perplexity (lm.py) trains the
-    # bigram LM on the FULL documents table and scores the capped slice
-    # — the CCNet-style quality signal, gated since r4 (VERDICT r3 #1).
+    # The full per-doc text surface in one gate slot (doc cap 100 = the
+    # former op_sketches cap, the binding one): language-ID, token/BPE
+    # stats, quality, fingerprint, MinHash/SimHash sketches, Gopher
+    # repetition signals, and bigram-LM perplexity (lm.py, trained on
+    # the FULL documents table — the CCNet-style quality signal).
     from etl_rust_spark.operators import lm
 
     d = _docs(spark, sf_dir, 100)
-    # One scan-side projection per granularity instead of a 7-way
+    # One scan-side projection per granularity instead of an 8-way
     # self-join: text_profile = the five text operators in one select,
-    # sketches = MinHash+SimHash in one select.  Only perplexity needs a
-    # real join (different granularity: the LM trains on the full
-    # corpus).  lazy_vocab: no eager job at construction — the whole
-    # profile stays one lazy plan.
+    # sketches = MinHash+SimHash in one select; repetition and
+    # perplexity are real joins (different granularity — both aggregate
+    # exploded grams).  lazy_vocab: no eager job at construction — the
+    # whole profile stays one lazy plan.
     profile = text.text_profile(d, "text", "doc_id")
     sk = dedup.sketches(d, "text", "doc_id")
+    rep = text.repetition_stats(d, "text", "doc_id")
     bg, ctx, vocab = lm.train_bigram_lm(_docs(spark, sf_dir), "text", lazy_vocab=True)
     ppl = lm.score_perplexity(d, bg, ctx, vocab, text_col="text", id_col="doc_id")
-    return profile.join(sk, "doc_id").join(ppl, "doc_id").orderBy("doc_id")
+    return (
+        profile.join(sk, "doc_id")
+        .join(rep, "doc_id")
+        .join(ppl, "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def _op_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,9 +260,11 @@ def _text_profile_duck_sql() -> str:
 
     profile = text.text_profile_duck_sql(100)
     sketches = dedup.sketches_duck_sql(100)
+    rep = text.repetition_stats_sql(100)[1]
     ppl = lm.perplexity_sql(100)[1]
     return (
         f"SELECT * FROM ({profile}) p JOIN ({sketches}) s USING (doc_id) "
+        f"JOIN ({rep}) r USING (doc_id) "
         f"JOIN ({ppl}) l USING (doc_id) ORDER BY doc_id"
     )
 
