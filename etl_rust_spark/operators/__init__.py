@@ -169,10 +169,12 @@ def _op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _op_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The composed curation pipeline (language filter on PREDICTED lang →
-    # quality floor → exact dedupe → LSH near-dup drop) hash-gated end to
-    # end: stage mirrors alone can't catch composition bugs (filter
-    # ordering, which id survives a dedup pair, near-dup corpus scope).
-    from etl_rust_spark.operators import curate
+    # quality floor → exact dedupe → LSH near-dup drop → PII scrub)
+    # hash-gated end to end: stage mirrors alone can't catch composition
+    # bugs (filter ordering, which id survives a dedup pair, near-dup
+    # corpus scope).  The scrub stage rides this entry since r5: its
+    # redacted text + per-pattern counts are part of the gated output.
+    from etl_rust_spark.operators import curate, scrub
 
     cur = curate.curate_corpus(
         _docs(spark, sf_dir),
@@ -180,7 +182,17 @@ def _op_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_quality_bp=2000,
         near_dup_threshold=0.2,
     )
-    return cur.select("doc_id", "lang", "lang_pred", "quality_bp").orderBy("doc_id")
+    # Scrub the raw table and join on the curated ids: scrub is a pure
+    # per-row projection, so values match either scoping — but deriving
+    # the scrub side from `cur` would duplicate the whole curation
+    # subtree in the plan (measured +0.8 s vs +0.6 s for the raw-table
+    # regex pass; the oracle composes the same raw-table way).
+    scrubbed = scrub.scrub_pii(_docs(spark, sf_dir), "text", "doc_id")
+    return (
+        cur.select("doc_id", "lang", "lang_pred", "quality_bp")
+        .join(scrubbed, "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def _op_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,10 +282,14 @@ def _text_profile_duck_sql() -> str:
 
 
 def _curate_duck_sql() -> str:
-    from etl_rust_spark.operators import curate
+    from etl_rust_spark.operators import curate, scrub
 
-    return curate.curate_duck_sql(
+    cur = curate.curate_duck_sql(
         languages=("en",), min_quality_bp=2000, near_dup_threshold=0.2
+    )
+    pii = scrub.scrub_pii_sql("documents")[1]
+    return (
+        f"SELECT * FROM ({cur}) c JOIN ({pii}) s USING (doc_id) ORDER BY doc_id"
     )
 
 
