@@ -42,7 +42,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_rust_spark.catalog import load_table, register_views
-from etl_rust_spark.operators import dedup, pack, scrub, similarity, text
+from etl_rust_spark.operators import (
+    decontaminate,
+    dedup,
+    pack,
+    scrub,
+    similarity,
+    text,
+)
 
 __all__ = [
     "dedup",
@@ -104,9 +111,20 @@ def _op_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = text.repetition_stats(d, "text", "doc_id")
     bg, ctx, vocab = lm.train_bigram_lm(_docs(spark, sf_dir), "text", lazy_vocab=True)
     ppl = lm.score_perplexity(d, bg, ctx, vocab, text_col="text", id_col="doc_id")
+    # Benchmark decontamination rides this entry too (since r5): docs
+    # vs the 150..200 slice as the stand-in eval set — the same scoping
+    # contamination_sql declares.  n_grams renamed: repetition already
+    # emits an n_grams (2-gram mass); these are distinct 8-gram counts.
+    bench = _docs(spark, sf_dir).filter(F.col("doc_id").between(150, 200))
+    dec = (
+        decontaminate.contamination(d, bench)
+        .withColumnRenamed("n_grams", "n_decon_grams")
+        .withColumnRenamed("n_hit", "n_decon_hit")
+    )
     return (
         profile.join(sk, "doc_id")
         .join(rep, "doc_id")
+        .join(dec, "doc_id")
         .join(ppl, "doc_id")
         .orderBy("doc_id")
     )
@@ -273,10 +291,13 @@ def _text_profile_duck_sql() -> str:
     profile = text.text_profile_duck_sql(100)
     sketches = dedup.sketches_duck_sql(100)
     rep = text.repetition_stats_sql(100)[1]
+    dec = decontaminate.contamination_sql(max_doc=100, bench_lo=150, bench_hi=200)[1]
     ppl = lm.perplexity_sql(100)[1]
     return (
         f"SELECT * FROM ({profile}) p JOIN ({sketches}) s USING (doc_id) "
         f"JOIN ({rep}) r USING (doc_id) "
+        f"JOIN (SELECT doc_id, n_grams AS n_decon_grams, n_hit AS n_decon_hit, "
+        f"contamination FROM ({dec})) dc USING (doc_id) "
         f"JOIN ({ppl}) l USING (doc_id) ORDER BY doc_id"
     )
 

@@ -168,8 +168,28 @@ def _hashed_shingles() -> "F.Column":
 
     Every permutation then works on this array with two integer ops —
     without this hoist each of the k signature columns re-evaluates md5
-    over every shingle (k× the dominant cost)."""
-    return F.expr(f"transform(shingles, s -> {spark_h(x='s')} % {MINHASH_P})")
+    over every shingle (k× the dominant cost).
+
+    Evaluated as an Arrow-batched pandas_udf, bit-identical to the
+    expression form ``transform(shingles, s -> md5-reduce(s) % P)``
+    (same md5 over the same utf-8 bytes, same 15-hex reduction): HOF
+    lambdas run md5+conv interpreted per element, measurably slower
+    than hashlib over Arrow batches on a full-corpus shingle set.  The
+    expression form remains the documented semantics and the template
+    the DuckDB mirrors reproduce."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _hash_arrays(col):
+        import hashlib
+
+        def h(s: str) -> int:
+            return (
+                int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
+            )
+
+        return col.apply(lambda arr: [h(s) for s in arr])
+
+    return pandas_udf(_hash_arrays, "array<bigint>")(F.col("shingles"))
 
 
 def _sig_exprs(hs_col: str = "__hs") -> list:

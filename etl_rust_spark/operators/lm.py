@@ -77,18 +77,56 @@ def train_bigram_lm(
     cross-joins the single row; Spark plans it as a broadcast).
     """
     toks = docs.select(F.split(F.col(text_col), " ").alias("toks"))
-    bg = toks.select(
-        F.explode(F.expr(_bigram_hashes("toks", "spark"))).alias("bg")
-    ).groupBy("bg").agg(F.count("*").alias("c"))
-    ctx = toks.select(
-        F.explode(F.expr(_context_hashes("toks", "spark"))).alias("ctx")
-    ).groupBy("ctx").agg(F.count("*").alias("cc"))
+    bg = _gram_hashes_pandas(docs, text_col, "bg").groupBy("bg").agg(
+        F.count("*").alias("c")
+    )
+    ctx = _gram_hashes_pandas(docs, text_col, "ctx").groupBy("ctx").agg(
+        F.count("*").alias("cc")
+    )
     vocab_df = toks.select(F.explode("toks").alias("t")).agg(
         F.countDistinct("t").cast("double").alias("_vocab")
     )
     if lazy_vocab:
         return bg, ctx, vocab_df
     return bg, ctx, int(vocab_df.collect()[0]["_vocab"])
+
+
+def _gram_hashes_pandas(docs: DataFrame, text_col: str, kind: str) -> DataFrame:
+    """One exploded hash per bigram position via an Arrow-batched Python
+    pass — bit-identical to the ``_bigram_hashes``/``_context_hashes``
+    expression forms (same md5 → 15-hex-digit reduction → % P on the
+    same utf-8 bytes; Python ``str.split(' ')`` and Spark
+    ``split(col, ' ')`` agree on single-space separators including
+    empty fields).  The expression forms stay as the documented
+    semantics and the oracle-mirror template; this pass exists because
+    HOF lambdas evaluate md5+conv interpreted per element — measured
+    ~10× slower than hashlib over Arrow batches on the training corpus.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([T.StructField(kind, T.LongType())])
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                t = text.split(" ")
+                if len(t) < 2:
+                    continue
+                if kind == "bg":
+                    out.extend(h(t[i] + " " + t[i + 1]) for i in range(len(t) - 1))
+                else:
+                    out.extend(h(t[i]) for i in range(len(t) - 1))
+            if out:
+                yield pd.DataFrame({kind: out})
+
+    return docs.select(text_col).mapInPandas(gen, out_schema)
 
 
 def score_perplexity(

@@ -48,6 +48,8 @@ class PlanReport:
     broadcast_nl_joins: int = 0
     cartesian_products: int = 0
     python_evals: int = 0
+    rowwise_python_evals: int = 0
+    arrow_evals: int = 0
     warnings: list[str] = field(default_factory=list)
 
     @property
@@ -118,6 +120,12 @@ def audit(df: DataFrame, expect_columns: dict[str, set[str]] | None = None) -> P
     rep.python_evals = len(
         re.findall(r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", text)
     )
+    # Row-at-a-time Python (pickled per row) is ALWAYS a plan bug;
+    # Arrow-batched evals are the declared vectorized fast path
+    # (dq33 engine, ANN signatures, portable-hash kernels) — callers
+    # assert rowwise == 0 everywhere and bound arrow_evals explicitly.
+    rep.rowwise_python_evals = len(re.findall(r"BatchEvalPython", text))
+    rep.arrow_evals = rep.python_evals - rep.rowwise_python_evals
 
     if rep.python_evals:
         rep.warnings.append(

@@ -96,9 +96,10 @@ def test_streaming_window_ops_prune_events(spark, sf_dir):
 def test_curate_pipeline_plan_shape(spark, sf_dir):
     """The composed curation pipeline stays a sane distributed plan:
     no cartesian products anywhere (the near-dup stage must remain the
-    banded LSH join, never an all-pairs blowup), and the language/
-    quality stages add no Python evaluation — text scoring is all
-    JVM-side expressions."""
+    banded LSH join, never an all-pairs blowup), and NO row-at-a-time
+    Python anywhere — the only Python in the plan is the Arrow-batched
+    shingle-hash kernel (dedup._hashed_shingles), which appears once
+    per shingled frame."""
     from etl_rust_spark.catalog import load_table
     from etl_rust_spark.operators import curate
 
@@ -106,7 +107,8 @@ def test_curate_pipeline_plan_shape(spark, sf_dir):
     cur = curate.curate_corpus(docs, languages=["en"], min_quality_bp=1000)
     rep = audit(cur)
     assert rep.cartesian_products == 0, rep.plan
-    assert rep.python_evals == 0, rep.plan
+    assert rep.rowwise_python_evals == 0, rep.plan
+    assert rep.arrow_evals <= 4, rep.plan  # the declared hash kernels only
 
 
 def test_dq33_engine_form_streams_corpus_once(spark, sf_dir):
