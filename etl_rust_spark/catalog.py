@@ -32,6 +32,7 @@ __all__ = [
     "load_table",
     "register_views",
     "autotune_shuffle_partitions",
+    "create_bucketed_table",
 ]
 
 # The ten driver-provided synthetic tables (TESTDATA.md / FIXTURES.md §1).
@@ -205,6 +206,47 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def create_bucketed_table(
+    spark: SparkSession,
+    name: str,
+    df: DataFrame,
+    keys: list[str],
+    n_buckets: int,
+    location: str | None = None,
+    sorted_by: list[str] | None = None,
+) -> None:
+    """Materialize ``df`` as a bucketed (and optionally sorted) parquet
+    table — the co-located-join layout for repeated large joins.
+
+    Two tables bucketed on the same keys into the same bucket count
+    join WITHOUT a shuffle: each bucket pair is joined in place (and
+    with ``sorted_by`` on the join keys the sort disappears too) —
+    asserted in tests/test_catalog.py against the physical plan.  At
+    100 TB this converts every recurring fact-to-fact join on the
+    bucket key from a full-data exchange into a metadata decision; the
+    write itself pays one clustering shuffle, amortized across every
+    subsequent join.
+
+    Uses ``CREATE TABLE … CLUSTERED BY … INTO n BUCKETS`` DDL (works on
+    the in-memory catalog, no Hive metastore) so ``location`` can point
+    anywhere; falls back to the session warehouse when omitted.
+    """
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
+    bucket_cols = ", ".join(f"`{k}`" for k in keys)
+    sort_clause = (
+        "SORTED BY (" + ", ".join(f"`{s}`" for s in sorted_by) + ")"
+        if sorted_by
+        else ""
+    )
+    loc_clause = f" LOCATION '{location}'" if location else ""
+    spark.sql(
+        f"CREATE TABLE {name} ({cols}) USING parquet "
+        f"CLUSTERED BY ({bucket_cols}) {sort_clause} INTO {n_buckets} BUCKETS"
+        f"{loc_clause}"
+    )
+    df.write.insertInto(name)
 
 
 def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:

@@ -52,3 +52,61 @@ def test_load_table_triggers_autotune(spark):
     spark.conf.set(_MARKER, "other")
     load_table(spark, "/root/testdata/sf0.001", "region")
     assert spark.conf.get(_MARKER) == "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the same key into the same bucket count
+    must join with ZERO shuffles (the co-located-join contract); the
+    same join on plain frames must show exchanges — proving the bucket
+    layout, not AQE, removed them."""
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.catalog import create_bucketed_table
+    from etl_rust_spark.plans.audit import audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # the test fixture is tiny, so the planner would rightly broadcast;
+    # disable that to expose the layout property bucketing guarantees
+    # at fact-to-fact scale (where broadcast is impossible).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        create_bucketed_table(
+            spark, "b_orders", orders, ["o_orderkey"], 4,
+            location=str(tmp_path / "b_orders"), sorted_by=["o_orderkey"],
+        )
+        create_bucketed_table(
+            spark, "b_lineitem", lineitem, ["l_orderkey"], 4,
+            location=str(tmp_path / "b_lineitem"), sorted_by=["l_orderkey"],
+        )
+        joined = (
+            spark.table("b_orders")
+            .join(
+                spark.table("b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        rep = audit(joined)
+        # the ONLY exchange allowed is the tiny post-join aggregation one
+        assert rep.num_exchanges <= 1, rep.plan
+        assert rep.sort_merge_joins == 1, rep.plan
+        # row parity with the plain-frame join
+        plain = (
+            orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+        rep_plain = audit(plain)
+        assert rep_plain.num_exchanges > rep.num_exchanges, rep_plain.plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
