@@ -463,8 +463,14 @@ def ivf_topk(
     import numpy as np
 
     spark = queries.sparkSession
-    samp = corpus.select(vec_col).limit(sample).collect()
-    mat = np.array([list(r[0]) for r in samp], dtype=np.float64)
+    # orderBy before limit: a bare limit takes whatever partitions answer
+    # first, so the training sample (hence the centroids, hence every
+    # result) would vary run to run; ordered-by-id it is fully
+    # deterministic end to end (NEXT.md open item: seeded init + seeded
+    # sample — only the iterative k-means keeps this entry off the SQL
+    # oracle).
+    samp = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    mat = np.array([list(r[1]) for r in samp], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     cent = _kmeans(mat, n_lists, seed=seed)
     bc = spark.sparkContext.broadcast(cent)

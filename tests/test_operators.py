@@ -123,6 +123,16 @@ def test_ivf_returns_k_results_when_pair_meets_in_multiple_lists(spark, sf_dir):
     assert {(r.qid, r.cid) for r in got} == exact
 
 
+def test_ivf_is_deterministic_across_runs(spark, sf_dir):
+    """Seeded k-means + ordered training sample: two independent builds
+    return byte-identical rows (the NEXT.md determinism item)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") <= 10)
+    a = sorted(map(tuple, similarity.ivf_topk(q, emb).collect()))
+    b = sorted(map(tuple, similarity.ivf_topk(q, emb).collect()))
+    assert a == b and len(a) > 0
+
+
 def test_ivf_recall_on_clustered_embeddings(spark):
     """IVF on data with real cluster structure (NEXT r2 item 6).
 
