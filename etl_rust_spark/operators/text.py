@@ -394,23 +394,27 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ).alias("g"),
     )
 
-    def top_frac(exploded: DataFrame, out: str) -> DataFrame:
-        per_gram = exploded.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
-        return per_gram.groupBy(id_col).agg(
-            F.sum("c").alias(f"__n_{out}"),
-            F.round(F.max("c") / F.sum("c").cast("double"), 4).alias(out),
-        )
-
-    t1 = top_frac(tok1, "top_tok_frac")
-    t2 = top_frac(tok2, "top_2gram_frac")
-    return (
-        t1.join(t2, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("__n_top_2gram_frac"), F.lit(0)).alias("n_grams"),
-            F.col("top_tok_frac"),
-            F.coalesce(F.col("top_2gram_frac"), F.lit(0.0)).alias("top_2gram_frac"),
-        )
+    # Tagged union instead of two independent count→max chains + a join:
+    # one (id, w, g) count shuffle, one (id, w) fraction shuffle, one
+    # (id) pivot — 3 exchanges where the two-chain form paid ~5.  The
+    # tag keeps the 1-gram and 2-gram hash spaces separate; values are
+    # identical to the joined form (same counts, same round(max/sum)).
+    exploded = tok1.select(id_col, F.lit(1).alias("w"), "g").unionByName(
+        tok2.select(id_col, F.lit(2).alias("w"), "g")
+    )
+    per_gram = exploded.groupBy(id_col, "w", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_gram.groupBy(id_col, "w").agg(
+        F.sum("c").alias("n"),
+        F.round(F.max("c") / F.sum("c").cast("double"), 4).alias("frac"),
+    )
+    return per_doc.groupBy(id_col).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("w") == 2, F.col("n"))), F.lit(0)
+        ).alias("n_grams"),
+        F.max(F.when(F.col("w") == 1, F.col("frac"))).alias("top_tok_frac"),
+        F.coalesce(
+            F.max(F.when(F.col("w") == 2, F.col("frac"))), F.lit(0.0)
+        ).alias("top_2gram_frac"),
     )
 
 
