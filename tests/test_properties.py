@@ -57,6 +57,35 @@ def test_hash_sensitive_to_values(rows):
         assert canonical_hash(rows, cols) != canonical_hash(mutated, cols)
 
 
+def test_hash_discriminates_negative_zero():
+    """The r4 op_ann_topk lesson: -0.0 and +0.0 must hash differently
+    (the driver's canonicalizer does), so queries normalize with + 0.0
+    rather than relying on the hash to forgive the sign."""
+    assert canonical_hash([(0.0,)], ["x"]) != canonical_hash([(-0.0,)], ["x"])
+
+
+def test_hash_discriminates_decimal_from_float():
+    """The r2 dq04 lesson: a Decimal result is a different wire type
+    than an equal-valued double and must not hash-collide."""
+    from decimal import Decimal
+
+    assert canonical_hash([(Decimal("1.5"),)], ["x"]) != canonical_hash(
+        [(1.5,)], ["x"]
+    )
+    # and Decimal scale matters (DECIMAL(4,2) vs DECIMAL(4,1) wire diff)
+    assert canonical_hash([(Decimal("1.50"),)], ["x"]) != canonical_hash(
+        [(Decimal("1.5"),)], ["x"]
+    )
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False, width=64))
+def test_hash_float_rounding_is_stable(x):
+    """repr(round(x, 6)) canonicalization: equal doubles always equal
+    hashes, and a value differing beyond 6 dp maps to the same bucket
+    (the documented tolerance — queries ROUND in SQL first)."""
+    assert canonical_hash([(x,)], ["v"]) == canonical_hash([(float(x),)], ["v"])
+
+
 # ---------------------------------------------------------------------------
 # Sessionization: session_window must agree with a direct gaps-and-islands
 # computation for arbitrary event streams (exact-gap merges included).
