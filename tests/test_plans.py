@@ -171,3 +171,20 @@ def test_persist_discipline():
                     continue
                 offenders.append(f"{py.relative_to(root)}:{i}: {line.strip()}")
     assert not offenders, "untracked persist() calls:\n" + "\n".join(offenders)
+
+
+def test_text_profile_entry_plan_shape(spark, sf_dir):
+    """The consolidated text-profile entry (5 text ops + sketches +
+    repetition + decontamination + perplexity) stays a sane plan: no
+    cartesian products, no row-at-a-time Python, Arrow evals bounded to
+    the declared hash kernels (LM bigram/context passes + the shingle
+    hash), and the benchmark side of decontamination joins broadcast —
+    document text must never shuffle for the membership probe."""
+    from etl_rust_spark.operators import entry_queries
+
+    df = entry_queries()["op_text_profile"](spark, sf_dir)
+    rep = audit(df)
+    assert rep.cartesian_products == 0, rep.plan
+    assert rep.rowwise_python_evals == 0, rep.plan
+    assert rep.arrow_evals <= 6, rep.plan
+    assert rep.broadcast_joins >= 1, rep.plan  # decontamination bench side
