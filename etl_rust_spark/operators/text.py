@@ -27,6 +27,10 @@ __all__ = [
     "quality_sql",
     "fingerprint_sql",
     "text_profile_duck_sql",
+    "strip_markup",
+    "strip_markup_sql",
+    "token_budget",
+    "token_budget_sql",
 ]
 
 # Tiny per-language stopword lists for the n-gram/stopword-vote heuristic.
@@ -474,4 +478,105 @@ SELECT doc_id, len(toks) AS n_tokens,
   len(list_filter(toks, t -> NOT regexp_matches(t, '^[A-Za-z0-9]'))) AS n_punct,
   CAST(list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
 FROM t ORDER BY doc_id"""
+    return spark, duck
+
+
+def strip_markup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text_clean, n_tags): HTML/markup stripping — the standard
+    web-corpus cleanup stage preceding every text operator above.
+
+    Pure ``regexp_replace`` projections (JVM-side, zero shuffles,
+    linear at 100 TB), dialect-portable (Java regex ∩ RE2 — no
+    lookaround/backrefs): drop <script>/<style> elements wholesale,
+    strip remaining tags, decode the five XML entities, collapse runs
+    of whitespace.  Dual-dialect mirror: :func:`strip_markup_sql`.
+    """
+    tag = r"<[^>]*>"
+    block = r"(?i)<(script|style)[^>]*>[^<]*</(script|style)>"
+    c = F.regexp_replace(F.col(text_col), block, " ")
+    c = F.regexp_replace(c, tag, " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        c = F.regexp_replace(c, ent, ch)
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        c.alias("text_clean"),
+        F.expr(f"size(regexp_extract_all({text_col}, '{tag}', 0))").alias("n_tags"),
+    )
+
+
+def strip_markup_sql(source: str = "documents", max_doc: int | None = None) -> tuple[str, str]:
+    """Dual-dialect mirror of :func:`strip_markup` over
+    ``source(doc_id, text)``."""
+    where = f"WHERE doc_id <= {max_doc}" if max_doc is not None else ""
+    tag = "<[^>]*>"
+    block = "(?i)<(script|style)[^>]*>[^<]*</(script|style)>"
+    ents = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+            ("&apos;", "''"), ("&amp;", "&"))
+
+    def chain(dialect: str) -> str:
+        g = ", 'g'" if dialect == "duck" else ""
+        # Spark SQL string literals process backslash escapes, DuckDB's
+        # do not — the regex \s+ needs \\s+ in Spark text, \s+ in Duck.
+        ws = "\\\\s+" if dialect == "spark" else "\\s+"
+        c = f"regexp_replace(text, '{block}', ' '{g})"
+        c = f"regexp_replace({c}, '{tag}', ' '{g})"
+        for ent, ch in ents:
+            rep = ch if dialect == "duck" else ch.replace("''", "'")
+            if dialect == "spark" and rep == "'":
+                rep = "\\'"
+            c = f"regexp_replace({c}, '{ent}', '{rep}'{g})"
+        return f"trim(regexp_replace({c}, '{ws}', ' '{g}))"
+
+    def q(dialect: str) -> str:
+        count = (
+            f"size(regexp_extract_all(text, '{tag}', 0))"
+            if dialect == "spark"
+            else f"len(regexp_extract_all(text, '{tag}'))"
+        )
+        return (
+            f"SELECT doc_id, {chain(dialect)} AS text_clean, {count} AS n_tags "
+            f"FROM {source} {where} ORDER BY doc_id"
+        )
+
+    return q("spark"), q("duck")
+
+
+def token_budget(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Corpus token-budget accounting: BPE-regex token totals per group
+    (``by`` columns; whole-corpus single row when None) — the number a
+    training run actually plans against.
+
+    One scan-side projection + one partial-aggregated groupBy; the
+    shuffle carries one row per group.
+    """
+    toks = F.expr(f"size(regexp_extract_all({text_col}, '{BPE_TOKEN_RE}', 0))")
+    grouped = df.select(*(by or []), toks.alias("__nt")).groupBy(*(by or []))
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+        F.round(F.avg("__nt"), 2).alias("avg_tokens"),
+    )
+
+
+def token_budget_sql(by: str = "lang") -> tuple[str, str]:
+    """Dual-dialect mirror of :func:`token_budget` grouped by ``by``."""
+    spark = f"""
+SELECT {by}, COUNT(*) AS n_docs,
+  CAST(SUM(size(regexp_extract_all(text, '{BPE_TOKEN_RE}', 0))) AS BIGINT) AS n_tokens,
+  ROUND(AVG(size(regexp_extract_all(text, '{BPE_TOKEN_RE}', 0))), 2) AS avg_tokens
+FROM documents GROUP BY {by} ORDER BY {by}"""
+    duck = f"""
+SELECT {by}, COUNT(*) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))) AS BIGINT) AS n_tokens,
+  ROUND(AVG(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))), 2) AS avg_tokens
+FROM documents GROUP BY {by} ORDER BY {by}"""
     return spark, duck
