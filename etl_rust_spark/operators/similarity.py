@@ -36,6 +36,8 @@ __all__ = [
     "cosine_near_dup_pairs",
     "cosine_topk_sql",
     "near_dup_sql",
+    "quantize_embeddings",
+    "quantize_embeddings_sql",
     "HYPERPLANES",
 ]
 
@@ -546,3 +548,52 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("qid", "cid", "cos", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization — the storage-scale path
+# ---------------------------------------------------------------------------
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, scale, qvec): symmetric per-vector int8 quantization —
+    ``scale = max|x| / 127``, ``q_i = ROUND(x_i / scale)`` ∈ [-127, 127].
+
+    At 100 TB the embedding column IS the table: float32→int8 cuts it
+    4× with ≲1e-3 cosine drift (asserted in tests), and int8 dot
+    products are the input format every fast ANN kernel wants.  Pure
+    array expressions (scan-side, zero shuffles), deterministic in both
+    dialects — ROUND of the identical double division — so the op is
+    mirror-testable end to end.  Zero vectors quantize to zeros with
+    scale 0.  Dequantize: ``transform(qvec, q -> q * scale)``.
+    """
+    mx = f"array_max(transform({vec_col}, x -> abs(CAST(x AS DOUBLE))))"
+    return df.select(
+        F.col(id_col),
+        F.expr(f"{mx} / 127.0").alias("scale"),
+        F.expr(
+            f"CASE WHEN {mx} = 0.0 THEN transform({vec_col}, x -> CAST(0 AS TINYINT)) "
+            f"ELSE transform({vec_col}, x -> "
+            f"CAST(ROUND(CAST(x AS DOUBLE) / ({mx} / 127.0), 0) AS TINYINT)) END"
+        ).alias("qvec"),
+    )
+
+
+def quantize_embeddings_sql(max_vec: int | None = None) -> tuple[str, str]:
+    """Dual-dialect mirror of :func:`quantize_embeddings` over
+    ``embeddings``."""
+    where = f"WHERE vec_id <= {max_vec}" if max_vec is not None else ""
+    sp_mx = "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    spark = f"""
+SELECT vec_id, {sp_mx} / 127.0 AS scale,
+  CASE WHEN {sp_mx} = 0.0 THEN transform(embedding, x -> CAST(0 AS TINYINT))
+  ELSE transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) / ({sp_mx} / 127.0), 0) AS TINYINT)) END AS qvec
+FROM embeddings {where} ORDER BY vec_id"""
+    du_mx = "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    duck = f"""
+SELECT vec_id, {du_mx} / 127.0 AS scale,
+  CASE WHEN {du_mx} = 0.0 THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+  ELSE list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) / ({du_mx} / 127.0), 0) AS TINYINT)) END AS qvec
+FROM embeddings {where} ORDER BY vec_id"""
+    return spark, duck

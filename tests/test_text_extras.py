@@ -3,6 +3,8 @@ token-accounting utilities (three-way mirrors)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from etl_rust_spark.catalog import load_table, register_views
 from etl_rust_spark.functions.hashing import canonical_hash
 from etl_rust_spark.operators import text
@@ -54,3 +56,45 @@ def test_token_budget_matches_duck(spark, duck, sf_dir):
     # whole-corpus single-row mode
     total = text.token_budget(load_table(spark, sf_dir, "documents")).collect()
     assert len(total) == 1 and total[0]["n_docs"] > 0
+
+
+def test_quantize_embeddings_three_way(spark, duck, sf_dir):
+    """int8 quantization: DataFrame op == Spark SQL == DuckDB, and the
+    dequantized vectors stay within 1e-3 cosine of the originals."""
+    import numpy as np
+
+    from etl_rust_spark.operators import similarity
+
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    api = similarity.quantize_embeddings(emb.filter("vec_id <= 50")).orderBy("vec_id")
+    sp_sql, du_sql = similarity.quantize_embeddings_sql(50)
+    sq = spark.sql(sp_sql)
+    h_api = canonical_hash([tuple(r) for r in api.collect()], list(api.columns))
+    h_sq = canonical_hash([tuple(r) for r in sq.collect()], list(sq.columns))
+    du_rows, du_cols = run_duck(duck, du_sql)
+    assert h_api == h_sq == canonical_hash(du_rows, du_cols)
+
+    # reconstruction quality: cosine(original, dequantized) > 0.999
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.filter("vec_id <= 50").collect()}
+    for r in api.collect():
+        v = orig[r["vec_id"]]
+        dq = np.array(r["qvec"], dtype=np.float64) * r["scale"]
+        denom = np.linalg.norm(v) * np.linalg.norm(dq)
+        if denom == 0:
+            continue
+        cos = float(v @ dq / denom)
+        assert cos > 0.999, (r["vec_id"], cos)
+        assert max(abs(int(q)) for q in r["qvec"]) <= 127
+
+
+def test_quantize_zero_vector(spark):
+    from etl_rust_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])], ["vec_id", "embedding"]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    out = {r["vec_id"]: r for r in similarity.quantize_embeddings(df).collect()}
+    assert out[1]["scale"] == 0.0 and list(out[1]["qvec"]) == [0, 0, 0]
+    assert list(out[2]["qvec"]) == [64, -127, 32]
