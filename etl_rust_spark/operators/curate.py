@@ -123,12 +123,30 @@ def curate_corpus(
     near_dup_threshold: float | None = 0.5,
     shingle_width: int = 3,
     near_dup_strategy: str = "greedy",
+    strip_markup: bool = False,
 ) -> DataFrame:
     """Return the curated corpus (original columns + language votes +
     ``lang_pred`` + ``quality_bp``), lazily — one composed plan, no
     actions.  The language filter uses the PREDICTED language
     (``lang_pred``): a production corpus has no ground-truth ``lang``
-    column, so the pipeline must run on its own classifier output."""
+    column, so the pipeline must run on its own classifier output.
+
+    ``strip_markup=True`` prepends the web-corpus cleanup stage
+    (``text.strip_markup``): every downstream operator — language
+    votes, quality, shingles, near-dup — then sees the cleaned text,
+    the order a real pipeline runs (tags would otherwise pollute
+    shingles and token stats).  Off by default so the gated entry's
+    semantics are unchanged.
+    """
+    if strip_markup:
+        cleaned = text.strip_markup(docs, text_col, id_col).select(
+            id_col, F.col("text_clean")
+        )
+        docs = (
+            docs.drop(text_col)
+            .join(cleaned, id_col)
+            .withColumnRenamed("text_clean", text_col)
+        )
     lang = text.language_id(docs, text_col, id_col)
     qual = text.quality_score(docs, text_col, id_col)
     cur = docs.join(lang, id_col).join(qual, id_col)

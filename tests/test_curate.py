@@ -152,3 +152,32 @@ def test_curate_rejects_unknown_strategy(spark):
     docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         curate.curate_corpus(docs, near_dup_strategy="nope").collect()
+
+
+def test_curate_with_markup_stripping(spark):
+    """strip_markup=True: tags are removed BEFORE language/quality/dedup,
+    so an HTML-wrapped english doc classifies and dedupes like its plain
+    twin instead of being polluted by markup tokens."""
+    plain = "the cat and the dog sat on the mat in the sun for it is warm"
+    rows = [
+        (1, plain),
+        (2, f"<div class='x'><p>{plain}</p></div>"),  # exact dup after strip
+        (3, "der hund und die katze sind nicht mit der maus in den park"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curate.curate_corpus(
+        docs, languages=["en"], near_dup_threshold=None, strip_markup=True
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    # doc 2 became an exact dup of doc 1 after stripping -> min-id kept;
+    # doc 3 is german -> filtered by the language stage.
+    assert set(got) == {1}
+    assert got[1] == plain
+    # without stripping, the markup doc survives as a distinct document
+    got_raw = {
+        r["doc_id"]
+        for r in curate.curate_corpus(
+            docs, languages=["en"], near_dup_threshold=None
+        ).collect()
+    }
+    assert got_raw == {1, 2}
