@@ -167,10 +167,25 @@ def autotune_shuffle_partitions(
     clamp(total_input_bytes / 64 MB, 8, 4096); the floor keeps CPU-heavy
     reduces (hashing, BLAS) parallel even when the data is tiny.  No-op
     when the input size can't be inspected (non-local paths).
+
+    User overrides win (ADVICE r5): set session conf
+    ``etl_rust_spark.autotune=false`` to disable entirely, and if the
+    user changes ``spark.sql.shuffle.partitions`` AFTER a tune, the
+    tuner backs off for the rest of the session instead of clobbering
+    the explicit choice on the next ``load_table``.
     """
     marker = "etl_rust_spark.autotuned_sf_dir"
+    vmark = "etl_rust_spark.autotuned_value"
     try:
+        if spark.conf.get("etl_rust_spark.autotune", "true").lower() == "false":
+            return
         if spark.conf.get(marker, "") == sf_dir:
+            return
+        prev = spark.conf.get(vmark, "")
+        if prev and spark.conf.get("spark.sql.shuffle.partitions", "") != prev:
+            # The setting moved since we last tuned: an explicit user
+            # override.  Respect it permanently for this session.
+            spark.conf.set("etl_rust_spark.autotune", "false")
             return
     except Exception:
         pass
@@ -189,6 +204,7 @@ def autotune_shuffle_partitions(
         sp = max(floor, min(cap, total // advisory_bytes))
         spark.conf.set("spark.sql.shuffle.partitions", str(int(sp)))
         spark.conf.set(marker, sf_dir)
+        spark.conf.set(vmark, str(int(sp)))
     except Exception:
         return  # foreign filesystem / permissions: keep the session default
 
@@ -233,16 +249,25 @@ def create_bucketed_table(
     the in-memory catalog, no Hive metastore) so ``location`` can point
     anywhere; falls back to the session warehouse when omitted.
     """
-    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema)
-    bucket_cols = ", ".join(f"`{k}`" for k in keys)
+    # Quote every interpolated identifier/literal (ADVICE r5): backtick
+    # identifiers (doubling embedded backticks), single-quote the
+    # location (doubling embedded quotes) — a path like /tmp/o'brien or
+    # a creative table name must not break (or inject into) the DDL.
+    def q_id(ident: str) -> str:
+        return "`" + ident.replace("`", "``") + "`"
+
+    cols = ", ".join(f"{q_id(f.name)} {f.dataType.simpleString()}" for f in df.schema)
+    bucket_cols = ", ".join(q_id(k) for k in keys)
     sort_clause = (
-        "SORTED BY (" + ", ".join(f"`{s}`" for s in sorted_by) + ")"
+        "SORTED BY (" + ", ".join(q_id(s) for s in sorted_by) + ")"
         if sorted_by
         else ""
     )
-    loc_clause = f" LOCATION '{location}'" if location else ""
+    loc_clause = (
+        " LOCATION '" + location.replace("'", "''") + "'" if location else ""
+    )
     spark.sql(
-        f"CREATE TABLE {name} ({cols}) USING parquet "
+        f"CREATE TABLE {q_id(name)} ({cols}) USING parquet "
         f"CLUSTERED BY ({bucket_cols}) {sort_clause} INTO {n_buckets} BUCKETS"
         f"{loc_clause}"
     )

@@ -63,7 +63,13 @@ AMQP_DATA_DESCRIPTOR = b"\x00\x53\x75"  # described type: amqp:data:binary
 
 
 class StreamError(RuntimeError):
-    pass
+    """Protocol-level failure; ``code`` carries the broker responseCode
+    (when the failure was a non-OK response) so callers can branch on
+    specific conditions instead of pattern-matching messages."""
+
+    def __init__(self, message: str, code: int | None = None) -> None:
+        super().__init__(message)
+        self.code = code
 
 
 def _string(s: str) -> bytes:
@@ -172,7 +178,7 @@ class RabbitMqStreamClient:
         rest = self._request(key, body_fn)
         (code,) = struct.unpack(">H", rest[:2])
         if code != OK:
-            raise StreamError(f"{what} failed: response code 0x{code:02x}")
+            raise StreamError(f"{what} failed: response code 0x{code:02x}", code=code)
         return rest[2:]
 
     def _dispatch(self, key: int, body: bytes) -> None:
@@ -238,8 +244,11 @@ class RabbitMqStreamClient:
         body_fn = lambda: bytes([pub_id]) + _string("") + _string(stream)
         try:
             self._expect_ok(K_DECLARE_PUBLISHER, body_fn, f"declare_publisher({stream})")
-        except StreamError:
-            if not self.create_if_missing:
+        except StreamError as e:
+            # Only a STREAM_DOES_NOT_EXIST response is recoverable by
+            # creating the stream (ADVICE r5): auth/precondition failures
+            # must propagate, not spuriously create streams.
+            if not self.create_if_missing or e.code != STREAM_DOES_NOT_EXIST:
                 # reference parity: "FATAL: stream has not yet been created"
                 raise
             self._expect_ok(

@@ -187,7 +187,16 @@ def _hashed_shingles() -> "F.Column":
                 int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
             )
 
-        return col.apply(lambda arr: [h(s) for s in arr])
+        def row(arr):
+            # Null semantics of the expression form (ADVICE r5):
+            # transform(NULL, ...) is NULL and md5(NULL) is NULL, so a
+            # null shingle array maps to null and a null element (a NULL
+            # text row shingles to array(NULL)) maps to a null element.
+            if arr is None:
+                return None
+            return [None if s is None else h(s) for s in arr]
+
+        return col.apply(row)
 
     return pandas_udf(_hash_arrays, "array<bigint>")(F.col("shingles"))
 

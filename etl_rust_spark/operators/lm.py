@@ -116,6 +116,12 @@ def _gram_hashes_pandas(docs: DataFrame, text_col: str, kind: str) -> DataFrame:
         for pdf in batches:
             out = []
             for text in pdf[text_col]:
+                # NULL text: split(NULL) is NULL in the expression form,
+                # whose size() guard then yields an empty gram array — so
+                # a null row contributes no grams.  Mirror that instead
+                # of crashing on None/NaN (ADVICE r5).
+                if not isinstance(text, str):
+                    continue
                 t = text.split(" ")
                 if len(t) < 2:
                     continue

@@ -162,6 +162,24 @@ def _sig_norm_pandas(
         for pdf in batches:
             if not len(pdf):
                 continue
+            # Null embeddings (ADVICE r5): the expression forms yield a
+            # NULL norm and an all-ELSE signature for a NULL vector; here
+            # a null row emits (bucket=null, nrm=null) so downstream
+            # joins/filters drop it instead of the whole job crashing.
+            ok = pdf[vec_col].map(lambda v: v is not None)
+            if not ok.all():
+                null_pdf = pdf[~ok]
+                yield pd.DataFrame(
+                    {
+                        out_id: null_pdf[id_col].to_numpy(),
+                        out_vec: null_pdf[vec_col],
+                        "bucket": pd.array([None] * len(null_pdf), dtype="Int64"),
+                        "nrm": [None] * len(null_pdf),
+                    }
+                )
+                pdf = pdf[ok]
+                if not len(pdf):
+                    continue
             mat = np.array([np.asarray(v) for v in pdf[vec_col]], dtype=np.float64)
             prods = mat[:, None, :] * planes[None, :, :]  # (B, planes, dim)
             dots = _round_half_up(np.cumsum(prods, axis=2)[:, :, -1], 6)

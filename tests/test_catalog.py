@@ -9,6 +9,8 @@ _MARKER = "etl_rust_spark.autotuned_sf_dir"
 
 def _reset(spark):
     spark.conf.set(_MARKER, "")
+    spark.conf.set("etl_rust_spark.autotuned_value", "")
+    spark.conf.set("etl_rust_spark.autotune", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 
 
@@ -36,6 +38,29 @@ def test_marker_prevents_retuning_same_dir(spark):
     spark.conf.set("spark.sql.shuffle.partitions", "17")  # user override
     autotune_shuffle_partitions(spark, "/root/testdata/sf0.001")
     assert spark.conf.get("spark.sql.shuffle.partitions") == "17"  # kept
+
+
+def test_user_override_survives_new_sf_dir(spark, tmp_path):
+    """ADVICE r5: a user who sets shuffle.partitions AFTER a tune keeps
+    their value even when a DIFFERENT sf_dir is loaded next (the marker
+    only dedupes the same dir; the value-tracking backoff covers this)."""
+    _reset(spark)
+    autotune_shuffle_partitions(spark, "/root/testdata/sf0.001")
+    spark.conf.set("spark.sql.shuffle.partitions", "17")  # user override
+    big = tmp_path / "big.parquet"
+    big.write_bytes(b"\0" * (3 * 64 * 1024 * 1024))
+    autotune_shuffle_partitions(spark, str(tmp_path), floor=2)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "17"
+    _reset(spark)
+
+
+def test_autotune_opt_out_conf(spark):
+    _reset(spark)
+    spark.conf.set("etl_rust_spark.autotune", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "23")
+    autotune_shuffle_partitions(spark, "/root/testdata/sf0.001")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "23"
+    _reset(spark)
 
 
 def test_unreadable_or_empty_dir_is_noop(spark, tmp_path):

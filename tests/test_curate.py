@@ -110,6 +110,20 @@ def test_components_property_vs_union_find(spark):
         assert got == _union_find_reps(edges), edges
 
 
+def test_components_long_chain_converges_with_pointer_jumping(spark):
+    """A 120-node path graph has diameter 119: plain propagation would
+    under-merge within max_iters=20, pointer jumping (path halving)
+    converges in O(log n) rounds (ADVICE r5)."""
+    edges = [(i, i + 1) for i in range(1, 120)]
+    pairs = spark.createDataFrame(edges, ["qid", "cid"])
+    got = {
+        r["id"]: r["rep"]
+        for r in curate.near_dup_components(pairs, max_iters=20).collect()
+    }
+    assert set(got.values()) == {1}
+    assert len(got) == 120
+
+
 def test_curate_components_vs_greedy_star(spark):
     """Star pairs (1,5),(2,5): greedy keeps {1,2}, components keeps {1}
     (the module-docstring divergence case).  Verified on a corpus whose

@@ -1,0 +1,91 @@
+"""Null-input semantics of the Arrow-batched kernels (ADVICE r5).
+
+The vectorized pandas kernels in lm.py / dedup.py / similarity.py are
+documented as bit-identical to their SQL expression forms — which
+propagate NULL text / NULL embedding rows gracefully.  These tests pin
+the same behavior on the kernels: a nullable column must degrade the
+affected rows, never crash the job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+
+def _docs_with_null(spark):
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, None),
+        (4, "completely different words here entirely"),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_lm_kernel_skips_null_text(spark):
+    from etl_rust_spark.operators import lm
+
+    docs = _docs_with_null(spark)
+    bg, ctx, vocab = lm.train_bigram_lm(docs)
+    out = {
+        r["doc_id"]: r
+        for r in lm.score_perplexity(docs, bg, ctx, vocab).collect()
+    }
+    # Null doc contributes no bigrams: n_bigrams = 0, ppl = 1.0 (the
+    # documented "< 2 tokens" degenerate case).
+    assert out[3]["n_bigrams"] == 0
+    assert out[3]["ppl"] == 1.0
+    assert out[1]["n_bigrams"] == 8
+
+
+def test_minhash_kernel_propagates_null_text(spark):
+    from etl_rust_spark.operators import dedup
+
+    docs = _docs_with_null(spark)
+    sigs = {r["doc_id"]: r for r in dedup.minhash_signatures(docs, "text", "doc_id").collect()}
+    # Null text shingles to array(NULL) -> hashed [NULL] -> null sigs;
+    # non-null rows are unaffected.
+    assert sigs[3]["sig0"] is None
+    assert sigs[1]["sig0"] is not None
+    # The full LSH pipeline must still find the planted near-dup pair.
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    assert {(r["qid"], r["cid"]) for r in pairs} == {(1, 2)}
+
+
+def test_sig_norm_kernel_emits_null_for_null_embedding(spark):
+    from etl_rust_spark.operators import similarity
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    base = [float(i % 7) - 3.0 for i in range(64)]
+    rows = [
+        (1, base),
+        (2, [x + 0.01 for x in base]),
+        (3, None),
+        (4, [-x for x in base]),
+    ]
+    corpus = spark.createDataFrame(rows, schema)
+    out = {
+        r["cid"]: r
+        for r in similarity._sig_norm_pandas(
+            corpus, "vec_id", "embedding", 8, "cid", "cv"
+        ).collect()
+    }
+    assert out[3]["bucket"] is None and out[3]["nrm"] is None
+    assert out[1]["bucket"] == out[2]["bucket"]
+    # End-to-end: the null row drops out of the bucket join, neighbors
+    # are still found.
+    res = similarity.ann_lsh_topk(
+        corpus.filter("vec_id = 1"), corpus, k=1, prefix_bits=4
+    ).collect()
+    assert len(res) == 1 and res[0]["cid"] == 2

@@ -191,6 +191,24 @@ def test_handshake_publish_confirm_disconnect(broker):
     assert got == [("blocks", b"r1"), ("blocks", b"r2"), ("blocks", b"r3")]
 
 
+def test_create_fallback_only_on_stream_does_not_exist():
+    """ADVICE r5: create_if_missing must only mask responseCode 0x06 —
+    an auth/precondition failure on declare_publisher re-raises instead
+    of spuriously issuing CreateStream."""
+    c = RabbitMqStreamClient("127.0.0.1", 1, create_if_missing=True)
+    calls = []
+
+    def fake_expect_ok(key, body_fn, what):
+        calls.append(what)
+        raise StreamError("access refused", code=0x10)
+
+    c._expect_ok = fake_expect_ok
+    with pytest.raises(StreamError) as ei:
+        c._ensure_publisher("s")
+    assert ei.value.code == 0x10
+    assert calls == ["declare_publisher(s)"]  # no create_stream attempt
+
+
 def test_missing_stream_is_fatal_by_default(broker):
     """Reference parity (rabbitmq_stream.rs:74-76): producer.build on a
     nonexistent stream is fatal unless create_if_missing opts in."""
