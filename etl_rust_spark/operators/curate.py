@@ -202,12 +202,30 @@ def curation_report(
     docs: DataFrame,
     curated: DataFrame,
     id_col: str = "doc_id",
+    text_col: str = "text",
+    lsh_stats: bool = False,
+    shingle_width: int = 3,
+    max_bucket: int = 256,
 ) -> dict[str, int]:
     """Attrition summary: {input, kept, removed}.  Two count jobs total —
-    callers wanting per-stage attribution run the stages explicitly."""
+    callers wanting per-stage attribution run the stages explicitly.
+
+    ``lsh_stats=True`` adds the near-dup hot-bucket cap counters
+    (``lsh_n_buckets``, ``lsh_n_spilled``, ``lsh_max_size``,
+    ``lsh_pairs_saved`` — :func:`dedup.minhash_bucket_stats` over the
+    input corpus, one extra aggregation job): a nonzero spill count is
+    the signal that degenerate content hit the cap and candidate
+    generation was bounded rather than quadratic.
+    """
     n_in = docs.count()
     n_kept = curated.count()
-    return {"input": n_in, "kept": n_kept, "removed": n_in - n_kept}
+    out = {"input": n_in, "kept": n_kept, "removed": n_in - n_kept}
+    if lsh_stats:
+        st = dedup.minhash_bucket_stats(
+            docs, text_col, id_col, width=shingle_width, max_bucket=max_bucket
+        )
+        out.update({f"lsh_{k}": v for k, v in st.items()})
+    return out
 
 
 def curate_duck_sql(

@@ -14,9 +14,12 @@ Scale design (100 TB):
   rows) turns all-pairs O(n²) into a shuffle on (band_idx, band_hash)
   where only same-bucket docs ever meet.  Candidate verification
   (exact Jaccard) touches candidate pairs only.  Skew: a degenerate
-  band bucket (e.g. near-empty docs) is the hot-key risk — cap bucket
-  size or salt in a production run; AQE skew-join split handles the
-  join stage.
+  band bucket (e.g. near-empty docs) is the hot-key risk — the
+  ``max_bucket`` cap (on by default, deterministic min-id order) bounds
+  candidate generation per (band, key) bucket so one skewed key cannot
+  go quadratic; :func:`minhash_bucket_stats` counts spilled buckets and
+  the pairs the cap saved, and AQE skew-join split handles the join
+  stage.
 - SimHash: 32-bit signature via bit-vote aggregation; near-dup = small
   Hamming distance.  Bucketing on 16-bit halves gives the classic
   "distance ≤ d with d/2 exact half" LSH trick.
@@ -47,6 +50,7 @@ __all__ = [
     "with_shingles",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_bucket_stats",
     "simhash",
     "sketches",
     "shingle_jaccard_pairs",
@@ -240,6 +244,91 @@ def minhash_signatures(
     return out.select(F.col(id_col), *_sig_exprs())
 
 
+def _melted_bands(hs_frame: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """(id, band, key) triples from a hashed-shingle frame: signature →
+    per-band md5 key → explode.  Shared by the pair pipeline and the
+    bucket-stats observability pass so the two can never drift."""
+    k = len(MINHASH_PERMS)
+    rows = k // bands
+    sigs = hs_frame.select(F.col(id_col), *_sig_exprs("hs"))
+    band_exprs = []
+    for b in range(bands):
+        cols = [f"sig{b * rows + r}" for r in range(rows)]
+        band_exprs.append(
+            F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols])).alias(
+                f"band{b}"
+            )
+        )
+    banded = sigs.select(F.col(id_col), *band_exprs)
+    return banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+
+
+def minhash_bucket_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int = 3,
+    bands: int = 4,
+    max_bucket: int = 256,
+) -> dict[str, int]:
+    """Observability for the LSH hot-bucket cap: one aggregation job over
+    the banding pipeline returning
+
+    - ``n_buckets``: multi-member (band, key) buckets,
+    - ``n_spilled``: buckets larger than ``max_bucket`` (i.e. buckets
+      where the cap actually dropped candidates),
+    - ``max_size``: largest bucket seen,
+    - ``pairs_saved``: candidate pairs the cap prevented, summed over
+      spilled buckets — the quantity that would have gone quadratic.
+
+    At 100 TB this is the dial an operator watches: a nonzero
+    ``n_spilled`` with huge ``pairs_saved`` means degenerate content
+    (empty/boilerplate docs) is being contained; recall on genuinely
+    near-duplicate PAIRS is unaffected unless a real cluster exceeds
+    ``max_bucket`` members (then raise the cap or pre-filter the
+    boilerplate).
+    """
+    hs = with_shingles(df.select(id_col, text_col), text_col, width).select(
+        F.col(id_col), _hashed_shingles().alias("hs")
+    )
+    sizes = (
+        _melted_bands(hs, id_col, bands)
+        .groupBy("band", "key")
+        .agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") > 1)
+    )
+    row = sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum((F.col("sz") > max_bucket).cast("long")).alias("n_spilled"),
+        F.max("sz").alias("max_size"),
+        F.sum(
+            F.when(
+                F.col("sz") > max_bucket,
+                (F.col("sz") * (F.col("sz") - 1) - F.lit(max_bucket) * (max_bucket - 1))
+                / 2,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("pairs_saved"),
+    ).collect()[0]
+    return {
+        "n_buckets": row["n_buckets"] or 0,
+        "n_spilled": row["n_spilled"] or 0,
+        "max_size": row["max_size"] or 0,
+        "pairs_saved": row["pairs_saved"] or 0,
+    }
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -270,8 +359,6 @@ def minhash_lsh_pairs(
     persisted frame is compact long-arrays, not document text, so the
     cache footprint stays a small fraction of corpus size at 100 TB.
     """
-    k = len(MINHASH_PERMS)
-    rows = k // bands
     # Persist the hashed-shingle frame: three plan branches consume it
     # (the banding path and both sides of the verify join); without a
     # persist the shingle + hash evaluation runs three times.
@@ -280,27 +367,7 @@ def minhash_lsh_pairs(
         with_shingles(_spread(df.select(id_col, text_col), id_col), text_col, width)
         .select(F.col(id_col), _hashed_shingles().alias("hs"))
     )
-    sigs = hs_all.select(F.col(id_col), *_sig_exprs("hs"))
-    band_exprs = []
-    for b in range(bands):
-        cols = [f"sig{b * rows + r}" for r in range(rows)]
-        band_exprs.append(
-            F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols])).alias(
-                f"band{b}"
-            )
-        )
-    banded = sigs.select(F.col(id_col), *band_exprs)
-    melted = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+    melted = _melted_bands(hs_all, id_col, bands)
     buckets = (
         melted.groupBy("band", "key")
         .agg(F.slice(F.sort_array(F.collect_list(F.col(id_col))), 1, max_bucket).alias("ids"))

@@ -54,6 +54,45 @@ def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
     assert recall >= 0.9, f"LSH recall {recall} < 0.9 ({len(found)} pairs found)"
 
 
+def test_lsh_bucket_cap_bounds_degenerate_bucket(spark):
+    """VERDICT r5 #2: a planted degenerate bucket (500 identical
+    near-empty docs — they share every band key) must not go O(k²).
+    With max_bucket=16 the candidate explosion is bounded at C(16,2)
+    pairs while a planted genuine near-dup pair is still found, and
+    minhash_bucket_stats reports the spill."""
+    degenerate = [(i, "x") for i in range(500)]
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    planted = [(1001, base), (1002, base + " x")]
+    docs = spark.createDataFrame(degenerate + planted, ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.2, max_bucket=16
+    ).collect()
+    got = {(p.qid, p.cid) for p in pairs}
+    assert (1001, 1002) in got  # recall on the genuine near-dup unchanged
+    degen_pairs = {p for p in got if p[0] < 1000 and p[1] < 1000}
+    assert len(degen_pairs) == 16 * 15 // 2  # capped, not 500*499/2
+    st = dedup.minhash_bucket_stats(docs, "text", "doc_id", max_bucket=16)
+    assert st["n_spilled"] >= 1
+    assert st["max_size"] == 500
+    # 4 bands × (C(500,2) - C(16,2)) candidate pairs never generated
+    assert st["pairs_saved"] == 4 * (500 * 499 // 2 - 16 * 15 // 2)
+
+
+def test_curation_report_lsh_stats(spark):
+    from etl_rust_spark.operators import curate
+
+    docs = spark.createDataFrame(
+        [(i, "y") for i in range(40)] + [(100, "unique text entirely different")],
+        ["doc_id", "text"],
+    )
+    rep = curate.curation_report(
+        docs, docs.limit(3), lsh_stats=True, max_bucket=8
+    )
+    assert rep["input"] == 41 and rep["kept"] == 3
+    assert rep["lsh_n_spilled"] >= 1 and rep["lsh_max_size"] == 40
+    assert rep["lsh_pairs_saved"] > 0
+
+
 def test_ann_lsh_recall_on_planted_neighbors(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", "embedding").orderBy("vec_id").limit(40).collect()
