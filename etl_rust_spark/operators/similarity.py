@@ -454,6 +454,28 @@ def _kmeans(mat, k: int, iters: int = 10, seed: int = 7):
     return cent
 
 
+def _ivf_sample_frame(
+    corpus: DataFrame, id_col: str, vec_col: str, sample: int, seed: int
+) -> DataFrame:
+    """Deterministic training sample WITHOUT a global sort (VERDICT r5
+    #6): the old ``orderBy(id).limit(sample)`` was a full-corpus
+    TakeOrdered just to pin the sample; instead filter on a content hash
+    of the id (same mechanism as ``pack.hash_sample``) at ~1.3× the
+    target rate — scan-shaped, no shuffle, no ranking (plan-asserted in
+    tests) — and let the caller truncate driver-side by id.  Same
+    determinism guarantee (hash of (seed, id) is layout- and
+    run-independent), bounded driver memory (≈ 1.3 × sample rows)."""
+    from etl_rust_spark.operators.hashes import MINHASH_P, spark_h
+
+    n = corpus.count()
+    cand = corpus.select(id_col, vec_col)
+    if n > sample:
+        key = f"concat('ivf{seed}', ':', CAST({id_col} AS STRING))"
+        thresh = min(10_000, int(1.3 * sample * 10_000 / n) + 1)
+        cand = cand.filter(F.expr(f"{spark_h(x=key)} % {MINHASH_P} % 10000") < thresh)
+    return cand
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -483,13 +505,10 @@ def ivf_topk(
     import numpy as np
 
     spark = queries.sparkSession
-    # orderBy before limit: a bare limit takes whatever partitions answer
-    # first, so the training sample (hence the centroids, hence every
-    # result) would vary run to run; ordered-by-id it is fully
-    # deterministic end to end (NEXT.md open item: seeded init + seeded
-    # sample — only the iterative k-means keeps this entry off the SQL
-    # oracle).
-    samp = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    samp = sorted(
+        _ivf_sample_frame(corpus, id_col, vec_col, sample, seed).collect(),
+        key=lambda r: r[0],
+    )[:sample]
     mat = np.array([list(r[1]) for r in samp], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     cent = _kmeans(mat, n_lists, seed=seed)

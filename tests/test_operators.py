@@ -116,6 +116,25 @@ def test_ann_lsh_recall_on_planted_neighbors(spark, sf_dir):
     assert recall >= 0.9, f"ANN recall@1 {recall} < 0.9"
 
 
+def test_ivf_sample_plan_has_no_sort(spark, sf_dir):
+    """VERDICT r5 #6: the IVF training sample must be a scan + hash
+    filter — no Sort, no TakeOrdered over the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = similarity._ivf_sample_frame(emb, "vec_id", "embedding", 50, 7)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan and "TakeOrdered" not in plan, plan
+    assert "Filter" in plan
+    # deterministic: two builds collect the identical id set
+    ids1 = sorted(r[0] for r in cand.collect())
+    ids2 = sorted(
+        r[0]
+        for r in similarity._ivf_sample_frame(
+            emb, "vec_id", "embedding", 50, 7
+        ).collect()
+    )
+    assert ids1 == ids2 and len(ids1) > 0
+
+
 def test_ivf_recall_vs_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") <= 30)
