@@ -7,12 +7,15 @@ This mirrors the reference's treatment of chain payloads as encoded
 bytes-with-schema (base64/hex/borsh columns, /root/reference/Cargo.toml:31-33)
 extended to media.
 
-The decode step is STUBBED (image/audio libs are not in this container):
-``decode_stub=True`` produces a deterministic fake feature vector from
-the payload bytes so the Spark-side plumbing — schema, Arrow batching,
-mapInPandas signature, partitioning — is real and testable;
-``decode_stub=False`` raises NotImplementedError at the exact seam where
-PIL/librosa/ffmpeg would plug in.
+Decode: ``decode_stub=True`` produces a deterministic fake feature
+vector from the payload bytes so the Spark-side plumbing — schema,
+Arrow batching, mapInPandas signature, partitioning — is testable with
+zero codec cost.  ``decode_stub=False`` REALLY decodes images through
+the pluggable codec registry (``operators/mediacodec.py``): PNG decodes
+in-container via the pure-stdlib codec; other image formats plug in via
+``mediacodec.use_pillow()`` / ``register_decoder``.  Audio/video decode
+still raises NotImplementedError at the seam (no librosa/ffmpeg in this
+container).
 
 Scale (100 TB of media):
 - Payloads dominate row size → keep them OUT of shuffles: derive
@@ -97,21 +100,36 @@ def extract_features(df: DataFrame, dim: int = 8, decode_stub: bool = True) -> D
     The UDF boundary is per-partition iterator-of-batches: payload bytes
     cross to Python once, features come back columnar.  The payload
     column is dropped on return — downstream ops never shuffle bytes.
+
+    ``decode_stub=False``: image payloads are decoded through the codec
+    registry (PNG works in-container; register more via
+    ``mediacodec.use_pillow()``) and the feature is real pixel
+    statistics (``mediacodec.image_feature``).  Audio/video rows raise
+    NotImplementedError at the seam (no audio libs here).
     """
-    if not decode_stub:
-        raise NotImplementedError(
-            "real media decode requires PIL/librosa/ffmpeg — not in this "
-            "container; run with decode_stub=True for the plumbing path"
-        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_rust_spark.operators import mediacodec
+
+        def feat(modality: str, p: bytes | None) -> list[float]:
+            if decode_stub:
+                return _fake_feature(p, dim)
+            if modality != "image":
+                raise NotImplementedError(
+                    f"real {modality} decode requires librosa/ffmpeg — not "
+                    "in this container; images decode via mediacodec"
+                )
+            return mediacodec.image_feature(mediacodec.decode_image(p or b""), dim)
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
                     "n_bytes": pdf["payload"].map(lambda p: len(p or b"")).astype("int32"),
-                    "feature": pdf["payload"].map(lambda p: _fake_feature(p, dim)),
+                    "feature": [
+                        feat(m, p) for m, p in zip(pdf["modality"], pdf["payload"])
+                    ],
                 }
             )
 
@@ -126,18 +144,12 @@ def resize_images(
 
     Plumbing is real: Arrow-batched mapInPandas over image rows only
     (other modalities pass through untouched, no decode cost), payload
-    replaced in place, metadata struct rebuilt JVM-side.  The pixel
-    transform is the documented stub seam — deterministic
-    sha256-derived bytes keyed on (payload, w, h) so tests pin the full
-    path; ``decode_stub=False`` raises where PIL's
-    ``Image.open(...).resize((w, h))`` plugs in.
+    replaced in place, metadata struct rebuilt JVM-side.
+    ``decode_stub=True`` keeps the zero-codec fake (sha256 bytes keyed
+    on (payload, w, h)); ``decode_stub=False`` decodes through the
+    codec registry, nearest-neighbor resizes, and re-encodes PNG —
+    fully in-container for PNG payloads (``operators/mediacodec.py``).
     """
-    if not decode_stub:
-        raise NotImplementedError(
-            "real image resize requires PIL — not in this container; "
-            "run with decode_stub=True for the plumbing path"
-        )
-
     imgs = df.filter(F.col("modality") == "image")
     rest = df.filter(F.col("modality") != "image")
     flat = imgs.select(
@@ -158,16 +170,25 @@ def resize_images(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_rust_spark.operators import mediacodec
+
         def fake_resize(p: bytes | None) -> bytes:
-            # STUB seam: real impl decodes, resizes to (width, height),
-            # re-encodes.  Deterministic fake keeps the contract testable.
+            # STUB: deterministic fake keeps the contract testable with
+            # zero codec cost.
             return hashlib.sha256(
                 (p or b"") + f"{width}x{height}".encode()
             ).digest()
 
+        def real_resize(p: bytes | None) -> bytes:
+            arr = mediacodec.decode_image(p or b"")
+            return mediacodec.encode_png(
+                mediacodec.resize_nearest(arr, width, height)
+            )
+
+        fn = fake_resize if decode_stub else real_resize
         for pdf in batches:
             out = pdf.copy()
-            out["payload"] = pdf["payload"].map(fake_resize)
+            out["payload"] = pdf["payload"].map(fn)
             yield out
 
     resized = flat.mapInPandas(run, out_schema).select(

@@ -285,8 +285,11 @@ def test_multimodal_feature_pipeline(spark):
     assert [(r.asset_id, r.frame_ms) for r in sorted(frames, key=lambda r: r.frame_ms)] == [
         (2, 0), (2, 1000), (2, 2000), (2, 3000)
     ]
-    with pytest.raises(NotImplementedError):
-        mm.extract_features(df, decode_stub=False)
+    # decode_stub=False is now lazy and real: non-image modalities hit
+    # the NotImplementedError seam at execution time (real PNG decode is
+    # covered in tests/test_mediacodec.py).
+    with pytest.raises(Exception, match="NotImplementedError|librosa"):
+        mm.extract_features(df, decode_stub=False).collect()
 
 
 def test_multimodal_resize_plumbing(spark):
@@ -312,8 +315,11 @@ def test_multimodal_resize_plumbing(spark):
     # determinism through the Arrow path + None payload handled
     again = {r.asset_id: bytes(r.payload) for r in mm.resize_images(df, 16, 16).collect()}
     assert bytes(byid[1].payload) == again[1] and bytes(byid[3].payload) == again[3]
-    with pytest.raises(NotImplementedError):
-        mm.resize_images(df, 16, 16, decode_stub=False)
+    # decode_stub=False is lazy and real: the fake-PNG payload here has
+    # no registered decoder, so execution raises (real PNG round-trip is
+    # covered in tests/test_mediacodec.py).
+    with pytest.raises(Exception, match="no decoder"):
+        mm.resize_images(df, 16, 16, decode_stub=False).collect()
 
 
 def test_langid_agrees_with_sql_form(spark, sf_dir):
