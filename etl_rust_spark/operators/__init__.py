@@ -13,7 +13,9 @@ merged entries join per-doc operators on doc_id or union tagged result
 sets, and the oracle reproduces the merged shape exactly.
 
 Oracle-gated (hash-checked vs DuckDB):
-- op_dedup_exact — per-lang kept/removed stats after global exact dedupe
+- op_dedup_exact — tagged union (r6): per-lang stats after global exact
+  dedupe ∪ hash_sample membership ∪ assign_split counts — three library
+  operators gated in one slot
 - op_text_profile — language-ID + token stats + BPE stats + quality +
   fingerprint + MinHash/SimHash sketches + bigram-LM perplexity (lm.py,
   trained on the full corpus), joined on doc_id (the former op_sketches
@@ -72,9 +74,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Per-lang kept/removed counts after global exact dedupe (min doc_id
-    # per distinct text wins).  Runs the real exact_dedupe operator; the
-    # round-1 dup-groups form returned 0 rows at sf0.01 (vacuous gate).
+    # Tagged union gating THREE library operators in one slot (VERDICT
+    # r5 #5 — the 50-slot cap is full, so this slot absorbs the
+    # deterministic-sampling mirrors the way op_temporal_join tags two
+    # operators):
+    #   src='dedup'  — per-lang (total, kept) after global exact dedupe
+    #                  (min doc_id per distinct text wins; runs the real
+    #                  exact_dedupe operator),
+    #   src='sample' — exact MEMBERSHIP of pack.hash_sample(rate=0.1):
+    #                  one row per surviving doc (key=doc_id, b=n_chars
+    #                  pins row identity, not just counts),
+    #   src='split'  — pack.assign_split train/val/test counts (gates
+    #                  the cumulative-weight CASE thresholds).
     docs = _docs(spark, sf_dir)
     kept = (
         dedup.exact_dedupe(docs, ["text"], "doc_id")
@@ -82,13 +93,36 @@ def _op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
     totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
+    ded = (
         totals.join(kept, "lang", "left")
         .na.fill(0, ["n_kept"])
-        .withColumn("n_dup_rows", F.col("n_docs") - F.col("n_kept"))
-        .select("lang", "n_docs", "n_kept", "n_dup_rows")
-        .orderBy("lang")
+        .select(
+            F.lit("dedup").alias("src"),
+            F.col("lang").alias("key"),
+            F.col("n_docs").alias("a"),
+            F.col("n_kept").alias("b"),
+        )
     )
+    samp = pack.hash_sample(docs, 0.1).select(
+        F.lit("sample").alias("src"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("doc_id").alias("a"),
+        F.col("n_chars").alias("b"),
+    )
+    spl = (
+        pack.assign_split(docs)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("split").alias("src"),
+            F.col("split").alias("key"),
+            F.col("n").alias("a"),
+            # -1 sentinel, not NULL: a NULL would make pandas upcast the
+            # oracle's BIGINT column to float64 and hash-mismatch.
+            F.lit(-1).cast("long").alias("b"),
+        )
+    )
+    return ded.unionByName(samp).unionByName(spl).orderBy("src", "key")
 
 
 def _op_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,6 +364,22 @@ SELECT asset_id, 'image' AS modality, CAST(n_bytes AS INT) AS n_bytes,
 FROM h ORDER BY asset_id"""
 
 
+def _dedup_entry_duck_sql() -> str:
+    # Three tagged sections, each reusing the operator's own dual-dialect
+    # mirror: exact-dedup per-lang stats, hash-sample membership
+    # (doc_id + n_chars pins exact surviving rows), split counts.
+    ded = dedup.exact_dedup_stats_duck_sql()
+    samp = pack.hash_sample_sql(0.1)[1]
+    spl = pack.assign_split_sql()[1]
+    return f"""
+SELECT 'dedup' AS src, lang AS key, n_docs AS a, n_kept AS b FROM ({ded})
+UNION ALL
+SELECT 'sample' AS src, CAST(doc_id AS VARCHAR) AS key, doc_id AS a, n_chars AS b FROM ({samp})
+UNION ALL
+SELECT 'split' AS src, split AS key, n AS a, (-1)::BIGINT AS b FROM ({spl})
+ORDER BY src, key"""
+
+
 def _near_dup_pairs_duck_sql() -> str:
     jac = dedup.jaccard_pairs_sql(20)[1]
     lsh = dedup.minhash_lsh_pairs_duck_sql(threshold=0.2)
@@ -361,7 +411,7 @@ def entry_oracle_sql() -> dict[str, str]:
     from etl_rust_spark.operators import rollup, temporal
 
     return {
-        "op_dedup_exact": dedup.exact_dedup_stats_duck_sql(),
+        "op_dedup_exact": _dedup_entry_duck_sql(),
         "op_text_profile": _text_profile_duck_sql(),
         "op_near_dup_pairs": _near_dup_pairs_duck_sql(),
         "op_curate": _curate_duck_sql(),
