@@ -127,6 +127,18 @@ def run_range(
     # with the existing sink instead.
     entity_keys = getattr(chain, "entity_keys", {})
     entities = {t: tables.pop(t) for t in list(tables) if t in entity_keys}
+    # Commit-marker-last discipline (exactly-once fan-out under a
+    # mid-batch kill): the blocks table doubles as the resume
+    # checkpoint, so it must commit only AFTER every other sink has
+    # committed its share of the range.  Written first, a crash between
+    # the blocks write and a later table's write would advance the
+    # watermark past records the other tables never received, and a
+    # resume would skip them forever.  Written last, a crash anywhere in
+    # the fan-out leaves the watermark un-advanced; the resumed run
+    # re-derives the range and the idempotent bucket overwrite makes
+    # partially-committed tables consistent.  Kill-tested in
+    # tests/test_etl.py::test_kill_between_sinks_then_resume_is_exactly_once.
+    watermark = {t: tables.pop(t) for t in ("blocks",) if t in tables}
     stats.records = write_tables(
         tables, out_dir, fmt=fmt, layout=layout, bucket_size=bucket_size
     )
@@ -134,4 +146,9 @@ def run_range(
         stats.records[name] = merge_entity_table(
             df, f"{out_dir}/{name}", entity_keys[name], fmt=fmt
         )
+    stats.records.update(
+        write_tables(
+            watermark, out_dir, fmt=fmt, layout=layout, bucket_size=bucket_size
+        )
+    )
     return stats

@@ -59,6 +59,50 @@ def test_run_range_resume_mid_bucket(spark, chain, tmp_path):
         run_range(spark, chain, 0, 30, out, resume=True, bucket_size=10)
 
 
+def test_kill_between_sinks_then_resume_is_exactly_once(spark, chain, tmp_path, monkeypatch):
+    """VERDICT r5 #7 (adversarial exactly-once): kill the run BETWEEN two
+    table sinks mid-batch, restart with resume — every table must end up
+    with no duplicate and no missing rows vs an uninterrupted run.
+
+    Two kill points: (a) mid-fan-out (some fact tables committed, blocks
+    checkpoint not yet written), (b) just before the final blocks write
+    (every other sink committed).  Both rely on the commit-marker-last
+    discipline: the watermark table commits after all other sinks, so a
+    resumed run re-derives the un-watermarked range and the idempotent
+    bucket overwrite heals partial commits.
+    """
+    from etl_rust_spark.etl import writer as writer_mod
+
+    # Uninterrupted reference run.
+    ref_out = str(tmp_path / "ref")
+    run_range(spark, chain, 0, 30, ref_out, bucket_size=10)
+
+    real_write_table = writer_mod.write_table
+
+    for kill_table in ("instructions", "blocks"):
+        out = str(tmp_path / f"sink_{kill_table}")
+
+        def killing(df, path, **kw):
+            if path.endswith(f"/{kill_table}"):
+                raise RuntimeError(f"simulated kill before {kill_table} sink")
+            return real_write_table(df, path, **kw)
+
+        monkeypatch.setattr(writer_mod, "write_table", killing)
+        with pytest.raises(RuntimeError, match="simulated kill"):
+            run_range(spark, chain, 0, 30, out, bucket_size=10)
+        # the kill really happened mid-batch: blocks (the checkpoint)
+        # must NOT have committed
+        assert not (Path(out) / "blocks" / "_SUCCESS").exists()
+        monkeypatch.setattr(writer_mod, "write_table", real_write_table)
+
+        stats = run_range(spark, chain, 0, 30, out, resume=True, bucket_size=10)
+        assert stats.start == 0  # watermark never advanced past the kill
+        for t in TABLE_NAMES:
+            got = sorted(map(str, spark.read.parquet(f"{out}/{t}").collect()))
+            want = sorted(map(str, spark.read.parquet(f"{ref_out}/{t}").collect()))
+            assert got == want, f"{t} diverged after kill-before-{kill_table}"
+
+
 def test_entity_tables_unique_across_runs(spark, chain, tmp_path):
     # ADVICE r1: accounts/tokens derive first-seen from ONLY the current
     # run's buckets — two disjoint runs used to produce duplicate
