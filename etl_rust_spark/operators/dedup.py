@@ -191,6 +191,20 @@ def _hashed_shingles() -> "F.Column":
                 int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
             )
 
+        # Shingle-hash memo across the batch: shingles repeat across
+        # documents (~10× on the bench corpus — shared phrases), and md5
+        # of a string is pure, so a dict hit replaces digest+int-parse.
+        # Bounded defensively for high-entropy corpora.
+        memo: dict[str, int] = {}
+
+        def hm(s: str) -> int:
+            v = memo.get(s)
+            if v is None:
+                if len(memo) > 1_000_000:
+                    memo.clear()
+                v = memo[s] = h(s)
+            return v
+
         def row(arr):
             # Null semantics of the expression form (ADVICE r5):
             # transform(NULL, ...) is NULL and md5(NULL) is NULL, so a
@@ -198,7 +212,7 @@ def _hashed_shingles() -> "F.Column":
             # text row shingles to array(NULL)) maps to a null element.
             if arr is None:
                 return None
-            return [None if s is None else h(s) for s in arr]
+            return [None if s is None else hm(s) for s in arr]
 
         return col.apply(row)
 

@@ -113,6 +113,24 @@ def _gram_hashes_pandas(docs: DataFrame, text_col: str, kind: str) -> DataFrame:
         return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
 
     def gen(batches):
+        # Gram-hash memo, long-lived across the partition's batches: md5
+        # of a pure string is referentially transparent, and natural
+        # language is Zipfian — the distinct gram set is orders of
+        # magnitude smaller than the gram stream (the bench corpus has
+        # 270 k token positions over 31 distinct tokens), so the dict
+        # turns almost every md5 into a hash-map hit.  Bounded: cleared
+        # if it ever exceeds ~1 M entries (pathological high-entropy
+        # corpora), which just reverts to hashing speed.
+        memo: dict[str, int] = {}
+
+        def hm(s: str) -> int:
+            v = memo.get(s)
+            if v is None:
+                if len(memo) > 1_000_000:
+                    memo.clear()
+                v = memo[s] = h(s)
+            return v
+
         for pdf in batches:
             out = []
             for text in pdf[text_col]:
@@ -126,9 +144,9 @@ def _gram_hashes_pandas(docs: DataFrame, text_col: str, kind: str) -> DataFrame:
                 if len(t) < 2:
                     continue
                 if kind == "bg":
-                    out.extend(h(t[i] + " " + t[i + 1]) for i in range(len(t) - 1))
+                    out.extend(hm(t[i] + " " + t[i + 1]) for i in range(len(t) - 1))
                 else:
-                    out.extend(h(t[i]) for i in range(len(t) - 1))
+                    out.extend(hm(t[i]) for i in range(len(t) - 1))
             if out:
                 yield pd.DataFrame({kind: out})
 
