@@ -156,7 +156,7 @@ def autotune_shuffle_partitions(
     advisory_bytes: int = 64 * 1024 * 1024,
     floor: int = 8,
     cap: int = 4096,
-    aqe_threshold_bytes: int = 2 * 1024 * 1024 * 1024,
+    aqe_threshold_bytes: int = 64 * 1024 * 1024,
 ) -> None:
     """Size ``spark.sql.shuffle.partitions`` — and the AQE switch — to
     the dataset, once per (session, sf_dir).
@@ -171,11 +171,16 @@ def autotune_shuffle_partitions(
 
     AQE follows the same logic (r6): runtime re-planning earns its keep
     when shuffles are big enough to coalesce/skew-split (it stays ON at
-    or above ``aqe_threshold_bytes``, default 2 GiB), but below that the
+    or above ``aqe_threshold_bytes``, default 64 MB), but below that the
     per-stage replanning round trip is pure latency — measured ~70 ms ×
-    40 queries ≈ 2.8 s of the sequential suite at sf0.1 with zero plan
-    improvement (8 shuffle partitions leave AQE nothing to adapt).  The
-    same user-override rules apply.
+    40 queries ≈ 2.8 s of the sequential suite at sf0.1 (17.5 MB input,
+    8 shuffle partitions leave AQE nothing to adapt) with zero plan
+    improvement.  The threshold sits where the benefit flips on this
+    suite: at sf1 (164 MB) AQE-on wins measurably (dq41's
+    low-cardinality join key lands all 1 M probe rows in ≤5 of 8
+    reducers without the skew split — 3.4 s vs 1.2 s warm), so one
+    advisory-block's worth of input (64 MB) is the crossover.  The same
+    user-override rules apply.
 
     User overrides win (ADVICE r5): set session conf
     ``etl_rust_spark.autotune=false`` to disable entirely, and if the

@@ -10,8 +10,10 @@ _MARKER = "etl_rust_spark.autotuned_sf_dir"
 def _reset(spark):
     spark.conf.set(_MARKER, "")
     spark.conf.set("etl_rust_spark.autotuned_value", "")
+    spark.conf.set("etl_rust_spark.autotuned_aqe", "")
     spark.conf.set("etl_rust_spark.autotune", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 def test_floor_applies_to_tiny_inputs(spark):
@@ -52,6 +54,21 @@ def test_user_override_survives_new_sf_dir(spark, tmp_path):
     autotune_shuffle_partitions(spark, str(tmp_path), floor=2)
     assert spark.conf.get("spark.sql.shuffle.partitions") == "17"
     _reset(spark)
+
+
+def test_autotune_sets_aqe_by_input_size(spark, tmp_path):
+    """r6: AQE off below the threshold (replanning latency dominates),
+    on at/above it (skew-split and coalescing earn their keep)."""
+    _reset(spark)
+    autotune_shuffle_partitions(spark, "/root/testdata/sf0.001")  # tiny
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    _reset(spark)
+    big = tmp_path / "big.parquet"
+    big.write_bytes(b"\0" * (80 * 1024 * 1024))  # > 64 MB threshold
+    autotune_shuffle_partitions(spark, str(tmp_path))
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    _reset(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 def test_autotune_opt_out_conf(spark):

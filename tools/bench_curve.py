@@ -47,6 +47,24 @@ SHARED_TABLES = ("region", "nation")
 
 
 def synthesize_sf1(spark, base_dir: str, out_dir: str, copies: int = 10) -> None:
+    """10× each scaled table as key-shifted copies — with the copies made
+    MUTUALLY DISSIMILAR where the operator semantics demand it (r6):
+
+    - **events**: each copy's timestamps shift by k × (span + 1 h).  Real
+      event data grows in TIME, not density; identical-overlapping copies
+      made every unkeyed temporal join's output grow 100× per 10× input
+      (result-cardinality explosion, not engine cost) and flagged
+      op_temporal_join as spuriously super-linear.
+    - **documents**: each copy maps vowels through a per-copy character
+      block (``translate``) — a per-copy bijection, so WITHIN-copy
+      dedup/near-dup structure is preserved exactly while no shingle
+      matches across copies.  Identical copies gave every doc 9 exact
+      twins: LSH bucket membership, candidate pairs, and verified output
+      all exploded quadratically — again data, not engine.
+    - **embeddings**: each copy circularly rotates the vector by 6k
+      dims — norm- and distribution-preserving, within-copy geometry
+      identical, cross-copy cosines decorrelated.
+    """
     from pyspark.sql import functions as F
 
     out = Path(out_dir)
@@ -56,11 +74,18 @@ def synthesize_sf1(spark, base_dir: str, out_dir: str, copies: int = 10) -> None
         df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
     for name, keys in SCALED_TABLES.items():
         df = spark.read.parquet(f"{base_dir}/{name}.parquet")
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            # nanosAsLong reads the source's TIMESTAMP(NANOS) as raw
-            # nanos; write sf1 with a real micros timestamp so BOTH
-            # engines read it natively (DuckDB has no nanosAsLong).
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        span_us = None
+        if name == "events":
+            if dict(df.dtypes).get("ts") == "bigint":
+                # nanosAsLong reads the source's TIMESTAMP(NANOS) as raw
+                # nanos; write sf1 with a real micros timestamp so BOTH
+                # engines read it natively (DuckDB has no nanosAsLong).
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # cast: the raw column may read as TIMESTAMP_NTZ; the session
+            # is UTC so the cast is an identity reinterpretation.
+            ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+            lo, hi = df.agg(F.min(ts_us), F.max(ts_us)).collect()[0]
+            span_us = (hi - lo) + 3_600_000_000  # +1 h gap between copies
         parts = []
         for k in range(copies):
             part = df
@@ -68,6 +93,26 @@ def synthesize_sf1(spark, base_dir: str, out_dir: str, copies: int = 10) -> None
                 dt = dict(df.dtypes)[col]
                 part = part.withColumn(
                     col, (F.col(col) + F.lit(k * KEY_SHIFT)).cast(dt)
+                )
+            if name == "events" and k > 0:
+                part = part.withColumn(
+                    "ts",
+                    F.timestamp_micros(
+                        F.unix_micros(F.col("ts").cast("timestamp")) + k * span_us
+                    ),
+                )
+            if name == "documents" and k > 0:
+                # per-copy vowel substitution into a disjoint Greek block
+                targets = "".join(chr(0x3B1 + 5 * k + j) for j in range(5))
+                part = part.withColumn("text", F.translate("text", "aeiou", targets))
+            if name == "embeddings" and k > 0:
+                shift = (6 * k) % 64
+                part = part.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"concat(slice(embedding, {shift + 1}, {64 - shift}), "
+                        f"slice(embedding, 1, {shift}))"
+                    ),
                 )
             parts.append(part)
         allp = parts[0]
