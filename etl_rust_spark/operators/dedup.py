@@ -51,6 +51,8 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_bucket_stats",
+    "signature_store",
+    "incremental_near_dup_pairs",
     "simhash",
     "sketches",
     "shingle_jaccard_pairs",
@@ -417,6 +419,99 @@ def minhash_lsh_pairs(
         .select("qid", "cid", "jaccard")
     )
     return verified
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dedup against a persisted signature store
+# ---------------------------------------------------------------------------
+
+def signature_store(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 3,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """``(bands_df(id, band, key), hs_df(id, hs))`` — the two frames a
+    continuously-ingested corpus persists so new batches dedup against
+    history WITHOUT rescanning historical text.
+
+    ``bands_df`` is the melted LSH band index (16-byte rows, the join
+    side); ``hs_df`` is the hashed-shingle arrays (the verify side —
+    compact longs, a small fraction of text size).  Persist both as
+    parquet; at scale bucket ``bands_df`` by ``key`` so the incremental
+    candidate join is co-located, and partition ``hs_df`` by an id range
+    so the verify join prunes.
+    """
+    hs = with_shingles(df.select(id_col, text_col), text_col, width).select(
+        F.col(id_col), _hashed_shingles().alias("hs")
+    )
+    return _melted_bands(hs, id_col, bands), hs
+
+
+def incremental_near_dup_pairs(
+    new_docs: DataFrame,
+    store_bands: DataFrame,
+    store_hs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Near-dup pairs of an incoming batch against BOTH the historical
+    store and itself: ``(qid, cid, jaccard, vs)`` with ``vs`` ∈
+    {'store', 'batch'}; for store pairs qid = the new doc, cid = the
+    historical doc.
+
+    This is the production shape of LSH dedup under continuous
+    ingestion: per batch the cost is O(batch) signature computation +
+    one equi-join of the batch's band keys against the store's band
+    index + exact verification on the matched candidates only — the
+    historical corpus is never rescanned and its text never moves.
+    Same hash pipeline as :func:`minhash_lsh_pairs`, so batch+store
+    results equal a full-corpus run restricted to pairs touching the
+    batch (modulo the bucket cap, which a full run applies across the
+    union while this path applies it within the batch only — a planted
+    equivalence test pins this).
+
+    Hot-key note: a band key that is degenerate IN THE STORE (e.g. the
+    empty-doc bucket) fans a matching new doc out to every historical
+    member; cap such groups upstream by running the store build through
+    the same ``max_bucket`` discipline, and AQE's skew split handles
+    the join stage.
+    """
+    new_bands, new_hs = signature_store(new_docs, text_col, id_col, width, bands)
+    new_bands = _persist_tracked(new_bands)
+    # batch-vs-store: equi-join on (band, key); distinct across bands.
+    cross = (
+        new_bands.join(
+            store_bands.withColumnRenamed(id_col, "__old_id"), ["band", "key"]
+        )
+        .select(F.col(id_col).alias("qid"), F.col("__old_id").alias("cid"))
+        .distinct()
+    )
+    verified_cross = (
+        cross.join(new_hs.withColumnRenamed(id_col, "qid").withColumnRenamed("hs", "hs_q"), "qid")
+        .join(store_hs.withColumnRenamed(id_col, "cid").withColumnRenamed("hs", "hs_c"), "cid")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("hs_q", "hs_c"))
+                / F.size(F.array_union("hs_q", "hs_c")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("qid", "cid", "jaccard", F.lit("store").alias("vs"))
+    )
+    # batch-vs-batch: the standard bucketed pipeline over the new docs.
+    within = minhash_lsh_pairs(
+        new_docs, text_col, id_col, width=width, bands=bands,
+        threshold=threshold, max_bucket=max_bucket,
+    ).withColumn("vs", F.lit("batch"))
+    return verified_cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------
