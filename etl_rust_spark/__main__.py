@@ -93,6 +93,29 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--name", required=True)
     pt.add_argument("--dir", default="tests/examples")
 
+    # LLM-data surface: run the composed curation pipeline over a
+    # parquet corpus (doc_id, text[, lang]) from the command line.
+    pc = sub.add_parser(
+        "curate",
+        help="curate a parquet document corpus (language filter, quality "
+        "floor, exact + near dedup, optional PII scrub / markup strip)",
+    )
+    pc.add_argument("corpus", help="input parquet path with doc_id, text columns")
+    pc.add_argument("--out", required=True, help="curated parquet output path")
+    pc.add_argument("--languages", default=None, help="comma list, e.g. en,de")
+    pc.add_argument("--min-quality-bp", type=int, default=0)
+    pc.add_argument("--near-dup-threshold", type=float, default=0.5)
+    pc.add_argument(
+        "--near-dup-strategy", default="greedy", choices=["greedy", "components"]
+    )
+    pc.add_argument("--strip-markup", action="store_true")
+    pc.add_argument("--scrub-pii", action="store_true")
+    pc.add_argument(
+        "--lsh-stats",
+        action="store_true",
+        help="include hot-bucket cap counters in the report (extra agg job)",
+    )
+
     args = p.parse_args(argv)
 
     # O-04: reject invalid feature combos before any Spark work — the
@@ -163,6 +186,28 @@ def main(argv: list[str] | None = None) -> int:
                 q.awaitTermination()  # runs until interrupted, like the reference
             except KeyboardInterrupt:
                 q.stop()  # graceful disconnect (K-09 parity)
+    elif args.cmd == "curate":
+        from etl_rust_spark.operators import curate, scrub
+
+        docs = spark.read.parquet(args.corpus)
+        cur = curate.curate_corpus(
+            docs,
+            languages=args.languages.split(",") if args.languages else None,
+            min_quality_bp=args.min_quality_bp,
+            near_dup_threshold=args.near_dup_threshold,
+            near_dup_strategy=args.near_dup_strategy,
+            strip_markup=args.strip_markup,
+        )
+        if args.scrub_pii:
+            scrubbed = scrub.scrub_pii(cur, "text", "doc_id")
+            cur = cur.drop("text").join(scrubbed, "doc_id").withColumnRenamed(
+                "text_clean", "text"
+            )
+        cur.write.mode("overwrite").parquet(args.out)
+        report = curate.curation_report(
+            docs, spark.read.parquet(args.out), lsh_stats=args.lsh_stats
+        )
+        print(json.dumps(report))
     elif args.cmd == "save-range":
         print(save_range(spark, chain, args.start, args.end, args.out))
     elif args.cmd == "create-test-set":

@@ -141,6 +141,35 @@ def test_run_range_reverse_resume(spark, chain, tmp_path):
         run_range(spark, chain, 0, 30, out, resume=True, reverse=True, bucket_size=10)
 
 
+def test_cli_curate_end_to_end(spark, tmp_path, capsys):
+    """The `curate` verb: parquet corpus in → curated parquet + JSON
+    report out, with PII scrubbing applied to the surviving rows."""
+    import json as _json
+
+    from etl_rust_spark.__main__ import main
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (1, base),
+        (2, base + " x"),                        # near-dup of 1 → dropped
+        (3, base),                                # exact dup of 1 → dropped
+        (4, "mail me at a@b.com " + base[:40]),   # survives, gets scrubbed
+    ]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+    out = str(tmp_path / "curated")
+    rc = main([
+        "curate", src, "--out", out,
+        "--near-dup-threshold", "0.5", "--scrub-pii",
+    ])
+    assert rc == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["input"] == 4 and report["kept"] == 2
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 4}
+    assert "<EMAIL>" in got[4].text and got[4].n_email == 1
+
+
 def test_cli_index_range_reverse(spark, chain, tmp_path):
     # --reverse is reachable from the CLI (reference src/main.rs:75-83)
     # and the genesis guard rejects a reverse range ending at 0.
