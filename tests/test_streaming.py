@@ -67,6 +67,40 @@ def _run_stream(spark, agg, name):
         q.stop()
 
 
+def test_text_operators_stream_equals_batch(spark, sf_dir, tmp_path):
+    """The scan-side curation operators (language-ID, quality, PII
+    scrub, text profile) are stateless projections, so the SAME code
+    runs under Structured Streaming unchanged — a streaming corpus feed
+    (e.g. a crawl landing in parquet) profiles incrementally with
+    stream == batch equality."""
+    from etl_rust_spark.operators import scrub, text
+
+    docs_path = str(tmp_path / "docs_stream")
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    docs.write.parquet(docs_path)
+    batch_df = spark.read.parquet(docs_path)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(docs_path)
+
+    for label, op in [
+        ("profile", lambda d: text.text_profile(d, "text", "doc_id")),
+        ("scrub", lambda d: scrub.scrub_pii(d, "text", "doc_id")),
+    ]:
+        expected = _rows(op(batch_df))
+        q = (
+            op(stream_df)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"txt_{label}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = _rows(spark.table(f"txt_{label}"))
+        finally:
+            q.stop()
+        assert got == expected, label
+
+
 def test_tumbling_stream_matches_batch(spark, sf_dir, events_src):
     batch = tumbling_window(load_table(spark, sf_dir, "events"))
     stream = tumbling_window(events_stream(spark, events_src))
