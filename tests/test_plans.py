@@ -188,3 +188,51 @@ def test_text_profile_entry_plan_shape(spark, sf_dir):
     assert rep.rowwise_python_evals == 0, rep.plan
     assert rep.arrow_evals <= 6, rep.plan
     assert rep.broadcast_joins >= 1, rep.plan  # decontamination bench side
+
+
+def test_chunk_documents_is_scan_side(spark, sf_dir):
+    """Chunking must ride the scan: zero exchanges, zero Python — at
+    100 TB it is a free projection, not a pipeline stage."""
+    from etl_rust_spark.catalog import load_table
+    from etl_rust_spark.operators import chunk
+
+    df = chunk.chunk_documents(load_table(spark, sf_dir, "documents"))
+    rep = audit(df)
+    assert rep.num_exchanges == 0, rep.plan
+    assert rep.python_evals == 0, rep.plan
+
+
+def test_paragraph_dedupe_plan_shape(spark, sf_dir):
+    """One first-occurrence window shuffle + one reassembly groupBy +
+    the totals join — bounded exchanges, no cartesian, no Python."""
+    from etl_rust_spark.catalog import load_table
+    from etl_rust_spark.operators import chunk
+
+    df = chunk.paragraph_dedupe(load_table(spark, sf_dir, "documents"))
+    rep = audit(df)
+    assert rep.cartesian_products == 0, rep.plan
+    assert rep.python_evals == 0, rep.plan
+    assert rep.num_exchanges <= 4, rep.plan
+
+
+def test_incremental_near_dup_store_join_is_equi(spark, sf_dir, tmp_path):
+    """The batch-vs-store candidate join must be an equi-join on the
+    band key (no BNLJ/cartesian): per batch the store side is probed by
+    key, never scanned per row."""
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.catalog import load_table
+    from etl_rust_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") < 50)
+    b = docs.filter(F.col("doc_id").between(50, 80))
+    bands_df, hs_df = dedup.signature_store(a)
+    bands_df.write.parquet(str(tmp_path / "b"))
+    hs_df.write.parquet(str(tmp_path / "h"))
+    df = dedup.incremental_near_dup_pairs(
+        b, spark.read.parquet(str(tmp_path / "b")), spark.read.parquet(str(tmp_path / "h"))
+    )
+    rep = audit(df)
+    assert rep.cartesian_products == 0, rep.plan
+    assert rep.rowwise_python_evals == 0, rep.plan
