@@ -101,6 +101,48 @@ def test_text_operators_stream_equals_batch(spark, sf_dir, tmp_path):
         assert got == expected, label
 
 
+def test_incremental_dedup_stream(spark, tmp_path):
+    """Continuous-ingestion dedup: two arriving batches; the second's
+    near-dup of a FIRST-batch doc is dropped against the signature
+    store (history never rescanned), within-batch dups drop too, and
+    unique docs survive."""
+    from pyspark.sql import types as T
+
+    from etl_rust_spark.streaming.curation import run_incremental_dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    spark.createDataFrame(
+        [(1, base), (2, base + " x"), (10, "completely unrelated first text")],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "4"
+    ).parquet(str(src / "*"))
+    q = run_incremental_dedup_stream(stream, out, ckpt)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(20, "zzz" + base[3:]), (21, "another brand new unique document")],
+            schema,
+        ).coalesce(1).write.parquet(str(src / "b2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = {r.doc_id for r in spark.read.parquet(f"{out}/docs").collect()}
+    assert kept == {1, 10, 21}
+    # the store accumulated signatures for every survivor
+    store_ids = {r.doc_id for r in spark.read.parquet(f"{out}/store_hs").collect()}
+    assert store_ids == {1, 10, 21}
+
+
 def test_tumbling_stream_matches_batch(spark, sf_dir, events_src):
     batch = tumbling_window(load_table(spark, sf_dir, "events"))
     stream = tumbling_window(events_stream(spark, events_src))
