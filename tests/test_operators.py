@@ -285,10 +285,12 @@ def test_multimodal_feature_pipeline(spark):
     assert [(r.asset_id, r.frame_ms) for r in sorted(frames, key=lambda r: r.frame_ms)] == [
         (2, 0), (2, 1000), (2, 2000), (2, 3000)
     ]
-    # decode_stub=False is now lazy and real: non-image modalities hit
-    # the NotImplementedError seam at execution time (real PNG decode is
-    # covered in tests/test_mediacodec.py).
-    with pytest.raises(Exception, match="NotImplementedError|librosa"):
+    # decode_stub=False is now lazy and real: whichever row a partition
+    # evaluates first hits its seam — the audio row raises
+    # NotImplementedError, the fake-PNG payload (invalid magic) raises
+    # the registry's "no decoder" (real PNG decode is covered in
+    # tests/test_mediacodec.py).
+    with pytest.raises(Exception, match="NotImplementedError|librosa|no decoder"):
         mm.extract_features(df, decode_stub=False).collect()
 
 
