@@ -69,6 +69,36 @@ def test_chunk_three_way_mirror(spark, duck, sf_dir):
     assert h_api == h_sql == h_du
 
 
+def test_chunk_coverage_and_reconstruction_property(spark):
+    """On a seeded random corpus: every token is covered, and stitching
+    chunk 0 plus each later chunk's non-overlap suffix reconstructs the
+    original token stream exactly — for several (max_tokens, overlap)
+    configs including stride 1."""
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, " ".join(f"w{rng.randint(0, 20)}" for _ in range(rng.randint(1, 90))))
+        for i in range(25)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for max_tokens, overlap in [(16, 4), (8, 7), (32, 0), (5, 1)]:
+        out = chunk.chunk_documents(docs, max_tokens=max_tokens, overlap=overlap)
+        by_doc = {}
+        for r in out.collect():
+            by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text.split()
+        stride = max_tokens - overlap
+        for doc_id, text in rows:
+            toks = text.split()
+            chunks = by_doc[doc_id]
+            assert sorted(chunks) == list(range(len(chunks))), (doc_id, max_tokens)
+            rebuilt = list(chunks[0])
+            for i in range(1, len(chunks)):
+                assert chunks[i] == toks[i * stride : i * stride + max_tokens]
+                rebuilt.extend(chunks[i][overlap:])
+            assert rebuilt == toks, (doc_id, max_tokens, overlap)
+
+
 def test_paragraph_dedupe_semantics(spark):
     boiler = "subscribe to our newsletter"
     docs = spark.createDataFrame(
