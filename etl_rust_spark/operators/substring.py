@@ -1,0 +1,200 @@
+"""Exact substring-level dedup: repeated k-gram span detection/removal.
+
+Document-level dedup misses the dominant real-world duplication mode:
+long VERBATIM passages (licenses, boilerplate, quoted articles) inside
+otherwise-distinct documents.  The reference treatment (Lee et al.
+2022, "Deduplicating Training Data Makes Language Models Better")
+removes every repeated substring above a length threshold, keeping one
+copy.  A literal port builds a corpus-wide suffix array — inherently
+sequential; the Spark-native equivalent below gets the same spans for
+repeats of ≥ k tokens from set operations only:
+
+1. hash every k-token window with its position — scan-side projection
+   (rolling windows via ``transform(sequence(...))``, portable md5 so
+   the pipeline is oracle-mirrorable);
+2. one groupBy over window hashes finds repeated windows AND each
+   window's first occurrence (min (doc_id, pos) — the copy that is
+   kept);
+3. join positions back (ids + 8-byte hashes shuffle, never text) and
+   merge overlapping flagged windows per document with a
+   gaps-and-islands pass (cumulative-max window function).
+
+Every maximal repeated substring of length L ≥ k is covered exactly by
+its L − k + 1 flagged windows, so the merged islands equal the repeated
+spans a suffix array would report (for repeats ≥ k tokens) — with the
+first occurrence exempted, matching "keep one copy".
+
+Scale: cost is O(total tokens) window hashes + one hash-keyed shuffle +
+one per-doc sort (windowed); nothing is quadratic and text never moves
+between executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_rust_spark.operators.hashes import MINHASH_P, duck_h, spark_h
+
+__all__ = ["repeated_kgram_spans", "remove_spans", "repeated_spans_sql"]
+
+
+def _window_hashes(text_col: str, k: int) -> str:
+    """(pos, gh) structs for every k-token window (0-based pos)."""
+    h = spark_h(
+        x=f"concat_ws(' ', slice(__toks, i + 1, {k}))"
+    )
+    return (
+        f"CASE WHEN size(__toks) >= {k} THEN "
+        f"transform(sequence(0, size(__toks) - {k}), i -> "
+        f"struct(i AS pos, {h} % {MINHASH_P} AS gh)) "
+        f"ELSE array() END"
+    )
+
+
+def repeated_kgram_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, span_start, span_end, n_windows): merged token spans covered
+    by k-gram windows that occur elsewhere in the corpus, with each
+    window's FIRST occurrence (min (doc_id, pos)) exempt.  span_end is
+    exclusive; spans never overlap within a document."""
+    wins = (
+        df.withColumn("__toks", F.split(F.col(text_col), " "))
+        .select(F.col(id_col), F.explode(F.expr(_window_hashes(text_col, k))).alias("w"))
+        .select(id_col, F.col("w.pos").alias("pos"), F.col("w.gh").alias("gh"))
+    )
+    # per window hash: total occurrences + the first occurrence's identity
+    firsts = wins.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct(F.col(id_col).alias("fid"), F.col("pos").alias("fpos"))).alias("f"),
+    )
+    flagged = (
+        wins.join(firsts.filter(F.col("n_occ") > 1), "gh")
+        .filter(~((F.col(id_col) == F.col("f.fid")) & (F.col("pos") == F.col("f.fpos"))))
+        .select(id_col, "pos")
+        .distinct()
+    )
+    # gaps-and-islands: a new span starts where pos exceeds the furthest
+    # end reached by earlier windows.
+    w_order = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + k).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = flagged.withColumn(
+        "new_span",
+        F.when(prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1).otherwise(0),
+    ).withColumn("span_id", F.sum("new_span").over(w_order))
+    return (
+        islands.groupBy(id_col, "span_id")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rebuild ``text_col`` with every flagged token span cut out:
+    (id, original columns..., text_dedup, n_tokens_removed).  Documents
+    with no spans pass through unchanged (n_tokens_removed = 0)."""
+    agg_spans = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    keep_expr = (
+        "concat_ws(' ', filter(transform(__toks, (t, i) -> "
+        "CASE WHEN exists(__spans, s -> i >= s.span_start AND i < s.span_end) "
+        "THEN CAST(NULL AS STRING) ELSE t END), x -> x IS NOT NULL))"
+    )
+    removed_expr = (
+        "size(filter(transform(__toks, (t, i) -> "
+        "exists(__spans, s -> i >= s.span_start AND i < s.span_end)), x -> x))"
+    )
+    return (
+        df.join(agg_spans, id_col, "left")
+        .withColumn("__toks", F.split(F.col(text_col), " "))
+        .withColumn(
+            "text_dedup",
+            F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(
+                F.expr(keep_expr)
+            ),
+        )
+        .withColumn(
+            "n_tokens_removed",
+            F.when(F.col("__spans").isNull(), F.lit(0)).otherwise(
+                F.expr(removed_expr)
+            ).cast("long"),
+        )
+        .drop("__toks", "__spans")
+    )
+
+
+def repeated_spans_sql(
+    k: int = 8, source: str = "documents", max_doc: int | None = None
+) -> tuple[str, str]:
+    """Dual-dialect mirror of :func:`repeated_kgram_spans`."""
+    where = f"WHERE doc_id <= {max_doc}" if max_doc is not None else ""
+    sp_h = spark_h(x=f"concat_ws(' ', slice(toks, i + 1, {k}))")
+    du_h = duck_h(x=f"array_to_string(toks[i + 1 : i + {k}], ' ')")
+    spark = f"""
+WITH t AS (SELECT doc_id, split(text, ' ') AS toks FROM {source} {where}),
+w AS (SELECT doc_id, e.pos, e.gh FROM t
+      LATERAL VIEW explode(CASE WHEN size(toks) >= {k}
+        THEN transform(sequence(0, size(toks) - {k}), i -> struct(i AS pos, {sp_h} % {MINHASH_P} AS gh))
+        ELSE array() END) x AS e),
+f AS (SELECT gh, COUNT(1) AS n_occ, MIN(struct(doc_id AS fid, pos AS fpos)) AS fst
+      FROM w GROUP BY gh),
+fl AS (SELECT DISTINCT w.doc_id, w.pos FROM w JOIN f ON w.gh = f.gh
+       WHERE f.n_occ > 1 AND NOT (w.doc_id = f.fst.fid AND w.pos = f.fst.fpos)),
+isl AS (SELECT doc_id, pos,
+          CASE WHEN MAX(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                 OR pos > MAX(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_span
+        FROM fl),
+sid AS (SELECT doc_id, pos,
+          SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        FROM isl)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+  CAST(MAX(pos) + {k} AS BIGINT) AS span_end,
+  COUNT(1) AS n_windows
+FROM sid GROUP BY doc_id, span_id ORDER BY doc_id, span_start"""
+    duck = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {source} {where}),
+w0 AS (SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= {k}
+           THEN list_transform(range(0, len(toks) - {k} + 1), i -> struct_pack(pos := i, gh := {du_h} % {MINHASH_P}))
+           ELSE [] END) AS e
+       FROM t),
+w AS (SELECT doc_id, e.pos AS pos, e.gh AS gh FROM w0),
+f AS (SELECT gh, COUNT(1) AS n_occ,
+        MIN(struct_pack(fid := doc_id, fpos := pos)) AS fst
+      FROM w GROUP BY gh),
+fl AS (SELECT DISTINCT w.doc_id, w.pos FROM w JOIN f ON w.gh = f.gh
+       WHERE f.n_occ > 1 AND NOT (w.doc_id = f.fst.fid AND w.pos = f.fst.fpos)),
+isl AS (SELECT doc_id, pos,
+          CASE WHEN MAX(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                 OR pos > MAX(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_span
+        FROM fl),
+sid AS (SELECT doc_id, pos,
+          SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        FROM isl)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+  CAST(MAX(pos) + {k} AS BIGINT) AS span_end,
+  COUNT(1) AS n_windows
+FROM sid GROUP BY doc_id, span_id ORDER BY doc_id, span_start"""
+    return spark, duck

@@ -236,3 +236,19 @@ def test_incremental_near_dup_store_join_is_equi(spark, sf_dir, tmp_path):
     rep = audit(df)
     assert rep.cartesian_products == 0, rep.plan
     assert rep.rowwise_python_evals == 0, rep.plan
+
+
+def test_repeated_spans_plan_shape(spark, sf_dir):
+    """Substring dedup: window hashing scan-side, one hash-keyed
+    groupBy + join + per-doc window — no cartesian, no Python."""
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.catalog import load_table
+    from etl_rust_spark.operators import substring
+
+    df = substring.repeated_kgram_spans(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100), k=8
+    )
+    rep = audit(df)
+    assert rep.cartesian_products == 0, rep.plan
+    assert rep.python_evals == 0, rep.plan
