@@ -21,7 +21,8 @@ Oracle-gated (hash-checked vs DuckDB):
   trained on the full corpus), joined on doc_id (the former op_sketches
   entry merged in to free a gate slot for op_temporal_join)
 - op_near_dup_pairs — n-gram Jaccard (bounded all-pairs) ∪ MinHash-LSH
-  (banded, full corpus) ∪ embedding-cosine near-dups, tagged by ``src``
+  (banded, full corpus) ∪ embedding-cosine near-dups ∪ repeated-k-gram
+  substring spans (r6), tagged by ``src``
 - op_curate — the composed curation pipeline end to end
 - op_cosine_topk — brute-force cosine top-k (exact ANN baseline)
 - op_temporal_join — as-of join (union+last-carry) ∪ binned range join,
@@ -187,7 +188,24 @@ def _op_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = similarity.cosine_near_dup_pairs(_emb(spark, sf_dir)).select(
         F.lit("emb").alias("src"), "qid", "cid", F.col("cos").alias("val")
     )
-    return jac.unionByName(lsh).unionByName(emb).orderBy("src", "qid", "cid")
+    # Fourth detector (r6): exact substring dedup — repeated 8-gram
+    # spans with first-occurrence exemption.  Projection into the union
+    # shape: qid = doc, cid = span start, val = span end (n_windows is
+    # pytest-covered; the gate pins span identity).
+    from etl_rust_spark.operators import substring
+
+    spans = substring.repeated_kgram_spans(_docs(spark, sf_dir, 500), k=8).select(
+        F.lit("span").alias("src"),
+        F.col("doc_id").alias("qid"),
+        F.col("span_start").alias("cid"),
+        F.col("span_end").cast("double").alias("val"),
+    )
+    return (
+        jac.unionByName(lsh)
+        .unionByName(emb)
+        .unionByName(spans)
+        .orderBy("src", "qid", "cid")
+    )
 
 
 def _op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,15 +399,21 @@ ORDER BY src, key"""
 
 
 def _near_dup_pairs_duck_sql() -> str:
+    from etl_rust_spark.operators import substring
+
     jac = dedup.jaccard_pairs_sql(20)[1]
     lsh = dedup.minhash_lsh_pairs_duck_sql(threshold=0.2)
     emb = similarity.near_dup_sql()[1]
+    spans = substring.repeated_spans_sql(k=8, max_doc=500)[1]
     return f"""
 SELECT 'jac' AS src, qid, cid, jac AS val FROM ({jac})
 UNION ALL
 SELECT 'lsh' AS src, qid, cid, jaccard AS val FROM ({lsh})
 UNION ALL
 SELECT 'emb' AS src, qid, cid, cos AS val FROM ({emb})
+UNION ALL
+SELECT 'span' AS src, doc_id AS qid, span_start AS cid,
+  CAST(span_end AS DOUBLE) AS val FROM ({spans})
 ORDER BY src, qid, cid"""
 
 
