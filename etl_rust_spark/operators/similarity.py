@@ -34,6 +34,7 @@ __all__ = [
     "ann_lsh_topk_duck_sql",
     "ivf_topk",
     "cosine_near_dup_pairs",
+    "semantic_dedupe",
     "cosine_topk_sql",
     "near_dup_sql",
     "quantize_embeddings",
@@ -584,6 +585,93 @@ def ivf_topk(
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("qid", "cid", "cos", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+def semantic_dedupe(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    sample: int = 10_000,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) shape: cluster the embedding space
+    with the deterministic k-means quantizer, then WITHIN each cluster
+    drop every vector whose cosine to a lower-id cluster member is
+    ≥ ``threshold`` (min-id keeps — the same rule as every dedup here).
+    Returns the surviving ``(id)`` frame to semi-join against the corpus.
+
+    Why clustering first: semantic near-dups are by definition close in
+    embedding space, so restricting the quadratic comparison to cluster
+    members turns all-pairs O(n²) into Σ|cluster|² — linear overall
+    when ``n_clusters`` scales ~√N (raise it with corpus size exactly
+    like ``ivf_topk``'s lists).  Cross-cluster near-dups are the
+    documented recall loss of the method (boundary pairs); lowering
+    ``threshold`` or raising ``n_probe``-style replication is the knob,
+    not an all-pairs fallback.
+
+    Per cluster the pairwise test is ONE numpy/BLAS matmul in
+    ``applyInPandas`` (the cogroup-block trick from
+    :func:`cosine_near_dup_pairs` with shard = learned cluster).
+    Deterministic end to end: seeded sample + seeded k-means (the IVF
+    quantizer), 4-dp-rounded cosines, min-id keep.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    samp = sorted(
+        _ivf_sample_frame(df, id_col, vec_col, sample, seed).collect(),
+        key=lambda r: r[0],
+    )[:sample]
+    mat = np.array([list(r[1]) for r in samp], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = _kmeans(mat, n_clusters, seed=seed)
+    bc = spark.sparkContext.broadcast(cent)
+
+    def assign_gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "list_id": np.argmax(v @ c.T, axis=1), "v": pdf["v"]}
+            )
+
+    assigned = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(assign_gen, "id long, list_id int, v array<float>")
+
+    def drop_in_cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id": []}).astype({"id": "int64"})[0:0]
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy(np.int64)
+        m = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ m.T, 4)
+        # drop j if any i < j has sims >= threshold (min-id keeps)
+        over = sims >= threshold
+        drop = [ids[j] for j in range(1, len(ids)) if over[:j, j].any()]
+        return pd.DataFrame({"id": np.array(drop, dtype=np.int64)})
+
+    dropped = assigned.groupBy("list_id").applyInPandas(drop_in_cluster, "id long")
+    return (
+        df.select(F.col(id_col))
+        .join(dropped.withColumnRenamed("id", id_col), id_col, "left_anti")
     )
 
 

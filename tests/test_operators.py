@@ -364,3 +364,28 @@ def test_repetition_stats_flags_looping_text(spark):
     assert got[2]["top_tok_frac"] < 0.2
     # single-token doc: no 2-grams, frac coalesces to 0
     assert got[3]["n_grams"] == 0 and got[3]["top_2gram_frac"] == 0.0
+
+
+def test_semantic_dedupe_drops_planted_twins(spark, sf_dir):
+    """SemDeDup: planted near-identical embeddings (tiny noise) drop —
+    min id of each twin group survives — while the near-orthogonal base
+    corpus is untouched; deterministic across runs."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.orderBy("vec_id").limit(30).collect()
+    rng = np.random.default_rng(3)
+    twins = []
+    for r in base[:10]:
+        v = np.array(r.embedding, dtype=np.float64)
+        noisy = v + 0.001 * np.linalg.norm(v) * rng.standard_normal(64)
+        twins.append((r.vec_id + 500000, [float(x) for x in noisy]))
+    aug = emb.union(
+        spark.createDataFrame(twins, ["vec_id", "embedding"]).withColumn(
+            "embedding", F.col("embedding").cast("array<float>")
+        )
+    )
+    kept = {r.vec_id for r in similarity.semantic_dedupe(aug, threshold=0.95).collect()}
+    # every twin (higher id) dropped, every original kept
+    assert all(t_id not in kept for t_id, _ in twins)
+    assert all(r.vec_id in kept for r in base)
+    kept2 = {r.vec_id for r in similarity.semantic_dedupe(aug, threshold=0.95).collect()}
+    assert kept == kept2
