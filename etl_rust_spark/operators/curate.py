@@ -145,6 +145,9 @@ def curate_corpus(
     shingle_width: int = 3,
     near_dup_strategy: str = "greedy",
     strip_markup: bool = False,
+    substring_k: int | None = None,
+    quality_model=None,
+    quality_model_threshold: float = 0.5,
 ) -> DataFrame:
     """Return the curated corpus (original columns + language votes +
     ``lang_pred`` + ``quality_bp``), lazily — one composed plan, no
@@ -158,6 +161,16 @@ def curate_corpus(
     the order a real pipeline runs (tags would otherwise pollute
     shingles and token stats).  Off by default so the gated entry's
     semantics are unchanged.
+
+    ``substring_k`` (r6): run exact substring dedup first — repeated
+    ``substring_k``-gram spans are cut (first occurrence kept,
+    ``operators/substring.py``) BEFORE language/quality/dedup, so
+    removed boilerplate can neither carry a document through the
+    quality floor nor pollute the shingle space.
+
+    ``quality_model`` (r6): a fitted reference-vs-crawl classifier
+    (``classify.train_quality_classifier``) applied after the
+    rule-based floor — the CCNet-style learned filter.
     """
     if strip_markup:
         cleaned = text.strip_markup(docs, text_col, id_col).select(
@@ -167,6 +180,21 @@ def curate_corpus(
             docs.drop(text_col)
             .join(cleaned, id_col)
             .withColumnRenamed("text_clean", text_col)
+        )
+    if substring_k is not None:
+        from etl_rust_spark.operators import substring as _substring
+
+        spans = _substring.repeated_kgram_spans(docs, substring_k, text_col, id_col)
+        docs = (
+            _substring.remove_spans(docs, spans, text_col, id_col)
+            .drop(text_col, "n_tokens_removed")
+            .withColumnRenamed("text_dedup", text_col)
+        )
+    if quality_model is not None:
+        from etl_rust_spark.operators import classify as _classify
+
+        docs = _classify.filter_by_quality(
+            quality_model, docs, quality_model_threshold, text_col, id_col
         )
     lang = text.language_id(docs, text_col, id_col)
     qual = text.quality_score(docs, text_col, id_col)

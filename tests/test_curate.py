@@ -110,6 +110,47 @@ def test_components_property_vs_union_find(spark):
         assert got == _union_find_reps(edges), edges
 
 
+def test_curate_with_substring_stage(spark):
+    """substring_k cuts cross-doc boilerplate BEFORE quality/dedup: a
+    doc that is mostly repeated boilerplate shrinks and the surviving
+    unique text flows through; the first occurrence keeps its copy."""
+    boiler = " ".join(f"b{i}" for i in range(20))
+    uniq1 = "the quick brown fox jumps over the lazy dog and runs far away"
+    uniq2 = "a completely different sentence about spark execution engines here"
+    docs = spark.createDataFrame(
+        [(1, f"{uniq1} {boiler}"), (2, f"{boiler} {uniq2}")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.text
+        for r in curate.curate_corpus(
+            docs, near_dup_threshold=None, substring_k=8
+        ).collect()
+    }
+    assert out[1] == f"{uniq1} {boiler}"  # first occurrence intact
+    assert out[2] == uniq2                # boilerplate cut
+
+
+def test_curate_with_quality_model(spark):
+    from etl_rust_spark.operators import classify
+
+    import random
+    rng = random.Random(4)
+    ref_vocab = "the of and to in study science".split()
+    spam_vocab = "click buy free casino pills".split()
+    mk = lambda v, n: " ".join(rng.choice(v) for _ in range(n))
+    ref = spark.createDataFrame([(i, mk(ref_vocab, 30)) for i in range(40)], ["doc_id", "text"])
+    spam = spark.createDataFrame([(100 + i, mk(spam_vocab, 30)) for i in range(40)], ["doc_id", "text"])
+    model = classify.train_quality_classifier(ref, spam)
+    mixed = spark.createDataFrame(
+        [(1, mk(ref_vocab, 30)), (2, mk(spam_vocab, 30))], ["doc_id", "text"]
+    )
+    kept = curate.curate_corpus(
+        mixed, near_dup_threshold=None, quality_model=model
+    ).collect()
+    assert [r.doc_id for r in kept] == [1]
+
+
 def test_components_long_chain_converges_with_pointer_jumping(spark):
     """A 120-node path graph has diameter 119: plain propagation would
     under-merge within max_iters=20, pointer jumping (path halving)
