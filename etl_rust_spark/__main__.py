@@ -109,6 +109,13 @@ def main(argv: list[str] | None = None) -> int:
         "--near-dup-strategy", default="greedy", choices=["greedy", "components"]
     )
     pc.add_argument("--strip-markup", action="store_true")
+    pc.add_argument(
+        "--substring-k",
+        type=int,
+        default=None,
+        help="cut repeated k-gram spans (exact substring dedup) before "
+        "the quality/dedup stages",
+    )
     pc.add_argument("--scrub-pii", action="store_true")
     pc.add_argument(
         "--lsh-stats",
@@ -197,6 +204,7 @@ def main(argv: list[str] | None = None) -> int:
             near_dup_threshold=args.near_dup_threshold,
             near_dup_strategy=args.near_dup_strategy,
             strip_markup=args.strip_markup,
+            substring_k=args.substring_k,
         )
         if args.scrub_pii:
             scrubbed = scrub.scrub_pii(cur, "text", "doc_id")
