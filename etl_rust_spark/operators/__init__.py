@@ -46,20 +46,27 @@ from pyspark.sql import functions as F
 
 from etl_rust_spark.catalog import load_table, register_views
 from etl_rust_spark.operators import (
+    chunk,
     decontaminate,
     dedup,
     pack,
     scrub,
     similarity,
+    substring,
     text,
+    web,
 )
 
 __all__ = [
+    "chunk",
+    "decontaminate",
     "dedup",
     "pack",
     "scrub",
     "similarity",
+    "substring",
     "text",
+    "web",
     "entry_queries",
     "entry_oracle_sql",
 ]
