@@ -31,6 +31,10 @@ __all__ = [
     "strip_markup_sql",
     "token_budget",
     "token_budget_sql",
+    "repetition_stats",
+    "repetition_stats_sql",
+    "gopher_quality_flags",
+    "gopher_quality_sql",
 ]
 
 # Tiny per-language stopword lists for the n-gram/stopword-vote heuristic.
@@ -579,4 +583,132 @@ SELECT {by}, COUNT(*) AS n_docs,
   CAST(SUM(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))) AS BIGINT) AS n_tokens,
   ROUND(AVG(len(regexp_extract_all(text, '{BPE_TOKEN_RE}'))), 2) AS avg_tokens
 FROM documents GROUP BY {by} ORDER BY {by}"""
+    return spark, duck
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1) as a
+    scan-side projection: per doc the raw signals (basis points where
+    fractional — FLOOR(x·10000), the engine-independent form per the
+    quality_score lesson) plus one boolean per rule and the composite.
+
+    Rules (thresholds from the paper, word counts scaled to the
+    synthetic corpus via parameters-by-convention):
+    - word count in [50, 100000]
+    - mean word length in [3, 10] characters
+    - symbol-to-word ratio (# or ellipsis) ≤ 0.1
+    - ≥ 80% of words contain an alphabetic character
+    - ≤ 90% of lines start with a bullet; ≤ 30% end with an ellipsis
+
+    Composite ``gopher_pass`` = all rules.  Repetition rules live in
+    :func:`repetition_stats` (different granularity — they aggregate
+    exploded grams).
+    """
+    toks = "split(__t, ' ')"
+    lines = "split(__t, '\\n')"
+    return (
+        df.withColumn("__t", F.col(text_col))
+        .select(
+            F.col(id_col),
+            F.expr(f"size({toks})").alias("n_words"),
+            F.floor(
+                F.expr(
+                    f"aggregate({toks}, 0L, (a, t) -> a + length(t)) / CAST(size({toks}) AS DOUBLE)"
+                )
+                * 100
+            ).cast("long").alias("mean_word_len_c100"),
+            F.floor(
+                F.expr(
+                    f"size(filter({toks}, t -> t RLIKE '[#]|\\\\.\\\\.\\\\.')) / CAST(size({toks}) AS DOUBLE)"
+                )
+                * 10000
+            ).cast("long").alias("symbol_bp"),
+            F.floor(
+                F.expr(
+                    f"size(filter({toks}, t -> t RLIKE '[a-zA-Z]')) / CAST(size({toks}) AS DOUBLE)"
+                )
+                * 10000
+            ).cast("long").alias("alpha_bp"),
+            F.floor(
+                F.expr(
+                    f"size(filter({lines}, l -> l RLIKE '^\\\\s*[-*•]')) / CAST(size({lines}) AS DOUBLE)"
+                )
+                * 10000
+            ).cast("long").alias("bullet_bp"),
+            F.floor(
+                F.expr(
+                    f"size(filter({lines}, l -> l RLIKE '\\\\.\\\\.\\\\.\\\\s*$')) / CAST(size({lines}) AS DOUBLE)"
+                )
+                * 10000
+            ).cast("long").alias("ellipsis_bp"),
+        )
+        .withColumn("pass_word_count", F.col("n_words").between(50, 100_000))
+        .withColumn(
+            "pass_mean_word_len", F.col("mean_word_len_c100").between(300, 1000)
+        )
+        .withColumn("pass_symbol", F.col("symbol_bp") <= 1000)
+        .withColumn("pass_alpha", F.col("alpha_bp") >= 8000)
+        .withColumn("pass_bullet", F.col("bullet_bp") <= 9000)
+        .withColumn("pass_ellipsis", F.col("ellipsis_bp") <= 3000)
+        .withColumn(
+            "gopher_pass",
+            F.col("pass_word_count")
+            & F.col("pass_mean_word_len")
+            & F.col("pass_symbol")
+            & F.col("pass_alpha")
+            & F.col("pass_bullet")
+            & F.col("pass_ellipsis"),
+        )
+    )
+
+
+def gopher_quality_sql(max_doc: int = 200) -> tuple[str, str]:
+    """Dual-dialect mirror of :func:`gopher_quality_flags` over
+    ``documents`` (signals + flags)."""
+    spark = f"""
+WITH t AS (SELECT doc_id, split(text, ' ') AS toks, split(text, '\\n') AS lines
+           FROM documents WHERE doc_id <= {max_doc}),
+s AS (SELECT doc_id,
+  size(toks) AS n_words,
+  CAST(FLOOR(aggregate(toks, 0L, (a, x) -> a + length(x)) / CAST(size(toks) AS DOUBLE) * 100) AS BIGINT) AS mean_word_len_c100,
+  CAST(FLOOR(size(filter(toks, x -> x RLIKE '[#]|\\\\.\\\\.\\\\.')) / CAST(size(toks) AS DOUBLE) * 10000) AS BIGINT) AS symbol_bp,
+  CAST(FLOOR(size(filter(toks, x -> x RLIKE '[a-zA-Z]')) / CAST(size(toks) AS DOUBLE) * 10000) AS BIGINT) AS alpha_bp,
+  CAST(FLOOR(size(filter(lines, l -> l RLIKE '^\\\\s*[-*•]')) / CAST(size(lines) AS DOUBLE) * 10000) AS BIGINT) AS bullet_bp,
+  CAST(FLOOR(size(filter(lines, l -> l RLIKE '\\\\.\\\\.\\\\.\\\\s*$')) / CAST(size(lines) AS DOUBLE) * 10000) AS BIGINT) AS ellipsis_bp
+  FROM t)
+SELECT doc_id, n_words, mean_word_len_c100, symbol_bp, alpha_bp, bullet_bp, ellipsis_bp,
+  n_words BETWEEN 50 AND 100000 AS pass_word_count,
+  mean_word_len_c100 BETWEEN 300 AND 1000 AS pass_mean_word_len,
+  symbol_bp <= 1000 AS pass_symbol,
+  alpha_bp >= 8000 AS pass_alpha,
+  bullet_bp <= 9000 AS pass_bullet,
+  ellipsis_bp <= 3000 AS pass_ellipsis,
+  (n_words BETWEEN 50 AND 100000) AND (mean_word_len_c100 BETWEEN 300 AND 1000)
+    AND symbol_bp <= 1000 AND alpha_bp >= 8000 AND bullet_bp <= 9000
+    AND ellipsis_bp <= 3000 AS gopher_pass
+FROM s ORDER BY doc_id"""
+    duck = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, string_split(text, chr(10)) AS lines
+           FROM documents WHERE doc_id <= {max_doc}),
+s AS (SELECT doc_id,
+  len(toks) AS n_words,
+  CAST(FLOOR(list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE) * 100) AS BIGINT) AS mean_word_len_c100,
+  CAST(FLOOR(len(list_filter(toks, x -> regexp_matches(x, '[#]|\\.\\.\\.'))) / CAST(len(toks) AS DOUBLE) * 10000) AS BIGINT) AS symbol_bp,
+  CAST(FLOOR(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) / CAST(len(toks) AS DOUBLE) * 10000) AS BIGINT) AS alpha_bp,
+  CAST(FLOOR(len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]'))) / CAST(len(lines) AS DOUBLE) * 10000) AS BIGINT) AS bullet_bp,
+  CAST(FLOOR(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) / CAST(len(lines) AS DOUBLE) * 10000) AS BIGINT) AS ellipsis_bp
+  FROM t)
+SELECT doc_id, n_words, mean_word_len_c100, symbol_bp, alpha_bp, bullet_bp, ellipsis_bp,
+  n_words BETWEEN 50 AND 100000 AS pass_word_count,
+  mean_word_len_c100 BETWEEN 300 AND 1000 AS pass_mean_word_len,
+  symbol_bp <= 1000 AS pass_symbol,
+  alpha_bp >= 8000 AS pass_alpha,
+  bullet_bp <= 9000 AS pass_bullet,
+  ellipsis_bp <= 3000 AS pass_ellipsis,
+  (n_words BETWEEN 50 AND 100000) AND (mean_word_len_c100 BETWEEN 300 AND 1000)
+    AND symbol_bp <= 1000 AND alpha_bp >= 8000 AND bullet_bp <= 9000
+    AND ellipsis_bp <= 3000 AS gopher_pass
+FROM s ORDER BY doc_id"""
     return spark, duck

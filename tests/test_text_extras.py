@@ -98,3 +98,43 @@ def test_quantize_zero_vector(spark):
     out = {r["vec_id"]: r for r in similarity.quantize_embeddings(df).collect()}
     assert out[1]["scale"] == 0.0 and list(out[1]["qvec"]) == [0, 0, 0]
     assert list(out[2]["qvec"]) == [64, -127, 32]
+
+
+def test_gopher_flags_planted_rules(spark):
+    from etl_rust_spark.operators import text as T
+
+    good = " ".join(["word"] * 60)                          # passes everything
+    short = "too short"                                     # fails word count
+    symbols = " ".join(["###"] * 60)                        # fails symbol + alpha
+    bullets = "\n".join(f"- item {i} ok fine" for i in range(20))  # fails bullet
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, bullets)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in T.gopher_quality_flags(docs).collect()}
+    assert out[1].gopher_pass
+    assert not out[2].pass_word_count and not out[2].gopher_pass
+    assert not out[3].pass_symbol and not out[3].pass_alpha
+    assert not out[4].pass_bullet and out[4].bullet_bp == 10000
+
+
+def test_gopher_flags_three_way_mirror(spark, duck, sf_dir):
+    from etl_rust_spark.catalog import load_table, register_views
+    from etl_rust_spark.functions.hashing import canonical_hash
+    from etl_rust_spark.operators import text as T
+    from tests.oracle import run_duck
+
+    register_views(spark, sf_dir)
+    api = T.gopher_quality_flags(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    ).orderBy("doc_id")
+    sp_sql, du_sql = T.gopher_quality_sql(200)
+    cols = sorted(api.columns)
+    h_api = canonical_hash([tuple(r[c] for c in cols) for r in api.collect()], cols)
+    sdf = spark.sql(sp_sql)
+    h_sql = canonical_hash([tuple(r[c] for c in cols) for r in sdf.collect()], cols)
+    drows, dcols = run_duck(duck, du_sql)
+    h_du = canonical_hash(drows, dcols)
+    assert h_api == h_sql == h_du
+    # the rules discriminate on the synthetic corpus (non-vacuous)
+    n_pass = api.filter("gopher_pass").count()
+    assert 0 < n_pass < 201
