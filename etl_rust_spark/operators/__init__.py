@@ -163,11 +163,25 @@ def _op_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("n_grams", "n_decon_grams")
         .withColumnRenamed("n_hit", "n_decon_hit")
     )
+    # Gopher rule flags ride this entry too (r6): numeric signals plus
+    # the composite pass as 0/1 (booleans stay in the library form; the
+    # gate carries a type both engines canonicalize identically).
+    gq = text.gopher_quality_flags(d, "text", "doc_id").select(
+        "doc_id",
+        "n_words",
+        "mean_word_len_c100",
+        "symbol_bp",
+        "alpha_bp",
+        "bullet_bp",
+        "ellipsis_bp",
+        F.col("gopher_pass").cast("long").alias("gopher_pass"),
+    )
     return (
         profile.join(sk, "doc_id")
         .join(rep, "doc_id")
         .join(dec, "doc_id")
         .join(ppl, "doc_id")
+        .join(gq, "doc_id")
         .orderBy("doc_id")
     )
 
@@ -352,12 +366,16 @@ def _text_profile_duck_sql() -> str:
     rep = text.repetition_stats_sql(100)[1]
     dec = decontaminate.contamination_sql(max_doc=100, bench_lo=150, bench_hi=200)[1]
     ppl = lm.perplexity_sql(100)[1]
+    gq = text.gopher_quality_sql(100)[1]
     return (
         f"SELECT * FROM ({profile}) p JOIN ({sketches}) s USING (doc_id) "
         f"JOIN ({rep}) r USING (doc_id) "
         f"JOIN (SELECT doc_id, n_grams AS n_decon_grams, n_hit AS n_decon_hit, "
         f"contamination FROM ({dec})) dc USING (doc_id) "
-        f"JOIN ({ppl}) l USING (doc_id) ORDER BY doc_id"
+        f"JOIN ({ppl}) l USING (doc_id) "
+        f"JOIN (SELECT doc_id, n_words, mean_word_len_c100, symbol_bp, alpha_bp, "
+        f"bullet_bp, ellipsis_bp, CAST(gopher_pass AS BIGINT) AS gopher_pass "
+        f"FROM ({gq})) g USING (doc_id) ORDER BY doc_id"
     )
 
 
