@@ -17,9 +17,10 @@ Oracle-gated (hash-checked vs DuckDB):
   dedupe ∪ hash_sample membership ∪ assign_split counts — three library
   operators gated in one slot
 - op_text_profile — language-ID + token stats + BPE stats + quality +
-  fingerprint + MinHash/SimHash sketches + bigram-LM perplexity (lm.py,
-  trained on the full corpus), joined on doc_id (the former op_sketches
-  entry merged in to free a gate slot for op_temporal_join)
+  fingerprint + MinHash/SimHash sketches + Gopher repetition AND rule
+  signals (r6) + benchmark decontamination + bigram-LM perplexity
+  (trained on the full corpus), joined on doc_id (the former
+  op_sketches entry merged in to free a gate slot for op_temporal_join)
 - op_near_dup_pairs — n-gram Jaccard (bounded all-pairs) ∪ MinHash-LSH
   (banded, full corpus) ∪ embedding-cosine near-dups ∪ repeated-k-gram
   substring spans (r6), tagged by ``src``
