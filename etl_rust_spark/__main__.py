@@ -93,6 +93,20 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--name", required=True)
     pt.add_argument("--dir", default="tests/examples")
 
+    pi = sub.add_parser(
+        "ingest-corpus",
+        help="ingest a JSONL/CSV document feed into the canonical "
+        "documents parquet shape",
+    )
+    pi.add_argument("path", help="input JSONL/CSV path or glob")
+    pi.add_argument("--out", required=True)
+    pi.add_argument("--format", default="jsonl", choices=["jsonl", "csv"])
+    pi.add_argument(
+        "--no-id-field",
+        action="store_true",
+        help="derive doc_id from the text content hash (feed has no ids)",
+    )
+
     # LLM-data surface: run the composed curation pipeline over a
     # parquet corpus (doc_id, text[, lang]) from the command line.
     pc = sub.add_parser(
@@ -130,10 +144,11 @@ def main(argv: list[str] | None = None) -> int:
     from etl_rust_spark.config import ConfigError, FeatureConfig
 
     try:
-        FeatureConfig(
-            chain=args.chain,
-            sinks={getattr(args, "format", "parquet")},
-        ).validate()
+        # ingest-corpus's --format is an INPUT format, not a sink.
+        sink = "parquet" if args.cmd == "ingest-corpus" else getattr(
+            args, "format", "parquet"
+        )
+        FeatureConfig(chain=args.chain, sinks={sink}).validate()
     except ConfigError as exc:
         p.error(str(exc))
 
@@ -193,6 +208,14 @@ def main(argv: list[str] | None = None) -> int:
                 q.awaitTermination()  # runs until interrupted, like the reference
             except KeyboardInterrupt:
                 q.stop()  # graceful disconnect (K-09 parity)
+    elif args.cmd == "ingest-corpus":
+        from etl_rust_spark.etl.ingest import ingest_corpus
+
+        n = ingest_corpus(
+            spark, args.path, args.out, fmt=args.format,
+            id_field=None if args.no_id_field else "doc_id",
+        )
+        print(json.dumps({"documents": n}))
     elif args.cmd == "curate":
         from etl_rust_spark.operators import curate, scrub
 

@@ -1,0 +1,116 @@
+"""Corpus ingestion: external document feeds → the canonical
+``documents`` table shape.
+
+The analytics/curation operators all run against the declared
+``documents`` schema (catalog.SCHEMAS); this module is the on-ramp for
+real corpora arriving as JSONL or CSV (the universal interchange
+formats for text datasets):
+
+- explicit schema at the read (the engine's no-inference rule — the
+  reference compiles its schemas, SURVEY §1.2; a malformed line fails
+  loudly in PERMISSIVE-with-corrupt-column mode and is counted),
+- canonicalization: id/text extraction from configurable field names,
+  ``n_chars`` derived, ``lang``/``source`` defaulted when absent,
+- dedupe-safe ids: when the feed has no id field, a deterministic
+  62-bit content hash of the text stands in (stable across re-ingests,
+  unlike ``monotonically_increasing_id`` which depends on partition
+  layout).
+
+Scale: a pure scan→project→write; ingestion parallelism is file-split
+parallelism, and the output is written with the same block-bucket
+idempotency discipline as every other sink when ``bucket_size`` is set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_rust_spark.operators.hashes import MINHASH_P, spark_h
+
+__all__ = ["read_corpus", "ingest_corpus"]
+
+_FORMATS = ("jsonl", "csv")
+
+
+def read_corpus(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "jsonl",
+    id_field: str | None = "doc_id",
+    text_field: str = "text",
+    lang_field: str | None = "lang",
+    source_field: str | None = "source",
+    default_source: str = "ingest",
+) -> DataFrame:
+    """Read an external corpus into the canonical documents shape:
+    ``(doc_id long, text string, lang string, source string,
+    n_chars long)``.
+
+    ``id_field=None`` derives ``doc_id`` from the text content hash
+    (62-bit, stable across re-ingests and partitionings).  Rows with
+    NULL/empty text are dropped (counted by comparing counts upstream
+    if needed); a ``_corrupt_record`` column, if the reader produced
+    one, is filtered and dropped.
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"unknown corpus format {fmt!r} (use one of {_FORMATS})")
+    if fmt == "jsonl":
+        # JSON matches schema fields BY NAME — declare exactly what we
+        # consume plus the corrupt-record spill column.
+        fields = [T.StructField(text_field, T.StringType())]
+        if id_field:
+            fields.append(T.StructField(id_field, T.LongType()))
+        if lang_field:
+            fields.append(T.StructField(lang_field, T.StringType()))
+        if source_field:
+            fields.append(T.StructField(source_field, T.StringType()))
+        fields.append(T.StructField("_corrupt_record", T.StringType()))
+        raw = spark.read.schema(T.StructType(fields)).option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        ).json(path)
+        raw = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    else:
+        # CSV with an explicit schema binds BY POSITION, so read by
+        # header (all strings) and cast below — absent optional columns
+        # are added as NULLs to keep the same downstream path.
+        raw = spark.read.option("header", "true").csv(path)
+        for c in filter(None, (id_field, lang_field, source_field)):
+            if c not in raw.columns:
+                raw = raw.withColumn(c, F.lit(None).cast("string"))
+    raw = raw.filter(F.col(text_field).isNotNull() & (F.col(text_field) != ""))
+    if id_field:
+        doc_id = F.col(id_field).cast("long")
+    else:
+        key = f"concat('ingest:', {text_field})"
+        doc_id = F.expr(f"{spark_h(x=key)} % {MINHASH_P}").cast("long")
+    return raw.select(
+        doc_id.alias("doc_id"),
+        F.col(text_field).alias("text"),
+        (F.col(lang_field) if lang_field else F.lit(None).cast("string")).alias("lang"),
+        F.coalesce(
+            F.col(source_field) if source_field else F.lit(None).cast("string"),
+            F.lit(default_source),
+        ).alias("source"),
+        F.length(text_field).cast("long").alias("n_chars"),
+    )
+
+
+def ingest_corpus(
+    spark: SparkSession,
+    path: str,
+    out: str,
+    fmt: str = "jsonl",
+    **read_kwargs,
+) -> int:
+    """Read + write as parquet in the canonical shape; returns the row
+    count (one Observation, no second scan)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df = read_corpus(spark, path, fmt, **read_kwargs).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    )
+    df.write.mode("overwrite").parquet(out)
+    return int(obs.get["n"])

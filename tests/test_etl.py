@@ -232,3 +232,64 @@ def test_committed_golden_fixture(spark, chain):
     diffs = check_golden(spark, chain, str(base))
     assert set(diffs) == set(TABLE_NAMES)
     assert all(v == 0 for v in diffs.values()), diffs
+
+
+def test_ingest_corpus_jsonl_and_content_ids(spark, tmp_path):
+    """JSONL feed → canonical documents shape: explicit schema, corrupt
+    lines dropped, n_chars derived, content-hash ids stable across
+    re-ingests when the feed has no id field."""
+    import json as _json
+
+    from etl_rust_spark.etl.ingest import ingest_corpus, read_corpus
+
+    src = tmp_path / "feed.jsonl"
+    lines = [
+        _json.dumps({"text": "hello world", "lang": "en", "source": "crawl"}),
+        _json.dumps({"text": "bonjour le monde", "lang": "fr"}),
+        "{not valid json",
+        _json.dumps({"text": ""}),  # empty text dropped
+    ]
+    src.write_text("\n".join(lines))
+    out = str(tmp_path / "docs")
+    n = ingest_corpus(spark, str(src), out, id_field=None)
+    assert n == 2
+    got = {r.text: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"hello world", "bonjour le monde"}
+    assert got["hello world"].n_chars == 11 and got["hello world"].source == "crawl"
+    assert got["bonjour le monde"].source == "ingest"  # defaulted
+    # schema matches the catalog contract
+    from etl_rust_spark.catalog import SCHEMAS
+
+    assert [f.name for f in spark.read.parquet(out).schema] == [
+        f.name for f in SCHEMAS["documents"]
+    ]
+    # content-hash ids are re-ingest-stable
+    ids1 = sorted(r.doc_id for r in read_corpus(spark, str(src), id_field=None).collect())
+    ids2 = sorted(r.doc_id for r in read_corpus(spark, str(src), id_field=None).collect())
+    assert ids1 == ids2
+
+
+def test_ingest_corpus_csv_with_ids(spark, tmp_path):
+    from etl_rust_spark.etl.ingest import read_corpus
+
+    src = tmp_path / "feed.csv"
+    src.write_text("doc_id,text,lang,source\n7,alpha beta,en,web\n9,gamma,de,books\n")
+    got = {r.doc_id: r for r in read_corpus(spark, str(src), fmt="csv").collect()}
+    assert got[7].text == "alpha beta" and got[9].source == "books"
+
+
+def test_cli_ingest_corpus(spark, tmp_path, capsys):
+    import json as _json
+
+    from etl_rust_spark.__main__ import main
+
+    src = tmp_path / "feed.jsonl"
+    src.write_text(
+        '{"text": "one doc here", "lang": "en"}\n{"text": "two docs here"}\n'
+    )
+    out = str(tmp_path / "docs")
+    rc = main(["ingest-corpus", str(src), "--out", out, "--no-id-field"])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["documents"] == 2
+    assert spark.read.parquet(out).count() == 2
