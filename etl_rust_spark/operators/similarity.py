@@ -511,7 +511,7 @@ def ivf_topk(
         key=lambda r: r[0],
     )[:sample]
     mat = np.array([list(r[1]) for r in samp], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
     cent = _kmeans(mat, n_lists, seed=seed)
     bc = spark.sparkContext.broadcast(cent)
 
@@ -524,7 +524,7 @@ def ivf_topk(
             if not len(pdf):
                 continue
             v = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
             yield pd.DataFrame(
                 {"id": pdf["id"], "list_id": np.argmax(v @ c.T, axis=1), "v": pdf["v"]}
             )
@@ -538,7 +538,7 @@ def ivf_topk(
             if not len(pdf):
                 continue
             v = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
             sims = v @ c.T
             probes = np.argsort(-sims, axis=1)[:, : min(n_probe, c.shape[0])]
             n = len(pdf)
@@ -630,7 +630,7 @@ def semantic_dedupe(
         key=lambda r: r[0],
     )[:sample]
     mat = np.array([list(r[1]) for r in samp], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
     cent = _kmeans(mat, n_clusters, seed=seed)
     bc = spark.sparkContext.broadcast(cent)
 
@@ -643,7 +643,7 @@ def semantic_dedupe(
             if not len(pdf):
                 continue
             v = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
-            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
             yield pd.DataFrame(
                 {"id": pdf["id"], "list_id": np.argmax(v @ c.T, axis=1), "v": pdf["v"]}
             )
@@ -661,7 +661,7 @@ def semantic_dedupe(
         pdf = pdf.sort_values("id")
         ids = pdf["id"].to_numpy(np.int64)
         m = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
         sims = np.round(m @ m.T, 4)
         # drop j if any i < j has sims >= threshold (min-id keeps)
         over = sims >= threshold
