@@ -8,14 +8,22 @@ without new dependencies:
 - a **pure-stdlib PNG codec** (``decode_png`` / ``encode_png``: zlib +
   struct + numpy; 8-bit gray/RGB/RGBA, non-interlaced, all five scanline
   filters) so ``decode_stub=False`` genuinely decodes pixels in-container,
-- a **decoder registry** keyed by sniffed magic bytes
-  (``register_decoder`` / ``decode_image``) so a production deployment
-  plugs Pillow in for JPEG/WebP/… with one call (``use_pillow()``), the
+- a **pure-stdlib WAV codec** (``decode_wav`` / ``encode_wav``: RIFF
+  walk; 8/16/32-bit PCM + IEEE float, any channel count) closing the
+  audio half of the seam the same way,
+- a **pure-stdlib AVI codec** (``decode_avi`` / ``encode_avi``:
+  uncompressed BI_RGB '00db' frames — the `ffmpeg -c:v rawvideo` layout)
+  closing the video half,
+- **decoder registries** keyed by sniffed magic bytes, one per modality
+  (``register_decoder`` / ``register_audio_decoder`` /
+  ``register_video_decoder``) so a production deployment plugs Pillow /
+  soundfile / PyAV in with one call (``use_pillow()`` for images), the
   same shape as the jar-gated Kafka path (K-05 pattern),
-- deterministic numpy kernels for the per-image work the operators need:
-  nearest-neighbor ``resize`` and a fixed-dimension ``image_feature``
-  vector (channel stats + gray histogram) — both pure arithmetic, no
-  randomness, so the Spark results are oracle-pinnable.
+- deterministic numpy kernels for the per-asset work the operators need:
+  nearest-neighbor ``resize``, and fixed-dimension ``image_feature`` /
+  ``audio_feature`` / ``video_feature`` vectors (channel/spectral stats
+  + histograms) — pure arithmetic, no randomness, so the Spark results
+  are oracle-pinnable.
 
 Scale note: everything here runs inside the executor-side Arrow batch
 loop of ``multimodal.extract_features`` / ``resize_images`` — per-asset
@@ -40,6 +48,16 @@ __all__ = [
     "register_decoder",
     "decode_image",
     "use_pillow",
+    "decode_wav",
+    "encode_wav",
+    "audio_feature",
+    "register_audio_decoder",
+    "decode_audio",
+    "decode_avi",
+    "encode_avi",
+    "video_feature",
+    "register_video_decoder",
+    "decode_video",
 ]
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -202,6 +220,240 @@ def decode_image(data: bytes) -> np.ndarray:
     raise ValueError(
         f"no decoder for payload starting {data[:8]!r}; "
         "register one (e.g. use_pillow()) for non-PNG formats"
+    )
+
+
+# --------------------------------------------------------------------------
+# Audio: pure-stdlib WAV (RIFF/WAVE) codec + feature kernel
+# --------------------------------------------------------------------------
+
+WAV_MAGIC = b"RIFF"
+
+
+def _riff_chunks(data: bytes, start: int = 12):
+    """Yield (fourcc, body) for the top-level chunks of a RIFF payload
+    (chunks are word-aligned: odd sizes carry a pad byte)."""
+    pos = start
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        yield fourcc, data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE payload to ``(samples, sample_rate)`` where
+    ``samples`` is a float64 (n_frames, n_channels) array in [-1, 1].
+
+    Supports PCM 8/16/32-bit (format 1) and IEEE float32/64 (format 3)
+    — what :func:`encode_wav` and every common recorder produce.  The
+    parse is a hand-rolled RIFF walk rather than stdlib ``wave`` so
+    float WAVs decode too and truncated files fail loudly.
+    """
+    if not (data[:4] == b"RIFF" and data[8:12] == b"WAVE"):
+        raise ValueError("not a WAV (bad RIFF/WAVE header)")
+    fmt = None
+    pcm = None
+    for fourcc, body in _riff_chunks(data):
+        if fourcc == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif fourcc == b"data":
+            pcm = body
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _byte_rate, _align, bits = fmt
+    if audio_fmt == 1:  # integer PCM
+        if bits == 8:  # unsigned
+            arr = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            arr = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 32:
+            arr = np.frombuffer(pcm, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif audio_fmt == 3:  # IEEE float
+        arr = np.frombuffer(pcm, dtype="<f4" if bits == 32 else "<f8").astype(np.float64)
+    else:
+        raise ValueError(f"unsupported WAV format code {audio_fmt} (PCM/float only)")
+    if n_ch < 1 or arr.size % n_ch:
+        raise ValueError("WAV data size not a multiple of channel count")
+    return arr.reshape(-1, n_ch), rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode float samples in [-1, 1] (n_frames[, n_channels]) as a
+    16-bit PCM WAV — byte-deterministic for a given input."""
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    n_ch = a.shape[1]
+    ints = np.clip(np.round(a * 32767.0), -32768, 32767).astype("<i2")
+    pcm = ints.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, sample_rate, sample_rate * n_ch * 2, n_ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm + (b"\x00" if len(pcm) & 1 else b"")
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def audio_feature(samples: np.ndarray, sample_rate: int, dim: int = 8) -> list[float]:
+    """Fixed-dimension content feature from decoded audio: RMS level and
+    zero-crossing rate plus (dim-2) equal-band spectral energy fractions
+    (rfft magnitude), all in [0, 1], rounded to 6 dp — the deterministic
+    audio analogue of :func:`image_feature`."""
+    a = np.asarray(samples, dtype=np.float64)
+    mono = a.mean(axis=1) if a.ndim == 2 else a
+    if mono.size == 0:
+        return [0.0] * dim
+    rms = float(np.sqrt(np.mean(mono**2)))
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if mono.size > 1 else 0.0
+    nbands = max(dim - 2, 1)
+    mag = np.abs(np.fft.rfft(mono))
+    total = float(mag.sum()) or 1.0
+    bands = [float(chunk.sum()) / total for chunk in np.array_split(mag, nbands)]
+    vec = [min(rms, 1.0), zcr] + bands
+    return [round(v, 6) for v in vec[:dim]]
+
+
+# magic-prefix → decoder(bytes) -> (samples, sample_rate)
+_AUDIO_DECODERS: list[tuple[bytes, object]] = [(WAV_MAGIC, decode_wav)]
+
+
+def register_audio_decoder(magic: bytes, fn) -> None:
+    """Register ``fn(data) -> (np.ndarray, sample_rate)`` for payloads
+    starting with ``magic`` (e.g. ``b"fLaC"``, ``b"OggS"`` backed by
+    soundfile/librosa in a production image).  Later registrations win."""
+    _AUDIO_DECODERS.insert(0, (magic, fn))
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    for magic, fn in _AUDIO_DECODERS:
+        if data.startswith(magic):
+            return fn(data)
+    raise ValueError(
+        f"no audio decoder for payload starting {data[:8]!r}; "
+        "register one (register_audio_decoder) for non-WAV formats"
+    )
+
+
+# --------------------------------------------------------------------------
+# Video: pure-stdlib AVI (RIFF) raw-frame codec + feature kernel
+# --------------------------------------------------------------------------
+#
+# The in-container format is AVI with uncompressed 24-bit BI_RGB DIB
+# frames ('00db' chunks) — exactly what `ffmpeg -c:v rawvideo -pix_fmt
+# bgr24 out.avi` emits — so the decoder handles real files, not just
+# its own round-trips.  Compressed codecs (H.264 etc.) plug in via
+# register_video_decoder the way Pillow does for images.
+
+
+def decode_avi(data: bytes, max_frames: int | None = None) -> list[np.ndarray]:
+    """Decode an AVI with uncompressed BI_RGB frames to a list of
+    (H, W, 3) uint8 RGB arrays.
+
+    Walks the RIFF tree for the 'avih' header (frame dimensions) and the
+    'movi' LIST ('00db'/'00dc' chunks, bottom-up BGR rows padded to 4
+    bytes per the DIB spec).  Non-BI_RGB streams raise ValueError."""
+    if not (data[:4] == b"RIFF" and data[8:12] == b"AVI "):
+        raise ValueError("not an AVI (bad RIFF header)")
+    width = height = None
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal width, height
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if fourcc == b"LIST":
+                walk(buf, body_start + 4, body_start + size)  # skip list type
+            elif fourcc == b"avih":
+                hdr = struct.unpack("<14I", buf[body_start : body_start + 56])
+                width, height = hdr[8], hdr[9]
+            elif fourcc == b"strf" and width is None:
+                # fall back to BITMAPINFOHEADER when avih is absent
+                bi = struct.unpack("<IiiHHI", buf[body_start : body_start + 20])
+                width, height = bi[1], abs(bi[2])
+            elif fourcc in (b"00db", b"00dc") and size:
+                if max_frames is not None and len(frames) >= max_frames:
+                    return
+                if width is None:
+                    raise ValueError("AVI frame before header (no dimensions)")
+                stride = (width * 3 + 3) & ~3
+                if size < stride * height:
+                    raise ValueError(f"frame chunk too small for BI_RGB {width}x{height}")
+                raw = np.frombuffer(buf, dtype=np.uint8, count=stride * height, offset=body_start)
+                rows = raw.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+                frames.append(rows[::-1, :, ::-1].copy())  # bottom-up BGR → top-down RGB
+            pos = body_start + size + (size & 1)
+
+    walk(data, 12, len(data))
+    return frames
+
+
+def encode_avi(frames: list[np.ndarray], fps: int = 25) -> bytes:
+    """Encode (H, W, 3) uint8 RGB frames as an uncompressed BI_RGB AVI
+    (the rawvideo layout) — byte-deterministic for a given input."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = np.asarray(frames[0]).shape
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, stride * h * fps, 0, 0x10, len(frames), 0, 1,
+        stride * h, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                                        len(frames), stride * h, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b""
+    for f in frames:
+        a = np.asarray(f, dtype=np.uint8)
+        dib = np.zeros((h, stride), dtype=np.uint8)
+        dib[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # top-down RGB → bottom-up BGR
+        movi_body += chunk(b"00db", dib.tobytes())
+    body = b"AVI " + hdrl + lst(b"movi", movi_body)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def video_feature(frames: list[np.ndarray], dim: int = 8, max_frames: int = 8) -> list[float]:
+    """Fixed-dimension content feature for a decoded frame sequence: the
+    per-component mean of :func:`image_feature` over up to ``max_frames``
+    evenly-sampled frames — deterministic, in [0, 1], 6 dp."""
+    if not frames:
+        return [0.0] * dim
+    idx = np.unique(np.linspace(0, len(frames) - 1, min(max_frames, len(frames))).astype(int))
+    feats = np.array([image_feature(frames[i], dim) for i in idx])
+    return [round(float(v), 6) for v in feats.mean(axis=0)]
+
+
+# magic-prefix → decoder(bytes) -> list[np.ndarray]
+_VIDEO_DECODERS: list[tuple[bytes, object]] = [(b"RIFF", decode_avi)]
+
+
+def register_video_decoder(magic: bytes, fn) -> None:
+    """Register ``fn(data) -> list[np.ndarray]`` for payloads starting
+    with ``magic`` (e.g. an ffmpeg/PyAV adapter for MP4's ``ftyp`` box
+    in a production image).  Later registrations win."""
+    _VIDEO_DECODERS.insert(0, (magic, fn))
+
+
+def decode_video(data: bytes) -> list[np.ndarray]:
+    for magic, fn in _VIDEO_DECODERS:
+        if data.startswith(magic):
+            return fn(data)
+    raise ValueError(
+        f"no video decoder for payload starting {data[:8]!r}; "
+        "register one (register_video_decoder) for non-AVI formats"
     )
 
 

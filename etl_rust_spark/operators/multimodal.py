@@ -10,12 +10,15 @@ extended to media.
 Decode: ``decode_stub=True`` produces a deterministic fake feature
 vector from the payload bytes so the Spark-side plumbing — schema,
 Arrow batching, mapInPandas signature, partitioning — is testable with
-zero codec cost.  ``decode_stub=False`` REALLY decodes images through
-the pluggable codec registry (``operators/mediacodec.py``): PNG decodes
-in-container via the pure-stdlib codec; other image formats plug in via
-``mediacodec.use_pillow()`` / ``register_decoder``.  Audio/video decode
-still raises NotImplementedError at the seam (no librosa/ffmpeg in this
-container).
+zero codec cost.  ``decode_stub=False`` REALLY decodes all three
+modalities through the pluggable codec registries in
+``operators/mediacodec.py``: PNG images, RIFF/WAVE audio (PCM + IEEE
+float), and raw-frame BI_RGB AVI video all decode in-container via
+pure-stdlib codecs; other formats plug in via ``use_pillow()`` /
+``register_decoder`` / ``register_audio_decoder`` /
+``register_video_decoder`` (e.g. a soundfile or PyAV adapter in a
+production image).  Unknown formats raise ValueError at the registry,
+naming the hook to register.
 
 Scale (100 TB of media):
 - Payloads dominate row size → keep them OUT of shuffles: derive
@@ -101,11 +104,13 @@ def extract_features(df: DataFrame, dim: int = 8, decode_stub: bool = True) -> D
     cross to Python once, features come back columnar.  The payload
     column is dropped on return — downstream ops never shuffle bytes.
 
-    ``decode_stub=False``: image payloads are decoded through the codec
-    registry (PNG works in-container; register more via
-    ``mediacodec.use_pillow()``) and the feature is real pixel
-    statistics (``mediacodec.image_feature``).  Audio/video rows raise
-    NotImplementedError at the seam (no audio libs here).
+    ``decode_stub=False``: payloads decode through the per-modality
+    codec registries (PNG / WAV / raw-frame AVI work in-container;
+    register more formats via ``mediacodec.use_pillow()`` /
+    ``register_audio_decoder`` / ``register_video_decoder``) and the
+    feature is real content statistics — pixel stats for images,
+    RMS/ZCR/spectral bands for audio, frame-averaged pixel stats for
+    video.  Unknown payload formats raise ValueError at the registry.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -114,12 +119,14 @@ def extract_features(df: DataFrame, dim: int = 8, decode_stub: bool = True) -> D
         def feat(modality: str, p: bytes | None) -> list[float]:
             if decode_stub:
                 return _fake_feature(p, dim)
-            if modality != "image":
-                raise NotImplementedError(
-                    f"real {modality} decode requires librosa/ffmpeg — not "
-                    "in this container; images decode via mediacodec"
-                )
-            return mediacodec.image_feature(mediacodec.decode_image(p or b""), dim)
+            if modality == "image":
+                return mediacodec.image_feature(mediacodec.decode_image(p or b""), dim)
+            if modality == "audio":
+                samples, rate = mediacodec.decode_audio(p or b"")
+                return mediacodec.audio_feature(samples, rate, dim)
+            if modality == "video":
+                return mediacodec.video_feature(mediacodec.decode_video(p or b""), dim)
+            raise ValueError(f"unknown modality {modality!r}")
 
         for pdf in batches:
             yield pd.DataFrame(

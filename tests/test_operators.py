@@ -286,11 +286,11 @@ def test_multimodal_feature_pipeline(spark):
         (2, 0), (2, 1000), (2, 2000), (2, 3000)
     ]
     # decode_stub=False is now lazy and real: whichever row a partition
-    # evaluates first hits its seam — the audio row raises
-    # NotImplementedError, the fake-PNG payload (invalid magic) raises
-    # the registry's "no decoder" (real PNG decode is covered in
+    # evaluates first hits its registry — every payload here is a fake
+    # (invalid magic / None), so execution raises the registry's "no
+    # ... decoder" ValueError (real PNG/WAV/AVI decode is covered in
     # tests/test_mediacodec.py).
-    with pytest.raises(Exception, match="NotImplementedError|librosa|no decoder"):
+    with pytest.raises(Exception, match="no (audio |video )?decoder"):
         mm.extract_features(df, decode_stub=False).collect()
 
 
