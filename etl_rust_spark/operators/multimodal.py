@@ -48,7 +48,9 @@ __all__ = [
     "make_asset_df",
     "extract_features",
     "resize_images",
+    "resample_audio",
     "sample_frames",
+    "frame_features",
 ]
 
 MULTIMODAL_SCHEMA = T.StructType(
@@ -213,6 +215,56 @@ def resize_images(
     return resized.unionByName(rest)
 
 
+def resample_audio(
+    df: DataFrame, target_rate: int, decode_stub: bool = True
+) -> DataFrame:
+    """Resample audio payloads to ``target_rate`` Hz; returns the same
+    asset schema with payload bytes replaced (non-audio rows pass
+    through untouched, no decode cost).
+
+    The audio analogue of :func:`resize_images` — the normalize-the-
+    corpus step an ASR/TTS training pipeline runs before featurization.
+    ``decode_stub=False`` decodes through the audio registry, linearly
+    interpolates each channel to the target rate, and re-encodes 16-bit
+    PCM WAV — fully in-container for WAV payloads.  Duration (and hence
+    ``meta.duration_ms``) is preserved by construction.
+    """
+    import numpy as np
+
+    auds = df.filter(F.col("modality") == "audio")
+    rest = df.filter(F.col("modality") != "audio")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_rust_spark.operators import mediacodec
+
+        def fake(p: bytes | None) -> bytes:
+            # STUB: deterministic fake keeps the contract testable with
+            # zero codec cost.
+            return hashlib.sha256((p or b"") + f"@{target_rate}".encode()).digest()
+
+        def real(p: bytes | None) -> bytes:
+            samples, rate = mediacodec.decode_audio(p or b"")
+            if rate == target_rate:
+                return mediacodec.encode_wav(samples, rate)
+            n_out = max(int(round(samples.shape[0] * target_rate / rate)), 1)
+            t_out = np.arange(n_out) / target_rate
+            t_in = np.arange(samples.shape[0]) / rate
+            out = np.stack(
+                [np.interp(t_out, t_in, samples[:, c]) for c in range(samples.shape[1])],
+                axis=1,
+            )
+            return mediacodec.encode_wav(out, target_rate)
+
+        fn = fake if decode_stub else real
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = pdf["payload"].map(fn)
+            yield out
+
+    resampled = auds.mapInPandas(run, MULTIMODAL_SCHEMA)
+    return resampled.unionByName(rest)
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plan: one output row per sampled frame offset.
 
@@ -234,3 +286,46 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("asset_id", "frame_ms", "payload", "meta")
     )
+
+
+FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def frame_features(df: DataFrame, every_n: int = 1, dim: int = 8) -> DataFrame:
+    """Per-frame content features for video assets: one output row per
+    sampled frame (every ``every_n``-th), real decode through the video
+    registry — in-container for raw-frame AVI payloads.
+
+    This is the fan-out step a video training pipeline runs before
+    frame-level dedup or embedding: each asset's payload is decoded ONCE
+    per partition-task and explodes into frame rows WITHOUT the payload
+    column, so downstream shuffles move only small feature vectors,
+    never video bytes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_rust_spark.operators import mediacodec
+
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                frames = mediacodec.decode_video(bytes(p) if p is not None else b"")
+                for i in range(0, len(frames), every_n):
+                    ids.append(aid)
+                    idxs.append(i)
+                    feats.append(mediacodec.image_feature(frames[i], dim))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "feature": pd.Series(feats, dtype="object"),
+                }
+            )
+
+    return df.filter(F.col("modality") == "video").mapInPandas(run, FRAME_FEATURE_SCHEMA)

@@ -224,6 +224,54 @@ def test_extract_features_real_decode_audio_video(spark):
     assert got[2]["feature"] == [pytest.approx(v) for v in mc.video_feature(frames, 8)]
 
 
+def test_resample_audio_real_decode(spark):
+    """decode_stub=False: WAV payload is decoded, linearly resampled to
+    the target rate, and re-encoded; duration is preserved and non-audio
+    rows pass through untouched."""
+    from etl_rust_spark.operators import multimodal
+
+    s = _tone(freq=200.0, rate=16000, n=8000, seed=7)  # 0.5 s
+    rows = [
+        (1, "audio", bytearray(mc.encode_wav(s, 16000)), ("audio/wav", None, None, 500, "u1")),
+        (2, "image", bytearray(b"\x89PNGfake"), ("image/png", 4, 4, None, "u2")),
+    ]
+    df = multimodal.make_asset_df(spark, rows)
+    out = {r["asset_id"]: r for r in multimodal.resample_audio(df, 8000, decode_stub=False).collect()}
+    dec, rate = mc.decode_wav(bytes(out[1]["payload"]))
+    assert rate == 8000
+    assert dec.shape[0] == pytest.approx(4000, abs=1)  # duration preserved
+    # downsampled tone still matches the original at shared instants
+    assert np.max(np.abs(dec[:100, 0] - s[:200:2][:100])) < 0.01
+    assert bytes(out[2]["payload"]) == b"\x89PNGfake"  # untouched passthrough
+    # stub path: deterministic fake, schema preserved
+    stub = multimodal.resample_audio(df, 8000).collect()
+    assert {r["asset_id"] for r in stub} == {1, 2}
+    assert multimodal.resample_audio(df, 8000).schema == df.schema
+
+
+def test_frame_features_real_decode(spark):
+    """frame_features fans a video asset out to one row per sampled
+    frame with real per-frame pixel features — payload never leaves the
+    decode task."""
+    from etl_rust_spark.operators import multimodal
+
+    rng = np.random.default_rng(8)
+    frames = [rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8) for _ in range(6)]
+    rows = [
+        (1, "video", bytearray(mc.encode_avi(frames)), ("video/avi", 4, 6, 240, "u1")),
+        (2, "audio", bytearray(mc.encode_wav(_tone(), 8000)), ("audio/wav", None, None, 500, "u2")),
+    ]
+    df = multimodal.make_asset_df(spark, rows)
+    got = multimodal.frame_features(df, every_n=2).collect()
+    assert [(r["asset_id"], r["frame_idx"]) for r in sorted(got, key=lambda r: r["frame_idx"])] == [
+        (1, 0), (1, 2), (1, 4)
+    ]
+    byidx = {r["frame_idx"]: r["feature"] for r in got}
+    for i in (0, 2, 4):
+        assert byidx[i] == [pytest.approx(v) for v in mc.image_feature(frames[i], 8)]
+    assert "payload" not in multimodal.frame_features(df).columns
+
+
 def test_resize_images_real_decode(spark):
     """decode_stub=False: payload is decoded, nearest-resized, and
     re-encoded PNG with updated meta dims; non-image rows pass through."""
