@@ -252,3 +252,30 @@ def test_repeated_spans_plan_shape(spark, sf_dir):
     rep = audit(df)
     assert rep.cartesian_products == 0, rep.plan
     assert rep.python_evals == 0, rep.plan
+
+
+def test_media_operators_are_scan_side(spark):
+    """resample_audio and frame_features must stay scan→mapInPandas with
+    no shuffle of payload bytes: at 100 TB of media the plan is one
+    Arrow-batched Python eval riding the scan (the decode is the honest
+    per-asset cost), never an exchange carrying payloads."""
+    from etl_rust_spark.operators import mediacodec as mc
+    from etl_rust_spark.operators import multimodal
+
+    import numpy as np
+
+    frames = [np.zeros((4, 4, 3), dtype=np.uint8)]
+    rows = [
+        (1, "audio", bytearray(mc.encode_wav(np.zeros(16), 8000)), ("audio/wav", None, None, 2, "u")),
+        (2, "video", bytearray(mc.encode_avi(frames)), ("video/avi", 4, 4, 40, "u")),
+    ]
+    df = multimodal.make_asset_df(spark, rows)
+    for out in (
+        multimodal.frame_features(df),
+        multimodal.extract_features(df, decode_stub=False),
+    ):
+        rep = audit(out)
+        assert rep.num_exchanges == 0, rep.plan
+    # resample_audio unions the passthrough branch — still exchange-free
+    rep = audit(multimodal.resample_audio(df, 16000, decode_stub=False))
+    assert rep.num_exchanges == 0, rep.plan

@@ -315,3 +315,69 @@ def test_avro_binary_decodable(n, tag, xs):
             got_xs.append(zz())
     assert got_xs == xs
     assert pos[0] == len(buf)
+
+
+# ---------------------------------------------------------------------------
+# Media codecs: round-trip exactness is what makes decode_stub=False
+# oracle-pinnable — pin PNG/AVI losslessness and the WAV error bound as
+# properties over arbitrary shapes (pure Python, full example budget).
+# ---------------------------------------------------------------------------
+
+
+@settings(deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**16),
+)
+def test_png_roundtrip_lossless_any_shape(h, w, ch, seed):
+    import numpy as np
+
+    from etl_rust_spark.operators import mediacodec as mc
+
+    a = np.random.default_rng(seed).integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    out = mc.decode_png(mc.encode_png(a))
+    assert out.shape == a.shape and (out == a).all()
+
+
+@settings(deadline=None)
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    n=st.integers(1, 5),
+    seed=st.integers(0, 2**16),
+)
+def test_avi_roundtrip_lossless_any_shape(h, w, n, seed):
+    import numpy as np
+
+    from etl_rust_spark.operators import mediacodec as mc
+
+    frames = [
+        np.random.default_rng(seed + i).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for i in range(n)
+    ]
+    out = mc.decode_avi(mc.encode_avi(frames))
+    assert len(out) == n
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+
+
+@settings(deadline=None)
+@given(
+    n=st.integers(1, 400),
+    ch=st.integers(1, 3),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**16),
+)
+def test_wav_roundtrip_within_quantization_bound(n, ch, rate, seed):
+    import numpy as np
+
+    from etl_rust_spark.operators import mediacodec as mc
+
+    s = np.random.default_rng(seed).uniform(-1.0, 1.0, size=(n, ch))
+    dec, got_rate = mc.decode_wav(mc.encode_wav(s, rate))
+    assert got_rate == rate and dec.shape == s.shape
+    # encode quantizes to 16-bit (×32767) and decode scales by 32768:
+    # worst case is half an LSB of rounding plus the scale mismatch
+    assert float(np.max(np.abs(dec - s))) < 2.0 / 32768.0
