@@ -48,6 +48,7 @@ __all__ = [
     "register_decoder",
     "decode_image",
     "use_pillow",
+    "dhash",
     "decode_wav",
     "encode_wav",
     "audio_feature",
@@ -221,6 +222,35 @@ def decode_image(data: bytes) -> np.ndarray:
         f"no decoder for payload starting {data[:8]!r}; "
         "register one (e.g. use_pillow()) for non-PNG formats"
     )
+
+
+def dhash(arr: np.ndarray, hash_size: int = 8) -> int:
+    """Difference hash (dHash) of decoded pixels: grayscale, nearest-
+    resize to (hash_size+1) × hash_size, one bit per horizontal-gradient
+    sign — the standard perceptual hash for image near-dup (robust to
+    re-encode/resize/brightness, sensitive to content).
+
+    Returns a signed two's-complement int fitting Spark's LongType for
+    the default 64-bit (8×8) signature; near-dup = Hamming distance
+    (``bit_count(a ^ b)``), banded for LSH at scale — the image
+    analogue of :func:`etl_rust_spark.operators.dedup.simhash`.
+    """
+    a = np.asarray(arr, dtype=np.float64)
+    if a.ndim == 3:
+        gray = a[:, :, : min(3, a.shape[2])].mean(axis=2)
+    else:
+        gray = a
+    small = resize_nearest(gray, hash_size + 1, hash_size)
+    bits = (small[:, 1:] > small[:, :-1]).reshape(-1)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    # two's-complement fold ONLY at the full 64-bit width: smaller
+    # signatures stay non-negative so their upper long bits are zero
+    # (sign-extension would inflate bit_count(a ^ b) by 64 - nbits)
+    if hash_size * hash_size == 64 and val >= 1 << 63:
+        val -= 1 << 64
+    return val
 
 
 # --------------------------------------------------------------------------

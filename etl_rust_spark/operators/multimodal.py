@@ -51,6 +51,8 @@ __all__ = [
     "resample_audio",
     "sample_frames",
     "frame_features",
+    "image_signatures",
+    "near_dup_images",
 ]
 
 MULTIMODAL_SCHEMA = T.StructType(
@@ -285,6 +287,115 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             ),
         )
         .select("asset_id", "frame_ms", "payload", "meta")
+    )
+
+
+SIGNATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+
+def image_signatures(
+    df: DataFrame, hash_size: int = 8, decode_stub: bool = True
+) -> DataFrame:
+    """(asset_id, dhash): perceptual difference-hash signature per image
+    asset — the scan-side projection image near-dup builds on.
+
+    ``decode_stub=True`` derives a deterministic fake signature from the
+    payload bytes (sha256 head as signed int64) so the banding/joining
+    plumbing is testable with zero codec cost; ``decode_stub=False``
+    decodes through the image registry and computes the real
+    gradient-sign dHash (``mediacodec.dhash``).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_rust_spark.operators import mediacodec
+
+        def sig(p: bytes | None) -> int:
+            if decode_stub:
+                return int.from_bytes(
+                    hashlib.sha256(p or b"").digest()[:8], "big", signed=True
+                )
+            return mediacodec.dhash(mediacodec.decode_image(p or b""), hash_size)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "dhash": pdf["payload"].map(sig).astype("int64"),
+                }
+            )
+
+    return df.filter(F.col("modality") == "image").mapInPandas(run, SIGNATURE_SCHEMA)
+
+
+def near_dup_images(
+    df: DataFrame,
+    max_hamming: int = 4,
+    bands: int = 8,
+    hash_size: int = 8,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: ``(aid, bid, hamming)``
+    for every image pair whose dHash Hamming distance ≤ ``max_hamming``.
+
+    Scale shape (the SimHash/MinHash-LSH design applied to pixels):
+    signatures are banded into ``bands`` equal bit-slices and candidate
+    pairs come from an equi-join on ``(band_idx, band_val)`` — one
+    shuffle of small (id, hash, band) rows, never payload bytes, never
+    all-pairs.  By pigeonhole, any pair with Hamming < ``bands`` shares
+    at least one exact band, so recall is exact (not probabilistic)
+    whenever ``max_hamming < bands``; the constructor enforces that.
+    The final Hamming test is JVM-side ``bit_count(a ^ b)``.
+    """
+    nbits = hash_size * hash_size
+    if nbits % bands:
+        raise ValueError(f"bands={bands} must divide {nbits} signature bits")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming for exact "
+            f"recall (pigeonhole); got bands={bands}"
+        )
+    band_bits = nbits // bands
+    mask = (1 << band_bits) - 1
+    sigs = image_signatures(df, hash_size, decode_stub)
+    banded = sigs.select(
+        "asset_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("dhash"), i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("asset_id", "dhash", "band.band_idx", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("aid"),
+            F.col("b.asset_id").alias("bid"),
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -288,3 +288,59 @@ def test_resize_images_real_decode(spark):
     np.testing.assert_array_equal(dec, mc.resize_nearest(a, 5, 6))
     assert out[1]["meta"]["width"] == 5 and out[1]["meta"]["height"] == 6
     assert bytes(out[2]["payload"]) == b"RIFF1234"  # untouched passthrough
+
+
+def test_dhash_properties():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 200, size=(16, 16, 3), dtype=np.uint8)
+    h = mc.dhash(img)
+    assert h == mc.dhash(img)
+    # uniform brightness scaling preserves every gradient sign -> identical hash
+    brighter = np.clip(img.astype(np.float64) * 1.2, 0, 255).astype(np.uint8)
+    assert mc.dhash(brighter) == h
+    # a strictly increasing horizontal gradient sets every bit -> folds to -1
+    grad = np.tile(np.arange(18, dtype=np.uint8) * 10, (16, 1))
+    assert mc.dhash(grad) == -1
+    # decreasing gradient clears every bit
+    assert mc.dhash(grad[:, ::-1]) == 0
+
+
+def test_near_dup_images_banded_join(spark):
+    """Banded Hamming join finds the perceptual near-dup pair (real
+    decode), skips the unrelated image, and never moves payload bytes
+    through the join."""
+    from etl_rust_spark.operators import multimodal
+
+    rng = np.random.default_rng(10)
+    base = rng.integers(0, 200, size=(16, 16, 3), dtype=np.uint8)
+    bright = np.clip(base.astype(np.float64) * 1.15, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 200, size=(16, 16, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(mc.encode_png(base)), ("image/png", 16, 16, None, "u1")),
+        (2, "image", bytearray(mc.encode_png(bright)), ("image/png", 16, 16, None, "u2")),
+        (3, "image", bytearray(mc.encode_png(other)), ("image/png", 16, 16, None, "u3")),
+        (4, "audio", bytearray(b"RIFFxxxx"), ("audio/wav", None, None, 9, "u4")),
+    ]
+    df = multimodal.make_asset_df(spark, rows)
+    got = multimodal.near_dup_images(df, max_hamming=4, decode_stub=False).collect()
+    assert [(r["aid"], r["bid"], r["hamming"]) for r in got] == [(1, 2, 0)]
+    # hamming agrees with a python popcount over the same signatures
+    sigs = {r["asset_id"]: r["dhash"] for r in
+            multimodal.image_signatures(df, decode_stub=False).collect()}
+    assert bin((sigs[1] ^ sigs[2]) & (2**64 - 1)).count("1") == 0
+    assert bin((sigs[1] ^ sigs[3]) & (2**64 - 1)).count("1") > 4
+    # stub plumbing: deterministic, image rows only
+    stub = multimodal.image_signatures(df).collect()
+    assert {r["asset_id"] for r in stub} == {1, 2, 3}
+    assert stub == multimodal.image_signatures(df).collect()
+
+
+def test_near_dup_images_validates_banding():
+    import pytest as _pytest
+
+    from etl_rust_spark.operators import multimodal
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        multimodal.near_dup_images(None, max_hamming=8, bands=8)
+    with _pytest.raises(ValueError, match="divide"):
+        multimodal.near_dup_images(None, bands=7)

@@ -279,3 +279,24 @@ def test_media_operators_are_scan_side(spark):
     # resample_audio unions the passthrough branch — still exchange-free
     rep = audit(multimodal.resample_audio(df, 16000, decode_stub=False))
     assert rep.num_exchanges == 0, rep.plan
+
+
+def test_near_dup_images_is_banded_equi_join(spark):
+    """Image near-dup must be the LSH shape: an equi-join on
+    (band_idx, band_val) over small signature rows — no cartesian
+    product, and the payload column pruned before the shuffle."""
+    from etl_rust_spark.operators import mediacodec as mc
+    from etl_rust_spark.operators import multimodal
+
+    import numpy as np
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    rows = [
+        (i, "image", bytearray(mc.encode_png(img)), ("image/png", 8, 8, None, "u"))
+        for i in range(3)
+    ]
+    df = multimodal.make_asset_df(spark, rows)
+    out = multimodal.near_dup_images(df, decode_stub=False)
+    rep = audit(out)
+    assert rep.cartesian_products == 0, rep.plan
+    assert "payload" not in str(out.schema)
