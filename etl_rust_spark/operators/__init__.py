@@ -230,12 +230,36 @@ def _op_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Synthetic bit-signature family for gating hamming_near_dup_pairs:
+# trio groups share a portable-hash base, per-doc xor perturbation (0/1/2)
+# plants within-trio Hamming distances of 1-2 bits while cross-trio pairs
+# sit at ~30 (random) — so the banded join's exact-recall claim is
+# hash-gated against a DuckDB ALL-PAIRS mirror on varied distances.
+_SIG_SPARK = (
+    "CAST(conv(substr(md5(CAST(doc_id DIV 3 AS STRING)),1,15),16,10) AS BIGINT)"
+    " ^ (doc_id % 3)"
+)
+_SIG_DUCK = (
+    "xor(('0x' || substr(md5(CAST(doc_id // 3 AS VARCHAR)),1,15))::BIGINT,"
+    " doc_id % 3)"
+)
+
+
 def _op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Hash-gated since r4 (VERDICT r3 #7): the deterministic decode stub
-    # (sha256-derived features) IS SQL-expressible — DuckDB's sha256
-    # over the same utf-8 payload reproduces f1 exactly (the float32
-    # round-trip of round(byte/255, 6) is lossless for all 256 byte
-    # values).  Documents stand in as assets: payload = utf-8 text.
+    # Hash-gated since r4 (VERDICT r3 #7); widened to a tagged union in
+    # r6 to absorb the perceptual-near-dup machinery (VERDICT r5 #5
+    # pattern — the 50-slot cap is full):
+    #   src='feat' — the original decode-stub feature rows: DuckDB's
+    #                sha256 over the same utf-8 payload reproduces f1
+    #                exactly (round(byte/255, 6) is float32-lossless for
+    #                all 256 byte values).  Documents stand in as
+    #                assets: payload = utf-8 text.
+    #   src='sig'  — the synthetic signature family itself (pins the
+    #                cross-engine md5/xor arithmetic),
+    #   src='pair' — hamming_near_dup_pairs over those signatures
+    #                (banded LSH equi-join + bit_count re-check) vs the
+    #                oracle's brute-force all-pairs form — gating the
+    #                pigeonhole exact-recall claim, not just plumbing.
     from etl_rust_spark.operators import multimodal
 
     assets = _docs(spark, sf_dir, 50).select(
@@ -250,13 +274,33 @@ def _op_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("synthetic://documents").alias("source_uri"),
         ).alias("meta"),
     )
-    feats = multimodal.extract_features(assets)
-    return feats.select(
-        "asset_id",
-        "modality",
-        "n_bytes",
-        F.round(F.element_at("feature", 1), 6).alias("f1"),
-    ).orderBy("asset_id")
+    feats = multimodal.extract_features(assets).select(
+        F.lit("feat").alias("src"),
+        F.col("asset_id").alias("k"),
+        F.col("n_bytes").cast("bigint").alias("a"),
+        F.lit(None).cast("bigint").alias("b"),
+        F.round(F.element_at("feature", 1), 6).alias("v"),
+    )
+    sigs = _docs(spark, sf_dir, 50).select(
+        F.col("doc_id").alias("asset_id"), F.expr(_SIG_SPARK).alias("dhash")
+    )
+    sig_rows = sigs.select(
+        F.lit("sig").alias("src"),
+        F.col("asset_id").alias("k"),
+        F.col("dhash").alias("a"),
+        F.lit(None).cast("bigint").alias("b"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    pair_rows = multimodal.hamming_near_dup_pairs(
+        sigs, max_hamming=4, bands=8
+    ).select(
+        F.lit("pair").alias("src"),
+        F.col("aid").alias("k"),
+        F.col("bid").alias("a"),
+        F.col("hamming").cast("bigint").alias("b"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return feats.unionByName(sig_rows).unionByName(pair_rows).orderBy("src", "k", "a")
 
 
 def _op_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,19 +437,33 @@ def _curate_duck_sql() -> str:
 
 
 def _multimodal_duck_sql(max_doc: int = 50) -> str:
-    # Mirror of _op_multimodal_features' stub-decode arithmetic
-    # (multimodal._fake_feature): payload = utf-8 bytes of text,
-    # n_bytes = byte length, f1 = round(first_sha256_byte / 255, 6).
-    # DuckDB sha256(VARCHAR) hashes the string's utf-8 bytes — the same
-    # bytes Spark's encode(text,'utf-8') hands the Python stub.
+    # Mirror of _op_multimodal_features' tagged union:
+    # - 'feat': stub-decode arithmetic (multimodal._fake_feature):
+    #   payload = utf-8 bytes of text, n_bytes = byte length,
+    #   f1 = round(first_sha256_byte / 255, 6).  DuckDB sha256(VARCHAR)
+    #   hashes the string's utf-8 bytes — the same bytes Spark's
+    #   encode(text,'utf-8') hands the Python stub.
+    # - 'sig': the synthetic signature family (_SIG_DUCK ≡ _SIG_SPARK).
+    # - 'pair': BRUTE-FORCE all-pairs Hamming ≤ 4 — deliberately not the
+    #   banded form, so the equi-join's exact-recall pigeonhole claim is
+    #   what the hash gate checks.
     hexd = "0123456789abcdef"
     return f"""
 WITH a AS (SELECT doc_id AS asset_id, text FROM documents WHERE doc_id <= {max_doc}),
-h AS (SELECT asset_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS hx FROM a)
-SELECT asset_id, 'image' AS modality, CAST(n_bytes AS INT) AS n_bytes,
+h AS (SELECT asset_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS hx FROM a),
+s AS (SELECT doc_id AS k, {_SIG_DUCK} AS sig FROM documents WHERE doc_id <= {max_doc}),
+p AS (SELECT s1.k AS aid, s2.k AS bid, CAST(bit_count(xor(s1.sig, s2.sig)) AS BIGINT) AS ham
+      FROM s s1 JOIN s s2 ON s1.k < s2.k
+      WHERE bit_count(xor(s1.sig, s2.sig)) <= 4)
+SELECT 'feat' AS src, asset_id AS k, CAST(n_bytes AS BIGINT) AS a, CAST(NULL AS BIGINT) AS b,
   ROUND(((strpos('{hexd}', substr(hx, 1, 1)) - 1) * 16
-         + (strpos('{hexd}', substr(hx, 2, 1)) - 1)) / 255.0, 6) AS f1
-FROM h ORDER BY asset_id"""
+         + (strpos('{hexd}', substr(hx, 2, 1)) - 1)) / 255.0, 6) AS v
+FROM h
+UNION ALL
+SELECT 'sig' AS src, k, sig AS a, CAST(NULL AS BIGINT) AS b, CAST(NULL AS DOUBLE) AS v FROM s
+UNION ALL
+SELECT 'pair' AS src, aid AS k, bid AS a, ham AS b, CAST(NULL AS DOUBLE) AS v FROM p
+ORDER BY src, k, a"""
 
 
 def _dedup_entry_duck_sql() -> str:

@@ -52,6 +52,7 @@ __all__ = [
     "sample_frames",
     "frame_features",
     "image_signatures",
+    "hamming_near_dup_pairs",
     "near_dup_images",
 ]
 
@@ -332,26 +333,26 @@ def image_signatures(
     return df.filter(F.col("modality") == "image").mapInPandas(run, SIGNATURE_SCHEMA)
 
 
-def near_dup_images(
-    df: DataFrame,
+def hamming_near_dup_pairs(
+    sigs: DataFrame,
+    id_col: str = "asset_id",
+    sig_col: str = "dhash",
     max_hamming: int = 4,
     bands: int = 8,
-    hash_size: int = 8,
-    decode_stub: bool = True,
+    nbits: int = 64,
 ) -> DataFrame:
-    """Perceptual near-duplicate image pairs: ``(aid, bid, hamming)``
-    for every image pair whose dHash Hamming distance ≤ ``max_hamming``.
+    """Pairs ``(aid, bid, hamming)`` whose bit-signature Hamming
+    distance ≤ ``max_hamming``, found via an LSH band equi-join.
 
-    Scale shape (the SimHash/MinHash-LSH design applied to pixels):
-    signatures are banded into ``bands`` equal bit-slices and candidate
-    pairs come from an equi-join on ``(band_idx, band_val)`` — one
-    shuffle of small (id, hash, band) rows, never payload bytes, never
+    Scale shape (the SimHash/MinHash-LSH design applied to any bit
+    signature): signatures are banded into ``bands`` equal bit-slices
+    and candidate pairs come from an equi-join on ``(band_idx,
+    band_val)`` — one shuffle of small (id, sig, band) rows, never
     all-pairs.  By pigeonhole, any pair with Hamming < ``bands`` shares
-    at least one exact band, so recall is exact (not probabilistic)
-    whenever ``max_hamming < bands``; the constructor enforces that.
-    The final Hamming test is JVM-side ``bit_count(a ^ b)``.
+    at least one exact band, so recall is EXACT (not probabilistic)
+    whenever ``max_hamming < bands``; enforced here.  The final Hamming
+    test is JVM-side ``bit_count(a ^ b)``.
     """
-    nbits = hash_size * hash_size
     if nbits % bands:
         raise ValueError(f"bands={bands} must divide {nbits} signature bits")
     if max_hamming >= bands:
@@ -361,16 +362,15 @@ def near_dup_images(
         )
     band_bits = nbits // bands
     mask = (1 << band_bits) - 1
-    sigs = image_signatures(df, hash_size, decode_stub)
     banded = sigs.select(
-        "asset_id",
-        "dhash",
+        F.col(id_col).alias("__id"),
+        F.col(sig_col).alias("__sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band_idx"),
-                        F.shiftrightunsigned(F.col("dhash"), i * band_bits)
+                        F.shiftrightunsigned(F.col(sig_col), i * band_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("band_val"),
                     )
@@ -378,24 +378,43 @@ def near_dup_images(
                 ]
             )
         ).alias("band"),
-    ).select("asset_id", "dhash", "band.band_idx", "band.band_val")
+    ).select("__id", "__sig", "band.band_idx", "band.band_val")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.asset_id") < F.col("b.asset_id")),
+            & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(
-            F.col("a.asset_id").alias("aid"),
-            F.col("b.asset_id").alias("bid"),
+            F.col("a.__id").alias("aid"),
+            F.col("b.__id").alias("bid"),
             F.bit_count(
-                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+                F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def near_dup_images(
+    df: DataFrame,
+    max_hamming: int = 4,
+    bands: int = 8,
+    hash_size: int = 8,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: ``(aid, bid, hamming)``
+    for every image pair whose dHash Hamming distance ≤ ``max_hamming``
+    — :func:`image_signatures` composed with
+    :func:`hamming_near_dup_pairs` (payload bytes never shuffle)."""
+    return hamming_near_dup_pairs(
+        image_signatures(df, hash_size, decode_stub),
+        max_hamming=max_hamming,
+        bands=bands,
+        nbits=hash_size * hash_size,
     )
 
 

@@ -252,15 +252,22 @@ def test_simhash_hamming_separates_near_dups(spark, sf_dir):
     assert max(near) < np.mean(far), (near, np.mean(far))
 
 
-def test_multimodal_entry_rows_only(spark, sf_dir):
-    # Rows-only entry (no SQL oracle — features come from the decode
-    # stub): one deterministic feature row per document asset.
+def test_multimodal_entry_tagged_union(spark, sf_dir):
+    # Oracle-gated tagged union: 51 stub-feature rows (doc_id 0..50),
+    # 51 synthetic signature rows, and the planted near-dup pairs — one
+    # (ham 1 or 2) pair per trio-member combination, nothing cross-trio.
     df = entry_queries()["op_multimodal_features"](spark, sf_dir)
     rows = df.collect()
-    assert len(rows) == 51  # doc_id 0..50 inclusive
-    again = {r["asset_id"]: r["f1"] for r in df.collect()}
-    assert all(again[r["asset_id"]] == r["f1"] for r in rows)  # deterministic
-    assert all(r["n_bytes"] > 0 for r in rows)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+    assert len(by_src["feat"]) == 51 and len(by_src["sig"]) == 51
+    assert all(r["a"] > 0 for r in by_src["feat"])  # n_bytes
+    for p in by_src["pair"]:
+        assert p["k"] // 3 == p["a"] // 3  # same trio only
+        assert p["b"] in (1, 2)  # planted xor perturbations
+    assert len(by_src["pair"]) == 51  # 17 trios x 3 pairs
+    assert rows == df.collect()  # deterministic
 
 
 def test_multimodal_feature_pipeline(spark):
