@@ -52,6 +52,7 @@ __all__ = [
     "decode_wav",
     "encode_wav",
     "audio_feature",
+    "audio_fingerprint",
     "register_audio_decoder",
     "decode_audio",
     "decode_avi",
@@ -342,6 +343,39 @@ def audio_feature(samples: np.ndarray, sample_rate: int, dim: int = 8) -> list[f
     bands = [float(chunk.sum()) / total for chunk in np.array_split(mag, nbands)]
     vec = [min(rms, 1.0), zcr] + bands
     return [round(v, 6) for v in vec[:dim]]
+
+
+def audio_fingerprint(samples: np.ndarray, sample_rate: int, nbits: int = 64) -> int:
+    """Spectral-difference fingerprint of decoded audio: an 8×8 grid of
+    sign bits — for time slice t and frequency band b, bit (t, b) is 1
+    iff band b's energy falls from slice t to slice t+1 (the
+    Chromaprint-style construction, reduced to pure numpy).
+
+    Invariant to global amplitude scaling (a positive gain scales every
+    band energy equally, preserving every comparison), sensitive to
+    content.  Returns a signed int for Spark's LongType; near-dup =
+    Hamming distance via :func:`hamming-banded pairs
+    <etl_rust_spark.operators.multimodal.hamming_near_dup_pairs>` —
+    the audio analogue of :func:`dhash`.
+    """
+    if nbits != 64:
+        raise ValueError("audio_fingerprint is defined for 64 bits (8x8 grid)")
+    a = np.asarray(samples, dtype=np.float64)
+    mono = a.mean(axis=1) if a.ndim == 2 else a
+    n_slices, n_bands = 9, 8
+    if mono.size < n_slices:
+        mono = np.pad(mono, (0, n_slices - mono.size))
+    energy = np.empty((n_slices, n_bands))
+    for t, sl in enumerate(np.array_split(mono, n_slices)):
+        mag = np.abs(np.fft.rfft(sl)) ** 2
+        energy[t] = [float(chunk.sum()) for chunk in np.array_split(mag, n_bands)]
+    bits = (energy[:-1] > energy[1:]).reshape(-1)  # 8 diffs x 8 bands
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
 
 
 # magic-prefix → decoder(bytes) -> (samples, sample_rate)

@@ -52,8 +52,10 @@ __all__ = [
     "sample_frames",
     "frame_features",
     "image_signatures",
+    "audio_signatures",
     "hamming_near_dup_pairs",
     "near_dup_images",
+    "near_dup_audio",
 ]
 
 MULTIMODAL_SCHEMA = T.StructType(
@@ -331,6 +333,50 @@ def image_signatures(
             )
 
     return df.filter(F.col("modality") == "image").mapInPandas(run, SIGNATURE_SCHEMA)
+
+
+def audio_signatures(df: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """(asset_id, dhash): spectral-difference fingerprint per audio
+    asset (``mediacodec.audio_fingerprint`` — amplitude-invariant sign
+    grid), same column contract as :func:`image_signatures` so both
+    feed :func:`hamming_near_dup_pairs` unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_rust_spark.operators import mediacodec
+
+        def sig(p: bytes | None) -> int:
+            if decode_stub:
+                return int.from_bytes(
+                    hashlib.sha256(p or b"").digest()[:8], "big", signed=True
+                )
+            samples, rate = mediacodec.decode_audio(p or b"")
+            return mediacodec.audio_fingerprint(samples, rate)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "dhash": pdf["payload"].map(sig).astype("int64"),
+                }
+            )
+
+    return df.filter(F.col("modality") == "audio").mapInPandas(run, SIGNATURE_SCHEMA)
+
+
+def near_dup_audio(
+    df: DataFrame,
+    max_hamming: int = 4,
+    bands: int = 8,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Near-duplicate audio pairs ``(aid, bid, hamming)`` — spectral
+    fingerprints composed with the banded Hamming join (the audio
+    analogue of :func:`near_dup_images`; payload bytes never shuffle)."""
+    return hamming_near_dup_pairs(
+        audio_signatures(df, decode_stub),
+        max_hamming=max_hamming,
+        bands=bands,
+    )
 
 
 def hamming_near_dup_pairs(

@@ -344,3 +344,37 @@ def test_near_dup_images_validates_banding():
         multimodal.near_dup_images(None, max_hamming=8, bands=8)
     with _pytest.raises(ValueError, match="divide"):
         multimodal.near_dup_images(None, bands=7)
+
+
+def test_audio_fingerprint_amplitude_invariance():
+    s = _tone(freq=330.0, seed=12)
+    fp = mc.audio_fingerprint(s, 8000)
+    assert fp == mc.audio_fingerprint(s, 8000)
+    # positive gain scales every band energy equally -> identical bits
+    assert mc.audio_fingerprint(s * 0.3, 8000) == fp
+    assert mc.audio_fingerprint(s * 1.7, 8000) == fp
+    # different content diverges
+    other = _tone(freq=1900.0, seed=13)
+    ham = bin((fp ^ mc.audio_fingerprint(other, 8000)) & (2**64 - 1)).count("1")
+    assert ham > 8
+    with pytest.raises(ValueError, match="64 bits"):
+        mc.audio_fingerprint(s, 8000, nbits=32)
+
+
+def test_near_dup_audio_banded_join(spark):
+    """Amplitude-scaled copy pairs at Hamming 0 through the real decode
+    path; unrelated audio stays unpaired; non-audio rows are ignored."""
+    from etl_rust_spark.operators import multimodal
+
+    s = _tone(freq=330.0, seed=14)
+    rows = [
+        (1, "audio", bytearray(mc.encode_wav(s, 8000)), ("audio/wav", None, None, 500, "u1")),
+        (2, "audio", bytearray(mc.encode_wav(s * 0.5, 8000)), ("audio/wav", None, None, 500, "u2")),
+        (3, "audio", bytearray(mc.encode_wav(_tone(freq=1900.0, seed=15), 8000)),
+         ("audio/wav", None, None, 500, "u3")),
+        (4, "image", bytearray(b"\x89PNGfake"), ("image/png", 4, 4, None, "u4")),
+    ]
+    df = multimodal.make_asset_df(spark, rows)
+    got = multimodal.near_dup_audio(df, max_hamming=4, decode_stub=False).collect()
+    assert [(r["aid"], r["bid"]) for r in got] == [(1, 2)]
+    assert got[0]["hamming"] <= 2  # 16-bit quantization can flip a near-tie bit
