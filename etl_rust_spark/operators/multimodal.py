@@ -53,9 +53,11 @@ __all__ = [
     "frame_features",
     "image_signatures",
     "audio_signatures",
+    "frame_signatures",
     "hamming_near_dup_pairs",
     "near_dup_images",
     "near_dup_audio",
+    "near_dup_videos",
 ]
 
 MULTIMODAL_SCHEMA = T.StructType(
@@ -461,6 +463,90 @@ def near_dup_images(
         max_hamming=max_hamming,
         bands=bands,
         nbits=hash_size * hash_size,
+    )
+
+
+FRAME_SIGNATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("dhash", T.LongType()),
+    ]
+)
+
+# frame_idx is packed into the low bits of a composite frame id for the
+# signature-level join; bounds any one video to 2^20 sampled frames
+# (≈12 h at 24 fps) — raise deliberately, the headroom is asset_id's.
+_FRAME_BITS = 20
+
+
+def frame_signatures(
+    df: DataFrame, every_n: int = 1, hash_size: int = 8
+) -> DataFrame:
+    """(asset_id, frame_idx, dhash): perceptual dHash per sampled video
+    frame (real decode through the video registry) — the projection
+    video near-dup builds on; payload decoded once per task, only small
+    signature rows leave it."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_rust_spark.operators import mediacodec
+
+        for pdf in batches:
+            ids, idxs, sigs = [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                frames = mediacodec.decode_video(bytes(p) if p is not None else b"")
+                for i in range(0, len(frames), every_n):
+                    ids.append(aid)
+                    idxs.append(i)
+                    sigs.append(mediacodec.dhash(frames[i], hash_size))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "dhash": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return df.filter(F.col("modality") == "video").mapInPandas(run, FRAME_SIGNATURE_SCHEMA)
+
+
+def near_dup_videos(
+    df: DataFrame,
+    max_hamming: int = 4,
+    bands: int = 8,
+    min_matching_frames: int = 2,
+    every_n: int = 1,
+) -> DataFrame:
+    """Near-duplicate video pairs ``(aid, bid, n_frames, min_hamming)``:
+    two videos pair when ≥ ``min_matching_frames`` of their sampled
+    frames match perceptually (frame dHash within ``max_hamming``).
+
+    Scale shape: frame signatures feed the SAME banded Hamming equi-join
+    as images/audio (frame ids packed as asset_id·2^20 + frame_idx), then
+    one groupBy per asset pair — shuffles carry (id, sig, band) rows and
+    pair counters, never frames or payloads.  Alignment-free by design:
+    any-frame-to-any-frame matches count, so trims/re-encodes still pair.
+    """
+    packed = frame_signatures(df, every_n).select(
+        (F.col("asset_id") * F.lit(1 << _FRAME_BITS) + F.col("frame_idx")).alias("fid"),
+        "dhash",
+    )
+    fp = hamming_near_dup_pairs(
+        packed, id_col="fid", sig_col="dhash", max_hamming=max_hamming, bands=bands
+    )
+    return (
+        fp.select(
+            F.shiftright("aid", _FRAME_BITS).alias("va"),
+            F.shiftright("bid", _FRAME_BITS).alias("vb"),
+            "hamming",
+        )
+        .where(F.col("va") < F.col("vb"))
+        .groupBy(F.col("va").alias("aid"), F.col("vb").alias("bid"))
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .where(F.col("n_frames") >= min_matching_frames)
     )
 
 

@@ -378,3 +378,26 @@ def test_near_dup_audio_banded_join(spark):
     got = multimodal.near_dup_audio(df, max_hamming=4, decode_stub=False).collect()
     assert [(r["aid"], r["bid"]) for r in got] == [(1, 2)]
     assert got[0]["hamming"] <= 2  # 16-bit quantization can flip a near-tie bit
+
+
+def test_near_dup_videos_frame_level(spark):
+    """Two videos sharing brightness-scaled frames pair (alignment-free,
+    gain-invariant through dHash); an unrelated video stays unpaired;
+    min_matching_frames filters single-frame coincidences."""
+    from etl_rust_spark.operators import multimodal
+
+    rng = np.random.default_rng(20)
+    shared = [rng.integers(0, 200, size=(12, 12, 3), dtype=np.uint8) for _ in range(3)]
+    scaled = [np.clip(f.astype(np.float64) * 1.2, 0, 255).astype(np.uint8) for f in shared]
+    unrelated = [rng.integers(0, 200, size=(12, 12, 3), dtype=np.uint8) for _ in range(3)]
+    rows = [
+        (1, "video", bytearray(mc.encode_avi(shared)), ("video/avi", 12, 12, 120, "u1")),
+        (2, "video", bytearray(mc.encode_avi(scaled + [unrelated[0]])), ("video/avi", 12, 12, 160, "u2")),
+        (3, "video", bytearray(mc.encode_avi(unrelated[1:])), ("video/avi", 12, 12, 80, "u3")),
+    ]
+    df = multimodal.make_asset_df(spark, rows)
+    got = multimodal.near_dup_videos(df, max_hamming=4, min_matching_frames=2).collect()
+    assert [(r["aid"], r["bid"]) for r in got] == [(1, 2)]
+    assert got[0]["n_frames"] >= 3 and got[0]["min_hamming"] == 0
+    # raising the frame floor above the overlap drops the pair
+    assert multimodal.near_dup_videos(df, max_hamming=4, min_matching_frames=9).count() == 0
