@@ -434,3 +434,48 @@ def test_stateful_running_totals_match_batch(spark, tmp_path):
     assert final == want
     # intermediate emissions existed: more rows than distinct users
     assert len(emitted) > len(final)
+
+
+def test_multimodal_features_stream_equals_batch(spark, tmp_path):
+    """extract_features and image_signatures are stateless mapInPandas
+    projections, so a streaming asset feed (media landing in parquet)
+    featurizes incrementally with stream == batch equality — including
+    the REAL decode path, since the codecs live inside the batch loop."""
+    import numpy as np
+
+    from etl_rust_spark.operators import mediacodec as mc
+    from etl_rust_spark.operators import multimodal
+
+    rng = np.random.default_rng(21)
+    rows = [
+        (
+            i,
+            "image",
+            bytearray(mc.encode_png(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))),
+            ("image/png", 8, 8, None, f"u{i}"),
+        )
+        for i in range(6)
+    ]
+    assets_path = str(tmp_path / "assets_stream")
+    multimodal.make_asset_df(spark, rows).write.parquet(assets_path)
+    batch_df = spark.read.parquet(assets_path)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(assets_path)
+
+    for label, op in [
+        ("feat", lambda d: multimodal.extract_features(d, decode_stub=False)),
+        ("sig", lambda d: multimodal.image_signatures(d, decode_stub=False)),
+    ]:
+        expected = _rows(op(batch_df))
+        q = (
+            op(stream_df)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"mm_{label}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = _rows(spark.table(f"mm_{label}"))
+        finally:
+            q.stop()
+        assert got == expected, label
