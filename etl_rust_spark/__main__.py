@@ -137,6 +137,28 @@ def main(argv: list[str] | None = None) -> int:
         help="include hot-bucket cap counters in the report (extra agg job)",
     )
 
+    pm = sub.add_parser(
+        "dedup-media",
+        help="find perceptual near-duplicate pairs in a multimodal asset "
+        "parquet (asset_id, modality, payload, meta) — dHash for images, "
+        "spectral fingerprints for audio, frame-level matching for video",
+    )
+    pm.add_argument("assets", help="input parquet path with the asset schema")
+    pm.add_argument("--out", required=True, help="pairs parquet output path")
+    pm.add_argument("--max-hamming", type=int, default=4)
+    pm.add_argument(
+        "--min-matching-frames",
+        type=int,
+        default=2,
+        help="video pairs need at least this many perceptually-matching frames",
+    )
+    pm.add_argument(
+        "--stub-decode",
+        action="store_true",
+        help="use the deterministic byte-hash stub instead of real codecs "
+        "(plumbing dry-runs; video always decodes for real)",
+    )
+
     args = p.parse_args(argv)
 
     # O-04: reject invalid feature combos before any Spark work — the
@@ -239,6 +261,38 @@ def main(argv: list[str] | None = None) -> int:
             docs, spark.read.parquet(args.out), lsh_stats=args.lsh_stats
         )
         print(json.dumps(report))
+    elif args.cmd == "dedup-media":
+        from pyspark.sql import functions as F
+
+        from etl_rust_spark.operators import multimodal
+
+        assets = spark.read.parquet(args.assets)
+        stub = args.stub_decode
+        pairs = (
+            multimodal.near_dup_images(assets, args.max_hamming, decode_stub=stub)
+            .withColumn("modality", F.lit("image"))
+            .withColumn("n_frames", F.lit(None).cast("long"))
+            .unionByName(
+                multimodal.near_dup_audio(assets, args.max_hamming, decode_stub=stub)
+                .withColumn("modality", F.lit("audio"))
+                .withColumn("n_frames", F.lit(None).cast("long"))
+            )
+            .unionByName(
+                multimodal.near_dup_videos(
+                    assets, args.max_hamming,
+                    min_matching_frames=args.min_matching_frames,
+                )
+                .withColumnRenamed("min_hamming", "hamming")
+                .withColumn("modality", F.lit("video"))
+            )
+        )
+        pairs.write.mode("overwrite").parquet(args.out)
+        counts = {
+            r["modality"]: r["n"]
+            for r in spark.read.parquet(args.out)
+            .groupBy("modality").agg(F.count("*").alias("n")).collect()
+        }
+        print(json.dumps({m: counts.get(m, 0) for m in ("image", "audio", "video")}))
     elif args.cmd == "save-range":
         print(save_range(spark, chain, args.start, args.end, args.out))
     elif args.cmd == "create-test-set":

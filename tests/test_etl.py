@@ -293,3 +293,36 @@ def test_cli_ingest_corpus(spark, tmp_path, capsys):
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["documents"] == 2
     assert spark.read.parquet(out).count() == 2
+
+
+def test_cli_dedup_media(spark, tmp_path, capsys):
+    import json as _json
+
+    import numpy as np
+
+    from etl_rust_spark.__main__ import main
+    from etl_rust_spark.operators import mediacodec as mc
+    from etl_rust_spark.operators import multimodal
+
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 200, size=(10, 10, 3), dtype=np.uint8)
+    bright = np.clip(img.astype(np.float64) * 1.2, 0, 255).astype(np.uint8)
+    tone = np.sin(2 * np.pi * 440 * np.arange(4000) / 8000) * 0.5
+    frames = [rng.integers(0, 200, size=(8, 8, 3), dtype=np.uint8) for _ in range(3)]
+    rows = [
+        (1, "image", bytearray(mc.encode_png(img)), ("image/png", 10, 10, None, "u1")),
+        (2, "image", bytearray(mc.encode_png(bright)), ("image/png", 10, 10, None, "u2")),
+        (3, "audio", bytearray(mc.encode_wav(tone, 8000)), ("audio/wav", None, None, 500, "u3")),
+        (4, "audio", bytearray(mc.encode_wav(tone * 0.5, 8000)), ("audio/wav", None, None, 500, "u4")),
+        (5, "video", bytearray(mc.encode_avi(frames)), ("video/avi", 8, 8, 120, "u5")),
+        (6, "video", bytearray(mc.encode_avi(frames[::-1])), ("video/avi", 8, 8, 120, "u6")),
+    ]
+    assets = str(tmp_path / "assets")
+    multimodal.make_asset_df(spark, rows).write.parquet(assets)
+    out = str(tmp_path / "pairs")
+    rc = main(["dedup-media", assets, "--out", out])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"image": 1, "audio": 1, "video": 1}
+    pairs = {(r["modality"], r["aid"], r["bid"]) for r in spark.read.parquet(out).collect()}
+    assert pairs == {("image", 1, 2), ("audio", 3, 4), ("video", 5, 6)}
