@@ -314,17 +314,23 @@ def image_signatures(
     plumbing is testable with zero codec cost; ``decode_stub=False``
     decodes through the image registry and computes the real
     gradient-sign dHash (``mediacodec.dhash``).
+
+    Null payloads are SKIPPED (filtered JVM-side before the batch
+    loop): a crawled corpus routinely carries fetch failures, and a
+    signature of nothing is meaningless — the null-in → no-row-out
+    convention all three signature operators share (a corrupt non-null
+    payload still fails loudly in the registry).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from etl_rust_spark.operators import mediacodec
 
-        def sig(p: bytes | None) -> int:
+        def sig(p: bytes) -> int:
             if decode_stub:
                 return int.from_bytes(
-                    hashlib.sha256(p or b"").digest()[:8], "big", signed=True
+                    hashlib.sha256(p).digest()[:8], "big", signed=True
                 )
-            return mediacodec.dhash(mediacodec.decode_image(p or b""), hash_size)
+            return mediacodec.dhash(mediacodec.decode_image(bytes(p)), hash_size)
 
         for pdf in batches:
             yield pd.DataFrame(
@@ -334,24 +340,28 @@ def image_signatures(
                 }
             )
 
-    return df.filter(F.col("modality") == "image").mapInPandas(run, SIGNATURE_SCHEMA)
+    return (
+        df.filter((F.col("modality") == "image") & F.col("payload").isNotNull())
+        .mapInPandas(run, SIGNATURE_SCHEMA)
+    )
 
 
 def audio_signatures(df: DataFrame, decode_stub: bool = True) -> DataFrame:
     """(asset_id, dhash): spectral-difference fingerprint per audio
     asset (``mediacodec.audio_fingerprint`` — amplitude-invariant sign
     grid), same column contract as :func:`image_signatures` so both
-    feed :func:`hamming_near_dup_pairs` unchanged."""
+    feed :func:`hamming_near_dup_pairs` unchanged.  Null payloads are
+    skipped (the shared null-in → no-row-out convention)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from etl_rust_spark.operators import mediacodec
 
-        def sig(p: bytes | None) -> int:
+        def sig(p: bytes) -> int:
             if decode_stub:
                 return int.from_bytes(
-                    hashlib.sha256(p or b"").digest()[:8], "big", signed=True
+                    hashlib.sha256(p).digest()[:8], "big", signed=True
                 )
-            samples, rate = mediacodec.decode_audio(p or b"")
+            samples, rate = mediacodec.decode_audio(bytes(p))
             return mediacodec.audio_fingerprint(samples, rate)
 
         for pdf in batches:
@@ -362,7 +372,10 @@ def audio_signatures(df: DataFrame, decode_stub: bool = True) -> DataFrame:
                 }
             )
 
-    return df.filter(F.col("modality") == "audio").mapInPandas(run, SIGNATURE_SCHEMA)
+    return (
+        df.filter((F.col("modality") == "audio") & F.col("payload").isNotNull())
+        .mapInPandas(run, SIGNATURE_SCHEMA)
+    )
 
 
 def near_dup_audio(
@@ -379,6 +392,16 @@ def near_dup_audio(
         max_hamming=max_hamming,
         bands=bands,
     )
+
+
+def _validate_banding(max_hamming: int, bands: int, nbits: int) -> None:
+    if nbits % bands:
+        raise ValueError(f"bands={bands} must divide {nbits} signature bits")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming for exact "
+            f"recall (pigeonhole); got bands={bands}"
+        )
 
 
 def hamming_near_dup_pairs(
@@ -401,13 +424,7 @@ def hamming_near_dup_pairs(
     whenever ``max_hamming < bands``; enforced here.  The final Hamming
     test is JVM-side ``bit_count(a ^ b)``.
     """
-    if nbits % bands:
-        raise ValueError(f"bands={bands} must divide {nbits} signature bits")
-    if max_hamming >= bands:
-        raise ValueError(
-            f"max_hamming={max_hamming} needs bands > max_hamming for exact "
-            f"recall (pigeonhole); got bands={bands}"
-        )
+    _validate_banding(max_hamming, bands, nbits)
     band_bits = nbits // bands
     mask = (1 << band_bits) - 1
     banded = sigs.select(
@@ -458,6 +475,7 @@ def near_dup_images(
     for every image pair whose dHash Hamming distance ≤ ``max_hamming``
     — :func:`image_signatures` composed with
     :func:`hamming_near_dup_pairs` (payload bytes never shuffle)."""
+    _validate_banding(max_hamming, bands, hash_size * hash_size)
     return hamming_near_dup_pairs(
         image_signatures(df, hash_size, decode_stub),
         max_hamming=max_hamming,
@@ -486,7 +504,8 @@ def frame_signatures(
     """(asset_id, frame_idx, dhash): perceptual dHash per sampled video
     frame (real decode through the video registry) — the projection
     video near-dup builds on; payload decoded once per task, only small
-    signature rows leave it."""
+    signature rows leave it.  Null payloads are skipped (the shared
+    null-in → no-row-out convention)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from etl_rust_spark.operators import mediacodec
@@ -494,7 +513,7 @@ def frame_signatures(
         for pdf in batches:
             ids, idxs, sigs = [], [], []
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
-                frames = mediacodec.decode_video(bytes(p) if p is not None else b"")
+                frames = mediacodec.decode_video(bytes(p))
                 for i in range(0, len(frames), every_n):
                     ids.append(aid)
                     idxs.append(i)
@@ -507,7 +526,10 @@ def frame_signatures(
                 }
             )
 
-    return df.filter(F.col("modality") == "video").mapInPandas(run, FRAME_SIGNATURE_SCHEMA)
+    return (
+        df.filter((F.col("modality") == "video") & F.col("payload").isNotNull())
+        .mapInPandas(run, FRAME_SIGNATURE_SCHEMA)
+    )
 
 
 def near_dup_videos(

@@ -89,3 +89,31 @@ def test_sig_norm_kernel_emits_null_for_null_embedding(spark):
         corpus.filter("vec_id = 1"), corpus, k=1, prefix_bits=4
     ).collect()
     assert len(res) == 1 and res[0]["cid"] == 2
+
+
+def test_signature_operators_skip_null_payloads(spark):
+    """A crawled corpus carries fetch failures as null payloads: the
+    three signature operators must drop those rows (null-in ->
+    no-row-out) instead of crashing the decode batch, on BOTH decode
+    paths."""
+    import numpy as np
+
+    from etl_rust_spark.operators import mediacodec as mc
+    from etl_rust_spark.operators import multimodal
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    frames = [img]
+    tone = np.zeros(64)
+    rows = [
+        (1, "image", bytearray(mc.encode_png(img)), ("image/png", 8, 8, None, "u1")),
+        (2, "image", None, ("image/png", 8, 8, None, "u2")),
+        (3, "audio", bytearray(mc.encode_wav(tone, 8000)), ("audio/wav", None, None, 8, "u3")),
+        (4, "audio", None, ("audio/wav", None, None, 8, "u4")),
+        (5, "video", bytearray(mc.encode_avi(frames)), ("video/avi", 8, 8, 40, "u5")),
+        (6, "video", None, ("video/avi", 8, 8, 40, "u6")),
+    ]
+    df = multimodal.make_asset_df(spark, rows)
+    for stub in (True, False):
+        assert [r["asset_id"] for r in multimodal.image_signatures(df, decode_stub=stub).collect()] == [1]
+        assert [r["asset_id"] for r in multimodal.audio_signatures(df, decode_stub=stub).collect()] == [3]
+    assert [r["asset_id"] for r in multimodal.frame_signatures(df).collect()] == [5]
