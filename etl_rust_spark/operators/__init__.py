@@ -335,17 +335,25 @@ def _op_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hash-gated since r4 (VERDICT r3 #3): the sign-LSH path is
     # deterministic end to end (fixed inlined hyperplanes, 6-dp-rounded
     # sign test, 4-dp cosine re-rank, cid tie-break), so the DuckDB
-    # mirror reproduces it exactly.  IVF (learned k-means quantizer —
-    # centroids depend on a driver-side corpus sample, not
-    # SQL-reproducible) stays recall-tested in pytest (≥0.85 vs exact,
-    # tests/test_operators.py) rather than diluting this entry back to
-    # rows-only.
+    # mirror reproduces it exactly.  Since late r6 the entry is a tagged
+    # union that ALSO gates the IVF SEARCH path: with explicit centroids
+    # (HYPERPLANES[:8] — fixed, inlined in both dialects) the assign →
+    # probe → candidate-join → re-rank pipeline has no learned state and
+    # mirrors as plain SQL (similarity.ivf_fixed_topk_duck_sql).  Only
+    # the k-means TRAINING remains recall-tested in pytest (≥0.85 vs
+    # exact) — iterative refinement is the one non-SQL piece left.
     emb = _emb(spark, sf_dir)
-    return (
-        similarity.ann_lsh_topk(None, emb, query_pred=F.col("cid") <= 20)
-        .select(F.lit("lsh").alias("src"), "qid", "cid", "cos", "rn")
-        .orderBy("qid", "rn")
+    lsh = similarity.ann_lsh_topk(None, emb, query_pred=F.col("cid") <= 20).select(
+        F.lit("lsh").alias("src"), "qid", "cid", "cos", "rn"
     )
+    ivf = similarity.ivf_topk(
+        emb.filter(F.col("vec_id") <= 20),
+        emb,
+        k=3,
+        n_probe=2,
+        centroids=[similarity.HYPERPLANES[j] for j in range(8)],
+    ).select(F.lit("ivf").alias("src"), "qid", "cid", "cos", "rn")
+    return lsh.unionByName(ivf).orderBy("src", "qid", "rn")
 
 
 def _op_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,6 +534,11 @@ def entry_oracle_sql() -> dict[str, str]:
         "op_cosine_topk": similarity.cosine_topk_sql(20)[1],
         "op_temporal_join": temporal.temporal_join_duck_sql(),
         "op_rollup": rollup.rollup_duck_sql(),
-        "op_ann_topk": similarity.ann_lsh_topk_duck_sql(20),
+        "op_ann_topk": (
+            f"SELECT * FROM ({similarity.ann_lsh_topk_duck_sql(20)})\n"
+            "UNION ALL\n"
+            f"SELECT * FROM ({similarity.ivf_fixed_topk_duck_sql(20)})\n"
+            "ORDER BY src, qid, rn"
+        ),
         "op_multimodal_features": _multimodal_duck_sql(50),
     }
