@@ -381,3 +381,48 @@ def test_wav_roundtrip_within_quantization_bound(n, ch, rate, seed):
     # encode quantizes to 16-bit (×32767) and decode scales by 32768:
     # worst case is half an LSB of rounding plus the scale mismatch
     assert float(np.max(np.abs(dec - s))) < 2.0 / 32768.0
+
+
+# ---------------------------------------------------------------------------
+# Banded Hamming join: the pigeonhole exact-recall claim must hold for
+# ARBITRARY signatures, not just the planted fixtures — run the band
+# equi-join against a brute-force all-pairs popcount on random inputs.
+# (Spark job per example → few examples, like the other Spark properties.)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    seed=st.integers(0, 2**16),
+    n=st.integers(2, 24),
+    max_hamming=st.integers(0, 7),
+    dups=st.integers(0, 4),
+)
+def test_hamming_banded_join_equals_brute_force(spark, seed, n, max_hamming, dups):
+    import numpy as np
+
+    from etl_rust_spark.operators import multimodal
+
+    rng = np.random.default_rng(seed)
+    sigs = list(rng.integers(-(2**63), 2**63, size=n, dtype=np.int64))
+    # plant near-dups: copies of sig[0] with up to max_hamming bits flipped
+    for d in range(min(dups, n - 1)):
+        flips = rng.choice(64, size=rng.integers(0, max_hamming + 1), replace=False)
+        v = int(sigs[0])
+        for b in flips:
+            v ^= 1 << int(b)
+        sigs[1 + d] = np.int64((v + 2**63) % 2**64 - 2**63)
+    df = spark.createDataFrame(
+        [(i, int(s)) for i, s in enumerate(sigs)], "asset_id long, dhash long"
+    )
+    got = {
+        (r["aid"], r["bid"], r["hamming"])
+        for r in multimodal.hamming_near_dup_pairs(df, max_hamming=max_hamming).collect()
+    }
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            ham = bin((int(sigs[i]) ^ int(sigs[j])) & (2**64 - 1)).count("1")
+            if ham <= max_hamming:
+                want.add((i, j, ham))
+    assert got == want
