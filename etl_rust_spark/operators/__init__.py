@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from etl_rust_spark.catalog import load_table, register_views
 from etl_rust_spark.operators import (
     chunk,
+    clean,
     decontaminate,
     dedup,
     pack,
@@ -60,6 +61,7 @@ from etl_rust_spark.operators import (
 
 __all__ = [
     "chunk",
+    "clean",
     "decontaminate",
     "dedup",
     "pack",

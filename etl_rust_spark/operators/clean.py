@@ -1,0 +1,138 @@
+"""C4-style line-level cleaning (Raffel et al. 2020, §2.2).
+
+The Gopher rules (text.gopher_quality_flags) DECIDE per document; the
+C4 cleaner EDITS inside the document — drop bad lines, keep good ones,
+reconstruct the page — and only then decides.  This is the other half
+of the standard web-corpus cleanup the brief's text-analysis family
+names, and it composes with the rest of the pipeline: run it before
+language-ID / quality / dedup so downstream operators never see
+navigation menus and cookie banners.
+
+Public C4 rules implemented (each parameterizable):
+- keep only lines ending in a terminal punctuation mark (``. ! ? "``);
+- keep only lines with at least ``min_words`` words (paper: 5);
+- drop any line containing the word "javascript" (case-insensitive);
+- drop the whole page if it has fewer than ``min_sentences`` sentences
+  after line filtering (paper: 3), contains "lorem ipsum", contains a
+  curly brace, or (opt-in) matches a caller-supplied badword list.
+
+Scale: a pure scan-side projection — ``split`` → ``filter`` (HOF) →
+``array_join`` — zero shuffles, linear at 100 TB.  The HOF lambda does
+not enter whole-stage codegen (known Spark limitation, NEXT.md gotcha)
+but stays JVM-side and vectorizes per row group; there is no Python in
+the path.  Dual-dialect mirror: :func:`c4_clean_sql` (Java regex ∩ RE2
+only — no lookaround/backrefs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["c4_clean_lines", "c4_clean_sql"]
+
+# Terminal punctuation per the C4 paper: period, exclamation, question
+# mark, or closing double quote.
+_TERM_RE = '[.!?"]\\s*$'
+_JS_RE = "\\bjavascript\\b"
+
+
+def _line_ok(line: Column, min_words: int) -> Column:
+    words = F.size(F.split(F.trim(line), "\\s+"))
+    return (
+        line.rlike(_TERM_RE)
+        & (words >= min_words)
+        & ~F.lower(line).rlike(_JS_RE)
+    )
+
+
+def c4_clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_sentences: int = 3,
+    badwords: list[str] | None = None,
+) -> DataFrame:
+    """(id, text_c4, n_lines, n_lines_kept, n_sentences, c4_keep).
+
+    ``text_c4`` is the page rebuilt from surviving lines (newline
+    joined); ``c4_keep`` is the page-level verdict — callers filter on
+    it and continue with ``text_c4``.  NULL text yields an empty clean
+    text with ``c4_keep`` false (never a NULL verdict), so the filter
+    stage downstream needs no null guard.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(txt, "\n")
+    kept = F.filter(lines, lambda l: _line_ok(l, min_words))
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit("[.!?]"))
+    bad = F.lower(txt).contains("lorem ipsum") | txt.contains("{")
+    if badwords:
+        pat = "\\b(" + "|".join(badwords) + ")\\b"
+        bad = bad | F.lower(txt).rlike(pat)
+    out = df.select(
+        F.col(id_col),
+        clean.alias("text_c4"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        n_sent.alias("n_sentences"),
+        ((n_sent >= min_sentences) & ~bad).alias("c4_keep"),
+    )
+    return out
+
+
+def c4_clean_sql(
+    source: str = "documents",
+    min_words: int = 5,
+    min_sentences: int = 3,
+    max_doc: int | None = None,
+) -> tuple[str, str]:
+    """Dual-dialect mirror of :func:`c4_clean_lines` over
+    ``source(doc_id, text)``; ``c4_keep`` is cast to BIGINT 0/1 (the
+    cross-engine canonical form for booleans, per the gopher_pass
+    lesson)."""
+    where = f"WHERE doc_id <= {max_doc}" if max_doc is not None else ""
+
+    def q(dialect: str) -> str:
+        # Spark SQL string literals process backslash escapes; DuckDB's
+        # do not (strip_markup lesson).
+        if dialect == "spark":
+            term, ws, js = '[.!?\\"]\\\\s*$', "\\\\s+", "\\\\bjavascript\\\\b"
+            split_l = "split(coalesce(text, ''), '\\n')"
+            keep = (
+                f"filter({split_l}, l -> l RLIKE '{term}' "
+                f"AND size(split(trim(l), '{ws}')) >= {min_words} "
+                f"AND NOT lower(l) RLIKE '{js}')"
+            )
+            joined = "array_join(__kept, '\\n')"
+            nsent = "size(regexp_extract_all(__clean, '[.!?]', 0))"
+            nlines = f"size({split_l})"
+            nkept = "size(__kept)"
+        else:
+            term, ws, js = '[.!?"]\\s*$', "\\s+", "\\bjavascript\\b"
+            split_l = "string_split(coalesce(text, ''), chr(10))"
+            keep = (
+                f"list_filter({split_l}, l -> regexp_matches(l, '{term}') "
+                f"AND len(string_split_regex(trim(l), '{ws}')) >= {min_words} "
+                f"AND NOT regexp_matches(lower(l), '{js}'))"
+            )
+            # array_to_string of an EMPTY list is NULL in DuckDB (Spark's
+            # array_join returns '') — coalesce to keep the dialects equal.
+            joined = "coalesce(array_to_string(__kept, chr(10)), '')"
+            nsent = "len(regexp_extract_all(__clean, '[.!?]'))"
+            nlines = f"len({split_l})"
+            nkept = "len(__kept)"
+        low = "lower(coalesce(text, ''))"
+        bad = (
+            f"({low} LIKE '%lorem ipsum%' OR coalesce(text, '') LIKE '%{{%')"
+        )
+        return f"""
+WITH k AS (SELECT doc_id, text, {keep} AS __kept FROM {source} {where}),
+c AS (SELECT doc_id, text, __kept, {joined} AS __clean FROM k)
+SELECT doc_id, __clean AS text_c4, {nlines} AS n_lines, {nkept} AS n_lines_kept,
+  {nsent} AS n_sentences,
+  CAST(CASE WHEN {nsent} >= {min_sentences} AND NOT {bad} THEN 1 ELSE 0 END AS BIGINT) AS c4_keep
+FROM c ORDER BY doc_id"""
+
+    return q("spark"), q("duck")

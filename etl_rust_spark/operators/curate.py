@@ -145,6 +145,7 @@ def curate_corpus(
     shingle_width: int = 3,
     near_dup_strategy: str = "greedy",
     strip_markup: bool = False,
+    c4_clean: bool = False,
     substring_k: int | None = None,
     quality_model=None,
     quality_model_threshold: float = 0.5,
@@ -161,6 +162,13 @@ def curate_corpus(
     the order a real pipeline runs (tags would otherwise pollute
     shingles and token stats).  Off by default so the gated entry's
     semantics are unchanged.
+
+    ``c4_clean=True`` (r6) runs the C4 line-level cleaner
+    (``clean.c4_clean_lines``) after markup stripping: pages failing
+    the C4 page rules (``c4_keep``) are dropped and the survivors
+    continue with the line-filtered ``text_c4`` — so menus and cookie
+    banners never reach shingling.  Off by default (the gated entry's
+    corpus is single-line word-soup; C4 would empty it).
 
     ``substring_k`` (r6): run exact substring dedup first — repeated
     ``substring_k``-gram spans are cut (first occurrence kept,
@@ -180,6 +188,15 @@ def curate_corpus(
             docs.drop(text_col)
             .join(cleaned, id_col)
             .withColumnRenamed("text_clean", text_col)
+        )
+    if c4_clean:
+        from etl_rust_spark.operators import clean as _clean
+
+        c4 = _clean.c4_clean_lines(docs, text_col, id_col)
+        docs = (
+            docs.drop(text_col)
+            .join(c4.filter(F.col("c4_keep")).select(id_col, "text_c4"), id_col)
+            .withColumnRenamed("text_c4", text_col)
         )
     if substring_k is not None:
         from etl_rust_spark.operators import substring as _substring

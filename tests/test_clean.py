@@ -1,0 +1,109 @@
+"""C4 line-level cleaning: rule semantics, edge cases, and the
+three-way (API == Spark SQL == DuckDB) mirror equality on a planted
+multi-line fixture (the synthetic documents corpus is single-line
+word-soup, so the fixture carries the interesting structure)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_rust_spark.functions.hashing import canonical_hash
+from etl_rust_spark.operators import clean
+
+DOCS = [
+    (1, 'Good first sentence here today.\nShort line.\nAnother fine sentence with words!\nIs this a question with words?\nno terminal punctuation line here'),
+    (2, 'Only one good sentence survives here.\nbad\nbad again'),
+    (3, 'This javascript line should be dropped here.\nKeep this sentence with many words.\nAnd keep this other sentence too!\nAlso keep a third good sentence here.'),
+    (4, 'Lorem ipsum dolor sit amet something here.\nA second proper sentence lives here.\nA third proper sentence lives here!\nA fourth proper sentence lives here?'),
+    (5, 'function f() { return 1; }\nA proper sentence with enough words.\nAnother proper sentence with enough words.\nThird proper sentence with enough words.'),
+    (6, None),
+    (7, ''),
+    (8, 'He said "this ends with a quote."\nSecond sentence with enough words here.\nThird sentence with enough words here.'),
+]
+
+
+def _planted(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _duck_values_cte() -> str:
+    rows = []
+    for i, t in DOCS:
+        if t is None:
+            rows.append(f"({i}, CAST(NULL AS VARCHAR))")
+        else:
+            lit = t.replace("'", "''").replace("\n", "' || chr(10) || '")
+            rows.append(f"({i}, '{lit}')")
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS v(doc_id, text)"
+
+
+def test_c4_rules(spark):
+    out = {r.doc_id: r for r in clean.c4_clean_lines(_planted(spark)).collect()}
+    # doc 1: 5 lines; "Short line." (<5 words) and the unpunctuated line drop
+    assert out[1].n_lines == 5 and out[1].n_lines_kept == 3
+    assert out[1].n_sentences == 3 and out[1].c4_keep is True
+    assert "Short line." not in out[1].text_c4
+    # doc 2: one surviving sentence < min_sentences → page dropped
+    assert out[2].n_lines_kept == 1 and out[2].c4_keep is False
+    # doc 3: javascript line dropped, page survives on the other three
+    assert out[3].n_lines_kept == 3 and out[3].c4_keep is True
+    assert "javascript" not in out[3].text_c4
+    # doc 4: lorem ipsum page-level drop despite enough sentences
+    assert out[4].n_sentences >= 3 and out[4].c4_keep is False
+    # doc 5: curly brace page-level drop
+    assert out[5].c4_keep is False
+    # null/empty: empty clean text, false verdict, never NULL
+    for d in (6, 7):
+        assert out[d].text_c4 == "" and out[d].c4_keep is False
+    # doc 8: closing-quote terminal punctuation counts
+    assert out[8].text_c4.startswith('He said "this ends with a quote."')
+    assert out[8].c4_keep is True
+
+
+def test_c4_badwords_and_params(spark):
+    out = {
+        r.doc_id: r
+        for r in clean.c4_clean_lines(
+            _planted(spark), min_words=2, min_sentences=1, badwords=["quote"]
+        ).collect()
+    }
+    assert out[1].n_lines_kept == 4  # "Short line." now long enough
+    assert out[2].c4_keep is True    # one sentence suffices now
+    assert out[8].c4_keep is False   # badword hit
+
+
+def test_c4_three_way_mirror(spark, duck):
+    sp_sql, du_sql = clean.c4_clean_sql(source="c4_fixture")
+    _planted(spark).createOrReplaceTempView("c4_fixture")
+    duck.execute(
+        f"CREATE OR REPLACE VIEW c4_fixture AS {_duck_values_cte()}"
+    )
+    api = clean.c4_clean_lines(_planted(spark)).withColumn(
+        "c4_keep", F.col("c4_keep").cast("long")
+    ).orderBy("doc_id")
+    sql_df = spark.sql(sp_sql)
+    cols = sorted(api.columns)
+    assert sorted(sql_df.columns) == cols
+
+    def h(rows):
+        return canonical_hash([tuple(r[c] for c in cols) for r in rows], cols)
+
+    from tests.oracle import run_duck
+
+    d_rows, d_cols = run_duck(duck, du_sql)
+    d_idx = [d_cols.index(c) for c in cols]
+    h_api, h_sql = h(api.collect()), h(sql_df.collect())
+    h_duck = canonical_hash([tuple(r[i] for i in d_idx) for r in d_rows], cols)
+    assert h_api == h_sql == h_duck
+
+
+def test_c4_mirror_on_corpus(spark, duck, sf_dir):
+    """The single-line corpus is degenerate (no terminal punctuation →
+    everything drops) but the mirror must still agree on it."""
+    from etl_rust_spark.catalog import register_views
+    from tests.oracle import compare
+
+    register_views(spark, sf_dir)
+    sp_sql, du_sql = clean.c4_clean_sql(max_doc=80)
+    res = compare(spark, duck, sf_dir, sp_sql, du_sql)
+    assert res["match"], res

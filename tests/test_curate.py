@@ -236,3 +236,26 @@ def test_curate_with_markup_stripping(spark):
         ).collect()
     }
     assert got_raw == {1, 2}
+
+
+def test_curate_with_c4_clean(spark):
+    """c4_clean=True: boilerplate lines are cut before shingling and
+    pages failing the C4 page rules are dropped entirely."""
+    good = (
+        "the cat and the dog sat on the mat in the warm sun today.\n"
+        "the dog then chased the cat around the big green garden there.\n"
+        "later they both slept on the mat for the whole afternoon there."
+    )
+    rows = [
+        (1, good + "\nHome | About | Contact"),      # menu line must be cut
+        (2, "click here\nlogin\nsignup"),             # no sentences -> dropped
+        (3, good.replace("cat", "{cat}")),            # brace -> page dropped
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curate.curate_corpus(
+        docs, languages=["en"], near_dup_threshold=None, c4_clean=True
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {1}
+    assert "Home | About" not in got[1]
+    assert got[1].count("\n") == 2
