@@ -399,16 +399,26 @@ def _op_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Hypertable rollup: hourly level from raw (with exact ndv), daily
     # level MERGED from the hourly counters (never rescanning raw) — the
     # oracle derives both levels from raw, gating the mergeability claim.
+    # p50_c (r6): histogram-median from the mergeable hist state — the
+    # hourly row reads its own histogram, the daily row reads the
+    # element-wise-summed hourly histograms, while the oracle computes
+    # both medians from raw bins — gating quantiles-from-merged-state.
     from etl_rust_spark.operators import rollup
 
     register_views(spark, sf_dir)
     ev = spark.table("events")
-    hourly = rollup.time_rollup(ev, exact_ndv=True, sketch=False)
-    h = hourly.select(F.lit("h").alias("lvl"), "bs", "event_type", "n", "v_c", "n_users")
+    hourly = rollup.time_rollup(
+        ev, exact_ndv=True, sketch=False, hist_bins=rollup.HIST_BINS
+    )
+    h = hourly.select(
+        F.lit("h").alias("lvl"), "bs", "event_type", "n", "v_c", "n_users",
+        rollup.hist_quantile("hist", 0.5).alias("p50_c"),
+    )
     daily = rollup.merge_rollup(hourly.drop("n_users"), 86400)
     d = daily.select(
         F.lit("d").alias("lvl"), "bs", "event_type", "n", "v_c",
         F.lit(None).cast("long").alias("n_users"),
+        rollup.hist_quantile("hist", 0.5).alias("p50_c"),
     )
     return h.unionByName(d).orderBy("lvl", "bs", "event_type")
 

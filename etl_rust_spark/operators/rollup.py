@@ -20,6 +20,14 @@ that re-associates exactly under union:
   one-shot ``time_rollup`` can attach it for gate-able exactness, but
   the persisted/incremental path lives on sketches, the standard
   tradeoff at 100 TB.)
+- ``hist`` — a fixed-bin value histogram (array<long> of bin counts),
+  merge by element-wise SUM (exactly re-associative, unlike rank-based
+  quantile sketches): any percentile at any coarser granularity comes
+  from :func:`hist_quantile`'s inverse CDF over the merged counts, with
+  deterministic bin-edge values — so the quantile path IS hash-gateable,
+  where approximate KLL/t-digest merges would not be.  Resolution is the
+  bin width; at 100 TB that is the standard histogram trade
+  (percentile_approx is per-query and its state never persists).
 
 Scale notes: the rollup is one map-side-combined shuffle on
 (bucket, dims) — partial aggregation collapses each executor's rows to
@@ -40,11 +48,98 @@ __all__ = [
     "time_bucket",
     "time_rollup",
     "merge_rollup",
+    "hist_quantile",
     "write_rollup",
     "update_rollup",
     "read_rollup",
     "rollup_duck_sql",
 ]
+
+# Default histogram domain for the synthetic events.value column
+# ([0.01, ~500] across scales): 32 bins of width 16.  Out-of-range
+# values clamp into the edge bins — deterministic on both engines.
+HIST_BINS = 32
+HIST_LO = 0.0
+HIST_HI = 512.0
+
+
+def _hist_bin(value: str | Column, lo: float, hi: float, bins: int) -> Column:
+    """Clamped bin index for one raw value.  The bin width is computed
+    in PYTHON and embedded as a double literal so both engines divide
+    by bit-identical constants (SQL-text numeric literals are DECIMAL
+    in Spark — the dq lesson in NEXT.md)."""
+    w = (hi - lo) / bins
+    c = F.col(value) if isinstance(value, str) else value
+    b = F.floor((c - F.lit(float(lo))) / F.lit(w)).cast("int")
+    return F.least(F.lit(bins - 1), F.greatest(F.lit(0), b))
+
+
+def _hist_agg(bin_col: Column, bins: int) -> Column:
+    """Aggregate expression building the per-group histogram: one
+    conditional SUM per bin, arrayed.  Algebraic, so partial (map-side)
+    aggregation collapses executor-local rows before the shuffle —
+    shuffle volume stays buckets × dims × bins longs, never raw rows.
+    The bin count rides the column metadata so mergers can rebuild the
+    element-wise SUM without peeking at data."""
+    arr = F.array(
+        *[
+            F.sum(F.when(bin_col == i, F.lit(1)).otherwise(F.lit(0))).cast("long")
+            for i in range(bins)
+        ]
+    )
+    return arr.alias("hist", metadata={"bins": bins})
+
+
+def _hist_width(df: DataFrame) -> int:
+    """Bin count of ``df``'s ``hist`` column, from the metadata stamped
+    by :func:`_hist_agg` (plan-only — no action)."""
+    meta = df.schema["hist"].metadata
+    bins = meta.get("bins") if meta else None
+    if not bins:
+        raise ValueError(
+            "hist column carries no 'bins' metadata; rebuild it via "
+            "time_rollup(hist_bins=...) or re-stamp the metadata after "
+            "an external round-trip"
+        )
+    return int(bins)
+
+
+def hist_quantile(
+    hist: str | Column,
+    q: float,
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    bins: int = HIST_BINS,
+) -> Column:
+    """Quantile from histogram state: the LOWER EDGE of the smallest bin
+    whose cumulative count reaches ``ceil(q·total)``, in integer cents
+    (BIGINT) — deterministic, hence hash-gateable, unlike interpolated
+    percentiles.  NULL when the histogram is empty.  Scan-side HOF fold
+    over a ``bins``-element array; no shuffle, no Python."""
+    c = F.col(hist) if isinstance(hist, str) else hist
+    zero = F.lit(0).cast("long")
+    total = F.aggregate(c, zero, lambda a, x: a + x)
+    thr = F.ceil(F.lit(float(q)) * total).cast("long")
+    acc0 = F.struct(
+        zero.alias("cum"), F.lit(0).alias("i"), F.lit(-1).alias("bin")
+    )
+    qbin = F.aggregate(
+        c,
+        acc0,
+        lambda a, x: F.struct(
+            (a.cum + x).alias("cum"),
+            (a.i + F.lit(1)).alias("i"),
+            F.when(a.bin >= 0, a.bin)
+            .otherwise(F.when(a.cum + x >= thr, a.i).otherwise(F.lit(-1)))
+            .alias("bin"),
+        ),
+        lambda a: a.bin,
+    )
+    w = (hi - lo) / bins
+    edge_c = F.round((F.lit(float(lo)) + qbin.cast("double") * F.lit(w)) * 100, 0)
+    # total > 0 guard: an all-zero histogram has thr = 0, which the fold
+    # would otherwise satisfy at bin 0 instead of yielding NULL.
+    return F.when((total > 0) & (qbin >= 0), edge_c.cast("long"))
 
 
 def time_bucket(ts: str | Column, bucket_sec: int) -> Column:
@@ -65,12 +160,18 @@ def time_rollup(
     user: str = "user_id",
     exact_ndv: bool = False,
     sketch: bool = True,
+    hist_bins: int | None = None,
+    hist_lo: float = HIST_LO,
+    hist_hi: float = HIST_HI,
 ) -> DataFrame:
-    """One-shot rollup of raw events → (bs, dims..., n, v_c[, n_users][, user_sketch]).
+    """One-shot rollup of raw events → (bs, dims..., n, v_c[, n_users]
+    [, user_sketch][, hist]).
 
     ``exact_ndv`` attaches an exact ``n_users`` (NOT mergeable — for
     gates and one-shot reports); ``sketch`` attaches the mergeable HLL
-    binary the incremental path relies on.
+    binary the incremental path relies on; ``hist_bins`` attaches the
+    mergeable value histogram :func:`hist_quantile` reads percentiles
+    from.
     """
     aggs = [
         F.count(F.lit(1)).alias("n"),
@@ -80,6 +181,8 @@ def time_rollup(
         aggs.append(F.countDistinct(user).alias("n_users"))
     if sketch:
         aggs.append(F.hll_sketch_agg(user).alias("user_sketch"))
+    if hist_bins:
+        aggs.append(_hist_agg(_hist_bin(value, hist_lo, hist_hi, hist_bins), hist_bins))
     return df.groupBy(time_bucket(ts, bucket_sec).alias("bs"), *dims).agg(*aggs)
 
 
@@ -96,12 +199,22 @@ def merge_rollup(
 
     ``estimate`` additionally materializes ``n_users_est`` from the
     merged sketch (the sketch column is kept either way, so further
-    coarsening keeps merging).
+    coarsening keeps merging).  A ``hist`` column merges by
+    element-wise SUM (the bin count is read from the input's array
+    type at plan time — exact, so quantiles over the merged histogram
+    equal quantiles computed from raw).
     """
     has_sketch = "user_sketch" in rollup.columns
     aggs = [F.sum("n").alias("n"), F.sum("v_c").alias("v_c")]
     if has_sketch:
         aggs.append(F.hll_union_agg("user_sketch").alias("user_sketch"))
+    if "hist" in rollup.columns:
+        nb = _hist_width(rollup)
+        aggs.append(
+            F.array(
+                *[F.sum(F.col("hist")[i]).cast("long") for i in range(nb)]
+            ).alias("hist", metadata={"bins": nb})
+        )
     out = rollup.groupBy(time_bucket("bs", bucket_sec).alias("bs"), *dims).agg(*aggs)
     if has_sketch and estimate:
         out = out.withColumn("n_users_est", F.hll_sketch_estimate("user_sketch"))
@@ -131,22 +244,31 @@ def update_rollup(
     dims: tuple[str, ...] = ("event_type",),
     value: str = "value",
     user: str = "user_id",
+    hist_lo: float = HIST_LO,
+    hist_hi: float = HIST_HI,
 ) -> None:
     """Incrementally fold a raw delta into a persisted rollup.
 
     Rolls up the delta, unions it with the EXISTING rollup rows of the
     touched date partitions only, re-merges state (SUM counters,
-    ``hll_union_agg`` sketches), and dynamic-partition-overwrites just
+    ``hll_union_agg`` sketches, element-wise-summed ``hist`` when the
+    persisted rollup carries one — bin count read from its column
+    metadata; ``hist_lo``/``hist_hi`` must match the producer's
+    domain), and dynamic-partition-overwrites just
     those dates.  Cost scales with the delta + its dirty partitions,
     never with rollup history.  Replaying the same delta twice is NOT
     idempotent (counters re-sum) — exactly-once delivery is the
     pipeline layer's job (S-08 checkpoints); rerunning a FAILED write
     is safe because the overwrite is atomic per partition.
     """
+    persisted = spark.read.parquet(path)
+    has_hist = "hist" in persisted.columns
+    hb = _hist_width(persisted) if has_hist else None
     d_roll = _partitioned(
         time_rollup(
             delta, ts=ts, bucket_sec=bucket_sec, dims=dims, value=value,
-            user=user, exact_ndv=False, sketch=True,
+            user=user, exact_ndv=False, sketch=True, hist_bins=hb,
+            hist_lo=hist_lo, hist_hi=hist_hi,
         )
     )
     dirty = [r["b_date"] for r in d_roll.select("b_date").distinct().collect()]
@@ -158,15 +280,18 @@ def update_rollup(
         .filter(F.col("b_date").isin(dirty))
         .localCheckpoint(eager=True)
     )
-    merged = (
-        existing.unionByName(d_roll)
-        .groupBy("bs", *dims)
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("v_c").alias("v_c"),
-            F.hll_union_agg("user_sketch").alias("user_sketch"),
+    maggs = [
+        F.sum("n").alias("n"),
+        F.sum("v_c").alias("v_c"),
+        F.hll_union_agg("user_sketch").alias("user_sketch"),
+    ]
+    if has_hist:
+        maggs.append(
+            F.array(
+                *[F.sum(F.col("hist")[i]).cast("long") for i in range(hb)]
+            ).alias("hist", metadata={"bins": hb})
         )
-    )
+    merged = existing.unionByName(d_roll).groupBy("bs", *dims).agg(*maggs)
     writer = _partitioned(merged).write.partitionBy("b_date")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     writer.mode("overwrite").parquet(path)
@@ -175,22 +300,47 @@ def update_rollup(
 def rollup_duck_sql() -> str:
     """DuckDB oracle for the gated ``op_rollup`` entry.  Both levels are
     derived from RAW events here, while the engine derives the daily
-    level by MERGING the hourly rollup (counters re-summed) — the hash
-    gate therefore checks the mergeability claim, not a mirror of the
-    engine's plan.  Exact ``n_users`` is hourly-only (not mergeable);
-    the daily level carries NULL, and the sketch-based estimate path is
-    covered by tests instead (approximate ≠ hash-gateable)."""
+    level by MERGING the hourly rollup (counters re-summed, histograms
+    element-wise-summed) — the hash gate therefore checks the
+    mergeability claim, not a mirror of the engine's plan.  Exact
+    ``n_users`` is hourly-only (not mergeable); the daily level carries
+    NULL, and the sketch-based estimate path is covered by tests
+    instead (approximate ≠ hash-gateable).  ``p50_c`` (since r6) is the
+    histogram median — lower edge of the smallest bin whose cumulative
+    count reaches ceil(n/2), in cents: the oracle computes it from raw
+    bins with a window cumsum, the engine reads it off rollup state
+    (hourly: own histogram; daily: hourly histograms merged), so the
+    hash pins the quantiles-from-merged-state claim exactly."""
+    w_bin = (HIST_HI - HIST_LO) / HIST_BINS
+    bin_expr = (
+        f"LEAST({HIST_BINS - 1}, GREATEST(0, "
+        f"CAST(FLOOR((value - {HIST_LO!r}) / {w_bin!r}) AS INT)))"
+    )
+    p50 = f"CAST(ROUND(({HIST_LO!r} + qbin * {w_bin!r}) * 100, 0) AS BIGINT)"
     tmpl = """
  SELECT CAST(to_timestamp(CAST(floor(epoch(ts)/{w}) AS BIGINT)*{w}) AS TIMESTAMP) AS bs,
         event_type, COUNT(*) AS n,
         CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS v_c,
         {ndv} AS n_users
  FROM events GROUP BY 1,2"""
+    qtmpl = """
+ SELECT bs, event_type, MIN(bin) AS qbin FROM (
+   SELECT bs, event_type, bin,
+          SUM(c) OVER (PARTITION BY bs, event_type ORDER BY bin) AS cum,
+          SUM(c) OVER (PARTITION BY bs, event_type) AS tot
+   FROM (SELECT CAST(to_timestamp(CAST(floor(epoch(ts)/{w}) AS BIGINT)*{w}) AS TIMESTAMP) AS bs,
+                event_type, {bin} AS bin, COUNT(*) AS c
+         FROM events GROUP BY 1,2,3))
+ WHERE cum >= CAST(CEIL(0.5 * tot) AS BIGINT) GROUP BY 1,2"""
     h = tmpl.format(w=3600, ndv="COUNT(DISTINCT user_id)")
     d = tmpl.format(w=86400, ndv="CAST(NULL AS BIGINT)")
+    qh = qtmpl.format(w=3600, bin=bin_expr)
+    qd = qtmpl.format(w=86400, bin=bin_expr)
     return (
-        f"WITH h AS ({h}),\nd AS ({d})\n"
-        "SELECT 'h' AS lvl, bs, event_type, n, v_c, n_users FROM h\n"
-        "UNION ALL SELECT 'd' AS lvl, bs, event_type, n, v_c, n_users FROM d\n"
+        f"WITH h AS ({h}),\nd AS ({d}),\nqh AS ({qh}),\nqd AS ({qd})\n"
+        f"SELECT 'h' AS lvl, bs, event_type, n, v_c, n_users, {p50} AS p50_c"
+        " FROM h JOIN qh USING (bs, event_type)\n"
+        f"UNION ALL SELECT 'd' AS lvl, bs, event_type, n, v_c, n_users, {p50} AS p50_c"
+        " FROM d JOIN qd USING (bs, event_type)\n"
         "ORDER BY lvl, bs, event_type"
     )

@@ -186,3 +186,97 @@ def test_update_rollup_incremental_equals_full(spark, sf_dir, tmp_path):
     ).count() == 0
     # Sketch state unions to the same estimates as a one-shot build.
     assert j.filter(F.col("e1") != F.col("e2")).count() == 0
+
+
+def test_hist_quantile_semantics(spark):
+    """Inverse-CDF reading of histogram state: lower edge of the first
+    bin whose cumulative count reaches ceil(q*n); empty hist → NULL."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("hist", ArrayType(LongType())),
+    ])
+    rows = [
+        (1, [0, 3, 1, 0]),   # n=4, thr=2 → bin 1
+        (2, [5, 0, 0, 0]),   # all in bin 0
+        (3, [0, 0, 0, 2]),   # all in the last bin
+        (4, [0, 0, 0, 0]),   # empty → NULL
+        (5, [1, 1, 1, 1]),   # n=4, thr=2 → bin 1
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = {
+        r.id: r.p
+        for r in df.select(
+            "id", rollup.hist_quantile("hist", 0.5, lo=0.0, hi=4.0, bins=4).alias("p")
+        ).collect()
+    }
+    # width=1 → edges 0,1,2,3 → cents 0,100,200,300
+    assert out == {1: 100, 2: 0, 3: 300, 4: None, 5: 100}
+    p99 = df.filter("id = 5").select(
+        rollup.hist_quantile("hist", 0.99, lo=0.0, hi=4.0, bins=4).alias("p")
+    ).collect()[0].p
+    assert p99 == 300  # thr=ceil(3.96)=4 → last bin
+
+
+def test_hist_bin_clamps_out_of_range(spark):
+    ev = spark.createDataFrame(
+        [(-5.0,), (0.0,), (511.9,), (9999.0,)], ["value"]
+    )
+    bins = ev.select(
+        rollup._hist_bin("value", rollup.HIST_LO, rollup.HIST_HI, rollup.HIST_BINS).alias("b")
+    ).collect()
+    assert [r.b for r in bins] == [0, 0, 31, 31]
+
+
+def test_hist_merges_exactly_across_levels(spark, sf_dir):
+    """Element-wise-summed histograms at the daily level equal a daily
+    histogram built from raw — the exact-mergeability claim — and the
+    median read from merged state equals the median from raw state."""
+    from etl_rust_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    hourly = rollup.time_rollup(ev, sketch=False, hist_bins=rollup.HIST_BINS)
+    daily_merged = rollup.merge_rollup(hourly, 86400)
+    daily_raw = rollup.time_rollup(
+        ev, bucket_sec=86400, sketch=False, hist_bins=rollup.HIST_BINS
+    )
+    key = ["bs", "event_type"]
+    j = daily_merged.select(key + [F.col("hist").alias("h1")]).join(
+        daily_raw.select(key + [F.col("hist").alias("h2")]), key, "full"
+    )
+    assert j.filter(
+        F.col("h1").isNull() | F.col("h2").isNull() | (F.col("h1") != F.col("h2"))
+    ).count() == 0
+    q = j.select(
+        rollup.hist_quantile("h1", 0.5).alias("p1"),
+        rollup.hist_quantile("h2", 0.5).alias("p2"),
+    )
+    assert q.filter(F.col("p1") != F.col("p2")).count() == 0
+
+
+def test_update_rollup_carries_hist(spark, sf_dir, tmp_path):
+    """The incremental path round-trips histogram state through parquet
+    (bin count from column metadata) and merges it to the one-shot
+    result."""
+    from etl_rust_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    cut = dt.datetime(2024, 1, 20, 12, tzinfo=UTC)
+    base, delta = ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)
+    path = str(tmp_path / "rollup_hist")
+    rollup.write_rollup(
+        rollup.time_rollup(base, hist_bins=rollup.HIST_BINS), path
+    )
+    rollup.update_rollup(spark, path, delta)
+    inc = rollup.read_rollup(spark, path)
+    full = rollup.time_rollup(ev, hist_bins=rollup.HIST_BINS)
+    key = ["bs", "event_type"]
+    j = inc.select(key + [F.col("hist").alias("h1")]).join(
+        full.select(key + [F.col("hist").alias("h2")]), key, "full"
+    )
+    assert j.filter(
+        F.col("h1").isNull() | F.col("h2").isNull() | (F.col("h1") != F.col("h2"))
+    ).count() == 0
