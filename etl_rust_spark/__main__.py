@@ -124,6 +124,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     pc.add_argument("--strip-markup", action="store_true")
     pc.add_argument(
+        "--c4-clean",
+        action="store_true",
+        help="C4 line-level cleaning: drop boilerplate lines and pages "
+        "failing the C4 page rules before the quality/dedup stages",
+    )
+    pc.add_argument(
         "--substring-k",
         type=int,
         default=None,
@@ -249,6 +255,7 @@ def main(argv: list[str] | None = None) -> int:
             near_dup_threshold=args.near_dup_threshold,
             near_dup_strategy=args.near_dup_strategy,
             strip_markup=args.strip_markup,
+            c4_clean=args.c4_clean,
             substring_k=args.substring_k,
         )
         if args.scrub_pii:

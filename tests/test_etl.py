@@ -170,6 +170,31 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     assert "<EMAIL>" in got[4].text and got[4].n_email == 1
 
 
+def test_cli_curate_c4_flag(spark, tmp_path, capsys):
+    """--c4-clean: boilerplate lines cut and sentence-less pages dropped
+    before the rest of the pipeline."""
+    import json as _json
+
+    from etl_rust_spark.__main__ import main
+
+    good = (
+        "the quick brown fox jumps over the lazy dog far away today.\n"
+        "the dog wakes up and chases the fox across the green field.\n"
+        "both rest under the old oak tree for the whole long afternoon."
+    )
+    rows = [(1, good + "\nHome | About | Contact"), (2, "login\nsignup")]
+    src = str(tmp_path / "corpus_c4")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+    out = str(tmp_path / "curated_c4")
+    rc = main(["curate", src, "--out", out, "--c4-clean",
+               "--near-dup-threshold", "0.5"])
+    assert rc == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report == {"input": 2, "kept": 1, "removed": 1}
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and "Home | About" not in got[0].text
+
+
 def test_cli_index_range_reverse(spark, chain, tmp_path):
     # --reverse is reachable from the CLI (reference src/main.rs:75-83)
     # and the genesis guard rejects a reverse range ending at 0.
