@@ -165,6 +165,19 @@ def main(argv: list[str] | None = None) -> int:
         "(plumbing dry-runs; video always decodes for real)",
     )
 
+    pp = sub.add_parser(
+        "profile",
+        help="profile a parquet table: per-column row/null/distinct "
+        "counts and min/max in one aggregation pass",
+    )
+    pp.add_argument("table", help="input parquet path")
+    pp.add_argument("--columns", default=None, help="comma list (default: all)")
+    pp.add_argument(
+        "--exact-ndv",
+        action="store_true",
+        help="exact distinct counts instead of HyperLogLog estimates",
+    )
+
     args = p.parse_args(argv)
 
     # O-04: reject invalid feature combos before any Spark work — the
@@ -268,6 +281,17 @@ def main(argv: list[str] | None = None) -> int:
             docs, spark.read.parquet(args.out), lsh_stats=args.lsh_stats
         )
         print(json.dumps(report))
+    elif args.cmd == "profile":
+        from etl_rust_spark.operators import profile as _profile
+
+        df = spark.read.parquet(args.table)
+        prof = _profile.profile_table(
+            df,
+            columns=args.columns.split(",") if args.columns else None,
+            exact_ndv=args.exact_ndv,
+        )
+        for r in prof.collect():
+            print(json.dumps(r.asDict()))
     elif args.cmd == "dedup-media":
         from pyspark.sql import functions as F
 

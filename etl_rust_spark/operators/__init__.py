@@ -52,6 +52,7 @@ from etl_rust_spark.operators import (
     decontaminate,
     dedup,
     pack,
+    profile,
     scrub,
     similarity,
     substring,
@@ -65,6 +66,7 @@ __all__ = [
     "decontaminate",
     "dedup",
     "pack",
+    "profile",
     "scrub",
     "similarity",
     "substring",

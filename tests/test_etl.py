@@ -351,3 +351,22 @@ def test_cli_dedup_media(spark, tmp_path, capsys):
     assert rep == {"image": 1, "audio": 1, "video": 1}
     pairs = {(r["modality"], r["aid"], r["bid"]) for r in spark.read.parquet(out).collect()}
     assert pairs == {("image", 1, 2), ("audio", 3, 4), ("video", 5, 6)}
+
+
+def test_cli_profile(spark, tmp_path, capsys):
+    """The `profile` verb: one JSON line per column."""
+    import json as _json
+
+    from etl_rust_spark.__main__ import main
+
+    src = str(tmp_path / "ptab")
+    spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], ["k", "s"]
+    ).write.parquet(src)
+    rc = main(["profile", src, "--exact-ndv"])
+    assert rc == 0
+    lines = [
+        _json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+    ]
+    got = {d["col_name"]: d for d in lines}
+    assert got["k"]["n_distinct"] == 2 and got["s"]["n_null"] == 1

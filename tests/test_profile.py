@@ -1,0 +1,89 @@
+"""profile_table: one-pass semantics, single-job plan shape, and the
+three-way mirror (engine single-agg form == Spark SQL == DuckDB) on
+atomic columns of the corpus tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_rust_spark.catalog import register_views
+from etl_rust_spark.functions.hashing import canonical_hash
+from etl_rust_spark.operators import profile
+
+
+def test_profile_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, 2.5), (3, "b", 2.5)],
+        ["k", "s", "v"],
+    )
+    out = {r.col_name: r for r in profile.profile_table(df, exact_ndv=True).collect()}
+    assert set(out) == {"k", "s", "v"}
+    assert out["k"].n_rows == 4 and out["k"].n_null == 0
+    assert out["k"].n_distinct == 3
+    assert out["k"].min_s == "1" and out["k"].max_s == "3"
+    assert out["s"].n_null == 1 and out["s"].n_distinct == 2
+    assert out["s"].min_s == "a" and out["s"].max_s == "b"
+    assert out["v"].n_nonnull == 3 and out["v"].n_distinct == 2
+    assert out["v"].dtype == "double"
+
+
+def test_profile_skips_map_columns(spark):
+    df = spark.createDataFrame([(1, {"a": 1})], ["k", "m"])
+    out = profile.profile_table(df)
+    assert [r.col_name for r in out.collect()] == ["k"]
+    with pytest.raises(ValueError):
+        profile.profile_table(df, columns=["m"])
+
+
+def test_profile_is_single_job_single_scan(spark, sf_dir):
+    """The whole profile must be ONE aggregation over ONE scan of the
+    table — the plan contains exactly one parquet scan and no join."""
+    register_views(spark, sf_dir)
+    df = profile.profile_table(spark.table("orders"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_profile_three_way_mirror(spark, duck, sf_dir):
+    from tests.oracle import run_duck
+
+    register_views(spark, sf_dir)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"]
+    api = (
+        profile.profile_table(spark.table("orders"), cols, exact_ndv=True)
+        .drop("dtype")
+        .orderBy("col_name")
+    )
+    sp_sql, du_sql = profile.profile_duck_sql("orders", cols)
+    sql_df = spark.sql(sp_sql)
+    cc = sorted(api.columns)
+    assert sorted(sql_df.columns) == cc
+
+    def h(rows):
+        return canonical_hash([tuple(r[c] for c in cc) for r in rows], cc)
+
+    d_rows, d_cols = run_duck(duck, du_sql)
+    idx = [d_cols.index(c) for c in cc]
+    h_duck = canonical_hash([tuple(r[i] for i in idx) for r in d_rows], cc)
+    assert h(api.collect()) == h(sql_df.collect()) == h_duck
+
+
+def test_profile_approx_ndv_close(spark, sf_dir):
+    register_views(spark, sf_dir)
+    approx = {
+        r.col_name: r.n_distinct
+        for r in profile.profile_table(
+            spark.table("orders"), ["o_orderkey", "o_custkey"]
+        ).collect()
+    }
+    exact = {
+        r.col_name: r.n_distinct
+        for r in profile.profile_table(
+            spark.table("orders"), ["o_orderkey", "o_custkey"], exact_ndv=True
+        ).collect()
+    }
+    for c in approx:
+        # default rsd is 5%; allow 2 sigma
+        assert abs(approx[c] - exact[c]) <= max(2, exact[c] * 0.10)
