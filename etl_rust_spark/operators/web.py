@@ -16,7 +16,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["domain_of", "source_stats", "source_stats_sql", "filter_sources"]
+__all__ = [
+    "domain_of",
+    "canonical_url",
+    "url_dedupe",
+    "canonical_url_sql",
+    "source_stats",
+    "source_stats_sql",
+    "filter_sources",
+]
 
 # scheme://[user@]host[:port]/... → host, lowercased, leading www. dropped
 _HOST_RE = r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
@@ -30,6 +38,144 @@ def domain_of(url_col: str | Column) -> Column:
     col = F.col(url_col) if isinstance(url_col, str) else url_col
     host = F.regexp_extract(F.lower(col), _HOST_RE, 1)
     return F.regexp_replace(host, r"^www\.", "")
+
+
+# Query parameters that never change page content — the standard
+# tracking families a URL canonicalizer drops before URL-level dedup.
+_TRACKING_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid|ref|ref_src)="
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+
+def canonical_url(url_col: str | Column) -> Column:
+    """Canonical form of a URL for URL-level dedup, NULL when the value
+    does not parse as an absolute URL:
+
+    - scheme and host lowercased, userinfo and ``www.`` dropped;
+    - default ports stripped (``:80`` for http, ``:443`` for https);
+    - fragment dropped; trailing slashes stripped from the path
+      (``/`` ≡ empty);
+    - tracking query parameters dropped (utm_*, gclid, fbclid, …) and
+      the survivors SORTED, so parameter order never splits a page into
+      two "distinct" URLs.
+
+    Path and query VALUE case is preserved (case-significant on real
+    servers).  Pure regex/array expressions — scan-side, zero shuffle,
+    dialect-portable (no lookaround).  Mirror: :func:`canonical_url_sql`.
+    """
+    col = F.col(url_col) if isinstance(url_col, str) else url_col
+    scheme = F.lower(F.regexp_extract(col, _SCHEME_RE, 1))
+    auth = F.regexp_extract(col, _AUTH_RE, 1)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(auth, r"^(?:[^@]*@)?([^:]*)", 1)),
+        r"^www\.",
+        "",
+    )
+    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    port_part = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(F.regexp_extract(col, _PATH_RE, 1), r"/+$", "")
+    query = F.regexp_extract(col, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+        )
+    )
+    qstr = F.array_join(params, "&")
+    q_part = F.when(qstr == "", F.lit("")).otherwise(F.concat(F.lit("?"), qstr))
+    canon = F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+    return F.when((scheme != "") & (host != ""), canon)
+
+
+def url_dedupe(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact URL-level dedup: keep the lowest-id row per canonical URL
+    (rows whose URL does not parse are kept — they have no dedup key).
+    One hash-groupBy shuffle on the canonical key, the same shape as
+    content-hash exact dedup."""
+    keyed = df.withColumn("__cu", canonical_url(url_col))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__cu").orderBy(id_col)
+    return (
+        keyed.withColumn(
+            "__rn",
+            F.when(F.col("__cu").isNull(), F.lit(1)).otherwise(
+                F.row_number().over(w)
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__cu", "__rn")
+    )
+
+
+def canonical_url_sql(source: str, url_col: str = "url") -> tuple[str, str]:
+    """Dual-dialect mirror of :func:`canonical_url` over
+    ``source(doc_id, url)`` → (doc_id, url_canon)."""
+
+    def q(dialect: str) -> str:
+        # Spark SQL string literals process backslash escapes; DuckDB's
+        # do not.
+        def rx(pat: str) -> str:
+            return pat.replace("\\", "\\\\") if dialect == "spark" else pat
+
+        track = rx(_TRACKING_RE)
+        if dialect == "spark":
+            ext = lambda c, pat, g: f"regexp_extract({c}, '{rx(pat)}', {g})"
+            rep = lambda c, pat, r: f"regexp_replace({c}, '{rx(pat)}', '{r}')"
+            flt = (
+                f"filter(split(__q, '&'), p -> p != '' AND NOT p RLIKE '{track}')"
+            )
+            srt, join = "array_sort", "array_join"
+        else:
+            ext = lambda c, pat, g: f"regexp_extract({c}, '{pat}', {g})"
+            rep = lambda c, pat, r: f"regexp_replace({c}, '{pat}', '{r}', 'g')"
+            flt = (
+                "list_filter(string_split(__q, '&'), "
+                f"p -> p != '' AND NOT regexp_matches(p, '{track}'))"
+            )
+            srt, join = "list_sort", "array_to_string"
+        u = url_col
+        # Hoisted out of the f-string: expression parts cannot contain
+        # backslashes before Python 3.12.
+        query_re = r"\?([^#]*)"
+        user_host_re = r"^(?:[^@]*@)?([^:]*)"
+        www_re = r"^www\."
+        e_scheme = ext(u, _SCHEME_RE, 1)
+        e_auth = ext(u, _AUTH_RE, 1)
+        e_path = rep(ext(u, _PATH_RE, 1), "/+$", "")
+        e_query = ext(u, query_re, 1)
+        e_host = rep("lower(" + ext("__a", user_host_re, 1) + ")", www_re, "")
+        e_port = ext("__a", ":([0-9]+)$", 1)
+        return f"""
+WITH p AS (SELECT doc_id,
+    lower({e_scheme}) AS __s,
+    {e_auth} AS __a,
+    {e_path} AS __p,
+    {e_query} AS __q
+  FROM {source}),
+h AS (SELECT *, {e_host} AS __h,
+    {e_port} AS __port FROM p),
+qq AS (SELECT *, coalesce({join}({srt}({flt}), '&'), '') AS __qs FROM h)
+SELECT doc_id,
+  CASE WHEN __s != '' AND __h != '' THEN
+    __s || '://' || __h ||
+    (CASE WHEN __port = '' OR (__s = 'http' AND __port = '80')
+               OR (__s = 'https' AND __port = '443')
+          THEN '' ELSE ':' || __port END) ||
+    __p || (CASE WHEN __qs = '' THEN '' ELSE '?' || __qs END)
+  END AS url_canon
+FROM qq ORDER BY doc_id"""
+
+    return q("spark"), q("duck")
 
 
 def source_stats(

@@ -93,3 +93,68 @@ def test_domain_of_and_filter_sources(spark):
     assert all(r.source != "src1" for r in kept2) and len(kept2) == 6
     kept3 = web.filter_sources(docs, allowlist=["src2"]).collect()
     assert {r.source for r in kept3} == {"src2"}
+
+
+URLS = [
+    (1, "https://www.Example.COM/a/b/?utm_source=x&q=1&utm_medium=y#frag"),
+    (2, "https://example.com/a/b?q=1"),            # canonical twin of 1
+    (3, "http://example.com:80/a/b?q=1"),           # default port, http ≠ https
+    (4, "https://example.com:8443/a/b?q=1"),        # non-default port kept
+    (5, "https://user@example.com/a/b?b=2&a=1"),    # params sort, userinfo drops
+    (6, "https://example.com/a/b?a=1&b=2&fbclid=z"),  # canonical twin of 5
+    (7, "not a url"),
+    (8, None),
+    (9, "https://example.com"),                     # bare host
+    (10, "https://example.com/"),                   # root path ≡ bare host
+]
+
+
+def test_canonical_url_semantics(spark):
+    df = spark.createDataFrame(URLS, ["doc_id", "url"])
+    got = {
+        r.doc_id: r.c
+        for r in df.select("doc_id", web.canonical_url("url").alias("c")).collect()
+    }
+    assert got[1] == "https://example.com/a/b?q=1"
+    assert got[1] == got[2]
+    assert got[3] == "http://example.com/a/b?q=1"
+    assert got[4] == "https://example.com:8443/a/b?q=1"
+    assert got[5] == "https://example.com/a/b?a=1&b=2" == got[6]
+    assert got[7] is None and got[8] is None
+    assert got[9] == "https://example.com" == got[10]
+
+
+def test_url_dedupe_keeps_min_id_and_unparseable(spark):
+    df = spark.createDataFrame(URLS, ["doc_id", "url"])
+    kept = {r.doc_id for r in web.url_dedupe(df).collect()}
+    # 2 dups 1; 6 dups 5; 10 dups 9; unparseable 7/8 both kept
+    assert kept == {1, 3, 4, 5, 7, 8, 9}
+
+
+def test_canonical_url_three_way_mirror(spark, duck):
+    df = spark.createDataFrame(URLS, ["doc_id", "url"])
+    df.createOrReplaceTempView("url_fixture")
+    vals = ", ".join(
+        f"({i}, {'NULL' if u is None else repr(u)})" for i, u in URLS
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW url_fixture AS "
+        f"SELECT * FROM (VALUES {vals}) AS v(doc_id, url)"
+    )
+    sp_sql, du_sql = web.canonical_url_sql("url_fixture")
+    api = df.select(
+        "doc_id", web.canonical_url("url").alias("url_canon")
+    ).orderBy("doc_id")
+    sql_df = spark.sql(sp_sql)
+    cols = sorted(api.columns)
+    assert sorted(sql_df.columns) == cols
+
+    from tests.oracle import run_duck
+
+    d_rows, d_cols = run_duck(duck, du_sql)
+    idx = [d_cols.index(c) for c in cols]
+    h = lambda rows: canonical_hash(rows, cols)
+    h_api = h([tuple(r[c] for c in cols) for r in api.collect()])
+    h_sql = h([tuple(r[c] for c in cols) for r in sql_df.collect()])
+    h_duck = h([tuple(r[i] for i in idx) for r in d_rows])
+    assert h_api == h_sql == h_duck
