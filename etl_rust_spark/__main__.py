@@ -178,6 +178,16 @@ def main(argv: list[str] | None = None) -> int:
         help="exact distinct counts instead of HyperLogLog estimates",
     )
 
+    pd = sub.add_parser(
+        "diff",
+        help="snapshot diff two parquet tables by key: added/removed/"
+        "changed rows (fingerprint join — payload never shuffles)",
+    )
+    pd.add_argument("old", help="old snapshot parquet path")
+    pd.add_argument("new", help="new snapshot parquet path")
+    pd.add_argument("--keys", required=True, help="comma list of key columns")
+    pd.add_argument("--out", default=None, help="write per-key diff parquet here")
+
     args = p.parse_args(argv)
 
     # O-04: reject invalid feature combos before any Spark work — the
@@ -292,6 +302,18 @@ def main(argv: list[str] | None = None) -> int:
         )
         for r in prof.collect():
             print(json.dumps(r.asDict()))
+    elif args.cmd == "diff":
+        from etl_rust_spark.operators.profile import diff_summary, table_diff
+
+        d = table_diff(
+            spark.read.parquet(args.old),
+            spark.read.parquet(args.new),
+            args.keys.split(","),
+        )
+        if args.out:
+            d.write.mode("overwrite").parquet(args.out)
+            d = spark.read.parquet(args.out)
+        print(json.dumps(diff_summary(d)))
     elif args.cmd == "dedup-media":
         from pyspark.sql import functions as F
 

@@ -34,7 +34,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import MapType
 
-__all__ = ["profile_table", "profile_duck_sql"]
+__all__ = [
+    "profile_table",
+    "profile_duck_sql",
+    "table_diff",
+    "diff_summary",
+    "table_diff_sql",
+]
 
 
 def profile_table(
@@ -75,6 +81,90 @@ def profile_table(
         for i, c in enumerate(cols)
     ]
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def _fingerprint(cols: list[str]):
+    """Null-safe row fingerprint: md5 over unit-separator-joined string
+    casts with a record-separator null sentinel — collision-safe unless
+    a value embeds chr(31)/chr(30) (control characters; not in real
+    data).  md5-of-string is engine-identical, so the mirror gates it."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x1e")) for c in cols
+    ]
+    return F.md5(F.concat_ws("\x1f", *parts))
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff ``a`` (old) → ``b`` (new): one row per key whose
+    row was added, removed, or changed — unchanged keys are omitted.
+    Keys must be unique per side (it is a snapshot diff, not a bag
+    diff).
+
+    Scale shape: each side collapses to (keys, fingerprint) AT THE SCAN
+    — the full-outer join shuffles ~32 bytes + keys per row, never the
+    row payload, and column pruning keeps unprojected columns out of
+    the parquet read entirely.
+    """
+    cols = columns if columns is not None else [
+        c for c in a.columns if c not in keys
+    ]
+    missing = [c for c in cols + keys if c not in b.columns]
+    if missing:
+        raise ValueError(f"columns missing from the new side: {missing}")
+    fa = a.select(*keys, _fingerprint(cols).alias("__fa"))
+    fb = b.select(*keys, _fingerprint(cols).alias("__fb"))
+    j = fa.join(fb, keys, "full_outer")
+    status = (
+        F.when(F.col("__fb").isNull(), F.lit("removed"))
+        .when(F.col("__fa").isNull(), F.lit("added"))
+        .when(F.col("__fa") != F.col("__fb"), F.lit("changed"))
+    )
+    return (
+        j.select(*keys, status.alias("diff"))
+        .filter(F.col("diff").isNotNull())
+    )
+
+
+def diff_summary(diff: DataFrame) -> dict[str, int]:
+    """{added, removed, changed} counts — one aggregation job."""
+    rows = diff.groupBy("diff").count().collect()
+    out = {"added": 0, "removed": 0, "changed": 0}
+    out.update({r["diff"]: r["count"] for r in rows})
+    return out
+
+
+def table_diff_sql(
+    a_src: str, b_src: str, keys: list[str], columns: list[str]
+) -> tuple[str, str]:
+    """Dual-dialect mirror of :func:`table_diff` for columns whose
+    string form is engine-identical (ints, strings, dates — NOT
+    doubles)."""
+
+    def q(dialect: str) -> str:
+        cast = "STRING" if dialect == "spark" else "VARCHAR"
+        fp = "md5(concat_ws(chr(31), " + ", ".join(
+            f"coalesce(CAST({c} AS {cast}), chr(30))" for c in columns
+        ) + "))"
+        ks = ", ".join(keys)
+        on = " AND ".join(f"fa.{k} = fb.{k}" for k in keys)
+        key_out = ", ".join(f"coalesce(fa.{k}, fb.{k}) AS {k}" for k in keys)
+        return f"""
+WITH fa AS (SELECT {ks}, {fp} AS h FROM {a_src}),
+fb AS (SELECT {ks}, {fp} AS h FROM {b_src}),
+j AS (SELECT {key_out}, fa.h AS ha, fb.h AS hb
+      FROM fa FULL OUTER JOIN fb ON {on})
+SELECT {ks}, CASE WHEN hb IS NULL THEN 'removed'
+                  WHEN ha IS NULL THEN 'added'
+                  ELSE 'changed' END AS diff
+FROM j WHERE hb IS NULL OR ha IS NULL OR ha != hb
+ORDER BY {ks}"""
+
+    return q("spark"), q("duck")
 
 
 def profile_duck_sql(

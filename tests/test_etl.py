@@ -370,3 +370,26 @@ def test_cli_profile(spark, tmp_path, capsys):
     ]
     got = {d["col_name"]: d for d in lines}
     assert got["k"]["n_distinct"] == 2 and got["s"]["n_null"] == 1
+
+
+def test_cli_diff(spark, tmp_path, capsys):
+    """The `diff` verb: JSON summary + optional per-key parquet."""
+    import json as _json
+
+    from etl_rust_spark.__main__ import main
+
+    old = str(tmp_path / "snap_a")
+    new = str(tmp_path / "snap_b")
+    spark.createDataFrame(
+        [(1, "x"), (2, "y")], ["k", "s"]
+    ).write.parquet(old)
+    spark.createDataFrame(
+        [(1, "x"), (2, "Y"), (3, "z")], ["k", "s"]
+    ).write.parquet(new)
+    out = str(tmp_path / "d")
+    rc = main(["diff", old, new, "--keys", "k", "--out", out])
+    assert rc == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary == {"added": 1, "removed": 0, "changed": 1}
+    got = {r.k: r.diff for r in spark.read.parquet(out).collect()}
+    assert got == {2: "changed", 3: "added"}

@@ -87,3 +87,97 @@ def test_profile_approx_ndv_close(spark, sf_dir):
     for c in approx:
         # default rsd is 5%; allow 2 sigma
         assert abs(approx[c] - exact[c]) <= max(2, exact[c] * 0.10)
+
+
+def _diff_fixtures(spark):
+    a = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20), (3, "z", 30), (4, None, 40)],
+        ["k", "s", "v"],
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 10), (2, "Y", 20), (4, None, 40), (5, "w", 50)],
+        ["k", "s", "v"],
+    )
+    return a, b
+
+
+def test_table_diff_semantics(spark):
+    from etl_rust_spark.operators.profile import diff_summary, table_diff
+
+    a, b = _diff_fixtures(spark)
+    d = {r.k: r.diff for r in table_diff(a, b, ["k"]).collect()}
+    # 1 unchanged (omitted), 2 changed, 3 removed, 4 unchanged (null-safe), 5 added
+    assert d == {2: "changed", 3: "removed", 5: "added"}
+    assert diff_summary(table_diff(a, b, ["k"])) == {
+        "added": 1, "removed": 1, "changed": 1,
+    }
+    # column subset: only v compared -> 2 becomes unchanged
+    d2 = {r.k: r.diff for r in table_diff(a, b, ["k"], columns=["v"]).collect()}
+    assert d2 == {3: "removed", 5: "added"}
+    with pytest.raises(ValueError):
+        table_diff(a, b.drop("v"), ["k"])
+
+
+def test_table_diff_null_vs_empty_string(spark):
+    """The null sentinel discriminates NULL from '' and from sentinel-
+    adjacent concatenations."""
+    from etl_rust_spark.operators.profile import table_diff
+
+    a = spark.createDataFrame([(1, None, "b"), (2, "a", "b")], ["k", "x", "y"])
+    b = spark.createDataFrame([(1, "", "b"), (2, "ab", "")], ["k", "x", "y"])
+    d = {r.k: r.diff for r in table_diff(a, b, ["k"]).collect()}
+    assert d == {1: "changed", 2: "changed"}
+
+
+def test_table_diff_three_way_mirror(spark, duck):
+    from tests.oracle import run_duck
+    from etl_rust_spark.operators.profile import table_diff, table_diff_sql
+
+    a, b = _diff_fixtures(spark)
+    a.createOrReplaceTempView("diff_a")
+    b.createOrReplaceTempView("diff_b")
+    for name, rows in (
+        ("diff_a", [(1, "x", 10), (2, "y", 20), (3, "z", 30), (4, None, 40)]),
+        ("diff_b", [(1, "x", 10), (2, "Y", 20), (4, None, 40), (5, "w", 50)]),
+    ):
+        vals = ", ".join(
+            f"({k}, {'NULL' if s is None else repr(s)}, {v})" for k, s, v in rows
+        )
+        duck.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT * FROM (VALUES {vals}) AS t(k, s, v)"
+        )
+    sp_sql, du_sql = table_diff_sql("diff_a", "diff_b", ["k"], ["s", "v"])
+    api = table_diff(a, b, ["k"]).orderBy("k")
+    sql_df = spark.sql(sp_sql)
+    cols = sorted(api.columns)
+    assert sorted(sql_df.columns) == cols
+    from etl_rust_spark.functions.hashing import canonical_hash
+
+    d_rows, d_cols = run_duck(duck, du_sql)
+    idx = [d_cols.index(c) for c in cols]
+    h = lambda rows: canonical_hash(rows, cols)
+    assert (
+        h([tuple(r[c] for c in cols) for r in api.collect()])
+        == h([tuple(r[c] for c in cols) for r in sql_df.collect()])
+        == h([tuple(r[i] for i in idx) for r in d_rows])
+    )
+
+
+def test_table_diff_prunes_payload_from_shuffle(spark, sf_dir):
+    """The join must shuffle (keys, fingerprint) only — the scan-side
+    projection collapses before the exchange, so no payload column
+    appears above a scan in the exchanged subtrees."""
+    from etl_rust_spark.operators.profile import table_diff
+
+    register_views(spark, sf_dir)
+    o = spark.table("orders")
+    d = table_diff(o, o.limit(10), ["o_orderkey"])
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    # both exchanges carry exactly the key and the md5 fingerprint
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, plan
+    for ex in exchanges:
+        assert "o_totalprice" not in ex and "o_comment" not in ex
