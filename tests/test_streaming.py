@@ -479,3 +479,78 @@ def test_multimodal_features_stream_equals_batch(spark, tmp_path):
         finally:
             q.stop()
         assert got == expected, label
+
+
+def test_rollup_stream_continuous_aggregate(spark, sf_dir, tmp_path):
+    """Streaming continuous aggregate: events arrive over multiple
+    micro-batches; the folded rollup state (counters, sketches,
+    histograms) equals a one-shot batch rollup, before AND after
+    compaction, and the histogram median reads identically off both."""
+    from etl_rust_spark.catalog import register_views
+    from etl_rust_spark.operators import rollup as br
+    from etl_rust_spark.streaming.rollup import (
+        compact_rollup,
+        read_continuous_rollup,
+        run_rollup_stream,
+    )
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events").select("ts", "event_type", "value", "user_id")
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    # three arrival files -> multiple epochs under maxFilesPerTrigger=1
+    for i in range(3):
+        ev.filter(F.col("user_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"part{i}")
+        )
+    out = str(tmp_path / "cagg")
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    q = run_rollup_stream(
+        stream, out, str(tmp_path / "ckpt"), hist_bins=br.HIST_BINS
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    from pathlib import Path
+
+    assert len(list(Path(out, "delta").glob("batch=*"))) >= 2
+
+    def check(level_sec):
+        got = read_continuous_rollup(spark, out, level_sec).withColumn(
+            "p50_c", br.hist_quantile("hist", 0.5)
+        )
+        want = br.time_rollup(
+            ev, bucket_sec=level_sec, sketch=True, hist_bins=br.HIST_BINS
+        ).withColumn("p50_c", br.hist_quantile("hist", 0.5))
+        key = ["bs", "event_type"]
+        j = got.select(
+            key + ["n", "v_c", "p50_c", F.hll_sketch_estimate("user_sketch").alias("e1")]
+        ).join(
+            want.select(
+                key
+                + [
+                    F.col("n").alias("n2"),
+                    F.col("v_c").alias("v2"),
+                    F.col("p50_c").alias("p2"),
+                    F.hll_sketch_estimate("user_sketch").alias("e2"),
+                ]
+            ),
+            key,
+            "full",
+        )
+        assert j.filter(
+            F.col("n").isNull() | F.col("n2").isNull()
+            | (F.col("n") != F.col("n2")) | (F.col("v_c") != F.col("v2"))
+            | (F.col("p50_c") != F.col("p2")) | (F.col("e1") != F.col("e2"))
+        ).count() == 0
+
+    check(3600)
+    check(86400)  # coarser level off the same hourly state
+    gen = compact_rollup(spark, out)
+    assert gen == 0
+    assert not list(Path(out, "delta").glob("batch=*"))
+    check(3600)   # state identical after the fold
