@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from etl_rust_spark.catalog import autotune_shuffle_partitions, load_table
 
 _MARKER = "etl_rust_spark.autotuned_sf_dir"
@@ -152,3 +154,43 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_write_clustered_enables_file_skipping(spark, sf_dir, tmp_path):
+    """Range-clustered layout: disjoint per-file key ranges, so a narrow
+    key predicate's surviving rows come from exactly ONE file, while the
+    same data hash-smeared over the same file count spreads the key
+    everywhere."""
+    from etl_rust_spark.catalog import write_clustered
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    clustered = str(tmp_path / "clustered")
+    smeared = str(tmp_path / "smeared")
+    write_clustered(ev, clustered, by=["user_id"], n_files=8)
+    ev.repartition(8).write.parquet(smeared)
+
+    # disjoint file ranges: max(file_i) < min(file_{i+1})
+    stats = (
+        spark.read.parquet(clustered)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(stats) == 8
+    for prev, cur in zip(stats, stats[1:]):
+        assert prev["hi"] <= cur["lo"]
+
+    key = stats[3]["lo"]  # a key interior to one file's range
+
+    def files_touched(path):
+        return (
+            spark.read.parquet(path)
+            .filter(F.col("user_id") == key)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+
+    assert files_touched(clustered) == 1
+    assert files_touched(smeared) > 4
