@@ -409,9 +409,15 @@ def _op_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     ev = spark.table("events")
+    # The hourly rollup is MATERIALIZED (lazy localCheckpoint) before the
+    # two levels read it: that is the hypertable design itself — daily
+    # merges FROM the persisted rollup — and without it the union's two
+    # branches would each rescan raw events (measured 2.2 s vs 1.4 s at
+    # sf0.1 after the histogram widening).  Fresh per call, so bench
+    # laps never reuse shuffle files across laps (NEXT.md gotcha).
     hourly = rollup.time_rollup(
         ev, exact_ndv=True, sketch=False, hist_bins=rollup.HIST_BINS
-    )
+    ).localCheckpoint(eager=False)
     h = hourly.select(
         F.lit("h").alias("lvl"), "bs", "event_type", "n", "v_c", "n_users",
         rollup.hist_quantile("hist", 0.5).alias("p50_c"),
