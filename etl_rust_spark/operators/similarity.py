@@ -35,6 +35,7 @@ __all__ = [
     "ivf_fixed_topk_duck_sql",
     "ivf_topk",
     "cosine_near_dup_pairs",
+    "cosine_join",
     "semantic_dedupe",
     "cosine_topk_sql",
     "near_dup_sql",
@@ -463,6 +464,61 @@ def cosine_near_dup_pairs(
         q.groupby("shard")
         .cogroup(c.groupby("shard"))
         .applyInPandas(block, "qid long, cid long, cos double")
+    )
+
+
+def cosine_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Cross-corpus similarity join: every (lid, rid, cos) with
+    ``cos ≥ threshold`` between two DIFFERENT embedding corpora — the
+    cross-dataset face of :func:`cosine_near_dup_pairs` (embedding-level
+    decontamination of a training corpus against an eval set, catalog
+    linkage, cross-crawl alignment).
+
+    Same sharded cogroup block-matmul cost model: the RIGHT side moves
+    once (one shard per row), the LEFT side replicates ``n_shards``
+    ways — put the smaller corpus on the left.  Null and zero-norm
+    embeddings are skipped (null-guard lesson, ADVICE r5).  Every
+    qualifying pair is emitted exactly once (the corpora are distinct,
+    so no self-pair mask is needed; ids may collide across corpora
+    without harm).
+    """
+    spark = left.sparkSession
+    shards = spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
+    q = left.filter(F.col(vec_col).isNotNull()).select(
+        F.col(left_id).alias("q_id"), F.col(vec_col).alias("q_v")
+    ).crossJoin(F.broadcast(shards))
+    c = right.filter(F.col(vec_col).isNotNull()).select(
+        F.col(right_id).alias("c_id"), F.col(vec_col).alias("c_v")
+    ).withColumn("shard", F.pmod(F.col("c_id"), F.lit(n_shards)).cast("int"))
+
+    def block(q_pdf, c_pdf):
+        import numpy as np
+        import pandas as pd
+
+        if not len(q_pdf) or not len(c_pdf):
+            return pd.DataFrame({"lid": [], "rid": [], "cos": []})
+        q_ids = q_pdf["q_id"].to_numpy(np.int64)
+        c_ids = c_pdf["c_id"].to_numpy(np.int64)
+        qm = np.array([list(v) for v in q_pdf["q_v"]], dtype=np.float64)
+        cm = np.array([list(v) for v in c_pdf["c_v"]], dtype=np.float64)
+        qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+        cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-30)
+        sims = np.round(qm @ cm.T, 4)
+        qs, cs = np.nonzero(sims >= threshold)
+        return pd.DataFrame({"lid": q_ids[qs], "rid": c_ids[cs], "cos": sims[qs, cs]})
+
+    return (
+        q.groupby("shard")
+        .cogroup(c.groupby("shard"))
+        .applyInPandas(block, "lid long, rid long, cos double")
     )
 
 

@@ -396,3 +396,38 @@ def test_semantic_dedupe_drops_planted_twins(spark, sf_dir):
     assert all(r.vec_id in kept for r in base)
     kept2 = {r.vec_id for r in similarity.semantic_dedupe(aug, threshold=0.95).collect()}
     assert kept == kept2
+
+
+def test_cosine_join_cross_corpus(spark, sf_dir):
+    """Cross-corpus similarity join equals the brute-force pair set;
+    null embeddings are skipped, ids may collide across corpora."""
+    import numpy as np
+
+    from etl_rust_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 8))
+    left_rows = [(i, [float(x) for x in base[i]]) for i in range(4)]
+    # right: 0 = near-copy of left 1; 1 = its own direction; 2 = null
+    right_vecs = [base[1] + 0.01 * rng.normal(size=8), base[5], None]
+    right_rows = [
+        (i, None if v is None else [float(x) for x in v])
+        for i, v in enumerate(right_vecs)
+    ]
+    left = spark.createDataFrame(left_rows, ["vec_id", "embedding"])
+    right = spark.createDataFrame(right_rows, ["vec_id", "embedding"])
+    got = {
+        (r.lid, r.rid): r.cos
+        for r in similarity.cosine_join(left, right, 0.9, n_shards=2).collect()
+    }
+    # brute force
+    want = {}
+    for i, lv in left_rows:
+        for j, rv in right_rows:
+            if rv is None:
+                continue
+            a, b = np.array(lv), np.array(rv)
+            c = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 4)
+            if c >= 0.9:
+                want[(i, j)] = c
+    assert got == want and (1, 0) in got
