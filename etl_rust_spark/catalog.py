@@ -34,6 +34,7 @@ __all__ = [
     "autotune_shuffle_partitions",
     "create_bucketed_table",
     "write_clustered",
+    "upsert_table",
 ]
 
 # The ten driver-provided synthetic tables (TESTDATA.md / FIXTURES.md §1).
@@ -330,6 +331,64 @@ def write_clustered(
     w = out.write
     if partition_by:
         w = w.partitionBy(*partition_by)
+    w.mode("overwrite").parquet(path)
+
+
+def upsert_table(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    keys: list[str],
+    partition_by: str | None = None,
+) -> None:
+    """MERGE-style keyed upsert into a parquet table: rows of ``delta``
+    replace same-key rows and new keys append — without a table format
+    that supports row-level MERGE.
+
+    Unpartitioned: rewrite = (existing anti-join delta keys) ∪ delta —
+    one full rewrite per upsert (correct, but O(table)).  WITH
+    ``partition_by`` (a column present in both sides) the rewrite
+    touches ONLY the partitions the delta lands in, via dynamic
+    partition overwrite — the same dirty-partition discipline as
+    ``update_rollup``: cost scales with the delta's partitions, never
+    with table history.  Keys spanning a partition change (same key,
+    new partition value) would leave the old row behind — callers
+    partition by an immutable column (date of creation, shard), the
+    standard constraint for partition-scoped upserts.
+
+    Replaying the same delta is IDEMPOTENT (unlike counter merges):
+    the anti-join drops the previous version of every delta key, so the
+    second application rewrites the same bytes.  The read-modify-write
+    snapshot is localCheckpointed before the overwrite (Spark refuses
+    to overwrite files still being read).
+    """
+    missing = [k for k in keys if k not in delta.columns]
+    if missing:
+        raise ValueError(f"delta is missing key columns: {missing}")
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        w = delta.write
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.mode("overwrite").parquet(path)
+        return
+    if partition_by:
+        dirty = [
+            r[partition_by]
+            for r in delta.select(partition_by).distinct().collect()
+        ]
+        existing = existing.filter(F.col(partition_by).isin(dirty))
+    survivors = existing.join(
+        delta.select(*keys).distinct(), keys, "left_anti"
+    )
+    merged = survivors.unionByName(delta.select(*existing.columns)).localCheckpoint(
+        eager=True
+    )
+    w = merged.write
+    if partition_by:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        w = w.partitionBy(partition_by)
     w.mode("overwrite").parquet(path)
 
 

@@ -194,3 +194,56 @@ def test_write_clustered_enables_file_skipping(spark, sf_dir, tmp_path):
 
     assert files_touched(clustered) == 1
     assert files_touched(smeared) > 4
+
+
+def test_upsert_table_semantics_and_idempotence(spark, tmp_path):
+    from etl_rust_spark.catalog import upsert_table
+
+    path = str(tmp_path / "upsert")
+    base = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")], ["k", "v", "p"]
+    )
+    upsert_table(spark, path, base, ["k"])  # bootstrap write
+    delta = spark.createDataFrame(
+        [(2, "B", "d1"), (4, "d", "d2")], ["k", "v", "p"]
+    )
+    upsert_table(spark, path, delta, ["k"])
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # replay is idempotent
+    upsert_table(spark, path, delta, ["k"])
+    got2 = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got2 == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        upsert_table(spark, path, delta.drop("k"), ["k"])
+
+
+def test_upsert_table_partitioned_touches_only_dirty(spark, tmp_path):
+    """With partition_by, untouched partition directories keep their
+    files (same mtimes) — only the delta's partitions rewrite."""
+    import os
+
+    from etl_rust_spark.catalog import upsert_table
+
+    path = str(tmp_path / "upsert_p")
+    base = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")], ["k", "v", "p"]
+    )
+    upsert_table(spark, path, base, ["k"], partition_by="p")
+
+    def files(part):
+        d = os.path.join(path, f"p={part}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    d2_before = files("d2")
+    delta = spark.createDataFrame([(2, "B", "d1")], ["k", "v", "p"])
+    upsert_table(spark, path, delta, ["k"], partition_by="p")
+    assert files("d2") == d2_before  # untouched partition: identical files
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
