@@ -69,7 +69,11 @@ def c4_clean_lines(
     n_sent = F.regexp_count(clean, F.lit("[.!?]"))
     bad = F.lower(txt).contains("lorem ipsum") | txt.contains("{")
     if badwords:
-        pat = "\\b(" + "|".join(badwords) + ")\\b"
+        import re as _re
+
+        # escape every word: a list entry with regex metachars must
+        # match literally, not corrupt the alternation.
+        pat = "\\b(" + "|".join(_re.escape(w.lower()) for w in badwords) + ")\\b"
         bad = bad | F.lower(txt).rlike(pat)
     out = df.select(
         F.col(id_col),
