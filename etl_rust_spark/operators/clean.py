@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["c4_clean_lines", "c4_clean_sql"]
+__all__ = [
+    "c4_clean_lines",
+    "c4_clean_sql",
+    "normalize_text",
+    "normalize_text_sql",
+]
 
 # Terminal punctuation per the C4 paper: period, exclamation, question
 # mark, or closing double quote.
@@ -138,5 +143,111 @@ SELECT doc_id, __clean AS text_c4, {nlines} AS n_lines, {nkept} AS n_lines_kept,
   {nsent} AS n_sentences,
   CAST(CASE WHEN {nsent} >= {min_sentences} AND NOT {bad} THEN 1 ELSE 0 END AS BIGINT) AS c4_keep
 FROM c ORDER BY doc_id"""
+
+    return q("spark"), q("duck")
+
+
+# Single-char folds done with translate() (JVM-side, one pass):
+# curly/angle quotes -> ascii, en/em dashes -> hyphen, NBSP -> space,
+# zero-width characters -> deleted (the `to` string is shorter, so the
+# tail of `frm` maps to deletion in BOTH Spark and DuckDB/Postgres
+# translate semantics).
+_TR_FROM = "‘’‚“”„«»–— ​‌‍﻿"
+_TR_TO = "'''" + '"' * 5 + "--" + " "  # 11 chars: the 4 zero-width tail deletes
+_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def _norm_expr(col: Column) -> Column:
+    c = F.translate(col, _TR_FROM, _TR_TO)
+    c = F.regexp_replace(c, "…", "...")
+    c = F.regexp_replace(c, _CTRL_RE, "")
+    # collapse horizontal whitespace runs; newlines survive (the C4
+    # line cleaner needs them)
+    c = F.regexp_replace(c, "[ \\t]+", " ")
+    return F.trim(c)
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str | None = None,
+) -> DataFrame:
+    """(id, text_norm): unicode/typography normalization — the stage
+    that runs BEFORE hashing or shingling so that typographically-equal
+    documents dedup as equal.
+
+    The default path is pure scan-side expressions (translate + three
+    regexp_replace): quote/dash/NBSP folding, zero-width and control
+    character removal, horizontal-whitespace collapse — zero shuffle,
+    linear at 100 TB, dual-dialect mirrored (:func:`normalize_text_sql`).
+
+    ``form='NFKC'`` (or NFC/NFKD/NFD) additionally applies full unicode
+    normalization (ligatures, fullwidth forms, compatibility digits) via
+    an Arrow-batched ``unicodedata`` kernel AFTER the expression pass —
+    the documented Python-unavoidable case (no JVM-side normalizer in
+    the SQL function set); per-batch vectorization keeps it off the
+    per-row-UDF slow path.  NULL text stays NULL on both paths.
+    """
+    out = df.select(F.col(id_col), _norm_expr(F.col(text_col)).alias("text_norm"))
+    if form is None:
+        return out
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("text_norm", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["text_norm"] = pdf["text_norm"].map(
+                lambda t: None if t is None else unicodedata.normalize(form, t)
+            )
+            yield pdf
+
+    return out.mapInPandas(gen, schema)
+
+
+def normalize_text_sql(source: str = "documents", max_doc: int | None = None) -> tuple[str, str]:
+    """Dual-dialect mirror of the expression path of
+    :func:`normalize_text` (``form=None``)."""
+    where = f"WHERE doc_id <= {max_doc}" if max_doc is not None else ""
+
+    def q(dialect: str) -> str:
+        if dialect == "spark":
+            esc = lambda s: s.encode("unicode_escape").decode().replace("\\x", "\\u00")
+            frm, to = esc(_TR_FROM), _TR_TO.replace("'", "\\'").replace('"', '\\"')
+            ell, g = "\\u2026", ""
+            ctrl = _CTRL_RE.replace("\\", "\\\\")
+            ws = "[ \\\\t]+"
+        else:
+            # DuckDB string literals are verbatim: embed the actual
+            # characters via chr() concatenation to stay ascii-safe.
+            frm = " || ".join(f"chr({ord(ch)})" for ch in _TR_FROM)
+            frm = f"({frm})"
+            to = "'" + _TR_TO.replace("'", "''") + "'"
+            ell, g = "chr(8230)", ", 'g'"
+            ctrl = _CTRL_RE
+            ws = "[ \\t]+"
+        if dialect == "spark":
+            c = f"translate(text, '{frm}', '{to}')"
+            c = f"regexp_replace({c}, '{ell}', '...')"
+            c = f"regexp_replace({c}, '{ctrl}', '')"
+            c = f"trim(regexp_replace({c}, '{ws}', ' '))"
+        else:
+            c = f"translate(text, {frm}, {to})"
+            c = f"regexp_replace({c}, {ell}, '...'{g})"
+            c = f"regexp_replace({c}, '{ctrl}', ''{g})"
+            c = f"trim(regexp_replace({c}, '{ws}', ' '{g}))"
+        return f"SELECT doc_id, {c} AS text_norm FROM {source} {where} ORDER BY doc_id"
 
     return q("spark"), q("duck")

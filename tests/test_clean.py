@@ -107,3 +107,87 @@ def test_c4_mirror_on_corpus(spark, duck, sf_dir):
     sp_sql, du_sql = clean.c4_clean_sql(max_doc=80)
     res = compare(spark, duck, sf_dir, sp_sql, du_sql)
     assert res["match"], res
+
+
+NORM_DOCS = [
+    (1, "“Hello” ‘world’ — fine…"),
+    (2, "zero​width‌gone and nbsp  kept"),
+    (3, "ctrl\x01chars\x07out\ttab  collapse"),
+    (4, None),
+    (5, "line one  here\nline\ttwo"),
+]
+
+
+def test_normalize_text_semantics(spark):
+    out = {
+        r.doc_id: r.text_norm
+        for r in clean.normalize_text(
+            spark.createDataFrame(NORM_DOCS, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1] == "\"Hello\" 'world' - fine..."
+    assert out[2] == "zerowidthgone and nbsp kept"
+    assert out[3] == "ctrlcharsout tab collapse"
+    assert out[4] is None
+    assert out[5] == "line one here\nline two"  # newline survives
+
+
+def test_normalize_text_nfkc(spark):
+    rows = [(1, "ﬁne ①ne Ｆullwidth"), (2, None)]
+    out = {
+        r.doc_id: r.text_norm
+        for r in clean.normalize_text(
+            spark.createDataFrame(rows, ["doc_id", "text"]), form="NFKC"
+        ).collect()
+    }
+    assert out[1] == "fine 1ne Fullwidth"
+    assert out[2] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        clean.normalize_text(
+            spark.createDataFrame(rows, ["doc_id", "text"]), form="NFX"
+        )
+
+
+def test_normalize_text_three_way_mirror(spark, duck, tmp_path):
+    """Fixture goes through parquet so control characters reach both
+    engines byte-identically (VALUES literals would mangle them)."""
+    df = spark.createDataFrame(NORM_DOCS, ["doc_id", "text"])
+    p = str(tmp_path / "norm_fixture")
+    df.coalesce(1).write.parquet(p)
+    spark.read.parquet(p).createOrReplaceTempView("norm_fixture")
+    duck.execute(
+        f"CREATE OR REPLACE VIEW norm_fixture AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    sp_sql, du_sql = clean.normalize_text_sql(source="norm_fixture")
+    api = clean.normalize_text(spark.read.parquet(p)).orderBy("doc_id")
+    sql_df = spark.sql(sp_sql)
+    cols = sorted(api.columns)
+    assert sorted(sql_df.columns) == cols
+
+    from tests.oracle import run_duck
+
+    d_rows, d_cols = run_duck(duck, du_sql)
+    idx = [d_cols.index(c) for c in cols]
+    h = lambda rows: canonical_hash(rows, cols)
+    assert (
+        h([tuple(r[c] for c in cols) for r in api.collect()])
+        == h([tuple(r[c] for c in cols) for r in sql_df.collect()])
+        == h([tuple(r[i] for i in idx) for r in d_rows])
+    )
+
+
+def test_normalize_then_dedupe_composition(spark):
+    """The point of the stage: typographic twins become exact dups."""
+    from etl_rust_spark.operators import dedup
+
+    rows = [
+        (1, "“The cat sat.”"),
+        (2, '"The cat sat."'),
+        (3, "something else entirely"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    norm = clean.normalize_text(docs)
+    kept = dedup.exact_dedupe(norm, ["text_norm"], "doc_id")
+    assert {r.doc_id for r in kept.collect()} == {1, 3}
