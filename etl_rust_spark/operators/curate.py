@@ -145,6 +145,7 @@ def curate_corpus(
     shingle_width: int = 3,
     near_dup_strategy: str = "greedy",
     strip_markup: bool = False,
+    normalize: bool = False,
     c4_clean: bool = False,
     substring_k: int | None = None,
     quality_model=None,
@@ -162,6 +163,11 @@ def curate_corpus(
     the order a real pipeline runs (tags would otherwise pollute
     shingles and token stats).  Off by default so the gated entry's
     semantics are unchanged.
+
+    ``normalize=True`` (r6) folds typography (curly quotes, dashes,
+    NBSP, zero-width characters — ``clean.normalize_text``) right after
+    markup stripping, so typographic twins reach the dedup stages as
+    exact duplicates.
 
     ``c4_clean=True`` (r6) runs the C4 line-level cleaner
     (``clean.c4_clean_lines``) after markup stripping: pages failing
@@ -188,6 +194,17 @@ def curate_corpus(
             docs.drop(text_col)
             .join(cleaned, id_col)
             .withColumnRenamed("text_clean", text_col)
+        )
+    if normalize:
+        from etl_rust_spark.operators import clean as _clean
+
+        norm = _clean.normalize_text(docs, text_col, id_col).select(
+            id_col, "text_norm"
+        )
+        docs = (
+            docs.drop(text_col)
+            .join(norm, id_col)
+            .withColumnRenamed("text_norm", text_col)
         )
     if c4_clean:
         from etl_rust_spark.operators import clean as _clean

@@ -259,3 +259,30 @@ def test_curate_with_c4_clean(spark):
     assert set(got) == {1}
     assert "Home | About" not in got[1]
     assert got[1].count("\n") == 2
+
+
+def test_curate_with_normalize(spark):
+    """normalize=True: typographic twins reach the dedup stage as exact
+    duplicates, so the curly-quoted copy drops on min-id."""
+    base = 'he said "come here now" and the dog ran to the warm mat again'
+    rows = [
+        (1, base),
+        (2, base.replace('"come here now"', "\u201ccome here now\u201d")),
+        (3, "ein ganz anderes deutsches dokument ohne englische woerter hier"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curate.curate_corpus(
+        docs, languages=["en"], near_dup_threshold=None, normalize=True
+    )
+    got = {r.doc_id: r.text for r in out.collect()}
+    # doc 2 folds to doc 1's exact text -> min-id keeps 1; german drops.
+    assert set(got) == {1}
+    assert got[1] == base
+    # without normalization both quoted variants survive as distinct
+    raw = {
+        r.doc_id
+        for r in curate.curate_corpus(
+            docs, languages=["en"], near_dup_threshold=None
+        ).collect()
+    }
+    assert raw == {1, 2}
