@@ -426,3 +426,57 @@ def test_hamming_banded_join_equals_brute_force(spark, seed, n, max_hamming, dup
             if ham <= max_hamming:
                 want.add((i, j, ham))
     assert got == want
+
+
+text_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 50),
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_categories=("Cs",)
+                ),
+                max_size=80,
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=text_strategy)
+def test_normalize_text_is_idempotent(spark, rows):
+    """normalize(normalize(x)) == normalize(x) on arbitrary unicode —
+    the fixpoint property that makes the stage safe to re-run (and a
+    re-ingested already-normalized corpus hashes identically)."""
+    from etl_rust_spark.operators import clean
+
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    once = clean.normalize_text(df)
+    twice = clean.normalize_text(
+        once.withColumnRenamed("text_norm", "text")
+    )
+    a = {r.doc_id: r.text_norm for r in once.collect()}
+    b = {r.doc_id: r.text_norm for r in twice.collect()}
+    assert a == b
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=text_strategy)
+def test_c4_clean_is_idempotent(spark, rows):
+    """Cleaning already-cleaned text changes nothing: every surviving
+    line still passes the line rules."""
+    from etl_rust_spark.operators import clean
+
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    once = clean.c4_clean_lines(df)
+    twice = clean.c4_clean_lines(
+        once.withColumnRenamed("text_c4", "text").select("doc_id", "text")
+    )
+    a = {r.doc_id: r.text_c4 for r in once.collect()}
+    b = {r.doc_id: r.text_c4 for r in twice.collect()}
+    assert a == b
