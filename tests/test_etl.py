@@ -393,3 +393,27 @@ def test_cli_diff(spark, tmp_path, capsys):
     assert summary == {"added": 1, "removed": 0, "changed": 1}
     got = {r.k: r.diff for r in spark.read.parquet(out).collect()}
     assert got == {2: "changed", 3: "added"}
+
+
+def test_read_corpus_gzip_jsonl(spark, tmp_path):
+    """Real feeds arrive compressed: the JSONL reader must consume
+    .jsonl.gz transparently (Spark's codec-by-extension), including the
+    corrupt-record spill path."""
+    import gzip
+    import json as _json
+
+    from etl_rust_spark.etl.ingest import read_corpus
+
+    p = tmp_path / "feed.jsonl.gz"
+    lines = [
+        _json.dumps({"doc_id": 1, "text": "alpha beta"}),
+        _json.dumps({"doc_id": 2, "text": "gamma delta"}),
+        "{not json at all",
+    ]
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    out = read_corpus(spark, str(p), fmt="jsonl", lang_field=None, source_field=None)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].text == "alpha beta" and rows[1].n_chars == 10
+    assert rows[2].source == "ingest"
