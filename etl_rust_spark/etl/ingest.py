@@ -31,7 +31,7 @@ from etl_rust_spark.operators.hashes import MINHASH_P, spark_h
 
 __all__ = ["read_corpus", "ingest_corpus"]
 
-_FORMATS = ("jsonl", "csv")
+_FORMATS = ("jsonl", "csv", "avro")
 
 
 def read_corpus(
@@ -56,7 +56,43 @@ def read_corpus(
     """
     if fmt not in _FORMATS:
         raise ValueError(f"unknown corpus format {fmt!r} (use one of {_FORMATS})")
-    if fmt == "jsonl":
+    if fmt == "avro":
+        # Avro Object Container Files via the jar-free spec codecs
+        # (functions/wireformats.py) — parallelism is per FILE (each
+        # container decodes as a unit); at real scale the spark-avro jar
+        # adds sync-marker split parallelism, this is the portable path.
+        import pandas as pd
+
+        from etl_rust_spark.functions.wireformats import read_avro_container
+
+        wanted = [text_field] + [
+            c for c in (id_field, lang_field, source_field) if c
+        ]
+        out_schema = T.StructType(
+            [T.StructField(text_field, T.StringType())]
+            + [
+                T.StructField(c, T.LongType() if c == id_field else T.StringType())
+                for c in wanted[1:]
+            ]
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                for blob in pdf["content"]:
+                    _, recs = read_avro_container(bytes(blob))
+                    rows = pd.DataFrame.from_records(recs) if recs else pd.DataFrame()
+                    for c in wanted:
+                        if c not in rows.columns:
+                            rows[c] = None
+                    yield rows[wanted]
+
+        raw = (
+            spark.read.format("binaryFile")
+            .load(path)
+            .select("content")
+            .mapInPandas(gen, out_schema)
+        )
+    elif fmt == "jsonl":
         # JSON matches schema fields BY NAME — declare exactly what we
         # consume plus the corrupt-record spill column.
         fields = [T.StructField(text_field, T.StringType())]

@@ -39,6 +39,9 @@ from pyspark.sql import types as T
 __all__ = [
     "proto_encode_bytes",
     "avro_encode_bytes",
+    "avro_decode_bytes",
+    "write_avro_container",
+    "read_avro_container",
     "encode_protobuf_py",
     "encode_avro_py",
 ]
@@ -190,6 +193,154 @@ def avro_encode_bytes(value: Any, schema: Any) -> bytes:
             for f in schema["fields"]
         )
     raise ValueError(f"unsupported avro schema: {schema!r}")
+
+
+def _read_avro_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos  # unzigzag
+
+
+def avro_decode_bytes(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
+    """Inverse of :func:`avro_encode_bytes` (same supported subset);
+    returns (value, next_pos)."""
+    if isinstance(schema, list):  # union
+        idx, pos = _read_avro_long(buf, pos)
+        return avro_decode_bytes(buf, pos, schema[idx])
+    s = schema if isinstance(schema, str) else schema["type"]
+    if s == "null":
+        return None, pos
+    if s == "boolean":
+        return buf[pos] == 1, pos + 1
+    if s in ("int", "long"):
+        return _read_avro_long(buf, pos)
+    if s == "float":
+        return _struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if s == "double":
+        return _struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if s in ("string", "bytes"):
+        n, pos = _read_avro_long(buf, pos)
+        raw = buf[pos : pos + n]
+        return (raw.decode("utf-8") if s == "string" else bytes(raw)), pos + n
+    if s == "array":
+        items = schema["items"]
+        out = []
+        while True:
+            n, pos = _read_avro_long(buf, pos)
+            if n == 0:
+                break
+            if n < 0:  # block with byte size prefix (spec-permitted)
+                _, pos = _read_avro_long(buf, pos)
+                n = -n
+            for _ in range(n):
+                v, pos = avro_decode_bytes(buf, pos, items)
+                out.append(v)
+        return out, pos
+    if s == "record":
+        rec = {}
+        for f in schema["fields"]:
+            rec[f["name"]], pos = avro_decode_bytes(buf, pos, f["type"])
+        return rec, pos
+    raise ValueError(f"unsupported avro schema: {schema!r}")
+
+
+# ---------------------------------------------------------------------------
+# Avro Object Container Files (the on-disk interchange format; spec §
+# "Object Container Files").  Jar-free like the datum codecs above —
+# the honest fallback when spark-avro's jar is absent; at real scale
+# the jar reader (sync-marker split parallelism) is the tool.
+# ---------------------------------------------------------------------------
+
+_OCF_MAGIC = b"Obj\x01"
+
+
+def write_avro_container(
+    path: str, records: list, schema: dict, codec: str = "null",
+    block_size: int = 1000,
+) -> None:
+    """Driver-side OCF writer (fixtures, goldens, small exports): header
+    with avro.schema/avro.codec metadata, deterministic sync marker
+    (md5 of the schema JSON — byte-stable runs), ``block_size`` records
+    per block, ``null`` or ``deflate`` (raw RFC1951) codec."""
+    import hashlib
+    import json
+    import zlib
+
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    sjson = json.dumps(schema, sort_keys=True).encode()
+    sync = hashlib.md5(sjson).digest()
+    meta = {"avro.schema": sjson, "avro.codec": codec.encode()}
+    out = bytearray(_OCF_MAGIC)
+    out += _avro_long(len(meta))
+    for k, v in sorted(meta.items()):
+        kb = k.encode()
+        out += _avro_long(len(kb)) + kb + _avro_long(len(v)) + v
+    out += _avro_long(0)
+    out += sync
+    for i in range(0, len(records), block_size):
+        chunk = records[i : i + block_size]
+        body = b"".join(avro_encode_bytes(r, schema) for r in chunk)
+        if codec == "deflate":
+            c = zlib.compressobj(wbits=-15)
+            body = c.compress(body) + c.flush()
+        out += _avro_long(len(chunk)) + _avro_long(len(body)) + body + sync
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def read_avro_container(data: bytes) -> tuple[dict, list]:
+    """Parse one OCF byte string → (schema, records).  Validates magic
+    and every block's sync marker; supports null/deflate codecs."""
+    import json
+    import zlib
+
+    if data[:4] != _OCF_MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    pos = 4
+    n_meta, pos = _read_avro_long(data, pos)
+    meta: dict[str, bytes] = {}
+    while n_meta != 0:
+        if n_meta < 0:  # block form
+            _, pos = _read_avro_long(data, pos)
+            n_meta = -n_meta
+        for _ in range(n_meta):
+            kl, pos = _read_avro_long(data, pos)
+            k = data[pos : pos + kl].decode()
+            pos += kl
+            vl, pos = _read_avro_long(data, pos)
+            meta[k] = bytes(data[pos : pos + vl])
+            pos += vl
+        n_meta, pos = _read_avro_long(data, pos)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    sync = data[pos : pos + 16]
+    pos += 16
+    records = []
+    while pos < len(data):
+        n, pos = _read_avro_long(data, pos)
+        size, pos = _read_avro_long(data, pos)
+        body = data[pos : pos + size]
+        pos += size
+        if data[pos : pos + 16] != sync:
+            raise ValueError("sync marker mismatch (corrupt container)")
+        pos += 16
+        if codec == "deflate":
+            body = zlib.decompress(body, -15)
+        bp = 0
+        for _ in range(n):
+            rec, bp = avro_decode_bytes(body, bp, schema)
+            records.append(rec)
+    return schema, records
 
 
 # ---------------------------------------------------------------------------

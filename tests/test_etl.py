@@ -417,3 +417,35 @@ def test_read_corpus_gzip_jsonl(spark, tmp_path):
     assert set(rows) == {1, 2}
     assert rows[1].text == "alpha beta" and rows[1].n_chars == 10
     assert rows[2].source == "ingest"
+
+
+def test_read_corpus_avro_container(spark, tmp_path):
+    """fmt='avro': jar-free Object Container File ingestion, both
+    codecs, canonical documents projection, content-hash ids."""
+    from etl_rust_spark.etl.ingest import read_corpus
+    from etl_rust_spark.functions.wireformats import write_avro_container
+
+    schema = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": ["null", "string"]},
+            {"name": "lang", "type": ["null", "string"]},
+        ],
+    }
+    recs = [
+        {"doc_id": 1, "text": "alpha beta", "lang": "en"},
+        {"doc_id": 2, "text": None, "lang": "en"},      # dropped (null text)
+        {"doc_id": 3, "text": "gamma delta", "lang": None},
+    ]
+    d = tmp_path / "avro_feed"
+    d.mkdir()
+    write_avro_container(str(d / "a.avro"), recs[:2], schema, codec="null")
+    write_avro_container(str(d / "b.avro"), recs[2:], schema, codec="deflate")
+    out = read_corpus(spark, str(d), fmt="avro", source_field=None)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1].text == "alpha beta" and rows[1].lang == "en"
+    assert rows[3].lang is None and rows[3].source == "ingest"
+    assert rows[1].n_chars == 10

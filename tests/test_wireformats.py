@@ -113,3 +113,74 @@ def test_proto_py_publishes_through_queue(spark, tmp_path):
     )
     files = list((tmp_path / "blocks").glob("*.jsonl"))
     assert files, "publisher wrote nothing"
+
+
+def test_avro_decode_inverts_encode_edge_values():
+    from etl_rust_spark.functions.wireformats import (
+        avro_decode_bytes,
+        avro_encode_bytes,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "edge",
+        "fields": [
+            {"name": "big", "type": "long"},
+            {"name": "neg", "type": "long"},
+            {"name": "b", "type": "boolean"},
+            {"name": "f", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "raw", "type": "bytes"},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "opt", "type": ["null", "string"]},
+        ],
+    }
+    rec = {
+        "big": 2**62,
+        "neg": -(2**62),
+        "b": True,
+        "f": -0.0,
+        "s": "ünïcødé — text",
+        "raw": b"\x00\xff\x80",
+        "arr": [0, -1, 1, 2**40],
+        "opt": None,
+    }
+    buf = avro_encode_bytes(rec, schema)
+    out, pos = avro_decode_bytes(buf, 0, schema)
+    assert pos == len(buf)
+    assert out == rec
+
+
+def test_avro_container_rejects_corruption(tmp_path):
+    from etl_rust_spark.functions.wireformats import (
+        read_avro_container,
+        write_avro_container,
+    )
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "long"}]}
+    p = str(tmp_path / "c.avro")
+    write_avro_container(p, [{"x": i} for i in range(5)], schema)
+    data = bytearray(open(p, "rb").read())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="magic"):
+        read_avro_container(b"NOPE" + bytes(data[4:]))
+    data[-3] ^= 0xFF  # flip a byte inside the trailing sync marker
+    with _pytest.raises(ValueError, match="sync"):
+        read_avro_container(bytes(data))
+
+
+def test_avro_container_multi_block_deflate(tmp_path):
+    from etl_rust_spark.functions.wireformats import (
+        read_avro_container,
+        write_avro_container,
+    )
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "long"}]}
+    recs = [{"x": i} for i in range(2500)]
+    p = str(tmp_path / "mb.avro")
+    write_avro_container(p, recs, schema, codec="deflate", block_size=1000)
+    got_schema, got = read_avro_container(open(p, "rb").read())
+    assert got == recs and got_schema["name"] == "r"
