@@ -177,6 +177,12 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="exact distinct counts instead of HyperLogLog estimates",
     )
+    pp.add_argument(
+        "--percentiles",
+        default=None,
+        help="comma list of quantiles in [0,1] for numeric columns, "
+        "e.g. 0.5,0.95",
+    )
 
     pd = sub.add_parser(
         "diff",
@@ -299,6 +305,11 @@ def main(argv: list[str] | None = None) -> int:
             df,
             columns=args.columns.split(",") if args.columns else None,
             exact_ndv=args.exact_ndv,
+            percentiles=(
+                [float(x) for x in args.percentiles.split(",")]
+                if args.percentiles
+                else None
+            ),
         )
         for r in prof.collect():
             print(json.dumps(r.asDict()))

@@ -47,15 +47,30 @@ def profile_table(
     df: DataFrame,
     columns: list[str] | None = None,
     exact_ndv: bool = False,
+    percentiles: list[float] | None = None,
 ) -> DataFrame:
     """(col_name, dtype, n_rows, n_nonnull, n_null, n_distinct, min_s,
-    max_s) — one row per profiled column, computed in a single
-    aggregation job over one scan."""
+    max_s[, p<q>...]) — one row per profiled column, computed in a
+    single aggregation job over one scan.
+
+    ``percentiles`` (e.g. ``[0.5, 0.95]``) adds one ``p50``/``p95``/…
+    double column per requested quantile for NUMERIC columns (NULL
+    elsewhere), via ``percentile_approx`` — a mergeable KLL-family
+    sketch per column, so the profile stays one partial-aggregated
+    pass.  (Exact percentile state the engine can PERSIST and re-merge
+    lives in the rollup histograms, operators/rollup.py — this is the
+    one-shot report flavor.)
+    """
+    from pyspark.sql.types import NumericType
+
     dtypes = dict(df.dtypes)
     cols = columns if columns is not None else df.columns
     cols = [c for c in cols if not isinstance(df.schema[c].dataType, MapType)]
     if not cols:
         raise ValueError("no profilable columns")
+    pct = percentiles or []
+    if any(not 0 <= q <= 1 for q in pct):
+        raise ValueError(f"percentiles must be in [0, 1]: {pct}")
     ndv = F.count_distinct if exact_ndv else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
@@ -66,9 +81,20 @@ def profile_table(
             F.min(qc).cast("string").alias(f"__mn{i}"),
             F.max(qc).cast("string").alias(f"__mx{i}"),
         ]
+        if pct and isinstance(df.schema[c].dataType, NumericType):
+            aggs.append(
+                F.percentile_approx(
+                    qc.cast("double"), list(pct)
+                ).alias(f"__pq{i}")
+            )
     wide = df.agg(*aggs)
-    structs = [
-        F.struct(
+
+    def pname(q: float) -> str:
+        return "p" + (f"{q * 100:g}".replace(".", "_"))
+
+    structs = []
+    for i, c in enumerate(cols):
+        fields = [
             F.lit(c).alias("col_name"),
             F.lit(dtypes[c]).alias("dtype"),
             F.col("__n").alias("n_rows"),
@@ -77,9 +103,17 @@ def profile_table(
             F.col(f"__nd{i}").alias("n_distinct"),
             F.col(f"__mn{i}").alias("min_s"),
             F.col(f"__mx{i}").alias("max_s"),
-        )
-        for i, c in enumerate(cols)
-    ]
+        ]
+        numeric = isinstance(df.schema[c].dataType, NumericType)
+        for j, q in enumerate(pct):
+            fields.append(
+                (
+                    F.col(f"__pq{i}")[j]
+                    if numeric
+                    else F.lit(None).cast("double")
+                ).alias(pname(q))
+            )
+        structs.append(F.struct(*fields))
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
 
 

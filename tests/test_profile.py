@@ -181,3 +181,29 @@ def test_table_diff_prunes_payload_from_shuffle(spark, sf_dir):
     assert exchanges, plan
     for ex in exchanges:
         assert "o_totalprice" not in ex and "o_comment" not in ex
+
+
+def test_profile_percentiles(spark, sf_dir):
+    """percentiles=: numeric columns get approx quantiles (still one
+    job), non-numeric get NULL; still a single scan."""
+    register_views(spark, sf_dir)
+    out = profile.profile_table(
+        spark.table("orders"),
+        ["o_totalprice", "o_orderstatus"],
+        percentiles=[0.5, 0.95],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    rows = {r.col_name: r for r in out.collect()}
+    tp = rows["o_totalprice"]
+    assert tp.p50 is not None and tp.p95 is not None and tp.p50 <= tp.p95
+    # sanity vs exact median
+    exact = spark.table("orders").selectExpr(
+        "percentile(o_totalprice, 0.5) AS m"
+    ).collect()[0].m
+    assert abs(tp.p50 - exact) / exact < 0.05
+    assert rows["o_orderstatus"].p50 is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile.profile_table(spark.table("orders"), percentiles=[1.5])
