@@ -99,6 +99,11 @@ def _op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     #                  pins row identity, not just counts),
     #   src='split'  — pack.assign_split train/val/test counts (gates
     #                  the cumulative-weight CASE thresholds).
+    #   src='diff'   — snapshot table_diff over two deterministic views
+    #                  of the corpus (old = doc_id ≤ 400; new = 50..450
+    #                  with every 7th text perturbed): per-key
+    #                  added(0)/removed(1)/changed(2) rows, gating the
+    #                  md5-fingerprint diff machinery cross-engine.
     docs = _docs(spark, sf_dir)
     kept = (
         dedup.exact_dedupe(docs, ["text"], "doc_id")
@@ -135,7 +140,33 @@ def _op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("long").alias("b"),
         )
     )
-    return ded.unionByName(samp).unionByName(spl).orderBy("src", "key")
+    from etl_rust_spark.operators import profile as _profile
+
+    old_snap = docs.filter(F.col("doc_id") <= 400).select("doc_id", "text")
+    new_snap = docs.filter(F.col("doc_id").between(50, 450)).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" x"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    dif = _profile.table_diff(old_snap, new_snap, ["doc_id"]).select(
+        F.lit("diff").alias("src"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("doc_id").alias("a"),
+        F.when(F.col("diff") == "added", 0)
+        .when(F.col("diff") == "removed", 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("b"),
+    )
+    return (
+        ded.unionByName(samp)
+        .unionByName(spl)
+        .unionByName(dif)
+        .orderBy("src", "key")
+    )
 
 
 def _op_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,12 +532,29 @@ def _dedup_entry_duck_sql() -> str:
     ded = dedup.exact_dedup_stats_duck_sql()
     samp = pack.hash_sample_sql(0.1)[1]
     spl = pack.assign_split_sql()[1]
+    # src='diff' mirror: the same md5-fingerprint full-outer-join shape
+    # as profile.table_diff_sql, over the two deterministic snapshot
+    # views of documents the engine builds.
+    fp = "md5(concat_ws(chr(31), coalesce(CAST(text AS VARCHAR), chr(30))))"
+    dif = f"""
+SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id,
+       CASE WHEN fa.h IS NULL THEN 0 WHEN fb.h IS NULL THEN 1 ELSE 2 END AS code
+FROM (SELECT doc_id, {fp} AS h FROM documents WHERE doc_id <= 400) fa
+FULL OUTER JOIN (
+  SELECT doc_id, {fp} AS h FROM (
+    SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' x' ELSE text END AS text
+    FROM documents WHERE doc_id BETWEEN 50 AND 450)) fb
+ON fa.doc_id = fb.doc_id
+WHERE fa.h IS NULL OR fb.h IS NULL OR fa.h != fb.h"""
     return f"""
 SELECT 'dedup' AS src, lang AS key, n_docs AS a, n_kept AS b FROM ({ded})
 UNION ALL
 SELECT 'sample' AS src, CAST(doc_id AS VARCHAR) AS key, doc_id AS a, n_chars AS b FROM ({samp})
 UNION ALL
 SELECT 'split' AS src, split AS key, n AS a, (-1)::BIGINT AS b FROM ({spl})
+UNION ALL
+SELECT 'diff' AS src, CAST(doc_id AS VARCHAR) AS key, doc_id AS a,
+  CAST(code AS BIGINT) AS b FROM ({dif})
 ORDER BY src, key"""
 
 
