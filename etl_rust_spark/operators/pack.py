@@ -33,6 +33,7 @@ __all__ = [
     "hash_sample_sql",
     "pack_sequences",
     "assign_split",
+    "leakage_safe_split",
     "assign_split_sql",
     "mix_corpora",
 ]
@@ -111,6 +112,43 @@ def assign_split(
     key = f"concat('{seed}', '/', CAST({id_col} AS STRING))"
     h = f"{spark_h(x=key)} % {MINHASH_P} % {_MOD}"
     return df.withColumn(out_col, F.expr(_split_case(weights, h)))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: str = "s0",
+    out_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment where NEAR-DUPLICATES always share a
+    split — the leakage :func:`assign_split` alone cannot prevent: a
+    near-copy of a training document landing in test silently inflates
+    eval scores.
+
+    Composition: connected components over the near-dup pair graph
+    (``curate.near_dup_components`` — min-id label propagation with
+    pointer jumping) give every document a representative; the split
+    hash is computed on the REPRESENTATIVE's id (own id for documents
+    in no pair), so an entire near-dup cluster moves as one unit.  The
+    split distribution stays weight-proportional over clusters rather
+    than documents — the price of no leakage, standard for eval-set
+    hygiene.
+
+    Scale: components state is (id, rep) pairs; the final join is
+    ids-only; the hash assignment stays scan-shaped.
+    """
+    from etl_rust_spark.operators.curate import near_dup_components
+
+    comp = near_dup_components(pairs).select(
+        F.col("id").alias(id_col), F.col("rep").alias("__rep")
+    )
+    keyed = df.join(comp, id_col, "left").withColumn(
+        "__rep", F.coalesce(F.col("__rep"), F.col(id_col))
+    )
+    out = assign_split(keyed, weights, id_col="__rep", seed=seed, out_col=out_col)
+    return out.drop("__rep")
 
 
 def assign_split_sql(

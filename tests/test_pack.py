@@ -174,3 +174,39 @@ def test_mix_corpora_epoch_weights(spark, sf_dir):
     assert sorted(
         (r["mix_source"], r["mix_epoch"], r["doc_id"]) for r in mixed.collect()
     ) == sorted((r["mix_source"], r["mix_epoch"], r["doc_id"]) for r in again.collect())
+
+
+def test_leakage_safe_split_clusters_move_together(spark):
+    """Near-dup clusters land in one split; singletons keep their plain
+    assign_split placement (rep == own id)."""
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.operators import pack
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], ["doc_id", "text"]
+    )
+    # two chains: 0-1-2 and a long one 10..15; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2)] + [(i, i + 1) for i in range(10, 15)],
+        ["qid", "cid"],
+    )
+    out = pack.leakage_safe_split(
+        docs, pairs, weights={"train": 0.6, "val": 0.2, "test": 0.2}
+    )
+    got = {r.doc_id: r.split for r in out.collect()}
+    assert len({got[i] for i in (0, 1, 2)}) == 1
+    assert len({got[i] for i in range(10, 16)}) == 1
+    # singleton rows match plain assign_split exactly
+    plain = {
+        r.doc_id: r.split
+        for r in pack.assign_split(
+            docs, weights={"train": 0.6, "val": 0.2, "test": 0.2}
+        ).collect()
+    }
+    clustered = {0, 1, 2} | set(range(10, 16))
+    for i in range(200):
+        if i not in clustered:
+            assert got[i] == plain[i]
+    # cluster members inherit the REPRESENTATIVE's placement
+    assert got[0] == plain[0] and got[10] == plain[10]
