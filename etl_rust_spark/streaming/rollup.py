@@ -49,6 +49,31 @@ def run_rollup_stream(
     Layout under ``out_dir``: ``delta/batch=<epoch>/`` per-epoch partial
     rollups (and ``base/gen=<n>/`` once :func:`compact_rollup` has
     run)."""
+    process = _epoch_processor(
+        out_dir, ts=ts, bucket_sec=bucket_sec, dims=dims, value=value,
+        user=user, hist_bins=hist_bins,
+    )
+    return (
+        events_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def _epoch_processor(
+    out_dir: str,
+    ts: str = "ts",
+    bucket_sec: int = 3600,
+    dims: tuple[str, ...] = ("event_type",),
+    value: str = "value",
+    user: str = "user_id",
+    hist_bins: int | None = None,
+):
+    """The foreachBatch body, exposed so tests can drive a REPLAYED
+    epoch directly (Spark re-invokes the same epoch_id with the same
+    rows after a crash): processing an epoch twice must leave the state
+    byte-identical, which the overwrite-into-own-directory layout
+    guarantees."""
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         part = _r.time_rollup(
@@ -57,11 +82,7 @@ def run_rollup_stream(
         )
         part.write.mode("overwrite").parquet(f"{out_dir}/delta/batch={epoch_id}")
 
-    return (
-        events_stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    return process
 
 
 def _generations(spark: SparkSession, out_dir: str) -> DataFrame | None:

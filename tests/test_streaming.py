@@ -554,3 +554,35 @@ def test_rollup_stream_continuous_aggregate(spark, sf_dir, tmp_path):
     assert gen == 0
     assert not list(Path(out, "delta").glob("batch=*"))
     check(3600)   # state identical after the fold
+
+
+def test_rollup_stream_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """A crashed foreachBatch epoch is re-invoked with the same rows and
+    epoch id; the epoch-delta layout must make that a no-op (the exact
+    failure read-modify-write state cannot survive: it would
+    double-count)."""
+    from etl_rust_spark.catalog import register_views
+    from etl_rust_spark.operators import rollup as br
+    from etl_rust_spark.streaming.rollup import (
+        _epoch_processor,
+        read_continuous_rollup,
+    )
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events").select("ts", "event_type", "value", "user_id")
+    out = str(tmp_path / "replay")
+    process = _epoch_processor(out, hist_bins=br.HIST_BINS)
+    b0 = ev.filter(F.col("user_id") % 2 == 0)
+    b1 = ev.filter(F.col("user_id") % 2 == 1)
+    process(b0, 0)
+    process(b1, 1)
+    first = read_continuous_rollup(spark, out).orderBy("bs", "event_type")
+    snap = [tuple(r) for r in first.drop("user_sketch").collect()]
+    # crash replay: epoch 1 re-runs with the same rows
+    process(b1, 1)
+    again = read_continuous_rollup(spark, out).orderBy("bs", "event_type")
+    assert [tuple(r) for r in again.drop("user_sketch").collect()] == snap
+    # and the totals still equal the one-shot batch rollup
+    want = br.time_rollup(ev, sketch=False)
+    got_n = again.agg(F.sum("n")).collect()[0][0]
+    assert got_n == want.agg(F.sum("n")).collect()[0][0]
