@@ -34,6 +34,9 @@ __all__ = [
     "ann_lsh_topk_duck_sql",
     "ivf_fixed_topk_duck_sql",
     "ivf_topk",
+    "build_ivf_index",
+    "ivf_assign",
+    "ivf_search",
     "cosine_near_dup_pairs",
     "cosine_join",
     "semantic_dedupe",
@@ -735,6 +738,152 @@ def ivf_topk(
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("qid", "cid", "cos", "rn")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    sample: int = 10_000,
+    seed: int = 7,
+) -> None:
+    """Materialize an IVF index: train the deterministic k-means
+    quantizer once, persist ``centroids.parquet`` (KBs) and the corpus
+    assigned to inverted lists under ``corpus/`` PARTITIONED BY
+    ``list_id`` — so a search probing ``n_probe`` of ``n_lists`` lists
+    reads only those partition directories (static pruning; the
+    train-per-call :func:`ivf_topk` re-scans the corpus every query
+    batch, the index amortizes both training and assignment).
+
+    Assignment runs through the same fixed-centroid fold-exact kernel
+    the search probes use (centroids passed explicitly), so
+    build-assignment and search-probe agree bit-for-bit.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    samp = sorted(
+        _ivf_sample_frame(corpus, id_col, vec_col, sample, seed).collect(),
+        key=lambda r: r[0],
+    )[:sample]
+    mat = np.array([list(r[1]) for r in samp], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    cent = _kmeans(mat, n_lists, seed=seed)
+    spark.createDataFrame(
+        [(int(j), [float(x) for x in cent[j]]) for j in range(len(cent))],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned = ivf_assign(corpus, cent, id_col, vec_col)
+    assigned.write.partitionBy("list_id").mode("overwrite").parquet(
+        f"{path}/corpus"
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame, centroids, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(cid, cv, list_id): nearest-centroid assignment with the
+    fold-exact kernel (cumsum dots, 6-dp half-up round, lowest-index
+    tie-break — identical to :func:`ivf_topk`'s fixed-centroid path, so
+    persisted lists and on-the-fly assignment never disagree)."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cent = np.asarray(centroids, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(cent)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array([list(x) for x in pdf["cv"]], dtype=np.float64)
+            prods = v[:, None, :] * c[None, :, :]
+            dots = np.cumsum(prods, axis=2)[:, :, -1]
+            nrm = np.sqrt(np.cumsum(v * v, axis=1)[:, -1])
+            sims = _round_half_up(dots / np.maximum(nrm[:, None], 1e-30), 6)
+            yield pd.DataFrame(
+                {
+                    "cid": pdf["cid"],
+                    "cv": pdf["cv"],
+                    "list_id": np.argmax(sims, axis=1).astype(np.int32),
+                }
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    ).mapInPandas(gen, "cid long, cv array<float>, list_id int")
+
+
+def ivf_search(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Search a persisted IVF index: probe each query's ``n_probe``
+    nearest lists, read ONLY those list partitions (the probed list ids
+    are collected — at most ``n_lists`` ints — and pushed as a partition
+    filter, so the scan prunes directories), exact-cosine re-rank.
+
+    Equals :func:`ivf_topk` run with the index's centroids — pinned in
+    tests — while scanning |corpus|·n_probe/n_lists instead of the
+    whole corpus."""
+    spark = queries.sparkSession
+    cent_rows = sorted(
+        spark.read.parquet(f"{index_path}/centroids").collect(),
+        key=lambda r: r["list_id"],
+    )
+    import numpy as np
+
+    cent = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    q = queries.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+    # Probed-list set, computed distributively (only list ids — at most
+    # n_lists ints — come back to the driver), then pushed as a
+    # partition filter so the corpus scan prunes directories.
+    bc = spark.sparkContext.broadcast(cent)
+
+    def probe_lists(batches):
+        import numpy as np
+        import pandas as pd
+
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
+            prods = v[:, None, :] * c[None, :, :]
+            dots = np.cumsum(prods, axis=2)[:, :, -1]
+            nrm = np.sqrt(np.cumsum(v * v, axis=1)[:, -1])
+            sims = _round_half_up(dots / np.maximum(nrm[:, None], 1e-30), 6)
+            top = np.argsort(-sims, axis=1, kind="stable")[
+                :, : min(n_probe, c.shape[0])
+            ]
+            yield pd.DataFrame({"list_id": np.unique(top).astype(np.int32)})
+
+    lists = sorted(
+        r["list_id"]
+        for r in q.select(F.col(vec_col).alias("v"))
+        .mapInPandas(probe_lists, "list_id int")
+        .distinct()
+        .collect()
+    )
+    corpus = (
+        spark.read.parquet(f"{index_path}/corpus")
+        .filter(F.col("list_id").isin(lists))
+        .select(F.col("cid").alias(id_col), F.col("cv").alias(vec_col))
+    )
+    return ivf_topk(
+        q, corpus, id_col=id_col, vec_col=vec_col, k=k,
+        n_probe=n_probe, centroids=cent,
     )
 
 

@@ -431,3 +431,41 @@ def test_cosine_join_cross_corpus(spark, sf_dir):
             if c >= 0.9:
                 want[(i, j)] = c
     assert got == want and (1, 0) in got
+
+
+def test_ivf_index_build_and_search(spark, sf_dir, tmp_path):
+    """Persisted IVF index: search equals train-per-call ivf_topk run
+    with the index's centroids, and the probe scan reads only the
+    probed list partitions."""
+    import numpy as np
+
+    from etl_rust_spark.catalog import load_table
+    from etl_rust_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, idx, n_lists=8, seed=7)
+    q = emb.filter("vec_id <= 10")
+    got = similarity.ivf_search(q, idx, k=3, n_probe=3).orderBy("qid", "rn")
+
+    cent = np.array(
+        [
+            r["centroid"]
+            for r in sorted(
+                spark.read.parquet(f"{idx}/centroids").collect(),
+                key=lambda r: r["list_id"],
+            )
+        ]
+    )
+    want = similarity.ivf_topk(
+        q, emb, k=3, n_probe=3, centroids=cent
+    ).orderBy("qid", "rn")
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    # pruning: the corpus read carries a partition filter on list_id
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "list_id" in plan
+    import os
+
+    parts = [d for d in os.listdir(f"{idx}/corpus") if d.startswith("list_id=")]
+    assert len(parts) >= 4  # real multi-list layout on this corpus
