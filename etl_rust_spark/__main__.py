@@ -100,7 +100,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     pi.add_argument("path", help="input JSONL/CSV path or glob")
     pi.add_argument("--out", required=True)
-    pi.add_argument("--format", default="jsonl", choices=["jsonl", "csv", "avro"])
+    pi.add_argument("--format", default="jsonl", choices=["jsonl", "csv", "avro", "warc"])
     pi.add_argument(
         "--no-id-field",
         action="store_true",

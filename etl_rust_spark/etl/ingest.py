@@ -31,7 +31,7 @@ from etl_rust_spark.operators.hashes import MINHASH_P, spark_h
 
 __all__ = ["read_corpus", "ingest_corpus"]
 
-_FORMATS = ("jsonl", "csv", "avro")
+_FORMATS = ("jsonl", "csv", "avro", "warc")
 
 
 def read_corpus(
@@ -56,6 +56,12 @@ def read_corpus(
     """
     if fmt not in _FORMATS:
         raise ValueError(f"unknown corpus format {fmt!r} (use one of {_FORMATS})")
+    if fmt == "warc":
+        # Web archives produce the canonical shape directly (URL as
+        # source, content-hash ids) — field-name knobs don't apply.
+        from etl_rust_spark.etl.warc import read_warc, warc_to_documents
+
+        return warc_to_documents(read_warc(spark, path))
     if fmt == "avro":
         # Avro Object Container Files via the jar-free spec codecs
         # (functions/wireformats.py) — parallelism is per FILE (each
