@@ -35,6 +35,7 @@ __all__ = [
     "create_bucketed_table",
     "write_clustered",
     "upsert_table",
+    "layout_report",
 ]
 
 # The ten driver-provided synthetic tables (TESTDATA.md / FIXTURES.md §1).
@@ -390,6 +391,57 @@ def upsert_table(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         w = w.partitionBy(partition_by)
     w.mode("overwrite").parquet(path)
+
+
+def layout_report(path: str, key: str) -> dict:
+    """Audit a parquet table's physical layout for skippability on
+    ``key``: per-file min/max from the parquet FOOTERS (pyarrow,
+    driver-side — an audit over file metadata, not a data scan) and the
+    headline ``overlap`` metric: the mean number of files whose
+    [min, max] range contains a probe key, sampled at every file
+    boundary.  1.0 = perfectly clustered (a point predicate opens one
+    file); ≈ n_files = hash-smeared (every file must be opened).
+
+    The number to watch after :func:`write_clustered` (expect ~1) or to
+    justify re-clustering an append-accumulated table (it drifts toward
+    n_files as appends interleave key ranges).
+    """
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    files = sorted(str(p) for p in Path(path).rglob("*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    ranges = []
+    n_groups = 0
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        idx = {meta.row_group(0).column(i).path_in_schema: i
+               for i in range(meta.num_columns)} if meta.num_row_groups else {}
+        if key not in idx:
+            raise ValueError(f"column {key!r} not in {f}")
+        lo = hi = None
+        for g in range(meta.num_row_groups):
+            st = meta.row_group(g).column(idx[key]).statistics
+            if st is None or not st.has_min_max:
+                return {"files": len(files), "overlap": float(len(files)),
+                        "stats": "absent"}
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+            n_groups += 1
+        ranges.append((lo, hi))
+    probes = sorted({r[0] for r in ranges} | {r[1] for r in ranges})
+    hits = [
+        sum(1 for lo, hi in ranges if lo <= p <= hi) for p in probes
+    ]
+    return {
+        "files": len(files),
+        "row_groups": n_groups,
+        "overlap": round(sum(hits) / len(hits), 2),
+        "max_overlap": max(hits),
+        "stats": "present",
+    }
 
 
 def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> None:

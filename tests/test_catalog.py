@@ -247,3 +247,29 @@ def test_upsert_table_partitioned_touches_only_dirty(spark, tmp_path):
     assert files("d2") == d2_before  # untouched partition: identical files
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_layout_report_discriminates_clustered_from_smeared(spark, sf_dir, tmp_path):
+    from etl_rust_spark.catalog import layout_report, write_clustered
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    clustered = str(tmp_path / "lr_clustered")
+    smeared = str(tmp_path / "lr_smeared")
+    write_clustered(ev, clustered, by=["user_id"], n_files=8)
+    ev.repartition(8).write.parquet(smeared)
+
+    rc = layout_report(clustered, "user_id")
+    rs = layout_report(smeared, "user_id")
+    assert rc["stats"] == rs["stats"] == "present"
+    assert rc["files"] == rs["files"] == 8
+    # clustered: a probe key lands in ~1 file (2 at shared boundaries);
+    # smeared: every file covers the whole range.
+    assert rc["overlap"] <= 2.0 and rc["max_overlap"] <= 2
+    assert rs["overlap"] > 6.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        layout_report(clustered, "nope")
+    with _pytest.raises(FileNotFoundError):
+        layout_report(str(tmp_path / "missing"), "user_id")
