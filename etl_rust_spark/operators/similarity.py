@@ -585,6 +585,7 @@ def _ivf_sample_frame(
     run-independent), bounded driver memory (≈ 1.3 × sample rows)."""
     from etl_rust_spark.operators.hashes import MINHASH_P, spark_h
 
+    corpus = corpus.filter(F.col(vec_col).isNotNull())  # null guard
     n = corpus.count()
     cand = corpus.select(id_col, vec_col)
     if n > sample:
@@ -670,6 +671,7 @@ def ivf_topk(
 
         c = bc.value
         for pdf in batches:
+            pdf = pdf[pdf["v"].map(lambda x: x is not None)]  # null guard
             if not len(pdf):
                 continue
             v = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
@@ -683,6 +685,7 @@ def ivf_topk(
 
         c = bc.value
         for pdf in batches:
+            pdf = pdf[pdf["v"].map(lambda x: x is not None)]  # null guard
             if not len(pdf):
                 continue
             v = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
@@ -801,6 +804,9 @@ def ivf_assign(
 
         c = bc.value
         for pdf in batches:
+            # NULL embeddings are skipped (the kernel null-guard lesson,
+            # ADVICE r5 — a nullable column must not crash the job).
+            pdf = pdf[pdf["cv"].map(lambda v: v is not None)]
             if not len(pdf):
                 continue
             v = np.array([list(x) for x in pdf["cv"]], dtype=np.float64)
@@ -857,6 +863,7 @@ def ivf_search(
 
         c = bc.value
         for pdf in batches:
+            pdf = pdf[pdf["v"].map(lambda x: x is not None)]  # null guard
             if not len(pdf):
                 continue
             v = np.array([list(x) for x in pdf["v"]], dtype=np.float64)

@@ -117,3 +117,28 @@ def test_signature_operators_skip_null_payloads(spark):
         assert [r["asset_id"] for r in multimodal.image_signatures(df, decode_stub=stub).collect()] == [1]
         assert [r["asset_id"] for r in multimodal.audio_signatures(df, decode_stub=stub).collect()] == [3]
     assert [r["asset_id"] for r in multimodal.frame_signatures(df).collect()] == [5]
+
+
+def test_ivf_index_kernels_skip_null_embeddings(spark, tmp_path):
+    """ivf_assign / ivf_search probe kernels must skip NULL embeddings
+    instead of crashing (the Arrow-kernel null-guard contract)."""
+    from pyspark.sql import types as T
+
+    from etl_rust_spark.operators import similarity
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)]) for i in range(40)]
+    rows += [(100, None), (101, None)]
+    emb = spark.createDataFrame(rows, schema)
+    idx = str(tmp_path / "ivf_null")
+    similarity.build_ivf_index(emb, idx, n_lists=4, seed=3)
+    # null corpus rows never entered a list
+    assert spark.read.parquet(f"{idx}/corpus").count() == 40
+    out = similarity.ivf_search(
+        emb.filter("vec_id IN (0, 1, 100)"), idx, k=2, n_probe=2
+    )
+    got = {r.qid for r in out.collect()}
+    assert 100 not in got and {0, 1} <= got
