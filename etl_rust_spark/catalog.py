@@ -368,7 +368,13 @@ def upsert_table(
         raise ValueError(f"delta is missing key columns: {missing}")
     try:
         existing = spark.read.parquet(path)
-    except Exception:
+    except Exception as exc:
+        # Bootstrap ONLY on a genuinely absent path — any other read
+        # failure (corrupt footer, permissions) must surface, not get
+        # silently clobbered by a fresh overwrite.
+        msg = str(exc)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
         w = delta.write
         if partition_by:
             w = w.partitionBy(partition_by)

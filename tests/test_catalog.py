@@ -273,3 +273,23 @@ def test_layout_report_discriminates_clustered_from_smeared(spark, sf_dir, tmp_p
         layout_report(clustered, "nope")
     with _pytest.raises(FileNotFoundError):
         layout_report(str(tmp_path / "missing"), "user_id")
+
+
+def test_upsert_table_surfaces_corrupt_reads(spark, tmp_path):
+    """A read failure that is NOT path-absence must raise, never
+    bootstrap-overwrite the (possibly corrupt but recoverable) table."""
+    import os
+
+    import pytest as _pytest
+
+    from etl_rust_spark.catalog import upsert_table
+
+    path = str(tmp_path / "corrupt")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0000.parquet"), "wb") as f:
+        f.write(b"this is not parquet at all")
+    delta = spark.createDataFrame([(1, "a")], ["k", "v"])
+    with _pytest.raises(Exception):
+        upsert_table(spark, path, delta, ["k"])
+    # the junk file survived — nothing was clobbered
+    assert os.path.exists(os.path.join(path, "part-0000.parquet"))
