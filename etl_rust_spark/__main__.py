@@ -184,6 +184,13 @@ def main(argv: list[str] | None = None) -> int:
         "e.g. 0.5,0.95",
     )
 
+    pcard = sub.add_parser(
+        "card",
+        help="dataset card for a documents parquet: totals, token "
+        "budget, language/source mix, length percentiles (JSON)",
+    )
+    pcard.add_argument("corpus", help="documents parquet path")
+
     pd = sub.add_parser(
         "diff",
         help="snapshot diff two parquet tables by key: added/removed/"
@@ -313,6 +320,10 @@ def main(argv: list[str] | None = None) -> int:
         )
         for r in prof.collect():
             print(json.dumps(r.asDict()))
+    elif args.cmd == "card":
+        from etl_rust_spark.operators.card import dataset_card
+
+        print(json.dumps(dataset_card(spark.read.parquet(args.corpus))))
     elif args.cmd == "diff":
         from etl_rust_spark.operators.profile import diff_summary, table_diff
 

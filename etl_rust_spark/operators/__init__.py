@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from etl_rust_spark.catalog import load_table, register_views
 from etl_rust_spark.operators import (
+    card,
     chunk,
     clean,
     decontaminate,
@@ -61,6 +62,7 @@ from etl_rust_spark.operators import (
 )
 
 __all__ = [
+    "card",
     "chunk",
     "clean",
     "decontaminate",

@@ -449,3 +449,26 @@ def test_read_corpus_avro_container(spark, tmp_path):
     assert rows[1].text == "alpha beta" and rows[1].lang == "en"
     assert rows[3].lang is None and rows[3].source == "ingest"
     assert rows[1].n_chars == 10
+
+
+def test_cli_dataset_card(spark, tmp_path, capsys):
+    import json as _json
+
+    from etl_rust_spark.__main__ import main
+
+    src = str(tmp_path / "card_docs")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "web"),
+            (2, "delta epsilon", "en", "web"),
+            (3, "zeta eta theta iota", "de", "books"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    ).write.parquet(src)
+    rc = main(["card", src])
+    assert rc == 0
+    card = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert card["n_docs"] == 3 and card["n_tokens"] == 9
+    assert card["languages"]["en"]["n_docs"] == 2
+    assert card["sources"]["web"]["share_bp"] == 6666
+    assert card["chars_p50"] <= card["chars_p95"]
