@@ -1,4 +1,7 @@
-"""C4-style line-level cleaning (Raffel et al. 2020, §2.2).
+"""Text cleanup stages: C4 line-level cleaning and typography/unicode
+normalization.
+
+C4 (Raffel et al. 2020, §2.2):
 
 The Gopher rules (text.gopher_quality_flags) DECIDE per document; the
 C4 cleaner EDITS inside the document — drop bad lines, keep good ones,
