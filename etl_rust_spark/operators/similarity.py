@@ -36,6 +36,7 @@ __all__ = [
     "ivf_topk",
     "build_ivf_index",
     "ivf_assign",
+    "update_ivf_index",
     "ivf_search",
     "cosine_near_dup_pairs",
     "cosine_join",
@@ -825,6 +826,70 @@ def ivf_assign(
     return corpus.select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     ).mapInPandas(gen, "cid long, cv array<float>, list_id int")
+
+
+def update_ivf_index(
+    corpus_delta: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold new/changed vectors into a persisted IVF index WITHOUT
+    retraining: assign the delta with the stored centroids (the same
+    fold-exact kernel — new vectors land exactly where a full rebuild
+    would put them) and keyed-upsert into the list-partitioned corpus,
+    so re-ingested ids replace their old row and a replayed delta is
+    idempotent.  Only the delta's list partitions rewrite
+    (``catalog.upsert_table`` dirty-partition discipline).
+
+    A CHANGED vector may re-assign to a different list; the old row
+    lives in another partition, so the dirty set is the union of the
+    delta's NEW lists and the OLD lists its ids currently occupy (one
+    ids+list_id column-pruned pass over the corpus finds them).  Those
+    partitions are rewritten with the delta's ids replaced — replaying
+    the same delta is idempotent.
+
+    Centroids drift as the corpus grows — recall against the trained
+    distribution degrades slowly; rebuild via :func:`build_ivf_index`
+    when the corpus has grown by an order of magnitude (the standard
+    IVF maintenance trade).
+    """
+    import numpy as np
+
+    spark = corpus_delta.sparkSession
+    cent = np.array(
+        [
+            r["centroid"]
+            for r in sorted(
+                spark.read.parquet(f"{path}/centroids").collect(),
+                key=lambda r: r["list_id"],
+            )
+        ],
+        dtype=np.float64,
+    )
+    assigned = ivf_assign(corpus_delta, cent, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
+    existing = spark.read.parquet(f"{path}/corpus")
+    delta_keys = assigned.select("cid").distinct()
+    old_lists = (
+        existing.join(delta_keys, "cid", "semi").select("list_id").distinct()
+    )
+    dirty = [
+        r["list_id"]
+        for r in old_lists.unionByName(
+            assigned.select("list_id").distinct()
+        ).distinct().collect()
+    ]
+    survivors = (
+        existing.filter(F.col("list_id").isin(dirty))
+        .join(delta_keys, "cid", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    survivors.unionByName(assigned).write.partitionBy("list_id").mode(
+        "overwrite"
+    ).parquet(f"{path}/corpus")
 
 
 def ivf_search(

@@ -469,3 +469,52 @@ def test_ivf_index_build_and_search(spark, sf_dir, tmp_path):
 
     parts = [d for d in os.listdir(f"{idx}/corpus") if d.startswith("list_id=")]
     assert len(parts) >= 4  # real multi-list layout on this corpus
+
+
+def test_ivf_index_incremental_update(spark, sf_dir, tmp_path):
+    """update_ivf_index: new ids append, changed ids replace (even when
+    the new vector re-assigns to a different list — the old-partition
+    row is removed), replay is idempotent, and the updated index equals
+    a fresh rebuild-assignment over the updated corpus."""
+    import numpy as np
+
+    from etl_rust_spark.catalog import load_table
+    from etl_rust_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter("vec_id < 180")
+    idx = str(tmp_path / "ivf_up")
+    similarity.build_ivf_index(base, idx, n_lists=8, seed=7)
+    cent = np.array(
+        [
+            r["centroid"]
+            for r in sorted(
+                spark.read.parquet(f"{idx}/centroids").collect(),
+                key=lambda r: r["list_id"],
+            )
+        ]
+    )
+    # delta: 10 new ids + 5 existing ids whose vectors now equal OTHER
+    # docs' vectors (forcing list moves for at least some of them)
+    new_rows = emb.filter("vec_id >= 180 AND vec_id < 190").select("vec_id", "embedding")
+    moved = (
+        emb.filter("vec_id >= 50 AND vec_id < 55")
+        .selectExpr("vec_id - 50 AS vec_id", "embedding")
+    )
+    delta = new_rows.unionByName(moved)
+    similarity.update_ivf_index(delta, idx)
+    got = spark.read.parquet(f"{idx}/corpus")
+    assert got.count() == 190
+    assert got.select("cid").distinct().count() == 190  # no duplicate ids
+    # equality with a from-scratch assignment of the same corpus
+    updated_corpus = base.filter("vec_id >= 5").select("vec_id", "embedding").unionByName(delta)
+    want = similarity.ivf_assign(updated_corpus, cent)
+    j = got.select("cid", F.col("list_id").alias("l1")).join(
+        want.select("cid", F.col("list_id").alias("l2")), "cid", "full"
+    )
+    assert j.filter(
+        F.col("l1").isNull() | F.col("l2").isNull() | (F.col("l1") != F.col("l2"))
+    ).count() == 0
+    # replay idempotence
+    similarity.update_ivf_index(delta, idx)
+    assert spark.read.parquet(f"{idx}/corpus").count() == 190
