@@ -480,3 +480,36 @@ def test_c4_clean_is_idempotent(spark, rows):
     a = {r.doc_id: r.text_c4 for r in once.collect()}
     b = {r.doc_id: r.text_c4 for r in twice.collect()}
     assert a == b
+
+
+kv_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.one_of(st.none(), st.text(max_size=6))),
+    min_size=0,
+    max_size=20,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(a_rows=kv_strategy, b_rows=kv_strategy)
+def test_table_diff_set_math(spark, a_rows, b_rows):
+    """diff statuses are exactly the key-set/value-map algebra:
+    removed = keys(a)-keys(b), added = keys(b)-keys(a), changed =
+    common keys with different values; diff(a, a) is empty."""
+    from etl_rust_spark.operators.profile import table_diff
+
+    schema = "k: long, v: string"
+    a = spark.createDataFrame(a_rows, schema)
+    b = spark.createDataFrame(b_rows, schema)
+    got = {r.k: r.diff for r in table_diff(a, b, ["k"]).collect()}
+    da, db = dict(a_rows), dict(b_rows)
+    want = {}
+    for k in set(da) - set(db):
+        want[k] = "removed"
+    for k in set(db) - set(da):
+        want[k] = "added"
+    for k in set(da) & set(db):
+        if da[k] != db[k]:
+            want[k] = "changed"
+    assert got == want
+    assert table_diff(a, a, ["k"]).count() == 0
