@@ -300,3 +300,41 @@ def test_near_dup_images_is_banded_equi_join(spark):
     rep = audit(out)
     assert rep.cartesian_products == 0, rep.plan
     assert "payload" not in str(out.schema)
+
+
+def test_cosine_join_plan_is_cogroup_no_cartesian(spark, sf_dir):
+    """Cross-corpus cosine join: sharded cogroup — no cartesian/BNLJ
+    anywhere; both sides exchange on the shard key only."""
+    from etl_rust_spark.catalog import load_table
+    from etl_rust_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_join(
+        emb.filter("vec_id < 10"), emb.filter("vec_id >= 10"), 0.9
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    # exactly ONE nested-loop join is expected and it is the broadcast
+    # replication of the tiny shard range onto the query side — never a
+    # data-by-data cross (the corpus side reaches the cogroup via a
+    # hash exchange on shard).
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "Range (0, 16" in plan  # the n_shards generator is the build side
+
+
+def test_ivf_search_prunes_list_partitions(spark, sf_dir, tmp_path):
+    """The index search's corpus scan must carry a list_id partition
+    filter (directory pruning), not scan every inverted list."""
+    from etl_rust_spark.catalog import load_table
+    from etl_rust_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf_plan")
+    similarity.build_ivf_index(emb, idx, n_lists=8, seed=7)
+    out = similarity.ivf_search(emb.filter("vec_id < 5"), idx, k=2, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*list_id[^\]]*\]", plan)
+    assert m, "corpus scan lost its list_id partition filter"
