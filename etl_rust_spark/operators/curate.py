@@ -150,6 +150,8 @@ def curate_corpus(
     substring_k: int | None = None,
     quality_model=None,
     quality_model_threshold: float = 0.5,
+    reference_lm=None,
+    max_perplexity: float | None = None,
 ) -> DataFrame:
     """Return the curated corpus (original columns + language votes +
     ``lang_pred`` + ``quality_bp``), lazily — one composed plan, no
@@ -185,6 +187,14 @@ def curate_corpus(
     ``quality_model`` (r6): a fitted reference-vs-crawl classifier
     (``classify.train_quality_classifier``) applied after the
     rule-based floor — the CCNet-style learned filter.
+
+    ``reference_lm`` + ``max_perplexity`` (r6): the third CCNet signal
+    — a bigram LM trained on a REFERENCE corpus
+    (``lm.train_bigram_lm``, pass its (bigrams, contexts, vocab)
+    triple) scores every document; documents whose perplexity against
+    reference text exceeds ``max_perplexity`` are dropped.  Together
+    the three stages are the standard quality ladder: cheap rules →
+    learned classifier → LM perplexity.
     """
     if strip_markup:
         cleaned = text.strip_markup(docs, text_col, id_col).select(
@@ -229,6 +239,20 @@ def curate_corpus(
 
         docs = _classify.filter_by_quality(
             quality_model, docs, quality_model_threshold, text_col, id_col
+        )
+    if max_perplexity is not None:
+        if reference_lm is None:
+            raise ValueError("max_perplexity requires reference_lm")
+        from etl_rust_spark.operators import lm as _lm
+
+        bg, ctx, vocab = reference_lm
+        ppl = _lm.score_perplexity(
+            docs, bg, ctx, vocab, text_col=text_col, id_col=id_col
+        ).select(id_col, "ppl")
+        docs = (
+            docs.join(ppl, id_col)
+            .filter(F.col("ppl") <= max_perplexity)
+            .drop("ppl")
         )
     lang = text.language_id(docs, text_col, id_col)
     qual = text.quality_score(docs, text_col, id_col)

@@ -286,3 +286,39 @@ def test_curate_with_normalize(spark):
         ).collect()
     }
     assert raw == {1, 2}
+
+
+def test_curate_with_perplexity_filter(spark):
+    """reference_lm + max_perplexity: documents that look nothing like
+    the reference corpus score high perplexity and drop; in-domain
+    documents survive."""
+    from etl_rust_spark.operators import lm
+
+    ref_text = "the cat sat on the mat and the dog sat on the rug today"
+    reference = spark.createDataFrame(
+        [(i, ref_text) for i in range(20)], ["doc_id", "text"]
+    )
+    ref_lm = lm.train_bigram_lm(reference, lazy_vocab=True)
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog sat on the rug today"),
+            (2, "qqq zzz xxx vvv kkk jjj www yyy uuu ooo ppp lll mmm nnn"),
+        ],
+        ["doc_id", "text"],
+    )
+    from etl_rust_spark.operators import lm as _lm
+
+    bg, ctx, vocab = ref_lm
+    ppls = {
+        r.doc_id: r.ppl
+        for r in _lm.score_perplexity(docs, bg, ctx, vocab).collect()
+    }
+    cut = (ppls[1] + ppls[2]) / 2
+    out = curate.curate_corpus(
+        docs, near_dup_threshold=None, reference_lm=ref_lm, max_perplexity=cut
+    )
+    assert {r.doc_id for r in out.collect()} == {1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curate.curate_corpus(docs, max_perplexity=10.0)
