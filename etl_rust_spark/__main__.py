@@ -138,6 +138,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     pc.add_argument("--scrub-pii", action="store_true")
     pc.add_argument(
+        "--reference",
+        default=None,
+        help="reference documents parquet: train a bigram LM on it and "
+        "drop documents whose perplexity exceeds --max-perplexity",
+    )
+    pc.add_argument("--max-perplexity", type=float, default=None)
+    pc.add_argument(
         "--lsh-stats",
         action="store_true",
         help="include hot-bucket cap counters in the report (extra agg job)",
@@ -284,6 +291,15 @@ def main(argv: list[str] | None = None) -> int:
         from etl_rust_spark.operators import curate, scrub
 
         docs = spark.read.parquet(args.corpus)
+        ref_lm = None
+        if args.max_perplexity is not None:
+            if not args.reference:
+                p.error("--max-perplexity requires --reference")
+            from etl_rust_spark.operators import lm as _lm
+
+            ref_lm = _lm.train_bigram_lm(
+                spark.read.parquet(args.reference), lazy_vocab=True
+            )
         cur = curate.curate_corpus(
             docs,
             languages=args.languages.split(",") if args.languages else None,
@@ -293,6 +309,8 @@ def main(argv: list[str] | None = None) -> int:
             strip_markup=args.strip_markup,
             c4_clean=args.c4_clean,
             substring_k=args.substring_k,
+            reference_lm=ref_lm,
+            max_perplexity=args.max_perplexity,
         )
         if args.scrub_pii:
             scrubbed = scrub.scrub_pii(cur, "text", "doc_id")

@@ -472,3 +472,29 @@ def test_cli_dataset_card(spark, tmp_path, capsys):
     assert card["languages"]["en"]["n_docs"] == 2
     assert card["sources"]["web"]["share_bp"] == 6666
     assert card["chars_p50"] <= card["chars_p95"]
+
+
+def test_cli_curate_perplexity_filter(spark, tmp_path, capsys):
+    import json as _json
+
+    from etl_rust_spark.__main__ import main
+
+    ref_text = "the cat sat on the mat and the dog sat on the rug today"
+    ref = str(tmp_path / "ref")
+    spark.createDataFrame(
+        [(i, ref_text) for i in range(10)], ["doc_id", "text"]
+    ).write.parquet(ref)
+    src = str(tmp_path / "ppl_corpus")
+    spark.createDataFrame(
+        [(1, ref_text), (2, "qq zz xx vv kk jj ww yy uu oo pp ll")],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    out = str(tmp_path / "ppl_out")
+    rc = main([
+        "curate", src, "--out", out, "--near-dup-threshold", "0.9",
+        "--reference", ref, "--max-perplexity", "5",
+    ])
+    assert rc == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["kept"] == 1
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1}
