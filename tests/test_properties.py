@@ -513,3 +513,34 @@ def test_table_diff_set_math(spark, a_rows, b_rows):
             want[k] = "changed"
     assert got == want
     assert table_diff(a, a, ["k"]).count() == 0
+
+
+def test_operator_outputs_are_layout_invariant(spark, sf_dir):
+    """The determinism claims mean nothing if results depend on input
+    partitioning: key operators must hash identically over a 1-partition
+    and a 13-partition layout of the same rows."""
+    from etl_rust_spark.catalog import load_table
+    from etl_rust_spark.operators import dedup, pack, similarity
+    from etl_rust_spark.operators.curate import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def h(df):
+        cols = sorted(df.columns)
+        return canonical_hash(
+            [tuple(r[c] for c in cols) for r in df.collect()], cols
+        )
+
+    cases = [
+        lambda d, e: dedup.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.2),
+        lambda d, e: similarity.ann_lsh_topk(e.filter("vec_id < 10"), e, k=3),
+        lambda d, e: curate_corpus(
+            d, languages=["en"], min_quality_bp=1000, near_dup_threshold=0.3
+        ),
+        lambda d, e: pack.hash_sample(d, 0.2),
+    ]
+    for fn in cases:
+        a = fn(docs.repartition(1), emb.repartition(1))
+        b = fn(docs.repartition(13), emb.repartition(13))
+        assert h(a) == h(b), fn
