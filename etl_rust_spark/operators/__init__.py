@@ -225,8 +225,26 @@ def _op_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _op_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Tagged union (late r6): src='topk' is the original brute-force
+    # top-k; src='xjoin' gates the CROSS-CORPUS cosine_join operator
+    # (sharded cogroup block-matmul) over two disjoint embedding slices
+    # standing in for two corpora, vs a plain SQL theta-join mirror.
     emb = _emb(spark, sf_dir)
-    return similarity.cosine_topk(emb.filter(F.col("vec_id") <= 20), emb)
+    topk = similarity.cosine_topk(emb.filter(F.col("vec_id") <= 20), emb).select(
+        F.lit("topk").alias("src"), "qid", "cid", "cos", "rn"
+    )
+    xj = similarity.cosine_join(
+        emb.filter(F.col("vec_id") <= 20),
+        emb.filter(F.col("vec_id").between(21, 120)),
+        threshold=0.2,
+    ).select(
+        F.lit("xjoin").alias("src"),
+        F.col("lid").alias("qid"),
+        F.col("rid").alias("cid"),
+        "cos",
+        F.lit(-1).alias("rn"),
+    )
+    return topk.unionByName(xj).orderBy("src", "qid", "cid")
 
 
 def _op_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -601,7 +619,13 @@ def entry_oracle_sql() -> dict[str, str]:
         "op_text_profile": _text_profile_duck_sql(),
         "op_near_dup_pairs": _near_dup_pairs_duck_sql(),
         "op_curate": _curate_duck_sql(),
-        "op_cosine_topk": similarity.cosine_topk_sql(20)[1],
+        "op_cosine_topk": (
+            f"SELECT 'topk' AS src, * FROM ({similarity.cosine_topk_sql(20)[1]})\n"
+            "UNION ALL\n"
+            "SELECT 'xjoin' AS src, qid, cid, cos, CAST(-1 AS BIGINT) AS rn "
+            f"FROM ({similarity.cosine_join_duck_sql()[1]})\n"
+            "ORDER BY src, qid, cid"
+        ),
         "op_temporal_join": temporal.temporal_join_duck_sql(),
         "op_rollup": rollup.rollup_duck_sql(),
         "op_ann_topk": (

@@ -526,6 +526,41 @@ def cosine_join(
     )
 
 
+def cosine_join_duck_sql(
+    left_max: int = 20,
+    right_lo: int = 21,
+    right_hi: int = 120,
+    threshold: float = 0.2,
+    dim: int = 64,
+) -> tuple[str, str]:
+    """Dual-dialect mirror of :func:`cosine_join` over two disjoint
+    ``embeddings`` slices (the gate's deterministic stand-ins for two
+    corpora) — same 4-dp ROUND + negative-zero normalization as every
+    cosine mirror."""
+    tmpl = """
+WITH n AS (SELECT vec_id, embedding, sqrt({selfdot}) AS nrm FROM embeddings)
+SELECT a.vec_id AS qid, b.vec_id AS cid,
+  ROUND({dot} / (a.nrm * b.nrm), 4) + 0.0 AS cos
+FROM n a JOIN n b
+  ON a.vec_id <= {lmax} AND b.vec_id BETWEEN {rlo} AND {rhi}
+WHERE ROUND({dot} / (a.nrm * b.nrm), 4) >= {thr}"""
+    spark = tmpl.format(
+        selfdot=_DOT.format(a="embedding", b="embedding"),
+        dot=_DOT.format(a="a.embedding", b="b.embedding"),
+        lmax=left_max, rlo=right_lo, rhi=right_hi, thr=threshold,
+    )
+    ddot = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    duck = tmpl.format(
+        selfdot=ddot.format(a="embedding", b="embedding", d=dim),
+        dot=ddot.format(a="a.embedding", b="b.embedding", d=dim),
+        lmax=left_max, rlo=right_lo, rhi=right_hi, thr=threshold,
+    )
+    return spark, duck
+
+
 def near_dup_sql(threshold: float = 0.35, dim: int = 64) -> tuple[str, str]:
     """Oracle-gated embedding near-dup pairs (both dialects)."""
     spark = f"""
