@@ -51,6 +51,7 @@ __all__ = [
     "hist_quantile",
     "write_rollup",
     "update_rollup",
+    "drop_chunks",
     "read_rollup",
     "rollup_duck_sql",
 ]
@@ -295,6 +296,34 @@ def update_rollup(
     writer = _partitioned(merged).write.partitionBy("b_date")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     writer.mode("overwrite").parquet(path)
+
+
+def drop_chunks(path: str, before: str, partition_col: str = "b_date") -> int:
+    """Retention enforcement, the other hypertable staple (TimescaleDB
+    ``drop_chunks``): delete every ``<partition_col>=<date>`` partition
+    directory strictly OLDER than ``before`` (ISO date string) and
+    return the number dropped.
+
+    Partition-directory removal is metadata-cheap and exact — no data
+    rewrite, no tombstones; readers see a partition either fully
+    present or fully gone (directory deletion is atomic per partition
+    on a real FS).  Values that don't parse as a partition dir are left
+    untouched."""
+    import shutil
+    from pathlib import Path
+
+    root = Path(path)
+    if not root.exists():
+        raise FileNotFoundError(path)
+    dropped = 0
+    prefix = f"{partition_col}="
+    for p in sorted(root.iterdir()):
+        if not (p.is_dir() and p.name.startswith(prefix)):
+            continue
+        if p.name[len(prefix):] < before:
+            shutil.rmtree(p)
+            dropped += 1
+    return dropped
 
 
 def rollup_duck_sql() -> str:

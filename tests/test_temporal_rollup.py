@@ -280,3 +280,34 @@ def test_update_rollup_carries_hist(spark, sf_dir, tmp_path):
     assert j.filter(
         F.col("h1").isNull() | F.col("h2").isNull() | (F.col("h1") != F.col("h2"))
     ).count() == 0
+
+
+def test_drop_chunks_retention(spark, sf_dir, tmp_path):
+    """drop_chunks removes exactly the partitions older than the
+    cutoff; the surviving rollup still reads and re-merges cleanly."""
+    from etl_rust_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    path = str(tmp_path / "retention")
+    rollup.write_rollup(rollup.time_rollup(ev), path)
+    import os
+
+    dates = sorted(
+        d.split("=")[1] for d in os.listdir(path) if d.startswith("b_date=")
+    )
+    assert len(dates) >= 3
+    cutoff = dates[1]
+    n = rollup.drop_chunks(path, cutoff)
+    assert n == 1  # only the partition strictly before dates[1]
+    left = sorted(
+        d.split("=")[1] for d in os.listdir(path) if d.startswith("b_date=")
+    )
+    assert left == dates[1:]
+    survivors = rollup.read_rollup(spark, path)
+    daily = rollup.merge_rollup(survivors, 86400)
+    assert daily.count() > 0
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        rollup.drop_chunks(str(tmp_path / "nope"), cutoff)
