@@ -36,6 +36,7 @@ __all__ = [
     "leakage_safe_split",
     "assign_split_sql",
     "mix_corpora",
+    "sample_to_budget",
 ]
 
 _MOD = 10_000
@@ -169,6 +170,49 @@ def assign_split_sql(
     spark = f"WITH t AS ({body.format(case=_split_case(weights, sp_h), source=source)}) {tail}"
     duck = f"WITH t AS ({body.format(case=_split_case(weights, du_h), source=source)}) {tail}"
     return spark, duck
+
+
+def sample_to_budget(
+    df: DataFrame,
+    budgets: dict[str, int],
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """Deterministic down-sample to a TOKEN budget per group — the
+    "10 B tokens at 30% code / 70% web" request a trainer actually
+    makes, where :func:`mix_corpora` handles epoch UP-weighting.
+
+    One aggregation computes per-group BPE-token totals; each group's
+    keep-rate is ``budget/total`` (capped at 1 — a group under budget
+    is kept whole, never upsampled here); membership is the
+    :func:`hash_sample` content-hash rule, so the selected set is
+    reproducible across runs and layouts and nested across budget
+    increases (a 2× budget keeps a superset).  Expected tokens land
+    within sampling noise of the target (law of large numbers over
+    docs); exact-to-the-token packing is :func:`pack_sequences`'s job
+    downstream.  Groups not named in ``budgets`` are DROPPED (the mix
+    is the contract).
+    """
+    from etl_rust_spark.operators.text import BPE_TOKEN_RE
+
+    toks = F.expr(f"size(regexp_extract_all({text_col}, '{BPE_TOKEN_RE}', 0))")
+    totals = {
+        r[by]: r["t"]
+        for r in df.select(F.col(by), toks.alias("__nt"))
+        .groupBy(by)
+        .agg(F.sum("__nt").alias("t"))
+        .collect()
+    }
+    missing = [g for g in budgets if g not in totals]
+    if missing:
+        raise ValueError(f"groups not in corpus: {missing}")
+    rates = {g: min(1.0, budgets[g] / max(1, totals[g])) for g in budgets}
+    out = df.filter(F.col(by).isin(list(budgets)))
+    return hash_sample(
+        out, 0.0, id_col=id_col, strata_rates=rates, strata_col=by, seed=seed
+    )
 
 
 def mix_corpora(

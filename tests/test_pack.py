@@ -210,3 +210,39 @@ def test_leakage_safe_split_clusters_move_together(spark):
             assert got[i] == plain[i]
     # cluster members inherit the REPRESENTATIVE's placement
     assert got[0] == plain[0] and got[10] == plain[10]
+
+
+def test_sample_to_budget(spark, sf_dir):
+    """Per-group token budgets: achieved totals land near targets,
+    under-budget groups keep everything, unnamed groups drop, and the
+    selection is deterministic and nested under a budget increase."""
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.catalog import load_table
+    from etl_rust_spark.operators import pack, text
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget_en = 3000
+    out = pack.sample_to_budget(docs, {"en": budget_en, "de": 10_000_000}, by="lang")
+    got = {
+        r.lang: r.n_tokens
+        for r in text.token_budget(out, by=["lang"]).collect()
+    }
+    full = {
+        r.lang: r.n_tokens
+        for r in text.token_budget(docs, by=["lang"]).collect()
+    }
+    assert set(got) <= {"en", "de"}          # other langs dropped
+    assert got["de"] == full["de"]            # under budget: kept whole
+    assert abs(got["en"] - budget_en) < budget_en * 0.5  # near target
+    assert got["en"] < full["en"]             # actually downsampled
+    # determinism + nesting: same seed reselects identically; doubling
+    # the budget keeps a superset
+    ids1 = {r.doc_id for r in pack.sample_to_budget(docs, {"en": budget_en}, by="lang").collect()}
+    ids2 = {r.doc_id for r in pack.sample_to_budget(docs, {"en": budget_en}, by="lang").collect()}
+    ids4 = {r.doc_id for r in pack.sample_to_budget(docs, {"en": 2 * budget_en}, by="lang").collect()}
+    assert ids1 == ids2 and ids1 <= ids4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack.sample_to_budget(docs, {"xx": 10}, by="lang")
