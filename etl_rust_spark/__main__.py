@@ -191,6 +191,27 @@ def main(argv: list[str] | None = None) -> int:
         "e.g. 0.5,0.95",
     )
 
+    proll = sub.add_parser(
+        "rollup",
+        help="build or incrementally update a persisted hypertable "
+        "rollup from an events parquet (ts, event_type, value, user_id)",
+    )
+    proll.add_argument("events", help="raw events parquet path")
+    proll.add_argument("--out", required=True, help="rollup state path")
+    proll.add_argument("--bucket-sec", type=int, default=3600)
+    proll.add_argument("--hist-bins", type=int, default=None)
+    proll.add_argument(
+        "--update",
+        action="store_true",
+        help="fold the events as a DELTA into the existing rollup "
+        "(dirty date partitions only) instead of a fresh build",
+    )
+    proll.add_argument(
+        "--drop-before",
+        default=None,
+        help="after writing, expire partitions older than this ISO date",
+    )
+
     pcard = sub.add_parser(
         "card",
         help="dataset card for a documents parquet: totals, token "
@@ -338,6 +359,28 @@ def main(argv: list[str] | None = None) -> int:
         )
         for r in prof.collect():
             print(json.dumps(r.asDict()))
+    elif args.cmd == "rollup":
+        from etl_rust_spark.operators import rollup as _rollup
+
+        ev = spark.read.parquet(args.events)
+        if args.update:
+            _rollup.update_rollup(
+                spark, args.out, ev, bucket_sec=args.bucket_sec
+            )
+        else:
+            _rollup.write_rollup(
+                _rollup.time_rollup(
+                    ev, bucket_sec=args.bucket_sec, hist_bins=args.hist_bins
+                ),
+                args.out,
+            )
+        dropped = (
+            _rollup.drop_chunks(args.out, args.drop_before)
+            if args.drop_before
+            else 0
+        )
+        n = _rollup.read_rollup(spark, args.out).count()
+        print(json.dumps({"rollup_rows": n, "dropped_partitions": dropped}))
     elif args.cmd == "card":
         from etl_rust_spark.operators.card import dataset_card
 

@@ -498,3 +498,39 @@ def test_cli_curate_perplexity_filter(spark, tmp_path, capsys):
     report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["kept"] == 1
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1}
+
+
+def test_cli_rollup_build_update_retention(spark, sf_dir, tmp_path, capsys):
+    import json as _json
+
+    from etl_rust_spark.catalog import load_table
+    from etl_rust_spark.__main__ import main
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value", "user_id"
+    )
+    import pyspark.sql.functions as F
+
+    cut = ev.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    base = str(tmp_path / "ev_base")
+    delta = str(tmp_path / "ev_delta")
+    ev.filter(F.to_date("ts") < cut).write.parquet(base)
+    ev.filter(F.to_date("ts") >= cut).write.parquet(delta)
+    out = str(tmp_path / "roll_state")
+    assert main(["rollup", base, "--out", out]) == 0
+    n1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["rollup", delta, "--out", out, "--update"]) == 0
+    n2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert n2["rollup_rows"] > n1["rollup_rows"]
+    # totals equal a one-shot rollup of everything
+    from etl_rust_spark.operators import rollup as r
+
+    got = r.read_rollup(spark, out).agg(F.sum("n")).collect()[0][0]
+    assert got == ev.count()
+    # retention pass
+    assert main([
+        "rollup", delta, "--out", out, "--update",
+        "--drop-before", str(cut),
+    ]) == 0
+    n3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert n3["dropped_partitions"] >= 1
