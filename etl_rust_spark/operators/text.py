@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from etl_rust_spark.operators.hashes import MINHASH_P, duck_h, spark_h
 
 __all__ = [
+    "script_profile",
+    "script_profile_sql",
     "STOPWORDS",
     "language_id",
     "token_stats",
@@ -712,3 +714,88 @@ SELECT doc_id, n_words, mean_word_len_c100, symbol_bp, alpha_bp, bullet_bp, elli
     AND ellipsis_bp <= 3000 AS gopher_pass
 FROM s ORDER BY doc_id"""
     return spark, duck
+
+
+# Unicode scripts for script_profile — the multilingual signal stopword
+# voting cannot give (it only knows the stopword languages).  Java and
+# RE2 spell script classes differently; both engines' spellings here.
+_SCRIPTS = (
+    "Latin", "Cyrillic", "Greek", "Arabic", "Hebrew",
+    "Devanagari", "Han", "Hangul", "Hiragana", "Katakana",
+)
+
+
+def _script_bp_exprs(dialect: str) -> list[str]:
+    """Per-script basis-point expressions over non-space characters."""
+    out = []
+    for sc in _SCRIPTS:
+        cls = (
+            f"\\\\p{{script={sc}}}" if dialect == "spark" else f"\\p{{{sc}}}"
+        )
+        count = (
+            f"size(regexp_extract_all(__t, '{cls}', 0))"
+            if dialect == "spark"
+            else f"len(regexp_extract_all(__t, '{cls}'))"
+        )
+        out.append(
+            f"CAST(FLOOR({count} / CAST(GREATEST(__nc, 1) AS DOUBLE) * 10000) AS BIGINT)"
+            f" AS {sc.lower()}_bp"
+        )
+    return out
+
+
+def _script_argmax_case() -> str:
+    clauses = []
+    names = [s.lower() for s in _SCRIPTS]
+    for i, sc in enumerate(names):
+        conds = " AND ".join(
+            f"{sc}_bp >= {other}_bp" for other in names[i + 1 :]
+        )
+        clauses.append(f"WHEN {conds or 'TRUE'} THEN '{sc}'")
+    return "CASE WHEN __nc = 0 THEN 'none' " + " ".join(clauses) + " END"
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, <script>_bp × 10, script_pred): per-script character mass in
+    basis points of the non-whitespace character count, plus the
+    dominant script (first-wins ties; ``'none'`` for empty/NULL text).
+
+    Catches what stopword language-ID structurally cannot: mixed-script
+    spam, mojibake, and languages outside the stopword table (a
+    Cyrillic page classifies as SOME stopword language, but its
+    ``cyrillic_bp`` ≈ 10000 is unambiguous).  Scan-side regex counts —
+    zero shuffle, dual-dialect mirrored (:func:`script_profile_sql`;
+    Java spells the class ``\\p{script=Latin}``, RE2 ``\\p{Latin}``).
+    """
+    stripped = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), r"\s", ""
+    )
+    base = df.select(
+        F.col(id_col),
+        stripped.alias("__t"),
+        F.length(stripped).alias("__nc"),
+    )
+    cols = [F.expr(e) for e in _script_bp_exprs("spark")]
+    return base.select(
+        id_col, *cols, F.expr(_script_argmax_case()).alias("script_pred")
+    )
+
+
+def script_profile_sql(source: str = "documents", max_doc: int | None = None) -> tuple[str, str]:
+    """Dual-dialect mirror of :func:`script_profile` over
+    ``source(doc_id, text)``."""
+    where = f"WHERE doc_id <= {max_doc}" if max_doc is not None else ""
+
+    def q(dialect: str) -> str:
+        ws = "\\\\s" if dialect == "spark" else "\\s"
+        g = "" if dialect == "spark" else ", 'g'"
+        exprs = ", ".join(_script_bp_exprs(dialect))
+        return f"""
+WITH p AS (SELECT doc_id, coalesce(text, '') AS __t0 FROM {source} {where}),
+t AS (SELECT doc_id, regexp_replace(__t0, '{ws}', ''{g}) AS __t FROM p),
+n AS (SELECT doc_id, __t, length(__t) AS __nc FROM t)
+SELECT doc_id, {exprs}, {_script_argmax_case()} AS script_pred FROM n ORDER BY doc_id"""
+
+    return q("spark"), q("duck")

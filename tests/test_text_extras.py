@@ -138,3 +138,55 @@ def test_gopher_flags_three_way_mirror(spark, duck, sf_dir):
     # the rules discriminate on the synthetic corpus (non-vacuous)
     n_pass = api.filter("gopher_pass").count()
     assert 0 < n_pass < 201
+
+
+SCRIPT_DOCS = [
+    (1, "hello world entirely latin text"),
+    (2, "привет мир полностью кириллица"),
+    (3, "hello мир 世界"),                      # mixed, latin plurality
+    (4, "日本語のテキストと漢字"),               # han + kana
+    (5, None),
+    (6, "   "),
+]
+
+
+def test_script_profile_semantics(spark):
+    from etl_rust_spark.operators import text
+
+    df = spark.createDataFrame(SCRIPT_DOCS, "doc_id: long, text: string")
+    out = {r.doc_id: r for r in text.script_profile(df).collect()}
+    assert out[1].latin_bp == 10000 and out[1].script_pred == "latin"
+    assert out[2].cyrillic_bp == 10000 and out[2].script_pred == "cyrillic"
+    assert out[3].script_pred == "latin" and out[3].cyrillic_bp > 0 and out[3].han_bp > 0
+    assert out[4].script_pred in ("han", "hiragana", "katakana")
+    # FLOOR(x*10000) per script: the parts may undershoot by < n_scripts
+    assert 9997 <= out[4].han_bp + out[4].hiragana_bp + out[4].katakana_bp <= 10000
+    for d in (5, 6):
+        assert out[d].script_pred == "none" and out[d].latin_bp == 0
+
+
+def test_script_profile_three_way_mirror(spark, duck, tmp_path):
+    from etl_rust_spark.functions.hashing import canonical_hash
+    from etl_rust_spark.operators import text
+    from tests.oracle import run_duck
+
+    df = spark.createDataFrame(SCRIPT_DOCS, "doc_id: long, text: string")
+    p = str(tmp_path / "script_fixture")
+    df.coalesce(1).write.parquet(p)
+    spark.read.parquet(p).createOrReplaceTempView("script_fixture")
+    duck.execute(
+        f"CREATE OR REPLACE VIEW script_fixture AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    sp_sql, du_sql = text.script_profile_sql(source="script_fixture")
+    api = text.script_profile(spark.read.parquet(p)).orderBy("doc_id")
+    sql_df = spark.sql(sp_sql)
+    cols = sorted(api.columns)
+    assert sorted(sql_df.columns) == cols
+    d_rows, d_cols = run_duck(duck, du_sql)
+    idx = [d_cols.index(c) for c in cols]
+    h = lambda rows: canonical_hash(rows, cols)
+    assert (
+        h([tuple(r[c] for c in cols) for r in api.collect()])
+        == h([tuple(r[c] for c in cols) for r in sql_df.collect()])
+        == h([tuple(r[i] for i in idx) for r in d_rows])
+    )
