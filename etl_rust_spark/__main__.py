@@ -191,6 +191,31 @@ def main(argv: list[str] | None = None) -> int:
         "e.g. 0.5,0.95",
     )
 
+    pab = sub.add_parser(
+        "ann-build",
+        help="build (or incrementally update) a persisted IVF ANN index "
+        "over an embeddings parquet (vec_id, embedding)",
+    )
+    pab.add_argument("embeddings", help="embeddings parquet path")
+    pab.add_argument("--out", required=True, help="index path")
+    pab.add_argument("--n-lists", type=int, default=64)
+    pab.add_argument(
+        "--update",
+        action="store_true",
+        help="fold the embeddings as a delta into the existing index "
+        "(stored centroids, dirty lists only) instead of retraining",
+    )
+
+    pas = sub.add_parser(
+        "ann-search",
+        help="search a persisted IVF index: top-k neighbors per query",
+    )
+    pas.add_argument("index", help="index path from ann-build")
+    pas.add_argument("queries", help="queries parquet (vec_id, embedding)")
+    pas.add_argument("--out", required=True, help="hits parquet output path")
+    pas.add_argument("--k", type=int, default=10)
+    pas.add_argument("--n-probe", type=int, default=8)
+
     proll = sub.add_parser(
         "rollup",
         help="build or incrementally update a persisted hypertable "
@@ -359,6 +384,26 @@ def main(argv: list[str] | None = None) -> int:
         )
         for r in prof.collect():
             print(json.dumps(r.asDict()))
+    elif args.cmd == "ann-build":
+        from etl_rust_spark.operators import similarity as _sim
+
+        emb = spark.read.parquet(args.embeddings)
+        if args.update:
+            _sim.update_ivf_index(emb, args.out)
+        else:
+            _sim.build_ivf_index(emb, args.out, n_lists=args.n_lists)
+        n = spark.read.parquet(f"{args.out}/corpus").count()
+        print(json.dumps({"indexed_vectors": n}))
+    elif args.cmd == "ann-search":
+        from etl_rust_spark.operators import similarity as _sim
+
+        hits = _sim.ivf_search(
+            spark.read.parquet(args.queries), args.index,
+            k=args.k, n_probe=args.n_probe,
+        )
+        hits.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"hits": n}))
     elif args.cmd == "rollup":
         from etl_rust_spark.operators import rollup as _rollup
 

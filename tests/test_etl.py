@@ -534,3 +534,32 @@ def test_cli_rollup_build_update_retention(spark, sf_dir, tmp_path, capsys):
     ]) == 0
     n3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert n3["dropped_partitions"] >= 1
+
+
+def test_cli_ann_build_update_search(spark, sf_dir, tmp_path, capsys):
+    import json as _json
+
+    from etl_rust_spark.catalog import load_table
+    from etl_rust_spark.__main__ import main
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = str(tmp_path / "emb_base")
+    delta = str(tmp_path / "emb_delta")
+    emb.filter("vec_id < 150").write.parquet(base)
+    emb.filter("vec_id >= 150 AND vec_id < 170").write.parquet(delta)
+    idx = str(tmp_path / "ann_idx")
+    assert main(["ann-build", base, "--out", idx, "--n-lists", "8"]) == 0
+    r1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1 == {"indexed_vectors": 150}
+    assert main(["ann-build", delta, "--out", idx, "--update"]) == 0
+    r2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2 == {"indexed_vectors": 170}
+    q = str(tmp_path / "q")
+    emb.filter("vec_id < 5").write.parquet(q)
+    hits_out = str(tmp_path / "hits")
+    assert main(["ann-search", idx, q, "--out", hits_out, "--k", "3"]) == 0
+    r3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    hits = spark.read.parquet(hits_out)
+    assert r3["hits"] == hits.count() > 0
+    assert {r.qid for r in hits.collect()} == {0, 1, 2, 3, 4}
+    assert hits.groupBy("qid").count().filter("count > 3").count() == 0
