@@ -40,13 +40,14 @@ def dataset_card(
         F.round(F.avg("__nt"), 2).alias("avg_tokens"),
         F.percentile_approx("__nc", [0.5, 0.95, 0.99]).alias("len_pcts"),
     ).collect()[0]
+    pcts = overall["len_pcts"] or [None, None, None]  # empty corpus: NULL
     card = {
         "n_docs": overall["n_docs"],
-        "n_tokens": overall["n_tokens"],
+        "n_tokens": overall["n_tokens"] or 0,
         "avg_tokens": overall["avg_tokens"],
-        "chars_p50": overall["len_pcts"][0],
-        "chars_p95": overall["len_pcts"][1],
-        "chars_p99": overall["len_pcts"][2],
+        "chars_p50": pcts[0],
+        "chars_p95": pcts[1],
+        "chars_p99": pcts[2],
     }
     if lang_col and lang_col in docs.columns:
         card["languages"] = {

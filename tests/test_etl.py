@@ -563,3 +563,13 @@ def test_cli_ann_build_update_search(spark, sf_dir, tmp_path, capsys):
     assert r3["hits"] == hits.count() > 0
     assert {r.qid for r in hits.collect()} == {0, 1, 2, 3, 4}
     assert hits.groupBy("qid").count().filter("count > 3").count() == 0
+
+
+def test_dataset_card_empty_corpus(spark):
+    from etl_rust_spark.operators.card import dataset_card
+
+    empty = spark.createDataFrame([], "doc_id: long, text: string, lang: string, source: string")
+    card = dataset_card(empty)
+    assert card["n_docs"] == 0 and card["n_tokens"] == 0
+    assert card["chars_p50"] is None
+    assert card["languages"] == {} and card["sources"] == {}
