@@ -586,3 +586,52 @@ def test_rollup_stream_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
     want = br.time_rollup(ev, sketch=False)
     got_n = again.agg(F.sum("n")).collect()[0][0]
     assert got_n == want.agg(F.sum("n")).collect()[0][0]
+
+
+def test_ann_index_stream_keeps_index_current(spark, sf_dir, tmp_path):
+    """Embeddings arriving over micro-batches fold into the persisted
+    IVF index; after the stream drains, search equals a from-scratch
+    assignment over everything that arrived."""
+    import numpy as np
+
+    from etl_rust_spark.catalog import load_table
+    from etl_rust_spark.operators import similarity
+    from etl_rust_spark.streaming.ann import run_ann_index_stream
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = str(tmp_path / "ann_stream_idx")
+    similarity.build_ivf_index(emb.filter("vec_id < 100"), idx, n_lists=8, seed=7)
+
+    src = tmp_path / "emb_src"
+    src.mkdir()
+    for i, lo, hi in ((0, 100, 140), (1, 140, 180)):
+        emb.filter(f"vec_id >= {lo} AND vec_id < {hi}").coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    q = run_ann_index_stream(stream, idx, str(tmp_path / "ann_ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(f"{idx}/corpus")
+    assert got.count() == 180 and got.select("cid").distinct().count() == 180
+    cent = np.array(
+        [
+            r["centroid"]
+            for r in sorted(
+                spark.read.parquet(f"{idx}/centroids").collect(),
+                key=lambda r: r["list_id"],
+            )
+        ]
+    )
+    want = similarity.ivf_assign(emb.filter("vec_id < 180"), cent)
+    j = got.select("cid", F.col("list_id").alias("l1")).join(
+        want.select("cid", F.col("list_id").alias("l2")), "cid", "full"
+    )
+    assert j.filter(
+        F.col("l1").isNull() | F.col("l2").isNull() | (F.col("l1") != F.col("l2"))
+    ).count() == 0
