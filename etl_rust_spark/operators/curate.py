@@ -140,6 +140,7 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     languages: list[str] | None = None,
+    scripts: list[str] | None = None,
     min_quality_bp: int = 0,
     near_dup_threshold: float | None = 0.5,
     shingle_width: int = 3,
@@ -253,6 +254,18 @@ def curate_corpus(
             docs.join(ppl, id_col)
             .filter(F.col("ppl") <= max_perplexity)
             .drop("ppl")
+        )
+    if scripts is not None:
+        # Dominant-script floor (script_profile): keeps stopword
+        # language-ID honest — a Cyrillic page always classifies as
+        # SOME stopword language, but its script_pred is unambiguous.
+        sp = text.script_profile(docs, text_col, id_col).select(
+            id_col, "script_pred"
+        )
+        docs = (
+            docs.join(sp, id_col)
+            .filter(F.col("script_pred").isin(list(scripts)))
+            .drop("script_pred")
         )
     lang = text.language_id(docs, text_col, id_col)
     qual = text.quality_score(docs, text_col, id_col)

@@ -322,3 +322,17 @@ def test_curate_with_perplexity_filter(spark):
 
     with _pytest.raises(ValueError):
         curate.curate_corpus(docs, max_perplexity=10.0)
+
+
+def test_curate_with_script_filter(spark):
+    """scripts=["latin"]: a Cyrillic page drops on script even though
+    stopword voting necessarily assigns it SOME stopword language."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog here today"),
+        (2, "быстрая коричневая лиса прыгает через ленивую собаку здесь"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curate.curate_corpus(docs, near_dup_threshold=None, scripts=["latin"])
+    assert {r.doc_id for r in out.collect()} == {1}
+    both = curate.curate_corpus(docs, near_dup_threshold=None)
+    assert {r.doc_id for r in both.collect()} == {1, 2}
