@@ -243,6 +243,11 @@ def main(argv: list[str] | None = None) -> int:
         "budget, language/source mix, length percentiles (JSON)",
     )
     pcard.add_argument("corpus", help="documents parquet path")
+    pcard.add_argument(
+        "--scripts",
+        action="store_true",
+        help="include the dominant-unicode-script distribution",
+    )
 
     pd = sub.add_parser(
         "diff",
@@ -429,7 +434,13 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "card":
         from etl_rust_spark.operators.card import dataset_card
 
-        print(json.dumps(dataset_card(spark.read.parquet(args.corpus))))
+        print(
+            json.dumps(
+                dataset_card(
+                    spark.read.parquet(args.corpus), scripts=args.scripts
+                )
+            )
+        )
     elif args.cmd == "diff":
         from etl_rust_spark.operators.profile import diff_summary, table_diff
 

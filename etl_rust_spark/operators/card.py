@@ -25,10 +25,14 @@ def dataset_card(
     text_col: str = "text",
     lang_col: str | None = "lang",
     source_col: str | None = "source",
+    scripts: bool = False,
 ) -> dict:
     """JSON-able summary: totals, token budget, per-language and
     per-source mixes, length percentiles.  ``lang_col``/``source_col``
-    = None skips that section (columns the corpus doesn't carry)."""
+    = None skips that section (columns the corpus doesn't carry);
+    ``scripts=True`` adds the dominant-unicode-script distribution
+    (one extra aggregation over the ``text.script_profile``
+    projection)."""
     toks = F.expr(
         f"size(regexp_extract_all({text_col}, '{text.BPE_TOKEN_RE}', 0))"
     )
@@ -63,5 +67,13 @@ def dataset_card(
             for r in web.source_stats(
                 chars, by=source_col, chars_col="__nchars"
             ).collect()
+        }
+    if scripts:
+        card["scripts"] = {
+            r["script_pred"]: r["n"]
+            for r in text.script_profile(docs, text_col)
+            .groupBy("script_pred")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
         }
     return card

@@ -472,6 +472,10 @@ def test_cli_dataset_card(spark, tmp_path, capsys):
     assert card["languages"]["en"]["n_docs"] == 2
     assert card["sources"]["web"]["share_bp"] == 6666
     assert card["chars_p50"] <= card["chars_p95"]
+    rc = main(["card", src, "--scripts"])
+    assert rc == 0
+    card2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert card2["scripts"] == {"latin": 3}
 
 
 def test_cli_curate_perplexity_filter(spark, tmp_path, capsys):
