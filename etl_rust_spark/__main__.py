@@ -117,6 +117,11 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("corpus", help="input parquet path with doc_id, text columns")
     pc.add_argument("--out", required=True, help="curated parquet output path")
     pc.add_argument("--languages", default=None, help="comma list, e.g. en,de")
+    pc.add_argument(
+        "--scripts",
+        default=None,
+        help="comma list of allowed dominant unicode scripts, e.g. latin",
+    )
     pc.add_argument("--min-quality-bp", type=int, default=0)
     pc.add_argument("--near-dup-threshold", type=float, default=0.5)
     pc.add_argument(
@@ -354,6 +359,7 @@ def main(argv: list[str] | None = None) -> int:
         cur = curate.curate_corpus(
             docs,
             languages=args.languages.split(",") if args.languages else None,
+            scripts=args.scripts.split(",") if args.scripts else None,
             min_quality_bp=args.min_quality_bp,
             near_dup_threshold=args.near_dup_threshold,
             near_dup_strategy=args.near_dup_strategy,

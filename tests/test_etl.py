@@ -577,3 +577,26 @@ def test_dataset_card_empty_corpus(spark):
     assert card["n_docs"] == 0 and card["n_tokens"] == 0
     assert card["chars_p50"] is None
     assert card["languages"] == {} and card["sources"] == {}
+
+
+def test_cli_curate_script_filter(spark, tmp_path, capsys):
+    import json as _json
+
+    from etl_rust_spark.__main__ import main
+
+    src = str(tmp_path / "scr_corpus")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog here today"),
+            (2, "быстрая коричневая лиса прыгает через ленивую собаку здесь"),
+        ],
+        ["doc_id", "text"],
+    ).write.parquet(src)
+    out = str(tmp_path / "scr_out")
+    rc = main([
+        "curate", src, "--out", out,
+        "--scripts", "latin", "--near-dup-threshold", "0.9",
+    ])
+    assert rc == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report == {"input": 2, "kept": 1, "removed": 1}
