@@ -196,6 +196,25 @@ def main(argv: list[str] | None = None) -> int:
         "e.g. 0.5,0.95",
     )
 
+    psp = sub.add_parser(
+        "split",
+        help="assign deterministic train/val/test splits to a documents "
+        "parquet (optionally leakage-safe against a near-dup pairs "
+        "parquet: clusters move as one unit)",
+    )
+    psp.add_argument("corpus", help="documents parquet path")
+    psp.add_argument("--out", required=True)
+    psp.add_argument(
+        "--weights",
+        default="train=0.98,val=0.01,test=0.01",
+        help="name=frac comma list summing to 1",
+    )
+    psp.add_argument(
+        "--pairs",
+        default=None,
+        help="near-dup pairs parquet (qid, cid) for leakage-safe splits",
+    )
+
     pab = sub.add_parser(
         "ann-build",
         help="build (or incrementally update) a persisted IVF ANN index "
@@ -395,6 +414,26 @@ def main(argv: list[str] | None = None) -> int:
         )
         for r in prof.collect():
             print(json.dumps(r.asDict()))
+    elif args.cmd == "split":
+        from etl_rust_spark.operators import pack as _pack
+
+        weights = {
+            k: float(v)
+            for k, v in (kv.split("=") for kv in args.weights.split(","))
+        }
+        docs = spark.read.parquet(args.corpus)
+        if args.pairs:
+            out_df = _pack.leakage_safe_split(
+                docs, spark.read.parquet(args.pairs), weights
+            )
+        else:
+            out_df = _pack.assign_split(docs, weights)
+        out_df.write.mode("overwrite").parquet(args.out)
+        counts = {
+            r["split"]: r["count"]
+            for r in spark.read.parquet(args.out).groupBy("split").count().collect()
+        }
+        print(json.dumps(counts))
     elif args.cmd == "ann-build":
         from etl_rust_spark.operators import similarity as _sim
 

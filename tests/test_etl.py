@@ -600,3 +600,28 @@ def test_cli_curate_script_filter(spark, tmp_path, capsys):
     assert rc == 0
     report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report == {"input": 2, "kept": 1, "removed": 1}
+
+
+def test_cli_split_plain_and_leakage_safe(spark, tmp_path, capsys):
+    import json as _json
+
+    from etl_rust_spark.__main__ import main
+
+    src = str(tmp_path / "split_corpus")
+    spark.createDataFrame(
+        [(i, f"document number {i}") for i in range(100)], ["doc_id", "text"]
+    ).write.parquet(src)
+    out = str(tmp_path / "split_out")
+    rc = main(["split", src, "--out", out, "--weights", "train=0.6,val=0.2,test=0.2"])
+    assert rc == 0
+    counts = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sum(counts.values()) == 100 and counts["train"] > counts["val"]
+
+    pairs = str(tmp_path / "split_pairs")
+    spark.createDataFrame([(0, 1), (1, 2)], ["qid", "cid"]).write.parquet(pairs)
+    out2 = str(tmp_path / "split_out2")
+    rc = main(["split", src, "--out", out2, "--pairs", pairs])
+    assert rc == 0
+    capsys.readouterr()
+    got = {r.doc_id: r.split for r in spark.read.parquet(out2).collect()}
+    assert got[0] == got[1] == got[2]  # the chain moved as one unit
