@@ -780,6 +780,24 @@ def ivf_topk(
     )
 
 
+def _quantize_assigned(assigned: DataFrame) -> DataFrame:
+    """(cid, cv, list_id) → (cid, scale, qvec, list_id): int8-quantize
+    the stored vectors AFTER assignment (placement stays exact; only
+    the re-rank values carry the ≲1e-3 quantization drift)."""
+    q = quantize_embeddings(assigned, id_col="cid", vec_col="cv")
+    return assigned.select("cid", "list_id").join(q, "cid")
+
+
+def _dequantize_corpus(corpus: DataFrame, vec_col: str) -> DataFrame:
+    return corpus.select(
+        "cid",
+        F.expr(
+            "transform(qvec, q -> CAST(CAST(q AS DOUBLE) * scale AS FLOAT))"
+        ).alias(vec_col),
+        "list_id",
+    ).withColumnRenamed("cid", "cid")
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -788,6 +806,7 @@ def build_ivf_index(
     n_lists: int = 16,
     sample: int = 10_000,
     seed: int = 7,
+    quantize: bool = False,
 ) -> None:
     """Materialize an IVF index: train the deterministic k-means
     quantizer once, persist ``centroids.parquet`` (KBs) and the corpus
@@ -816,6 +835,12 @@ def build_ivf_index(
         "list_id int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     assigned = ivf_assign(corpus, cent, id_col, vec_col)
+    if quantize:
+        # int8 storage: 4x the vectors per byte of index (the
+        # quantize_embeddings claim); assignment stays full-precision,
+        # the re-rank carries the <=1e-3 cosine drift (recall pinned in
+        # tests against the full-precision index).
+        assigned = _quantize_assigned(assigned)
     assigned.write.partitionBy("list_id").mode("overwrite").parquet(
         f"{path}/corpus"
     )
@@ -902,10 +927,11 @@ def update_ivf_index(
         ],
         dtype=np.float64,
     )
-    assigned = ivf_assign(corpus_delta, cent, id_col, vec_col).localCheckpoint(
-        eager=True
-    )
+    assigned = ivf_assign(corpus_delta, cent, id_col, vec_col)
     existing = spark.read.parquet(f"{path}/corpus")
+    if "qvec" in existing.columns:  # int8 index: delta stores int8 too
+        assigned = _quantize_assigned(assigned)
+    assigned = assigned.localCheckpoint(eager=True)
     delta_keys = assigned.select("cid").distinct()
     old_lists = (
         existing.join(delta_keys, "cid", "semi").select("list_id").distinct()
@@ -983,10 +1009,13 @@ def ivf_search(
         .distinct()
         .collect()
     )
-    corpus = (
-        spark.read.parquet(f"{index_path}/corpus")
-        .filter(F.col("list_id").isin(lists))
-        .select(F.col("cid").alias(id_col), F.col("cv").alias(vec_col))
+    stored = spark.read.parquet(f"{index_path}/corpus").filter(
+        F.col("list_id").isin(lists)
+    )
+    if "qvec" in stored.columns:  # int8 index: dequantize scan-side
+        stored = _dequantize_corpus(stored, "cv")
+    corpus = stored.select(
+        F.col("cid").alias(id_col), F.col("cv").alias(vec_col)
     )
     return ivf_topk(
         q, corpus, id_col=id_col, vec_col=vec_col, k=k,

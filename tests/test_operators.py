@@ -518,3 +518,47 @@ def test_ivf_index_incremental_update(spark, sf_dir, tmp_path):
     # replay idempotence
     similarity.update_ivf_index(delta, idx)
     assert spark.read.parquet(f"{idx}/corpus").count() == 190
+
+
+def test_ivf_index_quantized(spark, sf_dir, tmp_path):
+    """quantize=True: the index stores int8 vectors (4x smaller), list
+    placement is identical to the full-precision index, search recall
+    vs the fp index is >= 0.95, and incremental updates stay int8."""
+    from etl_rust_spark.catalog import load_table
+    from etl_rust_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.filter("vec_id < 170")
+    fp_idx = str(tmp_path / "ivf_fp")
+    q_idx = str(tmp_path / "ivf_q8")
+    similarity.build_ivf_index(base, fp_idx, n_lists=8, seed=7)
+    similarity.build_ivf_index(base, q_idx, n_lists=8, seed=7, quantize=True)
+
+    qcorp = spark.read.parquet(f"{q_idx}/corpus")
+    assert "qvec" in qcorp.columns and "cv" not in qcorp.columns
+    assert dict(qcorp.dtypes)["qvec"] == "array<tinyint>"
+    # identical list placement (assignment ran full-precision)
+    fp = spark.read.parquet(f"{fp_idx}/corpus").select(
+        "cid", F.col("list_id").alias("l1")
+    )
+    j = fp.join(qcorp.select("cid", F.col("list_id").alias("l2")), "cid", "full")
+    assert j.filter(
+        F.col("l1").isNull() | F.col("l2").isNull() | (F.col("l1") != F.col("l2"))
+    ).count() == 0
+
+    queries = emb.filter("vec_id < 10")
+    want = {
+        (r.qid, r.cid)
+        for r in similarity.ivf_search(queries, fp_idx, k=3, n_probe=3).collect()
+    }
+    got = {
+        (r.qid, r.cid)
+        for r in similarity.ivf_search(queries, q_idx, k=3, n_probe=3).collect()
+    }
+    assert len(got & want) / len(want) >= 0.95
+
+    # incremental update keeps the int8 layout
+    delta = emb.filter("vec_id >= 170 AND vec_id < 180")
+    similarity.update_ivf_index(delta, q_idx)
+    after = spark.read.parquet(f"{q_idx}/corpus")
+    assert after.count() == 180 and "qvec" in after.columns
