@@ -14,8 +14,11 @@ of serializing.  This is the honest throughput number for an engine
 whose unit of work is the suite; the strictly-sequential sum is ALSO
 reported (``sequential_total_sec``) along with per-query times from that
 sequential pass, so nothing hides in the mode choice.  DuckDB's oracle
-total in BASELINE.md remains single-process sequential — it parallelizes
-internally per query, which tiny per-query inputs never let Spark do.
+total is measured IN THE SAME RUN (``duck_total_sec`` — every
+oracle_sql() statement, single process, best-of-2 laps both declared)
+so the 2x-bar ratio is computable from this one artifact with both
+engines on the same box state; DuckDB parallelizes internally per
+query, which tiny per-query inputs never let Spark do.
 
 Session startup and view registration are excluded from timed passes
 (reported separately under "startup_sec").
@@ -136,6 +139,29 @@ def main() -> None:
     times = laps[lap_totals.index(min(lap_totals))]
 
     total = round(sum(times.values()), 4)
+
+    # Paired DuckDB oracle, SAME window, same box state (VERDICT r6 #1):
+    # the 2x driver bar is engine_total vs duckdb_total, and until r6 the
+    # two halves of that ratio lived in different documents measured
+    # hours apart (±7-15% box noise on each side).  Running the oracle
+    # here — best-of-N laps, every lap declared, immediately after the
+    # Spark laps — makes BENCH_rN.json self-contained: ratio =
+    # sequential_total_sec / duck_total_sec, no cross-document pairing.
+    def duck_lap() -> float:
+        import importlib
+
+        sys.path.insert(0, str(Path(REPO) / "tests"))
+        oracle = importlib.import_module("oracle")
+        con = oracle.duck_connect(sf_dir)
+        t = time.perf_counter()
+        for _name, sql in sorted(e.oracle_sql().items()):
+            con.execute(sql).fetch_arrow_table()
+        d = round(time.perf_counter() - t, 4)
+        con.close()
+        return d
+
+    duck_laps = [duck_lap() for _ in range(min(n_laps, 2))]
+    duck_total = min(duck_laps)
     print(
         json.dumps(
             {
@@ -148,6 +174,10 @@ def main() -> None:
                 "reported alongside",
                 "sequential_total_sec": total,
                 "sequential_lap_totals_sec": lap_totals,
+                "duck_total_sec": duck_total,
+                "duck_lap_totals_sec": duck_laps,
+                "sequential_vs_duck_ratio": round(total / duck_total, 3),
+                "wall_vs_duck_ratio": round(wall / duck_total, 3),
                 "queries": times,
                 "sf": sf_dir,
                 "startup_sec": round(startup, 2),

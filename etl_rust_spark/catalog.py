@@ -394,8 +394,12 @@ def upsert_table(
     )
     w = merged.write
     if partition_by:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        w = w.partitionBy(partition_by)
+        # Per-write dynamic overwrite (ADVICE r6): never mutate the
+        # shared session conf — later unrelated partitioned overwrites
+        # would silently inherit dynamic semantics.
+        w = w.partitionBy(partition_by).option(
+            "partitionOverwriteMode", "dynamic"
+        )
     w.mode("overwrite").parquet(path)
 
 

@@ -1,0 +1,430 @@
+"""Minimal Kafka wire-protocol producer (K-05 fallback) — stdlib only.
+
+The reference's Kafka sink aggregates records into 1024-message batches
+and produces them with ``rskafka`` (src/output/apache_kafka.rs:31-115).
+The first-choice Spark path here is the built-in ``format("kafka")``
+writer (etl/sinks.py:kafka_batch_writer) — but the spark-sql-kafka jar
+is not in this container, so until r6 the Kafka produce path had never
+exchanged bytes in-repo.  This module closes that gap the same way
+amqp.py / rabbitmq_stream.py did for the RabbitMQ sinks: implement the
+small slice of the PUBLIC Kafka protocol
+(https://kafka.apache.org/protocol) a producer needs —
+
+- request framing (int32 size + header v1: api_key, api_version,
+  correlation_id, client_id),
+- ApiVersions v0 (handshake sanity),
+- Metadata v1 (topic → leader discovery),
+- Produce v3 with RecordBatch v2 (magic 2, CRC32C, zigzag-varint
+  records) — the modern on-wire batch format every broker since 0.11
+  stores verbatim,
+- Fetch v4 (round-trip read-back + batch decode).
+
+Wire framing is golden-byte tested and exercised end-to-end against an
+in-process socket stub broker (tests/test_sinks.py); the client runs
+against a real broker unchanged (single-partition, leader = bootstrap —
+the reference publishes everything to partition 0 too,
+apache_kafka.rs:31-40).
+
+Scale posture: this is the CONTROL-PLANE fallback; at cluster scale the
+built-in Spark kafka datasource (JVM, librdkafka-grade batching) is the
+data path, selected automatically when the jar is present.  Executor
+lifecycle matches the other transports: one client per partition via
+``QueueClient``, lazy connect, explicit disconnect (K-09).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import time
+from typing import Any
+
+__all__ = [
+    "KafkaWireError",
+    "KafkaWireClient",
+    "kafka_wire_client_factory",
+    "crc32c",
+    "encode_varint",
+    "decode_varint",
+    "encode_record_batch",
+    "decode_record_batch",
+]
+
+API_PRODUCE, API_FETCH, API_METADATA, API_VERSIONS = 0, 1, 3, 18
+
+
+class KafkaWireError(RuntimeError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# CRC32C (Castagnoli, reflected poly 0x82F63B78) — RecordBatch checksums.
+# Pure-Python table version: plenty for control-plane batches; the JVM
+# datasource owns the bulk path.
+# --------------------------------------------------------------------------
+
+def _make_crc32c_table() -> list[int]:
+    table = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+        table.append(c)
+    return table
+
+
+_CRC32C_TABLE = _make_crc32c_table()
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+# --------------------------------------------------------------------------
+# Zigzag varints (record-level integers in RecordBatch v2)
+# --------------------------------------------------------------------------
+
+def encode_varint(v: int) -> bytes:
+    z = (v << 1) ^ (v >> 63)  # zigzag, 64-bit
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def decode_varint(data: bytes, pos: int) -> tuple[int, int]:
+    z, shift = 0, 0
+    while True:
+        b = data[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (z >> 1) ^ -(z & 1), pos
+
+
+# --------------------------------------------------------------------------
+# RecordBatch v2 (magic 2) — the on-disk/on-wire batch format
+# --------------------------------------------------------------------------
+
+def encode_record_batch(
+    values: list[bytes],
+    keys: list[bytes | None] | None = None,
+    base_timestamp: int | None = None,
+    base_offset: int = 0,
+) -> bytes:
+    """values (+ optional keys) → one RecordBatch v2, CRC32C-sealed.
+
+    Layout (Kafka protocol docs "Record Batch"): baseOffset int64,
+    batchLength int32, partitionLeaderEpoch int32, magic int8=2,
+    crc uint32 (CRC32C of everything AFTER the crc field), attributes
+    int16 (0 = no compression), lastOffsetDelta int32, first/max
+    timestamp int64, producerId/Epoch/baseSequence (-1: idempotence
+    off), record count, then zigzag-varint records."""
+    if not values:
+        raise KafkaWireError("empty record batch")
+    keys = keys if keys is not None else [None] * len(values)
+    ts = int(time.time() * 1000) if base_timestamp is None else base_timestamp
+    records = bytearray()
+    for i, (key, value) in enumerate(zip(keys, values)):
+        body = bytearray()
+        body += b"\x00"  # record attributes
+        body += encode_varint(0)  # timestampDelta
+        body += encode_varint(i)  # offsetDelta
+        if key is None:
+            body += encode_varint(-1)
+        else:
+            body += encode_varint(len(key)) + key
+        body += encode_varint(len(value)) + value
+        body += encode_varint(0)  # headers
+        records += encode_varint(len(body)) + body
+    after_crc = (
+        struct.pack(">hiqqqhii", 0, len(values) - 1, ts, ts, -1, -1, -1, len(values))
+        + records
+    )
+    crc = crc32c(bytes(after_crc))
+    # batchLength counts bytes after the length field itself:
+    # partitionLeaderEpoch(4) + magic(1) + crc(4) + after_crc
+    return (
+        struct.pack(">qi", base_offset, 9 + len(after_crc))
+        + struct.pack(">ibI", 0, 2, crc)
+    ) + after_crc
+
+
+def decode_record_batch(data: bytes) -> list[tuple[bytes | None, bytes]]:
+    """One or more concatenated RecordBatch v2 → [(key, value), ...],
+    CRC32C-verified per batch."""
+    out: list[tuple[bytes | None, bytes]] = []
+    pos = 0
+    while pos + 17 <= len(data):
+        _base, batch_len = struct.unpack_from(">qi", data, pos)
+        end = pos + 12 + batch_len
+        _epoch, magic, crc = struct.unpack_from(">ibI", data, pos + 12)
+        if magic != 2:
+            raise KafkaWireError(f"unsupported record batch magic {magic}")
+        body = data[pos + 21 : end]
+        if crc32c(body) != crc:
+            raise KafkaWireError("record batch CRC32C mismatch")
+        (_attrs, _last, _t0, _t1, _pid, _pep, _seq, n) = struct.unpack_from(
+            ">hiqqqhii", body, 0
+        )
+        p = 40  # fixed batch-body prefix (2+4+8+8+8+2+4+4)
+        for _ in range(n):
+            length, p = decode_varint(body, p)
+            rec_end = p + length
+            p += 1  # record attributes
+            _td, p = decode_varint(body, p)
+            _od, p = decode_varint(body, p)
+            klen, p = decode_varint(body, p)
+            key = None if klen < 0 else body[p : p + klen]
+            p += max(klen, 0)
+            vlen, p = decode_varint(body, p)
+            value = body[p : p + vlen]
+            p = rec_end
+            out.append((key, value))
+        pos = end
+    return out
+
+
+# --------------------------------------------------------------------------
+# Primitive / request encoding (header v1, response header v0)
+# --------------------------------------------------------------------------
+
+def _string(s: str | None) -> bytes:
+    if s is None:
+        return struct.pack(">h", -1)
+    raw = s.encode()
+    return struct.pack(">h", len(raw)) + raw
+
+
+def _bytes(raw: bytes | None) -> bytes:
+    if raw is None:
+        return struct.pack(">i", -1)
+    return struct.pack(">i", len(raw)) + raw
+
+
+def _read_string(data: bytes, pos: int) -> tuple[str | None, int]:
+    (n,) = struct.unpack_from(">h", data, pos)
+    pos += 2
+    if n < 0:
+        return None, pos
+    return data[pos : pos + n].decode(), pos + n
+
+
+def _read_bytes(data: bytes, pos: int) -> tuple[bytes | None, int]:
+    (n,) = struct.unpack_from(">i", data, pos)
+    pos += 4
+    if n < 0:
+        return None, pos
+    return data[pos : pos + n], pos + n
+
+
+class KafkaWireClient:
+    """Produce-only Kafka client behind the :class:`QueueClient`
+    protocol (plus :meth:`fetch` for read-back).  One TCP connection,
+    correlation-id matched request/response, acks=1 (leader ack — the
+    reference's rskafka default), partition 0 (apache_kafka.rs:31-40:
+    the reference is single-partition too)."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        client_id: str = "etl-rust-spark",
+        timeout: float = 10.0,
+        topic_prefix: str = "",
+    ) -> None:
+        self.host, self.port = host, port
+        self.client_id = client_id
+        self.timeout = timeout
+        self.topic_prefix = topic_prefix
+        self.sock: socket.socket | None = None
+        self._corr = 0
+        self.connected = False
+        self.api_versions: dict[int, tuple[int, int]] = {}
+
+    # -- wire plumbing ----------------------------------------------------
+    def _send_request(self, api_key: int, api_version: int, body: bytes) -> bytes:
+        assert self.sock is not None
+        self._corr += 1
+        header = (
+            struct.pack(">hhi", api_key, api_version, self._corr)
+            + _string(self.client_id)
+        )
+        msg = header + body
+        self.sock.sendall(struct.pack(">i", len(msg)) + msg)
+        (size,) = struct.unpack(">i", self._read_exactly(4))
+        resp = self._read_exactly(size)
+        (corr,) = struct.unpack_from(">i", resp, 0)
+        if corr != self._corr:
+            raise KafkaWireError(f"correlation id mismatch: {corr} != {self._corr}")
+        return resp[4:]
+
+    def _read_exactly(self, n: int) -> bytes:
+        assert self.sock is not None
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise KafkaWireError("broker closed connection")
+            buf += chunk
+        return buf
+
+    # -- protocol ---------------------------------------------------------
+    def connect(self) -> None:
+        self.sock = socket.create_connection((self.host, self.port), self.timeout)
+        self.sock.settimeout(self.timeout)
+        resp = self._send_request(API_VERSIONS, 0, b"")
+        (err,) = struct.unpack_from(">h", resp, 0)
+        if err:
+            raise KafkaWireError(f"ApiVersions error {err}")
+        (n,) = struct.unpack_from(">i", resp, 2)
+        pos = 6
+        for _ in range(n):
+            k, lo, hi = struct.unpack_from(">hhh", resp, pos)
+            self.api_versions[k] = (lo, hi)
+            pos += 6
+        for key, ver in ((API_METADATA, 1), (API_PRODUCE, 3)):
+            lo, hi = self.api_versions.get(key, (0, -1))
+            if not lo <= ver <= hi:
+                raise KafkaWireError(
+                    f"broker does not support api {key} v{ver} (range {lo}..{hi})"
+                )
+        self.connected = True
+
+    def metadata(self, topics: list[str]) -> dict[str, list[int]]:
+        """topic → partition ids (and leader sanity-check)."""
+        body = struct.pack(">i", len(topics)) + b"".join(_string(t) for t in topics)
+        resp = self._send_request(API_METADATA, 1, body)
+        (n_brokers,) = struct.unpack_from(">i", resp, 0)
+        pos = 4
+        for _ in range(n_brokers):
+            pos += 4  # node_id
+            _host, pos = _read_string(resp, pos)
+            pos += 4  # port
+            _rack, pos = _read_string(resp, pos)
+        pos += 4  # controller_id
+        (n_topics,) = struct.unpack_from(">i", resp, pos)
+        pos += 4
+        out: dict[str, list[int]] = {}
+        for _ in range(n_topics):
+            (t_err,) = struct.unpack_from(">h", resp, pos)
+            pos += 2
+            name, pos = _read_string(resp, pos)
+            pos += 1  # is_internal
+            (n_parts,) = struct.unpack_from(">i", resp, pos)
+            pos += 4
+            parts = []
+            for _ in range(n_parts):
+                _p_err, part, _leader = struct.unpack_from(">hii", resp, pos)
+                pos += 10
+                for _ in range(2):  # replicas, isr
+                    (n_r,) = struct.unpack_from(">i", resp, pos)
+                    pos += 4 + 4 * n_r
+                parts.append(part)
+            if t_err:
+                raise KafkaWireError(f"Metadata error {t_err} for topic {name}")
+            out[name or ""] = parts
+        return out
+
+    def _produce(self, topic: str, batch: bytes) -> int:
+        body = (
+            _string(None)  # transactional_id
+            + struct.pack(">hi", 1, int(self.timeout * 1000))  # acks=1
+            + struct.pack(">i", 1)
+            + _string(topic)
+            + struct.pack(">i", 1)
+            + struct.pack(">i", 0)  # partition 0
+            + _bytes(batch)
+        )
+        resp = self._send_request(API_PRODUCE, 3, body)
+        (n_topics,) = struct.unpack_from(">i", resp, 0)
+        pos = 4
+        base_offset = -1
+        for _ in range(n_topics):
+            _name, pos = _read_string(resp, pos)
+            (n_parts,) = struct.unpack_from(">i", resp, pos)
+            pos += 4
+            for _ in range(n_parts):
+                _part, err, base_offset, _lat = struct.unpack_from(">ihqq", resp, pos)
+                pos += 22
+                if err:
+                    raise KafkaWireError(f"Produce error {err} on {topic}")
+        return base_offset
+
+    def fetch(
+        self, topic: str, partition: int = 0, offset: int = 0
+    ) -> list[tuple[bytes | None, bytes]]:
+        """Read back and decode every record batch from ``offset``."""
+        body = (
+            struct.pack(">iiiib", -1, 500, 1, 1 << 24, 0)
+            + struct.pack(">i", 1)
+            + _string(topic)
+            + struct.pack(">i", 1)
+            + struct.pack(">iqi", partition, offset, 1 << 24)
+        )
+        resp = self._send_request(API_FETCH, 4, body)
+        pos = 4  # throttle_time
+        (n_topics,) = struct.unpack_from(">i", resp, pos)
+        pos += 4
+        records: list[tuple[bytes | None, bytes]] = []
+        for _ in range(n_topics):
+            _name, pos = _read_string(resp, pos)
+            (n_parts,) = struct.unpack_from(">i", resp, pos)
+            pos += 4
+            for _ in range(n_parts):
+                _part, err, _hw, _lso = struct.unpack_from(">ihqq", resp, pos)
+                pos += 22
+                (n_aborted,) = struct.unpack_from(">i", resp, pos)
+                pos += 4 + 16 * max(n_aborted, 0)
+                record_set, pos = _read_bytes(resp, pos)
+                if err:
+                    raise KafkaWireError(f"Fetch error {err} on {topic}")
+                if record_set:
+                    records.extend(decode_record_batch(record_set))
+        return records
+
+    # -- QueueClient protocol ---------------------------------------------
+    def _topic(self, table: str) -> str:
+        return f"{self.topic_prefix}{table}"
+
+    def publish(self, table: str, payload: Any) -> None:
+        self.publish_batch(table, [payload])
+
+    def publish_batch(self, table: str, payloads: list[Any]) -> None:
+        if not self.connected:
+            self.connect()
+        values = [
+            p if isinstance(p, (bytes, bytearray)) else str(p).encode()
+            for p in payloads
+        ]
+        self._produce(self._topic(table), encode_record_batch(values))
+
+    def disconnect(self) -> None:
+        if self.sock is not None:
+            try:
+                self.sock.close()
+            finally:
+                self.sock = None
+        self.connected = False
+
+
+def kafka_wire_client_factory(
+    host: str, port: int, topic_prefix: str = "", timeout: float = 10.0
+):
+    """Picklable factory for ``publish_tables`` (one client per executor
+    partition, the K-09 lifecycle — same shape as amqp_client_factory)."""
+
+    def make() -> KafkaWireClient:
+        return KafkaWireClient(host, port, topic_prefix=topic_prefix, timeout=timeout)
+
+    return make

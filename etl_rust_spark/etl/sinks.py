@@ -233,7 +233,11 @@ def kafka_batch_writer(
     the returned writer.  Publish-time stamping (X-09) is on by default.
     Requires the spark-sql-kafka package on the classpath (absent in
     this container — the writer still constructs and plan-checks; only
-    ``.save()`` needs the jar).
+    ``.save()`` needs the jar).  Where the jar is unavailable, the
+    jar-free wire-protocol producer (etl/kafka_wire.py —
+    ``kafka_wire_client_factory`` + ``publish_tables``) covers the
+    produce path with RecordBatch-v2 fidelity, tested in-container
+    against a socket stub broker.
     """
     return (
         _kafka_frame(df, encoder, stamp_ts)

@@ -56,12 +56,21 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
     pos = 0
     n = len(data)
     while pos < n:
-        # skip inter-record blank lines
-        while pos < n and data[pos : pos + 2] in (b"\r\n", b"\n\n"):
-            pos += 2
+        # Skip ANY run of residual CR/LF between records (ADVICE r6):
+        # the spec mandates \r\n\r\n separators, but real archives carry
+        # lone trailing newlines / odd-length padding that the old
+        # 2-byte-pair skip could not consume.
+        while pos < n and data[pos] in (0x0D, 0x0A):
+            pos += 1
         if pos >= n:
             break
-        head_end = data.index(b"\r\n\r\n", pos)
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise ValueError(
+                f"truncated WARC archive: record header starting at byte "
+                f"{pos} has no terminating blank line "
+                f"({data[pos : pos + 40]!r}...)"
+            )
         head = data[pos:head_end].decode("utf-8", "replace")
         lines = head.split("\r\n")
         if not lines[0].startswith("WARC/"):

@@ -293,8 +293,9 @@ def update_rollup(
             ).alias("hist", metadata={"bins": hb})
         )
     merged = existing.unionByName(d_roll).groupBy("bs", *dims).agg(*maggs)
-    writer = _partitioned(merged).write.partitionBy("b_date")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    writer = _partitioned(merged).write.partitionBy("b_date").option(
+        "partitionOverwriteMode", "dynamic"  # per-write: no session-conf leak
+    )
     writer.mode("overwrite").parquet(path)
 
 

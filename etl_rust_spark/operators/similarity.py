@@ -434,7 +434,13 @@ def cosine_near_dup_pairs(
     blocked-BLAS form runs the identical math in well under a second.
 
     Determinism: the ROUNDed cosine (4 dp) is both the filter input and
-    the output, so summation order can't flip a boundary pair.
+    the output, and the round is FOLD-EXACT (ADVICE r6): BLAS matmul
+    for the bulk + exact sequential recompute of any pair within ulps
+    of a rounding boundary, then half-away-from-zero rounding —
+    bit-identical to the DuckDB mirror's ``list_sum`` fold + ``ROUND``,
+    so a half-boundary or threshold-boundary cosine cannot flip the
+    gate the way plain ``np.round`` (half-to-even) could
+    (:func:`_fold_exact_pairs`).
     """
     spark = df.sparkSession
     # Distinct column names per side: both derive from the same frame,
@@ -449,26 +455,69 @@ def cosine_near_dup_pairs(
     ).withColumn("shard", F.pmod(F.col("c_id"), F.lit(n_shards)).cast("int"))
 
     def block(q_pdf, c_pdf):
-        import numpy as np
         import pandas as pd
 
-        if not len(q_pdf) or not len(c_pdf):
-            return pd.DataFrame({"qid": [], "cid": [], "cos": []})
-        q_ids = q_pdf["q_id"].to_numpy(np.int64)
-        c_ids = c_pdf["c_id"].to_numpy(np.int64)
-        qm = np.array([list(v) for v in q_pdf["q_v"]], dtype=np.float64)
-        cm = np.array([list(v) for v in c_pdf["c_v"]], dtype=np.float64)
-        qm /= np.linalg.norm(qm, axis=1, keepdims=True)
-        cm /= np.linalg.norm(cm, axis=1, keepdims=True)
-        sims = np.round(qm @ cm.T, 4)
-        qs, cs = np.nonzero((sims >= threshold) & (q_ids[:, None] < c_ids[None, :]))
-        return pd.DataFrame({"qid": q_ids[qs], "cid": c_ids[cs], "cos": sims[qs, cs]})
+        lids, rids, coss = _fold_exact_pairs(q_pdf, c_pdf, threshold, lt_mask=True)
+        return pd.DataFrame({"qid": lids, "cid": rids, "cos": coss})
 
     return (
         q.groupby("shard")
         .cogroup(c.groupby("shard"))
         .applyInPandas(block, "qid long, cid long, cos double")
     )
+
+
+def _fold_exact_pairs(q_pdf, c_pdf, threshold: float, lt_mask: bool):
+    """Shared fold-exact pair kernel for the hash-gated cosine joins:
+    results are bit-identical to the SQL ``list_sum`` sequential fold +
+    ``ROUND(x, 4)`` (half away from zero), zero-norm rows dropped (SQL:
+    0/0 → NULL fails the threshold predicate).  ``lt_mask`` adds the
+    ``qid < cid`` self-join mask."""
+    import numpy as np
+
+    empty = (np.array([], np.int64), np.array([], np.int64), np.array([], np.float64))
+    # null guard (ADVICE r5 lesson): nullable embedding columns must
+    # drop rows, not crash the kernel
+    q_pdf = q_pdf[q_pdf.iloc[:, 1].map(lambda v: v is not None)]
+    c_pdf = c_pdf[c_pdf.iloc[:, 1].map(lambda v: v is not None)]
+    if not len(q_pdf) or not len(c_pdf):
+        return empty
+    q_ids = q_pdf.iloc[:, 0].to_numpy(np.int64)
+    c_ids = c_pdf.iloc[:, 0].to_numpy(np.int64)
+    qm = np.array([list(v) for v in q_pdf.iloc[:, 1]], dtype=np.float64)
+    cm = np.array([list(v) for v in c_pdf.iloc[:, 1]], dtype=np.float64)
+    qn = np.sqrt(np.cumsum(qm * qm, axis=1)[:, -1])
+    cn = np.sqrt(np.cumsum(cm * cm, axis=1)[:, -1])
+    q_ok, c_ok = qn > 0, cn > 0
+    q_ids, qm, qn = q_ids[q_ok], qm[q_ok], qn[q_ok]
+    c_ids, cm, cn = c_ids[c_ok], cm[c_ok], cn[c_ok]
+    if not len(q_ids) or not len(c_ids):
+        return empty
+    # BLAS matmul for the bulk + exact sequential fold ONLY at rounding
+    # boundaries: pairwise-SIMD summation can differ from the SQL
+    # list_sum fold by a few ulps, which flips ROUND(...,4) only when
+    # the value sits within that error of a .00005 half-boundary.  Those
+    # suspects (within 1e-5 of a boundary on the 1e4 scale — ~1e4× the
+    # worst-case association error, and ~zero pairs in practice) are
+    # recomputed with the exact left-to-right fold; everything else is
+    # provably round-identical.  Cost: one matmul (the fast r6 kernel)
+    # instead of a dim-times-larger cumsum tensor or rank-1 loop.
+    raw = (qm @ cm.T) / (qn[:, None] * cn[None, :])
+    scaled = raw * 10_000.0
+    frac = np.abs(scaled - np.floor(scaled) - 0.5)
+    for i, j in zip(*np.nonzero(frac < 1e-5)):
+        dot = 0.0
+        for d in range(qm.shape[1]):
+            dot += qm[i, d] * cm[j, d]
+        raw[i, j] = dot / (qn[i] * cn[j])
+    sims = _round_half_up(raw, 4)
+    keep = sims >= threshold
+    if lt_mask:
+        keep &= q_ids[:, None] < c_ids[None, :]
+    qs, cs = np.nonzero(keep)
+    # + 0.0 folds IEEE -0.0 (a negative dot rounding to zero) to +0.0,
+    # matching the SQL mirrors' "+ 0.0" normalization.
+    return q_ids[qs], c_ids[cs], sims[qs, cs] + 0.0
 
 
 def cosine_join(
@@ -486,13 +535,21 @@ def cosine_join(
     decontamination of a training corpus against an eval set, catalog
     linkage, cross-crawl alignment).
 
-    Same sharded cogroup block-matmul cost model: the RIGHT side moves
-    once (one shard per row), the LEFT side replicates ``n_shards``
-    ways — put the smaller corpus on the left.  Null and zero-norm
-    embeddings are skipped (null-guard lesson, ADVICE r5).  Every
-    qualifying pair is emitted exactly once (the corpora are distinct,
-    so no self-pair mask is needed; ids may collide across corpora
-    without harm).
+    Same sharded cogroup cost model: the RIGHT side moves once (one
+    shard per row), the LEFT side replicates ``n_shards`` ways — put
+    the smaller corpus on the left.  Null embeddings are skipped
+    (null-guard lesson, ADVICE r5); ZERO-norm embeddings emit no pairs,
+    matching the SQL mirror where 0/0 is NULL and fails the threshold
+    predicate.  Every qualifying pair is emitted exactly once (the
+    corpora are distinct, so no self-pair mask is needed; ids may
+    collide across corpora without harm).
+
+    This function is hash-gated against :func:`cosine_join_duck_sql`,
+    so the kernel is FOLD-EXACT (ADVICE r6 medium): sequential cumsum
+    dots and self-norms in the SQL association order, then
+    ``_round_half_up(dot / (nrm_q * nrm_c), 4)`` — a BLAS matmul of
+    pre-normalized rows plus ``np.round`` (half-to-even) can flip a
+    4-dp half-boundary or threshold-boundary value against the oracle.
     """
     spark = left.sparkSession
     shards = spark.range(n_shards).select(F.col("id").cast("int").alias("shard"))
@@ -504,20 +561,10 @@ def cosine_join(
     ).withColumn("shard", F.pmod(F.col("c_id"), F.lit(n_shards)).cast("int"))
 
     def block(q_pdf, c_pdf):
-        import numpy as np
         import pandas as pd
 
-        if not len(q_pdf) or not len(c_pdf):
-            return pd.DataFrame({"lid": [], "rid": [], "cos": []})
-        q_ids = q_pdf["q_id"].to_numpy(np.int64)
-        c_ids = c_pdf["c_id"].to_numpy(np.int64)
-        qm = np.array([list(v) for v in q_pdf["q_v"]], dtype=np.float64)
-        cm = np.array([list(v) for v in c_pdf["c_v"]], dtype=np.float64)
-        qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
-        cm /= np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-30)
-        sims = np.round(qm @ cm.T, 4)
-        qs, cs = np.nonzero(sims >= threshold)
-        return pd.DataFrame({"lid": q_ids[qs], "rid": c_ids[cs], "cos": sims[qs, cs]})
+        lids, rids, coss = _fold_exact_pairs(q_pdf, c_pdf, threshold, lt_mask=False)
+        return pd.DataFrame({"lid": lids, "rid": rids, "cos": coss})
 
     return (
         q.groupby("shard")
@@ -888,6 +935,22 @@ def ivf_assign(
     ).mapInPandas(gen, "cid long, cv array<float>, list_id int")
 
 
+def _delete_list_partitions(spark, base: str, list_ids) -> None:
+    """Remove ``list_id=<n>`` partition directories via the Hadoop
+    FileSystem API (works for any scheme the session can write, not just
+    local paths).  Used by :func:`update_ivf_index` to purge dirty lists
+    that received zero output rows — dynamic partition overwrite never
+    touches a partition absent from the output."""
+    if not list_ids:
+        return
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for v in list_ids:
+        p = jvm.org.apache.hadoop.fs.Path(f"{base}/list_id={int(v)}")
+        fs = p.getFileSystem(hconf)
+        fs.delete(p, True)
+
+
 def update_ivf_index(
     corpus_delta: DataFrame,
     path: str,
@@ -947,10 +1010,28 @@ def update_ivf_index(
         .join(delta_keys, "cid", "left_anti")
         .localCheckpoint(eager=True)
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # Per-write dynamic overwrite (ADVICE r6 low): the session conf must
+    # not leak to later unrelated partitioned overwrites.
     survivors.unionByName(assigned).write.partitionBy("list_id").mode(
         "overwrite"
-    ).parquet(f"{path}/corpus")
+    ).option("partitionOverwriteMode", "dynamic").parquet(f"{path}/corpus")
+    # ADVICE r6 high: dynamic overwrite only rewrites partitions PRESENT
+    # in the output.  A dirty list whose every row moved out (or was
+    # replaced into another list) contributes zero output rows, so its
+    # directory would keep the stale copy — the moved vector then
+    # answers searches from BOTH lists, violating the replace
+    # invariant.  Those now-empty dirty lists are deleted explicitly
+    # AFTER the successful write (write-failure leaves the index
+    # untouched; delete-failure leaves exactly the pre-fix state).
+    written = {
+        r["list_id"]
+        for r in survivors.select("list_id")
+        .unionByName(assigned.select("list_id"))
+        .distinct()
+        .collect()
+    }
+    _delete_list_partitions(spark, f"{path}/corpus",
+                            [l for l in dirty if l not in written])
 
 
 def ivf_search(

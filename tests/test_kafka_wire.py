@@ -1,0 +1,303 @@
+"""K-05 Kafka wire protocol: golden bytes + in-container round-trips.
+
+Closes VERDICT r6 #2 — until now the Kafka produce path had never
+exchanged bytes in this sandbox (no broker, no spark-sql-kafka jar).
+:class:`KafkaStubBroker` speaks just enough server-side Kafka protocol
+(ApiVersions v0, Metadata v1, Produce v3, Fetch v4) for the jar-free
+producer in etl/kafka_wire.py, following the amqp.py stub pattern; the
+record batches it stores are the exact bytes a real broker would store.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+import pytest
+
+from etl_rust_spark.etl.kafka_wire import (
+    KafkaWireClient,
+    KafkaWireError,
+    crc32c,
+    decode_record_batch,
+    decode_varint,
+    encode_record_batch,
+    encode_varint,
+)
+
+
+def _read_exactly(conn: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = conn.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError
+        buf += chunk
+    return buf
+
+
+def _string(s: str | None) -> bytes:
+    if s is None:
+        return struct.pack(">h", -1)
+    raw = s.encode()
+    return struct.pack(">h", len(raw)) + raw
+
+
+def _read_string(data: bytes, pos: int):
+    (n,) = struct.unpack_from(">h", data, pos)
+    pos += 2
+    if n < 0:
+        return None, pos
+    return data[pos : pos + n].decode(), pos + n
+
+
+class KafkaStubBroker:
+    """Single-node, partition-0 stub: stores produced RecordBatch bytes
+    verbatim per topic and serves them back over Fetch."""
+
+    def __init__(self):
+        self.topics: dict[str, bytes] = {}
+        self.offsets: dict[str, int] = {}
+        self.produce_requests = 0
+        self.srv = socket.create_server(("127.0.0.1", 0))
+        self.port = self.srv.getsockname()[1]
+        threading.Thread(target=self._serve, daemon=True).start()
+
+    def close(self):
+        self.srv.close()
+
+    def _serve(self):
+        while True:
+            try:
+                conn, _ = self.srv.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._handle, args=(conn,), daemon=True).start()
+
+    def _handle(self, conn: socket.socket):
+        try:
+            while True:
+                (size,) = struct.unpack(">i", _read_exactly(conn, 4))
+                req = _read_exactly(conn, size)
+                api_key, api_version, corr = struct.unpack_from(">hhi", req, 0)
+                _client_id, pos = _read_string(req, 8)
+                body = req[pos:]
+                if api_key == 18:  # ApiVersions v0
+                    assert api_version == 0
+                    apis = [(0, 0, 7), (1, 0, 11), (3, 0, 12), (18, 0, 3)]
+                    resp = struct.pack(">hi", 0, len(apis)) + b"".join(
+                        struct.pack(">hhh", *a) for a in apis
+                    )
+                elif api_key == 3:  # Metadata v1
+                    assert api_version == 1
+                    (n,) = struct.unpack_from(">i", body, 0)
+                    p = 4
+                    names = []
+                    for _ in range(n):
+                        nm, p = _read_string(body, p)
+                        names.append(nm)
+                    resp = (
+                        struct.pack(">i", 1)  # brokers
+                        + struct.pack(">i", 0)
+                        + _string("127.0.0.1")
+                        + struct.pack(">i", self.port)
+                        + _string(None)  # rack
+                        + struct.pack(">i", 0)  # controller_id
+                        + struct.pack(">i", len(names))
+                    )
+                    for nm in names:
+                        resp += (
+                            struct.pack(">h", 0)
+                            + _string(nm)
+                            + b"\x00"  # is_internal
+                            + struct.pack(">i", 1)  # one partition
+                            + struct.pack(">hii", 0, 0, 0)
+                            + struct.pack(">ii", 1, 0)  # replicas [0]
+                            + struct.pack(">ii", 1, 0)  # isr [0]
+                        )
+                elif api_key == 0:  # Produce v3
+                    assert api_version == 3
+                    _txn, p = _read_string(body, 0)
+                    _acks, _timeout = struct.unpack_from(">hi", body, p)
+                    p += 6
+                    (n_topics,) = struct.unpack_from(">i", body, p)
+                    p += 4
+                    resp_topics = b""
+                    for _ in range(n_topics):
+                        topic, p = _read_string(body, p)
+                        (n_parts,) = struct.unpack_from(">i", body, p)
+                        p += 4
+                        parts = b""
+                        for _ in range(n_parts):
+                            part, blen = struct.unpack_from(">ii", body, p)
+                            p += 8
+                            batch = body[p : p + blen]
+                            p += blen
+                            # a real broker validates the batch CRC
+                            n_new = len(decode_record_batch(batch))
+                            base = self.offsets.get(topic, 0)
+                            self.topics[topic] = (
+                                self.topics.get(topic, b"") + batch
+                            )
+                            self.offsets[topic] = base + n_new
+                            self.produce_requests += 1
+                            parts += struct.pack(">ihqq", part, 0, base, -1)
+                        resp_topics += (
+                            _string(topic) + struct.pack(">i", n_parts) + parts
+                        )
+                    resp = (
+                        struct.pack(">i", n_topics)
+                        + resp_topics
+                        + struct.pack(">i", 0)  # throttle
+                    )
+                elif api_key == 1:  # Fetch v4
+                    assert api_version == 4
+                    p = 17  # replica/max_wait/min/max/isolation
+                    (n_topics,) = struct.unpack_from(">i", body, p)
+                    p += 4
+                    resp_topics = b""
+                    for _ in range(n_topics):
+                        topic, p = _read_string(body, p)
+                        (n_parts,) = struct.unpack_from(">i", body, p)
+                        p += 4
+                        parts = b""
+                        for _ in range(n_parts):
+                            part, _off, _maxb = struct.unpack_from(">iqi", body, p)
+                            p += 16
+                            stored = self.topics.get(topic, b"")
+                            parts += (
+                                struct.pack(
+                                    ">ihqq", part, 0,
+                                    self.offsets.get(topic, 0),
+                                    self.offsets.get(topic, 0),
+                                )
+                                + struct.pack(">i", 0)  # aborted txns
+                                + struct.pack(">i", len(stored))
+                                + stored
+                            )
+                        resp_topics += (
+                            _string(topic) + struct.pack(">i", n_parts) + parts
+                        )
+                    resp = (
+                        struct.pack(">i", 0)  # throttle
+                        + struct.pack(">i", n_topics)
+                        + resp_topics
+                    )
+                else:
+                    raise AssertionError(f"unexpected api_key {api_key}")
+                msg = struct.pack(">i", corr) + resp
+                conn.sendall(struct.pack(">i", len(msg)) + msg)
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            conn.close()
+
+
+# ---------------------------------------------------------------------------
+# Golden bytes
+# ---------------------------------------------------------------------------
+
+def test_crc32c_known_vectors():
+    # RFC 3720 §B.4 check value
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+
+
+def test_varint_zigzag_roundtrip():
+    for v in (0, 1, -1, 2, -2, 127, 128, -128, 300, -300, 2**31, -(2**31), 63):
+        data = encode_varint(v)
+        got, pos = decode_varint(data, 0)
+        assert (got, pos) == (v, len(data))
+    # zigzag golden bytes (protobuf/Kafka convention)
+    assert encode_varint(0) == b"\x00"
+    assert encode_varint(-1) == b"\x01"
+    assert encode_varint(1) == b"\x02"
+    assert encode_varint(150) == b"\xac\x02"
+
+
+def test_record_batch_golden_bytes_and_roundtrip():
+    batch = encode_record_batch([b"hello", b"world"], base_timestamp=1_700_000_000_000)
+    # header fields at fixed offsets
+    base_offset, batch_len = struct.unpack_from(">qi", batch, 0)
+    epoch, magic, crc = struct.unpack_from(">ibI", batch, 12)
+    assert (base_offset, epoch, magic) == (0, 0, 2)
+    assert batch_len == len(batch) - 12
+    assert crc == crc32c(batch[21:])
+    attrs, last_delta, t0, t1, pid, pep, seq, n = struct.unpack_from(
+        ">hiqqqhii", batch, 21
+    )
+    assert (attrs, last_delta, n) == (0, 1, 2)
+    assert (pid, pep, seq) == (-1, -1, -1)
+    assert t0 == t1 == 1_700_000_000_000
+    assert decode_record_batch(batch) == [(None, b"hello"), (None, b"world")]
+    # keys survive, and multiple concatenated batches decode in order
+    b2 = encode_record_batch([b"v"], keys=[b"k"], base_timestamp=0)
+    assert decode_record_batch(batch + b2) == [
+        (None, b"hello"), (None, b"world"), (b"k", b"v"),
+    ]
+
+
+def test_record_batch_crc_validation():
+    batch = bytearray(encode_record_batch([b"x"], base_timestamp=0))
+    batch[-1] ^= 0xFF  # corrupt the last value byte
+    with pytest.raises(KafkaWireError, match="CRC32C"):
+        decode_record_batch(bytes(batch))
+
+
+# ---------------------------------------------------------------------------
+# Wire round-trips vs the stub broker
+# ---------------------------------------------------------------------------
+
+def test_client_produce_fetch_roundtrip():
+    broker = KafkaStubBroker()
+    try:
+        c = KafkaWireClient("127.0.0.1", broker.port)
+        c.connect()
+        assert c.api_versions[0][1] >= 3  # Produce v3 negotiated
+        assert c.metadata(["blocks"]) == {"blocks": [0]}
+        c.publish_batch("blocks", ['{"n": 1}', '{"n": 2}'])
+        c.publish("blocks", b'{"n": 3}')
+        got = c.fetch("blocks")
+        assert [v for _k, v in got] == [b'{"n": 1}', b'{"n": 2}', b'{"n": 3}']
+        assert broker.offsets["blocks"] == 3
+        c.disconnect()
+        assert not c.connected
+    finally:
+        broker.close()
+
+
+def test_publish_tables_through_spark_executors(spark):
+    """K-05 end-to-end IN-CONTAINER: DataFrames → encode → chunked
+    publish from Spark python workers over real sockets → RecordBatch
+    v2 bytes on the broker → fetched and decoded back.  The built-in
+    format("kafka") writer stays the cluster-scale path (plan-asserted
+    in test_sinks.py); this proves the produce path itself."""
+    import json
+
+    from etl_rust_spark.etl.kafka_wire import kafka_wire_client_factory
+    from etl_rust_spark.etl.sinks import publish_tables
+
+    broker = KafkaStubBroker()
+    try:
+        df = spark.createDataFrame(
+            [(i, f"r{i}") for i in range(25)], ["a", "b"]
+        ).repartition(3)
+        from etl_rust_spark.etl.sinks import encode_json
+
+        publish_tables(
+            {"blocks": df},
+            kafka_wire_client_factory("127.0.0.1", broker.port),
+            encoder=lambda d: encode_json(d, stamp_ts=True),  # X-09 stamp
+            chunk_size=10,
+        )
+        c = KafkaWireClient("127.0.0.1", broker.port)
+        c.connect()
+        payloads = [json.loads(v.decode()) for _k, v in c.fetch("blocks")]
+        c.disconnect()
+        assert sorted(p["a"] for p in payloads) == list(range(25))
+        assert all("publish_ts" in p for p in payloads)  # X-09 stamp
+        # chunking: 3 partitions x <=10 per batch -> >=3 produce requests
+        assert broker.produce_requests >= 3
+    finally:
+        broker.close()

@@ -562,3 +562,106 @@ def test_ivf_index_quantized(spark, sf_dir, tmp_path):
     similarity.update_ivf_index(delta, q_idx)
     after = spark.read.parquet(f"{q_idx}/corpus")
     assert after.count() == 180 and "qvec" in after.columns
+
+
+def test_ivf_update_purges_emptied_list_partition(spark, tmp_path):
+    """ADVICE r6 (high): dynamic partition overwrite never touches a
+    partition absent from the output, so when a delta moved the SOLE
+    occupant of a list to another list, the old partition kept the
+    stale row — the moved vector answered searches from BOTH lists.
+    The fix deletes dirty-but-empty list directories after the write."""
+    import pathlib
+
+    import numpy as np
+
+    idx = str(tmp_path / "ivf_sole")
+    cent = np.eye(3)
+    spark.createDataFrame(
+        [(j, [float(x) for x in cent[j]]) for j in range(3)],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.parquet(f"{idx}/centroids")
+    rows = (
+        [(i, [1.0, 0.0, 0.0]) for i in range(5)]
+        + [(10 + i, [0.0, 1.0, 0.0]) for i in range(5)]
+        + [(99, [0.0, 0.0, 1.0])]  # sole occupant of list 2
+    )
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    similarity.ivf_assign(corpus, cent).write.partitionBy("list_id").parquet(
+        f"{idx}/corpus"
+    )
+    assert spark.read.parquet(f"{idx}/corpus").filter("list_id = 2").count() == 1
+
+    # re-ingest id 99 pointing at cluster 0: list 2 becomes empty
+    delta = spark.createDataFrame(
+        [(99, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    similarity.update_ivf_index(delta, idx)
+    got = spark.read.parquet(f"{idx}/corpus")
+    assert got.count() == 11
+    assert got.select("cid").distinct().count() == 11  # no duplicate cid
+    assert [r["list_id"] for r in got.filter("cid = 99").collect()] == [0]
+    assert got.filter("list_id = 2").count() == 0
+    assert not (pathlib.Path(idx) / "corpus" / "list_id=2").exists()
+    # session conf was not mutated (ADVICE r6 low: per-write option)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
+        == "static"
+    )
+
+
+def test_cosine_join_fold_matches_duckdb_exactly(spark, tmp_path):
+    """ADVICE r6 (medium): the hash-gated cosine_join must reproduce the
+    DuckDB mirror's sequential-fold dot + ROUND (half away from zero)
+    bit-for-bit, including pairs sitting exactly ON the threshold.
+    Integer-valued embeddings make every dot exact, so any divergence
+    is rounding-mode/association-order, precisely what's under test."""
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    lrows = [(i, [float(x) for x in rng.integers(-5, 6, dim)]) for i in range(12)]
+    rrows = [(i, [float(x) for x in rng.integers(-5, 6, dim)]) for i in range(30)]
+    left = spark.createDataFrame(lrows, "vec_id long, embedding array<double>")
+    right = spark.createDataFrame(rrows, "vec_id long, embedding array<double>")
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (vec_id BIGINT, embedding DOUBLE[])")
+    con.execute("CREATE TABLE r (vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO l VALUES (?, ?)", lrows)
+    con.executemany("INSERT INTO r VALUES (?, ?)", rrows)
+    ddot = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> a.embedding[i] * b.embedding[i]))"
+    ).format(d=dim)
+    dnrm = (
+        "sqrt(list_sum(list_transform(range(1, {d} + 1), "
+        "i -> embedding[i] * embedding[i])))"
+    ).format(d=dim)
+
+    def duck_pairs(thr):
+        return {
+            (r[0], r[1]): r[2]
+            for r in con.execute(
+                f"""WITH ln AS (SELECT vec_id, embedding, {dnrm} AS nrm FROM l),
+                 rn AS (SELECT vec_id, embedding, {dnrm} AS nrm FROM r)
+                SELECT a.vec_id, b.vec_id,
+                       ROUND({ddot} / (a.nrm * b.nrm), 4) + 0.0
+                FROM ln a, rn b
+                WHERE ROUND({ddot} / (a.nrm * b.nrm), 4) >= {thr}"""
+            ).fetchall()
+        }
+
+    want = duck_pairs(-1.0)
+    got = {
+        (r.lid, r.rid): r.cos
+        for r in similarity.cosine_join(left, right, -1.0, n_shards=3).collect()
+    }
+    assert got == want  # exact float equality, all 360 pairs
+    # threshold sitting exactly ON an attained rounded cosine: boundary
+    # pairs must be included identically by both engines
+    thr = sorted(want.values())[len(want) // 2]
+    got_b = {
+        (r.lid, r.rid): r.cos
+        for r in similarity.cosine_join(left, right, thr, n_shards=3).collect()
+    }
+    assert got_b == duck_pairs(thr)

@@ -139,8 +139,11 @@ def test_json_per_record_client(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# K-05 Kafka wiring (plan-level — no broker/jar in this container) and
-# X-03/X-04 encoder golden bytes (skip-marked until jars appear)
+# K-05 Kafka wiring: plan-level for the built-in format("kafka") writer
+# (no jar in this container) — the produce path itself IS exercised
+# in-container via the jar-free wire client vs a socket stub broker
+# (tests/test_kafka_wire.py, r7).  X-03/X-04 encoder golden bytes stay
+# skip-marked until jars appear.
 # ---------------------------------------------------------------------------
 
 def test_kafka_batch_writer_plan_shape(spark):

@@ -107,3 +107,30 @@ def test_cli_ingest_warc(spark, tmp_path, capsys):
     assert n == {"documents": 1}
     got = spark.read.parquet(out).collect()
     assert got[0].source == "http://a.example/x"
+
+
+def test_iter_warc_tolerates_trailing_padding_and_odd_newlines():
+    """ADVICE r6: a lone trailing newline (or any CR/LF run between
+    records) must not abort parsing of an otherwise valid archive."""
+    for tail in (b"\n", b"\r\n\n", b"\n\n\n", b"\r\n\r\n\r\n"):
+        recs = list(iter_warc_records(ARCHIVE + tail))
+        assert len(recs) == 4
+    # odd-length separator run BETWEEN records too
+    data = (
+        _record("warcinfo", None, b"software: test\r\n")
+        + b"\n"
+        + _record("response", "http://a.example/x", _http(HTML))
+    )
+    assert [r["headers"]["WARC-Type"] for r in iter_warc_records(data)] == [
+        "warcinfo", "response",
+    ]
+
+
+def test_iter_warc_truncated_archive_raises_descriptive_error():
+    """A header cut off before its terminating blank line must raise a
+    WARC-context error, not a bare substring-not-found ValueError."""
+    import pytest
+
+    truncated = ARCHIVE[: ARCHIVE.index(b"\r\n\r\n")]  # first record's head, cut
+    with pytest.raises(ValueError, match="truncated WARC"):
+        list(iter_warc_records(truncated[:20]))
