@@ -114,11 +114,15 @@ AC_CHROM = (
 
 # zigzag scan order: ZIGZAG[k] = (row, col) of the k-th coefficient
 def _zigzag_order() -> list[tuple[int, int]]:
-    order = sorted(
+    # Spec traversal (Figure 5): odd anti-diagonals walk DOWN-left (row
+    # ascending), even ones UP-right (row descending).
+    return sorted(
         ((r, c) for r in range(8) for c in range(8)),
-        key=lambda rc: (rc[0] + rc[1], rc[1] if (rc[0] + rc[1]) % 2 else rc[0]),
+        key=lambda rc: (
+            rc[0] + rc[1],
+            rc[0] if (rc[0] + rc[1]) % 2 else -rc[0],
+        ),
     )
-    return order
 
 
 ZIGZAG = _zigzag_order()

@@ -8,6 +8,10 @@ without new dependencies:
 - a **pure-stdlib PNG codec** (``decode_png`` / ``encode_png``: zlib +
   struct + numpy; 8-bit gray/RGB/RGBA, non-interlaced, all five scanline
   filters) so ``decode_stub=False`` genuinely decodes pixels in-container,
+- a **pure-stdlib baseline JPEG codec** (operators/jpegcodec.py, r7 —
+  Huffman + DCT + 4:2:0/4:2:2 subsampling + restart markers) registered
+  here by default, since a realistic multimodal corpus is
+  JPEG-dominated,
 - a **pure-stdlib WAV codec** (``decode_wav`` / ``encode_wav``: RIFF
   walk; 8/16/32-bit PCM + IEEE float, any channel count) closing the
   audio half of the seam the same way,
@@ -203,7 +207,12 @@ def image_feature(arr: np.ndarray, dim: int = 8) -> list[float]:
 # --------------------------------------------------------------------------
 
 # magic-bytes prefix → decoder(bytes) -> np.ndarray
-_DECODERS: list[tuple[bytes, object]] = [(PNG_MAGIC, decode_png)]
+from etl_rust_spark.operators.jpegcodec import JPEG_MAGIC, decode_jpeg  # noqa: E402
+
+_DECODERS: list[tuple[bytes, object]] = [
+    (PNG_MAGIC, decode_png),
+    (JPEG_MAGIC, decode_jpeg),  # pure-stdlib baseline JFIF (r7)
+]
 
 
 def register_decoder(magic: bytes, fn) -> None:
@@ -221,7 +230,7 @@ def decode_image(data: bytes) -> np.ndarray:
             return fn(data)
     raise ValueError(
         f"no decoder for payload starting {data[:8]!r}; "
-        "register one (e.g. use_pillow()) for non-PNG formats"
+        "register one (e.g. use_pillow()) for formats beyond PNG/JPEG"
     )
 
 
