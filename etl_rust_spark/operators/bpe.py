@@ -14,10 +14,13 @@ Algorithm = classic BPE (Sennrich et al. 2016), shaped for Spark:
   distinct-word table is ~10⁷ rows — iteration state that fits
   comfortably distributed, reached from the corpus by ONE groupBy.
 - Each merge round: explode adjacent symbol pairs weighted by word
-  count → groupBy pair → argmax (ONE scalar row to the driver —
-  deterministic tie-break on (freq desc, left, right)) → rewrite the
-  segmentations with that merge fused.  ``localCheckpoint`` every round
-  bounds plan growth (the near_dup_components lesson).
+  count → groupBy pair → top-K to the driver (deterministic tie-break
+  on (freq desc, left, right)) → accept up to ``batch`` pairwise
+  symbol-DISJOINT merges (disjoint merges can't perturb each other's
+  counts — see :func:`train_bpe`) → rewrite the segmentations with the
+  batch fused.  ``batch=1`` is exactly classic BPE; ``batch=16`` cuts
+  1 000 merges from 2 000 Spark jobs to ~126.  ``localCheckpoint``
+  every round bounds plan growth (the near_dup_components lesson).
 - Merge application (here and in :func:`bpe_encode`) is the standard
   sequential fuse per word — an Arrow-batched kernel with the merge
   ranks broadcast, memoized per distinct word (Zipf again: each
@@ -58,21 +61,71 @@ def _initial_segments(wc: DataFrame) -> DataFrame:
     )
 
 
+def _fuse_segments(segs: DataFrame, batch: list[tuple[str, str]]) -> DataFrame:
+    """Apply ``batch`` merges to every segmentation — one Arrow kernel,
+    each merge as the classic leftmost-first single pass (identical
+    semantics to an ``aggregate`` fold, without n_batch nested HOF
+    lambdas in the plan)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for syms in pdf["syms"]:
+                syms = list(syms)
+                for left, right in batch:
+                    fused, acc = left + right, []
+                    for s in syms:
+                        if acc and acc[-1] == left and s == right:
+                            acc[-1] = fused
+                        else:
+                            acc.append(s)
+                    syms = acc
+                out.append(syms)
+            yield pd.DataFrame(
+                {"word": pdf["word"], "wc": pdf["wc"], "syms": out}
+            )
+
+    return segs.mapInPandas(gen, "word string, wc long, syms array<string>")
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int = 50,
     min_freq: int = 2,
     text_col: str = "text",
+    batch: int = 1,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges; returns them in rank order.
 
     Stops early when the best remaining pair's weighted frequency drops
     below ``min_freq``.  The returned list is the tokenizer artifact —
     KBs, broadcast-sized; persist it alongside the corpus.
+
+    ``batch`` (VERDICT r6 #4): merges accepted per driver round trip.
+    ``batch=1`` is EXACTLY classic BPE (pinned against the pure-Python
+    reference).  ``batch>1`` takes the top-ranked candidates that are
+    pairwise symbol-disjoint (neither side nor the fused symbol shared)
+    — disjoint merges cannot create or destroy each other's pair
+    occurrences, so their post-batch counts equal their pre-batch
+    counts and applying them in rank order equals applying them one
+    round apart.  The ACCEPTED DEVIATION from classic BPE: a merge can
+    spawn a brand-new pair (x, left+right) whose count outranks a
+    later candidate in the same batch; classic BPE would pick it first,
+    batched BPE sees it next round.  Rank interleaving may therefore
+    differ while the learned merge SET stays essentially the same —
+    the standard frequency-batched trade (tests pin batch=1 equality,
+    batch>1 determinism + merge-set overlap + round-trip count).
+    Driver cost: ⌈n_merges/batch⌉ rounds instead of n_merges — Spark
+    jobs scale with rounds (a handful each under AQE: top-K
+    TakeOrdered stages + the eager checkpoint), so batch=16 cuts both
+    job count and driver round trips ~16× while the iteration state
+    never leaves the cluster (measured in tests: batch=8 runs ≥3×
+    fewer jobs than classic for the same merge count).
     """
     segs = _initial_segments(word_counts(docs, text_col)).localCheckpoint()
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
         pairs = (
             segs.select(
                 "wc",
@@ -88,24 +141,29 @@ def train_bpe(
             .groupBy("p.l", "p.r")
             .agg(F.sum("wc").alias("freq"))
         )
-        top = pairs.orderBy(F.desc("freq"), F.asc("l"), F.asc("r")).limit(1).collect()
-        if not top or top[0]["freq"] < min_freq:
+        want = min(batch, n_merges - len(merges))
+        # over-fetch so the disjointness filter still fills the batch
+        top = (
+            pairs.orderBy(F.desc("freq"), F.asc("l"), F.asc("r"))
+            .limit(max(4 * want, want + 8))
+            .collect()
+        )
+        accepted: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for row in top:
+            if row["freq"] < min_freq:
+                break
+            l, r = row["l"], row["r"]
+            if l in used or r in used or l + r in used:
+                continue
+            accepted.append((l, r))
+            used.update((l, r, l + r))
+            if len(accepted) >= want:
+                break
+        if not accepted:
             break
-        left, right = top[0]["l"], top[0]["r"]
-        merges.append((left, right))
-        # fuse (left, right) -> left||right in every segmentation via an
-        # aggregate fold: walk the symbol list once, appending either a
-        # fused pair or the bare symbol (classic leftmost-first greedy).
-        l_lit, r_lit = left.replace("'", "\\'"), right.replace("'", "\\'")
-        segs = segs.withColumn(
-            "syms",
-            F.expr(
-                "aggregate(syms, CAST(array() AS array<string>), (acc, s) -> "
-                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{l_lit}' AND s = '{r_lit}' "
-                f"THEN concat(slice(acc, 1, size(acc) - 1), array('{l_lit}{r_lit}')) "
-                "ELSE concat(acc, array(s)) END)"
-            ),
-        ).localCheckpoint()
+        merges.extend(accepted)
+        segs = _fuse_segments(segs, accepted).localCheckpoint()
     return merges
 
 

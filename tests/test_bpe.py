@@ -88,3 +88,60 @@ def test_bpe_encode_null_text(spark):
     out = {r.doc_id: r for r in bpe.bpe_encode(docs, merges).collect()}
     assert out[2].bpe_tokens is None and out[2].n_bpe_tokens == 0
     assert out[1].n_bpe_tokens > 0
+
+
+def test_train_bpe_batched_equals_classic_at_batch_1(spark):
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"])
+    assert bpe.train_bpe(docs, n_merges=12, min_freq=2, batch=1) == _ref_train(
+        CORPUS, 12
+    )[0]
+
+
+def test_train_bpe_batched_merge_set_and_job_budget(spark):
+    """batch>1 (VERDICT r6 #4): deterministic across runs, the learned
+    merge SET essentially matches classic BPE (rank interleaving may
+    differ — the documented deviation: a batch member's spawned pair
+    can outrank a later member), and n_merges merges complete in
+    ceil(n/batch) driver rounds — the >=10x Spark-job cut."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS * 3)], ["doc_id", "text"]
+    )
+    classic = bpe.train_bpe(docs, n_merges=24, min_freq=1, batch=1)
+    batched = bpe.train_bpe(docs, n_merges=24, min_freq=1, batch=8)
+    assert batched == bpe.train_bpe(docs, n_merges=24, min_freq=1, batch=8)
+    # merge PAIRS are path-sensitive (batched may build 'ide' as id+e
+    # where classic used i+de), so compare the learned VOCABULARY —
+    # the set of fused symbols, which is what encoding consumes
+    assert min(len(batched), len(classic)) >= 20
+    v_b = {l + r for l, r in batched}
+    v_c = {l + r for l, r in classic}
+    overlap = len(v_b & v_c) / min(len(v_b), len(v_c))
+    assert overlap >= 0.7, (overlap, sorted(v_b), sorted(v_c))
+    # job budget: Spark jobs scale with driver ROUNDS (a handful per
+    # round under AQE), so batch=8 must cut the job count vs classic
+    # by roughly the batch factor — assert a conservative 3x
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def count_jobs(group, **kw):
+        sc.setJobGroup(group, "bpe job-count probe")
+        bpe.train_bpe(docs, n_merges=16, min_freq=1, **kw)
+        sc.setJobGroup(None, None)
+        return len(tracker.getJobIdsForGroup(group) or [])
+
+    jobs_batched = count_jobs("bpe-batched", batch=8)
+    jobs_classic = count_jobs("bpe-classic", batch=1)
+    assert jobs_batched * 3 <= jobs_classic, (jobs_batched, jobs_classic)
+
+
+def test_bpe_encode_with_batched_merges_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], ["doc_id", "text"]
+    )
+    merges = bpe.train_bpe(docs, n_merges=16, min_freq=1, batch=4)
+    enc = bpe.bpe_encode(docs, merges).collect()
+    got = {r["doc_id"]: r["bpe_tokens"] for r in enc}
+    # every document reconstructs exactly (BPE is lossless)
+    for i, t in enumerate(CORPUS):
+        rebuilt = "".join(got[i]).replace(EOW, " ").split()
+        assert rebuilt == t.split()
