@@ -362,6 +362,20 @@ def upsert_table(
     second application rewrites the same bytes.  The read-modify-write
     snapshot is localCheckpointed before the overwrite (Spark refuses
     to overwrite files still being read).
+
+    SCHEMA EVOLUTION (VERDICT r6 #7): a delta whose schema is a strict
+    SUPERSET of the table's (added columns) union-by-names with NULL
+    backfill for the pre-existing rows — the MERGE-with-new-column
+    operation every real table eventually needs.  On a PARTITIONED
+    table an add-column upsert rewrites the WHOLE table, not just the
+    dirty partitions: plain parquet has no table-level schema metadata,
+    so mixed-schema partition directories would make later reads
+    schema-dependent on file sampling order (table formats pay this
+    with a metadata commit instead; full rewrite is the honest
+    plain-parquet cost, and it keeps ``layout_report`` valid on every
+    file).  A delta MISSING non-key table columns is rejected — silent
+    NULL-filling a forgotten column is a bug magnet, and the caller can
+    always select the full schema explicitly.
     """
     missing = [k for k in keys if k not in delta.columns]
     if missing:
@@ -380,12 +394,33 @@ def upsert_table(
             w = w.partitionBy(partition_by)
         w.mode("overwrite").parquet(path)
         return
-    if partition_by:
+    dropped = [c for c in existing.columns if c not in delta.columns]
+    if dropped:
+        raise ValueError(
+            f"delta is missing table columns {dropped}; select the full "
+            "table schema (adding columns is supported, dropping is not)"
+        )
+    added = [c for c in delta.columns if c not in existing.columns]
+    if partition_by and not added:
         dirty = [
             r[partition_by]
             for r in delta.select(partition_by).distinct().collect()
         ]
         existing = existing.filter(F.col(partition_by).isin(dirty))
+    if added:
+        # null-backfill the new columns on the existing side, delta
+        # column types win (allowMissingColumns fills with NULL)
+        survivors = existing.join(
+            delta.select(*keys).distinct(), keys, "left_anti"
+        )
+        merged = survivors.unionByName(
+            delta, allowMissingColumns=True
+        ).select(*delta.columns).localCheckpoint(eager=True)
+        w = merged.write
+        if partition_by:
+            w = w.partitionBy(partition_by)  # full rewrite: static mode
+        w.mode("overwrite").parquet(path)
+        return
     survivors = existing.join(
         delta.select(*keys).distinct(), keys, "left_anti"
     )

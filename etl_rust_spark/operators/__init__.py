@@ -106,6 +106,11 @@ def _op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     #                  with every 7th text perturbed): per-key
     #                  added(0)/removed(1)/changed(2) rows, gating the
     #                  md5-fingerprint diff machinery cross-engine.
+    #   src='pack'   — pack.pack_sequences first-fit-decreasing packing
+    #                  (n_tokens = n_chars, 1000-token packs, 32 shards):
+    #                  per-doc (pack_id, pack_offset) vs a recursive-CTE
+    #                  oracle that carries the open-pack capacity list
+    #                  (r7 — sequential algorithms ARE SQL-gateable).
     docs = _docs(spark, sf_dir)
     kept = (
         dedup.exact_dedupe(docs, ["text"], "doc_id")
@@ -163,10 +168,21 @@ def _op_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("b"),
     )
+    pk = pack.pack_sequences(
+        docs.select("doc_id", F.col("n_chars").alias("n_tokens")),
+        max_tokens=1000,
+        n_shards=32,
+    ).select(
+        F.lit("pack").alias("src"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("pack_id").alias("a"),
+        F.col("pack_offset").alias("b"),
+    )
     return (
         ded.unionByName(samp)
         .unionByName(spl)
         .unionByName(dif)
+        .unionByName(pk)
         .orderBy("src", "key")
     )
 
@@ -566,6 +582,7 @@ FULL OUTER JOIN (
     FROM documents WHERE doc_id BETWEEN 50 AND 450)) fb
 ON fa.doc_id = fb.doc_id
 WHERE fa.h IS NULL OR fb.h IS NULL OR fa.h != fb.h"""
+    pk = pack.pack_sequences_duck_sql(max_tokens=1000, n_shards=32)
     return f"""
 SELECT 'dedup' AS src, lang AS key, n_docs AS a, n_kept AS b FROM ({ded})
 UNION ALL
@@ -575,6 +592,9 @@ SELECT 'split' AS src, split AS key, n AS a, (-1)::BIGINT AS b FROM ({spl})
 UNION ALL
 SELECT 'diff' AS src, CAST(doc_id AS VARCHAR) AS key, doc_id AS a,
   CAST(code AS BIGINT) AS b FROM ({dif})
+UNION ALL
+SELECT 'pack' AS src, CAST(doc_id AS VARCHAR) AS key, pack_id AS a,
+  pack_offset AS b FROM ({pk})
 ORDER BY src, key"""
 
 

@@ -32,6 +32,7 @@ __all__ = [
     "hash_sample",
     "hash_sample_sql",
     "pack_sequences",
+    "pack_sequences_duck_sql",
     "assign_split",
     "leakage_safe_split",
     "assign_split_sql",
@@ -301,3 +302,57 @@ def pack_sequences(
 
     schema = f"{id_col} long, n_tokens long, shard int, pack_id long, pack_offset long"
     return src.groupBy("shard").applyInPandas(pack, schema=schema)
+
+
+def pack_sequences_duck_sql(
+    max_tokens: int,
+    n_shards: int = 64,
+    source: str = "documents",
+    id_col: str = "doc_id",
+    token_col: str = "n_chars",
+) -> str:
+    """DuckDB mirror of :func:`pack_sequences` (gated via the
+    ``op_dedup_exact`` union, VERDICT r6 #6): first-fit-decreasing is a
+    SEQUENTIAL algorithm, so the mirror carries the open-pack capacity
+    list through a RECURSIVE CTE — each iteration advances every shard
+    by one doc (in the same (n_tokens DESC, id) order as the kernel's
+    sort), ``list_position`` finds the first fitting pack, and the
+    per-doc assignments accumulate in a struct list unnested at the
+    end.  Returns (doc_id, pack_id, pack_offset) — bit-equal to the
+    operator (verified at sf0.01 before gating)."""
+    h = duck_h(x=f"CAST({id_col} AS VARCHAR)")
+    return f"""
+WITH RECURSIVE
+pk_rows0 AS (
+  SELECT {id_col} AS doc_id, CAST({token_col} AS BIGINT) AS n,
+         CAST({h} % {MINHASH_P} % {n_shards} AS INT) AS shard
+  FROM {source}),
+pk_rows AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY n DESC, doc_id) AS rn
+  FROM pk_rows0),
+pk_rec AS (
+  SELECT shard, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS caps,
+         CAST([] AS STRUCT(d BIGINT, p BIGINT, o BIGINT)[]) AS acc
+  FROM (SELECT DISTINCT shard FROM pk_rows)
+  UNION ALL
+  SELECT shard, rn,
+    CASE WHEN fi IS NULL THEN list_append(caps, greatest({max_tokens} - n, 0))
+         ELSE list_transform(range(1, len(caps) + 1),
+                             i -> CASE WHEN i = fi THEN caps[i] - n ELSE caps[i] END)
+    END AS caps,
+    list_append(acc, {{'d': doc_id,
+      'p': CASE WHEN fi IS NULL THEN len(caps) ELSE fi - 1 END,
+      'o': CASE WHEN fi IS NULL THEN 0 ELSE {max_tokens} - caps[fi] END}}) AS acc
+  FROM (
+    SELECT pk_rec.shard, r.rn, pk_rec.caps, pk_rec.acc, r.doc_id, r.n,
+           nullif(list_position(list_transform(pk_rec.caps, c -> c >= r.n), true), 0) AS fi
+    FROM pk_rec JOIN pk_rows r ON r.shard = pk_rec.shard AND r.rn = pk_rec.rn + 1
+  )
+),
+pk_last AS (
+  SELECT pk_rec.* FROM pk_rec
+  JOIN (SELECT shard, max(rn) AS mx FROM pk_rows GROUP BY shard) m
+    ON pk_rec.shard = m.shard AND pk_rec.rn = m.mx),
+pk_flat AS (SELECT shard, unnest(acc) AS x FROM pk_last)
+SELECT x.d AS doc_id, shard * 4294967296 + x.p AS pack_id, x.o AS pack_offset
+FROM pk_flat"""

@@ -246,3 +246,33 @@ def test_sample_to_budget(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         pack.sample_to_budget(docs, {"xx": 10}, by="lang")
+
+
+def test_pack_sequences_duck_mirror_bit_equal(spark, duck, sf_dir):
+    """The recursive-CTE DuckDB mirror (r7, gates 'pack' in
+    op_dedup_exact) reproduces the operator bit-for-bit at a DIFFERENT
+    (max_tokens, n_shards) than the gate uses — the mirror is general,
+    not tuned to one configuration."""
+    from tests.oracle import run_duck
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack.pack_sequences(
+            docs.select("doc_id", F.col("n_chars").alias("n_tokens")),
+            max_tokens=700,
+            n_shards=4,
+        ).collect()
+    }
+    rows, cols = run_duck(duck, pack.pack_sequences_duck_sql(700, 4))
+    want = {r[cols.index("doc_id")]: (r[cols.index("pack_id")], r[cols.index("pack_offset")]) for r in rows}
+    assert got == want
+    # FFD invariants: no pack exceeds max_tokens unless singleton
+    from collections import defaultdict
+    packs = defaultdict(list)
+    tokens = {r["doc_id"]: r["n_tokens"] for r in docs.select("doc_id", F.col("n_chars").alias("n_tokens")).collect()}
+    for d, (p, o) in got.items():
+        packs[p].append((o, tokens[d]))
+    for members in packs.values():
+        total = sum(n for _o, n in members)
+        assert total <= 700 or len(members) == 1

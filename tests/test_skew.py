@@ -81,3 +81,40 @@ def test_salted_join_left_keeps_unmatched(spark, tables):
     out = salted_join(ins, dim, "program", how="left")
     assert out.count() == 200
     assert out.filter(F.col("tag").isNotNull()).count() == 0
+
+
+def test_lsh_verify_join_bounded_on_planted_hot_doc(spark):
+    """VERDICT r6 #5: the exact-Jaccard verify join rejoins candidates
+    on qid/cid — a planted degenerate corpus (every doc identical)
+    would naively put one doc in ~n²/2 pairs and make the verify join
+    the quadratic corner.  The bucket cap bounds it STRUCTURALLY: each
+    (band, key) bucket is sliced to the max_bucket smallest ids, so a
+    doc's join multiplicity is ≤ bands × (max_bucket − 1) candidates
+    no matter how degenerate the corpus — asserted here as metrics on
+    the verified output (threshold=0 ⇒ verified == candidates)."""
+    from etl_rust_spark.operators import dedup
+
+    n, cap, bands = 1200, 64, 4
+    docs = spark.createDataFrame(
+        [(i, "the same degenerate text repeated everywhere") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", bands=bands, threshold=0.0, max_bucket=cap
+    ).collect()
+    # identical signatures -> every band's bucket slices to the SAME
+    # cap smallest ids -> exactly C(cap, 2) distinct candidate pairs
+    assert len(pairs) == cap * (cap - 1) // 2
+    ids = {r["qid"] for r in pairs} | {r["cid"] for r in pairs}
+    assert ids == set(range(cap))  # deterministic sorted-slice cap
+    # per-doc verify-join multiplicity stays under the structural bound
+    from collections import Counter
+
+    mult = Counter()
+    for r in pairs:
+        mult[r["qid"]] += 1
+        mult[r["cid"]] += 1
+    assert max(mult.values()) <= bands * (cap - 1)
+    # and the hot doc pairs are genuine duplicates (jaccard 1.0)
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+    dedup.release_caches()
