@@ -493,31 +493,43 @@ def _fold_exact_pairs(q_pdf, c_pdf, threshold: float, lt_mask: bool):
     c_ids, cm, cn = c_ids[c_ok], cm[c_ok], cn[c_ok]
     if not len(q_ids) or not len(c_ids):
         return empty
-    # BLAS matmul for the bulk + exact sequential fold ONLY at rounding
-    # boundaries: pairwise-SIMD summation can differ from the SQL
-    # list_sum fold by a few ulps, which flips ROUND(...,4) only when
-    # the value sits within that error of a .00005 half-boundary.  Those
-    # suspects (within 1e-5 of a boundary on the 1e4 scale — ~1e4× the
-    # worst-case association error, and ~zero pairs in practice) are
-    # recomputed with the exact left-to-right fold; everything else is
-    # provably round-identical.  Cost: one matmul (the fast r6 kernel)
-    # instead of a dim-times-larger cumsum tensor or rank-1 loop.
-    raw = (qm @ cm.T) / (qn[:, None] * cn[None, :])
-    scaled = raw * 10_000.0
-    frac = np.abs(scaled - np.floor(scaled) - 0.5)
-    for i, j in zip(*np.nonzero(frac < 1e-5)):
-        dot = 0.0
-        for d in range(qm.shape[1]):
-            dot += qm[i, d] * cm[j, d]
-        raw[i, j] = dot / (qn[i] * cn[j])
-    sims = _round_half_up(raw, 4)
-    keep = sims >= threshold
+    # SCREEN with a normalized BLAS matmul (the fast r6 kernel, one
+    # (|q|, |c|) temporary), then EXACT-fold only the candidates: a
+    # pair whose fast cosine is below threshold − 1e-4 cannot round to
+    # ≥ threshold under the exact fold (the fast value differs from the
+    # SQL list_sum fold by ulps, the round step moves it by at most one
+    # 1e-4 grid cell), so only the sparse above-margin set needs the
+    # oracle-exact value.  Candidates get sequential cumsum dots over
+    # the ORIGINAL values + half-away-from-zero rounding — bit-equal to
+    # DuckDB's fold + ROUND — computed in bounded chunks ((chunk × dim)
+    # tensors, ~100 MB) so a permissive threshold cannot blow memory.
+    # A full-matrix exact pass measured 10× slower at the sf1 curve
+    # tier; this form keeps r6's screening speed with r7's exactness.
+    qm0, cm0 = qm.copy(), cm.copy()  # originals for the exact refold
+    qm /= qn[:, None]
+    cm /= cn[:, None]
+    sims = qm @ cm.T
+    qs, cs = np.nonzero(sims >= threshold - 1e-4)
+    del sims
     if lt_mask:
-        keep &= q_ids[:, None] < c_ids[None, :]
-    qs, cs = np.nonzero(keep)
-    # + 0.0 folds IEEE -0.0 (a negative dot rounding to zero) to +0.0,
-    # matching the SQL mirrors' "+ 0.0" normalization.
-    return q_ids[qs], c_ids[cs], sims[qs, cs] + 0.0
+        m = q_ids[qs] < c_ids[cs]
+        qs, cs = qs[m], cs[m]
+    out_l, out_r, out_v = [], [], []
+    ch = max(1, 200_000_000 // (8 * max(qm0.shape[1], 1)))
+    for k in range(0, len(qs), ch):
+        qi, ci = qs[k : k + ch], cs[k : k + ch]
+        prods = qm0[qi] * cm0[ci]
+        dots = np.cumsum(prods, axis=1)[:, -1]
+        vals = _round_half_up(dots / (qn[qi] * cn[ci]), 4)
+        m = vals >= threshold
+        out_l.append(q_ids[qi][m])
+        out_r.append(c_ids[ci][m])
+        # + 0.0 folds IEEE -0.0 (a negative dot rounding to zero) to
+        # +0.0, matching the SQL mirrors' "+ 0.0" normalization.
+        out_v.append(vals[m] + 0.0)
+    if not out_l:
+        return empty
+    return np.concatenate(out_l), np.concatenate(out_r), np.concatenate(out_v)
 
 
 def cosine_join(

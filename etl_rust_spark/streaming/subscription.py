@@ -81,6 +81,13 @@ def run_subscription(
     """
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        # Control-plane collect: rows are WORK ITEMS (start, end ranges
+        # — two ints each), not data.  A micro-batch carries at most the
+        # ranges enqueued since the last trigger (ops-bounded, typically
+        # a handful); the block data itself moves executor-side inside
+        # run_range.  If a deployment ever enqueues millions of ranges
+        # per trigger, chunk the queue upstream — do not stream payloads
+        # through this driver loop.
         items = sorted(
             (int(r["start"]), int(r["end"]))
             for r in batch.dropna(subset=["start", "end"]).collect()

@@ -203,6 +203,15 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-sf1", action="store_true")
     ap.add_argument("--ops-only", action="store_true")
+    ap.add_argument(
+        "--sf3",
+        action="store_true",
+        help="add a 30x tier for the dispatch-floor entries (VERDICT r6 "
+        "#8): op_dedup_exact / op_multimodal_features / op_text_profile "
+        "show flat-or-negative marginals into sf1 because their sf1 "
+        "cells are still dominated by fixed costs — one more 3x step "
+        "makes the flat-marginal claim load-bearing",
+    )
     args = ap.parse_args()
 
     from etl_rust_spark import get_spark
@@ -273,12 +282,48 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    if args.sf3:
+        sf3_dir = str(REPO / ".bench_scale" / "sf3")
+        if not Path(sf3_dir, "documents.parquet").exists():
+            print("synthesizing sf3 (30x sf0.1) ...", file=sys.stderr)
+            synthesize_sf1(spark, "/root/testdata/sf0.1", sf3_dir, copies=30)
+        floor_entries = {
+            k: op_entries[k]
+            for k in (
+                "op_dedup_exact",
+                "op_multimodal_features",
+                "op_text_profile",
+            )
+        }
+        ops3 = run_op_suite(spark, sf3_dir, floor_entries)
+        drivers3 = {
+            t: spark.read.parquet(f"{sf3_dir}/{t}.parquet").count()
+            for t in sorted(set(OP_DRIVER_TABLE.values()))
+        }
+        result["scales"]["sf3"] = {
+            "lineitem_rows": spark.read.parquet(
+                f"{sf3_dir}/lineitem.parquet"
+            ).count(),
+            "ops": ops3,
+            "ops_total": round(sum(ops3.values()), 3),
+            "driver_rows": drivers3,
+            "ops_note": "dispatch-floor entries only (VERDICT r6 #8): "
+            "the 3 entries whose sf1 marginals were still fixed-cost-"
+            "dominated, re-measured at 3x sf1 documents",
+        }
+        print(
+            f"sf3: ops {result['scales']['sf3']['ops_total']}s "
+            f"(docs {drivers3['documents']})",
+            file=sys.stderr,
+        )
+
     (REPO / "SCALE_CURVE.json").write_text(json.dumps(result, indent=1))
 
     # Markdown summary
     print("\n| scale | lineitem rows | spark (s) | duckdb (s) | ratio |")
     print("|---|---|---|---|---|")
-    labels = list(result["scales"])
+    # dq table covers only scales where the dq suites ran (sf3 is ops-only)
+    labels = [l for l in result["scales"] if "spark_total" in result["scales"][l]]
     for label in labels:
         s = result["scales"][label]
         print(
@@ -300,19 +345,23 @@ def main() -> None:
     # Per-op-entry marginal table: µs per driving-table row over each
     # 10× step, plus a super-linearity flag (marginal µs/row on the last
     # step vs the previous step — linear scaling keeps it ~flat).
-    if len(labels) >= 3 and all("ops" in result["scales"][l] for l in labels):
+    op_labels = [l for l in result["scales"] if "ops" in result["scales"][l]]
+    if len(op_labels) >= 3:
         print(
             "\n| entry | driver |"
-            + "".join(f" {l} (s) |" for l in labels)
-            + " µs/row step2 | µs/row step3 | verdict |"
+            + "".join(f" {l} (s) |" for l in op_labels)
+            + " µs/row step-2 | µs/row last | verdict |"
         )
-        print("|---|---|" + "---|" * (len(labels) + 3))
+        print("|---|---|" + "---|" * (len(op_labels) + 3))
         for name in sorted(OP_DRIVER_TABLE):
             tbl = OP_DRIVER_TABLE[name]
-            ts = [result["scales"][l]["ops"].get(name) for l in labels]
-            rows = [result["scales"][l]["driver_rows"][tbl] for l in labels]
+            # per-entry: only the scales where this entry was measured
+            # (the sf3 tier runs just the dispatch-floor entries)
+            mine = [l for l in op_labels if name in result["scales"][l]["ops"]]
+            ts = [result["scales"][l]["ops"][name] for l in mine]
+            rows = [result["scales"][l]["driver_rows"][tbl] for l in mine]
             margs = []
-            for i in (len(labels) - 2, len(labels) - 1):
+            for i in (len(mine) - 2, len(mine) - 1):
                 dt = ts[i] - ts[i - 1]
                 dr = rows[i] - rows[i - 1]
                 margs.append(dt / dr * 1e6 if dr else float("nan"))
@@ -321,9 +370,13 @@ def main() -> None:
                 if margs[0] > 0 and margs[1] > 2.5 * margs[0]
                 else "ok"
             )
+            cells = {l: result["scales"][l]["ops"].get(name) for l in op_labels}
             print(
                 f"| {name} | {tbl} |"
-                + "".join(f" {t} |" for t in ts)
+                + "".join(
+                    f" {cells[l] if cells[l] is not None else '—'} |"
+                    for l in op_labels
+                )
                 + f" {margs[0]:.1f} | {margs[1]:.1f} | {verdict} |"
             )
 
