@@ -15,6 +15,9 @@ without new dependencies:
 - a **pure-stdlib WAV codec** (``decode_wav`` / ``encode_wav``: RIFF
   walk; 8/16/32-bit PCM + IEEE float, any channel count) closing the
   audio half of the seam the same way,
+- a **pure-stdlib FLAC codec** (operators/flaccodec.py, r7 — all four
+  subframe types incl. LPC, partitioned Rice, mid/side, CRC + MD5
+  verification) registered here by default, closing compressed audio,
 - a **pure-stdlib AVI codec** (``decode_avi`` / ``encode_avi``:
   uncompressed BI_RGB '00db' frames — the `ffmpeg -c:v rawvideo` layout)
   closing the video half,
@@ -388,7 +391,12 @@ def audio_fingerprint(samples: np.ndarray, sample_rate: int, nbits: int = 64) ->
 
 
 # magic-prefix → decoder(bytes) -> (samples, sample_rate)
-_AUDIO_DECODERS: list[tuple[bytes, object]] = [(WAV_MAGIC, decode_wav)]
+from etl_rust_spark.operators.flaccodec import FLAC_MAGIC, decode_flac  # noqa: E402
+
+_AUDIO_DECODERS: list[tuple[bytes, object]] = [
+    (WAV_MAGIC, decode_wav),
+    (FLAC_MAGIC, decode_flac),  # pure-stdlib FLAC (r7)
+]
 
 
 def register_audio_decoder(magic: bytes, fn) -> None:

@@ -62,7 +62,13 @@ def repeated_kgram_spans(
     by k-gram windows that occur elsewhere in the corpus, with each
     window's FIRST occurrence (min (doc_id, pos)) exempt.  span_end is
     exclusive; spans never overlap within a document."""
-    wins = (
+    from etl_rust_spark.operators.dedup import _persist_tracked
+
+    # Persisted: the window-hash projection is the expensive scan (HOF
+    # lambdas never enter codegen) and BOTH the first-occurrence
+    # aggregation and the flag join consume it — without a persist the
+    # scan runs twice (measured ~2× the whole operator at bench scale).
+    wins = _persist_tracked(
         df.withColumn("__toks", F.split(F.col(text_col), " "))
         .select(F.col(id_col), F.explode(F.expr(_window_hashes(text_col, k))).alias("w"))
         .select(id_col, F.col("w.pos").alias("pos"), F.col("w.gh").alias("gh"))
