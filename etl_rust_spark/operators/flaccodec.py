@@ -213,6 +213,11 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[np.ndarray, int]:
     info = None
     while True:
         hdr = data[pos : pos + 4]
+        if len(hdr) < 4:
+            raise ValueError(
+                f"truncated FLAC stream: metadata block header at byte "
+                f"{pos} is cut short"
+            )
         last = hdr[0] >> 7
         btype = hdr[0] & 0x7F
         (blen,) = struct.unpack(">I", b"\x00" + hdr[1:4])

@@ -428,12 +428,15 @@ def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_avi(data: bytes, max_frames: int | None = None) -> list[np.ndarray]:
-    """Decode an AVI with uncompressed BI_RGB frames to a list of
-    (H, W, 3) uint8 RGB arrays.
+    """Decode an AVI with uncompressed BI_RGB or MJPEG frames to a list
+    of (H, W, 3) uint8 RGB arrays.
 
     Walks the RIFF tree for the 'avih' header (frame dimensions) and the
-    'movi' LIST ('00db'/'00dc' chunks, bottom-up BGR rows padded to 4
-    bytes per the DIB spec).  Non-BI_RGB streams raise ValueError."""
+    'movi' LIST ('00db'/'00dc' chunks).  Uncompressed chunks are
+    bottom-up BGR rows padded to 4 bytes per the DIB spec; chunks
+    starting with the JPEG SOI marker decode through the in-repo
+    baseline JPEG codec (MJPEG — the common compressed AVI payload,
+    r7).  Other compressed streams raise ValueError."""
     if not (data[:4] == b"RIFF" and data[8:12] == b"AVI "):
         raise ValueError("not an AVI (bad RIFF header)")
     width = height = None
@@ -457,6 +460,20 @@ def decode_avi(data: bytes, max_frames: int | None = None) -> list[np.ndarray]:
             elif fourcc in (b"00db", b"00dc") and size:
                 if max_frames is not None and len(frames) >= max_frames:
                     return
+                body = buf[body_start : body_start + size]
+                if body[:3] == b"\xff\xd8\xff":
+                    # MJPEG stream (r7): each frame chunk is a baseline
+                    # JPEG — decode via the in-repo codec.  This is the
+                    # most common COMPRESSED AVI payload (webcams,
+                    # `ffmpeg -c:v mjpeg`), free once jpegcodec landed.
+                    from etl_rust_spark.operators.jpegcodec import decode_jpeg
+
+                    img = decode_jpeg(body)
+                    if img.ndim == 2:
+                        img = np.stack([img] * 3, axis=2)
+                    frames.append(img)
+                    pos = body_start + size + (size & 1)
+                    continue
                 if width is None:
                     raise ValueError("AVI frame before header (no dimensions)")
                 stride = (width * 3 + 3) & ~3

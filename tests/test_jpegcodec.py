@@ -256,3 +256,40 @@ def test_registry_dispatches_jpeg_and_multimodal_pipeline(spark):
         ).collect()
     ]
     assert (10, 11) in pairs and all(12 not in p for p in pairs)
+
+
+def test_mjpeg_avi_decodes_through_jpeg_codec():
+    """MJPEG AVI (r7): '00dc' chunks that are baseline JPEGs decode via
+    the in-repo codec — the common compressed AVI payload, hand-built
+    here since encode_avi only writes BI_RGB."""
+    import struct as _struct
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + _struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    h, w = 16, 16
+    frames_px = []
+    jpegs = b""
+    for shade in (40, 120, 200):
+        img = np.full((h, w, 3), shade, np.uint8)
+        img[:, : w // 2, 0] = 255 - shade  # structure, not just a solid
+        frames_px.append(img)
+        jpegs += chunk(b"00dc", encode_jpeg(img, 90))
+    avih = chunk(b"avih", _struct.pack("<14I", 40000, 0, 0, 0, 3, 0, 1, 1, w, h, 0, 0, 0, 0))
+    movi = lst(b"movi", jpegs)
+    avi = b"RIFF" + _struct.pack(
+        "<I", 4 + len(lst(b"hdrl", avih)) + len(movi)
+    ) + b"AVI " + lst(b"hdrl", avih) + movi
+
+    got = mc.decode_video(avi)
+    assert len(got) == 3
+    for want, g in zip(frames_px, got):
+        assert g.shape == want.shape
+        assert np.abs(g.astype(int) - want.astype(int)).mean() < 4  # lossy
+    # frame-level features run on the MJPEG frames
+    f = mc.video_feature(got, 8)
+    assert len(f) == 8

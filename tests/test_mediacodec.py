@@ -194,8 +194,12 @@ def test_video_feature_matches_frame_mean():
 
 
 def test_audio_video_registry_rejects_unknown():
-    with pytest.raises(ValueError, match="no audio decoder"):
+    # fLaC is a REGISTERED magic since r7 — a truncated FLAC fails
+    # inside its decoder with a descriptive error, not registry miss
+    with pytest.raises(ValueError, match="truncated FLAC"):
         mc.decode_audio(b"fLaC....")
+    with pytest.raises(ValueError, match="no audio decoder"):
+        mc.decode_audio(b"OggS....")
     with pytest.raises(ValueError, match="no video decoder"):
         mc.decode_video(b"\x00\x00\x00\x18ftypmp42")
     # a WAV payload routed to the video registry fails loudly inside
