@@ -162,7 +162,17 @@ def encode_record_batch(
 
 def decode_record_batch(data: bytes) -> list[tuple[bytes | None, bytes]]:
     """One or more concatenated RecordBatch v2 → [(key, value), ...],
-    CRC32C-verified per batch."""
+    CRC32C-verified per batch.  Corrupt/truncated input raises
+    :class:`KafkaWireError` (never a bare IndexError/struct.error)."""
+    try:
+        return _decode_record_batch(data)
+    except KafkaWireError:
+        raise
+    except (IndexError, struct.error) as exc:
+        raise KafkaWireError(f"corrupt or truncated record batch: {exc!r}") from exc
+
+
+def _decode_record_batch(data: bytes) -> list[tuple[bytes | None, bytes]]:
     out: list[tuple[bytes | None, bytes]] = []
     pos = 0
     while pos + 17 <= len(data):

@@ -206,7 +206,20 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[np.ndarray, int]:
     """Decode FLAC bytes to ``(samples, sample_rate)`` — float64
     (n_frames, n_channels) in [-1, 1], the :func:`decode_wav`
     convention.  CRC-8/CRC-16 are enforced per frame; the STREAMINFO
-    MD5 (when present) is verified over the decoded stream."""
+    MD5 (when present) is verified over the decoded stream.
+
+    Corrupt/truncated input always raises ``ValueError`` (never a bare
+    IndexError/struct.error) — the per-asset failure contract every
+    decoder in the registry shares."""
+    try:
+        return _decode_flac(data, verify_md5)
+    except ValueError:
+        raise
+    except (IndexError, struct.error, KeyError) as exc:
+        raise ValueError(f"corrupt or truncated FLAC: {exc!r}") from exc
+
+
+def _decode_flac(data: bytes, verify_md5: bool) -> tuple[np.ndarray, int]:
     if data[:4] != FLAC_MAGIC:
         raise ValueError("not a FLAC stream (missing fLaC marker)")
     pos = 4

@@ -234,7 +234,20 @@ def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes → uint8 pixels: (H, W) for grayscale, else
-    (H, W, 3) RGB (BT.601 full-range YCbCr, the JFIF convention)."""
+    (H, W, 3) RGB (BT.601 full-range YCbCr, the JFIF convention).
+
+    Corrupt/truncated input always raises ``ValueError`` (never a bare
+    IndexError/struct.error) — ingest pipelines route decode failures
+    per-asset, so the failure type must be catchable and descriptive."""
+    try:
+        return _decode_jpeg(data)
+    except ValueError:
+        raise
+    except (IndexError, struct.error, KeyError) as exc:
+        raise ValueError(f"corrupt or truncated JPEG: {exc!r}") from exc
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
