@@ -1250,3 +1250,306 @@ SELECT vec_id, {du_mx} / 127.0 AS scale,
   ELSE list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) / ({du_mx} / 127.0), 0) AS TINYINT)) END AS qvec
 FROM embeddings {where} ORDER BY vec_id"""
     return spark, duck
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the billion-vector memory-scale path
+# ---------------------------------------------------------------------------
+
+def _kmeans_l2(mat, k: int, iters: int = 12, seed: int = 7):
+    """Seeded L2 k-means (PQ subspaces quantize Euclidean residuals —
+    unlike the cosine :func:`_kmeans` the IVF coarse quantizer uses).
+    Deterministic; empty clusters keep their previous centroid."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for j in range(len(cent)):
+            members = mat[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return cent
+
+
+def train_pq(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 10_000,
+    seed: int = 7,
+):
+    """Train product-quantization codebooks: split the vector into ``m``
+    contiguous subvectors and learn ``k`` L2 codewords per subspace on
+    a deterministic corpus sample (the :func:`_ivf_sample_frame`
+    content-hash sample — no global sort).  Returns an
+    ``(m, k, dim/m)`` float64 array, KBs — broadcast it.
+
+    PQ is the memory-scale ANN layer: a dim-D float32 vector becomes
+    ``m`` uint8 codes (dim·4 → m bytes; 64-dim → 32× smaller at m=8),
+    and query-time scoring needs only an ``(m, k)`` lookup table per
+    query (ADC — asymmetric distance computation).  Compose with IVF
+    for the canonical billion-vector design: coarse cells prune the
+    corpus, PQ codes score the survivors without touching raw vectors.
+    """
+    import numpy as np
+
+    samp = sorted(
+        _ivf_sample_frame(corpus, id_col, vec_col, sample, seed).collect(),
+        key=lambda r: r[0],
+    )[:sample]
+    mat = np.array([list(r[1]) for r in samp], dtype=np.float64)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    return np.stack(
+        [
+            _kmeans_l2(mat[:, j * d_sub : (j + 1) * d_sub], k, seed=seed + j)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, codes): nearest codeword per subspace — scan-side Arrow
+    kernel (one broadcast of the KB-sized codebooks, zero shuffles;
+    null embeddings dropped per the registry-wide null-guard rule)."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cb = np.asarray(codebooks, dtype=np.float64)
+    bc = spark.sparkContext.broadcast(cb)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        books = bc.value
+        m, _k, d_sub = books.shape
+        for pdf in batches:
+            pdf = pdf[pdf["v"].map(lambda x: x is not None)]
+            if not len(pdf):
+                continue
+            mat = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
+            codes = np.empty((len(mat), m), dtype=np.uint8)
+            for j in range(m):
+                sub = mat[:, j * d_sub : (j + 1) * d_sub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {"cid": pdf["id"], "codes": [c.tolist() for c in codes]}
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(gen, "cid long, codes array<smallint>")
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k over PQ codes via ADC: per query build
+    the ``(m, k_codes)`` dot-product lookup table once, score every
+    code row with ``m`` table lookups (never reconstructing vectors),
+    keep a per-partition top-k, then resolve globally.
+
+    Shuffle budget: the CODES corpus never moves (scan-side scoring
+    against broadcast queries + codebooks); only ``k`` candidate rows
+    per (query, partition) reach the final window — the same partial
+    top-k discipline as an aggregation's map-side combine.
+
+    Quantization erases within-cluster distinctions (the codes carry
+    ~noise-scale reconstruction error by design), so ADC alone ranks
+    the right NEIGHBORHOOD but not reliably the exact nearest row.
+    Pass ``refine_with`` (the original-vector corpus) to re-rank the
+    top ``k·refine_factor`` ADC candidates with exact rounded cosine —
+    the classic IVFADC+R design: the shortlist is Q·k·factor rows,
+    broadcast to the corpus scan, so the refine costs one broadcast
+    semi-join instead of a corpus shuffle.  Approximate ≠ hash-gateable:
+    recall vs exact :func:`cosine_topk` is pinned in tests (ADC-only at
+    recall@10, refined at recall@1 — the op_ann_topk posture).
+    """
+    import numpy as np
+
+    spark = queries.sparkSession
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _kc, d_sub = cb.shape
+    q_rows = sorted(
+        (int(r[0]), np.asarray(list(r[1]), dtype=np.float64))
+        for r in queries.select(id_col, vec_col).collect()
+        if r[1] is not None
+    )
+    if not q_rows:
+        raise ValueError("pq_topk: no non-null query vectors")
+    q_ids = np.array([q[0] for q in q_rows], dtype=np.int64)
+    q_mat = np.stack([q[1] for q in q_rows])
+    # Per-query ADC tables: lut[q, j, c] = dot(q_sub_j, codeword_{j,c}).
+    # dot(q, reconstruct(codes)) = Σ_j lut[q, j, codes_j] — m lookups,
+    # never touching a dim-D vector at scoring time.
+    luts = np.einsum("qjd,jkd->qjk", q_mat.reshape(len(q_mat), m, d_sub), cb)
+    code_norm2 = (cb**2).sum(axis=2)  # (m, k_codes): ||codeword||² per subspace
+    q_norm = np.sqrt((q_mat**2).sum(axis=1))
+    bq = spark.sparkContext.broadcast((q_ids, luts, code_norm2, q_norm))
+    # per-partition candidate width: the refine stage re-ranks the top
+    # k·refine_factor ADC rows, so the partial top-k must keep that many;
+    # +1 so dropping a self-match (cid == qid) still leaves enough.
+    keep = (k * refine_factor if refine_with is not None else k) + 1
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, lut, cn2, qn = bq.value
+        n_q, mm, _ = lut.shape
+        j_idx = np.arange(mm)
+        parts: list[pd.DataFrame] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf["cid"].to_numpy(np.int64)
+            codes_m = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            # lut[:, j, codes[:, j]] broadcast over rows → (n_q, n, m)
+            dots = lut[:, j_idx, codes_m].sum(axis=2)  # (n_q, n)
+            c_norm = np.sqrt(cn2[j_idx, codes_m].sum(axis=1))  # (n,)
+            sims = dots / np.maximum(qn[:, None] * c_norm[None, :], 1e-30)
+            sims = _round_half_up(sims, 4) + 0.0
+            top = min(keep, sims.shape[1])
+            for qi in range(n_q):
+                order = np.lexsort((c_ids, -sims[qi]))[:top]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "qid": ids[qi],
+                            "cid": c_ids[order],
+                            "score": sims[qi][order],
+                        }
+                    )
+                )
+        if parts:
+            # per-partition combine: only keep rows per (query, partition)
+            all_p = pd.concat(parts, ignore_index=True)
+            all_p = (
+                all_p.sort_values(["qid", "score", "cid"], ascending=[True, False, True])
+                .groupby("qid", sort=False)
+                .head(keep)
+            )
+            yield all_p
+        else:
+            yield pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                                "cid": pd.Series(dtype="int64"),
+                                "score": pd.Series(dtype="float64")})
+
+    cand = codes.mapInPandas(score, "qid long, cid long, score double")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    adc = (
+        cand.filter(F.col("cid") != F.col("qid"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    if refine_with is None:
+        return adc.filter(F.col("rn") <= k).select("qid", "cid", "score", "rn")
+
+    # IVFADC+R refine: exact rounded cosine over the tiny ADC shortlist.
+    # The shortlist (Q·k·factor rows) broadcasts; the corpus never shuffles.
+    shortlist = adc.filter(F.col("rn") <= k * refine_factor).select("qid", "cid")
+    c = refine_with.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", F.expr(_norm("cv")))
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", F.expr(_norm("qv")))
+    exact = (
+        c.join(F.broadcast(shortlist), "cid")
+        .join(F.broadcast(q), "qid")
+        .withColumn(
+            "score",
+            F.round(
+                F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 4
+            )
+            + F.lit(0.0),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "score", "rn")
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    coded: DataFrame,
+    centroids,
+    codebooks,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """IVF×PQ — the canonical billion-vector composition: the IVF coarse
+    quantizer prunes to ``nprobe`` inverted lists (a ``list_id IN (...)``
+    filter, static partition pruning against a
+    ``partitionBy("list_id")`` layout — the plan the :func:`ivf_topk`
+    tests assert), then PQ/ADC scores only the surviving codes (m bytes
+    per vector in memory, m table lookups per score).
+
+    ``coded`` is :func:`pq_encode` joined to :func:`ivf_assign` at build
+    time — columns ``(cid, list_id, codes)`` — amortized over every
+    query batch.  ``centroids`` is the trained (n_lists × dim) matrix.
+
+    At 10⁹ × 64-dim float32 the raw corpus is 256 GB; IVF×PQ scans
+    nprobe/nlist of it as m-byte codes — the difference between
+    "fits in the page cache" and "re-reads the corpus every query".
+    """
+    import numpy as np
+
+    c_mat = np.asarray(centroids, dtype=np.float64)
+    c_mat = c_mat / np.maximum(np.sqrt((c_mat**2).sum(axis=1))[:, None], 1e-30)
+
+    q_rows = [
+        (int(r[0]), np.asarray(list(r[1]), dtype=np.float64))
+        for r in queries.select(id_col, vec_col).collect()
+        if r[1] is not None
+    ]
+    if not q_rows:
+        raise ValueError("ivf_pq_topk: no non-null query vectors")
+    probed: set[int] = set()
+    idx = np.arange(len(c_mat))
+    for _qid, qv in q_rows:
+        qn = qv / max(float(np.sqrt((qv**2).sum())), 1e-30)
+        sims = c_mat @ qn
+        for pos in np.lexsort((idx, -sims))[:nprobe]:
+            probed.add(int(pos))
+
+    survivors = coded.filter(F.col("list_id").isin(sorted(probed))).select(
+        "cid", "codes"
+    )
+    return pq_topk(
+        queries,
+        survivors,
+        codebooks,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        refine_with=refine_with,
+        refine_factor=refine_factor,
+    )
