@@ -33,8 +33,9 @@ Oracle-gated (hash-checked vs DuckDB):
   hourly counters; oracle computes both levels from raw
 
 Rows-only (approximate / SQL-inexpressible, weaker driver check):
-- op_ann_topk — sign-LSH ∪ IVF approximate top-k, tagged by ``src``
-  (recall vs brute force asserted in tests)
+- op_ann_topk — sign-LSH ∪ IVF ∪ PQ search paths, tagged by ``src``
+  (all three hash-gated since the fixed-centroid/fixed-codebook forms;
+  only the k-means TRAINING stays recall-tested in pytest)
 - op_multimodal_features — binary-payload feature plumbing (decode stub)
 """
 
@@ -424,7 +425,14 @@ def _op_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=2,
         centroids=[similarity.HYPERPLANES[j] for j in range(8)],
     ).select(F.lit("ivf").alias("src"), "qid", "cid", "cos", "rn")
-    return lsh.unionByName(ivf).orderBy("src", "qid", "rn")
+    # Third member since r7: the PQ SEARCH path (fixed PQ_CODEBOOKS —
+    # encode → reconstruct → exact re-rank; ADC is dot-with-recon by
+    # identity, so gating the reconstruction gates the ADC math).  PQ
+    # training (k-means) stays recall-tested like IVF's.
+    pq = similarity.pq_fixed_topk(
+        emb.filter(F.col("vec_id") <= 20), emb, k=3
+    ).select(F.lit("pq").alias("src"), "qid", "cid", "cos", "rn")
+    return lsh.unionByName(ivf).unionByName(pq).orderBy("src", "qid", "rn")
 
 
 def _op_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,6 +660,8 @@ def entry_oracle_sql() -> dict[str, str]:
             f"SELECT * FROM ({similarity.ann_lsh_topk_duck_sql(20)})\n"
             "UNION ALL\n"
             f"SELECT * FROM ({similarity.ivf_fixed_topk_duck_sql(20)})\n"
+            "UNION ALL\n"
+            f"SELECT * FROM ({similarity.pq_fixed_topk_duck_sql(20)})\n"
             "ORDER BY src, qid, rn"
         ),
         "op_multimodal_features": _multimodal_duck_sql(50),

@@ -46,6 +46,14 @@ __all__ = [
     "quantize_embeddings",
     "quantize_embeddings_sql",
     "HYPERPLANES",
+    "PQ_CODEBOOKS",
+    "train_pq",
+    "pq_encode",
+    "pq_topk",
+    "ivf_pq_topk",
+    "pq_fixed_encode",
+    "pq_fixed_topk",
+    "pq_fixed_topk_duck_sql",
 ]
 
 _DOT = (
@@ -397,6 +405,226 @@ pairs AS (SELECT cand.qid, cand.cid,
     ROUND({ddot.format(a='q.embedding', b='c2.embedding', d=dim)} / (q.nrm * c2.nrm), 4) + 0.0 AS cos
   FROM cand JOIN n q ON q.vec_id = cand.qid JOIN n c2 ON c2.vec_id = cand.cid)
 SELECT 'ivf' AS src, qid, cid, cos, rn FROM (
+  SELECT qid, cid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM pairs) t
+WHERE rn <= {k} ORDER BY qid, rn"""
+
+
+#: Fixed PQ codebooks for the ORACLE-GATED search path: m=8 contiguous
+#: subspaces of dim 8 over the 64-dim embeddings, 4 codewords each,
+#: sliced deterministically from the inlined HYPERPLANES constants so
+#: both dialects print the identical literals (the ivf_fixed_topk
+#: precedent: TRAINING is iterative and stays recall-tested; the
+#: encode → reconstruct → re-rank SEARCH path has no learned state).
+PQ_CODEBOOKS: list[list[list[float]]] = [
+    [HYPERPLANES[(4 * j + c) % 16][8 * j : 8 * j + 8] for c in range(4)]
+    for j in range(8)
+]
+
+
+def pq_fixed_encode(
+    corpus: DataFrame,
+    codebooks=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, recon): PQ-encode with FIXED codebooks and emit the
+    reconstruction (concatenated nearest codewords) — the deterministic
+    half of the gated PQ search path.
+
+    Determinism contract (shared with the DuckDB mirror,
+    :func:`pq_fixed_topk_duck_sql`): per-subspace squared distance is a
+    SEQUENTIAL fold (np.cumsum — same association order as the SQL
+    ``list_sum(list_transform(...))``), ROUNDed half-away-from-zero to
+    6 dp before the argmin, ties to the LOWEST codeword index
+    (np.argmin first-occurrence == ``ORDER BY d2, c``).  Null
+    embeddings are dropped (registry-wide null-guard rule).
+
+    Scale shape: one Arrow-batched scan-side kernel, broadcast KB-sized
+    codebooks, zero shuffles — the corpus never moves.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cb = np.asarray(
+        PQ_CODEBOOKS if codebooks is None else codebooks, dtype=np.float64
+    )
+    bc = spark.sparkContext.broadcast(cb)
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        books = bc.value
+        m, _kc, d_sub = books.shape
+        for pdf in batches:
+            pdf = pdf[pdf["v"].map(lambda x: x is not None)]
+            if not len(pdf):
+                continue
+            mat = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
+            recon = np.empty_like(mat)
+            for j in range(m):
+                sub = mat[:, j * d_sub : (j + 1) * d_sub]
+                diff = sub[:, None, :] - books[j][None, :, :]
+                d2 = np.cumsum(diff * diff, axis=2)[:, :, -1]
+                codes = np.argmin(_round_half_up(d2, 6), axis=1)
+                recon[:, j * d_sub : (j + 1) * d_sub] = books[j][codes]
+            yield pd.DataFrame(
+                {"cid": pdf["id"], "recon": [r.tolist() for r in recon]}
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(gen, "cid long, recon array<double>")
+
+
+def pq_fixed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Oracle-gated PQ search: encode the corpus with the FIXED
+    :data:`PQ_CODEBOOKS`, then exact rounded-cosine top-k of the
+    original queries against the RECONSTRUCTIONS — which is precisely
+    what ADC computes (``dot(q, recon(c))`` decomposed into m table
+    lookups).  DuckDB mirror: :func:`pq_fixed_topk_duck_sql`.
+
+    Encode and score are FUSED into one scan-side Arrow kernel (the
+    separate :func:`pq_fixed_encode` + expression-join form measured
+    ~0.3 s slower at sf0.1 — the HOF dot never enters codegen): per
+    corpus batch, encode → reconstruct → fold-exact cosine against the
+    broadcast queries (sequential cumsum dots + self-norms in the SQL
+    association order, ``_round_half_up(·, 4) + 0.0``) → per-partition
+    top-(k+1) per query; only those candidate rows reach the final
+    window.  Zero-norm rows drop (SQL: 0/0 → NULL fails the ranking).
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cb = np.asarray(PQ_CODEBOOKS, dtype=np.float64)
+    q_rows = sorted(
+        (int(r[0]), np.asarray(list(r[1]), dtype=np.float64))
+        for r in queries.select(id_col, vec_col).collect()
+        if r[1] is not None
+    )
+    if not q_rows:
+        raise ValueError("pq_fixed_topk: no non-null query vectors")
+    q_ids = np.array([a for a, _ in q_rows], dtype=np.int64)
+    q_mat = np.stack([b for _, b in q_rows])
+    q_nrm = np.sqrt(np.cumsum(q_mat * q_mat, axis=1)[:, -1])
+    ok = q_nrm > 0
+    q_ids, q_mat, q_nrm = q_ids[ok], q_mat[ok], q_nrm[ok]
+    bc = spark.sparkContext.broadcast((cb, q_ids, q_mat, q_nrm))
+    keep = k + 1  # +1 so dropping the self-match still leaves k
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        books, ids, qm, qn = bc.value
+        m, _kc, d_sub = books.shape
+        parts: list[pd.DataFrame] = []
+        for pdf in batches:
+            pdf = pdf[pdf["v"].map(lambda x: x is not None)]
+            if not len(pdf):
+                continue
+            # bounded (|Q| × chunk × dim) temporaries — Arrow batch size
+            # is config-dependent, the kernel must not be
+            for lo in range(0, len(pdf), 2048):
+                ch = pdf.iloc[lo : lo + 2048]
+                c_ids = ch["id"].to_numpy(np.int64)
+                mat = np.array([list(x) for x in ch["v"]], dtype=np.float64)
+                recon = np.empty_like(mat)
+                for j in range(m):
+                    sub = mat[:, j * d_sub : (j + 1) * d_sub]
+                    diff = sub[:, None, :] - books[j][None, :, :]
+                    d2 = np.cumsum(diff * diff, axis=2)[:, :, -1]
+                    codes = np.argmin(_round_half_up(d2, 6), axis=1)
+                    recon[:, j * d_sub : (j + 1) * d_sub] = books[j][codes]
+                c_nrm = np.sqrt(np.cumsum(recon * recon, axis=1)[:, -1])
+                nz = c_nrm > 0
+                c_ids, recon, c_nrm = c_ids[nz], recon[nz], c_nrm[nz]
+                if not len(c_ids):
+                    continue
+                dots = np.cumsum(qm[:, None, :] * recon[None, :, :], axis=2)[:, :, -1]
+                cos = _round_half_up(dots / (qn[:, None] * c_nrm[None, :]), 4) + 0.0
+                top = min(keep, cos.shape[1])
+                for qi in range(len(ids)):
+                    order = np.lexsort((c_ids, -cos[qi]))[:top]
+                    parts.append(
+                        pd.DataFrame(
+                            {"qid": ids[qi], "cid": c_ids[order], "cos": cos[qi][order]}
+                        )
+                    )
+        if parts:
+            allp = pd.concat(parts, ignore_index=True)
+            yield (
+                allp.sort_values(["qid", "cos", "cid"], ascending=[True, False, True])
+                .groupby("qid", sort=False)
+                .head(keep)
+            )
+        else:
+            yield pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                                "cid": pd.Series(dtype="int64"),
+                                "cos": pd.Series(dtype="float64")})
+
+    cand = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(gen, "qid long, cid long, cos double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        cand.filter(F.col("cid") != F.col("qid"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "cos", "rn")
+    )
+
+
+def pq_fixed_topk_duck_sql(max_query: int = 20, k: int = 3, dim: int = 64) -> str:
+    """DuckDB mirror of :func:`pq_fixed_topk` — encode (per-subspace
+    sequential-fold squared distance, 6-dp half-up round, lowest-index
+    tie), reconstruct (codewords concatenated in subspace order), exact
+    4-dp rounded-cosine re-rank with the ``+ 0.0`` negative-zero guard
+    and cid tie-break."""
+    m = len(PQ_CODEBOOKS)
+    kc = len(PQ_CODEBOOKS[0])
+    d_sub = len(PQ_CODEBOOKS[0][0])
+    assert m * d_sub == dim
+    cb_rows = ",\n  ".join(
+        "({j}, {c}, [{vals}])".format(
+            j=j, c=c, vals=", ".join(str(x) for x in PQ_CODEBOOKS[j][c])
+        )
+        for j in range(m)
+        for c in range(kc)
+    )
+    elem = f"CAST(e.embedding[{d_sub} * cb.j + i] AS DOUBLE)"
+    ddot = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+    return f"""
+WITH cb(j, c, v) AS (VALUES {cb_rows}),
+e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+dist AS (SELECT e.vec_id, cb.j, cb.c,
+    ROUND(list_sum(list_transform(range(1, {d_sub} + 1),
+      i -> ({elem} - cb.v[i]) * ({elem} - cb.v[i]))), 6) AS d2
+  FROM e CROSS JOIN cb),
+codes AS (SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c) AS rn
+    FROM dist) t WHERE rn = 1),
+recon AS (SELECT codes.vec_id, flatten(list(cb.v ORDER BY codes.j)) AS rv
+  FROM codes JOIN cb ON cb.j = codes.j AND cb.c = codes.c
+  GROUP BY codes.vec_id),
+rn2 AS (SELECT vec_id, rv,
+        sqrt({ddot.format(a='rv', b='rv', d=dim)}) AS nrm FROM recon),
+q AS (SELECT vec_id, embedding,
+        sqrt({ddot.format(a='embedding', b='embedding', d=dim)}) AS nrm
+      FROM e WHERE vec_id <= {max_query}),
+pairs AS (SELECT q.vec_id AS qid, c2.vec_id AS cid,
+    ROUND({ddot.format(a='q.embedding', b='c2.rv', d=dim)} / (q.nrm * c2.nrm), 4) + 0.0 AS cos
+  FROM q CROSS JOIN rn2 c2 WHERE q.vec_id != c2.vec_id)
+SELECT 'pq' AS src, qid, cid, cos, rn FROM (
   SELECT qid, cid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM pairs) t
 WHERE rn <= {k} ORDER BY qid, rn"""
 
