@@ -288,23 +288,33 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a RIFF/WAVE payload to ``(samples, sample_rate)`` where
     ``samples`` is a float64 (n_frames, n_channels) array in [-1, 1].
 
-    Supports PCM 8/16/32-bit (format 1) and IEEE float32/64 (format 3)
-    — what :func:`encode_wav` and every common recorder produce.  The
-    parse is a hand-rolled RIFF walk rather than stdlib ``wave`` so
-    float WAVs decode too and truncated files fail loudly.
+    Supports PCM 8/16/32-bit (format 1), IEEE float32/64 (format 3) —
+    what :func:`encode_wav` and every common recorder produce — and
+    IMA/DVI ADPCM (format 0x11, the common COMPRESSED wav payload;
+    ``fact``-chunk frame count trims block padding).  The parse is a
+    hand-rolled RIFF walk rather than stdlib ``wave`` so float/ADPCM
+    WAVs decode too and truncated files fail loudly.
     """
     if not (data[:4] == b"RIFF" and data[8:12] == b"WAVE"):
         raise ValueError("not a WAV (bad RIFF/WAVE header)")
     fmt = None
     pcm = None
+    fact_frames = None
     for fourcc, body in _riff_chunks(data):
         if fourcc == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif fourcc == b"data":
             pcm = body
+        elif fourcc == b"fact" and len(body) >= 4:
+            (fact_frames,) = struct.unpack("<I", body[:4])
     if fmt is None or pcm is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, n_ch, rate, _byte_rate, _align, bits = fmt
+    if audio_fmt == 0x11:  # IMA ADPCM (DVI/IMA, 4-bit)
+        arr16 = _decode_ima_adpcm(pcm, n_ch, _align)
+        if fact_frames is not None:
+            arr16 = arr16[:fact_frames]
+        return arr16.astype(np.float64) / 32768.0, rate
     if audio_fmt == 1:  # integer PCM
         if bits == 8:  # unsigned
             arr = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
@@ -321,6 +331,153 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if n_ch < 1 or arr.size % n_ch:
         raise ValueError("WAV data size not a multiple of channel count")
     return arr.reshape(-1, n_ch), rate
+
+
+# IMA/DVI ADPCM (WAV format 0x11) — the most common COMPRESSED wav
+# payload (4 bits/sample, 4:1 vs 16-bit PCM).  Tables and the
+# bit-test reconstruction are from the public IMA ADPCM spec
+# (Intel/DVI; the form multimedia/dvi_adpcm.c-style decoders use).
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step_nibble(nib: int, pred: int, idx: int) -> tuple[int, int]:
+    """Advance one IMA ADPCM state step: returns (new_pred, new_idx)."""
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX_ADJ[nib & 7]))
+    return pred, idx
+
+
+def _decode_ima_adpcm(pcm: bytes, n_ch: int, block_align: int) -> np.ndarray:
+    """Decode IMA ADPCM blocks to an (n_frames, n_ch) int16 array.
+
+    Block layout (per the spec): a 4-byte header PER CHANNEL (int16
+    initial predictor — which IS the block's first output sample —
+    uint8 step index, pad), then nibble data interleaved in 4-byte
+    (8-nibble) groups per channel, low nibble first.  The predictor
+    feedback makes the walk inherently serial per block; blocks are
+    independent (that's the format's seek story), so at corpus scale
+    the parallelism axis is rows/blocks, not samples.
+    """
+    if n_ch < 1 or block_align < 4 * n_ch or block_align % 4:
+        raise ValueError("ADPCM: bad channel count / block align")
+    out_blocks = []
+    for base in range(0, len(pcm) - (len(pcm) % block_align), block_align):
+        block = pcm[base : base + block_align]
+        preds, idxs, chans = [], [], []
+        for c in range(n_ch):
+            pred, idx = struct.unpack_from("<hB", block, 4 * c)[:2]
+            if idx > 88:
+                raise ValueError(f"ADPCM: step index {idx} out of range")
+            preds.append(pred)
+            idxs.append(idx)
+            chans.append([pred])
+        pos = 4 * n_ch
+        while pos + 4 * n_ch <= len(block):
+            for c in range(n_ch):
+                for b in block[pos + 4 * c : pos + 4 * c + 4]:
+                    for nib in (b & 0xF, b >> 4):
+                        preds[c], idxs[c] = _ima_step_nibble(nib, preds[c], idxs[c])
+                        chans[c].append(preds[c])
+            pos += 4 * n_ch
+        n = min(len(ch) for ch in chans)
+        out_blocks.append(
+            np.stack([np.asarray(ch[:n], dtype=np.int16) for ch in chans], axis=1)
+        )
+    if not out_blocks:
+        raise ValueError("ADPCM: no complete block in data chunk")
+    return np.concatenate(out_blocks, axis=0)
+
+
+def encode_ima_adpcm(
+    samples: np.ndarray, sample_rate: int, block_frames: int = 505
+) -> bytes:
+    """Encode float samples in [-1, 1] as an IMA ADPCM WAV (format
+    0x11) — the fixture-side companion of the :func:`decode_wav` ADPCM
+    branch, byte-deterministic.  ``block_frames`` must be 8t+1 (header
+    sample + whole 8-nibble groups)."""
+    if (block_frames - 1) % 8:
+        raise ValueError("block_frames must be 8t + 1")
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    n_frames, n_ch = a.shape
+    if n_frames == 0:
+        raise ValueError("no samples")
+    ints = np.clip(np.round(a * 32767.0), -32768, 32767).astype(np.int64)
+    # pad the tail block with silence so every block is complete (the
+    # fact chunk records the true frame count for the decoder to trim)
+    pad = (-n_frames) % block_frames
+    ints = np.concatenate([ints, np.zeros((pad, n_ch), dtype=np.int64)])
+    # seed the step index from the first block's mean |delta| per
+    # channel: starting at index 0 (step 7) slope-overloads for the
+    # first ~10 samples of any real signal (measured 0.56 peak error
+    # on a 440 Hz tone); the header carries the index, so the decoder
+    # needs no convention — this is pure encoder quality
+    steps = np.asarray(_IMA_STEPS)
+    idxs = []
+    for c in range(n_ch):
+        d = np.abs(np.diff(ints[: min(block_frames, len(ints)), c]))
+        tgt = float(d.mean()) if len(d) else 0.0
+        idxs.append(int(np.argmin(np.abs(steps - tgt))))
+    blocks = []
+    for base in range(0, len(ints), block_frames):
+        frames = ints[base : base + block_frames]
+        header = b"".join(
+            struct.pack("<hBB", int(frames[0, c]), idxs[c], 0) for c in range(n_ch)
+        )
+        preds = [int(frames[0, c]) for c in range(n_ch)]
+        nibbles: list[list[int]] = [[] for _ in range(n_ch)]
+        for r in range(1, len(frames)):
+            for c in range(n_ch):
+                step = _IMA_STEPS[idxs[c]]
+                delta = int(frames[r, c]) - preds[c]
+                nib = 8 if delta < 0 else 0
+                delta = abs(delta)
+                if delta >= step:
+                    nib |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    nib |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    nib |= 1
+                preds[c], idxs[c] = _ima_step_nibble(nib, preds[c], idxs[c])
+                nibbles[c].append(nib)
+        body = bytearray()
+        for g in range(0, len(nibbles[0]), 8):
+            for c in range(n_ch):
+                grp = nibbles[c][g : g + 8]
+                for j in range(0, 8, 2):
+                    body.append(grp[j] | (grp[j + 1] << 4))
+        blocks.append(header + bytes(body))
+    data = b"".join(blocks)
+    block_align = 4 * n_ch + (block_frames - 1) * n_ch // 2
+    byte_rate = sample_rate * block_align // block_frames
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, n_ch, sample_rate, byte_rate, block_align, 4, 2, block_frames
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"fact" + struct.pack("<I", 4) + struct.pack("<I", n_frames)
+    body += b"data" + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
