@@ -51,6 +51,8 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ivf_pq_topk",
+    "build_ivfpq_index",
+    "ivfpq_search",
     "pq_fixed_encode",
     "pq_fixed_topk",
     "pq_fixed_topk_duck_sql",
@@ -1776,6 +1778,120 @@ def ivf_pq_topk(
         survivors,
         codebooks,
         k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        refine_with=refine_with,
+        refine_factor=refine_factor,
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    sample: int = 10_000,
+    seed: int = 7,
+) -> None:
+    """Materialize the billion-vector index: IVF centroids + PQ
+    codebooks (both KB-scale, trained on the one content-hash sample)
+    and the corpus as ``(cid, codes)`` PARTITIONED BY ``list_id`` —
+    m bytes per vector instead of dim·4, prunable by coarse list.
+
+    Layout: ``{path}/centroids`` (list_id, centroid),
+    ``{path}/codebooks`` (j, c, codeword), ``{path}/codes`` partitioned
+    by list_id.  Raw vectors are NOT stored — that is the point; keep
+    the source table around if searches want the IVFADC+R exact refine.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    samp = sorted(
+        _ivf_sample_frame(corpus, id_col, vec_col, sample, seed).collect(),
+        key=lambda r: r[0],
+    )[:sample]
+    mat = np.array([list(r[1]) for r in samp], dtype=np.float64)
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    cent = _kmeans(norm, n_lists, seed=seed)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    books = np.stack(
+        [
+            _kmeans_l2(mat[:, j * d_sub : (j + 1) * d_sub], k_codes, seed=seed + j)
+            for j in range(m)
+        ]
+    )
+    spark.createDataFrame(
+        [(int(j), [float(x) for x in cent[j]]) for j in range(len(cent))],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (int(j), int(c), [float(x) for x in books[j][c]])
+            for j in range(m)
+            for c in range(len(books[j]))
+        ],
+        "j int, c int, codeword array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    coded = pq_encode(corpus, books, id_col, vec_col).join(
+        ivf_assign(corpus, cent, id_col, vec_col).select("cid", "list_id"), "cid"
+    )
+    coded.write.partitionBy("list_id").mode("overwrite").parquet(f"{path}/codes")
+
+
+def _read_ivfpq_artifacts(spark, index_path: str):
+    """(centroids, codebooks) numpy arrays from a persisted IVF×PQ
+    index — KB-scale driver reads, list/subspace order restored."""
+    import numpy as np
+
+    cent_rows = sorted(
+        spark.read.parquet(f"{index_path}/centroids").collect(),
+        key=lambda r: r["list_id"],
+    )
+    cent = np.array([list(r["centroid"]) for r in cent_rows], dtype=np.float64)
+    cb_rows = spark.read.parquet(f"{index_path}/codebooks").collect()
+    m = 1 + max(r["j"] for r in cb_rows)
+    kc = 1 + max(r["c"] for r in cb_rows)
+    books = np.empty((m, kc, len(cb_rows[0]["codeword"])), dtype=np.float64)
+    for r in cb_rows:
+        books[r["j"], r["c"]] = list(r["codeword"])
+    return cent, books
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """Search a persisted IVF×PQ index: probe the coarse centroids,
+    read ONLY the probed ``list_id`` partitions of the codes table
+    (directory pruning, same discipline as :func:`ivf_search` —
+    plan-asserted in tests), ADC-score the surviving codes, optionally
+    IVFADC+R-refine against a caller-supplied raw-vector table.
+
+    Equals :func:`ivf_pq_topk` run with the index's artifacts — pinned
+    in tests — while scanning ``nprobe/n_lists`` of the corpus as
+    m-byte codes."""
+    spark = queries.sparkSession
+    cent, books = _read_ivfpq_artifacts(spark, index_path)
+    coded = spark.read.parquet(f"{index_path}/codes")
+    return ivf_pq_topk(
+        queries,
+        coded,
+        cent,
+        books,
+        k=k,
+        nprobe=nprobe,
         id_col=id_col,
         vec_col=vec_col,
         refine_with=refine_with,

@@ -800,3 +800,50 @@ def test_ivf_pq_topk_prunes_lists_and_keeps_recall(spark):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.85, f"IVF x PQ recall@1 {recall} with nprobe=4/16"
+
+
+def test_ivfpq_index_build_search_equals_inmemory(spark, tmp_path):
+    """Persisted IVF x PQ index: search with the stored artifacts must
+    equal ivf_pq_topk run with the same centroids + codebooks (the
+    build/search parity contract the IVF index pins)."""
+    emb = _clustered_emb(spark, n=400)
+    q = emb.filter(F.col("vec_id") < 15)
+    path = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(
+        emb, path, n_lists=8, m=16, k_codes=8, sample=400, seed=7
+    )
+    cent, books = similarity._read_ivfpq_artifacts(spark, path)
+    coded = similarity.pq_encode(emb, books).join(
+        similarity.ivf_assign(emb, cent).select("cid", "list_id"), "cid"
+    )
+    want = sorted(
+        map(tuple, similarity.ivf_pq_topk(q, coded, cent, books, k=3, nprobe=3).collect())
+    )
+    got = sorted(
+        map(tuple, similarity.ivfpq_search(q, path, k=3, nprobe=3).collect())
+    )
+    assert got == want and len(got) == 45
+    # refined search against the raw table works through the index too
+    ref = similarity.ivfpq_search(
+        q, path, k=1, nprobe=8, refine_with=emb, refine_factor=10
+    )
+    exact = {
+        (r.qid, r.cid)
+        for r in similarity.cosine_topk(q, emb, k=1).filter(F.col("rn") == 1).collect()
+    }
+    got1 = {(r.qid, r.cid) for r in ref.filter(F.col("rn") == 1).collect()}
+    assert len(got1 & exact) / len(exact) >= 0.85
+
+
+def test_ivfpq_search_prunes_list_partitions(spark, tmp_path):
+    """The codes scan must carry a list_id partition filter (directory
+    pruning) — the memory-scale point of the composition."""
+    import re
+
+    emb = _clustered_emb(spark, n=300)
+    path = str(tmp_path / "ivfpq_plan")
+    similarity.build_ivfpq_index(emb, path, n_lists=8, m=8, k_codes=8, sample=300)
+    out = similarity.ivfpq_search(emb.filter("vec_id < 5"), path, k=2, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*list_id[^\]]*\]", plan)
+    assert m, "codes scan lost its list_id partition filter"
