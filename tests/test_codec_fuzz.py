@@ -123,3 +123,28 @@ def test_kafka_batch_bitflip_is_caught_or_isolated(pos, mask):
     # baseOffset field) — record values may differ only if the length
     # prefix re-framed the batch, which the CRC would have caught
     assert pos < 21 or out == [(None, b"abc"), (None, b"defg")]
+
+
+_ADPCM = mc.encode_ima_adpcm(
+    0.4 * np.sin(np.arange(600) / 9.0), 8000, block_frames=105
+)
+
+
+@settings(**_SETTINGS)
+@given(st.integers(0, len(_ADPCM) - 1), st.integers(1, 255))
+def test_adpcm_bitflip_never_crashes(pos, mask):
+    """ADPCM has no integrity check: a flip may decode to wrong samples
+    (fine) or raise ValueError (bad header/index) — never anything else."""
+    data = bytearray(_ADPCM)
+    data[pos] ^= mask
+    _assert_contract(mc.decode_wav, bytes(data))
+
+
+@settings(**_SETTINGS)
+@given(st.binary(max_size=400))
+def test_adpcm_garbage_after_fmt(tail):
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 4000, 20, 4, 2, 33)
+    head = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(tail)))
+    body = head + tail
+    _assert_contract(mc.decode_wav, b"RIFF" + struct.pack("<I", len(body)) + body)
