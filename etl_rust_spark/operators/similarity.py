@@ -53,6 +53,7 @@ __all__ = [
     "ivf_pq_topk",
     "build_ivfpq_index",
     "ivfpq_search",
+    "update_ivfpq_index",
     "pq_fixed_encode",
     "pq_fixed_topk",
     "pq_fixed_topk_duck_sql",
@@ -1274,6 +1275,61 @@ def update_ivf_index(
     }
     _delete_list_partitions(spark, f"{path}/corpus",
                             [l for l in dirty if l not in written])
+
+
+def update_ivfpq_index(
+    corpus_delta: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold new/changed vectors into a persisted IVF×PQ index WITHOUT
+    retraining: encode the delta with the STORED codebooks and assign
+    with the STORED centroids (new vectors land exactly where a full
+    rebuild with those artifacts would put them), then keyed-upsert
+    into the list-partitioned codes table — same dirty-partition
+    discipline as :func:`update_ivf_index`, including the
+    empty-dirty-list purge (a sole-occupant vector moving lists must
+    not stay searchable in its old list) and replay idempotency.
+
+    Codebook/centroid drift mirrors the IVF maintenance trade: rebuild
+    via :func:`build_ivfpq_index` when the corpus has grown an order of
+    magnitude past the training sample.
+    """
+    spark = corpus_delta.sparkSession
+    cent, books = _read_ivfpq_artifacts(spark, path)
+    delta = (
+        pq_encode(corpus_delta, books, id_col, vec_col)
+        .join(ivf_assign(corpus_delta, cent, id_col, vec_col).select("cid", "list_id"), "cid")
+        .localCheckpoint(eager=True)
+    )
+    existing = spark.read.parquet(f"{path}/codes")
+    delta_keys = delta.select("cid").distinct()
+    old_lists = existing.join(delta_keys, "cid", "semi").select("list_id").distinct()
+    dirty = [
+        r["list_id"]
+        for r in old_lists.unionByName(delta.select("list_id").distinct())
+        .distinct()
+        .collect()
+    ]
+    survivors = (
+        existing.filter(F.col("list_id").isin(dirty))
+        .join(delta_keys, "cid", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    survivors.unionByName(delta).write.partitionBy("list_id").mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").parquet(f"{path}/codes")
+    written = {
+        r["list_id"]
+        for r in survivors.select("list_id")
+        .unionByName(delta.select("list_id"))
+        .distinct()
+        .collect()
+    }
+    _delete_list_partitions(
+        spark, f"{path}/codes", [l for l in dirty if l not in written]
+    )
 
 
 def ivf_search(

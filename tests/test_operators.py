@@ -847,3 +847,89 @@ def test_ivfpq_search_prunes_list_partitions(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[[^\]]*list_id[^\]]*\]", plan)
     assert m, "codes scan lost its list_id partition filter"
+
+
+def test_ivfpq_index_incremental_update(spark, tmp_path):
+    """update_ivfpq_index mirrors the IVF invariants: new ids append,
+    changed ids replace (cross-list moves remove the old-partition
+    row), replay is idempotent, the updated codes equal a from-scratch
+    encode+assign with the stored artifacts, and a dirty-but-emptied
+    list partition is purged (the ADVICE-r6 sole-occupant bug class)."""
+    import pathlib
+
+    emb = _clustered_emb(spark, n=260)
+    base = emb.filter("vec_id < 240")
+    path = str(tmp_path / "ivfpq_up")
+    similarity.build_ivfpq_index(base, path, n_lists=8, m=8, k_codes=8, sample=240)
+    cent, books = similarity._read_ivfpq_artifacts(spark, path)
+
+    new_rows = emb.filter("vec_id >= 240").select("vec_id", "embedding")
+    moved = emb.filter("vec_id >= 100 AND vec_id < 105").selectExpr(
+        "vec_id - 100 AS vec_id", "embedding"
+    )
+    delta = new_rows.unionByName(moved)
+    similarity.update_ivfpq_index(delta, path)
+    got = spark.read.parquet(f"{path}/codes")
+    assert got.count() == 260
+    assert got.select("cid").distinct().count() == 260
+    updated = base.filter("vec_id >= 5").select("vec_id", "embedding").unionByName(delta)
+    want = similarity.pq_encode(updated, books).join(
+        similarity.ivf_assign(updated, cent).select("cid", "list_id"), "cid"
+    )
+    j = got.select("cid", "list_id", "codes").join(
+        want.select(
+            "cid", F.col("list_id").alias("l2"), F.col("codes").alias("c2")
+        ),
+        "cid",
+        "full",
+    )
+    assert (
+        j.filter(
+            F.col("list_id").isNull()
+            | F.col("l2").isNull()
+            | (F.col("list_id") != F.col("l2"))
+            | (F.col("codes") != F.col("c2"))
+        ).count()
+        == 0
+    )
+    similarity.update_ivfpq_index(delta, path)  # replay idempotence
+    assert spark.read.parquet(f"{path}/codes").count() == 260
+
+
+def test_ivfpq_update_purges_emptied_list_partition(spark, tmp_path):
+    import pathlib
+
+    path = str(tmp_path / "ivfpq_sole")
+    cent = np.eye(4)
+    spark.createDataFrame(
+        [(j, [float(x) for x in cent[j]]) for j in range(4)],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.parquet(f"{path}/centroids")
+    books = np.stack([np.eye(2)[:2] for _ in range(2)])  # m=2, k=2, d_sub=2
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j][c]])
+            for j in range(2)
+            for c in range(2)
+        ],
+        "j int, c int, codeword array<double>",
+    ).coalesce(1).write.parquet(f"{path}/codebooks")
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(5)] + [
+        (99, [0.0, 0.0, 1.0, 0.0])  # sole occupant of list 2
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    coded = similarity.pq_encode(corpus, books).join(
+        similarity.ivf_assign(corpus, cent).select("cid", "list_id"), "cid"
+    )
+    coded.write.partitionBy("list_id").parquet(f"{path}/codes")
+    assert spark.read.parquet(f"{path}/codes").filter("list_id = 2").count() == 1
+
+    delta = spark.createDataFrame(
+        [(99, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    similarity.update_ivfpq_index(delta, path)
+    got = spark.read.parquet(f"{path}/codes")
+    assert got.count() == 6
+    assert [r["list_id"] for r in got.filter("cid = 99").collect()] == [0]
+    assert got.filter("list_id = 2").count() == 0
+    assert not (pathlib.Path(path) / "codes" / "list_id=2").exists()
