@@ -30,15 +30,22 @@ def run_ann_index_stream(
     checkpoint_dir: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kind: str = "ivf",
 ):
     """Start the index-maintenance query; returns the StreamingQuery.
-    The index must already exist (``build_ivf_index`` — training needs
-    a corpus sample, which a stream cannot provide retroactively)."""
+    The index must already exist (``build_ivf_index`` /
+    ``build_ivfpq_index`` — training needs a corpus sample, which a
+    stream cannot provide retroactively).  ``kind='ivfpq'`` maintains a
+    product-quantized index instead (stored-codebook encode + assign;
+    same replay-idempotent keyed list-partition upsert)."""
+    if kind not in ("ivf", "ivfpq"):
+        raise ValueError(f"unknown index kind {kind!r} (ivf | ivfpq)")
+    update = _sim.update_ivf_index if kind == "ivf" else _sim.update_ivfpq_index
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        _sim.update_ivf_index(batch_df, index_path, id_col, vec_col)
+        update(batch_df, index_path, id_col, vec_col)
 
     return (
         emb_stream.writeStream.foreachBatch(process)

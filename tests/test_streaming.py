@@ -635,3 +635,61 @@ def test_ann_index_stream_keeps_index_current(spark, sf_dir, tmp_path):
     assert j.filter(
         F.col("l1").isNull() | F.col("l2").isNull() | (F.col("l1") != F.col("l2"))
     ).count() == 0
+
+
+def test_ann_index_stream_maintains_ivfpq_codes(spark, tmp_path):
+    """kind='ivfpq': streamed embeddings fold into the persisted codes
+    table; post-drain state equals a from-scratch encode+assign with
+    the stored artifacts (the batch update's pinned invariant)."""
+    import numpy as np
+
+    from etl_rust_spark.operators import similarity
+    from etl_rust_spark.streaming.ann import run_ann_index_stream
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(8, 16))
+    rows = [
+        (i, [float(x) for x in centers[i % 8] + 0.1 * rng.normal(size=16)])
+        for i in range(160)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivfpq_stream_idx")
+    similarity.build_ivfpq_index(
+        emb.filter("vec_id < 100"), idx, n_lists=4, m=4, k_codes=4, sample=100
+    )
+
+    src = tmp_path / "pq_src"
+    src.mkdir()
+    for i, lo, hi in ((0, 100, 130), (1, 130, 160)):
+        emb.filter(f"vec_id >= {lo} AND vec_id < {hi}").coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    q = run_ann_index_stream(stream, idx, str(tmp_path / "pq_ckpt"), kind="ivfpq")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(f"{idx}/codes")
+    assert got.count() == 160 and got.select("cid").distinct().count() == 160
+    cent, books = similarity._read_ivfpq_artifacts(spark, idx)
+    want = similarity.pq_encode(emb, books).join(
+        similarity.ivf_assign(emb, cent).select("cid", "list_id"), "cid"
+    )
+    j = got.select("cid", "list_id", "codes").join(
+        want.select("cid", F.col("list_id").alias("l2"), F.col("codes").alias("c2")),
+        "cid",
+        "full",
+    )
+    assert (
+        j.filter(
+            F.col("list_id").isNull()
+            | F.col("l2").isNull()
+            | (F.col("list_id") != F.col("l2"))
+            | (F.col("codes") != F.col("c2"))
+        ).count()
+        == 0
+    )
