@@ -121,17 +121,25 @@ def encode_record_batch(
     keys: list[bytes | None] | None = None,
     base_timestamp: int | None = None,
     base_offset: int = 0,
+    compression: str | None = None,
 ) -> bytes:
     """values (+ optional keys) → one RecordBatch v2, CRC32C-sealed.
 
     Layout (Kafka protocol docs "Record Batch"): baseOffset int64,
     batchLength int32, partitionLeaderEpoch int32, magic int8=2,
     crc uint32 (CRC32C of everything AFTER the crc field), attributes
-    int16 (0 = no compression), lastOffsetDelta int32, first/max
-    timestamp int64, producerId/Epoch/baseSequence (-1: idempotence
-    off), record count, then zigzag-varint records."""
+    int16 (bits 0-2 = compression codec), lastOffsetDelta int32,
+    first/max timestamp int64, producerId/Epoch/baseSequence (-1:
+    idempotence off), record count, then zigzag-varint records.
+
+    ``compression='gzip'`` compresses the RECORDS section only (codec 1
+    in the attributes bits, per the spec — the 40-byte batch-body
+    prefix stays clear so brokers can route without inflating); the
+    record COUNT stays the logical count.  None = codec 0."""
     if not values:
         raise KafkaWireError("empty record batch")
+    if compression not in (None, "gzip"):
+        raise KafkaWireError(f"unsupported compression {compression!r} (gzip only)")
     keys = keys if keys is not None else [None] * len(values)
     ts = int(time.time() * 1000) if base_timestamp is None else base_timestamp
     records = bytearray()
@@ -147,9 +155,17 @@ def encode_record_batch(
         body += encode_varint(len(value)) + value
         body += encode_varint(0)  # headers
         records += encode_varint(len(body)) + body
+    attrs = 0
+    rec_bytes = bytes(records)
+    if compression == "gzip":
+        import gzip as _gzip
+
+        attrs = 1
+        # mtime=0: byte-deterministic output (golden tests depend on it)
+        rec_bytes = _gzip.compress(rec_bytes, mtime=0)
     after_crc = (
-        struct.pack(">hiqqqhii", 0, len(values) - 1, ts, ts, -1, -1, -1, len(values))
-        + records
+        struct.pack(">hiqqqhii", attrs, len(values) - 1, ts, ts, -1, -1, -1, len(values))
+        + rec_bytes
     )
     crc = crc32c(bytes(after_crc))
     # batchLength counts bytes after the length field itself:
@@ -184,10 +200,21 @@ def _decode_record_batch(data: bytes) -> list[tuple[bytes | None, bytes]]:
         body = data[pos + 21 : end]
         if crc32c(body) != crc:
             raise KafkaWireError("record batch CRC32C mismatch")
-        (_attrs, _last, _t0, _t1, _pid, _pep, _seq, n) = struct.unpack_from(
+        (attrs, _last, _t0, _t1, _pid, _pep, _seq, n) = struct.unpack_from(
             ">hiqqqhii", body, 0
         )
+        codec = attrs & 0x07
         p = 40  # fixed batch-body prefix (2+4+8+8+8+2+4+4)
+        if codec == 1:  # gzip: the records section is one deflate stream
+            import gzip as _gzip
+            import zlib as _zlib
+
+            try:
+                body = body[:40] + _gzip.decompress(body[40:])
+            except (OSError, EOFError, _zlib.error) as exc:
+                raise KafkaWireError(f"bad gzip records section: {exc!r}") from exc
+        elif codec:
+            raise KafkaWireError(f"unsupported compression codec {codec}")
         for _ in range(n):
             length, p = decode_varint(body, p)
             rec_end = p + length

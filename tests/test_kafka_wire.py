@@ -301,3 +301,50 @@ def test_publish_tables_through_spark_executors(spark):
         assert broker.produce_requests >= 3
     finally:
         broker.close()
+
+
+def test_record_batch_gzip_roundtrip_and_layout():
+    """Gzip-compressed RecordBatch v2: attributes codec bit 1, records
+    section deflated, logical count preserved, CRC seals the compressed
+    bytes, decode inflates transparently."""
+    import gzip
+    import struct
+
+    vals = [b"x" * 200, b"y" * 200, b"z" * 200]
+    plain = encode_record_batch(vals, base_timestamp=7)
+    comp = encode_record_batch(vals, base_timestamp=7, compression="gzip")
+    assert decode_record_batch(comp) == decode_record_batch(plain)
+    assert len(comp) < len(plain) / 2  # the 600 repeated bytes deflate
+    (attrs,) = struct.unpack_from(">h", comp, 21)
+    assert attrs & 0x07 == 1
+    (n,) = struct.unpack_from(">i", comp, 21 + 36)
+    assert n == 3  # logical record count, not "1 compressed blob"
+    # records section really is a gzip stream holding the plain records
+    assert gzip.decompress(comp[61:]) == plain[61:]
+    # deterministic bytes (mtime pinned)
+    assert comp == encode_record_batch(vals, base_timestamp=7, compression="gzip")
+
+
+def test_record_batch_gzip_corrupt_stream_raises_wire_error():
+    import pytest as _pytest
+
+    comp = bytearray(
+        encode_record_batch([b"abc" * 50], base_timestamp=0, compression="gzip")
+    )
+    comp[70] ^= 0xFF  # inside the deflate stream
+    # CRC covers the compressed bytes, so either check may fire — both
+    # must surface as KafkaWireError
+    with _pytest.raises(KafkaWireError):
+        decode_record_batch(bytes(comp))
+
+    # bad codec id (e.g. zstd=4, unimplemented) must raise, not misparse
+    import struct
+
+    plain = bytearray(encode_record_batch([b"abc"], base_timestamp=0))
+    struct.pack_into(">h", plain, 21, 4)
+    # re-seal the CRC so the codec check (not the CRC) is what fires
+    from etl_rust_spark.etl.kafka_wire import crc32c
+
+    struct.pack_into(">I", plain, 17, crc32c(bytes(plain[21:])))
+    with _pytest.raises(KafkaWireError, match="codec"):
+        decode_record_batch(bytes(plain))
