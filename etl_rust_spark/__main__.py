@@ -229,6 +229,15 @@ def main(argv: list[str] | None = None) -> int:
         help="fold the embeddings as a delta into the existing index "
         "(stored centroids, dirty lists only) instead of retraining",
     )
+    pab.add_argument(
+        "--kind",
+        choices=("ivf", "ivfpq"),
+        default="ivf",
+        help="ivfpq stores m-byte PQ codes instead of raw vectors "
+        "(the billion-vector memory-scale layout)",
+    )
+    pab.add_argument("--pq-m", type=int, default=8, help="PQ subspaces")
+    pab.add_argument("--pq-codes", type=int, default=16, help="codewords/subspace")
 
     pas = sub.add_parser(
         "ann-search",
@@ -239,6 +248,16 @@ def main(argv: list[str] | None = None) -> int:
     pas.add_argument("--out", required=True, help="hits parquet output path")
     pas.add_argument("--k", type=int, default=10)
     pas.add_argument("--n-probe", type=int, default=8)
+    pas.add_argument(
+        "--kind", choices=("ivf", "ivfpq"), default="ivf",
+        help="must match the ann-build kind",
+    )
+    pas.add_argument(
+        "--refine",
+        default=None,
+        help="(ivfpq) raw-vector parquet for the IVFADC+R exact re-rank "
+        "of the ADC shortlist",
+    )
 
     proll = sub.add_parser(
         "rollup",
@@ -438,19 +457,38 @@ def main(argv: list[str] | None = None) -> int:
         from etl_rust_spark.operators import similarity as _sim
 
         emb = spark.read.parquet(args.embeddings)
-        if args.update:
-            _sim.update_ivf_index(emb, args.out)
+        if args.kind == "ivfpq":
+            if args.update:
+                _sim.update_ivfpq_index(emb, args.out)
+            else:
+                _sim.build_ivfpq_index(
+                    emb, args.out, n_lists=args.n_lists,
+                    m=args.pq_m, k_codes=args.pq_codes,
+                )
+            n = spark.read.parquet(f"{args.out}/codes").count()
         else:
-            _sim.build_ivf_index(emb, args.out, n_lists=args.n_lists)
-        n = spark.read.parquet(f"{args.out}/corpus").count()
+            if args.update:
+                _sim.update_ivf_index(emb, args.out)
+            else:
+                _sim.build_ivf_index(emb, args.out, n_lists=args.n_lists)
+            n = spark.read.parquet(f"{args.out}/corpus").count()
         print(json.dumps({"indexed_vectors": n}))
     elif args.cmd == "ann-search":
         from etl_rust_spark.operators import similarity as _sim
 
-        hits = _sim.ivf_search(
-            spark.read.parquet(args.queries), args.index,
-            k=args.k, n_probe=args.n_probe,
-        )
+        if args.kind == "ivfpq":
+            hits = _sim.ivfpq_search(
+                spark.read.parquet(args.queries), args.index,
+                k=args.k, nprobe=args.n_probe,
+                refine_with=(
+                    spark.read.parquet(args.refine) if args.refine else None
+                ),
+            )
+        else:
+            hits = _sim.ivf_search(
+                spark.read.parquet(args.queries), args.index,
+                k=args.k, n_probe=args.n_probe,
+            )
         hits.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(json.dumps({"hits": n}))

@@ -625,3 +625,38 @@ def test_cli_split_plain_and_leakage_safe(spark, tmp_path, capsys):
     capsys.readouterr()
     got = {r.doc_id: r.split for r in spark.read.parquet(out2).collect()}
     assert got[0] == got[1] == got[2]  # the chain moved as one unit
+
+
+def test_cli_ann_ivfpq_build_update_search(spark, sf_dir, tmp_path, capsys):
+    import json as _json
+
+    from etl_rust_spark.catalog import load_table
+    from etl_rust_spark.__main__ import main
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = str(tmp_path / "pq_base")
+    delta = str(tmp_path / "pq_delta")
+    emb.filter("vec_id < 150").write.parquet(base)
+    emb.filter("vec_id >= 150 AND vec_id < 170").write.parquet(delta)
+    idx = str(tmp_path / "pq_idx")
+    assert main([
+        "ann-build", base, "--out", idx, "--kind", "ivfpq",
+        "--n-lists", "8", "--pq-m", "8", "--pq-codes", "8",
+    ]) == 0
+    r1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1 == {"indexed_vectors": 150}
+    assert main(["ann-build", delta, "--out", idx, "--kind", "ivfpq", "--update"]) == 0
+    r2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2 == {"indexed_vectors": 170}
+    q = str(tmp_path / "pq_q")
+    emb.filter("vec_id < 5").write.parquet(q)
+    hits_out = str(tmp_path / "pq_hits")
+    assert main([
+        "ann-search", idx, q, "--out", hits_out, "--kind", "ivfpq",
+        "--k", "3", "--refine", base,
+    ]) == 0
+    r3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    hits = spark.read.parquet(hits_out)
+    assert r3["hits"] == hits.count() > 0
+    assert {r.qid for r in hits.collect()} == {0, 1, 2, 3, 4}
+    assert hits.groupBy("qid").count().filter("count > 3").count() == 0
