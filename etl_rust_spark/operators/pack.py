@@ -31,6 +31,7 @@ from etl_rust_spark.operators.hashes import MINHASH_P, duck_h, spark_h
 __all__ = [
     "hash_sample",
     "hash_sample_sql",
+    "hash_shuffle",
     "pack_sequences",
     "pack_sequences_duck_sql",
     "assign_split",
@@ -171,6 +172,45 @@ def assign_split_sql(
     spark = f"WITH t AS ({body.format(case=_split_case(weights, sp_h), source=source)}) {tail}"
     duck = f"WITH t AS ({body.format(case=_split_case(weights, du_h), source=source)}) {tail}"
     return spark, duck
+
+
+def hash_shuffle(
+    df: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """Deterministic global shuffle for training order.
+
+    A trainer wants documents decorrelated from ingest order (source
+    runs, crawl batches, pack adjacency) but REPRODUCIBLY — ``rand()``
+    breaks replay and a payload ``orderBy`` over 100 TB is a full
+    range-sort.  Here the content hash of ``(seed, id)`` IS the order:
+    rows route by hash-partitioning on the 62-bit key itself (one hash
+    exchange — the same cost any shuffle pays; partitioning on a
+    derived ``h % n`` small-int shard column collides under the
+    exchange's own murmur and leaves partitions empty/skewed —
+    measured 8 shards → 4 partitions) and sort within shard by
+    ``(h, id)``, so every
+    output partition's row SEQUENCE is a pure function of (corpus,
+    seed, n_shards) — re-running, re-reading, or growing the cluster
+    reproduces it bit-for-bit.  Changing ``seed`` draws an independent
+    permutation; downstream writers emit one file per shard.
+
+    The within-shard sort is a per-partition spillable sort, not a
+    global range sort: no sampling pass, no skew (62-bit hash keys are
+    uniform by construction).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = f"concat('{seed}', '#', CAST({id_col} AS STRING))"
+    h = F.expr(f"{spark_h(x=key)} % {MINHASH_P}")
+    return (
+        df.withColumn("__h", h)
+        .repartition(n_shards, F.col("__h"))
+        .sortWithinPartitions("__h", id_col)
+        .drop("__h")
+    )
 
 
 def sample_to_budget(

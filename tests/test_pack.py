@@ -276,3 +276,47 @@ def test_pack_sequences_duck_mirror_bit_equal(spark, duck, sf_dir):
     for members in packs.values():
         total = sum(n for _o, n in members)
         assert total <= 700 or len(members) == 1
+
+
+def test_hash_shuffle_is_deterministic_and_decorrelates(spark, sf_dir):
+    """hash_shuffle: per-partition row sequences are a pure function of
+    (corpus, seed, n_shards); a different seed draws an independent
+    permutation; the output order is decorrelated from doc_id order."""
+    from pyspark.sql.functions import spark_partition_id
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def sequences(seed):
+        out = pack.hash_shuffle(docs, n_shards=8, seed=seed)
+        rows = out.withColumn("p", spark_partition_id()).collect()
+        seqs = {}
+        for r in rows:
+            seqs.setdefault(r["p"], []).append(r["doc_id"])
+        return seqs
+
+    a, b, c = sequences("s0"), sequences("s0"), sequences("s1")
+    assert a == b  # bit-for-bit replay
+    assert a != c  # independent permutation per seed
+    n = docs.count()
+    assert sum(len(v) for v in a.values()) == n  # a permutation, not a sample
+    assert sorted(x for v in a.values() for x in v) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+    # shards are hash-balanced (uniform 62-bit keys): no empty shard and
+    # no shard over 2x the mean on this corpus size
+    sizes = [len(v) for v in a.values()]
+    assert len(sizes) == 8 and min(sizes) > 0 and max(sizes) < 2 * n / 8 + 8
+    # decorrelated from ingest order: within a shard, the doc_id sequence
+    # is far from sorted (a sorted sequence has ~n ascending adjacent
+    # pairs; a random permutation ~n/2)
+    first = a[sorted(a)[0]]
+    asc = sum(1 for x, y in zip(first, first[1:]) if y > x)
+    assert 0.25 < asc / max(1, len(first) - 1) < 0.75
+
+
+def test_hash_shuffle_rejects_bad_shards(spark, sf_dir):
+    import pytest as _pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError, match="n_shards"):
+        pack.hash_shuffle(docs, n_shards=0)

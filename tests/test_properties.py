@@ -544,3 +544,54 @@ def test_operator_outputs_are_layout_invariant(spark, sf_dir):
         a = fn(docs.repartition(1), emb.repartition(1))
         b = fn(docs.repartition(13), emb.repartition(13))
         assert h(a) == h(b), fn
+
+
+# ---------------------------------------------------------------------------
+# PQ quantizer kernel invariants (pure numpy — full hypothesis budget)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    seed=st.integers(0, 2**16),
+    n=st.integers(8, 60),
+    m=st.sampled_from([2, 4, 8]),
+    kc=st.integers(2, 8),
+)
+@settings(max_examples=60, deadline=None)
+def test_pq_kernel_invariants(seed, n, m, kc):
+    """(1) codes always index into the codebook; (2) a vector EQUAL to a
+    row of concatenated codewords reconstructs itself exactly (distance
+    0 beats every other codeword unless a duplicate ties — then the
+    lowest index wins, still reconstructing the same values); (3) the
+    encode is deterministic."""
+    import numpy as np
+
+    from etl_rust_spark.operators.similarity import _kmeans_l2, _round_half_up
+
+    rng = np.random.default_rng(seed)
+    d_sub = 3
+    mat = rng.normal(size=(n, m * d_sub))
+    books = np.stack(
+        [_kmeans_l2(mat[:, j * d_sub : (j + 1) * d_sub], kc, seed=seed + j) for j in range(m)]
+    )
+
+    def encode(x):
+        codes = []
+        for j in range(m):
+            sub = x[j * d_sub : (j + 1) * d_sub]
+            diff = sub[None, :] - books[j]
+            d2 = np.cumsum(diff * diff, axis=1)[:, -1]
+            codes.append(int(np.argmin(_round_half_up(d2, 6))))
+        return codes
+
+    for row in mat[:10]:
+        c1, c2 = encode(row), encode(row)
+        assert c1 == c2
+        assert all(0 <= c < len(books[0]) for c in c1)
+
+    # self-reconstruction: feed a codeword-concatenation through encode
+    chosen = [int(rng.integers(0, len(books[j]))) for j in range(m)]
+    exact_vec = np.concatenate([books[j][chosen[j]] for j in range(m)])
+    got = encode(exact_vec)
+    recon = np.concatenate([books[j][got[j]] for j in range(m)])
+    assert np.array_equal(recon, exact_vec)
