@@ -54,6 +54,9 @@ __all__ = [
     "build_ivfpq_index",
     "ivfpq_search",
     "update_ivfpq_index",
+    "train_pq_residual",
+    "pq_encode_residual",
+    "pq_residual_topk",
     "pq_fixed_encode",
     "pq_fixed_topk",
     "pq_fixed_topk_duck_sql",
@@ -1297,12 +1300,15 @@ def update_ivfpq_index(
     magnitude past the training sample.
     """
     spark = corpus_delta.sparkSession
-    cent, books = _read_ivfpq_artifacts(spark, path)
-    delta = (
-        pq_encode(corpus_delta, books, id_col, vec_col)
-        .join(ivf_assign(corpus_delta, cent, id_col, vec_col).select("cid", "list_id"), "cid")
-        .localCheckpoint(eager=True)
-    )
+    cent, books, residual = _read_ivfpq_artifacts(spark, path)
+    if residual:
+        delta = pq_encode_residual(corpus_delta, cent, books, id_col, vec_col)
+    else:
+        delta = pq_encode(corpus_delta, books, id_col, vec_col).join(
+            ivf_assign(corpus_delta, cent, id_col, vec_col).select("cid", "list_id"),
+            "cid",
+        )
+    delta = delta.localCheckpoint(eager=True)
     existing = spark.read.parquet(f"{path}/codes")
     delta_keys = delta.select("cid").distinct()
     old_lists = existing.join(delta_keys, "cid", "semi").select("list_id").distinct()
@@ -1841,6 +1847,248 @@ def ivf_pq_topk(
     )
 
 
+def train_pq_residual(
+    corpus: DataFrame,
+    centroids,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 10_000,
+    seed: int = 7,
+):
+    """PQ codebooks trained on IVF RESIDUALS (``v − centroid[assign(v)]``)
+    — the canonical IVFADC design (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search"): residuals are small and centered, so
+    the same bit budget resolves much finer structure than raw-vector
+    codebooks.  Sample + assignment run driver-side on the content-hash
+    sample (KB-scale artifacts out)."""
+    import numpy as np
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    samp = sorted(
+        _ivf_sample_frame(corpus, id_col, vec_col, sample, seed).collect(),
+        key=lambda r: r[0],
+    )[:sample]
+    mat = np.array([list(r[1]) for r in samp], dtype=np.float64)
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    norm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-30)
+    assign = np.argmax(norm @ cn.T, axis=1)
+    resid = mat - cent[assign]
+    d_sub = dim // m
+    return np.stack(
+        [
+            _kmeans_l2(resid[:, j * d_sub : (j + 1) * d_sub], k, seed=seed + j)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode_residual(
+    corpus: DataFrame,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, list_id, codes): FUSED coarse-assign + residual-encode in
+    one scan-side Arrow kernel — the vector is assigned to its nearest
+    centroid (same cosine-argmax rule as :func:`ivf_assign`'s kernel)
+    and its residual ``v − centroid`` is PQ-coded in the same pass, so
+    building the codes table costs one corpus scan and zero joins
+    (the raw-vector path needs pq_encode ⋈ ivf_assign)."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cent = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    bc = spark.sparkContext.broadcast((cent, cb))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        cents, books = bc.value
+        cn = cents / np.maximum(
+            np.sqrt((cents**2).sum(axis=1))[:, None], 1e-30
+        )
+        m, _kc, d_sub = books.shape
+        for pdf in batches:
+            pdf = pdf[pdf["v"].map(lambda x: x is not None)]
+            if not len(pdf):
+                continue
+            mat = np.array([list(x) for x in pdf["v"]], dtype=np.float64)
+            nrm = np.sqrt((mat**2).sum(axis=1))
+            assign = np.argmax(
+                (mat / np.maximum(nrm[:, None], 1e-30)) @ cn.T, axis=1
+            )
+            resid = mat - cents[assign]
+            codes = np.empty((len(mat), m), dtype=np.uint8)
+            for j in range(m):
+                sub = resid[:, j * d_sub : (j + 1) * d_sub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "cid": pdf["id"],
+                    "list_id": assign.astype(np.int32),
+                    "codes": [c.tolist() for c in codes],
+                }
+            )
+
+    return corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(gen, "cid long, list_id int, codes array<smallint>")
+
+
+def pq_residual_topk(
+    queries: DataFrame,
+    coded: DataFrame,
+    centroids,
+    codebooks,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_with: DataFrame | None = None,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """Residual-PQ ADC search: cosine(q, v̂) where
+    ``v̂ = centroid[list] + recon(codes)`` decomposes into pure table
+    lookups —
+
+    - ``dot(q, v̂) = dot(q, cent_l) + Σⱼ lut[q, j, codeⱼ]`` with the lut
+      built from the query (not its residual: the dot is linear),
+    - ``‖v̂‖² = ‖cent_l‖² + 2·Σⱼ clut[l, j, codeⱼ] + Σⱼ cn2[j, codeⱼ]``
+      with ``clut[l, j, c] = dot(cent_l_subⱼ, codeword)`` precomputed
+      driver-side ((n_lists, m, k) — KBs).
+
+    The codes corpus never moves; the kernel keeps ``list_id`` so each
+    row uses its own list's tables.  Scores carry quantization error on
+    BOTH the dot and the norm — recall pinned in tests; ``refine_with``
+    gives the IVFADC+R exact re-rank like :func:`pq_topk`.
+    """
+    import numpy as np
+
+    spark = queries.sparkSession
+    cent = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _kc, d_sub = cb.shape
+    q_rows = [
+        (int(r[0]), np.asarray(list(r[1]), dtype=np.float64))
+        for r in queries.select(id_col, vec_col).collect()
+        if r[1] is not None
+    ]
+    if not q_rows:
+        raise ValueError("pq_residual_topk: no non-null query vectors")
+    q_rows.sort(key=lambda t: t[0])
+    q_ids = np.array([a for a, _ in q_rows], dtype=np.int64)
+    q_mat = np.stack([b for _, b in q_rows])
+    q_nrm = np.sqrt((q_mat**2).sum(axis=1))
+
+    c_nrm = np.maximum(np.sqrt((cent**2).sum(axis=1)), 1e-30)
+    probed: set[int] = set()
+    idx = np.arange(len(cent))
+    cn_unit = cent / c_nrm[:, None]
+    for qi in range(len(q_ids)):
+        sims = cn_unit @ (q_mat[qi] / max(float(q_nrm[qi]), 1e-30))
+        for pos in np.lexsort((idx, -sims))[:nprobe]:
+            probed.add(int(pos))
+
+    luts = np.einsum("qjd,jkd->qjk", q_mat.reshape(len(q_mat), m, d_sub), cb)
+    q_dot_cent = q_mat @ cent.T  # (n_q, n_lists)
+    clut = np.einsum("ljd,jkd->ljk", cent.reshape(len(cent), m, d_sub), cb)
+    cn2 = (cb**2).sum(axis=2)
+    cent_norm2 = (cent**2).sum(axis=1)
+    bq = spark.sparkContext.broadcast(
+        (q_ids, q_nrm, luts, q_dot_cent, clut, cn2, cent_norm2)
+    )
+    keep = (k * refine_factor if refine_with is not None else k) + 1
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, qn, lut, qdc, cl, code_n2, cent_n2 = bq.value
+        n_q, mm, _ = lut.shape
+        j_idx = np.arange(mm)
+        parts: list[pd.DataFrame] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf["cid"].to_numpy(np.int64)
+            lists = pdf["list_id"].to_numpy(np.int64)
+            codes_m = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            res_dots = lut[:, j_idx, codes_m].sum(axis=2)  # (n_q, n)
+            dots = qdc[:, lists] + res_dots
+            vhat_n2 = (
+                cent_n2[lists]
+                + 2.0 * cl[lists[:, None], j_idx, codes_m].sum(axis=1)
+                + code_n2[j_idx, codes_m].sum(axis=1)
+            )
+            vhat_n = np.sqrt(np.maximum(vhat_n2, 0.0))
+            sims = dots / np.maximum(qn[:, None] * vhat_n[None, :], 1e-30)
+            sims = _round_half_up(sims, 4) + 0.0
+            top = min(keep, sims.shape[1])
+            for qi in range(n_q):
+                order = np.lexsort((c_ids, -sims[qi]))[:top]
+                parts.append(
+                    pd.DataFrame(
+                        {"qid": ids[qi], "cid": c_ids[order], "score": sims[qi][order]}
+                    )
+                )
+        if parts:
+            allp = pd.concat(parts, ignore_index=True)
+            yield (
+                allp.sort_values(["qid", "score", "cid"], ascending=[True, False, True])
+                .groupby("qid", sort=False)
+                .head(keep)
+            )
+        else:
+            yield pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                                "cid": pd.Series(dtype="int64"),
+                                "score": pd.Series(dtype="float64")})
+
+    survivors = coded.filter(F.col("list_id").isin(sorted(probed))).select(
+        "cid", "list_id", "codes"
+    )
+    cand = survivors.mapInPandas(score, "qid long, cid long, score double")
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    adc = (
+        cand.filter(F.col("cid") != F.col("qid"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    if refine_with is None:
+        return adc.filter(F.col("rn") <= k).select("qid", "cid", "score", "rn")
+    shortlist = adc.filter(F.col("rn") <= k * refine_factor).select("qid", "cid")
+    c = refine_with.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", F.expr(_norm("cv")))
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", F.expr(_norm("qv")))
+    exact = (
+        c.join(F.broadcast(shortlist), "cid")
+        .join(F.broadcast(q), "qid")
+        .withColumn(
+            "score",
+            F.round(
+                F.expr(_DOT.format(a="qv", b="cv")) / (F.col("qn") * F.col("cn")), 4
+            )
+            + F.lit(0.0),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "score", "rn")
+    )
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     path: str,
@@ -1851,6 +2099,7 @@ def build_ivfpq_index(
     k_codes: int = 16,
     sample: int = 10_000,
     seed: int = 7,
+    residual: bool = False,
 ) -> None:
     """Materialize the billion-vector index: IVF centroids + PQ
     codebooks (both KB-scale, trained on the one content-hash sample)
@@ -1859,8 +2108,14 @@ def build_ivfpq_index(
 
     Layout: ``{path}/centroids`` (list_id, centroid),
     ``{path}/codebooks`` (j, c, codeword), ``{path}/codes`` partitioned
-    by list_id.  Raw vectors are NOT stored — that is the point; keep
-    the source table around if searches want the IVFADC+R exact refine.
+    by list_id, ``{path}/meta`` (the residual flag).  Raw vectors are
+    NOT stored — that is the point; keep the source table around if
+    searches want the IVFADC+R exact refine.
+
+    ``residual=True`` trains the codebooks on IVF residuals and encodes
+    ``v − centroid[list]`` (canonical IVFADC — finer resolution from
+    the same bit budget; recall win pinned in tests); the build is also
+    cheaper there: assign + encode fuse into one corpus scan.
     """
     import numpy as np
 
@@ -1876,12 +2131,18 @@ def build_ivfpq_index(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
-    books = np.stack(
-        [
-            _kmeans_l2(mat[:, j * d_sub : (j + 1) * d_sub], k_codes, seed=seed + j)
-            for j in range(m)
-        ]
-    )
+    if residual:
+        books = train_pq_residual(
+            corpus, cent, m=m, k=k_codes, id_col=id_col, vec_col=vec_col,
+            sample=sample, seed=seed,
+        )
+    else:
+        books = np.stack(
+            [
+                _kmeans_l2(mat[:, j * d_sub : (j + 1) * d_sub], k_codes, seed=seed + j)
+                for j in range(m)
+            ]
+        )
     spark.createDataFrame(
         [(int(j), [float(x) for x in cent[j]]) for j in range(len(cent))],
         "list_id int, centroid array<double>",
@@ -1894,15 +2155,22 @@ def build_ivfpq_index(
         ],
         "j int, c int, codeword array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-    coded = pq_encode(corpus, books, id_col, vec_col).join(
-        ivf_assign(corpus, cent, id_col, vec_col).select("cid", "list_id"), "cid"
-    )
+    spark.createDataFrame(
+        [(bool(residual),)], "residual boolean"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    if residual:
+        coded = pq_encode_residual(corpus, cent, books, id_col, vec_col)
+    else:
+        coded = pq_encode(corpus, books, id_col, vec_col).join(
+            ivf_assign(corpus, cent, id_col, vec_col).select("cid", "list_id"), "cid"
+        )
     coded.write.partitionBy("list_id").mode("overwrite").parquet(f"{path}/codes")
 
 
 def _read_ivfpq_artifacts(spark, index_path: str):
-    """(centroids, codebooks) numpy arrays from a persisted IVF×PQ
-    index — KB-scale driver reads, list/subspace order restored."""
+    """(centroids, codebooks, residual) from a persisted IVF×PQ index —
+    KB-scale driver reads, list/subspace order restored.  Pre-r7-late
+    indexes have no ``meta`` table and read as residual=False."""
     import numpy as np
 
     cent_rows = sorted(
@@ -1916,7 +2184,13 @@ def _read_ivfpq_artifacts(spark, index_path: str):
     books = np.empty((m, kc, len(cb_rows[0]["codeword"])), dtype=np.float64)
     for r in cb_rows:
         books[r["j"], r["c"]] = list(r["codeword"])
-    return cent, books
+    try:
+        residual = bool(
+            spark.read.parquet(f"{index_path}/meta").collect()[0]["residual"]
+        )
+    except Exception:
+        residual = False
+    return cent, books, residual
 
 
 def ivfpq_search(
@@ -1935,13 +2209,15 @@ def ivfpq_search(
     plan-asserted in tests), ADC-score the surviving codes, optionally
     IVFADC+R-refine against a caller-supplied raw-vector table.
 
-    Equals :func:`ivf_pq_topk` run with the index's artifacts — pinned
-    in tests — while scanning ``nprobe/n_lists`` of the corpus as
-    m-byte codes."""
+    Equals :func:`ivf_pq_topk` (or :func:`pq_residual_topk` for a
+    ``residual=True`` build — the meta table records which) run with
+    the index's artifacts — pinned in tests — while scanning
+    ``nprobe/n_lists`` of the corpus as m-byte codes."""
     spark = queries.sparkSession
-    cent, books = _read_ivfpq_artifacts(spark, index_path)
+    cent, books, residual = _read_ivfpq_artifacts(spark, index_path)
     coded = spark.read.parquet(f"{index_path}/codes")
-    return ivf_pq_topk(
+    fn = pq_residual_topk if residual else ivf_pq_topk
+    return fn(
         queries,
         coded,
         cent,

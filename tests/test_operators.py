@@ -812,7 +812,7 @@ def test_ivfpq_index_build_search_equals_inmemory(spark, tmp_path):
     similarity.build_ivfpq_index(
         emb, path, n_lists=8, m=16, k_codes=8, sample=400, seed=7
     )
-    cent, books = similarity._read_ivfpq_artifacts(spark, path)
+    cent, books, _res = similarity._read_ivfpq_artifacts(spark, path)
     coded = similarity.pq_encode(emb, books).join(
         similarity.ivf_assign(emb, cent).select("cid", "list_id"), "cid"
     )
@@ -861,7 +861,7 @@ def test_ivfpq_index_incremental_update(spark, tmp_path):
     base = emb.filter("vec_id < 240")
     path = str(tmp_path / "ivfpq_up")
     similarity.build_ivfpq_index(base, path, n_lists=8, m=8, k_codes=8, sample=240)
-    cent, books = similarity._read_ivfpq_artifacts(spark, path)
+    cent, books, _res = similarity._read_ivfpq_artifacts(spark, path)
 
     new_rows = emb.filter("vec_id >= 240").select("vec_id", "embedding")
     moved = emb.filter("vec_id >= 100 AND vec_id < 105").selectExpr(
@@ -933,3 +933,111 @@ def test_ivfpq_update_purges_emptied_list_partition(spark, tmp_path):
     assert [r["list_id"] for r in got.filter("cid = 99").collect()] == [0]
     assert got.filter("list_id = 2").count() == 0
     assert not (pathlib.Path(path) / "codes" / "list_id=2").exists()
+
+
+def test_residual_pq_beats_raw_pq_recall(spark):
+    """The IVFADC residual design must earn its keep: on clustered data
+    the residuals are the small within-cluster offsets, so the same
+    (m, k) bit budget resolves neighbor ORDER that raw-vector codebooks
+    blur.  Compare ADC-only recall@1 (no refine) at identical budgets."""
+    emb = _clustered_emb(spark)
+    queries = emb.filter(F.col("vec_id") < 40)
+    exact = {
+        (r.qid, r.cid)
+        for r in similarity.cosine_topk(queries, emb, k=1)
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+
+    samp = sorted(
+        similarity._ivf_sample_frame(emb, "vec_id", "embedding", 600, 7).collect(),
+        key=lambda r: r[0],
+    )
+    mat = np.array([list(r[1]) for r in samp], dtype=np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    cent = similarity._kmeans(mat, 16, seed=7)
+
+    def recall_of(pairs):
+        got = {(r.qid, r.cid) for r in pairs if r.rn == 1}
+        return len(got & exact) / len(exact)
+
+    raw_books = similarity.train_pq(emb, m=8, k=16)
+    raw_coded = similarity.pq_encode(emb, raw_books).join(
+        similarity.ivf_assign(emb, cent).select("cid", "list_id"), "cid"
+    )
+    raw_rec = recall_of(
+        similarity.ivf_pq_topk(queries, raw_coded, cent, raw_books, k=1, nprobe=16).collect()
+    )
+
+    res_books = similarity.train_pq_residual(emb, cent, m=8, k=16)
+    res_coded = similarity.pq_encode_residual(emb, cent, res_books)
+    res_rows = similarity.pq_residual_topk(
+        queries, res_coded, cent, res_books, k=10, nprobe=16
+    ).collect()
+    res_rec = recall_of(res_rows)
+    # offline sweep at this budget (m=8, k=16): raw ADC@1 0.175 /
+    # @10 0.775; residual ADC@1 0.400 / @10 0.975 — i.e. residual at
+    # HALF the budget matches what raw needed m=16 for (the IVFADC
+    # paper's point).  Bars sit under the measured values with margin.
+    assert res_rec >= raw_rec + 0.15, f"residual {res_rec} vs raw {raw_rec}"
+    per_q: dict = {}
+    for r in res_rows:
+        per_q.setdefault(r.qid, set()).add(r.cid)
+    shortlist10 = sum(
+        1 for qid, cid in exact if cid in per_q.get(qid, set())
+    ) / len(exact)
+    assert shortlist10 >= 0.9, f"residual ADC recall@10 {shortlist10}"
+
+
+def test_residual_ivfpq_index_build_search_update(spark, tmp_path):
+    """residual=True flows through the persisted index end to end: the
+    meta flag dispatches search to pq_residual_topk (parity pinned),
+    refine still works, and incremental update encodes residuals."""
+    emb = _clustered_emb(spark, n=400)
+    base = emb.filter("vec_id < 360")
+    q = emb.filter(F.col("vec_id") < 15)
+    path = str(tmp_path / "ivfpq_res")
+    similarity.build_ivfpq_index(
+        base, path, n_lists=8, m=8, k_codes=16, sample=360, residual=True
+    )
+    cent, books, res = similarity._read_ivfpq_artifacts(spark, path)
+    assert res is True
+    coded = similarity.pq_encode_residual(base, cent, books)
+    want = sorted(
+        map(
+            tuple,
+            similarity.pq_residual_topk(q, coded, cent, books, k=3, nprobe=3).collect(),
+        )
+    )
+    got = sorted(map(tuple, similarity.ivfpq_search(q, path, k=3, nprobe=3).collect()))
+    assert got == want and len(got) == 45
+
+    similarity.update_ivfpq_index(emb.filter("vec_id >= 360"), path)
+    after = spark.read.parquet(f"{path}/codes")
+    assert after.count() == 400 and after.select("cid").distinct().count() == 400
+    # updated rows equal a from-scratch residual encode
+    want_all = similarity.pq_encode_residual(emb, cent, books)
+    j = after.select("cid", "list_id", "codes").join(
+        want_all.select("cid", F.col("list_id").alias("l2"), F.col("codes").alias("c2")),
+        "cid",
+        "full",
+    )
+    assert (
+        j.filter(
+            F.col("list_id").isNull()
+            | F.col("l2").isNull()
+            | (F.col("list_id") != F.col("l2"))
+            | (F.col("codes") != F.col("c2"))
+        ).count()
+        == 0
+    )
+    # refined residual search hits exact top-1
+    exact = {
+        (r.qid, r.cid)
+        for r in similarity.cosine_topk(q, emb, k=1).filter(F.col("rn") == 1).collect()
+    }
+    ref = similarity.ivfpq_search(
+        q, path, k=1, nprobe=8, refine_with=emb, refine_factor=10
+    )
+    got1 = {(r.qid, r.cid) for r in ref.filter(F.col("rn") == 1).collect()}
+    assert len(got1 & exact) / len(exact) >= 0.9

@@ -675,7 +675,7 @@ def test_ann_index_stream_maintains_ivfpq_codes(spark, tmp_path):
 
     got = spark.read.parquet(f"{idx}/codes")
     assert got.count() == 160 and got.select("cid").distinct().count() == 160
-    cent, books = similarity._read_ivfpq_artifacts(spark, idx)
+    cent, books, _res = similarity._read_ivfpq_artifacts(spark, idx)
     want = similarity.pq_encode(emb, books).join(
         similarity.ivf_assign(emb, cent).select("cid", "list_id"), "cid"
     )
