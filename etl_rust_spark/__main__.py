@@ -238,6 +238,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     pab.add_argument("--pq-m", type=int, default=8, help="PQ subspaces")
     pab.add_argument("--pq-codes", type=int, default=16, help="codewords/subspace")
+    pab.add_argument(
+        "--residual",
+        action="store_true",
+        help="(ivfpq) IVFADC: train/encode on coarse-quantizer residuals "
+        "— better recall at the same bit budget; recorded in the index "
+        "meta so search/update dispatch automatically",
+    )
 
     pas = sub.add_parser(
         "ann-search",
@@ -464,6 +471,7 @@ def main(argv: list[str] | None = None) -> int:
                 _sim.build_ivfpq_index(
                     emb, args.out, n_lists=args.n_lists,
                     m=args.pq_m, k_codes=args.pq_codes,
+                    residual=args.residual,
                 )
             n = spark.read.parquet(f"{args.out}/codes").count()
         else:
