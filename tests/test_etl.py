@@ -641,7 +641,7 @@ def test_cli_ann_ivfpq_build_update_search(spark, sf_dir, tmp_path, capsys):
     idx = str(tmp_path / "pq_idx")
     assert main([
         "ann-build", base, "--out", idx, "--kind", "ivfpq",
-        "--n-lists", "8", "--pq-m", "8", "--pq-codes", "8",
+        "--n-lists", "8", "--pq-m", "8", "--pq-codes", "8", "--residual",
     ]) == 0
     r1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r1 == {"indexed_vectors": 150}
