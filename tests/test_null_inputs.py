@@ -142,3 +142,35 @@ def test_ivf_index_kernels_skip_null_embeddings(spark, tmp_path):
     )
     got = {r.qid for r in out.collect()}
     assert 100 not in got and {0, 1} <= got
+
+
+def test_pq_kernels_skip_null_embeddings(spark, tmp_path):
+    """pq_encode / pq_encode_residual / pq_fixed_topk / ivfpq build+
+    search must skip NULL embeddings (the Arrow-kernel null-guard
+    contract), for both raw and residual layouts."""
+    from pyspark.sql import types as T
+
+    from etl_rust_spark.operators import similarity
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)]) for i in range(40)]
+    rows += [(100, None), (101, None)]
+    emb = spark.createDataFrame(rows, schema)
+
+    for residual in (False, True):
+        idx = str(tmp_path / f"pq_null_{residual}")
+        similarity.build_ivfpq_index(
+            emb, idx, n_lists=4, m=4, k_codes=4, sample=40, residual=residual
+        )
+        assert spark.read.parquet(f"{idx}/codes").count() == 40
+        out = similarity.ivfpq_search(
+            emb.filter("vec_id IN (0, 1, 100)"), idx, k=2, nprobe=4
+        )
+        got = {r.qid for r in out.collect()}
+        assert 100 not in got and {0, 1} <= got
+
+    books = similarity.train_pq(emb, m=4, k=4, sample=40)
+    assert similarity.pq_encode(emb, books).count() == 40
