@@ -113,6 +113,116 @@ def decode_varint(data: bytes, pos: int) -> tuple[int, int]:
 
 
 # --------------------------------------------------------------------------
+# Snappy (raw block format, public spec: format_description.txt) —
+# Kafka codec 2.  Decode implements the FULL element grammar (literal +
+# 1/2/4-byte-offset copies, LE varint preamble) plus transparent unwrap
+# of the historical xerial/java framing; encode emits the spec's
+# literals-only form (a valid stream any snappy reader inflates — the
+# compression win stays with gzip, interop is what this buys).
+# --------------------------------------------------------------------------
+
+_XERIAL_MAGIC = b"\x82SNAPPY\x00"
+
+
+def snappy_compress(data: bytes) -> bytes:
+    out = bytearray()
+    n = len(data)
+    while True:  # unsigned LE base-128 preamble
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | 0x80 if n else b)
+        if not n:
+            break
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos : pos + 65536]
+        ln = len(chunk) - 1
+        if ln < 60:
+            out.append(ln << 2)
+        elif ln < 256:
+            out += bytes((60 << 2, ln))
+        else:
+            out += bytes((61 << 2, ln & 0xFF, ln >> 8))
+        out += chunk
+        pos += len(chunk)
+    return bytes(out)
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    try:
+        return _snappy_decompress(data)
+    except (IndexError, struct.error) as exc:
+        raise KafkaWireError(f"corrupt snappy stream: {exc!r}") from exc
+
+
+def _snappy_decompress(data: bytes) -> bytes:
+    if data[: len(_XERIAL_MAGIC)] == _XERIAL_MAGIC:
+        # xerial framing: 8-byte magic, two int32 versions, then
+        # [int32 block length, raw-snappy block]...
+        out = bytearray()
+        pos = 16
+        while pos < len(data):
+            (blen,) = struct.unpack_from(">i", data, pos)
+            pos += 4
+            if blen < 0 or pos + blen > len(data):
+                raise KafkaWireError("truncated xerial snappy block")
+            out += _snappy_decompress(data[pos : pos + blen])
+            pos += blen
+        return bytes(out)
+    total, shift, pos = 0, 0, 0
+    while True:
+        b = data[pos]
+        pos += 1
+        total |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 35:
+            raise KafkaWireError("bad snappy length preamble")
+    out = bytearray()
+    while pos < len(data):
+        tag = data[pos]
+        pos += 1
+        kind = tag & 0x03
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nbytes = ln - 59
+                ln = int.from_bytes(data[pos : pos + nbytes], "little")
+                if len(data[pos : pos + nbytes]) < nbytes:
+                    raise KafkaWireError("truncated snappy literal length")
+                pos += nbytes
+            ln += 1
+            lit = data[pos : pos + ln]
+            if len(lit) < ln:
+                raise KafkaWireError("truncated snappy literal")
+            out += lit
+            pos += ln
+        else:
+            if kind == 1:  # copy, 3-bit length, 11-bit offset
+                ln = ((tag >> 2) & 0x07) + 4
+                off = ((tag >> 5) << 8) | data[pos]
+                pos += 1
+            elif kind == 2:  # copy, 2-byte LE offset
+                ln = (tag >> 2) + 1
+                off = int.from_bytes(data[pos : pos + 2], "little")
+                pos += 2
+            else:  # copy, 4-byte LE offset
+                ln = (tag >> 2) + 1
+                off = int.from_bytes(data[pos : pos + 4], "little")
+                pos += 4
+            if off == 0 or off > len(out):
+                raise KafkaWireError("snappy copy offset out of range")
+            for _ in range(ln):  # overlapping copies are the RLE trick
+                out.append(out[-off])
+    if len(out) != total:
+        raise KafkaWireError(
+            f"snappy length mismatch: preamble {total}, inflated {len(out)}"
+        )
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
 # RecordBatch v2 (magic 2) — the on-disk/on-wire batch format
 # --------------------------------------------------------------------------
 
@@ -132,14 +242,17 @@ def encode_record_batch(
     first/max timestamp int64, producerId/Epoch/baseSequence (-1:
     idempotence off), record count, then zigzag-varint records.
 
-    ``compression='gzip'`` compresses the RECORDS section only (codec 1
-    in the attributes bits, per the spec — the 40-byte batch-body
-    prefix stays clear so brokers can route without inflating); the
-    record COUNT stays the logical count.  None = codec 0."""
+    ``compression='gzip'`` (codec 1) or ``'snappy'`` (codec 2, raw
+    block format) compresses the RECORDS section only — the 40-byte
+    batch-body prefix stays clear so brokers can route without
+    inflating; the record COUNT stays the logical count.  None =
+    codec 0."""
     if not values:
         raise KafkaWireError("empty record batch")
-    if compression not in (None, "gzip"):
-        raise KafkaWireError(f"unsupported compression {compression!r} (gzip only)")
+    if compression not in (None, "gzip", "snappy"):
+        raise KafkaWireError(
+            f"unsupported compression {compression!r} (gzip | snappy)"
+        )
     keys = keys if keys is not None else [None] * len(values)
     ts = int(time.time() * 1000) if base_timestamp is None else base_timestamp
     records = bytearray()
@@ -163,6 +276,9 @@ def encode_record_batch(
         attrs = 1
         # mtime=0: byte-deterministic output (golden tests depend on it)
         rec_bytes = _gzip.compress(rec_bytes, mtime=0)
+    elif compression == "snappy":
+        attrs = 2
+        rec_bytes = snappy_compress(rec_bytes)
     after_crc = (
         struct.pack(">hiqqqhii", attrs, len(values) - 1, ts, ts, -1, -1, -1, len(values))
         + rec_bytes
@@ -213,6 +329,8 @@ def _decode_record_batch(data: bytes) -> list[tuple[bytes | None, bytes]]:
                 body = body[:40] + _gzip.decompress(body[40:])
             except (OSError, EOFError, _zlib.error) as exc:
                 raise KafkaWireError(f"bad gzip records section: {exc!r}") from exc
+        elif codec == 2:  # snappy (raw or xerial-framed)
+            body = body[:40] + snappy_decompress(body[40:])
         elif codec:
             raise KafkaWireError(f"unsupported compression codec {codec}")
         for _ in range(n):

@@ -148,3 +148,12 @@ def test_adpcm_garbage_after_fmt(tail):
             + b"data" + struct.pack("<I", len(tail)))
     body = head + tail
     _assert_contract(mc.decode_wav, b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+@settings(**_SETTINGS)
+@given(st.binary(max_size=400))
+def test_snappy_garbage_never_crashes(tail):
+    from etl_rust_spark.etl.kafka_wire import snappy_decompress
+
+    _assert_contract(snappy_decompress, tail)
+    _assert_contract(snappy_decompress, b"\x82SNAPPY\x00" + tail)

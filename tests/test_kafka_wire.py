@@ -348,3 +348,56 @@ def test_record_batch_gzip_corrupt_stream_raises_wire_error():
     struct.pack_into(">I", plain, 17, crc32c(bytes(plain[21:])))
     with _pytest.raises(KafkaWireError, match="codec"):
         decode_record_batch(bytes(plain))
+
+
+def test_snappy_hand_golden_with_copies():
+    """Hand-derived raw-snappy stream exercising the copy grammar:
+    preamble 12, literal 'ab' (tag 0x04), then a 1-byte-offset copy of
+    length 10 at offset 2 (tag (10-4)<<2 | 01 = 0x19, offset byte 0x02)
+    — the overlapping-copy RLE trick expands 'ab' to 12 bytes."""
+    from etl_rust_spark.etl.kafka_wire import snappy_decompress
+
+    assert snappy_decompress(b"\x0c" + b"\x04ab" + b"\x19\x02") == b"ab" * 6
+    # 2-byte-offset copy form: literal 'abcd', copy len 4 off 4
+    stream = b"\x08" + b"\x0cabcd" + bytes([((4 - 1) << 2) | 2, 4, 0])
+    assert snappy_decompress(stream) == b"abcdabcd"
+
+
+def test_snappy_roundtrip_and_xerial_unwrap():
+    import struct
+
+    from etl_rust_spark.etl.kafka_wire import snappy_compress, snappy_decompress
+
+    for payload in (b"", b"x", b"hello world" * 1000, bytes(range(256)) * 300):
+        assert snappy_decompress(snappy_compress(payload)) == payload
+    # xerial/java framing: magic + versions + [len, block]...
+    block = snappy_compress(b"framed payload")
+    framed = (b"\x82SNAPPY\x00" + struct.pack(">ii", 1, 1)
+              + struct.pack(">i", len(block)) + block)
+    assert snappy_decompress(framed) == b"framed payload"
+
+
+def test_snappy_corrupt_raises_wire_error():
+    import pytest as _pytest
+
+    from etl_rust_spark.etl.kafka_wire import KafkaWireError, snappy_decompress
+
+    for bad in (
+        b"\x0c\x19\x02",            # copy before any output (offset > len(out))
+        b"\xff\xff\xff\xff\xff\xff",  # runaway preamble
+        b"\x0c\x04ab",              # inflates to 2, preamble says 12
+        b"\x08\xfcabcd",            # literal length runs past end
+    ):
+        with _pytest.raises(KafkaWireError):
+            snappy_decompress(bad)
+
+
+def test_record_batch_snappy_roundtrip():
+    import struct
+
+    vals = [b"v" * 300, b"w" * 300]
+    plain = encode_record_batch(vals, base_timestamp=3)
+    comp = encode_record_batch(vals, base_timestamp=3, compression="snappy")
+    assert decode_record_batch(comp) == decode_record_batch(plain)
+    (attrs,) = struct.unpack_from(">h", comp, 21)
+    assert attrs & 0x07 == 2
