@@ -223,6 +223,180 @@ def _snappy_decompress(data: bytes) -> bytes:
 
 
 # --------------------------------------------------------------------------
+# LZ4 frame format (public spec lz4_Frame_format.md) — Kafka codec 3.
+# Decode: full frame walk (FLG/BD/HC header with xxhash32 verification,
+# compressed + stored blocks, optional block/content checksums) over
+# the full block-sequence grammar.  Encode: spec-valid frame of STORED
+# blocks (highest-bit size flag) — same interop-over-ratio trade as the
+# snappy encoder.  xxhash32 is implemented from its public spec.
+# --------------------------------------------------------------------------
+
+_LZ4_MAGIC = 0x184D2204
+_XXH_P1, _XXH_P2, _XXH_P3, _XXH_P4, _XXH_P5 = (
+    2654435761, 2246822519, 3266489917, 668265263, 374761393,
+)
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def xxhash32(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    pos = 0
+    if n >= 16:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _M32
+        v2 = (seed + _XXH_P2) & _M32
+        v3 = seed & _M32
+        v4 = (seed - _XXH_P1) & _M32
+        while pos + 16 <= n:
+            for i, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[pos + 4 * i : pos + 4 * i + 4], "little")
+                v = (v + lane * _XXH_P2) & _M32
+                v = (_rotl32(v, 13) * _XXH_P1) & _M32
+                if i == 0:
+                    v1 = v
+                elif i == 1:
+                    v2 = v
+                elif i == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            pos += 16
+        h = (_rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12) + _rotl32(v4, 18)) & _M32
+    else:
+        h = (seed + _XXH_P5) & _M32
+    h = (h + n) & _M32
+    while pos + 4 <= n:
+        h = (h + int.from_bytes(data[pos : pos + 4], "little") * _XXH_P3) & _M32
+        h = (_rotl32(h, 17) * _XXH_P4) & _M32
+        pos += 4
+    while pos < n:
+        h = (h + data[pos] * _XXH_P5) & _M32
+        h = (_rotl32(h, 11) * _XXH_P1) & _M32
+        pos += 1
+    h ^= h >> 15
+    h = (h * _XXH_P2) & _M32
+    h ^= h >> 13
+    h = (h * _XXH_P3) & _M32
+    h ^= h >> 16
+    return h
+
+
+def _lz4_block_decompress(data: bytes, max_out: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        token = data[pos]
+        pos += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = data[pos]
+                pos += 1
+                lit += b
+                if b != 255:
+                    break
+        chunk = data[pos : pos + lit]
+        if len(chunk) < lit:
+            raise KafkaWireError("truncated lz4 literals")
+        out += chunk
+        pos += lit
+        if pos >= len(data):
+            break  # last sequence: literals only
+        off = int.from_bytes(data[pos : pos + 2], "little")
+        pos += 2
+        if off == 0 or off > len(out):
+            raise KafkaWireError("lz4 match offset out of range")
+        mlen = token & 0x0F
+        if mlen == 15:
+            while True:
+                b = data[pos]
+                pos += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        for _ in range(mlen):
+            out.append(out[-off])
+        if len(out) > max_out:
+            raise KafkaWireError("lz4 output exceeds declared bound")
+    return bytes(out)
+
+
+def lz4_decompress(data: bytes, max_out: int = 1 << 27) -> bytes:
+    try:
+        return _lz4_decompress(data, max_out)
+    except (IndexError, struct.error) as exc:
+        raise KafkaWireError(f"corrupt lz4 frame: {exc!r}") from exc
+
+
+def _lz4_decompress(data: bytes, max_out: int) -> bytes:
+    if int.from_bytes(data[:4], "little") != _LZ4_MAGIC:
+        raise KafkaWireError("bad lz4 frame magic")
+    flg, bd = data[4], data[5]
+    if (flg >> 6) != 0b01:
+        raise KafkaWireError("unsupported lz4 frame version")
+    b_checksum = bool(flg & 0x10)
+    c_size = bool(flg & 0x08)
+    c_checksum = bool(flg & 0x04)
+    pos = 6
+    hdr = data[4:6]
+    if c_size:
+        hdr += data[pos : pos + 8]
+        pos += 8
+    hc = data[pos]
+    pos += 1
+    if ((xxhash32(hdr) >> 8) & 0xFF) != hc:
+        raise KafkaWireError("lz4 frame header checksum mismatch")
+    out = bytearray()
+    while True:
+        if pos + 4 > len(data):
+            raise KafkaWireError("lz4 frame missing EndMark")
+        (bsize,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if bsize == 0:
+            break
+        stored = bool(bsize & 0x80000000)
+        bsize &= 0x7FFFFFFF
+        block = data[pos : pos + bsize]
+        if len(block) < bsize:
+            raise KafkaWireError("truncated lz4 block")
+        pos += bsize
+        if b_checksum:
+            (bsum,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            if xxhash32(block) != bsum:
+                raise KafkaWireError("lz4 block checksum mismatch")
+        out += block if stored else _lz4_block_decompress(block, max_out - len(out))
+        if len(out) > max_out:
+            raise KafkaWireError("lz4 output exceeds bound")
+    if c_checksum:
+        (csum,) = struct.unpack_from("<I", data, pos)
+        if xxhash32(bytes(out)) != csum:
+            raise KafkaWireError("lz4 content checksum mismatch")
+    return bytes(out)
+
+
+def lz4_compress(data: bytes) -> bytes:
+    """Spec-valid frame of STORED blocks (block-independent, content
+    checksum on — what Kafka's lz4 consumers verify)."""
+    flg = (0b01 << 6) | 0x20 | 0x04  # version, B.Indep, C.Checksum
+    bd = 0x70  # 4 MB max block size
+    hdr = bytes((flg, bd))
+    out = bytearray(struct.pack("<I", _LZ4_MAGIC) + hdr)
+    out.append((xxhash32(hdr) >> 8) & 0xFF)
+    for pos in range(0, len(data), 1 << 22):
+        block = data[pos : pos + (1 << 22)]
+        out += struct.pack("<I", len(block) | 0x80000000)
+        out += block
+    out += struct.pack("<I", 0)  # EndMark
+    out += struct.pack("<I", xxhash32(data))
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
 # RecordBatch v2 (magic 2) — the on-disk/on-wire batch format
 # --------------------------------------------------------------------------
 
@@ -249,9 +423,9 @@ def encode_record_batch(
     codec 0."""
     if not values:
         raise KafkaWireError("empty record batch")
-    if compression not in (None, "gzip", "snappy"):
+    if compression not in (None, "gzip", "snappy", "lz4"):
         raise KafkaWireError(
-            f"unsupported compression {compression!r} (gzip | snappy)"
+            f"unsupported compression {compression!r} (gzip | snappy | lz4)"
         )
     keys = keys if keys is not None else [None] * len(values)
     ts = int(time.time() * 1000) if base_timestamp is None else base_timestamp
@@ -279,6 +453,9 @@ def encode_record_batch(
     elif compression == "snappy":
         attrs = 2
         rec_bytes = snappy_compress(rec_bytes)
+    elif compression == "lz4":
+        attrs = 3
+        rec_bytes = lz4_compress(rec_bytes)
     after_crc = (
         struct.pack(">hiqqqhii", attrs, len(values) - 1, ts, ts, -1, -1, -1, len(values))
         + rec_bytes
@@ -331,6 +508,8 @@ def _decode_record_batch(data: bytes) -> list[tuple[bytes | None, bytes]]:
                 raise KafkaWireError(f"bad gzip records section: {exc!r}") from exc
         elif codec == 2:  # snappy (raw or xerial-framed)
             body = body[:40] + snappy_decompress(body[40:])
+        elif codec == 3:  # lz4 frame
+            body = body[:40] + lz4_decompress(body[40:])
         elif codec:
             raise KafkaWireError(f"unsupported compression codec {codec}")
         for _ in range(n):

@@ -157,3 +157,14 @@ def test_snappy_garbage_never_crashes(tail):
 
     _assert_contract(snappy_decompress, tail)
     _assert_contract(snappy_decompress, b"\x82SNAPPY\x00" + tail)
+
+
+@settings(**_SETTINGS)
+@given(st.binary(max_size=400))
+def test_lz4_garbage_never_crashes(tail):
+    import struct as _struct
+
+    from etl_rust_spark.etl.kafka_wire import lz4_decompress
+
+    _assert_contract(lz4_decompress, tail)
+    _assert_contract(lz4_decompress, _struct.pack("<I", 0x184D2204) + tail)

@@ -401,3 +401,72 @@ def test_record_batch_snappy_roundtrip():
     assert decode_record_batch(comp) == decode_record_batch(plain)
     (attrs,) = struct.unpack_from(">h", comp, 21)
     assert attrs & 0x07 == 2
+
+
+def test_xxhash32_known_vectors():
+    from etl_rust_spark.etl.kafka_wire import xxhash32
+
+    assert xxhash32(b"") == 0x02CC5D05
+    assert xxhash32(b"a") == 0x550D7456
+    assert xxhash32(b"abc") == 0x32D153FF
+    # >=16-byte path (the four-lane loop)
+    assert xxhash32(b"Hello, world! Hello!") == xxhash32(b"Hello, world! Hello!")
+    assert xxhash32(b"x" * 64) != xxhash32(b"x" * 63)
+
+
+def test_lz4_hand_golden_compressed_block():
+    """Hand-built frame holding one COMPRESSED block: token 0x40 =
+    4 literals 'abcd', then match offset 4 length 0+4 -> 'abcdabcd'."""
+    import struct
+
+    from etl_rust_spark.etl.kafka_wire import lz4_decompress, xxhash32
+
+    block = b"\x40abcd" + b"\x04\x00"
+    hdr = bytes((0x60, 0x70))  # version, B.Indep; 4MB blocks; no checksums
+    frame = (
+        struct.pack("<I", 0x184D2204) + hdr
+        + bytes(((xxhash32(hdr) >> 8) & 0xFF,))
+        + struct.pack("<I", len(block)) + block
+        + struct.pack("<I", 0)
+    )
+    assert lz4_decompress(frame) == b"abcdabcd"
+
+
+def test_lz4_roundtrip_and_corrupt():
+    import pytest as _pytest
+    import struct
+
+    from etl_rust_spark.etl.kafka_wire import (
+        KafkaWireError,
+        lz4_compress,
+        lz4_decompress,
+    )
+
+    for payload in (b"", b"z", b"payload " * 4096):
+        assert lz4_decompress(lz4_compress(payload)) == payload
+    good = lz4_compress(b"hello world")
+    with _pytest.raises(KafkaWireError, match="magic"):
+        lz4_decompress(b"\x00\x00\x00\x00" + good[4:])
+    bad_hc = bytearray(good)
+    bad_hc[6] ^= 0xFF
+    with _pytest.raises(KafkaWireError, match="header checksum"):
+        lz4_decompress(bytes(bad_hc))
+    bad_content = bytearray(good)
+    struct.pack_into("<I", bad_content, len(bad_content) - 4, 0)
+    with _pytest.raises(KafkaWireError, match="content checksum"):
+        lz4_decompress(bytes(bad_content))
+    with _pytest.raises(KafkaWireError, match="EndMark"):
+        lz4_decompress(good[:-8])  # exactly EndMark + content checksum gone
+    with _pytest.raises(KafkaWireError, match="truncated lz4 block"):
+        lz4_decompress(good[:-9])  # cut reaches into the block itself
+
+
+def test_record_batch_lz4_roundtrip():
+    import struct
+
+    vals = [b"p" * 300, b"q" * 300]
+    plain = encode_record_batch(vals, base_timestamp=5)
+    comp = encode_record_batch(vals, base_timestamp=5, compression="lz4")
+    assert decode_record_batch(comp) == decode_record_batch(plain)
+    (attrs,) = struct.unpack_from(">h", comp, 21)
+    assert attrs & 0x07 == 3
