@@ -576,11 +576,13 @@ class KafkaWireClient:
         client_id: str = "etl-rust-spark",
         timeout: float = 10.0,
         topic_prefix: str = "",
+        compression: str | None = None,
     ) -> None:
         self.host, self.port = host, port
         self.client_id = client_id
         self.timeout = timeout
         self.topic_prefix = topic_prefix
+        self.compression = compression
         self.sock: socket.socket | None = None
         self._corr = 0
         self.connected = False
@@ -741,7 +743,10 @@ class KafkaWireClient:
             p if isinstance(p, (bytes, bytearray)) else str(p).encode()
             for p in payloads
         ]
-        self._produce(self._topic(table), encode_record_batch(values))
+        self._produce(
+            self._topic(table),
+            encode_record_batch(values, compression=self.compression),
+        )
 
     def disconnect(self) -> None:
         if self.sock is not None:

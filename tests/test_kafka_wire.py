@@ -470,3 +470,22 @@ def test_record_batch_lz4_roundtrip():
     assert decode_record_batch(comp) == decode_record_batch(plain)
     (attrs,) = struct.unpack_from(">h", comp, 21)
     assert attrs & 0x07 == 3
+
+
+def test_client_compressed_produce_fetch_roundtrip():
+    """Each codec flows through the full socket path: produce a
+    compressed batch to the stub broker, fetch the stored bytes back,
+    decode transparently."""
+    for codec in ("gzip", "snappy", "lz4"):
+        broker = KafkaStubBroker()
+        try:
+            c = KafkaWireClient("127.0.0.1", broker.port, compression=codec)
+            c.connect()
+            c.publish_batch("blocks", ['{"n": 1}' * 30, '{"n": 2}' * 30])
+            got = c.fetch("blocks")
+            assert [v for _k, v in got] == [
+                b'{"n": 1}' * 30, b'{"n": 2}' * 30
+            ], codec
+            c.disconnect()
+        finally:
+            broker.close()
