@@ -212,9 +212,231 @@ def image_feature(arr: np.ndarray, dim: int = 8) -> list[float]:
 # magic-bytes prefix → decoder(bytes) -> np.ndarray
 from etl_rust_spark.operators.jpegcodec import JPEG_MAGIC, decode_jpeg  # noqa: E402
 
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Windows BMP (BITMAPINFOHEADER, uncompressed BI_RGB 24/32-bit) →
+    (h, w, 3) uint8 RGB.  Rows are stored bottom-up, padded to 4-byte
+    boundaries, channels BGR — all normalized here."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP (bad magic)")
+    try:
+        (off,) = struct.unpack_from("<I", data, 10)
+        hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+        if hdr_size < 40:
+            raise ValueError(f"unsupported BMP header size {hdr_size}")
+        planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+    except struct.error as exc:
+        raise ValueError(f"truncated BMP header: {exc!r}") from exc
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression} (BI_RGB only)")
+    if bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    if w <= 0 or abs(h) == 0:
+        raise ValueError("bad BMP dimensions")
+    top_down = h < 0
+    h = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    need = off + stride * h
+    if len(data) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(data[off : off + stride * h], dtype=np.uint8).reshape(
+        h, stride
+    )[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, 2::-1])  # BGR(A) → RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit BI_RGB BMP, byte-deterministic."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_bmp wants (h, w, 3) uint8")
+    h, w, _ = a.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    bgr = a[:, :, ::-1]
+    pad = b"\x00" * (stride - w * 3)
+    for r in range(h - 1, -1, -1):
+        body += bgr[r].tobytes() + pad
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return hdr + info + bytes(body)
+
+
+def _gif_lzw_decode(data: bytes, min_code: int) -> list[int]:
+    """GIF-flavor LZW (variable code width, clear/EOI codes, MSB-packed
+    little-endian bit order within the sub-block byte stream)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    dictionary: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = bits = 0
+    pos = 0
+    while True:
+        while bits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream (no EOI)")
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            dictionary = [[i] for i in range(clear)] + [[], []]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(dictionary) and dictionary[code]:
+            entry = dictionary[code]
+        elif code == len(dictionary) and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        out += entry
+        if prev is not None:
+            dictionary.append(prev + [entry[0]])
+            if len(dictionary) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF87a/89a → first frame as (h, w, 3) uint8 RGB (full LZW
+    decoder incl. variable code widths and clear-code resets; interlace
+    handled; extensions skipped).  Animated GIFs yield frame 1 — the
+    still-image contract of :func:`decode_image`."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad magic)")
+    try:
+        sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            if len(gct) < n:
+                raise ValueError("truncated GIF global color table")
+            pos += 3 * n
+        while pos < len(data):
+            b = data[pos]
+            pos += 1
+            if b == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while data[pos]:
+                    pos += 1 + data[pos]
+                pos += 1
+            elif b == 0x2C:  # image descriptor
+                _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
+                pos += 9
+                ct = gct
+                if iflags & 0x80:
+                    n = 2 << (iflags & 0x07)
+                    ct = np.frombuffer(
+                        data[pos : pos + 3 * n], dtype=np.uint8
+                    ).reshape(n, 3)
+                    pos += 3 * n
+                if ct is None:
+                    raise ValueError("GIF frame has no color table")
+                min_code = data[pos]
+                pos += 1
+                lzw = bytearray()
+                while data[pos]:
+                    ln = data[pos]
+                    lzw += data[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                pos += 1
+                idx = _gif_lzw_decode(bytes(lzw), min_code)
+                if len(idx) < w * h:
+                    raise ValueError(
+                        f"GIF LZW yielded {len(idx)} pixels, frame needs {w * h}"
+                    )
+                grid = np.array(idx[: w * h], dtype=np.int64).reshape(h, w)
+                if iflags & 0x40:  # interlaced: 4-pass row shuffle
+                    rows = (
+                        list(range(0, h, 8)) + list(range(4, h, 8))
+                        + list(range(2, h, 4)) + list(range(1, h, 2))
+                    )
+                    un = np.empty_like(grid)
+                    un[rows] = grid
+                    grid = un
+                if grid.max(initial=0) >= len(ct):
+                    raise ValueError("GIF index outside color table")
+                return np.ascontiguousarray(ct[grid])
+            elif b == 0x3B:  # trailer
+                break
+            else:
+                raise ValueError(f"unknown GIF block 0x{b:02x}")
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"corrupt or truncated GIF: {exc!r}") from exc
+    raise ValueError("GIF contained no image frame")
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → GIF89a using a palette of the frame's
+    distinct colors (≤256 required) and the clear-code-per-symbol LZW
+    form (spec-valid, compression-free — the fixture-side companion,
+    same trade as the stored-block LZ4 encoder)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError("encode_gif wants (h, w, 3) uint8")
+    h, w, _ = a.shape
+    flat = a.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"encode_gif needs <=256 distinct colors, got {len(colors)}")
+    depth = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    n_pal = 1 << depth
+    pal = np.zeros((n_pal, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    min_code = max(2, depth)
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    # clear before every symbol: dictionary never grows, width is fixed
+    acc = bits = 0
+    stream = bytearray()
+    def emit(code):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    for v in inverse.reshape(-1):
+        emit(clear)
+        emit(int(v))
+    emit(eoi)
+    if bits:
+        stream.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code)
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+BMP_MAGIC = b"BM"
+GIF_MAGIC = b"GIF8"
+
 _DECODERS: list[tuple[bytes, object]] = [
     (PNG_MAGIC, decode_png),
     (JPEG_MAGIC, decode_jpeg),  # pure-stdlib baseline JFIF (r7)
+    (BMP_MAGIC, decode_bmp),
+    (GIF_MAGIC, decode_gif),
 ]
 
 

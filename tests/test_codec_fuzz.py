@@ -168,3 +168,10 @@ def test_lz4_garbage_never_crashes(tail):
 
     _assert_contract(lz4_decompress, tail)
     _assert_contract(lz4_decompress, _struct.pack("<I", 0x184D2204) + tail)
+
+
+@settings(**_SETTINGS)
+@given(st.binary(max_size=400))
+def test_bmp_gif_garbage_after_magic(tail):
+    _assert_contract(mc.decode_bmp, b"BM" + tail)
+    _assert_contract(mc.decode_gif, b"GIF89a" + tail)

@@ -468,3 +468,95 @@ def test_ima_adpcm_corrupt_inputs_raise():
             + b"data" + struct.pack("<I", 3) + b"\x00\x00\x00")
     with _pytest.raises(ValueError, match="no complete block"):
         mc.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_bmp_roundtrip_and_variants():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(13, 10, 3), dtype=np.uint8)  # odd stride pad
+    assert np.array_equal(mc.decode_bmp(mc.encode_bmp(img)), img)
+    # top-down (negative height) variant, hand-built 32-bit
+    import struct
+
+    px = np.concatenate([img[:, :, ::-1], np.zeros((13, 10, 1), np.uint8)], axis=2)
+    off = 54
+    raw = (b"BM" + struct.pack("<IHHI", off + px.size, 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, 10, -13, 1, 32, 0, px.size, 0, 0, 0, 0)
+           + px.tobytes())
+    assert np.array_equal(mc.decode_bmp(raw), img)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compression"):
+        bad = bytearray(mc.encode_bmp(img))
+        struct.pack_into("<I", bad, 30, 1)  # BI_RLE8
+        mc.decode_bmp(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated BMP pixel"):
+        mc.decode_bmp(mc.encode_bmp(img)[:-10])
+
+
+def test_gif_roundtrip_and_dispatch():
+    rng = np.random.default_rng(4)
+    # limited palette: quantize to 4 levels/channel then paint
+    img = (rng.integers(0, 4, size=(9, 14, 3), dtype=np.uint8) * 85).astype(np.uint8)
+    raw = mc.encode_gif(img)
+    assert raw[:6] == b"GIF89a"
+    assert np.array_equal(mc.decode_gif(raw), img)
+    # registry dispatch via magic
+    assert np.array_equal(mc.decode_image(raw), img)
+    # grayscale ramp exercises >4-bit palette + multi-sub-block streams
+    ramp = np.repeat(np.arange(0, 256, 2, dtype=np.uint8), 3).reshape(1, 128, 3)
+    big = np.repeat(ramp, 20, axis=0)
+    assert np.array_equal(mc.decode_gif(mc.encode_gif(big)), big)
+
+
+def test_gif_hand_lzw_with_dictionary_growth():
+    """A REAL LZW stream (not the clear-per-symbol encoder form):
+    hand-packed codes for indices [0,1,0,1,0,1] over a 2-color table —
+    code 6 is created mid-stream (entry [0,1]) and then referenced,
+    exercising the dictionary-growth path the fixture encoder skips."""
+    # min_code=2: clear=4, eoi=5, width starts at 3
+    # walk: 0 -> [0]; 1 -> [1] dict+=[0,1]=6 (len 7); 6 -> [0,1]
+    #       dict+=[1,0]=7 (len 8 == 2^3 -> WIDTH GROWS to 4);
+    #       1 (4-bit) -> [1]; eoi (4-bit)  => output 0 1 0 1 1
+    codes = [(4, 3), (0, 3), (1, 3), (6, 3), (1, 4), (5, 4)]
+    acc = bits = 0
+    data = bytearray()
+    for c, wdt in codes:
+        acc |= c << bits
+        bits += wdt
+        while bits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        data.append(acc & 0xFF)
+    assert mc._gif_lzw_decode(bytes(data), 2) == [0, 1, 0, 1, 1]
+
+
+def test_gif_corrupt_inputs_raise():
+    import pytest as _pytest
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    raw = mc.encode_gif(img)
+    with _pytest.raises(ValueError, match="GIF"):
+        mc.decode_gif(raw[:20])
+    with _pytest.raises(ValueError, match="magic"):
+        mc.decode_gif(b"GIF00a" + raw[6:])
+
+
+def test_extract_features_real_decode_bmp_gif(spark):
+    """BMP and GIF payloads flow through the registry into the real
+    multimodal feature path — same pixels, same features as PNG."""
+    from etl_rust_spark.operators import multimodal
+
+    a = (_img(seed=7) // 64 * 64).astype(np.uint8)  # <=256 colors for GIF
+    rows = [
+        (1, "image", bytearray(mc.encode_png(a)), ("image/png", 10, 12, None, "u1")),
+        (2, "image", bytearray(mc.encode_bmp(a)), ("image/bmp", 10, 12, None, "u2")),
+        (3, "image", bytearray(mc.encode_gif(a)), ("image/gif", 10, 12, None, "u3")),
+    ]
+    df = multimodal.make_asset_df(spark, rows)
+    got = {
+        r["asset_id"]: r["feature"]
+        for r in multimodal.extract_features(df, decode_stub=False).collect()
+    }
+    assert got[1] == got[2] == got[3]  # identical pixels through 3 codecs
