@@ -307,11 +307,9 @@ def _gif_lzw_decode(data: bytes, min_code: int) -> list[int]:
         prev = entry
 
 
-def decode_gif(data: bytes) -> np.ndarray:
-    """GIF87a/89a → first frame as (h, w, 3) uint8 RGB (full LZW
-    decoder incl. variable code widths and clear-code resets; interlace
-    handled; extensions skipped).  Animated GIFs yield frame 1 — the
-    still-image contract of :func:`decode_image`."""
+def _gif_walk_frames(data: bytes, max_frames: int | None = None):
+    """Yield ``(screen_w, screen_h, x, y, rgb)`` per image descriptor —
+    the shared GIF block walk behind the still and animated decoders."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad magic)")
     try:
@@ -324,6 +322,7 @@ def decode_gif(data: bytes) -> np.ndarray:
             if len(gct) < n:
                 raise ValueError("truncated GIF global color table")
             pos += 3 * n
+        seen = 0
         while pos < len(data):
             b = data[pos]
             pos += 1
@@ -333,7 +332,7 @@ def decode_gif(data: bytes) -> np.ndarray:
                     pos += 1 + data[pos]
                 pos += 1
             elif b == 0x2C:  # image descriptor
-                _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
+                x, y, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
                 pos += 9
                 ct = gct
                 if iflags & 0x80:
@@ -368,14 +367,52 @@ def decode_gif(data: bytes) -> np.ndarray:
                     grid = un
                 if grid.max(initial=0) >= len(ct):
                     raise ValueError("GIF index outside color table")
-                return np.ascontiguousarray(ct[grid])
+                yield sw, sh, x, y, np.ascontiguousarray(ct[grid])
+                seen += 1
+                if max_frames is not None and seen >= max_frames:
+                    return
             elif b == 0x3B:  # trailer
-                break
+                return
             else:
                 raise ValueError(f"unknown GIF block 0x{b:02x}")
     except (IndexError, struct.error) as exc:
         raise ValueError(f"corrupt or truncated GIF: {exc!r}") from exc
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF87a/89a → first frame as (h, w, 3) uint8 RGB (full LZW
+    decoder incl. variable code widths and clear-code resets; interlace
+    handled; extensions skipped).  Animated GIFs yield frame 1 — the
+    still-image contract of :func:`decode_image`;
+    :func:`decode_gif_frames` is the video-side view."""
+    for _sw, _sh, _x, _y, rgb in _gif_walk_frames(data, max_frames=1):
+        return rgb
     raise ValueError("GIF contained no image frame")
+
+
+def decode_gif_frames(
+    data: bytes, max_frames: int | None = None
+) -> list[np.ndarray]:
+    """Animated GIF → list of full-canvas (sh, sw, 3) frames: each
+    descriptor draws over the previous canvas at its (x, y) offset —
+    the draw-over composite (disposal methods and transparency render
+    as opaque overdraw; the feature/fingerprint kernels downstream are
+    robust to that approximation, documented here rather than hidden).
+    Registered under the GIF magic in the VIDEO registry, so animated
+    GIFs flow through frame_features / near_dup_videos like AVIs."""
+    frames: list[np.ndarray] = []
+    canvas = None
+    for sw, sh, x, y, rgb in _gif_walk_frames(data, max_frames=max_frames):
+        if canvas is None:
+            canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+        h, w = rgb.shape[:2]
+        if y + h > sh or x + w > sw:
+            raise ValueError("GIF frame rect outside logical screen")
+        canvas[y : y + h, x : x + w] = rgb
+        frames.append(canvas.copy())
+    if not frames:
+        raise ValueError("GIF contained no image frame")
+    return frames
 
 
 def encode_gif(arr: np.ndarray) -> bytes:
@@ -426,6 +463,60 @@ def encode_gif(arr: np.ndarray) -> bytes:
         out.append(len(block))
         out += block
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def encode_gif_animated(frames: list[np.ndarray]) -> bytes:
+    """Frames (equal shapes, ≤256 distinct colors across ALL frames) →
+    animated GIF89a: one global palette, one full-canvas image
+    descriptor per frame, the same clear-per-symbol LZW form as
+    :func:`encode_gif`."""
+    if not frames:
+        raise ValueError("no frames")
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, _ = arrs[0].shape
+    if any(a.shape != (h, w, 3) for a in arrs):
+        raise ValueError("encode_gif_animated wants equal (h, w, 3) frames")
+    flat = np.concatenate([a.reshape(-1, 3) for a in arrs])
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"needs <=256 distinct colors, got {len(colors)}")
+    depth = max(1, int(np.ceil(np.log2(max(2, len(colors))))))
+    pal = np.zeros((1 << depth, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    min_code = max(2, depth)
+    clear, eoi, width = 1 << min_code, (1 << min_code) + 1, min_code + 1
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    per_frame = inverse.reshape(len(arrs), -1)
+    for fi in range(len(arrs)):
+        acc = bits = 0
+        stream = bytearray()
+
+        def emit(code):
+            nonlocal acc, bits
+            acc |= code << bits
+            bits += width
+            while bits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+
+        for v in per_frame[fi]:
+            emit(clear)
+            emit(int(v))
+        emit(eoi)
+        if bits:
+            stream.append(acc & 0xFF)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        for i in range(0, len(stream), 255):
+            block = stream[i : i + 255]
+            out.append(len(block))
+            out += block
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
 
 
@@ -914,7 +1005,10 @@ def video_feature(frames: list[np.ndarray], dim: int = 8, max_frames: int = 8) -
 
 
 # magic-prefix → decoder(bytes) -> list[np.ndarray]
-_VIDEO_DECODERS: list[tuple[bytes, object]] = [(b"RIFF", decode_avi)]
+_VIDEO_DECODERS: list[tuple[bytes, object]] = [
+    (b"RIFF", decode_avi),
+    (GIF_MAGIC, decode_gif_frames),  # animated GIFs are videos too
+]
 
 
 def register_video_decoder(magic: bytes, fn) -> None:

@@ -560,3 +560,62 @@ def test_extract_features_real_decode_bmp_gif(spark):
         for r in multimodal.extract_features(df, decode_stub=False).collect()
     }
     assert got[1] == got[2] == got[3]  # identical pixels through 3 codecs
+
+
+def test_animated_gif_decodes_as_video_frames():
+    rng = np.random.default_rng(6)
+    frames = [
+        (rng.integers(0, 3, size=(8, 11, 3), dtype=np.uint8) * 100).astype(np.uint8)
+        for _ in range(4)
+    ]
+    raw = mc.encode_gif_animated(frames)
+    out = mc.decode_gif_frames(raw)
+    assert len(out) == 4
+    for a, b in zip(frames, out):
+        np.testing.assert_array_equal(a, b)
+    assert len(mc.decode_gif_frames(raw, max_frames=2)) == 2
+    # video registry dispatch: GIF magic -> frame list
+    via_registry = mc.decode_video(raw)
+    assert len(via_registry) == 4
+    np.testing.assert_array_equal(via_registry[-1], frames[-1])
+    # the still-image view stays frame 1
+    np.testing.assert_array_equal(mc.decode_gif(raw), frames[0])
+
+
+def test_gif_partial_frame_composites_on_canvas():
+    """A second descriptor smaller than the screen draws over the prior
+    canvas at its offset (the draw-over composite contract)."""
+    import struct
+
+    base = np.full((6, 6, 3), 200, dtype=np.uint8)
+    raw = bytearray(mc.encode_gif(base))
+    # append a 2x2 black patch at (1, 1): palette idx of 0 not known ->
+    # use a local color table on the patch descriptor
+    patch_ct = bytes([0, 0, 0] * 2)  # 2-entry table, idx 0 = black
+    min_code = 2
+    clear, eoi, width = 4, 5, 3
+    acc = bits = 0
+    stream = bytearray()
+    for v in [0, 0, 0, 0]:
+        for code in (clear, v):
+            acc |= code << bits
+            bits += width
+            while bits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+    acc |= eoi << bits
+    bits += width
+    while bits > 0:
+        stream.append(acc & 0xFF)
+        acc >>= 8
+        bits -= 8
+    desc = (b"\x2c" + struct.pack("<HHHHB", 1, 1, 2, 2, 0x80)  # local CT, 2 colors
+            + patch_ct + bytes([min_code, len(stream)]) + bytes(stream) + b"\x00")
+    assert raw[-1:] == b"\x3b"
+    patched = bytes(raw[:-1]) + desc + b"\x3b"
+    frames = mc.decode_gif_frames(patched)
+    assert len(frames) == 2
+    want = base.copy()
+    want[1:3, 1:3] = 0
+    np.testing.assert_array_equal(frames[1], want)
