@@ -615,6 +615,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     fact_frames = None
     for fourcc, body in _riff_chunks(data):
         if fourcc == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"truncated WAV fmt chunk ({len(body)} bytes)")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif fourcc == b"data":
             pcm = body
