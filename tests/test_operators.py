@@ -1041,3 +1041,55 @@ def test_residual_ivfpq_index_build_search_update(spark, tmp_path):
     )
     got1 = {(r.qid, r.cid) for r in ref.filter(F.col("rn") == 1).collect()}
     assert len(got1 & exact) / len(exact) >= 0.9
+
+
+def test_ivfpq_update_purge_crash_window_replay_heals(spark, tmp_path, monkeypatch):
+    """The update's crash window: the partition overwrite commits, then
+    the emptied-list purge runs.  A crash BETWEEN them leaves the moved
+    vector searchable in both lists (the documented pre-purge state) —
+    and replaying the same delta afterwards must heal to the clean
+    post-purge state (replay idempotency is the recovery story)."""
+    import pathlib
+
+    path = str(tmp_path / "ivfpq_crash")
+    cent = np.eye(4)
+    spark.createDataFrame(
+        [(j, [float(x) for x in cent[j]]) for j in range(4)],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.parquet(f"{path}/centroids")
+    books = np.stack([np.eye(2)[:2] for _ in range(2)])
+    spark.createDataFrame(
+        [(j, c, [float(x) for x in books[j][c]]) for j in range(2) for c in range(2)],
+        "j int, c int, codeword array<double>",
+    ).coalesce(1).write.parquet(f"{path}/codebooks")
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(4)] + [
+        (99, [0.0, 0.0, 1.0, 0.0])  # sole occupant of list 2
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    coded = similarity.pq_encode(corpus, books).join(
+        similarity.ivf_assign(corpus, cent).select("cid", "list_id"), "cid"
+    )
+    coded.write.partitionBy("list_id").parquet(f"{path}/codes")
+
+    delta = spark.createDataFrame(
+        [(99, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+
+    import pytest as _pytest
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before purge")
+
+    monkeypatch.setattr(similarity, "_delete_list_partitions", boom)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        similarity.update_ivfpq_index(delta, path)
+    # pre-purge state: new row committed, stale sole-occupant remains
+    mid = spark.read.parquet(f"{path}/codes")
+    assert sorted(r["list_id"] for r in mid.filter("cid = 99").collect()) == [0, 2]
+
+    monkeypatch.undo()
+    similarity.update_ivfpq_index(delta, path)  # replay heals
+    after = spark.read.parquet(f"{path}/codes")
+    assert after.count() == 5
+    assert [r["list_id"] for r in after.filter("cid = 99").collect()] == [0]
+    assert not (pathlib.Path(path) / "codes" / "list_id=2").exists()
