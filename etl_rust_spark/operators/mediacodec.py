@@ -466,6 +466,147 @@ def encode_gif(arr: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Baseline TIFF (II/MM byte orders, first IFD, 8-bit gray or RGB,
+    compression 1 = none or 32773 = PackBits, strip layout) →
+    (h, w[, 3]) uint8.  The scanned-document corpus format; tiled,
+    predictor'd, or LZW TIFFs raise with the tag that ruled them out."""
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (bad magic)")
+    try:
+        (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+        (n_tags,) = struct.unpack_from(bo + "H", data, ifd_off)
+        tags: dict[int, list[int]] = {}
+        for i in range(n_tags):
+            base = ifd_off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", data, base)
+            size = {1: 1, 3: 2, 4: 4}.get(typ)
+            if size is None:
+                continue  # rational/ascii tags are irrelevant here
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            if size * cnt <= 4:
+                vals = list(struct.unpack_from(bo + fmt * cnt, data, base + 8))
+            else:
+                (off,) = struct.unpack_from(bo + "I", data, base + 8)
+                vals = list(struct.unpack_from(bo + fmt * cnt, data, off))
+            tags[tag] = vals
+        w = tags[256][0]
+        h = tags[257][0]
+        bps = tags.get(258, [1])
+        spp = tags.get(277, [1])[0]
+        comp = tags.get(259, [1])[0]
+        offs = tags[273]
+        counts = tags[279]
+        rows_per = tags.get(278, [h])[0]
+    except (KeyError, IndexError, struct.error) as exc:
+        raise ValueError(f"corrupt or truncated TIFF: {exc!r}") from exc
+    if any(b != 8 for b in bps):
+        raise ValueError(f"unsupported TIFF bit depths {bps} (8-bit only)")
+    if spp not in (1, 3):
+        raise ValueError(f"unsupported TIFF samples/pixel {spp}")
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp} (none/PackBits)")
+    raw = bytearray()
+    for off, cnt in zip(offs, counts):
+        strip = data[off : off + cnt]
+        if len(strip) < cnt:
+            raise ValueError("truncated TIFF strip")
+        if comp == 1:
+            raw += strip
+        else:  # PackBits (Apple RLE)
+            p = 0
+            while p < len(strip):
+                n = strip[p]
+                p += 1
+                if n < 128:  # n+1 literal bytes
+                    raw += strip[p : p + n + 1]
+                    p += n + 1
+                elif n > 128:  # repeat next byte 257-n times
+                    raw += strip[p : p + 1] * (257 - n)
+                    p += 1
+                # n == 128: no-op per spec
+    need = w * h * spp
+    if len(raw) < need:
+        raise ValueError(f"TIFF strips yielded {len(raw)} bytes, need {need}")
+    arr = np.frombuffer(bytes(raw[:need]), dtype=np.uint8)
+    del rows_per  # strip geometry already folded into the byte stream
+    return arr.reshape(h, w) if spp == 1 else arr.reshape(h, w, 3)
+
+
+def encode_tiff(arr: np.ndarray, packbits: bool = False) -> bytes:
+    """(h, w[, 3]) uint8 → single-strip baseline TIFF (II), optionally
+    PackBits-compressed — the fixture-side companion."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError("encode_tiff wants (h, w) or (h, w, 3) uint8")
+    h, w = a.shape[:2]
+    spp = 1 if gray else 3
+    payload = a.tobytes()
+    if packbits:
+        out = bytearray()
+        pos = 0
+        while pos < len(payload):
+            run = 1
+            while (
+                run < 128
+                and pos + run < len(payload)
+                and payload[pos + run] == payload[pos]
+            ):
+                run += 1
+            if run >= 2:
+                out.append(257 - run)
+                out.append(payload[pos])
+                pos += run
+            else:
+                lit_end = pos + 1
+                while (
+                    lit_end < len(payload)
+                    and lit_end - pos < 128
+                    and not (
+                        lit_end + 1 < len(payload)
+                        and payload[lit_end] == payload[lit_end + 1]
+                    )
+                ):
+                    lit_end += 1
+                out.append(lit_end - pos - 1)
+                out += payload[pos:lit_end]
+                pos = lit_end
+        payload = bytes(out)
+    strip_off = 8 + 2 + 12 * 8 + 4  # header + tag count + 8 tags + next-IFD
+    tags = [
+        (256, 3, 1, w),
+        (257, 3, 1, h),
+        (258, 3, 1, 8) if gray else (258, 3, 3, None),  # None → offset patch
+        (259, 3, 1, 32773 if packbits else 1),
+        (262, 3, 1, 1 if gray else 2),  # BlackIsZero / RGB
+        (273, 4, 1, strip_off),
+        (277, 3, 1, spp),
+        (279, 4, 1, len(payload)),
+    ]
+    extra = b""
+    if not gray:  # BitsPerSample triple lives out-of-line
+        bps_off = strip_off + len(payload)
+        tags[2] = (258, 3, 3, bps_off)
+        extra = struct.pack("<HHH", 8, 8, 8)
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", len(tags))
+    for tag, typ, cnt, val in tags:
+        out += struct.pack("<HHI", tag, typ, cnt)
+        if typ == 3 and cnt == 1:  # inline SHORT, padded
+            out += struct.pack("<HH", val, 0)
+        else:  # LONG value, or an out-of-line array's offset
+            out += struct.pack("<I", val)
+    out += struct.pack("<I", 0)  # next IFD
+    assert len(out) == strip_off
+    out += payload + extra
+    return bytes(out)
+
+
 def encode_gif_animated(frames: list[np.ndarray]) -> bytes:
     """Frames (equal shapes, ≤256 distinct colors across ALL frames) →
     animated GIF89a: one global palette, one full-canvas image
@@ -528,6 +669,8 @@ _DECODERS: list[tuple[bytes, object]] = [
     (JPEG_MAGIC, decode_jpeg),  # pure-stdlib baseline JFIF (r7)
     (BMP_MAGIC, decode_bmp),
     (GIF_MAGIC, decode_gif),
+    (b"II*\x00", decode_tiff),
+    (b"MM\x00*", decode_tiff),
 ]
 
 
@@ -630,6 +773,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         if fact_frames is not None:
             arr16 = arr16[:fact_frames]
         return arr16.astype(np.float64) / 32768.0, rate
+    if audio_fmt in (6, 7):  # G.711 A-law / µ-law (telephony)
+        codes = np.frombuffer(pcm, dtype=np.uint8)
+        lin = (_ALAW_TABLE if audio_fmt == 6 else _ULAW_TABLE)[codes]
+        if codes.size % n_ch:
+            raise ValueError("WAV data size not a multiple of channel count")
+        return lin.reshape(-1, n_ch).astype(np.float64) / 32768.0, rate
     if audio_fmt == 1:  # integer PCM
         if bits == 8:  # unsigned
             arr = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
@@ -646,6 +795,74 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if n_ch < 1 or arr.size % n_ch:
         raise ValueError("WAV data size not a multiple of channel count")
     return arr.reshape(-1, n_ch), rate
+
+
+# G.711 µ-law / A-law (WAV formats 7 / 6) — 8-bit log-companded
+# telephony audio.  Decode tables built once from the ITU-T G.711
+# expansion formulas (public spec); encoders are the standard
+# segment-search companders, round-trip-pinned in tests.
+def _build_ulaw_table() -> "np.ndarray":
+    out = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        u = ~code & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = ((mant << 3) + 0x84 << exp) - 0x84
+        out[code] = -mag if sign else mag
+    return out
+
+
+def _build_alaw_table() -> "np.ndarray":
+    out = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        a = code ^ 0x55
+        sign = a & 0x80
+        exp = (a >> 4) & 0x07
+        mant = a & 0x0F
+        if exp == 0:
+            mag = (mant << 4) + 8
+        else:
+            mag = ((mant << 4) + 0x108) << (exp - 1)
+        out[code] = -mag if sign else mag
+    return out
+
+
+_ULAW_TABLE = _build_ulaw_table()
+_ALAW_TABLE = _build_alaw_table()
+
+
+def _g711_encode(samples: np.ndarray, law: str) -> bytes:
+    """Nearest-code companding via the decode table (exact inverse of
+    the expansion, avoids re-deriving the segment search)."""
+    table = _ALAW_TABLE if law == "a" else _ULAW_TABLE
+    order = np.argsort(table)
+    ints = np.clip(np.round(np.asarray(samples, dtype=np.float64) * 32767.0),
+                   -32768, 32767)
+    pos = np.searchsorted(table[order], ints)
+    pos = np.clip(pos, 0, 255)
+    lo = table[order[np.maximum(pos - 1, 0)]]
+    hi = table[order[pos]]
+    pick = np.where(np.abs(ints - lo) <= np.abs(hi - ints),
+                    order[np.maximum(pos - 1, 0)], order[pos])
+    return pick.astype(np.uint8).tobytes()
+
+
+def encode_g711_wav(samples: np.ndarray, sample_rate: int, law: str = "u") -> bytes:
+    """Float samples in [-1, 1] → µ-law (format 7) or A-law (format 6)
+    WAV — the fixture-side companion of the G.711 decode branch."""
+    if law not in ("u", "a"):
+        raise ValueError("law must be 'u' or 'a'")
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    n_ch = a.shape[1]
+    pcm = _g711_encode(a.reshape(-1), law)
+    code = 6 if law == "a" else 7
+    fmt = struct.pack("<HHIIHH", code, n_ch, sample_rate, sample_rate * n_ch, n_ch, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm + (b"\x00" if len(pcm) & 1 else b"")
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # IMA/DVI ADPCM (WAV format 0x11) — the most common COMPRESSED wav

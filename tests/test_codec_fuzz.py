@@ -175,3 +175,10 @@ def test_lz4_garbage_never_crashes(tail):
 def test_bmp_gif_garbage_after_magic(tail):
     _assert_contract(mc.decode_bmp, b"BM" + tail)
     _assert_contract(mc.decode_gif, b"GIF89a" + tail)
+
+
+@settings(**_SETTINGS)
+@given(st.binary(max_size=400))
+def test_tiff_garbage_after_magic(tail):
+    _assert_contract(mc.decode_tiff, b"II*\x00" + tail)
+    _assert_contract(mc.decode_tiff, b"MM\x00*" + tail)

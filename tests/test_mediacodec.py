@@ -619,3 +619,68 @@ def test_gif_partial_frame_composites_on_canvas():
     want = base.copy()
     want[1:3, 1:3] = 0
     np.testing.assert_array_equal(frames[1], want)
+
+
+def test_tiff_roundtrip_gray_rgb_packbits():
+    rng = np.random.default_rng(8)
+    gray = rng.integers(0, 256, size=(9, 7), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(6, 11, 3), dtype=np.uint8)
+    runs = np.repeat(np.arange(5, dtype=np.uint8) * 50, 40).reshape(10, 20)
+    for img in (gray, rgb):
+        np.testing.assert_array_equal(mc.decode_tiff(mc.encode_tiff(img)), img)
+    # PackBits actually compresses the runs fixture and round-trips
+    packed = mc.encode_tiff(runs, packbits=True)
+    assert len(packed) < runs.size  # RLE won
+    np.testing.assert_array_equal(mc.decode_tiff(packed), runs)
+    np.testing.assert_array_equal(
+        mc.decode_tiff(mc.encode_tiff(rgb, packbits=True)), rgb
+    )
+    # registry dispatch
+    np.testing.assert_array_equal(mc.decode_image(mc.encode_tiff(rgb)), rgb)
+
+
+def test_tiff_big_endian_and_unsupported():
+    import pytest as _pytest
+    import struct
+
+    # hand-build a 2x2 gray MM (big-endian) file
+    px = bytes([10, 20, 30, 40])
+    ntags = 7
+    strip_off = 8 + 2 + 12 * ntags + 4
+    out = bytearray(b"MM\x00*" + struct.pack(">I", 8) + struct.pack(">H", ntags))
+    for tag, typ, cnt, val in [
+        (256, 3, 1, 2), (257, 3, 1, 2), (258, 3, 1, 8), (259, 3, 1, 1),
+        (262, 3, 1, 1), (273, 4, 1, strip_off), (279, 4, 1, 4),
+    ]:
+        out += struct.pack(">HHI", tag, typ, cnt)
+        out += struct.pack(">HH", val, 0) if typ == 3 else struct.pack(">I", val)
+    out += struct.pack(">I", 0) + px
+    np.testing.assert_array_equal(
+        mc.decode_tiff(bytes(out)), np.array([[10, 20], [30, 40]], dtype=np.uint8)
+    )
+    with _pytest.raises(ValueError, match="compression"):
+        bad = mc.encode_tiff(np.zeros((2, 2), np.uint8))
+        # patch compression tag (259) value to LZW (5)
+        idx = bad.index(struct.pack("<HHI", 259, 3, 1))
+        mc.decode_tiff(bad[: idx + 8] + struct.pack("<HH", 5, 0) + bad[idx + 12 :])
+    with _pytest.raises(ValueError, match="magic"):
+        mc.decode_tiff(b"XX*\x00" + bytes(10))
+
+
+def test_g711_roundtrip_and_registry():
+    s = _tone(n=1500)
+    for law, code in (("u", 7), ("a", 6)):
+        raw = mc.encode_g711_wav(s, 8000, law=law)
+        dec, rate = mc.decode_wav(raw)
+        assert rate == 8000 and dec.shape == (1500, 1)
+        # G.711 is ~13-bit effective near full scale; log companding
+        # keeps relative error small — standard fidelity bound
+        err = np.max(np.abs(dec[:, 0] - s))
+        assert err < 0.02, f"{law}-law err {err}"
+        samples, r2 = mc.decode_audio(raw)  # RIFF registry dispatch
+        assert r2 == 8000 and samples.shape[0] == 1500
+    # stereo keeps channel interleave
+    st = np.stack([s, -s], axis=1)
+    dec2, _ = mc.decode_wav(mc.encode_g711_wav(st, 8000, law="u"))
+    assert dec2.shape == (1500, 2)
+    assert np.max(np.abs(dec2[:, 1] + dec2[:, 0])) < 0.02
