@@ -145,6 +145,7 @@ def curate_corpus(
     near_dup_threshold: float | None = 0.5,
     shingle_width: int = 3,
     near_dup_strategy: str = "greedy",
+    main_content: bool = False,
     strip_markup: bool = False,
     normalize: bool = False,
     c4_clean: bool = False,
@@ -159,6 +160,13 @@ def curate_corpus(
     actions.  The language filter uses the PREDICTED language
     (``lang_pred``): a production corpus has no ground-truth ``lang``
     column, so the pipeline must run on its own classifier output.
+
+    ``main_content=True`` (r7) prepends jusText-style main-content
+    extraction (``web.extract_main_content``): nav bars, footers, and
+    link lists are dropped BLOCK-wise before anything downstream runs —
+    the strongest web cleanup, strictly ahead of ``strip_markup``
+    (which keeps boilerplate text verbatim).  When both are set,
+    main-content wins (its output is already markup-free).
 
     ``strip_markup=True`` prepends the web-corpus cleanup stage
     (``text.strip_markup``): every downstream operator — language
@@ -197,7 +205,23 @@ def curate_corpus(
     the three stages are the standard quality ladder: cheap rules →
     learned classifier → LM perplexity.
     """
-    if strip_markup:
+    if main_content:
+        from etl_rust_spark.operators import web
+
+        mc = web.extract_main_content(docs, text_col, id_col).select(
+            id_col, F.col("text_main")
+        )
+        docs = (
+            docs.drop(text_col)
+            .join(mc, id_col)
+            .withColumnRenamed("text_main", text_col)
+            # a page whose every block was boilerplate has no content —
+            # drop it here: the quality formula's ratio guards score an
+            # empty string mid-scale (4062 bp), so the floor alone
+            # would keep it
+            .filter(F.length(F.col(text_col)) > 0)
+        )
+    elif strip_markup:
         cleaned = text.strip_markup(docs, text_col, id_col).select(
             id_col, F.col("text_clean")
         )

@@ -103,3 +103,69 @@ def test_main_content_plan_is_scan_side(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan  # zero shuffles: pure projection
+
+
+def test_curate_with_main_content_stage(spark):
+    """main_content=True in curate_corpus: link-list pages empty out
+    and drop at the quality floor; article pages survive with
+    boilerplate gone before shingling."""
+    from etl_rust_spark.operators import curate
+
+    docs = spark.createDataFrame(
+        [
+            (1, '<nav><a href="/">the home page</a> <a href="/b">the about page</a> '
+                '<a href="/c">the contact page</a></nav>'
+                '<p>the quick brown fox jumps over the lazy dog and then runs far away today</p>'),
+            (2, '<ul><li><a href="/1">one link</a></li><li><a href="/2">two link</a></li>'
+                '<li><a href="/3">three link</a></li></ul>'),
+        ],
+        ["doc_id", "text"],
+    )
+    out = curate.curate_corpus(
+        docs, main_content=True, min_quality_bp=2000, near_dup_threshold=None
+    ).collect()
+    kept = {r.doc_id: r.text for r in out}
+    assert 1 in kept and "home page" not in kept[1] and "quick brown fox" in kept[1]
+    assert 2 not in kept  # pure link list emptied, then quality-floored
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_html_soup = st.lists(
+    st.one_of(
+        st.sampled_from(
+            ["<div>", "</div>", "<p>", "</p>", "<nav>", "</nav>", "<a href='/x'>",
+             "</a>", "&amp;", "&lt;", "<br>", "<li>"]
+        ),
+        st.text(alphabet="abc <>&/'\"=x", max_size=12),
+    ),
+    max_size=20,
+).map("".join)
+
+
+@settings(max_examples=8, deadline=None)  # a Spark job per example
+@given(page=_html_soup)
+def test_main_content_mirror_agrees_on_random_soup(spark, duck, page):
+    """Cross-dialect regex semantics under adversarial input: the two
+    engines must agree on arbitrary tag soup, not just well-formed
+    fixtures (where mirrors historically break: escaping, empty-list
+    folds, entity order)."""
+    from tests.oracle import run_duck
+
+    spark.createDataFrame([(1, page)], ["doc_id", "text"]).createOrReplaceTempView(
+        "soup_fixture"
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW soup_fixture AS SELECT 1 AS doc_id, '{}' AS text".format(
+            page.replace("'", "''")
+        )
+    )
+    sp_sql, du_sql = web.extract_main_content_sql(source="soup_fixture")
+    s_rows = [tuple(r) for r in spark.sql(sp_sql).collect()]
+    d_rows, d_cols = run_duck(duck, du_sql)
+    cols = ["doc_id", "text_main", "n_blocks", "n_kept", "kept_bp"]
+    d_idx = [d_cols.index(c) for c in cols]
+    assert canonical_hash(s_rows, cols) == canonical_hash(
+        [tuple(r[i] for i in d_idx) for r in d_rows], cols
+    )
