@@ -416,16 +416,17 @@ def encode_record_batch(
     first/max timestamp int64, producerId/Epoch/baseSequence (-1:
     idempotence off), record count, then zigzag-varint records.
 
-    ``compression='gzip'`` (codec 1) or ``'snappy'`` (codec 2, raw
+    ``compression='gzip'`` (codec 1), ``'zstd'`` (codec 4, RFC 8878
+    frame via etl/zstdcodec.py) or ``'snappy'`` (codec 2, raw
     block format) compresses the RECORDS section only — the 40-byte
     batch-body prefix stays clear so brokers can route without
     inflating; the record COUNT stays the logical count.  None =
     codec 0."""
     if not values:
         raise KafkaWireError("empty record batch")
-    if compression not in (None, "gzip", "snappy", "lz4"):
+    if compression not in (None, "gzip", "snappy", "lz4", "zstd"):
         raise KafkaWireError(
-            f"unsupported compression {compression!r} (gzip | snappy | lz4)"
+            f"unsupported compression {compression!r} (gzip | snappy | lz4 | zstd)"
         )
     keys = keys if keys is not None else [None] * len(values)
     ts = int(time.time() * 1000) if base_timestamp is None else base_timestamp
@@ -456,6 +457,11 @@ def encode_record_batch(
     elif compression == "lz4":
         attrs = 3
         rec_bytes = lz4_compress(rec_bytes)
+    elif compression == "zstd":
+        from etl_rust_spark.etl.zstdcodec import zstd_compress
+
+        attrs = 4
+        rec_bytes = zstd_compress(rec_bytes)
     after_crc = (
         struct.pack(">hiqqqhii", attrs, len(values) - 1, ts, ts, -1, -1, -1, len(values))
         + rec_bytes
@@ -510,6 +516,13 @@ def _decode_record_batch(data: bytes) -> list[tuple[bytes | None, bytes]]:
             body = body[:40] + snappy_decompress(body[40:])
         elif codec == 3:  # lz4 frame
             body = body[:40] + lz4_decompress(body[40:])
+        elif codec == 4:  # zstd frame (RFC 8878, full decoder)
+            from etl_rust_spark.etl.zstdcodec import ZstdError, zstd_decompress
+
+            try:
+                body = body[:40] + zstd_decompress(body[40:])
+            except ZstdError as exc:
+                raise KafkaWireError(f"bad zstd records section: {exc}") from exc
         elif codec:
             raise KafkaWireError(f"unsupported compression codec {codec}")
         for _ in range(n):

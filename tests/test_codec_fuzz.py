@@ -172,6 +172,17 @@ def test_lz4_garbage_never_crashes(tail):
 
 @settings(**_SETTINGS)
 @given(st.binary(max_size=400))
+def test_zstd_garbage_never_crashes(tail):
+    import struct as _struct
+
+    from etl_rust_spark.etl.zstdcodec import zstd_decompress
+
+    _assert_contract(zstd_decompress, tail)
+    _assert_contract(zstd_decompress, _struct.pack("<I", 0xFD2FB528) + tail)
+
+
+@settings(**_SETTINGS)
+@given(st.binary(max_size=400))
 def test_bmp_gif_garbage_after_magic(tail):
     _assert_contract(mc.decode_bmp, b"BM" + tail)
     _assert_contract(mc.decode_gif, b"GIF89a" + tail)

@@ -476,7 +476,7 @@ def test_client_compressed_produce_fetch_roundtrip():
     """Each codec flows through the full socket path: produce a
     compressed batch to the stub broker, fetch the stored bytes back,
     decode transparently."""
-    for codec in ("gzip", "snappy", "lz4"):
+    for codec in ("gzip", "snappy", "lz4", "zstd"):
         broker = KafkaStubBroker()
         try:
             c = KafkaWireClient("127.0.0.1", broker.port, compression=codec)
