@@ -674,6 +674,18 @@ _DECODERS: list[tuple[bytes, object]] = [
 ]
 
 
+def _decode_webp_lazy(data: bytes):
+    # Deferred import: webpcodec imports numpy-heavy helpers; keep the
+    # registry list cheap to build.  RIFF in the IMAGE registry means
+    # WebP (WAV/AVI live in the audio/video registries).
+    from etl_rust_spark.operators.webpcodec import decode_webp
+
+    return decode_webp(data)
+
+
+_DECODERS.append((b"RIFF", _decode_webp_lazy))
+
+
 def register_decoder(magic: bytes, fn) -> None:
     """Register ``fn(data: bytes) -> np.ndarray`` for payloads starting
     with ``magic``.  Later registrations win (checked first)."""
