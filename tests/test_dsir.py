@@ -1,0 +1,128 @@
+"""DSIR importance resampling (operators/dsir.py): three-way mirror
+(API == Spark SQL == DuckDB) over the sf0.001 documents corpus, Gumbel
+top-k selection determinism, and planted-domain relevance semantics.
+
+The mirror compares n_grams exactly and logw at 1e-6 (float-sum
+association order differs across engines — the documented reason this
+operator stays OUT of the driver's hash-gated 50-entry union), and the
+SELECTED SET exactly (continuous Gumbel keys make boundary ties
+measure-zero)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_rust_spark.operators import dsir
+from tests.oracle import run_duck, run_spark
+
+TARGET = "doc_id % 5 = 0"
+RAW = "doc_id % 5 <> 0"
+SCORE = "doc_id % 3 = 0"
+BUCKETS = 1000
+K = 25
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _api_weights(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    td = dsir.fit_hashed_ngram_dist(docs.where(TARGET), n_buckets=BUCKETS)
+    rd = dsir.fit_hashed_ngram_dist(docs.where(RAW), n_buckets=BUCKETS)
+    return dsir.dsir_log_weights(
+        docs.where(SCORE), td, rd, n_buckets=BUCKETS
+    )
+
+
+def test_dsir_three_way_mirror(spark, duck, sf_dir):
+    api = {
+        r.doc_id: (r.n_grams, r.logw) for r in _api_weights(spark, sf_dir).collect()
+    }
+    s_sql, d_sql = dsir.dsir_duck_sql(TARGET, RAW, SCORE, n_buckets=BUCKETS)
+    s_rows, s_cols = run_spark(spark, sf_dir, s_sql)
+    d_rows, d_cols = run_duck(duck, d_sql)
+    assert s_cols == d_cols == ["doc_id", "n_grams", "logw"]
+    sm = {r[0]: (r[1], r[2]) for r in s_rows}
+    dm = {r[0]: (r[1], r[2]) for r in d_rows}
+    assert set(api) == set(sm) == set(dm) and len(api) > 100
+    for did, (ng, lw) in api.items():
+        assert sm[did][0] == ng and dm[did][0] == ng
+        assert abs(sm[did][1] - lw) < 1e-6, (did, lw, sm[did][1])
+        assert abs(float(dm[did][1]) - lw) < 1e-6, (did, lw, dm[did][1])
+
+
+def test_dsir_select_matches_sql_mirrors(spark, duck, sf_dir):
+    picked = dsir.dsir_select(_api_weights(spark, sf_dir), k=K, seed=7)
+    api_ids = {r.doc_id for r in picked.collect()}
+    assert len(api_ids) == K
+    s_sql, d_sql = dsir.dsir_duck_sql(TARGET, RAW, SCORE, n_buckets=BUCKETS, k=K, seed=7)
+    s_rows, _ = run_spark(spark, sf_dir, s_sql)
+    d_rows, _ = run_duck(duck, d_sql)
+    assert {r[0] for r in s_rows} == api_ids
+    assert {r[0] for r in d_rows} == api_ids
+
+
+def test_dsir_select_deterministic_and_seed_sensitive(spark, sf_dir):
+    w = _api_weights(spark, sf_dir).localCheckpoint()
+    a = [r.doc_id for r in dsir.dsir_select(w, k=K, seed=3).collect()]
+    b = [r.doc_id for r in dsir.dsir_select(w, k=K, seed=3).collect()]
+    assert a == b  # hash-derived Gumbel: bit-for-bit replayable
+    c = {r.doc_id for r in dsir.dsir_select(w, k=K, seed=4).collect()}
+    assert set(a) != c  # a different seed reshuffles the sample
+
+
+def test_dsir_per_gram_normalization(spark):
+    w = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 1000, 20.0)], ["doc_id", "n_grams", "logw"]
+    )
+    # raw: doc 2 wins on summed weight; per-gram: doc 1 (0.5 vs 0.02)
+    # dominates so strongly the bounded Gumbel jitter cannot flip it.
+    top = dsir.dsir_select(w, k=1, seed=0, per_gram=True).collect()
+    assert top[0].doc_id == 1
+
+
+def test_dsir_planted_domain_relevance(spark):
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma delta alpha beta") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [(i, "red green blue yellow purple orange") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    score = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "red green blue yellow")],
+        ["doc_id", "text"],
+    )
+    td = dsir.fit_hashed_ngram_dist(target, n_buckets=BUCKETS)
+    rd = dsir.fit_hashed_ngram_dist(raw, n_buckets=BUCKETS)
+    w = {
+        r.doc_id: r.logw
+        for r in dsir.dsir_log_weights(score, td, rd, n_buckets=BUCKETS).collect()
+    }
+    assert w[1] > 0 > w[2]  # target-like up-weighted, raw-like down-weighted
+    assert math.isfinite(w[1]) and math.isfinite(w[2])
+
+
+def test_dsir_skips_empty_and_null_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, None)], ["doc_id", "text"]
+    )
+    dist = dsir.fit_hashed_ngram_dist(docs, n_buckets=BUCKETS)
+    w = dsir.dsir_log_weights(docs, dist, dist, n_buckets=BUCKETS)
+    ids = {r.doc_id for r in w.collect()}
+    assert ids == {1}  # empty/null texts contribute no grams, score no rows
+
+
+def test_dsir_plan_shape(spark, sf_dir):
+    plan = _api_weights(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # distribution tables (≤ n_buckets rows) broadcast; the only
+    # shuffle is the final doc_id partial-agg groupBy.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    sel = dsir.dsir_select(_api_weights(spark, sf_dir), k=K)
+    splan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in splan  # partial top-k, no global sort
