@@ -337,14 +337,23 @@ def test_record_batch_gzip_corrupt_stream_raises_wire_error():
     with _pytest.raises(KafkaWireError):
         decode_record_batch(bytes(comp))
 
-    # bad codec id (e.g. zstd=4, unimplemented) must raise, not misparse
+    # codec 4 (zstd) is implemented: uncompressed bytes stamped zstd must
+    # fail the zstd magic check, surfaced as KafkaWireError (not misparse)
     import struct
+
+    from etl_rust_spark.etl.kafka_wire import crc32c
 
     plain = bytearray(encode_record_batch([b"abc"], base_timestamp=0))
     struct.pack_into(">h", plain, 21, 4)
-    # re-seal the CRC so the codec check (not the CRC) is what fires
-    from etl_rust_spark.etl.kafka_wire import crc32c
+    # re-seal the CRC so the payload check (not the CRC) is what fires
+    struct.pack_into(">I", plain, 17, crc32c(bytes(plain[21:])))
+    with _pytest.raises(KafkaWireError, match="zstd"):
+        decode_record_batch(bytes(plain))
 
+    # a codec id outside the protocol's table (5) must raise the
+    # unknown-codec error, not misparse
+    plain = bytearray(encode_record_batch([b"abc"], base_timestamp=0))
+    struct.pack_into(">h", plain, 21, 5)
     struct.pack_into(">I", plain, 17, crc32c(bytes(plain[21:])))
     with _pytest.raises(KafkaWireError, match="codec"):
         decode_record_batch(bytes(plain))
