@@ -120,27 +120,43 @@ def hist_quantile(
     c = F.col(hist) if isinstance(hist, str) else hist
     zero = F.lit(0).cast("long")
     total = F.aggregate(c, zero, lambda a, x: a + x)
-    thr = F.ceil(F.lit(float(q)) * total).cast("long")
-    acc0 = F.struct(
-        zero.alias("cum"), F.lit(0).alias("i"), F.lit(-1).alias("bin")
-    )
-    qbin = F.aggregate(
-        c,
-        acc0,
-        lambda a, x: F.struct(
-            (a.cum + x).alias("cum"),
-            (a.i + F.lit(1)).alias("i"),
-            F.when(a.bin >= 0, a.bin)
-            .otherwise(F.when(a.cum + x >= thr, a.i).otherwise(F.lit(-1)))
-            .alias("bin"),
-        ),
-        lambda a: a.bin,
-    )
     w = (hi - lo) / bins
-    edge_c = F.round((F.lit(float(lo)) + qbin.cast("double") * F.lit(w)) * 100, 0)
-    # total > 0 guard: an all-zero histogram has thr = 0, which the fold
-    # would otherwise satisfy at bin 0 instead of yielding NULL.
-    return F.when((total > 0) & (qbin >= 0), edge_c.cast("long"))
+
+    # HOFs evaluate interpreted (no codegen, no subexpression reuse), so
+    # an expression tree that references `total` inside the threshold
+    # fold's lambda re-runs the bins-element total fold PER ELEMENT —
+    # O(bins²) per row.  Binding `total` ONCE as the accumulator of an
+    # empty-input aggregate (merge never runs; finish sees it as a plain
+    # lambda variable) makes the whole quantile O(bins): one total fold +
+    # one threshold fold.  At sf0.1's 3.7k rollup rows both forms are
+    # plan-cost-dominated (A/B'd indistinguishable); the win is per-row,
+    # i.e. at hypertable scale where rollup rows are billions.  Same
+    # integer math — bit-identical, gate-safe (re-gated sf0.001/sf0.01).
+    def _finish(t: Column) -> Column:
+        thr = F.ceil(F.lit(float(q)) * t).cast("long")
+        acc0 = F.struct(
+            zero.alias("cum"), F.lit(0).alias("i"), F.lit(-1).alias("bin")
+        )
+        qbin = F.aggregate(
+            c,
+            acc0,
+            lambda a, x: F.struct(
+                (a.cum + x).alias("cum"),
+                (a.i + F.lit(1)).alias("i"),
+                F.when(a.bin >= 0, a.bin)
+                .otherwise(F.when(a.cum + x >= thr, a.i).otherwise(F.lit(-1)))
+                .alias("bin"),
+            ),
+            lambda a: a.bin,
+        )
+        edge_c = F.round(
+            (F.lit(float(lo)) + qbin.cast("double") * F.lit(w)) * 100, 0
+        )
+        # t > 0 guard: an all-zero histogram has thr = 0, which the fold
+        # would otherwise satisfy at bin 0 instead of yielding NULL.
+        return F.when((t > 0) & (qbin >= 0), edge_c.cast("long"))
+
+    return F.aggregate(F.slice(c, 1, 0), total, lambda a, x: a, _finish)
 
 
 def time_bucket(ts: str | Column, bucket_sec: int) -> Column:
