@@ -28,6 +28,21 @@ that re-associates exactly under union:
   where approximate KLL/t-digest merges would not be.  Resolution is the
   bin width; at 100 TB that is the standard histogram trade
   (percentile_approx is per-query and its state never persists).
+- ``v_kll`` (opt-in) — a DataSketches KLL binary (Spark's built-in
+  ``kll_sketch_agg_double``), merge by ``kll_merge_agg_double``: the
+  UNBOUNDED-domain quantile state for when no fixed [lo, hi) can be
+  declared up front (the fixed-bin histogram's blind spot).  Rank error
+  is the sketch's ε (~1.65 % at the default k=200), so it lives in
+  pytest tolerance tests, not hash gates — both quantile states can
+  ride the same rollup row.
+- ``user_theta`` (opt-in) — a DataSketches Theta binary (Spark's
+  built-in ``theta_sketch_agg``), merge by ``theta_union_agg``.  Theta
+  supports the SET ALGEBRA HLL cannot: ``theta_intersection`` /
+  ``theta_difference`` answer "users active in bucket A AND/BUT-NOT
+  bucket B" from persisted state alone — the retention/churn question
+  (:func:`retention_matrix`) that would otherwise need a raw self-join
+  over 100 TB of events.  Exact below the sketch's nominal-entries
+  threshold, estimate beyond it.
 
 Scale notes: the rollup is one map-side-combined shuffle on
 (bucket, dims) — partial aggregation collapses each executor's rows to
@@ -49,6 +64,9 @@ __all__ = [
     "time_rollup",
     "merge_rollup",
     "hist_quantile",
+    "kll_quantile",
+    "theta_estimate",
+    "retention_matrix",
     "write_rollup",
     "update_rollup",
     "drop_chunks",
@@ -159,6 +177,76 @@ def hist_quantile(
     return F.aggregate(F.slice(c, 1, 0), total, lambda a, x: a, _finish)
 
 
+def kll_quantile(sketch: str | Column, q: float) -> Column:
+    """Quantile read off KLL sketch state (``time_rollup(kll=True)``) —
+    the unbounded-domain counterpart of :func:`hist_quantile`: no bin
+    edges to declare, answers are actual observed values, error is the
+    sketch's rank ε instead of a bin width.  Works identically on an
+    hourly row's own sketch and on a ``merge_rollup``-merged one."""
+    c = F.col(sketch) if isinstance(sketch, str) else sketch
+    return F.kll_sketch_get_quantile_double(c, F.lit(float(q)))
+
+
+def theta_estimate(sketch: str | Column) -> Column:
+    """Distinct-count estimate off Theta state — exact below the
+    sketch's nominal-entries threshold, within ~2 % beyond it."""
+    c = F.col(sketch) if isinstance(sketch, str) else sketch
+    return F.round(F.theta_sketch_estimate(c)).cast("long")
+
+
+def retention_matrix(
+    rollup: DataFrame,
+    bucket_sec: int,
+    dims: tuple[str, ...] = (),
+) -> DataFrame:
+    """Bucket-over-bucket user retention/churn from persisted Theta
+    state (``time_rollup(theta=True)``) — the question HLL state cannot
+    answer, because retention is a set INTERSECTION.
+
+    For each consecutive bucket pair (bs, bs + ``bucket_sec``) sharing
+    ``dims``, emits distinct-user estimates: ``users_a``/``users_b``
+    (each side), ``retained`` (A ∩ B), ``churned`` (A \\ B), ``new_users``
+    (B \\ A), and ``retention_bp`` (retained / users_a in basis points).
+
+    100 TB posture: the inputs are ROLLUP rows (buckets × dims — orders
+    of magnitude below raw), joined 1:1 on (bucket, dims); the raw-event
+    alternative is a self-join of the events table on user_id.  All set
+    arithmetic runs on the sketch binaries scan-side.  Estimates are
+    exact while every bucket's user set is under the sketch's nominal
+    entries (4096 default); beyond that the intersection inherits both
+    sketches' ~2 % error."""
+    a = rollup.select(
+        F.col("bs"),
+        *dims,
+        F.col("user_theta").alias("_ta"),
+    )
+    b = rollup.select(
+        (F.col("bs") - F.expr(f"INTERVAL {int(bucket_sec)} SECOND")).alias("bs"),
+        *dims,
+        F.col("user_theta").alias("_tb"),
+    )
+    ua = theta_estimate("_ta")
+    ret = theta_estimate(F.theta_intersection("_ta", "_tb"))
+    return (
+        a.join(b, ["bs", *dims])
+        .select(
+            F.col("bs"),
+            (F.col("bs") + F.expr(f"INTERVAL {int(bucket_sec)} SECOND")).alias(
+                "bs_next"
+            ),
+            *dims,
+            ua.alias("users_a"),
+            theta_estimate("_tb").alias("users_b"),
+            ret.alias("retained"),
+            theta_estimate(F.theta_difference("_ta", "_tb")).alias("churned"),
+            theta_estimate(F.theta_difference("_tb", "_ta")).alias("new_users"),
+            F.when(ua > 0, F.round(ret * 10000.0 / ua).cast("long")).alias(
+                "retention_bp"
+            ),
+        )
+    )
+
+
 def time_bucket(ts: str | Column, bucket_sec: int) -> Column:
     """Epoch-aligned bucket start (timestamp), floor-aligned so it is
     stable for pre-1970 timestamps too."""
@@ -180,15 +268,19 @@ def time_rollup(
     hist_bins: int | None = None,
     hist_lo: float = HIST_LO,
     hist_hi: float = HIST_HI,
+    kll: bool = False,
+    theta: bool = False,
 ) -> DataFrame:
     """One-shot rollup of raw events → (bs, dims..., n, v_c[, n_users]
-    [, user_sketch][, hist]).
+    [, user_sketch][, hist][, v_kll][, user_theta]).
 
     ``exact_ndv`` attaches an exact ``n_users`` (NOT mergeable — for
     gates and one-shot reports); ``sketch`` attaches the mergeable HLL
     binary the incremental path relies on; ``hist_bins`` attaches the
     mergeable value histogram :func:`hist_quantile` reads percentiles
-    from.
+    from; ``kll`` attaches the unbounded-domain KLL quantile sketch
+    :func:`kll_quantile` reads; ``theta`` attaches the Theta user
+    sketch :func:`retention_matrix` intersects.
     """
     aggs = [
         F.count(F.lit(1)).alias("n"),
@@ -200,6 +292,12 @@ def time_rollup(
         aggs.append(F.hll_sketch_agg(user).alias("user_sketch"))
     if hist_bins:
         aggs.append(_hist_agg(_hist_bin(value, hist_lo, hist_hi, hist_bins), hist_bins))
+    if kll:
+        aggs.append(
+            F.kll_sketch_agg_double(F.col(value).cast("double")).alias("v_kll")
+        )
+    if theta:
+        aggs.append(F.theta_sketch_agg(user).alias("user_theta"))
     return df.groupBy(time_bucket(ts, bucket_sec).alias("bs"), *dims).agg(*aggs)
 
 
@@ -210,7 +308,8 @@ def merge_rollup(
     estimate: bool = True,
 ) -> DataFrame:
     """Re-aggregate a (finer) rollup to ``bucket_sec`` buckets — counters
-    by SUM, sketches by ``hll_union_agg`` — without touching raw data.
+    by SUM, sketches by their union aggs (HLL / KLL / Theta, presence-
+    based) — without touching raw data.
     The target bucket must be a multiple of the source bucket (callers
     align, e.g. hour → day); misaligned merges would split source rows.
 
@@ -225,6 +324,10 @@ def merge_rollup(
     aggs = [F.sum("n").alias("n"), F.sum("v_c").alias("v_c")]
     if has_sketch:
         aggs.append(F.hll_union_agg("user_sketch").alias("user_sketch"))
+    if "v_kll" in rollup.columns:
+        aggs.append(F.kll_merge_agg_double("v_kll").alias("v_kll"))
+    if "user_theta" in rollup.columns:
+        aggs.append(F.theta_union_agg("user_theta").alias("user_theta"))
     if "hist" in rollup.columns:
         nb = _hist_width(rollup)
         aggs.append(
@@ -280,12 +383,14 @@ def update_rollup(
     """
     persisted = spark.read.parquet(path)
     has_hist = "hist" in persisted.columns
+    has_kll = "v_kll" in persisted.columns
+    has_theta = "user_theta" in persisted.columns
     hb = _hist_width(persisted) if has_hist else None
     d_roll = _partitioned(
         time_rollup(
             delta, ts=ts, bucket_sec=bucket_sec, dims=dims, value=value,
             user=user, exact_ndv=False, sketch=True, hist_bins=hb,
-            hist_lo=hist_lo, hist_hi=hist_hi,
+            hist_lo=hist_lo, hist_hi=hist_hi, kll=has_kll, theta=has_theta,
         )
     )
     dirty = [r["b_date"] for r in d_roll.select("b_date").distinct().collect()]
@@ -302,6 +407,10 @@ def update_rollup(
         F.sum("v_c").alias("v_c"),
         F.hll_union_agg("user_sketch").alias("user_sketch"),
     ]
+    if has_kll:
+        maggs.append(F.kll_merge_agg_double("v_kll").alias("v_kll"))
+    if has_theta:
+        maggs.append(F.theta_union_agg("user_theta").alias("user_theta"))
     if has_hist:
         maggs.append(
             F.array(

@@ -43,6 +43,8 @@ def run_rollup_stream(
     value: str = "value",
     user: str = "user_id",
     hist_bins: int | None = None,
+    kll: bool = False,
+    theta: bool = False,
 ):
     """Start the continuous-aggregate query; returns the StreamingQuery.
 
@@ -51,7 +53,7 @@ def run_rollup_stream(
     run)."""
     process = _epoch_processor(
         out_dir, ts=ts, bucket_sec=bucket_sec, dims=dims, value=value,
-        user=user, hist_bins=hist_bins,
+        user=user, hist_bins=hist_bins, kll=kll, theta=theta,
     )
     return (
         events_stream.writeStream.foreachBatch(process)
@@ -68,6 +70,8 @@ def _epoch_processor(
     value: str = "value",
     user: str = "user_id",
     hist_bins: int | None = None,
+    kll: bool = False,
+    theta: bool = False,
 ):
     """The foreachBatch body, exposed so tests can drive a REPLAYED
     epoch directly (Spark re-invokes the same epoch_id with the same
@@ -79,6 +83,7 @@ def _epoch_processor(
         part = _r.time_rollup(
             batch_df, ts=ts, bucket_sec=bucket_sec, dims=dims, value=value,
             user=user, exact_ndv=False, sketch=True, hist_bins=hist_bins,
+            kll=kll, theta=theta,
         )
         part.write.mode("overwrite").parquet(f"{out_dir}/delta/batch={epoch_id}")
 

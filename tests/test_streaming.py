@@ -693,3 +693,41 @@ def test_ann_index_stream_maintains_ivfpq_codes(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_rollup_stream_theta_retention_from_stream_state(spark, tmp_path):
+    """Theta/KLL opt-ins ride the epoch-delta log: user sets arriving
+    across micro-batches union into per-bucket Theta state, and
+    retention reads exactly off the CONTINUOUS rollup (small sets are
+    exact below the sketch's nominal entries)."""
+    import datetime as dt
+
+    from etl_rust_spark.operators import rollup as br
+    from etl_rust_spark.streaming.rollup import (
+        _epoch_processor,
+        read_continuous_rollup,
+    )
+
+    UTC = dt.timezone.utc
+    rows = [
+        (dt.datetime(2024, 3, 1 + d, 10, tzinfo=UTC), "click", u, float(u))
+        for d, users in [(0, range(0, 100)), (1, range(50, 150))]
+        for u in users
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, user_id long, value double"
+    )
+    out = str(tmp_path / "theta_stream")
+    process = _epoch_processor(out, bucket_sec=86400, dims=(), theta=True, kll=True)
+    # split ORTHOGONALLY to the buckets so each day's set is built from
+    # two different epochs (the union-across-epochs claim under test)
+    process(ev.filter(F.col("user_id") % 2 == 0), 0)
+    process(ev.filter(F.col("user_id") % 2 == 1), 1)
+    cont = read_continuous_rollup(spark, out, dims=())
+    r = br.retention_matrix(cont, 86400).collect()[0]
+    assert (r.users_a, r.users_b) == (100, 100)
+    assert (r.retained, r.churned, r.new_users) == (50, 50, 50)
+    q = cont.agg(F.kll_merge_agg_double("v_kll").alias("k")).select(
+        br.kll_quantile("k", 0.5).alias("q")
+    ).collect()[0].q
+    assert abs(q - 74.0) <= 2.0  # 0..99 ∪ 50..149 → true median 74.5

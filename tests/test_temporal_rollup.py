@@ -311,3 +311,120 @@ def test_drop_chunks_retention(spark, sf_dir, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         rollup.drop_chunks(str(tmp_path / "nope"), cutoff)
+
+
+def _days(spark, day_users: dict[int, range]) -> "DataFrame":  # noqa: F821
+    """Planted events: one row per (day, user), value = user + 1."""
+    rows = [
+        (dt.datetime(2024, 3, 1 + d, 10, tzinfo=UTC), "click", u, float(u + 1))
+        for d, users in day_users.items()
+        for u in users
+    ]
+    return spark.createDataFrame(
+        rows, "ts timestamp, event_type string, user_id long, value double"
+    )
+
+
+def test_theta_retention_matrix_exact(spark):
+    """Theta state answers retention/churn exactly while sets are under
+    the sketch's nominal entries: 0..99 then 50..149 → 50/50/50."""
+    ev = _days(spark, {0: range(0, 100), 1: range(50, 150)})
+    daily = rollup.time_rollup(ev, bucket_sec=86400, dims=(), theta=True)
+    m = rollup.retention_matrix(daily, 86400).collect()
+    assert len(m) == 1
+    r = m[0]
+    assert (r.users_a, r.users_b) == (100, 100)
+    assert (r.retained, r.churned, r.new_users) == (50, 50, 50)
+    assert r.retention_bp == 5000
+    assert r.bs_next == r.bs + dt.timedelta(days=1)
+
+
+def test_theta_retention_matrix_respects_dims(spark):
+    """Per-dim retention: the join matches buckets WITHIN each dim."""
+    rows = [
+        (dt.datetime(2024, 3, 1 + d, 10, tzinfo=UTC), et, u, 1.0)
+        for d, et, users in [
+            (0, "a", range(0, 10)),
+            (1, "a", range(5, 15)),    # a: 5 retained of 10
+            (0, "b", range(0, 4)),
+            (1, "b", range(100, 104)),  # b: disjoint → 0 retained
+        ]
+        for u in users
+    ]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, user_id long, value double"
+    )
+    daily = rollup.time_rollup(ev, bucket_sec=86400, theta=True)
+    got = {
+        r.event_type: (r.retained, r.retention_bp)
+        for r in rollup.retention_matrix(
+            daily, 86400, dims=("event_type",)
+        ).collect()
+    }
+    assert got == {"a": (5, 5000), "b": (0, 0)}
+
+
+def test_theta_state_merges_like_raw(spark):
+    """theta_union_agg over hourly state == a direct daily build — and
+    the merged state still intersects (retention from MERGED rollups)."""
+    ev = _days(spark, {0: range(0, 100), 1: range(50, 150)})
+    hourly = rollup.time_rollup(ev, bucket_sec=3600, dims=(), theta=True)
+    daily_merged = rollup.merge_rollup(hourly, 86400, dims=())
+    daily_direct = rollup.time_rollup(ev, bucket_sec=86400, dims=(), theta=True)
+    est = lambda df: {  # noqa: E731
+        r.bs: r.e for r in df.select("bs", rollup.theta_estimate("user_theta").alias("e")).collect()
+    }
+    assert est(daily_merged) == est(daily_direct)
+    r = rollup.retention_matrix(daily_merged, 86400).collect()[0]
+    assert (r.retained, r.churned, r.new_users) == (50, 50, 50)
+
+
+def test_kll_quantile_from_merged_state(spark):
+    """KLL state: exact on a small single bucket; rank-ε bounded after
+    merging hourly sketches to a day (4000 uniform values → p50 within
+    the default-k rank tolerance of the true median)."""
+    small = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 1, 10, tzinfo=UTC), "e", 1, float(v))
+         for v in range(1, 101)],
+        "ts timestamp, event_type string, user_id long, value double",
+    )
+    one = rollup.time_rollup(small, bucket_sec=86400, dims=(), kll=True)
+    p50 = one.select(rollup.kll_quantile("v_kll", 0.5).alias("q")).collect()[0].q
+    assert abs(p50 - 50.0) <= 1.0  # n <= k: sketch holds every value
+
+    big = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 1, v % 24, tzinfo=UTC), "e", v, float(v))
+         for v in range(1, 4001)],
+        "ts timestamp, event_type string, user_id long, value double",
+    )
+    hourly = rollup.time_rollup(big, bucket_sec=3600, dims=(), kll=True)
+    assert hourly.count() == 24
+    day = rollup.merge_rollup(hourly, 86400, dims=())
+    q = day.select(rollup.kll_quantile("v_kll", 0.5).alias("q")).collect()[0].q
+    # uniform 1..4000: rank(v) = v/4000; default k=200 → ε ≈ 1.65 %,
+    # doubled for the merge and slack: |rank - 0.5| ≤ 0.035
+    assert abs(q / 4000.0 - 0.5) <= 0.035, q
+
+
+def test_update_rollup_carries_kll_and_theta(spark, tmp_path):
+    """The incremental path detects opt-in sketch states from the
+    persisted schema and folds deltas into them."""
+    ev = _days(spark, {0: range(0, 100), 1: range(50, 150)})
+    cut = dt.datetime(2024, 3, 2, tzinfo=UTC)
+    base, delta = ev.filter(F.col("ts") < cut), ev.filter(F.col("ts") >= cut)
+    path = str(tmp_path / "r")
+    rollup.write_rollup(
+        rollup.time_rollup(base, bucket_sec=86400, kll=True, theta=True), path
+    )
+    rollup.update_rollup(spark, path, delta, bucket_sec=86400)
+    back = rollup.read_rollup(spark, path).drop("b_date")
+    assert {"v_kll", "user_theta"} <= set(back.columns)
+    r = rollup.retention_matrix(
+        rollup.merge_rollup(back, 86400, dims=()), 86400
+    ).collect()[0]
+    assert (r.users_a, r.retained, r.new_users) == (100, 50, 50)
+    q = (
+        back.agg(F.kll_merge_agg_double("v_kll").alias("k"))
+        .select(rollup.kll_quantile("k", 0.5).alias("q")).collect()[0].q
+    )
+    assert abs(q - 75.0) <= 2.0  # 1..100 ∪ 51..150 → true median 75.5
