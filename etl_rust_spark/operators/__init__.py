@@ -490,8 +490,12 @@ def _op_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branches would each rescan raw events (measured 2.2 s vs 1.4 s at
     # sf0.1 after the histogram widening).  Fresh per call, so bench
     # laps never reuse shuffle files across laps (NEXT.md gotcha).
+    # theta=True (r7): per-bucket Theta user sets ride the same hourly
+    # state so the retention section below reads them off the MERGED
+    # daily rollup — gating theta-through-merge, not just direct builds.
     hourly = rollup.time_rollup(
-        ev, exact_ndv=True, sketch=False, hist_bins=rollup.HIST_BINS
+        ev, exact_ndv=True, sketch=False, hist_bins=rollup.HIST_BINS,
+        theta=True,
     ).localCheckpoint(eager=False)
     h = hourly.select(
         F.lit("h").alias("lvl"), "bs", "event_type", "n", "v_c", "n_users",
@@ -503,7 +507,24 @@ def _op_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_users"),
         rollup.hist_quantile("hist", 0.5).alias("p50_c"),
     )
-    return h.unionByName(d).orderBy("lvl", "bs", "event_type")
+    # lvl='r' (r7): day-over-day retention per event_type from the
+    # MERGED daily Theta state — exact below the sketch's nominal
+    # entries (max daily users: 15/141/1356 at sf0.001/0.01/0.1, all
+    # under 4096), so the set-algebra path (theta_intersection /
+    # theta_difference through theta_union_agg) hash-matches the
+    # oracle's exact COUNT DISTINCT self-join on raw events.  Column
+    # mapping (tagged-union slot reuse, the op_dedup_exact pattern):
+    # n=retained, v_c=retention_bp, n_users=users_a, p50_c=new_users;
+    # churned and users_b are linear combinations of the gated four.
+    ret = rollup.retention_matrix(daily, 86400, dims=("event_type",))
+    r = ret.select(
+        F.lit("r").alias("lvl"), "bs", "event_type",
+        F.col("retained").alias("n"),
+        F.col("retention_bp").alias("v_c"),
+        F.col("users_a").alias("n_users"),
+        F.col("new_users").alias("p50_c"),
+    )
+    return h.unionByName(d).unionByName(r).orderBy("lvl", "bs", "event_type")
 
 
 def _text_profile_duck_sql() -> str:

@@ -491,11 +491,35 @@ def rollup_duck_sql() -> str:
     d = tmpl.format(w=86400, ndv="CAST(NULL AS BIGINT)")
     qh = qtmpl.format(w=3600, bin=bin_expr)
     qd = qtmpl.format(w=86400, bin=bin_expr)
+    # lvl='r' (r7): exact day-over-day retention per event_type from a
+    # raw COUNT-DISTINCT self-join — the independent derivation of what
+    # the engine reads off merged Theta state (exact below nominal
+    # entries at every gate scale).  n=retained, v_c=retention_bp,
+    # n_users=users_a, p50_c=new_users.
+    ret = """
+ du AS (
+  SELECT CAST(to_timestamp(CAST(floor(epoch(ts)/86400) AS BIGINT)*86400) AS TIMESTAMP) AS bs,
+         event_type, user_id
+  FROM events GROUP BY 1, 2, 3),
+ dc AS (SELECT bs, event_type, CAST(COUNT(*) AS BIGINT) AS nu FROM du GROUP BY 1, 2),
+ ic AS (SELECT a.bs, a.event_type, CAST(COUNT(*) AS BIGINT) AS nri
+        FROM du a JOIN du b ON b.bs = a.bs + INTERVAL 1 DAY
+             AND b.event_type = a.event_type AND b.user_id = a.user_id
+        GROUP BY 1, 2),
+ r AS (
+  SELECT a.bs, a.event_type,
+         COALESCE(ic.nri, 0) AS n,
+         CAST(ROUND(COALESCE(ic.nri, 0) * 10000.0 / a.nu) AS BIGINT) AS v_c,
+         a.nu AS n_users,
+         b.nu - COALESCE(ic.nri, 0) AS p50_c
+  FROM dc a JOIN dc b ON b.bs = a.bs + INTERVAL 1 DAY AND b.event_type = a.event_type
+  LEFT JOIN ic ON ic.bs = a.bs AND ic.event_type = a.event_type)"""
     return (
-        f"WITH h AS ({h}),\nd AS ({d}),\nqh AS ({qh}),\nqd AS ({qd})\n"
+        f"WITH h AS ({h}),\nd AS ({d}),\nqh AS ({qh}),\nqd AS ({qd}),\n{ret}\n"
         f"SELECT 'h' AS lvl, bs, event_type, n, v_c, n_users, {p50} AS p50_c"
         " FROM h JOIN qh USING (bs, event_type)\n"
         f"UNION ALL SELECT 'd' AS lvl, bs, event_type, n, v_c, n_users, {p50} AS p50_c"
         " FROM d JOIN qd USING (bs, event_type)\n"
+        "UNION ALL SELECT 'r' AS lvl, bs, event_type, n, v_c, n_users, p50_c FROM r\n"
         "ORDER BY lvl, bs, event_type"
     )
