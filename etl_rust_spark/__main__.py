@@ -286,6 +286,37 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="after writing, expire partitions older than this ISO date",
     )
+    proll.add_argument(
+        "--kll",
+        action="store_true",
+        help="attach the mergeable KLL value-quantile sketch state "
+        "(unbounded domain — no --hist-bins edges to declare)",
+    )
+    proll.add_argument(
+        "--theta",
+        action="store_true",
+        help="attach the mergeable Theta user-set state (enables the "
+        "retention verb)",
+    )
+
+    pret = sub.add_parser(
+        "retention",
+        help="bucket-over-bucket user retention/churn from a persisted "
+        "rollup's Theta state (set algebra on sketches — raw events "
+        "never re-read)",
+    )
+    pret.add_argument("rollup", help="rollup state path (built with --theta)")
+    pret.add_argument(
+        "--bucket-sec",
+        type=int,
+        required=True,
+        help="retention period; the rollup is merged to this "
+        "granularity first (must be a multiple of its bucket)",
+    )
+    pret.add_argument(
+        "--dims", default="event_type", help="comma list of dims ('' for none)"
+    )
+    pret.add_argument("--out", default=None, help="write the matrix parquet here")
 
     pcard = sub.add_parser(
         "card",
@@ -511,7 +542,8 @@ def main(argv: list[str] | None = None) -> int:
         else:
             _rollup.write_rollup(
                 _rollup.time_rollup(
-                    ev, bucket_sec=args.bucket_sec, hist_bins=args.hist_bins
+                    ev, bucket_sec=args.bucket_sec, hist_bins=args.hist_bins,
+                    kll=args.kll, theta=args.theta,
                 ),
                 args.out,
             )
@@ -522,6 +554,25 @@ def main(argv: list[str] | None = None) -> int:
         )
         n = _rollup.read_rollup(spark, args.out).count()
         print(json.dumps({"rollup_rows": n, "dropped_partitions": dropped}))
+    elif args.cmd == "retention":
+        from etl_rust_spark.operators import rollup as _rollup
+
+        roll = _rollup.read_rollup(spark, args.rollup)
+        if "user_theta" not in roll.columns:
+            p.error("rollup at %s carries no Theta state — build it with "
+                    "`rollup --theta`" % args.rollup)
+        dims = tuple(d for d in args.dims.split(",") if d)
+        merged = _rollup.merge_rollup(
+            roll, args.bucket_sec, dims=dims, estimate=False
+        )
+        m = _rollup.retention_matrix(merged, args.bucket_sec, dims=dims)
+        if args.out:
+            m.write.mode("overwrite").parquet(args.out)
+            m = spark.read.parquet(args.out)
+        rows = [r.asDict() for r in m.orderBy("bs", *dims).collect()]
+        for r in rows:
+            r["bs"], r["bs_next"] = str(r["bs"]), str(r["bs_next"])
+        print(json.dumps({"pairs": len(rows), "rows": rows}))
     elif args.cmd == "card":
         from etl_rust_spark.operators.card import dataset_card
 

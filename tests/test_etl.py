@@ -660,3 +660,41 @@ def test_cli_ann_ivfpq_build_update_search(spark, sf_dir, tmp_path, capsys):
     assert r3["hits"] == hits.count() > 0
     assert {r.qid for r in hits.collect()} == {0, 1, 2, 3, 4}
     assert hits.groupBy("qid").count().filter("count > 3").count() == 0
+
+
+def test_cli_rollup_theta_and_retention_verb(spark, tmp_path, capsys):
+    """`rollup --theta` persists Theta state; `retention` merges to the
+    requested period and reads retained/churned/new off sketches alone
+    (exact on these small planted sets)."""
+    import datetime as _dt
+    import json as _json
+
+    from etl_rust_spark.__main__ import main
+
+    UTC = _dt.timezone.utc
+    rows = [
+        (_dt.datetime(2024, 3, 1 + d, h, tzinfo=UTC), "click", u, float(u))
+        for d, users in [(0, range(0, 100)), (1, range(50, 150))]
+        for u in users
+        for h in (9, 15)  # two events/user/day → hourly buckets merge up
+    ]
+    src = str(tmp_path / "events_theta")
+    spark.createDataFrame(
+        rows, "ts timestamp, event_type string, user_id long, value double"
+    ).write.parquet(src)
+    state = str(tmp_path / "rollup_theta")
+    assert main(["rollup", src, "--out", state, "--theta", "--kll"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "retention_out")
+    rc = main([
+        "retention", state, "--bucket-sec", "86400", "--dims", "", "--out", out,
+    ])
+    assert rc == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["pairs"] == 1
+    r = rep["rows"][0]
+    assert (r["users_a"], r["retained"], r["churned"], r["new_users"]) == (
+        100, 50, 50, 50,
+    )
+    assert r["retention_bp"] == 5000
+    assert spark.read.parquet(out).count() == 1
