@@ -154,6 +154,11 @@ def curate_corpus(
     quality_model_threshold: float = 0.5,
     reference_lm=None,
     max_perplexity: float | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
+    dsir_buckets: int = 10_000,
+    dsir_seed: int = 0,
+    dsir_per_gram: bool = False,
 ) -> DataFrame:
     """Return the curated corpus (original columns + language votes +
     ``lang_pred`` + ``quality_bp``), lazily — one composed plan, no
@@ -204,6 +209,17 @@ def curate_corpus(
     reference text exceeds ``max_perplexity`` are dropped.  Together
     the three stages are the standard quality ladder: cheap rules →
     learned classifier → LM perplexity.
+
+    ``dsir_target`` + ``dsir_k`` (r7): DSIR importance resampling as
+    the FINAL stage — after cleaning/quality/dedup, select ``dsir_k``
+    documents ∝ how target-domain-like they are (``operators/dsir.py``:
+    hashed-ngram importance weights against ``dsir_target``'s
+    distribution, deterministic Gumbel-top-k).  Runs last because the
+    paper's recipe selects from the already-cleaned raw pool; the
+    surviving corpus is lazily localCheckpointed first since the DSIR
+    stage reads it three times (raw-distribution fit, scoring, final
+    join) — without the barrier the whole upstream pipeline would
+    recompute per read.
     """
     if main_content:
         from etl_rust_spark.operators import web
@@ -318,6 +334,27 @@ def curate_corpus(
             # the larger member (cid > qid by construction in the pair op)
             drop = pairs.select(F.col("cid").alias(id_col)).distinct()
         cur = cur.join(drop, id_col, "left_anti")
+    if dsir_k is not None:
+        if dsir_target is None:
+            raise ValueError("dsir_k requires dsir_target")
+        from etl_rust_spark.operators import dsir as _dsir
+
+        cur = cur.localCheckpoint(eager=False)
+        td = _dsir.fit_hashed_ngram_dist(
+            dsir_target, text_col=text_col, n_buckets=dsir_buckets
+        )
+        rd = _dsir.fit_hashed_ngram_dist(
+            cur, text_col=text_col, n_buckets=dsir_buckets
+        )
+        w = _dsir.dsir_log_weights(
+            cur, td, rd, n_buckets=dsir_buckets,
+            text_col=text_col, id_col=id_col,
+        )
+        picked = _dsir.dsir_select(
+            w, dsir_k, seed=dsir_seed, id_col=id_col, per_gram=dsir_per_gram
+        ).select(id_col)
+        # k ids by construction — broadcast, no shuffle of the corpus
+        cur = cur.join(F.broadcast(picked), id_col)
     return cur
 
 

@@ -126,3 +126,46 @@ def test_dsir_plan_shape(spark, sf_dir):
     sel = dsir.dsir_select(_api_weights(spark, sf_dir), k=K)
     splan = sel._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in splan  # partial top-k, no global sort
+
+
+def test_curate_corpus_dsir_stage_prefers_target_like(spark):
+    """The opt-in DSIR stage runs LAST: after quality/dedup, the k
+    survivors are the most target-domain-like (planted: tech-jargon
+    target → tech docs outrank recipe docs despite equal quality)."""
+    from etl_rust_spark.operators import curate
+
+    tech = "kernel compiler tensor gradient matrix vector cache thread"
+    food = "butter sugar flour oven whisk simmer garlic onion pepper salt"
+    docs = spark.createDataFrame(
+        [(i, (tech if i % 2 == 0 else food) + f" document number {i}")
+         for i in range(40)],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(100 + i, tech + " profiler scheduler") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    out = curate.curate_corpus(
+        docs, near_dup_threshold=None, dsir_target=target, dsir_k=10,
+        dsir_buckets=500, dsir_seed=1,
+    )
+    ids = [r.doc_id for r in out.select("doc_id").collect()]
+    assert len(ids) == 10
+    tech_share = sum(1 for i in ids if i % 2 == 0) / len(ids)
+    assert tech_share >= 0.8  # importance weights dominate the Gumbel jitter
+    # deterministic: same seed → same selection
+    again = curate.curate_corpus(
+        docs, near_dup_threshold=None, dsir_target=target, dsir_k=10,
+        dsir_buckets=500, dsir_seed=1,
+    )
+    assert sorted(ids) == sorted(r.doc_id for r in again.select("doc_id").collect())
+
+
+def test_curate_corpus_dsir_requires_target(spark):
+    import pytest as _pytest
+
+    from etl_rust_spark.operators import curate
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="dsir_target"):
+        curate.curate_corpus(docs, dsir_k=5).collect()
