@@ -48,9 +48,11 @@ __all__ = [
     "decode_varint",
     "encode_record_batch",
     "decode_record_batch",
+    "decode_record_batch_offsets",
 ]
 
 API_PRODUCE, API_FETCH, API_METADATA, API_VERSIONS = 0, 1, 3, 18
+API_LIST_OFFSETS = 2
 
 
 class KafkaWireError(RuntimeError):
@@ -479,6 +481,18 @@ def decode_record_batch(data: bytes) -> list[tuple[bytes | None, bytes]]:
     """One or more concatenated RecordBatch v2 → [(key, value), ...],
     CRC32C-verified per batch.  Corrupt/truncated input raises
     :class:`KafkaWireError` (never a bare IndexError/struct.error)."""
+    return [(k, v) for _off, k, v in decode_record_batch_offsets(data)]
+
+
+def decode_record_batch_offsets(
+    data: bytes,
+) -> list[tuple[int, bytes | None, bytes]]:
+    """Like :func:`decode_record_batch` but with each record's absolute
+    log offset (batch base_offset + per-record offset_delta) — the
+    broker rewrites base_offset on append, and the CRC deliberately
+    starts at the attributes field so that rewrite is checksum-safe;
+    consumers (the ``kafka_wire`` DataSource) need the absolute offsets
+    to slice a fetch response to an exact [start, end) range."""
     try:
         return _decode_record_batch(data)
     except KafkaWireError:
@@ -487,11 +501,11 @@ def decode_record_batch(data: bytes) -> list[tuple[bytes | None, bytes]]:
         raise KafkaWireError(f"corrupt or truncated record batch: {exc!r}") from exc
 
 
-def _decode_record_batch(data: bytes) -> list[tuple[bytes | None, bytes]]:
-    out: list[tuple[bytes | None, bytes]] = []
+def _decode_record_batch(data: bytes) -> list[tuple[int, bytes | None, bytes]]:
+    out: list[tuple[int, bytes | None, bytes]] = []
     pos = 0
     while pos + 17 <= len(data):
-        _base, batch_len = struct.unpack_from(">qi", data, pos)
+        base, batch_len = struct.unpack_from(">qi", data, pos)
         end = pos + 12 + batch_len
         _epoch, magic, crc = struct.unpack_from(">ibI", data, pos + 12)
         if magic != 2:
@@ -530,14 +544,14 @@ def _decode_record_batch(data: bytes) -> list[tuple[bytes | None, bytes]]:
             rec_end = p + length
             p += 1  # record attributes
             _td, p = decode_varint(body, p)
-            _od, p = decode_varint(body, p)
+            od, p = decode_varint(body, p)
             klen, p = decode_varint(body, p)
             key = None if klen < 0 else body[p : p + klen]
             p += max(klen, 0)
             vlen, p = decode_varint(body, p)
             value = body[p : p + vlen]
             p = rec_end
-            out.append((key, value))
+            out.append((base + od, key, value))
         pos = end
     return out
 
@@ -710,10 +724,48 @@ class KafkaWireClient:
                     raise KafkaWireError(f"Produce error {err} on {topic}")
         return base_offset
 
+    def list_offsets(
+        self, topic: str, partition: int = 0, timestamp: int = -1
+    ) -> int:
+        """ListOffsets v1: the partition's log-end offset for
+        ``timestamp=-1`` (latest) or its first offset for ``-2``
+        (earliest) — how a consumer finds where a stream begins/ends
+        without fetching data."""
+        body = (
+            struct.pack(">i", -1)  # replica_id
+            + struct.pack(">i", 1)
+            + _string(topic)
+            + struct.pack(">i", 1)
+            + struct.pack(">iq", partition, timestamp)
+        )
+        resp = self._send_request(API_LIST_OFFSETS, 1, body)
+        (n_topics,) = struct.unpack_from(">i", resp, 0)
+        pos = 4
+        offset = -1
+        for _ in range(n_topics):
+            _name, pos = _read_string(resp, pos)
+            (n_parts,) = struct.unpack_from(">i", resp, pos)
+            pos += 4
+            for _ in range(n_parts):
+                _part, err, _ts, offset = struct.unpack_from(">ihqq", resp, pos)
+                pos += 22
+                if err:
+                    raise KafkaWireError(f"ListOffsets error {err} on {topic}")
+        return offset
+
     def fetch(
         self, topic: str, partition: int = 0, offset: int = 0
     ) -> list[tuple[bytes | None, bytes]]:
         """Read back and decode every record batch from ``offset``."""
+        return [(k, v) for _o, k, v in self.fetch_records(topic, partition, offset)]
+
+    def fetch_records(
+        self, topic: str, partition: int = 0, offset: int = 0
+    ) -> list[tuple[int, bytes | None, bytes]]:
+        """Fetch from ``offset`` with each record's ABSOLUTE log offset.
+        Kafka serves whole batches — the response starts at the batch
+        CONTAINING ``offset``, so records below it are sliced off here,
+        exactly what a client library does."""
         body = (
             struct.pack(">iiiib", -1, 500, 1, 1 << 24, 0)
             + struct.pack(">i", 1)
@@ -725,7 +777,7 @@ class KafkaWireClient:
         pos = 4  # throttle_time
         (n_topics,) = struct.unpack_from(">i", resp, pos)
         pos += 4
-        records: list[tuple[bytes | None, bytes]] = []
+        records: list[tuple[int, bytes | None, bytes]] = []
         for _ in range(n_topics):
             _name, pos = _read_string(resp, pos)
             (n_parts,) = struct.unpack_from(">i", resp, pos)
@@ -739,7 +791,11 @@ class KafkaWireClient:
                 if err:
                     raise KafkaWireError(f"Fetch error {err} on {topic}")
                 if record_set:
-                    records.extend(decode_record_batch(record_set))
+                    records.extend(
+                        r
+                        for r in decode_record_batch_offsets(record_set)
+                        if r[0] >= offset
+                    )
         return records
 
     # -- QueueClient protocol ---------------------------------------------

@@ -53,11 +53,16 @@ def _read_string(data: bytes, pos: int):
 
 
 class KafkaStubBroker:
-    """Single-node, partition-0 stub: stores produced RecordBatch bytes
-    verbatim per topic and serves them back over Fetch."""
+    """Single-node, partition-0 stub.  Like a real broker it REWRITES
+    each appended batch's base_offset to its log position (the CRC
+    deliberately starts at the attributes field, so the rewrite is
+    checksum-safe) and serves Fetch from the batch containing the
+    requested offset; ListOffsets v1 answers earliest (-2) / latest
+    (-1)."""
 
     def __init__(self):
-        self.topics: dict[str, bytes] = {}
+        # topic → [(base_offset, record_count, patched_batch_bytes)]
+        self.logs: dict[str, list[tuple[int, int, bytes]]] = {}
         self.offsets: dict[str, int] = {}
         self.produce_requests = 0
         self.srv = socket.create_server(("127.0.0.1", 0))
@@ -85,7 +90,10 @@ class KafkaStubBroker:
                 body = req[pos:]
                 if api_key == 18:  # ApiVersions v0
                     assert api_version == 0
-                    apis = [(0, 0, 7), (1, 0, 11), (3, 0, 12), (18, 0, 3)]
+                    apis = [
+                        (0, 0, 7), (1, 0, 11), (2, 0, 5), (3, 0, 12),
+                        (18, 0, 3),
+                    ]
                     resp = struct.pack(">hi", 0, len(apis)) + b"".join(
                         struct.pack(">hhh", *a) for a in apis
                     )
@@ -137,8 +145,11 @@ class KafkaStubBroker:
                             # a real broker validates the batch CRC
                             n_new = len(decode_record_batch(batch))
                             base = self.offsets.get(topic, 0)
-                            self.topics[topic] = (
-                                self.topics.get(topic, b"") + batch
+                            # append rewrites base_offset (CRC-safe:
+                            # the checksum starts at attributes)
+                            patched = struct.pack(">q", base) + batch[8:]
+                            self.logs.setdefault(topic, []).append(
+                                (base, n_new, patched)
                             )
                             self.offsets[topic] = base + n_new
                             self.produce_requests += 1
@@ -151,6 +162,30 @@ class KafkaStubBroker:
                         + resp_topics
                         + struct.pack(">i", 0)  # throttle
                     )
+                elif api_key == 2:  # ListOffsets v1
+                    assert api_version == 1
+                    p = 4  # replica_id
+                    (n_topics,) = struct.unpack_from(">i", body, p)
+                    p += 4
+                    resp_topics = b""
+                    for _ in range(n_topics):
+                        topic, p = _read_string(body, p)
+                        (n_parts,) = struct.unpack_from(">i", body, p)
+                        p += 4
+                        parts = b""
+                        for _ in range(n_parts):
+                            part, ts = struct.unpack_from(">iq", body, p)
+                            p += 12
+                            log = self.logs.get(topic, [])
+                            if ts == -2:  # earliest
+                                o = log[0][0] if log else 0
+                            else:  # -1 latest → log-end offset
+                                o = self.offsets.get(topic, 0)
+                            parts += struct.pack(">ihqq", part, 0, -1, o)
+                        resp_topics += (
+                            _string(topic) + struct.pack(">i", n_parts) + parts
+                        )
+                    resp = struct.pack(">i", n_topics) + resp_topics
                 elif api_key == 1:  # Fetch v4
                     assert api_version == 4
                     p = 17  # replica/max_wait/min/max/isolation
@@ -163,9 +198,16 @@ class KafkaStubBroker:
                         p += 4
                         parts = b""
                         for _ in range(n_parts):
-                            part, _off, _maxb = struct.unpack_from(">iqi", body, p)
+                            part, off, _maxb = struct.unpack_from(">iqi", body, p)
                             p += 16
-                            stored = self.topics.get(topic, b"")
+                            # serve whole batches, starting at the batch
+                            # CONTAINING the requested offset (the real
+                            # broker's contract; clients slice records)
+                            stored = b"".join(
+                                blob
+                                for base, cnt, blob in self.logs.get(topic, [])
+                                if base + cnt > off
+                            )
                             parts += (
                                 struct.pack(
                                     ">ihqq", part, 0,
@@ -498,3 +540,33 @@ def test_client_compressed_produce_fetch_roundtrip():
             c.disconnect()
         finally:
             broker.close()
+
+
+def test_list_offsets_and_offset_sliced_fetch():
+    """ListOffsets v1 earliest/latest + fetch_records slicing: the
+    broker serves whole batches from the one containing the requested
+    offset; the client drops records below it.  Broker-side base_offset
+    rewrite keeps absolute offsets contiguous across produce requests
+    (and stays CRC-valid — decode verifies)."""
+    broker = KafkaStubBroker()
+    try:
+        c = KafkaWireClient("127.0.0.1", broker.port)
+        c.publish_batch("t", [b"r0", b"r1", b"r2"])
+        c.publish_batch("t", [b"r3", b"r4"])
+        assert c.list_offsets("t", timestamp=-2) == 0
+        assert c.list_offsets("t", timestamp=-1) == 5
+        got = c.fetch_records("t", offset=0)
+        assert [(o, v) for o, _k, v in got] == [
+            (0, b"r0"), (1, b"r1"), (2, b"r2"), (3, b"r3"), (4, b"r4"),
+        ]
+        # offset 1 lands INSIDE the first batch: broker returns the
+        # whole batch, the client slices r0 off
+        assert [v for _o, _k, v in c.fetch_records("t", offset=1)] == [
+            b"r1", b"r2", b"r3", b"r4",
+        ]
+        # offset 3 starts exactly at the second batch
+        assert [o for o, _k, _v in c.fetch_records("t", offset=3)] == [3, 4]
+        assert c.fetch_records("t", offset=5) == []
+        c.disconnect()
+    finally:
+        broker.close()
