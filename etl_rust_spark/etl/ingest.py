@@ -19,6 +19,10 @@ formats for text datasets):
 Scale: a pure scan→project→write; ingestion parallelism is file-split
 parallelism, and the output is written with the same block-bucket
 idempotency discipline as every other sink when ``bucket_size`` is set.
+Compression: ``.gz``/``.bz2`` decode on Spark's built-in java-side
+codecs; ``.jsonl.zst`` (the HuggingFace shard format) and ``.xz`` route
+through a per-file-parallel Python path (in-repo RFC 8878 zstd decoder
+/ stdlib lzma) since this environment lacks the native Hadoop codecs.
 """
 
 from __future__ import annotations
@@ -32,6 +36,63 @@ from etl_rust_spark.operators.hashes import MINHASH_P, spark_h
 __all__ = ["read_corpus", "ingest_corpus"]
 
 _FORMATS = ("jsonl", "csv", "avro", "warc")
+
+# Extensions Spark/Hadoop cannot decode in this environment: zstd needs
+# the native libzstd Hadoop codec (absent — NativeCodeLoader warns), xz
+# has no bundled codec at all.  Both are COMMON corpus shard formats
+# (HuggingFace datasets ship .jsonl.zst; archives ship .xz), so they
+# route through a binaryFile scan + Arrow-batched Python decode: zstd
+# via the in-repo RFC 8878 decoder (etl/zstdcodec.py — the portability
+# path; a cluster with the native codec should prefer it), xz via
+# stdlib lzma.  .gz/.bz2 stay on Spark's built-in (java-side) codecs.
+_PYTHON_CODEC_EXTS = (".zst", ".xz")
+
+
+def _python_codec_needed(path: str) -> bool:
+    p = path.rstrip("/")
+    return p.endswith(_PYTHON_CODEC_EXTS)
+
+
+def _read_jsonl_python_codec(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """JSONL shards in formats Hadoop can't split anyway (.zst/.xz):
+    per-FILE parallel decompress + line split in one Arrow kernel, then
+    ``from_json`` with the same PERMISSIVE corrupt-record spill as the
+    native reader.  A shard is decoded as a unit — the standard posture
+    for non-seekable container compression (same note as the Avro
+    path); corpus suppliers shard for exactly this reason."""
+    import pandas as pd
+
+    def gen(batches):
+        from etl_rust_spark.etl.zstdcodec import zstd_decompress
+
+        for pdf in batches:
+            for fname, blob in zip(pdf["path"], pdf["content"]):
+                if fname.endswith(".zst"):
+                    data = zstd_decompress(bytes(blob))
+                else:
+                    import lzma
+
+                    data = lzma.decompress(bytes(blob))
+                lines = data.decode("utf-8", "replace").splitlines()
+                if lines:
+                    yield pd.DataFrame({"line": lines})
+
+    lines = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(gen, "line string")
+    )
+    parsed = lines.select(
+        F.from_json(
+            "line", schema, {"columnNameOfCorruptRecord": "_corrupt_record"}
+        ).alias("r")
+    ).select("r.*")
+    # from_json signals an unparseable line through the spill column
+    # when it is declared in the schema — identical downstream filter.
+    return parsed
 
 
 def read_corpus(
@@ -109,9 +170,12 @@ def read_corpus(
         if source_field:
             fields.append(T.StructField(source_field, T.StringType()))
         fields.append(T.StructField("_corrupt_record", T.StringType()))
-        raw = spark.read.schema(T.StructType(fields)).option(
-            "columnNameOfCorruptRecord", "_corrupt_record"
-        ).json(path)
+        if _python_codec_needed(path):
+            raw = _read_jsonl_python_codec(spark, path, T.StructType(fields))
+        else:
+            raw = spark.read.schema(T.StructType(fields)).option(
+                "columnNameOfCorruptRecord", "_corrupt_record"
+            ).json(path)
         raw = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     else:
         # CSV with an explicit schema binds BY POSITION, so read by

@@ -698,3 +698,72 @@ def test_cli_rollup_theta_and_retention_verb(spark, tmp_path, capsys):
     )
     assert r["retention_bp"] == 5000
     assert spark.read.parquet(out).count() == 1
+
+
+def test_read_corpus_zstd_and_xz_jsonl(spark, tmp_path):
+    """.jsonl.zst (the HuggingFace shard format) and .jsonl.xz route
+    through the Python-codec path — per-file parallel binaryFile decode
+    via the in-repo RFC 8878 zstd decoder / stdlib lzma — with the same
+    corrupt-record spill semantics as the native reader.  Fixtures come
+    from the CANONICAL CLI tools, not our own encoder."""
+    import json as _json
+    import lzma
+    import subprocess
+
+    from etl_rust_spark.etl.ingest import read_corpus
+
+    lines = [
+        _json.dumps({"doc_id": 1, "text": "alpha beta"}),
+        _json.dumps({"doc_id": 2, "text": "gamma delta"}),
+        "{not json at all",
+    ]
+    payload = ("\n".join(lines) + "\n").encode()
+
+    raw = tmp_path / "shard.jsonl"
+    raw.write_bytes(payload)
+    subprocess.run(["zstd", "-q", "-19", str(raw)], check=True)
+    zpath = tmp_path / "shard.jsonl.zst"
+    assert zpath.exists()
+    out = read_corpus(
+        spark, str(zpath), fmt="jsonl", lang_field=None, source_field=None
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].text == "alpha beta" and rows[2].source == "ingest"
+
+    xpath = tmp_path / "shard2.jsonl.xz"
+    xpath.write_bytes(lzma.compress(payload))
+    out2 = read_corpus(
+        spark, str(xpath), fmt="jsonl", lang_field=None, source_field=None
+    )
+    assert {r.doc_id for r in out2.collect()} == {1, 2}
+
+
+def test_read_corpus_zstd_multi_shard_content_ids(spark, tmp_path):
+    """Multiple .zst shards in one directory read per-file parallel;
+    content-hash ids stay stable across shard layouts."""
+    import json as _json
+    import subprocess
+
+    from etl_rust_spark.etl.ingest import read_corpus
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    for s in range(3):
+        p = d / f"part-{s}.jsonl"
+        p.write_text(
+            "\n".join(
+                _json.dumps({"text": f"document {s} {i} payload"})
+                for i in range(5)
+            )
+            + "\n"
+        )
+        subprocess.run(["zstd", "-q", str(p)], check=True)
+        p.unlink()
+    got = read_corpus(
+        spark, str(d / "*.zst"), fmt="jsonl", id_field=None,
+        lang_field=None, source_field=None,
+    )
+    rows = got.collect()
+    assert len(rows) == 15
+    assert len({r.doc_id for r in rows}) == 15  # distinct content hashes
