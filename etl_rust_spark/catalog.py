@@ -234,6 +234,33 @@ def autotune_shuffle_partitions(
         return  # foreign filesystem / permissions: keep the session default
 
 
+# (path, mtime) → inferred StructType.  Schema inference reads parquet
+# footers on the DRIVER (measured 70-100 ms per call at sf0.1, ~60-85 ms
+# more than an explicit-schema read); operator entries call load_table
+# 1-3 times each, so the sequential 50-entry suite was paying >1 s of
+# repeated footer reads per lap.  Caching the SCHEMA is safe where
+# caching DataFrames is not (the r6 shuffle-reuse lesson): every call
+# still builds a fresh plan and re-executes scans/shuffles — only the
+# driver-side inference is skipped.  mtime in the key invalidates on
+# rewrite (tmp-path tables in tests, re-synthesized fixtures).
+_SCHEMA_CACHE: dict[tuple[str, float], T.StructType] = {}
+
+
+def _table_schema(spark: SparkSession, path: str) -> T.StructType:
+    import os
+
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0
+    key = (path, mtime)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table from ``{sf_dir}/{name}.parquet`` with canonical types.
 
@@ -243,7 +270,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncation bit-for-bit (FIXTURES.md §3).
     """
     autotune_shuffle_partitions(spark, sf_dir)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.schema(_table_schema(spark, path)).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
