@@ -21,6 +21,12 @@ only state:
   batches arrive, the client drops out-of-range records, duplicates are
   structurally impossible across micro-batches.
 
+The WRITE side rides the same registration: ``df.write.format
+("kafka_wire")`` / ``writeStream.format("kafka_wire")`` produce a
+``value`` column through executor-side wire clients (chunked
+RecordBatches, optional compression) — acked per batch, so task retry /
+epoch replay is AT-LEAST-ONCE, the jar'd sink's exact contract.
+
 Scale: per-Kafka-partition parallelism is the native Kafka contract (a
 partition is an ordered log; its consumer is single-threaded in every
 client); executors fetch concurrently across partitions, and the fetch
@@ -37,7 +43,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 SCHEMA = "offset long, key binary, value binary, topic string, partition int"
@@ -150,11 +159,96 @@ class _KafkaStreamReader(DataSourceStreamReader):
         pass
 
 
+class _Produced(WriterCommitMessage):
+    def __init__(self, records: int) -> None:
+        self.records = records
+
+
+def _check_write_schema(schema) -> None:
+    names = [f.name for f in schema.fields]
+    if "value" not in names:
+        raise ValueError("kafka_wire writes need a 'value' column (binary/string)")
+    if "key" in names:
+        raise ValueError(
+            "kafka_wire produces keyless records (RecordBatch encoder and "
+            "the reference's apache_kafka.rs are both keyless) — drop the "
+            "'key' column or encode it into the value"
+        )
+
+
+def _write_rows(opts: _Opts, iterator, compression, batch_size) -> _Produced:
+    from etl_rust_spark.etl.kafka_wire import KafkaWireClient
+
+    c = KafkaWireClient(
+        opts.host, opts.port, compression=compression
+    )
+    n = 0
+    buf: list[bytes] = []
+    try:
+        for row in iterator:
+            v = row["value"]
+            buf.append(bytes(v) if not isinstance(v, str) else v.encode())
+            n += 1
+            if len(buf) >= batch_size:
+                c.publish_batch(opts.topic, buf)
+                buf = []
+        if buf:
+            c.publish_batch(opts.topic, buf)
+    finally:
+        c.disconnect()
+    return _Produced(n)
+
+
+class _KafkaBatchWriter(DataSourceWriter):
+    """Produce is acked per batch (acks=1) as rows stream through —
+    there is no transactional buffer to roll back, so a retried task
+    re-produces its rows: AT-LEAST-ONCE on failure, the same contract
+    as the jar'd ``format("kafka")`` sink.  commit/abort are therefore
+    bookkeeping only."""
+
+    def __init__(self, opts: _Opts, compression, batch_size: int) -> None:
+        self.opts, self.compression = opts, compression
+        self.batch_size = batch_size
+
+    def write(self, iterator):
+        return _write_rows(self.opts, iterator, self.compression, self.batch_size)
+
+    def commit(self, messages) -> None:
+        pass
+
+    def abort(self, messages) -> None:
+        # already-acked records cannot be unsent (no transactions at
+        # this protocol level); consumers dedupe by content if needed
+        pass
+
+
+class _KafkaStreamWriter(DataSourceStreamWriter):
+    """foreachBatch-free streaming produce: each micro-batch's rows are
+    produced as they stream; epoch replay after a crash re-produces that
+    epoch (at-least-once), identical to the jar'd sink without
+    idempotent-producer support."""
+
+    def __init__(self, opts: _Opts, compression, batch_size: int) -> None:
+        self.opts, self.compression = opts, compression
+        self.batch_size = batch_size
+
+    def write(self, iterator):
+        return _write_rows(self.opts, iterator, self.compression, self.batch_size)
+
+    def commit(self, messages, batchId) -> None:
+        pass
+
+    def abort(self, messages, batchId) -> None:
+        pass
+
+
 class KafkaWireDataSource(DataSource):
     """``spark.dataSource.register(KafkaWireDataSource)`` →
-    ``spark.read.format("kafka_wire")`` /
-    ``readStream.format("kafka_wire")`` with options
-    ``host``/``port``/``topic`` (+ ``startingOffsets`` for streams)."""
+    ``spark.read/readStream.format("kafka_wire")`` (options
+    ``host``/``port``/``topic``, + ``startingOffsets`` for streams) and
+    ``df.write/writeStream.format("kafka_wire")`` (needs a ``value``
+    column; options + ``compression`` gzip/snappy/lz4/zstd,
+    ``batchSize``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -168,3 +262,18 @@ class KafkaWireDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _KafkaStreamReader(_Opts(self.options))
+
+    def _writer_args(self, schema):
+        _check_write_schema(schema)
+        opts = _Opts(self.options)
+        comp = self.options.get("compression") or None
+        batch = int(self.options.get("batchsize", 1000))
+        return opts, comp, batch
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        if overwrite:
+            raise ValueError("kafka_wire is append-only (a log has no overwrite)")
+        return _KafkaBatchWriter(*self._writer_args(schema))
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return _KafkaStreamWriter(*self._writer_args(schema))

@@ -148,3 +148,86 @@ def test_produce_from_executors_consume_as_dataframe(spark, broker):
     vals = {bytes(r.value) for r in back.collect()}
     assert len(vals) == 20  # every row arrived exactly once
     assert all(b"payload-" in v for v in vals)  # JSON-encoded bodies
+
+
+def test_batch_write_then_read_round_trip(spark, broker):
+    """df.write.format('kafka_wire') produces through executor-side wire
+    clients (zstd-compressed batches here); the source reads the topic
+    back byte-identically."""
+    src = spark.range(0, 30).selectExpr("concat('row-', id) AS value")
+    (
+        src.write.format("kafka_wire")
+        .mode("append")
+        .option("host", "127.0.0.1")
+        .option("port", broker.port)
+        .option("topic", "written")
+        .option("compression", "zstd")
+        .option("batchSize", 7)
+        .save()
+    )
+    back = (
+        spark.read.format("kafka_wire")
+        .option("host", "127.0.0.1")
+        .option("port", broker.port)
+        .option("topic", "written")
+        .load()
+    )
+    assert sorted(bytes(r.value) for r in back.collect()) == sorted(
+        f"row-{i}".encode() for i in range(30)
+    )
+
+
+def test_write_rejects_key_column_and_overwrite(spark, broker):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException, PythonException
+
+    df = spark.range(3).selectExpr(
+        "CAST(NULL AS BINARY) AS key", "CAST(id AS STRING) AS value"
+    )
+    with pytest.raises((AnalysisException, PythonException, Py4JJavaError)):
+        (
+            df.write.format("kafka_wire").mode("append")
+            .option("port", broker.port).option("topic", "t").save()
+        )
+    vdf = spark.range(3).selectExpr("CAST(id AS STRING) AS value")
+    with pytest.raises((AnalysisException, PythonException, Py4JJavaError)):
+        (
+            vdf.write.format("kafka_wire").mode("overwrite")
+            .option("port", broker.port).option("topic", "t").save()
+        )
+
+
+def test_streaming_relay_topic_to_topic(spark, broker, tmp_path):
+    """A full wire relay: readStream from topic 'in', writeStream to
+    topic 'out' — both over the socket stub — then batch-read 'out'.
+    Producers feed 'in' between micro-batches; the relay carries every
+    record across exactly once (reader-side offsets in the checkpoint)."""
+    _produce(broker, "in", [b"m0", b"m1"])
+    q = (
+        spark.readStream.format("kafka_wire")
+        .option("host", "127.0.0.1")
+        .option("port", broker.port)
+        .option("topic", "in")
+        .load()
+        .selectExpr("value")
+        .writeStream.format("kafka_wire")
+        .option("host", "127.0.0.1")
+        .option("port", broker.port)
+        .option("topic", "out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _produce(broker, "in", [b"m2"], compression="gzip")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = (
+        spark.read.format("kafka_wire")
+        .option("host", "127.0.0.1")
+        .option("port", broker.port)
+        .option("topic", "out")
+        .load()
+    )
+    assert sorted(bytes(r.value) for r in back.collect()) == [b"m0", b"m1", b"m2"]
