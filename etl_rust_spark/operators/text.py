@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_rust_spark.functions.exprmemo import column_memo
 from etl_rust_spark.operators.hashes import MINHASH_P, duck_h, spark_h
 
 __all__ = [
@@ -164,21 +165,33 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     at bench scale; at 100 TB it would shuffle the doc corpus five
     times for no reason.
     """
+    base_cols, lang_cols, out_cols = _profile_col_sets(text_col, id_col)
+    return df.select(*base_cols).withColumns(lang_cols).select(*out_cols)
+
+
+@column_memo
+def _profile_col_sets(text_col: str, id_col: str):
+    """The three projection stages of :func:`text_profile` as memoized
+    Column sets — identical expressions every call, so the Py4J
+    construction cost (~0.13 s: 7 DataFrame ops + ~20 parsed exprs) is
+    paid once per (text_col, id_col)."""
     h = spark_h(x="t")
     en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
-    base = df.select(
+    base_cols = (
         F.col(id_col),
         F.col(text_col).alias("__text"),
         F.split(F.col(text_col), " ").alias("toks"),
         F.expr(f"regexp_extract_all({text_col}, '{BPE_TOKEN_RE}', 0)").alias("btoks"),
     )
-    for lang, words in STOPWORDS.items():
-        lit = ", ".join(f"'{w}'" for w in words)
-        base = base.withColumn(
-            f"n_{lang}",
-            F.expr(f"size(filter(toks, t -> array_contains(array({lit}), t)))"),
+    lang_cols = {
+        f"n_{lang}": F.expr(
+            "size(filter(toks, t -> array_contains(array("
+            + ", ".join(f"'{w}'" for w in words)
+            + "), t)))"
         )
-    return base.select(
+        for lang, words in STOPWORDS.items()
+    }
+    out_cols = (
         F.col(id_col),
         *[F.col(f"n_{lang}") for lang in _LANGS],
         F.expr(_argmax_case()).alias("lang_pred"),
@@ -210,6 +223,7 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
             f" (acc, h) -> (acc * 31 + h) % {MINHASH_P})"
         ).alias("fp"),
     )
+    return base_cols, lang_cols, out_cols
 
 
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
