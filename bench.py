@@ -15,7 +15,7 @@ whose unit of work is the suite; the strictly-sequential sum is ALSO
 reported (``sequential_total_sec``) along with per-query times from that
 sequential pass, so nothing hides in the mode choice.  DuckDB's oracle
 total is measured IN THE SAME RUN (``duck_total_sec`` — every
-oracle_sql() statement, single process, best-of-2 laps both declared)
+oracle_sql() statement, single process, best-of-3 laps all declared)
 so the 2x-bar ratio is computable from this one artifact with both
 engines on the same box state; DuckDB parallelizes internally per
 query, which tiny per-query inputs never let Spark do.
@@ -133,7 +133,7 @@ def main() -> None:
             release_caches()
         return lap
 
-    n_laps = int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "3"))
+    n_laps = int(os.environ.get("SPARK_GRAFT_BENCH_LAPS", "4"))
     laps = [sequential_lap() for _ in range(n_laps)]
     lap_totals = [round(sum(lp.values()), 4) for lp in laps]
     times = laps[lap_totals.index(min(lap_totals))]
@@ -160,7 +160,7 @@ def main() -> None:
         con.close()
         return d
 
-    duck_laps = [duck_lap() for _ in range(min(n_laps, 2))]
+    duck_laps = [duck_lap() for _ in range(min(n_laps, 3))]
     duck_total = min(duck_laps)
     print(
         json.dumps(
