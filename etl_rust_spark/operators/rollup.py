@@ -227,15 +227,18 @@ def retention_matrix(
     rollup: DataFrame,
     bucket_sec: int,
     dims: tuple[str, ...] = (),
+    periods: int = 1,
 ) -> DataFrame:
     """Bucket-over-bucket user retention/churn from persisted Theta
     state (``time_rollup(theta=True)``) — the question HLL state cannot
     answer, because retention is a set INTERSECTION.
 
-    For each consecutive bucket pair (bs, bs + ``bucket_sec``) sharing
+    For each bucket pair (bs, bs + ``periods``·``bucket_sec``) sharing
     ``dims``, emits distinct-user estimates: ``users_a``/``users_b``
     (each side), ``retained`` (A ∩ B), ``churned`` (A \\ B), ``new_users``
     (B \\ A), and ``retention_bp`` (retained / users_a in basis points).
+    ``periods`` is the classic product lag: 1 = day-over-day on a daily
+    rollup, 7 = D7 retention, 30 = D30 — all from the same state.
 
     100 TB posture: the inputs are ROLLUP rows (buckets × dims — orders
     of magnitude below raw), joined 1:1 on (bucket, dims); the raw-event
@@ -244,13 +247,14 @@ def retention_matrix(
     exact while every bucket's user set is under the sketch's nominal
     entries (4096 default); beyond that the intersection inherits both
     sketches' ~2 % error."""
+    lag_sec = int(bucket_sec) * int(periods)
     a = rollup.select(
         F.col("bs"),
         *dims,
         F.col("user_theta").alias("_ta"),
     )
     b = rollup.select(
-        (F.col("bs") - F.expr(f"INTERVAL {int(bucket_sec)} SECOND")).alias("bs"),
+        (F.col("bs") - F.expr(f"INTERVAL {lag_sec} SECOND")).alias("bs"),
         *dims,
         F.col("user_theta").alias("_tb"),
     )
@@ -260,7 +264,7 @@ def retention_matrix(
         a.join(b, ["bs", *dims])
         .select(
             F.col("bs"),
-            (F.col("bs") + F.expr(f"INTERVAL {int(bucket_sec)} SECOND")).alias(
+            (F.col("bs") + F.expr(f"INTERVAL {lag_sec} SECOND")).alias(
                 "bs_next"
             ),
             *dims,

@@ -570,3 +570,33 @@ def test_list_offsets_and_offset_sliced_fetch():
         c.disconnect()
     finally:
         broker.close()
+
+
+def test_offsets_contiguous_across_random_batches():
+    """Property: however produces are split into batches (sizes 1..7,
+    mixed codecs), broker-assigned absolute offsets are the contiguous
+    sequence 0..n-1 and any fetch offset slices exactly."""
+    import random
+
+    rng = random.Random(20260814)
+    values = [f"v{i}".encode() for i in range(60)]
+    broker = KafkaStubBroker()
+    try:
+        c = KafkaWireClient("127.0.0.1", broker.port)
+        i = 0
+        codecs = [None, "gzip", "snappy", "lz4", "zstd"]
+        while i < len(values):
+            n = rng.randint(1, 7)
+            c.compression = rng.choice(codecs)
+            c.publish_batch("p", values[i : i + n])
+            i += n
+        assert c.list_offsets("p") == 60
+        got = c.fetch_records("p", offset=0)
+        assert [o for o, _k, _v in got] == list(range(60))
+        assert [v for _o, _k, v in got] == values
+        for off in (0, 1, 13, 37, 59, 60):
+            sliced = c.fetch_records("p", offset=off)
+            assert [o for o, _k, _v in sliced] == list(range(off, 60))
+        c.disconnect()
+    finally:
+        broker.close()

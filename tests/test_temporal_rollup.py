@@ -428,3 +428,22 @@ def test_update_rollup_carries_kll_and_theta(spark, tmp_path):
         .select(rollup.kll_quantile("k", 0.5).alias("q")).collect()[0].q
     )
     assert abs(q - 75.0) <= 2.0  # 1..100 ∪ 51..150 → true median 75.5
+
+
+def test_retention_matrix_periods_lag(spark):
+    """D-k retention off the same daily state: periods=2 intersects each
+    bucket with the one TWO days later — planted so D1 and D2 differ."""
+    ev = _days(
+        spark,
+        {0: range(0, 100), 1: range(50, 150), 2: range(90, 190)},
+    )
+    daily = rollup.time_rollup(ev, bucket_sec=86400, dims=(), theta=True)
+    d1 = {
+        r.bs.day: r.retained
+        for r in rollup.retention_matrix(daily, 86400, periods=1).collect()
+    }
+    assert d1 == {1: 50, 2: 60}  # 0..99∩50..149, 50..149∩90..189
+    d2 = rollup.retention_matrix(daily, 86400, periods=2).collect()
+    assert len(d2) == 1
+    assert d2[0].retained == 10  # 0..99 ∩ 90..189
+    assert d2[0].bs_next == d2[0].bs + dt.timedelta(days=2)
