@@ -316,6 +316,12 @@ def main(argv: list[str] | None = None) -> int:
     pret.add_argument(
         "--dims", default="event_type", help="comma list of dims ('' for none)"
     )
+    pret.add_argument(
+        "--periods",
+        type=int,
+        default=1,
+        help="retention lag in buckets (7 on a daily rollup = D7)",
+    )
     pret.add_argument("--out", default=None, help="write the matrix parquet here")
 
     pcard = sub.add_parser(
@@ -565,7 +571,9 @@ def main(argv: list[str] | None = None) -> int:
         merged = _rollup.merge_rollup(
             roll, args.bucket_sec, dims=dims, estimate=False
         )
-        m = _rollup.retention_matrix(merged, args.bucket_sec, dims=dims)
+        m = _rollup.retention_matrix(
+            merged, args.bucket_sec, dims=dims, periods=args.periods
+        )
         if args.out:
             m.write.mode("overwrite").parquet(args.out)
             m = spark.read.parquet(args.out)

@@ -698,6 +698,15 @@ def test_cli_rollup_theta_and_retention_verb(spark, tmp_path, capsys):
     )
     assert r["retention_bp"] == 5000
     assert spark.read.parquet(out).count() == 1
+    # D2 lag on a 2-day corpus: no pair exists
+    capsys.readouterr()
+    rc = main([
+        "retention", state, "--bucket-sec", "86400", "--dims", "",
+        "--periods", "2",
+    ])
+    assert rc == 0
+    rep2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["pairs"] == 0
 
 
 def test_read_corpus_zstd_and_xz_jsonl(spark, tmp_path):
