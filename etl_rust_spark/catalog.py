@@ -34,6 +34,7 @@ __all__ = [
     "autotune_shuffle_partitions",
     "create_bucketed_table",
     "write_clustered",
+    "write_zordered",
     "upsert_table",
     "layout_report",
 ]
@@ -357,6 +358,76 @@ def write_clustered(
     write time, amortized over every subsequent scan.
     """
     out = df.repartitionByRange(n_files, *by).sortWithinPartitions(*by)
+    w = out.write
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.mode("overwrite").parquet(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    by: list[str],
+    n_files: int,
+    bits_per_col: int = 8,
+    partition_by: list[str] | None = None,
+    relative_error: float = 0.01,
+) -> None:
+    """Materialize ``df`` Z-ORDER clustered on 2+ numeric columns — the
+    multi-dimensional file-skipping layout (Delta's OPTIMIZE ZORDER BY,
+    the Hilbert/Morton-curve family).
+
+    :func:`write_clustered` gives overlap ≈ 1 on ONE axis and ≈ n_files
+    on every other; interleaving the bits of per-column QUANTILE bucket
+    ids (so skew cannot collapse the curve — uniform-width buckets
+    would) makes every file cover a small hyper-rectangle: a point or
+    range predicate on ANY clustered column prunes to ~n_files^((d-1)/d)
+    files by parquet footer stats alone (√n_files for two columns),
+    with no second copy of the data and nothing at read time to know
+    about.
+
+    Mechanics, all engine-side: one sampled ``approxQuantile`` pass per
+    column picks ≤ 2^bits_per_col bucket boundaries (duplicate quantiles
+    from heavy hitters are collapsed); ``pyspark.ml.Bucketizer``
+    assigns bucket ids scan-side (JVM binary search); a bit-interleave
+    expression forms the Morton key; then one range exchange + in-file
+    sort on it, exactly :func:`write_clustered`'s write shape.  NULLs
+    sort as the lowest bucket.  Cost: the sampling pass + one shuffle —
+    amortized over every subsequent multi-predicate scan.
+    """
+    if len(by) < 2:
+        raise ValueError("z-ordering needs >= 2 columns; use write_clustered")
+    from pyspark.ml.feature import Bucketizer
+
+    n_buckets = 1 << bits_per_col
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    work = df
+    bucket_cols = []
+    for c in by:
+        dcol = f"__zd_{c}"
+        work = work.withColumn(dcol, F.col(c).cast("double"))
+        cuts = work.stat.approxQuantile(dcol, qs, relative_error)
+        splits = [float("-inf")] + sorted(set(cuts)) + [float("inf")]
+        lo = work.agg(F.min(dcol)).first()[0]
+        work = work.withColumn(dcol, F.coalesce(dcol, F.lit(lo)))
+        bcol = f"__zb_{c}"
+        work = Bucketizer(
+            splits=splits, inputCol=dcol, outputCol=bcol
+        ).transform(work)
+        work = work.withColumn(bcol, F.col(bcol).cast("long")).drop(dcol)
+        bucket_cols.append(bcol)
+    k = len(by)
+    terms = [
+        f"(shiftleft((shiftright(__zb_{c}, {i}) & 1), {i * k + j}))"
+        for i in range(bits_per_col)
+        for j, c in enumerate(by)
+    ]
+    work = work.withColumn("__z", F.expr(" + ".join(terms)))
+    out = (
+        work.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *bucket_cols)
+    )
     w = out.write
     if partition_by:
         w = w.partitionBy(*partition_by)

@@ -336,3 +336,62 @@ def test_upsert_table_add_column_schema_evolution(spark, tmp_path):
     # dropping columns is rejected, not silently null-filled
     with _pytest.raises(ValueError, match="missing table columns"):
         upsert_table(spark, path, delta.drop("v"), ["k"])
+
+
+def test_write_zordered_skips_on_both_axes(spark, tmp_path):
+    """Z-order vs single-axis clustering on a 2-D grid: range clustering
+    on x gives overlap ~1 on x but ~n_files on y; the Morton layout
+    keeps BOTH axes near sqrt(n_files)."""
+    from etl_rust_spark.catalog import layout_report, write_clustered, write_zordered
+
+    n = 1 << 14
+    df = spark.range(n).selectExpr(
+        "CAST(id % 128 AS BIGINT) AS x",
+        "CAST(id DIV 128 AS BIGINT) AS y",
+        "id AS payload",
+    )
+    single = str(tmp_path / "single")
+    write_clustered(df, single, by=["x"], n_files=16)
+    zpath = str(tmp_path / "zorder")
+    write_zordered(df, zpath, by=["x", "y"], n_files=16)
+
+    sx = layout_report(single, "x")["overlap"]
+    sy = layout_report(single, "y")["overlap"]
+    zx = layout_report(zpath, "x")["overlap"]
+    zy = layout_report(zpath, "y")["overlap"]
+    assert sx <= 2.0          # the clustered axis is tight
+    assert sy >= 12.0         # ...and the other axis is smeared
+    # Morton with 16 files lands ~6-7 per axis (quadrant chunks plus
+    # approxQuantile boundary fuzz) — BOTH axes skip.  The claim that
+    # matters: the WORST axis improves massively (16 → ~7) while the
+    # best axis degrades boundedly (1 → ~7); single-axis clustering
+    # cannot bound its worst axis at all.
+    assert zx <= 9.0 and zy <= 9.0
+    assert max(zx, zy) < 0.6 * max(sx, sy)
+    # same rows round-trip (the layout write drops only helper columns)
+    back = spark.read.parquet(zpath)
+    assert back.columns == ["x", "y", "payload"]
+    assert back.count() == n and back.agg({"payload": "sum"}).first()[0] == n * (n - 1) // 2
+
+
+def test_write_zordered_null_and_skew_safe(spark, tmp_path):
+    """Heavy-hitter values collapse quantile cuts (duplicate boundaries
+    dropped) and NULLs sort as the lowest bucket — both still write and
+    round-trip."""
+    from etl_rust_spark.catalog import write_zordered
+
+    df = spark.range(2000).selectExpr(
+        "CASE WHEN id % 10 < 8 THEN 42 ELSE id END AS x",  # 80% one value
+        "CASE WHEN id % 97 = 0 THEN NULL ELSE id END AS y",
+        "id AS payload",
+    )
+    p = str(tmp_path / "skewz")
+    write_zordered(df, p, by=["x", "y"], n_files=4, bits_per_col=4)
+    back = spark.read.parquet(p)
+    assert back.count() == 2000
+    assert back.where("y IS NULL").count() == 21
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="write_clustered"):
+        write_zordered(df, p, by=["x"], n_files=4)
