@@ -1,0 +1,280 @@
+"""Manifest-based table versioning: snapshots, time travel, file-level
+copy-on-write upserts — the minimal honest slice of what Iceberg/Delta
+manifests do, on plain parquet.
+
+The reference has no table-maintenance layer at all (extract→publish,
+src/example_config/mod.rs); catalog.py already gives this repo keyed
+upserts, snapshot diff, clustering and layout audits.  What those can't
+do is answer "what did this table look like yesterday" or make a commit
+atomic — both are manifest problems, not data problems:
+
+Layout::
+
+    table/
+      _latest                    # one line: the committed version number
+      _manifests/m00000001.json  # {"version", "files": [...], "count", ...}
+      data/[p=<val>/]<uuid>-part-*.parquet
+
+- A VERSION is a manifest: an explicit list of data files (relative to
+  ``data/``).  Readers list nothing — they read ``_latest`` (or any
+  older version number), load that manifest, and scan exactly its
+  files with ``basePath`` so directory-partition columns survive.
+- A COMMIT is ``os.replace`` of ``_latest`` — atomic on POSIX.  Files
+  and manifest land first; a crash before the marker leaves dangling
+  files that no reader ever sees (and that :func:`expire_versions`
+  sweeps), never a half-visible version.
+- An UPSERT is file-level copy-on-write: only the delta's dirty
+  partitions are rewritten (the ``catalog.upsert_table`` discipline);
+  every untouched partition's files are REFERENCED AGAIN by the new
+  manifest rather than copied — so N versions of a slowly-changing
+  table cost one table plus the churn, and old versions stay readable
+  byte-identically.
+- Single-writer by design (the marker replace is the serialization
+  point); production formats add a lock/CAS service for multi-writer —
+  out of scope here, documented.
+
+100 TB posture: manifests hold file PATHS (KBs per thousand files) and
+live on the driver; data moves only for dirty partitions; time-travel
+reads plan from an explicit file list, which also sidesteps eventually-
+consistent directory listings on object stores.  ``os.rename`` of
+staged files into ``data/`` is metadata-only on a real filesystem; an
+object-store deployment would stage directly into ``data/`` with unique
+names (Spark's part-UUIDs already are) and skip the move.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "write_table_version",
+    "upsert_table_version",
+    "read_table_version",
+    "list_versions",
+    "latest_version",
+    "diff_table_versions",
+    "expire_versions",
+]
+
+
+def _manifest_dir(path: str) -> Path:
+    return Path(path) / "_manifests"
+
+
+def _manifest_path(path: str, version: int) -> Path:
+    return _manifest_dir(path) / f"m{version:08d}.json"
+
+
+def latest_version(path: str) -> int | None:
+    """The committed version number, or None for an empty table dir."""
+    try:
+        return int((Path(path) / "_latest").read_text())
+    except FileNotFoundError:
+        return None
+
+
+def list_versions(path: str) -> list[int]:
+    """All COMMITTED versions (dangling manifests past ``_latest`` — a
+    crashed writer — are not versions)."""
+    n = latest_version(path)
+    if n is None:
+        return []
+    return [
+        v
+        for v in sorted(
+            int(p.stem[1:]) for p in _manifest_dir(path).glob("m*.json")
+        )
+        if v <= n
+    ]
+
+
+def _load_manifest(path: str, version: int) -> dict:
+    return json.loads(_manifest_path(path, version).read_text())
+
+
+def _stage_files(df: DataFrame, table: str, partition_by: str | None) -> list[str]:
+    """Write ``df`` to a staging dir, then move every part file into
+    ``data/`` under a collision-free name; returns data-relative paths."""
+    root = Path(table)
+    stage = root / f"_stage-{uuid.uuid4().hex}"
+    w = df.write
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(str(stage))
+    data = root / "data"
+    out: list[str] = []
+    for f in sorted(stage.rglob("*.parquet")):
+        rel = f.relative_to(stage)
+        dest = data / rel
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        os.rename(f, dest)
+        out.append(str(rel))
+    shutil.rmtree(stage)
+    return out
+
+
+def _commit(path: str, files: list[str], count: int, parent: int | None,
+            partition_by: str | None) -> int:
+    version = (latest_version(path) or 0) + 1
+    _manifest_dir(path).mkdir(parents=True, exist_ok=True)
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "partition_by": partition_by,
+        "count": count,
+        "files": sorted(files),
+    }
+    _manifest_path(path, version).write_text(json.dumps(manifest, indent=1))
+    # the atomic commit point: readers see the version only after this
+    tmp = Path(path) / f"_latest.{uuid.uuid4().hex}"
+    tmp.write_text(str(version))
+    os.replace(tmp, Path(path) / "_latest")
+    return version
+
+
+def write_table_version(
+    df: DataFrame, path: str, partition_by: str | None = None
+) -> int:
+    """Commit ``df`` as a full new snapshot; returns the version."""
+    n = df.count()
+    files = _stage_files(df, path, partition_by)
+    return _commit(path, files, n, latest_version(path), partition_by)
+
+
+def read_table_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table AS OF ``version`` (default: latest) — planned from the
+    manifest's explicit file list, ``basePath``-anchored so partition
+    columns survive reading individual files."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    m = _load_manifest(path, v)
+    data = str(Path(path) / "data")
+    if not m["files"]:
+        raise ValueError(f"version {v} of {path} is empty")
+    return (
+        spark.read.option("basePath", data)
+        .parquet(*[f"{data}/{f}" for f in m["files"]])
+    )
+
+
+def upsert_table_version(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    keys: list[str],
+    partition_by: str | None = None,
+) -> int:
+    """Keyed MERGE as a new version with FILE-LEVEL copy-on-write:
+    untouched partitions' files are re-referenced, only the delta's
+    dirty partitions are rewritten (merged = survivors-of-dirty ∪
+    delta).  Unpartitioned tables rewrite fully (the plain-parquet
+    cost, same as ``catalog.upsert_table``).  Replaying a delta is
+    idempotent in CONTENT (the new version's rows equal the previous
+    version's), though it still commits a version."""
+    missing = [k for k in keys if k not in delta.columns]
+    if missing:
+        raise ValueError(f"delta is missing key columns: {missing}")
+    head = latest_version(path)
+    if head is None:
+        return write_table_version(delta, path, partition_by)
+    m = _load_manifest(path, head)
+    if (m.get("partition_by") or None) != (partition_by or None):
+        raise ValueError(
+            f"table is partitioned by {m.get('partition_by')!r}, "
+            f"upsert requested {partition_by!r}"
+        )
+    existing = read_table_version(spark, path, head)
+    if partition_by:
+        dirty = [
+            r[0]
+            for r in delta.select(partition_by).distinct().collect()
+        ]
+        scope = existing.filter(F.col(partition_by).isin(dirty))
+        # files of CLEAN partitions carry over untouched
+        carried = [
+            f
+            for f in m["files"]
+            if not any(f.startswith(f"{partition_by}={d}/") for d in dirty)
+        ]
+    else:
+        scope, carried = existing, []
+    merged = scope.join(
+        delta.select(*keys), keys, "left_anti"
+    ).unionByName(delta)
+    n_new = merged.count()
+    new_files = _stage_files(merged, path, partition_by)
+    if partition_by:
+        total = (
+            read_table_version(spark, path, head)
+            .filter(~F.col(partition_by).isin(dirty))
+            .count()
+            + n_new
+        )
+    else:
+        total = n_new
+    return _commit(path, carried + new_files, total, head, partition_by)
+
+
+def diff_table_versions(
+    spark: SparkSession, path: str, v_old: int, v_new: int, keys: list[str]
+) -> DataFrame:
+    """added/removed/changed rows between two versions — the snapshot
+    differ over time-travel reads (fingerprint join; payload never
+    shuffles)."""
+    from etl_rust_spark.operators.profile import table_diff
+
+    return table_diff(
+        read_table_version(spark, path, v_old),
+        read_table_version(spark, path, v_new),
+        keys,
+    )
+
+
+def expire_versions(path: str, keep_last: int = 1) -> dict:
+    """Retention for the version log: drop all but the newest
+    ``keep_last`` committed versions, then delete every data file no
+    surviving manifest references (shared files survive — the whole
+    point of file-level COW).  Dangling crash leftovers (stage dirs,
+    manifests past ``_latest``) are swept too."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = list_versions(path)
+    keep = set(versions[-keep_last:])
+    live: set[str] = set()
+    for v in keep:
+        live.update(_load_manifest(path, v)["files"])
+    dropped_files = 0
+    root = Path(path)
+    data = root / "data"
+    for f in sorted(data.rglob("*.parquet")):
+        if str(f.relative_to(data)) not in live:
+            f.unlink()
+            dropped_files += 1
+    # prune now-empty partition dirs
+    for d in sorted((p for p in data.rglob("*") if p.is_dir()), reverse=True):
+        if not any(d.iterdir()):
+            d.rmdir()
+    dropped_manifests = 0
+    head = latest_version(path) or 0
+    for mp in _manifest_dir(path).glob("m*.json"):
+        v = int(mp.stem[1:])
+        if v not in keep or v > head:
+            mp.unlink()
+            dropped_manifests += 1
+    for st in root.glob("_stage-*"):
+        shutil.rmtree(st)
+    return {
+        "kept_versions": sorted(keep),
+        "dropped_manifests": dropped_manifests,
+        "dropped_files": dropped_files,
+    }

@@ -1,0 +1,110 @@
+"""Manifest-based table versioning (etl_rust_spark/versions.py):
+time travel, atomic commits, file-level copy-on-write upserts, version
+diff, and retention."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from etl_rust_spark import versions as V
+
+
+def _t(spark, rows):
+    return spark.createDataFrame(rows, ["k", "ds", "val"])
+
+
+def test_time_travel_reads_old_versions_byte_identically(spark, tmp_path):
+    p = str(tmp_path / "t")
+    v1 = V.write_table_version(_t(spark, [(1, 1, "a"), (2, 1, "b")]), p, "ds")
+    v2 = V.upsert_table_version(
+        spark, p, _t(spark, [(2, 1, "B"), (3, 2, "c")]), keys=["k"],
+        partition_by="ds",
+    )
+    assert (v1, v2) == (1, 2)
+    old = {r.k: r.val for r in V.read_table_version(spark, p, 1).collect()}
+    new = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert old == {1: "a", 2: "b"}          # v1 unchanged after the upsert
+    assert new == {1: "a", 2: "B", 3: "c"}  # v2 merged
+    assert V.list_versions(p) == [1, 2] and V.latest_version(p) == 2
+    # partition column survives the explicit-file-list read
+    assert {r.ds for r in V.read_table_version(spark, p).collect()} == {1, 2}
+
+
+def test_upsert_reuses_clean_partition_files(spark, tmp_path):
+    """File-level COW: the untouched partition's files appear verbatim
+    in the new manifest; only the dirty partition's files are new."""
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _t(spark, [(1, 1, "a"), (2, 2, "b")]), p, "ds"
+    )
+    V.upsert_table_version(
+        spark, p, _t(spark, [(3, 2, "c")]), keys=["k"], partition_by="ds"
+    )
+    m1 = json.loads((Path(p) / "_manifests" / "m00000001.json").read_text())
+    m2 = json.loads((Path(p) / "_manifests" / "m00000002.json").read_text())
+    f1_clean = {f for f in m1["files"] if f.startswith("ds=1/")}
+    assert f1_clean and f1_clean <= set(m2["files"])  # shared, not copied
+    f1_dirty = {f for f in m1["files"] if f.startswith("ds=2/")}
+    assert f1_dirty.isdisjoint(m2["files"])           # rewritten
+    assert m2["count"] == 3
+
+
+def test_crash_before_marker_is_invisible(spark, tmp_path):
+    """Files + manifest landing WITHOUT the marker replace (a writer
+    crash) leave the table at the old version; expire sweeps the
+    leftovers."""
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a")]), p, "ds")
+    # simulate the crash window: stage a manifest beyond _latest
+    files = V._stage_files(_t(spark, [(9, 9, "z")]), p, "ds")
+    (Path(p) / "_manifests" / "m00000002.json").write_text(
+        json.dumps({"version": 2, "parent": 1, "partition_by": "ds",
+                    "count": 1, "files": files})
+    )
+    assert V.latest_version(p) == 1
+    assert V.list_versions(p) == [1]
+    assert {r.k for r in V.read_table_version(spark, p).collect()} == {1}
+    rep = V.expire_versions(p, keep_last=5)
+    assert rep["dropped_manifests"] == 1 and rep["dropped_files"] >= 1
+    assert {r.k for r in V.read_table_version(spark, p).collect()} == {1}
+
+
+def test_diff_and_expire_share_files_safely(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a"), (2, 2, "b")]), p, "ds")
+    V.upsert_table_version(
+        spark, p, _t(spark, [(2, 2, "B")]), keys=["k"], partition_by="ds"
+    )
+    V.upsert_table_version(
+        spark, p, _t(spark, [(4, 2, "d")]), keys=["k"], partition_by="ds"
+    )
+    d = {r.k: r.diff for r in
+         V.diff_table_versions(spark, p, 1, 3, keys=["k"]).collect()}
+    assert d == {2: "changed", 4: "added"}
+    rep = V.expire_versions(p, keep_last=2)
+    assert rep["kept_versions"] == [2, 3]
+    # v2 and v3 still read (they share ds=1 files with dropped v1)
+    assert {r.k for r in V.read_table_version(spark, p, 2).collect()} == {1, 2}
+    assert {r.k for r in V.read_table_version(spark, p, 3).collect()} == {1, 2, 4}
+    with pytest.raises(FileNotFoundError):
+        V._load_manifest(p, 1)
+
+
+def test_unpartitioned_and_guards(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a")]), p)
+    V.upsert_table_version(spark, p, _t(spark, [(1, 1, "A")]), keys=["k"])
+    assert {r.val for r in V.read_table_version(spark, p).collect()} == {"A"}
+    with pytest.raises(ValueError, match="partitioned"):
+        V.upsert_table_version(
+            spark, p, _t(spark, [(1, 1, "x")]), keys=["k"], partition_by="ds"
+        )
+    with pytest.raises(ValueError, match="key"):
+        V.upsert_table_version(
+            spark, p, spark.createDataFrame([(1,)], ["z"]), keys=["k"]
+        )
+    with pytest.raises(FileNotFoundError):
+        V.read_table_version(spark, str(tmp_path / "nope"))
