@@ -336,6 +336,32 @@ def main(argv: list[str] | None = None) -> int:
         help="include the dominant-unicode-script distribution",
     )
 
+    pv = sub.add_parser(
+        "table",
+        help="versioned-table maintenance (manifest snapshots, time "
+        "travel, retention — versions.py)",
+    )
+    pv.add_argument("table", help="versioned table root")
+    pv.add_argument(
+        "--snapshot", default=None,
+        help="commit this parquet path's rows as a new version",
+    )
+    pv.add_argument(
+        "--upsert", default=None,
+        help="MERGE this parquet path as a new version (needs --keys)",
+    )
+    pv.add_argument("--keys", default=None, help="comma key list for --upsert")
+    pv.add_argument("--partition-by", default=None)
+    pv.add_argument(
+        "--read", default=None, metavar="V",
+        help="time-travel: write version V ('latest' ok) to --out",
+    )
+    pv.add_argument("--out", default=None)
+    pv.add_argument(
+        "--expire-keep", type=int, default=None,
+        help="retention: keep only the newest N versions",
+    )
+
     pd = sub.add_parser(
         "diff",
         help="snapshot diff two parquet tables by key: added/removed/"
@@ -591,6 +617,33 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         )
+    elif args.cmd == "table":
+        from etl_rust_spark import versions as _v
+
+        out: dict = {}
+        if args.snapshot:
+            out["version"] = _v.write_table_version(
+                spark.read.parquet(args.snapshot), args.table,
+                partition_by=args.partition_by,
+            )
+        if args.upsert:
+            if not args.keys:
+                p.error("--upsert requires --keys")
+            out["version"] = _v.upsert_table_version(
+                spark, args.table, spark.read.parquet(args.upsert),
+                keys=args.keys.split(","), partition_by=args.partition_by,
+            )
+        if args.read is not None:
+            if not args.out:
+                p.error("--read requires --out")
+            v = None if args.read == "latest" else int(args.read)
+            df = _v.read_table_version(spark, args.table, v)
+            df.write.mode("overwrite").parquet(args.out)
+            out["read_rows"] = spark.read.parquet(args.out).count()
+        if args.expire_keep is not None:
+            out["expire"] = _v.expire_versions(args.table, args.expire_keep)
+        out["versions"] = _v.list_versions(args.table)
+        print(json.dumps(out))
     elif args.cmd == "diff":
         from etl_rust_spark.operators.profile import diff_summary, table_diff
 

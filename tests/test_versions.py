@@ -108,3 +108,24 @@ def test_unpartitioned_and_guards(spark, tmp_path):
         )
     with pytest.raises(FileNotFoundError):
         V.read_table_version(spark, str(tmp_path / "nope"))
+
+
+def test_cli_table_verb_snapshot_upsert_read_expire(spark, tmp_path, capsys):
+    import json as _json
+
+    from etl_rust_spark.__main__ import main
+
+    feed1, feed2 = str(tmp_path / "f1"), str(tmp_path / "f2")
+    _t(spark, [(1, 1, "a"), (2, 2, "b")]).write.parquet(feed1)
+    _t(spark, [(2, 2, "B")]).write.parquet(feed2)
+    table = str(tmp_path / "versioned")
+    assert main(["table", table, "--snapshot", feed1, "--partition-by", "ds"]) == 0
+    assert main(["table", table, "--upsert", feed2, "--keys", "k",
+                 "--partition-by", "ds"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "asof1")
+    assert main(["table", table, "--read", "1", "--out", out,
+                 "--expire-keep", "2"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["read_rows"] == 2 and rep["versions"] == [1, 2]
+    assert {r.val for r in spark.read.parquet(out).collect()} == {"a", "b"}
