@@ -129,3 +129,19 @@ def test_cli_table_verb_snapshot_upsert_read_expire(spark, tmp_path, capsys):
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["read_rows"] == 2 and rep["versions"] == [1, 2]
     assert {r.val for r in spark.read.parquet(out).collect()} == {"a", "b"}
+
+
+def test_versioned_read_still_prunes_partitions(spark, tmp_path):
+    """The explicit-file-list read keeps directory-partition pruning: a
+    ds filter scans only that partition's files (basePath anchoring)."""
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _t(spark, [(i, i % 4, "x") for i in range(40)]), p, "ds"
+    )
+    df = V.read_table_version(spark, p).filter("ds = 2")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*ds[^\]]*\]", plan)
+    assert m, plan[:800]  # ds filter became a partition filter, not a row filter
+    assert df.count() == 10
