@@ -194,6 +194,30 @@ def upsert_table_version(
             f"upsert requested {partition_by!r}"
         )
     existing = read_table_version(spark, path, head)
+    dropped = set(existing.columns) - set(delta.columns)
+    if dropped:
+        raise ValueError(
+            f"delta is missing table columns {sorted(dropped)} — select "
+            "the full schema explicitly (silent NULL-filling a forgotten "
+            "column is a bug magnet; the catalog.upsert_table rule)"
+        )
+    if set(delta.columns) - set(existing.columns):
+        # ADD-COLUMN evolution: commit a FULL new snapshot (all-new
+        # files, no partition reuse) — old manifests keep reading the
+        # old files with the old schema byte-identically, which is the
+        # version-log answer to the mixed-schema-directory problem that
+        # forces catalog.upsert_table's whole-table rewrite anyway.
+        widened = existing.unionByName(delta.limit(0), allowMissingColumns=True)
+        merged = widened.join(
+            delta.select(*keys), keys, "left_anti"
+        ).unionByName(delta)
+        return _commit(
+            path,
+            _stage_files(merged, path, partition_by),
+            merged.count(),
+            head,
+            partition_by,
+        )
     if partition_by:
         dirty = [
             r[0]

@@ -145,3 +145,46 @@ def test_versioned_read_still_prunes_partitions(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[[^\]]*ds[^\]]*\]", plan)
     assert m, plan[:800]  # ds filter became a partition filter, not a row filter
     assert df.count() == 10
+
+
+def test_upsert_add_column_evolution(spark, tmp_path):
+    """A delta with an added column commits a FULL new snapshot with
+    NULL backfill; old versions keep reading the old schema
+    byte-identically."""
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a"), (2, 2, "b")]), p, "ds")
+    delta = spark.createDataFrame(
+        [(2, 2, "B", 9.5)], ["k", "ds", "val", "score"]
+    )
+    V.upsert_table_version(spark, p, delta, keys=["k"], partition_by="ds")
+    new = {r.k: (r.val, r.score) for r in
+           V.read_table_version(spark, p).collect()}
+    assert new == {1: ("a", None), 2: ("B", 9.5)}
+    # old version keeps the old schema (partition col reads back last)
+    assert set(V.read_table_version(spark, p, 1).columns) == {"k", "ds", "val"}
+    # dropped columns are rejected, not silently NULL-filled
+    with pytest.raises(ValueError, match="missing table columns"):
+        V.upsert_table_version(
+            spark, p, spark.createDataFrame([(1, 1)], ["k", "ds"]),
+            keys=["k"], partition_by="ds",
+        )
+
+
+def test_streaming_versioned_upsert_replay_idempotent(spark, tmp_path):
+    """Epoch replay commits a redundant version whose CONTENT equals the
+    head — readers of latest never see dupes or lost updates."""
+    from etl_rust_spark.streaming.tables import versioned_upsert_processor
+
+    p = str(tmp_path / "t")
+    process = versioned_upsert_processor(p, keys=["k"], partition_by="ds")
+    process(_t(spark, [(1, 1, "a"), (2, 2, "b")]), 0)
+    process(_t(spark, [(2, 2, "B"), (3, 1, "c")]), 1)
+    head = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert head == {1: "a", 2: "B", 3: "c"}
+    v_before = V.latest_version(p)
+    process(_t(spark, [(2, 2, "B"), (3, 1, "c")]), 1)  # crash replay
+    assert V.latest_version(p) == v_before + 1  # a version committed...
+    again = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert again == head                        # ...with identical content
+    process(spark.createDataFrame([], _t(spark, [(1, 1, "a")]).schema), 2)
+    assert V.latest_version(p) == v_before + 1  # empty epochs commit nothing
