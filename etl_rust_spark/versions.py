@@ -120,8 +120,46 @@ def _stage_files(df: DataFrame, table: str, partition_by: str | None) -> list[st
     return out
 
 
+def _file_stats(table: str, files: list[str], cols: list[str]) -> dict:
+    """Per-file [min, max] of ``cols`` from the parquet FOOTERS (pyarrow,
+    driver-side metadata read — the layout_report mechanics), keyed by
+    data-relative path.  Columns a file lacks or carries no stats for
+    are simply absent — pruning treats that as "cannot skip"."""
+    import pyarrow.parquet as pq
+
+    data = Path(table) / "data"
+    out: dict[str, dict[str, list]] = {}
+    for rel in files:
+        meta = pq.ParquetFile(str(data / rel)).metadata
+        if not meta.num_row_groups:
+            continue
+        idx = {
+            meta.row_group(0).column(i).path_in_schema: i
+            for i in range(meta.num_columns)
+        }
+        fstats: dict[str, list] = {}
+        for c in cols:
+            if c not in idx:
+                continue
+            lo = hi = None
+            ok = True
+            for g in range(meta.num_row_groups):
+                st = meta.row_group(g).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok:
+                fstats[c] = [lo, hi]
+        if fstats:
+            out[rel] = fstats
+    return out
+
+
 def _commit(path: str, files: list[str], count: int, parent: int | None,
-            partition_by: str | None) -> int:
+            partition_by: str | None, stats_cols: list[str] | None = None,
+            stats: dict | None = None) -> int:
     version = (latest_version(path) or 0) + 1
     _manifest_dir(path).mkdir(parents=True, exist_ok=True)
     manifest = {
@@ -130,6 +168,8 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
         "partition_by": partition_by,
         "count": count,
         "files": sorted(files),
+        "stats_cols": stats_cols or [],
+        "stats": stats or {},
     }
     _manifest_path(path, version).write_text(json.dumps(manifest, indent=1))
     # the atomic commit point: readers see the version only after this
@@ -140,30 +180,73 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
 
 
 def write_table_version(
-    df: DataFrame, path: str, partition_by: str | None = None
+    df: DataFrame,
+    path: str,
+    partition_by: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
-    """Commit ``df`` as a full new snapshot; returns the version."""
+    """Commit ``df`` as a full new snapshot; returns the version.
+
+    ``stats_cols`` records per-file [min, max] of those columns in the
+    manifest (footer metadata read, no data scan): the Iceberg-style
+    stats that let :func:`read_table_version` prune FILES on
+    non-partition predicates — which is how a z-ordered layout keeps
+    skipping through the explicit-file-list read."""
     n = df.count()
     files = _stage_files(df, path, partition_by)
-    return _commit(path, files, n, latest_version(path), partition_by)
+    stats = _file_stats(path, files, stats_cols) if stats_cols else None
+    return _commit(
+        path, files, n, latest_version(path), partition_by,
+        stats_cols, stats,
+    )
 
 
 def read_table_version(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: list[tuple] | None = None,
 ) -> DataFrame:
     """The table AS OF ``version`` (default: latest) — planned from the
     manifest's explicit file list, ``basePath``-anchored so partition
-    columns survive reading individual files."""
+    columns survive reading individual files.
+
+    ``prune`` is a list of ``(col, lo, hi)`` range predicates evaluated
+    against the manifest's per-file stats BEFORE planning: files whose
+    recorded [min, max] cannot intersect are never handed to Spark at
+    all (driver-side, zero I/O).  Files without stats for a column are
+    kept — pruning is an optimization, never a filter: callers still
+    apply the real predicate to the returned frame."""
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed versions under {path}")
     m = _load_manifest(path, v)
     data = str(Path(path) / "data")
+    files = m["files"]
+    if prune:
+        stats = m.get("stats") or {}
+
+        def keep(f: str) -> bool:
+            fs = stats.get(f)
+            if not fs:
+                return True
+            for col, lo, hi in prune:
+                if col in fs:
+                    fmin, fmax = fs[col]
+                    if (hi is not None and fmin > hi) or (
+                        lo is not None and fmax < lo
+                    ):
+                        return False
+            return True
+
+        files = [f for f in files if keep(f)]
+    if not files:
+        return read_table_version(spark, path, v).limit(0)
     if not m["files"]:
         raise ValueError(f"version {v} of {path} is empty")
     return (
         spark.read.option("basePath", data)
-        .parquet(*[f"{data}/{f}" for f in m["files"]])
+        .parquet(*[f"{data}/{f}" for f in files])
     )
 
 
@@ -173,6 +256,7 @@ def upsert_table_version(
     delta: DataFrame,
     keys: list[str],
     partition_by: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Keyed MERGE as a new version with FILE-LEVEL copy-on-write:
     untouched partitions' files are re-referenced, only the delta's
@@ -180,14 +264,18 @@ def upsert_table_version(
     delta).  Unpartitioned tables rewrite fully (the plain-parquet
     cost, same as ``catalog.upsert_table``).  Replaying a delta is
     idempotent in CONTENT (the new version's rows equal the previous
-    version's), though it still commits a version."""
+    version's), though it still commits a version.  ``stats_cols``
+    defaults to the parent manifest's — carried files keep their
+    recorded stats, only new files pay a footer read."""
     missing = [k for k in keys if k not in delta.columns]
     if missing:
         raise ValueError(f"delta is missing key columns: {missing}")
     head = latest_version(path)
     if head is None:
-        return write_table_version(delta, path, partition_by)
+        return write_table_version(delta, path, partition_by, stats_cols)
     m = _load_manifest(path, head)
+    if stats_cols is None:
+        stats_cols = m.get("stats_cols") or None
     if (m.get("partition_by") or None) != (partition_by or None):
         raise ValueError(
             f"table is partitioned by {m.get('partition_by')!r}, "
@@ -211,12 +299,11 @@ def upsert_table_version(
         merged = widened.join(
             delta.select(*keys), keys, "left_anti"
         ).unionByName(delta)
+        n = merged.count()
+        files = _stage_files(merged, path, partition_by)
+        stats = _file_stats(path, files, stats_cols) if stats_cols else None
         return _commit(
-            path,
-            _stage_files(merged, path, partition_by),
-            merged.count(),
-            head,
-            partition_by,
+            path, files, n, head, partition_by, stats_cols, stats,
         )
     if partition_by:
         dirty = [
@@ -246,7 +333,15 @@ def upsert_table_version(
         )
     else:
         total = n_new
-    return _commit(path, carried + new_files, total, head, partition_by)
+    stats = None
+    if stats_cols:
+        old_stats = m.get("stats") or {}
+        stats = {f: old_stats[f] for f in carried if f in old_stats}
+        stats.update(_file_stats(path, new_files, stats_cols))
+    return _commit(
+        path, carried + new_files, total, head, partition_by,
+        stats_cols, stats,
+    )
 
 
 def diff_table_versions(

@@ -188,3 +188,45 @@ def test_streaming_versioned_upsert_replay_idempotent(spark, tmp_path):
     assert again == head                        # ...with identical content
     process(spark.createDataFrame([], _t(spark, [(1, 1, "a")]).schema), 2)
     assert V.latest_version(p) == v_before + 1  # empty epochs commit nothing
+
+
+def test_manifest_stats_prune_files_on_nonpartition_predicates(spark, tmp_path):
+    """Iceberg-style manifest stats: a clustered versioned table prunes
+    FILES driver-side on a non-partition range predicate — the skipping
+    a directory-partition read cannot give an explicit file list."""
+    p = str(tmp_path / "t")
+    df = (
+        spark.range(8000)
+        .selectExpr("id AS k", "CAST(id % 500 AS BIGINT) AS x", "id AS payload")
+        .repartitionByRange(8, "x")
+        .sortWithinPartitions("x")
+    )
+    V.write_table_version(df, p, stats_cols=["x"])
+    full = V.read_table_version(spark, p)
+    assert len(full.inputFiles()) == 8
+    pruned = V.read_table_version(spark, p, prune=[("x", 10, 20)])
+    assert 1 <= len(pruned.inputFiles()) <= 2  # 8 disjoint x-ranges
+    # pruning is an optimization, never a filter: same answer both ways
+    want = full.filter("x BETWEEN 10 AND 20").count()
+    assert pruned.filter("x BETWEEN 10 AND 20").count() == want
+    # a disjoint range prunes to the empty frame, schema intact
+    none = V.read_table_version(spark, p, prune=[("x", 10_000, 20_000)])
+    assert none.count() == 0 and set(none.columns) == {"k", "x", "payload"}
+
+
+def test_upsert_inherits_and_carries_stats(spark, tmp_path):
+    """stats_cols inherit from the parent manifest; carried files keep
+    their recorded stats without a re-read, new files get fresh ones."""
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _t(spark, [(1, 1, "a"), (2, 2, "b")]), p, partition_by="ds",
+        stats_cols=["k"],
+    )
+    V.upsert_table_version(
+        spark, p, _t(spark, [(30, 2, "c")]), keys=["k"], partition_by="ds"
+    )
+    m2 = V._load_manifest(p, 2)
+    assert m2["stats_cols"] == ["k"]
+    assert all(f in m2["stats"] for f in m2["files"])
+    pruned = V.read_table_version(spark, p, prune=[("k", 25, None)])
+    assert {r.k for r in pruned.collect()} == {30}  # ds=1 file pruned out
