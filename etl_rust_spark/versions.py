@@ -60,6 +60,7 @@ __all__ = [
     "list_versions",
     "latest_version",
     "diff_table_versions",
+    "compact_table_version",
     "expire_versions",
 ]
 
@@ -397,3 +398,60 @@ def expire_versions(path: str, keep_last: int = 1) -> dict:
         "dropped_manifests": dropped_manifests,
         "dropped_files": dropped_files,
     }
+
+
+def compact_table_version(
+    spark: SparkSession,
+    path: str,
+    max_files_per_partition: int = 1,
+) -> int:
+    """OPTIMIZE: rewrite fragmented partitions into at most
+    ``max_files_per_partition`` files each, committed as a new
+    content-identical version.
+
+    File-level COW upserts accumulate one file set per touched epoch —
+    a hot partition upserted N times carries N small files, and small
+    files are the classic table killer at scale (footer overhead, task
+    scheduling, row-group fragmentation).  Compaction is the missing
+    lifecycle step between upsert and :func:`expire_versions`: only
+    partitions OVER the threshold rewrite (coalesced to the target file
+    count); already-compact partitions' files carry over verbatim, and
+    every older version still reads its own files byte-identically.
+    Unpartitioned tables compact as one unit.  Stats columns are
+    inherited; rewritten files get fresh footer stats."""
+    head = latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    m = _load_manifest(path, head)
+    partition_by = m.get("partition_by") or None
+    stats_cols = m.get("stats_cols") or None
+
+    def part_of(f: str) -> str:
+        return f.rsplit("/", 1)[0] if "/" in f else ""
+
+    by_part: dict[str, list[str]] = {}
+    for f in m["files"]:
+        by_part.setdefault(part_of(f), []).append(f)
+    fragmented = sorted(
+        p for p, fs in by_part.items() if len(fs) > max_files_per_partition
+    )
+    if not fragmented:
+        return head  # nothing to do — no empty commits
+    existing = read_table_version(spark, path, head)
+    if partition_by:
+        dirty_vals = [p.split("=", 1)[1] for p in fragmented]
+        scope = existing.filter(F.col(partition_by).isin(dirty_vals))
+        carried = [f for f in m["files"] if part_of(f) not in fragmented]
+    else:
+        scope, carried = existing, []
+    rewritten = scope.coalesce(max_files_per_partition)
+    new_files = _stage_files(rewritten, path, partition_by)
+    stats = None
+    if stats_cols:
+        old_stats = m.get("stats") or {}
+        stats = {f: old_stats[f] for f in carried if f in old_stats}
+        stats.update(_file_stats(path, new_files, stats_cols))
+    return _commit(
+        path, carried + new_files, m["count"], head, partition_by,
+        stats_cols, stats,
+    )

@@ -230,3 +230,37 @@ def test_upsert_inherits_and_carries_stats(spark, tmp_path):
     assert all(f in m2["stats"] for f in m2["files"])
     pruned = V.read_table_version(spark, p, prune=[("k", 25, None)])
     assert {r.k for r in pruned.collect()} == {30}  # ds=1 file pruned out
+
+
+def test_compact_rewrites_only_fragmented_partitions(spark, tmp_path):
+    """Three upserts fragment ds=2 into several files; compaction
+    coalesces JUST that partition as a content-identical new version,
+    carries ds=1's file verbatim, and leaves old versions readable."""
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _t(spark, [(1, 1, "a"), (2, 2, "b")]), p, "ds", stats_cols=["k"]
+    )
+    for i, kk in enumerate((20, 21, 22)):
+        V.upsert_table_version(
+            spark, p, _t(spark, [(kk, 2, f"v{i}")]), keys=["k"],
+            partition_by="ds",
+        )
+    head = V.latest_version(p)
+    m = V._load_manifest(p, head)
+    frag = [f for f in m["files"] if f.startswith("ds=2/")]
+    # partition-granular COW rewrites the dirty partition whole, so
+    # fragmentation here comes from WRITE PARALLELISM (one file per
+    # task), not epoch accumulation — still >1 file to coalesce
+    assert len(frag) >= 2
+    ds1 = {f for f in m["files"] if f.startswith("ds=1/")}
+
+    v = V.compact_table_version(spark, p)
+    mc = V._load_manifest(p, v)
+    assert len([f for f in mc["files"] if f.startswith("ds=2/")]) == 1
+    assert ds1 <= set(mc["files"])  # compact partition carried verbatim
+    before = {(r.k, r.val) for r in V.read_table_version(spark, p, head).collect()}
+    after = {(r.k, r.val) for r in V.read_table_version(spark, p, v).collect()}
+    assert before == after and mc["count"] == m["count"]
+    assert all(f in mc["stats"] for f in mc["files"])  # stats follow
+    # idempotent: a second compaction is a no-op, no empty commit
+    assert V.compact_table_version(spark, p) == v
