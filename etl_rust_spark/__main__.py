@@ -358,6 +358,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     pv.add_argument("--out", default=None)
     pv.add_argument(
+        "--compact", type=int, default=None, metavar="N",
+        help="OPTIMIZE: coalesce partitions with more than N files",
+    )
+    pv.add_argument(
         "--expire-keep", type=int, default=None,
         help="retention: keep only the newest N versions",
     )
@@ -640,6 +644,10 @@ def main(argv: list[str] | None = None) -> int:
             df = _v.read_table_version(spark, args.table, v)
             df.write.mode("overwrite").parquet(args.out)
             out["read_rows"] = spark.read.parquet(args.out).count()
+        if args.compact is not None:
+            out["version"] = _v.compact_table_version(
+                spark, args.table, max_files_per_partition=args.compact
+            )
         if args.expire_keep is not None:
             out["expire"] = _v.expire_versions(args.table, args.expire_keep)
         out["versions"] = _v.list_versions(args.table)

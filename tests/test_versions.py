@@ -264,3 +264,75 @@ def test_compact_rewrites_only_fragmented_partitions(spark, tmp_path):
     assert all(f in mc["stats"] for f in mc["files"])  # stats follow
     # idempotent: a second compaction is a no-op, no empty commit
     assert V.compact_table_version(spark, p) == v
+
+
+def test_model_based_random_op_sequence(spark, tmp_path):
+    """Stateful fuzz: a seeded random sequence of snapshot / upsert /
+    compact / expire ops against a pure-Python model of each committed
+    version's expected {key: val} content.  After EVERY op, the head
+    must match the model; at the end, every surviving version must
+    time-travel to its recorded content exactly."""
+    import random
+
+    rng = random.Random(0xE71)
+    p = str(tmp_path / "t")
+    model: dict[int, dict[int, str]] = {}  # version -> {k: val}
+    state: dict[int, str] = {}
+    counter = 0
+
+    def frame(rows):
+        return _t(spark, [(k, k % 3, v) for k, v in rows])
+
+    V.write_table_version(frame([(1, "s0")]), p, "ds", stats_cols=["k"])
+    state = {1: "s0"}
+    model[1] = dict(state)
+    for step in range(14):
+        op = rng.choice(["upsert", "upsert", "upsert", "compact", "expire"])
+        if op == "upsert":
+            counter += 1
+            rows = [
+                (rng.randint(1, 12), f"u{counter}.{j}")
+                for j in range(rng.randint(1, 3))
+            ]
+            # last-wins within one delta, like the DataFrame union path?
+            # keep the model unambiguous: unique keys per delta
+            rows = list({k: v for k, v in rows}.items())
+            v = V.upsert_table_version(
+                spark, p, frame(rows), keys=["k"], partition_by="ds"
+            )
+            state.update(dict(rows))
+            model[v] = dict(state)
+        elif op == "compact":
+            v = V.compact_table_version(spark, p)
+            model[v] = dict(state)  # content-identical (may be a no-op)
+        else:
+            keep = rng.randint(1, 3)
+            V.expire_versions(p, keep_last=keep)
+            live = sorted(model)[-keep:]
+            model = {v: c for v, c in model.items() if v in live}
+        head = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+        assert head == state, f"step {step} ({op})"
+    for v, want in model.items():
+        got = {r.k: r.val for r in V.read_table_version(spark, p, v).collect()}
+        assert got == want, f"time travel to v{v}"
+
+
+def test_cli_table_compact(spark, tmp_path, capsys):
+    import json as _json
+
+    from etl_rust_spark.__main__ import main
+
+    feed = str(tmp_path / "f")
+    _t(spark, [(i, i % 2, "x") for i in range(20)]).repartition(4).write.parquet(feed)
+    table = str(tmp_path / "vt")
+    assert main(["table", table, "--snapshot", feed, "--partition-by", "ds"]) == 0
+    capsys.readouterr()
+    assert main(["table", table, "--compact", "1"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["version"] == 2
+    m = V._load_manifest(table, 2)
+    per_part: dict[str, int] = {}
+    for f in m["files"]:
+        per_part[f.split("/")[0]] = per_part.get(f.split("/")[0], 0) + 1
+    assert all(n == 1 for n in per_part.values())
+    assert V.read_table_version(spark, table).count() == 20
