@@ -336,3 +336,28 @@ def test_cli_table_compact(spark, tmp_path, capsys):
         per_part[f.split("/")[0]] = per_part.get(f.split("/")[0], 0) + 1
     assert all(n == 1 for n in per_part.values())
     assert V.read_table_version(spark, table).count() == 20
+
+
+def test_curated_corpus_snapshots_diff_by_policy(spark, sf_dir, tmp_path):
+    """Composition: successive curation policies commit corpus versions;
+    the version diff names exactly the documents the stricter policy
+    dropped — the audit trail a training-data pipeline wants."""
+    from etl_rust_spark.operators import curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = str(tmp_path / "corpus")
+    loose = curate.curate_corpus(docs, near_dup_threshold=None).select(
+        "doc_id", "text", "quality_bp"
+    )
+    V.write_table_version(loose, p)
+    floor = int(
+        loose.approxQuantile("quality_bp", [0.5], 0.0)[0]
+    )
+    strict = loose.where(f"quality_bp >= {floor}")
+    V.upsert_table_version(spark, p, strict, keys=["doc_id"])
+    # an upsert cannot REMOVE rows — the strict corpus is its own snapshot
+    V.write_table_version(strict, p)
+    d = V.diff_table_versions(spark, p, 1, 3, keys=["doc_id"])
+    removed = d.filter("diff = 'removed'").count()
+    assert removed == loose.count() - strict.count() > 0
+    assert d.filter("diff = 'added'").count() == 0
