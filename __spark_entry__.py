@@ -54,7 +54,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: the driver's correctness gate records at most 50 entries in
     # insertion order (round-1 evidence: 58 keys → exactly the first 50
     # got a CORRECTNESS row).  The operator surface is consolidated so
-    # the total is 49 — every key gets a driver row.  Import errors
+    # the total is exactly 50 (40 DQs + 10 op entries) — every key gets
+    # a driver row.  Import errors
     # propagate on purpose: silently dropping entry groups would shrink
     # the gated surface instead of failing loudly (ADVICE r1).
     from etl_rust_spark.operators import entry_queries as _op_queries

@@ -284,10 +284,20 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 quant[tq] = q
         elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both baseline-decodable)
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if h == 0 or w == 0:
+                raise ValueError("JPEG SOF declares zero image dimension")
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                hi, vi = hv >> 4, hv & 0x0F
+                # T.81 §B.2.2: sampling factors are 1..4; 0 would divide
+                # by zero in the chroma upsample (bit-flip fuzz find, r7)
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        f"JPEG SOF component {cid} has invalid sampling "
+                        f"factors {hi}x{vi} (must be 1..4)"
+                    )
+                comps.append((cid, hi, vi, tq))
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(

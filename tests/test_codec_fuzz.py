@@ -18,7 +18,7 @@ import struct
 import zlib
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from etl_rust_spark.etl.kafka_wire import (
@@ -91,6 +91,10 @@ _BATCH = encode_record_batch([b"abc", b"defg"], base_timestamp=0)
 
 @settings(**_SETTINGS)
 @given(st.integers(0, len(_JPEG) - 1), st.integers(1, 255))
+@example(
+    pos=169,
+    mask=1,
+).via('discovered failure')
 def test_jpeg_bitflip_never_crashes(pos, mask):
     data = bytearray(_JPEG)
     data[pos] ^= mask
