@@ -224,6 +224,8 @@ def read_table_version(
     m = _load_manifest(path, v)
     data = str(Path(path) / "data")
     files = m["files"]
+    if not files:
+        raise ValueError(f"version {v} of {path} is empty")
     if prune:
         stats = m.get("stats") or {}
 
@@ -242,9 +244,16 @@ def read_table_version(
 
         files = [f for f in files if keep(f)]
     if not files:
-        return read_table_version(spark, path, v).limit(0)
-    if not m["files"]:
-        raise ValueError(f"version {v} of {path} is empty")
+        # stats pruned every file: an empty frame with the version's
+        # schema, planned from ONE file (all files of a version share a
+        # schema — evolution commits full snapshots).  No recursion:
+        # recursing on the same version with prune dropped used to
+        # RecursionError on empty manifests (ADVICE r7).
+        return (
+            spark.read.option("basePath", data)
+            .parquet(f"{data}/{m['files'][0]}")
+            .limit(0)
+        )
     return (
         spark.read.option("basePath", data)
         .parquet(*[f"{data}/{f}" for f in files])
@@ -311,28 +320,41 @@ def upsert_table_version(
             r[0]
             for r in delta.select(partition_by).distinct().collect()
         ]
+        if any(d is None for d in dirty):
+            raise ValueError(
+                "delta carries NULL partition values — NULL-partition "
+                "upserts are rejected (isin() cannot match them and "
+                "Spark routes them to __HIVE_DEFAULT_PARTITION__); "
+                "route them through a full snapshot instead"
+            )
         scope = existing.filter(F.col(partition_by).isin(dirty))
-        # files of CLEAN partitions carry over untouched
-        carried = [
-            f
-            for f in m["files"]
-            if not any(f.startswith(f"{partition_by}={d}/") for d in dirty)
-        ]
     else:
-        scope, carried = existing, []
+        scope = existing
     merged = scope.join(
         delta.select(*keys), keys, "left_anti"
     ).unionByName(delta)
     n_new = merged.count()
     new_files = _stage_files(merged, path, partition_by)
     if partition_by:
+        # Files of CLEAN partitions carry over untouched.  Dirty
+        # DIRECTORY names are taken from the files Spark itself just
+        # staged — same engine, same Hive escaping (':' → '%3A',
+        # timestamp/date rendering, ...) — instead of str()-formatting
+        # the Python partition values, which diverges for any value
+        # Spark escapes and silently carried stale files (ADVICE r7).
+        dirty_dirs = {f.rsplit("/", 1)[0] for f in new_files if "/" in f}
+        carried = [
+            f for f in m["files"] if f.rsplit("/", 1)[0] not in dirty_dirs
+        ]
         total = (
-            read_table_version(spark, path, head)
-            .filter(~F.col(partition_by).isin(dirty))
-            .count()
+            existing.filter(
+                F.col(partition_by).isNull()
+                | ~F.col(partition_by).isin(dirty)
+            ).count()
             + n_new
         )
     else:
+        carried = []
         total = n_new
     stats = None
     if stats_cols:
@@ -437,13 +459,21 @@ def compact_table_version(
     )
     if not fragmented:
         return head  # nothing to do — no empty commits
-    existing = read_table_version(spark, path, head)
     if partition_by:
-        dirty_vals = [p.split("=", 1)[1] for p in fragmented]
-        scope = existing.filter(F.col(partition_by).isin(dirty_vals))
-        carried = [f for f in m["files"] if part_of(f) not in fragmented]
+        # Plan the fragmented partitions from their FILES directly —
+        # no value-level filter, so Hive-escaped directory names
+        # (':' → '%3A', __HIVE_DEFAULT_PARTITION__, date rendering)
+        # never round-trip through str() (ADVICE r7); also reads only
+        # the partitions being rewritten instead of the whole head.
+        frag = set(fragmented)
+        data = str(Path(path) / "data")
+        frag_files = [f for f in m["files"] if part_of(f) in frag]
+        scope = spark.read.option("basePath", data).parquet(
+            *[f"{data}/{f}" for f in frag_files]
+        )
+        carried = [f for f in m["files"] if part_of(f) not in frag]
     else:
-        scope, carried = existing, []
+        scope, carried = read_table_version(spark, path, head), []
     rewritten = scope.coalesce(max_files_per_partition)
     new_files = _stage_files(rewritten, path, partition_by)
     stats = None

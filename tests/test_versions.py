@@ -361,3 +361,77 @@ def test_curated_corpus_snapshots_diff_by_policy(spark, sf_dir, tmp_path):
     removed = d.filter("diff = 'removed'").count()
     assert removed == loose.count() - strict.count() > 0
     assert d.filter("diff = 'added'").count() == 0
+
+
+def test_upsert_hive_escaped_partition_values(spark, tmp_path):
+    """Partition values Spark Hive-escapes in directory names (':' →
+    '%3A') must still be recognized as DIRTY: before the r8 fix the
+    carried-file check str()-formatted the Python value, missed the
+    escaped directory, and the new version held BOTH the old and the
+    merged rows (duplicate keys, resurfaced data).  ADVICE r7 medium."""
+    p = str(tmp_path / "t")
+    rows = [(1, "2024-01-01T00:00", "a"), (2, "2024-01-02T00:00", "b")]
+    V.write_table_version(_t(spark, rows), p, "ds")
+    # directory really is escaped — the premise of the bug
+    m1 = json.loads((Path(p) / "_manifests" / "m00000001.json").read_text())
+    assert any("%3A" in f for f in m1["files"])
+    V.upsert_table_version(
+        spark, p,
+        _t(spark, [(1, "2024-01-01T00:00", "A")]),
+        keys=["k"], partition_by="ds",
+    )
+    got = {(r.k, r.val) for r in V.read_table_version(spark, p).collect()}
+    assert got == {(1, "A"), (2, "b")}       # no duplicate key 1
+    m2 = json.loads((Path(p) / "_manifests" / "m00000002.json").read_text())
+    assert len(m2["files"]) == len(set(m2["files"]))
+    # the clean escaped partition's files still carry over verbatim
+    clean = {f for f in m1["files"] if "2024-01-02" in f}
+    assert clean and clean <= set(m2["files"])
+    assert m2["count"] == 2
+
+
+def test_upsert_null_partition_value_rejected(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, "d1", "a")]), p, "ds")
+    bad = spark.createDataFrame(
+        [(2, None, "b")], "k bigint, ds string, val string"
+    )
+    with pytest.raises(ValueError, match="NULL partition"):
+        V.upsert_table_version(spark, p, bad, keys=["k"], partition_by="ds")
+
+
+def test_compact_hive_escaped_partition(spark, tmp_path):
+    """Compaction scopes fragmented partitions by FILE list, not by an
+    unescaped value filter — an escaped partition ('a:b' → 'a%3Ab')
+    used to compact to an EMPTY rewrite (rows silently dropped)."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "a:b", f"v{i}") for i in range(8)], ["k", "ds", "val"]
+    ).repartition(8)
+    V.write_table_version(df, p, "ds")
+    v = V.compact_table_version(spark, p, max_files_per_partition=2)
+    assert v == 2
+    got = {r.k for r in V.read_table_version(spark, p).collect()}
+    assert got == set(range(8))              # nothing dropped
+    m2 = json.loads((Path(p) / "_manifests" / "m00000002.json").read_text())
+    assert len(m2["files"]) <= 2
+
+
+def test_empty_manifest_read_raises_not_recurses(spark, tmp_path):
+    """write of an empty frame commits an empty manifest; reading it
+    raises the documented ValueError instead of RecursionError
+    (ADVICE r7 low)."""
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a")]).limit(0), p, "ds")
+    with pytest.raises(ValueError, match="empty"):
+        V.read_table_version(spark, p)
+
+
+def test_prune_all_files_returns_empty_frame_not_recursion(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _t(spark, [(1, 1, "a"), (2, 2, "b")]), p, "ds", stats_cols=["k"]
+    )
+    out = V.read_table_version(spark, p, prune=[("k", 100, 200)])
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "ds", "val"}
