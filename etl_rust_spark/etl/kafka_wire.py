@@ -507,6 +507,13 @@ def _decode_record_batch(data: bytes) -> list[tuple[int, bytes | None, bytes]]:
     while pos + 17 <= len(data):
         base, batch_len = struct.unpack_from(">qi", data, pos)
         end = pos + 12 + batch_len
+        if end > len(data):
+            # Real brokers end a fetch response with a PARTIAL batch
+            # when max_bytes cuts mid-batch; standard consumers discard
+            # the trailing fragment and re-fetch from its base offset.
+            # CRC-checking the truncated slice here used to raise a
+            # spurious KafkaWireError (ADVICE r7).
+            break
         _epoch, magic, crc = struct.unpack_from(">ibI", data, pos + 12)
         if magic != 2:
             raise KafkaWireError(f"unsupported record batch magic {magic}")

@@ -338,7 +338,11 @@ def pack_sequences(
         assign: list[int] = []
         offset: list[int] = []
         for n in pdf["n_tokens"].astype(int):
-            if tree[1] >= n:  # some open pack fits: descend leftmost
+            # n_packs guard: with zero open packs tree[1] is 0, and a
+            # 0-token doc would descend into a phantom pack 0 with
+            # offset=max_tokens instead of opening pack 0 at offset 0
+            # (linear-scan spec / CTE oracle divergence, ADVICE r7)
+            if n_packs and tree[1] >= n:  # some open pack fits: leftmost
                 i = 1
                 while i < size:
                     i = 2 * i if tree[2 * i] >= n else 2 * i + 1

@@ -291,6 +291,21 @@ def test_record_batch_crc_validation():
 # Wire round-trips vs the stub broker
 # ---------------------------------------------------------------------------
 
+def test_truncated_trailing_batch_is_discarded_not_error():
+    """Real brokers end a fetch response with a PARTIAL RecordBatch when
+    max_bytes cuts mid-batch; the consumer contract is to discard the
+    trailing fragment (and re-fetch from its base offset), not raise.
+    CRC-checking the truncated slice raised a spurious KafkaWireError
+    before r8 (ADVICE r7)."""
+    b1 = encode_record_batch([b"alpha", b"beta"], base_timestamp=0)
+    b2 = encode_record_batch([b"gamma"], base_timestamp=0)
+    for cut in (1, 12, 20, len(b2) - 1):  # header-only .. one byte short
+        got = decode_record_batch(b1 + b2[:cut])
+        assert got == [(None, b"alpha"), (None, b"beta")]
+    # a COMPLETE stream still decodes both batches
+    assert len(decode_record_batch(b1 + b2)) == 3
+
+
 def test_client_produce_fetch_roundtrip():
     broker = KafkaStubBroker()
     try:

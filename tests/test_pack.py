@@ -320,3 +320,27 @@ def test_hash_shuffle_rejects_bad_shards(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with _pytest.raises(ValueError, match="n_shards"):
         pack.hash_shuffle(docs, n_shards=0)
+
+
+def test_pack_sequences_zero_token_docs_match_linear_spec(spark):
+    """A shard whose FIRST (largest) doc has n_tokens == 0 used to be
+    assigned to a phantom pack 0 at offset=max_tokens (segment-tree
+    descend with zero open packs, ADVICE r7); the linear-scan spec and
+    the recursive-CTE oracle open pack 0 at offset 0.  All-zero shards
+    must collapse into pack 0 at offset 0."""
+    df = spark.createDataFrame(
+        [(i, 0) for i in range(6)], "doc_id long, n_tokens long"
+    )
+    out = pack.pack_sequences(df, max_tokens=100, n_shards=1).collect()
+    assert len(out) == 6
+    assert {r.pack_id for r in out} == {0}       # one pack, index 0
+    assert all(r.pack_offset == 0 for r in out)  # spec offset
+
+    # mixed: zero-token docs sort LAST and first-fit into pack 0 at its
+    # current fill, never a phantom pack
+    df2 = spark.createDataFrame(
+        [(1, 60), (2, 30), (3, 0)], "doc_id long, n_tokens long"
+    )
+    got = {r.doc_id: (r.pack_id, r.pack_offset)
+           for r in pack.pack_sequences(df2, max_tokens=100, n_shards=1).collect()}
+    assert got == {1: (0, 0), 2: (0, 60), 3: (0, 90)}
