@@ -8,10 +8,17 @@ format the same way mediacodec.py implements PNG — spec-driven, stdlib
 
 - :func:`decode_jpeg`: baseline sequential DCT, 8-bit, grayscale and
   3-component YCbCr, any H/V chroma subsampling (4:4:4 / 4:2:2 /
-  4:2:0), restart markers (DRI/RSTn), 0xFF00 byte stuffing, SOF0+SOF1;
+  4:2:0), restart markers (DRI/RSTn), 0xFF00 byte stuffing, SOF0+SOF1
+  — and PROGRESSIVE (SOF2, r8): multi-scan spectral selection +
+  successive approximation per Annex G, the format a large share of
+  real web images use;
 - :func:`encode_jpeg`: baseline 4:4:4 with the Annex K example quant
   (scaled by ``quality``, the libjpeg percent formula) and Huffman
-  tables — real JFIF files any browser/Pillow opens.
+  tables — real JFIF files any browser/Pillow opens;
+- :func:`encode_jpeg_progressive`: SOF2 4:4:4 with libjpeg's default
+  scan script (custom scripts accepted) — primarily the round-trip
+  oracle for the progressive decoder (identical quantized
+  coefficients ⇒ bit-identical pixels vs the baseline encode).
 
 Correctness strategy (tests/test_mediacodec.py): the DC path is pinned
 against HAND-DERIVED golden bytes (a solid-gray block's entropy coding
@@ -38,7 +45,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_jpeg", "encode_jpeg", "JPEG_MAGIC"]
+__all__ = ["decode_jpeg", "encode_jpeg", "encode_jpeg_progressive", "JPEG_MAGIC"]
 
 JPEG_MAGIC = b"\xff\xd8\xff"
 
@@ -256,6 +263,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None  # (H, W, [(comp_id, h, v, tq), ...])
+    progressive = False
+    store = None  # per-comp (by, bx, 64) int32 zigzag coefficient grids
     n = len(data)
     while pos < n:
         if data[pos] != 0xFF:
@@ -282,7 +291,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 q = np.zeros((8, 8), np.int32)
                 q[ZZ_ROWS, ZZ_COLS] = vals
                 quant[tq] = q
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both baseline-decodable)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if frame is not None:
+                raise ValueError("JPEG carries more than one SOF")
+            progressive = marker == 0xC2
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if h == 0 or w == 0:
                 raise ValueError("JPEG SOF declares zero image dimension")
@@ -299,11 +311,12 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                     )
                 comps.append((cid, hi, vi, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG SOF marker 0xFF{marker:02X} "
-                "(only baseline sequential is implemented; register a "
-                "library decoder, e.g. use_pillow(), for progressive)"
+                "(baseline sequential and progressive Huffman are "
+                "implemented; lossless/arithmetic variants need a "
+                "library decoder, e.g. use_pillow())"
             )
         elif marker == 0xC4:  # DHT — possibly several tables
             p = 0
@@ -324,12 +337,34 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             comp_ids = [c[0] for c in frame[2]]
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                if cs not in comp_ids:
+                    raise ValueError(f"JPEG SOS references unknown component {cs}")
                 scan.append((comp_ids.index(cs), tdta >> 4, tdta & 0x0F))
             segments, pos = _split_entropy(data, pos + seg_len)
-            return _decode_scan(
-                frame, scan, quant, huff_dc, huff_ac, restart_interval, segments
+            if not progressive:
+                return _decode_scan(
+                    frame, scan, quant, huff_dc, huff_ac, restart_interval,
+                    segments,
+                )
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if store is None:
+                hmax = max(c[1] for c in frame[2])
+                vmax = max(c[2] for c in frame[2])
+                mx = -(-frame[1] // (8 * hmax))
+                my = -(-frame[0] // (8 * vmax))
+                store = [
+                    np.zeros((my * c[2], mx * c[1], 64), np.int32)
+                    for c in frame[2]
+                ]
+            _decode_progressive_scan(
+                frame, scan, ss, se, ah, al, huff_dc, huff_ac,
+                restart_interval, segments, store,
             )
+            continue  # pos already past the entropy bytes
         pos += seg_len
+    if progressive and store is not None:
+        return _finish_progressive(frame, quant, store)
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -384,10 +419,20 @@ def _decode_scan(frame, scan, quant, huff_dc, huff_ac, restart_interval, segment
             y0 = (my * vi + v) * 8
             x0 = (mx * hi + hh) * 8
             coeffs[ci][y0 : y0 + 8, x0 : x0 + 8] = b2 * q
-    # IDCT per component (vectorized), upsample to full res, crop
+    return _assemble(frame, coeffs)
+
+
+def _assemble(frame, grids) -> np.ndarray:
+    """Per-component DEQUANTIZED natural-order coefficient grids
+    (8×8-blocked spatial layout) → IDCT, chroma upsample, crop, color
+    convert.  Shared by the baseline single-scan path and the
+    progressive finish."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     planes = []
     for ci, (_cid, hi, vi, _tq) in enumerate(comps):
-        grid = coeffs[ci]
+        grid = grids[ci]
         by, bx = grid.shape[0] // 8, grid.shape[1] // 8
         blocks = grid.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
         pix = _idct_blocks(blocks) + 128.0
@@ -409,6 +454,175 @@ def _decode_scan(frame, scan, quant, huff_dc, huff_ac, restart_interval, segment
         axis=2,
     )
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Progressive decode (ISO 10918-1 Annex G, Huffman successive
+# approximation + spectral selection)
+# --------------------------------------------------------------------------
+
+def _decode_progressive_scan(
+    frame, scan, ss, se, ah, al, huff_dc, huff_ac, restart_interval,
+    segments, store,
+):
+    """Decode ONE progressive scan into the per-component zigzag
+    coefficient store.  DC scans (Ss=Se=0) may interleave all
+    components; AC scans (Ss≥1) cover exactly one component (spec
+    G.1.1.1).  ``Ah=0`` scans set coefficients at magnitude bit ``Al``;
+    ``Ah>0`` scans refine one bit (G.1.2.2/G.1.2.3 — the correction-bit
+    walk matches the public libjpeg structure of the algorithm flow
+    charts in the spec)."""
+    h, w, comps = frame
+    if not (ss <= se <= 63) or ah > 13 or al > 13:
+        raise ValueError(f"invalid JPEG progressive scan header Ss={ss} Se={se}")
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG DC scan must have Se=0")
+    if ss > 0 and len(scan) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    if ah and ah != al + 1:
+        # successive approximation refines exactly one bit per scan
+        raise ValueError(f"JPEG scan has Ah={ah}, Al={al} (expect Ah=Al+1)")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    seg_i = 0
+    reader = _BitReader(segments[0])
+    preds = [0] * len(scan)
+    eobrun = 0
+
+    if ss == 0 and len(scan) > 1:  # interleaved DC scan, MCU order
+        order = []
+        for si, (ci, _td, _ta) in enumerate(scan):
+            _cid, hi, vi, _tq = comps[ci]
+            for v in range(vi):
+                for hh in range(hi):
+                    order.append((si, hh, v))
+        for m in range(mcus_x * mcus_y):
+            if restart_interval and m and m % restart_interval == 0:
+                seg_i += 1
+                reader = _BitReader(segments[seg_i])
+                preds = [0] * len(scan)
+            my, mx = divmod(m, mcus_x)
+            for si, hh, v in order:
+                ci, td, _ta = scan[si]
+                _cid, hi, vi, _tq = comps[ci]
+                blk = store[ci][my * vi + v, mx * hi + hh]
+                if ah == 0:
+                    t = reader.read_symbol(huff_dc[td])
+                    diff = _extend(reader.read_bits(t), t) if t else 0
+                    preds[si] += diff
+                    blk[0] = preds[si] << al
+                elif reader.read_bit():
+                    blk[0] |= 1 << al
+        return
+
+    # single-component scan (DC or an AC band); block raster order over
+    # the component's OWN sample dims (not MCU-padded — spec A.2.2)
+    ci, td, ta = scan[0]
+    _cid, hi, vi, _tq = comps[ci]
+    cw = -(-w * hi // hmax)  # component sample dims (ceil division)
+    ch = -(-h * vi // vmax)
+    bw = -(-cw // 8)
+    bh = -(-ch // 8)
+    for m in range(bw * bh):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_i += 1
+            reader = _BitReader(segments[seg_i])
+            preds = [0]
+            eobrun = 0
+        blk = store[ci][m // bw, m % bw]
+        if ss == 0:  # DC band
+            if ah == 0:
+                t = reader.read_symbol(huff_dc[td])
+                diff = _extend(reader.read_bits(t), t) if t else 0
+                preds[0] += diff
+                blk[0] = preds[0] << al
+            elif reader.read_bit():
+                blk[0] |= 1 << al
+            continue
+        if ah == 0:  # first scan for this band
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.read_symbol(huff_ac[ta])
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:  # EOBn: run of 2^r + bits all-done blocks
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC index beyond spectral band")
+                blk[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+        else:  # refinement: one correction bit per already-nonzero coef,
+            # new ±1<<al coefficients, EOB runs carry correction bits
+            p1, n1 = 1 << al, -1 << al
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.read_symbol(huff_ac[ta])
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        # r == 15: skip 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "JPEG refinement scan carries s>1 symbol"
+                            )
+                        newval = p1 if reader.read_bit() else n1
+                    while k <= se:
+                        v = int(blk[k])
+                        if v:
+                            if reader.read_bit() and not (v & p1):
+                                blk[k] = v + (p1 if v >= 0 else n1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            raise ValueError("JPEG AC index beyond spectral band")
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:  # correction bits through the band tail
+                    v = int(blk[k])
+                    if v and reader.read_bit() and not (v & p1):
+                        blk[k] = v + (p1 if v >= 0 else n1)
+                    k += 1
+                eobrun -= 1
+
+
+def _finish_progressive(frame, quant, store) -> np.ndarray:
+    """Accumulated zigzag coefficients → dequantize, IDCT, assemble."""
+    _h, _w, comps = frame
+    grids = []
+    for ci, (_cid, _hi, _vi, tq) in enumerate(comps):
+        s = store[ci]
+        by, bx = s.shape[0], s.shape[1]
+        q = quant[tq]  # KeyError → corrupt-JPEG ValueError via wrapper
+        nat = np.zeros((by * bx, 8, 8), np.float64)
+        nat[:, ZZ_ROWS, ZZ_COLS] = s.reshape(-1, 64)
+        nat *= q
+        grids.append(
+            nat.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+    return _assemble(frame, grids)
 
 
 # --------------------------------------------------------------------------
@@ -556,4 +770,220 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
             )
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Progressive encoder (4:4:4, spectral selection + successive
+# approximation) — primarily the round-trip oracle for the progressive
+# decoder: both directions reconstruct the SAME quantized coefficients,
+# so a progressive encode must decode bit-identically to the baseline
+# encode of the same image at the same quality.
+# --------------------------------------------------------------------------
+
+# libjpeg's default progressive scan script (public jcparam.c):
+# (component indices, Ss, Se, Ah, Al)
+_PROG_SCRIPT_COLOR = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+_PROG_SCRIPT_GRAY = [
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+def _enc_dc_scan(bw, qz, comps, dc_tabs, ah, al):
+    """DC scan over interleaved components (4:4:4 → block raster).
+    Ah=0: Huffman-coded diffs of the point-transformed values (signed
+    arithmetic shift, spec G.1.2.1); Ah>0: one raw bit per block."""
+    if ah == 0:
+        preds = [0] * len(comps)
+        for bi in range(qz[comps[0]].shape[0]):
+            for si, ci in enumerate(comps):
+                v = int(qz[ci][bi, 0]) >> al
+                diff = v - preds[si]
+                preds[si] = v
+                t = _category(diff)
+                code, length = dc_tabs[ci][t]
+                bw.write(code, length)
+                if t:
+                    bw.write(_mag_bits(diff, t), t)
+    else:
+        for bi in range(qz[comps[0]].shape[0]):
+            for ci in comps:
+                bw.write((int(qz[ci][bi, 0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(bw, block, ss, se, al, ac_tab):
+    """First AC scan for one block's band: sign-magnitude point
+    transform (abs then shift, spec G.1.2.2 — NOT the DC arithmetic
+    shift), runs + EOB.  EOB runs are capped at 1 (symbol 0x00) so the
+    Annex K tables — which carry no EOBn symbols — suffice; the
+    decoder's EOBn>1 path is pinned by hand-built streams instead."""
+    band = [int(v) for v in block[ss : se + 1]]
+    shifted = [(abs(v) >> al) * (1 if v >= 0 else -1) for v in band]
+    nz = [i for i, v in enumerate(shifted) if v]
+    if not nz:
+        code, length = ac_tab[0x00]
+        bw.write(code, length)
+        return
+    run = 0
+    for i in range(nz[-1] + 1):
+        v = shifted[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]
+            bw.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_tab[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(_mag_bits(v, s), s)
+        run = 0
+    if nz[-1] < se - ss:
+        code, length = ac_tab[0x00]
+        bw.write(code, length)
+
+
+def _enc_ac_refine(bw, block, ss, se, al, ac_tab):
+    """Refinement AC scan for one block's band (spec G.1.2.3 flow):
+    newly-significant coefficients emit (run, 1) + sign, history
+    coefficients buffer one correction bit each, runs of still-zero
+    coefficients accumulate; EOB runs capped at 1 as in the first
+    scans."""
+    band = [int(v) for v in block[ss : se + 1]]
+    absv = [abs(v) >> al for v in band]
+    eob = -1  # index of the LAST newly-significant coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i
+    r = 0
+    buffered: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            code, length = ac_tab[0xF0]
+            bw.write(code, length)
+            r -= 16
+            for b in buffered:
+                bw.write(b, 1)
+            buffered = []
+        if t > 1:  # history coefficient: buffer its next magnitude bit
+            buffered.append(t & 1)
+            continue
+        # newly significant (±1 at this bit position)
+        code, length = ac_tab[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if band[i] >= 0 else 0, 1)
+        for b in buffered:
+            bw.write(b, 1)
+        buffered = []
+        r = 0
+    if r > 0 or buffered:
+        code, length = ac_tab[0x00]  # EOB (run of exactly 1)
+        bw.write(code, length)
+        for b in buffered:
+            bw.write(b, 1)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 85, scans: list[tuple] | None = None
+) -> bytes:
+    """uint8 pixels → progressive JFIF bytes (SOF2, 4:4:4, Annex K
+    tables, libjpeg's default scan script unless ``scans`` overrides —
+    entries are (component_indices, Ss, Se, Ah, Al))."""
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive expects uint8 pixels")
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if gray:
+        planes = [a.astype(np.float64)]
+        qtabs = [_scaled_quant(QUANT_LUM, quality)]
+        comp_q = [0]
+    else:
+        r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        qtabs = [_scaled_quant(QUANT_LUM, quality), _scaled_quant(QUANT_CHROM, quality)]
+        comp_q = [0, 1, 1]
+    ncomp = len(planes)
+    if scans is None:
+        scans = _PROG_SCRIPT_GRAY if gray else _PROG_SCRIPT_COLOR
+
+    # quantized zigzag coefficients per component, block raster order
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    by, bx = ph // 8, pw // 8
+    qz = []
+    for ci, plane in enumerate(planes):
+        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        blocks = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        coef = np.rint(_fdct_blocks(blocks) / qtabs[comp_q[ci]]).astype(np.int64)
+        qz.append(coef[:, ZZ_ROWS, ZZ_COLS])
+
+    dc_tabs, ac_tabs = [], []
+    for ci in range(ncomp):
+        if comp_q[ci] == 0:
+            dc_tabs.append(_build_encode_table(*DC_LUM))
+            ac_tabs.append(_build_encode_table(*AC_LUM))
+        else:
+            dc_tabs.append(_build_encode_table(*DC_CHROM))
+            ac_tabs.append(_build_encode_table(*AC_CHROM))
+
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    for tq, q in enumerate(qtabs):
+        zz = q[ZZ_ROWS, ZZ_COLS].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, comp_q[i]])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    tables = [(0x00, DC_LUM), (0x10, AC_LUM)]
+    if not gray:
+        tables += [(0x01, DC_CHROM), (0x11, AC_CHROM)]
+    for tcth, (bits, values) in tables:
+        body = bytes([tcth]) + bytes(bits) + bytes(values)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    for comps, ss, se, ah, al in scans:
+        sos = bytes([len(comps)])
+        for ci in comps:
+            td_ta = 0x00 if comp_q[ci] == 0 else 0x11
+            sos += bytes([ci + 1, td_ta])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        bw = _BitWriter()
+        if ss == 0:
+            _enc_dc_scan(bw, qz, comps, dc_tabs, ah, al)
+        else:
+            (ci,) = comps
+            for bi in range(qz[ci].shape[0]):
+                if ah == 0:
+                    _enc_ac_first(bw, qz[ci][bi], ss, se, al, ac_tabs[ci])
+                else:
+                    _enc_ac_refine(bw, qz[ci][bi], ss, se, al, ac_tabs[ci])
+        out += bw.flush()
+    out += b"\xff\xd9"
     return bytes(out)

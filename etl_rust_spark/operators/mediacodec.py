@@ -82,7 +82,19 @@ def decode_png(data: bytes) -> np.ndarray:
     what :func:`encode_png` and synthetic fixtures produce, and the
     overwhelmingly common subset in the wild.  Anything else raises
     ValueError (plug Pillow in via :func:`use_pillow` for exotic files).
-    """
+    Corrupt/truncated input raises ValueError uniformly (struct/zlib
+    errors wrapped, the r7 codec contract — closed for PNG in r8)."""
+    import zlib as _zlib
+
+    try:
+        return _decode_png(data)
+    except ValueError:
+        raise
+    except (IndexError, struct.error, KeyError, _zlib.error) as exc:
+        raise ValueError(f"corrupt or truncated PNG: {exc!r}") from exc
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if not data.startswith(PNG_MAGIC):
         raise ValueError("not a PNG (bad magic)")
     pos = len(PNG_MAGIC)
@@ -268,6 +280,11 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 def _gif_lzw_decode(data: bytes, min_code: int) -> list[int]:
     """GIF-flavor LZW (variable code width, clear/EOI codes, MSB-packed
     little-endian bit order within the sub-block byte stream)."""
+    if not 2 <= min_code <= 11:
+        # spec: 2..8 (≤256 colors), code width caps at 12; a corrupt
+        # byte here would size the dictionary 2^min_code (bit-flip
+        # fuzz hang, r8)
+        raise ValueError(f"invalid GIF LZW minimum code size {min_code}")
     clear = 1 << min_code
     eoi = clear + 1
     width = min_code + 1
@@ -491,6 +508,14 @@ def decode_tiff(data: bytes) -> np.ndarray:
             if size * cnt <= 4:
                 vals = list(struct.unpack_from(bo + fmt * cnt, data, base + 8))
             else:
+                if size * cnt > len(data):
+                    # a corrupt count would otherwise build a
+                    # gigabyte-scale struct format string (bit-flip
+                    # fuzz hang, r8) — no valid array outgrows the file
+                    raise ValueError(
+                        f"TIFF tag {tag} value array ({cnt}×{size} B) "
+                        "exceeds the file size"
+                    )
                 (off,) = struct.unpack_from(bo + "I", data, base + 8)
                 vals = list(struct.unpack_from(bo + fmt * cnt, data, off))
             tags[tag] = vals
@@ -1137,7 +1162,17 @@ def decode_avi(data: bytes, max_frames: int | None = None) -> list[np.ndarray]:
     bottom-up BGR rows padded to 4 bytes per the DIB spec; chunks
     starting with the JPEG SOI marker decode through the in-repo
     baseline JPEG codec (MJPEG — the common compressed AVI payload,
-    r7).  Other compressed streams raise ValueError."""
+    r7).  Other compressed streams raise ValueError.  Corrupt input
+    raises ValueError uniformly (r7 codec contract)."""
+    try:
+        return _decode_avi(data, max_frames)
+    except ValueError:
+        raise
+    except (IndexError, struct.error, KeyError) as exc:
+        raise ValueError(f"corrupt or truncated AVI: {exc!r}") from exc
+
+
+def _decode_avi(data: bytes, max_frames: int | None = None) -> list[np.ndarray]:
     if not (data[:4] == b"RIFF" and data[8:12] == b"AVI "):
         raise ValueError("not an AVI (bad RIFF header)")
     width = height = None

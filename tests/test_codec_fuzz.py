@@ -15,9 +15,9 @@ deep before failing).
 from __future__ import annotations
 
 import struct
-import zlib
 
 import numpy as np
+import pytest
 from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
@@ -34,12 +34,8 @@ from etl_rust_spark.operators.jpegcodec import decode_jpeg, encode_jpeg
 # KafkaWireError is the kafka module's documented failure type — its
 # callers catch it the way the media registry catches ValueError
 _OK = (ValueError, KafkaWireError)
-# zlib/struct leak through decode_png's chunk walk on garbage DEFLATE
-# payloads — acceptable only where the registry caller already treats
-# any Exception as decode failure?  No: the contract is ValueError, and
-# the decoders wrap internally; zlib.error from PNG is the one
-# historical exception grandfathered below with a TODO-free reason —
-# it subclasses Exception, and decode_png predates the r7 contract.
+# (The historical zlib.error grandfather for decode_png is gone:
+# r8 wraps PNG's chunk walk + inflate under the uniform ValueError.)
 
 _SETTINGS = dict(max_examples=150, deadline=None)
 
@@ -48,10 +44,6 @@ def _assert_contract(fn, payload):
     try:
         fn(payload)
     except _OK:
-        pass
-    except zlib.error:
-        # PNG inflate of garbage IDAT; surfaced as-is by decode_png
-        # since r5 — uniform wrapping tracked with the PNG codec
         pass
 
 
@@ -197,3 +189,91 @@ def test_bmp_gif_garbage_after_magic(tail):
 def test_tiff_garbage_after_magic(tail):
     _assert_contract(mc.decode_tiff, b"II*\x00" + tail)
     _assert_contract(mc.decode_tiff, b"MM\x00*" + tail)
+
+
+# ---------------------------------------------------------------------------
+# Unified registry bit-flip suite (VERDICT r7 #3): every decoder in the
+# media/frame registry under the SAME property that caught the JPEG
+# crash — a single flipped byte in a VALID payload either decodes
+# (possibly to wrong output; most formats carry no integrity check) or
+# raises the uniform contract error.  Never an arbitrary exception.
+# ---------------------------------------------------------------------------
+
+def _registry_payloads():
+    from etl_rust_spark.etl.kafka_wire import lz4_compress, snappy_compress
+    from etl_rust_spark.etl.zstdcodec import zstd_compress
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    samples = 0.3 * np.sin(np.arange(500) / 7.0)
+    frames = [
+        rng.integers(0, 256, (6, 6, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    blob = bytes(rng.integers(0, 256, 300, dtype=np.uint8)) + b"aa" * 150
+    from etl_rust_spark.operators.webpcodec import decode_webp, encode_webp_lossless
+
+    from etl_rust_spark.operators.jpegcodec import encode_jpeg_progressive
+
+    return [
+        ("jpeg_prog", encode_jpeg_progressive(img, 80), decode_jpeg),
+        ("png", mc.encode_png(img), mc.decode_png),
+        ("bmp24", mc.encode_bmp(img), mc.decode_bmp),
+        ("gif", mc.encode_gif(img), mc.decode_gif),
+        ("gif_anim", mc.encode_gif_animated(frames), mc.decode_video),
+        ("tiff_ii", mc.encode_tiff(img), mc.decode_tiff),
+        ("tiff_packbits", mc.encode_tiff(img, packbits=True), mc.decode_tiff),
+        ("webp", encode_webp_lossless(img), decode_webp),
+        ("wav_pcm", mc.encode_wav(samples, 8000), mc.decode_wav),
+        ("wav_ulaw", mc.encode_g711_wav(samples, 8000, "u"), mc.decode_wav),
+        ("wav_alaw", mc.encode_g711_wav(samples, 8000, "a"), mc.decode_wav),
+        ("avi", mc.encode_avi(frames), mc.decode_avi),
+        ("snappy", snappy_compress(blob), snappy_decompress_contract),
+        ("lz4", lz4_compress(blob), lz4_decompress_contract),
+        ("zstd", zstd_compress(blob), zstd_decompress_contract),
+    ]
+
+
+def snappy_decompress_contract(data):
+    from etl_rust_spark.etl.kafka_wire import snappy_decompress
+
+    return snappy_decompress(data)
+
+
+def lz4_decompress_contract(data):
+    from etl_rust_spark.etl.kafka_wire import lz4_decompress
+
+    return lz4_decompress(data)
+
+
+def zstd_decompress_contract(data):
+    from etl_rust_spark.etl.zstdcodec import zstd_decompress
+
+    return zstd_decompress(data)
+
+
+_REGISTRY = _registry_payloads()
+
+
+@pytest.mark.parametrize(
+    "payload,decoder", [(p, d) for _n, p, d in _REGISTRY],
+    ids=[n for n, _p, _d in _REGISTRY],
+)
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_registry_bitflip_never_crashes(payload, decoder, data):
+    pos = data.draw(st.integers(0, len(payload) - 1))
+    mask = data.draw(st.integers(1, 255))
+    buf = bytearray(payload)
+    buf[pos] ^= mask
+    _assert_contract(decoder, bytes(buf))
+
+
+@pytest.mark.parametrize(
+    "payload,decoder", [(p, d) for _n, p, d in _REGISTRY],
+    ids=[n for n, _p, _d in _REGISTRY],
+)
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_registry_truncation_never_crashes(payload, decoder, data):
+    cut = data.draw(st.integers(0, len(payload) - 1))
+    _assert_contract(decoder, payload[:cut])

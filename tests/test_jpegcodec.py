@@ -192,14 +192,21 @@ def test_zigzag_table_is_the_spec_order():
     assert zz[-3:] == [(6, 7), (7, 6), (7, 7)]
 
 
-def test_progressive_rejected_with_guidance():
+def test_unsupported_sofs_rejected_with_guidance():
     data = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
     i = data.index(b"\xff\xc0")
-    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="progressive"):
+    data[i + 1] = 0xC3  # flip SOF0 -> SOF3 (lossless)
+    with pytest.raises(ValueError, match="lossless|use_pillow"):
         decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
+    # a BASELINE stream relabeled SOF2 is malformed progressive (its
+    # single scan declares Ss=0 Se=63 — a DC scan must have Se=0) and
+    # still dies with the uniform error, not a crash (r8: progressive
+    # is decodable, so the old "unsupported" rejection is gone)
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
 
 
 def test_registry_dispatches_jpeg_and_multimodal_pipeline(spark):
@@ -293,3 +300,226 @@ def test_mjpeg_avi_decodes_through_jpeg_codec():
     # frame-level features run on the MJPEG frames
     f = mc.video_feature(got, 8)
     assert len(f) == 8
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decode — r8 (VERDICT r7 #4)
+#
+# Verification posture: (1) the progressive ENCODER is a round-trip
+# oracle — both directions reconstruct the same quantized coefficients,
+# so progressive encode must decode BIT-IDENTICALLY to the baseline
+# encode of the same image at the same quality; (2) the successive-
+# approximation entropy semantics (the part a symmetric bug could hide)
+# are pinned by a HAND-BUILT multi-scan stream with test-local Huffman
+# tables and hand-computed refinement bits; (3) EOBn runs (which the
+# encoder never emits — Annex K tables carry no EOBn symbols) come from
+# a second hand-built stream.
+# ---------------------------------------------------------------------------
+
+from etl_rust_spark.operators.jpegcodec import (  # noqa: E402
+    _idct_blocks,
+    encode_jpeg_progressive,
+)
+
+
+def test_progressive_roundtrip_bit_identical_to_baseline():
+    rng = np.random.default_rng(5)
+    for shape in [(24, 24, 3), (17, 23, 3), (8, 8), (15, 9), (33, 8, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for q in (40, 85, 95):
+            base = decode_jpeg(encode_jpeg(img, q))
+            prog = decode_jpeg(encode_jpeg_progressive(img, q))
+            assert np.array_equal(base, prog), (shape, q)
+
+
+def test_progressive_custom_scan_scripts():
+    """Any legal split of the spectrum across scans reconstructs the
+    same coefficients: single-shot, fine-grained bands, deep successive
+    approximation."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, 85))
+    scripts = [
+        # no successive approximation, three band scans per component
+        [((0, 1, 2), 0, 0, 0, 0)]
+        + [((c,), 1, 20, 0, 0) for c in (0, 1, 2)]
+        + [((c,), 21, 63, 0, 0) for c in (0, 1, 2)],
+        # deep successive approximation on everything
+        [((0, 1, 2), 0, 0, 0, 3), ((0, 1, 2), 0, 0, 3, 2),
+         ((0, 1, 2), 0, 0, 2, 1), ((0, 1, 2), 0, 0, 1, 0)]
+        + [((c,), 1, 63, 0, 3) for c in (0, 1, 2)]
+        + [((c,), 1, 63, 3, 2) for c in (0, 1, 2)]
+        + [((c,), 1, 63, 2, 1) for c in (0, 1, 2)]
+        + [((c,), 1, 63, 1, 0) for c in (0, 1, 2)],
+        # 1-coefficient bands
+        [((0, 1, 2), 0, 0, 0, 0)]
+        + [((c,), k, k, 0, 0) for c in (0, 1, 2) for k in range(1, 64)],
+    ]
+    for scans in scripts:
+        prog = decode_jpeg(encode_jpeg_progressive(img, 85, scans=scans))
+        assert np.array_equal(base, prog)
+
+
+class _PW:
+    """Test-local MSB-first bit writer with JPEG byte stuffing —
+    independent of the module's _BitWriter."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def put(self, v: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+        return self
+
+    def bytes(self) -> bytes:
+        bits = self.bits + [1] * (-len(self.bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+
+def _prog_headers(w: int, h: int, nblocks_note: str = "") -> bytes:
+    """SOI + all-ones DQT + 1-component SOF2 + the test Huffman tables:
+    DC: single length-1 code '0' → category 4;
+    AC: length-2 codes '00'→0x01, '01'→0x22, '10'→0x00 (EOB),
+        length-3 code '110'→0x10 (EOB2 — the EOBn symbol Annex K
+        lacks)."""
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes([1] * 64))        # quant: all ones
+    out += _seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dc_bits = [1] + [0] * 15
+    out += _seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes([4]))
+    ac_bits = [0, 3, 1] + [0] * 13
+    out += _seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes([0x01, 0x22, 0x00, 0x10]))
+    return bytes(out)
+
+
+def _sos1(ss: int, se: int, ah: int, al: int) -> bytes:
+    return _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+
+def test_progressive_hand_built_refinement_golden():
+    """Hand-derived successive-approximation stream for one 8×8 block;
+    final coefficients (zigzag) DC=-20, k1=+3, k2=+1, k4=-5.
+
+    Scan bits worked out on paper from spec G.1.2:
+      DC first  (Al=1): cat-4 code '0' + mag(-10)='0101'      → 0x2F
+      DC refine (Al=0): raw bit 0                              → 0x7F
+      AC first  (Al=1): '00'(r0s1) '1'(+1) '01'(r2s2) '01'(-2)
+                        '10'(EOB)                              → 0x2B 0x7F
+      AC refine (Al=0): '00'(r0s1) '1'(sign +) '1'(corr k1)
+                        '10'(EOB) '1'(corr k4)                 → 0x3B
+    """
+    data = bytearray(_prog_headers(8, 8))
+    data += _sos1(0, 0, 0, 1) + bytes([0x2F])
+    data += _sos1(0, 0, 1, 0) + bytes([0x7F])
+    data += _sos1(1, 63, 0, 1) + bytes([0x2B, 0x7F])
+    data += _sos1(1, 63, 1, 0) + bytes([0x3B])
+    data += b"\xff\xd9"
+    got = decode_jpeg(bytes(data))
+    zz = np.zeros(64)
+    zz[0], zz[1], zz[2], zz[4] = -20, 3, 1, -5
+    nat = np.zeros((1, 8, 8))
+    nat[0, ZZ_ROWS, ZZ_COLS] = zz
+    want = np.clip(np.rint(_idct_blocks(nat)[0] + 128.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+    # each successive-approximation PREFIX is also a valid image — the
+    # point of progressive rendering.  After the first two scans only
+    # DC=-20 is known at full precision:
+    partial = bytes(_prog_headers(8, 8)) + _sos1(0, 0, 0, 1) + bytes([0x2F]) \
+        + _sos1(0, 0, 1, 0) + bytes([0x7F]) + b"\xff\xd9"
+    got_dc = decode_jpeg(partial)
+    nat_dc = np.zeros((1, 8, 8))
+    nat_dc[0, 0, 0] = -20
+    want_dc = np.clip(np.rint(_idct_blocks(nat_dc)[0] + 128.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(got_dc, want_dc)
+
+
+def test_progressive_hand_built_eobn_run():
+    """EOBn (run-of-all-done-blocks) semantics the in-repo encoder
+    never emits: a 16×8 two-block image where the AC first scan opens
+    with EOB2 ('110' + 1 extra bit) covering BOTH blocks, and a
+    refinement scan whose EOB2 walks correction bits through the second
+    block's band tail.
+
+      DC first (Al=1): block1 cat-4 '0'+mag(-10)='0101',
+                       block2 diff +14 (pred -10 → +4): '0'+'1110'  → 0x2B 0xCF
+        wait: bits are '0 0101 0 1110' = 0x2B 0b110_11111? worked out
+        below in code instead (the test builds the bytes with _PW).
+    """
+    # DC first scan Al=1: v1=-10 → DC1=-20; v2=+4 → DC2=+8
+    wtr = _PW()
+    wtr.put(0b0, 1).put(0b0101, 4)        # cat4, mag(-10)
+    wtr.put(0b0, 1).put(0b1110, 4)        # cat4, mag(+4) = diff(4-(-10))=14
+    dc_first = wtr.bytes()
+    # AC first scan (Al=1) comp-wide: block1 carries k1=+1 then EOB2
+    # ending block1 AND block2 ('110' r=1 + 1 extra bit 0 → run=2)
+    wtr = _PW()
+    wtr.put(0b00, 2).put(0b1, 1)          # (r0,s1) +1 at k=1
+    wtr.put(0b110, 3).put(0b0, 1)         # EOB2: 1<<1 + 0 - 1 → this + next block
+    ac_first = wtr.bytes()
+    # AC refine (Ah=1→Al=0): block1: k1 history (2) correction bit 1 →
+    # +3 … then EOB2 '110'+bit 0 → correction walk covers block1 tail
+    # (no other nonzeros) AND block2's whole band (also no nonzeros)
+    wtr = _PW()
+    wtr.put(0b110, 3).put(0b0, 1)         # EOB2 first: both blocks
+    wtr.put(0b1, 1)                       # correction bit for k1 of block1
+    ac_refine = wtr.bytes()
+    data = bytearray(_prog_headers(16, 8))
+    data += _sos1(0, 0, 0, 1) + dc_first
+    data += _sos1(1, 63, 0, 1) + ac_first
+    data += _sos1(1, 63, 1, 0) + ac_refine
+    data += b"\xff\xd9"
+    got = decode_jpeg(bytes(data))
+    assert got.shape == (8, 16)
+    zz1 = np.zeros(64)
+    zz1[0], zz1[1] = -20, 3               # k1: (+1<<1) + correction → +3
+    zz2 = np.zeros(64)
+    zz2[0] = 8
+    nat = np.zeros((2, 8, 8))
+    nat[0, ZZ_ROWS, ZZ_COLS] = zz1
+    nat[1, ZZ_ROWS, ZZ_COLS] = zz2
+    pix = np.clip(np.rint(_idct_blocks(nat) + 128.0), 0, 255).astype(np.uint8)
+    want = np.concatenate([pix[0], pix[1]], axis=1)
+    assert np.array_equal(got, want)
+
+
+def test_progressive_multimodal_pipeline_mixed_corpus(spark):
+    """near_dup_images runs over a MIXED baseline/progressive corpus
+    in-container (the VERDICT r7 'realistic corpus' completion): the
+    same image encoded both ways lands in one near-dup bucket."""
+    from etl_rust_spark.operators import multimodal
+
+    xx, yy = np.meshgrid(np.linspace(0, 255, 32), np.linspace(0, 255, 32))
+    smooth = np.stack([xx, yy, (xx + yy) / 2], axis=2).astype(np.uint8)
+    rng = np.random.default_rng(9)
+    other = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_jpeg(smooth, 90)),
+         ("image/jpeg", 32, 32, None, "u1")),
+        (2, "image", bytearray(encode_jpeg_progressive(smooth, 90)),
+         ("image/jpeg", 32, 32, None, "u2")),
+        (3, "image", bytearray(encode_jpeg_progressive(other, 90)),
+         ("image/jpeg", 32, 32, None, "u3")),
+    ]
+    df = multimodal.make_asset_df(spark, rows)
+    pairs = [
+        (r["aid"], r["bid"])
+        for r in multimodal.near_dup_images(
+            df, max_hamming=8, bands=16, decode_stub=False
+        ).collect()
+    ]
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
