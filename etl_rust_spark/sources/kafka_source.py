@@ -13,7 +13,14 @@ only state:
 - **Streaming**: micro-batch N covers [committed, latestOffset) per
   partition; offsets live in the checkpoint (initial/latest/partitions
   — the exactly-once discipline every source in this repo follows,
-  S-08).  ``startingOffsets`` = ``earliest`` (default) | ``latest``.
+  S-08).  ``startingOffsets`` = ``earliest`` (default) | ``latest`` |
+  explicit per-partition JSON ({"topic": {"0": 23, "1": -2}});
+  ``startingOffsetsByTimestamp`` seeks each partition to the first
+  offset at/after an epoch-ms timestamp (ListOffsets v1 carries the
+  timestamp broker-side), with ``startingOffsetsByTimestampStrategy``
+  = ``error`` (default) | ``latest`` for partitions with no such
+  record; batch reads also honor ``endingOffsets`` — the jar'd
+  connector's offset surface (VERDICT r7 #6).
 - Records carry their ABSOLUTE log offsets (the broker rewrites each
   batch's base_offset on append; Kafka's CRC starts at the attributes
   field precisely so that rewrite is checksum-safe), so a fetch
@@ -62,6 +69,8 @@ class _Slice(InputPartition):
 
 class _Opts:
     def __init__(self, options: dict) -> None:
+        import json as _json
+
         get = lambda k, d=None: options.get(k, d)  # noqa: E731
         self.host = get("host", "127.0.0.1")
         self.port = int(get("port", 9092))
@@ -69,11 +78,40 @@ class _Opts:
         if not topic:
             raise ValueError("kafka_wire requires a 'topic' option")
         self.topic = topic
-        self.starting = get("startingoffsets", "earliest").lower()
-        if self.starting not in ("earliest", "latest"):
+        # startingOffsets: earliest | latest | JSON {"topic": {"0": 23,
+        # "1": -2}} (-1 = latest, -2 = earliest per partition) — the
+        # real connector's full surface (VERDICT r7 #6)
+        raw = get("startingoffsets", "earliest")
+        if raw.strip().startswith("{"):
+            self.starting: str | dict = _json.loads(raw)
+        else:
+            self.starting = raw.lower()
+            if self.starting not in ("earliest", "latest"):
+                raise ValueError(
+                    "startingOffsets must be earliest|latest|{json}, "
+                    f"got {raw!r}"
+                )
+        # startingOffsetsByTimestamp: JSON {"topic": {"0": epoch_ms}};
+        # wins over startingOffsets when present (connector semantics)
+        ts_raw = get("startingoffsetsbytimestamp")
+        self.by_timestamp = _json.loads(ts_raw) if ts_raw else None
+        self.ts_strategy = get(
+            "startingoffsetsbytimestampstrategy", "error"
+        ).lower()
+        if self.ts_strategy not in ("error", "latest"):
             raise ValueError(
-                f"startingOffsets must be earliest|latest, got {self.starting!r}"
+                "startingOffsetsByTimestampStrategy must be error|latest"
             )
+        # endingOffsets (batch only): latest | JSON (-1 = latest)
+        end_raw = get("endingoffsets", "latest")
+        if end_raw.strip().startswith("{"):
+            self.ending: str | dict = _json.loads(end_raw)
+        else:
+            self.ending = end_raw.lower()
+            if self.ending != "latest":
+                raise ValueError(
+                    f"endingOffsets must be latest|{{json}}, got {end_raw!r}"
+                )
 
     def client(self):
         from etl_rust_spark.etl.kafka_wire import KafkaWireClient
@@ -92,6 +130,69 @@ def _offsets(opts: _Opts, timestamp: int) -> dict[str, int]:
         return {str(p): c.list_offsets(opts.topic, p, timestamp) for p in parts}
     finally:
         c.disconnect()
+
+
+def _resolve_starting(opts: _Opts) -> dict[str, int]:
+    """startingOffsets / startingOffsetsByTimestamp → concrete
+    per-partition offsets (ListOffsets v1 resolves earliest/latest/
+    timestamp seeks broker-side, like the jar'd connector)."""
+    c = opts.client()
+    try:
+        parts = sorted(c.metadata([opts.topic]).get(opts.topic, [0]))
+        if opts.by_timestamp is not None:
+            tsmap = opts.by_timestamp.get(opts.topic, {})
+            out: dict[str, int] = {}
+            for p in parts:
+                ts = tsmap.get(str(p))
+                if ts is None:
+                    out[str(p)] = c.list_offsets(opts.topic, p, -2)
+                    continue
+                o = c.list_offsets(opts.topic, p, int(ts))
+                if o < 0:  # no record at/after ts
+                    if opts.ts_strategy == "latest":
+                        o = c.list_offsets(opts.topic, p, -1)
+                    else:
+                        raise ValueError(
+                            f"no offset for timestamp {ts} in "
+                            f"{opts.topic}/{p} (set startingOffsetsBy"
+                            "TimestampStrategy=latest to start at the "
+                            "log end instead)"
+                        )
+                out[str(p)] = o
+            return out
+        if isinstance(opts.starting, dict):
+            explicit = opts.starting.get(opts.topic, {})
+            return {
+                str(p): (
+                    c.list_offsets(opts.topic, p, v)
+                    if (v := int(explicit.get(str(p), -2))) in (-1, -2)
+                    else v
+                )
+                for p in parts
+            }
+        ts = -2 if opts.starting == "earliest" else -1
+        return {str(p): c.list_offsets(opts.topic, p, ts) for p in parts}
+    finally:
+        c.disconnect()
+
+
+def _resolve_ending(opts: _Opts) -> dict[str, int]:
+    if isinstance(opts.ending, dict):
+        c = opts.client()
+        try:
+            parts = sorted(c.metadata([opts.topic]).get(opts.topic, [0]))
+            explicit = opts.ending.get(opts.topic, {})
+            return {
+                str(p): (
+                    c.list_offsets(opts.topic, p, -1)
+                    if (v := int(explicit.get(str(p), -1))) == -1
+                    else v
+                )
+                for p in parts
+            }
+        finally:
+            c.disconnect()
+    return _offsets(opts, -1)
 
 
 def _read_slice(opts: _Opts, s: _Slice) -> Iterator[tuple]:
@@ -119,8 +220,8 @@ class _KafkaBatchReader(DataSourceReader):
         self.opts = opts
 
     def partitions(self):
-        lo = _offsets(self.opts, -2)
-        hi = _offsets(self.opts, -1)
+        lo = _resolve_starting(self.opts)
+        hi = _resolve_ending(self.opts)
         return [
             _Slice(self.opts.topic, int(p), lo[p], hi[p]) for p in sorted(lo)
         ]
@@ -134,7 +235,7 @@ class _KafkaStreamReader(DataSourceStreamReader):
         self.opts = opts
 
     def initialOffset(self) -> dict:
-        return _offsets(self.opts, -2 if self.opts.starting == "earliest" else -1)
+        return _resolve_starting(self.opts)
 
     def latestOffset(self) -> dict:
         # External state only (the chainstream lesson): a reader-local

@@ -231,3 +231,94 @@ def test_streaming_relay_topic_to_topic(spark, broker, tmp_path):
         .load()
     )
     assert sorted(bytes(r.value) for r in back.collect()) == [b"m0", b"m1", b"m2"]
+
+
+def _produce_at(broker, topic, values, ts):
+    """Produce one batch with a CONTROLLED base timestamp (the wire
+    encoder writes delta-0 record timestamps, so every record in the
+    batch carries exactly ``ts``)."""
+    from etl_rust_spark.etl.kafka_wire import encode_record_batch
+
+    c = KafkaWireClient("127.0.0.1", broker.port)
+    c.connect()
+    c._produce(topic, encode_record_batch(values, base_timestamp=ts))
+    c.disconnect()
+
+
+def test_batch_explicit_and_ending_offsets(spark, broker):
+    """startingOffsets / endingOffsets as per-partition JSON — the
+    jar'd connector's surface (VERDICT r7 #6)."""
+    _produce(broker, "t", [b"r0", b"r1", b"r2", b"r3", b"r4"])
+
+    def read(**opts):
+        r = (
+            spark.read.format("kafka_wire")
+            .option("host", "127.0.0.1")
+            .option("port", broker.port)
+            .option("topic", "t")
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return sorted(r.load().select("offset").toPandas()["offset"])
+
+    assert read(startingOffsets='{"t": {"0": 1}}',
+                endingOffsets='{"t": {"0": 4}}') == [1, 2, 3]
+    # -2/-1 specials inside the JSON resolve through ListOffsets
+    assert read(startingOffsets='{"t": {"0": -2}}') == [0, 1, 2, 3, 4]
+    assert read(startingOffsets='{"t": {"0": -1}}') == []
+    # a partition absent from the JSON defaults to earliest
+    assert read(startingOffsets='{"t": {}}') == [0, 1, 2, 3, 4]
+
+
+def test_batch_starting_offsets_by_timestamp(spark, broker):
+    """Timestamp seek: each partition starts at the first offset whose
+    record timestamp is >= the requested epoch-ms (ListOffsets v1
+    carries the timestamp through client AND stub broker)."""
+    _produce_at(broker, "ts", [b"a0", b"a1"], 1000)   # offsets 0-1
+    _produce_at(broker, "ts", [b"b0"], 2000)          # offset 2
+    _produce_at(broker, "ts", [b"c0"], 3000)          # offset 3
+
+    def read(**opts):
+        r = (
+            spark.read.format("kafka_wire")
+            .option("host", "127.0.0.1")
+            .option("port", broker.port)
+            .option("topic", "ts")
+        )
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return sorted(r.load().select("offset").toPandas()["offset"])
+
+    assert read(startingOffsetsByTimestamp='{"ts": {"0": 1500}}') == [2, 3]
+    assert read(startingOffsetsByTimestamp='{"ts": {"0": 2000}}') == [2, 3]  # boundary inclusive
+    assert read(startingOffsetsByTimestamp='{"ts": {"0": 500}}') == [0, 1, 2, 3]
+    # beyond the log: the default strategy errors, 'latest' starts empty
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException, PythonException
+
+    with pytest.raises((AnalysisException, PythonException, Py4JJavaError)):
+        read(startingOffsetsByTimestamp='{"ts": {"0": 9999}}')
+    assert read(
+        startingOffsetsByTimestamp='{"ts": {"0": 9999}}',
+        startingOffsetsByTimestampStrategy="latest",
+    ) == []
+
+
+def test_stream_initial_offset_honors_timestamp_and_json(broker):
+    """The streaming reader's initialOffset resolves the same option
+    surface (unit-level — the checkpoint resume mechanics are covered
+    by test_stream_consumes_and_resumes_exactly_once)."""
+    from etl_rust_spark.sources.kafka_source import (
+        _KafkaStreamReader,
+        _Opts,
+    )
+
+    _produce_at(broker, "s", [b"x0", b"x1"], 1000)
+    _produce_at(broker, "s", [b"x2"], 2000)
+    base = {"host": "127.0.0.1", "port": str(broker.port), "topic": "s"}
+    r = _KafkaStreamReader(_Opts({**base,
+        "startingoffsetsbytimestamp": '{"s": {"0": 1500}}'}))
+    assert r.initialOffset() == {"0": 2}
+    r2 = _KafkaStreamReader(_Opts({**base,
+        "startingoffsets": '{"s": {"0": 1}}'}))
+    assert r2.initialOffset() == {"0": 1}

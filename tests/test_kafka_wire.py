@@ -179,8 +179,21 @@ class KafkaStubBroker:
                             log = self.logs.get(topic, [])
                             if ts == -2:  # earliest
                                 o = log[0][0] if log else 0
-                            else:  # -1 latest → log-end offset
+                            elif ts == -1:  # latest → log-end offset
                                 o = self.offsets.get(topic, 0)
+                            else:
+                                # timestamp seek: first offset whose
+                                # record ts >= requested (real-broker
+                                # semantics; -1 when none).  The wire
+                                # producer's batches carry delta-0
+                                # record timestamps (first == max), so
+                                # batch granularity is exact here.
+                                o = -1
+                                for base, _cnt, blob in log:
+                                    (mx,) = struct.unpack_from(">q", blob, 35)
+                                    if mx >= ts:
+                                        o = base
+                                        break
                             parts += struct.pack(">ihqq", part, 0, -1, o)
                         resp_topics += (
                             _string(topic) + struct.pack(">i", n_parts) + parts
