@@ -239,19 +239,84 @@ def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
     return segments, pos
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → uint8 pixels: (H, W) for grayscale, else
-    (H, W, 3) RGB (BT.601 full-range YCbCr, the JFIF convention).
+def decode_jpeg(data: bytes, apply_exif_orientation: bool = True) -> np.ndarray:
+    """Baseline or progressive JFIF bytes → uint8 pixels: (H, W) for
+    grayscale, else (H, W, 3) RGB (BT.601 full-range YCbCr, the JFIF
+    convention).
+
+    ``apply_exif_orientation`` (default, r8): phone cameras store
+    sensor-orientation pixels plus an EXIF tag; near-dup/feature
+    kernels downstream want DISPLAY orientation (a rotated re-save of
+    the same photo should hash near its original), so the 8 EXIF
+    transposes are applied here the way browsers and
+    ``ImageOps.exif_transpose`` do.  Pass False for sensor-raw pixels.
 
     Corrupt/truncated input always raises ``ValueError`` (never a bare
     IndexError/struct.error) — ingest pipelines route decode failures
     per-asset, so the failure type must be catchable and descriptive."""
     try:
-        return _decode_jpeg(data)
+        img = _decode_jpeg(data)
+        if apply_exif_orientation:
+            img = _apply_orientation(img, _exif_orientation(data))
+        return img
     except ValueError:
         raise
     except (IndexError, struct.error, KeyError) as exc:
         raise ValueError(f"corrupt or truncated JPEG: {exc!r}") from exc
+
+
+def _exif_orientation(data: bytes) -> int:
+    """EXIF orientation (tag 274) from the APP1 segment, or 1.
+
+    The EXIF payload is a little TIFF: byte-order mark, 0x2A, first-IFD
+    offset, then 12-byte tag entries — parsed defensively (a malformed
+    EXIF block is ignored, never fatal: orientation is a hint)."""
+    pos, n = 2, len(data)
+    while pos + 4 <= n and data[pos] == 0xFF:
+        marker = data[pos + 1]
+        if marker == 0xDA or marker == 0xD9:  # scan data / EOI: no EXIF
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", data, pos + 2)
+        if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            tiff = data[pos + 10 : pos + 2 + seg_len]
+            try:
+                bo = {b"II": "<", b"MM": ">"}[tiff[:2]]
+                (ifd_off,) = struct.unpack_from(bo + "I", tiff, 4)
+                (n_tags,) = struct.unpack_from(bo + "H", tiff, ifd_off)
+                for i in range(n_tags):
+                    tag, _typ, _cnt, val = struct.unpack_from(
+                        bo + "HHIH", tiff, ifd_off + 2 + 12 * i
+                    )
+                    if tag == 274:
+                        return val if 1 <= val <= 8 else 1
+            except (KeyError, IndexError, struct.error):
+                return 1
+            return 1
+        pos += 2 + seg_len
+    return 1
+
+
+def _apply_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """The 8 EXIF orientations → display-oriented pixels (TIFF 6.0
+    §Orientation / EXIF 2.3 table 4)."""
+    if orientation == 2:
+        return img[:, ::-1].copy()
+    if orientation == 3:
+        return img[::-1, ::-1].copy()
+    if orientation == 4:
+        return img[::-1].copy()
+    if orientation == 5:  # transpose (flip across top-left diagonal)
+        return np.swapaxes(img, 0, 1).copy()
+    if orientation == 6:  # rotate 90° clockwise for display
+        return np.swapaxes(img, 0, 1)[:, ::-1].copy()
+    if orientation == 7:  # transverse (flip across top-right diagonal)
+        return np.swapaxes(img, 0, 1)[::-1, ::-1].copy()
+    if orientation == 8:  # rotate 90° counter-clockwise for display
+        return np.swapaxes(img, 0, 1)[::-1].copy()
+    return img
 
 
 def _decode_jpeg(data: bytes) -> np.ndarray:

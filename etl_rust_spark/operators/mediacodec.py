@@ -1271,8 +1271,19 @@ def video_feature(frames: list[np.ndarray], dim: int = 8, max_frames: int = 8) -
 
 
 # magic-prefix → decoder(bytes) -> list[np.ndarray]
+def _decode_riff_video(data: bytes) -> list[np.ndarray]:
+    # RIFF in the VIDEO registry is AVI or animated WebP (r8); WAV
+    # lives in the audio registry.  Lazy import — webpcodec is
+    # numpy-heavy (the image registry's _decode_webp_lazy pattern).
+    if data[8:12] == b"WEBP":
+        from etl_rust_spark.operators.webpcodec import decode_webp_frames
+
+        return decode_webp_frames(data)
+    return decode_avi(data)
+
+
 _VIDEO_DECODERS: list[tuple[bytes, object]] = [
-    (b"RIFF", decode_avi),
+    (b"RIFF", _decode_riff_video),
     (GIF_MAGIC, decode_gif_frames),  # animated GIFs are videos too
 ]
 

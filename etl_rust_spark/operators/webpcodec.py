@@ -5,14 +5,19 @@ was the last image format still riding a registry adapter.  This module
 implements the PUBLIC "WebP Lossless Bitstream Specification" (VP8L,
 the format behind ``cwebp -lossless`` and most transparent web images):
 
-- ``decode_webp``: RIFF container walk (plain ``VP8L`` and extended
-  ``VP8X`` layouts) + the full VP8L decoder — LSB-first bit reader,
-  canonical prefix codes (simple 1/2-symbol and code-length-coded forms
-  with the 16/17/18 repeat semantics and the optional max_symbol
-  shortcut), meta-prefix images, color cache, LZ77 backward references
-  with the 120-entry 2D distance map, and all four inverse transforms
-  (predictor with its 14 modes, cross-color, subtract-green,
-  color-indexing with sub-byte pixel bundling).
+- ``decode_webp``: RIFF container walk (plain ``VP8L``, extended
+  ``VP8X``, and animated layouts — frame 1, the GIF precedent) + the
+  full VP8L decoder — LSB-first bit reader, canonical prefix codes
+  (simple 1/2-symbol and code-length-coded forms with the 16/17/18
+  repeat semantics and the optional max_symbol shortcut), meta-prefix
+  images, color cache, LZ77 backward references with the 120-entry 2D
+  distance map, and all four inverse transforms (predictor with its 14
+  modes, cross-color, subtract-green, color-indexing with sub-byte
+  pixel bundling).
+- ``decode_webp_frames`` (r8): animated WebP (``ANIM``/``ANMF``) →
+  full-canvas frames with alpha-"over" compositing and
+  dispose-to-background, routed through the VIDEO registry so animated
+  stickers flow through frame_features / near_dup_videos.
 - ``encode_webp_lossless``: a spec-legal minimal encoder — no
   transforms, no cache, one prefix group, flat 8-bit literal codes via
   the code-length path — whose frames any WebP reader decodes (the
@@ -40,7 +45,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_webp", "encode_webp_lossless", "register_webp"]
+__all__ = ["decode_webp", "decode_webp_frames", "encode_webp_lossless", "register_webp"]
 
 
 # ---------------------------------------------------------------------------
@@ -621,9 +626,106 @@ def decode_webp(data: bytes, max_pixels: int = 1 << 24) -> np.ndarray:
                 "lossy VP8 WebP needs a registry adapter (use_pillow); "
                 "only lossless VP8L decodes in-container"
             )
+        if fourcc == b"ANMF":
+            # animated WebP: the still-image contract yields frame 1
+            # (the GIF precedent) — the VP8L payload nests inside ANMF
+            # after its 16-byte frame header
+            return decode_webp(
+                b"RIFF" + struct.pack("<I", 4 + len(body) - 16)
+                + b"WEBP" + bytes(body[16:]),
+                max_pixels,
+            )
         # VP8X / ICCP / EXIF / XMP / ANIM metadata: keep walking
         pos += 8 + size + (size & 1)
     raise ValueError("WebP container has no VP8L image chunk")
+
+
+def _u24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def decode_webp_frames(
+    data: bytes, max_pixels: int = 1 << 24
+) -> list[np.ndarray]:
+    """Animated WebP (VP8X+ANIM+ANMF, lossless frames) → list of
+    full-canvas (H, W, 3) RGB frames.
+
+    Container semantics per the public WebP container spec: each ANMF
+    carries a 16-byte header (x/2, y/2, w-1, h-1 as 24-bit LE fields,
+    24-bit duration, flags byte with B = do-not-blend bit 1 and D =
+    dispose-to-background bit 0) followed by the frame's own image
+    chunks.  Frames composite onto the canvas with alpha "over"
+    blending (B=0) or overwrite (B=1); D=1 fills the frame rect with
+    the ANIM background color after rendering.  Lossy VP8 frames raise
+    toward the registry adapter, like the still path."""
+    if len(data) < 16 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP (bad RIFF/WEBP header)")
+    pos = 12
+    canvas = None
+    bg = np.zeros(4, np.uint8)
+    frames: list[np.ndarray] = []
+    animated = False
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated WebP chunk {fourcc!r}")
+        if fourcc == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("short VP8X chunk")
+            animated = bool(body[0] & 0x02)
+            cw = _u24(body, 4) + 1
+            ch = _u24(body, 7) + 1
+            if cw * ch > max_pixels:
+                raise ValueError(f"canvas {cw}x{ch} exceeds max_pixels")
+            canvas = np.zeros((ch, cw, 4), np.uint8)
+        elif fourcc == b"ANIM":
+            if len(body) < 6:
+                raise ValueError("short ANIM chunk")
+            bg = np.frombuffer(body[:4], np.uint8)[[2, 1, 0, 3]]  # BGRA→RGBA
+        elif fourcc == b"ANMF":
+            if canvas is None or not animated:
+                raise ValueError("ANMF before an animated VP8X header")
+            if len(body) < 16:
+                raise ValueError("short ANMF chunk")
+            x, y = 2 * _u24(body, 0), 2 * _u24(body, 3)
+            fw, fh = _u24(body, 6) + 1, _u24(body, 9) + 1
+            flags = body[15]
+            frame = decode_webp(
+                b"RIFF" + struct.pack("<I", 4 + len(body) - 16)
+                + b"WEBP" + bytes(body[16:]),
+                max_pixels,
+            )
+            if frame.shape[:2] != (fh, fw):
+                raise ValueError("ANMF frame size mismatch with its header")
+            if frame.shape[2] == 3:
+                frame = np.dstack(
+                    [frame, np.full(frame.shape[:2], 255, np.uint8)]
+                )
+            if y + fh > canvas.shape[0] or x + fw > canvas.shape[1]:
+                raise ValueError("ANMF frame rect outside the canvas")
+            region = canvas[y : y + fh, x : x + fw]
+            if flags & 0x02:  # do not blend: overwrite
+                region[:] = frame
+            else:  # alpha "over"
+                fa = frame[:, :, 3:4].astype(np.float64) / 255.0
+                ba = region[:, :, 3:4].astype(np.float64) / 255.0
+                oa = fa + ba * (1.0 - fa)
+                safe = np.where(oa == 0.0, 1.0, oa)
+                rgb = (
+                    frame[:, :, :3] * fa
+                    + region[:, :, :3] * ba * (1.0 - fa)
+                ) / safe
+                region[:, :, :3] = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+                region[:, :, 3] = np.clip(np.rint(oa[:, :, 0] * 255.0), 0, 255)
+            frames.append(canvas[:, :, :3].copy())
+            if flags & 0x01:  # dispose to background color
+                canvas[y : y + fh, x : x + fw] = bg
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise ValueError("WebP carries no ANMF animation frames")
+    return frames
 
 
 def encode_webp_lossless(arr: np.ndarray) -> bytes:
@@ -695,7 +797,17 @@ def encode_webp_lossless(arr: np.ndarray) -> bytes:
 def register_webp() -> None:
     """Hook ``decode_webp`` into the image registry under the RIFF
     magic (the registry's WAV/AVI entries live in the audio/video
-    registries, so images see RIFF only as WebP)."""
+    registries, so images see RIFF only as WebP), and a RIFF
+    dispatcher into the VIDEO registry so animated WebPs flow through
+    frame_features / near_dup_videos alongside AVIs and animated GIFs
+    (r8)."""
     from etl_rust_spark.operators import mediacodec
 
     mediacodec.register_decoder(b"RIFF", decode_webp)
+
+    def riff_video(data: bytes):
+        if data[8:12] == b"WEBP":
+            return decode_webp_frames(data)
+        return mediacodec.decode_avi(data)
+
+    mediacodec.register_video_decoder(b"RIFF", riff_video)

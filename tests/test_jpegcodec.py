@@ -523,3 +523,84 @@ def test_progressive_multimodal_pipeline_mixed_corpus(spark):
     ]
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+# ---------------------------------------------------------------------------
+# EXIF orientation (r8): phone-camera corpora store sensor-orientation
+# pixels + tag 274; decode_jpeg applies the display transpose so a
+# rotated re-save hashes near its original.
+# ---------------------------------------------------------------------------
+
+def _with_exif(jpg: bytes, orientation: int, bo: str = "<") -> bytes:
+    mark = b"II" if bo == "<" else b"MM"
+    tiff = (mark + struct.pack(bo + "H", 0x2A) + struct.pack(bo + "I", 8)
+            + struct.pack(bo + "H", 1)
+            + struct.pack(bo + "HHIHH", 274, 3, 1, orientation, 0)
+            + struct.pack(bo + "I", 0))
+    app1 = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + struct.pack(">H", 2 + len(app1)) + app1
+    return jpg[:2] + seg + jpg[2:]
+
+
+def test_exif_orientation_all_eight():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    base = encode_jpeg(img, 90)
+    raw = decode_jpeg(base)
+    # display transforms per EXIF 2.3 / TIFF 6.0 (Pillow exif_transpose
+    # mapping: 2 mirror, 3 rot180, 4 flip, 5 transpose, 6 rot270,
+    # 7 transverse = anti-diagonal flip, 8 rot90)
+    exp = {
+        1: raw, 2: raw[:, ::-1], 3: np.rot90(raw, 2), 4: raw[::-1],
+        5: np.swapaxes(raw, 0, 1), 6: np.rot90(raw, -1),
+        7: np.swapaxes(raw, 0, 1)[::-1, ::-1], 8: np.rot90(raw, 1),
+    }
+    for o in range(1, 9):
+        assert np.array_equal(decode_jpeg(_with_exif(base, o)), exp[o]), o
+        # opt-out returns sensor-raw pixels
+        assert np.array_equal(
+            decode_jpeg(_with_exif(base, o), apply_exif_orientation=False), raw
+        )
+    # big-endian EXIF blocks parse too
+    assert np.array_equal(decode_jpeg(_with_exif(base, 6, ">")), exp[6])
+    # malformed EXIF is a hint, never fatal
+    broken = bytearray(_with_exif(base, 6))
+    broken[8] = 0x51  # corrupt the TIFF byte-order mark
+    assert np.array_equal(decode_jpeg(bytes(broken)), raw)
+
+
+def test_exif_rotated_resave_hashes_with_original():
+    """The corpus-level point: a 90°-rotated re-save carrying EXIF
+    orientation 8 dHash-matches the original through the registry."""
+    xx, yy = np.meshgrid(np.linspace(0, 255, 32), np.linspace(0, 255, 32))
+    smooth = np.stack([xx, yy, (xx + yy) / 2], axis=2).astype(np.uint8)
+    orig = encode_jpeg(smooth, 90)
+    rotated_pixels = np.rot90(decode_jpeg(orig), -1).copy()  # sensor 90° CW
+    resave = _with_exif(encode_jpeg(rotated_pixels, 90), 8)   # tag: rotate back
+    h0 = mc.dhash(mc.decode_image(orig))
+    h1 = mc.dhash(mc.decode_image(resave))
+    assert bin((h0 ^ h1) & ((1 << 64) - 1)).count("1") <= 8
+
+
+def test_progressive_with_restart_markers():
+    """DRI/RSTn inside progressive scans: segment switch resets DC
+    predictions and EOB runs (hand-built: 2-block image, restart
+    interval 1, distinct DC per block — each block's diff is from pred
+    0, not the previous block)."""
+    data = bytearray(_prog_headers(16, 8))
+    data += _seg(0xDD, struct.pack(">H", 1))  # DRI: restart every MCU
+    wtr = _PW()
+    wtr.put(0b0, 1).put(0b0101, 4)            # block1: cat4 mag(-10)
+    b1 = wtr.bytes()
+    wtr = _PW()
+    wtr.put(0b0, 1).put(0b0100, 4)            # block2: cat4 mag(-11), pred RESET
+    b2 = wtr.bytes()
+    data += _sos1(0, 0, 0, 1) + b1 + b"\xff\xd0" + b2  # RST0 between blocks
+    data += b"\xff\xd9"
+    got = decode_jpeg(bytes(data))
+    nat = np.zeros((2, 8, 8))
+    nat[0, 0, 0] = -20  # -10 << 1
+    nat[1, 0, 0] = -22  # -11 << 1 (diff from pred 0, not from -10)
+    pix = np.clip(np.rint(_idct_blocks(nat) + 128.0), 0, 255).astype(np.uint8)
+    want = np.concatenate([pix[0], pix[1]], axis=1)
+    assert np.array_equal(got, want)

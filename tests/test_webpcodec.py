@@ -344,3 +344,103 @@ def test_bit_flips_raise_or_decode(data):
         assert isinstance(out, np.ndarray)
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (VP8X + ANIM + ANMF, r8) — containers hand-built per the
+# public WebP container spec around the module's own lossless encoder.
+# ---------------------------------------------------------------------------
+
+from etl_rust_spark.operators.webpcodec import decode_webp_frames  # noqa: E402
+
+
+def _u24le(v: int) -> bytes:
+    return bytes([v & 255, (v >> 8) & 255, (v >> 16) & 255])
+
+
+def _chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _anmf(x: int, y: int, frame_rgba, flags: int = 0x02, dur: int = 100) -> bytes:
+    inner = encode_webp_lossless(frame_rgba)[12:]  # the VP8L chunk
+    h, w = frame_rgba.shape[:2]
+    hdr = (_u24le(x // 2) + _u24le(y // 2) + _u24le(w - 1) + _u24le(h - 1)
+           + _u24le(dur) + bytes([flags]))
+    return _chunk(b"ANMF", hdr + inner)
+
+
+def _anim_container(cw, ch, chunks, bg=(0, 0, 0, 0), loops=0) -> bytes:
+    vp8x = _chunk(b"VP8X", bytes([0x12, 0, 0, 0]) + _u24le(cw - 1) + _u24le(ch - 1))
+    anim = _chunk(b"ANIM", bytes([bg[2], bg[1], bg[0], bg[3]])
+                  + struct.pack("<H", loops))
+    body = b"WEBP" + vp8x + anim + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _rgba(rgb, a=255):
+    return np.dstack([rgb, np.full(rgb.shape[:2], a, np.uint8)])
+
+
+def test_animated_webp_frames_composite_on_canvas():
+    rng = np.random.default_rng(3)
+    f1 = _rgba(rng.integers(0, 256, (4, 6, 3), dtype=np.uint8))
+    f2 = _rgba(rng.integers(0, 256, (2, 2, 3), dtype=np.uint8))
+    data = _anim_container(6, 4, [_anmf(0, 0, f1), _anmf(2, 2, f2)])
+    frames = decode_webp_frames(data)
+    assert len(frames) == 2 and frames[0].shape == (4, 6, 3)
+    assert np.array_equal(frames[0], f1[:, :, :3])
+    want = f1[:, :, :3].copy()
+    want[2:4, 2:4] = f2[:, :, :3]
+    assert np.array_equal(frames[1], want)
+    # the still-image contract yields frame 1 (the GIF precedent)
+    assert np.array_equal(decode_webp(data), f1)
+    # and the VIDEO registry routes RIFF/WEBP here (AVIs still work)
+    from etl_rust_spark.operators import mediacodec as mc
+
+    assert len(mc.decode_video(data)) == 2
+
+
+def test_animated_webp_alpha_blend_and_dispose():
+    base = _rgba(np.zeros((2, 2, 3), np.uint8))
+    overlay = _rgba(np.full((2, 2, 3), 200, np.uint8), a=128)
+    third = _rgba(np.full((1, 1, 3), 7, np.uint8))
+    data = _anim_container(
+        2, 2,
+        [_anmf(0, 0, base),
+         _anmf(0, 0, overlay, flags=0x00 | 0x01),  # blend, then dispose-to-bg
+         _anmf(0, 0, third)],
+        bg=(9, 10, 11, 255),
+    )
+    frames = decode_webp_frames(data)
+    # alpha "over": 200*(128/255) over opaque black ≈ 100
+    assert abs(int(frames[1][0, 0, 0]) - 100) <= 1
+    # dispose filled the rect with the ANIM background before frame 3
+    assert tuple(frames[2][1, 1]) == (9, 10, 11)
+    assert tuple(frames[2][0, 0]) == (7, 7, 7)
+
+
+def test_animated_webp_corrupt_containers_raise():
+    f1 = _rgba(np.zeros((2, 2, 3), np.uint8))
+    good = _anim_container(2, 2, [_anmf(0, 0, f1)])
+    with pytest.raises(ValueError, match="no ANMF"):
+        decode_webp_frames(_anim_container(2, 2, []))
+    # frame rect outside canvas
+    with pytest.raises(ValueError, match="outside"):
+        decode_webp_frames(_anim_container(2, 2, [_anmf(2, 2, f1)]))
+    # ANMF without an animated VP8X
+    body = b"WEBP" + _anmf(0, 0, f1)
+    with pytest.raises(ValueError, match="VP8X"):
+        decode_webp_frames(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # bit-flip fuzz: uniform contract
+    import random
+
+    rnd = random.Random(5)
+    for _ in range(300):
+        buf = bytearray(good)
+        buf[rnd.randrange(len(buf))] ^= rnd.randrange(1, 256)
+        try:
+            decode_webp_frames(bytes(buf))
+        except ValueError:
+            pass
