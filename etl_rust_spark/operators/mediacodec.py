@@ -72,18 +72,21 @@ __all__ = [
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 # color type → samples per pixel (8-bit depth only)
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # type 3: one palette-index channel
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG to a (H, W, C) uint8 array.
-
-    Supports color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) —
-    what :func:`encode_png` and synthetic fixtures produce, and the
-    overwhelmingly common subset in the wild.  Anything else raises
-    ValueError (plug Pillow in via :func:`use_pillow` for exotic files).
+    """Decode a PNG to a (H, W, C) uint8 array — the full static
+    format as of r8: all five color types including palette (PLTE +
+    per-entry tRNS alpha), every legal bit depth (1/2/4-bit unpacked
+    MSB-first and range-upscaled, 16-bit downscaled to the high byte —
+    the standard 8-bit view), Adam7 interlace, all five scanline
+    filters at the correct byte distance, and tRNS color-key
+    transparency on gray/RGB.  APNG animation chunks are ignored
+    (frame 1 decodes); plug Pillow in via :func:`use_pillow` only for
+    exotica beyond the spec's static surface.
     Corrupt/truncated input raises ValueError uniformly (struct/zlib
-    errors wrapped, the r7 codec contract — closed for PNG in r8)."""
+    errors wrapped, the r7 codec contract)."""
     import zlib as _zlib
 
     try:
@@ -94,12 +97,82 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"corrupt or truncated PNG: {exc!r}") from exc
 
 
+# Adam7 interlace pass geometry (PNG spec §8.2): per-pass origin + step
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, off: int, height: int, stride: int, bpp: int):
+    """Undo per-scanline filtering for one (sub-)image of ``height``
+    rows × ``stride`` bytes starting at byte ``off`` of the inflated
+    stream; returns ((height, stride) uint8, bytes consumed).  ``bpp``
+    is the filter byte distance (bytes per complete pixel, min 1 —
+    spec §9.2)."""
+    need = height * (stride + 1)
+    if off + need > len(raw):
+        raise ValueError("IDAT size mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        o = off + y * (stride + 1)
+        ftype = raw[o]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=o + 1).copy()
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line
+            for x in range(bpp, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+        out[y] = cur
+        prev = out[y]
+    return out, need
+
+
+def _png_samples(rows: np.ndarray, w: int, ch: int, depth: int) -> np.ndarray:
+    """Unfiltered scanline bytes → (h, w, ch) uint8 RAW samples:
+    16-bit takes the high byte (the standard 8-bit downscale), sub-byte
+    depths unpack MSB-first (gray scaling / palette lookup happen in
+    the caller)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * ch].reshape(h, w, ch)
+    if depth == 16:
+        return rows[:, : w * ch * 2].reshape(h, w, ch, 2)[:, :, :, 0]
+    bits = np.unpackbits(rows, axis=1)  # MSB-first, the PNG packing
+    vals = bits.reshape(h, -1, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    return (vals * weights).sum(axis=2).astype(np.uint8)[:, :w].reshape(h, w, 1)
+
+
 def _decode_png(data: bytes) -> np.ndarray:
     if not data.startswith(PNG_MAGIC):
         raise ValueError("not a PNG (bad magic)")
     pos = len(PNG_MAGIC)
     width = height = None
-    color_type = bit_depth = None
+    color_type = bit_depth = interlace = None
+    palette = None
+    trns = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -110,57 +183,83 @@ def _decode_png(data: bytes) -> np.ndarray:
             width, height, bit_depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if bit_depth != 8:
-                raise ValueError(f"unsupported bit depth {bit_depth} (8 only)")
-            if color_type not in _CHANNELS:
+            allowed = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                       4: (8, 16), 6: (8, 16)}
+            if color_type not in allowed:
                 raise ValueError(f"unsupported color type {color_type}")
-            if interlace != 0:
-                raise ValueError("interlaced PNG unsupported")
+            if bit_depth not in allowed[color_type]:
+                raise ValueError(
+                    f"invalid bit depth {bit_depth} for color type {color_type}"
+                )
+            if interlace not in (0, 1):
+                raise ValueError(f"bad interlace method {interlace}")
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = bytes(body)
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
             break
     if width is None:
         raise ValueError("missing IHDR")
+    if width == 0 or height == 0:
+        raise ValueError("PNG declares a zero dimension")
     ch = _CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
-    stride = width * ch
-    if len(raw) != height * (stride + 1):
-        raise ValueError("IDAT size mismatch")
-    out = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        off = y * (stride + 1)
-        ftype = raw[off]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1).copy()
-        if ftype == 0:  # None
-            cur = line
-        elif ftype == 1:  # Sub
-            cur = line
-            for x in range(ch, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - ch])) & 0xFF
-        elif ftype == 2:  # Up
-            cur = (line.astype(np.int16) + prev).astype(np.uint8)
-        elif ftype == 3:  # Average
-            cur = line
-            for x in range(stride):
-                left = int(cur[x - ch]) if x >= ch else 0
-                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            cur = line
-            for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (int(cur[x]) + pred) & 0xFF
-        else:
-            raise ValueError(f"bad filter type {ftype}")
-        out[y] = cur
-        prev = out[y]
-    return out.reshape(height, width, ch)
+    bpp = max(1, ch * bit_depth // 8)
+
+    def stride_of(w: int) -> int:
+        return (w * ch * bit_depth + 7) // 8
+
+    if interlace == 0:
+        rows, used = _png_unfilter(raw, 0, height, stride_of(width), bpp)
+        if used != len(raw):
+            raise ValueError("IDAT size mismatch")
+        img = _png_samples(rows, width, ch, bit_depth)
+    else:  # Adam7: 7 independently filtered sub-images splatted back
+        img = np.zeros((height, width, ch), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, used = _png_unfilter(raw, off, ph, stride_of(pw), bpp)
+            off += used
+            img[y0::dy, x0::dx] = _png_samples(rows, pw, ch, bit_depth)
+        if off != len(raw):
+            raise ValueError("IDAT size mismatch")
+
+    if color_type == 3:  # palette (+ optional per-entry alpha)
+        if palette is None:
+            raise ValueError("paletted PNG without PLTE")
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        rgb = palette[idx]
+        if trns is not None:
+            alpha = np.full(len(palette), 255, np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+    if bit_depth < 8:  # grayscale upscale to full 8-bit range
+        img = img * np.uint8(255 // ((1 << bit_depth) - 1))
+    if trns is not None and color_type in (0, 2):
+        # color-key transparency: samples are compared at source depth;
+        # after the high-byte downscale / sub-byte upscale the 8-bit
+        # compare below matches iff the key matches (keys are 16-bit
+        # fields holding the source-depth value)
+        key = np.frombuffer(trns, ">u2").astype(np.int64)
+        if bit_depth == 16:
+            key = key >> 8
+        elif bit_depth < 8:
+            key = key * (255 // ((1 << bit_depth) - 1))
+        mask = np.all(img == key.reshape(1, 1, -1), axis=2)
+        return np.dstack([img, np.where(mask, 0, 255).astype(np.uint8)])
+    return img  # (h, w, ch) always — the pre-r8 shape contract
 
 
 def encode_png(arr: np.ndarray) -> bytes:

@@ -4,6 +4,9 @@ and the decode_stub=False paths of the multimodal operators
 
 from __future__ import annotations
 
+import struct
+import zlib
+
 import numpy as np
 import pytest
 
@@ -684,3 +687,151 @@ def test_g711_roundtrip_and_registry():
     dec2, _ = mc.decode_wav(mc.encode_g711_wav(st, 8000, law="u"))
     assert dec2.shape == (1500, 2)
     assert np.max(np.abs(dec2[:, 1] + dec2[:, 0])) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# Full static PNG surface (r8): palette / sub-byte depths / 16-bit /
+# Adam7 / tRNS — fixtures hand-built chunk by chunk (the GIF/JPEG
+# precedent), expected pixels derived independently of the decoder.
+# ---------------------------------------------------------------------------
+
+def _png_chunk(t: bytes, b: bytes) -> bytes:
+    return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b))
+
+
+def _png_file(w, h, depth, ctype, idat_raw, plte=None, trns=None, interlace=0):
+    out = bytearray(mc.PNG_MAGIC)
+    out += _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    )
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns)
+    out += _png_chunk(b"IDAT", zlib.compress(idat_raw))
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+_PLTE = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90])
+
+
+def test_png_palette_and_trns():
+    idx = np.array([[0, 1], [2, 0]], np.uint8)
+    raw = b"".join(b"\x00" + r.tobytes() for r in idx)
+    out = mc.decode_png(_png_file(2, 2, 8, 3, raw, plte=_PLTE))
+    assert out.shape == (2, 2, 3) and tuple(out[1, 0]) == (70, 80, 90)
+    # 4-bit indices, odd width (pad bits in the last byte), tRNS alpha
+    rows = [b"\x00" + bytes([(0 << 4) | 1, 2 << 4]),
+            b"\x00" + bytes([(2 << 4) | 2, 0 << 4])]
+    out = mc.decode_png(_png_file(
+        3, 2, 4, 3, b"".join(rows), plte=_PLTE, trns=bytes([255, 128, 0])
+    ))
+    assert out.shape == (2, 3, 4)
+    assert tuple(out[0, 1]) == (40, 50, 60, 128)   # entry 1, alpha 128
+    assert out[0, 2, 3] == 0                        # entry 2, transparent
+    # palette index beyond PLTE is corrupt, not a crash
+    bad = b"\x00" + bytes([9, 0])
+    with pytest.raises(ValueError, match="palette"):
+        mc.decode_png(_png_file(2, 1, 8, 3, bad, plte=_PLTE))
+
+
+def test_png_sub_byte_gray_depths():
+    # 1-bit: 9 px/row → 2 bytes with 7 pad bits
+    bits = [1, 0, 1, 1, 0, 1, 0, 0, 1]
+    v = 0
+    for i, b in enumerate(bits):
+        v |= b << (15 - i)
+    raw = b"\x00" + struct.pack(">H", v) + b"\x00" + struct.pack(">H", 0)
+    out = mc.decode_png(_png_file(9, 2, 1, 0, raw))
+    assert out.shape == (2, 9, 1)
+    assert [p // 255 for p in out[0, :, 0].tolist()] == bits
+    # 2-bit scales by 85, 4-bit by 17
+    raw2 = b"\x00" + bytes([(3 << 6) | (1 << 4) | (2 << 2)])
+    assert mc.decode_png(_png_file(3, 1, 2, 0, raw2))[0, :, 0].tolist() == [255, 85, 170]
+    raw4 = b"\x00" + bytes([(15 << 4) | 3])
+    assert mc.decode_png(_png_file(2, 1, 4, 0, raw4))[0, :, 0].tolist() == [255, 51]
+
+
+def test_png_16bit_high_byte_and_filter_distance():
+    """16-bit samples downscale to the high byte, and the Sub filter
+    works at the 6-byte pixel distance (a wrong bpp shows instantly)."""
+    px0 = struct.pack(">HHH", 0x1234, 0x0001, 0xFF00)
+    raw = b"\x01" + px0 + bytes([1, 2, 3, 4, 5, 6])
+    out = mc.decode_png(_png_file(2, 1, 16, 2, raw))
+    assert tuple(out[0, 0]) == (0x12, 0x00, 0xFF)
+    assert tuple(out[0, 1]) == (0x13, 0x03, 0x04)  # byte-wise +deltas, high bytes
+
+
+_A7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+       (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _interlaced_idat(src: np.ndarray) -> bytes:
+    """Test-side Adam7 pass extraction (independent re-derivation of
+    the spec's pass geometry — differential against the decoder's)."""
+    raw = bytearray()
+    for x0, y0, dx, dy in _A7:
+        sub = src[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for r in sub:
+            raw += b"\x00" + r.tobytes()
+    return bytes(raw)
+
+
+def test_png_adam7_interlace():
+    rng = np.random.default_rng(11)
+    for shape in [(8, 8), (5, 3), (1, 1), (16, 9), (2, 10)]:
+        src = rng.integers(0, 256, shape, dtype=np.uint8)
+        data = _png_file(shape[1], shape[0], 8, 0, _interlaced_idat(src), interlace=1)
+        assert np.array_equal(mc.decode_png(data)[:, :, 0], src), shape
+    # interlaced RGB too
+    src = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in _A7:
+        sub = src[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for r in sub:
+            raw += b"\x00" + r.tobytes()
+    data = _png_file(7, 6, 8, 2, bytes(raw), interlace=1)
+    assert np.array_equal(mc.decode_png(data), src)
+
+
+def test_png_color_key_transparency():
+    g = np.array([[5, 9], [9, 1]], np.uint8)
+    raw = b"".join(b"\x00" + r.tobytes() for r in g)
+    out = mc.decode_png(_png_file(2, 2, 8, 0, raw, trns=struct.pack(">H", 9)))
+    assert out.shape == (2, 2, 2)
+    assert out[0, 1, 1] == 0 and out[1, 0, 1] == 0 and out[0, 0, 1] == 255
+    # RGB key
+    px = np.array([[[1, 2, 3], [9, 9, 9]]], np.uint8)
+    raw = b"\x00" + px.tobytes()
+    out = mc.decode_png(_png_file(2, 1, 8, 2, raw, trns=struct.pack(">HHH", 9, 9, 9)))
+    assert out.shape == (1, 2, 4) and out[0, 1, 3] == 0 and out[0, 0, 3] == 255
+
+
+def test_png_new_surface_bitflip_fuzz():
+    """The unified corrupt-input contract over the r8 PNG surface:
+    palette, interlaced, and 16-bit payloads under bit flips."""
+    import random
+
+    rng = np.random.default_rng(12)
+    src = rng.integers(0, 256, (6, 5), dtype=np.uint8)
+    payloads = [
+        _png_file(2, 2, 8, 3, b"\x00\x00\x01\x00\x02\x00", plte=_PLTE,
+                  trns=bytes([200])),
+        _png_file(5, 6, 8, 0, _interlaced_idat(src), interlace=1),
+        _png_file(2, 1, 16, 2,
+                  b"\x00" + struct.pack(">HHHHHH", 1, 2, 3, 4, 5, 6)),
+    ]
+    rnd = random.Random(9)
+    for payload in payloads:
+        for _ in range(400):
+            buf = bytearray(payload)
+            buf[rnd.randrange(len(buf))] ^= rnd.randrange(1, 256)
+            try:
+                mc.decode_png(bytes(buf))
+            except ValueError:
+                pass
