@@ -63,6 +63,7 @@ __all__ = [
     "register_audio_decoder",
     "decode_audio",
     "decode_avi",
+    "decode_apng_frames",
     "encode_avi",
     "video_feature",
     "register_video_decoder",
@@ -207,6 +208,11 @@ def _decode_png(data: bytes) -> np.ndarray:
         raise ValueError("missing IHDR")
     if width == 0 or height == 0:
         raise ValueError("PNG declares a zero dimension")
+    if width * height > 1 << 28:
+        # corrupt IHDR dims would lazily allocate a multi-GB canvas
+        # that only blows up (or thrashes) when copied — fail early
+        # under the uniform contract (APNG bit-flip fuzz find, r8)
+        raise ValueError(f"PNG {width}x{height} exceeds the pixel cap")
     ch = _CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
     bpp = max(1, ch * bit_depth // 8)
@@ -260,6 +266,136 @@ def _decode_png(data: bytes) -> np.ndarray:
         mask = np.all(img == key.reshape(1, 1, -1), axis=2)
         return np.dstack([img, np.where(mask, 0, 255).astype(np.uint8)])
     return img  # (h, w, ch) always — the pre-r8 shape contract
+
+
+def _to_rgba(img: np.ndarray) -> np.ndarray:
+    """Any decode_png output shape → (h, w, 4) RGBA."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    c = img.shape[2]
+    if c == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif c == 2:  # gray + alpha
+        img = np.dstack([np.repeat(img[:, :, :1], 3, axis=2), img[:, :, 1]])
+    if img.shape[2] == 3:
+        img = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+    return img
+
+
+def decode_apng_frames(data: bytes) -> list[np.ndarray]:
+    """APNG → list of full-canvas (H, W, 3) RGB frames.
+
+    Container semantics per the public APNG spec: ``acTL`` declares the
+    animation, each ``fcTL`` opens a frame region (its own w/h/x/y,
+    dispose_op 0 none / 1 background / 2 previous, blend_op 0 source /
+    1 over), frame pixels arrive in the main ``IDAT`` (when an fcTL
+    precedes it) or in ``fdAT`` chunks (4-byte sequence number +
+    IDAT-format data).  Frame images share the main IHDR's depth/color
+    type and are rebuilt here as one-frame PNGs through
+    :func:`decode_png`, so every static-PNG feature (palette, sub-byte
+    depths, 16-bit, tRNS) works inside animations for free.  A PNG
+    without acTL yields its single still frame — the GIF-registry
+    convention.  Corrupt input raises ValueError uniformly."""
+    import zlib as _zlib
+
+    try:
+        return _decode_apng_frames(data)
+    except ValueError:
+        raise
+    except (IndexError, struct.error, KeyError, _zlib.error) as exc:
+        raise ValueError(f"corrupt or truncated APNG: {exc!r}") from exc
+
+
+def _decode_apng_frames(data: bytes) -> list[np.ndarray]:
+    if not data.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG (bad magic)")
+    pos = len(PNG_MAGIC)
+    ihdr = None
+    aux = b""  # PLTE/tRNS pass through to every frame's mini-PNG
+    animated = False
+    fctl = None  # current open frame header
+    frames_raw: list[tuple[tuple, bytearray]] = []
+    default_idat = bytearray()
+    default_is_frame = False
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype in (b"PLTE", b"tRNS"):
+            aux += (struct.pack(">I", length) + ctype + body
+                    + struct.pack(">I", zlib.crc32(ctype + body)))
+        elif ctype == b"acTL":
+            animated = True
+        elif ctype == b"fcTL":
+            if len(body) < 26:
+                raise ValueError("short fcTL chunk")
+            fctl = struct.unpack(">IIIIIHHBB", body)
+            frames_raw.append((fctl, bytearray()))
+            if not default_idat:
+                default_is_frame = True  # this fcTL precedes IDAT
+        elif ctype == b"IDAT":
+            default_idat.extend(body)
+            if default_is_frame and frames_raw:
+                frames_raw[0][1].extend(body)
+        elif ctype == b"fdAT":
+            if len(body) < 4:
+                raise ValueError("short fdAT chunk")
+            if not frames_raw:
+                raise ValueError("fdAT before any fcTL")
+            frames_raw[-1][1].extend(body[4:])  # drop the sequence number
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    W, H, depth, color_type, comp, filt, interlace = ihdr
+    if W * H > 1 << 26:
+        raise ValueError(f"APNG canvas {W}x{H} exceeds the pixel cap")
+
+    def mini_png(w: int, h: int, idat: bytes) -> bytes:
+        head = struct.pack(">IIBBBBB", w, h, depth, color_type, comp, filt, interlace)
+        return (
+            PNG_MAGIC
+            + struct.pack(">I", len(head)) + b"IHDR" + head
+            + struct.pack(">I", zlib.crc32(b"IHDR" + head))
+            + aux
+            + struct.pack(">I", len(idat)) + b"IDAT" + bytes(idat)
+            + struct.pack(">I", zlib.crc32(b"IDAT" + bytes(idat)))
+            + struct.pack(">I", 0) + b"IEND"
+            + struct.pack(">I", zlib.crc32(b"IEND"))
+        )
+
+    if not animated or not frames_raw:
+        return [_to_rgba(decode_png(data))[:, :, :3].copy()]
+
+    canvas = np.zeros((H, W, 4), np.uint8)
+    out: list[np.ndarray] = []
+    for (seq, fw, fh, x, y, _dn, _dd, dispose, blend), idat in frames_raw:
+        if fw == 0 or fh == 0 or x + fw > W or y + fh > H:
+            raise ValueError("fcTL frame rect outside the canvas")
+        if not idat:
+            raise ValueError("APNG frame carries no image data")
+        frame = _to_rgba(decode_png(mini_png(fw, fh, bytes(idat))))
+        region = canvas[y : y + fh, x : x + fw]
+        saved = region.copy() if dispose == 2 else None
+        if blend == 0:  # source: replace including alpha
+            region[:] = frame
+        else:  # over
+            fa = frame[:, :, 3:4].astype(np.float64) / 255.0
+            ba = region[:, :, 3:4].astype(np.float64) / 255.0
+            oa = fa + ba * (1.0 - fa)
+            safe = np.where(oa == 0.0, 1.0, oa)
+            rgb = (frame[:, :, :3] * fa + region[:, :, :3] * ba * (1.0 - fa)) / safe
+            region[:, :, :3] = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+            region[:, :, 3] = np.clip(np.rint(oa[:, :, 0] * 255.0), 0, 255)
+        out.append(canvas[:, :, :3].copy())
+        if dispose == 1:  # background: fully transparent black
+            region[:] = 0
+        elif dispose == 2:  # previous
+            region[:] = saved
+    return out
 
 
 def encode_png(arr: np.ndarray) -> bytes:
@@ -424,8 +560,11 @@ def _gif_lzw_decode(data: bytes, min_code: int) -> list[int]:
 
 
 def _gif_walk_frames(data: bytes, max_frames: int | None = None):
-    """Yield ``(screen_w, screen_h, x, y, rgb)`` per image descriptor —
-    the shared GIF block walk behind the still and animated decoders."""
+    """Yield ``(screen_w, screen_h, x, y, rgb, transparent_mask)`` per
+    image descriptor — the shared GIF block walk behind the still and
+    animated decoders.  ``transparent_mask`` is a boolean (h, w) array
+    of pixels the preceding Graphic Control Extension marks
+    transparent, or None (r8 — stickers/animations rely on it)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad magic)")
     try:
@@ -439,14 +578,22 @@ def _gif_walk_frames(data: bytes, max_frames: int | None = None):
                 raise ValueError("truncated GIF global color table")
             pos += 3 * n
         seen = 0
+        gce = None  # (flags, transparent_index) from the latest GCE
         while pos < len(data):
             b = data[pos]
             pos += 1
             if b == 0x21:  # extension: label + sub-blocks
+                label = data[pos]
                 pos += 1
+                blocks = []
                 while data[pos]:
+                    blocks.append(data[pos + 1 : pos + 1 + data[pos]])
                     pos += 1 + data[pos]
                 pos += 1
+                if label == 0xF9 and blocks and len(blocks[0]) >= 4:
+                    # Graphic Control Extension: transparency flag +
+                    # transparent color index apply to the NEXT image
+                    gce = (blocks[0][0], blocks[0][3])
             elif b == 0x2C:  # image descriptor
                 x, y, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
                 pos += 9
@@ -483,7 +630,11 @@ def _gif_walk_frames(data: bytes, max_frames: int | None = None):
                     grid = un
                 if grid.max(initial=0) >= len(ct):
                     raise ValueError("GIF index outside color table")
-                yield sw, sh, x, y, np.ascontiguousarray(ct[grid])
+                mask = None
+                if gce is not None and gce[0] & 0x01:
+                    mask = grid == gce[1]
+                gce = None  # a GCE governs exactly one image
+                yield sw, sh, x, y, np.ascontiguousarray(ct[grid]), mask
                 seen += 1
                 if max_frames is not None and seen >= max_frames:
                     return
@@ -501,7 +652,7 @@ def decode_gif(data: bytes) -> np.ndarray:
     handled; extensions skipped).  Animated GIFs yield frame 1 — the
     still-image contract of :func:`decode_image`;
     :func:`decode_gif_frames` is the video-side view."""
-    for _sw, _sh, _x, _y, rgb in _gif_walk_frames(data, max_frames=1):
+    for _sw, _sh, _x, _y, rgb, _mask in _gif_walk_frames(data, max_frames=1):
         return rgb
     raise ValueError("GIF contained no image frame")
 
@@ -510,21 +661,26 @@ def decode_gif_frames(
     data: bytes, max_frames: int | None = None
 ) -> list[np.ndarray]:
     """Animated GIF → list of full-canvas (sh, sw, 3) frames: each
-    descriptor draws over the previous canvas at its (x, y) offset —
-    the draw-over composite (disposal methods and transparency render
-    as opaque overdraw; the feature/fingerprint kernels downstream are
-    robust to that approximation, documented here rather than hidden).
-    Registered under the GIF magic in the VIDEO registry, so animated
-    GIFs flow through frame_features / near_dup_videos like AVIs."""
+    descriptor draws over the previous canvas at its (x, y) offset.
+    GCE-transparent pixels leave the underlying canvas visible (r8 —
+    the sticker/animation contract); disposal methods still render as
+    draw-over (documented approximation, the feature/fingerprint
+    kernels downstream are robust to it).  Registered under the GIF
+    magic in the VIDEO registry, so animated GIFs flow through
+    frame_features / near_dup_videos like AVIs."""
     frames: list[np.ndarray] = []
     canvas = None
-    for sw, sh, x, y, rgb in _gif_walk_frames(data, max_frames=max_frames):
+    for sw, sh, x, y, rgb, mask in _gif_walk_frames(data, max_frames=max_frames):
         if canvas is None:
             canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
         h, w = rgb.shape[:2]
         if y + h > sh or x + w > sw:
             raise ValueError("GIF frame rect outside logical screen")
-        canvas[y : y + h, x : x + w] = rgb
+        region = canvas[y : y + h, x : x + w]
+        if mask is None:
+            region[:] = rgb
+        else:
+            region[~mask] = rgb[~mask]
         frames.append(canvas.copy())
     if not frames:
         raise ValueError("GIF contained no image frame")
@@ -1384,6 +1540,7 @@ def _decode_riff_video(data: bytes) -> list[np.ndarray]:
 _VIDEO_DECODERS: list[tuple[bytes, object]] = [
     (b"RIFF", _decode_riff_video),
     (GIF_MAGIC, decode_gif_frames),  # animated GIFs are videos too
+    (PNG_MAGIC, decode_apng_frames),  # APNG (r8)
 ]
 
 

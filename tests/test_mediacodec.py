@@ -835,3 +835,147 @@ def test_png_new_surface_bitflip_fuzz():
                 mc.decode_png(bytes(buf))
             except ValueError:
                 pass
+
+
+def test_gif_gce_transparency_composites_through():
+    """A GCE-transparent index leaves the underlying canvas visible in
+    decode_gif_frames (r8).  Hand-built: 2×1 canvas, frame 1 paints
+    [red, blue], frame 2 paints [green, T] where T is the transparent
+    index — pixel 2 must still be blue."""
+    pal = bytes([200, 0, 0,  0, 0, 200,  0, 200, 0,  9, 9, 9])  # r b g T
+    def lzw(indices, min_code=2):
+        # clear-per-symbol form (matches the in-repo encoders)
+        clear, eoi, width = 1 << min_code, (1 << min_code) + 1, min_code + 1
+        acc = bits = 0
+        out = bytearray()
+        def emit(c):
+            nonlocal acc, bits
+            acc |= c << bits
+            bits += width
+            while bits >= 8:
+                out.append(acc & 0xFF); acc >>= 8; bits -= 8
+        emit(clear)
+        for i in indices:
+            emit(i); emit(clear)
+        emit(eoi)
+        if bits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+    def img_desc(indices):
+        body = lzw(indices)
+        return (b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 1, 0)
+                + bytes([2]) + bytes([len(body)]) + body + b"\x00")
+    gce_t = b"\x21\xf9\x04" + bytes([0x01, 0, 0, 3]) + b"\x00"  # transparent idx 3
+    data = (b"GIF89a" + struct.pack("<HHBBB", 2, 1, 0x81, 0, 0) + pal
+            + img_desc([0, 1])           # no GCE: opaque
+            + gce_t + img_desc([2, 3])   # idx 3 transparent
+            + b"\x3b")
+    frames = mc.decode_gif_frames(data)
+    assert len(frames) == 2
+    assert tuple(frames[0][0, 0]) == (200, 0, 0) and tuple(frames[0][0, 1]) == (0, 0, 200)
+    assert tuple(frames[1][0, 0]) == (0, 200, 0)   # painted green
+    assert tuple(frames[1][0, 1]) == (0, 0, 200)   # transparent → blue shows
+    # the still decoder is unaffected (frame 1, raw colors)
+    assert tuple(mc.decode_gif(data)[0, 1]) == (0, 0, 200)
+
+
+# ---------------------------------------------------------------------------
+# APNG (r8): acTL/fcTL/fdAT animation over the full static decoder —
+# containers hand-built chunk by chunk.
+# ---------------------------------------------------------------------------
+
+def _apng_idat_raw(img: np.ndarray) -> bytes:
+    return zlib.compress(b"".join(b"\x00" + r.tobytes() for r in img))
+
+
+def _fctl(seq, w, h, x, y, dispose=0, blend=0):
+    return _png_chunk(
+        b"fcTL", struct.pack(">IIIIIHHBB", seq, w, h, x, y, 1, 10, dispose, blend)
+    )
+
+
+def _apng(frames_spec, w, h, ctype=2):
+    """frames_spec: list of (img, x, y, dispose, blend); the first
+    frame rides the default IDAT (fcTL before IDAT), the rest fdAT."""
+    out = bytearray(mc.PNG_MAGIC)
+    out += _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+    out += _png_chunk(b"acTL", struct.pack(">II", len(frames_spec), 0))
+    seq = 0
+    for i, (img, x, y, dispose, blend) in enumerate(frames_spec):
+        out += _fctl(seq, img.shape[1], img.shape[0], x, y, dispose, blend)
+        seq += 1
+        if i == 0:
+            out += _png_chunk(b"IDAT", _apng_idat_raw(img))
+        else:
+            out += _png_chunk(
+                b"fdAT", struct.pack(">I", seq) + _apng_idat_raw(img)
+            )
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def test_apng_frames_composite_and_still_contract():
+    rng = np.random.default_rng(8)
+    f1 = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    f2 = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    data = _apng([(f1, 0, 0, 0, 0), (f2, 2, 1, 0, 0)], 6, 4)
+    frames = mc.decode_apng_frames(data)
+    assert len(frames) == 2 and frames[0].shape == (4, 6, 3)
+    assert np.array_equal(frames[0], f1)
+    want = f1.copy()
+    want[1:3, 2:4] = f2
+    assert np.array_equal(frames[1], want)
+    # the STILL decoder ignores animation chunks → the default image
+    assert np.array_equal(mc.decode_png(data), f1)
+    # the video registry routes PNG here; a still PNG is one frame
+    assert len(mc.decode_video(data)) == 2
+    assert len(mc.decode_video(mc.encode_png(f1))) == 1
+
+
+def test_apng_dispose_and_blend_ops():
+    base = np.full((2, 2, 3), 50, np.uint8)
+    patch = np.full((1, 1, 3), 250, np.uint8)
+    third = np.full((1, 1, 3), 7, np.uint8)
+    # dispose=1 (background): the patch region clears to transparent
+    # black after frame 2, so frame 3's canvas shows black there
+    data = _apng(
+        [(base, 0, 0, 0, 0), (patch, 1, 1, 1, 0), (third, 0, 0, 0, 0)], 2, 2
+    )
+    frames = mc.decode_apng_frames(data)
+    assert tuple(frames[1][1, 1]) == (250, 250, 250)
+    assert tuple(frames[2][1, 1]) == (0, 0, 0)      # disposed to background
+    assert tuple(frames[2][0, 0]) == (7, 7, 7)
+    # dispose=2 (previous): region reverts to the pre-frame content
+    data = _apng(
+        [(base, 0, 0, 0, 0), (patch, 1, 1, 2, 0), (third, 0, 0, 0, 0)], 2, 2
+    )
+    frames = mc.decode_apng_frames(data)
+    assert tuple(frames[1][1, 1]) == (250, 250, 250)
+    assert tuple(frames[2][1, 1]) == (50, 50, 50)   # reverted
+    # blend=1 (over) with RGBA frames: half-transparent white over black
+    black = np.zeros((1, 1, 4), np.uint8); black[:, :, 3] = 255
+    overlay = np.full((1, 1, 4), 255, np.uint8); overlay[:, :, 3] = 128
+    data = _apng([(black, 0, 0, 0, 0), (overlay, 0, 0, 0, 1)], 1, 1, ctype=6)
+    frames = mc.decode_apng_frames(data)
+    assert abs(int(frames[1][0, 0, 0]) - 128) <= 1
+
+
+def test_apng_corrupt_and_fuzz():
+    rng = np.random.default_rng(10)
+    f1 = rng.integers(0, 256, (3, 3, 3), dtype=np.uint8)
+    good = _apng([(f1, 0, 0, 0, 0)], 3, 3)
+    # frame rect outside canvas
+    bad = _apng([(f1, 0, 0, 0, 0), (f1, 1, 1, 0, 0)], 3, 3)
+    with pytest.raises(ValueError, match="outside"):
+        mc.decode_apng_frames(bad)
+    import random
+
+    rnd = random.Random(13)
+    for _ in range(400):
+        buf = bytearray(good)
+        buf[rnd.randrange(len(buf))] ^= rnd.randrange(1, 256)
+        try:
+            mc.decode_apng_frames(bytes(buf))
+        except ValueError:
+            pass
