@@ -57,6 +57,7 @@ __all__ = [
     "use_pillow",
     "dhash",
     "decode_wav",
+    "decode_aiff",
     "encode_wav",
     "audio_feature",
     "audio_fingerprint",
@@ -1371,12 +1372,81 @@ def audio_fingerprint(samples: np.ndarray, sample_rate: int, nbits: int = 64) ->
     return val
 
 
+def _f80(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (the AIFF sample-rate field):
+    1 sign + 15 exponent (bias 16383) + 64-bit explicit-integer-bit
+    mantissa."""
+    if len(b) != 10:
+        raise ValueError("extended float needs 10 bytes")
+    se = int.from_bytes(b[:2], "big")
+    mant = int.from_bytes(b[2:], "big")
+    if mant == 0:
+        return 0.0
+    exp = (se & 0x7FFF) - 16383 - 63
+    val = mant * (2.0 ** exp)
+    return -val if se & 0x8000 else val
+
+
+def decode_aiff(data: bytes) -> tuple[np.ndarray, int]:
+    """AIFF (FORM/AIFF, big-endian PCM) → ``(samples, sample_rate)``
+    in the :func:`decode_wav` shape — the archival-audio container
+    (r8).  COMM carries channels / sample size / an 80-bit extended
+    sample rate; SSND carries offset+blocksize then the PCM frames.
+    8/16/32-bit signed PCM; AIFC compression raises toward an
+    adapter."""
+    try:
+        if not (data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC")):
+            raise ValueError("not an AIFF (bad FORM/AIFF header)")
+        comm = ssnd = None
+        pos = 12
+        while pos + 8 <= len(data):
+            fourcc = data[pos : pos + 4]
+            (size,) = struct.unpack_from(">I", data, pos + 4)
+            body = data[pos + 8 : pos + 8 + size]
+            if len(body) < size:
+                raise ValueError(f"truncated AIFF chunk {fourcc!r}")
+            if fourcc == b"COMM":
+                comm = body
+            elif fourcc == b"SSND":
+                ssnd = body
+            pos += 8 + size + (size & 1)
+        if comm is None or ssnd is None:
+            raise ValueError("AIFF missing COMM or SSND chunk")
+        if len(comm) < 18:
+            raise ValueError("short AIFF COMM chunk")
+        nch, nframes, bits = struct.unpack_from(">HIH", comm, 0)
+        rate = int(round(_f80(comm[8:18])))
+        if data[8:12] == b"AIFC" and len(comm) >= 22 and comm[18:22] not in (
+            b"NONE", b"sowt"
+        ):
+            raise ValueError(
+                f"unsupported AIFC compression {comm[18:22]!r} "
+                "(register an adapter for compressed AIFF)"
+            )
+        little = data[8:12] == b"AIFC" and len(comm) >= 22 and comm[18:22] == b"sowt"
+        if bits not in (8, 16, 32) or nch == 0 or rate <= 0:
+            raise ValueError(f"unsupported AIFF layout {bits}-bit x{nch} @{rate}")
+        (off, _blk) = struct.unpack_from(">II", ssnd, 0)
+        pcm = ssnd[8 + off :]
+        width = bits // 8
+        n = min(nframes, len(pcm) // (width * nch))
+        dt = {8: "i1", 16: "i2", 32: "i4"}[bits]
+        order = "<" if little else ">"
+        arr = np.frombuffer(pcm, order + dt, n * nch).reshape(n, nch)
+        return arr.astype(np.float64) / float(1 << (bits - 1)), rate
+    except ValueError:
+        raise
+    except (IndexError, struct.error, KeyError, OverflowError) as exc:
+        raise ValueError(f"corrupt or truncated AIFF: {exc!r}") from exc
+
+
 # magic-prefix → decoder(bytes) -> (samples, sample_rate)
 from etl_rust_spark.operators.flaccodec import FLAC_MAGIC, decode_flac  # noqa: E402
 
 _AUDIO_DECODERS: list[tuple[bytes, object]] = [
     (WAV_MAGIC, decode_wav),
     (FLAC_MAGIC, decode_flac),  # pure-stdlib FLAC (r7)
+    (b"FORM", decode_aiff),     # AIFF/AIFC-NONE (r8)
 ]
 
 

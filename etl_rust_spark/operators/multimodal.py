@@ -58,6 +58,7 @@ __all__ = [
     "near_dup_images",
     "near_dup_audio",
     "near_dup_videos",
+    "read_archive_assets",
 ]
 
 MULTIMODAL_SCHEMA = T.StructType(
@@ -93,6 +94,100 @@ FEATURE_SCHEMA = T.StructType(
 def make_asset_df(spark, rows: list[tuple]) -> DataFrame:
     """Build an asset DataFrame from (asset_id, modality, payload, meta) rows."""
     return spark.createDataFrame(rows, MULTIMODAL_SCHEMA)
+
+
+_EXT_MODALITY = {
+    "png": ("image", "image/png"), "jpg": ("image", "image/jpeg"),
+    "jpeg": ("image", "image/jpeg"), "gif": ("image", "image/gif"),
+    "webp": ("image", "image/webp"), "bmp": ("image", "image/bmp"),
+    "tif": ("image", "image/tiff"), "tiff": ("image", "image/tiff"),
+    "wav": ("audio", "audio/wav"), "flac": ("audio", "audio/flac"),
+    "aif": ("audio", "audio/aiff"), "aiff": ("audio", "audio/aiff"),
+    "avi": ("video", "video/x-msvideo"),
+}
+
+
+def read_archive_assets(
+    spark, pattern: str, on_error: str = "raise"
+) -> DataFrame:
+    """zip / tar(.gz/.bz2/.xz) archives of media files → asset rows
+    (MULTIMODAL_SCHEMA) — the bulk entry path for image/audio corpora
+    shipped as archives (the LAION/img2dataset shard shape).
+
+    - ``spark.read.format("binaryFile")`` loads whole archives; the
+      members unpack executor-side (stdlib zipfile/tarfile over an
+      in-memory buffer) inside one Arrow ``mapInPandas`` pass, so
+      payload bytes never touch the driver and never shuffle.
+    - ``asset_id`` is a deterministic 62-bit hash of
+      ``archive_path!member`` — stable across re-ingests (the
+      ``ingest_corpus`` id discipline), so downstream dedup keys and
+      incremental signature stores survive re-runs.
+    - modality/mime come from the member extension
+      (png/jpg/gif/webp/bmp/tiff → image, wav/flac → audio, avi →
+      video); members with other extensions are skipped (decode
+      failures of KNOWN types stay per-asset downstream, the registry
+      contract).
+    - ``on_error='skip'`` drops undecodable ARCHIVES instead of
+      failing the task (a torn shard in a 100 TB crawl should not
+      kill the job unless you ask it to).
+
+    Scale: archives are the parallelism grain (binaryFile cannot split
+    a file) — prefer many medium shards over few huge ones; the
+    per-task memory bound is the largest archive, exactly the
+    img2dataset operating guidance."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be raise|skip")
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import tarfile
+        import zipfile
+
+        def members(path: str, blob: bytes):
+            if blob[:4] == b"PK\x03\x04" or path.endswith(".zip"):
+                with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+                    for info in zf.infolist():
+                        if not info.is_dir():
+                            yield info.filename, zf.read(info)
+                return
+            with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
+                for info in tf:
+                    if info.isfile():
+                        f = tf.extractfile(info)
+                        if f is not None:
+                            yield info.name, f.read()
+
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    found = list(members(path, bytes(blob)))
+                except Exception as exc:
+                    if on_error == "skip":
+                        continue
+                    raise ValueError(f"unreadable archive {path}: {exc!r}")
+                for name, payload in found:
+                    ext = name.rsplit(".", 1)[-1].lower() if "." in name else ""
+                    mod = _EXT_MODALITY.get(ext)
+                    if mod is None:
+                        continue
+                    uri = f"{path}!{name}"
+                    h = hashlib.sha256(uri.encode()).digest()
+                    rows.append({
+                        "asset_id": int.from_bytes(h[:8], "big") >> 2,
+                        "modality": mod[0],
+                        "payload": payload,
+                        "meta": {"mime": mod[1], "width": None,
+                                 "height": None, "duration_ms": None,
+                                 "source_uri": uri},
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "modality", "payload", "meta"],
+            )
+
+    src = spark.read.format("binaryFile").load(pattern).select("path", "content")
+    return src.mapInPandas(unpack, schema=MULTIMODAL_SCHEMA)
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:

@@ -979,3 +979,59 @@ def test_apng_corrupt_and_fuzz():
             mc.decode_apng_frames(bytes(buf))
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# AIFF / AIFC (r8) — big-endian archival PCM, fixtures hand-built with
+# a test-local 80-bit-extended-float packer.
+# ---------------------------------------------------------------------------
+
+def _f80(rate: int) -> bytes:
+    e = rate.bit_length() - 1
+    return struct.pack(">H", 16383 + e) + (rate << (63 - e)).to_bytes(8, "big")
+
+
+def _aiff(samples16, rate, nch=1, form=b"AIFF", comp=b"", le=False):
+    pcm = samples16.astype("<i2" if le else ">i2").tobytes()
+    comm = struct.pack(">HIH", nch, len(samples16) // nch, 16) + _f80(rate) + comp
+    ssnd = struct.pack(">II", 0, 0) + pcm
+    body = form
+    for cc, b in [(b"COMM", comm), (b"SSND", ssnd)]:
+        body += cc + struct.pack(">I", len(b)) + b + (b"\x00" if len(b) % 2 else b"")
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def test_aiff_decode_and_registry():
+    x = (np.sin(np.arange(300) / 7.0) * 20000).astype(np.int16)
+    data = _aiff(x, 44100)
+    s, r = mc.decode_aiff(data)
+    assert r == 44100 and s.shape == (300, 1)
+    assert np.allclose(s[:, 0], x / 32768.0)
+    # the audio registry dispatches FORM payloads here
+    s2, r2 = mc.decode_audio(data)
+    assert r2 == 44100 and np.allclose(s2, s)
+    # AIFC little-endian ('sowt') decodes; compressed AIFC raises
+    d2 = _aiff(x, 8000, form=b"AIFC", comp=b"sowt", le=True)
+    s3, r3 = mc.decode_aiff(d2)
+    assert r3 == 8000 and np.allclose(s3[:, 0], x / 32768.0)
+    with pytest.raises(ValueError, match="ima4"):
+        mc.decode_aiff(_aiff(x, 8000, form=b"AIFC", comp=b"ima4"))
+    # stereo interleave
+    st = np.stack([x, -x], axis=1).reshape(-1)
+    s4, _ = mc.decode_aiff(_aiff(st, 8000, nch=2))
+    assert s4.shape == (300, 2) and np.allclose(s4[:, 1], -x / 32768.0)
+
+
+def test_aiff_bitflip_contract():
+    import random
+
+    x = (np.sin(np.arange(200) / 5.0) * 1000).astype(np.int16)
+    data = _aiff(x, 8000)
+    rnd = random.Random(3)
+    for _ in range(800):
+        buf = bytearray(data)
+        buf[rnd.randrange(len(buf))] ^= rnd.randrange(1, 256)
+        try:
+            mc.decode_aiff(bytes(buf))
+        except ValueError:
+            pass

@@ -1153,3 +1153,55 @@ def test_kmeans_fixed_empty_cluster_carry_and_determinism(spark):
     assert canonical_hash(want, ["src", "qid", "cid", "cos", "rn"]) == canonical_hash(
         drows, dcols
     )
+
+
+def test_read_archive_assets_zip_and_tar(spark, tmp_path):
+    """Archive ingestion (r8): zip + tar.gz shards of media files →
+    asset rows with deterministic ids, unpacked executor-side; unknown
+    extensions skipped; corrupt archives raise or skip by option."""
+    import io
+    import tarfile
+    import zipfile
+
+    import numpy as np
+
+    from etl_rust_spark.operators import mediacodec as mc
+    from etl_rust_spark.operators import multimodal
+    from etl_rust_spark.operators.jpegcodec import encode_jpeg
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    wav = mc.encode_wav(0.2 * np.sin(np.arange(400) / 5.0), 8000)
+    with zipfile.ZipFile(tmp_path / "shard0.zip", "w") as zf:
+        zf.writestr("a/one.png", mc.encode_png(img))
+        zf.writestr("a/two.jpg", encode_jpeg(img, 90))
+        zf.writestr("notes.txt", b"skip me")
+    with tarfile.open(tmp_path / "shard1.tar.gz", "w:gz") as tf:
+        for name, payload in [("b/one.png", mc.encode_png(img)), ("b/snd.wav", wav)]:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(payload)
+            tf.addfile(ti, io.BytesIO(payload))
+
+    df = multimodal.read_archive_assets(spark, str(tmp_path) + "/*")
+    rows = df.collect()
+    got = sorted((r.modality, r.meta.source_uri.rsplit("!", 1)[1]) for r in rows)
+    assert got == [("audio", "b/snd.wav"), ("image", "a/one.png"),
+                   ("image", "a/two.jpg"), ("image", "b/one.png")]
+    assert all(r.meta.mime for r in rows)
+    # the payloads really decode through the registry
+    feats = multimodal.extract_features(df, decode_stub=False).collect()
+    assert len(feats) == 4 and {r.modality for r in feats} == {"image", "audio"}
+    # deterministic ids across re-reads (the ingest id discipline)
+    again = multimodal.read_archive_assets(spark, str(tmp_path) + "/*")
+    assert sorted(r.asset_id for r in rows) == sorted(
+        r.asset_id for r in again.collect()
+    )
+    # corrupt archive: raise by default, skip on request
+    (tmp_path / "bad.zip").write_bytes(b"PK\x03\x04garbage")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        multimodal.read_archive_assets(spark, str(tmp_path) + "/*").collect()
+    assert multimodal.read_archive_assets(
+        spark, str(tmp_path) + "/*", on_error="skip"
+    ).count() == 4
