@@ -163,3 +163,78 @@ def test_random_scalar_projections_match_duckdb(spark, duck, sf_dir, sql):
     register_views(spark, sf_dir)
     hs, hd = _both(spark, duck, sql)
     assert hs == hd, sql
+
+
+# ---------------------------------------------------------------------------
+# Join / subquery grammar (same cross-engine-exact subset): inner and
+# left equi-joins with integer-exact aggregates, IN / NOT IN and
+# correlated-EXISTS subqueries.  o_orderkey is never NULL, so NOT IN
+# keeps its two-valued semantics in both engines.
+# ---------------------------------------------------------------------------
+
+ORD_STR = {
+    "o_orderstatus": ["P", "O", "F"],
+    "o_orderpriority": ["1-URGENT", "3-MEDIUM", "5-LOW"],
+}
+
+
+@st.composite
+def order_predicates(draw):
+    kind = draw(st.sampled_from(["str_eq", "int_cmp", "ts_cmp"]))
+    if kind == "str_eq":
+        col = draw(st.sampled_from(sorted(ORD_STR)))
+        return f"{col} = '{draw(st.sampled_from(ORD_STR[col]))}'"
+    if kind == "int_cmp":
+        op = draw(st.sampled_from(["<", ">=", "%"]))
+        if op == "%":
+            return f"o_custkey % {draw(st.integers(2, 9))} = 0"
+        return f"o_orderkey {op} {draw(st.integers(0, 60000))}"
+    month = draw(st.integers(1, 12))
+    year = draw(st.integers(1992, 1998))
+    return f"o_orderdate < TIMESTAMP '{year}-{month:02d}-01 00:00:00'"
+
+
+@st.composite
+def join_queries(draw):
+    form = draw(st.sampled_from(["inner", "left", "in", "not_in", "exists"]))
+    lp = draw(predicates(1))
+    op = draw(order_predicates())
+    if form == "inner":
+        group = draw(st.sampled_from(["o_orderpriority", "o_orderstatus",
+                                      "l_returnflag"]))
+        return (
+            f"SELECT {group}, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s_qty "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            f"WHERE {lp} AND {op} GROUP BY {group}"
+        )
+    if form == "left":
+        # COUNT(col) counts non-null matches — identical semantics
+        return (
+            "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "CAST(COUNT(l_linenumber) AS BIGINT) AS matched "
+            "FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey "
+            f"AND {lp} WHERE {op} GROUP BY o_orderstatus"
+        )
+    if form in ("in", "not_in"):
+        neg = "NOT " if form == "not_in" else ""
+        return (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "MIN(o_orderkey) AS m FROM orders "
+            f"WHERE {op} AND o_orderkey {neg}IN "
+            f"(SELECT l_orderkey FROM lineitem WHERE {lp})"
+        )
+    return (
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt "
+        f"FROM orders WHERE {op} AND EXISTS "
+        "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        f"AND {lp}) GROUP BY o_orderpriority"
+    )
+
+
+@settings(max_examples=20, deadline=None)
+@given(sql=join_queries())
+def test_random_joins_and_subqueries_match_duckdb(spark, duck, sf_dir, sql):
+    register_views(spark, sf_dir)
+    hs, hd = _both(spark, duck, sql)
+    assert hs == hd, sql
