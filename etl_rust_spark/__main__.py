@@ -107,6 +107,22 @@ def main(argv: list[str] | None = None) -> int:
         help="derive doc_id from the text content hash (feed has no ids)",
     )
 
+    pia = sub.add_parser(
+        "ingest-assets",
+        help="unpack zip/tar media shards into the multimodal asset "
+        "parquet shape (optionally with features extracted)",
+    )
+    pia.add_argument("path", help="archive path or glob (*.zip / *.tar[.gz])")
+    pia.add_argument("--out", required=True)
+    pia.add_argument(
+        "--skip-bad-archives", action="store_true",
+        help="drop unreadable archives instead of failing the job",
+    )
+    pia.add_argument(
+        "--features", action="store_true",
+        help="also write <out>_features (real in-container decode)",
+    )
+
     # LLM-data surface: run the composed curation pipeline over a
     # parquet corpus (doc_id, text[, lang]) from the command line.
     pc = sub.add_parser(
@@ -447,6 +463,22 @@ def main(argv: list[str] | None = None) -> int:
                 q.awaitTermination()  # runs until interrupted, like the reference
             except KeyboardInterrupt:
                 q.stop()  # graceful disconnect (K-09 parity)
+    elif args.cmd == "ingest-assets":
+        from etl_rust_spark.operators import multimodal
+
+        assets = multimodal.read_archive_assets(
+            spark, args.path,
+            on_error="skip" if args.skip_bad_archives else "raise",
+        )
+        assets.write.mode("overwrite").parquet(args.out)
+        report = {"assets": spark.read.parquet(args.out).count()}
+        if args.features:
+            feats = multimodal.extract_features(
+                spark.read.parquet(args.out), decode_stub=False
+            )
+            feats.write.mode("overwrite").parquet(args.out + "_features")
+            report["features"] = spark.read.parquet(args.out + "_features").count()
+        print(json.dumps(report))
     elif args.cmd == "ingest-corpus":
         from etl_rust_spark.etl.ingest import ingest_corpus
 

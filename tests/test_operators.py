@@ -1205,3 +1205,27 @@ def test_read_archive_assets_zip_and_tar(spark, tmp_path):
     assert multimodal.read_archive_assets(
         spark, str(tmp_path) + "/*", on_error="skip"
     ).count() == 4
+
+
+def test_cli_ingest_assets(spark, tmp_path, capsys):
+    import json as _json
+    import zipfile
+
+    import numpy as np
+
+    from etl_rust_spark.__main__ import main
+    from etl_rust_spark.operators import mediacodec as mc
+
+    rng = np.random.default_rng(6)
+    with zipfile.ZipFile(tmp_path / "s.zip", "w") as zf:
+        zf.writestr("x.png", mc.encode_png(
+            rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        ))
+        zf.writestr("y.wav", mc.encode_wav(np.sin(np.arange(300) / 6.0), 8000))
+    out = str(tmp_path / "assets")
+    assert main(["ingest-assets", str(tmp_path / "*.zip"),
+                 "--out", out, "--features"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"assets": 2, "features": 2}
+    got = {r.modality for r in spark.read.parquet(out).collect()}
+    assert got == {"image", "audio"}
