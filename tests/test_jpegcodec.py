@@ -604,3 +604,49 @@ def test_progressive_with_restart_markers():
     pix = np.clip(np.rint(_idct_blocks(nat) + 128.0), 0, 255).astype(np.uint8)
     want = np.concatenate([pix[0], pix[1]], axis=1)
     assert np.array_equal(got, want)
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _scan_scripts(draw):
+    """Random LEGAL progressive scan scripts: DC first for all
+    components (with an optional successive-approximation chain), then
+    per-component AC coverage as random contiguous bands, each with its
+    own approximation chain refined down to Al=0."""
+    ncomp = 3
+    script = []
+    dc_al = draw(st.integers(0, 2))
+    script.append((tuple(range(ncomp)), 0, 0, 0, dc_al))
+    for al in range(dc_al, 0, -1):
+        script.append((tuple(range(ncomp)), 0, 0, al, al - 1))
+    for c in range(ncomp):
+        # random band split of 1..63
+        cuts = sorted(draw(st.sets(st.integers(2, 63), max_size=3)))
+        bands = []
+        lo = 1
+        for cut in cuts:
+            bands.append((lo, cut - 1))
+            lo = cut
+        bands.append((lo, 63))
+        ac_al = draw(st.integers(0, 2))
+        for ss, se in bands:
+            script.append(((c,), ss, se, 0, ac_al))
+        for al in range(ac_al, 0, -1):
+            script.append(((c,), 1, 63, al, al - 1))
+    return script
+
+
+@settings(max_examples=25, deadline=None)
+@given(script=_scan_scripts(), seed=st.integers(0, 1000))
+def test_progressive_random_scan_scripts_property(script, seed):
+    """ANY legal scan script reconstructs the exact coefficients: the
+    progressive decode is bit-identical to the baseline decode of the
+    same image at the same quality."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, 85))
+    prog = decode_jpeg(encode_jpeg_progressive(img, 85, scans=script))
+    assert np.array_equal(base, prog), script
