@@ -600,7 +600,8 @@ def _dedup_entry_duck_sql() -> str:
     # src='diff' mirror: the same md5-fingerprint full-outer-join shape
     # as profile.table_diff_sql, over the two deterministic snapshot
     # views of documents the engine builds.
-    fp = "md5(concat_ws(chr(31), coalesce(CAST(text AS VARCHAR), chr(30))))"
+    fp = ("md5(concat_ws(chr(31), CASE WHEN text IS NULL THEN 'n' ELSE "
+          "length(CAST(text AS VARCHAR)) || ':' || CAST(text AS VARCHAR) END))")
     dif = f"""
 SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id,
        CASE WHEN fa.h IS NULL THEN 0 WHEN fb.h IS NULL THEN 1 ELSE 2 END AS code

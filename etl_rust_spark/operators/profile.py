@@ -118,12 +118,22 @@ def profile_table(
 
 
 def _fingerprint(cols: list[str]):
-    """Null-safe row fingerprint: md5 over unit-separator-joined string
-    casts with a record-separator null sentinel — collision-safe unless
-    a value embeds chr(31)/chr(30) (control characters; not in real
-    data).  md5-of-string is engine-identical, so the mirror gates it."""
+    """Null-safe row fingerprint: md5 over LENGTH-PREFIXED string casts
+    ("len:value", NULL → "n") joined by a unit separator.  The length
+    prefix makes the encoding injective for ANY value bytes — the r8
+    hypothesis run falsified the old sentinel scheme with a value that
+    WAS the null sentinel (chr(30)), and separator characters inside
+    values could likewise shift column boundaries.  md5-of-string is
+    engine-identical, so the mirror gates it."""
     parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("\x1e")) for c in cols
+        F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+            F.concat(
+                F.length(F.col(c).cast("string")).cast("string"),
+                F.lit(":"),
+                F.col(c).cast("string"),
+            )
+        )
+        for c in cols
     ]
     return F.md5(F.concat_ws("\x1f", *parts))
 
@@ -182,7 +192,9 @@ def table_diff_sql(
     def q(dialect: str) -> str:
         cast = "STRING" if dialect == "spark" else "VARCHAR"
         fp = "md5(concat_ws(chr(31), " + ", ".join(
-            f"coalesce(CAST({c} AS {cast}), chr(30))" for c in columns
+            f"CASE WHEN {c} IS NULL THEN 'n' ELSE "
+            f"length(CAST({c} AS {cast})) || ':' || CAST({c} AS {cast}) END"
+            for c in columns
         ) + "))"
         ks = ", ".join(keys)
         on = " AND ".join(f"fa.{k} = fb.{k}" for k in keys)

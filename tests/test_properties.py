@@ -9,7 +9,7 @@ from __future__ import annotations
 import datetime as dt
 import random
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from etl_rust_spark.functions.hashing import canonical_hash
 
@@ -492,6 +492,10 @@ kv_strategy = st.lists(
 
 @settings(max_examples=15, deadline=None)
 @given(a_rows=kv_strategy, b_rows=kv_strategy)
+@example(a_rows=[(0, None)], b_rows=[(0, "\x1e")]).via(
+    "r8 falsifier: a VALUE equal to the old null sentinel chr(30) "
+    "collided with NULL — fixed by length-prefix fingerprint encoding"
+)
 def test_table_diff_set_math(spark, a_rows, b_rows):
     """diff statuses are exactly the key-set/value-map algebra:
     removed = keys(a)-keys(b), added = keys(b)-keys(a), changed =
