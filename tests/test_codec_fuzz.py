@@ -214,8 +214,18 @@ def _registry_payloads():
 
     from etl_rust_spark.operators.jpegcodec import encode_jpeg_progressive
 
+    aiff_pcm = (0.3 * np.sin(np.arange(400) / 6.0) * 32000).astype(">i2")
+    comm = (struct.pack(">HIH", 1, 400, 16)
+            + struct.pack(">H", 16383 + 12) + (8000 << 51).to_bytes(8, "big"))
+    ssnd = struct.pack(">II", 0, 0) + aiff_pcm.tobytes()
+    aiff_body = b"AIFF"
+    for cc, b in [(b"COMM", comm), (b"SSND", ssnd)]:
+        aiff_body += cc + struct.pack(">I", len(b)) + b
+    aiff = b"FORM" + struct.pack(">I", len(aiff_body)) + aiff_body
+
     return [
         ("jpeg_prog", encode_jpeg_progressive(img, 80), decode_jpeg),
+        ("aiff", aiff, mc.decode_aiff),
         ("png", mc.encode_png(img), mc.decode_png),
         ("bmp24", mc.encode_bmp(img), mc.decode_bmp),
         ("gif", mc.encode_gif(img), mc.decode_gif),
