@@ -58,6 +58,7 @@ __all__ = [
     "dhash",
     "decode_wav",
     "decode_aiff",
+    "decode_au",
     "encode_wav",
     "audio_feature",
     "audio_fingerprint",
@@ -1372,6 +1373,42 @@ def audio_fingerprint(samples: np.ndarray, sample_rate: int, nbits: int = 64) ->
     return val
 
 
+def decode_au(data: bytes) -> tuple[np.ndarray, int]:
+    """Sun/NeXT ``.au`` (the ``.snd`` header) → ``(samples, rate)`` in
+    the :func:`decode_wav` shape (r8).  Big-endian header: magic,
+    data offset, data size, encoding (1 µ-law / 2 8-bit / 3 16-bit /
+    4 32-bit linear PCM), sample rate, channels.  The µ-law expansion
+    reuses the G.711 table the WAV path already pins."""
+    try:
+        if data[:4] != b".snd":
+            raise ValueError("not an AU file (bad .snd magic)")
+        off, size, enc, rate, nch = struct.unpack_from(">IIIII", data, 4)
+        if off < 24 or rate == 0 or nch == 0:
+            raise ValueError(f"bad AU header off={off} rate={rate} ch={nch}")
+        pcm = data[off:]
+        if size not in (0xFFFFFFFF, 0):
+            pcm = pcm[:size]
+        if enc == 1:  # G.711 µ-law
+            codes = np.frombuffer(pcm, np.uint8)
+            lin = _ULAW_TABLE[codes].astype(np.float64) / 32768.0
+        elif enc in (2, 3, 4):
+            dt = {2: "i1", 3: ">i2", 4: ">i4"}[enc]
+            bits = {2: 8, 3: 16, 4: 32}[enc]
+            lin = np.frombuffer(pcm, dt).astype(np.float64) / float(
+                1 << (bits - 1)
+            )
+        else:
+            raise ValueError(
+                f"unsupported AU encoding {enc} (µ-law/linear PCM only)"
+            )
+        n = len(lin) // nch
+        return lin[: n * nch].reshape(n, nch), rate
+    except ValueError:
+        raise
+    except (IndexError, struct.error, KeyError) as exc:
+        raise ValueError(f"corrupt or truncated AU: {exc!r}") from exc
+
+
 def _f80(b: bytes) -> float:
     """80-bit IEEE 754 extended float (the AIFF sample-rate field):
     1 sign + 15 exponent (bias 16383) + 64-bit explicit-integer-bit
@@ -1447,6 +1484,7 @@ _AUDIO_DECODERS: list[tuple[bytes, object]] = [
     (WAV_MAGIC, decode_wav),
     (FLAC_MAGIC, decode_flac),  # pure-stdlib FLAC (r7)
     (b"FORM", decode_aiff),     # AIFF/AIFC-NONE (r8)
+    (b".snd", decode_au),       # Sun/NeXT AU (r8)
 ]
 
 

@@ -103,6 +103,7 @@ _EXT_MODALITY = {
     "tif": ("image", "image/tiff"), "tiff": ("image", "image/tiff"),
     "wav": ("audio", "audio/wav"), "flac": ("audio", "audio/flac"),
     "aif": ("audio", "audio/aiff"), "aiff": ("audio", "audio/aiff"),
+    "au": ("audio", "audio/basic"),
     "avi": ("video", "video/x-msvideo"),
 }
 

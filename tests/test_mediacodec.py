@@ -1035,3 +1035,46 @@ def test_aiff_bitflip_contract():
             mc.decode_aiff(bytes(buf))
         except ValueError:
             pass
+
+
+def test_au_decode_all_encodings_and_registry():
+    """Sun .au (r8): µ-law reuses the pinned G.711 table; linear PCM
+    8/16/32-bit big-endian; unknown-size sentinel tolerated."""
+    x = (np.sin(np.arange(250) / 6.0) * 24000).astype(np.int16)
+
+    def au(payload, enc, rate=8000, nch=1, size=None):
+        return (b".snd" + struct.pack(">IIIII", 24, len(payload) if size is None else size,
+                enc, rate, nch) + payload)
+
+    # 16-bit linear
+    s, r = mc.decode_au(au(x.astype(">i2").tobytes(), 3))
+    assert r == 8000 and np.allclose(s[:, 0], x / 32768.0)
+    # registry dispatch
+    s2, _ = mc.decode_audio(au(x.astype(">i2").tobytes(), 3))
+    assert np.allclose(s2, s)
+    # µ-law round-trip: encode through the WAV G.711 encoder's table
+    from etl_rust_spark.operators.mediacodec import _g711_encode
+
+    codes = _g711_encode(x / 32768.0, "u")
+    s3, _ = mc.decode_au(au(codes, 1))
+    # µ-law quantization error bound (~1/128 at full scale)
+    assert np.abs(s3[:, 0] - x / 32768.0).max() < 0.04
+    # 8-bit linear, stereo, unknown-size sentinel
+    pcm8 = (x[:100] >> 8).astype(np.int8).tobytes()
+    s4, _ = mc.decode_au(au(pcm8, 2, nch=2, size=0xFFFFFFFF))
+    assert s4.shape == (50, 2)
+    # unsupported encoding raises
+    with pytest.raises(ValueError, match="encoding"):
+        mc.decode_au(au(b"\x00" * 8, 27))
+    # bit-flip contract
+    import random
+
+    good = au(x.astype(">i2").tobytes(), 3)
+    rnd = random.Random(7)
+    for _ in range(600):
+        buf = bytearray(good)
+        buf[rnd.randrange(len(buf))] ^= rnd.randrange(1, 256)
+        try:
+            mc.decode_au(bytes(buf))
+        except ValueError:
+            pass
