@@ -261,7 +261,9 @@ def decode_jpeg(data: bytes, apply_exif_orientation: bool = True) -> np.ndarray:
         return img
     except ValueError:
         raise
-    except (IndexError, struct.error, KeyError) as exc:
+    except (IndexError, struct.error, KeyError, OverflowError) as exc:
+        # OverflowError: NumPy >= 2.0 raises on out-of-range int32
+        # assignment from corrupt coefficient streams (ADVICE r8)
         raise ValueError(f"corrupt or truncated JPEG: {exc!r}") from exc
 
 
@@ -577,6 +579,14 @@ def _decode_progressive_scan(
                     t = reader.read_symbol(huff_dc[td])
                     diff = _extend(reader.read_bits(t), t) if t else 0
                     preds[si] += diff
+                    # T.81 F.1.1.5.1: the accumulated DC value fits in
+                    # 11+Al bits for 8-bit precision; corrupt streams
+                    # otherwise grow preds unboundedly and overflow the
+                    # int32 store (ADVICE r8)
+                    if not -(1 << (11 + al)) <= preds[si] < (1 << (11 + al)):
+                        raise ValueError(
+                            "corrupt JPEG: DC coefficient out of range"
+                        )
                     blk[0] = preds[si] << al
                 elif reader.read_bit():
                     blk[0] |= 1 << al
@@ -602,6 +612,10 @@ def _decode_progressive_scan(
                 t = reader.read_symbol(huff_dc[td])
                 diff = _extend(reader.read_bits(t), t) if t else 0
                 preds[0] += diff
+                if not -(1 << (11 + al)) <= preds[0] < (1 << (11 + al)):
+                    raise ValueError(
+                        "corrupt JPEG: DC coefficient out of range"
+                    )
                 blk[0] = preds[0] << al
             elif reader.read_bit():
                 blk[0] |= 1 << al

@@ -161,7 +161,12 @@ def _png_samples(rows: np.ndarray, w: int, ch: int, depth: int) -> np.ndarray:
     if depth == 8:
         return rows[:, : w * ch].reshape(h, w, ch)
     if depth == 16:
-        return rows[:, : w * ch * 2].reshape(h, w, ch, 2)[:, :, :, 0]
+        # keep the FULL 16-bit samples (big-endian pairs) — the tRNS
+        # color-key compare must see all 16 bits (ADVICE r8: an 8-bit
+        # compare wrongly keys out pixels differing only in the low
+        # byte); the caller downscales to 8-bit after alpha is derived
+        pairs = rows[:, : w * ch * 2].reshape(h, w, ch, 2).astype(np.uint16)
+        return (pairs[:, :, :, 0] << 8) | pairs[:, :, :, 1]
     bits = np.unpackbits(rows, axis=1)  # MSB-first, the PNG packing
     vals = bits.reshape(h, -1, depth)
     weights = 1 << np.arange(depth - 1, -1, -1)
@@ -228,7 +233,9 @@ def _decode_png(data: bytes) -> np.ndarray:
             raise ValueError("IDAT size mismatch")
         img = _png_samples(rows, width, ch, bit_depth)
     else:  # Adam7: 7 independently filtered sub-images splatted back
-        img = np.zeros((height, width, ch), np.uint8)
+        img = np.zeros(
+            (height, width, ch), np.uint16 if bit_depth == 16 else np.uint8
+        )
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (width - x0 + dx - 1) // dx
@@ -256,18 +263,21 @@ def _decode_png(data: bytes) -> np.ndarray:
     if bit_depth < 8:  # grayscale upscale to full 8-bit range
         img = img * np.uint8(255 // ((1 << bit_depth) - 1))
     if trns is not None and color_type in (0, 2):
-        # color-key transparency: samples are compared at source depth;
-        # after the high-byte downscale / sub-byte upscale the 8-bit
-        # compare below matches iff the key matches (keys are 16-bit
-        # fields holding the source-depth value)
+        # color-key transparency: samples are compared at SOURCE depth
+        # (for depth 16 img still holds the full 16-bit samples here —
+        # comparing after the high-byte downscale would key out pixels
+        # differing from the key only in the low byte, ADVICE r8);
+        # sub-byte samples were upscaled above and the key follows
         key = np.frombuffer(trns, ">u2").astype(np.int64)
-        if bit_depth == 16:
-            key = key >> 8
-        elif bit_depth < 8:
+        if bit_depth < 8:
             key = key * (255 // ((1 << bit_depth) - 1))
         mask = np.all(img == key.reshape(1, 1, -1), axis=2)
+        if bit_depth == 16:
+            img = (img >> 8).astype(np.uint8)
         return np.dstack([img, np.where(mask, 0, 255).astype(np.uint8)])
-    return img  # (h, w, ch) always — the pre-r8 shape contract
+    if bit_depth == 16:
+        img = (img >> 8).astype(np.uint8)
+    return img  # (h, w, ch) uint8 always — the pre-r8 shape contract
 
 
 def _to_rgba(img: np.ndarray) -> np.ndarray:

@@ -162,14 +162,26 @@ def _resolve_starting(opts: _Opts) -> dict[str, int]:
             return out
         if isinstance(opts.starting, dict):
             explicit = opts.starting.get(opts.topic, {})
-            return {
-                str(p): (
-                    c.list_offsets(opts.topic, p, v)
-                    if (v := int(explicit.get(str(p), -2))) in (-1, -2)
-                    else v
+            # real-connector parity (ADVICE r8): an explicit offsets map
+            # must name EVERY TopicPartition — silently defaulting a
+            # missing one to earliest can replay an entire partition
+            missing = [p for p in parts if str(p) not in explicit]
+            if missing:
+                raise ValueError(
+                    f"startingOffsets JSON for topic {opts.topic!r} is "
+                    f"missing partitions {missing}; the map must cover "
+                    "all partitions (-2 = earliest, -1 = latest)"
                 )
-                for p in parts
-            }
+            out = {}
+            for p in parts:
+                v = int(explicit[str(p)])
+                if v < -2:
+                    raise ValueError(
+                        f"invalid starting offset {v} for "
+                        f"{opts.topic}/{p} (only -1, -2 or >= 0)"
+                    )
+                out[str(p)] = c.list_offsets(opts.topic, p, v) if v < 0 else v
+            return out
         ts = -2 if opts.starting == "earliest" else -1
         return {str(p): c.list_offsets(opts.topic, p, ts) for p in parts}
     finally:
@@ -182,14 +194,18 @@ def _resolve_ending(opts: _Opts) -> dict[str, int]:
         try:
             parts = sorted(c.metadata([opts.topic]).get(opts.topic, [0]))
             explicit = opts.ending.get(opts.topic, {})
-            return {
-                str(p): (
-                    c.list_offsets(opts.topic, p, -1)
-                    if (v := int(explicit.get(str(p), -1))) == -1
-                    else v
-                )
-                for p in parts
-            }
+            out = {}
+            for p in parts:
+                v = int(explicit.get(str(p), -1))
+                if v < -1:
+                    # a negative literal other than -1 would silently
+                    # yield an empty slice (ADVICE r8) — fail loudly
+                    raise ValueError(
+                        f"invalid ending offset {v} for "
+                        f"{opts.topic}/{p} (only -1 = latest or >= 0)"
+                    )
+                out[str(p)] = c.list_offsets(opts.topic, p, -1) if v == -1 else v
+            return out
         finally:
             c.disconnect()
     return _offsets(opts, -1)

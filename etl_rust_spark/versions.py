@@ -213,9 +213,15 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
             f"was computed against {parent or 0}"
         )
     version = head + 1
+    # writer identity: lets the pre-swap re-verify below detect a
+    # stale-claim sweep stealing this slot (ADVICE r8: a writer paused
+    # longer than _STALE_MANIFEST_SECONDS between claim and swap must
+    # lose loudly via CommitConflict, never silently share version N)
+    writer = uuid.uuid4().hex
     manifest = {
         "version": version,
         "parent": parent,
+        "writer": writer,
         "partition_by": partition_by,
         "count": count,
         "files": sorted(files),
@@ -242,11 +248,28 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
         ) from None
     with os.fdopen(fd, "w") as f:
         f.write(json.dumps(manifest, indent=1))
+    if _commit._pause_before_swap is not None:  # test hook: stall window
+        _commit._pause_before_swap(mp)
     # commit point: readers see the version only after the pointer swap
     root = Path(path)
     with open(root / "_latest.lock", "a") as lf:
         fcntl.flock(lf, fcntl.LOCK_EX)
         try:
+            # TOCTOU guard (ADVICE r8): if this writer stalled past
+            # _STALE_MANIFEST_SECONDS, the sweep in the claim path may
+            # have unlinked our manifest and handed slot N to another
+            # writer.  Re-verify on-disk ownership before publishing —
+            # a mismatch means our commit content is NOT what m{N}.json
+            # holds, so returning N would silently lose this commit.
+            try:
+                on_disk = json.loads(mp.read_text()).get("writer")
+            except (FileNotFoundError, json.JSONDecodeError):
+                on_disk = None
+            if on_disk != writer:
+                raise CommitConflict(
+                    f"version {version} of {path} was reclaimed by a "
+                    f"stale-claim sweep while this writer was stalled"
+                )
             cur = latest_version(path) or 0
             if version > cur:  # forward-only
                 tmp = root / f"_latest.{uuid.uuid4().hex}"
@@ -255,6 +278,12 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
         finally:
             fcntl.flock(lf, fcntl.LOCK_UN)
     return version
+
+
+# test-only injection point: called(manifest_path) between the manifest
+# write and the _latest swap, simulating a writer stalled in the gap the
+# stale-claim sweep races against (ADVICE r8 TOCTOU)
+_commit._pause_before_swap = None
 
 
 

@@ -266,8 +266,20 @@ def test_batch_explicit_and_ending_offsets(spark, broker):
     # -2/-1 specials inside the JSON resolve through ListOffsets
     assert read(startingOffsets='{"t": {"0": -2}}') == [0, 1, 2, 3, 4]
     assert read(startingOffsets='{"t": {"0": -1}}') == []
-    # a partition absent from the JSON defaults to earliest
-    assert read(startingOffsets='{"t": {}}') == [0, 1, 2, 3, 4]
+    # real-connector parity (ADVICE r8): a partition absent from an
+    # explicit map fails loudly instead of silently replaying from
+    # earliest; negative literals other than the -1/-2 specials are
+    # rejected rather than yielding silently empty slices
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException, PythonException
+
+    spark_errs = (AnalysisException, PythonException, Py4JJavaError)
+    with pytest.raises(spark_errs):
+        read(startingOffsets='{"t": {}}')
+    with pytest.raises(spark_errs):
+        read(startingOffsets='{"t": {"0": -3}}')
+    with pytest.raises(spark_errs):
+        read(startingOffsets='{"t": {"0": 0}}', endingOffsets='{"t": {"0": -2}}')
 
 
 def test_batch_starting_offsets_by_timestamp(spark, broker):

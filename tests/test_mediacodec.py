@@ -1078,3 +1078,26 @@ def test_au_decode_all_encodings_and_registry():
             mc.decode_au(bytes(buf))
         except ValueError:
             pass
+
+
+def test_png_16bit_trns_color_key_full_depth():
+    """ADVICE r8: the tRNS color key on 16-bit images compares the FULL
+    16-bit samples — a pixel matching the key's high bytes but not its
+    low bytes is opaque, not keyed out."""
+    key = (0x1234, 0x0001, 0xFF00)
+    exact = struct.pack(">HHH", *key)                 # == key → alpha 0
+    high_only = struct.pack(">HHH", 0x1235, 0x0001, 0xFF00)  # low byte off
+    raw = b"\x00" + exact + high_only
+    out = mc.decode_png(_png_file(
+        2, 1, 16, 2, raw, trns=struct.pack(">HHH", *key)
+    ))
+    assert out.shape == (1, 2, 4) and out.dtype == np.uint8
+    assert out[0, 0, 3] == 0      # exact 16-bit match → transparent
+    assert out[0, 1, 3] == 255    # high-byte-only match → OPAQUE
+    assert tuple(out[0, 1, :3]) == (0x12, 0x00, 0xFF)
+    # 16-bit grayscale key too
+    graw = b"\x00" + struct.pack(">HH", 0xABCD, 0xAB00)
+    gout = mc.decode_png(_png_file(
+        2, 1, 16, 0, graw, trns=struct.pack(">H", 0xABCD)
+    ))
+    assert gout[0, 0, 1] == 0 and gout[0, 1, 1] == 255

@@ -527,3 +527,39 @@ def test_expire_grace_protects_inflight_writer_artifacts(spark, tmp_path):
     rep2 = V.expire_versions(p, keep_last=1, grace_seconds=0)
     assert not claim.exists() and not orphan_data.exists()
     assert rep2["dropped_files"] >= 1
+
+
+def test_stalled_writer_loses_loudly_when_sweep_steals_slot(spark, tmp_path):
+    """ADVICE r8 TOCTOU: a writer stalled >_STALE_MANIFEST_SECONDS
+    between its manifest claim and the _latest swap can have the slot
+    reclaimed by the sweep.  The stalled writer must then raise
+    CommitConflict (and re-merge at a higher level) — never return N
+    while m{N}.json holds the RIVAL's content, which would silently
+    lose one of the two commits."""
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a")]), p, "ds")
+
+    def steal(mp):
+        import os as _os
+
+        V._commit._pause_before_swap = None  # rival commits un-stalled
+        # simulate the sweep: age out the stalled claim, then let a
+        # rival writer sweep it and take the slot
+        _os.utime(mp, (10_000, 10_000))
+        V._commit(p, ["ds=1/rival.parquet"], 1, parent=1, partition_by="ds")
+
+    V._commit._pause_before_swap = steal
+    try:
+        with pytest.raises(V.CommitConflict, match="reclaimed"):
+            V._commit(p, ["ds=1/stalled.parquet"], 1, parent=1,
+                      partition_by="ds")
+    finally:
+        V._commit._pause_before_swap = None
+    # the rival's commit is the one at version 2, and the head is sane
+    assert V.latest_version(p) == 2
+    m = json.loads((Path(p) / "_manifests" / "m00000002.json").read_text())
+    assert m["files"] == ["ds=1/rival.parquet"]
+    # the loser can now retry against the new head and land cleanly
+    v3 = V._commit(p, ["ds=1/stalled.parquet"], 1, parent=2,
+                   partition_by="ds")
+    assert v3 == 3
