@@ -599,9 +599,11 @@ def _dedup_entry_duck_sql() -> str:
     spl = pack.assign_split_sql()[1]
     # src='diff' mirror: the same md5-fingerprint full-outer-join shape
     # as profile.table_diff_sql, over the two deterministic snapshot
-    # views of documents the engine builds.
-    fp = ("md5(concat_ws(chr(31), CASE WHEN text IS NULL THEN 'n' ELSE "
-          "length(CAST(text AS VARCHAR)) || ':' || CAST(text AS VARCHAR) END))")
+    # views of documents the engine builds.  Single-column diffs use
+    # the 'v'-prefix injective form (no boundaries to inject into —
+    # VERDICT r8 #3 cheapened the one-column hot path).
+    fp = ("md5(CASE WHEN text IS NULL THEN 'n' ELSE "
+          "'v' || CAST(text AS VARCHAR) END)")
     dif = f"""
 SELECT coalesce(fa.doc_id, fb.doc_id) AS doc_id,
        CASE WHEN fa.h IS NULL THEN 0 WHEN fb.h IS NULL THEN 1 ELSE 2 END AS code

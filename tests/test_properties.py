@@ -599,3 +599,47 @@ def test_pq_kernel_invariants(seed, n, m, kc):
     got = encode(exact_vec)
     recon = np.concatenate([books[j][got[j]] for j in range(m)])
     assert np.array_equal(recon, exact_vec)
+
+
+mixed_row_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 25),                              # key
+        st.one_of(st.none(), st.integers(-5, 5)),        # unprefixed int
+        st.one_of(st.none(), st.text(max_size=4)),       # prefixed string
+        st.one_of(st.none(), st.sampled_from(["\x1f", "n", "1:", "", "2:\x1fx"])),
+    ),
+    min_size=0, max_size=15, unique_by=lambda r: r[0],
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(a_rows=mixed_row_strategy, b_rows=mixed_row_strategy)
+@example(
+    # boundary-injection probe: with the int UNPREFIXED (r9 dtype-aware
+    # encoding) a string holding "1:" or "\x1f" must still not be able
+    # to masquerade as a neighboring column's encoding
+    a_rows=[(0, 1, ":x", None)],
+    b_rows=[(0, None, "1:x", None)],
+)
+def test_table_diff_mixed_types_stays_injective(spark, a_rows, b_rows):
+    """r9 fingerprint change (VERDICT r8 #3): separator-free types skip
+    the length prefix — the set-math contract must survive adversarial
+    strings (separators, 'n', 'len:'-lookalikes) next to them."""
+    from etl_rust_spark.operators.profile import table_diff
+
+    schema = "k: long, i: long, s: string, t: string"
+    a = spark.createDataFrame(a_rows, schema)
+    b = spark.createDataFrame(b_rows, schema)
+    got = {r.k: r.diff for r in table_diff(a, b, ["k"]).collect()}
+    da = {r[0]: r[1:] for r in a_rows}
+    db = {r[0]: r[1:] for r in b_rows}
+    want = {}
+    for k in set(da) - set(db):
+        want[k] = "removed"
+    for k in set(db) - set(da):
+        want[k] = "added"
+    for k in set(da) & set(db):
+        if da[k] != db[k]:
+            want[k] = "changed"
+    assert got == want
+    assert table_diff(a, a, ["k"]).count() == 0
