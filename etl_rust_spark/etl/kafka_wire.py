@@ -53,6 +53,7 @@ __all__ = [
 
 API_PRODUCE, API_FETCH, API_METADATA, API_VERSIONS = 0, 1, 3, 18
 API_LIST_OFFSETS = 2
+API_SASL_HANDSHAKE, API_SASL_AUTHENTICATE = 17, 36
 
 
 class KafkaWireError(RuntimeError):
@@ -611,12 +612,27 @@ class KafkaWireClient:
         timeout: float = 10.0,
         topic_prefix: str = "",
         compression: str | None = None,
+        sasl_mechanism: str | None = None,
+        sasl_username: str | None = None,
+        sasl_password: str | None = None,
     ) -> None:
         self.host, self.port = host, port
         self.client_id = client_id
         self.timeout = timeout
         self.topic_prefix = topic_prefix
         self.compression = compression
+        if sasl_mechanism is not None:
+            sasl_mechanism = sasl_mechanism.upper()
+            if sasl_mechanism not in ("PLAIN", "SCRAM-SHA-256"):
+                raise ValueError(
+                    f"unsupported SASL mechanism {sasl_mechanism!r} "
+                    "(PLAIN or SCRAM-SHA-256)"
+                )
+            if sasl_username is None or sasl_password is None:
+                raise ValueError("SASL requires username and password")
+        self.sasl_mechanism = sasl_mechanism
+        self.sasl_username = sasl_username
+        self.sasl_password = sasl_password
         self.sock: socket.socket | None = None
         self._corr = 0
         self.connected = False
@@ -669,7 +685,101 @@ class KafkaWireClient:
                 raise KafkaWireError(
                     f"broker does not support api {key} v{ver} (range {lo}..{hi})"
                 )
+        if self.sasl_mechanism is not None:
+            self._sasl_authenticate()
         self.connected = True
+
+    # -- SASL (VERDICT r8 #4: auth parity with real brokers) --------------
+    def _sasl_send(self, payload: bytes) -> bytes:
+        """One SaslAuthenticate v0 round trip (handshake >= v1 wraps the
+        SASL tokens in normal Kafka frames).  Auth failures raise."""
+        resp = self._send_request(API_SASL_AUTHENTICATE, 0, _bytes(payload))
+        (err,) = struct.unpack_from(">h", resp, 0)
+        msg, pos = _read_string(resp, 2)
+        token, _ = _read_bytes(resp, pos)
+        if err:
+            raise KafkaWireError(
+                f"SASL authentication failed (error {err}): {msg or ''}"
+            )
+        return token or b""
+
+    def _sasl_authenticate(self) -> None:
+        """SaslHandshake v1 + the mechanism exchange.  PLAIN is one
+        token (RFC 4616: authzid NUL user NUL password); SCRAM-SHA-256
+        is the RFC 5802 three-leg exchange with the server signature
+        VERIFIED client-side (a broker that can't prove knowledge of
+        the salted password is rejected, same as the real client)."""
+        resp = self._send_request(
+            API_SASL_HANDSHAKE, 1, _string(self.sasl_mechanism)
+        )
+        (err,) = struct.unpack_from(">h", resp, 0)
+        if err:
+            (n,) = struct.unpack_from(">i", resp, 2)
+            pos, mechs = 6, []
+            for _ in range(n):
+                m, pos = _read_string(resp, pos)
+                mechs.append(m)
+            raise KafkaWireError(
+                f"broker rejected SASL mechanism {self.sasl_mechanism} "
+                f"(error {err}; enabled: {mechs})"
+            )
+        if self.sasl_mechanism == "PLAIN":
+            self._sasl_send(
+                b"\x00" + self.sasl_username.encode()
+                + b"\x00" + self.sasl_password.encode()
+            )
+            return
+        self._sasl_scram_sha256()
+
+    def _sasl_scram_sha256(self) -> None:
+        import base64
+        import hashlib
+        import hmac
+        import secrets
+
+        def h(data: bytes) -> bytes:
+            return hashlib.sha256(data).digest()
+
+        def hmac256(key: bytes, data: bytes) -> bytes:
+            return hmac.new(key, data, hashlib.sha256).digest()
+
+        user = self.sasl_username.replace("=", "=3D").replace(",", "=2C")
+        c_nonce = secrets.token_urlsafe(18)
+        first_bare = f"n={user},r={c_nonce}".encode()
+        server_first = self._sasl_send(b"n,," + first_bare)
+        fields = dict(
+            kv.split("=", 1) for kv in server_first.decode().split(",")
+        )
+        full_nonce, salt_b64, iters = fields["r"], fields["s"], int(fields["i"])
+        if not full_nonce.startswith(c_nonce):
+            raise KafkaWireError("SCRAM server nonce does not extend ours")
+        if iters < 1:
+            raise KafkaWireError(f"SCRAM iteration count {iters} invalid")
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", self.sasl_password.encode(),
+            base64.b64decode(salt_b64), iters,
+        )
+        client_key = hmac256(salted, b"Client Key")
+        final_wo_proof = (
+            b"c=" + base64.b64encode(b"n,,") + b",r=" + full_nonce.encode()
+        )
+        auth_msg = first_bare + b"," + server_first + b"," + final_wo_proof
+        sig = hmac256(h(client_key), auth_msg)
+        proof = bytes(a ^ b for a, b in zip(client_key, sig))
+        server_final = self._sasl_send(
+            final_wo_proof + b",p=" + base64.b64encode(proof)
+        )
+        want_v = base64.b64encode(
+            hmac256(hmac256(salted, b"Server Key"), auth_msg)
+        ).decode()
+        fields = dict(
+            kv.split("=", 1) for kv in server_final.decode().split(",")
+        )
+        if fields.get("v") != want_v:
+            raise KafkaWireError(
+                "SCRAM server signature mismatch — the broker could not "
+                "prove knowledge of the credential"
+            )
 
     def metadata(self, topics: list[str]) -> dict[str, list[int]]:
         """topic → partition ids (and leader sanity-check)."""
@@ -834,12 +944,18 @@ class KafkaWireClient:
 
 
 def kafka_wire_client_factory(
-    host: str, port: int, topic_prefix: str = "", timeout: float = 10.0
+    host: str, port: int, topic_prefix: str = "", timeout: float = 10.0,
+    sasl_mechanism: str | None = None, sasl_username: str | None = None,
+    sasl_password: str | None = None,
 ):
     """Picklable factory for ``publish_tables`` (one client per executor
     partition, the K-09 lifecycle — same shape as amqp_client_factory)."""
 
     def make() -> KafkaWireClient:
-        return KafkaWireClient(host, port, topic_prefix=topic_prefix, timeout=timeout)
+        return KafkaWireClient(
+            host, port, topic_prefix=topic_prefix, timeout=timeout,
+            sasl_mechanism=sasl_mechanism, sasl_username=sasl_username,
+            sasl_password=sasl_password,
+        )
 
     return make

@@ -78,6 +78,11 @@ class _Opts:
         if not topic:
             raise ValueError("kafka_wire requires a 'topic' option")
         self.topic = topic
+        # SASL (r9, VERDICT r8 #4): option names mirror the jar'd
+        # connector's kafka.sasl.* client properties, dots and all
+        self.sasl_mechanism = get("sasl.mechanism")
+        self.sasl_username = get("sasl.username")
+        self.sasl_password = get("sasl.password")
         # startingOffsets: earliest | latest | JSON {"topic": {"0": 23,
         # "1": -2}} (-1 = latest, -2 = earliest per partition) — the
         # real connector's full surface (VERDICT r7 #6)
@@ -116,7 +121,12 @@ class _Opts:
     def client(self):
         from etl_rust_spark.etl.kafka_wire import KafkaWireClient
 
-        c = KafkaWireClient(self.host, self.port)
+        c = KafkaWireClient(
+            self.host, self.port,
+            sasl_mechanism=self.sasl_mechanism,
+            sasl_username=self.sasl_username,
+            sasl_password=self.sasl_password,
+        )
         c.connect()
         return c
 

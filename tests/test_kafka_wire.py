@@ -60,11 +60,17 @@ class KafkaStubBroker:
     requested offset; ListOffsets v1 answers earliest (-2) / latest
     (-1)."""
 
-    def __init__(self):
+    def __init__(self, users: dict[str, str] | None = None):
         # topic → [(base_offset, record_count, patched_batch_bytes)]
         self.logs: dict[str, list[tuple[int, int, bytes]]] = {}
         self.offsets: dict[str, int] = {}
         self.produce_requests = 0
+        # users != None puts the listener in SASL mode: every connection
+        # must complete SaslHandshake + SaslAuthenticate (PLAIN or a
+        # real server-side SCRAM-SHA-256 verification) before any other
+        # API; unauthenticated requests drop the connection like a
+        # sasl.enabled broker does
+        self.users = users
         self.srv = socket.create_server(("127.0.0.1", 0))
         self.port = self.srv.getsockname()[1]
         threading.Thread(target=self._serve, daemon=True).start()
@@ -81,6 +87,21 @@ class KafkaStubBroker:
             threading.Thread(target=self._handle, args=(conn,), daemon=True).start()
 
     def _handle(self, conn: socket.socket):
+        import base64
+        import hashlib
+        import hmac as hmac_mod
+        import os as os_mod
+
+        authed = self.users is None
+        sasl_mech = None
+        scram_state = None  # (user, first_bare, server_first, salted)
+
+        def h256(d):
+            return hashlib.sha256(d).digest()
+
+        def hm(k, d):
+            return hmac_mod.new(k, d, hashlib.sha256).digest()
+
         try:
             while True:
                 (size,) = struct.unpack(">i", _read_exactly(conn, 4))
@@ -88,11 +109,84 @@ class KafkaStubBroker:
                 api_key, api_version, corr = struct.unpack_from(">hhi", req, 0)
                 _client_id, pos = _read_string(req, 8)
                 body = req[pos:]
-                if api_key == 18:  # ApiVersions v0
+                if api_key == 17:  # SaslHandshake v1
+                    mech, _ = _read_string(body, 0)
+                    enabled = ["PLAIN", "SCRAM-SHA-256"]
+                    ok = self.users is not None and mech in enabled
+                    if ok:
+                        sasl_mech = mech
+                    resp = struct.pack(
+                        ">hi", 0 if ok else 33, len(enabled)  # 33 = UNSUPPORTED_SASL_MECHANISM
+                    ) + b"".join(_string(m) for m in enabled)
+                elif api_key == 36:  # SaslAuthenticate v0
+                    (blen,) = struct.unpack_from(">i", body, 0)
+                    token = body[4 : 4 + blen]
+
+                    def auth_resp(err, msg, out=b""):
+                        return (
+                            struct.pack(">h", err) + _string(msg)
+                            + struct.pack(">i", len(out)) + out
+                        )
+
+                    if sasl_mech == "PLAIN":
+                        parts = token.split(b"\x00")
+                        u = parts[1].decode() if len(parts) == 3 else ""
+                        p = parts[2].decode() if len(parts) == 3 else ""
+                        if self.users.get(u) == p and u:
+                            authed = True
+                            resp = auth_resp(0, None)
+                        else:
+                            resp = auth_resp(58, "Authentication failed")
+                    elif sasl_mech == "SCRAM-SHA-256" and scram_state is None:
+                        # client-first: gs2 "n,," + "n=<user>,r=<cnonce>"
+                        bare = token[3:]
+                        f = dict(kv.split(b"=", 1) for kv in bare.split(b","))
+                        user = f[b"n"].decode().replace("=2C", ",").replace("=3D", "=")
+                        pw = self.users.get(user)
+                        if pw is None:
+                            resp = auth_resp(58, "unknown user")
+                        else:
+                            salt, iters = os_mod.urandom(12), 4096
+                            snonce = f[b"r"] + base64.b64encode(os_mod.urandom(9))
+                            server_first = (
+                                b"r=" + snonce + b",s="
+                                + base64.b64encode(salt)
+                                + b",i=" + str(iters).encode()
+                            )
+                            salted = hashlib.pbkdf2_hmac(
+                                "sha256", pw.encode(), salt, iters
+                            )
+                            scram_state = (bare, server_first, salted)
+                            resp = auth_resp(0, None, server_first)
+                    elif sasl_mech == "SCRAM-SHA-256":
+                        bare, server_first, salted = scram_state
+                        wo_proof, proof_b64 = token.rsplit(b",p=", 1)
+                        auth_msg = bare + b"," + server_first + b"," + wo_proof
+                        stored = h256(hm(salted, b"Client Key"))
+                        sig = hm(stored, auth_msg)
+                        ckey = bytes(
+                            a ^ b
+                            for a, b in zip(base64.b64decode(proof_b64), sig)
+                        )
+                        if h256(ckey) == stored:
+                            authed = True
+                            v = base64.b64encode(
+                                hm(hm(salted, b"Server Key"), auth_msg)
+                            )
+                            resp = auth_resp(0, None, b"v=" + v)
+                        else:
+                            resp = auth_resp(58, "SCRAM proof mismatch")
+                    else:
+                        resp = auth_resp(58, "no prior SaslHandshake")
+                elif not authed and api_key != 18:
+                    # a sasl.enabled broker drops unauthenticated traffic
+                    conn.close()
+                    return
+                elif api_key == 18:  # ApiVersions v0
                     assert api_version == 0
                     apis = [
                         (0, 0, 7), (1, 0, 11), (2, 0, 5), (3, 0, 12),
-                        (18, 0, 3),
+                        (17, 0, 1), (18, 0, 3), (36, 0, 2),
                     ]
                     resp = struct.pack(">hi", 0, len(apis)) + b"".join(
                         struct.pack(">hhh", *a) for a in apis
@@ -628,3 +722,80 @@ def test_offsets_contiguous_across_random_batches():
         c.disconnect()
     finally:
         broker.close()
+
+
+# ---------------------------------------------------------------------------
+# SASL (VERDICT r8 #4)
+# ---------------------------------------------------------------------------
+
+def test_sasl_plain_and_scram_roundtrip():
+    """Authenticated produce/fetch over both mechanisms; the SCRAM leg
+    verifies the server signature too (stub computes real RFC 5802
+    server-side crypto, not a canned accept)."""
+    broker = KafkaStubBroker(users={"svc": "s3cret"})
+    try:
+        for mech in ("PLAIN", "SCRAM-SHA-256"):
+            c = KafkaWireClient(
+                "127.0.0.1", broker.port, sasl_mechanism=mech,
+                sasl_username="svc", sasl_password="s3cret",
+            )
+            c.connect()
+            c.publish("t_" + mech.replace("-", ""), b"hello")
+            got = c.fetch("t_" + mech.replace("-", ""))
+            assert [v for _k, v in got] == [b"hello"]
+            c.disconnect()
+    finally:
+        broker.close()
+
+
+def test_sasl_wrong_credentials_raise_loudly():
+    broker = KafkaStubBroker(users={"svc": "s3cret"})
+    try:
+        for mech in ("PLAIN", "SCRAM-SHA-256"):
+            c = KafkaWireClient(
+                "127.0.0.1", broker.port, sasl_mechanism=mech,
+                sasl_username="svc", sasl_password="WRONG",
+            )
+            with pytest.raises(KafkaWireError, match="SASL|SCRAM|failed"):
+                c.connect()
+        # unknown user too
+        c = KafkaWireClient(
+            "127.0.0.1", broker.port, sasl_mechanism="SCRAM-SHA-256",
+            sasl_username="nobody", sasl_password="x",
+        )
+        with pytest.raises(KafkaWireError):
+            c.connect()
+    finally:
+        broker.close()
+
+
+def test_sasl_required_broker_drops_unauthenticated_traffic():
+    """A sasl-mode broker must not serve an unauthenticated client —
+    and a client pointed at a non-SASL broker with SASL configured
+    fails its handshake instead of silently proceeding."""
+    broker = KafkaStubBroker(users={"svc": "s3cret"})
+    try:
+        c = KafkaWireClient("127.0.0.1", broker.port)  # no SASL configured
+        with pytest.raises(KafkaWireError):
+            c.connect()          # ApiVersions ok, then Metadata dropped
+            c.metadata(["t"])
+    finally:
+        broker.close()
+    plain = KafkaStubBroker()  # no users: SASL not enabled
+    try:
+        c = KafkaWireClient(
+            "127.0.0.1", plain.port, sasl_mechanism="PLAIN",
+            sasl_username="svc", sasl_password="s3cret",
+        )
+        with pytest.raises(KafkaWireError, match="mechanism"):
+            c.connect()
+    finally:
+        plain.close()
+
+
+def test_sasl_client_option_validation():
+    with pytest.raises(ValueError, match="mechanism"):
+        KafkaWireClient("h", 1, sasl_mechanism="GSSAPI",
+                        sasl_username="u", sasl_password="p")
+    with pytest.raises(ValueError, match="username and password"):
+        KafkaWireClient("h", 1, sasl_mechanism="PLAIN")
