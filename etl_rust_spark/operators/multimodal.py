@@ -59,6 +59,8 @@ __all__ = [
     "near_dup_audio",
     "near_dup_videos",
     "read_archive_assets",
+    "read_webdataset_samples",
+    "WEBDATASET_SCHEMA",
 ]
 
 MULTIMODAL_SCHEMA = T.StructType(
@@ -108,6 +110,28 @@ _EXT_MODALITY = {
 }
 
 
+def _archive_members(path: str, blob: bytes):
+    """(member_name, payload_bytes) pairs from one zip/tar(.gz/.bz2/.xz)
+    archive blob, in archive order — shared by the per-asset and the
+    WebDataset-grouped ingestion paths."""
+    import io
+    import tarfile
+    import zipfile
+
+    if blob[:4] == b"PK\x03\x04" or path.endswith(".zip"):
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            for info in zf.infolist():
+                if not info.is_dir():
+                    yield info.filename, zf.read(info)
+        return
+    with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
+        for info in tf:
+            if info.isfile():
+                f = tf.extractfile(info)
+                if f is not None:
+                    yield info.name, f.read()
+
+
 def read_archive_assets(
     spark, pattern: str, on_error: str = "raise"
 ) -> DataFrame:
@@ -140,23 +164,7 @@ def read_archive_assets(
         raise ValueError("on_error must be raise|skip")
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import tarfile
-        import zipfile
-
-        def members(path: str, blob: bytes):
-            if blob[:4] == b"PK\x03\x04" or path.endswith(".zip"):
-                with zipfile.ZipFile(io.BytesIO(blob)) as zf:
-                    for info in zf.infolist():
-                        if not info.is_dir():
-                            yield info.filename, zf.read(info)
-                return
-            with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
-                for info in tf:
-                    if info.isfile():
-                        f = tf.extractfile(info)
-                        if f is not None:
-                            yield info.name, f.read()
+        members = _archive_members
 
         for pdf in batches:
             rows = []
@@ -189,6 +197,118 @@ def read_archive_assets(
 
     src = spark.read.format("binaryFile").load(pattern).select("path", "content")
     return src.mapInPandas(unpack, schema=MULTIMODAL_SCHEMA)
+
+
+WEBDATASET_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_id", T.LongType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", MULTIMODAL_SCHEMA["meta"].dataType, True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("json", T.StringType(), True),
+    ]
+)
+
+
+def read_webdataset_samples(
+    spark, pattern: str, on_error: str = "raise"
+) -> DataFrame:
+    """zip / tar archives in the WebDataset convention → ONE row per
+    SAMPLE (VERDICT r8 #5): members sharing a key stem fold together —
+    ``0001.jpg`` + ``0001.json`` + ``0001.txt`` become one row with the
+    media payload typed by extension plus ``text``/``json`` columns.
+    This is the shape LAION-style multimodal training corpora ship in
+    (WebDataset spec: the key is the member name up to the FIRST dot,
+    so ``0001.seg.jpg`` keys as ``0001``).
+
+    - Exactly ONE media member (image/audio/video extension) per
+      sample; ``.txt`` → ``text`` (utf-8), ``.json`` → ``json`` (raw
+      string — caller parses with ``from_json`` and their own schema);
+      other extensions are ignored like :func:`read_archive_assets`.
+    - TORN samples (no media member, or more than one) follow the
+      archive contract: ``on_error='raise'`` fails loudly naming the
+      sample, ``'skip'`` drops the sample (not the whole shard).
+    - ``sample_id`` is the same deterministic 62-bit hash discipline as
+      ``asset_id``, over ``archive_path!key`` — stable across
+      re-ingests so dedup keys and signature stores survive re-runs.
+
+    Scale: the WebDataset convention guarantees a sample's members are
+    contiguous WITHIN one shard and never span shards, so grouping
+    happens executor-side inside the same Arrow ``mapInPandas`` pass as
+    the unpack — zero shuffle, payload bytes never move.  Shards stay
+    the parallelism grain (binaryFile cannot split a file)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be raise|skip")
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    found = list(_archive_members(path, bytes(blob)))
+                except Exception as exc:
+                    if on_error == "skip":
+                        continue
+                    raise ValueError(f"unreadable archive {path}: {exc!r}")
+                samples: dict[str, dict] = {}
+                order: list[str] = []
+                for name, payload in found:
+                    base = name.rsplit("/", 1)[-1]
+                    if "." not in base:
+                        continue
+                    key, ext = base.split(".", 1)
+                    ext = ext.lower()
+                    prefix = name[: len(name) - len(base)]
+                    skey = prefix + key
+                    s = samples.get(skey)
+                    if s is None:
+                        s = samples[skey] = {
+                            "media": [], "text": None, "json": None,
+                        }
+                        order.append(skey)
+                    if ext == "txt":
+                        s["text"] = payload.decode("utf-8", "replace")
+                    elif ext == "json":
+                        s["json"] = payload.decode("utf-8", "replace")
+                    else:
+                        # multi-dot extensions key on the LAST segment
+                        # ("seg.jpg" is still a jpg)
+                        mod = _EXT_MODALITY.get(ext.rsplit(".", 1)[-1])
+                        if mod is not None:
+                            s["media"].append((name, payload, mod))
+                for skey in order:
+                    s = samples[skey]
+                    if len(s["media"]) != 1:
+                        if on_error == "skip":
+                            continue
+                        raise ValueError(
+                            f"torn WebDataset sample {path}!{skey}: "
+                            f"{len(s['media'])} media members (need 1)"
+                        )
+                    _name, payload, (modality, mime) = s["media"][0]
+                    uri = f"{path}!{skey}"
+                    h = hashlib.sha256(uri.encode()).digest()
+                    rows.append({
+                        "sample_id": int.from_bytes(h[:8], "big") >> 2,
+                        "key": skey,
+                        "modality": modality,
+                        "payload": payload,
+                        "meta": {"mime": mime, "width": None,
+                                 "height": None, "duration_ms": None,
+                                 "source_uri": uri},
+                        "text": s["text"],
+                        "json": s["json"],
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=["sample_id", "key", "modality", "payload",
+                         "meta", "text", "json"],
+            )
+
+    src = spark.read.format("binaryFile").load(pattern).select("path", "content")
+    return src.mapInPandas(unpack, schema=WEBDATASET_SCHEMA)
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
