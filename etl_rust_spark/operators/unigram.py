@@ -1,0 +1,336 @@
+"""Distributed unigram-LM (SentencePiece-style) tokenizer training +
+Viterbi encoding — the second tokenizer family of a training-data
+pipeline, complementing bpe.py (VERDICT r8 #7; the reference is
+extract→publish only, no analog).
+
+Algorithm = Kudo 2018 ("Subword Regularization") shaped for Spark the
+same way train_bpe is:
+
+- The iteration state is the **word-frequency table** (one row per
+  distinct whitespace word with its corpus count) — reached from the
+  corpus by ONE groupBy and orders of magnitude smaller than it (Zipf).
+  The corpus is never rescanned after that.
+- **Seeding**: all substrings of distinct words up to ``max_piece_len``
+  explode scan-side, one groupBy sums corpus frequencies, and the top
+  ``seed_size`` by (freq desc, piece asc) become the initial vocab —
+  unioned with every single character so any word stays segmentable
+  (characters are never pruned, the SentencePiece coverage rule).
+- **EM rounds**: the piece log-probs broadcast (KBs–MBs); an Arrow
+  ``mapInPandas`` kernel runs the forward–backward lattice per DISTINCT
+  word (memoized — each word computes once per partition regardless of
+  corpus count) and emits per-piece posterior expected counts; one
+  groupBy sums them; the driver renormalizes.  Two EM iterations per
+  round, then the vocab shrinks by ``shrink`` keeping the
+  highest-expected-count pieces (deterministic prune by expected count
+  — a documented simplification of Kudo's leave-one-out loss prune,
+  the form most public reimplementations use), until ``vocab_size``
+  remains.
+- **Determinism across partitionings** (the kmeans_fixed precedent):
+  per-word expected counts are FIXED-POINT (rounded to the 1e-6 grid
+  and summed as int64) — integer addition is associative, so the
+  M-step totals are exact and identical for any partition order, and
+  the driver-side log() of identical integers yields identical floats.
+  A float sum here would make the learned vocab depend on shuffle
+  order.  (Grid headroom: 1e-6 × total expected tokens must fit int64
+  — ~9e12 corpus tokens; at bigger scales raise the grid.)
+- The per-word lattice math runs in PURE PYTHON floats (words are
+  short, the memo amortizes) so the pinned pure-Python reference in
+  tests reproduces it bit-identically — same ops, same order.
+
+The returned vocab is the tokenizer artifact: ``[(piece, logp)]`` in
+deterministic order, KBs–MBs, broadcast-sized.  :func:`unigram_encode`
+segments with Viterbi under the same memo discipline as ``bpe_encode``;
+characters unseen in training emit the ``<unk>`` piece.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_rust_spark.operators.bpe import word_counts
+
+__all__ = ["train_unigram", "unigram_encode"]
+
+_UNK = "<unk>"
+_GRID = 1_000_000  # fixed-point grid for expected counts (1e-6)
+
+
+def _word_lattice_counts(
+    word: str, logp: dict[str, float], max_len: int
+) -> dict[str, float] | None:
+    """Forward–backward posterior expected count per piece for ONE word
+    (unit corpus count).  Pure-Python float math in a fixed iteration
+    order — the determinism contract shared with the test reference.
+    Returns None when the word is unsegmentable (a char outside the
+    vocab — cannot happen in training, where all chars are seeded)."""
+    n = len(word)
+    # arcs[i] = [(j, lp)] for vocab pieces word[i:j]
+    arcs: list[list[tuple[int, float]]] = []
+    for i in range(n):
+        row = []
+        for j in range(i + 1, min(i + max_len, n) + 1):
+            lp = logp.get(word[i:j])
+            if lp is not None:
+                row.append((j, lp))
+        arcs.append(row)
+    NEG = float("-inf")
+
+    def lse(acc: float, x: float) -> float:
+        if acc == NEG:
+            return x
+        if x == NEG:
+            return acc
+        hi, lo = (acc, x) if acc > x else (x, acc)
+        return hi + math.log1p(math.exp(lo - hi))
+
+    alpha = [NEG] * (n + 1)
+    alpha[0] = 0.0
+    for i in range(n):
+        if alpha[i] == NEG:
+            continue
+        for j, lp in arcs[i]:
+            alpha[j] = lse(alpha[j], alpha[i] + lp)
+    if alpha[n] == NEG:
+        return None
+    beta = [NEG] * (n + 1)
+    beta[n] = 0.0
+    for i in range(n - 1, -1, -1):
+        for j, lp in arcs[i]:
+            if beta[j] != NEG:
+                beta[i] = lse(beta[i], lp + beta[j])
+    z = alpha[n]
+    out: dict[str, float] = {}
+    for i in range(n):
+        if alpha[i] == NEG:
+            continue
+        for j, lp in arcs[i]:
+            if beta[j] == NEG:
+                continue
+            e = math.exp(alpha[i] + lp + beta[j] - z)
+            piece = word[i:j]
+            out[piece] = out.get(piece, 0.0) + e
+    return out
+
+
+def _em_totals(
+    wc: DataFrame, vocab: dict[str, float], max_len: int
+) -> dict[str, int]:
+    """One distributed E-step: fixed-point expected count per piece,
+    summed exactly (int64) across the word table."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = wc.sparkSession
+    bc = spark.sparkContext.broadcast(vocab)
+    schema = T.StructType(
+        [
+            T.StructField("piece", T.StringType()),
+            T.StructField("ec", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        logp = bc.value
+        memo: dict[str, dict[str, float] | None] = {}
+        for pdf in batches:
+            pieces, ecs = [], []
+            for word, n in zip(pdf["word"], pdf["wc"]):
+                counts = memo.get(word, False)
+                if counts is False:
+                    if len(memo) > 1_000_000:
+                        memo.clear()
+                    counts = memo[word] = _word_lattice_counts(
+                        word, logp, max_len
+                    )
+                if not counts:
+                    continue
+                for piece, e in counts.items():
+                    g = round(e * _GRID)
+                    if g:
+                        pieces.append(piece)
+                        ecs.append(g * int(n))
+            yield pd.DataFrame({"piece": pieces, "ec": ecs})
+
+    rows = (
+        wc.select("word", "wc")
+        .mapInPandas(gen, schema)
+        .groupBy("piece")
+        .agg(F.sum("ec").alias("ec"))
+        .collect()
+    )
+    return {r["piece"]: r["ec"] for r in rows}
+
+
+def _renormalize(totals: dict[str, int], pieces: list[str]) -> dict[str, float]:
+    """M-step on the driver: logp from exact integer totals.  Pieces
+    with zero expected count get a floor one grid-unit above nothing so
+    log() stays finite (they are the first pruned next round)."""
+    z = sum(max(totals.get(p, 0), 1) for p in pieces)
+    lz = math.log(z)
+    return {p: math.log(max(totals.get(p, 0), 1)) - lz for p in pieces}
+
+
+def train_unigram(
+    docs: DataFrame,
+    vocab_size: int = 500,
+    max_piece_len: int = 8,
+    seed_size: int = 2000,
+    shrink: float = 0.75,
+    em_iters: int = 2,
+    text_col: str = "text",
+) -> list[tuple[str, float]]:
+    """Learn a unigram-LM vocab of ``vocab_size`` pieces; returns
+    ``[(piece, logp)]`` sorted by (logp desc, piece asc) — the
+    deterministic tokenizer artifact.
+
+    Single characters are seeded unconditionally and never pruned
+    (coverage); ``vocab_size`` must leave room for them."""
+    if not 0 < shrink < 1:
+        raise ValueError("shrink must be in (0, 1)")
+    wc = word_counts(docs, text_col).localCheckpoint()
+
+    # ---- seed: top substrings by corpus frequency + all chars --------
+    subs = (
+        wc.select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, length(word)), "
+                    f"i -> transform(sequence(i, least(i + {int(max_piece_len) - 1}, length(word))), "
+                    "j -> substring(word, i, j - i + 1))))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("wc").alias("freq"))
+    )
+    top = (
+        subs.orderBy(F.desc("freq"), F.asc("piece"))
+        .limit(int(seed_size))
+        .collect()
+    )
+    chars = {
+        r["piece"]
+        for r in subs.filter(F.length("piece") == 1).collect()
+    }
+    pieces = sorted({r["piece"] for r in top} | chars)
+    if len(chars) >= vocab_size:
+        raise ValueError(
+            f"vocab_size {vocab_size} cannot cover the {len(chars)} "
+            "distinct characters of the corpus"
+        )
+    # uniform init over the seed
+    lz = math.log(len(pieces))
+    vocab = {p: -lz for p in pieces}
+
+    # ---- EM + prune rounds ------------------------------------------
+    while True:
+        for _ in range(em_iters):
+            totals = _em_totals(wc, vocab, max_piece_len)
+            vocab = _renormalize(totals, list(vocab))
+        if len(vocab) <= vocab_size:
+            break
+        keep = max(vocab_size, int(len(vocab) * shrink))
+        multi = sorted(
+            (p for p in vocab if len(p) > 1),
+            key=lambda p: (-totals.get(p, 0), p),
+        )
+        room = keep - len(chars)
+        vocab = _renormalize(totals, sorted(chars | set(multi[:room])))
+    order = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    return order
+
+
+def unigram_encode(
+    docs: DataFrame,
+    vocab: list[tuple[str, float]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, uni_tokens, n_uni_tokens): Viterbi segmentation under the
+    learned vocab — Arrow-batched, vocab broadcast, per-distinct-word
+    memo (the bpe_encode discipline).  Unknown characters emit
+    ``<unk>``."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(dict(vocab))
+    max_len = max((len(p) for p, _ in vocab), default=1)
+    out_schema = T.StructType(
+        [
+            T.StructField("__id", docs.schema[id_col].dataType),
+            T.StructField("uni_tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_uni_tokens", T.LongType()),
+        ]
+    )
+
+    def viterbi(word: str, logp: dict, unk_lp: float) -> list[str]:
+        n = len(word)
+        NEG = float("-inf")
+        best = [NEG] * (n + 1)
+        back: list[tuple[int, str] | None] = [None] * (n + 1)
+        best[0] = 0.0
+        for i in range(n):
+            if best[i] == NEG:
+                continue
+            matched = False
+            for j in range(i + 1, min(i + max_len, n) + 1):
+                lp = logp.get(word[i:j])
+                if lp is None:
+                    continue
+                matched = True
+                s = best[i] + lp
+                # > (not >=): earlier/backpointer ties resolve to the
+                # FIRST maximizer in (i asc, j asc) order — total order
+                if s > best[j]:
+                    best[j] = s
+                    back[j] = (i, word[i:j])
+            if not matched:
+                s = best[i] + unk_lp
+                if s > best[i + 1]:
+                    best[i + 1] = s
+                    back[i + 1] = (i, _UNK)
+        if best[n] == NEG:  # unreachable tail: char not in vocab mid-word
+            # fall back to per-char scan with <unk> for unknowns
+            return [ch if ch in logp else _UNK for ch in word]
+        out: list[str] = []
+        k = n
+        while k > 0:
+            i, piece = back[k]
+            out.append(piece)
+            k = i
+        out.reverse()
+        return out
+
+    def gen(batches):
+        logp = bc.value
+        unk_lp = min(logp.values(), default=-1.0) - 10.0  # below any real piece
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, toks, ns = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(text, str):
+                    ids.append(rid), toks.append(None), ns.append(0)
+                    continue
+                out: list[str] = []
+                for w in text.split():
+                    enc = memo.get(w)
+                    if enc is None:
+                        if len(memo) > 1_000_000:
+                            memo.clear()
+                        enc = memo[w] = viterbi(w, logp, unk_lp)
+                    out.extend(enc)
+                ids.append(rid), toks.append(out), ns.append(len(out))
+            yield pd.DataFrame(
+                {"__id": ids, "uni_tokens": toks, "n_uni_tokens": ns}
+            )
+
+    return (
+        docs.select(id_col, text_col)
+        .mapInPandas(gen, out_schema)
+        .withColumnRenamed("__id", id_col)
+    )
