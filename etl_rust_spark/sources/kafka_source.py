@@ -307,7 +307,10 @@ def _write_rows(opts: _Opts, iterator, compression, batch_size) -> _Produced:
     from etl_rust_spark.etl.kafka_wire import KafkaWireClient
 
     c = KafkaWireClient(
-        opts.host, opts.port, compression=compression
+        opts.host, opts.port, compression=compression,
+        sasl_mechanism=opts.sasl_mechanism,
+        sasl_username=opts.sasl_username,
+        sasl_password=opts.sasl_password,
     )
     n = 0
     buf: list[bytes] = []

@@ -334,3 +334,40 @@ def test_stream_initial_offset_honors_timestamp_and_json(broker):
     r2 = _KafkaStreamReader(_Opts({**base,
         "startingoffsets": '{"s": {"0": 1}}'}))
     assert r2.initialOffset() == {"0": 1}
+
+
+def test_sasl_source_and_sink_end_to_end(spark):
+    """r9: sasl.* options flow through BOTH DataSource directions —
+    executor-side write clients authenticate (SCRAM here), the read
+    side authenticates for metadata/offsets AND record fetch, and
+    wrong credentials fail the job instead of silently reading empty."""
+    from tests.test_kafka_wire import KafkaStubBroker
+
+    b = KafkaStubBroker(users={"svc": "pw"})
+    try:
+        opts = {
+            "host": "127.0.0.1", "port": b.port, "topic": "auth",
+            "sasl.mechanism": "SCRAM-SHA-256",
+            "sasl.username": "svc", "sasl.password": "pw",
+        }
+        w = spark.range(0, 5).selectExpr("concat('r', id) AS value").write
+        w = w.format("kafka_wire").mode("append")
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.save()
+        r = spark.read.format("kafka_wire")
+        for k, v in opts.items():
+            r = r.option(k, v)
+        got = sorted(bytes(x.value) for x in r.load().collect())
+        assert got == [f"r{i}".encode() for i in range(5)]
+        # wrong password: loud failure on read
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import AnalysisException, PythonException
+
+        bad = spark.read.format("kafka_wire")
+        for k, v in {**opts, "sasl.password": "nope"}.items():
+            bad = bad.option(k, v)
+        with pytest.raises((AnalysisException, PythonException, Py4JJavaError)):
+            bad.load().collect()
+    finally:
+        b.close()
