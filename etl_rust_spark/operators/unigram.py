@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 
 from etl_rust_spark.operators.bpe import word_counts
 
-__all__ = ["train_unigram", "unigram_encode"]
+__all__ = ["train_unigram", "unigram_encode", "sample_segmentations"]
 
 _UNK = "<unk>"
 _GRID = 1_000_000  # fixed-point grid for expected counts (1e-6)
@@ -327,6 +327,133 @@ def unigram_encode(
                 ids.append(rid), toks.append(out), ns.append(len(out))
             yield pd.DataFrame(
                 {"__id": ids, "uni_tokens": toks, "n_uni_tokens": ns}
+            )
+
+    return (
+        docs.select(id_col, text_col)
+        .mapInPandas(gen, out_schema)
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def sample_segmentations(
+    docs: DataFrame,
+    vocab: list[tuple[str, float]],
+    n_samples: int = 1,
+    alpha: float = 0.2,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sample_idx, uni_tokens, n_uni_tokens): subword
+    regularization — Kudo 2018 §3's training-time feature.  Each sample
+    draws one segmentation per word from ``P(seg) ∝ Π p(piece)^alpha``
+    via forward-filtering/backward-sampling over the same lattice the
+    trainer uses (``alpha`` → 0 flattens toward uniform over
+    segmentations; large ``alpha`` peaks toward Viterbi).
+
+    DETERMINISTIC sampling, the hash-not-rand() rule: every backward
+    choice draws its uniform from the portable 60-bit md5 hash of
+    ``(seed, doc_id, word_index, position, sample_idx)`` — bit-for-bit
+    replayable across runs, partitionings and cluster sizes.  Because
+    draws key on the word's POSITION in the document, two occurrences
+    of the same word can segment differently (the augmentation point),
+    so this path is deliberately unmemoized; Arrow batching and the
+    short-word lattice keep it scan-cheap."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if n_samples < 1:
+        raise ValueError("n_samples must be >= 1")
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(dict(vocab))
+    max_len = max((len(p) for p, _ in vocab), default=1)
+    out_schema = T.StructType(
+        [
+            T.StructField("__id", docs.schema[id_col].dataType),
+            T.StructField("sample_idx", T.IntegerType()),
+            T.StructField("uni_tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_uni_tokens", T.LongType()),
+        ]
+    )
+    P = 1_000_000_007
+
+    def unif(*key) -> float:
+        h = int(hashlib.md5(":".join(map(str, key)).encode()).hexdigest()[:15], 16)
+        return ((h % P) + 0.5) / P
+
+    def sample_word(word, logp, rid, widx, sidx):
+        n = len(word)
+        NEG = float("-inf")
+        arcs = []
+        for i in range(n):
+            row = []
+            for j in range(i + 1, min(i + max_len, n) + 1):
+                lp = logp.get(word[i:j])
+                if lp is not None:
+                    row.append((j, alpha * lp))
+            arcs.append(row)
+        fw = [NEG] * (n + 1)
+        fw[0] = 0.0
+        for i in range(n):
+            if fw[i] == NEG:
+                continue
+            for j, lp in arcs[i]:
+                if fw[j] == NEG:
+                    fw[j] = fw[i] + lp
+                else:
+                    hi, lo = ((fw[j], fw[i] + lp) if fw[j] > fw[i] + lp
+                              else (fw[i] + lp, fw[j]))
+                    fw[j] = hi + math.log1p(math.exp(lo - hi))
+        if fw[n] == NEG:  # unsegmentable: per-char with <unk>
+            return [ch if ch in logp else _UNK for ch in word]
+        out = []
+        j = n
+        while j > 0:
+            # incoming arcs i → j, probability ∝ exp(fw[i] + lp)
+            inc = [
+                (i, piece_j, lp)
+                for i in range(max(0, j - max_len), j)
+                if fw[i] != NEG
+                for piece_j, lp in arcs[i]
+                if piece_j == j
+            ]
+            u = unif(seed, rid, widx, j, sidx)
+            # normalized backward-sampling in log space (fixed i-asc order)
+            tot = fw[j]
+            acc = 0.0
+            pick = inc[-1]
+            for i, _pj, lp in inc:
+                acc += math.exp(fw[i] + lp - tot)
+                if u <= acc:
+                    pick = (i, _pj, lp)
+                    break
+            i = pick[0]
+            out.append(word[i:j])
+            j = i
+        out.reverse()
+        return out
+
+    def gen(batches):
+        logp = bc.value
+        for pdf in batches:
+            ids, sidxs, toks, ns = [], [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                for s in range(n_samples):
+                    if not isinstance(text, str):
+                        ids.append(rid), sidxs.append(s)
+                        toks.append(None), ns.append(0)
+                        continue
+                    out = []
+                    for widx, w in enumerate(text.split()):
+                        out.extend(sample_word(w, logp, rid, widx, s))
+                    ids.append(rid), sidxs.append(s)
+                    toks.append(out), ns.append(len(out))
+            yield pd.DataFrame(
+                {"__id": ids, "sample_idx": sidxs,
+                 "uni_tokens": toks, "n_uni_tokens": ns}
             )
 
     return (

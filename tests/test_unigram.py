@@ -235,3 +235,63 @@ def test_train_unigram_coverage_and_guards(spark):
         unigram.train_unigram(docs, vocab_size=5)
     with pytest.raises(ValueError, match="shrink"):
         unigram.train_unigram(docs, vocab_size=30, shrink=1.5)
+
+
+def test_sample_segmentations_valid_deterministic_and_diverse(spark):
+    """Subword regularization: every sample re-concatenates to its word,
+    uses vocab pieces (or <unk>), is bit-identical across runs AND
+    layouts (hash-derived draws), and at small alpha an ambiguous word
+    segments differently across samples — the augmentation point."""
+    docs = _docs(spark, CORPUS2)
+    vocab = unigram.train_unigram(docs, vocab_size=40, max_piece_len=4,
+                                  seed_size=50)
+    pieces = {p for p, _ in vocab}
+
+    out = unigram.sample_segmentations(docs, vocab, n_samples=4, alpha=0.1,
+                                       seed=3).collect()
+    assert len(out) == 4 * len(CORPUS2)
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.sample_idx] = r.uni_tokens
+        assert set(r.uni_tokens) <= pieces  # training corpus: no <unk>
+    for i, text in enumerate(CORPUS2):
+        for s, toks in by_doc[i].items():
+            assert "".join(toks) == text.replace(" ", ""), (i, s)
+    # deterministic replay, independent of layout
+    again = unigram.sample_segmentations(
+        docs.repartition(7), vocab, n_samples=4, alpha=0.1, seed=3
+    ).collect()
+    key = lambda r: (r.doc_id, r.sample_idx)  # noqa: E731
+    assert sorted((r.doc_id, r.sample_idx, r.uni_tokens) for r in again) == \
+           sorted((r.doc_id, r.sample_idx, r.uni_tokens) for r in out)
+    # diversity: at least one doc's samples differ from each other
+    assert any(
+        len({tuple(t) for t in samples.values()}) > 1
+        for samples in by_doc.values()
+    )
+    # a different seed draws a different corpus-wide sampling
+    other = unigram.sample_segmentations(docs, vocab, n_samples=4, alpha=0.1,
+                                         seed=4).collect()
+    assert sorted((r.doc_id, r.sample_idx, r.uni_tokens) for r in other) != \
+           sorted((r.doc_id, r.sample_idx, r.uni_tokens) for r in out)
+
+
+def test_sample_segmentations_peaks_to_viterbi_and_guards(spark):
+    docs = _docs(spark, CORPUS)
+    vocab = unigram.train_unigram(docs, vocab_size=30, max_piece_len=4,
+                                  seed_size=60)
+    # large alpha → the distribution peaks: samples == Viterbi encode
+    vit = {r.doc_id: r.uni_tokens
+           for r in unigram.unigram_encode(docs, vocab).collect()}
+    peaked = unigram.sample_segmentations(docs, vocab, n_samples=2,
+                                          alpha=50.0, seed=1).collect()
+    for r in peaked:
+        assert r.uni_tokens == vit[r.doc_id], (r.doc_id, r.sample_idx)
+    # null text and guards
+    nd = spark.createDataFrame([(1, None)], "doc_id: long, text: string")
+    rows = unigram.sample_segmentations(nd, vocab, n_samples=2).collect()
+    assert all(r.uni_tokens is None and r.n_uni_tokens == 0 for r in rows)
+    import pytest
+
+    with pytest.raises(ValueError, match="n_samples"):
+        unigram.sample_segmentations(docs, vocab, n_samples=0)
