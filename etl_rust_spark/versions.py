@@ -68,6 +68,7 @@ __all__ = [
     "list_versions",
     "latest_version",
     "diff_table_versions",
+    "read_table_changes",
     "compact_table_version",
     "expire_versions",
     "CommitConflict",
@@ -606,6 +607,72 @@ def diff_table_versions(
         read_table_version(spark, path, v_new),
         keys,
     )
+
+
+def read_table_changes(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CDC-style change feed (Delta ``table_changes`` parity, r9): the
+    row-level changes the table underwent over ``(from_version,
+    to_version]``, one row per changed key per version STEP, with the
+    full payload and change metadata:
+
+    - ``_change_type``: ``insert`` | ``delete`` | ``update_postimage``
+      (the new row of a changed key; preimages are one time-travel read
+      away and not materialized — half the payload for the common
+      downstream-sync consumer);
+    - ``_commit_version``: the version that introduced the change.
+
+    Built from consecutive :func:`diff_table_versions` steps — each
+    step is a fingerprint join (keys + 32 bytes/row shuffle, payload
+    never shuffles) and one keyed semi-join back to the new version for
+    the payload; deletes carry keys with NULL payload columns.  Steps
+    union into ONE lazy plan, so a multi-version feed is still a single
+    job.  Consumers resume by remembering the last ``_commit_version``
+    they applied — the same contract as Delta CDF.
+
+    At 100 TB: cost scales with the CHANGED keys per step (dirty
+    partitions only, thanks to file-level COW), not table size; a
+    full-snapshot-diff consumer pays the same fingerprint exchange this
+    does, but per step instead of per full history."""
+    head = latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    to_v = head if to_version is None else to_version
+    if not 0 < from_version <= to_v <= head:
+        raise ValueError(
+            f"need 0 < from_version <= to_version <= head ({head}); "
+            f"got ({from_version}, {to_v}]"
+        )
+    steps = []
+    for v in range(from_version + 1, to_v + 1):
+        d = diff_table_versions(spark, path, v - 1, v, keys)
+        new = read_table_version(spark, path, v)
+        ch_type = (
+            F.when(F.col("diff") == "added", F.lit("insert"))
+            .when(F.col("diff") == "removed", F.lit("delete"))
+            .otherwise(F.lit("update_postimage"))
+        )
+        tagged = d.select(*keys, ch_type.alias("_change_type"))
+        present = tagged.filter(F.col("_change_type") != "delete").join(
+            new, keys, "left"
+        )
+        deleted = tagged.filter(F.col("_change_type") == "delete").join(
+            new.limit(0), keys, "left"
+        )
+        steps.append(
+            present.unionByName(deleted).withColumn(
+                "_commit_version", F.lit(v).cast("int")
+            )
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out
 
 
 def expire_versions(

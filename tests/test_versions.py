@@ -683,3 +683,41 @@ def test_many_writers_version_chain_stays_linear(spark, tmp_path):
         live.update(V._load_manifest(p, v)["files"])
     on_disk = {str(f.relative_to(data)) for f in data.rglob("*.parquet")}
     assert on_disk == live  # no leaked staged files
+
+
+def test_read_table_changes_cdc_feed(spark, tmp_path):
+    """CDC feed (r9): per-version-step inserts / deletes /
+    update-postimages with payload and _commit_version; resume-by-
+    version slicing matches the full feed; bounds validated."""
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a"), (2, 2, "b")]), p, "ds")
+    V.upsert_table_version(
+        spark, p, _t(spark, [(2, 2, "B"), (3, 1, "c")]), keys=["k"],
+        partition_by="ds",
+    )
+    # v3 is a full snapshot that DROPS key 1 (upserts never delete)
+    V.write_table_version(
+        _t(spark, [(2, 2, "B"), (3, 1, "c"), (4, 2, "d")]), p, "ds"
+    )
+    ch = V.read_table_changes(spark, p, ["k"], from_version=1)
+    got = {(r.k, r._commit_version): (r._change_type, r.val)
+           for r in ch.collect()}
+    assert got == {
+        (2, 2): ("update_postimage", "B"),
+        (3, 2): ("insert", "c"),
+        (1, 3): ("delete", None),       # deletes carry NULL payload
+        (4, 3): ("insert", "d"),
+    }
+    # schema: full payload + the two CDC columns
+    assert set(ch.columns) == {"k", "ds", "val", "_change_type",
+                               "_commit_version"}
+    # resume: applying (1,2] then (2,3] sees exactly the full feed
+    first = {(r.k, r._commit_version) for r in
+             V.read_table_changes(spark, p, ["k"], 1, 2).collect()}
+    rest = {(r.k, r._commit_version) for r in
+            V.read_table_changes(spark, p, ["k"], 2).collect()}
+    assert first | rest == set(got) and not first & rest
+    with pytest.raises(ValueError, match="from_version"):
+        V.read_table_changes(spark, p, ["k"], 0)
+    with pytest.raises(ValueError, match="from_version"):
+        V.read_table_changes(spark, p, ["k"], 2, 9)
