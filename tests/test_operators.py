@@ -1293,3 +1293,47 @@ def test_read_webdataset_samples_groups_by_key_stem(spark, tmp_path):
         zf.writestr("0009.jpg", encode_jpeg(img, 90))
     with pytest.raises(Exception, match="2 media members"):
         multimodal.read_webdataset_samples(spark, str(tmp_path) + "/*").collect()
+
+
+def test_webdataset_samples_feed_feature_extraction(spark, tmp_path):
+    """Composition: WebDataset samples rename into the asset shape and
+    REALLY decode through the registry (decode_stub=False), keeping the
+    caption columns joined to the features — the multimodal-training
+    on-ramp end to end."""
+    import io
+    import tarfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.operators import mediacodec as mc
+    from etl_rust_spark.operators import multimodal
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    with tarfile.open(tmp_path / "s.tar", "w") as tf:
+        for name, payload in [
+            ("0001.png", mc.encode_png(img)),
+            ("0001.txt", b"red square"),
+            ("0002.wav", mc.encode_wav(0.1 * np.sin(np.arange(600) / 4.0), 8000)),
+            ("0002.txt", b"a tone"),
+        ]:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(payload)
+            tf.addfile(ti, io.BytesIO(payload))
+
+    samples = multimodal.read_webdataset_samples(spark, str(tmp_path) + "/*")
+    assets = samples.select(
+        F.col("sample_id").alias("asset_id"), "modality", "payload", "meta"
+    )
+    feats = multimodal.extract_features(assets, decode_stub=False)
+    joined = feats.join(
+        samples.select(F.col("sample_id").alias("asset_id"), "key", "text"),
+        "asset_id",
+    ).collect()
+    by_key = {r.key: r for r in joined}
+    assert set(by_key) == {"0001", "0002"}
+    assert by_key["0001"].modality == "image" and by_key["0001"].text == "red square"
+    assert by_key["0002"].modality == "audio" and by_key["0002"].text == "a tone"
+    assert all(len(r.feature) == 8 for r in joined)
+    assert "payload" not in feats.columns  # bytes never leave the kernel
