@@ -381,6 +381,11 @@ def main(argv: list[str] | None = None) -> int:
         "--expire-keep", type=int, default=None,
         help="retention: keep only the newest N versions",
     )
+    pv.add_argument(
+        "--changes", default=None, metavar="FROM[:TO]",
+        help="CDC feed over (FROM, TO] (TO defaults to head) to --out; "
+        "needs --keys",
+    )
 
     pd = sub.add_parser(
         "diff",
@@ -682,6 +687,21 @@ def main(argv: list[str] | None = None) -> int:
             )
         if args.expire_keep is not None:
             out["expire"] = _v.expire_versions(args.table, args.expire_keep)
+        if args.changes is not None:
+            if not args.keys or not args.out:
+                p.error("--changes requires --keys and --out")
+            lo, _, hi = args.changes.partition(":")
+            ch = _v.read_table_changes(
+                spark, args.table, args.keys.split(","),
+                from_version=int(lo), to_version=int(hi) if hi else None,
+            )
+            ch.write.mode("overwrite").parquet(args.out)
+            back = spark.read.parquet(args.out)
+            out["change_rows"] = back.count()
+            out["change_types"] = {
+                r["_change_type"]: r["count"]
+                for r in back.groupBy("_change_type").count().collect()
+            }
         out["versions"] = _v.list_versions(args.table)
         print(json.dumps(out))
     elif args.cmd == "diff":

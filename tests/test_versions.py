@@ -721,3 +721,26 @@ def test_read_table_changes_cdc_feed(spark, tmp_path):
         V.read_table_changes(spark, p, ["k"], 0)
     with pytest.raises(ValueError, match="from_version"):
         V.read_table_changes(spark, p, ["k"], 2, 9)
+
+
+def test_cli_table_changes_verb(spark, tmp_path, capsys):
+    import json as _json
+
+    from etl_rust_spark.__main__ import main
+
+    f1, f2 = str(tmp_path / "f1"), str(tmp_path / "f2")
+    _t(spark, [(1, 1, "a"), (2, 2, "b")]).write.parquet(f1)
+    _t(spark, [(2, 2, "B"), (3, 1, "c")]).write.parquet(f2)
+    table = str(tmp_path / "vt")
+    assert main(["table", table, "--snapshot", f1, "--partition-by", "ds"]) == 0
+    assert main(["table", table, "--upsert", f2, "--keys", "k",
+                 "--partition-by", "ds"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "changes")
+    assert main(["table", table, "--changes", "1", "--keys", "k",
+                 "--out", out]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["change_rows"] == 2
+    assert rep["change_types"] == {"insert": 1, "update_postimage": 1}
+    got = {(r.k, r._change_type) for r in spark.read.parquet(out).collect()}
+    assert got == {(2, "update_postimage"), (3, "insert")}
