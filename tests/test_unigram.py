@@ -295,3 +295,31 @@ def test_sample_segmentations_peaks_to_viterbi_and_guards(spark):
 
     with pytest.raises(ValueError, match="n_samples"):
         unigram.sample_segmentations(docs, vocab, n_samples=0)
+
+
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
+
+word_st = st.text(alphabet="abcxyz", min_size=1, max_size=6)
+corpus_st = st.lists(
+    st.lists(word_st, min_size=1, max_size=6).map(" ".join),
+    min_size=1, max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=corpus_st)
+@example(texts=["aaaa aaaa aa", "aa a aaa"])     # maximal lattice ambiguity
+@example(texts=["abcabc abcabc", "abc bca cab"])  # repeated multigrams
+def test_train_unigram_random_corpora_match_reference(spark, texts):
+    """Hypothesis: the distributed trainer equals the pure-Python
+    reference (vocab AND logp, bitwise) on random corpora — the
+    fixed-point E-step contract holds beyond the handwritten cases."""
+    chars = {c for t in texts for c in t if c != " "}
+    vs = len(chars) + 4
+    got = unigram.train_unigram(
+        _docs(spark, texts), vocab_size=vs, max_piece_len=3, seed_size=25
+    )
+    want = _ref_train(texts, vocab_size=vs, max_piece_len=3, seed_size=25)
+    assert got == want
