@@ -16,7 +16,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["run_versioned_upsert_stream", "versioned_upsert_processor"]
+__all__ = [
+    "run_versioned_upsert_stream",
+    "versioned_upsert_processor",
+    "sync_table_changes",
+]
 
 
 def versioned_upsert_processor(
@@ -54,3 +58,66 @@ def run_versioned_upsert_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def sync_table_changes(
+    spark,
+    table: str,
+    keys: list[str],
+    apply_fn,
+    cursor_path: str,
+    max_steps: int | None = None,
+) -> int:
+    """Incremental downstream sync off the CDC feed (r9): read the
+    versions committed since the last run, hand their change rows to
+    ``apply_fn(changes_df, up_to_version)``, and advance a durable
+    cursor — the consumer half of :func:`versions.read_table_changes`,
+    shaped like a Delta-CDF `foreachBatch` sink without needing a
+    Structured Streaming source for the version log.
+
+    - ``cursor_path`` holds the last APPLIED version (one-line file,
+      atomic ``os.replace`` after ``apply_fn`` returns) — crash before
+      the write re-delivers the same changes next run, so ``apply_fn``
+      must be idempotent (keyed upsert/delete naturally is; the same
+      at-least-once-into-idempotent-sink contract as the ETL writer).
+    - A cold start (no cursor) begins at the CURRENT head without
+      replaying history: the downstream bootstraps from
+      ``read_table_version(latest)`` and this keeps it current after.
+    - ``max_steps`` bounds versions per run (backlog pacing); returns
+      the number of versions applied.
+
+    Drive it from any scheduler loop or a `foreachBatch` of an
+    unrelated trigger stream; each run is ONE lazy plan over only the
+    dirty partitions of the versions it covers."""
+    import os
+    import uuid as _uuid
+    from pathlib import Path
+
+    from etl_rust_spark.versions import latest_version, read_table_changes
+
+    head = latest_version(table)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions under {table}")
+    cp = Path(cursor_path)
+    if cp.exists():
+        cursor = int(cp.read_text().strip())
+        if cursor > head:
+            raise ValueError(
+                f"cursor {cursor} is ahead of table head {head} — wrong "
+                "cursor file or the table was recreated"
+            )
+    else:
+        cursor = head  # cold start: current head, no history replay
+    to_v = head if max_steps is None else min(head, cursor + max_steps)
+    applied = 0
+    if to_v > cursor:
+        changes = read_table_changes(
+            spark, table, keys, from_version=cursor, to_version=to_v
+        )
+        apply_fn(changes, to_v)
+        applied = to_v - cursor
+    cp.parent.mkdir(parents=True, exist_ok=True)
+    tmp = cp.with_name(f"{cp.name}.{_uuid.uuid4().hex}")
+    tmp.write_text(str(to_v))
+    os.replace(tmp, cp)
+    return applied

@@ -744,3 +744,52 @@ def test_cli_table_changes_verb(spark, tmp_path, capsys):
     assert rep["change_types"] == {"insert": 1, "update_postimage": 1}
     got = {(r.k, r._change_type) for r in spark.read.parquet(out).collect()}
     assert got == {(2, "update_postimage"), (3, "insert")}
+
+
+def test_sync_table_changes_downstream_mirror(spark, tmp_path):
+    """CDC consumer (r9): a keyed-mirror sink stays equal to the source
+    table across inserts/updates/deletes via incremental syncs; the
+    cursor makes re-runs no-ops, redelivery after a pre-cursor crash is
+    idempotent, max_steps paces backlogs, cold start skips history."""
+    from etl_rust_spark.streaming.tables import sync_table_changes
+
+    src = str(tmp_path / "src")
+    cursor = str(tmp_path / "cursor")
+    mirror: dict = {}
+
+    def apply(ch, up_to):
+        for r in ch.collect():  # keyed upsert/delete — idempotent
+            if r._change_type == "delete":
+                mirror.pop(r.k, None)
+            else:
+                mirror[r.k] = r.val
+
+    V.write_table_version(_t(spark, [(1, 1, "a"), (2, 2, "b")]), src, "ds")
+    # cold start: bootstrap from the head read, then sync keeps current
+    assert sync_table_changes(spark, src, ["k"], apply, cursor) == 0
+    mirror.update({r.k: r.val
+                   for r in V.read_table_version(spark, src).collect()})
+
+    V.upsert_table_version(spark, src, _t(spark, [(2, 2, "B"), (3, 1, "c")]),
+                           keys=["k"], partition_by="ds")
+    V.write_table_version(  # drops key 1
+        _t(spark, [(2, 2, "B"), (3, 1, "c"), (4, 2, "d")]), src, "ds"
+    )
+    # backlog of 2 versions, paced one at a time
+    assert sync_table_changes(spark, src, ["k"], apply, cursor,
+                              max_steps=1) == 1
+    assert mirror == {1: "a", 2: "B", 3: "c"}
+    assert sync_table_changes(spark, src, ["k"], apply, cursor) == 1
+    assert mirror == {2: "B", 3: "c", 4: "d"}
+    assert mirror == {r.k: r.val
+                      for r in V.read_table_version(spark, src).collect()}
+    # caught up: no-op
+    assert sync_table_changes(spark, src, ["k"], apply, cursor) == 0
+    # crash BEFORE the cursor write → same changes redeliver, same state
+    Path(cursor).write_text("2")
+    assert sync_table_changes(spark, src, ["k"], apply, cursor) == 1
+    assert mirror == {2: "B", 3: "c", 4: "d"}
+    # a cursor ahead of head is a wiring error, not silent data loss
+    Path(cursor).write_text("99")
+    with pytest.raises(ValueError, match="ahead"):
+        sync_table_changes(spark, src, ["k"], apply, cursor)
