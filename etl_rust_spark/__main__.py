@@ -374,6 +374,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     pv.add_argument("--out", default=None)
     pv.add_argument(
+        "--delete-where", default=None, metavar="SQL",
+        help="row-level DELETE: commit a new version without the rows "
+        "matching this SQL predicate (file-level copy-on-write)",
+    )
+    pv.add_argument(
         "--compact", type=int, default=None, metavar="N",
         help="OPTIMIZE: coalesce partitions with more than N files",
     )
@@ -681,6 +686,10 @@ def main(argv: list[str] | None = None) -> int:
             df = _v.read_table_version(spark, args.table, v)
             df.write.mode("overwrite").parquet(args.out)
             out["read_rows"] = spark.read.parquet(args.out).count()
+        if args.delete_where is not None:
+            out["version"] = _v.delete_table_version(
+                spark, args.table, args.delete_where
+            )
         if args.compact is not None:
             out["version"] = _v.compact_table_version(
                 spark, args.table, max_files_per_partition=args.compact

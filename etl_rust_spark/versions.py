@@ -67,6 +67,7 @@ __all__ = [
     "read_table_version",
     "list_versions",
     "latest_version",
+    "delete_table_version",
     "diff_table_versions",
     "read_table_changes",
     "compact_table_version",
@@ -186,7 +187,8 @@ _STALE_MANIFEST_SECONDS = 60.0
 
 def _commit(path: str, files: list[str], count: int, parent: int | None,
             partition_by: str | None, stats_cols: list[str] | None = None,
-            stats: dict | None = None) -> int:
+            stats: dict | None = None,
+            schema: dict | None = None) -> int:
     """Optimistic-concurrency commit (r8, VERDICT r7 #5).
 
     ``parent`` is the head this commit's content was computed AGAINST.
@@ -232,6 +234,11 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
         "stats_cols": stats_cols or [],
         "stats": stats or {},
     }
+    if schema is not None:
+        # recorded only when no data file can carry it (an EMPTY
+        # version, e.g. delete_table_version removing every row) so
+        # read_table_version can still plan a typed empty frame
+        manifest["schema"] = schema
     mp = _manifest_path(path, version)
     try:
         fd = os.open(mp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -245,7 +252,8 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
         if age > _STALE_MANIFEST_SECONDS and (latest_version(path) or 0) < version:
             mp.unlink(missing_ok=True)
             return _commit(
-                path, files, count, parent, partition_by, stats_cols, stats
+                path, files, count, parent, partition_by, stats_cols,
+                stats, schema,
             )
         raise CommitConflict(
             f"version {version} of {path} was claimed concurrently"
@@ -359,6 +367,14 @@ def read_table_version(
     data = str(Path(path) / "data")
     files = m["files"]
     if not files:
+        if m.get("schema"):
+            # an EMPTY version (delete_table_version removed every
+            # row): the manifest carries the schema no file can
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame(
+                [], StructType.fromJson(m["schema"])
+            )
         raise ValueError(f"version {v} of {path} is empty")
     if prune:
         stats = m.get("stats") or {}
@@ -445,6 +461,13 @@ def _upsert_table_version_once(
             f"table is partitioned by {m.get('partition_by')!r}, "
             f"upsert requested {partition_by!r}"
         )
+    if not m["files"]:
+        # the table was fully emptied (delete_table_version of every
+        # row): re-seed with a full snapshot on the SAME version chain
+        n = delta.count()
+        files = _stage_files(delta, path, partition_by)
+        stats = _file_stats(path, files, stats_cols) if stats_cols else None
+        return _commit(path, files, n, head, partition_by, stats_cols, stats)
     existing = read_table_version(spark, path, head)
     dropped = set(existing.columns) - set(delta.columns)
     if dropped:
@@ -592,6 +615,138 @@ def pin_version(path: str, version: int | None = None,
         yield pin
     finally:
         pin.release()
+
+
+def _rel_from_file_uri(uri: str, data_abs: Path) -> str:
+    """Map a Spark ``input_file_name()`` URI back to a data-relative
+    manifest path.  Spark percent-encodes the path segments of the URI
+    it reports, and Hive-escaped partition directories already CONTAIN
+    percent escapes on disk (``p=a%3Ab``), so the URI shows them
+    double-encoded (``p=a%253Ab``) — one ``unquote`` restores exactly
+    the on-disk name."""
+    from urllib.parse import unquote, urlparse
+
+    p = unquote(urlparse(uri).path)
+    return str(Path(p).relative_to(data_abs))
+
+
+def delete_table_version(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    prune: list[tuple] | None = None,
+) -> int:
+    """Row-level ``DELETE WHERE`` as a new version with FILE-LEVEL
+    copy-on-write — the takedown / GDPR-erasure operation a training-
+    data table needs (Delta ``DELETE`` parity; the reference has no
+    table layer at all).  Returns the new version, or the unchanged
+    head when no row matches (no empty commit).
+
+    ``predicate`` is a SQL expression string or a Column; rows where it
+    evaluates TRUE are removed (NULL keeps the row — SQL ``DELETE``
+    semantics).  Three narrowing steps keep the rewrite proportional to
+    the HIT set, not the table:
+
+    1. driver-side stats prune (``prune``: same ``(col, lo, hi)``
+       contract as :func:`read_table_version`) drops files whose
+       recorded [min, max] cannot contain a match — zero I/O;
+    2. one find-the-files job over the survivors: the predicate plus
+       ``input_file_name()``, collecting only DISTINCT FILE NAMES to
+       the driver (bounded by file count, never row count);
+    3. only hit files are rewritten (their non-matching rows re-staged);
+       every other file is re-referenced by the new manifest unchanged,
+       so old versions stay readable byte-identically and the changed
+       bytes are O(hit files).
+
+    Deleting every row commits an EMPTY version — subsequent
+    :func:`read_table_version` raises its documented empty-version
+    error and :func:`upsert_table_version` re-seeds the table on the
+    same version chain.  Concurrent-writer safe via the same
+    re-run-on-:class:`CommitConflict` loop as upsert."""
+    return _retry_conflicts(
+        lambda: _delete_table_version_once(spark, path, predicate, prune),
+        f"delete from {path}",
+    )
+
+
+def _delete_table_version_once(
+    spark: SparkSession, path: str, predicate, prune: list[tuple] | None
+) -> int:
+    head = latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    m = _load_manifest(path, head)
+    if not m["files"]:
+        return head  # already empty — nothing to delete
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    data_abs = (Path(path) / "data").resolve()
+    data = str(Path(path) / "data")
+    candidates = list(m["files"])
+    if prune:
+        stats = m.get("stats") or {}
+
+        def keep(f: str) -> bool:
+            fs = stats.get(f)
+            if not fs:
+                return True
+            for col, lo, hi in prune:
+                if col in fs:
+                    fmin, fmax = fs[col]
+                    if (hi is not None and fmin > hi) or (
+                        lo is not None and fmax < lo
+                    ):
+                        return False
+            return True
+
+        candidates = [f for f in candidates if keep(f)]
+    if not candidates:
+        return head
+    cdf = spark.read.option("basePath", data).parquet(
+        *[f"{data}/{f}" for f in candidates]
+    )
+    hit_uris = [
+        r[0]
+        for r in cdf.filter(cond)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    known = set(m["files"])
+    hit: set[str] = set()
+    for u in hit_uris:
+        rel = _rel_from_file_uri(u, data_abs)
+        if rel not in known:  # never silently rewrite the wrong file
+            raise ValueError(
+                f"matched file {rel!r} is not in version {head}'s manifest"
+            )
+        hit.add(rel)
+    if not hit:
+        return head  # predicate matched nothing: head unchanged
+    partition_by = m.get("partition_by") or None
+    hdf = spark.read.option("basePath", data).parquet(
+        *[f"{data}/{f}" for f in sorted(hit)]
+    )
+    n_hit = hdf.count()
+    survivors = hdf.filter(~F.coalesce(cond, F.lit(False)))
+    n_surv = survivors.count()
+    new_files = _stage_files(survivors, path, partition_by) if n_surv else []
+    carried = [f for f in m["files"] if f not in hit]
+    total = m["count"] - (n_hit - n_surv)
+    stats_cols = m.get("stats_cols") or None
+    stats = None
+    if stats_cols:
+        old_stats = m.get("stats") or {}
+        stats = {f: old_stats[f] for f in carried if f in old_stats}
+        stats.update(_file_stats(path, new_files, stats_cols))
+    schema = (
+        survivors.schema.jsonValue()
+        if not (carried or new_files)
+        else None
+    )
+    return _commit(
+        path, carried + new_files, total, head, partition_by,
+        stats_cols, stats, schema,
+    )
 
 
 def diff_table_versions(

@@ -793,3 +793,129 @@ def test_sync_table_changes_downstream_mirror(spark, tmp_path):
     Path(cursor).write_text("99")
     with pytest.raises(ValueError, match="ahead"):
         sync_table_changes(spark, src, ["k"], apply, cursor)
+
+
+# ---------------------------------------------------------------- delete
+
+
+def test_delete_rewrites_only_hit_files(spark, tmp_path):
+    """Row-level DELETE is file-level COW: the partition with no
+    matching row keeps its files verbatim in the new manifest; old
+    versions still read the deleted rows."""
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _t(spark, [(1, 1, "a"), (2, 1, "b"), (3, 2, "c")]).repartition("ds"),
+        p, "ds",
+    )
+    m1 = V._load_manifest(p, 1)
+    assert len(m1["files"]) == 2  # one file per partition
+    v2 = V.delete_table_version(spark, p, "k = 2")
+    assert v2 == 2
+    m2 = V._load_manifest(p, 2)
+    clean = {f for f in m1["files"] if f.startswith("ds=2/")}
+    assert clean and clean <= set(m2["files"])  # untouched file carried
+    dirty = {f for f in m1["files"] if f.startswith("ds=1/")}
+    assert dirty.isdisjoint(m2["files"])        # hit file rewritten
+    assert m2["count"] == 2
+    new = {r.k for r in V.read_table_version(spark, p).collect()}
+    assert new == {1, 3}
+    old = {r.k for r in V.read_table_version(spark, p, 1).collect()}
+    assert old == {1, 2, 3}  # time travel unaffected
+
+
+def test_delete_no_match_is_a_noop(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a")]), p, "ds")
+    assert V.delete_table_version(spark, p, "k = 99") == 1
+    assert V.list_versions(p) == [1]  # no empty commit
+
+
+def test_delete_null_predicate_keeps_row(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates NULL
+    survive."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, "y")], ["k", "tag"]
+    )
+    V.write_table_version(df, p)
+    V.delete_table_version(spark, p, "tag = 'x'")
+    assert {r.k for r in V.read_table_version(spark, p).collect()} == {1, 3}
+
+
+def test_delete_stats_prune_skips_files(spark, tmp_path):
+    """With a prune hint, files whose [min,max] cannot match are never
+    candidates — their stats survive untouched in the new manifest."""
+    p = str(tmp_path / "t")
+    lo = spark.range(0, 100).selectExpr("id AS k", "1 AS ds", "'lo' AS val")
+    hi = spark.range(1000, 1100).selectExpr(
+        "id AS k", "2 AS ds", "'hi' AS val"
+    )
+    V.write_table_version(
+        lo.unionByName(hi).repartition("ds"), p, "ds", stats_cols=["k"]
+    )
+    m1 = V._load_manifest(p, 1)
+    V.delete_table_version(
+        spark, p, "k = 1050", prune=[("k", 1050, 1050)]
+    )
+    m2 = V._load_manifest(p, 2)
+    lo_files = {f for f in m1["files"] if f.startswith("ds=1/")}
+    assert lo_files <= set(m2["files"])  # pruned file carried verbatim
+    assert all(f in m2["stats"] for f in m2["files"])  # stats follow
+    assert V.read_table_version(spark, p).count() == 199
+
+
+def test_delete_all_rows_then_upsert_reseeds(spark, tmp_path):
+    """Deleting every row commits an empty version whose manifest
+    carries the schema; reads return a typed empty frame and a later
+    upsert re-seeds the table on the same chain."""
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a"), (2, 2, "b")]), p, "ds")
+    v2 = V.delete_table_version(spark, p, "k >= 0")
+    assert v2 == 2
+    empty = V.read_table_version(spark, p)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "ds", "val"}
+    v3 = V.upsert_table_version(
+        spark, p, _t(spark, [(9, 1, "z")]), keys=["k"], partition_by="ds"
+    )
+    assert v3 == 3
+    assert {r.k for r in V.read_table_version(spark, p).collect()} == {9}
+    # history intact throughout
+    assert V.read_table_version(spark, p, 1).count() == 2
+
+
+def test_delete_hive_escaped_partition_file_mapping(spark, tmp_path):
+    """input_file_name() URIs double-encode Hive-escaped partition
+    dirs; the rel-path mapping must land on the manifest's names."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2024:01", "a"), (2, "2024:01", "b"), (3, "2024:02", "c")],
+        ["k", "ds", "val"],
+    )
+    V.write_table_version(df, p, "ds")
+    m1 = V._load_manifest(p, 1)
+    assert any("%3A" in f for f in m1["files"])  # escaping is in play
+    V.delete_table_version(spark, p, "k = 1")
+    got = {(r.k, r.ds) for r in V.read_table_version(spark, p).collect()}
+    assert got == {(2, "2024:01"), (3, "2024:02")}
+
+
+def test_delete_shows_in_cdc_feed(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a"), (2, 1, "b")]), p, "ds")
+    V.delete_table_version(spark, p, "k = 1")
+    ch = V.read_table_changes(spark, p, keys=["k"], from_version=1).collect()
+    assert {(r.k, r._change_type, r._commit_version) for r in ch} == {
+        (1, "delete", 2)
+    }
+
+
+def test_cli_table_delete_where(spark, tmp_path, capsys):
+    from etl_rust_spark.__main__ import main
+
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a"), (2, 2, "b")]), p, "ds")
+    assert main(["table", p, "--delete-where", "k = 1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 2 and out["versions"] == [1, 2]
+    assert {r.k for r in V.read_table_version(spark, p).collect()} == {2}
