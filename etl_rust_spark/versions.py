@@ -109,8 +109,47 @@ def list_versions(path: str) -> list[int]:
     ]
 
 
+# a delta-form manifest chain is capped by writing a full (checkpoint)
+# manifest at this depth — bounds both reconstruction cost (≤16 small
+# JSON reads) and how many ancestor manifests retention must keep
+_CHECKPOINT_EVERY = 16
+
+
 def _load_manifest(path: str, version: int) -> dict:
-    return json.loads(_manifest_path(path, version).read_text())
+    """The FULL view of a version: scalar fields plus materialized
+    ``files`` and ``stats``.
+
+    On disk a manifest is either FULL (has ``files`` — a checkpoint) or
+    DELTA (``added``/``removed`` relative to its parent) — the Delta-
+    Lake-style answer to commit metadata growing with TABLE size
+    instead of CHANGE size: a 1 M-file table's upsert writes KBs of
+    delta, not a 100 MB file list, and every
+    :data:`_CHECKPOINT_EVERY`-th commit checkpoints so reconstruction
+    walks a bounded chain.  Every consumer goes through here and only
+    ever sees the full view."""
+    raw = json.loads(_manifest_path(path, version).read_text())
+    if "files" in raw:
+        return raw
+    chain = [raw]
+    cur = raw
+    while True:
+        cur = json.loads(_manifest_path(path, cur["parent"]).read_text())
+        if "files" in cur:
+            base = cur
+            break
+        chain.append(cur)
+    files = set(base["files"])
+    stats = dict(base.get("stats") or {})
+    for d in reversed(chain):  # oldest delta first
+        for f in d["removed"]:
+            files.discard(f)
+            stats.pop(f, None)
+        files.update(d["added"])
+        stats.update(d.get("stats") or {})
+    out = dict(raw)
+    out["files"] = sorted(files)
+    out["stats"] = {f: stats[f] for f in out["files"] if f in stats}
+    return out
 
 
 def _stage_files(df: DataFrame, table: str, partition_by: str | None) -> list[str]:
@@ -239,6 +278,38 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
         # version, e.g. delete_table_version removing every row) so
         # read_table_version can still plan a typed empty frame
         manifest["schema"] = schema
+    if parent and schema is None:
+        # DELTA form when the change is smaller than the table and the
+        # chain is shallow (see _load_manifest): commit metadata then
+        # costs O(changed files), the 100 TB requirement
+        try:
+            praw = json.loads(_manifest_path(path, parent).read_text())
+        except (FileNotFoundError, json.JSONDecodeError):
+            praw = None
+        if praw is not None:
+            depth = int(praw.get("depth", 0))
+            if depth + 1 < _CHECKPOINT_EVERY:
+                pfiles = set(_load_manifest(path, parent)["files"])
+                nfiles = set(files)
+                added = sorted(nfiles - pfiles)
+                removed = sorted(pfiles - nfiles)
+                if len(added) + len(removed) < len(nfiles):
+                    manifest = {
+                        "version": version,
+                        "parent": parent,
+                        "writer": writer,
+                        "partition_by": partition_by,
+                        "count": count,
+                        "depth": depth + 1,
+                        "added": added,
+                        "removed": removed,
+                        "stats_cols": stats_cols or [],
+                        "stats": {
+                            f: (stats or {})[f]
+                            for f in added
+                            if f in (stats or {})
+                        },
+                    }
     mp = _manifest_path(path, version)
     try:
         fd = os.open(mp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -894,6 +965,26 @@ def expire_versions(
     for d in sorted((p for p in data.rglob("*") if p.is_dir()), reverse=True):
         if not any(d.iterdir()):
             d.rmdir()
+    # a kept DELTA-form manifest whose ancestor chain is about to be
+    # expired is first MATERIALIZED into a full (checkpoint) manifest —
+    # same logical view, atomically swapped in — so retention never has
+    # to keep expired ancestors alive just for reconstruction.  (A
+    # reader that loaded the delta form just before this and walks its
+    # ancestors after they drop hits the same already-documented
+    # reader-vs-expiry race grace_seconds/pins exist for.)
+    for v in sorted(keep):
+        try:
+            raw = json.loads(_manifest_path(path, v).read_text())
+        except (FileNotFoundError, json.JSONDecodeError):
+            continue
+        if "files" in raw or raw.get("parent") in keep:
+            continue
+        full = _load_manifest(path, v)
+        for k in ("added", "removed", "depth"):
+            full.pop(k, None)
+        tmp = _manifest_dir(path) / f".ckpt-{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(full, indent=1))
+        os.replace(tmp, _manifest_path(path, v))
     dropped_manifests = 0
     head = latest_version(path) or 0
     for mp in _manifest_dir(path).glob("m*.json"):

@@ -43,8 +43,8 @@ def test_upsert_reuses_clean_partition_files(spark, tmp_path):
     V.upsert_table_version(
         spark, p, _t(spark, [(3, 2, "c")]), keys=["k"], partition_by="ds"
     )
-    m1 = json.loads((Path(p) / "_manifests" / "m00000001.json").read_text())
-    m2 = json.loads((Path(p) / "_manifests" / "m00000002.json").read_text())
+    m1 = V._load_manifest(p, 1)
+    m2 = V._load_manifest(p, 2)
     f1_clean = {f for f in m1["files"] if f.startswith("ds=1/")}
     assert f1_clean and f1_clean <= set(m2["files"])  # shared, not copied
     f1_dirty = {f for f in m1["files"] if f.startswith("ds=2/")}
@@ -373,7 +373,7 @@ def test_upsert_hive_escaped_partition_values(spark, tmp_path):
     rows = [(1, "2024-01-01T00:00", "a"), (2, "2024-01-02T00:00", "b")]
     V.write_table_version(_t(spark, rows), p, "ds")
     # directory really is escaped — the premise of the bug
-    m1 = json.loads((Path(p) / "_manifests" / "m00000001.json").read_text())
+    m1 = V._load_manifest(p, 1)
     assert any("%3A" in f for f in m1["files"])
     V.upsert_table_version(
         spark, p,
@@ -382,7 +382,7 @@ def test_upsert_hive_escaped_partition_values(spark, tmp_path):
     )
     got = {(r.k, r.val) for r in V.read_table_version(spark, p).collect()}
     assert got == {(1, "A"), (2, "b")}       # no duplicate key 1
-    m2 = json.loads((Path(p) / "_manifests" / "m00000002.json").read_text())
+    m2 = V._load_manifest(p, 2)
     assert len(m2["files"]) == len(set(m2["files"]))
     # the clean escaped partition's files still carry over verbatim
     clean = {f for f in m1["files"] if "2024-01-02" in f}
@@ -413,7 +413,7 @@ def test_compact_hive_escaped_partition(spark, tmp_path):
     assert v == 2
     got = {r.k for r in V.read_table_version(spark, p).collect()}
     assert got == set(range(8))              # nothing dropped
-    m2 = json.loads((Path(p) / "_manifests" / "m00000002.json").read_text())
+    m2 = V._load_manifest(p, 2)
     assert len(m2["files"]) <= 2
 
 
@@ -557,7 +557,7 @@ def test_stalled_writer_loses_loudly_when_sweep_steals_slot(spark, tmp_path):
         V._commit._pause_before_swap = None
     # the rival's commit is the one at version 2, and the head is sane
     assert V.latest_version(p) == 2
-    m = json.loads((Path(p) / "_manifests" / "m00000002.json").read_text())
+    m = V._load_manifest(p, 2)
     assert m["files"] == ["ds=1/rival.parquet"]
     # the loser can now retry against the new head and land cleanly
     v3 = V._commit(p, ["ds=1/stalled.parquet"], 1, parent=2,
@@ -919,3 +919,122 @@ def test_cli_table_delete_where(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["version"] == 2 and out["versions"] == [1, 2]
     assert {r.k for r in V.read_table_version(spark, p).collect()} == {2}
+
+
+# ------------------------------------------------- delta-form manifests
+
+
+def test_small_upserts_write_delta_manifests(spark, tmp_path):
+    """Commit metadata is O(changed files): a small upsert against a
+    many-file table writes an added/removed delta on disk, and the
+    reconstructed view equals what a full manifest would say."""
+    p = str(tmp_path / "t")
+    big = spark.range(0, 200).selectExpr(
+        "id AS k", "CAST(id % 20 AS INT) AS ds", "'x' AS val"
+    ).repartition(20, "ds")
+    V.write_table_version(big, p, "ds", stats_cols=["k"])
+    V.upsert_table_version(
+        spark, p, _t(spark, [(3, 3, "HOT")]), keys=["k"], partition_by="ds"
+    )
+    raw1 = json.loads((Path(p) / "_manifests" / "m00000001.json").read_text())
+    raw2 = json.loads((Path(p) / "_manifests" / "m00000002.json").read_text())
+    assert "files" in raw1                    # first commit: checkpoint
+    assert "files" not in raw2 and raw2["depth"] == 1   # delta form
+    # delta names only the churn, not the table
+    assert len(raw2["added"]) + len(raw2["removed"]) < len(raw1["files"])
+    assert set(raw2["stats"]) == set(raw2["added"])  # stats only for new
+    m2 = V._load_manifest(p, 2)
+    # only the dirty ds=3 directory's files changed hands
+    assert all(f.startswith("ds=3/") for f in raw2["removed"])
+    assert all(f.startswith("ds=3/") for f in raw2["added"])
+    carried = set(raw1["files"]) - set(raw2["removed"])
+    assert carried <= set(m2["files"])
+    assert m2["count"] == 200  # k=3 existed: update, not insert
+    assert all(f in m2["stats"] for f in m2["files"])  # stats reconstruct
+    got = {r.val for r in V.read_table_version(spark, p).filter("k = 3").collect()}
+    assert got == {"HOT"}
+    # stats pruning still works through the reconstructed view: only
+    # files whose [min,max] can hold k>=190 survive the prune
+    pruned = V.read_table_version(spark, p, prune=[("k", 190, None)])
+    assert pruned.count() < 200
+    assert pruned.filter("k >= 190").count() == 10
+
+
+def test_delta_chain_checkpoints_at_depth(spark, tmp_path):
+    """The delta chain is bounded: after _CHECKPOINT_EVERY commits a
+    full manifest lands again, and every version still reads."""
+    p = str(tmp_path / "t")
+    big = spark.range(0, 100).selectExpr(
+        "id AS k", "CAST(id % 10 AS INT) AS ds", "'x' AS val"
+    ).repartition(10, "ds")
+    V.write_table_version(big, p, "ds")
+    n_commits = V._CHECKPOINT_EVERY + 2
+    for i in range(n_commits):
+        V.upsert_table_version(
+            spark, p, _t(spark, [(i, i % 10, f"u{i}")]),
+            keys=["k"], partition_by="ds",
+        )
+    forms = {}
+    for v in range(1, n_commits + 2):
+        raw = json.loads(
+            (Path(p) / "_manifests" / f"m{v:08d}.json").read_text()
+        )
+        forms[v] = "full" if "files" in raw else "delta"
+    assert forms[1] == "full"
+    assert "full" in {forms[v] for v in range(2, n_commits + 2)}  # re-checkpointed
+    assert max(
+        json.loads((Path(p) / "_manifests" / f"m{v:08d}.json").read_text())
+        .get("depth", 0)
+        for v in forms
+    ) < V._CHECKPOINT_EVERY
+    # every version in the chain reconstructs and reads
+    for v in range(1, n_commits + 2):
+        assert V.read_table_version(spark, p, v).count() == 100
+    head = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    for i in range(n_commits):
+        assert head[i] == f"u{i}"
+
+
+def test_expire_materializes_kept_delta_manifests(spark, tmp_path):
+    """Retention across a delta chain: kept delta manifests checkpoint
+    themselves so expired ancestors' manifests can drop; kept versions
+    keep reading."""
+    p = str(tmp_path / "t")
+    big = spark.range(0, 100).selectExpr(
+        "id AS k", "CAST(id % 10 AS INT) AS ds", "'x' AS val"
+    ).repartition(10, "ds")
+    V.write_table_version(big, p, "ds")
+    for i in range(3):
+        V.upsert_table_version(
+            spark, p, _t(spark, [(i, i, f"u{i}")]),
+            keys=["k"], partition_by="ds",
+        )
+    raw3 = json.loads((Path(p) / "_manifests" / "m00000003.json").read_text())
+    assert "files" not in raw3  # premise: kept version is delta-form
+    rep = V.expire_versions(p, keep_last=2)
+    assert rep["kept_versions"] == [3, 4]
+    raw3 = json.loads((Path(p) / "_manifests" / "m00000003.json").read_text())
+    assert "files" in raw3                       # materialized checkpoint
+    raw4 = json.loads((Path(p) / "_manifests" / "m00000004.json").read_text())
+    assert "files" not in raw4                   # parent kept: stays delta
+    with pytest.raises(FileNotFoundError):
+        V._load_manifest(p, 1)                   # ancestors really dropped
+    assert V.read_table_version(spark, p, 3).count() == 100
+    assert V.read_table_version(spark, p, 4).count() == 100
+    head = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert head[2] == "u2"
+
+
+def test_delete_writes_delta_manifest(spark, tmp_path):
+    """Row-level delete against a many-file table commits O(hit) delta
+    metadata too."""
+    p = str(tmp_path / "t")
+    big = spark.range(0, 200).selectExpr(
+        "id AS k", "CAST(id % 20 AS INT) AS ds", "'x' AS val"
+    ).repartition(20, "ds")
+    V.write_table_version(big, p, "ds")
+    V.delete_table_version(spark, p, "k = 7")
+    raw2 = json.loads((Path(p) / "_manifests" / "m00000002.json").read_text())
+    assert "files" not in raw2
+    assert len(raw2["removed"]) >= 1 and len(raw2["added"]) >= 1
+    assert V.read_table_version(spark, p).count() == 199
