@@ -210,6 +210,121 @@ def _file_stats(table: str, files: list[str], cols: list[str]) -> dict:
     return out
 
 
+_BLOOM_KEY = "bloom:"  # per-file stats-dict key prefix for bloom entries
+
+
+def _bloom_positions(value: str, bits: int, k: int) -> list[int]:
+    """k bit positions via double hashing over one blake2b digest —
+    deterministic across processes (no PYTHONHASHSEED dependence)."""
+    import hashlib
+
+    d = hashlib.blake2b(value.encode("utf-8"), digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % bits for i in range(k)]
+
+
+def _bloom_might_contain(entry: dict, value: str) -> bool:
+    import base64
+
+    import numpy as np
+
+    bits = np.unpackbits(
+        np.frombuffer(base64.b64decode(entry["b"]), dtype=np.uint8)
+    )
+    return all(bits[p] for p in _bloom_positions(value, entry["m"], entry["k"]))
+
+
+def _file_blooms(
+    spark: SparkSession, table: str, files: list[str], cols: list[str],
+    bits: int, k: int,
+) -> dict[str, dict]:
+    """Per-file bloom filters over ``CAST(col AS STRING)`` — the
+    point-lookup complement to min/max stats: a high-cardinality
+    UNORDERED key (doc_id, uuid, address) has every file's [min, max]
+    spanning the whole domain, so range stats prune nothing, while a
+    1 KB bloom per file answers "could this file hold key X" with no
+    false negatives (false positives only cost a read that min/max
+    would have paid anyway).
+
+    Built executor-side with ZERO shuffle: one columnar scan of only
+    the bloom columns, per-Arrow-batch partial bitmaps, OR-merged on
+    the driver (n_batches × n_cols tiny rows — control-plane sized).
+    Size ``bits`` to ~10× the expected distinct keys per file; for
+    very fat files prefer engine-native parquet bloom filters at write
+    time and keep these for file-level (not row-group) skipping."""
+    import base64
+
+    import numpy as np
+    import pandas as pd
+
+    if not files or not cols:
+        return {}
+    data_abs = (Path(table) / "data").resolve()
+    data = str(Path(table) / "data")
+    df = spark.read.option("basePath", data).parquet(
+        *[f"{data}/{f}" for f in files]
+    )
+    present = [c for c in cols if c in df.columns]
+    if not present:
+        return {}
+    sel = df.select(
+        F.input_file_name().alias("__f"),
+        *[F.col(c).cast("string").alias(c) for c in present],
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            fs, cs, bs = [], [], []
+            for fname, sub in pdf.groupby("__f"):
+                for c in present:
+                    arr = np.zeros(bits, dtype=bool)
+                    for v in sub[c]:
+                        if v is None:
+                            continue
+                        for p in _bloom_positions(v, bits, k):
+                            arr[p] = True
+                    fs.append(fname)
+                    cs.append(c)
+                    bs.append(np.packbits(arr).tobytes())
+            yield pd.DataFrame({"f": fs, "c": cs, "b": bs})
+
+    merged: dict[tuple[str, str], "np.ndarray"] = {}
+    for row in sel.mapInPandas(gen, "f string, c string, b binary").collect():
+        rel = _rel_from_file_uri(row["f"], data_abs)
+        cur = np.frombuffer(row["b"], dtype=np.uint8)
+        key = (rel, row["c"])
+        merged[key] = cur if key not in merged else (merged[key] | cur)
+    out: dict[str, dict] = {}
+    for (rel, c), bm in merged.items():
+        out.setdefault(rel, {})[_BLOOM_KEY + c] = {
+            "m": bits,
+            "k": k,
+            "b": base64.b64encode(bm.tobytes()).decode("ascii"),
+        }
+    return out
+
+
+def _new_file_meta(
+    spark: SparkSession, table: str, files: list[str],
+    stats_cols: list[str] | None, bloom_conf: dict | None,
+) -> dict:
+    """Per-file metadata for freshly staged files: [min,max] footer
+    stats for ``stats_cols`` plus bloom entries per ``bloom_conf`` —
+    both live in the same per-file dict so every carry/reconstruct
+    path moves them together."""
+    meta: dict[str, dict] = {}
+    if stats_cols:
+        meta = _file_stats(table, files, stats_cols)
+    if bloom_conf and bloom_conf.get("cols"):
+        for f, d in _file_blooms(
+            spark, table, files, bloom_conf["cols"],
+            int(bloom_conf.get("bits", 8192)), int(bloom_conf.get("k", 4)),
+        ).items():
+            meta.setdefault(f, {}).update(d)
+    return meta
+
+
 class CommitConflict(Exception):
     """Another writer committed between this writer's read of the table
     head and its manifest creation.  Merge-dependent callers
@@ -227,7 +342,8 @@ _STALE_MANIFEST_SECONDS = 60.0
 def _commit(path: str, files: list[str], count: int, parent: int | None,
             partition_by: str | None, stats_cols: list[str] | None = None,
             stats: dict | None = None,
-            schema: dict | None = None) -> int:
+            schema: dict | None = None,
+            bloom_conf: dict | None = None) -> int:
     """Optimistic-concurrency commit (r8, VERDICT r7 #5).
 
     ``parent`` is the head this commit's content was computed AGAINST.
@@ -278,6 +394,8 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
         # version, e.g. delete_table_version removing every row) so
         # read_table_version can still plan a typed empty frame
         manifest["schema"] = schema
+    if bloom_conf is not None:
+        manifest["blooms_conf"] = bloom_conf
     if parent and schema is None:
         # DELTA form when the change is smaller than the table and the
         # chain is shallow (see _load_manifest): commit metadata then
@@ -310,6 +428,8 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
                             if f in (stats or {})
                         },
                     }
+                    if bloom_conf is not None:
+                        manifest["blooms_conf"] = bloom_conf
     mp = _manifest_path(path, version)
     try:
         fd = os.open(mp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -324,7 +444,7 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
             mp.unlink(missing_ok=True)
             return _commit(
                 path, files, count, parent, partition_by, stats_cols,
-                stats, schema,
+                stats, schema, bloom_conf,
             )
         raise CommitConflict(
             f"version {version} of {path} was claimed concurrently"
@@ -393,6 +513,9 @@ def write_table_version(
     path: str,
     partition_by: str | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 8192,
+    bloom_k: int = 4,
 ) -> int:
     """Commit ``df`` as a full new snapshot; returns the version.
 
@@ -400,16 +523,31 @@ def write_table_version(
     manifest (footer metadata read, no data scan): the Iceberg-style
     stats that let :func:`read_table_version` prune FILES on
     non-partition predicates — which is how a z-ordered layout keeps
-    skipping through the explicit-file-list read."""
+    skipping through the explicit-file-list read.
+
+    ``bloom_cols`` additionally records a per-file bloom filter per
+    column (see :func:`_file_blooms`) so ``point`` lookups on
+    high-cardinality UNORDERED keys — where every file's [min, max]
+    spans the domain and range stats prune nothing — still skip files.
+    Both kinds of per-file metadata are inherited by upserts, deletes
+    and compactions: carried files keep their entries, new files pay
+    one footer read + one bloom scan."""
     n = df.count()
     files = _stage_files(df, path, partition_by)
-    stats = _file_stats(path, files, stats_cols) if stats_cols else None
+    bloom_conf = (
+        {"cols": bloom_cols, "bits": bloom_bits, "k": bloom_k}
+        if bloom_cols
+        else None
+    )
+    stats = _new_file_meta(
+        df.sparkSession, path, files, stats_cols, bloom_conf
+    ) or None
     # a full snapshot's content is parent-independent: on conflict just
     # re-read the head and take the next slot (files staged once)
     return _retry_conflicts(
         lambda: _commit(
             path, files, n, latest_version(path), partition_by,
-            stats_cols, stats,
+            stats_cols, stats, bloom_conf=bloom_conf,
         ),
         f"snapshot of {path}",
     )
@@ -420,6 +558,7 @@ def read_table_version(
     path: str,
     version: int | None = None,
     prune: list[tuple] | None = None,
+    point: list[tuple] | None = None,
 ) -> DataFrame:
     """The table AS OF ``version`` (default: latest) — planned from the
     manifest's explicit file list, ``basePath``-anchored so partition
@@ -428,9 +567,15 @@ def read_table_version(
     ``prune`` is a list of ``(col, lo, hi)`` range predicates evaluated
     against the manifest's per-file stats BEFORE planning: files whose
     recorded [min, max] cannot intersect are never handed to Spark at
-    all (driver-side, zero I/O).  Files without stats for a column are
-    kept — pruning is an optimization, never a filter: callers still
-    apply the real predicate to the returned frame."""
+    all (driver-side, zero I/O).  ``point`` is a list of ``(col,
+    value)`` equality probes evaluated against per-file bloom filters
+    (``bloom_cols`` at write time; values compared through the same
+    string cast the build used, so string/integer keys) — the pruning
+    that works where min/max can't: unordered high-cardinality keys.
+    Files without stats/blooms for a column are kept — pruning is an
+    optimization, never a filter: callers still apply the real
+    predicate to the returned frame (bloom false positives only keep
+    extra files, never drop a match)."""
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed versions under {path}")
@@ -447,20 +592,24 @@ def read_table_version(
                 [], StructType.fromJson(m["schema"])
             )
         raise ValueError(f"version {v} of {path} is empty")
-    if prune:
+    if prune or point:
         stats = m.get("stats") or {}
 
         def keep(f: str) -> bool:
             fs = stats.get(f)
             if not fs:
                 return True
-            for col, lo, hi in prune:
+            for col, lo, hi in prune or []:
                 if col in fs:
                     fmin, fmax = fs[col]
                     if (hi is not None and fmin > hi) or (
                         lo is not None and fmax < lo
                     ):
                         return False
+            for col, val in point or []:
+                entry = fs.get(_BLOOM_KEY + col)
+                if entry and not _bloom_might_contain(entry, str(val)):
+                    return False
             return True
 
         files = [f for f in files if keep(f)]
@@ -517,7 +666,14 @@ def _upsert_table_version_once(
     idempotent in CONTENT (the new version's rows equal the previous
     version's), though it still commits a version.  ``stats_cols``
     defaults to the parent manifest's — carried files keep their
-    recorded stats, only new files pay a footer read."""
+    recorded stats, only new files pay a footer read.
+
+    CONTRACT: the partition column must be stable per key (functionally
+    dependent on ``keys``).  A delta row that MOVES a key to a new
+    partition value only dirties the NEW partition — the old
+    partition's copy survives untouched and the key duplicates, the
+    inherent trade of partition-scoped merges (route partition moves
+    through delete_table_version + upsert, or a full snapshot)."""
     missing = [k for k in keys if k not in delta.columns]
     if missing:
         raise ValueError(f"delta is missing key columns: {missing}")
@@ -527,6 +683,7 @@ def _upsert_table_version_once(
     m = _load_manifest(path, head)
     if stats_cols is None:
         stats_cols = m.get("stats_cols") or None
+    bloom_conf = m.get("blooms_conf")
     if (m.get("partition_by") or None) != (partition_by or None):
         raise ValueError(
             f"table is partitioned by {m.get('partition_by')!r}, "
@@ -537,8 +694,9 @@ def _upsert_table_version_once(
         # row): re-seed with a full snapshot on the SAME version chain
         n = delta.count()
         files = _stage_files(delta, path, partition_by)
-        stats = _file_stats(path, files, stats_cols) if stats_cols else None
-        return _commit(path, files, n, head, partition_by, stats_cols, stats)
+        stats = _new_file_meta(spark, path, files, stats_cols, bloom_conf) or None
+        return _commit(path, files, n, head, partition_by, stats_cols,
+                       stats, bloom_conf=bloom_conf)
     existing = read_table_version(spark, path, head)
     dropped = set(existing.columns) - set(delta.columns)
     if dropped:
@@ -559,9 +717,10 @@ def _upsert_table_version_once(
         ).unionByName(delta)
         n = merged.count()
         files = _stage_files(merged, path, partition_by)
-        stats = _file_stats(path, files, stats_cols) if stats_cols else None
+        stats = _new_file_meta(spark, path, files, stats_cols, bloom_conf) or None
         return _commit(
             path, files, n, head, partition_by, stats_cols, stats,
+            bloom_conf=bloom_conf,
         )
     if partition_by:
         dirty = [
@@ -605,13 +764,13 @@ def _upsert_table_version_once(
         carried = []
         total = n_new
     stats = None
-    if stats_cols:
+    if stats_cols or bloom_conf:
         old_stats = m.get("stats") or {}
         stats = {f: old_stats[f] for f in carried if f in old_stats}
-        stats.update(_file_stats(path, new_files, stats_cols))
+        stats.update(_new_file_meta(spark, path, new_files, stats_cols, bloom_conf))
     return _commit(
         path, carried + new_files, total, head, partition_by,
-        stats_cols, stats,
+        stats_cols, stats, bloom_conf=bloom_conf,
     )
 
 
@@ -804,11 +963,12 @@ def _delete_table_version_once(
     carried = [f for f in m["files"] if f not in hit]
     total = m["count"] - (n_hit - n_surv)
     stats_cols = m.get("stats_cols") or None
+    bloom_conf = m.get("blooms_conf")
     stats = None
-    if stats_cols:
+    if stats_cols or bloom_conf:
         old_stats = m.get("stats") or {}
         stats = {f: old_stats[f] for f in carried if f in old_stats}
-        stats.update(_file_stats(path, new_files, stats_cols))
+        stats.update(_new_file_meta(spark, path, new_files, stats_cols, bloom_conf))
     schema = (
         survivors.schema.jsonValue()
         if not (carried or new_files)
@@ -816,7 +976,7 @@ def _delete_table_version_once(
     )
     return _commit(
         path, carried + new_files, total, head, partition_by,
-        stats_cols, stats, schema,
+        stats_cols, stats, schema, bloom_conf=bloom_conf,
     )
 
 
@@ -1070,12 +1230,13 @@ def _compact_table_version_once(
         scope, carried = read_table_version(spark, path, head), []
     rewritten = scope.coalesce(max_files_per_partition)
     new_files = _stage_files(rewritten, path, partition_by)
+    bloom_conf = m.get("blooms_conf")
     stats = None
-    if stats_cols:
+    if stats_cols or bloom_conf:
         old_stats = m.get("stats") or {}
         stats = {f: old_stats[f] for f in carried if f in old_stats}
-        stats.update(_file_stats(path, new_files, stats_cols))
+        stats.update(_new_file_meta(spark, path, new_files, stats_cols, bloom_conf))
     return _commit(
         path, carried + new_files, m["count"], head, partition_by,
-        stats_cols, stats,
+        stats_cols, stats, bloom_conf=bloom_conf,
     )

@@ -8,6 +8,7 @@ import json
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_rust_spark import versions as V
 
@@ -1038,3 +1039,114 @@ def test_delete_writes_delta_manifest(spark, tmp_path):
     assert "files" not in raw2
     assert len(raw2["removed"]) >= 1 and len(raw2["added"]) >= 1
     assert V.read_table_version(spark, p).count() == 199
+
+
+# ------------------------------------------------ bloom file skipping
+
+
+def _uuid_table(spark, n=60):
+    """Unordered high-cardinality key: every file's [min,max] spans the
+    domain, so range stats cannot prune — the bloom's home turf."""
+    import hashlib
+
+    rows = [
+        (hashlib.md5(str(i).encode()).hexdigest(), i % 6, f"v{i}")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "ds", "val"])
+
+
+def test_bloom_point_lookup_skips_files(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = _uuid_table(spark).repartition(6, "ds")
+    V.write_table_version(df, p, "ds", bloom_cols=["doc_id"])
+    all_files = set(V.read_table_version(spark, p).inputFiles())
+    assert len(all_files) == 6
+    import hashlib
+
+    hits = misses = 0
+    for i in range(0, 60, 7):
+        key = hashlib.md5(str(i).encode()).hexdigest()
+        got = V.read_table_version(spark, p, point=[("doc_id", key)])
+        planned = set(got.inputFiles())
+        assert planned  # never prunes to nothing for a present key
+        hits += len(planned)
+        misses += len(all_files) - len(planned)
+        # no false negative: the real row is in the pruned plan
+        assert got.filter(F.col("doc_id") == key).count() == 1
+    assert misses > 0  # the bloom actually skipped files
+    # absent key: typically prunes everything (FP-tolerant: just fewer)
+    got = V.read_table_version(spark, p, point=[("doc_id", "not-a-key")])
+    assert len(set(got.inputFiles())) < len(all_files)
+
+
+def test_bloom_entries_inherited_by_upsert_and_compact(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _uuid_table(spark).repartition(6, "ds"), p, "ds",
+        stats_cols=["ds"], bloom_cols=["doc_id"],
+    )
+    import hashlib
+
+    V.upsert_table_version(
+        spark, p,
+        spark.createDataFrame([("brand-new-key", 2, "nv")],
+                              ["doc_id", "ds", "val"]),
+        keys=["doc_id"], partition_by="ds",
+    )
+    m2 = V._load_manifest(p, 2)
+    assert m2.get("blooms_conf", {}).get("cols") == ["doc_id"]
+    # every file (carried AND new) has a bloom entry in the full view
+    assert all("bloom:doc_id" in m2["stats"].get(f, {}) for f in m2["files"])
+    got = V.read_table_version(spark, p, point=[("doc_id", "brand-new-key")])
+    assert got.filter("doc_id = 'brand-new-key'").count() == 1
+    assert len(set(got.inputFiles())) < len(m2["files"])
+    # an old key still found after the upsert
+    key = hashlib.md5(b"7").hexdigest()
+    got = V.read_table_version(spark, p, point=[("doc_id", key)])
+    assert got.filter(F.col("doc_id") == key).count() == 1
+    # compaction keeps the blooms usable too
+    V.compact_table_version(spark, p, max_files_per_partition=1)
+    mc = V._load_manifest(p, 3)
+    assert all("bloom:doc_id" in mc["stats"].get(f, {}) for f in mc["files"])
+    got = V.read_table_version(spark, p, point=[("doc_id", key)])
+    assert got.filter(F.col("doc_id") == key).count() == 1
+
+
+def test_bloom_rides_delta_manifests(spark, tmp_path):
+    """Delta-form commits store bloom entries only for ADDED files; the
+    reconstructed view carries them for every live file."""
+    p = str(tmp_path / "t")
+    big = spark.range(0, 200).selectExpr(
+        "CAST(id AS STRING) AS doc_id", "CAST(id % 20 AS INT) AS ds",
+        "'x' AS val",
+    ).repartition(20, "ds")
+    V.write_table_version(big, p, "ds", bloom_cols=["doc_id"])
+    V.upsert_table_version(
+        spark, p,
+        spark.createDataFrame([("7", 7, "HOT")], ["doc_id", "ds", "val"]),
+        keys=["doc_id"], partition_by="ds",
+    )
+    raw2 = json.loads((Path(p) / "_manifests" / "m00000002.json").read_text())
+    assert "files" not in raw2                     # delta form
+    assert set(raw2["stats"]) == set(raw2["added"])
+    m2 = V._load_manifest(p, 2)
+    assert all("bloom:doc_id" in m2["stats"].get(f, {}) for f in m2["files"])
+    got = V.read_table_version(spark, p, point=[("doc_id", "7")])
+    assert got.filter("doc_id = '7'").count() == 1
+    assert len(set(got.inputFiles())) < len(m2["files"])
+
+
+def test_bloom_integer_keys_and_combined_prune(spark, tmp_path):
+    """Integer keys probe through the same string cast; point and range
+    pruning compose."""
+    p = str(tmp_path / "t")
+    df = spark.range(0, 100).selectExpr(
+        "id AS k", "CAST(id % 10 AS INT) AS ds", "'x' AS val"
+    ).repartition(10, "ds")
+    V.write_table_version(df, p, "ds", stats_cols=["k"], bloom_cols=["k"])
+    got = V.read_table_version(
+        spark, p, prune=[("k", 37, 37)], point=[("k", 37)]
+    )
+    assert got.filter("k = 37").count() == 1
+    assert len(set(got.inputFiles())) <= 2
