@@ -383,6 +383,11 @@ def main(argv: list[str] | None = None) -> int:
         help="OPTIMIZE: coalesce partitions with more than N files",
     )
     pv.add_argument(
+        "--zorder", default=None, metavar="COLS",
+        help="with --compact: OPTIMIZE ZORDER BY this comma column "
+        "list (rewrites every file z-order clustered)",
+    )
+    pv.add_argument(
         "--expire-keep", type=int, default=None,
         help="retention: keep only the newest N versions",
     )
@@ -692,7 +697,8 @@ def main(argv: list[str] | None = None) -> int:
             )
         if args.compact is not None:
             out["version"] = _v.compact_table_version(
-                spark, args.table, max_files_per_partition=args.compact
+                spark, args.table, max_files_per_partition=args.compact,
+                zorder_by=args.zorder.split(",") if args.zorder else None,
             )
         if args.expire_keep is not None:
             out["expire"] = _v.expire_versions(args.table, args.expire_keep)

@@ -35,6 +35,7 @@ __all__ = [
     "create_bucketed_table",
     "write_clustered",
     "write_zordered",
+    "zorder_frame",
     "upsert_table",
     "layout_report",
 ]
@@ -395,6 +396,25 @@ def write_zordered(
     sort as the lowest bucket.  Cost: the sampling pass + one shuffle —
     amortized over every subsequent multi-predicate scan.
     """
+    out = zorder_frame(df, by, n_files, bits_per_col, relative_error)
+    w = out.write
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.mode("overwrite").parquet(path)
+
+
+def zorder_frame(
+    df: DataFrame,
+    by: list[str],
+    n_files: int,
+    bits_per_col: int = 8,
+    relative_error: float = 0.01,
+) -> DataFrame:
+    """The z-order transformation alone — ``df`` range-exchanged and
+    in-file sorted on the Morton key of quantile-bucketed ``by``
+    columns, ready for any writer (:func:`write_zordered` materializes
+    to a plain path; ``versions.compact_table_version(zorder_by=...)``
+    stages it into a versioned commit)."""
     if len(by) < 2:
         raise ValueError("z-ordering needs >= 2 columns; use write_clustered")
     from pyspark.ml.feature import Bucketizer
@@ -423,15 +443,11 @@ def write_zordered(
         for j, c in enumerate(by)
     ]
     work = work.withColumn("__z", F.expr(" + ".join(terms)))
-    out = (
+    return (
         work.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z", *bucket_cols)
     )
-    w = out.write
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.mode("overwrite").parquet(path)
 
 
 def upsert_table(

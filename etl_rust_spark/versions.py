@@ -1167,11 +1167,16 @@ def compact_table_version(
     spark: SparkSession,
     path: str,
     max_files_per_partition: int = 1,
+    zorder_by: list[str] | None = None,
+    bits_per_col: int = 8,
 ) -> int:
     """Concurrent-writer-safe wrapper around one compaction pass (see
-    :func:`upsert_table_version` for the conflict protocol)."""
+    :func:`upsert_table_version` for the conflict protocol).
+    ``zorder_by`` turns the pass into OPTIMIZE ZORDER BY (below)."""
     return _retry_conflicts(
-        lambda: _compact_table_version_once(spark, path, max_files_per_partition),
+        lambda: _compact_table_version_once(
+            spark, path, max_files_per_partition, zorder_by, bits_per_col
+        ),
         f"compaction of {path}",
     )
 
@@ -1180,6 +1185,8 @@ def _compact_table_version_once(
     spark: SparkSession,
     path: str,
     max_files_per_partition: int = 1,
+    zorder_by: list[str] | None = None,
+    bits_per_col: int = 8,
 ) -> int:
     """OPTIMIZE: rewrite fragmented partitions into at most
     ``max_files_per_partition`` files each, committed as a new
@@ -1194,7 +1201,18 @@ def _compact_table_version_once(
     count); already-compact partitions' files carry over verbatim, and
     every older version still reads its own files byte-identically.
     Unpartitioned tables compact as one unit.  Stats columns are
-    inherited; rewritten files get fresh footer stats."""
+    inherited; rewritten files get fresh footer stats.
+
+    ``zorder_by`` (OPTIMIZE ZORDER BY parity): instead of coalescing
+    fragmented partitions, rewrite EVERY data file with the whole head
+    z-order clustered on those columns (:func:`catalog.zorder_frame` —
+    quantile-bucketed Morton keys, one range exchange + in-file sort).
+    The freshly computed per-file [min, max] stats then cover small
+    disjoint hyper-rectangles, so subsequent ``prune``/``point`` reads
+    on ANY clustered column skip most files — the re-layout step that
+    makes manifest stats pruning actually bite after random-order
+    ingestion.  File budget: ``max_files_per_partition`` × the head's
+    partition-directory count (one unit when unpartitioned)."""
     head = latest_version(path)
     if head is None:
         raise FileNotFoundError(f"no committed versions under {path}")
@@ -1208,6 +1226,24 @@ def _compact_table_version_once(
     by_part: dict[str, list[str]] = {}
     for f in m["files"]:
         by_part.setdefault(part_of(f), []).append(f)
+    if zorder_by:
+        from etl_rust_spark.catalog import zorder_frame
+
+        scope = read_table_version(spark, path, head)
+        n_files = max_files_per_partition * max(1, len(by_part))
+        rewritten = zorder_frame(scope, zorder_by, n_files, bits_per_col)
+        new_files = _stage_files(rewritten, path, partition_by)
+        bloom_conf = m.get("blooms_conf")
+        stats = (
+            _new_file_meta(spark, path, new_files, stats_cols, bloom_conf)
+            or None
+            if (stats_cols or bloom_conf)
+            else None
+        )
+        return _commit(
+            path, new_files, m["count"], head, partition_by,
+            stats_cols, stats, bloom_conf=bloom_conf,
+        )
     fragmented = sorted(
         p for p, fs in by_part.items() if len(fs) > max_files_per_partition
     )

@@ -1150,3 +1150,34 @@ def test_bloom_integer_keys_and_combined_prune(spark, tmp_path):
     )
     assert got.filter("k = 37").count() == 1
     assert len(set(got.inputFiles())) <= 2
+
+
+def test_compact_zorder_relayouts_for_stats_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: after random-order ingestion every file's
+    [min,max] spans the domain (prune reads everything); the z-order
+    compaction commit re-layouts so a 2-D point prune hits few files —
+    and old versions still read the old layout."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(1000), rng.randrange(1000), i) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["x", "y", "i"]).repartition(16)
+    p = str(tmp_path / "t")
+    V.write_table_version(df, p, stats_cols=["x", "y"])
+    before = V.read_table_version(
+        spark, p, prune=[("x", 100, 120), ("y", 100, 120)]
+    )
+    n_before = len(set(before.inputFiles()))
+    v2 = V.compact_table_version(spark, p, 16, zorder_by=["x", "y"])
+    assert v2 == 2
+    after = V.read_table_version(
+        spark, p, prune=[("x", 100, 120), ("y", 100, 120)]
+    )
+    n_after = len(set(after.inputFiles()))
+    assert n_after < n_before  # the re-layout made stats pruning bite
+    assert n_after <= 6        # ~sqrt(16) + slack
+    # content identical, count carried, history intact
+    assert after.filter("x BETWEEN 100 AND 120 AND y BETWEEN 100 AND 120").count() == \
+        before.filter("x BETWEEN 100 AND 120 AND y BETWEEN 100 AND 120").count()
+    assert V._load_manifest(p, 2)["count"] == 4000
+    assert V.read_table_version(spark, p, 1).count() == 4000
