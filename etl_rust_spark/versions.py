@@ -67,6 +67,7 @@ __all__ = [
     "read_table_version",
     "list_versions",
     "latest_version",
+    "alter_table_version",
     "delete_table_version",
     "diff_table_versions",
     "read_table_changes",
@@ -771,6 +772,88 @@ def _upsert_table_version_once(
     return _commit(
         path, carried + new_files, total, head, partition_by,
         stats_cols, stats, bloom_conf=bloom_conf,
+    )
+
+
+def alter_table_version(
+    spark: SparkSession,
+    path: str,
+    drop: list[str] | None = None,
+    rename: dict[str, str] | None = None,
+    new_partition_by: str | None | type(...) = ...,
+) -> int:
+    """Schema / partition evolution as a new version: DROP COLUMN,
+    RENAME COLUMN, and repartitioning-by-a-different-column, committed
+    as a FULL re-snapshot on the same version chain — the other half of
+    the evolution story next to upsert's add-column path, and the same
+    honest plain-parquet cost (no table-level schema metadata means
+    mixed-schema or mixed-layout directories are a read-order hazard;
+    table formats pay a metadata commit instead).  Old versions keep
+    reading their own files with their own schema and layout
+    byte-identically.
+
+    ``new_partition_by`` defaults to "keep the current one" (the
+    sentinel ``...``); pass a column name to re-partition or ``None``
+    to flatten.  Per-file stats_cols follow renames and drop dropped
+    columns; bloom columns likewise."""
+    drop = list(drop or [])
+    rename = dict(rename or {})
+    head = latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    m = _load_manifest(path, head)
+    old_partition_by = m.get("partition_by") or None
+    existing = read_table_version(spark, path, head)
+    cols = set(existing.columns)
+    missing = [c for c in drop + list(rename) if c not in cols]
+    if missing:
+        raise ValueError(f"no such columns: {missing}")
+    clash = [n for o, n in rename.items() if n in cols - set(rename)]
+    if clash:
+        raise ValueError(f"rename targets already exist: {clash}")
+    if old_partition_by in drop and new_partition_by is ...:
+        raise ValueError(
+            f"cannot drop partition column {old_partition_by!r} without "
+            "choosing new_partition_by"
+        )
+
+    def follow(c: str | None) -> str | None:
+        return rename.get(c, c) if c is not None else None
+
+    partition_by = (
+        follow(old_partition_by) if new_partition_by is ... else new_partition_by
+    )
+    out = existing
+    for o, n in rename.items():
+        out = out.withColumnRenamed(o, n)
+    if drop:
+        out = out.drop(*drop)
+    if partition_by is not None and partition_by not in out.columns:
+        raise ValueError(f"partition column {partition_by!r} not in result")
+    stats_cols = [
+        follow(c) for c in (m.get("stats_cols") or []) if c not in drop
+    ] or None
+    bloom_conf = m.get("blooms_conf")
+    if bloom_conf:
+        bcols = [follow(c) for c in bloom_conf["cols"] if c not in drop]
+        bloom_conf = {**bloom_conf, "cols": bcols} if bcols else None
+    n = out.count()
+    if n == 0:
+        return _retry_conflicts(
+            lambda: _commit(
+                path, [], 0, latest_version(path), partition_by,
+                stats_cols, None, out.schema.jsonValue(), bloom_conf,
+            ),
+            f"alter of {path}",
+        )
+    files = _stage_files(out, path, partition_by)
+    stats = _new_file_meta(spark, path, files, stats_cols, bloom_conf) or None
+    return _retry_conflicts(
+        lambda: _commit(
+            path, files, n, latest_version(path), partition_by,
+            stats_cols, stats, bloom_conf=bloom_conf,
+        ),
+        f"alter of {path}",
     )
 
 

@@ -1181,3 +1181,69 @@ def test_compact_zorder_relayouts_for_stats_pruning(spark, tmp_path):
         before.filter("x BETWEEN 100 AND 120 AND y BETWEEN 100 AND 120").count()
     assert V._load_manifest(p, 2)["count"] == 4000
     assert V.read_table_version(spark, p, 1).count() == 4000
+
+
+# ---------------------------------------------------- alter (evolution)
+
+
+def test_alter_rename_and_drop_columns(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _t(spark, [(1, 1, "a"), (2, 2, "b")]), p, "ds", stats_cols=["k"]
+    )
+    v2 = V.alter_table_version(
+        spark, p, drop=["val"], rename={"k": "key"}
+    )
+    assert v2 == 2
+    new = V.read_table_version(spark, p)
+    assert set(new.columns) == {"key", "ds"}
+    assert {r.key for r in new.collect()} == {1, 2}
+    # stats follow the rename
+    m2 = V._load_manifest(p, 2)
+    assert m2["stats_cols"] == ["key"]
+    assert all("key" in fs for fs in m2["stats"].values())
+    # old version reads the old schema byte-identically
+    old = V.read_table_version(spark, p, 1)
+    assert set(old.columns) == {"k", "ds", "val"}
+    # further upserts work against the new shape
+    V.upsert_table_version(
+        spark, p, spark.createDataFrame([(9, 1)], ["key", "ds"]),
+        keys=["key"], partition_by="ds",
+    )
+    assert {r.key for r in V.read_table_version(spark, p).collect()} == {1, 2, 9}
+
+
+def test_alter_partition_evolution(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 2, i % 3, f"v{i}") for i in range(12)],
+        ["k", "a", "b", "val"],
+    )
+    V.write_table_version(df, p, "a")
+    v2 = V.alter_table_version(spark, p, new_partition_by="b")
+    m2 = V._load_manifest(p, 2)
+    assert m2["partition_by"] == "b"
+    assert all(f.startswith("b=") for f in m2["files"])
+    assert V.read_table_version(spark, p).count() == 12
+    # old layout still reads with its own partition column
+    assert {r.a for r in V.read_table_version(spark, p, 1).collect()} == {0, 1}
+    # flatten: partition_by=None
+    V.alter_table_version(spark, p, new_partition_by=None)
+    m3 = V._load_manifest(p, 3)
+    assert m3["partition_by"] is None
+    assert all("/" not in f for f in m3["files"])
+    assert V.read_table_version(spark, p).count() == 12
+
+
+def test_alter_guards(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a")]), p, "ds")
+    with pytest.raises(ValueError, match="no such columns"):
+        V.alter_table_version(spark, p, drop=["nope"])
+    with pytest.raises(ValueError, match="partition column"):
+        V.alter_table_version(spark, p, drop=["ds"])
+    with pytest.raises(ValueError, match="already exist"):
+        V.alter_table_version(spark, p, rename={"val": "k"})
+    # dropping the partition column WITH a new one is fine
+    V.alter_table_version(spark, p, drop=["ds"], new_partition_by=None)
+    assert set(V.read_table_version(spark, p).columns) == {"k", "val"}
