@@ -1247,3 +1247,70 @@ def test_alter_guards(spark, tmp_path):
     # dropping the partition column WITH a new one is fine
     V.alter_table_version(spark, p, drop=["ds"], new_partition_by=None)
     assert set(V.read_table_version(spark, p).columns) == {"k", "val"}
+
+
+def test_model_based_random_op_sequence_v2(spark, tmp_path):
+    """Stateful fuzz over the FULL r9 operation set — snapshot / upsert
+    / DELETE / compact / ZORDER-compact / expire — against a pure-
+    Python model; head equality after every op, exact time travel for
+    every surviving version at the end."""
+    import random
+
+    rng = random.Random(0xB10)
+    p = str(tmp_path / "t")
+    model: dict[int, dict[int, str]] = {}
+    counter = 0
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(k, k % 3, k * 7 % 5, v) for k, v in rows],
+            ["k", "ds", "y", "val"],
+        )
+
+    V.write_table_version(
+        frame([(1, "s0"), (2, "s1")]), p, "ds", stats_cols=["k", "y"],
+    )
+    state = {1: "s0", 2: "s1"}
+    model[1] = dict(state)
+    for step in range(16):
+        op = rng.choice(
+            ["upsert", "upsert", "delete", "compact", "zorder", "expire"]
+        )
+        if op == "upsert":
+            counter += 1
+            rows = list({
+                rng.randint(1, 12): f"u{counter}.{j}"
+                for j in range(rng.randint(1, 3))
+            }.items())
+            v = V.upsert_table_version(
+                spark, p, frame(rows), keys=["k"], partition_by="ds"
+            )
+            state.update(dict(rows))
+            model[v] = dict(state)
+        elif op == "delete":
+            kdel = rng.randint(1, 12)
+            head_before = V.latest_version(p)
+            v = V.delete_table_version(spark, p, f"k = {kdel}")
+            if kdel in state:
+                assert v == head_before + 1
+                del state[kdel]
+                model[v] = dict(state)
+            else:
+                assert v == head_before  # no-op, no new version
+        elif op == "compact":
+            v = V.compact_table_version(spark, p)
+            model[v] = dict(state)
+        elif op == "zorder":
+            v = V.compact_table_version(spark, p, 2, zorder_by=["k", "y"])
+            model[v] = dict(state)
+        else:
+            keep = rng.randint(1, 3)
+            V.expire_versions(p, keep_last=keep)
+            live = sorted(model)[-keep:]
+            model = {v: c for v, c in model.items() if v in live}
+        if state:
+            head = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+            assert head == state, f"step {step} ({op})"
+    for v, want in model.items():
+        got = {r.k: r.val for r in V.read_table_version(spark, p, v).collect()}
+        assert got == want, f"time travel to v{v}"
