@@ -20,6 +20,7 @@ __all__ = [
     "run_versioned_upsert_stream",
     "versioned_upsert_processor",
     "sync_table_changes",
+    "publish_table_changes",
 ]
 
 
@@ -121,3 +122,41 @@ def sync_table_changes(
     tmp.write_text(str(to_v))
     os.replace(tmp, cp)
     return applied
+
+
+def publish_table_changes(
+    spark,
+    table: str,
+    keys: list[str],
+    client_factory,
+    cursor_path: str,
+    topic: str | None = None,
+    encoder="json",
+    max_steps: int | None = None,
+    **publish_kw,
+) -> int:
+    """CDC feed → queue transport: publish each newly committed
+    version's change rows (``_change_type`` insert/delete/
+    update_postimage, full payload, ``_commit_version``) through the
+    existing ``etl.sinks.publish_table`` machinery — the table stack
+    feeding the same publish path (chunking, retry ladder, per-worker
+    client reuse) the block ETL uses, so a downstream queue consumer
+    tails the table exactly like it tails the chain.
+
+    Durable-cursor semantics ride :func:`sync_table_changes`: the
+    cursor advances only after the publish returns, so a crash
+    re-publishes the same change rows next run — at-least-once into
+    consumers that dedupe on ``(keys..., _commit_version)`` (which the
+    feed makes unique per change).  Returns versions published."""
+    from pathlib import Path
+
+    from etl_rust_spark.etl.sinks import publish_table
+
+    dest = topic or Path(table).name
+
+    def apply_fn(changes: DataFrame, up_to: int) -> None:
+        publish_table(changes, dest, client_factory, encoder, **publish_kw)
+
+    return sync_table_changes(
+        spark, table, keys, apply_fn, cursor_path, max_steps
+    )
