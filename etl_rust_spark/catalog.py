@@ -427,7 +427,8 @@ def zorder_frame(
         dcol = f"__zd_{c}"
         work = work.withColumn(dcol, F.col(c).cast("double"))
         cuts = work.stat.approxQuantile(dcol, qs, relative_error)
-        splits = [float("-inf")] + sorted(set(cuts)) + [float("inf")]
+        # empty input yields no cuts; Bucketizer needs >= 3 split points
+        splits = [float("-inf")] + (sorted(set(cuts)) or [0.0]) + [float("inf")]
         lo = work.agg(F.min(dcol)).first()[0]
         work = work.withColumn(dcol, F.coalesce(dcol, F.lit(lo)))
         bcol = f"__zb_{c}"

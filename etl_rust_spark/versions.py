@@ -948,6 +948,7 @@ def delete_table_version(
     path: str,
     predicate,
     prune: list[tuple] | None = None,
+    point: list[tuple] | None = None,
 ) -> int:
     """Row-level ``DELETE WHERE`` as a new version with FILE-LEVEL
     copy-on-write — the takedown / GDPR-erasure operation a training-
@@ -961,8 +962,10 @@ def delete_table_version(
     the HIT set, not the table:
 
     1. driver-side stats prune (``prune``: same ``(col, lo, hi)``
-       contract as :func:`read_table_version`) drops files whose
-       recorded [min, max] cannot contain a match — zero I/O;
+       contract as :func:`read_table_version`; ``point``: same
+       ``(col, value)`` bloom probes) drops files that cannot contain a
+       match — zero I/O, and the bloom path makes a single-key
+       takedown on an unordered id touch ~1 file instead of the table;
     2. one find-the-files job over the survivors: the predicate plus
        ``input_file_name()``, collecting only DISTINCT FILE NAMES to
        the driver (bounded by file count, never row count);
@@ -977,13 +980,16 @@ def delete_table_version(
     same version chain.  Concurrent-writer safe via the same
     re-run-on-:class:`CommitConflict` loop as upsert."""
     return _retry_conflicts(
-        lambda: _delete_table_version_once(spark, path, predicate, prune),
+        lambda: _delete_table_version_once(
+            spark, path, predicate, prune, point
+        ),
         f"delete from {path}",
     )
 
 
 def _delete_table_version_once(
-    spark: SparkSession, path: str, predicate, prune: list[tuple] | None
+    spark: SparkSession, path: str, predicate,
+    prune: list[tuple] | None, point: list[tuple] | None = None,
 ) -> int:
     head = latest_version(path)
     if head is None:
@@ -995,20 +1001,24 @@ def _delete_table_version_once(
     data_abs = (Path(path) / "data").resolve()
     data = str(Path(path) / "data")
     candidates = list(m["files"])
-    if prune:
+    if prune or point:
         stats = m.get("stats") or {}
 
         def keep(f: str) -> bool:
             fs = stats.get(f)
             if not fs:
                 return True
-            for col, lo, hi in prune:
+            for col, lo, hi in prune or []:
                 if col in fs:
                     fmin, fmax = fs[col]
                     if (hi is not None and fmin > hi) or (
                         lo is not None and fmax < lo
                     ):
                         return False
+            for col, val in point or []:
+                entry = fs.get(_BLOOM_KEY + col)
+                if entry and not _bloom_might_contain(entry, str(val)):
+                    return False
             return True
 
         candidates = [f for f in candidates if keep(f)]
@@ -1312,6 +1322,9 @@ def _compact_table_version_once(
     if zorder_by:
         from etl_rust_spark.catalog import zorder_frame
 
+        if not m["files"] or not m["count"]:
+            # empty table (possibly schema-only part files): no layout
+            return head
         scope = read_table_version(spark, path, head)
         n_files = max_files_per_partition * max(1, len(by_part))
         rewritten = zorder_frame(scope, zorder_by, n_files, bits_per_col)

@@ -1358,3 +1358,32 @@ def test_publish_table_changes_to_queue_transport(spark, tmp_path):
     # crash-redelivery shape: roll the cursor back one version
     (tmp_path / "cur").write_text("2")
     assert publish_table_changes(spark, p, ["k"], factory, cursor) == 1
+
+
+def test_delete_point_bloom_narrows_candidates(spark, tmp_path):
+    """A single-key takedown on an unordered id: the bloom point hint
+    leaves untouched files' stats entries carried verbatim (they were
+    never candidates), and only the hit file rewrites."""
+    p = str(tmp_path / "t")
+    df = _uuid_table(spark).repartition(6, "ds")
+    V.write_table_version(df, p, "ds", bloom_cols=["doc_id"])
+    import hashlib
+
+    key = hashlib.md5(b"13").hexdigest()
+    m1 = V._load_manifest(p, 1)
+    V.delete_table_version(
+        spark, p, f"doc_id = '{key}'", point=[("doc_id", key)]
+    )
+    m2 = V._load_manifest(p, 2)
+    rewritten = set(m1["files"]) - set(m2["files"])
+    assert 1 <= len(rewritten) <= 2  # bloom FP slack
+    got = V.read_table_version(spark, p)
+    assert got.filter(F.col("doc_id") == key).count() == 0
+    assert got.count() == 59
+
+
+def test_compact_zorder_empty_table_noop(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a")]), p)
+    V.delete_table_version(spark, p, "k = 1")  # empty version 2
+    assert V.compact_table_version(spark, p, zorder_by=["k", "ds"]) == 2
