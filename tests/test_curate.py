@@ -336,3 +336,51 @@ def test_curate_with_script_filter(spark):
     assert {r.doc_id for r in out.collect()} == {1}
     both = curate.curate_corpus(docs, near_dup_threshold=None)
     assert {r.doc_id for r in both.collect()} == {1, 2}
+
+
+def test_curated_corpus_lifecycle_table_takedown_and_cdc(spark, sf_dir, tmp_path):
+    """End-to-end story: curate the documents table, commit it as a
+    versioned table with doc_id blooms, serve a single-document
+    TAKEDOWN via a bloom-pointed delete, and publish the resulting
+    change feed through the queue transport — the LLM-data pipeline
+    feeding the table stack feeding the publish path."""
+    import json as _json
+
+    from etl_rust_spark import versions as V
+    from etl_rust_spark.etl.sinks import DirQueueClient
+    from etl_rust_spark.operators.curate import curate_corpus
+    from etl_rust_spark.streaming.tables import publish_table_changes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    curated = curate_corpus(docs, near_dup_threshold=0.5)
+    table = str(tmp_path / "corpus")
+    V.write_table_version(
+        curated.select("doc_id", "text"), table, bloom_cols=["doc_id"]
+    )
+    n1 = V.read_table_version(spark, table).count()
+    assert 0 < n1 <= 200
+    cursor = str(tmp_path / "cur")
+    qroot = str(tmp_path / "q")
+    publish_table_changes(
+        spark, table, ["doc_id"], lambda: DirQueueClient(qroot), cursor
+    )  # cold start: cursor at head
+    victim = V.read_table_version(spark, table).select("doc_id").first()[0]
+    v2 = V.delete_table_version(
+        spark, table, F.col("doc_id") == victim, point=[("doc_id", victim)]
+    )
+    assert v2 == 2
+    assert V.read_table_version(
+        spark, table, point=[("doc_id", victim)]
+    ).filter(F.col("doc_id") == victim).count() == 0
+    assert V.read_table_version(spark, table).count() == n1 - 1
+    # the takedown reaches the downstream queue as a delete record
+    assert publish_table_changes(
+        spark, table, ["doc_id"], lambda: DirQueueClient(qroot), cursor
+    ) == 1
+    recs = [
+        _json.loads(line)
+        for f in sorted((tmp_path / "q").rglob("*")) if f.is_file()
+        for line in f.read_text().splitlines()
+    ]
+    assert [(r["doc_id"], r["_change_type"], r["_commit_version"])
+            for r in recs] == [(victim, "delete", 2)]
