@@ -1387,3 +1387,20 @@ def test_compact_zorder_empty_table_noop(spark, tmp_path):
     V.write_table_version(_t(spark, [(1, 1, "a")]), p)
     V.delete_table_version(spark, p, "k = 1")  # empty version 2
     assert V.compact_table_version(spark, p, zorder_by=["k", "ds"]) == 2
+
+
+def test_cdc_feed_across_delete_all_and_reseed(spark, tmp_path):
+    """The change feed stays well-typed across an EMPTY version: the
+    delete-all step emits deletes (schema from the manifest), and the
+    re-seed step emits inserts."""
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a"), (2, 2, "b")]), p, "ds")
+    V.delete_table_version(spark, p, "k >= 0")          # v2: empty
+    V.upsert_table_version(                              # v3: re-seed
+        spark, p, _t(spark, [(9, 1, "z")]), keys=["k"], partition_by="ds"
+    )
+    ch = V.read_table_changes(spark, p, keys=["k"], from_version=1).collect()
+    got = {(r.k, r._change_type, r._commit_version) for r in ch}
+    assert got == {
+        (1, "delete", 2), (2, "delete", 2), (9, "insert", 3),
+    }
