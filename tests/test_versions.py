@@ -1404,3 +1404,61 @@ def test_cdc_feed_across_delete_all_and_reseed(spark, tmp_path):
     assert got == {
         (1, "delete", 2), (2, "delete", 2), (9, "insert", 3),
     }
+
+
+def test_concurrent_upserts_and_deletes_serialize_cleanly(spark, tmp_path):
+    """Deletes race upserts through the same CommitConflict re-merge
+    loop: the chain stays linear, every surviving key has its last
+    write, and deleted keys whose delete landed LAST stay gone."""
+    import threading
+
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _t(spark, [(k, k % 3, f"s{k}") for k in range(1, 7)]), p, "ds"
+    )
+    errs = []
+
+    def upserter(w):
+        try:
+            for m in range(2):
+                key = 10 + w
+                V.upsert_table_version(
+                    spark, p, _t(spark, [(key, key % 3, f"w{w}m{m}")]),
+                    keys=["k"], partition_by="ds",
+                )
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    def deleter(kdel):
+        try:
+            V.delete_table_version(spark, p, f"k = {kdel}")
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=upserter, args=(w,)) for w in range(3)]
+    threads += [threading.Thread(target=deleter, args=(k,)) for k in (2, 4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    head = V.latest_version(p)
+    # linear chain
+    for v in range(2, head + 1):
+        raw = json.loads(
+            (Path(p) / "_manifests" / f"m{v:08d}.json").read_text()
+        )
+        assert raw["parent"] == v - 1
+    got = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert 2 not in got and 4 not in got          # deletes landed
+    for w in range(3):
+        assert got[10 + w] == f"w{w}m1"           # last upsert won
+    assert {1, 3, 5, 6} <= set(got)               # untouched keys intact
+    # sweep finds no leaked staged files
+    V.expire_versions(p, keep_last=head, grace_seconds=0)
+    data = Path(p) / "data"
+    live = set()
+    for v in V.list_versions(p):
+        live.update(V._load_manifest(p, v)["files"])
+    on_disk = {str(f.relative_to(data)) for f in data.rglob("*.parquet")}
+    assert on_disk == live
