@@ -338,3 +338,38 @@ def test_ivf_search_prunes_list_partitions(spark, sf_dir, tmp_path):
 
     m = re.search(r"PartitionFilters: \[[^\]]*list_id[^\]]*\]", plan)
     assert m, "corpus scan lost its list_id partition filter"
+
+
+def test_delete_probe_pushes_filter_and_prunes_columns(spark, tmp_path):
+    """delete_table_version's find-the-files job must reach the scan as
+    a pushed filter with a predicate-columns-only ReadSchema — the
+    probe reads footer-pruned row groups of only the candidate files,
+    never whole rows."""
+    import re
+
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark import versions as V
+
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        spark.range(0, 1000).selectExpr(
+            "id AS k", "CAST(id % 10 AS INT) AS ds", "'x' AS val"
+        ),
+        p, "ds",
+    )
+    m = V._load_manifest(p, 1)
+    data = str(Path(p) / "data")
+    cdf = spark.read.option("basePath", data).parquet(
+        *[f"{data}/{f}" for f in m["files"]]
+    )
+    probe = (
+        cdf.filter(F.expr("k = 500"))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(k,500\)", plan), plan[:600]
+    assert re.search(r"ReadSchema: struct<k:bigint>", plan), "probe reads more than the predicate column"
