@@ -374,6 +374,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     pv.add_argument("--out", default=None)
     pv.add_argument(
+        "--tag", default=None, metavar="NAME[=V]",
+        help="name a version (default: head) — tagged versions survive "
+        "expiry; --read accepts tag names",
+    )
+    pv.add_argument(
         "--delete-where", default=None, metavar="SQL",
         help="row-level DELETE: commit a new version without the rows "
         "matching this SQL predicate (file-level copy-on-write)",
@@ -684,10 +689,22 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.table, spark.read.parquet(args.upsert),
                 keys=args.keys.split(","), partition_by=args.partition_by,
             )
+        if args.tag is not None:
+            name, _, tv = args.tag.partition("=")
+            out["tagged"] = {
+                name: _v.tag_version(
+                    args.table, name, int(tv) if tv else None
+                )
+            }
         if args.read is not None:
             if not args.out:
                 p.error("--read requires --out")
-            v = None if args.read == "latest" else int(args.read)
+            if args.read == "latest":
+                v = None
+            elif args.read.isdigit():
+                v = int(args.read)
+            else:
+                v = args.read  # tag name
             df = _v.read_table_version(spark, args.table, v)
             df.write.mode("overwrite").parquet(args.out)
             out["read_rows"] = spark.read.parquet(args.out).count()

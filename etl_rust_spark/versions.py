@@ -76,6 +76,9 @@ __all__ = [
     "CommitConflict",
     "Pin",
     "pin_version",
+    "tag_version",
+    "delete_tag",
+    "list_tags",
 ]
 
 
@@ -557,7 +560,7 @@ def write_table_version(
 def read_table_version(
     spark: SparkSession,
     path: str,
-    version: int | None = None,
+    version: int | str | None = None,
     prune: list[tuple] | None = None,
     point: list[tuple] | None = None,
 ) -> DataFrame:
@@ -577,6 +580,11 @@ def read_table_version(
     optimization, never a filter: callers still apply the real
     predicate to the returned frame (bloom false positives only keep
     extra files, never drop a match)."""
+    if isinstance(version, str):  # a tag name (tag_version)
+        tags = list_tags(path)
+        if version not in tags:
+            raise FileNotFoundError(f"no tag {version!r} on {path}")
+        version = tags[version]
     v = latest_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed versions under {path}")
@@ -773,6 +781,45 @@ def _upsert_table_version_once(
         path, carried + new_files, total, head, partition_by,
         stats_cols, stats, bloom_conf=bloom_conf,
     )
+
+
+def tag_version(path: str, name: str, version: int | None = None) -> int:
+    """Name a committed version (``prod``, ``v2024-08-15``) — the
+    Iceberg-tag-style named ref: ``_tags/<name>`` holds the version
+    number, written atomically so re-pointing a tag is safe, and
+    :func:`expire_versions` retains tagged versions (files and
+    manifest) regardless of ``keep_last`` until the tag is deleted.
+    :func:`read_table_version` accepts the tag name as its ``version``.
+    Returns the tagged version (default: current head)."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z][A-Za-z0-9._-]*", name):
+        raise ValueError(f"bad tag name {name!r}")
+    v = latest_version(path) if version is None else version
+    if v is None or v not in list_versions(path):
+        raise ValueError(f"version {v!r} of {path} is not committed")
+    tags = Path(path) / "_tags"
+    tags.mkdir(parents=True, exist_ok=True)
+    tmp = tags / f".{name}.{uuid.uuid4().hex}"
+    tmp.write_text(str(v))
+    os.replace(tmp, tags / name)
+    return v
+
+
+def delete_tag(path: str, name: str) -> None:
+    (Path(path) / "_tags" / name).unlink(missing_ok=True)
+
+
+def list_tags(path: str) -> dict[str, int]:
+    out = {}
+    for tf in sorted((Path(path) / "_tags").glob("*")):
+        if tf.name.startswith("."):
+            continue  # in-flight temp from tag_version
+        try:
+            out[tf.name] = int(tf.read_text())
+        except (ValueError, FileNotFoundError):
+            continue
+    return out
 
 
 def alter_table_version(
@@ -1204,6 +1251,10 @@ def expire_versions(
         else:
             pf.unlink(missing_ok=True)
             swept_pins += 1
+    # named refs: tagged versions are retained until the tag is deleted
+    for tv in list_tags(path).values():
+        if tv in versions:
+            keep.add(tv)
     live: set[str] = set()
     for v in keep:
         live.update(_load_manifest(path, v)["files"])

@@ -1462,3 +1462,54 @@ def test_concurrent_upserts_and_deletes_serialize_cleanly(spark, tmp_path):
         live.update(V._load_manifest(p, v)["files"])
     on_disk = {str(f.relative_to(data)) for f in data.rglob("*.parquet")}
     assert on_disk == live
+
+
+# ------------------------------------------------------------ tags
+
+
+def test_tags_name_versions_and_survive_expiry(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a")]), p, "ds")
+    V.upsert_table_version(
+        spark, p, _t(spark, [(2, 2, "b")]), keys=["k"], partition_by="ds"
+    )
+    V.upsert_table_version(
+        spark, p, _t(spark, [(3, 1, "c")]), keys=["k"], partition_by="ds"
+    )
+    assert V.tag_version(p, "prod", 1) == 1
+    assert V.tag_version(p, "nightly") == 3     # default: head
+    assert V.list_tags(p) == {"nightly": 3, "prod": 1}
+    got = {r.k for r in V.read_table_version(spark, p, "prod").collect()}
+    assert got == {1}
+    rep = V.expire_versions(p, keep_last=1)
+    assert set(rep["kept_versions"]) == {1, 3}  # tag retained v1
+    assert V.read_table_version(spark, p, "prod").count() == 1
+    with pytest.raises(FileNotFoundError):
+        V._load_manifest(p, 2)                  # untagged middle dropped
+    # re-point, then delete the tag: v1 becomes expirable
+    V.tag_version(p, "prod", 3)
+    V.delete_tag(p, "prod")
+    rep = V.expire_versions(p, keep_last=1)
+    assert rep["kept_versions"] == [3]
+    with pytest.raises(FileNotFoundError):
+        V.read_table_version(spark, p, "prod")
+    with pytest.raises(ValueError, match="bad tag name"):
+        V.tag_version(p, "../evil")
+    with pytest.raises(ValueError, match="not committed"):
+        V.tag_version(p, "future", 99)
+
+
+def test_cli_table_tag_and_tagged_read(spark, tmp_path, capsys):
+    from etl_rust_spark.__main__ import main
+
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a")]), p, "ds")
+    V.upsert_table_version(
+        spark, p, _t(spark, [(2, 2, "b")]), keys=["k"], partition_by="ds"
+    )
+    assert main(["table", p, "--tag", "prod=1"]) == 0
+    capsys.readouterr()
+    out_dir = str(tmp_path / "o")
+    assert main(["table", p, "--read", "prod", "--out", out_dir]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["read_rows"] == 1
