@@ -799,3 +799,47 @@ def test_sasl_client_option_validation():
                         sasl_username="u", sasl_password="p")
     with pytest.raises(ValueError, match="username and password"):
         KafkaWireClient("h", 1, sasl_mechanism="PLAIN")
+
+
+def test_versioned_table_cdc_publishes_to_kafka(spark, tmp_path):
+    """Table change feed → Kafka, end to end against the stub broker:
+    publish_table_changes rides KafkaWireClient's QueueClient face, the
+    change rows arrive as JSON records on the topic, and the durable
+    cursor makes the second run a no-op."""
+    import json as _json
+
+    from etl_rust_spark import versions as V
+    from etl_rust_spark.streaming.tables import publish_table_changes
+
+    broker = KafkaStubBroker()
+    try:
+        port = broker.port
+        p = str(tmp_path / "t")
+        cursor = str(tmp_path / "cur")
+        V.write_table_version(
+            spark.createDataFrame([(1, 1, "a")], ["k", "ds", "val"]), p, "ds"
+        )
+        factory = lambda: KafkaWireClient("127.0.0.1", port)  # noqa: E731
+        assert publish_table_changes(
+            spark, p, ["k"], factory, cursor, topic="tbl"
+        ) == 0  # cold start
+        V.upsert_table_version(
+            spark, p,
+            spark.createDataFrame([(2, 2, "b")], ["k", "ds", "val"]),
+            keys=["k"], partition_by="ds",
+        )
+        V.delete_table_version(spark, p, "k = 1")
+        assert publish_table_changes(
+            spark, p, ["k"], factory, cursor, topic="tbl"
+        ) == 2
+        c = KafkaWireClient("127.0.0.1", port)
+        c.connect()
+        recs = [_json.loads(v) for _k, v in c.fetch("tbl")]
+        c.disconnect()
+        got = {(r["k"], r["_change_type"], r["_commit_version"]) for r in recs}
+        assert got == {(2, "insert", 2), (1, "delete", 3)}
+        assert publish_table_changes(
+            spark, p, ["k"], factory, cursor, topic="tbl"
+        ) == 0  # caught up
+    finally:
+        broker.close()
