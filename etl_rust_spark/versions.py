@@ -69,6 +69,7 @@ __all__ = [
     "latest_version",
     "alter_table_version",
     "delete_table_version",
+    "update_table_version",
     "diff_table_versions",
     "read_table_changes",
     "compact_table_version",
@@ -990,6 +991,62 @@ def _rel_from_file_uri(uri: str, data_abs: Path) -> str:
     return str(Path(p).relative_to(data_abs))
 
 
+def _files_matching(
+    spark: SparkSession, m: dict, data: str, data_abs: Path, cond,
+    prune: list[tuple] | None, point: list[tuple] | None,
+) -> set[str]:
+    """The find-the-files step shared by DELETE and UPDATE: stats/bloom
+    prune the candidates driver-side, then ONE job (predicate pushed to
+    the scan, ReadSchema pruned to the predicate columns — CI-asserted
+    in tests/test_plans.py) collects the DISTINCT FILE NAMES holding a
+    matching row — bounded by file count, never row count."""
+    candidates = list(m["files"])
+    if prune or point:
+        stats = m.get("stats") or {}
+
+        def keep(f: str) -> bool:
+            fs = stats.get(f)
+            if not fs:
+                return True
+            for col, lo, hi in prune or []:
+                if col in fs:
+                    fmin, fmax = fs[col]
+                    if (hi is not None and fmin > hi) or (
+                        lo is not None and fmax < lo
+                    ):
+                        return False
+            for col, val in point or []:
+                entry = fs.get(_BLOOM_KEY + col)
+                if entry and not _bloom_might_contain(entry, str(val)):
+                    return False
+            return True
+
+        candidates = [f for f in candidates if keep(f)]
+    if not candidates:
+        return set()
+    cdf = spark.read.option("basePath", data).parquet(
+        *[f"{data}/{f}" for f in candidates]
+    )
+    hit_uris = [
+        r[0]
+        for r in cdf.filter(cond)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    ]
+    known = set(m["files"])
+    hit: set[str] = set()
+    for u in hit_uris:
+        rel = _rel_from_file_uri(u, data_abs)
+        if rel not in known:  # never silently rewrite the wrong file
+            raise ValueError(
+                f"matched file {rel!r} is not in version "
+                f"{m['version']}'s manifest"
+            )
+        hit.add(rel)
+    return hit
+
+
 def delete_table_version(
     spark: SparkSession,
     path: str,
@@ -1047,49 +1104,7 @@ def _delete_table_version_once(
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     data_abs = (Path(path) / "data").resolve()
     data = str(Path(path) / "data")
-    candidates = list(m["files"])
-    if prune or point:
-        stats = m.get("stats") or {}
-
-        def keep(f: str) -> bool:
-            fs = stats.get(f)
-            if not fs:
-                return True
-            for col, lo, hi in prune or []:
-                if col in fs:
-                    fmin, fmax = fs[col]
-                    if (hi is not None and fmin > hi) or (
-                        lo is not None and fmax < lo
-                    ):
-                        return False
-            for col, val in point or []:
-                entry = fs.get(_BLOOM_KEY + col)
-                if entry and not _bloom_might_contain(entry, str(val)):
-                    return False
-            return True
-
-        candidates = [f for f in candidates if keep(f)]
-    if not candidates:
-        return head
-    cdf = spark.read.option("basePath", data).parquet(
-        *[f"{data}/{f}" for f in candidates]
-    )
-    hit_uris = [
-        r[0]
-        for r in cdf.filter(cond)
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .collect()
-    ]
-    known = set(m["files"])
-    hit: set[str] = set()
-    for u in hit_uris:
-        rel = _rel_from_file_uri(u, data_abs)
-        if rel not in known:  # never silently rewrite the wrong file
-            raise ValueError(
-                f"matched file {rel!r} is not in version {head}'s manifest"
-            )
-        hit.add(rel)
+    hit = _files_matching(spark, m, data, data_abs, cond, prune, point)
     if not hit:
         return head  # predicate matched nothing: head unchanged
     partition_by = m.get("partition_by") or None
@@ -1117,6 +1132,84 @@ def _delete_table_version_once(
     return _commit(
         path, carried + new_files, total, head, partition_by,
         stats_cols, stats, schema, bloom_conf=bloom_conf,
+    )
+
+
+def update_table_version(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    set: dict,
+    prune: list[tuple] | None = None,
+    point: list[tuple] | None = None,
+) -> int:
+    """Row-level ``UPDATE ... SET ... WHERE`` as a new version —
+    completes the DML trio next to :func:`upsert_table_version` and
+    :func:`delete_table_version`, with the same file-level
+    copy-on-write narrowing (stats/bloom prune → one find-the-files
+    job → only hit files rewritten, matching rows transformed and
+    non-matching rows re-staged verbatim).  ``set`` maps column name →
+    SQL expression string or Column (evaluated in the row's scope, so
+    ``{"val": "upper(val)"}`` works); assigning to an unknown column
+    raises (UPDATE never adds columns — that is upsert's evolution
+    path).  Rows where the predicate is NULL are not updated.  Returns
+    the unchanged head when nothing matches."""
+    return _retry_conflicts(
+        lambda: _update_table_version_once(
+            spark, path, predicate, set, prune, point
+        ),
+        f"update of {path}",
+    )
+
+
+def _update_table_version_once(
+    spark: SparkSession, path: str, predicate, set: dict,
+    prune: list[tuple] | None, point: list[tuple] | None,
+) -> int:
+    head = latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    m = _load_manifest(path, head)
+    if not m["files"]:
+        return head
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    data_abs = (Path(path) / "data").resolve()
+    data = str(Path(path) / "data")
+    hit = _files_matching(spark, m, data, data_abs, cond, prune, point)
+    if not hit:
+        return head
+    partition_by = m.get("partition_by") or None
+    hdf = spark.read.option("basePath", data).parquet(
+        *[f"{data}/{f}" for f in sorted(hit)]
+    )
+    unknown = [c for c in set if c not in hdf.columns]
+    if unknown:
+        raise ValueError(f"UPDATE of unknown columns: {unknown}")
+    if partition_by and partition_by in set:
+        raise ValueError(
+            f"cannot UPDATE partition column {partition_by!r} — rows would "
+            "move directories; route through delete + upsert"
+        )
+    matched = F.coalesce(cond, F.lit(False))
+    rewritten = hdf
+    for c, expr in set.items():
+        val = F.expr(expr) if isinstance(expr, str) else expr
+        rewritten = rewritten.withColumn(
+            c, F.when(matched, val.cast(hdf.schema[c].dataType))
+            .otherwise(F.col(c))
+        )
+    new_files = _stage_files(rewritten, path, partition_by)
+    carried = [f for f in m["files"] if f not in hit]
+    stats_cols = m.get("stats_cols") or None
+    bloom_conf = m.get("blooms_conf")
+    stats = None
+    if stats_cols or bloom_conf:
+        old_stats = m.get("stats") or {}
+        stats = {f: old_stats[f] for f in carried if f in old_stats}
+        stats.update(_new_file_meta(spark, path, new_files, stats_cols, bloom_conf))
+    return _commit(
+        path, carried + new_files, m["count"], head, partition_by,
+        stats_cols, stats, bloom_conf=bloom_conf,
     )
 
 

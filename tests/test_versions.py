@@ -1513,3 +1513,53 @@ def test_cli_table_tag_and_tagged_read(spark, tmp_path, capsys):
     assert main(["table", p, "--read", "prod", "--out", out_dir]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["read_rows"] == 1
+
+
+# ------------------------------------------------------------- update
+
+
+def test_update_rewrites_only_hit_files(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _t(spark, [(1, 1, "a"), (2, 1, "b"), (3, 2, "c")]).repartition("ds"),
+        p, "ds",
+    )
+    m1 = V._load_manifest(p, 1)
+    v2 = V.update_table_version(spark, p, "k = 2", {"val": "upper(val)"})
+    assert v2 == 2
+    m2 = V._load_manifest(p, 2)
+    clean = {f for f in m1["files"] if f.startswith("ds=2/")}
+    assert clean and clean <= set(m2["files"])   # untouched file carried
+    assert m2["count"] == 3                      # UPDATE never changes count
+    got = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    old = {r.k: r.val for r in V.read_table_version(spark, p, 1).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}       # time travel intact
+    # no-op when nothing matches
+    assert V.update_table_version(spark, p, "k = 99", {"val": "'x'"}) == 2
+
+
+def test_update_guards_and_type_preservation(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        spark.createDataFrame([(1, 1, 10), (2, 2, 20)], ["k", "ds", "n"]),
+        p, "ds",
+    )
+    with pytest.raises(ValueError, match="unknown columns"):
+        V.update_table_version(spark, p, "k = 1", {"nope": "1"})
+    with pytest.raises(ValueError, match="partition column"):
+        V.update_table_version(spark, p, "k = 1", {"ds": "9"})
+    V.update_table_version(spark, p, "k = 1", {"n": "n * 2 + 0.7"})
+    row = V.read_table_version(spark, p).filter("k = 1").first()
+    assert row.n == 20  # cast back to the column's long type
+    assert dict(V.read_table_version(spark, p).dtypes)["n"] == "bigint"
+
+
+def test_update_shows_in_cdc(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a"), (2, 2, "b")]), p, "ds")
+    V.update_table_version(spark, p, "k = 1", {"val": "'A'"})
+    ch = V.read_table_changes(spark, p, keys=["k"], from_version=1).collect()
+    assert {(r.k, r._change_type, r.val) for r in ch} == {
+        (1, "update_postimage", "A")
+    }
