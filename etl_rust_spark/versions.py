@@ -1191,13 +1191,23 @@ def _update_table_version_once(
             "move directories; route through delete + upsert"
         )
     matched = F.coalesce(cond, F.lit(False))
-    rewritten = hdf
-    for c, expr in set.items():
-        val = F.expr(expr) if isinstance(expr, str) else expr
-        rewritten = rewritten.withColumn(
-            c, F.when(matched, val.cast(hdf.schema[c].dataType))
-            .otherwise(F.col(c))
-        )
+    # SQL UPDATE semantics: every SET expression evaluates against the
+    # OLD row (SET a = b, b = a swaps) — one simultaneous projection,
+    # never sequential withColumn (where a later SET would see an
+    # earlier SET's result)
+    proj = []
+    for c in hdf.columns:
+        if c in set:
+            val = set[c]
+            val = F.expr(val) if isinstance(val, str) else val
+            proj.append(
+                F.when(matched, val.cast(hdf.schema[c].dataType))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            proj.append(F.col(c))
+    rewritten = hdf.select(*proj)
     new_files = _stage_files(rewritten, path, partition_by)
     carried = [f for f in m["files"] if f not in hit]
     stats_cols = m.get("stats_cols") or None

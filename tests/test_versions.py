@@ -1563,3 +1563,15 @@ def test_update_shows_in_cdc(spark, tmp_path):
     assert {(r.k, r._change_type, r.val) for r in ch} == {
         (1, "update_postimage", "A")
     }
+
+
+def test_update_set_expressions_see_old_row(spark, tmp_path):
+    """SQL UPDATE semantics: all SET expressions evaluate against the
+    pre-update row — SET a = b, b = a swaps."""
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        spark.createDataFrame([(1, 10, 20), (2, 30, 40)], ["k", "a", "b"]), p
+    )
+    V.update_table_version(spark, p, "k = 1", {"a": "b", "b": "a"})
+    rows = {r.k: (r.a, r.b) for r in V.read_table_version(spark, p).collect()}
+    assert rows == {1: (20, 10), 2: (30, 40)}  # swapped, not b=b
