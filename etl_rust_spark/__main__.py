@@ -384,6 +384,16 @@ def main(argv: list[str] | None = None) -> int:
         "matching this SQL predicate (file-level copy-on-write)",
     )
     pv.add_argument(
+        "--update-where", default=None, metavar="SQL",
+        help="row-level UPDATE of rows matching this predicate "
+        "(needs --set)",
+    )
+    pv.add_argument(
+        "--set", default=None, metavar="COL=EXPR[,COL=EXPR]",
+        help="SET clauses for --update-where (expressions see the "
+        "old row)",
+    )
+    pv.add_argument(
         "--compact", type=int, default=None, metavar="N",
         help="OPTIMIZE: coalesce partitions with more than N files",
     )
@@ -711,6 +721,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.delete_where is not None:
             out["version"] = _v.delete_table_version(
                 spark, args.table, args.delete_where
+            )
+        if args.update_where is not None:
+            if not args.set:
+                p.error("--update-where requires --set")
+            sets = dict(
+                pair.split("=", 1) for pair in args.set.split(",")
+            )
+            out["version"] = _v.update_table_version(
+                spark, args.table, args.update_where, sets
             )
         if args.compact is not None:
             out["version"] = _v.compact_table_version(

@@ -791,7 +791,12 @@ def tag_version(path: str, name: str, version: int | None = None) -> int:
     :func:`expire_versions` retains tagged versions (files and
     manifest) regardless of ``keep_last`` until the tag is deleted.
     :func:`read_table_version` accepts the tag name as its ``version``.
-    Returns the tagged version (default: current head)."""
+    Returns the tagged version (default: current head).
+
+    Race window (same as reader pins): a tag created while an expiry is
+    ALREADY past its tag scan can still lose that expiry — tag before
+    relying on retention, and run production expiry with
+    ``grace_seconds`` covering the tagging window."""
     import re
 
     if not re.fullmatch(r"[A-Za-z][A-Za-z0-9._-]*", name):

@@ -1575,3 +1575,17 @@ def test_update_set_expressions_see_old_row(spark, tmp_path):
     V.update_table_version(spark, p, "k = 1", {"a": "b", "b": "a"})
     rows = {r.k: (r.a, r.b) for r in V.read_table_version(spark, p).collect()}
     assert rows == {1: (20, 10), 2: (30, 40)}  # swapped, not b=b
+
+
+def test_cli_table_update_where(spark, tmp_path, capsys):
+    from etl_rust_spark.__main__ import main
+
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a"), (2, 2, "b")]), p, "ds")
+    assert main(
+        ["table", p, "--update-where", "k = 2", "--set", "val=upper(val)"]
+    ) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 2
+    got = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert got == {1: "a", 2: "B"}
