@@ -1274,7 +1274,8 @@ def test_model_based_random_op_sequence_v2(spark, tmp_path):
     model[1] = dict(state)
     for step in range(16):
         op = rng.choice(
-            ["upsert", "upsert", "delete", "compact", "zorder", "expire"]
+            ["upsert", "upsert", "delete", "update", "compact", "zorder",
+             "expire"]
         )
         if op == "upsert":
             counter += 1
@@ -1297,6 +1298,18 @@ def test_model_based_random_op_sequence_v2(spark, tmp_path):
                 model[v] = dict(state)
             else:
                 assert v == head_before  # no-op, no new version
+        elif op == "update":
+            kup = rng.randint(1, 12)
+            head_before = V.latest_version(p)
+            v = V.update_table_version(
+                spark, p, f"k = {kup}", {"val": "concat(val, '!')"}
+            )
+            if kup in state:
+                assert v == head_before + 1
+                state[kup] = state[kup] + "!"
+                model[v] = dict(state)
+            else:
+                assert v == head_before  # no-op
         elif op == "compact":
             v = V.compact_table_version(spark, p)
             model[v] = dict(state)
