@@ -374,6 +374,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     pv.add_argument("--out", default=None)
     pv.add_argument(
+        "--restore", default=None, metavar="V|TAG",
+        help="RESTORE: commit a new head whose content equals this "
+        "version (pure metadata, zero data movement)",
+    )
+    pv.add_argument(
+        "--history", action="store_true",
+        help="DESCRIBE HISTORY: print one row per version",
+    )
+    pv.add_argument(
         "--tag", default=None, metavar="NAME[=V]",
         help="name a version (default: head) — tagged versions survive "
         "expiry; --read accepts tag names",
@@ -699,6 +708,11 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.table, spark.read.parquet(args.upsert),
                 keys=args.keys.split(","), partition_by=args.partition_by,
             )
+        if args.restore is not None:
+            v = int(args.restore) if args.restore.isdigit() else args.restore
+            out["version"] = _v.restore_table_version(args.table, v)
+        if args.history:
+            out["history"] = _v.history(args.table)
         if args.tag is not None:
             name, _, tv = args.tag.partition("=")
             out["tagged"] = {

@@ -78,6 +78,8 @@ __all__ = [
     "Pin",
     "pin_version",
     "tag_version",
+    "restore_table_version",
+    "history",
     "delete_tag",
     "list_tags",
 ]
@@ -348,7 +350,8 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
             partition_by: str | None, stats_cols: list[str] | None = None,
             stats: dict | None = None,
             schema: dict | None = None,
-            bloom_conf: dict | None = None) -> int:
+            bloom_conf: dict | None = None,
+            op: str | None = None) -> int:
     """Optimistic-concurrency commit (r8, VERDICT r7 #5).
 
     ``parent`` is the head this commit's content was computed AGAINST.
@@ -401,6 +404,8 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
         manifest["schema"] = schema
     if bloom_conf is not None:
         manifest["blooms_conf"] = bloom_conf
+    if op:
+        manifest["op"] = op  # DESCRIBE HISTORY: what produced this version
     if parent and schema is None:
         # DELTA form when the change is smaller than the table and the
         # chain is shallow (see _load_manifest): commit metadata then
@@ -435,6 +440,8 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
                     }
                     if bloom_conf is not None:
                         manifest["blooms_conf"] = bloom_conf
+                    if op:
+                        manifest["op"] = op
     mp = _manifest_path(path, version)
     try:
         fd = os.open(mp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -449,7 +456,7 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
             mp.unlink(missing_ok=True)
             return _commit(
                 path, files, count, parent, partition_by, stats_cols,
-                stats, schema, bloom_conf,
+                stats, schema, bloom_conf, op,
             )
         raise CommitConflict(
             f"version {version} of {path} was claimed concurrently"
@@ -552,7 +559,7 @@ def write_table_version(
     return _retry_conflicts(
         lambda: _commit(
             path, files, n, latest_version(path), partition_by,
-            stats_cols, stats, bloom_conf=bloom_conf,
+            stats_cols, stats, bloom_conf=bloom_conf, op="snapshot",
         ),
         f"snapshot of {path}",
     )
@@ -706,7 +713,7 @@ def _upsert_table_version_once(
         files = _stage_files(delta, path, partition_by)
         stats = _new_file_meta(spark, path, files, stats_cols, bloom_conf) or None
         return _commit(path, files, n, head, partition_by, stats_cols,
-                       stats, bloom_conf=bloom_conf)
+                       stats, bloom_conf=bloom_conf, op="upsert")
     existing = read_table_version(spark, path, head)
     dropped = set(existing.columns) - set(delta.columns)
     if dropped:
@@ -730,7 +737,7 @@ def _upsert_table_version_once(
         stats = _new_file_meta(spark, path, files, stats_cols, bloom_conf) or None
         return _commit(
             path, files, n, head, partition_by, stats_cols, stats,
-            bloom_conf=bloom_conf,
+            bloom_conf=bloom_conf, op="upsert-evolve",
         )
     if partition_by:
         dirty = [
@@ -780,8 +787,60 @@ def _upsert_table_version_once(
         stats.update(_new_file_meta(spark, path, new_files, stats_cols, bloom_conf))
     return _commit(
         path, carried + new_files, total, head, partition_by,
-        stats_cols, stats, bloom_conf=bloom_conf,
+        stats_cols, stats, bloom_conf=bloom_conf, op="upsert",
     )
+
+
+def restore_table_version(path: str, version: int | str) -> int:
+    """RESTORE (Delta parity): commit a NEW head whose content equals an
+    older version — a pure metadata commit that re-references the old
+    version's files (zero data movement, KBs of manifest), so a bad
+    write is rolled back in milliseconds while the full history stays
+    intact and time-travelable.  Accepts a version number or tag name.
+    The restored-from version's files must still exist — restore within
+    your retention window (expire keeps what its manifests reference,
+    so any readable version is restorable)."""
+    if isinstance(version, str):
+        tags = list_tags(path)
+        if version not in tags:
+            raise FileNotFoundError(f"no tag {version!r} on {path}")
+        version = tags[version]
+    if version not in list_versions(path):
+        raise ValueError(f"version {version} of {path} is not committed")
+    m = _load_manifest(path, version)
+
+    def once() -> int:
+        return _commit(
+            path, m["files"], m["count"], latest_version(path),
+            m.get("partition_by") or None, m.get("stats_cols") or None,
+            m.get("stats") or None, m.get("schema"),
+            m.get("blooms_conf"), f"restore({version})",
+        )
+
+    return _retry_conflicts(once, f"restore of {path}")
+
+
+def history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one row per committed version, newest first —
+    version, the operation that produced it (recorded at commit since
+    r9s2; older manifests show None), row count, file count, parent,
+    and the manifest's on-disk form (checkpoint vs delta).  Driver-side
+    metadata only; no Spark job."""
+    out = []
+    for v in reversed(list_versions(path)):
+        raw = json.loads(_manifest_path(path, v).read_text())
+        full = _load_manifest(path, v)
+        out.append(
+            {
+                "version": v,
+                "op": raw.get("op"),
+                "count": full.get("count"),
+                "n_files": len(full["files"]),
+                "parent": raw.get("parent"),
+                "form": "full" if "files" in raw else "delta",
+            }
+        )
+    return out
 
 
 def tag_version(path: str, name: str, version: int | None = None) -> int:
@@ -896,6 +955,7 @@ def alter_table_version(
             lambda: _commit(
                 path, [], 0, latest_version(path), partition_by,
                 stats_cols, None, out.schema.jsonValue(), bloom_conf,
+                "alter",
             ),
             f"alter of {path}",
         )
@@ -904,7 +964,7 @@ def alter_table_version(
     return _retry_conflicts(
         lambda: _commit(
             path, files, n, latest_version(path), partition_by,
-            stats_cols, stats, bloom_conf=bloom_conf,
+            stats_cols, stats, bloom_conf=bloom_conf, op="alter",
         ),
         f"alter of {path}",
     )
@@ -1136,7 +1196,7 @@ def _delete_table_version_once(
     )
     return _commit(
         path, carried + new_files, total, head, partition_by,
-        stats_cols, stats, schema, bloom_conf=bloom_conf,
+        stats_cols, stats, schema, bloom_conf=bloom_conf, op="delete",
     )
 
 
@@ -1224,7 +1284,7 @@ def _update_table_version_once(
         stats.update(_new_file_meta(spark, path, new_files, stats_cols, bloom_conf))
     return _commit(
         path, carried + new_files, m["count"], head, partition_by,
-        stats_cols, stats, bloom_conf=bloom_conf,
+        stats_cols, stats, bloom_conf=bloom_conf, op="update",
     )
 
 
@@ -1497,7 +1557,7 @@ def _compact_table_version_once(
         )
         return _commit(
             path, new_files, m["count"], head, partition_by,
-            stats_cols, stats, bloom_conf=bloom_conf,
+            stats_cols, stats, bloom_conf=bloom_conf, op="zorder",
         )
     fragmented = sorted(
         p for p, fs in by_part.items() if len(fs) > max_files_per_partition
@@ -1529,5 +1589,5 @@ def _compact_table_version_once(
         stats.update(_new_file_meta(spark, path, new_files, stats_cols, bloom_conf))
     return _commit(
         path, carried + new_files, m["count"], head, partition_by,
-        stats_cols, stats, bloom_conf=bloom_conf,
+        stats_cols, stats, bloom_conf=bloom_conf, op="compact",
     )

@@ -1602,3 +1602,55 @@ def test_cli_table_update_where(spark, tmp_path, capsys):
     assert out["version"] == 2
     got = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
     assert got == {1: "a", 2: "B"}
+
+
+# -------------------------------------------------- restore + history
+
+
+def test_restore_rolls_back_bad_write_without_data_movement(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a"), (2, 2, "b")]), p, "ds")
+    V.tag_version(p, "good")
+    V.delete_table_version(spark, p, "k >= 0")        # the "bad write"
+    assert V.read_table_version(spark, p).count() == 0
+    v3 = V.restore_table_version(p, "good")
+    assert v3 == 3
+    got = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert got == {1: "a", 2: "b"}
+    # pure metadata: v3 references v1's files verbatim
+    assert V._load_manifest(p, 3)["files"] == V._load_manifest(p, 1)["files"]
+    # history shows the whole story, newest first
+    h = V.history(p)
+    assert [(e["version"], e["op"]) for e in h] == [
+        (3, "restore(1)"), (2, "delete"), (1, "snapshot"),
+    ]
+    assert h[0]["count"] == 2 and h[1]["count"] == 0
+    # the bad version is still time-travelable until expired
+    assert V.read_table_version(spark, p, 2).count() == 0
+    with pytest.raises(ValueError, match="not committed"):
+        V.restore_table_version(p, 99)
+
+
+def test_history_records_ops_across_dml(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a"), (2, 2, "b")]), p, "ds")
+    V.upsert_table_version(
+        spark, p, _t(spark, [(3, 1, "c")]), keys=["k"], partition_by="ds"
+    )
+    V.update_table_version(spark, p, "k = 1", {"val": "'A'"})
+    V.delete_table_version(spark, p, "k = 2")
+    ops = [e["op"] for e in V.history(p)]
+    assert ops == ["delete", "update", "upsert", "snapshot"]
+
+
+def test_cli_table_restore_and_history(spark, tmp_path, capsys):
+    from etl_rust_spark.__main__ import main
+
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a")]), p, "ds")
+    V.delete_table_version(spark, p, "k = 1")
+    assert main(["table", p, "--restore", "1", "--history"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["version"] == 3
+    assert [e["version"] for e in rep["history"]] == [3, 2, 1]
+    assert V.read_table_version(spark, p).count() == 1
