@@ -398,9 +398,9 @@ def main(argv: list[str] | None = None) -> int:
         "(needs --set)",
     )
     pv.add_argument(
-        "--set", default=None, metavar="COL=EXPR[,COL=EXPR]",
-        help="SET clauses for --update-where (expressions see the "
-        "old row)",
+        "--set", action="append", default=None, metavar="COL=EXPR",
+        help="SET clause for --update-where (repeat the flag for "
+        "multiple columns; expressions see the old row)",
     )
     pv.add_argument(
         "--compact", type=int, default=None, metavar="N",
@@ -739,9 +739,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.update_where is not None:
             if not args.set:
                 p.error("--update-where requires --set")
-            sets = dict(
-                pair.split("=", 1) for pair in args.set.split(",")
-            )
+            sets = dict(pair.split("=", 1) for pair in args.set)
             out["version"] = _v.update_table_version(
                 spark, args.table, args.update_where, sets
             )

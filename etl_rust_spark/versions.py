@@ -39,6 +39,12 @@ Layout::
   version N races :func:`expire_versions` deleting N's files — size
   ``keep_last`` to cover reader lag, and use ``grace_seconds`` so
   in-flight writers' staged files and fresh claims are never swept.
+- History is LINEAR by design: every commit's parent is the head it
+  was computed against (CAS-enforced), so there are no branches —
+  :func:`tag_version` gives named read refs and
+  :func:`restore_table_version` gives rollback, which together cover
+  what table workloads actually use branches for without the merge
+  semantics a version log of data files cannot honestly provide.
 
 100 TB posture: manifests hold file PATHS (KBs per thousand files) and
 live on the driver; data moves only for dirty partitions; time-travel

@@ -1596,12 +1596,13 @@ def test_cli_table_update_where(spark, tmp_path, capsys):
     p = str(tmp_path / "t")
     V.write_table_version(_t(spark, [(1, 1, "a"), (2, 2, "b")]), p, "ds")
     assert main(
-        ["table", p, "--update-where", "k = 2", "--set", "val=upper(val)"]
+        ["table", p, "--update-where", "k = 2",
+         "--set", "val=concat(upper(val), val)"]
     ) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["version"] == 2
     got = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
-    assert got == {1: "a", 2: "B"}
+    assert got == {1: "a", 2: "Bb"}
 
 
 # -------------------------------------------------- restore + history
