@@ -1376,7 +1376,8 @@ def read_table_changes(
 
 
 def expire_versions(
-    path: str, keep_last: int = 1, grace_seconds: float = 0.0
+    path: str, keep_last: int = 1, grace_seconds: float = 0.0,
+    dry_run: bool = False,
 ) -> dict:
     """Retention for the version log: drop all but the newest
     ``keep_last`` committed versions, then delete every data file no
@@ -1394,7 +1395,13 @@ def expire_versions(
     ``ttl_seconds``) is retained — files and manifest — regardless of
     ``keep_last``; stale pins (crashed readers) are swept here.  An
     UNPINNED long reader still races expiry — pin, or size
-    ``keep_last`` to cover reader lag."""
+    ``keep_last`` to cover reader lag.
+
+    ``dry_run=True`` reports what WOULD happen — kept versions and the
+    counts of files/manifests/pins that would drop — while touching
+    NOTHING on disk (no deletes, no stale-pin sweep, no delta-manifest
+    materialization): the audit step before a production retention
+    change."""
     import time
 
     if keep_last < 1:
@@ -1423,7 +1430,8 @@ def expire_versions(
             if v in versions:
                 keep.add(v)
         else:
-            pf.unlink(missing_ok=True)
+            if not dry_run:
+                pf.unlink(missing_ok=True)
             swept_pins += 1
     # named refs: tagged versions are retained until the tag is deleted
     for tv in list_tags(path).values():
@@ -1437,12 +1445,16 @@ def expire_versions(
     data = root / "data"
     for f in sorted(data.rglob("*.parquet")):
         if str(f.relative_to(data)) not in live and _old_enough(f):
-            f.unlink()
+            if not dry_run:
+                f.unlink()
             dropped_files += 1
     # prune now-empty partition dirs
-    for d in sorted((p for p in data.rglob("*") if p.is_dir()), reverse=True):
-        if not any(d.iterdir()):
-            d.rmdir()
+    if not dry_run:
+        for d in sorted(
+            (p for p in data.rglob("*") if p.is_dir()), reverse=True
+        ):
+            if not any(d.iterdir()):
+                d.rmdir()
     # a kept DELTA-form manifest whose ancestor chain is about to be
     # expired is first MATERIALIZED into a full (checkpoint) manifest —
     # same logical view, atomically swapped in — so retention never has
@@ -1450,7 +1462,7 @@ def expire_versions(
     # reader that loaded the delta form just before this and walks its
     # ancestors after they drop hits the same already-documented
     # reader-vs-expiry race grace_seconds/pins exist for.)
-    for v in sorted(keep):
+    for v in sorted(keep) if not dry_run else []:
         try:
             raw = json.loads(_manifest_path(path, v).read_text())
         except (FileNotFoundError, json.JSONDecodeError):
@@ -1468,16 +1480,19 @@ def expire_versions(
     for mp in _manifest_dir(path).glob("m*.json"):
         v = int(mp.stem[1:])
         if (v not in keep or v > head) and _old_enough(mp):
-            mp.unlink()
+            if not dry_run:
+                mp.unlink()
             dropped_manifests += 1
     for st in root.glob("_stage-*"):
         if _old_enough(st):
-            shutil.rmtree(st)
+            if not dry_run:
+                shutil.rmtree(st)
     return {
         "kept_versions": sorted(keep),
         "dropped_manifests": dropped_manifests,
         "dropped_files": dropped_files,
         "swept_pins": swept_pins,
+        "dry_run": dry_run,
     }
 
 

@@ -1655,3 +1655,25 @@ def test_cli_table_restore_and_history(spark, tmp_path, capsys):
     assert rep["version"] == 3
     assert [e["version"] for e in rep["history"]] == [3, 2, 1]
     assert V.read_table_version(spark, p).count() == 1
+
+
+def test_expire_dry_run_reports_without_touching_disk(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a"), (2, 2, "b")]), p, "ds")
+    V.upsert_table_version(
+        spark, p, _t(spark, [(3, 1, "c")]), keys=["k"], partition_by="ds"
+    )
+    V.delete_table_version(spark, p, "k = 2")
+    before = sorted(str(f) for f in Path(p).rglob("*") if f.is_file())
+    rep = V.expire_versions(p, keep_last=1, dry_run=True)
+    assert rep["dry_run"] is True
+    assert rep["kept_versions"] == [3]
+    assert rep["dropped_manifests"] == 2 and rep["dropped_files"] >= 1
+    after = sorted(str(f) for f in Path(p).rglob("*") if f.is_file())
+    assert after == before                     # nothing touched
+    assert V.read_table_version(spark, p, 1).count() == 2  # history intact
+    # the real run then matches the dry report's drop counts
+    real = V.expire_versions(p, keep_last=1)
+    assert real["dropped_manifests"] == rep["dropped_manifests"]
+    assert real["dropped_files"] == rep["dropped_files"]
+    assert real["dry_run"] is False
