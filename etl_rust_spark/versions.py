@@ -88,6 +88,7 @@ __all__ = [
     "history",
     "delete_tag",
     "list_tags",
+    "table_metrics",
 ]
 
 
@@ -221,6 +222,27 @@ def _file_stats(table: str, files: list[str], cols: list[str]) -> dict:
         if fstats:
             out[rel] = fstats
     return out
+
+
+# ------------------------------------------------------------ metrics
+# O-01 parity for the table layer: process-local counters a
+# MetricsServer exposes via ``register("table", table_metrics)`` —
+# commits by operation, CAS conflicts/retries, retention drops.
+import threading as _threading
+
+_METRICS_LOCK = _threading.Lock()
+_METRICS: dict[str, int] = {}
+
+
+def _bump(name: str, n: int = 1) -> None:
+    with _METRICS_LOCK:
+        _METRICS[name] = _METRICS.get(name, 0) + n
+
+
+def table_metrics() -> dict[str, int]:
+    """Snapshot of the table-layer counters (for MetricsServer)."""
+    with _METRICS_LOCK:
+        return dict(_METRICS)
 
 
 _BLOOM_KEY = "bloom:"  # per-file stats-dict key prefix for bloom entries
@@ -383,6 +405,7 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
     _manifest_dir(path).mkdir(parents=True, exist_ok=True)
     head = latest_version(path) or 0
     if (parent or 0) != head:
+        _bump("commit_conflicts_total")
         raise CommitConflict(
             f"table {path} advanced to version {head} while this commit "
             f"was computed against {parent or 0}"
@@ -464,6 +487,7 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
                 path, files, count, parent, partition_by, stats_cols,
                 stats, schema, bloom_conf, op,
             )
+        _bump("commit_conflicts_total")
         raise CommitConflict(
             f"version {version} of {path} was claimed concurrently"
         ) from None
@@ -498,6 +522,9 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
                 os.replace(tmp, root / "_latest")
         finally:
             fcntl.flock(lf, fcntl.LOCK_UN)
+    _bump("commits_total")
+    if op:
+        _bump(f"commits_{op.split('(')[0]}")
     return version
 
 
@@ -522,6 +549,7 @@ def _retry_conflicts(fn, what: str, attempts: int = 10):
             return fn()
         except CommitConflict as exc:
             last = exc
+            _bump("commit_retries_total")
             time.sleep(0.02 * (i + 1))
     raise CommitConflict(f"{what}: gave up after {attempts} attempts") from last
 
@@ -1487,6 +1515,9 @@ def expire_versions(
         if _old_enough(st):
             if not dry_run:
                 shutil.rmtree(st)
+    if not dry_run:
+        _bump("expired_files_total", dropped_files)
+        _bump("expired_manifests_total", dropped_manifests)
     return {
         "kept_versions": sorted(keep),
         "dropped_manifests": dropped_manifests,

@@ -1677,3 +1677,67 @@ def test_expire_dry_run_reports_without_touching_disk(spark, tmp_path):
     assert real["dropped_manifests"] == rep["dropped_manifests"]
     assert real["dropped_files"] == rep["dropped_files"]
     assert real["dry_run"] is False
+
+
+def test_table_metrics_exposed_via_metrics_server(spark, tmp_path):
+    """O-01 parity for the table layer: commit/conflict/expiry counters
+    flow through the same Prometheus surface the ETL uses."""
+    import urllib.request
+
+    from etl_rust_spark.observability import MetricsServer
+
+    p = str(tmp_path / "t")
+    base = dict(V.table_metrics())
+    V.write_table_version(_t(spark, [(1, 1, "a")]), p, "ds")
+    V.upsert_table_version(
+        spark, p, _t(spark, [(2, 2, "b")]), keys=["k"], partition_by="ds"
+    )
+    V.delete_table_version(spark, p, "k = 1")
+    V.expire_versions(p, keep_last=1, grace_seconds=0)
+    m = V.table_metrics()
+
+    def delta(name):
+        return m.get(name, 0) - base.get(name, 0)
+
+    assert delta("commits_total") == 3
+    assert delta("commits_snapshot") == 1
+    assert delta("commits_upsert") == 1
+    assert delta("commits_delete") == 1
+    assert delta("expired_manifests_total") >= 2
+    srv = MetricsServer(port=0).start()
+    try:
+        srv.register("table", V.table_metrics)
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/metrics"
+        ).read().decode()
+        assert "\ncommits_total" in body and "commits_delete 1" in body
+    finally:
+        srv.stop()
+
+
+def test_bloom_false_positive_rate_within_band():
+    """Statistical contract of the bloom parameters: with n keys in m
+    bits and k hashes, absent-key FP rate ≈ (1 - e^(-kn/m))^k.  No
+    false negatives, ever (exhaustive over the inserted set)."""
+    import numpy as np
+
+    bits, k, n = 8192, 4, 700  # ~ (1-e^-0.342)^4 ≈ 0.7%
+    arr = np.zeros(bits, dtype=bool)
+    keys = [f"key-{i}" for i in range(n)]
+    for v in keys:
+        for pos in V._bloom_positions(v, bits, k):
+            arr[pos] = True
+    entry = None
+    import base64
+
+    entry = {"m": bits, "k": k,
+             "b": base64.b64encode(np.packbits(arr).tobytes()).decode()}
+    assert all(V._bloom_might_contain(entry, v) for v in keys)  # no FN
+    trials = 20000
+    fp = sum(
+        V._bloom_might_contain(entry, f"absent-{i}") for i in range(trials)
+    )
+    rate = fp / trials
+    expected = (1 - np.exp(-k * n / bits)) ** k
+    assert rate < 3 * expected  # generous band; catches broken hashing
+    assert rate > 0  # a bloom with zero FPs at this load is broken too
