@@ -813,3 +813,72 @@ n AS (SELECT doc_id, __t, length(__t) AS __nc FROM t)
 SELECT doc_id, {exprs}, {_script_argmax_case()} AS script_pred FROM n ORDER BY doc_id"""
 
     return q("spark"), q("duck")
+
+
+def compression_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """(id, raw_len, zlib_len, compression_ratio): the RefinedWeb/
+    FineWeb-style repetitive-text detector — boilerplate, template spam
+    and keyword-stuffed pages compress far below natural prose, so a
+    low ``zlib_len / raw_len`` ratio is a strong page-quality signal
+    that is cheap, language-agnostic and catches repetition patterns
+    n-gram heuristics (:func:`repetition_stats`) miss (long-period
+    repeats, near-repeats, structural boilerplate).
+
+    Arrow-batched ``mapInPandas`` with the C zlib doing the work per
+    document — scan-side, zero shuffle, linear in corpus bytes; at
+    100 TB this is bandwidth-bound like every other scan-side signal.
+    No SQL mirror: the oracle engines have no zlib, so the gate is the
+    pytest property family (monotonicity: repeated text < shuffled
+    prose < random bytes) plus exact same-process determinism —
+    documented, the :mod:`bpe` gate policy.  NULL text yields NULL
+    stats.  ``level`` trades ratio fidelity for speed (1 is ~3× faster
+    and preserves the ordering that matters for filtering)."""
+    import zlib
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("__id", df.schema[id_col].dataType),
+            T.StructField("raw_len", T.LongType()),
+            T.StructField("zlib_len", T.LongType()),
+            T.StructField("compression_ratio", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, raws, comps, ratios = [], [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                ids.append(rid)
+                if not isinstance(text, str):
+                    raws.append(None)
+                    comps.append(None)
+                    ratios.append(None)
+                    continue
+                raw = text.encode("utf-8")
+                c = len(zlib.compress(raw, level))
+                raws.append(len(raw))
+                comps.append(c)
+                ratios.append(c / max(len(raw), 1))
+            yield pd.DataFrame(
+                {
+                    "__id": ids,
+                    "raw_len": pd.array(raws, dtype="Int64"),
+                    "zlib_len": pd.array(comps, dtype="Int64"),
+                    "compression_ratio": pd.array(ratios, dtype="float64"),
+                }
+            )
+
+    return (
+        df.select(id_col, text_col)
+        .mapInPandas(gen, out_schema)
+        .withColumnRenamed("__id", id_col)
+    )

@@ -190,3 +190,39 @@ def test_script_profile_three_way_mirror(spark, duck, tmp_path):
         == h([tuple(r[c] for c in cols) for r in sql_df.collect()])
         == h([tuple(r[i] for i in idx) for r in d_rows])
     )
+
+
+def test_compression_stats_orders_repetitive_below_prose(spark):
+    """The compression-ratio signal must order: repeated template <
+    natural prose < high-entropy text — the property filtering relies
+    on (exact byte counts are zlib-version-local, so the gate is
+    ordering + determinism, not pinned bytes)."""
+    import random
+
+    from etl_rust_spark.operators.text import compression_stats
+
+    rng = random.Random(11)
+    prose = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sailors argue about breakfast and the tide tables of a small "
+        "harbor town in early november "
+    ) * 8
+    spam = "buy cheap widgets now! " * 50
+    noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789")
+                    for _ in range(len(prose)))
+    docs = spark.createDataFrame(
+        [(0, spam), (1, prose), (2, noise), (3, None)],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in compression_stats(docs).collect()}
+    assert rows[0].compression_ratio < rows[1].compression_ratio
+    assert rows[1].compression_ratio < rows[2].compression_ratio
+    assert rows[0].compression_ratio < 0.1      # template spam collapses
+    assert rows[2].compression_ratio > 0.6      # noise barely compresses
+    assert rows[3].raw_len is None and rows[3].compression_ratio is None
+    # deterministic across runs and layouts
+    again = {r.doc_id: r.compression_ratio
+             for r in compression_stats(docs.repartition(7)).collect()}
+    assert all(
+        again[i] == rows[i].compression_ratio for i in (0, 1, 2)
+    )
