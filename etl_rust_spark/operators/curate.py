@@ -150,6 +150,7 @@ def curate_corpus(
     normalize: bool = False,
     c4_clean: bool = False,
     substring_k: int | None = None,
+    min_compression_ratio: float | None = None,
     quality_model=None,
     quality_model_threshold: float = 0.5,
     reference_lm=None,
@@ -197,6 +198,13 @@ def curate_corpus(
     ``operators/substring.py``) BEFORE language/quality/dedup, so
     removed boilerplate can neither carry a document through the
     quality floor nor pollute the shingle space.
+
+    ``min_compression_ratio`` (r9s2): the RefinedWeb-style repetitive-
+    text floor — documents whose zlib ratio (``text.compression_stats``)
+    falls below it are dropped before the learned-quality stages;
+    template spam and keyword stuffing collapse under compression in a
+    way n-gram heuristics miss.  Scan-side Arrow kernel, one keyed
+    semi-join back, zero shuffle of payloads.
 
     ``quality_model`` (r6): a fitted reference-vs-crawl classifier
     (``classify.train_quality_classifier``) applied after the
@@ -274,6 +282,15 @@ def curate_corpus(
             _substring.remove_spans(docs, spans, text_col, id_col)
             .drop(text_col, "n_tokens_removed")
             .withColumnRenamed("text_dedup", text_col)
+        )
+    if min_compression_ratio is not None:
+        cs = text.compression_stats(docs, text_col, id_col)
+        docs = docs.join(
+            cs.filter(
+                F.col("compression_ratio") >= min_compression_ratio
+            ).select(id_col),
+            id_col,
+            "left_semi",
         )
     if quality_model is not None:
         from etl_rust_spark.operators import classify as _classify

@@ -384,3 +384,21 @@ def test_curated_corpus_lifecycle_table_takedown_and_cdc(spark, sf_dir, tmp_path
     ]
     assert [(r["doc_id"], r["_change_type"], r["_commit_version"])
             for r in recs] == [(victim, "delete", 2)]
+
+
+def test_curate_compression_floor_drops_template_spam(spark):
+    spam = "buy cheap widgets now! " * 60
+    prose = (
+        "a harbor town in early november keeps odd hours: the ferry "
+        "runs late, the bakery opens before dawn, and the tide tables "
+        "argue with the almanac about everything else; seventeen "
+        "sailors disagree about breakfast while the lighthouse keeper "
+        "files her third complaint of the season about foghorn pitch"
+    )
+    docs = spark.createDataFrame(
+        [("spam", spam), ("keep", prose)], ["doc_id", "text"]
+    )
+    out = curate.curate_corpus(
+        docs, near_dup_threshold=None, min_compression_ratio=0.2
+    )
+    assert [r.doc_id for r in out.collect()] == ["keep"]
