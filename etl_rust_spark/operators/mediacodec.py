@@ -1072,6 +1072,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or pcm is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, n_ch, rate, _byte_rate, _align, bits = fmt
+    if n_ch < 1:
+        # guard EVERY format path (the G.711 and ADPCM branches divide
+        # by n_ch before their own size checks — a bit-flipped fmt
+        # chunk with 0 channels was a ZeroDivisionError, fuzz find r9s2)
+        raise ValueError(f"invalid WAV channel count {n_ch}")
     if audio_fmt == 0x11:  # IMA ADPCM (DVI/IMA, 4-bit)
         arr16 = _decode_ima_adpcm(pcm, n_ch, _align)
         if fact_frames is not None:

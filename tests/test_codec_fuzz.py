@@ -287,3 +287,25 @@ def test_registry_bitflip_never_crashes(payload, decoder, data):
 def test_registry_truncation_never_crashes(payload, decoder, data):
     cut = data.draw(st.integers(0, len(payload) - 1))
     _assert_contract(decoder, payload[:cut])
+
+
+def test_wav_zero_channel_count_raises_valueerror():
+    """r9s2 fuzz find (pos=22 mask=1 on the wav_ulaw payload): a bit
+    flip zeroing the fmt channel count reached `codes.size % n_ch` in
+    the G.711 branch — ZeroDivisionError instead of the contract
+    ValueError.  Channel count is now validated once for EVERY format
+    path; pinned deterministically since the falsifier came from
+    st.data() draws an @example cannot replay."""
+    payload = next(p for n, p, _d in _REGISTRY if n == "wav_ulaw")
+    buf = bytearray(payload)
+    buf[22] ^= 1  # fmt n_channels: 1 -> 0
+    with pytest.raises(ValueError, match="channel count"):
+        mc.decode_wav(bytes(buf))
+    # same guard covers the ADPCM and PCM branches
+    for fmt_name in ("wav_pcm16", "wav_adpcm"):
+        p2 = next((p for n, p, _d in _REGISTRY if n == fmt_name), None)
+        if p2 is None:
+            continue
+        b2 = bytearray(p2)
+        b2[22] ^= 1
+        _assert_contract(mc.decode_wav, bytes(b2))
