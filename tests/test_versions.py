@@ -1275,7 +1275,7 @@ def test_model_based_random_op_sequence_v2(spark, tmp_path):
     for step in range(16):
         op = rng.choice(
             ["upsert", "upsert", "delete", "update", "compact", "zorder",
-             "expire"]
+             "expire", "restore"]
         )
         if op == "upsert":
             counter += 1
@@ -1315,6 +1315,11 @@ def test_model_based_random_op_sequence_v2(spark, tmp_path):
             model[v] = dict(state)
         elif op == "zorder":
             v = V.compact_table_version(spark, p, 2, zorder_by=["k", "y"])
+            model[v] = dict(state)
+        elif op == "restore":
+            tgt = rng.choice(sorted(model))   # any still-live version
+            v = V.restore_table_version(p, tgt)
+            state = dict(model[tgt])
             model[v] = dict(state)
         else:
             keep = rng.randint(1, 3)
