@@ -535,14 +535,29 @@ _commit._pause_before_swap = None
 
 
 
-def _retry_conflicts(fn, what: str, attempts: int = 10):
+# CAS retry budget: a writer contending with N peers loses up to ~N
+# races per peer commit, so the budget must comfortably exceed the
+# expected writer count × their in-flight commits (an 8-writer × 5-
+# commit stress exhausted the old budget of 10 — found r9s2; each loss
+# already costs a full Spark re-merge, so generous attempts are cheap
+# relative to the work they retry)
+_CAS_ATTEMPTS = 40
+
+
+def _retry_conflicts(fn, what: str, attempts: int | None = None):
     """Optimistic-concurrency loop: re-run ``fn`` (which re-reads the
-    head and re-merges) until its commit lands or ``attempts`` is
-    exhausted.  Losing attempts may leave already-staged data files in
+    head and re-merges) until its commit lands or ``attempts``
+    (default :data:`_CAS_ATTEMPTS`) is exhausted — a clean error, never
+    lost data.  Losing attempts may leave already-staged data files in
     ``data/`` — they are unreferenced by any manifest, invisible to
-    readers, and swept by :func:`expire_versions`."""
+    readers, and swept by :func:`expire_versions`.  Backoff is
+    jittered-exponential (capped) so synchronized losers de-correlate
+    instead of re-racing in lockstep."""
+    import random
     import time
 
+    if attempts is None:
+        attempts = _CAS_ATTEMPTS
     last: CommitConflict | None = None
     for i in range(attempts):
         try:
@@ -550,7 +565,7 @@ def _retry_conflicts(fn, what: str, attempts: int = 10):
         except CommitConflict as exc:
             last = exc
             _bump("commit_retries_total")
-            time.sleep(0.02 * (i + 1))
+            time.sleep(random.uniform(0, 0.02 * (1 << min(i, 5))))
     raise CommitConflict(f"{what}: gave up after {attempts} attempts") from last
 
 

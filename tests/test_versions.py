@@ -1748,3 +1748,30 @@ def test_bloom_false_positive_rate_within_band():
     expected = (1 - np.exp(-k * n / bits)) ** k
     assert rate < 3 * expected  # generous band; catches broken hashing
     assert rate > 0  # a bloom with zero FPs at this load is broken too
+
+
+def test_retry_budget_outlasts_heavy_contention():
+    """r9s2 find: an 8-writer x 5-commit stress exhausted the old
+    10-attempt CAS budget (clean error, but an availability ceiling).
+    The default budget now absorbs a loss streak far beyond that
+    (driven standalone: 8x5 completes with ~150 retries), pinned here
+    cheaply: 20 straight losses then success must land."""
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] <= 20:
+            raise V.CommitConflict("lost the race")
+        return 42
+
+    assert V._retry_conflicts(flaky, "test") == 42
+    assert calls["n"] == 21
+    # explicit budgets still cap cleanly
+    calls["n"] = -1000
+    import pytest as _pytest
+
+    with _pytest.raises(V.CommitConflict, match="gave up after 3"):
+        V._retry_conflicts(
+            lambda: (_ for _ in ()).throw(V.CommitConflict("x")),
+            "test", attempts=3,
+        )
