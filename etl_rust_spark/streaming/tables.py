@@ -21,7 +21,23 @@ __all__ = [
     "versioned_upsert_processor",
     "sync_table_changes",
     "publish_table_changes",
+    "replicate_table_changes",
+    "CDCRetentionError",
 ]
+
+
+class CDCRetentionError(Exception):
+    """The CDC cursor points below the oldest surviving version —
+    retention expired manifests the consumer still needed, so the
+    change feed over (cursor, head] can never be reconstructed and the
+    cursor can never advance (ADVICE r9: this used to wedge the
+    consumer forever with a FileNotFoundError deep in
+    read_table_changes).  Remediation: re-bootstrap the downstream
+    from ``read_table_version(latest)`` and delete the cursor file
+    (the next run cold-starts at the current head); prevention: size
+    the table's ``expire_versions(keep_last=...)`` to cover the
+    consumer's worst-case lag, or have the consumer hold a
+    :class:`~etl_rust_spark.versions.Pin`/tag on its cursor version."""
 
 
 def versioned_upsert_processor(
@@ -94,7 +110,9 @@ def sync_table_changes(
     import uuid as _uuid
     from pathlib import Path
 
-    from etl_rust_spark.versions import latest_version, read_table_changes
+    from etl_rust_spark.versions import (
+        latest_version, list_versions, read_table_changes,
+    )
 
     head = latest_version(table)
     if head is None:
@@ -110,6 +128,24 @@ def sync_table_changes(
     else:
         cursor = head  # cold start: current head, no history replay
     to_v = head if max_steps is None else min(head, cursor + max_steps)
+    if to_v > cursor:
+        # retention guard (ADVICE r9): the feed over (cursor, to_v]
+        # walks every manifest in [cursor, to_v]; if expire_versions
+        # dropped any (keep_last smaller than this consumer's lag), the
+        # cursor could never advance — fail with the re-bootstrap story
+        # instead of a FileNotFoundError loop
+        surviving = set(list_versions(table))
+        gone = [v for v in range(cursor, to_v + 1) if v not in surviving]
+        if gone:
+            raise CDCRetentionError(
+                f"CDC cursor {cursor} of {table} needs versions "
+                f"{gone[0]}..{gone[-1]} that retention already expired "
+                f"(oldest surviving: {min(surviving, default=head)}) — "
+                "re-bootstrap the downstream from read_table_version"
+                "(latest) and delete the cursor file; prevent this by "
+                "sizing keep_last over consumer lag or pinning/tagging "
+                "the cursor version"
+            )
     applied = 0
     if to_v > cursor:
         changes = read_table_changes(
@@ -122,6 +158,113 @@ def sync_table_changes(
     tmp.write_text(str(to_v))
     os.replace(tmp, cp)
     return applied
+
+
+def replicate_table_changes(
+    spark,
+    source: str,
+    target: str,
+    keys: list[str],
+    cursor_path: str,
+    partition_by: str | None = None,
+    max_steps: int | None = None,
+) -> int:
+    """Versioned-table → versioned-table replication off the CDC feed
+    (VERDICT r9 #6 — the composition the change feed exists for): on a
+    COLD START (no cursor) the target is bootstrapped from the source
+    head snapshot; afterwards each run applies the source's new
+    versions to the target IN COMMIT ORDER — deletes via
+    :func:`~etl_rust_spark.versions.delete_table_version`, inserts and
+    update postimages via
+    :func:`~etl_rust_spark.versions.upsert_table_version` — and
+    advances the durable cursor.  Returns versions applied.
+
+    Exactly-once posture: the cursor lands AFTER the apply (crash →
+    the same versions re-deliver next run), and every applied op is
+    content-idempotent — a replayed upsert commits a version whose rows
+    equal the head, a replayed delete matches nothing — so the target's
+    HEAD CONTENT equals the source's synced version after any
+    kill+resume, with redundant versions left for the target's own
+    retention.  The bootstrap is crash-safe the same way: a crash
+    between the snapshot upsert and the first cursor write re-runs the
+    bootstrap idempotently.
+
+    Driver-side costs (control-plane sized, documented): one
+    ``_commit_version`` distinct per run, and each step's DELETED KEYS
+    are collected to build the delete predicate — bounded by the churn
+    of one source commit, not table size.  Backlog is paced with
+    ``max_steps``; consumers lagging past the source's retention get
+    :class:`CDCRetentionError` with the re-bootstrap story."""
+    import os
+    import uuid as _uuid
+    from functools import reduce
+    from operator import and_, or_
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.versions import (
+        delete_table_version,
+        latest_version,
+        read_table_version,
+        upsert_table_version,
+        write_table_version,
+    )
+
+    cp = Path(cursor_path)
+    if not cp.exists():
+        head = latest_version(source)
+        if head is None:
+            raise FileNotFoundError(f"no committed versions under {source}")
+        snap = read_table_version(spark, source, head)
+        if latest_version(target) is None:
+            write_table_version(snap, target, partition_by)
+        else:
+            upsert_table_version(spark, target, snap, keys, partition_by)
+        # cursor pinned to the SNAPSHOT's head (not sync's possibly
+        # newer head read) so versions landing between the snapshot and
+        # the first incremental run are never skipped
+        cp.parent.mkdir(parents=True, exist_ok=True)
+        tmp = cp.with_name(f"{cp.name}.{_uuid.uuid4().hex}")
+        tmp.write_text(str(head))
+        os.replace(tmp, cp)
+
+    meta = ["_change_type", "_commit_version"]
+
+    def apply_fn(changes, up_to: int) -> None:
+        # materialize the multi-version feed ONCE (it is one lazy plan;
+        # per-step filters would otherwise re-run every diff per step)
+        changes = changes.localCheckpoint(eager=True)
+        step_vs = sorted(
+            r[0]
+            for r in changes.select("_commit_version").distinct().collect()
+        )
+        for v in step_vs:  # commit order: a delete+reinsert must not flip
+            step = changes.filter(F.col("_commit_version") == v)
+            dels = (
+                step.filter(F.col("_change_type") == "delete")
+                .select(*keys)
+                .collect()
+            )
+            if dels:
+                pred = reduce(
+                    or_,
+                    (
+                        reduce(
+                            and_,
+                            (F.col(k).eqNullSafe(F.lit(r[k])) for k in keys),
+                        )
+                        for r in dels
+                    ),
+                )
+                delete_table_version(spark, target, pred)
+            ups = step.filter(F.col("_change_type") != "delete").drop(*meta)
+            if not ups.isEmpty():
+                upsert_table_version(spark, target, ups, keys, partition_by)
+
+    return sync_table_changes(
+        spark, source, keys, apply_fn, cursor_path, max_steps
+    )
 
 
 def publish_table_changes(

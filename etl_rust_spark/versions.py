@@ -259,6 +259,29 @@ def _bloom_positions(value: str, bits: int, k: int) -> list[int]:
     return [(h1 + i * h2) % bits for i in range(k)]
 
 
+def _point_probe_str(col: str, val) -> str:
+    """Render a point-probe value EXACTLY as the bloom build did (the
+    build hashes ``CAST(col AS STRING)``).  Python ``str()`` diverges
+    from Spark's cast for bool ('True' vs 'true'), float, date and
+    timestamp — a diverging rendering makes the bloom report a FALSE
+    NEGATIVE and the file is silently pruned: rows dropped from reads,
+    rows MISSED by delete/update (a GDPR-erasure hazard).  So bool is
+    normalized to Spark's rendering, str/int pass through (identical in
+    both engines), and everything else is rejected LOUDLY (ADVICE r9 —
+    the limitation used to be documented but unenforced)."""
+    if isinstance(val, bool):  # before int: bool is an int subtype
+        return "true" if val else "false"
+    if isinstance(val, (str, int)):
+        return str(val)
+    raise TypeError(
+        f"point probe on {col!r} supports str/int/bool values only, got "
+        f"{type(val).__name__}: Python's rendering of float/date/"
+        "timestamp diverges from the CAST(col AS STRING) the bloom was "
+        "built from, which would silently prune files that DO contain "
+        "the key — pass the value pre-rendered with Spark cast semantics"
+    )
+
+
 def _bloom_might_contain(entry: dict, value: str) -> bool:
     import base64
 
@@ -476,13 +499,34 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
         fd = os.open(mp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
         # stale claim from a crashed writer?  (pointer still behind N
-        # and the claim is old)
-        try:
-            age = time.time() - mp.stat().st_mtime
-        except FileNotFoundError:
-            age = 0.0
-        if age > _STALE_MANIFEST_SECONDS and (latest_version(path) or 0) < version:
-            mp.unlink(missing_ok=True)
+        # and the claim is old).  The age check + unlink run UNDER
+        # _latest.lock (ADVICE r9): an unserialized sweep could fire in
+        # the gap between a stalled victim's in-lock writer-id
+        # re-verify and its pointer swap — rewriting m{N}.json while
+        # the victim still publishes N and returns success, silently
+        # losing one of the two commits.  Under the lock the sweep
+        # serializes with verify-and-swap: if the victim swapped first,
+        # `latest_version >= N` here and the sweep declines (loud
+        # CommitConflict for the sweeper); if the sweep won, the
+        # victim's re-verify sees the foreign writer id (loud
+        # CommitConflict for the victim).  Never both-succeed.
+        swept = False
+        with open(Path(path) / "_latest.lock", "a") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                try:
+                    age = time.time() - mp.stat().st_mtime
+                except FileNotFoundError:
+                    age = 0.0
+                if (
+                    age > _STALE_MANIFEST_SECONDS
+                    and (latest_version(path) or 0) < version
+                ):
+                    mp.unlink(missing_ok=True)
+                    swept = True
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+        if swept:
             return _commit(
                 path, files, count, parent, partition_by, stats_cols,
                 stats, schema, bloom_conf, op,
@@ -515,6 +559,8 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
                     f"version {version} of {path} was reclaimed by a "
                     f"stale-claim sweep while this writer was stalled"
                 )
+            if _commit._pause_after_verify is not None:  # test hook
+                _commit._pause_after_verify(mp)
             cur = latest_version(path) or 0
             if version > cur:  # forward-only
                 tmp = root / f"_latest.{uuid.uuid4().hex}"
@@ -532,6 +578,11 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
 # write and the _latest swap, simulating a writer stalled in the gap the
 # stale-claim sweep races against (ADVICE r8 TOCTOU)
 _commit._pause_before_swap = None
+# test-only injection point: called(manifest_path) INSIDE _latest.lock
+# between the writer-id re-verify and the pointer swap — the window the
+# ADVICE r9 fix closes (a sweep firing here must block on the lock and
+# then decline, never rewrite m{N}.json under a publishing victim)
+_commit._pause_after_verify = None
 
 
 
@@ -630,8 +681,10 @@ def read_table_version(
     recorded [min, max] cannot intersect are never handed to Spark at
     all (driver-side, zero I/O).  ``point`` is a list of ``(col,
     value)`` equality probes evaluated against per-file bloom filters
-    (``bloom_cols`` at write time; values compared through the same
-    string cast the build used, so string/integer keys) — the pruning
+    (``bloom_cols`` at write time; str/int values render identically to
+    the CAST(col AS STRING) the build hashed, bool is normalized to
+    Spark's 'true'/'false', anything else raises — see
+    :func:`_point_probe_str`) — the pruning
     that works where min/max can't: unordered high-cardinality keys.
     Files without stats/blooms for a column are kept — pruning is an
     optimization, never a filter: callers still apply the real
@@ -658,6 +711,8 @@ def read_table_version(
                 [], StructType.fromJson(m["schema"])
             )
         raise ValueError(f"version {v} of {path} is empty")
+    if point:
+        point = [(c, _point_probe_str(c, val)) for c, val in point]
     if prune or point:
         stats = m.get("stats") or {}
 
@@ -674,7 +729,7 @@ def read_table_version(
                         return False
             for col, val in point or []:
                 entry = fs.get(_BLOOM_KEY + col)
-                if entry and not _bloom_might_contain(entry, str(val)):
+                if entry and not _bloom_might_contain(entry, val):
                     return False
             return True
 
@@ -969,9 +1024,20 @@ def alter_table_version(
     missing = [c for c in drop + list(rename) if c not in cols]
     if missing:
         raise ValueError(f"no such columns: {missing}")
-    clash = [n for o, n in rename.items() if n in cols - set(rename)]
-    if clash:
-        raise ValueError(f"rename targets already exist: {clash}")
+    both = sorted(set(drop) & set(rename))
+    if both:
+        raise ValueError(f"columns both dropped and renamed: {both}")
+    # renames are SIMULTANEOUS (one select projection, ADVICE r9):
+    # swap ({'a':'b','b':'a'}) and chain ({'a':'b','b':'c'}) maps are
+    # legal — every SOURCE evaluates against the old row, exactly SQL
+    # UPDATE's simultaneous-SET semantics.  The only illegal maps are
+    # the ones whose FINAL column list duplicates a name.
+    final = [
+        rename.get(c, c) for c in existing.columns if c not in drop
+    ]
+    dups = sorted({n for n in final if final.count(n) > 1})
+    if dups:
+        raise ValueError(f"rename would duplicate columns: {dups}")
     if old_partition_by in drop and new_partition_by is ...:
         raise ValueError(
             f"cannot drop partition column {old_partition_by!r} without "
@@ -984,11 +1050,13 @@ def alter_table_version(
     partition_by = (
         follow(old_partition_by) if new_partition_by is ... else new_partition_by
     )
-    out = existing
-    for o, n in rename.items():
-        out = out.withColumnRenamed(o, n)
-    if drop:
-        out = out.drop(*drop)
+    out = existing.select(
+        *[
+            F.col(c).alias(rename.get(c, c))
+            for c in existing.columns
+            if c not in drop
+        ]
+    )
     if partition_by is not None and partition_by not in out.columns:
         raise ValueError(f"partition column {partition_by!r} not in result")
     stats_cols = [
@@ -1115,6 +1183,8 @@ def _files_matching(
     in tests/test_plans.py) collects the DISTINCT FILE NAMES holding a
     matching row — bounded by file count, never row count."""
     candidates = list(m["files"])
+    if point:
+        point = [(c, _point_probe_str(c, val)) for c, val in point]
     if prune or point:
         stats = m.get("stats") or {}
 
@@ -1131,7 +1201,7 @@ def _files_matching(
                         return False
             for col, val in point or []:
                 entry = fs.get(_BLOOM_KEY + col)
-                if entry and not _bloom_might_contain(entry, str(val)):
+                if entry and not _bloom_might_contain(entry, val):
                     return False
             return True
 
@@ -1461,7 +1531,7 @@ def expire_versions(
     versions = list_versions(path)
     keep = set(versions[-keep_last:])
     # reader pins: active ones extend retention, stale ones are swept
-    swept_pins = 0
+    swept_pins = honored_pins = 0
     for pf in sorted(Path(path).glob("_pins/r*.json")):
         try:
             body = json.loads(pf.read_text())
@@ -1472,6 +1542,7 @@ def expire_versions(
             v = int(body["version"])
             if v in versions:
                 keep.add(v)
+                honored_pins += 1
         else:
             if not dry_run:
                 pf.unlink(missing_ok=True)
@@ -1533,10 +1604,17 @@ def expire_versions(
     if not dry_run:
         _bump("expired_files_total", dropped_files)
         _bump("expired_manifests_total", dropped_manifests)
+        # VERDICT r9 #8: a production operator watching retention needs
+        # to SEE it being blocked by a stuck (or legitimate) reader —
+        # pins_honored rising with zero pins_swept means a pin is
+        # pinning every run
+        _bump("pins_honored_total", honored_pins)
+        _bump("pins_swept_total", swept_pins)
     return {
         "kept_versions": sorted(keep),
         "dropped_manifests": dropped_manifests,
         "dropped_files": dropped_files,
+        "honored_pins": honored_pins,
         "swept_pins": swept_pins,
         "dry_run": dry_run,
     }

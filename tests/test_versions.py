@@ -566,6 +566,59 @@ def test_stalled_writer_loses_loudly_when_sweep_steals_slot(spark, tmp_path):
     assert v3 == 3
 
 
+def test_sweep_serializes_with_victim_swap_under_latest_lock(spark, tmp_path):
+    """ADVICE r9 (medium): the stale-claim sweep must run UNDER
+    _latest.lock.  A victim stalled between its in-lock writer-id
+    re-verify and its pointer swap (claim already aged past
+    _STALE_MANIFEST_SECONDS) races a rival's sweep: unserialized, the
+    sweep rewrites m{N}.json while the victim still publishes N — BOTH
+    return success and one commit is silently lost.  With the fix the
+    sweep blocks on the lock, sees the victim's swap landed, and the
+    rival loses LOUDLY via CommitConflict; whichever interleaving wins
+    the lock, exactly one writer owns version N and the other raises."""
+    import os as _os
+    import threading
+
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a")]), p, "ds")
+    rival_err: list[Exception] = []
+    rival = threading.Thread(
+        target=lambda: rival_err.append(_rival_commit(p)),
+    )
+
+    def _rival_commit(path):
+        try:
+            V._commit(path, ["ds=1/rival.parquet"], 1, parent=1,
+                      partition_by="ds")
+            return None
+        except V.CommitConflict as exc:
+            return exc
+
+    def stall(mp):
+        V._commit._pause_after_verify = None
+        # the victim's claim looks stale (>60s old) while it holds the
+        # lock post-verify; the rival now attempts the same slot — its
+        # sweep must BLOCK on _latest.lock instead of rewriting m2
+        _os.utime(mp, (10_000, 10_000))
+        rival.start()
+        import time as _time
+
+        _time.sleep(0.3)  # give the rival time to reach the lock wait
+
+    V._commit._pause_after_verify = stall
+    try:
+        v = V._commit(p, ["ds=1/victim.parquet"], 1, parent=1,
+                      partition_by="ds")
+    finally:
+        V._commit._pause_after_verify = None
+    rival.join(timeout=30)
+    assert v == 2
+    # exactly one winner: the victim's content is what version 2 holds,
+    # and the rival raised instead of silently sharing the slot
+    assert V._load_manifest(p, 2)["files"] == ["ds=1/victim.parquet"]
+    assert len(rival_err) == 1 and isinstance(rival_err[0], V.CommitConflict)
+
+
 def test_reader_pin_protects_version_from_expiry(spark, tmp_path):
     """VERDICT r8 #2: a reader holding a Pin on version N survives an
     expire_versions run that would otherwise delete N's files — the
@@ -582,9 +635,13 @@ def test_reader_pin_protects_version_from_expiry(spark, tmp_path):
     with V.pin_version(p, version=1) as pin:
         assert pin.version == 1
         before = {tuple(r) for r in V.read_table_version(spark, p, 1).collect()}
+        base = V.table_metrics().get("pins_honored_total", 0)
         rep = V.expire_versions(p, keep_last=1)
-        # v1 retained by the pin, v2 expired as usual
+        # v1 retained by the pin, v2 expired as usual — and the save is
+        # visible to a metrics scraper (VERDICT r9 #8)
         assert 1 in rep["kept_versions"] and 2 not in rep["kept_versions"]
+        assert rep["honored_pins"] == 1
+        assert V.table_metrics()["pins_honored_total"] == base + 1
         after = {tuple(r) for r in V.read_table_version(spark, p, 1).collect()}
         assert after == before
         with pytest.raises(FileNotFoundError):
@@ -610,8 +667,10 @@ def test_stale_pin_is_swept_and_refresh_extends(spark, tmp_path):
     pin = V.Pin(p, 1, ttl_seconds=0.05)
     pin.refresh()  # refresh is a utime — liveness window restarts now
     _time.sleep(0.15)  # ...then the reader "crashes" and the pin ages out
+    base = V.table_metrics().get("pins_swept_total", 0)
     rep = V.expire_versions(p, keep_last=1)
     assert rep["swept_pins"] == 1 and rep["kept_versions"] == [2]
+    assert V.table_metrics()["pins_swept_total"] == base + 1
     assert not pin.file.exists()
     # an ACTIVE pin (fresh mtime, generous ttl) is honored
     pin2 = V.Pin(p, 2, ttl_seconds=3600)
@@ -794,6 +853,93 @@ def test_sync_table_changes_downstream_mirror(spark, tmp_path):
     Path(cursor).write_text("99")
     with pytest.raises(ValueError, match="ahead"):
         sync_table_changes(spark, src, ["k"], apply, cursor)
+
+
+def test_sync_table_changes_retention_hole_fails_with_rebootstrap(
+    spark, tmp_path
+):
+    """ADVICE r9: a consumer lagging past the source's retention used to
+    wedge forever (FileNotFoundError on the expired manifest, cursor
+    never advances).  Now it raises CDCRetentionError naming the
+    remediation, and deleting the cursor re-bootstraps cleanly."""
+    from etl_rust_spark.streaming.tables import (
+        CDCRetentionError, sync_table_changes,
+    )
+
+    src = str(tmp_path / "src")
+    cursor = str(tmp_path / "cursor")
+    V.write_table_version(_t(spark, [(1, 1, "a")]), src, "ds")
+    applied: list[int] = []
+    apply = lambda ch, up_to: applied.append(up_to)  # noqa: E731
+    assert sync_table_changes(spark, src, ["k"], apply, cursor) == 0
+    for i in range(2, 6):  # versions 2..5 while the consumer sleeps
+        V.upsert_table_version(
+            spark, src, _t(spark, [(i, 1, f"v{i}")]), keys=["k"],
+            partition_by="ds",
+        )
+    V.expire_versions(src, keep_last=1)  # drops manifests 1..4
+    with pytest.raises(CDCRetentionError, match="re-bootstrap"):
+        sync_table_changes(spark, src, ["k"], apply, cursor)
+    assert not applied  # nothing half-applied
+    # remediation: drop the cursor, cold-start at the current head
+    Path(cursor).unlink()
+    assert sync_table_changes(spark, src, ["k"], apply, cursor) == 0
+    assert int(Path(cursor).read_text()) == 5
+
+
+def test_replicate_table_changes_table_to_table_with_kill_resume(
+    spark, tmp_path
+):
+    """VERDICT r9 #6: the real use of the change feed — source table →
+    target table replication through sync_table_changes + versioned
+    DML, surviving a crash-redelivery mid-backlog.  Target head content
+    equals source head after every catch-up, including across a DELETE
+    step, a delete+reinsert of the same key in separate versions
+    (commit order must hold), and a cursor rollback simulating a crash
+    between apply and cursor write."""
+    from etl_rust_spark.streaming.tables import replicate_table_changes
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    cursor = str(tmp_path / "cursor")
+
+    def content(p):
+        return {(r.k, r.ds, r.val)
+                for r in V.read_table_version(spark, p).collect()}
+
+    V.write_table_version(
+        _t(spark, [(1, 1, "a"), (2, 2, "b"), (3, 1, "c")]), src, "ds"
+    )
+    # cold start bootstraps the target from the source head snapshot
+    assert replicate_table_changes(
+        spark, src, dst, ["k"], cursor, partition_by="ds") == 0
+    assert content(dst) == content(src)
+    # v2: update + insert; v3: DELETE k=1; v4: reinsert k=1 (new value)
+    V.upsert_table_version(spark, src, _t(spark, [(2, 2, "B"), (4, 2, "d")]),
+                           keys=["k"], partition_by="ds")
+    V.delete_table_version(spark, src, "k = 1")
+    V.upsert_table_version(spark, src, _t(spark, [(1, 1, "A2")]),
+                           keys=["k"], partition_by="ds")
+    # paced catch-up, one source version per run
+    assert replicate_table_changes(
+        spark, src, dst, ["k"], cursor, partition_by="ds", max_steps=1) == 1
+    assert content(dst) == {(1, 1, "a"), (2, 2, "B"), (3, 1, "c"),
+                            (4, 2, "d")}
+    assert replicate_table_changes(
+        spark, src, dst, ["k"], cursor, partition_by="ds", max_steps=1) == 1
+    assert content(dst) == {(2, 2, "B"), (3, 1, "c"), (4, 2, "d")}  # k=1 gone
+    # crash between apply and cursor write: rewind the cursor one step
+    # and resume — the delete step redelivers (matches nothing), then
+    # the reinsert applies; content equals the source head exactly once
+    Path(cursor).write_text("2")
+    assert replicate_table_changes(
+        spark, src, dst, ["k"], cursor, partition_by="ds") == 2
+    assert content(dst) == content(src)
+    assert (1, 1, "A2") in content(dst)
+    # steady state: no-op run, still equal
+    assert replicate_table_changes(
+        spark, src, dst, ["k"], cursor, partition_by="ds") == 0
+    assert content(dst) == content(src)
 
 
 # ---------------------------------------------------------------- delete
@@ -1152,6 +1298,42 @@ def test_bloom_integer_keys_and_combined_prune(spark, tmp_path):
     assert len(set(got.inputFiles())) <= 2
 
 
+def test_bloom_point_probe_normalizes_bool_and_rejects_lossy_types(
+    spark, tmp_path
+):
+    """ADVICE r9: the bloom was built from CAST(col AS STRING), but
+    probes used Python str(val) — str(True)='True' vs Spark's 'true'
+    made every bool probe a false NEGATIVE, silently pruning files that
+    DO hold the key (rows dropped from reads, missed by delete/update).
+    bool now normalizes to Spark's rendering; float/date/etc probes
+    raise instead of silently lying."""
+    import datetime
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 4, i % 2 == 0) for i in range(40)], ["k", "ds", "flag"]
+    ).repartition(4, "ds")
+    V.write_table_version(df, p, "ds", bloom_cols=["flag", "k"])
+    # bool probe: flag is True exactly in the ds∈{0,2} files — the
+    # normalized probe keeps those two and prunes the other two; the
+    # old str(True)='True' probe false-negatived on EVERY file and
+    # silently returned zero rows
+    got = V.read_table_version(spark, p, point=[("flag", True)])
+    assert len(set(got.inputFiles())) == 2
+    assert got.filter("flag").count() == 20
+    # unsupported probe types fail LOUDLY in read and delete alike
+    with pytest.raises(TypeError, match="str/int/bool"):
+        V.read_table_version(spark, p, point=[("k", 1.5)])
+    with pytest.raises(TypeError, match="str/int/bool"):
+        V.delete_table_version(
+            spark, p, "k = 3", point=[("k", datetime.date(2026, 1, 1))]
+        )
+    # a delete narrowed by a bool probe still erases the right rows
+    v = V.delete_table_version(spark, p, "k = 6", point=[("flag", True)])
+    assert v == 2
+    assert V.read_table_version(spark, p).filter("k = 6").count() == 0
+
+
 def test_compact_zorder_relayouts_for_stats_pruning(spark, tmp_path):
     """OPTIMIZE ZORDER BY: after random-order ingestion every file's
     [min,max] spans the domain (prune reads everything); the z-order
@@ -1242,11 +1424,37 @@ def test_alter_guards(spark, tmp_path):
         V.alter_table_version(spark, p, drop=["nope"])
     with pytest.raises(ValueError, match="partition column"):
         V.alter_table_version(spark, p, drop=["ds"])
-    with pytest.raises(ValueError, match="already exist"):
+    with pytest.raises(ValueError, match="duplicate columns"):
         V.alter_table_version(spark, p, rename={"val": "k"})
+    with pytest.raises(ValueError, match="dropped and renamed"):
+        V.alter_table_version(spark, p, drop=["val"], rename={"val": "v2"})
     # dropping the partition column WITH a new one is fine
     V.alter_table_version(spark, p, drop=["ds"], new_partition_by=None)
     assert set(V.read_table_version(spark, p).columns) == {"k", "val"}
+
+
+def test_alter_swap_and_chain_renames_are_simultaneous(spark, tmp_path):
+    """ADVICE r9: renames apply as ONE simultaneous projection —
+    {'a':'b','b':'a'} swaps and {'a':'b','b':'c'} chains, with every
+    source reading the OLD row (never a half-renamed intermediate);
+    sequential withColumnRenamed used to produce duplicate columns
+    that failed much later at the parquet stage."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10, "x"), (2, 20, "y")], ["a", "b", "ds"])
+    V.write_table_version(df, p, "ds", stats_cols=["a", "b"])
+    # swap
+    V.alter_table_version(spark, p, rename={"a": "b", "b": "a"})
+    got = {(r.a, r.b) for r in V.read_table_version(spark, p).collect()}
+    assert got == {(10, 1), (20, 2)}  # values followed their old names
+    m = V._load_manifest(p, V.latest_version(p))
+    assert sorted(m["stats_cols"]) == ["a", "b"]
+    # chain: a→b, b→c in one alter (old a lands in b, old b in c)
+    p2 = str(tmp_path / "t2")
+    V.write_table_version(df, p2, "ds")
+    V.alter_table_version(spark, p2, rename={"a": "b", "b": "c"})
+    new = V.read_table_version(spark, p2)
+    assert set(new.columns) == {"b", "c", "ds"}
+    assert {(r.b, r.c) for r in new.collect()} == {(1, 10), (2, 20)}
 
 
 def test_model_based_random_op_sequence_v2(spark, tmp_path):
