@@ -372,6 +372,11 @@ def main(argv: list[str] | None = None) -> int:
         "--read", default=None, metavar="V",
         help="time-travel: write version V ('latest' ok) to --out",
     )
+    pv.add_argument(
+        "--as-of", default=None, metavar="TS",
+        help="time-travel by timestamp: read the table AS OF this "
+        "ISO-8601 instant / epoch seconds (instead of --read)",
+    )
     pv.add_argument("--out", default=None)
     pv.add_argument(
         "--restore", default=None, metavar="V|TAG",
@@ -720,10 +725,19 @@ def main(argv: list[str] | None = None) -> int:
                     args.table, name, int(tv) if tv else None
                 )
             }
-        if args.read is not None:
+        if args.read is not None or args.as_of is not None:
             if not args.out:
-                p.error("--read requires --out")
-            if args.read == "latest":
+                p.error("--read/--as-of requires --out")
+            if args.read is not None and args.as_of is not None:
+                p.error("pass --read or --as-of, not both")
+            if args.as_of is not None:
+                try:
+                    ts = float(args.as_of)  # epoch form
+                except ValueError:
+                    ts = args.as_of  # ISO-8601 form
+                v = _v.version_at_timestamp(args.table, ts)
+                out["resolved_version"] = v
+            elif args.read == "latest":
                 v = None
             elif args.read.isdigit():
                 v = int(args.read)

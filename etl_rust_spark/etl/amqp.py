@@ -125,11 +125,23 @@ class AmqpClassicClient:
         vhost: str = "/",
         timeout_s: float = 30.0,
         queue_type: str | None = None,
+        use_tls: bool = False,
+        ssl_cafile: str | None = None,
+        ssl_certfile: str | None = None,
+        ssl_keyfile: str | None = None,
+        ssl_check_hostname: bool = True,
     ) -> None:
         self.host, self.port = host, port
         self.user, self.password, self.vhost = user, password, vhost
         self.timeout_s = timeout_s
         self.queue_type = queue_type  # None = classic (K-06); "stream" = K-07
+        # amqps (r10, VERDICT r9 #2): TLS-wrap the socket before the
+        # protocol header — same etl.tls contract as the Kafka client
+        self.use_tls = use_tls
+        self.ssl_cafile = ssl_cafile
+        self.ssl_certfile = ssl_certfile
+        self.ssl_keyfile = ssl_keyfile
+        self.ssl_check_hostname = ssl_check_hostname
         self._sock: socket.socket | None = None
         self._frame_max = 131072
         self._declared: set[str] = set()
@@ -176,6 +188,14 @@ class AmqpClassicClient:
             self._sock = socket.create_connection(
                 (self.host, self.port), timeout=self.timeout_s
             )
+            if self.use_tls:
+                from etl_rust_spark.etl.tls import wrap_client_socket
+
+                self._sock = wrap_client_socket(
+                    self._sock, self.host, self.ssl_cafile,
+                    self.ssl_certfile, self.ssl_keyfile,
+                    self.ssl_check_hostname,
+                )
             self._send(PROTOCOL_HEADER)
             self._expect_method(CONN_START)
             props = struct.pack(">I", 0)  # empty client-properties table

@@ -615,6 +615,11 @@ class KafkaWireClient:
         sasl_mechanism: str | None = None,
         sasl_username: str | None = None,
         sasl_password: str | None = None,
+        security_protocol: str | None = None,
+        ssl_cafile: str | None = None,
+        ssl_certfile: str | None = None,
+        ssl_keyfile: str | None = None,
+        ssl_check_hostname: bool = True,
     ) -> None:
         self.host, self.port = host, port
         self.client_id = client_id
@@ -630,6 +635,38 @@ class KafkaWireClient:
                 )
             if sasl_username is None or sasl_password is None:
                 raise ValueError("SASL requires username and password")
+        # security.protocol semantics mirror the jar'd connector
+        # (VERDICT r9 #2): PLAINTEXT | SSL | SASL_PLAINTEXT | SASL_SSL.
+        # Default infers from sasl_mechanism for back-compat; an
+        # explicit SASL_* protocol without a mechanism (or vice versa a
+        # PLAINTEXT/SSL protocol WITH one) is a wiring error, not a
+        # silent downgrade.
+        if security_protocol is None:
+            security_protocol = (
+                "SASL_PLAINTEXT" if sasl_mechanism else "PLAINTEXT"
+            )
+        security_protocol = security_protocol.upper()
+        if security_protocol not in (
+            "PLAINTEXT", "SSL", "SASL_PLAINTEXT", "SASL_SSL"
+        ):
+            raise ValueError(
+                f"unsupported security protocol {security_protocol!r}"
+            )
+        if security_protocol.startswith("SASL") and sasl_mechanism is None:
+            raise ValueError(
+                f"{security_protocol} requires sasl_mechanism"
+            )
+        if not security_protocol.startswith("SASL") and sasl_mechanism:
+            raise ValueError(
+                f"sasl_mechanism set but security protocol is "
+                f"{security_protocol} — use SASL_{security_protocol}"
+            )
+        self.security_protocol = security_protocol
+        self.use_tls = security_protocol in ("SSL", "SASL_SSL")
+        self.ssl_cafile = ssl_cafile
+        self.ssl_certfile = ssl_certfile
+        self.ssl_keyfile = ssl_keyfile
+        self.ssl_check_hostname = ssl_check_hostname
         self.sasl_mechanism = sasl_mechanism
         self.sasl_username = sasl_username
         self.sasl_password = sasl_password
@@ -669,6 +706,17 @@ class KafkaWireClient:
     def connect(self) -> None:
         self.sock = socket.create_connection((self.host, self.port), self.timeout)
         self.sock.settimeout(self.timeout)
+        if self.use_tls:
+            # handshake BEFORE any protocol byte — cert problems (bad
+            # CA, hostname mismatch, plaintext listener) surface here,
+            # loudly, never as silent downgrade
+            from etl_rust_spark.etl.tls import wrap_client_socket
+
+            self.sock = wrap_client_socket(
+                self.sock, self.host, self.ssl_cafile,
+                self.ssl_certfile, self.ssl_keyfile,
+                self.ssl_check_hostname,
+            )
         resp = self._send_request(API_VERSIONS, 0, b"")
         (err,) = struct.unpack_from(">h", resp, 0)
         if err:
@@ -946,7 +994,9 @@ class KafkaWireClient:
 def kafka_wire_client_factory(
     host: str, port: int, topic_prefix: str = "", timeout: float = 10.0,
     sasl_mechanism: str | None = None, sasl_username: str | None = None,
-    sasl_password: str | None = None,
+    sasl_password: str | None = None, security_protocol: str | None = None,
+    ssl_cafile: str | None = None, ssl_certfile: str | None = None,
+    ssl_keyfile: str | None = None, ssl_check_hostname: bool = True,
 ):
     """Picklable factory for ``publish_tables`` (one client per executor
     partition, the K-09 lifecycle — same shape as amqp_client_factory)."""
@@ -956,6 +1006,9 @@ def kafka_wire_client_factory(
             host, port, topic_prefix=topic_prefix, timeout=timeout,
             sasl_mechanism=sasl_mechanism, sasl_username=sasl_username,
             sasl_password=sasl_password,
+            security_protocol=security_protocol, ssl_cafile=ssl_cafile,
+            ssl_certfile=ssl_certfile, ssl_keyfile=ssl_keyfile,
+            ssl_check_hostname=ssl_check_hostname,
         )
 
     return make

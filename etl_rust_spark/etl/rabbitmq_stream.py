@@ -123,12 +123,23 @@ class RabbitMqStreamClient:
         stream_for: dict[str, str] | None = None,
         create_if_missing: bool = False,
         timeout_s: float = 30.0,
+        use_tls: bool = False,
+        ssl_cafile: str | None = None,
+        ssl_certfile: str | None = None,
+        ssl_keyfile: str | None = None,
+        ssl_check_hostname: bool = True,
     ) -> None:
         self.host, self.port, self.vhost = host, port, vhost
         self.user, self.password = user, password
         self._stream_for = stream_for or {}
         self.create_if_missing = create_if_missing
         self.timeout_s = timeout_s
+        # TLS (r10, VERDICT r9 #2): same etl.tls contract as Kafka/AMQP
+        self.use_tls = use_tls
+        self.ssl_cafile = ssl_cafile
+        self.ssl_certfile = ssl_certfile
+        self.ssl_keyfile = ssl_keyfile
+        self.ssl_check_hostname = ssl_check_hostname
         self._sock: socket.socket | None = None
         self._correlation = 0
         self._publisher_ids: dict[str, int] = {}
@@ -199,6 +210,14 @@ class RabbitMqStreamClient:
         self._sock = socket.create_connection(
             (self.host, self.port), timeout=self.timeout_s
         )
+        if self.use_tls:
+            from etl_rust_spark.etl.tls import wrap_client_socket
+
+            self._sock = wrap_client_socket(
+                self._sock, self.host, self.ssl_cafile,
+                self.ssl_certfile, self.ssl_keyfile,
+                self.ssl_check_hostname,
+            )
         self._unconfirmed: set[int] = set()
         props = {"product": "etl-rust-spark", "platform": "python"}
         body = struct.pack(">i", len(props)) + b"".join(

@@ -227,9 +227,13 @@ def read_webdataset_samples(
       sample; ``.txt`` → ``text`` (utf-8), ``.json`` → ``json`` (raw
       string — caller parses with ``from_json`` and their own schema);
       other extensions are ignored like :func:`read_archive_assets`.
-    - TORN samples (no media member, or more than one) follow the
-      archive contract: ``on_error='raise'`` fails loudly naming the
-      sample, ``'skip'`` drops the sample (not the whole shard).
+      Member TYPE keys on the LAST extension segment (ADVICE r9), so
+      multi-field names fold too: ``0001.caption.txt`` is text,
+      ``0001.meta.json`` is json, ``0001.seg.jpg`` is a jpg.
+    - TORN samples (no media member, more than one, or more than one
+      txt/json member — an ambiguous fold) follow the archive
+      contract: ``on_error='raise'`` fails loudly naming the sample,
+      ``'skip'`` drops the sample (not the whole shard).
     - ``sample_id`` is the same deterministic 62-bit hash discipline as
       ``asset_id``, over ``archive_path!key`` — stable across
       re-ingests so dedup keys and signature stores survive re-runs.
@@ -265,29 +269,42 @@ def read_webdataset_samples(
                     s = samples.get(skey)
                     if s is None:
                         s = samples[skey] = {
-                            "media": [], "text": None, "json": None,
+                            "media": [], "text": [], "json": [],
                         }
                         order.append(skey)
-                    if ext == "txt":
-                        s["text"] = payload.decode("utf-8", "replace")
-                    elif ext == "json":
-                        s["json"] = payload.decode("utf-8", "replace")
+                    # ALL member types key on the LAST extension segment
+                    # (ADVICE r9: WebDataset multi-field names like
+                    # "0001.caption.txt" / "0001.meta.json" used to be
+                    # silently ignored — text/json shipped NULL)
+                    last = ext.rsplit(".", 1)[-1]
+                    if last == "txt":
+                        s["text"].append(payload.decode("utf-8", "replace"))
+                    elif last == "json":
+                        s["json"].append(payload.decode("utf-8", "replace"))
                     else:
-                        # multi-dot extensions key on the LAST segment
-                        # ("seg.jpg" is still a jpg)
-                        mod = _EXT_MODALITY.get(ext.rsplit(".", 1)[-1])
+                        mod = _EXT_MODALITY.get(last)
                         if mod is not None:
                             s["media"].append((name, payload, mod))
                 for skey in order:
                     s = samples[skey]
-                    if len(s["media"]) != 1:
+                    torn = (
+                        f"{len(s['media'])} media members (need 1)"
+                        if len(s["media"]) != 1
+                        else f"{len(s['text'])} txt members (max 1)"
+                        if len(s["text"]) > 1
+                        else f"{len(s['json'])} json members (max 1)"
+                        if len(s["json"]) > 1
+                        else None
+                    )
+                    if torn is not None:
                         if on_error == "skip":
                             continue
                         raise ValueError(
-                            f"torn WebDataset sample {path}!{skey}: "
-                            f"{len(s['media'])} media members (need 1)"
+                            f"torn WebDataset sample {path}!{skey}: {torn}"
                         )
                     _name, payload, (modality, mime) = s["media"][0]
+                    text = s["text"][0] if s["text"] else None
+                    js = s["json"][0] if s["json"] else None
                     uri = f"{path}!{skey}"
                     h = hashlib.sha256(uri.encode()).digest()
                     rows.append({
@@ -298,8 +315,8 @@ def read_webdataset_samples(
                         "meta": {"mime": mime, "width": None,
                                  "height": None, "duration_ms": None,
                                  "source_uri": uri},
-                        "text": s["text"],
-                        "json": s["json"],
+                        "text": text,
+                        "json": js,
                     })
             yield pd.DataFrame(
                 rows,

@@ -169,6 +169,18 @@ def _renormalize(totals: dict[str, int], pieces: list[str]) -> dict[str, float]:
     with zero expected count get a floor one grid-unit above nothing so
     log() stays finite (they are the first pruned next round)."""
     z = sum(max(totals.get(p, 0), 1) for p in pieces)
+    # headroom guard (VERDICT r9): the fixed-point grid ceiling (the
+    # module docstring's ~9e12-token limit) is ENFORCED, not just
+    # documented — Python ints never wrap, but downstream consumers of
+    # these totals assume int64, and a corpus past the grid's headroom
+    # would deterministically corrupt the vocab if this kept going
+    if z >= 2**62:
+        raise OverflowError(
+            f"unigram fixed-point totals ({z}) exceed the int64 grid "
+            f"headroom (2^62) — the corpus is past ~{2**62 // _GRID:.0e} "
+            "expected tokens at the 1e-6 grid; raise the grid (lower "
+            "_GRID) to trade resolution for range"
+        )
     lz = math.log(z)
     return {p: math.log(max(totals.get(p, 0), 1)) - lz for p in pieces}
 

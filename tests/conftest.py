@@ -33,3 +33,36 @@ def duck(sf_dir):
     con = duck_connect(sf_dir)
     yield con
     con.close()
+
+
+def _make_self_signed(dirpath: Path, cn: str) -> tuple[str, str]:
+    """One self-signed cert + key with SAN localhost/127.0.0.1 via the
+    openssl CLI (no cert libs in the container)."""
+    import subprocess
+
+    cert, key = dirpath / f"{cn}-cert.pem", dirpath / f"{cn}-key.pem"
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048",
+            "-keyout", str(key), "-out", str(cert),
+            "-days", "2", "-nodes", "-subj", f"/CN={cn}",
+            "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1",
+        ],
+        check=True, capture_output=True,
+    )
+    return str(cert), str(key)
+
+
+@pytest.fixture(scope="session")
+def tls_certs(tmp_path_factory):
+    """(certfile, keyfile) for TLS stub listeners, plus a SECOND
+    independent self-signed cert acting as the 'wrong CA' — a client
+    trusting it must fail verification against the first."""
+    import shutil
+
+    if shutil.which("openssl") is None:
+        pytest.skip("openssl CLI not available for test certs")
+    d = tmp_path_factory.mktemp("tls")
+    cert, key = _make_self_signed(d, "broker")
+    wrong_ca, _ = _make_self_signed(d, "other")
+    return {"cert": cert, "key": key, "wrong_ca": wrong_ca}

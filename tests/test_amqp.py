@@ -68,9 +68,15 @@ def test_declare_frames_durable_bit():
 class _StubBroker:
     """Speaks just enough server-side AMQP 0-9-1 for the client slice."""
 
-    def __init__(self):
+    def __init__(self, tls: tuple[str, str] | None = None):
         self.messages: list[tuple[str, bytes]] = []
         self.declared: list[str] = []
+        self._tls_ctx = None
+        if tls is not None:
+            import ssl
+
+            self._tls_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            self._tls_ctx.load_cert_chain(*tls)
         self.srv = socket.create_server(("127.0.0.1", 0))
         self.port = self.srv.getsockname()[1]
         threading.Thread(target=self._serve, daemon=True).start()
@@ -84,6 +90,13 @@ class _StubBroker:
             threading.Thread(target=self._handle, args=(conn,), daemon=True).start()
 
     def _handle(self, conn: socket.socket):
+        if self._tls_ctx is not None:
+            try:
+                conn = self._tls_ctx.wrap_socket(conn, server_side=True)
+            except OSError:
+                conn.close()
+                return
+
         def read_exactly(n):
             buf = b""
             while len(buf) < n:
@@ -182,6 +195,36 @@ def test_handshake_declare_publish_disconnect(broker):
     assert ("blocks", b"\x01\x02") in broker.messages
     assert ("txs", b"t") in broker.messages
     assert not c.connected
+
+
+def test_amqps_tls_publish_and_bad_ca(tls_certs):
+    """amqps (VERDICT r9 #2): the classic client publishes over a TLS
+    listener; a wrong CA fails the handshake before the AMQP header."""
+    b = _StubBroker(tls=(tls_certs["cert"], tls_certs["key"]))
+    try:
+        c = AmqpClassicClient(
+            "127.0.0.1", b.port, use_tls=True,
+            ssl_cafile=tls_certs["cert"],
+        )
+        c.publish("blocks", b"enc-payload")
+        c.disconnect()
+        assert ("blocks", b"enc-payload") in b.messages
+        bad = AmqpClassicClient(
+            "127.0.0.1", b.port, use_tls=True,
+            ssl_cafile=tls_certs["wrong_ca"],
+        )
+        # the client wraps connect-time OSErrors (ssl errors included)
+        # in AmqpError; the cause stays visible in the message
+        from etl_rust_spark.etl.amqp import AmqpError
+
+        with pytest.raises(AmqpError, match="CERTIFICATE_VERIFY_FAILED"):
+            bad.publish("blocks", b"x")
+        # plaintext client against the TLS listener fails loudly too
+        plain = AmqpClassicClient("127.0.0.1", b.port)
+        with pytest.raises(Exception):
+            plain.publish("blocks", b"x")
+    finally:
+        b.close()
 
 
 def test_stream_queue_type_argument_table():

@@ -60,7 +60,11 @@ class KafkaStubBroker:
     requested offset; ListOffsets v1 answers earliest (-2) / latest
     (-1)."""
 
-    def __init__(self, users: dict[str, str] | None = None):
+    def __init__(
+        self,
+        users: dict[str, str] | None = None,
+        tls: tuple[str, str] | None = None,
+    ):
         # topic → [(base_offset, record_count, patched_batch_bytes)]
         self.logs: dict[str, list[tuple[int, int, bytes]]] = {}
         self.offsets: dict[str, int] = {}
@@ -71,6 +75,15 @@ class KafkaStubBroker:
         # API; unauthenticated requests drop the connection like a
         # sasl.enabled broker does
         self.users = users
+        # tls = (certfile, keyfile) puts the listener in TLS mode: every
+        # connection handshakes before the first Kafka frame (an SSL or
+        # SASL_SSL listener); a plaintext client is dropped at handshake
+        self._tls_ctx = None
+        if tls is not None:
+            import ssl
+
+            self._tls_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            self._tls_ctx.load_cert_chain(*tls)
         self.srv = socket.create_server(("127.0.0.1", 0))
         self.port = self.srv.getsockname()[1]
         threading.Thread(target=self._serve, daemon=True).start()
@@ -91,6 +104,13 @@ class KafkaStubBroker:
         import hashlib
         import hmac as hmac_mod
         import os as os_mod
+
+        if self._tls_ctx is not None:
+            try:
+                conn = self._tls_ctx.wrap_socket(conn, server_side=True)
+            except OSError:  # plaintext/garbled client: drop, like a broker
+                conn.close()
+                return
 
         authed = self.users is None
         sasl_mech = None
@@ -799,6 +819,134 @@ def test_sasl_client_option_validation():
                         sasl_username="u", sasl_password="p")
     with pytest.raises(ValueError, match="username and password"):
         KafkaWireClient("h", 1, sasl_mechanism="PLAIN")
+
+
+# ---------------------------------------------------------------------------
+# TLS (VERDICT r9 #2: SASL_SSL parity — SCRAM protects the password,
+# the payload needs the channel encrypted too)
+# ---------------------------------------------------------------------------
+
+def test_tls_round_trip_and_wrong_ca_rejected(tls_certs):
+    """security.protocol=SSL: encrypted produce/fetch against a TLS
+    stub listener; a client trusting a DIFFERENT CA fails certificate
+    verification BEFORE any Kafka byte; a plaintext client against the
+    TLS listener dies loudly instead of silently downgrading."""
+    import ssl
+
+    broker = KafkaStubBroker(tls=(tls_certs["cert"], tls_certs["key"]))
+    try:
+        c = KafkaWireClient(
+            "127.0.0.1", broker.port, security_protocol="SSL",
+            ssl_cafile=tls_certs["cert"],
+        )
+        c.connect()
+        c.publish("tls_topic", b'{"n": 1}')
+        assert [v for _k, v in c.fetch("tls_topic")] == [b'{"n": 1}']
+        c.disconnect()
+        # wrong CA: chain verification fails in the handshake
+        bad = KafkaWireClient(
+            "127.0.0.1", broker.port, security_protocol="SSL",
+            ssl_cafile=tls_certs["wrong_ca"],
+        )
+        with pytest.raises(ssl.SSLCertVerificationError):
+            bad.connect()
+        # plaintext client to a TLS listener: dropped at handshake
+        plain = KafkaWireClient("127.0.0.1", broker.port)
+        with pytest.raises((KafkaWireError, OSError)):
+            plain.connect()
+    finally:
+        broker.close()
+
+
+def test_sasl_ssl_authenticated_and_encrypted(tls_certs):
+    """SASL_SSL: the full real-broker posture — TLS handshake first,
+    then SCRAM-SHA-256 inside the encrypted channel, then produce."""
+    broker = KafkaStubBroker(
+        users={"svc": "s3cret"}, tls=(tls_certs["cert"], tls_certs["key"])
+    )
+    try:
+        c = KafkaWireClient(
+            "127.0.0.1", broker.port, security_protocol="SASL_SSL",
+            sasl_mechanism="SCRAM-SHA-256",
+            sasl_username="svc", sasl_password="s3cret",
+            ssl_cafile=tls_certs["cert"],
+        )
+        c.connect()
+        c.publish("secure", b"payload")
+        assert [v for _k, v in c.fetch("secure")] == [b"payload"]
+        c.disconnect()
+        # wrong password still fails INSIDE the TLS channel
+        bad = KafkaWireClient(
+            "127.0.0.1", broker.port, security_protocol="SASL_SSL",
+            sasl_mechanism="SCRAM-SHA-256",
+            sasl_username="svc", sasl_password="WRONG",
+            ssl_cafile=tls_certs["cert"],
+        )
+        with pytest.raises(KafkaWireError, match="SASL|SCRAM|failed"):
+            bad.connect()
+    finally:
+        broker.close()
+
+
+def test_tls_client_against_plaintext_listener_fails_loudly():
+    import ssl
+
+    broker = KafkaStubBroker()
+    try:
+        c = KafkaWireClient(
+            "127.0.0.1", broker.port, security_protocol="SSL"
+        )
+        with pytest.raises((ssl.SSLError, KafkaWireError, OSError)):
+            c.connect()
+    finally:
+        broker.close()
+
+
+def test_security_protocol_option_validation():
+    with pytest.raises(ValueError, match="security protocol"):
+        KafkaWireClient("h", 1, security_protocol="STARTTLS")
+    with pytest.raises(ValueError, match="requires sasl_mechanism"):
+        KafkaWireClient("h", 1, security_protocol="SASL_SSL")
+    with pytest.raises(ValueError, match="SASL_SSL"):
+        KafkaWireClient(
+            "h", 1, security_protocol="SSL", sasl_mechanism="PLAIN",
+            sasl_username="u", sasl_password="p",
+        )
+    # back-compat: a bare sasl_mechanism implies SASL_PLAINTEXT
+    c = KafkaWireClient("h", 1, sasl_mechanism="PLAIN",
+                        sasl_username="u", sasl_password="p")
+    assert c.security_protocol == "SASL_PLAINTEXT" and not c.use_tls
+
+
+def test_kafka_wire_source_reads_over_tls(spark, tls_certs):
+    """The kafka_wire DataSource end to end over security.protocol=SSL
+    (option names mirror the jar'd connector's ssl.* locations)."""
+    from etl_rust_spark.sources.kafka_source import KafkaWireDataSource
+
+    spark.dataSource.register(KafkaWireDataSource)
+    broker = KafkaStubBroker(tls=(tls_certs["cert"], tls_certs["key"]))
+    try:
+        c = KafkaWireClient(
+            "127.0.0.1", broker.port, security_protocol="SSL",
+            ssl_cafile=tls_certs["cert"],
+        )
+        c.connect()
+        for i in range(3):
+            c.publish("enc", b"m%d" % i)
+        c.disconnect()
+        df = (
+            spark.read.format("kafka_wire")
+            .option("host", "127.0.0.1").option("port", broker.port)
+            .option("topic", "enc")
+            .option("security.protocol", "SSL")
+            .option("ssl.ca.location", tls_certs["cert"])
+            .load()
+        )
+        assert sorted(bytes(r.value) for r in df.collect()) == [
+            b"m0", b"m1", b"m2"
+        ]
+    finally:
+        broker.close()
 
 
 def test_versioned_table_cdc_publishes_to_kafka(spark, tmp_path):

@@ -1293,6 +1293,55 @@ def test_read_webdataset_samples_groups_by_key_stem(spark, tmp_path):
         zf.writestr("0009.jpg", encode_jpeg(img, 90))
     with pytest.raises(Exception, match="2 media members"):
         multimodal.read_webdataset_samples(spark, str(tmp_path) + "/*").collect()
+    (tmp_path / "shard1.zip").unlink()
+
+
+def test_read_webdataset_multi_field_txt_json_members(spark, tmp_path):
+    """ADVICE r9: WebDataset-convention multi-field names fold by their
+    LAST extension segment — '0001.caption.txt' is the sample's text,
+    '0001.meta.json' its json — instead of shipping silently NULL; two
+    members of the same type in one sample is an ambiguous fold and
+    follows the torn contract."""
+    import io
+    import json as _json
+    import tarfile
+
+    import numpy as np
+
+    from etl_rust_spark.operators import multimodal
+    from etl_rust_spark.operators.jpegcodec import encode_jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    with tarfile.open(tmp_path / "shard0.tar", "w") as tf:
+        for name, payload in [
+            ("0001.jpg", encode_jpeg(img, 90)),
+            ("0001.caption.txt", "a multi-field caption".encode()),
+            ("0001.meta.json", _json.dumps({"h": 8}).encode()),
+        ]:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(payload)
+            tf.addfile(ti, io.BytesIO(payload))
+    rows = {r.key: r for r in multimodal.read_webdataset_samples(
+        spark, str(tmp_path) + "/*").collect()}
+    assert rows["0001"].text == "a multi-field caption"
+    assert _json.loads(rows["0001"].json) == {"h": 8}
+    # ambiguous: BOTH 0002.txt and 0002.caption.txt → torn, not a
+    # silent last-write-wins
+    with tarfile.open(tmp_path / "shard1.tar", "w") as tf:
+        for name, payload in [
+            ("0002.jpg", encode_jpeg(img, 90)),
+            ("0002.txt", b"plain"),
+            ("0002.caption.txt", b"also text"),
+        ]:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(payload)
+            tf.addfile(ti, io.BytesIO(payload))
+    with pytest.raises(Exception, match="2 txt members"):
+        multimodal.read_webdataset_samples(
+            spark, str(tmp_path) + "/*").collect()
+    assert multimodal.read_webdataset_samples(
+        spark, str(tmp_path) + "/*", on_error="skip").count() == 1
 
 
 def test_webdataset_samples_feed_feature_extraction(spark, tmp_path):

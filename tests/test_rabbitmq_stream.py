@@ -52,11 +52,21 @@ class _StubStreamBroker:
     of connections (Spark executors each open one); state is shared under
     a lock."""
 
-    def __init__(self, streams: tuple[str, ...] = ()):
+    def __init__(
+        self,
+        streams: tuple[str, ...] = (),
+        tls: tuple[str, str] | None = None,
+    ):
         self.streams: set[str] = set(streams)
         self.messages: list[tuple[str, bytes]] = []  # (stream, raw message)
         self.auth_seen: list[bytes] = []
         self.lock = threading.Lock()
+        self._tls_ctx = None
+        if tls is not None:
+            import ssl
+
+            self._tls_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            self._tls_ctx.load_cert_chain(*tls)
         self.srv = socket.create_server(("127.0.0.1", 0))
         self.port = self.srv.getsockname()[1]
         threading.Thread(target=self._accept, daemon=True).start()
@@ -98,6 +108,12 @@ class _StubStreamBroker:
         )
 
     def _serve(self, conn):
+        if self._tls_ctx is not None:
+            try:
+                conn = self._tls_ctx.wrap_socket(conn, server_side=True)
+            except OSError:
+                conn.close()
+                return
         publishers: dict[int, str] = {}  # per-connection
         while True:
             frame = self._read_frame(conn)
@@ -189,6 +205,33 @@ def test_handshake_publish_confirm_disconnect(broker):
     assert broker.auth_seen == [b"\0u\0p"]
     got = [(s, parse_amqp_data_section(m)) for s, m in broker.messages]
     assert got == [("blocks", b"r1"), ("blocks", b"r2"), ("blocks", b"r3")]
+
+
+def test_stream_tls_publish_and_bad_ca(tls_certs):
+    """RabbitMQ Stream over TLS (VERDICT r9 #2): PLAIN credentials and
+    payload cross an encrypted channel; a wrong CA fails before the
+    first protocol frame."""
+    import ssl
+
+    b = _StubStreamBroker(streams=("blocks",),
+                          tls=(tls_certs["cert"], tls_certs["key"]))
+    try:
+        c = RabbitMqStreamClient(
+            "127.0.0.1", b.port, user="u", password="p",
+            use_tls=True, ssl_cafile=tls_certs["cert"],
+        )
+        c.publish("blocks", b"enc")
+        c.disconnect()
+        assert [(s, parse_amqp_data_section(m))
+                for s, m in b.messages] == [("blocks", b"enc")]
+        bad = RabbitMqStreamClient(
+            "127.0.0.1", b.port, user="u", password="p",
+            use_tls=True, ssl_cafile=tls_certs["wrong_ca"],
+        )
+        with pytest.raises(ssl.SSLCertVerificationError):
+            bad.publish("blocks", b"x")
+    finally:
+        b.stop()
 
 
 def test_create_fallback_only_on_stream_does_not_exist():

