@@ -52,7 +52,42 @@ def _fetch(df) -> None:
     df.collect()
 
 
+def adopt_artifacts() -> None:
+    """``bench.py --adopt-artifacts`` (VERDICT r9 #1): commit any
+    driver-written round artifacts (BENCH_r*.json / CORRECTNESS_r*.json
+    and the judge's VERDICT/ADVICE) that sit untracked or modified —
+    the session-open step that keeps the round record in history
+    instead of relying on anyone remembering."""
+    import subprocess
+
+    def _git(*args: str) -> str:
+        return subprocess.run(
+            ["git", *args], cwd=REPO, check=True,
+            capture_output=True, text=True,
+        ).stdout
+
+    status = _git("status", "--porcelain")
+    wanted = []
+    for line in status.splitlines():
+        name = line[3:].strip()
+        if any(
+            name.startswith(p)
+            for p in ("BENCH_r", "CORRECTNESS_r", "VERDICT", "ADVICE")
+        ):
+            wanted.append(name)
+    if not wanted:
+        print(json.dumps({"adopted": []}))
+        return
+    _git("add", "--", *wanted)
+    _git("commit", "-m",
+         f"Adopt round artifacts: {', '.join(sorted(wanted))}")
+    print(json.dumps({"adopted": sorted(wanted)}))
+
+
 def main() -> None:
+    if "--adopt-artifacts" in sys.argv:
+        adopt_artifacts()
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
 

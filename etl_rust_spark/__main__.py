@@ -398,6 +398,11 @@ def main(argv: list[str] | None = None) -> int:
         "matching this SQL predicate (file-level copy-on-write)",
     )
     pv.add_argument(
+        "--mor", action="store_true",
+        help="merge-on-read: --delete-where writes a fingerprint "
+        "sidecar instead of rewriting hit files (fold with --compact)",
+    )
+    pv.add_argument(
         "--update-where", default=None, metavar="SQL",
         help="row-level UPDATE of rows matching this predicate "
         "(needs --set)",
@@ -748,7 +753,8 @@ def main(argv: list[str] | None = None) -> int:
             out["read_rows"] = spark.read.parquet(args.out).count()
         if args.delete_where is not None:
             out["version"] = _v.delete_table_version(
-                spark, args.table, args.delete_where
+                spark, args.table, args.delete_where,
+                mode="mor" if args.mor else "cow",
             )
         if args.update_where is not None:
             if not args.set:

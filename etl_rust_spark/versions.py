@@ -37,8 +37,15 @@ Layout::
   :func:`_commit`).  Object stores map the claim to a conditional PUT.
 - Readers are not tracked (no lease service): a long reader holding
   version N races :func:`expire_versions` deleting N's files — size
-  ``keep_last`` to cover reader lag, and use ``grace_seconds`` so
-  in-flight writers' staged files and fresh claims are never swept.
+  ``keep_last`` to cover reader lag, use ``grace_seconds`` so in-flight
+  writers' staged files and fresh claims are never swept, or register a
+  :class:`Pin`.
+- DELETE is dual-mode (r10): copy-on-write rewrites only the hit files;
+  ``mode="mor"`` (merge-on-read, Iceberg-v2-delete-file shaped) writes
+  a fingerprint SIDECAR instead — zero data files rewritten, readers
+  anti-join the broadcast-sized sidecar, and compaction folds the debt.
+- Time travel resolves by version number, tag name, or ``as_of``
+  timestamp (commit instants recorded in the manifests, monotone).
 - History is LINEAR by design: every commit's parent is the head it
   was computed against (CAS-enforced), so there are no branches —
   :func:`tag_version` gives named read refs and
@@ -403,7 +410,8 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
             stats: dict | None = None,
             schema: dict | None = None,
             bloom_conf: dict | None = None,
-            op: str | None = None) -> int:
+            op: str | None = None,
+            deletes: list[dict] | None = None) -> int:
     """Optimistic-concurrency commit (r8, VERDICT r7 #5).
 
     ``parent`` is the head this commit's content was computed AGAINST.
@@ -472,6 +480,13 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
         manifest["schema"] = schema
     if bloom_conf is not None:
         manifest["blooms_conf"] = bloom_conf
+    if deletes:
+        # merge-on-read delete sidecars (VERDICT r9 #3): [{"path":
+        # <data-relative parquet of row fingerprints>, "files": [data
+        # files the sidecar applies to]}].  Stored IN FULL in every
+        # manifest (delta form included) — the list is bounded by
+        # delete ops since the last fold, not table size
+        manifest["deletes"] = deletes
     if op:
         manifest["op"] = op  # DESCRIBE HISTORY: what produced this version
     if parent and schema is None:
@@ -509,6 +524,8 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
                     }
                     if bloom_conf is not None:
                         manifest["blooms_conf"] = bloom_conf
+                    if deletes:
+                        manifest["deletes"] = deletes
                     if op:
                         manifest["op"] = op
     mp = _manifest_path(path, version)
@@ -546,7 +563,7 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
         if swept:
             return _commit(
                 path, files, count, parent, partition_by, stats_cols,
-                stats, schema, bloom_conf, op,
+                stats, schema, bloom_conf, op, deletes,
             )
         _bump("commit_conflicts_total")
         raise CommitConflict(
@@ -680,6 +697,105 @@ def write_table_version(
         ),
         f"snapshot of {path}",
     )
+
+
+# ------------------------------------------------- merge-on-read deletes
+# (VERDICT r9 #3, Iceberg-v2-delete-file shaped): a MoR delete writes a
+# SIDECAR parquet of row FINGERPRINTS instead of rewriting the hit data
+# files — a 1-row takedown on a 1 GB file costs one KB-sized sidecar.
+# Readers anti-join the sidecar at scan time (the MoR read tax); the
+# compactor folds sidecars back into clean files.  Scoping rule: a
+# sidecar applies ONLY to the data files recorded with it — files are
+# immutable, so a later re-insert of byte-identical content lands in a
+# NEW file and is never masked (the role Iceberg's sequence numbers
+# play, expressed on the file axis).  The fingerprint is the proven-
+# injective encoding from operators/profile.py over ALL columns in
+# sorted-name order, so "delete exactly these rows" is exact row-value
+# semantics, NULLs included, with no null-safe-join gymnastics.
+
+
+def _row_fingerprint(df: DataFrame):
+    """Injective full-row fingerprint in sorted-column order — the ONE
+    encoding both the sidecar build and the read-side anti-join use."""
+    from etl_rust_spark.operators.profile import _fingerprint
+
+    return _fingerprint(df, sorted(df.columns))
+
+
+def _stage_delete_sidecar(fps: DataFrame, table: str) -> str:
+    """Write a fingerprint frame as ONE parquet under ``data/_deletes/``
+    (sidecars are driver-named, collision-free, and live inside data/
+    so expiry's sweep covers them); returns the data-relative path."""
+    root = Path(table)
+    stage = root / f"_stage-{uuid.uuid4().hex}"
+    fps.coalesce(1).write.parquet(str(stage))
+    part = next(iter(sorted(stage.rglob("*.parquet"))))
+    rel = f"_deletes/{uuid.uuid4().hex}.parquet"
+    dest = root / "data" / rel
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    os.rename(part, dest)
+    shutil.rmtree(stage)
+    return rel
+
+
+def _carry_deletes(
+    parent_deletes: list[dict] | None, carried_files: list[str]
+) -> list[dict] | None:
+    """Sidecar carry rule for every rewriting op: files REWRITTEN in
+    this commit were re-staged from a deletes-aware read (their masked
+    rows are physically gone), so each sidecar keeps only the files
+    that carried over verbatim; sidecars left scoping nothing drop."""
+    if not parent_deletes:
+        return None
+    sset = set(carried_files)
+    out = []
+    for d in parent_deletes:
+        files = [f for f in d["files"] if f in sset]
+        if files:
+            out.append({"path": d["path"], "files": files})
+    return out or None
+
+
+def _plan_with_deletes(
+    spark: SparkSession, data: str, files: list[str],
+    deletes: list[dict] | None,
+) -> DataFrame:
+    """Plan ``files`` with MoR sidecars applied: files are grouped by
+    their APPLICABLE sidecar set (usually one or two groups — most
+    files have none), each group anti-joins the broadcast union of its
+    sidecars' fingerprints, groups union back.  Cost model at 100 TB:
+    the delete side is KBs–MBs (broadcast, no shuffle of the data
+    side); untouched file groups pay nothing."""
+    by_sidecars: dict[tuple[str, ...], list[str]] = {}
+    scoped = [
+        (d["path"], frozenset(d["files"])) for d in (deletes or [])
+    ]
+    for f in files:
+        key = tuple(sorted(p for p, fs in scoped if f in fs))
+        by_sidecars.setdefault(key, []).append(f)
+    parts = []
+    for sidecars, fs in sorted(by_sidecars.items()):
+        df = spark.read.option("basePath", data).parquet(
+            *[f"{data}/{f}" for f in fs]
+        )
+        if sidecars:
+            dd = spark.read.parquet(
+                *[f"{data}/{s}" for s in sidecars]
+            ).select("_fp").distinct()
+            df = (
+                df.withColumn("__fp", _row_fingerprint(df))
+                .join(
+                    F.broadcast(dd),
+                    F.col("__fp") == F.col("_fp"),
+                    "left_anti",
+                )
+                .drop("__fp")
+            )
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _parse_as_of(ts) -> float:
@@ -828,10 +944,10 @@ def read_table_version(
             .parquet(f"{data}/{m['files'][0]}")
             .limit(0)
         )
-    return (
-        spark.read.option("basePath", data)
-        .parquet(*[f"{data}/{f}" for f in files])
-    )
+    # MoR sidecars (if any) anti-join here — the read tax a mode="mor"
+    # delete trades for not rewriting data files; plain tables take the
+    # zero-cost branch inside
+    return _plan_with_deletes(spark, data, files, m.get("deletes"))
 
 
 def upsert_table_version(
@@ -975,6 +1091,7 @@ def _upsert_table_version_once(
     return _commit(
         path, carried + new_files, total, head, partition_by,
         stats_cols, stats, bloom_conf=bloom_conf, op="upsert",
+        deletes=_carry_deletes(m.get("deletes"), carried),
     )
 
 
@@ -1002,6 +1119,7 @@ def restore_table_version(path: str, version: int | str) -> int:
             m.get("partition_by") or None, m.get("stats_cols") or None,
             m.get("stats") or None, m.get("schema"),
             m.get("blooms_conf"), f"restore({version})",
+            m.get("deletes"),
         )
 
     return _retry_conflicts(once, f"restore of {path}")
@@ -1320,6 +1438,7 @@ def delete_table_version(
     predicate,
     prune: list[tuple] | None = None,
     point: list[tuple] | None = None,
+    mode: str = "cow",
 ) -> int:
     """Row-level ``DELETE WHERE`` as a new version with FILE-LEVEL
     copy-on-write — the takedown / GDPR-erasure operation a training-
@@ -1349,10 +1468,26 @@ def delete_table_version(
     :func:`read_table_version` raises its documented empty-version
     error and :func:`upsert_table_version` re-seeds the table on the
     same version chain.  Concurrent-writer safe via the same
-    re-run-on-:class:`CommitConflict` loop as upsert."""
+    re-run-on-:class:`CommitConflict` loop as upsert.
+
+    ``mode="mor"`` (merge-on-read, VERDICT r9 #3): instead of rewriting
+    the hit files, write a SIDECAR parquet of the matching rows' exact
+    fingerprints and record it in the manifest scoped to those files —
+    ZERO data files rewritten, so a 1-row GDPR takedown on a table of
+    1 GB files costs KBs.  Reads anti-join the sidecar (broadcast-sized
+    delete side); the write amplification moves to
+    :func:`compact_table_version`, which folds sidecars into clean
+    files on its own schedule — exactly Iceberg v2's delete-file trade.
+    MoR semantics are value-exact: rows whose full column tuple equals
+    a deleted row's ARE the deleted rows; identical duplicates that
+    both matched the predicate both disappear (they would under CoW
+    too).  A later upsert/insert of identical content lands in a new
+    file outside the sidecar's scope and is NOT masked."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be cow|mor, got {mode!r}")
     return _retry_conflicts(
         lambda: _delete_table_version_once(
-            spark, path, predicate, prune, point
+            spark, path, predicate, prune, point, mode
         ),
         f"delete from {path}",
     )
@@ -1361,6 +1496,7 @@ def delete_table_version(
 def _delete_table_version_once(
     spark: SparkSession, path: str, predicate,
     prune: list[tuple] | None, point: list[tuple] | None = None,
+    mode: str = "cow",
 ) -> int:
     head = latest_version(path)
     if head is None:
@@ -1375,17 +1511,39 @@ def _delete_table_version_once(
     if not hit:
         return head  # predicate matched nothing: head unchanged
     partition_by = m.get("partition_by") or None
-    hdf = spark.read.option("basePath", data).parquet(
-        *[f"{data}/{f}" for f in sorted(hit)]
+    # the hit-file read applies EXISTING MoR sidecars: already-deleted
+    # rows must neither resurrect into rewritten files (CoW) nor count
+    # as matches (both modes)
+    hdf = _plan_with_deletes(
+        spark, data, sorted(hit), m.get("deletes")
     )
+    stats_cols = m.get("stats_cols") or None
+    bloom_conf = m.get("blooms_conf")
+    if mode == "mor":
+        matched = hdf.filter(F.coalesce(cond, F.lit(False)))
+        n_matched = matched.count()
+        if not n_matched:
+            return head
+        fps = matched.select(
+            _row_fingerprint(matched).alias("_fp")
+        ).distinct()
+        rel = _stage_delete_sidecar(fps, path)
+        deletes = list(m.get("deletes") or []) + [
+            {"path": rel, "files": sorted(hit)}
+        ]
+        # ALL data files carry over verbatim — stats, blooms and layout
+        # untouched; only the manifest and one KB-sized sidecar are new
+        return _commit(
+            path, m["files"], m["count"] - n_matched, head, partition_by,
+            stats_cols, m.get("stats") or None, bloom_conf=bloom_conf,
+            op="delete(mor)", deletes=deletes,
+        )
     n_hit = hdf.count()
     survivors = hdf.filter(~F.coalesce(cond, F.lit(False)))
     n_surv = survivors.count()
     new_files = _stage_files(survivors, path, partition_by) if n_surv else []
     carried = [f for f in m["files"] if f not in hit]
     total = m["count"] - (n_hit - n_surv)
-    stats_cols = m.get("stats_cols") or None
-    bloom_conf = m.get("blooms_conf")
     stats = None
     if stats_cols or bloom_conf:
         old_stats = m.get("stats") or {}
@@ -1399,6 +1557,7 @@ def _delete_table_version_once(
     return _commit(
         path, carried + new_files, total, head, partition_by,
         stats_cols, stats, schema, bloom_conf=bloom_conf, op="delete",
+        deletes=_carry_deletes(m.get("deletes"), carried),
     )
 
 
@@ -1446,9 +1605,9 @@ def _update_table_version_once(
     if not hit:
         return head
     partition_by = m.get("partition_by") or None
-    hdf = spark.read.option("basePath", data).parquet(
-        *[f"{data}/{f}" for f in sorted(hit)]
-    )
+    # deletes-aware: MoR-masked rows must not resurrect into the
+    # rewritten files (their sidecar scope ends with the rewrite)
+    hdf = _plan_with_deletes(spark, data, sorted(hit), m.get("deletes"))
     unknown = [c for c in set if c not in hdf.columns]
     if unknown:
         raise ValueError(f"UPDATE of unknown columns: {unknown}")
@@ -1487,6 +1646,7 @@ def _update_table_version_once(
     return _commit(
         path, carried + new_files, m["count"], head, partition_by,
         stats_cols, stats, bloom_conf=bloom_conf, op="update",
+        deletes=_carry_deletes(m.get("deletes"), carried),
     )
 
 
@@ -1636,7 +1796,11 @@ def expire_versions(
             keep.add(tv)
     live: set[str] = set()
     for v in keep:
-        live.update(_load_manifest(path, v)["files"])
+        mv = _load_manifest(path, v)
+        live.update(mv["files"])
+        # MoR delete sidecars live under data/ too — a kept version's
+        # sidecars are part of its content
+        live.update(d["path"] for d in mv.get("deletes") or [])
     dropped_files = 0
     root = Path(path)
     data = root / "data"
@@ -1787,8 +1951,15 @@ def _compact_table_version_once(
             path, new_files, m["count"], head, partition_by,
             stats_cols, stats, bloom_conf=bloom_conf, op="zorder",
         )
+    # a partition is compactable when it is FRAGMENTED (too many files)
+    # or carries MoR delete-sidecar debt (rewriting folds the mask into
+    # clean files — "the compactor folds them", VERDICT r9 #3)
+    masked = set()
+    for d in m.get("deletes") or []:
+        masked.update(part_of(f) for f in d["files"])
     fragmented = sorted(
-        p for p, fs in by_part.items() if len(fs) > max_files_per_partition
+        p for p, fs in by_part.items()
+        if len(fs) > max_files_per_partition or p in masked
     )
     if not fragmented:
         return head  # nothing to do — no empty commits
@@ -1801,9 +1972,10 @@ def _compact_table_version_once(
         frag = set(fragmented)
         data = str(Path(path) / "data")
         frag_files = [f for f in m["files"] if part_of(f) in frag]
-        scope = spark.read.option("basePath", data).parquet(
-            *[f"{data}/{f}" for f in frag_files]
-        )
+        # deletes-aware: compaction FOLDS sidecars for the partitions it
+        # rewrites (masked rows physically drop, the sidecar's scope
+        # shrinks to the carried files)
+        scope = _plan_with_deletes(spark, data, frag_files, m.get("deletes"))
         carried = [f for f in m["files"] if part_of(f) not in frag]
     else:
         scope, carried = read_table_version(spark, path, head), []
@@ -1818,4 +1990,5 @@ def _compact_table_version_once(
     return _commit(
         path, carried + new_files, m["count"], head, partition_by,
         stats_cols, stats, bloom_conf=bloom_conf, op="compact",
+        deletes=_carry_deletes(m.get("deletes"), carried),
     )

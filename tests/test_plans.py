@@ -373,3 +373,30 @@ def test_delete_probe_pushes_filter_and_prunes_columns(spark, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(k,500\)", plan), plan[:600]
     assert re.search(r"ReadSchema: struct<k:bigint>", plan), "probe reads more than the predicate column"
+
+
+def test_mor_read_anti_join_broadcasts_delete_side(spark, tmp_path):
+    """A merge-on-read read applies sidecars as a BROADCAST anti-join —
+    the KB-sized delete side ships to executors, the data side never
+    shuffles; a table without sidecars keeps the plain one-scan plan
+    (zero MoR tax on the common path)."""
+    from etl_rust_spark import versions as V
+
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        spark.range(0, 2000).selectExpr(
+            "id AS k", "CAST(id % 4 AS INT) AS ds", "'x' AS val"
+        ),
+        p, "ds",
+    )
+    clean_plan = (
+        V.read_table_version(spark, p)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in clean_plan  # no-deletes path: plain scan
+    V.delete_table_version(spark, p, "k = 7", mode="mor")
+    df = V.read_table_version(spark, p)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan  # the data side must not shuffle
+    assert df.filter("k = 7").count() == 0

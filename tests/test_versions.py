@@ -1539,6 +1539,203 @@ def test_alter_swap_and_chain_renames_are_simultaneous(spark, tmp_path):
     assert {(r.b, r.c) for r in new.collect()} == {(1, 10), (2, 20)}
 
 
+# --------------------------------------------------- merge-on-read deletes
+
+
+def _mor_table(spark, tmp_path, n=64, parts=8):
+    """n rows across `parts` partition files, one file per partition."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % parts, f"v{i}") for i in range(n)], ["k", "ds", "val"]
+    ).repartition(parts, "ds")
+    V.write_table_version(df, p, "ds", stats_cols=["k"])
+    return p
+
+
+def test_mor_delete_rewrites_zero_data_files(spark, tmp_path):
+    """VERDICT r9 #3 'done' clause: a 1-row takedown on an 8-file table
+    rewrites ZERO data files — the new manifest re-references the exact
+    same file list plus one KB-sized fingerprint sidecar; the row is
+    gone from the head read, intact in time travel, and the manifest
+    count reflects the live rows."""
+    p = _mor_table(spark, tmp_path)
+    m1 = V._load_manifest(p, 1)
+    data_files_before = {
+        str(f.relative_to(Path(p) / "data"))
+        for f in (Path(p) / "data").rglob("*.parquet")
+    }
+    v = V.delete_table_version(spark, p, "k = 17", mode="mor")
+    assert v == 2
+    m2 = V._load_manifest(p, 2)
+    assert m2["files"] == m1["files"]  # zero data files rewritten
+    assert m2["count"] == m1["count"] - 1
+    assert len(m2["deletes"]) == 1
+    side = m2["deletes"][0]
+    assert side["path"].startswith("_deletes/")
+    assert set(side["files"]) <= set(m1["files"])
+    data_files_after = {
+        str(f.relative_to(Path(p) / "data"))
+        for f in (Path(p) / "data").rglob("*.parquet")
+    }
+    assert data_files_after - data_files_before == {side["path"]}
+    head = V.read_table_version(spark, p)
+    assert head.filter("k = 17").count() == 0
+    assert head.count() == 63
+    # time travel: v1 still has the row, byte-identically
+    assert V.read_table_version(spark, p, 1).filter("k = 17").count() == 1
+    assert V.history(p)[0]["op"] == "delete(mor)"
+
+
+def test_mor_read_parity_with_cow(spark, tmp_path):
+    """The MoR head read equals the CoW head read for the same DELETE —
+    including NULL-predicate rows (kept) and multi-file hits."""
+    pa = _mor_table(spark, tmp_path / "a")
+    pb = _mor_table(spark, tmp_path / "b")
+    pred = "k % 7 = 3 AND val != 'v3'"
+    V.delete_table_version(spark, pa, pred, mode="cow")
+    V.delete_table_version(spark, pb, pred, mode="mor")
+    rows_a = {tuple(r) for r in V.read_table_version(spark, pa).collect()}
+    rows_b = {tuple(r) for r in V.read_table_version(spark, pb).collect()}
+    assert rows_a == rows_b and rows_a
+    assert (V._load_manifest(pa, 2)["count"]
+            == V._load_manifest(pb, 2)["count"])
+
+
+def test_mor_reinsert_of_identical_row_is_not_masked(spark, tmp_path):
+    """Sidecar scoping: the sidecar applies only to the files recorded
+    with it, so re-upserting a byte-identical row (lands in a NEW file)
+    is visible — the hazard Iceberg solves with sequence numbers."""
+    p = _mor_table(spark, tmp_path)
+    V.delete_table_version(spark, p, "k = 9", mode="mor")
+    assert V.read_table_version(spark, p).filter("k = 9").count() == 0
+    V.upsert_table_version(
+        spark, p,
+        spark.createDataFrame([(9, 1, "v9")], ["k", "ds", "val"]),
+        keys=["k"], partition_by="ds",
+    )
+    got = V.read_table_version(spark, p).filter("k = 9").collect()
+    assert [(r.k, r.val) for r in got] == [(9, "v9")]
+
+
+def test_mor_sidecar_carries_on_upsert_and_folds_on_compact(spark, tmp_path):
+    """An upsert of a DIFFERENT partition carries the sidecar (scoped to
+    the untouched files); compaction folds it — the post-fold manifest
+    has no deletes, the masked rows stay gone, and expiry then sweeps
+    the sidecar file itself."""
+    p = _mor_table(spark, tmp_path)
+    V.delete_table_version(spark, p, "k = 10", mode="mor")  # ds=2 file
+    V.upsert_table_version(  # dirty partition ds=1 only
+        spark, p,
+        spark.createDataFrame([(1, 1, "V1")], ["k", "ds", "val"]),
+        keys=["k"], partition_by="ds",
+    )
+    m3 = V._load_manifest(p, 3)
+    assert len(m3["deletes"]) == 1  # carried, still scoping ds=2's file
+    assert V.read_table_version(spark, p).filter("k = 10").count() == 0
+    # upserting the MASKED row's own partition folds that partition
+    # (the rewrite re-stages live rows only)
+    V.upsert_table_version(
+        spark, p,
+        spark.createDataFrame([(2, 2, "V2")], ["k", "ds", "val"]),
+        keys=["k"], partition_by="ds",
+    )
+    m4 = V._load_manifest(p, 4)
+    assert not m4.get("deletes")  # sidecar scope shrank to nothing
+    head = V.read_table_version(spark, p)
+    assert head.filter("k = 10").count() == 0
+    assert head.filter("k = 2").collect()[0].val == "V2"
+    # full-table compact from a fresh sidecar also folds
+    V.delete_table_version(spark, p, "k = 11", mode="mor")
+    sidecar = V._load_manifest(p, 5)["deletes"][0]["path"]
+    v6 = V.compact_table_version(spark, p, max_files_per_partition=1)
+    m6 = V._load_manifest(p, v6)
+    assert not m6.get("deletes")
+    assert V.read_table_version(spark, p).filter("k = 11").count() == 0
+    # expiry keeps the sidecar while a referencing version survives,
+    # sweeps it once none does
+    assert (Path(p) / "data" / sidecar).exists()
+    V.expire_versions(p, keep_last=1)
+    assert not (Path(p) / "data" / sidecar).exists()
+
+
+def test_mor_update_and_second_delete_do_not_resurrect(spark, tmp_path):
+    """UPDATE and a second (CoW) DELETE on files with sidecars read
+    through the mask: masked rows neither update nor reappear in the
+    rewritten files, and the sidecar scope shrinks with the rewrite."""
+    p = _mor_table(spark, tmp_path)
+    V.delete_table_version(spark, p, "k = 12", mode="mor")  # ds=4
+    # UPDATE hits the same partition file (k=4 lives in ds=4 too)
+    V.update_table_version(spark, p, "k = 4", {"val": "'UP'"})
+    m3 = V._load_manifest(p, 3)
+    assert not m3.get("deletes")  # the one scoped file was rewritten
+    head = V.read_table_version(spark, p)
+    assert head.filter("k = 12").count() == 0  # still deleted, physically
+    assert head.filter("k = 4").collect()[0].val == "UP"
+    assert head.count() == 63
+    # CoW delete over a MoR-masked file: counts stay consistent
+    V.delete_table_version(spark, p, "k = 20", mode="mor")
+    v5 = V.delete_table_version(spark, p, "k = 28", mode="cow")  # ds=4 again
+    m5 = V._load_manifest(p, v5)
+    assert m5["count"] == 61
+    assert V.read_table_version(spark, p).count() == 61
+
+
+def test_mor_delete_composes_with_cdc_and_timestamp_travel(spark, tmp_path):
+    """read_table_changes across a MoR delete step reports the delete
+    rows exactly like a CoW step (diff reads are deletes-aware), and
+    AS OF timestamps straddling the MoR commit resolve to the right
+    content."""
+    import time as _time
+
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a"), (2, 2, "b"), (3, 1, "c")]),
+                          p, "ds")
+    _time.sleep(0.05)
+    mid = _time.time()
+    _time.sleep(0.05)
+    V.delete_table_version(spark, p, "k = 2", mode="mor")
+    ch = V.read_table_changes(spark, p, ["k"], from_version=1)
+    got = {(r.k, r._change_type, r._commit_version) for r in ch.collect()}
+    assert got == {(2, "delete", 2)}
+    assert V.read_table_version(spark, p, as_of=mid).count() == 3
+    assert V.read_table_version(spark, p).count() == 2
+
+
+def test_mor_delete_everything_then_reseed(spark, tmp_path):
+    p = _mor_table(spark, tmp_path, n=8, parts=2)
+    v = V.delete_table_version(spark, p, "k >= 0", mode="mor")
+    m = V._load_manifest(p, v)
+    assert m["count"] == 0 and m["files"]  # files carried, all masked
+    head = V.read_table_version(spark, p)
+    assert head.count() == 0
+    assert set(head.columns) == {"k", "ds", "val"}
+    # upsert re-populates on the same chain; old mask does not leak
+    V.upsert_table_version(
+        spark, p,
+        spark.createDataFrame([(0, 0, "v0")], ["k", "ds", "val"]),
+        keys=["k"], partition_by="ds",
+    )
+    assert {(r.k, r.val) for r in V.read_table_version(spark, p).collect()} \
+        == {(0, "v0")}
+
+
+def test_cli_mor_delete(spark, tmp_path):
+    import subprocess
+    import sys
+
+    p = _mor_table(spark, tmp_path, n=8, parts=2)
+    res = subprocess.run(
+        [sys.executable, "-m", "etl_rust_spark", "table", p,
+         "--delete-where", "k = 3", "--mor"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    line = json.loads(res.stdout.strip().splitlines()[-1])
+    assert line["version"] == 2
+    m = V._load_manifest(p, 2)
+    assert m["deletes"] and m["files"] == V._load_manifest(p, 1)["files"]
+
+
 def test_model_based_random_op_sequence_v2(spark, tmp_path):
     """Stateful fuzz over the FULL r9 operation set — snapshot / upsert
     / DELETE / compact / ZORDER-compact / expire — against a pure-
@@ -1564,8 +1761,8 @@ def test_model_based_random_op_sequence_v2(spark, tmp_path):
     model[1] = dict(state)
     for step in range(16):
         op = rng.choice(
-            ["upsert", "upsert", "delete", "update", "compact", "zorder",
-             "expire", "restore"]
+            ["upsert", "upsert", "delete", "mor_delete", "update",
+             "compact", "zorder", "expire", "restore"]
         )
         if op == "upsert":
             counter += 1
@@ -1578,10 +1775,13 @@ def test_model_based_random_op_sequence_v2(spark, tmp_path):
             )
             state.update(dict(rows))
             model[v] = dict(state)
-        elif op == "delete":
+        elif op in ("delete", "mor_delete"):
             kdel = rng.randint(1, 12)
             head_before = V.latest_version(p)
-            v = V.delete_table_version(spark, p, f"k = {kdel}")
+            v = V.delete_table_version(
+                spark, p, f"k = {kdel}",
+                mode="mor" if op == "mor_delete" else "cow",
+            )
             if kdel in state:
                 assert v == head_before + 1
                 del state[kdel]
