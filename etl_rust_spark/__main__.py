@@ -399,8 +399,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     pv.add_argument(
         "--mor", action="store_true",
-        help="merge-on-read: --delete-where writes a fingerprint "
-        "sidecar instead of rewriting hit files (fold with --compact)",
+        help="merge-on-read: --delete-where/--update-where write a "
+        "fingerprint sidecar (+ appended rows for update) instead of "
+        "rewriting hit files (fold with --compact)",
     )
     pv.add_argument(
         "--update-where", default=None, metavar="SQL",
@@ -761,7 +762,8 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("--update-where requires --set")
             sets = dict(pair.split("=", 1) for pair in args.set)
             out["version"] = _v.update_table_version(
-                spark, args.table, args.update_where, sets
+                spark, args.table, args.update_where, sets,
+                mode="mor" if args.mor else "cow",
             )
         if args.compact is not None:
             out["version"] = _v.compact_table_version(

@@ -628,10 +628,12 @@ class KafkaWireClient:
         self.compression = compression
         if sasl_mechanism is not None:
             sasl_mechanism = sasl_mechanism.upper()
-            if sasl_mechanism not in ("PLAIN", "SCRAM-SHA-256"):
+            if sasl_mechanism not in (
+                "PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512"
+            ):
                 raise ValueError(
                     f"unsupported SASL mechanism {sasl_mechanism!r} "
-                    "(PLAIN or SCRAM-SHA-256)"
+                    "(PLAIN, SCRAM-SHA-256 or SCRAM-SHA-512)"
                 )
             if sasl_username is None or sasl_password is None:
                 raise ValueError("SASL requires username and password")
@@ -777,19 +779,26 @@ class KafkaWireClient:
                 + b"\x00" + self.sasl_password.encode()
             )
             return
-        self._sasl_scram_sha256()
+        self._sasl_scram(
+            "sha512" if self.sasl_mechanism == "SCRAM-SHA-512" else "sha256"
+        )
 
-    def _sasl_scram_sha256(self) -> None:
+    def _sasl_scram(self, hash_name: str) -> None:
+        """RFC 5802 three-leg SCRAM over ``hash_name`` ('sha256' or
+        'sha512' — Kafka enables both SCRAM-SHA-256 and SCRAM-SHA-512);
+        the server signature is VERIFIED client-side."""
         import base64
         import hashlib
         import hmac
         import secrets
 
+        hfun = getattr(hashlib, hash_name)
+
         def h(data: bytes) -> bytes:
-            return hashlib.sha256(data).digest()
+            return hfun(data).digest()
 
         def hmac256(key: bytes, data: bytes) -> bytes:
-            return hmac.new(key, data, hashlib.sha256).digest()
+            return hmac.new(key, data, hfun).digest()
 
         user = self.sasl_username.replace("=", "=3D").replace(",", "=2C")
         c_nonce = secrets.token_urlsafe(18)
@@ -804,7 +813,7 @@ class KafkaWireClient:
         if iters < 1:
             raise KafkaWireError(f"SCRAM iteration count {iters} invalid")
         salted = hashlib.pbkdf2_hmac(
-            "sha256", self.sasl_password.encode(),
+            hash_name, self.sasl_password.encode(),
             base64.b64decode(salt_b64), iters,
         )
         client_key = hmac256(salted, b"Client Key")

@@ -1139,8 +1139,12 @@ def history(path: str) -> list[dict]:
             {
                 "version": v,
                 "op": raw.get("op"),
+                "ts": raw.get("ts"),  # commit instant (AS OF resolution)
                 "count": full.get("count"),
                 "n_files": len(full["files"]),
+                # outstanding MoR sidecars — nonzero means reads pay the
+                # anti-join tax until a compaction folds them
+                "n_delete_sidecars": len(full.get("deletes") or []),
                 "parent": raw.get("parent"),
                 "form": "full" if "files" in raw else "delta",
             }
@@ -1568,6 +1572,7 @@ def update_table_version(
     set: dict,
     prune: list[tuple] | None = None,
     point: list[tuple] | None = None,
+    mode: str = "cow",
 ) -> int:
     """Row-level ``UPDATE ... SET ... WHERE`` as a new version —
     completes the DML trio next to :func:`upsert_table_version` and
@@ -1579,10 +1584,19 @@ def update_table_version(
     ``{"val": "upper(val)"}`` works); assigning to an unknown column
     raises (UPDATE never adds columns — that is upsert's evolution
     path).  Rows where the predicate is NULL are not updated.  Returns
-    the unchanged head when nothing matches."""
+    the unchanged head when nothing matches.
+
+    ``mode="mor"`` (r10, the UPDATE half of merge-on-read): the OLD row
+    images' fingerprints land in a delete sidecar scoped to the hit
+    files and only the UPDATED rows stage as a new (tiny) file — a
+    1-row update on a 1 GB file costs a KB sidecar plus one small
+    append instead of the full rewrite; :func:`compact_table_version`
+    folds the debt exactly as for MoR deletes."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be cow|mor, got {mode!r}")
     return _retry_conflicts(
         lambda: _update_table_version_once(
-            spark, path, predicate, set, prune, point
+            spark, path, predicate, set, prune, point, mode
         ),
         f"update of {path}",
     )
@@ -1591,6 +1605,7 @@ def update_table_version(
 def _update_table_version_once(
     spark: SparkSession, path: str, predicate, set: dict,
     prune: list[tuple] | None, point: list[tuple] | None,
+    mode: str = "cow",
 ) -> int:
     head = latest_version(path)
     if head is None:
@@ -1615,6 +1630,45 @@ def _update_table_version_once(
         raise ValueError(
             f"cannot UPDATE partition column {partition_by!r} — rows would "
             "move directories; route through delete + upsert"
+        )
+    if mode == "mor":
+        matched_rows = hdf.filter(F.coalesce(cond, F.lit(False)))
+        n_matched = matched_rows.count()
+        if not n_matched:
+            return head
+        # old images masked by a sidecar scoped to the hit files; the
+        # updated rows (SET applied simultaneously against the old row)
+        # append as fresh files OUTSIDE every sidecar's scope
+        fps = matched_rows.select(
+            _row_fingerprint(matched_rows).alias("_fp")
+        ).distinct()
+        uproj = []
+        for c in hdf.columns:
+            if c in set:
+                val = set[c]
+                val = F.expr(val) if isinstance(val, str) else val
+                uproj.append(val.cast(hdf.schema[c].dataType).alias(c))
+            else:
+                uproj.append(F.col(c))
+        new_files = _stage_files(
+            matched_rows.select(*uproj), path, partition_by
+        )
+        rel = _stage_delete_sidecar(fps, path)
+        deletes = list(m.get("deletes") or []) + [
+            {"path": rel, "files": sorted(hit)}
+        ]
+        stats_cols = m.get("stats_cols") or None
+        bloom_conf = m.get("blooms_conf")
+        stats = None
+        if stats_cols or bloom_conf:
+            stats = dict(m.get("stats") or {})
+            stats.update(
+                _new_file_meta(spark, path, new_files, stats_cols, bloom_conf)
+            )
+        return _commit(
+            path, m["files"] + new_files, m["count"], head, partition_by,
+            stats_cols, stats, bloom_conf=bloom_conf, op="update(mor)",
+            deletes=deletes,
         )
     matched = F.coalesce(cond, F.lit(False))
     # SQL UPDATE semantics: every SET expression evaluates against the

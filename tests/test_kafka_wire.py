@@ -115,12 +115,13 @@ class KafkaStubBroker:
         authed = self.users is None
         sasl_mech = None
         scram_state = None  # (user, first_bare, server_first, salted)
+        scram_hash = hashlib.sha256  # set by the handshake
 
         def h256(d):
-            return hashlib.sha256(d).digest()
+            return scram_hash(d).digest()
 
         def hm(k, d):
-            return hmac_mod.new(k, d, hashlib.sha256).digest()
+            return hmac_mod.new(k, d, scram_hash).digest()
 
         try:
             while True:
@@ -131,10 +132,12 @@ class KafkaStubBroker:
                 body = req[pos:]
                 if api_key == 17:  # SaslHandshake v1
                     mech, _ = _read_string(body, 0)
-                    enabled = ["PLAIN", "SCRAM-SHA-256"]
+                    enabled = ["PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512"]
                     ok = self.users is not None and mech in enabled
                     if ok:
                         sasl_mech = mech
+                        if mech == "SCRAM-SHA-512":
+                            scram_hash = hashlib.sha512
                     resp = struct.pack(
                         ">hi", 0 if ok else 33, len(enabled)  # 33 = UNSUPPORTED_SASL_MECHANISM
                     ) + b"".join(_string(m) for m in enabled)
@@ -157,7 +160,7 @@ class KafkaStubBroker:
                             resp = auth_resp(0, None)
                         else:
                             resp = auth_resp(58, "Authentication failed")
-                    elif sasl_mech == "SCRAM-SHA-256" and scram_state is None:
+                    elif (sasl_mech or "").startswith("SCRAM") and scram_state is None:
                         # client-first: gs2 "n,," + "n=<user>,r=<cnonce>"
                         bare = token[3:]
                         f = dict(kv.split(b"=", 1) for kv in bare.split(b","))
@@ -174,11 +177,11 @@ class KafkaStubBroker:
                                 + b",i=" + str(iters).encode()
                             )
                             salted = hashlib.pbkdf2_hmac(
-                                "sha256", pw.encode(), salt, iters
+                                scram_hash().name, pw.encode(), salt, iters
                             )
                             scram_state = (bare, server_first, salted)
                             resp = auth_resp(0, None, server_first)
-                    elif sasl_mech == "SCRAM-SHA-256":
+                    elif (sasl_mech or "").startswith("SCRAM"):
                         bare, server_first, salted = scram_state
                         wo_proof, proof_b64 = token.rsplit(b",p=", 1)
                         auth_msg = bare + b"," + server_first + b"," + wo_proof
@@ -754,7 +757,7 @@ def test_sasl_plain_and_scram_roundtrip():
     server-side crypto, not a canned accept)."""
     broker = KafkaStubBroker(users={"svc": "s3cret"})
     try:
-        for mech in ("PLAIN", "SCRAM-SHA-256"):
+        for mech in ("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512"):
             c = KafkaWireClient(
                 "127.0.0.1", broker.port, sasl_mechanism=mech,
                 sasl_username="svc", sasl_password="s3cret",
@@ -771,7 +774,7 @@ def test_sasl_plain_and_scram_roundtrip():
 def test_sasl_wrong_credentials_raise_loudly():
     broker = KafkaStubBroker(users={"svc": "s3cret"})
     try:
-        for mech in ("PLAIN", "SCRAM-SHA-256"):
+        for mech in ("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512"):
             c = KafkaWireClient(
                 "127.0.0.1", broker.port, sasl_mechanism=mech,
                 sasl_username="svc", sasl_password="WRONG",

@@ -1680,6 +1680,52 @@ def test_mor_update_and_second_delete_do_not_resurrect(spark, tmp_path):
     assert V.read_table_version(spark, p).count() == 61
 
 
+def test_mor_update_appends_only_updated_rows(spark, tmp_path):
+    """UPDATE mode='mor': old images masked by a sidecar, ONLY the
+    updated rows appended as new files — all original data files carry
+    verbatim, count invariant, read parity with CoW UPDATE, SET
+    simultaneity (a=b, b=a swap) preserved, and compaction folds."""
+    p = _mor_table(spark, tmp_path)
+    m1 = V._load_manifest(p, 1)
+    v = V.update_table_version(
+        spark, p, "k = 17", {"val": "'UPDATED'"}, mode="mor"
+    )
+    assert v == 2
+    m2 = V._load_manifest(p, 2)
+    assert set(m1["files"]) <= set(m2["files"])  # originals all carried
+    appended = sorted(set(m2["files"]) - set(m1["files"]))
+    assert len(appended) == 1  # one tiny new file for one updated row
+    assert m2["count"] == m1["count"]
+    assert len(m2["deletes"]) == 1
+    head = V.read_table_version(spark, p)
+    assert head.count() == 64
+    assert head.filter("k = 17").collect()[0].val == "UPDATED"
+    assert V.read_table_version(spark, p, 1).filter(
+        "k = 17").collect()[0].val == "v17"
+    assert V.history(p)[0]["op"] == "update(mor)"
+    # swap simultaneity through the MoR path
+    p2 = str(tmp_path / "swap")
+    V.write_table_version(
+        spark.createDataFrame([(1, 1, 10, 20)], ["k", "ds", "a", "b"]),
+        p2, "ds",
+    )
+    V.update_table_version(spark, p2, "k = 1", {"a": "b", "b": "a"},
+                           mode="mor")
+    r = V.read_table_version(spark, p2).collect()[0]
+    assert (r.a, r.b) == (20, 10)
+    # CoW parity on the same predicate+set
+    pc = _mor_table(spark, tmp_path / "cowside")
+    V.update_table_version(spark, pc, "k = 17", {"val": "'UPDATED'"})
+    assert ({tuple(x) for x in V.read_table_version(spark, pc).collect()}
+            == {tuple(x) for x in V.read_table_version(spark, p).collect()})
+    # compact folds the update debt too
+    vc = V.compact_table_version(spark, p, max_files_per_partition=1)
+    mc = V._load_manifest(p, vc)
+    assert not mc.get("deletes")
+    assert V.read_table_version(spark, p).filter(
+        "k = 17").collect()[0].val == "UPDATED"
+
+
 def test_mor_delete_composes_with_cdc_and_timestamp_travel(spark, tmp_path):
     """read_table_changes across a MoR delete step reports the delete
     rows exactly like a CoW step (diff reads are deletes-aware), and
@@ -1762,7 +1808,7 @@ def test_model_based_random_op_sequence_v2(spark, tmp_path):
     for step in range(16):
         op = rng.choice(
             ["upsert", "upsert", "delete", "mor_delete", "update",
-             "compact", "zorder", "expire", "restore"]
+             "mor_update", "compact", "zorder", "expire", "restore"]
         )
         if op == "upsert":
             counter += 1
@@ -1788,11 +1834,12 @@ def test_model_based_random_op_sequence_v2(spark, tmp_path):
                 model[v] = dict(state)
             else:
                 assert v == head_before  # no-op, no new version
-        elif op == "update":
+        elif op in ("update", "mor_update"):
             kup = rng.randint(1, 12)
             head_before = V.latest_version(p)
             v = V.update_table_version(
-                spark, p, f"k = {kup}", {"val": "concat(val, '!')"}
+                spark, p, f"k = {kup}", {"val": "concat(val, '!')"},
+                mode="mor" if op == "mor_update" else "cow",
             )
             if kup in state:
                 assert v == head_before + 1
