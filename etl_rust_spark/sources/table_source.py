@@ -1,0 +1,292 @@
+"""Versioned tables as a Spark SOURCE: ``spark.read.format
+("versioned_table")`` / ``spark.readStream.format("versioned_table")``
+over the manifest log in versions.py — the "Delta table as a streaming
+source" composition (r10), jar-free via the same Spark 4 Python
+DataSource API as kafka_source.py.
+
+Semantics are Delta's streaming-source contract, deliberately:
+
+- **Offsets are version numbers.**  Micro-batch N covers the versions
+  committed in ``(last_committed, head]``; the checkpoint stores the
+  version cursor, so restart resumes exactly-once (the S-08 discipline).
+- **Appends stream.**  A version's APPENDED files (files(v) −
+  files(parent)) are the batch's rows — one input partition per added
+  file, read executor-side with pyarrow (no SparkSession inside a
+  DataSource reader, and none needed: the manifest names the files).
+  The append-only shape is the streaming-ingest layout this repo's
+  ``streaming/tables.py`` produces when each epoch lands in fresh
+  partition directories.
+- **Change commits fail loudly** — a version that REMOVES files
+  (upsert rewrite, CoW delete/update, compaction) or adds MoR delete
+  sidecars is not representable as an append stream; like Delta, the
+  source raises naming the version and op unless
+  ``skipChangeCommits=true``, which skips those versions' rows (reads
+  stay correct for downstream full-table consumers; the skipped
+  changes are the CDC feed's job — ``read_table_changes`` /
+  ``sync_table_changes``).
+- ``startingVersion`` = ``latest`` (default: only future commits) |
+  ``earliest`` (replay from version 1) | an integer (replay from that
+  version, inclusive).
+
+Batch reads (``spark.read``) plan the file list of one resolved
+version (``version`` = number | ``latest``, or ``asOf`` = ISO-8601 /
+epoch timestamp) — a distributed time-travel read with one input
+partition per data file.  MoR-masked tables are rejected for batch
+reads here (the anti-join needs a plan; use ``read_table_version``) —
+loud, never silently wrong.
+
+Hive-style partition-directory values surface as a STRING column
+(``__HIVE_DEFAULT_PARTITION__`` → NULL, percent-escapes decoded);
+consumers cast — documented, the one place this source is narrower
+than ``read_table_version``'s basePath-anchored read.
+
+Scale: the driver touches only manifests (KBs); each added parquet
+file is one executor task, so a 1000-file commit fans out 1000 ways;
+payload bytes never pass through the driver.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from pathlib import Path
+from urllib.parse import unquote
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+__all__ = ["VersionedTableDataSource"]
+
+_PA_TO_DDL = {
+    "int8": "tinyint", "int16": "smallint", "int32": "int",
+    "int64": "bigint", "float": "float", "double": "double",
+    "string": "string", "large_string": "string", "bool": "boolean",
+    "date32[day]": "date", "binary": "binary", "large_binary": "binary",
+}
+
+
+def _ddl_of(pa_type) -> str:
+    s = str(pa_type)
+    if s in _PA_TO_DDL:
+        return _PA_TO_DDL[s]
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s.startswith("decimal"):
+        return s
+    raise ValueError(
+        f"versioned_table source cannot map parquet type {s!r} to a "
+        "Spark DDL type — pass an explicit .schema(...) to the reader"
+    )
+
+
+class _FileSlice(InputPartition):
+    def __init__(self, path: str, part_col: str | None,
+                 part_val: str | None) -> None:
+        self.path = path
+        self.part_col = part_col
+        self.part_val = part_val
+
+
+class _Opts:
+    def __init__(self, options: dict) -> None:
+        self.table = options.get("path") or options.get("table")
+        if not self.table:
+            raise ValueError("versioned_table requires a 'path' option")
+        self.starting = str(options.get("startingversion", "latest")).lower()
+        self.skip_changes = (
+            str(options.get("skipchangecommits", "false")).lower() == "true"
+        )
+        self.version = options.get("version", "latest")
+        self.as_of = options.get("asof")
+
+
+def _manifest(table: str, v: int) -> dict:
+    from etl_rust_spark.versions import _load_manifest
+
+    return _load_manifest(table, v)
+
+
+def _part_of(table: str, rel: str) -> tuple[str | None, str | None]:
+    """Hive directory segment of a data-relative path → (col, value);
+    value None for __HIVE_DEFAULT_PARTITION__."""
+    if "/" not in rel:
+        return None, None
+    seg = rel.rsplit("/", 1)[0]
+    col, _, raw = seg.partition("=")
+    val = unquote(raw)
+    return col, (None if val == "__HIVE_DEFAULT_PARTITION__" else val)
+
+
+def _read_slice(table: str, s: _FileSlice, schema_cols: list[str]) -> Iterator[tuple]:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(str(Path(table) / "data" / s.path))
+    pdf = tbl.to_pandas()
+    if s.part_col is not None:
+        pdf[s.part_col] = s.part_val
+    cols = [c for c in schema_cols]
+    for row in pdf[cols].itertuples(index=False, name=None):
+        # pandas NaN → None for SQL NULL fidelity
+        yield tuple(None if v != v and isinstance(v, float) else v
+                    for v in row)
+
+
+class _TableBatchReader(DataSourceReader):
+    def __init__(self, opts: _Opts, schema_cols: list[str]) -> None:
+        self.opts = opts
+        self.schema_cols = schema_cols
+
+    def partitions(self):
+        from etl_rust_spark.versions import (
+            latest_version, version_at_timestamp,
+        )
+
+        t = self.opts.table
+        if self.opts.as_of is not None:
+            try:
+                ts: object = float(self.opts.as_of)
+            except ValueError:
+                ts = self.opts.as_of
+            v = version_at_timestamp(t, ts)
+        elif str(self.opts.version) == "latest":
+            v = latest_version(t)
+            if v is None:
+                raise FileNotFoundError(f"no committed versions under {t}")
+        else:
+            v = int(self.opts.version)
+        m = _manifest(t, v)
+        if m.get("deletes"):
+            raise ValueError(
+                f"version {v} of {t} carries merge-on-read delete "
+                "sidecars — the jar-free batch source cannot apply the "
+                "anti-join; read via versions.read_table_version, or "
+                "compact_table_version to fold the debt first"
+            )
+        out = []
+        for f in m["files"]:
+            col, val = _part_of(t, f)
+            out.append(_FileSlice(f, col, val))
+        return out
+
+    def read(self, partition: _FileSlice):
+        yield from _read_slice(self.opts.table, partition, self.schema_cols)
+
+
+class _TableStreamReader(DataSourceStreamReader):
+    def __init__(self, opts: _Opts, schema_cols: list[str]) -> None:
+        self.opts = opts
+        self.schema_cols = schema_cols
+
+    def initialOffset(self) -> dict:
+        from etl_rust_spark.versions import latest_version
+
+        head = latest_version(self.opts.table)
+        if head is None:
+            raise FileNotFoundError(
+                f"no committed versions under {self.opts.table}"
+            )
+        if self.opts.starting == "latest":
+            return {"version": head}
+        if self.opts.starting == "earliest":
+            return {"version": 0}
+        return {"version": int(self.opts.starting) - 1}
+
+    def latestOffset(self) -> dict:
+        from etl_rust_spark.versions import latest_version
+
+        # external state only (the chainstream lesson): the manifest
+        # log IS the offset authority, never a reader-local clamp
+        return {"version": latest_version(self.opts.table) or 0}
+
+    def partitions(self, start: dict, end: dict):
+        t = self.opts.table
+        lo, hi = int(start["version"]), int(end["version"])
+        out: list[_FileSlice] = []
+        for v in range(lo + 1, hi + 1):
+            m = _manifest(t, v)
+            parent = m.get("parent")
+            pfiles: set[str] = set()
+            pdeletes: list = []
+            if parent:
+                pm = _manifest(t, parent)
+                pfiles = set(pm["files"])
+                pdeletes = pm.get("deletes") or []
+            added = [f for f in m["files"] if f not in pfiles]
+            removed = pfiles - set(m["files"])
+            new_sidecars = len(m.get("deletes") or []) > len(pdeletes)
+            if removed or new_sidecars:
+                if self.opts.skip_changes:
+                    continue  # Delta's skipChangeCommits semantics
+                raise ValueError(
+                    f"version {v} of {t} (op {m.get('op')!r}) is a "
+                    "CHANGE commit (removes files or adds delete "
+                    "sidecars) — not representable as an append "
+                    "stream.  Set skipChangeCommits=true to skip such "
+                    "versions, or consume the CDC feed "
+                    "(read_table_changes / sync_table_changes) instead"
+                )
+            for f in added:
+                col, val = _part_of(t, f)
+                out.append(_FileSlice(f, col, val))
+        # Spark requires >= 1 partition per batch
+        return out or [_FileSlice("", None, None)]
+
+    def read(self, partition: _FileSlice):
+        if not partition.path:
+            return
+        yield from _read_slice(self.opts.table, partition, self.schema_cols)
+
+    def commit(self, end: dict) -> None:
+        pass  # the checkpoint is the commit marker
+
+
+class VersionedTableDataSource(DataSource):
+    """``spark.read/readStream.format("versioned_table")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_table"
+
+    def schema(self) -> str:
+        from etl_rust_spark.versions import latest_version
+
+        import pyarrow.parquet as pq
+
+        opts = _Opts(self.options)
+        head = latest_version(opts.table)
+        if head is None:
+            raise FileNotFoundError(
+                f"no committed versions under {opts.table}"
+            )
+        m = _manifest(opts.table, head)
+        if not m["files"]:
+            raise ValueError(
+                f"version {head} of {opts.table} is empty — pass an "
+                "explicit .schema(...)"
+            )
+        first = m["files"][0]
+        pa_schema = pq.read_schema(
+            str(Path(opts.table) / "data" / first)
+        )
+        fields = [
+            f"{name} {_ddl_of(pa_schema.field(name).type)}"
+            for name in pa_schema.names
+        ]
+        col, _ = _part_of(opts.table, first)
+        if col is not None:
+            # hive directory values surface as STRING (documented)
+            fields.append(f"{col} string")
+        return ", ".join(fields)
+
+    def _cols(self, schema) -> list[str]:
+        return [f.name for f in schema.fields]
+
+    def reader(self, schema) -> DataSourceReader:
+        return _TableBatchReader(_Opts(self.options), self._cols(schema))
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _TableStreamReader(_Opts(self.options), self._cols(schema))
