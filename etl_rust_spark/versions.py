@@ -1202,6 +1202,7 @@ def alter_table_version(
     drop: list[str] | None = None,
     rename: dict[str, str] | None = None,
     new_partition_by: str | None | type(...) = ...,
+    cast: dict[str, str] | None = None,
 ) -> int:
     """Schema / partition evolution as a new version: DROP COLUMN,
     RENAME COLUMN, and repartitioning-by-a-different-column, committed
@@ -1216,9 +1217,18 @@ def alter_table_version(
     ``new_partition_by`` defaults to "keep the current one" (the
     sentinel ``...``); pass a column name to re-partition or ``None``
     to flatten.  Per-file stats_cols follow renames and drop dropped
-    columns; bloom columns likewise."""
+    columns; bloom columns likewise.
+
+    ``cast`` (r10: ALTER COLUMN TYPE) maps column → Spark DDL type
+    (``{"k": "bigint"}``).  Casts apply BEFORE renames in the same
+    simultaneous projection.  NARROWING that loses values is rejected:
+    any row where the cast produces NULL from a non-NULL input aborts
+    the alter with a per-column violation count, before anything
+    commits — the widening-only contract Delta enforces statically,
+    enforced here against the data itself."""
     drop = list(drop or [])
     rename = dict(rename or {})
+    cast = dict(cast or {})
     head = latest_version(path)
     if head is None:
         raise FileNotFoundError(f"no committed versions under {path}")
@@ -1226,12 +1236,12 @@ def alter_table_version(
     old_partition_by = m.get("partition_by") or None
     existing = read_table_version(spark, path, head)
     cols = set(existing.columns)
-    missing = [c for c in drop + list(rename) if c not in cols]
+    missing = [c for c in drop + list(rename) + list(cast) if c not in cols]
     if missing:
         raise ValueError(f"no such columns: {missing}")
-    both = sorted(set(drop) & set(rename))
+    both = sorted(set(drop) & (set(rename) | set(cast)))
     if both:
-        raise ValueError(f"columns both dropped and renamed: {both}")
+        raise ValueError(f"columns both dropped and renamed/cast: {both}")
     # renames are SIMULTANEOUS (one select projection, ADVICE r9):
     # swap ({'a':'b','b':'a'}) and chain ({'a':'b','b':'c'}) maps are
     # legal — every SOURCE evaluates against the old row, exactly SQL
@@ -1255,13 +1265,42 @@ def alter_table_version(
     partition_by = (
         follow(old_partition_by) if new_partition_by is ... else new_partition_by
     )
+    def _src(c: str):
+        return F.col(c).cast(cast[c]) if c in cast else F.col(c)
+
     out = existing.select(
         *[
-            F.col(c).alias(rename.get(c, c))
+            _src(c).alias(rename.get(c, c))
             for c in existing.columns
             if c not in drop
         ]
     )
+    if cast:
+        # widening-only contract, checked against the DATA: a cast that
+        # loses any non-NULL value (overflow, unparseable string) would
+        # silently corrupt the re-snapshot — abort with counts instead,
+        # before anything is staged.  try_cast so the check itself
+        # yields COUNTS under ANSI mode (where a plain narrowing cast
+        # throws mid-scan); once the check passes, the projection's
+        # plain cast cannot fail
+        checks = existing.select(
+            *[
+                F.sum(
+                    (
+                        F.col(c).isNotNull()
+                        & F.col(c).try_cast(cast[c]).isNull()
+                    ).cast("long")
+                ).alias(c)
+                for c in cast
+            ]
+        ).collect()[0]
+        lossy = {c: checks[c] for c in cast if checks[c]}
+        if lossy:
+            raise ValueError(
+                f"cast would lose values (non-NULL → NULL row counts): "
+                f"{lossy} — ALTER COLUMN TYPE is widening-only; route "
+                "lossy conversions through an explicit UPDATE first"
+            )
     if partition_by is not None and partition_by not in out.columns:
         raise ValueError(f"partition column {partition_by!r} not in result")
     stats_cols = [

@@ -1782,6 +1782,52 @@ def test_cli_mor_delete(spark, tmp_path):
     assert m["deletes"] and m["files"] == V._load_manifest(p, 1)["files"]
 
 
+def test_alter_cast_widens_and_rejects_lossy(spark, tmp_path):
+    """ALTER COLUMN TYPE (r10): widening casts commit a re-snapshot with
+    the new schema (composing with rename in one projection); a cast
+    that would NULL any non-NULL value is rejected with per-column
+    violation counts BEFORE anything stages — widening-only, enforced
+    against the data."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 1, "10"), (2, 2, "x"), (3, 1, "30")],
+        "k int, ds int, val string",
+    )
+    V.write_table_version(df, p, "ds", stats_cols=["k"])
+    # widen int → bigint, and cast+rename in one alter
+    v2 = V.alter_table_version(
+        spark, p, cast={"k": "bigint"}, rename={"k": "kid"}
+    )
+    assert v2 == 2
+    new = V.read_table_version(spark, p)
+    assert dict(new.dtypes)["kid"] == "bigint"
+    assert {r.kid for r in new.collect()} == {1, 2, 3}
+    m2 = V._load_manifest(p, 2)
+    assert m2["stats_cols"] == ["kid"]  # stats follow the rename
+    # old version keeps the old (narrow) schema byte-identically
+    assert dict(V.read_table_version(spark, p, 1).dtypes)["k"] == "int"
+    # lossy: string 'x' cannot cast to int — counted and rejected
+    with pytest.raises(ValueError, match="lose values.*'val': 1"):
+        V.alter_table_version(spark, p, cast={"val": "int"})
+    assert V.latest_version(p) == 2  # nothing committed
+    # guards: unknown column, drop+cast overlap
+    with pytest.raises(ValueError, match="no such columns"):
+        V.alter_table_version(spark, p, cast={"nope": "int"})
+    with pytest.raises(ValueError, match="dropped and renamed/cast"):
+        V.alter_table_version(spark, p, drop=["val"], cast={"val": "int"})
+    # NULL-preserving cast of a nullable column is fine (NULL stays
+    # NULL, not counted as loss)
+    p2 = str(tmp_path / "t2")
+    V.write_table_version(
+        spark.createDataFrame([(1, 1, None), (2, 1, "7")],
+                              ["k", "ds", "val"]),
+        p2, "ds",
+    )
+    V.alter_table_version(spark, p2, cast={"val": "int"})
+    got = {(r.k, r.val) for r in V.read_table_version(spark, p2).collect()}
+    assert got == {(1, None), (2, 7)}
+
+
 def test_model_based_random_op_sequence_v2(spark, tmp_path):
     """Stateful fuzz over the FULL r9 operation set — snapshot / upsert
     / DELETE / compact / ZORDER-compact / expire — against a pure-
