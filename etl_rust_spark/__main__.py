@@ -388,6 +388,14 @@ def main(argv: list[str] | None = None) -> int:
         help="DESCRIBE HISTORY: print one row per version",
     )
     pv.add_argument(
+        "--add-constraint", default=None, metavar="NAME=EXPR",
+        help="CHECK constraint: validate the whole head, then enforce "
+        "EXPR on every future snapshot/upsert/update",
+    )
+    pv.add_argument(
+        "--drop-constraint", default=None, metavar="NAME",
+    )
+    pv.add_argument(
         "--tag", default=None, metavar="NAME[=V]",
         help="name a version (default: head) — tagged versions survive "
         "expiry; --read accepts tag names",
@@ -731,6 +739,17 @@ def main(argv: list[str] | None = None) -> int:
                     args.table, name, int(tv) if tv else None
                 )
             }
+        if args.add_constraint is not None:
+            cname, _, cexpr = args.add_constraint.partition("=")
+            if not cexpr:
+                p.error("--add-constraint needs NAME=EXPR")
+            out["version"] = _v.add_table_constraint(
+                spark, args.table, cname, cexpr
+            )
+        if args.drop_constraint is not None:
+            out["version"] = _v.drop_table_constraint(
+                args.table, args.drop_constraint
+            )
         if args.read is not None or args.as_of is not None:
             if not args.out:
                 p.error("--read/--as-of requires --out")

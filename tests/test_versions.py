@@ -1828,6 +1828,61 @@ def test_alter_cast_widens_and_rejects_lossy(spark, tmp_path):
     assert got == {(1, None), (2, 7)}
 
 
+def test_check_constraints_enforced_on_every_staging_op(spark, tmp_path):
+    """CHECK constraints (r10, Delta ADD CONSTRAINT parity): adding
+    validates the whole head; snapshot/upsert/update all reject
+    violating rows with counts BEFORE committing; NULL passes (SQL
+    CHECK); drop lifts enforcement; constraints ride the version chain
+    (time travel + restore see their own), and an alter renaming a
+    referenced column is rejected with the drop-first remediation."""
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _t(spark, [(1, 1, "a"), (2, 2, None)]), p, "ds"
+    )
+    v2 = V.add_table_constraint(spark, p, "k_pos", "k > 0")
+    assert v2 == 2
+    assert V.table_constraints(p) == {"k_pos": "k > 0"}
+    assert V.history(p)[0]["op"] == "add_constraint(k_pos)"
+    # adding one the data violates: rejected with the row count
+    with pytest.raises(ValueError, match="violat.*'k_small': 1"):
+        V.add_table_constraint(spark, p, "k_small", "k < 2")
+    assert V.table_constraints(p) == {"k_pos": "k > 0"}  # not half-added
+    # upsert of a violating row rejected before commit
+    with pytest.raises(ValueError, match="upsert.*k_pos"):
+        V.upsert_table_version(
+            spark, p, _t(spark, [(-5, 1, "bad")]), keys=["k"],
+            partition_by="ds",
+        )
+    assert V.latest_version(p) == 2
+    # NULL in the checked expression passes (SQL CHECK semantics)
+    V.upsert_table_version(
+        spark, p,
+        spark.createDataFrame([(None, 1, "n")], "k bigint, ds bigint, val string"),
+        keys=["k"], partition_by="ds",
+    )
+    # snapshot and update enforcement (CoW and MoR forms)
+    with pytest.raises(ValueError, match="snapshot.*k_pos"):
+        V.write_table_version(_t(spark, [(0, 1, "z")]), p, "ds")
+    with pytest.raises(ValueError, match="update.*k_pos"):
+        V.update_table_version(spark, p, "k = 1", {"k": "-1"})
+    with pytest.raises(ValueError, match="update.*k_pos"):
+        V.update_table_version(spark, p, "k = 1", {"k": "-1"}, mode="mor")
+    # alter renaming the referenced column: loud, drop-first remediation
+    with pytest.raises(ValueError, match="no longer resolves"):
+        V.alter_table_version(spark, p, rename={"k": "key"})
+    # drop lifts enforcement; unknown drop raises
+    V.drop_table_constraint(p, "k_pos")
+    with pytest.raises(ValueError, match="no constraint"):
+        V.drop_table_constraint(p, "k_pos")
+    V.upsert_table_version(
+        spark, p, _t(spark, [(-5, 1, "ok now")]), keys=["k"],
+        partition_by="ds",
+    )
+    # time travel: the constraint is versioned metadata
+    assert V.table_constraints(p, version=2) == {"k_pos": "k > 0"}
+    assert V.table_constraints(p) == {}
+
+
 def test_model_based_random_op_sequence_v2(spark, tmp_path):
     """Stateful fuzz over the FULL r9 operation set — snapshot / upsert
     / DELETE / compact / ZORDER-compact / expire — against a pure-
