@@ -56,7 +56,10 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 __all__ = ["VersionedTableDataSource"]
@@ -102,6 +105,8 @@ class _Opts:
         )
         self.version = options.get("version", "latest")
         self.as_of = options.get("asof")
+        self.txn_app = options.get("txnappid")
+        self.txn_version = options.get("txnversion")
 
 
 def _manifest(table: str, v: int) -> dict:
@@ -244,6 +249,153 @@ class _TableStreamReader(DataSourceStreamReader):
         pass  # the checkpoint is the commit marker
 
 
+# ------------------------------------------------------------- the SINK
+# df.write.format("versioned_table").mode("append"|"overwrite") and
+# writeStream: executors stage parquet files (pyarrow, under the
+# table's _stage-dsw-* dirs so a crash's leftovers are expire-swept),
+# the driver folds them into ONE manifest commit via
+# versions.commit_appended_files — CHECK constraints validated first,
+# CAS-retried against concurrent writers.  Streaming is EXACTLY-ONCE
+# through the Delta txnAppId/txnVersion ledger: the sink requires a
+# ``txnAppId`` option and commits each epoch with txnVersion=batchId,
+# so a replayed epoch is skipped (its staged files unlinked), never
+# double-appended.  Appends require an unpartitioned table (directory
+# layout must stay uniform; partitioned maintenance is
+# run_versioned_upsert_stream's job).
+
+
+_SPARK_TO_PA = {
+    "long": "int64", "integer": "int32", "short": "int16",
+    "byte": "int8", "double": "float64", "float": "float32",
+    "string": "string", "boolean": "bool", "binary": "binary",
+    "date": "date32", "timestamp": "us",
+}
+
+
+def _pa_schema_of(schema):
+    import pyarrow as pa
+
+    fields = []
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        if t not in _SPARK_TO_PA:
+            raise ValueError(
+                f"versioned_table sink cannot write column "
+                f"{f.name!r} of type {t!r}"
+            )
+        pat = (
+            pa.timestamp("us")
+            if t == "timestamp"
+            else getattr(pa, _SPARK_TO_PA[t])()
+        )
+        fields.append(pa.field(f.name, pat, nullable=True))
+    return pa.schema(fields)
+
+
+class _Staged(WriterCommitMessage):
+    def __init__(self, path: str | None, count: int) -> None:
+        self.path, self.count = path, count
+
+
+def _stage_rows(table: str, schema, iterator) -> _Staged:
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pa_schema = _pa_schema_of(schema)
+    names = [f.name for f in schema.fields]
+    cols: list[list] = [[] for _ in names]
+    n = 0
+    for row in iterator:
+        for i in range(len(names)):
+            cols[i].append(row[i])
+        n += 1
+    if not n:
+        return _Staged(None, 0)
+    arrays = [
+        pa.array(cols[i], type=pa_schema.field(i).type)
+        for i in range(len(names))
+    ]
+    stage = Path(table) / f"_stage-dsw-{_uuid.uuid4().hex}"
+    stage.mkdir(parents=True, exist_ok=True)
+    out = stage / "part.parquet"
+    pq.write_table(pa.Table.from_arrays(arrays, schema=pa_schema), str(out))
+    return _Staged(str(out), n)
+
+
+def _fold_staged(opts: _Opts, messages, txn_app, txn_version, overwrite):
+    import shutil
+
+    from pyspark.sql import SparkSession
+
+    from etl_rust_spark.versions import commit_appended_files
+
+    spark = SparkSession.getActiveSession()
+    staged = [m.path for m in messages if m and m.path]
+    count = sum(m.count for m in messages if m)
+    try:
+        commit_appended_files(
+            spark, opts.table, staged, count,
+            txn_app=txn_app, txn_version=txn_version, overwrite=overwrite,
+        )
+    finally:
+        for m in messages:
+            if m and m.path:
+                shutil.rmtree(Path(m.path).parent, ignore_errors=True)
+
+
+def _drop_staged(messages) -> None:
+    import shutil
+
+    for m in messages:
+        if m and getattr(m, "path", None):
+            shutil.rmtree(Path(m.path).parent, ignore_errors=True)
+
+
+class _TableBatchWriter(DataSourceWriter):
+    def __init__(self, opts: _Opts, schema, overwrite: bool) -> None:
+        self.opts, self.schema_, self.overwrite = opts, schema, overwrite
+        self.txn_app = opts.txn_app
+        self.txn_version = opts.txn_version
+        if (self.txn_app is None) != (self.txn_version is None):
+            raise ValueError("txnAppId and txnVersion come as a pair")
+
+    def write(self, iterator):
+        return _stage_rows(self.opts.table, self.schema_, iterator)
+
+    def commit(self, messages) -> None:
+        _fold_staged(
+            self.opts, messages, self.txn_app,
+            int(self.txn_version) if self.txn_version is not None else None,
+            self.overwrite,
+        )
+
+    def abort(self, messages) -> None:
+        _drop_staged(messages)
+
+
+class _TableStreamWriter(DataSourceStreamWriter):
+    def __init__(self, opts: _Opts, schema) -> None:
+        self.opts, self.schema_ = opts, schema
+        if not opts.txn_app:
+            raise ValueError(
+                "the versioned_table streaming sink requires a txnAppId "
+                "option — it is the exactly-once ledger key that makes a "
+                "replayed epoch a no-op instead of a duplicate append"
+            )
+
+    def write(self, iterator):
+        return _stage_rows(self.opts.table, self.schema_, iterator)
+
+    def commit(self, messages, batchId) -> None:
+        _fold_staged(self.opts, messages, self.opts.txn_app,
+                     int(batchId), overwrite=False)
+
+    def abort(self, messages, batchId) -> None:
+        _drop_staged(messages)
+
+
 class VersionedTableDataSource(DataSource):
     """``spark.read/readStream.format("versioned_table")``."""
 
@@ -290,3 +442,9 @@ class VersionedTableDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _TableStreamReader(_Opts(self.options), self._cols(schema))
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _TableBatchWriter(_Opts(self.options), schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return _TableStreamWriter(_Opts(self.options), schema)

@@ -76,6 +76,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "write_table_version",
+    "commit_appended_files",
     "upsert_table_version",
     "read_table_version",
     "version_at_timestamp",
@@ -415,7 +416,8 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
             bloom_conf: dict | None = None,
             op: str | None = None,
             deletes: list[dict] | None = None,
-            constraints: dict | None | type(...) = ...) -> int:
+            constraints: dict | None | type(...) = ...,
+            txn: dict | None | type(...) = ...) -> int:
     """Optimistic-concurrency commit (r8, VERDICT r7 #5).
 
     ``parent`` is the head this commit's content was computed AGAINST.
@@ -469,8 +471,15 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
             # CHECK constraints are table metadata: inherited by every
             # commit unless explicitly changed (add/drop_table_constraint)
             constraints = phead.get("constraints")
-    elif constraints is ...:
-        constraints = None
+        if txn is ...:
+            # the txnAppId→txnVersion idempotence ledger (Delta parity)
+            # rides the manifests the same way
+            txn = phead.get("txn")
+    else:
+        if constraints is ...:
+            constraints = None
+        if txn is ...:
+            txn = None
     manifest = {
         "version": version,
         "parent": parent,
@@ -500,6 +509,8 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
         # CHECK constraints {name: sql_expr} — stored in full in every
         # manifest so inheritance is one parent read (KBs)
         manifest["constraints"] = constraints
+    if txn:
+        manifest["txn"] = txn
     if op:
         manifest["op"] = op  # DESCRIBE HISTORY: what produced this version
     if parent and schema is None:
@@ -541,6 +552,8 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
                         manifest["deletes"] = deletes
                     if constraints:
                         manifest["constraints"] = constraints
+                    if txn:
+                        manifest["txn"] = txn
                     if op:
                         manifest["op"] = op
     mp = _manifest_path(path, version)
@@ -578,7 +591,7 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
         if swept:
             return _commit(
                 path, files, count, parent, partition_by, stats_cols,
-                stats, schema, bloom_conf, op, deletes, constraints,
+                stats, schema, bloom_conf, op, deletes, constraints, txn,
             )
         _bump("commit_conflicts_total")
         raise CommitConflict(
@@ -667,6 +680,188 @@ def _retry_conflicts(fn, what: str, attempts: int | None = None):
             _bump("commit_retries_total")
             time.sleep(random.uniform(0, 0.02 * (1 << min(i, 5))))
     raise CommitConflict(f"{what}: gave up after {attempts} attempts") from last
+
+
+def _validate_constraints_duckdb(
+    files: list[str], constraints: dict, what: str
+) -> None:
+    """Sparkless CHECK validation (the versioned_table sink's commit
+    hook runs in a Python worker with NO SparkSession): evaluate each
+    constraint over the staged parquet with DuckDB — CHECK expressions
+    are plain ANSI predicates, the shared dialect this repo's oracle
+    mirrors live in.  FAIL CLOSED: an expression DuckDB cannot parse
+    aborts the commit naming the constraint, never silently skips."""
+    import duckdb
+
+    quoted = ", ".join("'" + f.replace("'", "''") + "'" for f in files)
+    con = duckdb.connect()
+    bad: dict[str, int] = {}
+    try:
+        for name, expr in sorted(constraints.items()):
+            try:
+                n = con.execute(
+                    f"SELECT count(*) FROM read_parquet([{quoted}]) "
+                    f"WHERE NOT coalesce(({expr}), TRUE)"
+                ).fetchone()[0]
+            except Exception as exc:
+                raise ValueError(
+                    f"{what}: CHECK constraint {name!r} ({expr!r}) could "
+                    "not be evaluated sparkless (DuckDB said: "
+                    f"{exc}) — commit through a SparkSession path "
+                    "(write_table_version/upsert) or simplify the "
+                    "expression to ANSI predicates"
+                ) from None
+            if n:
+                bad[name] = n
+    finally:
+        con.close()
+    if bad:
+        raise ValueError(
+            f"{what} violates CHECK constraints (violating-row counts): "
+            f"{bad}"
+        )
+
+
+def _new_file_meta_local(
+    table: str, files: list[str], stats_cols: list[str] | None,
+    bloom_conf: dict | None,
+) -> dict:
+    """Sparkless per-file metadata (the sink's commit hook): [min,max]
+    via parquet footers, blooms via a pyarrow column read hashed with
+    the SAME rendering contract as the probes (str/int pass through,
+    bool normalizes, float/date/timestamp REJECTED — a diverging
+    rendering would poison the bloom with false negatives)."""
+    import base64
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    meta: dict[str, dict] = {}
+    if stats_cols:
+        meta = _file_stats(table, files, stats_cols)
+    if bloom_conf and bloom_conf.get("cols"):
+        data = Path(table) / "data"
+        bits = int(bloom_conf.get("bits", 8192))
+        k = int(bloom_conf.get("k", 4))
+        for rel in files:
+            t = pq.read_table(str(data / rel))
+            for c in bloom_conf["cols"]:
+                if c not in t.column_names:
+                    continue
+                arr = np.zeros(bits, dtype=bool)
+                for v in t.column(c).to_pylist():
+                    if v is None:
+                        continue
+                    for pos in _bloom_positions(
+                        _point_probe_str(c, v), bits, k
+                    ):
+                        arr[pos] = True
+                meta.setdefault(rel, {})[_BLOOM_KEY + c] = {
+                    "m": bits,
+                    "k": k,
+                    "b": base64.b64encode(
+                        np.packbits(arr).tobytes()
+                    ).decode("ascii"),
+                }
+    return meta
+
+
+def commit_appended_files(
+    spark: SparkSession,
+    path: str,
+    staged: list[str],
+    count: int,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
+    overwrite: bool = False,
+) -> int | None:
+    """Fold externally staged parquet files (absolute paths, already on
+    the table's filesystem) into the version chain as an APPEND (or
+    ``overwrite=True`` full replacement) — the driver half of the
+    ``versioned_table`` Spark SINK: executors write the files, this
+    moves them under ``data/`` and commits one manifest.
+
+    ``txn_app``/``txn_version`` give Delta's txnAppId/txnVersion
+    exactly-once: the manifest carries a per-appId high-water ledger,
+    and a commit whose ``txn_version`` is not newer is SKIPPED (staged
+    files unlinked, returns None) — how a replayed streaming epoch
+    lands exactly once.  Appends require an UNPARTITIONED table (a
+    directory-partitioned table's layout must stay uniform; route
+    partitioned maintenance through upsert_table_version /
+    run_versioned_upsert_stream).  CHECK constraints are validated over
+    the staged files before anything folds in."""
+    head = latest_version(path)
+    m = _load_manifest(path, head) if head is not None else {}
+    if txn_app is not None and txn_version is not None:
+        applied = (m.get("txn") or {}).get(txn_app)
+        if applied is not None and int(txn_version) <= int(applied):
+            for f in staged:
+                Path(f).unlink(missing_ok=True)
+            return None  # replayed epoch: already committed
+    if head is not None and (m.get("partition_by") or None) is not None \
+            and not overwrite:
+        raise ValueError(
+            f"table {path} is partitioned by {m['partition_by']!r} — "
+            "the versioned_table sink appends unpartitioned files only; "
+            "use upsert_table_version / run_versioned_upsert_stream"
+        )
+    if not staged and not overwrite:
+        return head  # empty append: no empty commits (delete's rule)
+    if head is not None and m.get("constraints") and staged:
+        # the sink's commit hook runs in a Python worker WITHOUT a
+        # SparkSession — validate with DuckDB there, Spark when we have
+        # one; both fail closed
+        if spark is not None:
+            _validate_constraints(
+                spark.read.parquet(*staged), m["constraints"],
+                f"append to {path}",
+            )
+        else:
+            _validate_constraints_duckdb(
+                staged, m["constraints"], f"append to {path}"
+            )
+    data = Path(path) / "data"
+    data.mkdir(parents=True, exist_ok=True)
+    new_files: list[str] = []
+    for f in staged:
+        rel = f"{uuid.uuid4().hex}-{Path(f).name}"
+        os.replace(f, data / rel)
+        new_files.append(rel)
+    stats_cols = m.get("stats_cols") or None
+    bloom_conf = m.get("blooms_conf")
+    txn = None
+    if txn_app is not None and txn_version is not None:
+        txn = {**(m.get("txn") or {}), txn_app: int(txn_version)}
+
+    def once() -> int:
+        h = latest_version(path)
+        hm = _load_manifest(path, h) if h is not None else {}
+        if overwrite:
+            files, total = new_files, count
+            deletes = None
+        else:
+            files = (hm.get("files") or []) + new_files
+            total = (hm.get("count") or 0) + count
+            deletes = hm.get("deletes")
+        stats = None
+        if stats_cols or bloom_conf:
+            stats = dict(hm.get("stats") or {}) if not overwrite else {}
+            stats.update(
+                _new_file_meta(spark, path, new_files, stats_cols, bloom_conf)
+                if spark is not None
+                else _new_file_meta_local(
+                    path, new_files, stats_cols, bloom_conf
+                )
+            )
+        return _commit(
+            path, files, total, h, None, stats_cols, stats or None,
+            bloom_conf=bloom_conf,
+            op="overwrite" if overwrite else "append",
+            deletes=deletes,
+            txn=txn if txn is not None else ...,
+        )
+
+    return _retry_conflicts(once, f"append to {path}")
 
 
 # ------------------------------------------------------ CHECK constraints
@@ -1940,6 +2135,18 @@ def read_table_changes(
         raise ValueError(
             f"need 0 < from_version <= to_version <= head ({head}); "
             f"got ({from_version}, {to_v}]"
+        )
+    if from_version == to_v:
+        # (v, v] is a legal EMPTY range — a caught-up consumer polling
+        # with cursor == head gets an empty feed with the full feed
+        # schema, not an error
+        new = read_table_version(spark, path, to_v)
+        payload = [c for c in new.columns if c not in keys]
+        return new.limit(0).select(
+            *keys,
+            F.lit(None).cast("string").alias("_change_type"),
+            *payload,
+            F.lit(None).cast("int").alias("_commit_version"),
         )
     steps = []
     for v in range(from_version + 1, to_v + 1):

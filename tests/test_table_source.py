@@ -147,6 +147,186 @@ def test_stream_change_commit_raises_and_skip_option_skips(
     assert got == {(1, "a"), (2, "b"), (3, "c")}
 
 
+def test_sink_batch_append_and_overwrite(_registered, tmp_path):
+    """df.write.format('versioned_table'): append folds executor-staged
+    files into one manifest commit (count/stats/history correct);
+    overwrite replaces the content as a new version; the old version
+    stays time-travelable."""
+    spark = _registered
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, val string") \
+        .write.format("versioned_table").option("path", p).mode("append").save()
+    assert V.latest_version(p) == 1
+    assert {(r.k, r.val) for r in V.read_table_version(spark, p).collect()} \
+        == {(1, "a"), (2, "b")}
+    spark.createDataFrame([(3, "c")], "k long, val string") \
+        .write.format("versioned_table").option("path", p).mode("append").save()
+    m2 = V._load_manifest(p, 2)
+    assert m2["count"] == 3 and V.history(p)[0]["op"] == "append"
+    spark.createDataFrame([(9, "z")], "k long, val string") \
+        .write.format("versioned_table").option("path", p) \
+        .mode("overwrite").save()
+    assert {r.k for r in V.read_table_version(spark, p).collect()} == {9}
+    assert {r.k for r in V.read_table_version(spark, p, 2).collect()} \
+        == {1, 2, 3}
+    # no leftover staging dirs
+    assert not list(Path(p).glob("_stage-dsw-*"))
+
+
+def test_sink_enforces_constraints_and_partitioned_guard(
+    _registered, tmp_path
+):
+    spark = _registered
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "k long, val string") \
+        .write.format("versioned_table").option("path", p).mode("append").save()
+    V.add_table_constraint(spark, p, "k_pos", "k > 0")
+    with pytest.raises(Exception, match="k_pos"):
+        spark.createDataFrame([(-1, "bad")], "k long, val string") \
+            .write.format("versioned_table").option("path", p).mode("append").save()
+    assert V.latest_version(p) == 2  # nothing committed
+    assert not list(Path(p).glob("_stage-dsw-*"))  # staging cleaned
+    # appends to a partitioned table are rejected with the remediation
+    p2 = str(tmp_path / "part")
+    V.write_table_version(_df(spark, [(1, 1, "a")]), p2, "ds")
+    with pytest.raises(Exception, match="unpartitioned|upsert"):
+        spark.createDataFrame([(2, 2, "b")], ["k", "ds", "val"]) \
+            .write.format("versioned_table").option("path", p2).mode("append").save()
+
+
+def test_sink_txn_ledger_skips_replayed_epoch(_registered, tmp_path):
+    """Delta txnAppId/txnVersion parity: a commit whose txnVersion is
+    not newer than the ledger entry is skipped and its staged files are
+    unlinked — the exactly-once spine of the streaming sink."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark = _registered
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "k long, val string") \
+        .write.format("versioned_table").option("path", p) \
+        .option("txnAppId", "job1").option("txnVersion", "7").mode("append").save()
+    assert V._load_manifest(p, 1)["txn"] == {"job1": 7}
+
+    def stage_one(k):
+        d = Path(p) / f"_stage-dsw-x{k}"
+        d.mkdir(parents=True)
+        f = d / "part.parquet"
+        pq.write_table(
+            pa.table({"k": pa.array([k], pa.int64()),
+                      "val": pa.array(["r"], pa.string())}), str(f))
+        return str(f)
+
+    # replay of version 7: skipped, staged file unlinked, head unchanged
+    f = stage_one(100)
+    assert V.commit_appended_files(
+        spark, p, [f], 1, txn_app="job1", txn_version=7) is None
+    assert not Path(f).exists()
+    assert V.latest_version(p) == 1
+    # a NEWER txn version commits and advances the ledger
+    f = stage_one(101)
+    assert V.commit_appended_files(
+        spark, p, [f], 1, txn_app="job1", txn_version=8) == 2
+    assert V._load_manifest(p, 2)["txn"] == {"job1": 8}
+    assert V.read_table_version(spark, p).count() == 2
+    # an unrelated app id keeps its own ledger entry
+    f = stage_one(102)
+    V.commit_appended_files(spark, p, [f], 1, txn_app="job2",
+                            txn_version=1)
+    assert V._load_manifest(p, 3)["txn"] == {"job1": 8, "job2": 1}
+
+
+def test_sink_append_builds_stats_and_blooms_sparkless(
+    _registered, tmp_path
+):
+    """The sink's commit hook has no SparkSession (Python worker) — the
+    appended files still get [min,max] footer stats AND bloom entries
+    via the pyarrow-local build, with the same probe-rendering contract
+    (a point read prunes to the appended file and finds the key)."""
+    spark = _registered
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        spark.createDataFrame(
+            [("seed-key", "s")], "doc_id string, val string"
+        ).coalesce(1),
+        p, None, stats_cols=["doc_id"], bloom_cols=["doc_id"],
+    )
+    spark.createDataFrame([("appended-key", "a")], "doc_id string, val string") \
+        .write.format("versioned_table").option("path", p) \
+        .mode("append").save()
+    m2 = V._load_manifest(p, 2)
+    assert all("bloom:doc_id" in m2["stats"].get(f, {}) for f in m2["files"])
+    assert all("doc_id" in m2["stats"].get(f, {}) for f in m2["files"])
+    got = V.read_table_version(spark, p, point=[("doc_id", "appended-key")])
+    assert got.filter("doc_id = 'appended-key'").count() == 1
+    assert len(set(got.inputFiles())) == 1  # pruned to the new file
+
+
+def test_stream_table_to_table_append_replication(_registered, tmp_path):
+    """The source and sink compose: readStream from one versioned table
+    into another — appends flow through exactly once across a restart,
+    version offsets on the read side, the txn ledger on the write
+    side."""
+    spark = _registered
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    V.write_table_version(_df(spark, [(1, 10, "a")]), src, "ds")
+
+    def run():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", src).option("startingVersion", "earliest")
+            .load()
+            .writeStream.format("versioned_table")
+            .option("path", dst).option("txnAppId", "repl")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    assert {(r.k, r.val) for r in V.read_table_version(spark, dst).collect()} \
+        == {(1, "a")}
+    _append(spark, src, [(2, 20, "b")])
+    _append(spark, src, [(3, 30, "c")])
+    run()
+    got = {(r.k, r.val) for r in V.read_table_version(spark, dst).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # idle rerun: no new version on the target beyond the txn no-op
+    head = V.latest_version(dst)
+    run()
+    assert V.read_table_version(spark, dst).count() == 3
+    assert V.latest_version(dst) == head
+
+
+def test_stream_sink_requires_txn_app_id(_registered, tmp_path):
+    spark = _registered
+    src = str(tmp_path / "src")
+    V.write_table_version(_df(spark, [(1, 10, "a")]), src, "ds")
+    # the writer is constructed lazily — the error surfaces when the
+    # first batch plans, via the StreamingQuery
+    with pytest.raises(Exception, match="txnAppId"):
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", src)
+            .option("startingVersion", "earliest")
+            .load()
+            .writeStream.format("versioned_table")
+            .option("path", str(tmp_path / "dst"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            q.awaitTermination(10)
+        finally:
+            q.stop()
+
+
 def test_stream_starting_version_latest_skips_backlog(
     _registered, tmp_path
 ):

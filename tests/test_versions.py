@@ -781,6 +781,13 @@ def test_read_table_changes_cdc_feed(spark, tmp_path):
         V.read_table_changes(spark, p, ["k"], 0)
     with pytest.raises(ValueError, match="from_version"):
         V.read_table_changes(spark, p, ["k"], 2, 9)
+    # (v, v] is a legal EMPTY range: a caught-up consumer polling with
+    # cursor == head gets zero rows with the FULL feed schema (was an
+    # IndexError before the r10 fix)
+    empty = V.read_table_changes(spark, p, ["k"], 3)
+    assert empty.count() == 0
+    assert list(empty.columns) == list(ch.columns)
+    assert dict(empty.dtypes) == dict(ch.dtypes)
 
 
 def test_cli_table_changes_verb(spark, tmp_path, capsys):
