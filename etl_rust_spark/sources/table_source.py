@@ -77,7 +77,9 @@ def _ddl_of(pa_type) -> str:
     if s in _PA_TO_DDL:
         return _PA_TO_DDL[s]
     if s.startswith("timestamp"):
-        return "timestamp"
+        # parquet stores isAdjustedToUTC as a boolean: a tz-tagged
+        # arrow type is Spark's TimestampType, a bare one is NTZ
+        return "timestamp" if "tz=" in s else "timestamp_ntz"
     if s.startswith("decimal"):
         return s
     raise ValueError(
@@ -268,7 +270,7 @@ _SPARK_TO_PA = {
     "long": "int64", "integer": "int32", "short": "int16",
     "byte": "int8", "double": "float64", "float": "float32",
     "string": "string", "boolean": "bool", "binary": "binary",
-    "date": "date32", "timestamp": "us",
+    "date": "date32",
 }
 
 
@@ -278,16 +280,21 @@ def _pa_schema_of(schema):
     fields = []
     for f in schema.fields:
         t = f.dataType.typeName()
-        if t not in _SPARK_TO_PA:
+        if t == "timestamp":
+            # Spark's TimestampType writes parquet isAdjustedToUTC=true;
+            # staging without the tz made appended files read back as
+            # timestamp_NTZ and silently flip the whole table's dtype
+            # (wrong values on any non-UTC session timezone)
+            pat = pa.timestamp("us", tz="UTC")
+        elif t == "timestamp_ntz":
+            pat = pa.timestamp("us")
+        elif t in _SPARK_TO_PA:
+            pat = getattr(pa, _SPARK_TO_PA[t])()
+        else:
             raise ValueError(
                 f"versioned_table sink cannot write column "
                 f"{f.name!r} of type {t!r}"
             )
-        pat = (
-            pa.timestamp("us")
-            if t == "timestamp"
-            else getattr(pa, _SPARK_TO_PA[t])()
-        )
         fields.append(pa.field(f.name, pat, nullable=True))
     return pa.schema(fields)
 
@@ -421,11 +428,24 @@ class VersionedTableDataSource(DataSource):
                 "explicit .schema(...)"
             )
         first = m["files"][0]
+        # the shared parquet-level canon decides timestamp vs NTZ the
+        # way Spark's reader will (arrow's schema string can't: INT96
+        # surfaces tz-naive yet reads as TimestampType)
+        from etl_rust_spark.versions import _footer_canon
+
+        canon = _footer_canon(str(Path(opts.table) / "data" / first))
         pa_schema = pq.read_schema(
             str(Path(opts.table) / "data" / first)
         )
         fields = [
-            f"{name} {_ddl_of(pa_schema.field(name).type)}"
+            f"{name} "
+            + (
+                {"ts:utc": "timestamp", "ts:ntz": "timestamp_ntz"}[
+                    canon[name]
+                ]
+                if canon[name].startswith("ts:")
+                else _ddl_of(pa_schema.field(name).type)
+            )
             for name in pa_schema.names
         ]
         col, _ = _part_of(opts.table, first)

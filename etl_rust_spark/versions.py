@@ -66,6 +66,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from contextlib import contextmanager
@@ -766,6 +767,147 @@ def _new_file_meta_local(
     return meta
 
 
+def _arrow_canon(t) -> str:
+    """Canonical form for footer-schema compatibility checks: large/
+    small string+binary unify (writer-dependent, read-identical), list
+    element field names drop (Spark names 'element', pyarrow 'item'),
+    timestamps keep unit + utc-adjustedness only (parquet stores a
+    BOOLEAN isAdjustedToUTC, not a zone name)."""
+    import pyarrow as pa
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}{',utc' if t.tz else ''}]"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_arrow_canon(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ", ".join(
+            f"{t.field(i).name}: {_arrow_canon(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{_arrow_canon(t.key_type)}, {_arrow_canon(t.item_type)}>"
+    return str(t)
+
+
+def _parquet_ts_canon(col) -> str:
+    """Spark-visible type of a parquet timestamp column (the pyspark
+    4.1.2 read mapping — arrow's schema string is NOT enough: INT96
+    surfaces as tz-naive timestamp[ns] yet Spark reads it as
+    TimestampType): INT96 → utc; annotated NANOS → NTZ (read natively,
+    micros-truncated); MICROS/MILLIS by isAdjustedToUTC."""
+    if col.physical_type == "INT96":
+        return "ts:utc"
+    lt = json.loads(col.logical_type.to_json())
+    if lt.get("timeUnit") == "nanoseconds":
+        return "ts:ntz"
+    return "ts:utc" if lt.get("isAdjustedToUTC") else "ts:ntz"
+
+
+def _footer_canon(f: str) -> dict[str, str]:
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f)
+    s = pf.schema_arrow
+    out = {n: _arrow_canon(s.field(n).type) for n in s.names}
+    pqs = pf.schema
+    for i in range(len(pqs)):
+        c = pqs.column(i)
+        # top-level timestamps only ('.' marks a nested path; nested
+        # ones keep the arrow canon — the sink can't stage nested
+        # types, so only same-writer files ever compare there)
+        if "." not in c.name and out.get(c.name, "").startswith(
+            "timestamp"
+        ):
+            out[c.name] = _parquet_ts_canon(c)
+    return out
+
+
+def _spark_json_canon(t) -> str:
+    """Map a Spark schema-json type to the same canonical space as
+    :func:`_arrow_canon` (the empty-head case: a delete-all manifest
+    carries the schema json, no data file footer to compare against)."""
+    flat = {
+        "long": "int64", "integer": "int32", "short": "int16",
+        "byte": "int8", "double": "double", "float": "float",
+        "string": "string", "boolean": "bool", "binary": "binary",
+        "date": "date32[day]", "timestamp": "ts:utc",
+        "timestamp_ntz": "ts:ntz",
+    }
+    if isinstance(t, str):
+        if t in flat:
+            return flat[t]
+        dm = re.match(r"decimal\((\d+),(\d+)\)$", t)
+        if dm:
+            return f"decimal128({dm.group(1)}, {dm.group(2)})"
+    elif isinstance(t, dict):
+        if t.get("type") == "array":
+            return f"list<{_spark_json_canon(t['elementType'])}>"
+        if t.get("type") == "struct":
+            inner = ", ".join(
+                f"{f['name']}: {_spark_json_canon(f['type'])}"
+                for f in t["fields"]
+            )
+            return f"struct<{inner}>"
+        if t.get("type") == "map":
+            return (
+                f"map<{_spark_json_canon(t['keyType'])}, "
+                f"{_spark_json_canon(t['valueType'])}>"
+            )
+    raise ValueError(
+        f"cannot canonicalize Spark type {t!r} for an append-schema "
+        "check against an empty table — re-seed the schema with "
+        "write_table_version instead of appending"
+    )
+
+
+def _check_append_schema(
+    path: str, m: dict, staged: list[str], overwrite: bool
+) -> None:
+    """Reject staged files whose footer schema is incompatible with the
+    table's: appended commits inherit the head's file list, and Spark's
+    parquet schema reconciliation across a mixed list silently NULLs
+    missing columns or flips dtypes (a timestamp staged without
+    isAdjustedToUTC flipped the whole table to timestamp_ntz — the bug
+    this guard was written against).  Overwrites replace every file, so
+    they only need the staged files to agree with EACH OTHER."""
+    if not staged:
+        return
+    ref: dict[str, str] | None = None
+    src = ""
+    if not overwrite:
+        files = m.get("files") or []
+        if files:
+            ref = _footer_canon(str(Path(path) / "data" / files[0]))
+            src = f"table head file {files[0]!r}"
+        elif m.get("schema"):
+            ref = {
+                f["name"]: _spark_json_canon(f["type"])
+                for f in m["schema"]["fields"]
+            }
+            src = "the empty head's recorded schema"
+    for f in staged:
+        got = _footer_canon(f)
+        if ref is None:
+            ref, src = got, f"staged file {f!r}"
+            continue
+        if got != ref:
+            diffs = {
+                c: (ref.get(c), got.get(c))
+                for c in sorted(set(ref) | set(got))
+                if ref.get(c) != got.get(c)
+            }
+            raise ValueError(
+                f"append to {path}: staged file {f!r} is schema-"
+                f"incompatible with {src} — per-column (expected, got), "
+                f"None = absent: {diffs}"
+            )
+
+
 def commit_appended_files(
     spark: SparkSession,
     path: str,
@@ -807,6 +949,7 @@ def commit_appended_files(
         )
     if not staged and not overwrite:
         return head  # empty append: no empty commits (delete's rule)
+    _check_append_schema(path, m, staged, overwrite)
     if head is not None and m.get("constraints") and staged:
         # the sink's commit hook runs in a Python worker WITHOUT a
         # SparkSession — validate with DuckDB there, Spark when we have

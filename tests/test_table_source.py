@@ -262,6 +262,93 @@ def test_sink_append_builds_stats_and_blooms_sparkless(
     assert len(set(got.inputFiles())) == 1  # pruned to the new file
 
 
+def test_sink_append_preserves_timestamp_dtypes(_registered, tmp_path):
+    """Regression: the sink staged TimestampType as tz-naive parquet
+    (isAdjustedToUTC=false), so ONE append silently flipped the whole
+    table's dtype to timestamp_ntz — wrong values on any non-UTC
+    session.  Staged timestamps now carry tz=UTC; NTZ stays NTZ; the
+    source reader surfaces each as its own Spark type."""
+    from pyspark.sql import functions as F
+
+    spark = _registered
+    p = str(tmp_path / "t")
+    base = spark.range(0, 3).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.col("id") * 1000).alias("ts"),
+        F.timestamp_seconds(F.col("id")).cast("timestamp_ntz").alias("tsn"),
+    )
+    V.write_table_version(base, p)
+    before = dict(V.read_table_version(spark, p).dtypes)
+    assert before == {"k": "bigint", "ts": "timestamp", "tsn": "timestamp_ntz"}
+    spark.range(3, 5).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.col("id") * 1000).alias("ts"),
+        F.timestamp_seconds(F.col("id")).cast("timestamp_ntz").alias("tsn"),
+    ).write.format("versioned_table").option("path", p).mode("append").save()
+    head = V.read_table_version(spark, p)
+    assert dict(head.dtypes) == before  # the flip is the bug
+    assert head.count() == 5
+    assert {r.k for r in head.filter("ts = timestamp_seconds(4000)")
+            .collect()} == {4}
+    # the DataSource reader maps the footer types back faithfully
+    rd = spark.read.format("versioned_table").option("path", p).load()
+    assert dict(rd.dtypes) == before
+
+
+def test_append_schema_guard_rejects_incompatible_files(
+    _registered, tmp_path
+):
+    """commit_appended_files validates staged footers against the
+    table's schema BEFORE folding them in: a mismatched append used to
+    commit fine and then silently NULL columns / flip dtypes at read
+    (Spark reconciles a mixed file list from sampled footers)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark = _registered
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "k long, val string") \
+        .write.format("versioned_table").option("path", p).mode("append").save()
+
+    def stage(tbl, name="part.parquet"):
+        d = Path(tmp_path / "stage")
+        d.mkdir(exist_ok=True)
+        f = d / name
+        pq.write_table(tbl, str(f))
+        return str(f)
+
+    # wrong column name
+    f = stage(pa.table({"k": pa.array([2], pa.int64()),
+                        "value": pa.array(["b"], pa.string())}))
+    with pytest.raises(ValueError, match="schema-incompatible.*val"):
+        V.commit_appended_files(spark, p, [f], 1)
+    # wrong dtype, named in the diff
+    f = stage(pa.table({"k": pa.array([2], pa.int32()),
+                        "val": pa.array(["b"], pa.string())}))
+    with pytest.raises(ValueError, match="int64.*int32|int32.*int64"):
+        V.commit_appended_files(spark, p, [f], 1)
+    assert V.latest_version(p) == 1  # nothing folded in
+    # large_string is read-identical to string: accepted
+    f = stage(pa.table({"k": pa.array([2], pa.int64()),
+                        "val": pa.array(["b"], pa.large_string())}))
+    assert V.commit_appended_files(spark, p, [f], 1) == 2
+    # empty head (delete-all) validates against the recorded schema json
+    V.delete_table_version(spark, p, "k > 0")
+    f = stage(pa.table({"k": pa.array(["9"], pa.string()),
+                        "val": pa.array(["x"], pa.string())}))
+    with pytest.raises(ValueError, match="recorded schema"):
+        V.commit_appended_files(spark, p, [f], 1)
+    # overwrite only needs the staged files to agree with EACH OTHER
+    f1 = stage(pa.table({"z": pa.array([1], pa.int64())}), "a.parquet")
+    f2 = stage(pa.table({"z": pa.array(["x"], pa.string())}), "b.parquet")
+    with pytest.raises(ValueError, match="schema-incompatible"):
+        V.commit_appended_files(spark, p, [f1, f2], 2, overwrite=True)
+    f1 = stage(pa.table({"z": pa.array([1], pa.int64())}), "a.parquet")
+    f2 = stage(pa.table({"z": pa.array([2], pa.int64())}), "b.parquet")
+    V.commit_appended_files(spark, p, [f1, f2], 2, overwrite=True)
+    assert {r.z for r in V.read_table_version(spark, p).collect()} == {1, 2}
+
+
 def test_stream_table_to_table_append_replication(_registered, tmp_path):
     """The source and sink compose: readStream from one versioned table
     into another — appends flow through exactly once across a restart,
