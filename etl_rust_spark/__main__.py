@@ -366,7 +366,34 @@ def main(argv: list[str] | None = None) -> int:
         "--upsert", default=None,
         help="MERGE this parquet path as a new version (needs --keys)",
     )
-    pv.add_argument("--keys", default=None, help="comma key list for --upsert")
+    pv.add_argument(
+        "--keys", default=None,
+        help="comma key list for --upsert/--merge/--changes",
+    )
+    pv.add_argument(
+        "--merge", default=None, metavar="PARQUET",
+        help="MERGE INTO: conditional keyed merge of this parquet "
+        "source (needs --keys and at least one WHEN clause below)",
+    )
+    pv.add_argument(
+        "--matched-update", action="append", default=None,
+        metavar="*|COL=EXPR",
+        help="WHEN MATCHED UPDATE: '*' takes every source column, or "
+        "repeat COL=EXPR (expressions see target as t, source as s)",
+    )
+    pv.add_argument(
+        "--matched-delete", default=None, metavar="SQL|true",
+        help="WHEN MATCHED DELETE (evaluated before update)",
+    )
+    pv.add_argument(
+        "--not-matched-insert", default=None, metavar="SQL|true",
+        help="WHEN NOT MATCHED INSERT the source row (optionally "
+        "conditional)",
+    )
+    pv.add_argument(
+        "--update-condition", default=None, metavar="SQL",
+        help="extra AND condition on --matched-update",
+    )
     pv.add_argument("--partition-by", default=None)
     pv.add_argument(
         "--read", default=None, metavar="V",
@@ -771,6 +798,32 @@ def main(argv: list[str] | None = None) -> int:
             df = _v.read_table_version(spark, args.table, v)
             df.write.mode("overwrite").parquet(args.out)
             out["read_rows"] = spark.read.parquet(args.out).count()
+        if args.merge is not None:
+            if not args.keys:
+                p.error("--merge requires --keys")
+
+            def _clause(v):
+                if v is None:
+                    return None
+                return True if v.lower() == "true" else v
+
+            upd = None
+            if args.matched_update:
+                upd = (
+                    "*"
+                    if args.matched_update == ["*"]
+                    else dict(
+                        pair.split("=", 1) for pair in args.matched_update
+                    )
+                )
+            out["version"] = _v.merge_table_version(
+                spark, args.table, spark.read.parquet(args.merge),
+                args.keys.split(","),
+                when_matched_update=upd,
+                when_matched_delete=_clause(args.matched_delete),
+                when_not_matched_insert=_clause(args.not_matched_insert),
+                update_condition=args.update_condition,
+            )
         if args.delete_where is not None:
             out["version"] = _v.delete_table_version(
                 spark, args.table, args.delete_where,

@@ -1916,7 +1916,8 @@ def test_model_based_random_op_sequence_v2(spark, tmp_path):
     for step in range(16):
         op = rng.choice(
             ["upsert", "upsert", "delete", "mor_delete", "update",
-             "mor_update", "compact", "zorder", "expire", "restore"]
+             "mor_update", "merge", "compact", "zorder", "expire",
+             "restore"]
         )
         if op == "upsert":
             counter += 1
@@ -1955,6 +1956,41 @@ def test_model_based_random_op_sequence_v2(spark, tmp_path):
                 model[v] = dict(state)
             else:
                 assert v == head_before  # no-op
+        elif op == "merge":
+            counter += 1
+            feed = {
+                rng.randint(1, 12): rng.choice(["U", "D", "I"])
+                for _ in range(rng.randint(1, 3))
+            }
+            src = spark.createDataFrame(
+                [(k, k % 3, k * 7 % 5, f"m{counter}.{k}", o)
+                 for k, o in feed.items()],
+                ["k", "ds", "y", "val", "op"],
+            )
+            head_before = V.latest_version(p)
+            v = V.merge_table_version(
+                spark, p, src, keys=["k"],
+                when_matched_update="*",
+                when_matched_delete="s.op = 'D'",
+                when_not_matched_insert="s.op = 'I'",
+                update_condition="s.op = 'U'",
+            )
+            changed = any(k in state for k in feed) or any(
+                k not in state and o == "I" for k, o in feed.items()
+            )
+            for k, o in feed.items():
+                if k in state:
+                    if o == "D":
+                        del state[k]
+                    elif o == "U":
+                        state[k] = f"m{counter}.{k}"
+                elif o == "I":
+                    state[k] = f"m{counter}.{k}"
+            if changed:
+                assert v == head_before + 1
+                model[v] = dict(state)
+            else:
+                assert v == head_before
         elif op == "compact":
             v = V.compact_table_version(spark, p)
             model[v] = dict(state)
@@ -2420,3 +2456,233 @@ def test_retry_budget_outlasts_heavy_contention():
             lambda: (_ for _ in ()).throw(V.CommitConflict("x")),
             "test", attempts=3,
         )
+
+
+# --- MERGE INTO (Delta-parity conditional merge, r10) ----------------
+
+
+def test_merge_cdc_apply_update_delete_insert_one_commit(spark, tmp_path):
+    """The CDC-apply shape: one MERGE lands updates, deletes and
+    inserts from a single change feed in ONE commit."""
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _t(spark, [(1, 1, "a"), (2, 1, "b"), (3, 2, "c")]), p, "ds"
+    )
+    feed = spark.createDataFrame(
+        [(1, 1, "A", "U"), (2, 1, None, "D"), (4, 2, "d", "I")],
+        ["k", "ds", "val", "op"],
+    )
+    v = V.merge_table_version(
+        spark, p, feed, keys=["k"],
+        when_matched_update="*",
+        when_matched_delete="s.op = 'D'",
+        when_not_matched_insert="s.op <> 'D'",
+        update_condition="s.op = 'U'",
+    )
+    assert v == 2
+    got = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert got == {1: "A", 3: "c", 4: "d"}
+    assert V._load_manifest(p, 2)["count"] == 3
+    assert V.history(p)[0]["op"] == "merge"
+    # v1 still reads byte-identically
+    assert {r.k for r in V.read_table_version(spark, p, 1).collect()} \
+        == {1, 2, 3}
+
+
+def test_merge_matches_upsert_when_unconditional(spark, tmp_path):
+    """update='*' + insert=True with no conditions ≡ upsert."""
+    pa_, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    rows = [(1, 1, "a"), (2, 2, "b")]
+    delta = [(2, 2, "B"), (3, 1, "c")]
+    for p in (pa_, pb):
+        V.write_table_version(_t(spark, rows), p, "ds")
+    V.merge_table_version(
+        spark, pa_, _t(spark, delta), keys=["k"],
+        when_matched_update="*", when_not_matched_insert=True,
+    )
+    V.upsert_table_version(spark, pb, _t(spark, delta), keys=["k"],
+                           partition_by="ds")
+    a = {(r.k, r.ds, r.val)
+         for r in V.read_table_version(spark, pa_).collect()}
+    b = {(r.k, r.ds, r.val)
+         for r in V.read_table_version(spark, pb).collect()}
+    assert a == b == {(1, 1, "a"), (2, 2, "B"), (3, 1, "c")}
+
+
+def test_merge_rewrites_only_hit_files_insert_only_rewrites_none(
+    spark, tmp_path
+):
+    """File-level narrowing: only files holding matched keys rewrite;
+    an insert-only merge carries EVERY file and appends."""
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _t(spark, [(1, 1, "a"), (2, 2, "b"), (3, 3, "c")]), p, "ds"
+    )
+    m1 = V._load_manifest(p, 1)
+    # update key 1 only: ds=2 and ds=3 files must carry verbatim
+    V.merge_table_version(
+        spark, p, _t(spark, [(1, 1, "A")]), keys=["k"],
+        when_matched_update="*",
+    )
+    m2 = V._load_manifest(p, 2)
+    clean = {f for f in m1["files"] if not f.startswith("ds=1/")}
+    assert clean <= set(m2["files"])
+    assert not any(f in m2["files"]
+                   for f in m1["files"] if f.startswith("ds=1/"))
+    # insert-only merge: zero rewrites, all files carried
+    V.merge_table_version(
+        spark, p, _t(spark, [(9, 9, "z")]), keys=["k"],
+        when_not_matched_insert=True,
+    )
+    m3 = V._load_manifest(p, 3)
+    assert set(m2["files"]) <= set(m3["files"])
+    assert m3["count"] == 4
+
+
+def test_merge_clause_semantics(spark, tmp_path):
+    """Delete evaluates before update; NULL conditions leave rows;
+    unmatched-by-any-clause rows carry unchanged; expressions see t and
+    s qualified."""
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _t(spark, [(1, 1, "a"), (2, 1, "b"), (3, 1, "c"), (4, 1, "d")]),
+        p, "ds",
+    )
+    src = spark.createDataFrame(
+        [(1, "x", True), (2, "y", False), (3, "z", None)],
+        ["k", "sval", "kill"],
+    )
+    V.merge_table_version(
+        spark, p, src, keys=["k"],
+        when_matched_delete="s.kill",
+        when_matched_update={"val": "concat(t.val, '+', s.sval)"},
+        update_condition="s.sval = 'y'",
+    )
+    got = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    # k=1 deleted; k=2 updated via t/s expression; k=3 matched but its
+    # kill is NULL and sval != 'y' → carried; k=4 unmatched → carried
+    assert got == {2: "b+y", 3: "c", 4: "d"}
+
+
+def test_merge_multi_source_match_raises(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a")]), p, "ds")
+    dup = spark.createDataFrame(
+        [(1, 1, "x"), (1, 1, "y")], ["k", "ds", "val"]
+    )
+    with pytest.raises(ValueError, match="more than one source row"):
+        V.merge_table_version(
+            spark, p, dup, keys=["k"], when_matched_update="*",
+        )
+    # insert-only dup keys are legal (both insert — Delta semantics)
+    dup2 = spark.createDataFrame(
+        [(7, 1, "x"), (7, 1, "y")], ["k", "ds", "val"]
+    )
+    V.merge_table_version(spark, p, dup2, keys=["k"],
+                          when_not_matched_insert=True)
+    assert V.read_table_version(spark, p).filter("k = 7").count() == 2
+
+
+def test_merge_guards_and_edges(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a")]), p, "ds")
+    with pytest.raises(ValueError, match="WHEN clause"):
+        V.merge_table_version(spark, p, _t(spark, [(1, 1, "x")]), ["k"])
+    with pytest.raises(ValueError, match="key columns"):
+        V.merge_table_version(
+            spark, p, spark.createDataFrame([("a",)], ["val"]), ["k"],
+            when_matched_update="*",
+        )
+    with pytest.raises(ValueError, match="missing table columns"):
+        V.merge_table_version(
+            spark, p, spark.createDataFrame([(1,)], ["k"]), ["k"],
+            when_not_matched_insert=True,
+        )
+    with pytest.raises(ValueError, match="unknown columns"):
+        V.merge_table_version(
+            spark, p, _t(spark, [(1, 1, "x")]), ["k"],
+            when_matched_update={"nope": "'x'"},
+        )
+    with pytest.raises(ValueError, match="partition column"):
+        V.merge_table_version(
+            spark, p, _t(spark, [(1, 1, "x")]), ["k"],
+            when_matched_update={"ds": "9"},
+        )
+    # nothing matched, nothing to insert → head unchanged, no commit
+    head = V.latest_version(p)
+    assert V.merge_table_version(
+        spark, p, _t(spark, [(9, 9, "z")]), ["k"],
+        when_matched_update="*",
+    ) == head
+    # NULL source key: neither updates nor inserts ON-clause-style
+    src = spark.createDataFrame([(None, 1, "n")], "k long, ds long, val string")
+    assert V.merge_table_version(
+        spark, p, src, ["k"], when_matched_update="*",
+    ) == head
+
+
+def test_merge_into_emptied_table_reseeds(spark, tmp_path):
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a")]), p, "ds")
+    V.delete_table_version(spark, p, "k = 1")
+    v = V.merge_table_version(
+        spark, p, _t(spark, [(5, 1, "e")]), keys=["k"],
+        when_matched_update="*", when_not_matched_insert=True,
+    )
+    assert {r.k for r in V.read_table_version(spark, p, v).collect()} == {5}
+
+
+def test_merge_composes_with_cdc_constraints_and_mor(spark, tmp_path):
+    """MERGE respects CHECK constraints, masks MoR-deleted rows (they
+    neither match nor resurrect), and its changes surface in the CDC
+    feed."""
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _t(spark, [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")]), p, "ds"
+    )
+    V.add_table_constraint(spark, p, "k_pos", "k > 0")
+    V.delete_table_version(spark, p, "k = 2", mode="mor")  # v3
+    with pytest.raises(ValueError, match="k_pos"):
+        V.merge_table_version(
+            spark, p,
+            spark.createDataFrame([(-9, 1, "bad")], ["k", "ds", "val"]),
+            ["k"], when_not_matched_insert=True,
+        )
+    head0 = V.latest_version(p)
+    # a MoR-masked key is NOT matched — merging it back INSERTS
+    v = V.merge_table_version(
+        spark, p, _t(spark, [(2, 1, "b2"), (1, 1, "A")]), keys=["k"],
+        when_matched_update="*", when_not_matched_insert=True,
+    )
+    got = {r.k: r.val for r in V.read_table_version(spark, p, v).collect()}
+    assert got == {1: "A", 2: "b2", 3: "c"}
+    ch = V.read_table_changes(spark, p, ["k"], from_version=head0)
+    by = {(r.k, r._change_type) for r in ch.collect()}
+    assert by == {(1, "update_postimage"), (2, "insert")}
+
+
+def test_cli_table_merge_verb(spark, tmp_path, capsys):
+    import json as _json
+
+    from etl_rust_spark.__main__ import main
+
+    f1, f2 = str(tmp_path / "f1"), str(tmp_path / "f2")
+    _t(spark, [(1, 1, "a"), (2, 1, "b")]).write.parquet(f1)
+    spark.createDataFrame(
+        [(1, 1, "A", "U"), (2, 1, None, "D"), (3, 1, "c", "I")],
+        ["k", "ds", "val", "op"],
+    ).write.parquet(f2)
+    table = str(tmp_path / "vt")
+    assert main(["table", table, "--snapshot", f1, "--partition-by", "ds"]) == 0
+    capsys.readouterr()
+    assert main([
+        "table", table, "--merge", f2, "--keys", "k",
+        "--matched-update", "*",
+        "--matched-delete", "s.op = 'D'",
+        "--not-matched-insert", "s.op <> 'D'",
+        "--update-condition", "s.op = 'U'",
+    ]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["version"] == 2
+    got = {r.k: r.val for r in V.read_table_version(spark, table).collect()}
+    assert got == {1: "A", 3: "c"}
