@@ -109,6 +109,10 @@ class _Opts:
         self.as_of = options.get("asof")
         self.txn_app = options.get("txnappid")
         self.txn_version = options.get("txnversion")
+        mv = int(options.get("maxversionspertrigger", 0))
+        if mv < 0:
+            raise ValueError("maxVersionsPerTrigger must be >= 1")
+        self.max_versions = mv or None
 
 
 def _manifest(table: str, v: int) -> dict:
@@ -187,8 +191,16 @@ class _TableStreamReader(DataSourceStreamReader):
     def __init__(self, opts: _Opts, schema_cols: list[str]) -> None:
         self.opts = opts
         self.schema_cols = schema_cols
+        # pacing position for maxVersionsPerTrigger.  Traced call
+        # order (pinned in the pacing test): fresh start is
+        # latestOffset → initialOffset → partitions, so the FIRST
+        # latestOffset derives the start itself; on restart Spark
+        # re-plans the offset log's last batch through partitions()
+        # BEFORE any latestOffset, so _pos is always checkpoint-
+        # accurate there and backlogs after downtime pace too.
+        self._pos: int | None = None
 
-    def initialOffset(self) -> dict:
+    def _start_offset(self) -> int:
         from etl_rust_spark.versions import latest_version
 
         head = latest_version(self.opts.table)
@@ -197,19 +209,34 @@ class _TableStreamReader(DataSourceStreamReader):
                 f"no committed versions under {self.opts.table}"
             )
         if self.opts.starting == "latest":
-            return {"version": head}
+            return head
         if self.opts.starting == "earliest":
-            return {"version": 0}
-        return {"version": int(self.opts.starting) - 1}
+            return 0
+        return int(self.opts.starting) - 1
+
+    def initialOffset(self) -> dict:
+        off = self._start_offset()
+        self._pos = max(self._pos or 0, off)
+        return {"version": off}
 
     def latestOffset(self) -> dict:
         from etl_rust_spark.versions import latest_version
 
-        # external state only (the chainstream lesson): the manifest
-        # log IS the offset authority, never a reader-local clamp
-        return {"version": latest_version(self.opts.table) or 0}
+        # the manifest log IS the offset authority (the chainstream
+        # lesson) — maxVersionsPerTrigger only SLOWS the walk toward
+        # it, never invents offsets beyond it
+        head = latest_version(self.opts.table) or 0
+        if self.opts.max_versions:
+            if self._pos is None:
+                self._pos = self._start_offset()
+            return {"version": min(head, self._pos + self.opts.max_versions)}
+        return {"version": head}
 
     def partitions(self, start: dict, end: dict):
+        self._pos = max(self._pos or 0, int(end["version"]))
+        return self._partitions(start, end)
+
+    def _partitions(self, start: dict, end: dict):
         t = self.opts.table
         lo, hi = int(start["version"]), int(end["version"])
         out: list[_FileSlice] = []
@@ -248,7 +275,9 @@ class _TableStreamReader(DataSourceStreamReader):
         yield from _read_slice(self.opts.table, partition, self.schema_cols)
 
     def commit(self, end: dict) -> None:
-        pass  # the checkpoint is the commit marker
+        # the checkpoint is the commit marker; remember the position so
+        # maxVersionsPerTrigger paces from it
+        self._pos = max(self._pos or 0, int(end["version"]))
 
 
 # ------------------------------------------------------------- the SINK

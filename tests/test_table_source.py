@@ -449,3 +449,56 @@ def test_stream_starting_version_latest_skips_backlog(
         q.stop()
     vals = sorted(r.val for r in spark.read.parquet(out).collect())
     assert vals == ["new"]  # the backlog row never streamed
+
+
+def test_stream_max_versions_per_trigger_paces_backlog(
+    _registered, tmp_path
+):
+    """maxVersionsPerTrigger=1 splits a 4-version backlog into one
+    micro-batch per version (offset-log entries prove the pacing)
+    instead of one giant batch — content still exactly-once.  Pacing
+    holds ACROSS RESTART too: Spark re-plans the offset log's last
+    batch through partitions() before the first latestOffset, so the
+    reader's position is checkpoint-accurate (traced; the fresh-start
+    first latestOffset derives the start itself because Spark calls it
+    BEFORE initialOffset)."""
+    spark = _registered
+    p = str(tmp_path / "t")
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    V.write_table_version(_df(spark, [(1, 10, "a")]), p, "ds")
+    for i in range(2, 5):
+        _append(spark, p, [(i, i * 10, chr(96 + i))])
+
+    def run():
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", p)
+            .option("startingVersion", "earliest")
+            .option("maxVersionsPerTrigger", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    got = {(r.k, r.val) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    n_batches = len(list((Path(ckpt) / "offsets").glob("[0-9]*")))
+    assert n_batches == 4  # one per version, not one giant batch
+    # 3 more versions land while the stream is DOWN; the restarted
+    # stream paces the backlog too (one batch per version)
+    for i in range(5, 8):
+        _append(spark, p, [(i, i * 10, chr(96 + i))])
+    run()
+    assert spark.read.parquet(out).count() == 7  # exactly-once
+    n_batches = len(list((Path(ckpt) / "offsets").glob("[0-9]*")))
+    assert n_batches == 7
+    with pytest.raises(Exception, match="maxVersionsPerTrigger"):
+        (spark.readStream.format("versioned_table")
+         .option("path", p).option("maxVersionsPerTrigger", "-2").load())
