@@ -415,6 +415,20 @@ def main(argv: list[str] | None = None) -> int:
         help="DESCRIBE HISTORY: print one row per version",
     )
     pv.add_argument(
+        "--detail", action="store_true",
+        help="DESCRIBE DETAIL: head version, rows, files, bytes, "
+        "layout, constraints, sidecar debt",
+    )
+    pv.add_argument(
+        "--clone", default=None, metavar="DST",
+        help="CLONE: hardlink-shallow copy of the table (head or "
+        "--clone-version) as a NEW independent version chain at DST",
+    )
+    pv.add_argument(
+        "--clone-version", default=None, metavar="V|TAG",
+        help="version (or tag) to clone instead of head",
+    )
+    pv.add_argument(
         "--add-constraint", default=None, metavar="NAME=EXPR",
         help="CHECK constraint: validate the whole head, then enforce "
         "EXPR on every future snapshot/upsert/update",
@@ -759,6 +773,15 @@ def main(argv: list[str] | None = None) -> int:
             out["version"] = _v.restore_table_version(args.table, v)
         if args.history:
             out["history"] = _v.history(args.table)
+        if args.detail:
+            out["detail"] = _v.table_detail(args.table)
+        if args.clone is not None:
+            cv = args.clone_version
+            if cv is not None and cv.isdigit():
+                cv = int(cv)
+            out["cloned_version"] = _v.clone_table(
+                args.table, args.clone, cv
+            )
         if args.tag is not None:
             name, _, tv = args.tag.partition("=")
             out["tagged"] = {

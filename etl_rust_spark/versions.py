@@ -99,6 +99,8 @@ __all__ = [
     "add_table_constraint",
     "drop_table_constraint",
     "table_constraints",
+    "clone_table",
+    "table_detail",
     "history",
     "delete_tag",
     "list_tags",
@@ -1567,6 +1569,97 @@ def _upsert_table_version_once(
         stats_cols, stats, bloom_conf=bloom_conf, op="upsert",
         deletes=_carry_deletes(m.get("deletes"), carried),
     )
+
+
+def clone_table(src: str, dst: str, version: int | str | None = None) -> int:
+    """CLONE (Delta shallow-clone shaped, filesystem-native): create a
+    NEW table at ``dst`` whose first version references ``src``'s
+    content at ``version`` (default head; tag names accepted) via
+    HARDLINKS — zero bytes copied, instant, the cheap branch-for-an-
+    experiment operation a 100 TB training-data table needs.
+
+    Unlike Delta's manifest-external-path shallow clone (where VACUUM
+    on the source breaks clones), each table here owns its own
+    DIRECTORY ENTRIES: expiry on either side unlinks only its own
+    names and the shared inode lives until the last reference drops —
+    retention stays fully independent, enforced by the filesystem's
+    refcount instead of an operational caveat.  Writes diverge
+    copy-on-write exactly as normal commits do (rewrites stage new
+    files; the other table keeps reading the old inode).  Cross-device
+    destinations fall back to a real copy, same semantics.
+
+    The clone inherits partitioning, per-file stats, blooms, CHECK
+    constraints and MoR delete sidecars; it starts its OWN version
+    chain (v1, op ``clone(src@v)``) and does not carry tags, pins,
+    history, or the txnAppId ledger (a clone is a new table — a
+    streaming writer replaying into it should append, not no-op).
+
+    On object storage (no hardlinks) a clone degrades to a copy —
+    the manifest-external-path design would be the upgrade there."""
+    if isinstance(version, str):
+        tags = list_tags(src)
+        if version not in tags:
+            raise FileNotFoundError(f"no tag {version!r} on {src}")
+        version = tags[version]
+    v = latest_version(src) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed versions under {src}")
+    if latest_version(dst) is not None or _manifest_dir(dst).exists():
+        raise FileExistsError(f"{dst} already has a version chain")
+    m = _load_manifest(src, v)
+    sdata, ddata = Path(src) / "data", Path(dst) / "data"
+    to_link = list(m["files"]) + [
+        d["path"] for d in (m.get("deletes") or [])
+    ]
+    for rel in to_link:
+        target = ddata / rel
+        target.parent.mkdir(parents=True, exist_ok=True)
+        try:
+            os.link(sdata / rel, target)
+        except OSError:
+            shutil.copy2(sdata / rel, target)
+    return _commit(
+        dst, list(m["files"]), m["count"], None,
+        m.get("partition_by") or None, m.get("stats_cols") or None,
+        m.get("stats") or None, m.get("schema"), m.get("blooms_conf"),
+        op=f"clone({src}@{v})", deletes=m.get("deletes"),
+        constraints=m.get("constraints"),
+    )
+
+
+def table_detail(path: str) -> dict:
+    """DESCRIBE DETAIL (Delta parity): one driver-side dict about the
+    HEAD — version, logical row count, file count and on-disk bytes,
+    layout (partitioning/stats/blooms), constraints, outstanding MoR
+    sidecar debt, commit instant, txn ledger, live version/tag counts.
+    Metadata only; no Spark job."""
+    head = latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    m = _load_manifest(path, head)
+    data = Path(path) / "data"
+    size = 0
+    for f in m["files"]:
+        try:
+            size += (data / f).stat().st_size
+        except OSError:
+            pass  # expired out from under us mid-listing
+    return {
+        "version": head,
+        "count": m["count"],
+        "num_files": len(m["files"]),
+        "size_bytes": size,
+        "partition_by": m.get("partition_by") or None,
+        "stats_cols": m.get("stats_cols") or None,
+        "bloom_cols": (m.get("blooms_conf") or {}).get("cols"),
+        "constraints": m.get("constraints") or {},
+        "n_delete_sidecars": len(m.get("deletes") or []),
+        "ts": m.get("ts"),
+        "op": m.get("op"),
+        "txn": m.get("txn") or {},
+        "n_versions": len(list_versions(path)),
+        "tags": list_tags(path),
+    }
 
 
 def restore_table_version(path: str, version: int | str) -> int:

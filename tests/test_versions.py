@@ -2686,3 +2686,98 @@ def test_cli_table_merge_verb(spark, tmp_path, capsys):
     assert rep["version"] == 2
     got = {r.k: r.val for r in V.read_table_version(spark, table).collect()}
     assert got == {1: "A", 3: "c"}
+
+
+# --- CLONE + DESCRIBE DETAIL (r10) -----------------------------------
+
+
+def test_clone_table_zero_copy_and_independent_retention(spark, tmp_path):
+    """Hardlink shallow clone: zero bytes copied (same inodes), reads
+    equal the cloned version, writes diverge copy-on-write, and
+    retention on either side never breaks the other (each table owns
+    its own directory entries)."""
+    import os
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    V.write_table_version(
+        _t(spark, [(1, 1, "a"), (2, 2, "b")]), src, "ds",
+        stats_cols=["k"],
+    )
+    V.add_table_constraint(spark, src, "k_pos", "k > 0")
+    V.upsert_table_version(spark, src, _t(spark, [(3, 1, "c")]),
+                           keys=["k"], partition_by="ds")
+    v = V.clone_table(src, dst)
+    assert v == 1
+    assert {(r.k, r.val) for r in V.read_table_version(spark, dst).collect()} \
+        == {(1, "a"), (2, "b"), (3, "c")}
+    # zero-copy: every clone file shares its inode with the source
+    m = V._load_manifest(dst, 1)
+    for f in m["files"]:
+        s_ino = os.stat(Path(src) / "data" / f).st_ino
+        d_ino = os.stat(Path(dst) / "data" / f).st_ino
+        assert s_ino == d_ino
+    # constraints inherited and enforced on the clone
+    with pytest.raises(ValueError, match="k_pos"):
+        V.upsert_table_version(
+            spark, dst, _t(spark, [(-1, 1, "bad")]), keys=["k"],
+            partition_by="ds",
+        )
+    # divergence: writes to the clone never show in the source
+    V.upsert_table_version(spark, dst, _t(spark, [(9, 9, "z")]),
+                           keys=["k"], partition_by="ds")
+    assert V.read_table_version(spark, src).count() == 3
+    # retention independence: expire + physically rewrite the source's
+    # view; the clone still reads its inodes
+    V.delete_table_version(spark, src, "k = 1")
+    V.expire_versions(src, keep_last=1)
+    assert {r.k for r in V.read_table_version(spark, dst, 1).collect()} \
+        == {1, 2, 3}
+    # and the other direction
+    V.expire_versions(dst, keep_last=1)
+    assert V.read_table_version(spark, src).count() == 2
+    # double-clone refused; tag-addressed clone works
+    with pytest.raises(FileExistsError):
+        V.clone_table(src, dst)
+    V.tag_version(src, "pinned")
+    d2 = str(tmp_path / "d2")
+    V.clone_table(src, d2, "pinned")
+    assert V.history(d2)[0]["op"].startswith("clone(")
+
+
+def test_clone_carries_mor_sidecars(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    V.write_table_version(_t(spark, [(1, 1, "a"), (2, 1, "b")]), src, "ds")
+    V.delete_table_version(spark, src, "k = 1", mode="mor")
+    V.clone_table(src, dst)
+    assert {r.k for r in V.read_table_version(spark, dst).collect()} == {2}
+    assert V.table_detail(dst)["n_delete_sidecars"] == 1
+
+
+def test_table_detail_and_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    from etl_rust_spark.__main__ import main
+
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _t(spark, [(1, 1, "a"), (2, 2, "b")]), p, "ds",
+        stats_cols=["k"], bloom_cols=["val"],
+    )
+    V.add_table_constraint(spark, p, "k_pos", "k > 0")
+    V.tag_version(p, "rel")
+    d = V.table_detail(p)
+    assert d["version"] == 2 and d["count"] == 2
+    assert d["num_files"] >= 1 and d["size_bytes"] > 0
+    assert d["partition_by"] == "ds" and d["stats_cols"] == ["k"]
+    assert d["bloom_cols"] == ["val"]
+    assert d["constraints"] == {"k_pos": "k > 0"}
+    assert d["tags"] == {"rel": 2}
+    capsys.readouterr()
+    dst = str(tmp_path / "c")
+    assert main(["table", p, "--detail", "--clone", dst,
+                 "--clone-version", "1"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["detail"]["version"] == 2
+    assert rep["cloned_version"] == 1
+    assert V.table_detail(dst)["constraints"] == {}  # v1 pre-constraint
