@@ -290,9 +290,11 @@ class _TableStreamReader(DataSourceStreamReader):
 # through the Delta txnAppId/txnVersion ledger: the sink requires a
 # ``txnAppId`` option and commits each epoch with txnVersion=batchId,
 # so a replayed epoch is skipped (its staged files unlinked), never
-# double-appended.  Appends require an unpartitioned table (directory
-# layout must stay uniform; partitioned maintenance is
-# run_versioned_upsert_stream's job).
+# double-appended.  Partitioned tables: each writer task groups its
+# rows by partition value, stages one parquet per value WITHOUT the
+# partition column (it lives in the directory, as Spark writes it),
+# and names the target directory via versions._hive_part_segment —
+# Spark-escaping parity pinned against Spark-written directories.
 
 
 _SPARK_TO_PA = {
@@ -329,35 +331,78 @@ def _pa_schema_of(schema):
 
 
 class _Staged(WriterCommitMessage):
-    def __init__(self, path: str | None, count: int) -> None:
-        self.path, self.count = path, count
+    def __init__(self, entries: list[tuple[str, str | None]],
+                 count: int) -> None:
+        self.entries, self.count = entries, count
 
 
-def _stage_rows(table: str, schema, iterator) -> _Staged:
+def _resolve_partition_by(table: str) -> str | None:
+    from etl_rust_spark.versions import _load_manifest, latest_version
+
+    head = latest_version(table)
+    if head is None:
+        return None
+    return _load_manifest(table, head).get("partition_by") or None
+
+
+def _stage_rows(
+    table: str, schema, iterator, partition_by: str | None
+) -> _Staged:
     import uuid as _uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pa_schema = _pa_schema_of(schema)
+    from etl_rust_spark.versions import _hive_part_segment
+
     names = [f.name for f in schema.fields]
-    cols: list[list] = [[] for _ in names]
-    n = 0
+    p_idx = None
+    if partition_by is not None:
+        if partition_by not in names:
+            raise ValueError(
+                f"DataFrame is missing the table's partition column "
+                f"{partition_by!r}"
+            )
+        p_idx = names.index(partition_by)
+    payload_fields = [f for f in schema.fields if f.name != partition_by]
+    pa_schema = _pa_schema_of(type(schema)(payload_fields))
+    # one column-list set per partition value (None key = unpartitioned)
+    groups: dict[object, list[list]] = {}
+    counts: dict[object, int] = {}
     for row in iterator:
+        key = row[p_idx] if p_idx is not None else None
+        cols = groups.get(key)
+        if cols is None:
+            cols = groups[key] = [[] for _ in payload_fields]
+            counts[key] = 0
+        j = 0
         for i in range(len(names)):
-            cols[i].append(row[i])
-        n += 1
-    if not n:
-        return _Staged(None, 0)
-    arrays = [
-        pa.array(cols[i], type=pa_schema.field(i).type)
-        for i in range(len(names))
-    ]
+            if i == p_idx:
+                continue
+            cols[j].append(row[i])
+            j += 1
+        counts[key] += 1
+    if not groups:
+        return _Staged([], 0)
     stage = Path(table) / f"_stage-dsw-{_uuid.uuid4().hex}"
     stage.mkdir(parents=True, exist_ok=True)
-    out = stage / "part.parquet"
-    pq.write_table(pa.Table.from_arrays(arrays, schema=pa_schema), str(out))
-    return _Staged(str(out), n)
+    entries: list[tuple[str, str | None]] = []
+    for gi, (key, cols) in enumerate(groups.items()):
+        arrays = [
+            pa.array(cols[i], type=pa_schema.field(i).type)
+            for i in range(len(payload_fields))
+        ]
+        out = stage / f"part-{gi}.parquet"
+        pq.write_table(
+            pa.Table.from_arrays(arrays, schema=pa_schema), str(out)
+        )
+        seg = (
+            _hive_part_segment(partition_by, key)
+            if p_idx is not None
+            else None
+        )
+        entries.append((str(out), seg))
+    return _Staged(entries, sum(counts.values()))
 
 
 def _fold_staged(opts: _Opts, messages, txn_app, txn_version, overwrite):
@@ -368,7 +413,7 @@ def _fold_staged(opts: _Opts, messages, txn_app, txn_version, overwrite):
     from etl_rust_spark.versions import commit_appended_files
 
     spark = SparkSession.getActiveSession()
-    staged = [m.path for m in messages if m and m.path]
+    staged = [e for m in messages if m for e in m.entries]
     count = sum(m.count for m in messages if m)
     try:
         commit_appended_files(
@@ -377,28 +422,33 @@ def _fold_staged(opts: _Opts, messages, txn_app, txn_version, overwrite):
         )
     finally:
         for m in messages:
-            if m and m.path:
-                shutil.rmtree(Path(m.path).parent, ignore_errors=True)
+            if m and m.entries:
+                shutil.rmtree(
+                    Path(m.entries[0][0]).parent, ignore_errors=True
+                )
 
 
 def _drop_staged(messages) -> None:
     import shutil
 
     for m in messages:
-        if m and getattr(m, "path", None):
-            shutil.rmtree(Path(m.path).parent, ignore_errors=True)
+        if m and getattr(m, "entries", None):
+            shutil.rmtree(Path(m.entries[0][0]).parent, ignore_errors=True)
 
 
 class _TableBatchWriter(DataSourceWriter):
     def __init__(self, opts: _Opts, schema, overwrite: bool) -> None:
         self.opts, self.schema_, self.overwrite = opts, schema, overwrite
+        self.partition_by = _resolve_partition_by(opts.table)
         self.txn_app = opts.txn_app
         self.txn_version = opts.txn_version
         if (self.txn_app is None) != (self.txn_version is None):
             raise ValueError("txnAppId and txnVersion come as a pair")
 
     def write(self, iterator):
-        return _stage_rows(self.opts.table, self.schema_, iterator)
+        return _stage_rows(
+            self.opts.table, self.schema_, iterator, self.partition_by
+        )
 
     def commit(self, messages) -> None:
         _fold_staged(
@@ -414,6 +464,7 @@ class _TableBatchWriter(DataSourceWriter):
 class _TableStreamWriter(DataSourceStreamWriter):
     def __init__(self, opts: _Opts, schema) -> None:
         self.opts, self.schema_ = opts, schema
+        self.partition_by = _resolve_partition_by(opts.table)
         if not opts.txn_app:
             raise ValueError(
                 "the versioned_table streaming sink requires a txnAppId "
@@ -422,7 +473,9 @@ class _TableStreamWriter(DataSourceStreamWriter):
             )
 
     def write(self, iterator):
-        return _stage_rows(self.opts.table, self.schema_, iterator)
+        return _stage_rows(
+            self.opts.table, self.schema_, iterator, self.partition_by
+        )
 
     def commit(self, messages, batchId) -> None:
         _fold_staged(self.opts, messages, self.opts.txn_app,

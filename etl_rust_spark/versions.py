@@ -770,6 +770,52 @@ def _new_file_meta_local(
     return meta
 
 
+_HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _hive_escape(value: str) -> str:
+    """Spark's ExternalCatalogUtils.escapePathName: control chars and
+    the Hive-special set become %XX (uppercase hex); everything else —
+    including non-ASCII — passes through.  Derived from the escaped
+    set probed empirically against Spark 4.1's partitioned writer
+    (parity pinned in tests against Spark-written directories)."""
+    return "".join(
+        f"%{ord(ch):02X}" if ord(ch) < 32 or ch in _HIVE_ESCAPE_CHARS
+        else ch
+        for ch in value
+    )
+
+
+def _hive_part_segment(col: str, val) -> str:
+    """Render + escape a partition directory segment exactly as Spark
+    would, so sink-staged files land in the SAME directory as
+    Spark-staged ones.  Value types whose Python rendering diverges
+    from Spark's cast-to-string (float, timestamp) are rejected loudly
+    — the bloom-probe discipline; route those through
+    upsert_table_version, where Spark itself stages the directories."""
+    import datetime as _dt
+
+    if val is None:
+        raise ValueError(
+            "NULL partition values cannot be appended (Spark routes "
+            "them to __HIVE_DEFAULT_PARTITION__ and isin() cannot "
+            "match them) — route through a full snapshot"
+        )
+    if isinstance(val, bool):
+        s = "true" if val else "false"
+    elif isinstance(val, (str, int)):
+        s = str(val)
+    elif isinstance(val, _dt.date) and not isinstance(val, _dt.datetime):
+        s = val.isoformat()
+    else:
+        raise ValueError(
+            f"partition value {val!r} ({type(val).__name__}) has no "
+            "append-safe directory rendering — use str/int/bool/date "
+            "partition columns or route through upsert_table_version"
+        )
+    return f"{_hive_escape(col)}={_hive_escape(s)}"
+
+
 def _arrow_canon(t) -> str:
     """Canonical form for footer-schema compatibility checks: large/
     small string+binary unify (writer-dependent, read-identical), list
@@ -888,9 +934,13 @@ def _check_append_schema(
             ref = _footer_canon(str(Path(path) / "data" / files[0]))
             src = f"table head file {files[0]!r}"
         elif m.get("schema"):
+            pb = m.get("partition_by") or None
             ref = {
                 f["name"]: _spark_json_canon(f["type"])
                 for f in m["schema"]["fields"]
+                # the partition column lives in the directory, never
+                # in the staged payload
+                if f["name"] != pb
             }
             src = "the empty head's recorded schema"
     for f in staged:
@@ -930,47 +980,71 @@ def commit_appended_files(
     exactly-once: the manifest carries a per-appId high-water ledger,
     and a commit whose ``txn_version`` is not newer is SKIPPED (staged
     files unlinked, returns None) — how a replayed streaming epoch
-    lands exactly once.  Appends require an UNPARTITIONED table (a
-    directory-partitioned table's layout must stay uniform; route
-    partitioned maintenance through upsert_table_version /
-    run_versioned_upsert_stream).  CHECK constraints are validated over
-    the staged files before anything folds in."""
+    lands exactly once.
+
+    PARTITIONED tables: each staged entry is ``(src_path, segment)``
+    where segment is the Hive directory name from
+    :func:`_hive_part_segment` (Spark-escaping parity pinned) and the
+    staged parquet must NOT contain the partition column (it lives in
+    the directory, as Spark writes it).  Unpartitioned entries are
+    plain path strings.  Creating a NEW table through the sink is
+    unpartitioned-only — seed partitioned tables with
+    write_table_version first.  CHECK constraints are validated over
+    the staged files before anything folds in (a constraint that
+    references the partition column cannot be evaluated on the staged
+    payload and fails loudly — route such tables through upsert)."""
     head = latest_version(path)
     m = _load_manifest(path, head) if head is not None else {}
+    entries: list[tuple[str, str | None]] = [
+        e if isinstance(e, tuple) else (e, None) for e in staged
+    ]
+    paths = [e[0] for e in entries]
     if txn_app is not None and txn_version is not None:
         applied = (m.get("txn") or {}).get(txn_app)
         if applied is not None and int(txn_version) <= int(applied):
-            for f in staged:
+            for f in paths:
                 Path(f).unlink(missing_ok=True)
             return None  # replayed epoch: already committed
-    if head is not None and (m.get("partition_by") or None) is not None \
-            and not overwrite:
+    pb = m.get("partition_by") or None
+    if head is not None and pb is not None:
+        missing = [p for p, seg in entries
+                   if not (seg or "").startswith(f"{_hive_escape(pb)}=")]
+        if missing:
+            raise ValueError(
+                f"table {path} is partitioned by {pb!r} — every staged "
+                "entry must carry its partition directory segment "
+                "(the versioned_table sink derives it per row group; "
+                f"bare entries: {missing})"
+            )
+    elif any(seg for _, seg in entries):
         raise ValueError(
-            f"table {path} is partitioned by {m['partition_by']!r} — "
-            "the versioned_table sink appends unpartitioned files only; "
-            "use upsert_table_version / run_versioned_upsert_stream"
+            f"staged entries carry partition segments but {path} is "
+            "not a partitioned table"
         )
-    if not staged and not overwrite:
+    if not entries and not overwrite:
         return head  # empty append: no empty commits (delete's rule)
-    _check_append_schema(path, m, staged, overwrite)
-    if head is not None and m.get("constraints") and staged:
+    _check_append_schema(path, m, paths, overwrite)
+    if head is not None and m.get("constraints") and paths:
         # the sink's commit hook runs in a Python worker WITHOUT a
         # SparkSession — validate with DuckDB there, Spark when we have
         # one; both fail closed
         if spark is not None:
             _validate_constraints(
-                spark.read.parquet(*staged), m["constraints"],
+                spark.read.parquet(*paths), m["constraints"],
                 f"append to {path}",
             )
         else:
             _validate_constraints_duckdb(
-                staged, m["constraints"], f"append to {path}"
+                paths, m["constraints"], f"append to {path}"
             )
     data = Path(path) / "data"
     data.mkdir(parents=True, exist_ok=True)
     new_files: list[str] = []
-    for f in staged:
+    for f, seg in entries:
         rel = f"{uuid.uuid4().hex}-{Path(f).name}"
+        if seg:
+            (data / seg).mkdir(parents=True, exist_ok=True)
+            rel = f"{seg}/{rel}"
         os.replace(f, data / rel)
         new_files.append(rel)
     stats_cols = m.get("stats_cols") or None
@@ -1000,7 +1074,7 @@ def commit_appended_files(
                 )
             )
         return _commit(
-            path, files, total, h, None, stats_cols, stats or None,
+            path, files, total, h, pb, stats_cols, stats or None,
             bloom_conf=bloom_conf,
             op="overwrite" if overwrite else "append",
             deletes=deletes,

@@ -186,10 +186,12 @@ def test_sink_enforces_constraints_and_partitioned_guard(
             .write.format("versioned_table").option("path", p).mode("append").save()
     assert V.latest_version(p) == 2  # nothing committed
     assert not list(Path(p).glob("_stage-dsw-*"))  # staging cleaned
-    # appends to a partitioned table are rejected with the remediation
+    # constraints referencing the partition column fail LOUDLY on the
+    # partitioned append path (the staged payload cannot carry it)
     p2 = str(tmp_path / "part")
     V.write_table_version(_df(spark, [(1, 1, "a")]), p2, "ds")
-    with pytest.raises(Exception, match="unpartitioned|upsert"):
+    V.add_table_constraint(spark, p2, "ds_pos", "ds > 0")
+    with pytest.raises(Exception, match="ds_pos|could not be evaluated"):
         spark.createDataFrame([(2, 2, "b")], ["k", "ds", "val"]) \
             .write.format("versioned_table").option("path", p2).mode("append").save()
 
@@ -502,3 +504,92 @@ def test_stream_max_versions_per_trigger_paces_backlog(
     with pytest.raises(Exception, match="maxVersionsPerTrigger"):
         (spark.readStream.format("versioned_table")
          .option("path", p).option("maxVersionsPerTrigger", "-2").load())
+
+
+def test_sink_partitioned_append_hive_escaping_parity(
+    _registered, tmp_path
+):
+    """Partitioned appends: each writer task groups rows by partition
+    value and stages one payload parquet per value WITHOUT the
+    partition column; the directory segment's Hive escaping must land
+    in the SAME directory Spark's own writer uses (tricky values
+    pinned), reads/stats/clean-file carry all compose."""
+    spark = _registered
+    p = str(tmp_path / "t")
+    tricky = ["a:b", "x%y", "d#e", "q=r", "s*t", "plain", "spa ce", "中文"]
+    V.write_table_version(
+        spark.createDataFrame(
+            [(i, v, "seed") for i, v in enumerate(tricky)],
+            ["k", "ds", "val"],
+        ),
+        p, "ds", stats_cols=["k"],
+    )
+    m1 = V._load_manifest(p, 1)
+    spark_dirs = {f.rsplit("/", 1)[0] for f in m1["files"]}
+    # append one row into EVERY existing partition value + a new one
+    spark.createDataFrame(
+        [(100 + i, v, "app") for i, v in enumerate(tricky)]
+        + [(999, "new:part", "app")],
+        ["k", "ds", "val"],
+    ).write.format("versioned_table").option("path", p).mode("append").save()
+    m2 = V._load_manifest(p, 2)
+    sink_dirs = {f.rsplit("/", 1)[0] for f in m2["files"]} - {
+        f.rsplit("/", 1)[0] for f in m1["files"]
+    }
+    # escaping parity: appended files reuse Spark's directory names
+    # (only the brand-new partition value adds a directory)
+    new_dirs = {d for d in sink_dirs if d not in spark_dirs}
+    assert len(new_dirs) == 1 and next(iter(new_dirs)).startswith("ds=new")
+    got = {(r.k, r.ds, r.val)
+           for r in V.read_table_version(spark, p).collect()}
+    assert got == (
+        {(i, v, "seed") for i, v in enumerate(tricky)}
+        | {(100 + i, v, "app") for i, v in enumerate(tricky)}
+        | {(999, "new:part", "app")}
+    )
+    # the clean seed files carried verbatim (append never rewrites)
+    assert set(m1["files"]) <= set(m2["files"])
+    assert m2["count"] == len(tricky) * 2 + 1
+    # the DataSource batch reader surfaces the partition values too
+    rd = spark.read.format("versioned_table").option("path", p).load()
+    assert {r.ds for r in rd.collect()} == set(tricky) | {"new:part"}
+    # NULL partition value rejected loudly
+    with pytest.raises(Exception, match="NULL partition"):
+        spark.createDataFrame([(1, None, "x")], "k long, ds string, val string") \
+            .write.format("versioned_table").option("path", p).mode("append").save()
+    # float partition values have no append-safe rendering
+    p3 = str(tmp_path / "f")
+    V.write_table_version(
+        spark.createDataFrame([(1, 1.5, "a")], "k long, ds double, val string"),
+        p3, "ds",
+    )
+    with pytest.raises(Exception, match="append-safe"):
+        spark.createDataFrame([(2, 2.5, "b")], "k long, ds double, val string") \
+            .write.format("versioned_table").option("path", p3).mode("append").save()
+
+
+def test_stream_sink_partitioned_exactly_once(_registered, tmp_path):
+    """The streaming sink handles partitioned tables: epochs land one
+    file per (task, partition value), the txn ledger still dedupes
+    replays, and the table stays readable with partition pruning."""
+    spark = _registered
+    p = str(tmp_path / "t")
+    V.write_table_version(_df(spark, [(1, 1, "seed")]), p, "ds")
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    _df(spark, [(2, 1, "a"), (3, 2, "b")]).write.json(src_dir)
+    q = (
+        spark.readStream.schema("k long, ds long, val string")
+        .json(src_dir)
+        .writeStream.format("versioned_table")
+        .option("path", p)
+        .option("txnAppId", "partjob")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.k, r.val) for r in V.read_table_version(spark, p).collect()}
+    assert got == {(1, "seed"), (2, "a"), (3, "b")}
+    assert V._load_manifest(p, 2)["partition_by"] == "ds"
