@@ -189,23 +189,28 @@ def replicate_table_changes(
     between the snapshot upsert and the first cursor write re-runs the
     bootstrap idempotently.
 
-    Driver-side costs (control-plane sized, documented): one
-    ``_commit_version`` distinct per run, and each step's DELETED KEYS
-    are collected to build the delete predicate — bounded by the churn
-    of one source commit, not table size.  Backlog is paced with
+    Each step applies as ONE :func:`~etl_rust_spark.versions.
+    merge_table_version` commit (r10 s2 — previously a delete commit
+    plus an upsert commit per step, with the deleted keys COLLECTED to
+    the driver to build an OR-chain predicate, a plan-size hazard on
+    high-churn steps): the feed's ``_change_type`` drives the clauses
+    directly — ``WHEN MATCHED AND s._change_type = 'delete' THEN
+    DELETE``, ``WHEN MATCHED THEN UPDATE *``, ``WHEN NOT MATCHED AND
+    s._change_type <> 'delete' THEN INSERT`` — so a step is atomic on
+    the target, no keys ever pass through the driver, and the rewrite
+    cost rides merge's hit-file narrowing.  Driver-side costs: one
+    ``_commit_version`` distinct per run.  Backlog is paced with
     ``max_steps``; consumers lagging past the source's retention get
     :class:`CDCRetentionError` with the re-bootstrap story."""
     import os
     import uuid as _uuid
-    from functools import reduce
-    from operator import and_, or_
     from pathlib import Path
 
     from pyspark.sql import functions as F
 
     from etl_rust_spark.versions import (
-        delete_table_version,
         latest_version,
+        merge_table_version,
         read_table_version,
         upsert_table_version,
         write_table_version,
@@ -229,8 +234,6 @@ def replicate_table_changes(
         tmp.write_text(str(head))
         os.replace(tmp, cp)
 
-    meta = ["_change_type", "_commit_version"]
-
     def apply_fn(changes, up_to: int) -> None:
         # materialize the multi-version feed ONCE (it is one lazy plan;
         # per-step filters would otherwise re-run every diff per step)
@@ -240,27 +243,15 @@ def replicate_table_changes(
             for r in changes.select("_commit_version").distinct().collect()
         )
         for v in step_vs:  # commit order: a delete+reinsert must not flip
-            step = changes.filter(F.col("_commit_version") == v)
-            dels = (
-                step.filter(F.col("_change_type") == "delete")
-                .select(*keys)
-                .collect()
+            step = changes.filter(
+                F.col("_commit_version") == v
+            ).drop("_commit_version")
+            merge_table_version(
+                spark, target, step, keys,
+                when_matched_delete="s._change_type = 'delete'",
+                when_matched_update="*",
+                when_not_matched_insert="s._change_type <> 'delete'",
             )
-            if dels:
-                pred = reduce(
-                    or_,
-                    (
-                        reduce(
-                            and_,
-                            (F.col(k).eqNullSafe(F.lit(r[k])) for k in keys),
-                        )
-                        for r in dels
-                    ),
-                )
-                delete_table_version(spark, target, pred)
-            ups = step.filter(F.col("_change_type") != "delete").drop(*meta)
-            if not ups.isEmpty():
-                upsert_table_version(spark, target, ups, keys, partition_by)
 
     return sync_table_changes(
         spark, source, keys, apply_fn, cursor_path, max_steps
