@@ -113,6 +113,12 @@ class _Opts:
         if mv < 0:
             raise ValueError("maxVersionsPerTrigger must be >= 1")
         self.max_versions = mv or None
+        pom = str(options.get("partitionoverwritemode", "static")).lower()
+        if pom not in ("static", "dynamic"):
+            raise ValueError(
+                "partitionOverwriteMode must be static|dynamic"
+            )
+        self.dynamic_overwrite = pom == "dynamic"
 
 
 def _manifest(table: str, v: int) -> dict:
@@ -419,6 +425,7 @@ def _fold_staged(opts: _Opts, messages, txn_app, txn_version, overwrite):
         commit_appended_files(
             spark, opts.table, staged, count,
             txn_app=txn_app, txn_version=txn_version, overwrite=overwrite,
+            dynamic_partitions=overwrite and opts.dynamic_overwrite,
         )
     finally:
         for m in messages:

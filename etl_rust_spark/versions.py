@@ -969,6 +969,7 @@ def commit_appended_files(
     txn_app: str | None = None,
     txn_version: int | None = None,
     overwrite: bool = False,
+    dynamic_partitions: bool = False,
 ) -> int | None:
     """Fold externally staged parquet files (absolute paths, already on
     the table's filesystem) into the version chain as an APPEND (or
@@ -981,6 +982,13 @@ def commit_appended_files(
     and a commit whose ``txn_version`` is not newer is SKIPPED (staged
     files unlinked, returns None) — how a replayed streaming epoch
     lands exactly once.
+
+    ``overwrite=True`` with ``dynamic_partitions=True`` is Spark's
+    dynamic partition-overwrite: only the partitions PRESENT in the
+    staged data are replaced (their row counts come from the replaced
+    files' footers — driver-side metadata reads bounded by replaced
+    file count); every other partition's files carry verbatim, and MoR
+    sidecar scopes shrink to the carried files.
 
     PARTITIONED tables: each staged entry is ``(src_path, segment)``
     where segment is the Hive directory name from
@@ -1053,19 +1061,61 @@ def commit_appended_files(
     if txn_app is not None and txn_version is not None:
         txn = {**(m.get("txn") or {}), txn_app: int(txn_version)}
 
+    if dynamic_partitions and not overwrite:
+        raise ValueError("dynamic_partitions requires overwrite=True")
+    if dynamic_partitions and pb is None:
+        raise ValueError(
+            "dynamic partition overwrite needs a partitioned table "
+            "(static overwrite replaces unpartitioned content)"
+        )
+    replaced_dirs = {seg for _, seg in entries if seg}
+
     def once() -> int:
         h = latest_version(path)
         hm = _load_manifest(path, h) if h is not None else {}
-        if overwrite:
+        if overwrite and dynamic_partitions:
+            import pyarrow.parquet as pq
+
+            carried = [
+                f for f in (hm.get("files") or [])
+                if f.rsplit("/", 1)[0] not in replaced_dirs
+            ]
+            replaced = [
+                f for f in (hm.get("files") or []) if f not in carried
+            ]
+            masked = {
+                f
+                for d in (hm.get("deletes") or [])
+                for f in d["files"]
+            } & set(replaced)
+            if masked:
+                # footer row counts diverge from logical counts under a
+                # sidecar mask — refuse rather than mis-count
+                raise ValueError(
+                    "dynamic overwrite of partitions carrying "
+                    f"merge-on-read sidecars ({sorted(masked)[:3]}…) — "
+                    "compact_table_version first to fold the debt"
+                )
+            gone = sum(
+                pq.ParquetFile(str(data / f)).metadata.num_rows
+                for f in replaced
+            )
+            files = carried + new_files
+            total = (hm.get("count") or 0) - gone + count
+            deletes = _carry_deletes(hm.get("deletes"), carried)
+        elif overwrite:
+            carried = []
             files, total = new_files, count
             deletes = None
         else:
-            files = (hm.get("files") or []) + new_files
+            carried = hm.get("files") or []
+            files = carried + new_files
             total = (hm.get("count") or 0) + count
             deletes = hm.get("deletes")
         stats = None
         if stats_cols or bloom_conf:
-            stats = dict(hm.get("stats") or {}) if not overwrite else {}
+            old_stats = hm.get("stats") or {}
+            stats = {f: old_stats[f] for f in carried if f in old_stats}
             stats.update(
                 _new_file_meta(spark, path, new_files, stats_cols, bloom_conf)
                 if spark is not None
@@ -1076,7 +1126,11 @@ def commit_appended_files(
         return _commit(
             path, files, total, h, pb, stats_cols, stats or None,
             bloom_conf=bloom_conf,
-            op="overwrite" if overwrite else "append",
+            op=(
+                "overwrite(dynamic)"
+                if overwrite and dynamic_partitions
+                else "overwrite" if overwrite else "append"
+            ),
             deletes=deletes,
             txn=txn if txn is not None else ...,
         )

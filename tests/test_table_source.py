@@ -593,3 +593,46 @@ def test_stream_sink_partitioned_exactly_once(_registered, tmp_path):
     got = {(r.k, r.val) for r in V.read_table_version(spark, p).collect()}
     assert got == {(1, "seed"), (2, "a"), (3, "b")}
     assert V._load_manifest(p, 2)["partition_by"] == "ds"
+
+
+def test_sink_dynamic_partition_overwrite(_registered, tmp_path):
+    """partitionOverwriteMode=dynamic replaces ONLY the partitions
+    present in the written data (Spark/Delta parity): untouched
+    partitions' files carry verbatim, counts follow the replaced
+    files' footers, static overwrite still replaces everything, and a
+    MoR-masked replaced partition is refused (footer counts would
+    mis-count)."""
+    spark = _registered
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _df(spark, [(1, 1, "a"), (2, 2, "b"), (3, 3, "c")]), p, "ds"
+    )
+    m1 = V._load_manifest(p, 1)
+    spark.createDataFrame([(20, 2, "B2"), (21, 2, "B3")], ["k", "ds", "val"]) \
+        .write.format("versioned_table").option("path", p) \
+        .option("partitionOverwriteMode", "dynamic") \
+        .mode("overwrite").save()
+    m2 = V._load_manifest(p, 2)
+    assert m2["op"] == "overwrite(dynamic)"
+    got = {(r.k, r.ds, r.val)
+           for r in V.read_table_version(spark, p).collect()}
+    assert got == {(1, 1, "a"), (20, 2, "B2"), (21, 2, "B3"),
+                   (3, 3, "c")}
+    assert m2["count"] == 4
+    # ds=1 and ds=3 files carried verbatim
+    keep = {f for f in m1["files"] if not f.startswith("ds=2/")}
+    assert keep <= set(m2["files"])
+    # time travel intact
+    assert V.read_table_version(spark, p, 1).count() == 3
+    # MoR-masked partition: dynamic overwrite refused with remediation
+    V.delete_table_version(spark, p, "k = 3", mode="mor")
+    with pytest.raises(Exception, match="compact_table_version"):
+        spark.createDataFrame([(30, 3, "x")], ["k", "ds", "val"]) \
+            .write.format("versioned_table").option("path", p) \
+            .option("partitionOverwriteMode", "dynamic") \
+            .mode("overwrite").save()
+    # static overwrite of a partitioned table replaces everything
+    spark.createDataFrame([(9, 9, "z")], ["k", "ds", "val"]) \
+        .write.format("versioned_table").option("path", p) \
+        .mode("overwrite").save()
+    assert {r.k for r in V.read_table_version(spark, p).collect()} == {9}
