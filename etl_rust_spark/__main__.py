@@ -437,6 +437,13 @@ def main(argv: list[str] | None = None) -> int:
         "--drop-constraint", default=None, metavar="NAME",
     )
     pv.add_argument(
+        "--set-property", action="append", default=None, metavar="K=V",
+        help="TBLPROPERTIES: merge key=value metadata (repeatable)",
+    )
+    pv.add_argument(
+        "--unset-property", action="append", default=None, metavar="K",
+    )
+    pv.add_argument(
         "--tag", default=None, metavar="NAME[=V]",
         help="name a version (default: head) — tagged versions survive "
         "expiry; --read accepts tag names",
@@ -799,6 +806,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.drop_constraint is not None:
             out["version"] = _v.drop_table_constraint(
                 args.table, args.drop_constraint
+            )
+        if args.set_property:
+            out["version"] = _v.set_table_properties(
+                args.table,
+                dict(pair.split("=", 1) for pair in args.set_property),
+            )
+        if args.unset_property:
+            out["version"] = _v.unset_table_properties(
+                args.table, args.unset_property
             )
         if args.read is not None or args.as_of is not None:
             if not args.out:

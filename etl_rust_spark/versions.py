@@ -101,6 +101,9 @@ __all__ = [
     "table_constraints",
     "clone_table",
     "table_detail",
+    "set_table_properties",
+    "unset_table_properties",
+    "table_properties",
     "history",
     "delete_tag",
     "list_tags",
@@ -158,6 +161,16 @@ def _load_manifest(path: str, version: int) -> dict:
     walks a bounded chain.  Every consumer goes through here and only
     ever sees the full view."""
     raw = json.loads(_manifest_path(path, version).read_text())
+    fv = int(raw.get("format", 1))
+    if fv > _FORMAT_VERSION:
+        # the reader/writer protocol gate every table format needs
+        # (Delta protocol versions / Iceberg format-version): refuse
+        # loudly instead of misreading future layouts
+        raise ValueError(
+            f"version {version} of {path} was written with manifest "
+            f"format {fv}; this reader understands <= {_FORMAT_VERSION} "
+            "— upgrade the library to read this table"
+        )
     if "files" in raw:
         return raw
     chain = [raw]
@@ -412,6 +425,10 @@ class CommitConflict(Exception):
 # is milliseconds in a live process) — safe to sweep and take its slot
 _STALE_MANIFEST_SECONDS = 60.0
 
+# manifest format version stamped into every commit; _load_manifest
+# refuses manifests newer than it understands (absent key reads as 1)
+_FORMAT_VERSION = 1
+
 
 def _commit(path: str, files: list[str], count: int, parent: int | None,
             partition_by: str | None, stats_cols: list[str] | None = None,
@@ -421,7 +438,8 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
             op: str | None = None,
             deletes: list[dict] | None = None,
             constraints: dict | None | type(...) = ...,
-            txn: dict | None | type(...) = ...) -> int:
+            txn: dict | None | type(...) = ...,
+            properties: dict | None | type(...) = ...) -> int:
     """Optimistic-concurrency commit (r8, VERDICT r7 #5).
 
     ``parent`` is the head this commit's content was computed AGAINST.
@@ -479,12 +497,18 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
             # the txnAppId→txnVersion idempotence ledger (Delta parity)
             # rides the manifests the same way
             txn = phead.get("txn")
+        if properties is ...:
+            # TBLPROPERTIES ride the manifests like constraints
+            properties = phead.get("properties")
     else:
         if constraints is ...:
             constraints = None
         if txn is ...:
             txn = None
+        if properties is ...:
+            properties = None
     manifest = {
+        "format": _FORMAT_VERSION,
         "version": version,
         "parent": parent,
         "writer": writer,
@@ -515,6 +539,8 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
         manifest["constraints"] = constraints
     if txn:
         manifest["txn"] = txn
+    if properties:
+        manifest["properties"] = properties
     if op:
         manifest["op"] = op  # DESCRIBE HISTORY: what produced this version
     if parent and schema is None:
@@ -534,6 +560,7 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
                 removed = sorted(pfiles - nfiles)
                 if len(added) + len(removed) < len(nfiles):
                     manifest = {
+                        "format": _FORMAT_VERSION,
                         "version": version,
                         "parent": parent,
                         "writer": writer,
@@ -558,6 +585,8 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
                         manifest["constraints"] = constraints
                     if txn:
                         manifest["txn"] = txn
+                    if properties:
+                        manifest["properties"] = properties
                     if op:
                         manifest["op"] = op
     mp = _manifest_path(path, version)
@@ -596,6 +625,7 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
             return _commit(
                 path, files, count, parent, partition_by, stats_cols,
                 stats, schema, bloom_conf, op, deletes, constraints, txn,
+                properties,
             )
         _bump("commit_conflicts_total")
         raise CommitConflict(
@@ -1247,6 +1277,72 @@ def drop_table_constraint(path: str, name: str) -> int:
     return _retry_conflicts(once, f"drop constraint on {path}")
 
 
+def set_table_properties(path: str, props: dict[str, str]) -> int:
+    """TBLPROPERTIES (Delta/Iceberg parity): merge arbitrary string
+    key→value metadata into the table as a metadata-only commit.
+    Properties ride the manifests like constraints — inherited by
+    every commit, versioned (time travel / RESTORE see their own),
+    surfaced by :func:`table_detail`.  For operational metadata
+    (owner, retention policy, pipeline tags) — the engine never
+    interprets them."""
+    if not props:
+        raise ValueError("no properties given")
+    bad = [k for k, v in props.items()
+           if not isinstance(k, str) or not isinstance(v, str)]
+    if bad:
+        raise ValueError(f"properties must be str→str (bad keys: {bad})")
+    head = latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    m = _load_manifest(path, head)
+    merged = {**(m.get("properties") or {}), **props}
+
+    def once() -> int:
+        return _commit(
+            path, m["files"], m["count"], latest_version(path),
+            m.get("partition_by") or None, m.get("stats_cols") or None,
+            m.get("stats") or None, m.get("schema"), m.get("blooms_conf"),
+            f"set_properties({sorted(props)})", m.get("deletes"),
+            properties=merged,
+        )
+
+    return _retry_conflicts(once, f"set properties on {path}")
+
+
+def unset_table_properties(path: str, keys: list[str]) -> int:
+    """Remove TBLPROPERTIES keys; unknown keys raise (the
+    drop-constraint rule: a silent no-op hides wiring bugs)."""
+    head = latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    m = _load_manifest(path, head)
+    props = dict(m.get("properties") or {})
+    missing = [k for k in keys if k not in props]
+    if missing:
+        raise ValueError(f"no properties {missing!r} on {path}")
+    for k in keys:
+        del props[k]
+
+    def once() -> int:
+        return _commit(
+            path, m["files"], m["count"], latest_version(path),
+            m.get("partition_by") or None, m.get("stats_cols") or None,
+            m.get("stats") or None, m.get("schema"), m.get("blooms_conf"),
+            f"unset_properties({sorted(keys)})", m.get("deletes"),
+            properties=props or None,
+        )
+
+    return _retry_conflicts(once, f"unset properties on {path}")
+
+
+def table_properties(path: str) -> dict[str, str]:
+    """The head's TBLPROPERTIES ({} when none)."""
+    head = latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    return dict(_load_manifest(path, head).get("properties") or {})
+
+
 def write_table_version(
     df: DataFrame,
     path: str,
@@ -1752,6 +1848,7 @@ def clone_table(src: str, dst: str, version: int | str | None = None) -> int:
         m.get("stats") or None, m.get("schema"), m.get("blooms_conf"),
         op=f"clone({src}@{v})", deletes=m.get("deletes"),
         constraints=m.get("constraints"),
+        properties=m.get("properties"),
     )
 
 
@@ -1781,6 +1878,7 @@ def table_detail(path: str) -> dict:
         "stats_cols": m.get("stats_cols") or None,
         "bloom_cols": (m.get("blooms_conf") or {}).get("cols"),
         "constraints": m.get("constraints") or {},
+        "properties": m.get("properties") or {},
         "n_delete_sidecars": len(m.get("deletes") or []),
         "ts": m.get("ts"),
         "op": m.get("op"),

@@ -2781,3 +2781,55 @@ def test_table_detail_and_cli(spark, tmp_path, capsys):
     assert rep["detail"]["version"] == 2
     assert rep["cloned_version"] == 1
     assert V.table_detail(dst)["constraints"] == {}  # v1 pre-constraint
+
+
+def test_table_properties_lifecycle_and_format_gate(spark, tmp_path, capsys):
+    """TBLPROPERTIES ride the manifests like constraints: inherited by
+    every commit, versioned (time travel sees its own), carried by
+    clones, surfaced in DESCRIBE DETAIL; unknown unsets raise.  The
+    manifest format gate refuses future-format manifests loudly."""
+    import json as _json
+
+    from etl_rust_spark.__main__ import main
+
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a")]), p, "ds")
+    assert V.table_properties(p) == {}
+    v = V.set_table_properties(p, {"owner": "pipeline-a", "tier": "gold"})
+    assert v == 2
+    # inherited through a data commit
+    V.upsert_table_version(spark, p, _t(spark, [(2, 2, "b")]),
+                           keys=["k"], partition_by="ds")
+    assert V.table_properties(p) == {"owner": "pipeline-a", "tier": "gold"}
+    # merge semantics + versioned history
+    V.set_table_properties(p, {"tier": "silver"})
+    assert V.table_properties(p)["tier"] == "silver"
+    assert V._load_manifest(p, 3).get("properties")["tier"] == "gold"
+    V.unset_table_properties(p, ["owner"])
+    assert V.table_properties(p) == {"tier": "silver"}
+    with pytest.raises(ValueError, match="no properties"):
+        V.unset_table_properties(p, ["nope"])
+    with pytest.raises(ValueError, match="str"):
+        V.set_table_properties(p, {"n": 3})
+    # clone carries properties; detail surfaces them
+    dst = str(tmp_path / "c")
+    V.clone_table(p, dst)
+    assert V.table_detail(dst)["properties"] == {"tier": "silver"}
+    # CLI verbs
+    capsys.readouterr()
+    assert main(["table", p, "--set-property", "a=1",
+                 "--set-property", "b=2"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["version"] == V.latest_version(p)
+    assert V.table_properties(p)["a"] == "1"
+    assert main(["table", p, "--unset-property", "a"]) == 0
+    assert "a" not in V.table_properties(p)
+    # format gate: a manifest stamped with a future format refuses
+    head = V.latest_version(p)
+    mp = Path(p) / "_manifests" / f"m{head:08d}.json"
+    raw = _json.loads(mp.read_text())
+    assert raw["format"] == 1  # stamped on every commit now
+    raw["format"] = 99
+    mp.write_text(_json.dumps(raw))
+    with pytest.raises(ValueError, match="format 99.*upgrade"):
+        V.read_table_version(spark, p)
