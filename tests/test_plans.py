@@ -400,3 +400,36 @@ def test_mor_read_anti_join_broadcasts_delete_side(spark, tmp_path):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:800]
     assert "SortMergeJoin" not in plan  # the data side must not shuffle
     assert df.filter("k = 7").count() == 0
+
+
+def test_merge_insert_anti_join_prunes_to_key_columns(spark, tmp_path):
+    """MERGE's not-matched insert anti-join reads only the KEY columns
+    of the head (ReadSchema pruned) — the key-membership scan is the
+    one whole-table touch a merge pays, and it must never drag payload
+    columns through it.  The find-the-files probe side is covered by
+    the delete-probe test (same shared shape)."""
+    import re
+
+    from pathlib import Path
+
+    from etl_rust_spark import versions as V
+
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        spark.range(0, 1000).selectExpr(
+            "id AS k", "'payload' AS val", "uuid() AS extra"
+        ),
+        p,
+    )
+    m = V._load_manifest(p, 1)
+    data = str(Path(p) / "data")
+    existing = V._plan_with_deletes(spark, data, m["files"], None)
+    src = spark.createDataFrame(
+        [(5000, "n", "n")], ["k", "val", "extra"]
+    )
+    anti = src.join(existing.select("k"), ["k"], "left_anti")
+    plan = anti._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"ReadSchema: struct<k:bigint>", plan), (
+        "insert anti-join reads more than the key columns: "
+        + plan[:600]
+    )
