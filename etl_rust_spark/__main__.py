@@ -437,6 +437,12 @@ def main(argv: list[str] | None = None) -> int:
         "--drop-constraint", default=None, metavar="NAME",
     )
     pv.add_argument(
+        "--rename-column", action="append", default=None,
+        metavar="OLD=NEW",
+        help="METADATA-ONLY rename (column mapping): zero data files "
+        "rewritten; repeat for multiple columns (simultaneous)",
+    )
+    pv.add_argument(
         "--set-property", action="append", default=None, metavar="K=V",
         help="TBLPROPERTIES: merge key=value metadata (repeatable)",
     )
@@ -806,6 +812,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.drop_constraint is not None:
             out["version"] = _v.drop_table_constraint(
                 args.table, args.drop_constraint
+            )
+        if args.rename_column:
+            out["version"] = _v.rename_columns(
+                spark, args.table,
+                dict(pair.split("=", 1) for pair in args.rename_column),
             )
         if args.set_property:
             out["version"] = _v.set_table_properties(

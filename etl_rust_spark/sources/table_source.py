@@ -127,6 +127,20 @@ def _manifest(table: str, v: int) -> dict:
     return _load_manifest(table, v)
 
 
+def _reject_mapped(m: dict, what: str) -> None:
+    """The jar-free DataSource does not implement column mapping
+    (metadata renames stamp manifest format 2 precisely so readers
+    without the feature refuse instead of surfacing PHYSICAL names as
+    if they were the table's columns)."""
+    if m.get("column_map"):
+        raise ValueError(
+            f"{what}: this table carries a column_map (metadata-only "
+            "renames) — the versioned_table DataSource does not "
+            "support mapped tables; read via versions.read_table_version "
+            "and write via upsert_table_version"
+        )
+
+
 def _part_of(table: str, rel: str) -> tuple[str | None, str | None]:
     """Hive directory segment of a data-relative path → (col, value);
     value None for __HIVE_DEFAULT_PARTITION__."""
@@ -176,6 +190,7 @@ class _TableBatchReader(DataSourceReader):
         else:
             v = int(self.opts.version)
         m = _manifest(t, v)
+        _reject_mapped(m, f"batch read of {t}@{v}")
         if m.get("deletes"):
             raise ValueError(
                 f"version {v} of {t} carries merge-on-read delete "
@@ -248,6 +263,7 @@ class _TableStreamReader(DataSourceStreamReader):
         out: list[_FileSlice] = []
         for v in range(lo + 1, hi + 1):
             m = _manifest(t, v)
+            _reject_mapped(m, f"stream read of {t}@{v}")
             parent = m.get("parent")
             pfiles: set[str] = set()
             pdeletes: list = []
@@ -348,7 +364,9 @@ def _resolve_partition_by(table: str) -> str | None:
     head = latest_version(table)
     if head is None:
         return None
-    return _load_manifest(table, head).get("partition_by") or None
+    m = _load_manifest(table, head)
+    _reject_mapped(m, f"sink write to {table}")
+    return m.get("partition_by") or None
 
 
 def _stage_rows(
@@ -511,6 +529,7 @@ class VersionedTableDataSource(DataSource):
                 f"no committed versions under {opts.table}"
             )
         m = _manifest(opts.table, head)
+        _reject_mapped(m, f"schema of {opts.table}")
         if not m["files"]:
             raise ValueError(
                 f"version {head} of {opts.table} is empty — pass an "

@@ -84,6 +84,7 @@ __all__ = [
     "list_versions",
     "latest_version",
     "alter_table_version",
+    "rename_columns",
     "delete_table_version",
     "update_table_version",
     "merge_table_version",
@@ -425,9 +426,12 @@ class CommitConflict(Exception):
 # is milliseconds in a live process) — safe to sweep and take its slot
 _STALE_MANIFEST_SECONDS = 60.0
 
-# manifest format version stamped into every commit; _load_manifest
-# refuses manifests newer than it understands (absent key reads as 1)
-_FORMAT_VERSION = 1
+# manifest format version; _load_manifest refuses manifests newer
+# than it understands (absent key reads as 1).  Format 2 = the
+# manifest may carry a column_map (metadata-only renames): commits
+# stamp 2 only when a map is present, so format-1 readers refuse
+# exactly the tables they would misread and nothing else
+_FORMAT_VERSION = 2
 
 
 def _commit(path: str, files: list[str], count: int, parent: int | None,
@@ -439,7 +443,8 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
             deletes: list[dict] | None = None,
             constraints: dict | None | type(...) = ...,
             txn: dict | None | type(...) = ...,
-            properties: dict | None | type(...) = ...) -> int:
+            properties: dict | None | type(...) = ...,
+            column_map: dict | None | type(...) = ...) -> int:
     """Optimistic-concurrency commit (r8, VERDICT r7 #5).
 
     ``parent`` is the head this commit's content was computed AGAINST.
@@ -500,6 +505,11 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
         if properties is ...:
             # TBLPROPERTIES ride the manifests like constraints
             properties = phead.get("properties")
+        if column_map is ...:
+            # logical→physical column mapping: inherited by partial
+            # ops (which stage PHYSICAL); full re-snapshot ops pass
+            # None explicitly — they re-baseline physical = logical
+            column_map = phead.get("column_map")
     else:
         if constraints is ...:
             constraints = None
@@ -507,8 +517,13 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
             txn = None
         if properties is ...:
             properties = None
+        if column_map is ...:
+            column_map = None
     manifest = {
-        "format": _FORMAT_VERSION,
+        # stamp the MINIMUM format this manifest requires (readers
+        # compare against the max they understand); a column_map below
+        # raises it to 2
+        "format": 1,
         "version": version,
         "parent": parent,
         "writer": writer,
@@ -541,6 +556,9 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
         manifest["txn"] = txn
     if properties:
         manifest["properties"] = properties
+    if column_map:
+        manifest["column_map"] = column_map
+        manifest["format"] = 2  # format-1 readers must refuse, not misread
     if op:
         manifest["op"] = op  # DESCRIBE HISTORY: what produced this version
     if parent and schema is None:
@@ -560,7 +578,7 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
                 removed = sorted(pfiles - nfiles)
                 if len(added) + len(removed) < len(nfiles):
                     manifest = {
-                        "format": _FORMAT_VERSION,
+                        "format": 1,
                         "version": version,
                         "parent": parent,
                         "writer": writer,
@@ -587,6 +605,9 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
                         manifest["txn"] = txn
                     if properties:
                         manifest["properties"] = properties
+                    if column_map:
+                        manifest["column_map"] = column_map
+                        manifest["format"] = 2
                     if op:
                         manifest["op"] = op
     mp = _manifest_path(path, version)
@@ -625,7 +646,7 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
             return _commit(
                 path, files, count, parent, partition_by, stats_cols,
                 stats, schema, bloom_conf, op, deletes, constraints, txn,
-                properties,
+                properties, column_map,
             )
         _bump("commit_conflicts_total")
         raise CommitConflict(
@@ -798,6 +819,49 @@ def _new_file_meta_local(
                     ).decode("ascii"),
                 }
     return meta
+
+
+def _column_map(m: dict) -> dict[str, str]:
+    """The manifest's ``column_map`` — {logical: physical}, identity
+    entries omitted (r10 s2, metadata-only renames / Delta
+    column-mapping 'name' mode).  THE INVARIANT: everything under
+    ``data/`` is PHYSICAL — file column names, stats/bloom keys,
+    partition directory names, MoR sidecar fingerprints (whose column
+    ORDER sorts by name, so they must never see a rename) — and the
+    map applies only at the API boundary: read results surface logical
+    names, user predicates/expressions arrive in logical names and are
+    evaluated over an aliased projection (filter pushdown survives an
+    alias, so file skipping is unaffected)."""
+    return dict(m.get("column_map") or {})
+
+
+def _phys_col(m: dict, name: str) -> str:
+    return _column_map(m).get(name, name)
+
+
+def _logical_pb(m: dict) -> str | None:
+    """The partition column's LOGICAL name (manifests store the
+    physical one — it names real directories)."""
+    pb = m.get("partition_by") or None
+    if pb is None:
+        return None
+    inv = {p: l for l, p in _column_map(m).items()}
+    return inv.get(pb, pb)
+
+
+def _to_logical(df: DataFrame, m: dict) -> DataFrame:
+    cm = _column_map(m)
+    if not cm:
+        return df
+    inv = {p: l for l, p in cm.items()}
+    return df.select(*[F.col(c).alias(inv.get(c, c)) for c in df.columns])
+
+
+def _to_physical(df: DataFrame, m: dict) -> DataFrame:
+    cm = _column_map(m)
+    if not cm:
+        return df
+    return df.select(*[F.col(c).alias(cm.get(c, c)) for c in df.columns])
 
 
 _HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
@@ -1043,6 +1107,12 @@ def commit_appended_files(
             for f in paths:
                 Path(f).unlink(missing_ok=True)
             return None  # replayed epoch: already committed
+    if m.get("column_map"):
+        raise ValueError(
+            f"{path} is column-mapped (metadata renames) — the jar-free "
+            "sink does not stage mapped tables; write via "
+            "upsert_table_version / write_table_version"
+        )
     pb = m.get("partition_by") or None
     if head is not None and pb is not None:
         missing = [p for p, seg in entries
@@ -1389,6 +1459,7 @@ def write_table_version(
         lambda: _commit(
             path, files, n, latest_version(path), partition_by,
             stats_cols, stats, bloom_conf=bloom_conf, op="snapshot",
+            column_map=None,  # full snapshot: physical = logical again
         ),
         f"snapshot of {path}",
     )
@@ -1601,12 +1672,18 @@ def read_table_version(
             # row): the manifest carries the schema no file can
             from pyspark.sql.types import StructType
 
-            return spark.createDataFrame(
-                [], StructType.fromJson(m["schema"])
+            return _to_logical(
+                spark.createDataFrame([], StructType.fromJson(m["schema"])),
+                m,
             )
         raise ValueError(f"version {v} of {path} is empty")
+    # prune/point arrive in LOGICAL names; stats/bloom keys are
+    # PHYSICAL (recorded at file-write time, rename-stable)
+    if prune:
+        prune = [(_phys_col(m, c), lo, hi) for c, lo, hi in prune]
     if point:
-        point = [(c, _point_probe_str(c, val)) for c, val in point]
+        point = [(_phys_col(m, c), _point_probe_str(c, val))
+                 for c, val in point]
     if prune or point:
         stats = m.get("stats") or {}
 
@@ -1634,15 +1711,19 @@ def read_table_version(
         # schema — evolution commits full snapshots).  No recursion:
         # recursing on the same version with prune dropped used to
         # RecursionError on empty manifests (ADVICE r7).
-        return (
+        return _to_logical(
             spark.read.option("basePath", data)
             .parquet(f"{data}/{m['files'][0]}")
-            .limit(0)
+            .limit(0),
+            m,
         )
     # MoR sidecars (if any) anti-join here — the read tax a mode="mor"
     # delete trades for not rewriting data files; plain tables take the
-    # zero-cost branch inside
-    return _plan_with_deletes(spark, data, files, m.get("deletes"))
+    # zero-cost branch inside.  The column map applies LAST: sidecar
+    # fingerprints and partition columns are physical underneath
+    return _to_logical(
+        _plan_with_deletes(spark, data, files, m.get("deletes")), m
+    )
 
 
 def upsert_table_version(
@@ -1702,20 +1783,24 @@ def _upsert_table_version_once(
         delta, m.get("constraints"), f"upsert into {path}"
     )
     if stats_cols is None:
-        stats_cols = m.get("stats_cols") or None
+        stats_cols = m.get("stats_cols") or None  # physical already
+    else:
+        stats_cols = [_phys_col(m, c) for c in stats_cols]
     bloom_conf = m.get("blooms_conf")
-    if (m.get("partition_by") or None) != (partition_by or None):
+    if _logical_pb(m) != (partition_by or None):
         raise ValueError(
-            f"table is partitioned by {m.get('partition_by')!r}, "
+            f"table is partitioned by {_logical_pb(m)!r}, "
             f"upsert requested {partition_by!r}"
         )
+    phys_pb = m.get("partition_by") or None
     if not m["files"]:
         # the table was fully emptied (delete_table_version of every
-        # row): re-seed with a full snapshot on the SAME version chain
+        # row): re-seed with a full snapshot on the SAME version chain.
+        # Staged files are PHYSICAL like everything under data/
         n = delta.count()
-        files = _stage_files(delta, path, partition_by)
+        files = _stage_files(_to_physical(delta, m), path, phys_pb)
         stats = _new_file_meta(spark, path, files, stats_cols, bloom_conf) or None
-        return _commit(path, files, n, head, partition_by, stats_cols,
+        return _commit(path, files, n, head, phys_pb, stats_cols,
                        stats, bloom_conf=bloom_conf, op="upsert")
     existing = read_table_version(spark, path, head)
     dropped = set(existing.columns) - set(delta.columns)
@@ -1731,16 +1816,27 @@ def _upsert_table_version_once(
         # old files with the old schema byte-identically, which is the
         # version-log answer to the mixed-schema-directory problem that
         # forces catalog.upsert_table's whole-table rewrite anyway.
+        # re-baselined files are staged with LOGICAL names — map the
+        # manifest's physical stats/bloom columns back to logical
+        inv = {p: l for l, p in _column_map(m).items()}
+        stats_cols = [inv.get(c, c) for c in stats_cols or []] or None
+        if bloom_conf:
+            bloom_conf = {
+                **bloom_conf,
+                "cols": [inv.get(c, c) for c in bloom_conf["cols"]],
+            }
         widened = existing.unionByName(delta.limit(0), allowMissingColumns=True)
         merged = widened.join(
             delta.select(*keys), keys, "left_anti"
         ).unionByName(delta)
         n = merged.count()
+        # a full re-snapshot staged from the LOGICAL frame re-baselines
+        # any column mapping: physical = logical again
         files = _stage_files(merged, path, partition_by)
         stats = _new_file_meta(spark, path, files, stats_cols, bloom_conf) or None
         return _commit(
             path, files, n, head, partition_by, stats_cols, stats,
-            bloom_conf=bloom_conf, op="upsert-evolve",
+            bloom_conf=bloom_conf, op="upsert-evolve", column_map=None,
         )
     if partition_by:
         dirty = [
@@ -1761,7 +1857,7 @@ def _upsert_table_version_once(
         delta.select(*keys), keys, "left_anti"
     ).unionByName(delta)
     n_new = merged.count()
-    new_files = _stage_files(merged, path, partition_by)
+    new_files = _stage_files(_to_physical(merged, m), path, phys_pb)
     if partition_by:
         # Files of CLEAN partitions carry over untouched.  Dirty
         # DIRECTORY names are taken from the files Spark itself just
@@ -1789,7 +1885,7 @@ def _upsert_table_version_once(
         stats = {f: old_stats[f] for f in carried if f in old_stats}
         stats.update(_new_file_meta(spark, path, new_files, stats_cols, bloom_conf))
     return _commit(
-        path, carried + new_files, total, head, partition_by,
+        path, carried + new_files, total, head, phys_pb,
         stats_cols, stats, bloom_conf=bloom_conf, op="upsert",
         deletes=_carry_deletes(m.get("deletes"), carried),
     )
@@ -1849,6 +1945,7 @@ def clone_table(src: str, dst: str, version: int | str | None = None) -> int:
         op=f"clone({src}@{v})", deletes=m.get("deletes"),
         constraints=m.get("constraints"),
         properties=m.get("properties"),
+        column_map=m.get("column_map"),
     )
 
 
@@ -1879,6 +1976,7 @@ def table_detail(path: str) -> dict:
         "bloom_cols": (m.get("blooms_conf") or {}).get("cols"),
         "constraints": m.get("constraints") or {},
         "properties": m.get("properties") or {},
+        "column_map": m.get("column_map") or {},
         "n_delete_sidecars": len(m.get("deletes") or []),
         "ts": m.get("ts"),
         "op": m.get("op"),
@@ -1912,7 +2010,7 @@ def restore_table_version(path: str, version: int | str) -> int:
             m.get("partition_by") or None, m.get("stats_cols") or None,
             m.get("stats") or None, m.get("schema"),
             m.get("blooms_conf"), f"restore({version})",
-            m.get("deletes"),
+            m.get("deletes"), column_map=m.get("column_map"),
         )
 
     return _retry_conflicts(once, f"restore of {path}")
@@ -2113,7 +2211,7 @@ def alter_table_version(
             lambda: _commit(
                 path, [], 0, latest_version(path), partition_by,
                 stats_cols, None, out.schema.jsonValue(), bloom_conf,
-                "alter",
+                "alter", column_map=None,
             ),
             f"alter of {path}",
         )
@@ -2123,9 +2221,104 @@ def alter_table_version(
         lambda: _commit(
             path, files, n, latest_version(path), partition_by,
             stats_cols, stats, bloom_conf=bloom_conf, op="alter",
+            column_map=None,  # full re-snapshot: physical = logical
         ),
         f"alter of {path}",
     )
+
+
+def rename_columns(spark: SparkSession, path: str,
+                   rename: dict[str, str]) -> int:
+    """METADATA-ONLY column rename (r10 s2, Delta column-mapping 'name'
+    mode): commit a new version whose files, stats, blooms and sidecars
+    are the head's VERBATIM, carrying a logical-to-physical
+    ``column_map`` applied at read time — at 100 TB a rename costs one
+    KB-sized manifest instead of :func:`alter_table_version`'s full
+    re-snapshot.  Renames are simultaneous (swap/chain maps legal,
+    duplicate-producing maps rejected — the alter rule); the partition
+    column may be renamed (directories keep their physical name, the
+    read surfaces the logical one).  Constraints must still resolve
+    against the renamed schema — a constraint referencing an old name
+    aborts with the drop-first remediation.
+
+    Mapped tables stamp manifest ``format: 2``: pre-mapping readers
+    refuse them loudly instead of misreading (the format gate's
+    purpose).  The jar-free ``versioned_table`` DataSource declares
+    non-support and rejects mapped tables; every versions.py operation
+    composes (reads, prune/point skipping, DELETE/UPDATE/MERGE in
+    logical names over physical scans — filter pushdown survives the
+    alias projection — CoW and MoR, CDC, clone, compact).  A full
+    re-snapshot op (alter's data path, write_table_version, upsert's
+    add-column evolution) RE-BASELINES: files are rewritten with the
+    logical names and the map clears."""
+    if not rename:
+        raise ValueError("nothing to rename")
+    head = latest_version(path)
+    if head is None:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    m = _load_manifest(path, head)
+    cm = _column_map(m)
+    inv = {p: l for l, p in cm.items()}
+    # current LOGICAL columns, no Spark job: a data-file footer (plus
+    # the physical partition directory column), or the recorded schema
+    # of an empty head
+    if m["files"]:
+        import pyarrow.parquet as pq
+
+        phys = list(
+            pq.read_schema(
+                str(Path(path) / "data" / m["files"][0])
+            ).names
+        )
+        pb = m.get("partition_by") or None
+        if pb and pb not in phys:
+            phys.append(pb)
+    elif m.get("schema"):
+        phys = [f["name"] for f in m["schema"]["fields"]]
+    else:
+        raise ValueError(f"{path} has no schema to rename")
+    logical = [inv.get(c, c) for c in phys]
+    missing = [c for c in rename if c not in logical]
+    if missing:
+        raise ValueError(f"no such columns: {missing}")
+    final = [rename.get(c, c) for c in logical]
+    dups = sorted({n for n in final if final.count(n) > 1})
+    if dups:
+        raise ValueError(f"rename would duplicate columns: {dups}")
+    new_cm = {}
+    for p, lg in zip(phys, logical):
+        n = rename.get(lg, lg)
+        if n != p:
+            new_cm[n] = p
+    if m.get("constraints"):
+        # constraints reference LOGICAL names: verify they still
+        # resolve post-rename (zero-row frame, tiny job)
+        probe = read_table_version(spark, path, head).limit(0)
+        probe = probe.select(
+            *[F.col(c).alias(rename.get(c, c)) for c in probe.columns]
+        )
+        try:
+            _validate_constraints(
+                probe, m["constraints"], f"rename on {path}"
+            )
+        except Exception as exc:
+            raise ValueError(
+                f"rename breaks CHECK constraints ({exc}) — drop the "
+                "constraint first, rename, then re-add it under the "
+                "new name"
+            ) from None
+
+    def once() -> int:
+        return _commit(
+            path, m["files"], m["count"], latest_version(path),
+            m.get("partition_by") or None, m.get("stats_cols") or None,
+            m.get("stats") or None, m.get("schema"),
+            m.get("blooms_conf"),
+            f"rename-metadata({sorted(rename.items())})",
+            m.get("deletes"), column_map=new_cm or None,
+        )
+
+    return _retry_conflicts(once, f"rename on {path}")
 
 
 class Pin:
@@ -2224,8 +2417,11 @@ def _files_matching(
     in tests/test_plans.py) collects the DISTINCT FILE NAMES holding a
     matching row — bounded by file count, never row count."""
     candidates = list(m["files"])
+    if prune:
+        prune = [(_phys_col(m, c), lo, hi) for c, lo, hi in prune]
     if point:
-        point = [(c, _point_probe_str(c, val)) for c, val in point]
+        point = [(_phys_col(m, c), _point_probe_str(c, val))
+                 for c, val in point]
     if prune or point:
         stats = m.get("stats") or {}
 
@@ -2252,9 +2448,11 @@ def _files_matching(
     cdf = spark.read.option("basePath", data).parquet(
         *[f"{data}/{f}" for f in candidates]
     )
+    # the predicate arrives in LOGICAL names; the aliased projection
+    # still pushes the filter to the (physical) scan
     hit_uris = [
         r[0]
-        for r in cdf.filter(cond)
+        for r in _to_logical(cdf, m).filter(cond)
         .select(F.input_file_name().alias("f"))
         .distinct()
         .collect()
@@ -2357,15 +2555,19 @@ def _delete_table_version_once(
     hdf = _plan_with_deletes(
         spark, data, sorted(hit), m.get("deletes")
     )
+    ldf = _to_logical(hdf, m)  # user predicate space
     stats_cols = m.get("stats_cols") or None
     bloom_conf = m.get("blooms_conf")
     if mode == "mor":
-        matched = hdf.filter(F.coalesce(cond, F.lit(False)))
+        matched = ldf.filter(F.coalesce(cond, F.lit(False)))
         n_matched = matched.count()
         if not n_matched:
             return head
-        fps = matched.select(
-            _row_fingerprint(matched).alias("_fp")
+        # fingerprints live in PHYSICAL space (their column order
+        # sorts by NAME — a rename must never change them)
+        matched_p = _to_physical(matched, m)
+        fps = matched_p.select(
+            _row_fingerprint(matched_p).alias("_fp")
         ).distinct()
         rel = _stage_delete_sidecar(fps, path)
         deletes = list(m.get("deletes") or []) + [
@@ -2379,7 +2581,9 @@ def _delete_table_version_once(
             op="delete(mor)", deletes=deletes,
         )
     n_hit = hdf.count()
-    survivors = hdf.filter(~F.coalesce(cond, F.lit(False)))
+    survivors = _to_physical(
+        ldf.filter(~F.coalesce(cond, F.lit(False))), m
+    )
     n_surv = survivors.count()
     new_files = _stage_files(survivors, path, partition_by) if n_surv else []
     carried = [f for f in m["files"] if f not in hit]
@@ -2390,7 +2594,7 @@ def _delete_table_version_once(
         stats = {f: old_stats[f] for f in carried if f in old_stats}
         stats.update(_new_file_meta(spark, path, new_files, stats_cols, bloom_conf))
     schema = (
-        survivors.schema.jsonValue()
+        survivors.schema.jsonValue()  # physical, like everything staged
         if not (carried or new_files)
         else None
     )
@@ -2459,38 +2663,42 @@ def _update_table_version_once(
     # deletes-aware: MoR-masked rows must not resurrect into the
     # rewritten files (their sidecar scope ends with the rewrite)
     hdf = _plan_with_deletes(spark, data, sorted(hit), m.get("deletes"))
-    unknown = [c for c in set if c not in hdf.columns]
+    ldf = _to_logical(hdf, m)  # SET names / predicates are logical
+    unknown = [c for c in set if c not in ldf.columns]
     if unknown:
         raise ValueError(f"UPDATE of unknown columns: {unknown}")
-    if partition_by and partition_by in set:
+    lpb = _logical_pb(m)
+    if lpb and lpb in set:
         raise ValueError(
-            f"cannot UPDATE partition column {partition_by!r} — rows would "
+            f"cannot UPDATE partition column {lpb!r} — rows would "
             "move directories; route through delete + upsert"
         )
     if mode == "mor":
-        matched_rows = hdf.filter(F.coalesce(cond, F.lit(False)))
+        matched_rows = ldf.filter(F.coalesce(cond, F.lit(False)))
         n_matched = matched_rows.count()
         if not n_matched:
             return head
         # old images masked by a sidecar scoped to the hit files; the
         # updated rows (SET applied simultaneously against the old row)
-        # append as fresh files OUTSIDE every sidecar's scope
-        fps = matched_rows.select(
-            _row_fingerprint(matched_rows).alias("_fp")
+        # append as fresh files OUTSIDE every sidecar's scope.
+        # Fingerprints are PHYSICAL (rename-stable)
+        matched_p = _to_physical(matched_rows, m)
+        fps = matched_p.select(
+            _row_fingerprint(matched_p).alias("_fp")
         ).distinct()
         uproj = []
-        for c in hdf.columns:
+        for c in ldf.columns:
             if c in set:
                 val = set[c]
                 val = F.expr(val) if isinstance(val, str) else val
-                uproj.append(val.cast(hdf.schema[c].dataType).alias(c))
+                uproj.append(val.cast(ldf.schema[c].dataType).alias(c))
             else:
                 uproj.append(F.col(c))
         updated = matched_rows.select(*uproj)
         _validate_constraints(
             updated, m.get("constraints"), f"update of {path}"
         )
-        new_files = _stage_files(updated, path, partition_by)
+        new_files = _stage_files(_to_physical(updated, m), path, partition_by)
         rel = _stage_delete_sidecar(fps, path)
         deletes = list(m.get("deletes") or []) + [
             {"path": rel, "files": sorted(hit)}
@@ -2514,22 +2722,22 @@ def _update_table_version_once(
     # never sequential withColumn (where a later SET would see an
     # earlier SET's result)
     proj = []
-    for c in hdf.columns:
+    for c in ldf.columns:
         if c in set:
             val = set[c]
             val = F.expr(val) if isinstance(val, str) else val
             proj.append(
-                F.when(matched, val.cast(hdf.schema[c].dataType))
+                F.when(matched, val.cast(ldf.schema[c].dataType))
                 .otherwise(F.col(c))
                 .alias(c)
             )
         else:
             proj.append(F.col(c))
-    rewritten = hdf.select(*proj)
+    rewritten = ldf.select(*proj)
     _validate_constraints(
         rewritten, m.get("constraints"), f"update of {path}"
     )
-    new_files = _stage_files(rewritten, path, partition_by)
+    new_files = _stage_files(_to_physical(rewritten, m), path, partition_by)
     carried = [f for f in m["files"] if f not in hit]
     stats_cols = m.get("stats_cols") or None
     bloom_conf = m.get("blooms_conf")
@@ -2639,6 +2847,7 @@ def _merge_table_version_once(
         seeded = source
         if not _merge_always(ins):
             seeded = source.filter(_merge_cond(ins))
+        seeded = _to_physical(seeded, m)  # staged files live physical
         tgt_schema = m.get("schema")
         if tgt_schema:
             cols = [f["name"] for f in tgt_schema["fields"]]
@@ -2655,7 +2864,9 @@ def _merge_table_version_once(
                        stats, bloom_conf=bloom_conf, op="merge")
     data_abs = (Path(path) / "data").resolve()
     data = str(Path(path) / "data")
-    existing = _plan_with_deletes(spark, data, m["files"], m.get("deletes"))
+    existing = _to_logical(
+        _plan_with_deletes(spark, data, m["files"], m.get("deletes")), m
+    )
     if upd == "*" or ins is not None:
         # every insert is "*"-shaped (optionally conditional): the
         # inserted row is the source row projected to the table schema
@@ -2669,9 +2880,10 @@ def _merge_table_version_once(
         unknown = [c for c in upd if c not in existing.columns]
         if unknown:
             raise ValueError(f"UPDATE SET of unknown columns: {unknown}")
-        if partition_by and partition_by in upd:
+        lpb = _logical_pb(m)
+        if lpb and lpb in upd:
             raise ValueError(
-                f"cannot UPDATE partition column {partition_by!r} — rows "
+                f"cannot UPDATE partition column {lpb!r} — rows "
                 "would move directories; route through delete + insert"
             )
 
@@ -2683,7 +2895,8 @@ def _merge_table_version_once(
         if m.get("stats") and not auto_prune:
             aggs = []
             for k in keys:
-                if k in (stats_cols or []):
+                # stats keys are PHYSICAL; the source column is logical
+                if _phys_col(m, k) in (stats_cols or []):
                     aggs += [F.min(k).alias(f"lo_{k}"),
                              F.max(k).alias(f"hi_{k}")]
             if aggs:
@@ -2691,7 +2904,7 @@ def _merge_table_version_once(
                 for k in keys:
                     if f"lo_{k}" in row and row[f"lo_{k}"] is not None:
                         auto_prune.append(
-                            (k, row[f"lo_{k}"], row[f"hi_{k}"])
+                            (_phys_col(m, k), row[f"lo_{k}"], row[f"hi_{k}"])
                         )
         candidates = list(m["files"])
         if auto_prune:
@@ -2717,7 +2930,7 @@ def _merge_table_version_once(
             )
             hit_uris = [
                 r[0]
-                for r in cdf.select(
+                for r in _to_logical(cdf, m).select(
                     F.input_file_name().alias("_f"), *keys
                 )
                 .join(source.select(*keys).distinct(), keys, "left_semi")
@@ -2738,8 +2951,9 @@ def _merge_table_version_once(
     new_files: list[str] = []
     n_t = n_out = 0
     if hit:
-        t = _plan_with_deletes(
-            spark, data, sorted(hit), m.get("deletes")
+        t = _to_logical(
+            _plan_with_deletes(spark, data, sorted(hit), m.get("deletes")),
+            m,
         ).alias("t")
         s = source.withColumn("__smatch", F.lit(True)).alias("s")
         # plain equality, Delta's ON semantics: a NULL key never
@@ -2794,7 +3008,9 @@ def _merge_table_version_once(
             rewritten, m.get("constraints"), f"merge into {path}"
         )
         if n_out:
-            new_files += _stage_files(rewritten, path, partition_by)
+            new_files += _stage_files(
+                _to_physical(rewritten, m), path, partition_by
+            )
 
     n_ins = 0
     if ins is not None:
@@ -2814,7 +3030,9 @@ def _merge_table_version_once(
             _validate_constraints(
                 inserted, m.get("constraints"), f"merge into {path}"
             )
-            new_files += _stage_files(inserted, path, partition_by)
+            new_files += _stage_files(
+                _to_physical(inserted, m), path, partition_by
+            )
 
     if not hit and not n_ins:
         return head  # nothing matched, nothing to insert
@@ -2828,7 +3046,9 @@ def _merge_table_version_once(
             _new_file_meta(spark, path, new_files, stats_cols, bloom_conf)
         )
     schema = (
-        existing.schema.jsonValue() if not (carried or new_files) else None
+        _to_physical(existing.limit(0), m).schema.jsonValue()
+        if not (carried or new_files)
+        else None
     )
     return _commit(
         path, carried + new_files, total, head, partition_by,
@@ -3135,9 +3355,15 @@ def _compact_table_version_once(
         if not m["files"] or not m["count"]:
             # empty table (possibly schema-only part files): no layout
             return head
-        scope = read_table_version(spark, path, head)
+        data = str(Path(path) / "data")
+        scope = _plan_with_deletes(
+            spark, data, m["files"], m.get("deletes")
+        )
         n_files = max_files_per_partition * max(1, len(by_part))
-        rewritten = zorder_frame(scope, zorder_by, n_files, bits_per_col)
+        rewritten = zorder_frame(
+            scope, [_phys_col(m, c) for c in zorder_by],
+            n_files, bits_per_col,
+        )
         new_files = _stage_files(rewritten, path, partition_by)
         bloom_conf = m.get("blooms_conf")
         stats = (
@@ -3177,7 +3403,11 @@ def _compact_table_version_once(
         scope = _plan_with_deletes(spark, data, frag_files, m.get("deletes"))
         carried = [f for f in m["files"] if part_of(f) not in frag]
     else:
-        scope, carried = read_table_version(spark, path, head), []
+        data = str(Path(path) / "data")
+        scope = _plan_with_deletes(
+            spark, data, m["files"], m.get("deletes")
+        )
+        carried = []
     rewritten = scope.coalesce(max_files_per_partition)
     new_files = _stage_files(rewritten, path, partition_by)
     bloom_conf = m.get("blooms_conf")

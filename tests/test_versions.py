@@ -2833,3 +2833,188 @@ def test_table_properties_lifecycle_and_format_gate(spark, tmp_path, capsys):
     mp.write_text(_json.dumps(raw))
     with pytest.raises(ValueError, match="format 99.*upgrade"):
         V.read_table_version(spark, p)
+
+
+# --- metadata-only column rename / column mapping (r10 s2) ------------
+
+
+def test_rename_columns_metadata_only_zero_rewrite(spark, tmp_path):
+    """rename_columns commits a column_map instead of rewriting data:
+    files/stats/blooms carried VERBATIM, reads surface the new names
+    with identical values, old versions keep their own names, format
+    stamps 2, chain/swap renames compose."""
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _t(spark, [(1, 1, "a"), (2, 2, "b")]), p, "ds",
+        stats_cols=["k"], bloom_cols=["val"],
+    )
+    m1 = V._load_manifest(p, 1)
+    v = V.rename_columns(spark, p, {"k": "key", "val": "payload"})
+    assert v == 2
+    m2 = V._load_manifest(p, 2)
+    assert m2["files"] == m1["files"]          # zero data movement
+    assert m2["stats"] == m1["stats"]          # stats keys physical
+    assert m2["column_map"] == {"key": "k", "payload": "val"}
+    assert json.loads(
+        (Path(p) / "_manifests" / "m00000002.json").read_text()
+    )["format"] == 2
+    got = {(r.key, r.ds, r.payload)
+           for r in V.read_table_version(spark, p).collect()}
+    assert got == {(1, 1, "a"), (2, 2, "b")}
+    # time travel: v1 still surfaces the OLD names
+    assert set(V.read_table_version(spark, p, 1).columns) == {"k", "ds", "val"}
+    # prune/point in LOGICAL names still skip (stats keys physical)
+    pointed = V.read_table_version(spark, p, point=[("payload", "a")])
+    assert {r.key for r in pointed.collect()} == {1}
+    pruned = V.read_table_version(spark, p, prune=[("key", 2, 2)])
+    assert len(set(pruned.inputFiles())) == 1
+    # chain + swap renames compose metadata-only
+    V.rename_columns(spark, p, {"key": "id"})
+    assert V._load_manifest(p, 3)["column_map"]["id"] == "k"
+    V.rename_columns(spark, p, {"id": "payload", "payload": "id"})
+    got = {(r.payload, r.id) for r in V.read_table_version(spark, p).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # guards
+    with pytest.raises(ValueError, match="no such columns"):
+        V.rename_columns(spark, p, {"nope": "x"})
+    with pytest.raises(ValueError, match="duplicate"):
+        V.rename_columns(spark, p, {"id": "ds"})
+
+
+def test_mapped_table_dml_and_lifecycle(spark, tmp_path):
+    """Every DML composes with a column map: upsert/delete/update/merge
+    take LOGICAL names, staged files stay PHYSICAL (footer names never
+    change), MoR masks written before AND after the rename apply, CDC
+    works post-rename, clone carries the map, compaction keeps it, and
+    a full re-snapshot (alter) re-baselines it away."""
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _t(spark, [(1, 1, "a"), (2, 2, "b"), (3, 3, "c")]), p, "ds",
+        stats_cols=["k"],
+    )
+    V.delete_table_version(spark, p, "k = 3", mode="mor")  # pre-rename mask
+    V.rename_columns(spark, p, {"k": "key", "val": "payload"})
+    m = V._load_manifest(p, V.latest_version(p))
+
+    def physical_names():
+        names = set()
+        for f in m["files"]:
+            names.update(pq.read_schema(str(Path(p) / "data" / f)).names)
+        return names
+
+    assert physical_names() == {"k", "val"}  # ds lives in the dirs
+    # pre-rename MoR mask still applies through the mapped read
+    assert {r.key for r in V.read_table_version(spark, p).collect()} == {1, 2}
+    # upsert in logical names; staged files keep PHYSICAL names
+    V.upsert_table_version(
+        spark, p,
+        spark.createDataFrame([(2, 2, "B"), (4, 1, "d")],
+                              ["key", "ds", "payload"]),
+        keys=["key"], partition_by="ds",
+    )
+    m = V._load_manifest(p, V.latest_version(p))
+    assert physical_names() == {"k", "val"}
+    got = {r.key: r.payload for r in V.read_table_version(spark, p).collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
+    # MoR delete POST-rename (logical predicate), then CoW update
+    V.delete_table_version(spark, p, "payload = 'd'", mode="mor")
+    assert {r.key for r in V.read_table_version(spark, p).collect()} == {1, 2}
+    V.update_table_version(spark, p, "key = 1",
+                           {"payload": "upper(payload)"})
+    assert V.read_table_version(spark, p).filter(
+        "key = 1").collect()[0].payload == "A"
+    with pytest.raises(ValueError, match="partition column 'ds'"):
+        V.update_table_version(spark, p, "key = 1", {"ds": "9"})
+    # merge with t/s expressions in logical names
+    V.merge_table_version(
+        spark, p,
+        spark.createDataFrame([(2, 2, "x"), (7, 1, "g")],
+                              ["key", "ds", "payload"]),
+        ["key"], when_matched_update={"payload": "concat(t.payload, s.payload)"},
+        when_not_matched_insert=True,
+    )
+    got = {r.key: r.payload for r in V.read_table_version(spark, p).collect()}
+    assert got == {1: "A", 2: "Bx", 7: "g"}
+    # CDC post-rename surfaces logical names
+    hv = V.latest_version(p)
+    V.upsert_table_version(
+        spark, p,
+        spark.createDataFrame([(8, 2, "h")], ["key", "ds", "payload"]),
+        keys=["key"], partition_by="ds",
+    )
+    ch = V.read_table_changes(spark, p, ["key"], from_version=hv)
+    assert {(r.key, r._change_type) for r in ch.collect()} == {(8, "insert")}
+    # clone carries the map; compact keeps it and stays physical
+    dst = str(tmp_path / "c")
+    V.clone_table(p, dst)
+    assert V.table_detail(dst)["column_map"] == {"key": "k", "payload": "val"}
+    assert {r.key for r in V.read_table_version(spark, dst).collect()} \
+        == {1, 2, 7, 8}
+    V.compact_table_version(spark, p)
+    m = V._load_manifest(p, V.latest_version(p))
+    assert m.get("column_map") == {"key": "k", "payload": "val"}
+    assert physical_names() == {"k", "val"}
+    assert {r.key: r.payload
+            for r in V.read_table_version(spark, p).collect()} \
+        == {1: "A", 2: "Bx", 7: "g", 8: "h"}
+    # full re-snapshot re-baselines: physical = logical, map gone
+    V.alter_table_version(spark, p, drop=[])
+    m = V._load_manifest(p, V.latest_version(p))
+    assert not m.get("column_map")
+    assert physical_names() == {"key", "payload"}
+    assert {r.key for r in V.read_table_version(spark, p).collect()} \
+        == {1, 2, 7, 8}
+
+
+def test_mapped_table_rejected_by_datasource_and_sink(spark, tmp_path):
+    from etl_rust_spark.sources.table_source import VersionedTableDataSource
+
+    spark.dataSource.register(VersionedTableDataSource)
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        spark.createDataFrame([(1, "a")], "k long, val string"), p
+    )
+    V.rename_columns(spark, p, {"k": "key"})
+    with pytest.raises(Exception, match="column_map|mapped"):
+        spark.read.format("versioned_table").option("path", p).load()
+    with pytest.raises(Exception, match="column_map|mapped"):
+        spark.createDataFrame([(2, "b")], "key long, val string") \
+            .write.format("versioned_table").option("path", p) \
+            .mode("append").save()
+
+
+def test_rename_partition_column_and_constraints(spark, tmp_path, capsys):
+    import json as _json
+
+    from etl_rust_spark.__main__ import main
+
+    p = str(tmp_path / "t")
+    V.write_table_version(_t(spark, [(1, 1, "a"), (2, 2, "b")]), p, "ds")
+    V.add_table_constraint(spark, p, "k_pos", "k > 0")
+    # a rename breaking a constraint aborts with the remediation
+    with pytest.raises(ValueError, match="drop the|constraint"):
+        V.rename_columns(spark, p, {"k": "key"})
+    V.drop_table_constraint(p, "k_pos")
+    # partition column renames metadata-only (dirs keep physical name)
+    capsys.readouterr()
+    assert main(["table", p, "--rename-column", "ds=day",
+                 "--rename-column", "k=key"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["version"] == V.latest_version(p)
+    df = V.read_table_version(spark, p)
+    assert {r.day for r in df.collect()} == {1, 2}
+    m = V._load_manifest(p, V.latest_version(p))
+    assert m["partition_by"] == "ds"  # physical dirs unchanged
+    assert all(f.startswith("ds=") for f in m["files"])
+    # upsert with the NEW logical partition name
+    V.upsert_table_version(
+        spark, p,
+        spark.createDataFrame([(9, 3, "z")], ["key", "day", "val"]),
+        keys=["key"], partition_by="day",
+    )
+    assert V.read_table_version(spark, p).count() == 3
+    # restoring to the pre-rename version restores the old names
+    V.restore_table_version(p, 1)
+    assert set(V.read_table_version(spark, p).columns) == {"k", "ds", "val"}
