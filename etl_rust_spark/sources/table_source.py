@@ -90,10 +90,15 @@ def _ddl_of(pa_type) -> str:
 
 class _FileSlice(InputPartition):
     def __init__(self, path: str, part_col: str | None,
-                 part_val: str | None) -> None:
+                 part_val: str | None,
+                 phys_cols: list[str] | None = None) -> None:
         self.path = path
         self.part_col = part_col
         self.part_val = part_val
+        # physical names of the reader's (logical) columns, resolved
+        # from this slice's own version manifest — column-mapped
+        # tables read correctly even mid-stream across a rename
+        self.phys_cols = phys_cols
 
 
 class _Opts:
@@ -127,18 +132,12 @@ def _manifest(table: str, v: int) -> dict:
     return _load_manifest(table, v)
 
 
-def _reject_mapped(m: dict, what: str) -> None:
-    """The jar-free DataSource does not implement column mapping
-    (metadata renames stamp manifest format 2 precisely so readers
-    without the feature refuse instead of surfacing PHYSICAL names as
-    if they were the table's columns)."""
-    if m.get("column_map"):
-        raise ValueError(
-            f"{what}: this table carries a column_map (metadata-only "
-            "renames) — the versioned_table DataSource does not "
-            "support mapped tables; read via versions.read_table_version "
-            "and write via upsert_table_version"
-        )
+def _phys_cols_of(m: dict, logical_cols: list[str]) -> list[str]:
+    """Map the reader's (logical) column list to the PHYSICAL names
+    the data files carry (column mapping, r10 s2): identity when the
+    manifest has no map."""
+    cm = m.get("column_map") or {}
+    return [cm.get(c, c) for c in logical_cols]
 
 
 def _part_of(table: str, rel: str) -> tuple[str | None, str | None]:
@@ -159,7 +158,17 @@ def _read_slice(table: str, s: _FileSlice, schema_cols: list[str]) -> Iterator[t
     pdf = tbl.to_pandas()
     if s.part_col is not None:
         pdf[s.part_col] = s.part_val
-    cols = [c for c in schema_cols]
+    # s.phys_cols: the files' PHYSICAL names, positionally matching the
+    # logical schema_cols (identity when the table is unmapped)
+    cols = list(s.phys_cols or schema_cols)
+    missing = [c for c in cols if c not in pdf.columns]
+    if missing:
+        raise ValueError(
+            f"file {s.path!r} lacks columns {missing} — the table's "
+            "physical schema changed under this reader (a re-baselining "
+            "re-snapshot, or an explicit .schema() naming pre-rename "
+            "columns); restart the read against the current head"
+        )
     for row in pdf[cols].itertuples(index=False, name=None):
         # pandas NaN → None for SQL NULL fidelity
         yield tuple(None if v != v and isinstance(v, float) else v
@@ -190,7 +199,6 @@ class _TableBatchReader(DataSourceReader):
         else:
             v = int(self.opts.version)
         m = _manifest(t, v)
-        _reject_mapped(m, f"batch read of {t}@{v}")
         if m.get("deletes"):
             raise ValueError(
                 f"version {v} of {t} carries merge-on-read delete "
@@ -198,10 +206,11 @@ class _TableBatchReader(DataSourceReader):
                 "anti-join; read via versions.read_table_version, or "
                 "compact_table_version to fold the debt first"
             )
+        phys = _phys_cols_of(m, self.schema_cols)
         out = []
         for f in m["files"]:
             col, val = _part_of(t, f)
-            out.append(_FileSlice(f, col, val))
+            out.append(_FileSlice(f, col, val, phys))
         return out
 
     def read(self, partition: _FileSlice):
@@ -212,6 +221,21 @@ class _TableStreamReader(DataSourceStreamReader):
     def __init__(self, opts: _Opts, schema_cols: list[str]) -> None:
         self.opts = opts
         self.schema_cols = schema_cols
+        # physical resolution captured ONCE from the head (the same
+        # head schema() resolved against): physical names are FROZEN
+        # across metadata renames, so this stays correct for every
+        # version the stream will read — before and after later
+        # renames.  A RE-BASELINE (full re-snapshot) changes physical
+        # names, but it is a change commit (files removed), which the
+        # stream already raises on / skips
+        from etl_rust_spark.versions import latest_version
+
+        head = latest_version(opts.table)
+        self._phys = (
+            _phys_cols_of(_manifest(opts.table, head), schema_cols)
+            if head is not None
+            else list(schema_cols)
+        )
         # pacing position for maxVersionsPerTrigger.  Traced call
         # order (pinned in the pacing test): fresh start is
         # latestOffset → initialOffset → partitions, so the FIRST
@@ -263,7 +287,6 @@ class _TableStreamReader(DataSourceStreamReader):
         out: list[_FileSlice] = []
         for v in range(lo + 1, hi + 1):
             m = _manifest(t, v)
-            _reject_mapped(m, f"stream read of {t}@{v}")
             parent = m.get("parent")
             pfiles: set[str] = set()
             pdeletes: list = []
@@ -287,7 +310,7 @@ class _TableStreamReader(DataSourceStreamReader):
                 )
             for f in added:
                 col, val = _part_of(t, f)
-                out.append(_FileSlice(f, col, val))
+                out.append(_FileSlice(f, col, val, self._phys))
         # Spark requires >= 1 partition per batch
         return out or [_FileSlice("", None, None)]
 
@@ -358,19 +381,21 @@ class _Staged(WriterCommitMessage):
         self.entries, self.count = entries, count
 
 
-def _resolve_partition_by(table: str) -> str | None:
+def _resolve_layout(table: str) -> tuple[str | None, dict[str, str]]:
+    """(physical partition column, logical→physical column map) of the
+    head — the sink stages PHYSICAL like everything under data/."""
     from etl_rust_spark.versions import _load_manifest, latest_version
 
     head = latest_version(table)
     if head is None:
-        return None
+        return None, {}
     m = _load_manifest(table, head)
-    _reject_mapped(m, f"sink write to {table}")
-    return m.get("partition_by") or None
+    return m.get("partition_by") or None, dict(m.get("column_map") or {})
 
 
 def _stage_rows(
-    table: str, schema, iterator, partition_by: str | None
+    table: str, schema, iterator, partition_by: str | None,
+    col_map: dict[str, str] | None = None,
 ) -> _Staged:
     import uuid as _uuid
 
@@ -379,17 +404,27 @@ def _stage_rows(
 
     from etl_rust_spark.versions import _hive_part_segment
 
+    cm = col_map or {}
+    # the DataFrame carries LOGICAL names; staged files (and partition
+    # directory segments) are PHYSICAL, like everything under data/
     names = [f.name for f in schema.fields]
-    p_idx = None
-    if partition_by is not None:
-        if partition_by not in names:
+    lpb = None
+    if partition_by is not None:  # physical name from the manifest
+        inv = {p: l for l, p in cm.items()}
+        lpb = inv.get(partition_by, partition_by)
+        if lpb not in names:
             raise ValueError(
                 f"DataFrame is missing the table's partition column "
-                f"{partition_by!r}"
+                f"{lpb!r}"
             )
-        p_idx = names.index(partition_by)
-    payload_fields = [f for f in schema.fields if f.name != partition_by]
+    p_idx = names.index(lpb) if lpb is not None else None
+    payload_fields = [f for f in schema.fields if f.name != lpb]
     pa_schema = _pa_schema_of(type(schema)(payload_fields))
+    pa_schema = pa.schema(
+        [pa_schema.field(i).with_name(
+            cm.get(pa_schema.field(i).name, pa_schema.field(i).name)
+        ) for i in range(len(pa_schema))]
+    )
     # one column-list set per partition value (None key = unpartitioned)
     groups: dict[object, list[list]] = {}
     counts: dict[object, int] = {}
@@ -464,7 +499,7 @@ def _drop_staged(messages) -> None:
 class _TableBatchWriter(DataSourceWriter):
     def __init__(self, opts: _Opts, schema, overwrite: bool) -> None:
         self.opts, self.schema_, self.overwrite = opts, schema, overwrite
-        self.partition_by = _resolve_partition_by(opts.table)
+        self.partition_by, self.col_map = _resolve_layout(opts.table)
         self.txn_app = opts.txn_app
         self.txn_version = opts.txn_version
         if (self.txn_app is None) != (self.txn_version is None):
@@ -472,7 +507,8 @@ class _TableBatchWriter(DataSourceWriter):
 
     def write(self, iterator):
         return _stage_rows(
-            self.opts.table, self.schema_, iterator, self.partition_by
+            self.opts.table, self.schema_, iterator, self.partition_by,
+            self.col_map,
         )
 
     def commit(self, messages) -> None:
@@ -489,7 +525,7 @@ class _TableBatchWriter(DataSourceWriter):
 class _TableStreamWriter(DataSourceStreamWriter):
     def __init__(self, opts: _Opts, schema) -> None:
         self.opts, self.schema_ = opts, schema
-        self.partition_by = _resolve_partition_by(opts.table)
+        self.partition_by, self.col_map = _resolve_layout(opts.table)
         if not opts.txn_app:
             raise ValueError(
                 "the versioned_table streaming sink requires a txnAppId "
@@ -499,7 +535,8 @@ class _TableStreamWriter(DataSourceStreamWriter):
 
     def write(self, iterator):
         return _stage_rows(
-            self.opts.table, self.schema_, iterator, self.partition_by
+            self.opts.table, self.schema_, iterator, self.partition_by,
+            self.col_map,
         )
 
     def commit(self, messages, batchId) -> None:
@@ -529,7 +566,7 @@ class VersionedTableDataSource(DataSource):
                 f"no committed versions under {opts.table}"
             )
         m = _manifest(opts.table, head)
-        _reject_mapped(m, f"schema of {opts.table}")
+        inv = {p: l for l, p in (m.get("column_map") or {}).items()}
         if not m["files"]:
             raise ValueError(
                 f"version {head} of {opts.table} is empty — pass an "
@@ -546,7 +583,9 @@ class VersionedTableDataSource(DataSource):
             str(Path(opts.table) / "data" / first)
         )
         fields = [
-            f"{name} "
+            # surface LOGICAL names (column mapping); types from the
+            # physical footers
+            f"{inv.get(name, name)} "
             + (
                 {"ts:utc": "timestamp", "ts:ntz": "timestamp_ntz"}[
                     canon[name]
@@ -559,7 +598,7 @@ class VersionedTableDataSource(DataSource):
         col, _ = _part_of(opts.table, first)
         if col is not None:
             # hive directory values surface as STRING (documented)
-            fields.append(f"{col} string")
+            fields.append(f"{inv.get(col, col)} string")
         return ", ".join(fields)
 
     def _cols(self, schema) -> list[str]:

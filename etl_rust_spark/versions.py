@@ -738,7 +738,8 @@ def _retry_conflicts(fn, what: str, attempts: int | None = None):
 
 
 def _validate_constraints_duckdb(
-    files: list[str], constraints: dict, what: str
+    files: list[str], constraints: dict, what: str,
+    column_map: dict[str, str] | None = None,
 ) -> None:
     """Sparkless CHECK validation (the versioned_table sink's commit
     hook runs in a Python worker with NO SparkSession): evaluate each
@@ -749,13 +750,23 @@ def _validate_constraints_duckdb(
     import duckdb
 
     quoted = ", ".join("'" + f.replace("'", "''") + "'" for f in files)
+    src = f"read_parquet([{quoted}])"
+    if column_map:
+        # constraints reference LOGICAL names; the files are physical
+        excluded = ", ".join(
+            f'"{p}"' for p in sorted(column_map.values())
+        )
+        aliases = ", ".join(
+            f'"{p}" AS "{lg}"' for lg, p in sorted(column_map.items())
+        )
+        src = f"(SELECT * EXCLUDE ({excluded}), {aliases} FROM {src})"
     con = duckdb.connect()
     bad: dict[str, int] = {}
     try:
         for name, expr in sorted(constraints.items()):
             try:
                 n = con.execute(
-                    f"SELECT count(*) FROM read_parquet([{quoted}]) "
+                    f"SELECT count(*) FROM {src} "
                     f"WHERE NOT coalesce(({expr}), TRUE)"
                 ).fetchone()[0]
             except Exception as exc:
@@ -1107,12 +1118,6 @@ def commit_appended_files(
             for f in paths:
                 Path(f).unlink(missing_ok=True)
             return None  # replayed epoch: already committed
-    if m.get("column_map"):
-        raise ValueError(
-            f"{path} is column-mapped (metadata renames) — the jar-free "
-            "sink does not stage mapped tables; write via "
-            "upsert_table_version / write_table_version"
-        )
     pb = m.get("partition_by") or None
     if head is not None and pb is not None:
         missing = [p for p, seg in entries
@@ -1135,15 +1140,22 @@ def commit_appended_files(
     if head is not None and m.get("constraints") and paths:
         # the sink's commit hook runs in a Python worker WITHOUT a
         # SparkSession — validate with DuckDB there, Spark when we have
-        # one; both fail closed
+        # one; both fail closed.  Constraints reference LOGICAL names;
+        # staged files are physical — validate over the mapped view
         if spark is not None:
             _validate_constraints(
-                spark.read.parquet(*paths), m["constraints"],
-                f"append to {path}",
+                _to_logical(spark.read.parquet(*paths), m),
+                m["constraints"], f"append to {path}",
             )
         else:
             _validate_constraints_duckdb(
-                paths, m["constraints"], f"append to {path}"
+                paths, m["constraints"], f"append to {path}",
+                # the partition column lives in the directory, not the
+                # staged payload — constraints referencing it keep
+                # failing loudly (column absent), as documented
+                column_map={
+                    lg: p for lg, p in _column_map(m).items() if p != pb
+                },
             )
     data = Path(path) / "data"
     data.mkdir(parents=True, exist_ok=True)

@@ -2968,7 +2968,14 @@ def test_mapped_table_dml_and_lifecycle(spark, tmp_path):
         == {1, 2, 7, 8}
 
 
-def test_mapped_table_rejected_by_datasource_and_sink(spark, tmp_path):
+def test_mapped_table_through_datasource_and_sink(spark, tmp_path):
+    """The DataSource supports column-mapped tables: batch reads
+    surface LOGICAL names, sink appends stage PHYSICAL (footer names
+    never change), constraints in logical names validate sparkless
+    over the alias view, and a stream crossing a rename boundary keeps
+    flowing (per-version physical column resolution on the slices)."""
+    import pyarrow.parquet as pq
+
     from etl_rust_spark.sources.table_source import VersionedTableDataSource
 
     spark.dataSource.register(VersionedTableDataSource)
@@ -2977,12 +2984,49 @@ def test_mapped_table_rejected_by_datasource_and_sink(spark, tmp_path):
         spark.createDataFrame([(1, "a")], "k long, val string"), p
     )
     V.rename_columns(spark, p, {"k": "key"})
-    with pytest.raises(Exception, match="column_map|mapped"):
-        spark.read.format("versioned_table").option("path", p).load()
-    with pytest.raises(Exception, match="column_map|mapped"):
-        spark.createDataFrame([(2, "b")], "key long, val string") \
+    df = spark.read.format("versioned_table").option("path", p).load()
+    assert dict(df.dtypes) == {"key": "bigint", "val": "string"}
+    assert {(r.key, r.val) for r in df.collect()} == {(1, "a")}
+    # sink append in LOGICAL names; staged file keeps PHYSICAL names
+    spark.createDataFrame([(2, "b")], "key long, val string") \
+        .write.format("versioned_table").option("path", p) \
+        .mode("append").save()
+    m = V._load_manifest(p, V.latest_version(p))
+    names = set()
+    for f in m["files"]:
+        names.update(pq.read_schema(str(Path(p) / "data" / f)).names)
+    assert names == {"k", "val"}
+    assert {r.key for r in V.read_table_version(spark, p).collect()} == {1, 2}
+    # a constraint in the NEW logical name validates sparkless over
+    # the alias view at sink-commit time and still fails loudly
+    V.add_table_constraint(spark, p, "key_pos2", "key > 0")
+    with pytest.raises(Exception, match="key_pos2"):
+        spark.createDataFrame([(-5, "x")], "key long, val string") \
             .write.format("versioned_table").option("path", p) \
             .mode("append").save()
+    # streaming ACROSS the rename boundary: version-scoped physical
+    # columns on each slice
+    p2 = str(tmp_path / "t2")
+    V.write_table_version(
+        spark.createDataFrame([(1, "a")], "k long, val string"), p2
+    )
+    spark.createDataFrame([(2, "b")], "k long, val string") \
+        .write.format("versioned_table").option("path", p2).mode("append").save()
+    V.rename_columns(spark, p2, {"k": "key"})
+    spark.createDataFrame([(3, "c")], "key long, val string") \
+        .write.format("versioned_table").option("path", p2).mode("append").save()
+    out, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    q = (spark.readStream.format("versioned_table").option("path", p2)
+         .option("startingVersion", "earliest")
+         .option("skipChangeCommits", "true")  # the rename adds no files
+         .load().writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ck).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.key, r.val) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
 
 
 def test_rename_partition_column_and_constraints(spark, tmp_path, capsys):
