@@ -2262,7 +2262,15 @@ def rename_columns(spark: SparkSession, path: str,
     alias projection — CoW and MoR, CDC, clone, compact).  A full
     re-snapshot op (alter's data path, write_table_version, upsert's
     add-column evolution) RE-BASELINES: files are rewritten with the
-    logical names and the map clears."""
+    logical names and the map clears.
+
+    CDC consumers treat a rename as a SCHEMA BOUNDARY: a
+    read_table_changes window crossing the rename step compares frames
+    with different column names — renamed KEYS fail loudly, and a
+    renamed payload column can surface as whole-table update_postimages
+    (correct but wasteful — the fingerprint concatenates values in
+    sorted-COLUMN-NAME order).  Rename the downstream table first, or
+    re-bootstrap the consumer from the post-rename head."""
     if not rename:
         raise ValueError("nothing to rename")
     head = latest_version(path)
