@@ -420,6 +420,17 @@ def main(argv: list[str] | None = None) -> int:
         "layout, constraints, sidecar debt",
     )
     pv.add_argument(
+        "--partitions", action="store_true",
+        help="SHOW PARTITIONS: per-partition files/bytes and (where the "
+        "log is exact) row counts — metadata only, no Spark job",
+    )
+    pv.add_argument(
+        "--agg", action="append", default=None,
+        metavar="'count(*)'|'min(COL)'|'max(COL)'",
+        help="metadata-only aggregate answered from the manifest log "
+        "alone (repeatable); raises if the log cannot answer exactly",
+    )
+    pv.add_argument(
         "--clone", default=None, metavar="DST",
         help="CLONE: hardlink-shallow copy of the table (head or "
         "--clone-version) as a NEW independent version chain at DST",
@@ -478,6 +489,12 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument(
         "--compact", type=int, default=None, metavar="N",
         help="OPTIMIZE: coalesce partitions with more than N files",
+    )
+    pv.add_argument(
+        "--compact-bytes", type=int, default=None, metavar="BYTES",
+        help="OPTIMIZE bin-packing: rewrite partitions whose file count "
+        "exceeds ceil(partition_bytes / BYTES) toward BYTES-sized files "
+        "(never splits an over-target file)",
     )
     pv.add_argument(
         "--zorder", default=None, metavar="COLS",
@@ -788,6 +805,10 @@ def main(argv: list[str] | None = None) -> int:
             out["history"] = _v.history(args.table)
         if args.detail:
             out["detail"] = _v.table_detail(args.table)
+        if args.partitions:
+            out["partitions"] = _v.table_partitions(args.table)
+        if args.agg:
+            out["agg"] = _v.aggregate_table_metadata(args.table, args.agg)
         if args.clone is not None:
             cv = args.clone_version
             if cv is not None and cv.isdigit():
@@ -887,10 +908,14 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.table, args.update_where, sets,
                 mode="mor" if args.mor else "cow",
             )
-        if args.compact is not None:
+        if args.compact is not None or args.compact_bytes is not None:
             out["version"] = _v.compact_table_version(
-                spark, args.table, max_files_per_partition=args.compact,
+                spark, args.table,
+                max_files_per_partition=(
+                    args.compact if args.compact is not None else 1
+                ),
                 zorder_by=args.zorder.split(",") if args.zorder else None,
+                target_file_bytes=args.compact_bytes,
             )
         if args.expire_keep is not None:
             out["expire"] = _v.expire_versions(args.table, args.expire_keep)

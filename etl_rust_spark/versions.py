@@ -102,6 +102,9 @@ __all__ = [
     "table_constraints",
     "clone_table",
     "table_detail",
+    "aggregate_table_metadata",
+    "table_partitions",
+    "MetadataInsufficient",
     "set_table_properties",
     "unset_table_properties",
     "table_properties",
@@ -217,24 +220,62 @@ def _stage_files(df: DataFrame, table: str, partition_by: str | None) -> list[st
     return out
 
 
+_ROWS_KEY = "rows:"    # per-file stats-dict key: exact footer row count
+_TRUNC_KEY = "trunc:"  # per-file marker: "trunc:<col>" → bounds widened
+
+# String min/max longer than this are stored as WIDENED bounds (Iceberg's
+# truncate(w) semantics): min keeps its first _STATS_TRUNCATE code points
+# (a prefix is <= the full value, a sound lower bound); max keeps the
+# prefix with its last code point incremented (strictly above every value
+# sharing the prefix, a sound upper bound).  Pruning only ever KEEPS more
+# files under widened bounds, so every prune path stays correct; exact
+# consumers (aggregate_table_metadata) see the "trunc:<col>" marker and
+# refuse.  Without this, one wide-string stats column (document text,
+# URLs) makes manifest size O(files x value width) — the 100 TB metadata
+# hazard delta-form manifests were built to avoid.
+_STATS_TRUNCATE = 64
+
+
+def _trunc_upper(s: str, n: int) -> str | None:
+    """Shortest string of <= n code points that upper-bounds every string
+    with prefix ``s[:n]``: the prefix with its last incrementable code
+    point bumped (skipping the UTF-16 surrogate gap so code-point order
+    keeps matching Spark's UTF-8 byte order).  None when no such bound
+    exists (prefix entirely U+10FFFF) — caller drops the stats entry."""
+    p = s[:n]
+    for i in range(len(p) - 1, -1, -1):
+        c = ord(p[i])
+        if c >= 0x10FFFF:
+            continue
+        return p[:i] + chr(0xE000 if c == 0xD7FF else c + 1)
+    return None
+
+
 def _file_stats(table: str, files: list[str], cols: list[str]) -> dict:
     """Per-file [min, max] of ``cols`` from the parquet FOOTERS (pyarrow,
     driver-side metadata read — the layout_report mechanics), keyed by
     data-relative path.  Columns a file lacks or carries no stats for
-    are simply absent — pruning treats that as "cannot skip"."""
+    are simply absent — pruning treats that as "cannot skip".
+
+    Every file additionally records its exact footer row count under
+    ``rows:`` (Delta/Iceberg parity) — the key metadata-only COUNTs and
+    per-partition row reporting read; string bounds wider than
+    ``_STATS_TRUNCATE`` are stored widened with a ``trunc:<col>``
+    marker (see above)."""
     import pyarrow.parquet as pq
 
     data = Path(table) / "data"
-    out: dict[str, dict[str, list]] = {}
+    out: dict[str, dict[str, object]] = {}
     for rel in files:
         meta = pq.ParquetFile(str(data / rel)).metadata
+        fstats: dict[str, object] = {_ROWS_KEY: meta.num_rows}
+        out[rel] = fstats
         if not meta.num_row_groups:
             continue
         idx = {
             meta.row_group(0).column(i).path_in_schema: i
             for i in range(meta.num_columns)
         }
-        fstats: dict[str, list] = {}
         for c in cols:
             if c not in idx:
                 continue
@@ -247,10 +288,21 @@ def _file_stats(table: str, files: list[str], cols: list[str]) -> dict:
                     break
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
-            if ok:
+            if not ok:
+                continue
+            if isinstance(lo, str) and (
+                len(lo) > _STATS_TRUNCATE or len(hi) > _STATS_TRUNCATE
+            ):
+                up = (
+                    hi if len(hi) <= _STATS_TRUNCATE
+                    else _trunc_upper(hi, _STATS_TRUNCATE)
+                )
+                if up is None:
+                    continue  # unbounded above: no sound entry possible
+                fstats[c] = [lo[:_STATS_TRUNCATE], up]
+                fstats[_TRUNC_KEY + c] = True
+            else:
                 fstats[c] = [lo, hi]
-        if fstats:
-            out[rel] = fstats
     return out
 
 
@@ -400,10 +452,10 @@ def _new_file_meta(
     """Per-file metadata for freshly staged files: [min,max] footer
     stats for ``stats_cols`` plus bloom entries per ``bloom_conf`` —
     both live in the same per-file dict so every carry/reconstruct
-    path moves them together."""
-    meta: dict[str, dict] = {}
-    if stats_cols:
-        meta = _file_stats(table, files, stats_cols)
+    path moves them together.  Called with stats_cols=None it still
+    records each file's exact ``rows:`` count (one driver-side footer
+    read per NEW file — delta commits touch few)."""
+    meta: dict[str, dict] = _file_stats(table, files, stats_cols or [])
     if bloom_conf and bloom_conf.get("cols"):
         for f, d in _file_blooms(
             spark, table, files, bloom_conf["cols"],
@@ -802,9 +854,7 @@ def _new_file_meta_local(
     import numpy as np
     import pyarrow.parquet as pq
 
-    meta: dict[str, dict] = {}
-    if stats_cols:
-        meta = _file_stats(table, files, stats_cols)
+    meta: dict[str, dict] = _file_stats(table, files, stats_cols or [])
     if bloom_conf and bloom_conf.get("cols"):
         data = Path(table) / "data"
         bits = int(bloom_conf.get("bits", 8192))
@@ -1224,17 +1274,15 @@ def commit_appended_files(
             files = carried + new_files
             total = (hm.get("count") or 0) + count
             deletes = hm.get("deletes")
-        stats = None
-        if stats_cols or bloom_conf:
-            old_stats = hm.get("stats") or {}
-            stats = {f: old_stats[f] for f in carried if f in old_stats}
-            stats.update(
-                _new_file_meta(spark, path, new_files, stats_cols, bloom_conf)
-                if spark is not None
-                else _new_file_meta_local(
-                    path, new_files, stats_cols, bloom_conf
-                )
+        old_stats = hm.get("stats") or {}
+        stats = {f: old_stats[f] for f in carried if f in old_stats}
+        stats.update(
+            _new_file_meta(spark, path, new_files, stats_cols, bloom_conf)
+            if spark is not None
+            else _new_file_meta_local(
+                path, new_files, stats_cols, bloom_conf
             )
+        )
         return _commit(
             path, files, total, h, pb, stats_cols, stats or None,
             bloom_conf=bloom_conf,
@@ -1891,11 +1939,9 @@ def _upsert_table_version_once(
     else:
         carried = []
         total = n_new
-    stats = None
-    if stats_cols or bloom_conf:
-        old_stats = m.get("stats") or {}
-        stats = {f: old_stats[f] for f in carried if f in old_stats}
-        stats.update(_new_file_meta(spark, path, new_files, stats_cols, bloom_conf))
+    old_stats = m.get("stats") or {}
+    stats = {f: old_stats[f] for f in carried if f in old_stats}
+    stats.update(_new_file_meta(spark, path, new_files, stats_cols, bloom_conf))
     return _commit(
         path, carried + new_files, total, head, phys_pb,
         stats_cols, stats, bloom_conf=bloom_conf, op="upsert",
@@ -1995,6 +2041,200 @@ def table_detail(path: str) -> dict:
         "txn": m.get("txn") or {},
         "n_versions": len(list_versions(path)),
         "tags": list_tags(path),
+    }
+
+
+class MetadataInsufficient(ValueError):
+    """The manifest log cannot answer this query EXACTLY — the caller
+    must fall back to the scan-side equivalent over
+    :func:`read_table_version`.  Raised loudly rather than answering
+    approximately: a metadata shortcut that can be silently wrong is
+    worse than no shortcut."""
+
+
+def _resolve_version(path: str, version: int | str | None, as_of) -> int:
+    """version number | tag name | as_of instant | None (head) → the
+    concrete version number (the read_table_version resolution rules)."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        return version_at_timestamp(path, as_of)
+    if isinstance(version, str):
+        tags = list_tags(path)
+        if version not in tags:
+            raise FileNotFoundError(f"no tag {version!r} on {path}")
+        return tags[version]
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    return v
+
+
+_AGG_RE = None  # compiled lazily (module import stays cheap)
+
+
+def aggregate_table_metadata(
+    path: str,
+    exprs: list[str],
+    version: int | str | None = None,
+    as_of=None,
+) -> dict:
+    """Answer ``count(*)`` / ``min(col)`` / ``max(col)`` from the
+    manifest log ALONE — zero data-file reads, zero Spark jobs (Delta's
+    metadata-only-query optimization).  At 100 TB a ``SELECT COUNT(*)``
+    is a full scan without this; here it is one manifest read.
+
+    Exactness is the contract: any situation where the log's answer
+    could differ from a scan raises :class:`MetadataInsufficient`
+    naming the reason —
+
+    - merge-on-read delete sidecars (masked rows could hold the min);
+    - a file missing [min,max] stats for the column (not a stats
+      column, written before stats, or an ALL-NULL file — parquet
+      records no bounds for those, and "no bounds" is indistinguishable
+      from "no stats");
+    - truncated (widened) string bounds — sound for pruning, not exact;
+    - float/double columns (Spark's MIN/MAX order NaN above everything;
+      parquet bounds exclude NaN — divergent);
+    - the partition column (its values live in directory names, typed
+      by Spark's partition inference, not in footer stats).
+
+    MIN/MAX over non-null values matches SQL semantics (parquet bounds
+    exclude nulls); an empty table answers count 0 and min/max None
+    (SQL's NULL).  Column names are LOGICAL (column mapping resolved).
+    Returns {expr: value} keyed by the given strings."""
+    import re
+
+    global _AGG_RE
+    if _AGG_RE is None:
+        _AGG_RE = re.compile(r"^\s*(count|min|max)\s*\(\s*([^()\s]+|\*)\s*\)\s*$", re.I)
+    v = _resolve_version(path, version, as_of)
+    m = _load_manifest(path, v)
+    if m.get("deletes"):
+        raise MetadataInsufficient(
+            f"version {v} of {path} carries merge-on-read delete "
+            "sidecars — masked rows make every metadata answer unsound; "
+            "compact_table_version folds the debt, or scan via "
+            "read_table_version"
+        )
+    stats = m.get("stats") or {}
+    pb = m.get("partition_by") or None
+    out: dict[str, object] = {}
+    for expr in exprs:
+        g = _AGG_RE.match(expr)
+        if not g:
+            raise ValueError(
+                f"unsupported metadata aggregate {expr!r} — the log "
+                "answers count(*), min(col), max(col) only"
+            )
+        fn, arg = g.group(1).lower(), g.group(2)
+        if fn == "count":
+            if arg != "*":
+                raise MetadataInsufficient(
+                    f"count({arg}) needs per-file null counts, which "
+                    "manifests do not record — count(*) or a scan"
+                )
+            out[expr] = m["count"]
+            continue
+        if arg == "*":
+            raise ValueError(f"{fn}(*) is not a thing")
+        cm = _column_map(m)
+        if arg not in cm and arg in cm.values():
+            raise ValueError(
+                f"{arg!r} is a PHYSICAL column name on a column-mapped "
+                "table — query the logical name "
+                f"({ {l for l, p in cm.items() if p == arg}.pop()!r})"
+            )
+        phys = _phys_col(m, arg)
+        if phys == pb:
+            raise MetadataInsufficient(
+                f"{arg!r} is the partition column — its values live in "
+                "directory names (typed by partition inference, not "
+                "footer stats); scan via read_table_version"
+            )
+        best = None
+        for f in m["files"]:
+            fs = stats.get(f) or {}
+            if fs.get(_ROWS_KEY) == 0:
+                # a provably EMPTY file (Spark writes one for the first
+                # task even when it got no rows) contributes nothing —
+                # skipping it is exact, not approximate
+                continue
+            if phys not in fs:
+                raise MetadataInsufficient(
+                    f"file {f!r} of version {v} records no [min,max] for "
+                    f"{arg!r} (not a stats column, pre-stats file, or "
+                    "all-NULL) — scan via read_table_version"
+                )
+            if fs.get(_TRUNC_KEY + phys):
+                raise MetadataInsufficient(
+                    f"{arg!r} bounds in file {f!r} are truncated "
+                    f"(values wider than {_STATS_TRUNCATE} chars) — "
+                    "widened bounds prune soundly but cannot answer "
+                    "min/max exactly; scan via read_table_version"
+                )
+            lo, hi = fs[phys]
+            val = lo if fn == "min" else hi
+            if isinstance(val, float):
+                raise MetadataInsufficient(
+                    f"{arg!r} is floating-point — parquet bounds exclude "
+                    "NaN while Spark's MIN/MAX order NaN above all "
+                    "values; scan via read_table_version"
+                )
+            if best is None or (val < best if fn == "min" else val > best):
+                best = val
+        out[expr] = best  # None == SQL NULL over an empty table
+    return out
+
+
+def table_partitions(
+    path: str, version: int | str | None = None, as_of=None
+) -> dict:
+    """SHOW PARTITIONS from the manifest alone — the partition values
+    of a version with per-partition file counts, byte sizes, and (when
+    every file in the partition records a ``rows:`` footer count and no
+    delete sidecar masks it) exact row counts; ``rows`` is None where
+    the log can't say exactly.  Driver-side metadata only: one manifest
+    read plus one ``stat()`` per file, no Spark job — at 100 TB this is
+    the difference between answering from KBs of metadata and listing a
+    filesystem.  The partition column surfaces under its LOGICAL name;
+    a ``__HIVE_DEFAULT_PARTITION__`` directory surfaces as value None."""
+    v = _resolve_version(path, version, as_of)
+    m = _load_manifest(path, v)
+    pb = m.get("partition_by") or None
+    if pb is None:
+        raise ValueError(f"version {v} of {path} is not partitioned")
+    stats = m.get("stats") or {}
+    masked: set[str] = set()
+    for sc in m.get("deletes") or []:
+        masked.update(sc.get("files") or [])
+    data = Path(path) / "data"
+    from urllib.parse import unquote
+
+    parts: dict[object, dict] = {}
+    for f in m["files"]:
+        seg = f.rsplit("/", 1)[0] if "/" in f else ""
+        raw = seg.partition("=")[2]
+        val = unquote(raw)
+        key = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+        p = parts.setdefault(
+            key, {"value": key, "files": 0, "rows": 0, "bytes": 0}
+        )
+        p["files"] += 1
+        try:
+            p["bytes"] += (data / f).stat().st_size
+        except OSError:
+            pass  # expired out from under us mid-listing
+        n = (stats.get(f) or {}).get(_ROWS_KEY)
+        if p["rows"] is not None and n is not None and f not in masked:
+            p["rows"] += n
+        else:
+            p["rows"] = None
+    return {
+        "column": _logical_pb(m),
+        "partitions": sorted(
+            parts.values(), key=lambda p: (p["value"] is not None, p["value"])
+        ),
     }
 
 
@@ -2608,11 +2848,9 @@ def _delete_table_version_once(
     new_files = _stage_files(survivors, path, partition_by) if n_surv else []
     carried = [f for f in m["files"] if f not in hit]
     total = m["count"] - (n_hit - n_surv)
-    stats = None
-    if stats_cols or bloom_conf:
-        old_stats = m.get("stats") or {}
-        stats = {f: old_stats[f] for f in carried if f in old_stats}
-        stats.update(_new_file_meta(spark, path, new_files, stats_cols, bloom_conf))
+    old_stats = m.get("stats") or {}
+    stats = {f: old_stats[f] for f in carried if f in old_stats}
+    stats.update(_new_file_meta(spark, path, new_files, stats_cols, bloom_conf))
     schema = (
         survivors.schema.jsonValue()  # physical, like everything staged
         if not (carried or new_files)
@@ -2725,12 +2963,10 @@ def _update_table_version_once(
         ]
         stats_cols = m.get("stats_cols") or None
         bloom_conf = m.get("blooms_conf")
-        stats = None
-        if stats_cols or bloom_conf:
-            stats = dict(m.get("stats") or {})
-            stats.update(
-                _new_file_meta(spark, path, new_files, stats_cols, bloom_conf)
-            )
+        stats = dict(m.get("stats") or {})
+        stats.update(
+            _new_file_meta(spark, path, new_files, stats_cols, bloom_conf)
+        )
         return _commit(
             path, m["files"] + new_files, m["count"], head, partition_by,
             stats_cols, stats, bloom_conf=bloom_conf, op="update(mor)",
@@ -2761,11 +2997,9 @@ def _update_table_version_once(
     carried = [f for f in m["files"] if f not in hit]
     stats_cols = m.get("stats_cols") or None
     bloom_conf = m.get("blooms_conf")
-    stats = None
-    if stats_cols or bloom_conf:
-        old_stats = m.get("stats") or {}
-        stats = {f: old_stats[f] for f in carried if f in old_stats}
-        stats.update(_new_file_meta(spark, path, new_files, stats_cols, bloom_conf))
+    old_stats = m.get("stats") or {}
+    stats = {f: old_stats[f] for f in carried if f in old_stats}
+    stats.update(_new_file_meta(spark, path, new_files, stats_cols, bloom_conf))
     return _commit(
         path, carried + new_files, m["count"], head, partition_by,
         stats_cols, stats, bloom_conf=bloom_conf, op="update",
@@ -3058,13 +3292,11 @@ def _merge_table_version_once(
         return head  # nothing matched, nothing to insert
     carried = [f for f in m["files"] if f not in hit]
     total = m["count"] - (n_t - n_out) + n_ins
-    stats = None
-    if stats_cols or bloom_conf:
-        old_stats = m.get("stats") or {}
-        stats = {f: old_stats[f] for f in carried if f in old_stats}
-        stats.update(
-            _new_file_meta(spark, path, new_files, stats_cols, bloom_conf)
-        )
+    old_stats = m.get("stats") or {}
+    stats = {f: old_stats[f] for f in carried if f in old_stats}
+    stats.update(
+        _new_file_meta(spark, path, new_files, stats_cols, bloom_conf)
+    )
     schema = (
         _to_physical(existing.limit(0), m).schema.jsonValue()
         if not (carried or new_files)
@@ -3312,13 +3544,17 @@ def compact_table_version(
     max_files_per_partition: int = 1,
     zorder_by: list[str] | None = None,
     bits_per_col: int = 8,
+    target_file_bytes: int | None = None,
 ) -> int:
     """Concurrent-writer-safe wrapper around one compaction pass (see
     :func:`upsert_table_version` for the conflict protocol).
-    ``zorder_by`` turns the pass into OPTIMIZE ZORDER BY (below)."""
+    ``zorder_by`` turns the pass into OPTIMIZE ZORDER BY;
+    ``target_file_bytes`` turns it into size-targeted bin-packing
+    (both below)."""
     return _retry_conflicts(
         lambda: _compact_table_version_once(
-            spark, path, max_files_per_partition, zorder_by, bits_per_col
+            spark, path, max_files_per_partition, zorder_by, bits_per_col,
+            target_file_bytes,
         ),
         f"compaction of {path}",
     )
@@ -3330,6 +3566,7 @@ def _compact_table_version_once(
     max_files_per_partition: int = 1,
     zorder_by: list[str] | None = None,
     bits_per_col: int = 8,
+    target_file_bytes: int | None = None,
 ) -> int:
     """OPTIMIZE: rewrite fragmented partitions into at most
     ``max_files_per_partition`` files each, committed as a new
@@ -3355,7 +3592,28 @@ def _compact_table_version_once(
     on ANY clustered column skip most files — the re-layout step that
     makes manifest stats pruning actually bite after random-order
     ingestion.  File budget: ``max_files_per_partition`` × the head's
-    partition-directory count (one unit when unpartitioned)."""
+    partition-directory count (one unit when unpartitioned).
+
+    ``target_file_bytes`` (Delta OPTIMIZE bin-packing parity, r10 s3):
+    instead of a uniform file-count threshold, each partition's target
+    output count is ``ceil(partition_bytes / target_file_bytes)`` and
+    only partitions where merging actually REDUCES the file count
+    rewrite — a partition holding one over-target file is never
+    touched (no file splitting, like Delta), and a 100-partition table
+    with one hot fragmented partition rewrites exactly that one.  The
+    packing is approximate by design: byte sizes are the compressed
+    on-disk sizes (recompression shifts them), and slot allocation can
+    merge adjacent slots (files land OVER target rather than under —
+    the cheap direction, fewer-larger files).  Mutually exclusive with
+    ``zorder_by``; ``max_files_per_partition`` is ignored when set."""
+    if target_file_bytes is not None:
+        if zorder_by:
+            raise ValueError(
+                "target_file_bytes does not compose with zorder_by — "
+                "run the z-order pass first, then size-compact"
+            )
+        if target_file_bytes <= 0:
+            raise ValueError("target_file_bytes must be positive")
     head = latest_version(path)
     if head is None:
         raise FileNotFoundError(f"no committed versions under {path}")
@@ -3386,11 +3644,8 @@ def _compact_table_version_once(
         )
         new_files = _stage_files(rewritten, path, partition_by)
         bloom_conf = m.get("blooms_conf")
-        stats = (
-            _new_file_meta(spark, path, new_files, stats_cols, bloom_conf)
-            or None
-            if (stats_cols or bloom_conf)
-            else None
+        stats = _new_file_meta(
+            spark, path, new_files, stats_cols, bloom_conf
         )
         return _commit(
             path, new_files, m["count"], head, partition_by,
@@ -3402,10 +3657,23 @@ def _compact_table_version_once(
     masked = set()
     for d in m.get("deletes") or []:
         masked.update(part_of(f) for f in d["files"])
-    fragmented = sorted(
-        p for p, fs in by_part.items()
-        if len(fs) > max_files_per_partition or p in masked
-    )
+    n_out: dict[str, int] = {}
+    if target_file_bytes is not None:
+        import math
+
+        data_dir = Path(path) / "data"
+        for p, fs in by_part.items():
+            part_bytes = sum((data_dir / f).stat().st_size for f in fs)
+            n_out[p] = max(1, math.ceil(part_bytes / target_file_bytes))
+        fragmented = sorted(
+            p for p, fs in by_part.items()
+            if len(fs) > n_out[p] or p in masked
+        )
+    else:
+        fragmented = sorted(
+            p for p, fs in by_part.items()
+            if len(fs) > max_files_per_partition or p in masked
+        )
     if not fragmented:
         return head  # nothing to do — no empty commits
     if partition_by:
@@ -3417,25 +3685,49 @@ def _compact_table_version_once(
         frag = set(fragmented)
         data = str(Path(path) / "data")
         frag_files = [f for f in m["files"] if part_of(f) in frag]
+        carried = [f for f in m["files"] if part_of(f) not in frag]
+    else:
+        data = str(Path(path) / "data")
+        frag_files = list(m["files"])
+        carried = []
+    if target_file_bytes is None:
         # deletes-aware: compaction FOLDS sidecars for the partitions it
         # rewrites (masked rows physically drop, the sidecar's scope
         # shrinks to the carried files)
         scope = _plan_with_deletes(spark, data, frag_files, m.get("deletes"))
-        carried = [f for f in m["files"] if part_of(f) not in frag]
+        rewritten = scope.coalesce(max_files_per_partition)
     else:
-        data = str(Path(path) / "data")
-        scope = _plan_with_deletes(
-            spark, data, m["files"], m.get("deletes")
-        )
-        carried = []
-    rewritten = scope.coalesce(max_files_per_partition)
+        # size-targeted bin-pack: route each row to one of its
+        # partition's ceil(bytes/target) output slots.  Fragmented
+        # files group BY SLOT COUNT into one plan branch each (distinct
+        # counts are few — log-ish in partition sizes), every branch
+        # carrying its count as a literal, so no input_file_name (it is
+        # rejected over the MoR anti-join union) and no directory-name
+        # round-trip (the ADVICE-r7 escaping lesson).  Slot assignment
+        # is a wide row hash mod the count (duplicates colocate); the
+        # range exchange keeps (partition, slot) groups contiguous so
+        # output files stay single-partition-value.
+        by_n: dict[int, list[str]] = {}
+        for f in frag_files:
+            by_n.setdefault(n_out[part_of(f)], []).append(f)
+        total = sum(n_out[p] for p in fragmented) or 1
+        keyed = None
+        for n, fs in sorted(by_n.items()):
+            b = _plan_with_deletes(spark, data, fs, m.get("deletes"))
+            slot = F.pmod(
+                F.xxhash64(*[F.col(c) for c in b.columns]), F.lit(n)
+            )
+            b = b.withColumn("__slot", slot)
+            keyed = b if keyed is None else keyed.unionByName(b)
+        cols = ([F.col(partition_by)] if partition_by else []) + [
+            F.col("__slot")
+        ]
+        rewritten = keyed.repartitionByRange(total, *cols).drop("__slot")
     new_files = _stage_files(rewritten, path, partition_by)
     bloom_conf = m.get("blooms_conf")
-    stats = None
-    if stats_cols or bloom_conf:
-        old_stats = m.get("stats") or {}
-        stats = {f: old_stats[f] for f in carried if f in old_stats}
-        stats.update(_new_file_meta(spark, path, new_files, stats_cols, bloom_conf))
+    old_stats = m.get("stats") or {}
+    stats = {f: old_stats[f] for f in carried if f in old_stats}
+    stats.update(_new_file_meta(spark, path, new_files, stats_cols, bloom_conf))
     return _commit(
         path, carried + new_files, m["count"], head, partition_by,
         stats_cols, stats, bloom_conf=bloom_conf, op="compact",
