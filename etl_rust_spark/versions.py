@@ -261,7 +261,14 @@ def _file_stats(table: str, files: list[str], cols: list[str]) -> dict:
     ``rows:`` (Delta/Iceberg parity) — the key metadata-only COUNTs and
     per-partition row reporting read; string bounds wider than
     ``_STATS_TRUNCATE`` are stored widened with a ``trunc:<col>``
-    marker (see above)."""
+    marker (see above).
+
+    Caveat (measured r10 s3, SCALE.md): parquet-mr OMITS footer
+    min/max whenever min+max together exceed 4 KB, so a stats column
+    over document-body text records no bounds at all — those files
+    simply lack the entry and pruning keeps them.  Range stats belong
+    on keys/URLs/timestamps; document text wants a fingerprint or
+    bloom column instead."""
     import pyarrow.parquet as pq
 
     data = Path(table) / "data"
