@@ -394,7 +394,11 @@ def main(argv: list[str] | None = None) -> int:
         "--update-condition", default=None, metavar="SQL",
         help="extra AND condition on --matched-update",
     )
-    pv.add_argument("--partition-by", default=None)
+    pv.add_argument(
+        "--partition-by", default=None,
+        help="partition column, or a hidden-partitioning transform: "
+        "days(ts) | hours(ts) | bucket(n,col) | truncate(w,col)",
+    )
     pv.add_argument(
         "--read", default=None, metavar="V",
         help="time-travel: write version V ('latest' ok) to --out",
@@ -783,20 +787,33 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
     elif args.cmd == "table":
+        import re as _re
+
         from etl_rust_spark import versions as _v
 
+        pb = args.partition_by
+        tm = _re.fullmatch(r"(\w+)\(([^()]*)\)", pb) if pb else None
+        if tm:  # days(ts) / hours(ts) / bucket(8,k) / truncate(4,url)
+            kind, inner = tm.group(1), [
+                a.strip() for a in tm.group(2).split(",")
+            ]
+            pb = (
+                (kind, inner[1], int(inner[0]))
+                if len(inner) == 2
+                else (kind, inner[0])
+            )
         out: dict = {}
         if args.snapshot:
             out["version"] = _v.write_table_version(
                 spark.read.parquet(args.snapshot), args.table,
-                partition_by=args.partition_by,
+                partition_by=pb,
             )
         if args.upsert:
             if not args.keys:
                 p.error("--upsert requires --keys")
             out["version"] = _v.upsert_table_version(
                 spark, args.table, spark.read.parquet(args.upsert),
-                keys=args.keys.split(","), partition_by=args.partition_by,
+                keys=args.keys.split(","), partition_by=pb,
             )
         if args.restore is not None:
             v = int(args.restore) if args.restore.isdigit() else args.restore

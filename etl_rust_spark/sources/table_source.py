@@ -154,8 +154,24 @@ def _part_of(table: str, rel: str) -> tuple[str | None, str | None]:
 def _read_slice(table: str, s: _FileSlice, schema_cols: list[str]) -> Iterator[tuple]:
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(str(Path(table) / "data" / s.path))
+    fpath = str(Path(table) / "data" / s.path)
+    tbl = pq.read_table(fpath)
     pdf = tbl.to_pandas()
+    # Columns Spark reads as TimestampType (UTC-adjusted micros, or
+    # INT96 which arrow surfaces TZ-NAIVE) must be tz-aware before the
+    # DataSource harness converts them — a naive Timestamp makes its
+    # tz_convert throw on every timestamp table (r10 s3 find).  The
+    # parquet-level canon already decides utc-vs-ntz the way Spark will.
+    from etl_rust_spark.versions import _footer_canon
+
+    canon = _footer_canon(fpath)
+    for c in pdf.columns:
+        if (
+            canon.get(c) == "ts:utc"
+            and str(pdf[c].dtype).startswith("datetime64")
+            and getattr(pdf[c].dtype, "tz", None) is None
+        ):
+            pdf[c] = pdf[c].dt.tz_localize("UTC")
     if s.part_col is not None:
         pdf[s.part_col] = s.part_val
     # s.phys_cols: the files' PHYSICAL names, positionally matching the
@@ -207,9 +223,12 @@ class _TableBatchReader(DataSourceReader):
                 "compact_table_version to fold the debt first"
             )
         phys = _phys_cols_of(m, self.schema_cols)
+        hidden = bool(m.get("partition_transform"))
         out = []
         for f in m["files"]:
-            col, val = _part_of(t, f)
+            # hidden partitioning: the directory value is DERIVED from a
+            # payload column the files already carry — never surface it
+            col, val = (None, None) if hidden else _part_of(t, f)
             out.append(_FileSlice(f, col, val, phys))
         return out
 
@@ -308,8 +327,9 @@ class _TableStreamReader(DataSourceStreamReader):
                     "versions, or consume the CDC feed "
                     "(read_table_changes / sync_table_changes) instead"
                 )
+            hidden = bool(m.get("partition_transform"))
             for f in added:
-                col, val = _part_of(t, f)
+                col, val = (None, None) if hidden else _part_of(t, f)
                 out.append(_FileSlice(f, col, val, self._phys))
         # Spark requires >= 1 partition per batch
         return out or [_FileSlice("", None, None)]
@@ -390,6 +410,15 @@ def _resolve_layout(table: str) -> tuple[str | None, dict[str, str]]:
     if head is None:
         return None, {}
     m = _load_manifest(table, head)
+    if m.get("partition_transform"):
+        raise ValueError(
+            f"table {table} is hidden-partitioned "
+            f"({m['partition_transform']['kind']} of "
+            f"{m['partition_transform']['source']!r}) — the "
+            "versioned_table sink cannot derive transform directories "
+            "yet; append via versions.upsert_table_version or "
+            "commit_appended_files with explicit segments"
+        )
     return m.get("partition_by") or None, dict(m.get("column_map") or {})
 
 
@@ -596,8 +625,10 @@ class VersionedTableDataSource(DataSource):
             for name in pa_schema.names
         ]
         col, _ = _part_of(opts.table, first)
-        if col is not None:
-            # hive directory values surface as STRING (documented)
+        if col is not None and not m.get("partition_transform"):
+            # hive directory values surface as STRING (documented);
+            # a TRANSFORM directory is derived from a payload column the
+            # schema already carries — hidden, never surfaced
             fields.append(f"{inv.get(col, col)} string")
         return ", ".join(fields)
 

@@ -503,7 +503,8 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
             constraints: dict | None | type(...) = ...,
             txn: dict | None | type(...) = ...,
             properties: dict | None | type(...) = ...,
-            column_map: dict | None | type(...) = ...) -> int:
+            column_map: dict | None | type(...) = ...,
+            transform: dict | None | type(...) = ...) -> int:
     """Optimistic-concurrency commit (r8, VERDICT r7 #5).
 
     ``parent`` is the head this commit's content was computed AGAINST.
@@ -569,6 +570,16 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
             # ops (which stage PHYSICAL); full re-snapshot ops pass
             # None explicitly — they re-baseline physical = logical
             column_map = phead.get("column_map")
+        if transform is ...:
+            # a partition TRANSFORM rides its synthetic directory
+            # column: inherited exactly while the commit keeps the
+            # parent's partition_by; re-partitioning (alter) names a
+            # different column and the transform drops with the layout
+            transform = (
+                phead.get("partition_transform")
+                if phead.get("partition_by") == partition_by
+                else None
+            )
     else:
         if constraints is ...:
             constraints = None
@@ -578,6 +589,8 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
             properties = None
         if column_map is ...:
             column_map = None
+        if transform is ...:
+            transform = None
     manifest = {
         # stamp the MINIMUM format this manifest requires (readers
         # compare against the max they understand); a column_map below
@@ -618,6 +631,12 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
     if column_map:
         manifest["column_map"] = column_map
         manifest["format"] = 2  # format-1 readers must refuse, not misread
+    if transform:
+        # hidden partitioning: the directory column is DERIVED — readers
+        # that don't know transforms would surface the synth column and
+        # mistype it, so the format gate covers it too
+        manifest["partition_transform"] = transform
+        manifest["format"] = max(manifest["format"], 2)
     if op:
         manifest["op"] = op  # DESCRIBE HISTORY: what produced this version
     if parent and schema is None:
@@ -667,6 +686,9 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
                     if column_map:
                         manifest["column_map"] = column_map
                         manifest["format"] = 2
+                    if transform:
+                        manifest["partition_transform"] = transform
+                        manifest["format"] = max(manifest["format"], 2)
                     if op:
                         manifest["op"] = op
     mp = _manifest_path(path, version)
@@ -705,7 +727,7 @@ def _commit(path: str, files: list[str], count: int, parent: int | None,
             return _commit(
                 path, files, count, parent, partition_by, stats_cols,
                 stats, schema, bloom_conf, op, deletes, constraints, txn,
-                properties, column_map,
+                properties, column_map, transform,
             )
         _bump("commit_conflicts_total")
         raise CommitConflict(
@@ -917,7 +939,152 @@ def _logical_pb(m: dict) -> str | None:
     return inv.get(pb, pb)
 
 
+# --------------------------------------------- hidden partition transforms
+# (Iceberg partition-transform shaped, r10 s3): the table partitions on a
+# DERIVED value — days(ts), bucket(n, k), truncate(w, s) — materialized
+# as a synthetic STRING column that exists ONLY in directory names, never
+# in the user schema or the payload parquet.  The invariant mirrors
+# column mapping: everything under data/ is physical (directories carry
+# the synth value; payload files never do — partitionBy excludes it),
+# and the API boundary converts — _to_logical DROPS the synth column,
+# _to_physical RE-DERIVES it from the source column (the transform is a
+# pure expression, so recomputation is exact and survives UPDATEs to the
+# source value: the row simply moves to its new directory).  Synth
+# values are strings by construction so directory round-trips are
+# engine-stable; physical reads cast the inferred directory column back
+# to string (Spark's partition inference would type '2026-01-01' as
+# DATE, which would desynchronize MoR fingerprints).
+
+
+def _transform_of(m: dict) -> dict | None:
+    return m.get("partition_transform") or None
+
+
+def _synth_of(m: dict) -> str | None:
+    """The synthetic partition column's name, or None for identity
+    partitioning."""
+    return m.get("partition_by") if _transform_of(m) else None
+
+
+def _transform_expr(t: dict, source: str | None = None):
+    """The transform as a Column over ``source`` (default: the recorded
+    physical source column).  All transforms yield STRINGS."""
+    src = F.col(source or t["source"])
+    kind = t["kind"]
+    if kind == "days":
+        return F.date_format(src, "yyyy-MM-dd")
+    if kind == "hours":
+        return F.date_format(src, "yyyy-MM-dd-HH")
+    if kind == "bucket":
+        # engine-native wide hash mod n — deterministic across sessions
+        return F.pmod(F.xxhash64(src), F.lit(int(t["n"]))).cast("string")
+    if kind == "truncate":
+        return F.substring(src, 1, int(t["n"]))
+    raise ValueError(f"unknown partition transform kind {kind!r}")
+
+
+def _parse_partition_spec(partition_by, df: DataFrame | None):
+    """A user partition spec → (directory column name, transform dict).
+    A plain string is identity partitioning (transform None); a tuple is
+    ``("days"|"hours", source)`` or ``("bucket"|"truncate", source, n)``."""
+    if partition_by is None or isinstance(partition_by, str):
+        return partition_by, None
+    spec = list(partition_by)
+    kind = spec[0]
+    if kind in ("days", "hours"):
+        if len(spec) != 2:
+            raise ValueError(f"partition_by=({kind!r}, source)")
+        t = {"kind": kind, "source": spec[1]}
+    elif kind in ("bucket", "truncate"):
+        if len(spec) != 3 or int(spec[2]) <= 0:
+            raise ValueError(f"partition_by=({kind!r}, source, n>0)")
+        t = {"kind": kind, "source": spec[1], "n": int(spec[2])}
+    else:
+        raise ValueError(
+            f"unknown partition transform {kind!r} — days | hours | "
+            "bucket | truncate"
+        )
+    if df is not None:
+        if t["source"] not in df.columns:
+            raise ValueError(
+                f"transform source column {t['source']!r} is not in the "
+                "DataFrame"
+            )
+        dt = dict(df.dtypes)[t["source"]]
+        if kind in ("days", "hours") and not dt.startswith(("timestamp", "date")):
+            raise ValueError(f"{kind} transform needs a timestamp/date "
+                             f"source; {t['source']!r} is {dt}")
+        if kind == "truncate" and dt != "string":
+            raise ValueError(f"truncate transform needs a string source; "
+                             f"{t['source']!r} is {dt}")
+    n = t.get("n")
+    synth = f"_p_{kind}{n if n is not None else ''}_{t['source']}"
+    return synth, t
+
+
+def _seg_value_of(rel: str):
+    """A data-relative file path's partition directory value (unescaped),
+    or None for __HIVE_DEFAULT_PARTITION__ / unpartitioned files."""
+    from urllib.parse import unquote
+
+    if "/" not in rel:
+        return None
+    raw = rel.rsplit("/", 1)[0].partition("=")[2]
+    val = unquote(raw)
+    return None if val == "__HIVE_DEFAULT_PARTITION__" else val
+
+
+def _transform_prune_keep(t: dict, seg, prunes: list[tuple]) -> bool:
+    """Directory-level pruning for transform tables: can a file whose
+    partition value is ``seg`` hold a row matching every (source-column)
+    range in ``prunes``?  Sound by the same widened-bounds argument as
+    stats pruning — unknown cases KEEP the file.  days: lexicographic
+    yyyy-MM-dd compare against day-prefixes of ISO-ish bounds; truncate:
+    prefix-interval intersection.  bucket/hours directory pruning is
+    deliberately absent (bucket needs the engine's hash driver-side;
+    blooms cover point lookups)."""
+    import datetime as _dt
+
+    if seg is None:
+        return True  # NULL-source rows: never prune on a range
+    kind = t["kind"]
+    if kind == "days":
+        def day_of(v):
+            if isinstance(v, (_dt.datetime, _dt.date)):
+                return v.isoformat()[:10]
+            if isinstance(v, str) and len(v) >= 10:
+                d = v[:10]
+                if d[4] == "-" and d[7] == "-":
+                    return d
+            return None
+        for _, lo, hi in prunes:
+            lo_d = day_of(lo) if lo is not None else None
+            hi_d = day_of(hi) if hi is not None else None
+            if (hi_d is not None and seg > hi_d) or (
+                lo_d is not None and seg < lo_d
+            ):
+                return False
+        return True
+    if kind == "truncate":
+        upper = _trunc_upper(seg, len(seg)) if seg else None
+        for _, lo, hi in prunes:
+            if hi is not None and isinstance(hi, str) and seg > hi:
+                return False
+            if (
+                lo is not None
+                and isinstance(lo, str)
+                and upper is not None
+                and upper <= lo
+            ):
+                return False
+        return True
+    return True
+
+
 def _to_logical(df: DataFrame, m: dict) -> DataFrame:
+    synth = _synth_of(m)
+    if synth and synth in df.columns:
+        df = df.drop(synth)
     cm = _column_map(m)
     if not cm:
         return df
@@ -927,9 +1094,15 @@ def _to_logical(df: DataFrame, m: dict) -> DataFrame:
 
 def _to_physical(df: DataFrame, m: dict) -> DataFrame:
     cm = _column_map(m)
-    if not cm:
-        return df
-    return df.select(*[F.col(c).alias(cm.get(c, c)) for c in df.columns])
+    if cm:
+        df = df.select(*[F.col(c).alias(cm.get(c, c)) for c in df.columns])
+    t = _transform_of(m)
+    synth = _synth_of(m)
+    if t and synth and synth not in df.columns:
+        # re-derive from the (physical) source column — pure expression,
+        # so a row whose source value changed lands in its NEW directory
+        df = df.withColumn(synth, _transform_expr(t))
+    return df
 
 
 _HIVE_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
@@ -1503,13 +1676,28 @@ def write_table_version(
     spans the domain and range stats prune nothing — still skip files.
     Both kinds of per-file metadata are inherited by upserts, deletes
     and compactions: carried files keep their entries, new files pay
-    one footer read + one bloom scan."""
+    one footer read + one bloom scan.
+
+    ``partition_by`` accepts a HIDDEN-PARTITIONING transform tuple
+    (Iceberg-shaped, r10 s3): ``("days", ts_col)`` / ``("hours",
+    ts_col)`` / ``("bucket", col, n)`` / ``("truncate", str_col, w)``.
+    The table partitions on the DERIVED value — materialized only in
+    directory names, never in the user schema — so reads return the
+    original columns, range predicates on the SOURCE column prune
+    whole directories (days/truncate), and DML routes rows by the
+    recomputed transform (an UPDATE that changes the source value
+    moves the row to its new directory).  The user never materializes
+    or maintains a partition column — the 100 TB ergonomics win hidden
+    partitioning exists for."""
     head0 = latest_version(path)
     if head0 is not None:
         _validate_constraints(
             df, _load_manifest(path, head0).get("constraints"),
             f"snapshot of {path}",
         )
+    partition_by, transform = _parse_partition_spec(partition_by, df)
+    if transform:
+        df = df.withColumn(partition_by, _transform_expr(transform))
     n = df.count()
     files = _stage_files(df, path, partition_by)
     bloom_conf = (
@@ -1527,6 +1715,7 @@ def write_table_version(
             path, files, n, latest_version(path), partition_by,
             stats_cols, stats, bloom_conf=bloom_conf, op="snapshot",
             column_map=None,  # full snapshot: physical = logical again
+            transform=transform,
         ),
         f"snapshot of {path}",
     )
@@ -1592,13 +1781,21 @@ def _carry_deletes(
 def _plan_with_deletes(
     spark: SparkSession, data: str, files: list[str],
     deletes: list[dict] | None,
+    synth: str | None = None,
 ) -> DataFrame:
     """Plan ``files`` with MoR sidecars applied: files are grouped by
     their APPLICABLE sidecar set (usually one or two groups — most
     files have none), each group anti-joins the broadcast union of its
     sidecars' fingerprints, groups union back.  Cost model at 100 TB:
     the delete side is KBs–MBs (broadcast, no shuffle of the data
-    side); untouched file groups pay nothing."""
+    side); untouched file groups pay nothing.
+
+    ``synth`` (transform tables): the synthetic partition column is
+    cast back to STRING immediately after the read — partition
+    inference would type '2026-01-01' directories as DATE and bucket
+    digits as INT, which would desynchronize the fingerprint encoding
+    between the read-side anti-join here and the sidecar build (both
+    must see the same dtype)."""
     by_sidecars: dict[tuple[str, ...], list[str]] = {}
     scoped = [
         (d["path"], frozenset(d["files"])) for d in (deletes or [])
@@ -1611,6 +1808,8 @@ def _plan_with_deletes(
         df = spark.read.option("basePath", data).parquet(
             *[f"{data}/{f}" for f in fs]
         )
+        if synth and synth in df.columns:
+            df = df.withColumn(synth, F.col(synth).cast("string"))
         if sidecars:
             dd = spark.read.parquet(
                 *[f"{data}/{s}" for s in sidecars]
@@ -1753,8 +1952,20 @@ def read_table_version(
                  for c, val in point]
     if prune or point:
         stats = m.get("stats") or {}
+        # hidden partitioning: prunes on the transform SOURCE column
+        # additionally skip whole directories (days/truncate mapping)
+        t = _transform_of(m)
+        t_prunes = (
+            [pr for pr in prune or [] if pr[0] == t["source"]]
+            if t
+            else []
+        )
 
         def keep(f: str) -> bool:
+            if t_prunes and not _transform_prune_keep(
+                t, _seg_value_of(f), t_prunes
+            ):
+                return False
             fs = stats.get(f)
             if not fs:
                 return True
@@ -1789,7 +2000,8 @@ def read_table_version(
     # zero-cost branch inside.  The column map applies LAST: sidecar
     # fingerprints and partition columns are physical underneath
     return _to_logical(
-        _plan_with_deletes(spark, data, files, m.get("deletes")), m
+        _plan_with_deletes(spark, data, files, m.get("deletes"),
+                           _synth_of(m)), m
     )
 
 
@@ -1854,12 +2066,27 @@ def _upsert_table_version_once(
     else:
         stats_cols = [_phys_col(m, c) for c in stats_cols]
     bloom_conf = m.get("blooms_conf")
-    if _logical_pb(m) != (partition_by or None):
+    phys_pb = m.get("partition_by") or None
+    t_head = _transform_of(m)
+    if t_head is not None:
+        # the table's layout is authoritative: accept the matching
+        # transform tuple (or None) — a mismatched spec must not
+        # silently re-route rows
+        if (
+            partition_by is not None
+            and _parse_partition_spec(partition_by, None)[1] != t_head
+        ):
+            raise ValueError(
+                f"table {path} is hidden-partitioned by "
+                f"{t_head['kind']}({t_head['source']}) — pass "
+                "partition_by=None or the matching transform tuple"
+            )
+        partition_by = None
+    elif _logical_pb(m) != (partition_by or None):
         raise ValueError(
             f"table is partitioned by {_logical_pb(m)!r}, "
             f"upsert requested {partition_by!r}"
         )
-    phys_pb = m.get("partition_by") or None
     if not m["files"]:
         # the table was fully emptied (delete_table_version of every
         # row): re-seed with a full snapshot on the SAME version chain.
@@ -1898,17 +2125,45 @@ def _upsert_table_version_once(
         ).unionByName(delta)
         n = merged.count()
         # a full re-snapshot staged from the LOGICAL frame re-baselines
-        # any column mapping: physical = logical again
-        files = _stage_files(merged, path, partition_by)
+        # any column mapping: physical = logical again — including the
+        # transform's SOURCE column name, so the transform re-baselines
+        # with it (new synth directory name if the source was renamed)
+        t_new = None
+        stage_pb = partition_by
+        if t_head is not None:
+            inv = {p: l for l, p in _column_map(m).items()}
+            src_l = inv.get(t_head["source"], t_head["source"])
+            t_new = {**t_head, "source": src_l}
+            stage_pb = (
+                f"_p_{t_new['kind']}{t_new.get('n', '')}_{src_l}"
+            )
+            merged = merged.withColumn(
+                stage_pb, _transform_expr(t_new, src_l)
+            )
+        files = _stage_files(merged, path, stage_pb)
         stats = _new_file_meta(spark, path, files, stats_cols, bloom_conf) or None
         return _commit(
-            path, files, n, head, partition_by, stats_cols, stats,
+            path, files, n, head, stage_pb, stats_cols, stats,
             bloom_conf=bloom_conf, op="upsert-evolve", column_map=None,
+            transform=t_new,
         )
-    if partition_by:
+    if t_head is not None:
+        # hidden partitioning: dirty partitions are the delta's
+        # TRANSFORMED source values — the same pure expression computed
+        # over the logical frames (user never materializes the column)
+        inv = {p: l for l, p in _column_map(m).items()}
+        part_expr = _transform_expr(
+            t_head, inv.get(t_head["source"], t_head["source"])
+        )
+    elif partition_by:
+        part_expr = F.col(partition_by)
+    else:
+        part_expr = None
+    if part_expr is not None:
         dirty = [
             r[0]
-            for r in delta.select(partition_by).distinct().collect()
+            for r in delta.select(part_expr.alias("__p"))
+            .distinct().collect()
         ]
         if any(d is None for d in dirty):
             raise ValueError(
@@ -1917,7 +2172,7 @@ def _upsert_table_version_once(
                 "Spark routes them to __HIVE_DEFAULT_PARTITION__); "
                 "route them through a full snapshot instead"
             )
-        scope = existing.filter(F.col(partition_by).isin(dirty))
+        scope = existing.filter(part_expr.isin(dirty))
     else:
         scope = existing
     merged = scope.join(
@@ -1925,7 +2180,7 @@ def _upsert_table_version_once(
     ).unionByName(delta)
     n_new = merged.count()
     new_files = _stage_files(_to_physical(merged, m), path, phys_pb)
-    if partition_by:
+    if part_expr is not None:
         # Files of CLEAN partitions carry over untouched.  Dirty
         # DIRECTORY names are taken from the files Spark itself just
         # staged — same engine, same Hive escaping (':' → '%3A',
@@ -1938,8 +2193,7 @@ def _upsert_table_version_once(
         ]
         total = (
             existing.filter(
-                F.col(partition_by).isNull()
-                | ~F.col(partition_by).isin(dirty)
+                part_expr.isNull() | ~part_expr.isin(dirty)
             ).count()
             + n_new
         )
@@ -2011,6 +2265,7 @@ def clone_table(src: str, dst: str, version: int | str | None = None) -> int:
         constraints=m.get("constraints"),
         properties=m.get("properties"),
         column_map=m.get("column_map"),
+        transform=m.get("partition_transform"),
     )
 
 
@@ -2037,6 +2292,7 @@ def table_detail(path: str) -> dict:
         "num_files": len(m["files"]),
         "size_bytes": size,
         "partition_by": m.get("partition_by") or None,
+        "partition_transform": m.get("partition_transform") or None,
         "stats_cols": m.get("stats_cols") or None,
         "bloom_cols": (m.get("blooms_conf") or {}).get("cols"),
         "constraints": m.get("constraints") or {},
@@ -2239,6 +2495,7 @@ def table_partitions(
             p["rows"] = None
     return {
         "column": _logical_pb(m),
+        "transform": _transform_of(m),
         "partitions": sorted(
             parts.values(), key=lambda p: (p["value"] is not None, p["value"])
         ),
@@ -2270,6 +2527,7 @@ def restore_table_version(path: str, version: int | str) -> int:
             m.get("stats") or None, m.get("schema"),
             m.get("blooms_conf"), f"restore({version})",
             m.get("deletes"), column_map=m.get("column_map"),
+            transform=m.get("partition_transform"),
         )
 
     return _retry_conflicts(once, f"restore of {path}")
@@ -2412,9 +2670,33 @@ def alter_table_version(
     def follow(c: str | None) -> str | None:
         return rename.get(c, c) if c is not None else None
 
-    partition_by = (
-        follow(old_partition_by) if new_partition_by is ... else new_partition_by
-    )
+    # hidden partitioning: the synth column is never in the logical
+    # frame, so the transform (not the directory column) is what
+    # evolves — it follows renames/casts of its SOURCE column, and
+    # dropping the source needs an explicit new layout.  Passing a
+    # transform TUPLE as new_partition_by sets hidden partitioning
+    # via ALTER.
+    t_head = _transform_of(m)
+    t_new = None
+    if new_partition_by is ...:
+        if t_head is not None:
+            inv = {p: l for l, p in _column_map(m).items()}
+            src_l = inv.get(t_head["source"], t_head["source"])
+            if src_l in drop:
+                raise ValueError(
+                    f"cannot drop {src_l!r} — it is the source of the "
+                    f"table's {t_head['kind']} partition transform; "
+                    "choose new_partition_by"
+                )
+            t_new = {**t_head, "source": follow(src_l)}
+            partition_by = (
+                f"_p_{t_new['kind']}{t_new.get('n', '')}_{t_new['source']}"
+            )
+        else:
+            partition_by = follow(old_partition_by)
+    else:
+        partition_by, t_new = _parse_partition_spec(new_partition_by, None)
+
     def _src(c: str):
         return F.col(c).cast(cast[c]) if c in cast else F.col(c)
 
@@ -2451,6 +2733,16 @@ def alter_table_version(
                 f"{lossy} — ALTER COLUMN TYPE is widening-only; route "
                 "lossy conversions through an explicit UPDATE first"
             )
+    if t_new is not None:
+        # validate the (possibly new) transform against the RESULT
+        # schema, then materialize the directory column for staging
+        _parse_partition_spec(
+            (t_new["kind"], t_new["source"], t_new["n"])
+            if "n" in t_new
+            else (t_new["kind"], t_new["source"]),
+            out,
+        )
+        out = out.withColumn(partition_by, _transform_expr(t_new))
     if partition_by is not None and partition_by not in out.columns:
         raise ValueError(f"partition column {partition_by!r} not in result")
     # constraints must still RESOLVE against the altered schema (a
@@ -2470,7 +2762,7 @@ def alter_table_version(
             lambda: _commit(
                 path, [], 0, latest_version(path), partition_by,
                 stats_cols, None, out.schema.jsonValue(), bloom_conf,
-                "alter", column_map=None,
+                "alter", column_map=None, transform=t_new,
             ),
             f"alter of {path}",
         )
@@ -2481,6 +2773,7 @@ def alter_table_version(
             path, files, n, latest_version(path), partition_by,
             stats_cols, stats, bloom_conf=bloom_conf, op="alter",
             column_map=None,  # full re-snapshot: physical = logical
+            transform=t_new,
         ),
         f"alter of {path}",
     )
@@ -2691,8 +2984,18 @@ def _files_matching(
                  for c, val in point]
     if prune or point:
         stats = m.get("stats") or {}
+        t = _transform_of(m)
+        t_prunes = (
+            [pr for pr in prune or [] if pr[0] == t["source"]]
+            if t
+            else []
+        )
 
         def keep(f: str) -> bool:
+            if t_prunes and not _transform_prune_keep(
+                t, _seg_value_of(f), t_prunes
+            ):
+                return False
             fs = stats.get(f)
             if not fs:
                 return True
@@ -2820,7 +3123,7 @@ def _delete_table_version_once(
     # rows must neither resurrect into rewritten files (CoW) nor count
     # as matches (both modes)
     hdf = _plan_with_deletes(
-        spark, data, sorted(hit), m.get("deletes")
+        spark, data, sorted(hit), m.get("deletes"), _synth_of(m)
     )
     ldf = _to_logical(hdf, m)  # user predicate space
     stats_cols = m.get("stats_cols") or None
@@ -2927,7 +3230,8 @@ def _update_table_version_once(
     partition_by = m.get("partition_by") or None
     # deletes-aware: MoR-masked rows must not resurrect into the
     # rewritten files (their sidecar scope ends with the rewrite)
-    hdf = _plan_with_deletes(spark, data, sorted(hit), m.get("deletes"))
+    hdf = _plan_with_deletes(spark, data, sorted(hit), m.get("deletes"),
+                             _synth_of(m))
     ldf = _to_logical(hdf, m)  # SET names / predicates are logical
     unknown = [c for c in set if c not in ldf.columns]
     if unknown:
@@ -3126,7 +3430,8 @@ def _merge_table_version_once(
     data_abs = (Path(path) / "data").resolve()
     data = str(Path(path) / "data")
     existing = _to_logical(
-        _plan_with_deletes(spark, data, m["files"], m.get("deletes")), m
+        _plan_with_deletes(spark, data, m["files"], m.get("deletes"),
+                           _synth_of(m)), m
     )
     if upd == "*" or ins is not None:
         # every insert is "*"-shaped (optionally conditional): the
@@ -3213,7 +3518,8 @@ def _merge_table_version_once(
     n_t = n_out = 0
     if hit:
         t = _to_logical(
-            _plan_with_deletes(spark, data, sorted(hit), m.get("deletes")),
+            _plan_with_deletes(spark, data, sorted(hit), m.get("deletes"),
+                             _synth_of(m)),
             m,
         ).alias("t")
         s = source.withColumn("__smatch", F.lit(True)).alias("s")
@@ -3642,7 +3948,7 @@ def _compact_table_version_once(
             return head
         data = str(Path(path) / "data")
         scope = _plan_with_deletes(
-            spark, data, m["files"], m.get("deletes")
+            spark, data, m["files"], m.get("deletes"), _synth_of(m)
         )
         n_files = max_files_per_partition * max(1, len(by_part))
         rewritten = zorder_frame(
@@ -3701,7 +4007,8 @@ def _compact_table_version_once(
         # deletes-aware: compaction FOLDS sidecars for the partitions it
         # rewrites (masked rows physically drop, the sidecar's scope
         # shrinks to the carried files)
-        scope = _plan_with_deletes(spark, data, frag_files, m.get("deletes"))
+        scope = _plan_with_deletes(spark, data, frag_files, m.get("deletes"),
+                                   _synth_of(m))
         rewritten = scope.coalesce(max_files_per_partition)
     else:
         # size-targeted bin-pack: route each row to one of its
@@ -3720,7 +4027,8 @@ def _compact_table_version_once(
         total = sum(n_out[p] for p in fragmented) or 1
         keyed = None
         for n, fs in sorted(by_n.items()):
-            b = _plan_with_deletes(spark, data, fs, m.get("deletes"))
+            b = _plan_with_deletes(spark, data, fs, m.get("deletes"),
+                                   _synth_of(m))
             slot = F.pmod(
                 F.xxhash64(*[F.col(c) for c in b.columns]), F.lit(n)
             )

@@ -1,0 +1,334 @@
+"""Hidden partitioning (Iceberg-shaped partition transforms, r10 s3):
+``partition_by=("days", ts)`` / ``("hours", ts)`` / ``("bucket", col,
+n)`` / ``("truncate", str_col, w)`` on versioned tables.  The directory
+layout derives from a SOURCE column the payload keeps — the synthetic
+column exists only in directory names, the user schema never shows it,
+range predicates on the source column prune whole directories, and DML
+routes rows by the recomputed transform (an UPDATE that changes the
+source value moves the row to its new directory).  Reference shape:
+Iceberg partition transforms / hidden partitioning; the reference repo
+has no table format at all."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_rust_spark import versions as V
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def _days_table(spark, p, stats=None):
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2026-01-01T05:00"), "a"),
+            (2, _ts("2026-01-01T09:00"), "b"),
+            (3, _ts("2026-01-02T07:00"), "c"),
+            (4, _ts("2026-01-03T01:00"), "d"),
+        ],
+        ["k", "ts", "val"],
+    )
+    V.write_table_version(df, p, partition_by=("days", "ts"),
+                          stats_cols=stats)
+    return df
+
+
+def _dirs(p, v=None):
+    m = V._load_manifest(p, v or V.latest_version(p))
+    return sorted({f.rsplit("/", 1)[0] for f in m["files"] if "/" in f})
+
+
+# ------------------------------------------------------------- write/read
+
+
+def test_days_layout_and_hidden_schema(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _days_table(spark, p)
+    m = V._load_manifest(p, 1)
+    assert m["partition_by"] == "_p_days_ts"
+    assert m["partition_transform"] == {"kind": "days", "source": "ts"}
+    assert m["format"] == 2  # pre-transform readers must refuse
+    assert _dirs(p) == [
+        "_p_days_ts=2026-01-01", "_p_days_ts=2026-01-02",
+        "_p_days_ts=2026-01-03",
+    ]
+    r = V.read_table_version(spark, p)
+    # the synth column is HIDDEN: user schema is exactly the input's
+    assert r.columns == ["k", "ts", "val"] and r.count() == 4
+    # payload parquet never carries the synth column
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    first = m["files"][0]
+    names = pq.read_schema(str(Path(p) / "data" / first)).names
+    assert "_p_days_ts" not in names
+
+
+def test_source_range_prunes_directories(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _days_table(spark, p)
+    m = V._load_manifest(p, 1)
+    pruned = V.read_table_version(
+        spark, p, prune=[("ts", "2026-01-02", "2026-01-02T23:59")]
+    )
+    assert len(pruned.inputFiles()) < len(m["files"])
+    assert [r.k for r in pruned.collect()] == [3]
+    # datetime bounds map too
+    pr2 = V.read_table_version(
+        spark, p, prune=[("ts", _ts("2026-01-03T00:00"), None)]
+    )
+    assert sorted(r.k for r in pr2.collect()) == [4]
+    assert len(pr2.inputFiles()) == 1
+    # pruning is an optimization, never a filter: un-mappable bounds
+    # (epoch ints) keep everything
+    assert V.read_table_version(
+        spark, p, prune=[("ts", 0, None)]
+    ).count() == 4
+
+
+def test_bucket_and_truncate_transforms(spark, tmp_path):
+    pb = str(tmp_path / "b")
+    V.write_table_version(
+        spark.createDataFrame([(i, f"u{i}") for i in range(40)], ["k", "u"]),
+        pb, partition_by=("bucket", "k", 4),
+    )
+    assert len(_dirs(pb)) == 4 and all(
+        d.startswith("_p_bucket4_k=") for d in _dirs(pb)
+    )
+    r = V.read_table_version(spark, pb)
+    assert r.columns == ["k", "u"] and r.count() == 40
+    pt = str(tmp_path / "tr")
+    V.write_table_version(
+        spark.createDataFrame(
+            [(1, "apple"), (2, "apricot"), (3, "zebra")], ["k", "w"]
+        ),
+        pt, partition_by=("truncate", "w", 2),
+    )
+    assert _dirs(pt) == ["_p_truncate2_w=ap", "_p_truncate2_w=ze"]
+    pr = V.read_table_version(spark, pt, prune=[("w", "za", None)])
+    assert len(pr.inputFiles()) == 1 and pr.count() == 1
+    # a value sharing the truncation prefix is never wrongly pruned
+    pr2 = V.read_table_version(spark, pt, prune=[("w", "apz", "apz")])
+    assert "_p_truncate2_w=ap" in pr2.inputFiles()[0]
+
+
+def test_spec_validation(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x")], ["k", "w"])
+    p = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="timestamp/date"):
+        V.write_table_version(df, p, partition_by=("days", "k"))
+    with pytest.raises(ValueError, match="string source"):
+        V.write_table_version(df, p, partition_by=("truncate", "k", 4))
+    with pytest.raises(ValueError, match="unknown partition transform"):
+        V.write_table_version(df, p, partition_by=("weeks", "k"))
+    with pytest.raises(ValueError, match="n>0"):
+        V.write_table_version(df, p, partition_by=("bucket", "k", 0))
+    with pytest.raises(ValueError, match="not in the"):
+        V.write_table_version(df, p, partition_by=("bucket", "nope", 4))
+
+
+# ------------------------------------------------------------------- DML
+
+
+def test_upsert_routes_by_transform_and_carries_clean_days(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _days_table(spark, p)
+    m1 = V._load_manifest(p, 1)
+    V.upsert_table_version(
+        spark, p,
+        spark.createDataFrame(
+            [(2, _ts("2026-01-01T09:00"), "B")], ["k", "ts", "val"]
+        ),
+        keys=["k"],
+    )
+    m2 = V._load_manifest(p, 2)
+    carried = set(m1["files"]) & set(m2["files"])
+    # only the dirty DAY rewrites; the other two days carry verbatim
+    assert {f for f in m1["files"] if not f.startswith("_p_days_ts=2026-01-01")} <= carried
+    assert all(
+        f.startswith("_p_days_ts=2026-01-01")
+        for f in set(m2["files"]) - carried
+    )
+    got = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # a mismatched layout spec is rejected loudly
+    with pytest.raises(ValueError, match="hidden-partitioned"):
+        V.upsert_table_version(
+            spark, p,
+            spark.createDataFrame(
+                [(9, _ts("2026-01-01T00:00"), "x")], ["k", "ts", "val"]
+            ),
+            keys=["k"], partition_by="ts",
+        )
+    # the matching tuple is accepted
+    V.upsert_table_version(
+        spark, p,
+        spark.createDataFrame(
+            [(9, _ts("2026-01-09T00:00"), "x")], ["k", "ts", "val"]
+        ),
+        keys=["k"], partition_by=("days", "ts"),
+    )
+    assert "_p_days_ts=2026-01-09" in _dirs(p)
+
+
+def test_update_of_source_moves_row_to_new_directory(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _days_table(spark, p)
+    V.update_table_version(
+        spark, p, "k = 4", {"ts": "timestamp'2026-01-05 00:00:00'"}
+    )
+    assert "_p_days_ts=2026-01-05" in _dirs(p)
+    assert "_p_days_ts=2026-01-03" not in _dirs(p)
+    row = V.read_table_version(spark, p).filter("k = 4").collect()[0]
+    assert row.ts == _ts("2026-01-05T00:00")
+
+
+def test_mor_delete_fold_and_cow_delete(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _days_table(spark, p)
+    V.delete_table_version(spark, p, "k = 1", mode="mor")
+    assert sorted(r.k for r in V.read_table_version(spark, p).collect()) == [2, 3, 4]
+    # parity: the CoW result of the same delete equals the MoR read
+    V.compact_table_version(spark, p, target_file_bytes=1 << 30)
+    assert not V._load_manifest(p, V.latest_version(p)).get("deletes")
+    assert sorted(r.k for r in V.read_table_version(spark, p).collect()) == [2, 3, 4]
+    V.delete_table_version(spark, p, "k = 2")
+    assert sorted(r.k for r in V.read_table_version(spark, p).collect()) == [3, 4]
+
+
+def test_merge_routes_inserts_by_transform(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _days_table(spark, p)
+    src = spark.createDataFrame(
+        [(3, _ts("2026-01-02T07:00"), "C"), (8, _ts("2026-02-01T00:00"), "new")],
+        ["k", "ts", "val"],
+    )
+    V.merge_table_version(
+        spark, p, src, ["k"],
+        when_matched_update="*", when_not_matched_insert=True,
+    )
+    got = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert got[3] == "C" and got[8] == "new"
+    assert "_p_days_ts=2026-02-01" in _dirs(p)
+
+
+# ------------------------------------------------------ lifecycle / misc
+
+
+def test_time_travel_restore_clone_inherit_transform(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _days_table(spark, p)
+    V.delete_table_version(spark, p, "k = 1")
+    V.restore_table_version(p, 1)
+    assert V.read_table_version(spark, p).count() == 4
+    assert V._load_manifest(p, V.latest_version(p))["partition_transform"]
+    dst = str(tmp_path / "c")
+    V.clone_table(p, dst)
+    mc = V._load_manifest(dst, 1)
+    assert mc["partition_transform"] == {"kind": "days", "source": "ts"}
+    assert V.read_table_version(spark, dst).columns == ["k", "ts", "val"]
+
+
+def test_expire_and_partitions_report(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _days_table(spark, p)
+    V.upsert_table_version(
+        spark, p,
+        spark.createDataFrame(
+            [(5, _ts("2026-01-02T12:00"), "e")], ["k", "ts", "val"]
+        ),
+        keys=["k"],
+    )
+    V.expire_versions(p, keep_last=1, grace_seconds=0)
+    assert V.read_table_version(spark, p).count() == 5
+    tp = V.table_partitions(p)
+    assert tp["transform"]["kind"] == "days"
+    by = {x["value"]: x["rows"] for x in tp["partitions"]}
+    assert by["2026-01-02"] == 2
+
+
+def test_alter_follows_source_rename_and_sets_transform(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _days_table(spark, p)
+    # rename the SOURCE column via full-re-snapshot alter: the
+    # transform follows, the synth directory name re-derives
+    V.alter_table_version(spark, p, rename={"ts": "event_ts"})
+    m = V._load_manifest(p, V.latest_version(p))
+    assert m["partition_transform"] == {"kind": "days", "source": "event_ts"}
+    assert m["partition_by"] == "_p_days_event_ts"
+    assert V.read_table_version(spark, p).columns == ["k", "event_ts", "val"]
+    # dropping the source without a new layout is rejected
+    with pytest.raises(ValueError, match="source of the table"):
+        V.alter_table_version(spark, p, drop=["event_ts"])
+    # and ALTER can SET a transform on a plain table
+    p2 = str(tmp_path / "u")
+    V.write_table_version(
+        spark.createDataFrame([(i, f"w{i}") for i in range(8)], ["k", "w"]),
+        p2,
+    )
+    V.alter_table_version(spark, p2, new_partition_by=("bucket", "k", 2))
+    m2 = V._load_manifest(p2, V.latest_version(p2))
+    assert m2["partition_transform"]["kind"] == "bucket"
+    assert len(_dirs(p2)) == 2
+    assert V.read_table_version(spark, p2).columns == ["k", "w"]
+
+
+def test_metadata_rename_keeps_transform_working(spark, tmp_path):
+    """Column mapping composes: a METADATA-ONLY rename of the source
+    leaves the physical transform untouched; upserts in the new logical
+    name still route by day."""
+    p = str(tmp_path / "t")
+    _days_table(spark, p)
+    V.rename_columns(spark, p, {"ts": "event_ts"})
+    assert V.read_table_version(spark, p).columns == ["k", "event_ts", "val"]
+    V.upsert_table_version(
+        spark, p,
+        spark.createDataFrame(
+            [(7, _ts("2026-03-01T00:00"), "g")], ["k", "event_ts", "val"]
+        ),
+        keys=["k"],
+    )
+    assert "_p_days_ts=2026-03-01" in _dirs(p)  # physical synth stable
+    got = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert got[7] == "g" and len(got) == 5
+
+
+def test_datasource_hides_synth_and_sink_refuses(spark, tmp_path):
+    from etl_rust_spark.sources.table_source import VersionedTableDataSource
+
+    spark.dataSource.register(VersionedTableDataSource)
+    p = str(tmp_path / "t")
+    _days_table(spark, p)
+    df = (
+        spark.read.format("versioned_table").option("path", p).load()
+    )
+    assert df.columns == ["k", "ts", "val"]
+    assert df.count() == 4
+    with pytest.raises(Exception, match="hidden-partitioned"):
+        spark.createDataFrame(
+            [(9, _ts("2026-01-01T00:00"), "x")], ["k", "ts", "val"]
+        ).write.format("versioned_table").option("path", p).mode(
+            "append"
+        ).save()
+
+
+def test_cdc_over_transform_table(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _days_table(spark, p)
+    V.upsert_table_version(
+        spark, p,
+        spark.createDataFrame(
+            [(2, _ts("2026-01-01T09:00"), "B")], ["k", "ts", "val"]
+        ),
+        keys=["k"],
+    )
+    V.delete_table_version(spark, p, "k = 3")
+    ch = V.read_table_changes(spark, p, ["k"], 1)
+    by = {(r.k, r._commit_version): r._change_type for r in ch.collect()}
+    assert by[(2, 2)] == "update_postimage" and by[(3, 3)] == "delete"
+    assert "_change_type" in ch.columns and "_p_days_ts" not in ch.columns
