@@ -1017,6 +1017,12 @@ def _parse_partition_spec(partition_by, df: DataFrame | None):
         if kind == "truncate" and dt != "string":
             raise ValueError(f"truncate transform needs a string source; "
                              f"{t['source']!r} is {dt}")
+        if kind == "bucket":
+            # recorded so driver-side point-probe pruning knows which
+            # xxhash64 byte encoding Spark used (long: 8 LE, int: 4 LE,
+            # string: UTF-8 — parity pinned in tests); other dtypes
+            # bucket fine but prune nothing driver-side
+            t["src_type"] = dt
     n = t.get("n")
     synth = f"_p_{kind}{n if n is not None else ''}_{t['source']}"
     return synth, t
@@ -1065,6 +1071,25 @@ def _transform_prune_keep(t: dict, seg, prunes: list[tuple]) -> bool:
             ):
                 return False
         return True
+    if kind == "hours":
+        def hour_of(v):
+            if isinstance(v, _dt.datetime):
+                return v.strftime("%Y-%m-%d-%H")
+            if isinstance(v, _dt.date):
+                return v.isoformat() + "-00"
+            if isinstance(v, str) and len(v) >= 13:
+                d, h = v[:10], v[11:13]
+                if d[4] == "-" and d[7] == "-" and h.isdigit():
+                    return f"{d}-{h}"
+            return None
+        for _, lo, hi in prunes:
+            lo_h = hour_of(lo) if lo is not None else None
+            hi_h = hour_of(hi) if hi is not None else None
+            if (hi_h is not None and seg > hi_h) or (
+                lo_h is not None and seg < lo_h
+            ):
+                return False
+        return True
     if kind == "truncate":
         upper = _trunc_upper(seg, len(seg)) if seg else None
         for _, lo, hi in prunes:
@@ -1079,6 +1104,36 @@ def _transform_prune_keep(t: dict, seg, prunes: list[tuple]) -> bool:
                 return False
         return True
     return True
+
+
+def _bucket_seg_of(t: dict, val) -> str | None:
+    """Driver-side replica of the bucket transform —
+    ``pmod(xxhash64(col), n)`` — for point-probe directory pruning.
+    Returns the bucket directory value, or None when it cannot be
+    computed EXACTLY (unknown/unrecorded source dtype, or a probe value
+    of the wrong Python type) — None means "prune nothing", never a
+    guess: a wrong bucket silently drops matching rows.  Byte-encoding
+    parity with Spark's XxHash64 (seed 42) is pinned in tests: bigint →
+    8-byte LE, int → 4-byte LE, string → UTF-8."""
+    import struct
+
+    from etl_rust_spark.etl.zstdcodec import xxhash64
+
+    st = t.get("src_type")
+    if isinstance(val, bool):
+        return None
+    if st == "bigint" and isinstance(val, int):
+        data = struct.pack("<q", val)
+    elif st == "int" and isinstance(val, int):
+        data = struct.pack("<i", val)
+    elif st == "string" and isinstance(val, str):
+        data = val.encode("utf-8")
+    else:
+        return None
+    h = xxhash64(data, seed=42)
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return str(h % int(t["n"]))
 
 
 def _to_logical(df: DataFrame, m: dict) -> DataFrame:
@@ -1945,6 +2000,7 @@ def read_table_version(
         raise ValueError(f"version {v} of {path} is empty")
     # prune/point arrive in LOGICAL names; stats/bloom keys are
     # PHYSICAL (recorded at file-write time, rename-stable)
+    raw_point = point  # typed values, pre-rendering (bucket replica)
     if prune:
         prune = [(_phys_col(m, c), lo, hi) for c, lo, hi in prune]
     if point:
@@ -1953,15 +2009,33 @@ def read_table_version(
     if prune or point:
         stats = m.get("stats") or {}
         # hidden partitioning: prunes on the transform SOURCE column
-        # additionally skip whole directories (days/truncate mapping)
+        # additionally skip whole directories (days/hours/truncate
+        # range mapping; bucket point-probe replica)
         t = _transform_of(m)
         t_prunes = (
             [pr for pr in prune or [] if pr[0] == t["source"]]
             if t
             else []
         )
+        t_bucket_segs = None
+        if t and t["kind"] == "bucket":
+            probes = [
+                _bucket_seg_of(t, v)
+                for c, v in raw_point or []
+                if _phys_col(m, c) == t["source"]
+            ]
+            if probes and None not in probes:
+                # AND semantics (like blooms): a file must be able to
+                # hold EVERY probe — distinct buckets prune everything
+                t_bucket_segs = set(probes)
 
         def keep(f: str) -> bool:
+            if t_bucket_segs is not None:
+                sv = _seg_value_of(f)
+                if sv is not None and not all(
+                    sv == b for b in t_bucket_segs
+                ):
+                    return False
             if t_prunes and not _transform_prune_keep(
                 t, _seg_value_of(f), t_prunes
             ):
@@ -2977,6 +3051,7 @@ def _files_matching(
     in tests/test_plans.py) collects the DISTINCT FILE NAMES holding a
     matching row — bounded by file count, never row count."""
     candidates = list(m["files"])
+    raw_point = point  # typed values, pre-rendering (bucket replica)
     if prune:
         prune = [(_phys_col(m, c), lo, hi) for c, lo, hi in prune]
     if point:
@@ -2990,8 +3065,23 @@ def _files_matching(
             if t
             else []
         )
+        t_bucket_segs = None
+        if t and t["kind"] == "bucket":
+            probes = [
+                _bucket_seg_of(t, v)
+                for c, v in raw_point or []
+                if _phys_col(m, c) == t["source"]
+            ]
+            if probes and None not in probes:
+                t_bucket_segs = set(probes)
 
         def keep(f: str) -> bool:
+            if t_bucket_segs is not None:
+                sv = _seg_value_of(f)
+                if sv is not None and not all(
+                    sv == b for b in t_bucket_segs
+                ):
+                    return False
             if t_prunes and not _transform_prune_keep(
                 t, _seg_value_of(f), t_prunes
             ):

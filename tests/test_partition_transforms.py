@@ -332,3 +332,106 @@ def test_cdc_over_transform_table(spark, tmp_path):
     by = {(r.k, r._commit_version): r._change_type for r in ch.collect()}
     assert by[(2, 2)] == "update_postimage" and by[(3, 3)] == "delete"
     assert "_change_type" in ch.columns and "_p_days_ts" not in ch.columns
+
+
+# -------------------------------------- bucket probes / hours pruning
+
+
+def test_bucket_point_probe_prunes_to_one_directory(spark, tmp_path):
+    """point=[(source, v)] on a bucket table reads only v's bucket —
+    the driver-side xxhash64 replica must agree with Spark's."""
+    p = str(tmp_path / "b")
+    V.write_table_version(
+        spark.createDataFrame([(i, f"u{i}") for i in range(64)], ["k", "u"]),
+        p, partition_by=("bucket", "k", 8),
+    )
+    m = V._load_manifest(p, 1)
+    assert m["partition_transform"]["src_type"] == "bigint"
+    for probe in (0, 17, 63):
+        r = V.read_table_version(spark, p, point=[("k", probe)])
+        dirs = {f.split("/")[-2] for f in r.inputFiles()}
+        assert len(dirs) == 1, dirs
+        assert [x.u for x in r.filter(F.col("k") == probe).collect()] == [
+            f"u{probe}"
+        ]  # never a false negative
+    # string-source buckets prune too
+    ps = str(tmp_path / "bs")
+    V.write_table_version(
+        spark.createDataFrame([(i, f"user-{i}") for i in range(64)], ["k", "u"]),
+        ps, partition_by=("bucket", "u", 8),
+    )
+    r = V.read_table_version(spark, ps, point=[("u", "user-33")])
+    assert len({f.split("/")[-2] for f in r.inputFiles()}) == 1
+    assert r.filter("u = 'user-33'").count() == 1
+    # two probes in DIFFERENT buckets: AND semantics — no file can hold
+    # both, so everything prunes (and the filter returns nothing)
+    vals = {d: None for d in range(3)}
+    r2 = V.read_table_version(spark, ps, point=[("u", "user-1"), ("u", "user-2")])
+    segs = {V._bucket_seg_of(V._transform_of(V._load_manifest(ps, 1)), v)
+            for v in ("user-1", "user-2")}
+    if len(segs) == 2:
+        assert r2.count() == 0
+
+
+def test_bucket_probe_unknown_dtype_keeps_everything(spark, tmp_path):
+    """A probe whose Python type doesn't match the recorded source
+    dtype must prune NOTHING (a wrong bucket would silently drop
+    rows)."""
+    p = str(tmp_path / "b")
+    V.write_table_version(
+        spark.createDataFrame([(i, f"u{i}") for i in range(16)], ["k", "u"]),
+        p, partition_by=("bucket", "k", 4),
+    )
+    m = V._load_manifest(p, 1)
+    r = V.read_table_version(spark, p, point=[("k", "17")])  # str vs bigint
+    assert len(r.inputFiles()) == len(m["files"])
+
+
+def test_xxhash64_parity_is_pinned(spark):
+    """The driver-side bucket replica's byte encodings vs Spark's
+    XxHash64 — the soundness foundation of bucket probe pruning."""
+    t_long = {"kind": "bucket", "source": "k", "n": 1 << 62,
+              "src_type": "bigint"}
+    t_int = {**t_long, "src_type": "int"}
+    t_str = {**t_long, "src_type": "string"}
+    rows = spark.createDataFrame(
+        [(5, 5, "abc"), (-17, -17, "héllo"), (1 << 40, 7, "")],
+        "l long, i int, s string",
+    ).select(
+        F.xxhash64("l").alias("hl"),
+        F.xxhash64("i").alias("hi"),
+        F.xxhash64("s").alias("hs"),
+        "l", "i", "s",
+    ).collect()
+    n = 1 << 62
+    for r in rows:
+        assert V._bucket_seg_of(t_long, r.l) == str(r.hl % n)
+        assert V._bucket_seg_of(t_int, r.i) == str(r.hi % n)
+        assert V._bucket_seg_of(t_str, r.s) == str(r.hs % n)
+    # bool is an int subtype but hashes differently — refused
+    assert V._bucket_seg_of(t_long, True) is None
+
+
+def test_hours_transform_layout_and_pruning(spark, tmp_path):
+    p = str(tmp_path / "h")
+    df = spark.createDataFrame(
+        [(1, _ts("2026-01-01T05:10")), (2, _ts("2026-01-01T09:20")),
+         (3, _ts("2026-01-01T09:45")), (4, _ts("2026-01-02T00:00"))],
+        ["k", "ts"],
+    )
+    V.write_table_version(df, p, partition_by=("hours", "ts"))
+    assert _dirs(p) == [
+        "_p_hours_ts=2026-01-01-05", "_p_hours_ts=2026-01-01-09",
+        "_p_hours_ts=2026-01-02-00",
+    ]
+    pr = V.read_table_version(
+        spark, p, prune=[("ts", "2026-01-01T09:00", "2026-01-01T09:59")]
+    )
+    assert {f.split("/")[-2] for f in pr.inputFiles()} == {
+        "_p_hours_ts=2026-01-01-09"
+    }
+    assert sorted(r.k for r in pr.collect()) == [2, 3]
+    pr2 = V.read_table_version(
+        spark, p, prune=[("ts", _ts("2026-01-02T00:00"), None)]
+    )
+    assert sorted(r.k for r in pr2.collect()) == [4]
