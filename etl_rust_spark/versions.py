@@ -968,19 +968,50 @@ def _synth_of(m: dict) -> str | None:
 
 def _transform_expr(t: dict, source: str | None = None):
     """The transform as a Column over ``source`` (default: the recorded
-    physical source column).  All transforms yield STRINGS."""
+    physical source column).  All transforms yield STRINGS.
+
+    days/hours of a TIMESTAMP (instant) source are UTC days — pure
+    epoch arithmetic, independent of ``spark.sql.session.timeZone``
+    (Iceberg pins UTC for the same reason: a session-tz-dependent
+    day boundary splits one table's layout across differently-
+    configured writers).  DATE and TIMESTAMP_NTZ sources are wall
+    values with no timezone at all, so their calendar rendering is
+    already deterministic."""
     src = F.col(source or t["source"])
     kind = t["kind"]
-    if kind == "days":
-        return F.date_format(src, "yyyy-MM-dd")
-    if kind == "hours":
-        return F.date_format(src, "yyyy-MM-dd-HH")
+    if kind in ("days", "hours"):
+        st = t.get("src_type", "")
+        if st.startswith("timestamp") and st != "timestamp_ntz":
+            e = src.cast("bigint")  # epoch seconds — tz-free instant
+            day = ((e - F.pmod(e, F.lit(86400))) / 86400).cast("int")
+            d = F.date_from_unix_date(day).cast("string")
+            if kind == "days":
+                return d
+            hr = F.pmod(
+                ((e - F.pmod(e, F.lit(3600))) / 3600).cast("bigint"),
+                F.lit(24),
+            ).cast("int")
+            return F.concat(
+                d, F.lit("-"), F.lpad(hr.cast("string"), 2, "0")
+            )
+        return F.date_format(
+            src, "yyyy-MM-dd" if kind == "days" else "yyyy-MM-dd-HH"
+        )
     if kind == "bucket":
         # engine-native wide hash mod n — deterministic across sessions
         return F.pmod(F.xxhash64(src), F.lit(int(t["n"]))).cast("string")
     if kind == "truncate":
         return F.substring(src, 1, int(t["n"]))
     raise ValueError(f"unknown partition transform kind {kind!r}")
+
+
+def _same_transform(a: dict | None, b: dict | None) -> bool:
+    """Layout identity ignores the recorded src_type (an implementation
+    detail of probe pruning, not of the partitioning)."""
+    strip = lambda d: (
+        {k: v for k, v in d.items() if k != "src_type"} if d else None
+    )
+    return strip(a) == strip(b)
 
 
 def _parse_partition_spec(partition_by, df: DataFrame | None):
@@ -1017,12 +1048,11 @@ def _parse_partition_spec(partition_by, df: DataFrame | None):
         if kind == "truncate" and dt != "string":
             raise ValueError(f"truncate transform needs a string source; "
                              f"{t['source']!r} is {dt}")
-        if kind == "bucket":
-            # recorded so driver-side point-probe pruning knows which
-            # xxhash64 byte encoding Spark used (long: 8 LE, int: 4 LE,
-            # string: UTF-8 — parity pinned in tests); other dtypes
-            # bucket fine but prune nothing driver-side
-            t["src_type"] = dt
+        # recorded for every transform: bucket probe pruning needs the
+        # xxhash64 byte encoding Spark used (long: 8 LE, int: 4 LE,
+        # string: UTF-8 — parity pinned in tests), and days/hours need
+        # to know instant-vs-wall to pick UTC epoch arithmetic
+        t["src_type"] = dt
     n = t.get("n")
     synth = f"_p_{kind}{n if n is not None else ''}_{t['source']}"
     return synth, t
@@ -2146,9 +2176,8 @@ def _upsert_table_version_once(
         # the table's layout is authoritative: accept the matching
         # transform tuple (or None) — a mismatched spec must not
         # silently re-route rows
-        if (
-            partition_by is not None
-            and _parse_partition_spec(partition_by, None)[1] != t_head
+        if partition_by is not None and not _same_transform(
+            _parse_partition_spec(partition_by, None)[1], t_head
         ):
             raise ValueError(
                 f"table {path} is hidden-partitioned by "
@@ -2809,8 +2838,10 @@ def alter_table_version(
             )
     if t_new is not None:
         # validate the (possibly new) transform against the RESULT
-        # schema, then materialize the directory column for staging
-        _parse_partition_spec(
+        # schema — and take its freshly recorded src_type (a cast may
+        # have changed the source dtype) — then materialize the
+        # directory column for staging
+        _, t_new = _parse_partition_spec(
             (t_new["kind"], t_new["source"], t_new["n"])
             if "n" in t_new
             else (t_new["kind"], t_new["source"]),

@@ -51,7 +51,9 @@ def test_days_layout_and_hidden_schema(spark, tmp_path):
     _days_table(spark, p)
     m = V._load_manifest(p, 1)
     assert m["partition_by"] == "_p_days_ts"
-    assert m["partition_transform"] == {"kind": "days", "source": "ts"}
+    assert m["partition_transform"] == {
+        "kind": "days", "source": "ts", "src_type": "timestamp",
+    }
     assert m["format"] == 2  # pre-transform readers must refuse
     assert _dirs(p) == [
         "_p_days_ts=2026-01-01", "_p_days_ts=2026-01-02",
@@ -230,7 +232,7 @@ def test_time_travel_restore_clone_inherit_transform(spark, tmp_path):
     dst = str(tmp_path / "c")
     V.clone_table(p, dst)
     mc = V._load_manifest(dst, 1)
-    assert mc["partition_transform"] == {"kind": "days", "source": "ts"}
+    assert mc["partition_transform"]["source"] == "ts"
     assert V.read_table_version(spark, dst).columns == ["k", "ts", "val"]
 
 
@@ -259,7 +261,7 @@ def test_alter_follows_source_rename_and_sets_transform(spark, tmp_path):
     # transform follows, the synth directory name re-derives
     V.alter_table_version(spark, p, rename={"ts": "event_ts"})
     m = V._load_manifest(p, V.latest_version(p))
-    assert m["partition_transform"] == {"kind": "days", "source": "event_ts"}
+    assert (m["partition_transform"]["kind"], m["partition_transform"]["source"]) == ("days", "event_ts")
     assert m["partition_by"] == "_p_days_event_ts"
     assert V.read_table_version(spark, p).columns == ["k", "event_ts", "val"]
     # dropping the source without a new layout is rejected
@@ -435,3 +437,28 @@ def test_hours_transform_layout_and_pruning(spark, tmp_path):
         spark, p, prune=[("ts", _ts("2026-01-02T00:00"), None)]
     )
     assert sorted(r.k for r in pr2.collect()) == [4]
+
+
+def test_days_are_utc_days_regardless_of_session_timezone(spark, tmp_path):
+    """Iceberg parity: days(ts) of an INSTANT source uses UTC epoch
+    arithmetic — a writer on a Tokyo-configured session must produce
+    the same directory layout as a UTC one (a session-tz-dependent
+    boundary would split one table's layout across writers)."""
+    p = str(tmp_path / "t")
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        # 2026-01-01 23:30 UTC == 2026-01-02 08:30 Tokyo: the UTC day
+        # is the layout, whatever the session renders
+        df = spark.sql(
+            "SELECT 1 AS k, timestamp'2026-01-01 23:30:00 UTC' AS ts"
+        )
+        V.write_table_version(df, p, partition_by=("days", "ts"))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert _dirs(p) == ["_p_days_ts=2026-01-01"]
+    # and the directory prune agrees with the UTC contract
+    pr = V.read_table_version(
+        spark, p, prune=[("ts", "2026-01-01", "2026-01-01T23:59")]
+    )
+    assert pr.count() == 1
