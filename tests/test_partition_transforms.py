@@ -462,3 +462,135 @@ def test_days_are_utc_days_regardless_of_session_timezone(spark, tmp_path):
         spark, p, prune=[("ts", "2026-01-01", "2026-01-01T23:59")]
     )
     assert pr.count() == 1
+
+
+def test_model_fuzz_over_transform_table(spark, tmp_path):
+    """The v2 model fuzz's op mix — upsert / delete / mor_delete /
+    update / merge / compact / zorder / expire / restore — over a
+    days-TRANSFORM table: head equality after every op, exact time
+    travel for every surviving version.  The transform must stay
+    invisible to every op's semantics while silently routing rows."""
+    import random
+
+    rng = random.Random(0x7F0)
+    p = str(tmp_path / "t")
+    model: dict[int, dict[int, str]] = {}
+    counter = 0
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(k, _ts(f"2026-01-0{1 + k % 3}T06:00"), k * 7 % 5, v)
+             for k, v in rows],
+            ["k", "ts", "y", "val"],
+        )
+
+    V.write_table_version(
+        frame([(1, "s0"), (2, "s1")]), p, ("days", "ts"),
+        stats_cols=["k", "y"],
+    )
+    state = {1: "s0", 2: "s1"}
+    model[1] = dict(state)
+    for step in range(12):
+        op = rng.choice(
+            ["upsert", "upsert", "delete", "mor_delete", "update",
+             "merge", "compact", "zorder", "expire", "restore"]
+        )
+        if op == "upsert":
+            counter += 1
+            rows = list({
+                rng.randint(1, 12): f"u{counter}.{j}"
+                for j in range(rng.randint(1, 3))
+            }.items())
+            v = V.upsert_table_version(spark, p, frame(rows), keys=["k"])
+            state.update(dict(rows))
+            model[v] = dict(state)
+        elif op in ("delete", "mor_delete"):
+            kdel = rng.randint(1, 12)
+            head_before = V.latest_version(p)
+            v = V.delete_table_version(
+                spark, p, f"k = {kdel}",
+                mode="mor" if op == "mor_delete" else "cow",
+            )
+            if kdel in state:
+                assert v == head_before + 1
+                del state[kdel]
+                model[v] = dict(state)
+            else:
+                assert v == head_before
+        elif op == "update":
+            kup = rng.randint(1, 12)
+            head_before = V.latest_version(p)
+            v = V.update_table_version(
+                spark, p, f"k = {kup}", {"val": "concat(val, '!')"}
+            )
+            if kup in state:
+                state[kup] = state[kup] + "!"
+                model[v] = dict(state)
+            else:
+                assert v == head_before
+        elif op == "merge":
+            counter += 1
+            feed = {
+                rng.randint(1, 12): rng.choice(["U", "D", "I"])
+                for _ in range(rng.randint(1, 3))
+            }
+            src = spark.createDataFrame(
+                [(k, _ts(f"2026-01-0{1 + k % 3}T06:00"), k * 7 % 5,
+                  f"m{counter}.{k}", o) for k, o in feed.items()],
+                ["k", "ts", "y", "val", "op"],
+            )
+            head_before = V.latest_version(p)
+            v = V.merge_table_version(
+                spark, p, src, keys=["k"],
+                when_matched_update="*",
+                when_matched_delete="s.op = 'D'",
+                when_not_matched_insert="s.op = 'I'",
+                update_condition="s.op = 'U'",
+            )
+            changed = any(k in state for k in feed) or any(
+                k not in state and o == "I" for k, o in feed.items()
+            )
+            for k, o in feed.items():
+                if k in state:
+                    if o == "D":
+                        del state[k]
+                    elif o == "U":
+                        state[k] = f"m{counter}.{k}"
+                elif o == "I":
+                    state[k] = f"m{counter}.{k}"
+            if changed:
+                assert v == head_before + 1
+                model[v] = dict(state)
+            else:
+                assert v == head_before
+        elif op == "compact":
+            v = V.compact_table_version(spark, p, target_file_bytes=1 << 30)
+            model[v] = dict(state)
+        elif op == "zorder":
+            v = V.compact_table_version(spark, p, 2, zorder_by=["k", "y"])
+            model[v] = dict(state)
+        elif op == "restore":
+            tgt = rng.choice(sorted(model))
+            v = V.restore_table_version(p, tgt)
+            state = dict(model[tgt])
+            model[v] = dict(state)
+        else:
+            keep = rng.randint(1, 3)
+            V.expire_versions(p, keep_last=keep)
+            live = sorted(model)[-keep:]
+            model = {v: c for v, c in model.items() if v in live}
+        if state:
+            head = {
+                r.k: r.val for r in V.read_table_version(spark, p).collect()
+            }
+            assert head == state, f"step {step} ({op})"
+            # the synth column never leaks into any read
+            assert all(
+                not c.startswith("_p_")
+                for c in V.read_table_version(spark, p).columns
+            )
+    for v, want in model.items():
+        got = {
+            r.k: r.val for r in V.read_table_version(spark, p, v).collect()
+        }
+        assert got == want, f"time travel to v{v}"
