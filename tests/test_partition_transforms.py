@@ -594,3 +594,60 @@ def test_model_fuzz_over_transform_table(spark, tmp_path):
             r.k: r.val for r in V.read_table_version(spark, p, v).collect()
         }
         assert got == want, f"time travel to v{v}"
+
+
+def test_streaming_epoch_upserts_into_transform_table(spark, tmp_path):
+    """The foreachBatch epoch processor composes with hidden
+    partitioning: epochs route rows by the transform, and an epoch
+    REPLAY (crash-recovery) is content-idempotent."""
+    from etl_rust_spark.streaming.tables import versioned_upsert_processor
+
+    p = str(tmp_path / "t")
+    _days_table(spark, p)
+    proc = versioned_upsert_processor(p, keys=["k"])
+    e1 = spark.createDataFrame(
+        [(2, _ts("2026-01-01T09:00"), "B"), (8, _ts("2026-01-08T00:00"), "h")],
+        ["k", "ts", "val"],
+    )
+    proc(e1, 1)
+    assert "_p_days_ts=2026-01-08" in _dirs(p)
+    head = V.latest_version(p)
+    proc(e1, 1)  # replay: content-idempotent (a content-equal version)
+    got = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d", 8: "h"}
+    assert {
+        r.k: r.val for r in V.read_table_version(spark, p, head).collect()
+    } == got
+
+
+def test_replicate_changes_between_transform_tables(spark, tmp_path):
+    """CDC replication source→target where BOTH are hidden-partitioned:
+    bootstrap takes the transform spec, incremental steps apply as
+    merges, target content tracks the source head."""
+    from etl_rust_spark.streaming.tables import replicate_table_changes
+
+    src = str(tmp_path / "s")
+    dst = str(tmp_path / "d")
+    cur = str(tmp_path / "cur")
+    _days_table(spark, src)
+    n = replicate_table_changes(
+        spark, src, dst, ["k"], cur, partition_by=("days", "ts")
+    )
+    assert V._load_manifest(dst, 1)["partition_transform"]["kind"] == "days"
+    V.upsert_table_version(
+        spark, src,
+        spark.createDataFrame(
+            [(9, _ts("2026-02-01T00:00"), "i")], ["k", "ts", "val"]
+        ),
+        keys=["k"],
+    )
+    V.delete_table_version(spark, src, "k = 1")
+    replicate_table_changes(spark, src, dst, ["k"], cur)
+    want = sorted(
+        (r.k, r.val) for r in V.read_table_version(spark, src).collect()
+    )
+    got = sorted(
+        (r.k, r.val) for r in V.read_table_version(spark, dst).collect()
+    )
+    assert got == want
+    assert "_p_days_ts=2026-02-01" in _dirs(dst)
