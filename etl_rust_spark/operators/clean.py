@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "c4_clean_lines",
     "c4_clean_sql",
+    "dedup_lines",
+    "dedup_lines_sql",
     "normalize_text",
     "normalize_text_sql",
 ]
@@ -146,6 +148,83 @@ SELECT doc_id, __clean AS text_c4, {nlines} AS n_lines, {nkept} AS n_lines_kept,
   {nsent} AS n_sentences,
   CAST(CASE WHEN {nsent} >= {min_sentences} AND NOT {bad} THEN 1 ELSE 0 END AS BIGINT) AS c4_keep
 FROM c ORDER BY doc_id"""
+
+    return q("spark"), q("duck")
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Intra-document EXACT line dedup (the RefinedWeb/MassiveWeb
+    repetition-removal edit, next to the Gopher repetition SIGNALS in
+    text.repetition_stats which only measure): every line keeps its
+    FIRST occurrence, later byte-identical repeats drop — boilerplate
+    nav rows, repeated headers, chat-log echo.  Corpus-level dedup
+    (dedup.py) never sees inside one document; this is the
+    within-document half.
+
+    Returns (id, text_dd, n_lines, n_lines_kept).  NULL text yields ''
+    with 0/0 counts (no NULL verdicts downstream).
+
+    Scale: a pure scan-side projection — split → positional HOF filter
+    (keep line i iff ``array_position`` finds it first at i) →
+    array_join; zero shuffles, no Python.  The filter is O(lines²) per
+    document in the worst case — lines-per-doc is bounded and tiny
+    relative to I/O; a pathological single-document megafile belongs in
+    chunking first."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(txt, "\n")
+    kept = F.filter(
+        lines, lambda l, i: F.array_position(lines, l) == i + 1
+    )
+    n_lines = F.when(txt == "", F.lit(0)).otherwise(F.size(lines))
+    n_kept = F.when(txt == "", F.lit(0)).otherwise(F.size(kept))
+    return df.select(
+        F.col(id_col),
+        F.when(txt == "", F.lit("")).otherwise(
+            F.array_join(kept, "\n")
+        ).alias("text_dd"),
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_lines_kept"),
+    )
+
+
+def dedup_lines_sql(
+    source: str = "documents", max_doc: int | None = None
+) -> tuple[str, str]:
+    """Dual-dialect mirror of :func:`dedup_lines` over
+    ``source(doc_id, text)``.  Index semantics differ: Spark's filter
+    lambda index is 0-based, DuckDB's is 1-based; both sides keep a
+    line iff its list_position/array_position (first occurrence,
+    1-based in both) equals its own position."""
+    where = f"WHERE doc_id <= {max_doc}" if max_doc is not None else ""
+
+    def q(dialect: str) -> str:
+        if dialect == "spark":
+            split_l = "split(coalesce(text, ''), '\\n')"
+            kept = (
+                f"filter(__l, (x, i) -> array_position(__l, x) = i + 1)"
+            )
+            joined = "array_join(__kept, '\\n')"
+            size = "size"
+        else:
+            split_l = "string_split(coalesce(text, ''), chr(10))"
+            kept = (
+                "list_filter(__l, (x, i) -> list_position(__l, x) = i)"
+            )
+            # empty-list joins are NULL in DuckDB, '' in Spark
+            joined = "coalesce(array_to_string(__kept, chr(10)), '')"
+            size = "len"
+        return f"""
+WITH s AS (SELECT doc_id, coalesce(text, '') AS __t, {split_l} AS __l
+           FROM {source} {where}),
+k AS (SELECT doc_id, __t, __l, {kept} AS __kept FROM s)
+SELECT doc_id, CASE WHEN __t = '' THEN '' ELSE {joined} END AS text_dd,
+  CAST(CASE WHEN __t = '' THEN 0 ELSE {size}(__l) END AS INT) AS n_lines,
+  CAST(CASE WHEN __t = '' THEN 0 ELSE {size}(__kept) END AS INT) AS n_lines_kept
+FROM k ORDER BY doc_id"""
 
     return q("spark"), q("duck")
 

@@ -191,3 +191,82 @@ def test_normalize_then_dedupe_composition(spark):
     norm = clean.normalize_text(docs)
     kept = dedup.exact_dedupe(norm, ["text_norm"], "doc_id")
     assert {r.doc_id for r in kept.collect()} == {1, 3}
+
+
+# ------------------------------------------- intra-doc line dedup (r10 s3)
+
+DD_DOCS = [
+    (1, "nav menu\nreal content line one.\nnav menu\nreal content line two.\nnav menu"),
+    (2, "a\na\na\na"),
+    (3, "unique one\nunique two\nunique three"),
+    (4, None),
+    (5, ""),
+    (6, "x\n\ny\n\nx\n"),  # blank lines dedup like any other line
+]
+
+
+def test_dedup_lines_semantics(spark):
+    df = spark.createDataFrame(DD_DOCS, ["doc_id", "text"])
+    got = {r.doc_id: r for r in clean.dedup_lines(df).collect()}
+    assert got[1].text_dd == "nav menu\nreal content line one.\nreal content line two."
+    assert (got[1].n_lines, got[1].n_lines_kept) == (5, 3)
+    assert got[2].text_dd == "a" and got[2].n_lines_kept == 1
+    assert got[3].text_dd == "unique one\nunique two\nunique three"
+    assert got[4].text_dd == "" and got[4].n_lines == 0
+    assert got[5].text_dd == "" and got[5].n_lines == 0
+    # first blank kept, second dropped; trailing split artifact counts
+    assert got[6].text_dd == "x\n\ny"
+
+
+def test_dedup_lines_three_way_mirror(spark, duck):
+    rows = []
+    for i, t in DD_DOCS:
+        if t is None:
+            rows.append(f"({i}, CAST(NULL AS VARCHAR))")
+        else:
+            lit = t.replace("'", "''").replace("\n", "' || chr(10) || '")
+            rows.append(f"({i}, '{lit}')")
+    cte = "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS v(doc_id, text)"
+    sp_sql, du_sql = clean.dedup_lines_sql(source="dd_fixture")
+    df = spark.createDataFrame(DD_DOCS, ["doc_id", "text"])
+    df.createOrReplaceTempView("dd_fixture")
+    duck.execute(f"CREATE OR REPLACE VIEW dd_fixture AS {cte}")
+    api = clean.dedup_lines(df).withColumn(
+        "n_lines", F.col("n_lines").cast("int")
+    ).withColumn("n_lines_kept", F.col("n_lines_kept").cast("int"))
+    sql_df = spark.sql(sp_sql)
+    cols = sorted(api.columns)
+    assert sorted(sql_df.columns) == cols
+
+    def h(rows_):
+        return canonical_hash([tuple(r[c] for c in cols) for r in rows_], cols)
+
+    from tests.oracle import run_duck
+
+    d_rows, d_cols = run_duck(duck, du_sql)
+    d_idx = [d_cols.index(c) for c in cols]
+    assert h(api.collect()) == h(sql_df.collect()) == canonical_hash(
+        [tuple(r[i] for i in d_idx) for r in d_rows], cols
+    )
+
+
+def test_dedup_lines_mirror_on_corpus(spark, duck, sf_dir):
+    """The corpus is single-line word-soup (nothing dedups), which pins
+    the IDENTITY behavior across all three forms on real data."""
+    sp_sql, du_sql = clean.dedup_lines_sql(max_doc=120)
+    sql_df = spark.sql(sp_sql)
+    cols = sorted(sql_df.columns)
+
+    from tests.oracle import run_duck
+
+    d_rows, d_cols = run_duck(duck, du_sql)
+    d_idx = [d_cols.index(c) for c in cols]
+    h_sql = canonical_hash(
+        [tuple(r[c] for c in cols) for r in sql_df.collect()], cols
+    )
+    h_duck = canonical_hash(
+        [tuple(r[i] for i in d_idx) for r in d_rows], cols
+    )
+    assert h_sql == h_duck
+    kept = {r.doc_id: r for r in sql_df.collect()}
+    assert all(r.n_lines == r.n_lines_kept for r in kept.values())
