@@ -149,6 +149,7 @@ def curate_corpus(
     strip_markup: bool = False,
     normalize: bool = False,
     c4_clean: bool = False,
+    dedup_lines: bool = False,
     substring_k: int | None = None,
     min_compression_ratio: float | None = None,
     quality_model=None,
@@ -185,6 +186,12 @@ def curate_corpus(
     NBSP, zero-width characters — ``clean.normalize_text``) right after
     markup stripping, so typographic twins reach the dedup stages as
     exact duplicates.
+
+    ``dedup_lines=True`` (r10 s3) runs intra-document exact line dedup
+    (``clean.dedup_lines``) after C4 cleaning: repeated boilerplate
+    lines inside one page drop before the corpus-level dedup stages
+    (which never look inside a document).  An EDIT stage — no page is
+    removed by it.
 
     ``c4_clean=True`` (r6) runs the C4 line-level cleaner
     (``clean.c4_clean_lines``) after markup stripping: pages failing
@@ -273,6 +280,15 @@ def curate_corpus(
             docs.drop(text_col)
             .join(c4.filter(F.col("c4_keep")).select(id_col, "text_c4"), id_col)
             .withColumnRenamed("text_c4", text_col)
+        )
+    if dedup_lines:
+        from etl_rust_spark.operators import clean as _clean
+
+        dd = _clean.dedup_lines(docs, text_col, id_col)
+        docs = (
+            docs.drop(text_col)
+            .join(dd.select(id_col, "text_dd"), id_col)
+            .withColumnRenamed("text_dd", text_col)
         )
     if substring_k is not None:
         from etl_rust_spark.operators import substring as _substring

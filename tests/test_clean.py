@@ -253,6 +253,9 @@ def test_dedup_lines_three_way_mirror(spark, duck):
 def test_dedup_lines_mirror_on_corpus(spark, duck, sf_dir):
     """The corpus is single-line word-soup (nothing dedups), which pins
     the IDENTITY behavior across all three forms on real data."""
+    from etl_rust_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
     sp_sql, du_sql = clean.dedup_lines_sql(max_doc=120)
     sql_df = spark.sql(sp_sql)
     cols = sorted(sql_df.columns)
@@ -270,3 +273,23 @@ def test_dedup_lines_mirror_on_corpus(spark, duck, sf_dir):
     assert h_sql == h_duck
     kept = {r.doc_id: r for r in sql_df.collect()}
     assert all(r.n_lines == r.n_lines_kept for r in kept.values())
+
+
+def test_dedup_lines_stage_in_curate(spark):
+    """The opt-in pipeline stage: repeated boilerplate lines drop, the
+    document survives with the rest of its columns intact; default-off
+    leaves the gated curate plan untouched."""
+    from etl_rust_spark.operators.curate import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "the same navigation bar again\n"
+             "the quick brown fox jumps over the lazy dog near the river bank today. "
+             "many plain english words follow in this sentence for the scorer.\n"
+             "the same navigation bar again", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    out = curate_corpus(
+        docs, near_dup_threshold=None, dedup_lines=True, min_quality_bp=0
+    ).collect()
+    assert len(out) == 1
+    assert out[0].text.count("the same navigation bar again") == 1
