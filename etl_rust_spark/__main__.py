@@ -151,6 +151,12 @@ def main(argv: list[str] | None = None) -> int:
         "failing the C4 page rules before the quality/dedup stages",
     )
     pc.add_argument(
+        "--dedup-lines",
+        action="store_true",
+        help="intra-document exact line dedup (RefinedWeb repetition "
+        "removal): every line keeps its first occurrence within a page",
+    )
+    pc.add_argument(
         "--substring-k",
         type=int,
         default=None,
@@ -642,6 +648,7 @@ def main(argv: list[str] | None = None) -> int:
             near_dup_strategy=args.near_dup_strategy,
             strip_markup=args.strip_markup,
             c4_clean=args.c4_clean,
+            dedup_lines=args.dedup_lines,
             substring_k=args.substring_k,
             reference_lm=ref_lm,
             max_perplexity=args.max_perplexity,
