@@ -1,0 +1,891 @@
+"""Jar-free Delta Lake interop: READ real Delta tables straight from
+their transaction log, and EXPORT this repo's versioned tables AS a
+Delta log so external Delta readers (Spark+delta-spark, Trino, DuckDB
+delta, polars) can consume them.
+
+Why this belongs in the engine: the versioned-table layer
+(:mod:`etl_rust_spark.versions`) is deliberately its own minimal
+format, but a 100 TB training-data estate never lives on one engine —
+upstream teams hand over Delta tables, downstream consumers want to
+`spark.read.format("delta")` what this pipeline produced.  Both
+directions here are pure METADATA work against the public Delta
+transaction-log protocol (https://github.com/delta-io/delta/blob/
+master/PROTOCOL.md): no jar, no connector, no new execution path —
+the data files are plain parquet either way and Spark scans them with
+the same pruned explicit-file-list plans `read_table_version` uses.
+
+Reference parity note: the reference (blockchain-etl/etl-rust) has no
+table-format layer at all (extract→publish, src/example_config/
+mod.rs); this module is part of the net-new analytics surface.
+
+Scale posture (the 100 TB questions):
+
+- A SNAPSHOT is reconstructed from the newest parquet checkpoint at
+  or below the target version plus the JSON commits after it — cost
+  bounded by Delta's own checkpoint interval, never by table age.
+  Checkpoint/commit parsing is driver-side (the same place Delta's
+  own Snapshot lives); per-file metadata is ~100 bytes, so even a
+  1 M-file snapshot is ~100 MB of driver heap — beyond that, reading
+  the checkpoint THROUGH Spark instead of pyarrow is the named
+  extension, not a redesign.
+- The DATA plan is ONE parquet scan over the snapshot's explicit file
+  list (object-store-listing-free), with partition values injected
+  via a broadcast map join on `input_file_name()` — no per-partition
+  scan fan-out, no shuffle.
+- File skipping happens BEFORE Spark sees a path: partition values
+  compare exactly, `add.stats` min/max prune ranges — the same
+  driver-side discipline as `read_table_version(prune=...)`.
+
+Honesty gates (never misread): unknown reader features, deletion
+vectors, v2 checkpoints, column-mapping `id` mode, nested column
+mapping and non-parquet providers all raise loudly with the feature
+named, matching the Delta protocol's own rule that a reader MUST NOT
+read a table whose reader features it does not implement.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import uuid
+from pathlib import Path
+from urllib.parse import quote, unquote, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+__all__ = [
+    "read_delta_table",
+    "delta_table_files",
+    "delta_snapshot",
+    "delta_history",
+    "delta_latest_version",
+    "export_delta_log",
+    "DeltaProtocolError",
+]
+
+
+class DeltaProtocolError(ValueError):
+    """The log demands a reader capability this module does not
+    implement — refusing loudly is the Delta protocol's own contract
+    for unknown reader features (silently misreading a table with,
+    say, live deletion vectors would resurrect deleted rows)."""
+
+
+# reader features this module actually implements; anything else in
+# `readerFeatures` raises.  vacuumProtocolCheck & co. are WRITER
+# features — readers see them only in the writerFeatures list, which
+# never gates reads.
+_SUPPORTED_READER_FEATURES = {
+    "columnMapping",
+    "timestampNtz",
+    # listed = "checkpoints MAY be v2"; we gate on the checkpoint we
+    # actually encounter (classic parquet reads fine, a real v2
+    # json/sidecar checkpoint raises in _read_checkpoint)
+    "v2Checkpoint",
+}
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CKPT_RE = re.compile(
+    r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$"
+)
+
+
+def _log_dir(path: str) -> Path:
+    return Path(path) / "_delta_log"
+
+
+def delta_latest_version(path: str) -> int:
+    """Newest commit version in the log (max over JSON commit files
+    and checkpoint versions — after aggressive log cleanup only the
+    checkpoint may survive)."""
+    vs = []
+    for p in _log_dir(path).iterdir():
+        m = _COMMIT_RE.match(p.name) or _CKPT_RE.match(p.name)
+        if m:
+            vs.append(int(m.group(1)))
+    if not vs:
+        raise FileNotFoundError(f"no Delta commits under {path}/_delta_log")
+    return max(vs)
+
+
+def _checkpoint_parts(path: str, version: int) -> list[Path] | None:
+    """The checkpoint file(s) for exactly ``version``, or None.
+    Classic single-part or classic multi-part; a `.checkpoint.json` /
+    sidecar-style v2 checkpoint raises (unsupported, gated loudly)."""
+    d = _log_dir(path)
+    if (d / f"{version:020d}.checkpoint.json").exists():
+        raise DeltaProtocolError(
+            f"version {version} of {path} has a v2 (json/sidecar) "
+            "checkpoint; this reader implements classic parquet "
+            "checkpoints only"
+        )
+    single = d / f"{version:020d}.checkpoint.parquet"
+    if single.exists():
+        return [single]
+    parts = sorted(d.glob(f"{version:020d}.checkpoint.??????????.??????????.parquet"))
+    if parts:
+        m = _CKPT_RE.match(parts[0].name)
+        want = int(m.group(3))
+        if len(parts) != want:
+            raise DeltaProtocolError(
+                f"multi-part checkpoint at version {version} is "
+                f"incomplete: {len(parts)}/{want} parts present"
+            )
+        return parts
+    return None
+
+
+def _latest_checkpoint_at_or_below(path: str, version: int) -> int | None:
+    """Prefer the `_last_checkpoint` pointer (one read on a real log);
+    fall back to a directory scan when it is missing or points past
+    the requested (time-travel) version."""
+    d = _log_dir(path)
+    try:
+        lc = json.loads((d / "_last_checkpoint").read_text())
+        if int(lc["version"]) <= version:
+            return int(lc["version"])
+    except (FileNotFoundError, json.JSONDecodeError, KeyError):
+        pass
+    best = None
+    for p in d.iterdir():
+        m = _CKPT_RE.match(p.name)
+        if m and int(m.group(1)) <= version:
+            best = max(best or -1, int(m.group(1)))
+    return best
+
+
+def _read_checkpoint(parts: list[Path]) -> list[dict]:
+    """Classic checkpoint parquet → action dicts (same shape as the
+    JSON commit lines, so replay is one code path)."""
+    import pyarrow.parquet as pq
+
+    def undict(v):
+        # pyarrow maps arrive as [(k, v), ...]; the JSON-commit code
+        # path sees dicts — normalize so replay is one code path
+        if isinstance(v, list) and all(
+            isinstance(x, tuple) and len(x) == 2 for x in v
+        ):
+            return {k: undict(x) for k, x in v}
+        if isinstance(v, dict):
+            return {k: undict(x) for k, x in v.items()}
+        return v
+
+    actions: list[dict] = []
+    for part in parts:
+        t = pq.read_table(part)
+        cols = set(t.column_names)
+        for row in t.to_pylist():
+            for key in ("protocol", "metaData", "add", "remove", "txn"):
+                if key in cols and row.get(key) is not None:
+                    a = dict(row[key])
+                    for mk in ("partitionValues", "configuration",
+                               "tags"):
+                        if mk in a:
+                            a[mk] = undict(a[mk])
+                    if key == "metaData" and a.get("format"):
+                        f = dict(a["format"])
+                        f["options"] = undict(f.get("options"))
+                        a["format"] = f
+                    actions.append({key: a})
+    return actions
+
+
+def _commit_actions(path: str, version: int) -> list[dict]:
+    p = _log_dir(path) / f"{version:020d}.json"
+    return [json.loads(line) for line in p.read_text().splitlines() if line]
+
+
+def _check_protocol(proto: dict, path: str) -> None:
+    r = int(proto.get("minReaderVersion", 1))
+    if r > 3:
+        raise DeltaProtocolError(
+            f"{path} requires minReaderVersion={r}; this reader "
+            "implements <= 3"
+        )
+    feats = set(proto.get("readerFeatures") or [])
+    unsupported = sorted(feats - _SUPPORTED_READER_FEATURES)
+    if unsupported:
+        raise DeltaProtocolError(
+            f"{path} requires reader features {unsupported} this "
+            "reader does not implement (Delta protocol: a reader MUST "
+            "NOT read a table whose reader features it lacks)"
+        )
+
+
+def delta_snapshot(path: str, version: int | None = None, as_of=None) -> dict:
+    """Snapshot state at ``version`` (default: latest): the live
+    ``add`` actions keyed by path, plus the winning metaData/protocol.
+    Pure driver-side metadata — bounded by checkpoint interval +
+    files-per-snapshot, independent of table age or data size."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        version = _version_at_timestamp(path, as_of)
+    head = delta_latest_version(path)
+    v = head if version is None else int(version)
+    if v > head:
+        raise FileNotFoundError(f"no Delta version {v} under {path} "
+                                f"(latest: {head})")
+    ck = _latest_checkpoint_at_or_below(path, v)
+    adds: dict[str, dict] = {}
+    meta = None
+    proto = None
+    start = 0
+    if ck is not None:
+        parts = _checkpoint_parts(path, ck)
+        if parts is None and not (
+            _log_dir(path) / f"{ck:020d}.json"
+        ).exists():
+            raise DeltaProtocolError(
+                f"_last_checkpoint points at version {ck} but no "
+                "checkpoint file exists"
+            )
+        if parts is not None:
+            for a in _read_checkpoint(parts):
+                _apply_action(a, adds, path)
+                if "metaData" in a:
+                    meta = a["metaData"]
+                if "protocol" in a:
+                    proto = a["protocol"]
+            start = ck + 1
+    ts = None
+    for i in range(start, v + 1):
+        try:
+            acts = _commit_actions(path, i)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"Delta commit {i} of {path} is missing (log cleanup "
+                f"removed it and no checkpoint covers it) — cannot "
+                f"reconstruct version {v}"
+            ) from None
+        for a in acts:
+            _apply_action(a, adds, path)
+            if "metaData" in a:
+                meta = a["metaData"]
+            if "protocol" in a:
+                proto = a["protocol"]
+            if "commitInfo" in a and a["commitInfo"].get("timestamp"):
+                ts = a["commitInfo"]["timestamp"]
+    if proto is None or meta is None:
+        raise DeltaProtocolError(
+            f"version {v} of {path} has no protocol/metaData action — "
+            "not a valid Delta log"
+        )
+    _check_protocol(proto, path)
+    fmt = (meta.get("format") or {}).get("provider", "parquet")
+    if fmt != "parquet":
+        raise DeltaProtocolError(
+            f"{path} stores data as {fmt!r}; only parquet is supported"
+        )
+    return {"version": v, "adds": adds, "metaData": meta,
+            "protocol": proto, "ts": ts}
+
+
+def _apply_action(a: dict, adds: dict[str, dict], path: str) -> None:
+    if "add" in a and a["add"] is not None:
+        add = a["add"]
+        if add.get("deletionVector"):
+            raise DeltaProtocolError(
+                f"{path} has a live deletion vector on "
+                f"{add.get('path')!r}; reading it as a plain file "
+                "would RESURRECT deleted rows — this reader does not "
+                "implement deletion vectors"
+            )
+        adds[add["path"]] = add
+    elif "remove" in a and a["remove"] is not None:
+        adds.pop(a["remove"]["path"], None)
+
+
+def _version_at_timestamp(path: str, as_of) -> int:
+    """Newest commit whose timestamp is <= ``as_of`` —
+    `commitInfo.timestamp` when present, else the commit file's mtime
+    (the resolution rule Delta itself documents)."""
+    from .versions import _parse_as_of
+
+    t = _parse_as_of(as_of)
+    d = _log_dir(path)
+    best = None
+    for p in sorted(d.iterdir()):
+        m = _COMMIT_RE.match(p.name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        ts = None
+        for line in p.read_text().splitlines():
+            if not line:
+                continue
+            a = json.loads(line)
+            if "commitInfo" in a and a["commitInfo"].get("timestamp"):
+                ts = a["commitInfo"]["timestamp"] / 1000.0
+                break
+        if ts is None:
+            ts = p.stat().st_mtime
+        if ts <= t:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no Delta version of {path} committed at or before "
+            f"{as_of!r} (predates the surviving log)"
+        )
+    return best
+
+
+# ----------------------------------------------------- schema / mapping
+
+
+def _snapshot_schema(meta: dict) -> StructType:
+    return StructType.fromJson(json.loads(meta["schemaString"]))
+
+
+def _mapping_mode(meta: dict) -> str:
+    return (meta.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none"
+    )
+
+
+def _physical_name(field: StructField) -> str:
+    md = field.metadata or {}
+    return md.get("delta.columnMapping.physicalName", field.name)
+
+
+def _check_mapping_supported(meta: dict, schema: StructType) -> None:
+    mode = _mapping_mode(meta)
+    if mode not in ("none", "name"):
+        raise DeltaProtocolError(
+            f"column mapping mode {mode!r} is not supported (modes: "
+            "none, name — 'id' needs parquet field-id resolution)"
+        )
+    # nested mapping: physical names below the top level would need
+    # recursive schema rewriting inside the scan — gate loudly
+    def walk(dt, top: bool):
+        if isinstance(dt, StructType):
+            for f in dt.fields:
+                if not top and _physical_name(f) != f.name:
+                    raise DeltaProtocolError(
+                        f"nested column-mapped field {f.name!r} "
+                        "(physical "
+                        f"{_physical_name(f)!r}) — nested column "
+                        "mapping is not supported"
+                    )
+                walk(f.dataType, False)
+        elif hasattr(dt, "elementType"):
+            walk(dt.elementType, False)
+        elif hasattr(dt, "valueType"):
+            walk(dt.keyType, False)
+            walk(dt.valueType, False)
+
+    walk(schema, True)
+
+
+def _abs_file(path: str, rel: str) -> str:
+    """An `add.path` is percent-encoded and either table-root-relative
+    or an absolute URI (shallow clones)."""
+    rel = unquote(rel)
+    parsed = urlparse(rel)
+    if parsed.scheme:
+        return parsed.path if parsed.scheme == "file" else rel
+    if rel.startswith("/"):
+        return rel
+    return str(Path(path) / rel)
+
+
+# ------------------------------------------------------- file skipping
+
+
+def _typed_partition_value(s: str | None, dt_name: str):
+    """Deserialize a partitionValues string per the Delta spec's
+    serialization rules, for DRIVER-SIDE exact comparison.  Types
+    without a supported driver-side parse return NotImplemented and
+    the file is KEPT (pruning is an optimization, never a filter)."""
+    import datetime as _dt
+
+    if s is None:
+        return None
+    if dt_name in ("byte", "short", "integer", "long"):
+        return int(s)
+    if dt_name in ("float", "double"):
+        return float(s)
+    if dt_name == "boolean":
+        return s == "true"
+    if dt_name == "string":
+        return s
+    if dt_name == "date":
+        return _dt.date.fromisoformat(s)
+    return NotImplemented
+
+
+def _keep_add(add: dict, prune, part_types: dict[str, str],
+              phys_of: dict[str, str]) -> bool:
+    """Driver-side skipping: partition values compare EXACTLY; data
+    columns prune on `add.stats` min/max (missing/partial stats keep
+    the file — same soundness contract as read_table_version)."""
+    if not prune:
+        return True
+    stats = None
+    raw = add.get("stats")
+    if raw:
+        try:
+            stats = json.loads(raw) if isinstance(raw, str) else raw
+        except json.JSONDecodeError:
+            stats = None
+    pv = add.get("partitionValues") or {}
+    for col, lo, hi in prune:
+        phys = phys_of.get(col, col)
+        try:
+            if phys in part_types:
+                v = _typed_partition_value(pv.get(phys), part_types[phys])
+                if v is NotImplemented:
+                    continue
+                if v is None:
+                    continue  # NULL never matches a range, but keep:
+                    # the caller's real predicate drops the rows
+                if (hi is not None and v > hi) or (
+                    lo is not None and v < lo
+                ):
+                    return False
+            elif stats:
+                mn = (stats.get("minValues") or {}).get(phys)
+                mx = (stats.get("maxValues") or {}).get(phys)
+                if mn is None or mx is None:
+                    continue
+                if (hi is not None and mn > hi) or (
+                    lo is not None and mx < lo
+                ):
+                    return False
+        except TypeError:
+            # bound type doesn't compare with the recorded type
+            # (e.g. a string bound on an int partition): KEEP — the
+            # caller's real predicate is the filter, pruning is only
+            # ever an optimization
+            continue
+    return True
+
+
+def delta_table_files(
+    path: str,
+    version: int | None = None,
+    as_of=None,
+    prune: list[tuple] | None = None,
+) -> list[str]:
+    """The absolute data-file paths a read would plan (after partition
+    + stats skipping) — the test-assertable pruning surface, mirroring
+    the versioned-table layer's discipline."""
+    snap = delta_snapshot(path, version, as_of)
+    meta = snap["metaData"]
+    schema = _snapshot_schema(meta)
+    _check_mapping_supported(meta, schema)
+    phys_of = {f.name: _physical_name(f) for f in schema.fields}
+    part_types = {
+        phys_of[c]: schema[c].dataType.typeName()
+        for c in meta.get("partitionColumns") or []
+    }
+    out = [
+        _abs_file(path, a["path"])
+        for a in snap["adds"].values()
+        if _keep_add(a, prune, part_types, phys_of)
+    ]
+    return sorted(out)
+
+
+# --------------------------------------------------------------- reader
+
+
+def read_delta_table(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    as_of=None,
+    prune: list[tuple] | None = None,
+) -> DataFrame:
+    """A Delta table AS OF ``version`` / ``as_of`` (default: latest),
+    planned jar-free from the transaction log.
+
+    ONE parquet scan over the snapshot's explicit (pruned) file list;
+    partition columns — which Delta does NOT store in the data files —
+    are injected by broadcast-joining a tiny file→values map on
+    `input_file_name()` (no per-partition scan fan-out, no shuffle).
+    Column mapping mode `name` resolves physical parquet names back to
+    logical ones.  ``prune`` is the same `[(col, lo, hi)]` contract as
+    :func:`etl_rust_spark.versions.read_table_version`: a sound
+    optimization, never a filter."""
+    snap = delta_snapshot(path, version, as_of)
+    meta = snap["metaData"]
+    schema = _snapshot_schema(meta)
+    _check_mapping_supported(meta, schema)
+    part_cols = list(meta.get("partitionColumns") or [])
+    phys_of = {f.name: _physical_name(f) for f in schema.fields}
+    part_types = {
+        phys_of[c]: schema[c].dataType.typeName() for c in part_cols
+    }
+    adds = [
+        a for a in snap["adds"].values()
+        if _keep_add(a, prune, part_types, phys_of)
+    ]
+    # physical scan schema: non-partition fields under physical names.
+    # Passing it explicitly (a) skips footer-merging inference and (b)
+    # nulls out columns missing from pre-evolution files, exactly the
+    # Delta read contract.
+    data_fields = [
+        StructField(phys_of[f.name], f.dataType, True)
+        for f in schema.fields
+        if f.name not in part_cols
+    ]
+    if not adds:
+        return spark.createDataFrame(
+            [], StructType([StructField(f.name, f.dataType, True)
+                            for f in schema.fields])
+        )
+    files = [_abs_file(path, a["path"]) for a in adds]
+    df = spark.read.schema(StructType(data_fields)).parquet(*files)
+    if part_cols:
+        # file → serialized partition values, broadcast-joined on the
+        # decoded scan-side file URI ("file://" + absolute path)
+        map_rows = [
+            ("file://" + _abs_file(path, a["path"]),
+             *[(a.get("partitionValues") or {}).get(phys_of[c])
+               for c in part_cols])
+            for a in adds
+        ]
+        map_schema = StructType(
+            [StructField("__delta_file", StringType(), False)]
+            + [StructField(f"__pv_{phys_of[c]}", StringType(), True)
+               for c in part_cols]
+        )
+        pmap = spark.createDataFrame(map_rows, map_schema)
+        df = (
+            df.withColumn(
+                "__delta_file", F.url_decode(F.input_file_name())
+            )
+            .join(F.broadcast(pmap), "__delta_file", "left")
+            .drop("__delta_file")
+        )
+        for c in part_cols:
+            df = df.withColumn(
+                phys_of[c],
+                F.col(f"__pv_{phys_of[c]}").cast(schema[c].dataType),
+            ).drop(f"__pv_{phys_of[c]}")
+    # physical → logical, in snapshot schema order
+    return df.select(
+        *[F.col(phys_of[f.name]).alias(f.name) for f in schema.fields]
+    )
+
+
+def delta_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY off the commit files: version, timestamp (ms),
+    operation, operationParameters when recorded."""
+    out = []
+    for p in sorted(_log_dir(path).iterdir()):
+        m = _COMMIT_RE.match(p.name)
+        if not m:
+            continue
+        row = {"version": int(m.group(1)), "timestamp": None,
+               "operation": None, "operationParameters": None}
+        for line in p.read_text().splitlines():
+            if not line:
+                continue
+            a = json.loads(line)
+            ci = a.get("commitInfo")
+            if ci:
+                row["timestamp"] = ci.get("timestamp")
+                row["operation"] = ci.get("operation")
+                row["operationParameters"] = ci.get("operationParameters")
+                break
+        if row["timestamp"] is None:
+            row["timestamp"] = int(p.stat().st_mtime * 1000)
+        out.append(row)
+    return sorted(out, key=lambda r: r["version"], reverse=True)
+
+
+# -------------------------------------------------------------- exporter
+
+
+def export_delta_log(
+    spark: SparkSession,
+    path: str,
+    versions: list[int] | None = None,
+    checkpoint: bool = True,
+) -> int:
+    """Replay a versioned table's commit chain as a Delta transaction
+    log IN PLACE (``<path>/_delta_log`` next to the existing
+    ``_manifests``), so any Delta reader consumes the same data files
+    — zero bytes of data copied, time travel preserved commit-for-
+    commit (our version ``v_i`` → Delta version ``i``; the mapping is
+    recorded in each commitInfo's ``operationParameters.sourceVersion``).
+
+    Refuses loudly (with the remediation named) on the two features
+    Delta cannot express from the outside: outstanding merge-on-read
+    delete sidecars (a Delta reader would resurrect the masked rows —
+    `compact_table_version` folds the debt first) and hidden partition
+    transforms (the synthetic directory column is not in the schema;
+    ALTER to identity partitioning first).  Column-mapped tables
+    export natively as Delta column mapping mode `name`.
+
+    Returns the number of Delta commits written."""
+    from .versions import _column_map, _load_manifest, _transform_of
+    from .versions import list_versions as _list_versions
+
+    vs = versions if versions is not None else _list_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    d = _log_dir(path)
+    if d.exists() and any(_COMMIT_RE.match(p.name) for p in d.iterdir()):
+        raise FileExistsError(
+            f"{d} already holds a Delta log — exporting twice would "
+            "fork the commit history; remove it first to re-export"
+        )
+    d.mkdir(parents=True, exist_ok=True)
+    manifests = {v: _load_manifest(path, v) for v in vs}
+    for v, m in manifests.items():
+        if m.get("deletes"):
+            raise ValueError(
+                f"version {v} of {path} carries merge-on-read delete "
+                "sidecars; a Delta reader cannot apply them and would "
+                "RESURRECT the deleted rows — run "
+                "compact_table_version() and export versions="
+                "[folded versions], or export a post-fold range"
+            )
+        if _transform_of(m):
+            raise ValueError(
+                f"version {v} of {path} uses a hidden partition "
+                "transform; Delta requires partition columns in the "
+                "schema — alter_table_version(new_partition_by=...) "
+                "to an identity layout first"
+            )
+    root = Path(path)
+    table_id = str(uuid.uuid4())
+    # stable field ids for column mapping, assigned by first
+    # appearance of each PHYSICAL name across the exported chain
+    field_ids: dict[str, int] = {}
+    mapped = any(_column_map(m) for m in manifests.values())
+    prev_files: set[str] = set()
+    prev_meta_json = None
+    n = 0
+    for i, v in enumerate(vs):
+        m = manifests[v]
+        cmap = _column_map(m)  # logical -> physical
+        logical = read_table_version(spark, path, v)
+        schema = logical.schema
+        pb_phys = m.get("partition_by") or None
+        inv = {p: l for l, p in cmap.items()}
+        pb_logical = inv.get(pb_phys, pb_phys)
+        fields = []
+        for f in schema.fields:
+            md = dict(f.metadata or {})
+            if mapped:
+                phys = cmap.get(f.name, f.name)
+                fid = field_ids.setdefault(phys, len(field_ids) + 1)
+                md["delta.columnMapping.id"] = fid
+                md["delta.columnMapping.physicalName"] = phys
+            fields.append(
+                {"name": f.name, "type": f.dataType.jsonValue(),
+                 "nullable": f.nullable, "metadata": md}
+            )
+        conf = {}
+        if mapped:
+            conf = {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": str(len(field_ids)),
+            }
+        meta = {
+            "id": table_id,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(
+                {"type": "struct", "fields": fields}
+            ),
+            "partitionColumns": [pb_logical] if pb_logical else [],
+            "configuration": conf,
+        }
+        meta_json = json.dumps(meta, sort_keys=True)
+        ts_ms = int(float(m.get("ts") or
+                          _manifest_mtime(path, v)) * 1000)
+        actions: list[dict] = []
+        if i == 0:
+            actions.append({"protocol": _protocol(mapped)})
+        if meta_json != prev_meta_json:
+            actions.append({"metaData": meta})
+            prev_meta_json = meta_json
+        cur_files = set(m["files"])
+        stats = m.get("stats") or {}
+        for f in sorted(cur_files - prev_files):
+            actions.append({"add": _add_action(
+                root, f, stats.get(f) or {}, pb_phys, ts_ms
+            )})
+        for f in sorted(prev_files - cur_files):
+            actions.append({"remove": {
+                "path": quote("data/" + f, safe="/"),
+                "deletionTimestamp": ts_ms,
+                "dataChange": True,
+            }})
+        actions.append({"commitInfo": {
+            "timestamp": ts_ms,
+            "operation": (m.get("op") or "WRITE").upper(),
+            "operationParameters": {"sourceVersion": str(v)},
+            "engineInfo": "etl-rust-spark versioned-table export",
+        }})
+        (d / f"{i:020d}.json").write_text(
+            "".join(json.dumps(a) + "\n" for a in actions)
+        )
+        prev_files = cur_files
+        n += 1
+    if checkpoint:
+        _write_checkpoint(
+            path, n - 1, manifests[vs[-1]], prev_meta_json, mapped
+        )
+    return n
+
+
+def _manifest_mtime(path: str, v: int) -> float:
+    from .versions import _manifest_path
+
+    return _manifest_path(path, v).stat().st_mtime
+
+
+def _protocol(mapped: bool) -> dict:
+    # column mapping needs reader 2 / writer 5 per the Delta spec;
+    # plain tables use the legacy floor
+    return ({"minReaderVersion": 2, "minWriterVersion": 5}
+            if mapped else {"minReaderVersion": 1, "minWriterVersion": 2})
+
+
+def _add_action(root: Path, rel: str, fstats: dict,
+                pb_phys: str | None, ts_ms: int) -> dict:
+    from .versions import _ROWS_KEY, _seg_value_of
+
+    fp = root / "data" / rel
+    st = fp.stat()
+    pv = {}
+    if pb_phys:
+        pv = {pb_phys: _seg_value_of(rel)}
+    stats_out: dict = {}
+    rows = fstats.get(_ROWS_KEY)
+    if rows is not None:
+        stats_out["numRecords"] = rows
+    mins, maxs = {}, {}
+    for k, bounds in fstats.items():
+        # per-col [min, max] entries only — skip rows:/bloom:/trunc:
+        # markers (trunc'd bounds are WIDENED and still sound, so the
+        # bounds themselves export fine)
+        if ":" in k or not isinstance(bounds, (list, tuple)):
+            continue
+        mins[k], maxs[k] = bounds[0], bounds[1]
+    if mins:
+        stats_out["minValues"], stats_out["maxValues"] = mins, maxs
+    add = {
+        "path": quote("data/" + rel, safe="/"),
+        "partitionValues": pv,
+        "size": st.st_size,
+        "modificationTime": ts_ms,
+        "dataChange": True,
+    }
+    if stats_out:
+        add["stats"] = json.dumps(stats_out)
+    return add
+
+
+def _write_checkpoint(path: str, delta_version: int, head_manifest: dict,
+                      meta_json: str, mapped: bool) -> None:
+    """Classic single-part checkpoint parquet + `_last_checkpoint`
+    pointer for the final exported commit — so Delta readers (and
+    this module's own reader) snapshot in ONE parquet read instead of
+    replaying every JSON commit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = Path(path)
+    meta = json.loads(meta_json)
+    pb_phys = head_manifest.get("partition_by") or None
+    stats = head_manifest.get("stats") or {}
+    ts_ms = int(float(head_manifest.get("ts") or 0) * 1000)
+    adds = [
+        _add_action(root, f, stats.get(f) or {}, pb_phys, ts_ms)
+        for f in sorted(head_manifest["files"])
+    ]
+    n = len(adds) + 2
+    proto = _protocol(mapped)
+    rows = {
+        "protocol": [proto] + [None] * (n - 1),
+        "metaData": [None, {
+            "id": meta["id"],
+            "format": meta["format"],
+            "schemaString": meta["schemaString"],
+            "partitionColumns": meta["partitionColumns"],
+            "configuration": meta["configuration"],
+        }] + [None] * (n - 2),
+        "add": [None, None] + adds,
+        "remove": [None] * n,
+    }
+    add_t = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("stats", pa.string()),
+    ])
+    schema = pa.schema([
+        ("protocol", pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+        ])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([
+                ("provider", pa.string()),
+                ("options", pa.map_(pa.string(), pa.string())),
+            ])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ])),
+        ("add", add_t),
+        ("remove", pa.struct([
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ])),
+    ])
+
+    def fix_add(a):
+        if a is None:
+            return None
+        a = dict(a)
+        a["partitionValues"] = list(
+            (a.get("partitionValues") or {}).items()
+        )
+        a.setdefault("stats", None)
+        return a
+
+    def fix_meta(mrow):
+        if mrow is None:
+            return None
+        mrow = dict(mrow)
+        mrow["format"] = {
+            "provider": mrow["format"]["provider"],
+            "options": list((mrow["format"].get("options") or {}).items()),
+        }
+        mrow["configuration"] = list(
+            (mrow.get("configuration") or {}).items()
+        )
+        return mrow
+
+    table = pa.Table.from_pydict(
+        {
+            "protocol": rows["protocol"],
+            "metaData": [fix_meta(x) for x in rows["metaData"]],
+            "add": [fix_add(x) for x in rows["add"]],
+            "remove": rows["remove"],
+        },
+        schema=schema,
+    )
+    d = _log_dir(path)
+    pq.write_table(table, d / f"{delta_version:020d}.checkpoint.parquet")
+    (d / "_last_checkpoint").write_text(
+        json.dumps({"version": delta_version, "size": n})
+    )
+
+
+# placed at the bottom to keep the import surface obvious: the
+# exporter reads snapshots through the public versioned-table API
+from .versions import read_table_version  # noqa: E402

@@ -1,0 +1,596 @@
+"""Delta Lake interop (etl_rust_spark.deltalake).
+
+Two families:
+
+1. READER vs hand-written logs — fixtures are constructed line-by-line
+   per the public Delta protocol (PROTOCOL.md), since the container
+   has no delta-spark jar to write "real" logs.  Every structural
+   feature the reader claims (checkpoints, multi-part checkpoints,
+   column mapping, protocol gates, deletion-vector refusal, absolute
+   paths, schema evolution, time travel) gets its own fixture.
+2. ROUND TRIP through the exporter — our versioned tables exported as
+   a Delta log must read back content-equal VERSION FOR VERSION via
+   the independent reader path, including through the checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import pytest
+
+from etl_rust_spark import versions as V
+from etl_rust_spark.deltalake import (
+    DeltaProtocolError,
+    delta_history,
+    delta_latest_version,
+    delta_snapshot,
+    delta_table_files,
+    export_delta_log,
+    read_delta_table,
+)
+
+
+def _write_parquet(path: Path, rows: list[dict], schema=None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    t = pa.Table.from_pylist(rows, schema=schema)
+    pq.write_table(t, path)
+    return path.stat().st_size
+
+
+def _commit(log: Path, v: int, actions: list[dict], ts_ms: int | None = None):
+    log.mkdir(parents=True, exist_ok=True)
+    if ts_ms is not None:
+        actions = actions + [{"commitInfo": {"timestamp": ts_ms,
+                                             "operation": "TEST"}}]
+    (log / f"{v:020d}.json").write_text(
+        "".join(json.dumps(a) + "\n" for a in actions)
+    )
+
+
+def _schema_str(fields: list[tuple[str, str]], metadata=None) -> str:
+    return json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": n, "type": t, "nullable": True,
+             "metadata": (metadata or {}).get(n, {})}
+            for n, t in fields
+        ],
+    })
+
+
+def _meta(schema_str: str, parts: list[str] | None = None, conf=None):
+    return {"metaData": {
+        "id": "00000000-0000-0000-0000-000000000001",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_str,
+        "partitionColumns": parts or [],
+        "configuration": conf or {},
+    }}
+
+
+_P1 = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+def _simple_table(tmp_path: Path) -> Path:
+    """3 commits: add f1+f2 / add f3 / remove f1 (compaction-ish)."""
+    t = tmp_path / "delta_simple"
+    log = t / "_delta_log"
+    sz1 = _write_parquet(t / "f1.parquet", [{"k": 1, "v": "a"},
+                                            {"k": 2, "v": "b"}])
+    sz2 = _write_parquet(t / "f2.parquet", [{"k": 3, "v": "c"}])
+    sz3 = _write_parquet(t / "f3.parquet", [{"k": 4, "v": "d"}])
+    sch = _schema_str([("k", "long"), ("v", "string")])
+
+    def add(name, sz, stats=None):
+        a = {"path": name, "partitionValues": {}, "size": sz,
+             "modificationTime": 1000, "dataChange": True}
+        if stats:
+            a["stats"] = json.dumps(stats)
+        return {"add": a}
+
+    _commit(log, 0, [_P1, _meta(sch),
+                     add("f1.parquet", sz1,
+                         {"numRecords": 2, "minValues": {"k": 1},
+                          "maxValues": {"k": 2}}),
+                     add("f2.parquet", sz2,
+                         {"numRecords": 1, "minValues": {"k": 3},
+                          "maxValues": {"k": 3}})],
+            ts_ms=1_000_000)
+    _commit(log, 1, [add("f3.parquet", sz3,
+                         {"numRecords": 1, "minValues": {"k": 4},
+                          "maxValues": {"k": 4}})],
+            ts_ms=2_000_000)
+    _commit(log, 2, [{"remove": {"path": "f1.parquet",
+                                 "deletionTimestamp": 3_000_000,
+                                 "dataChange": True}}],
+            ts_ms=3_000_000)
+    return t
+
+
+# ------------------------------------------------------------- reader
+
+
+def test_read_latest_and_time_travel(spark, tmp_path):
+    t = _simple_table(tmp_path)
+    assert delta_latest_version(str(t)) == 2
+    head = read_delta_table(spark, str(t))
+    assert sorted(r.k for r in head.collect()) == [3, 4]
+    v0 = read_delta_table(spark, str(t), version=0)
+    assert sorted(r.k for r in v0.collect()) == [1, 2, 3]
+    v1 = read_delta_table(spark, str(t), version=1)
+    assert sorted(r.k for r in v1.collect()) == [1, 2, 3, 4]
+    assert head.columns == ["k", "v"]
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    t = _simple_table(tmp_path)
+    # commitInfo timestamps: 1000/2000/3000 s
+    df = read_delta_table(spark, str(t), as_of=2_500)
+    assert sorted(r.k for r in df.collect()) == [1, 2, 3, 4]
+    df = read_delta_table(spark, str(t), as_of=1_000)
+    assert sorted(r.k for r in df.collect()) == [1, 2, 3]
+    with pytest.raises(ValueError, match="at or before"):
+        read_delta_table(spark, str(t), as_of=500)
+    with pytest.raises(ValueError, match="version OR as_of"):
+        read_delta_table(spark, str(t), version=1, as_of=2_500)
+
+
+def test_missing_version_raises(spark, tmp_path):
+    t = _simple_table(tmp_path)
+    with pytest.raises(FileNotFoundError, match="no Delta version 9"):
+        delta_snapshot(str(t), 9)
+
+
+def test_stats_skipping(spark, tmp_path):
+    t = _simple_table(tmp_path)
+    all_f = delta_table_files(str(t), version=1)
+    assert len(all_f) == 3
+    hit = delta_table_files(str(t), version=1, prune=[("k", 4, None)])
+    assert [Path(f).name for f in hit] == ["f3.parquet"]
+    # missing stats keep the file: strip stats from one add
+    hit2 = delta_table_files(str(t), version=1, prune=[("k", 1, 2)])
+    assert [Path(f).name for f in hit2] == ["f1.parquet"]
+
+
+def test_partitioned_read_and_prune(spark, tmp_path):
+    t = tmp_path / "delta_part"
+    log = t / "_delta_log"
+    # data files do NOT carry the partition column — the Delta layout
+    sz1 = _write_parquet(t / "p=x/f1.parquet", [{"k": 1}, {"k": 2}])
+    sz2 = _write_parquet(t / "p=y/f2.parquet", [{"k": 3}])
+    sz3 = _write_parquet(t / "f3.parquet", [{"k": 9}])  # null partition
+    sch = _schema_str([("k", "long"), ("p", "string")])
+    _commit(log, 0, [
+        _P1, _meta(sch, parts=["p"]),
+        {"add": {"path": "p%3Dx/f1.parquet",  # percent-encoded path
+                 "partitionValues": {"p": "x"}, "size": sz1,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "p=y/f2.parquet",
+                 "partitionValues": {"p": "y"}, "size": sz2,
+                 "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "f3.parquet",
+                 "partitionValues": {"p": None}, "size": sz3,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    df = read_delta_table(spark, str(t))
+    rows = {r.k: r.p for r in df.collect()}
+    assert rows == {1: "x", 2: "x", 3: "y", 9: None}
+    assert df.columns == ["k", "p"]
+    # exact partition-value pruning, driver-side
+    assert sorted(
+        Path(f).name for f in
+        delta_table_files(str(t), prune=[("p", "y", "y")])
+    ) == ["f2.parquet", "f3.parquet"]  # NULL kept (sound)
+
+
+def test_typed_partition_values(spark, tmp_path):
+    t = tmp_path / "delta_typed"
+    log = t / "_delta_log"
+    sz = _write_parquet(t / "f1.parquet", [{"v": "a"}])
+    sch = _schema_str([("v", "string"), ("d", "date"), ("n", "integer"),
+                       ("b", "boolean")])
+    _commit(log, 0, [
+        _P1, _meta(sch, parts=["d", "n", "b"]),
+        {"add": {"path": "f1.parquet",
+                 "partitionValues": {"d": "2026-08-16", "n": "7",
+                                     "b": "true"},
+                 "size": sz, "modificationTime": 0, "dataChange": True}},
+    ])
+    r = read_delta_table(spark, str(t)).collect()[0]
+    import datetime as dt
+
+    assert (r.d, r.n, r.b) == (dt.date(2026, 8, 16), 7, True)
+    # typed driver-side comparison prunes on the date partition
+    assert delta_table_files(
+        str(t), prune=[("d", dt.date(2026, 9, 1), None)]) == []
+    assert len(delta_table_files(
+        str(t), prune=[("n", 7, 7)])) == 1
+    assert delta_table_files(str(t), prune=[("n", 8, None)]) == []
+
+
+def test_schema_evolution_nulls_missing_columns(spark, tmp_path):
+    t = tmp_path / "delta_evo"
+    log = t / "_delta_log"
+    sz1 = _write_parquet(t / "f1.parquet", [{"k": 1}])
+    sz2 = _write_parquet(t / "f2.parquet", [{"k": 2, "extra": "e"}])
+    _commit(log, 0, [_P1, _meta(_schema_str([("k", "long")])),
+                     {"add": {"path": "f1.parquet", "partitionValues": {},
+                              "size": sz1, "modificationTime": 0,
+                              "dataChange": True}}])
+    _commit(log, 1, [_meta(_schema_str([("k", "long"),
+                                        ("extra", "string")])),
+                     {"add": {"path": "f2.parquet", "partitionValues": {},
+                              "size": sz2, "modificationTime": 0,
+                              "dataChange": True}}])
+    rows = {r.k: r.extra for r in read_delta_table(spark, str(t)).collect()}
+    assert rows == {1: None, 2: "e"}  # pre-evolution file reads as NULL
+
+
+def test_column_mapping_name_mode(spark, tmp_path):
+    t = tmp_path / "delta_cm"
+    log = t / "_delta_log"
+    # physical parquet names differ from the logical schema
+    sz = _write_parquet(t / "f1.parquet",
+                        [{"col-aaa": 1, "col-bbb": "x"}])
+    md = {
+        "k": {"delta.columnMapping.id": 1,
+              "delta.columnMapping.physicalName": "col-aaa"},
+        "v": {"delta.columnMapping.id": 2,
+              "delta.columnMapping.physicalName": "col-bbb"},
+    }
+    sch = _schema_str([("k", "long"), ("v", "string")], metadata=md)
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _meta(sch, conf={"delta.columnMapping.mode": "name"}),
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": sz,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    df = read_delta_table(spark, str(t))
+    assert df.columns == ["k", "v"]
+    assert df.collect()[0].asDict() == {"k": 1, "v": "x"}
+
+
+def test_column_mapping_id_mode_raises(spark, tmp_path):
+    t = tmp_path / "delta_cmid"
+    _write_parquet(t / "f1.parquet", [{"k": 1}])
+    _commit(t / "_delta_log", 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _meta(_schema_str([("k", "long")]),
+              conf={"delta.columnMapping.mode": "id"}),
+    ])
+    with pytest.raises(DeltaProtocolError, match="'id'"):
+        read_delta_table(spark, str(t))
+
+
+def test_protocol_gates(spark, tmp_path):
+    sch = _schema_str([("k", "long")])
+    t1 = tmp_path / "d1"
+    _commit(t1 / "_delta_log", 0,
+            [{"protocol": {"minReaderVersion": 4}}, _meta(sch)])
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion=4"):
+        delta_snapshot(str(t1))
+    t2 = tmp_path / "d2"
+    _commit(t2 / "_delta_log", 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        _meta(sch)])
+    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+        delta_snapshot(str(t2))
+    # supported features pass the gate
+    t3 = tmp_path / "d3"
+    sz = _write_parquet(t3 / "f1.parquet", [{"k": 1}])
+    _commit(t3 / "_delta_log", 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["timestampNtz", "columnMapping"]}},
+        _meta(sch),
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": sz,
+                 "modificationTime": 0, "dataChange": True}}])
+    assert read_delta_table(spark, str(t3)).count() == 1
+    # non-parquet provider
+    t4 = tmp_path / "d4"
+    m = _meta(sch)
+    m["metaData"]["format"]["provider"] = "csv"
+    _commit(t4 / "_delta_log", 0, [_P1, m])
+    with pytest.raises(DeltaProtocolError, match="'csv'"):
+        delta_snapshot(str(t4))
+
+
+def test_live_deletion_vector_raises(spark, tmp_path):
+    t = tmp_path / "delta_dv"
+    sz = _write_parquet(t / "f1.parquet", [{"k": 1}])
+    _commit(t / "_delta_log", 0, [
+        _P1, _meta(_schema_str([("k", "long")])),
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": sz,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": {"storageType": "u", "pathOrInlineDv":
+                                    "x", "offset": 1, "sizeInBytes": 40,
+                                    "cardinality": 1}}},
+    ])
+    with pytest.raises(DeltaProtocolError, match="RESURRECT"):
+        delta_snapshot(str(t))
+
+
+def test_absolute_path_adds(spark, tmp_path):
+    # shallow-clone shape: the add points OUTSIDE the table root
+    src = tmp_path / "elsewhere"
+    sz = _write_parquet(src / "f1.parquet", [{"k": 42}])
+    t = tmp_path / "delta_abs"
+    _commit(t / "_delta_log", 0, [
+        _P1, _meta(_schema_str([("k", "long")])),
+        {"add": {"path": "file://" + str(src / "f1.parquet"),
+                 "partitionValues": {}, "size": sz,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    assert read_delta_table(spark, str(t)).collect()[0].k == 42
+
+
+def test_checkpoint_replaces_missing_commits(spark, tmp_path):
+    """After log cleanup only the checkpoint + later commits survive —
+    the reader must snapshot from the checkpoint, and a hole BELOW the
+    target version without a covering checkpoint must raise."""
+    t = _simple_table(tmp_path)
+    # hand-write a classic checkpoint for version 1 via pyarrow
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = delta_snapshot(str(t), 1)
+    log = t / "_delta_log"
+    add_rows = [None, None] + [
+        {**a, "partitionValues": list((a.get("partitionValues") or
+                                       {}).items()),
+         "stats": a.get("stats")}
+        for a in snap["adds"].values()
+    ]
+    n = len(add_rows)
+    table = pa.Table.from_pydict({
+        "protocol": [snap["protocol"]] + [None] * (n - 1),
+        "metaData": [None, {
+            "id": snap["metaData"]["id"],
+            "format": {"provider": "parquet", "options": []},
+            "schemaString": snap["metaData"]["schemaString"],
+            "partitionColumns": [],
+            "configuration": [],
+        }] + [None] * (n - 2),
+        "add": add_rows,
+    }, schema=pa.schema([
+        ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                ("minWriterVersion", pa.int32())])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string()),
+                                  ("options", pa.map_(pa.string(),
+                                                      pa.string()))])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string()))])),
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string())])),
+    ]))
+    pq.write_table(table, log / f"{1:020d}.checkpoint.parquet")
+    (log / "_last_checkpoint").write_text(json.dumps({"version": 1,
+                                                      "size": n}))
+    os.remove(log / f"{0:020d}.json")
+    os.remove(log / f"{1:020d}.json")
+    head = read_delta_table(spark, str(t))  # checkpoint + commit 2
+    assert sorted(r.k for r in head.collect()) == [3, 4]
+    # version 0 needs commit 0, which is gone and below the checkpoint
+    with pytest.raises(FileNotFoundError, match="commit 0"):
+        delta_snapshot(str(t), 0)
+
+
+def test_v2_checkpoint_raises(tmp_path):
+    t = tmp_path / "delta_v2ck"
+    log = t / "_delta_log"
+    _commit(log, 0, [_P1, _meta(_schema_str([("k", "long")]))])
+    (log / f"{0:020d}.checkpoint.json").write_text("{}")
+    # with the JSON commit intact the v2 checkpoint is IGNORABLE:
+    # replay from commits is sound, so the read succeeds
+    assert delta_snapshot(str(t), 0)["adds"] == {}
+    # but a log that ROUTES through it (_last_checkpoint) refuses
+    (log / "_last_checkpoint").write_text(json.dumps({"version": 0}))
+    with pytest.raises(DeltaProtocolError, match="v2"):
+        delta_snapshot(str(t), 0)
+
+
+def test_multipart_checkpoint(spark, tmp_path):
+    """Classic multi-part checkpoints: parts are read and an
+    incomplete set raises."""
+    t = tmp_path / "delta_mp"
+    log = t / "_delta_log"
+    sz1 = _write_parquet(t / "f1.parquet", [{"k": 1}])
+    sz2 = _write_parquet(t / "f2.parquet", [{"k": 2}])
+    sch = _schema_str([("k", "long")])
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def part(rows, name):
+        schema = pa.schema([
+            ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                    ("minWriterVersion", pa.int32())])),
+            ("metaData", pa.struct([
+                ("id", pa.string()),
+                ("format", pa.struct([
+                    ("provider", pa.string()),
+                    ("options", pa.map_(pa.string(), pa.string()))])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", pa.map_(pa.string(), pa.string()))])),
+            ("add", pa.struct([
+                ("path", pa.string()),
+                ("partitionValues", pa.map_(pa.string(), pa.string())),
+                ("size", pa.int64()),
+                ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_())])),
+        ])
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                       log / name)
+
+    log.mkdir(parents=True)
+    part([
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+         "metaData": None, "add": None},
+        {"protocol": None,
+         "metaData": {"id": "x", "format": {"provider": "parquet",
+                                            "options": []},
+                      "schemaString": sch, "partitionColumns": [],
+                      "configuration": []},
+         "add": None},
+    ], f"{0:020d}.checkpoint.{1:010d}.{2:010d}.parquet")
+    part([
+        {"protocol": None, "metaData": None,
+         "add": {"path": "f1.parquet", "partitionValues": [],
+                 "size": sz1, "modificationTime": 0, "dataChange": True}},
+        {"protocol": None, "metaData": None,
+         "add": {"path": "f2.parquet", "partitionValues": [],
+                 "size": sz2, "modificationTime": 0, "dataChange": True}},
+    ], f"{0:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    (log / "_last_checkpoint").write_text(json.dumps({"version": 0,
+                                                      "parts": 2}))
+    assert sorted(
+        r.k for r in read_delta_table(spark, str(t)).collect()
+    ) == [1, 2]
+    os.remove(log / f"{0:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    with pytest.raises(DeltaProtocolError, match="1/2 parts"):
+        delta_snapshot(str(t))
+
+
+def test_history(tmp_path):
+    t = _simple_table(tmp_path)
+    h = delta_history(str(t))
+    assert [r["version"] for r in h] == [2, 1, 0]
+    assert h[0]["timestamp"] == 3_000_000
+    assert h[0]["operation"] == "TEST"
+
+
+# ---------------------------------------------------------- round trip
+
+
+def _roundtrip(spark, path):
+    n = export_delta_log(spark, str(path))
+    ours_versions = V.list_versions(str(path))
+    assert n == len(ours_versions)
+    for i, v in enumerate(ours_versions):
+        ours = V.read_table_version(spark, str(path), v)
+        theirs = read_delta_table(spark, str(path), version=i)
+        assert sorted(theirs.columns) == sorted(ours.columns)
+        a = sorted(map(tuple, ours.collect()))
+        b = sorted(map(tuple,
+                       theirs.select(*ours.columns).collect()))
+        assert a == b, f"our v{v} != delta {i}"
+
+
+def test_export_roundtrip_partitioned(spark, tmp_path):
+    t = tmp_path / "vt"
+    df1 = spark.range(20).selectExpr(
+        "id as k", "id * 2 as v", "cast(id % 3 as string) as p")
+    V.write_table_version(df1, str(t), partition_by="p", stats_cols=["k"])
+    df2 = spark.range(6).selectExpr(
+        "id + 17 as k", "id * 100 as v", "cast(id % 3 as string) as p")
+    V.upsert_table_version(spark, t and str(t), df2, keys=["k"],
+                           partition_by="p")
+    V.delete_table_version(spark, str(t), "k = 5")
+    _roundtrip(spark, t)
+    # partition column dtype matches the versioned read exactly (Spark
+    # partition inference types "p=0" dirs as int on BOTH paths)
+    df = read_delta_table(spark, str(t))
+    ours = V.read_table_version(spark, str(t))
+    assert dict(df.dtypes)["p"] == dict(ours.dtypes)["p"]
+    # commitInfo carries the source-version mapping
+    h = delta_history(str(t))
+    assert [r["operationParameters"]["sourceVersion"] for r in h] == \
+        ["3", "2", "1"]
+
+
+def test_export_roundtrip_unpartitioned_and_checkpoint(spark, tmp_path):
+    t = tmp_path / "vt2"
+    V.write_table_version(
+        spark.range(10).selectExpr("id as k", "id * 3 as v"),
+        str(t), stats_cols=["k"])
+    V.update_table_version(spark, str(t), "k >= 5", {"v": "v + 1"})
+    _roundtrip(spark, t)
+    # the exporter wrote a checkpoint: a JSON-less log still reads
+    log = t / "_delta_log"
+    for f in log.iterdir():
+        if f.suffix == ".json" and f.stem.isdigit():
+            f.unlink()
+    head = read_delta_table(spark, str(t))
+    ours = V.read_table_version(spark, str(t))
+    assert sorted(map(tuple, head.select(*ours.columns).collect())) == \
+        sorted(map(tuple, ours.collect()))
+
+
+def test_export_roundtrip_column_mapped(spark, tmp_path):
+    t = tmp_path / "vt3"
+    V.write_table_version(
+        spark.range(8).selectExpr("id as k", "id * 2 as v"),
+        str(t), stats_cols=["k"])
+    V.rename_columns(spark, str(t), {"v": "value"})
+    V.upsert_table_version(
+        spark, str(t),
+        spark.range(3).selectExpr("id + 6 as k", "id * 9 as value"),
+        keys=["k"])
+    _roundtrip(spark, t)
+    snap = delta_snapshot(str(t))
+    assert (snap["metaData"]["configuration"]
+            ["delta.columnMapping.mode"]) == "name"
+    assert snap["protocol"]["minReaderVersion"] == 2
+    # logical rename visible, physical parquet names untouched
+    assert read_delta_table(spark, str(t)).columns == ["k", "value"]
+
+
+def test_export_refuses_mor_sidecars(spark, tmp_path):
+    t = tmp_path / "vt4"
+    V.write_table_version(
+        spark.range(10).selectExpr("id as k", "id as v"), str(t))
+    V.delete_table_version(spark, str(t), "k = 3", mode="mor")
+    with pytest.raises(ValueError, match="RESURRECT"):
+        export_delta_log(spark, str(t))
+
+
+def test_export_refuses_hidden_transforms(spark, tmp_path):
+    t = tmp_path / "vt5"
+    df = spark.range(10).selectExpr(
+        "id as k", "timestamp_micros(cast(id * 86400e6 as long)) as ts")
+    V.write_table_version(df, str(t), partition_by=("days", "ts"))
+    with pytest.raises(ValueError, match="identity"):
+        export_delta_log(spark, str(t))
+
+
+def test_export_refuses_double_export(spark, tmp_path):
+    t = tmp_path / "vt6"
+    V.write_table_version(spark.range(3).selectExpr("id as k"), str(t))
+    export_delta_log(spark, str(t))
+    with pytest.raises(FileExistsError, match="already holds"):
+        export_delta_log(spark, str(t))
+
+
+def test_export_stats_prune_parity(spark, tmp_path):
+    """Exported add.stats prune the same way the manifest stats do."""
+    t = tmp_path / "vt7"
+    df = spark.range(100).selectExpr(
+        "id as k", "cast(id % 10 as string) as p")
+    V.write_table_version(df, str(t), partition_by="p", stats_cols=["k"])
+    export_delta_log(spark, str(t))
+    allf = delta_table_files(str(t))
+    # partition inference types the "p=3" dirs as int on both paths,
+    # so typed bounds are ints; a mistyped (string) bound must KEEP
+    # everything rather than throw or wrongly prune
+    hit = delta_table_files(str(t), prune=[("p", 3, 3)])
+    assert 0 < len(hit) < len(allf)
+    assert len(delta_table_files(str(t), prune=[("p", "3", "3")])) == \
+        len(allf)
+    got = read_delta_table(spark, str(t), prune=[("p", 3, 3)])
+    got = got.where("p = 3")
+    assert sorted(r.k for r in got.collect()) == sorted(
+        range(3, 100, 10))
