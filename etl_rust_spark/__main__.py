@@ -520,6 +520,18 @@ def main(argv: list[str] | None = None) -> int:
         help="CDC feed over (FROM, TO] (TO defaults to head) to --out; "
         "needs --keys",
     )
+    pv.add_argument(
+        "--export-delta", action="store_true",
+        help="write a Delta Lake _delta_log next to _manifests so "
+        "external Delta readers consume this table (zero data copied; "
+        "our version N becomes Delta commit N-first)",
+    )
+    pv.add_argument(
+        "--read-delta", default=None, metavar="V|latest",
+        help="read TABLE as a Delta Lake table (jar-free log reader) "
+        "at this Delta version, to --out; combine with --as-of for "
+        "timestamp travel",
+    )
 
     pd = sub.add_parser(
         "diff",
@@ -872,7 +884,8 @@ def main(argv: list[str] | None = None) -> int:
             out["version"] = _v.unset_table_properties(
                 args.table, args.unset_property
             )
-        if args.read is not None or args.as_of is not None:
+        if (args.read is not None or args.as_of is not None) and \
+                args.read_delta is None:
             if not args.out:
                 p.error("--read/--as-of requires --out")
             if args.read is not None and args.as_of is not None:
@@ -943,6 +956,27 @@ def main(argv: list[str] | None = None) -> int:
             )
         if args.expire_keep is not None:
             out["expire"] = _v.expire_versions(args.table, args.expire_keep)
+        if args.export_delta:
+            from etl_rust_spark.deltalake import export_delta_log
+
+            out["delta_commits"] = export_delta_log(spark, args.table)
+        if args.read_delta is not None:
+            if not args.out:
+                p.error("--read-delta requires --out")
+            from etl_rust_spark.deltalake import read_delta_table
+
+            dv = (None if args.read_delta == "latest"
+                  else int(args.read_delta))
+            das_of = None
+            if args.as_of is not None and args.read is None:
+                try:
+                    das_of = float(args.as_of)
+                except ValueError:
+                    das_of = args.as_of
+                dv = None
+            ddf = read_delta_table(spark, args.table, dv, as_of=das_of)
+            ddf.write.mode("overwrite").parquet(args.out)
+            out["read_rows"] = spark.read.parquet(args.out).count()
         if args.changes is not None:
             if not args.keys or not args.out:
                 p.error("--changes requires --keys and --out")

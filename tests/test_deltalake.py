@@ -594,3 +594,37 @@ def test_export_stats_prune_parity(spark, tmp_path):
     got = got.where("p = 3")
     assert sorted(r.k for r in got.collect()) == sorted(
         range(3, 100, 10))
+
+
+# -------------------------------------------------------------- CLI
+
+
+def test_cli_export_and_read_delta(spark, tmp_path, capsys):
+    import json as _json
+
+    from etl_rust_spark.__main__ import main
+
+    feed1, feed2 = str(tmp_path / "f1"), str(tmp_path / "f2")
+    spark.range(10).selectExpr("id as k", "id * 2 as v").write.parquet(feed1)
+    spark.range(4).selectExpr("id + 8 as k", "id * 9 as v").write.parquet(
+        feed2)
+    table = str(tmp_path / "vt_cli")
+    assert main(["table", table, "--snapshot", feed1]) == 0
+    assert main(["table", table, "--upsert", feed2, "--keys", "k"]) == 0
+    capsys.readouterr()
+    assert main(["table", table, "--export-delta"]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["delta_commits"] == 2
+    out = str(tmp_path / "delta_read")
+    assert main(["table", table, "--read-delta", "0", "--out", out]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["read_rows"] == 10
+    back = spark.read.parquet(out)
+    ours = V.read_table_version(spark, table, 1)
+    assert sorted(map(tuple, back.select(*ours.columns).collect())) == \
+        sorted(map(tuple, ours.collect()))
+    # latest + the read_rows report
+    assert main(["table", table, "--read-delta", "latest",
+                 "--out", out]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["read_rows"] == 12
