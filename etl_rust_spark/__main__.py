@@ -532,6 +532,12 @@ def main(argv: list[str] | None = None) -> int:
         "at this Delta version, to --out; combine with --as-of for "
         "timestamp travel",
     )
+    pv.add_argument(
+        "--read-iceberg", default=None, metavar="SNAPSHOT|latest",
+        help="read TABLE as an Apache Iceberg table (jar-free metadata "
+        "reader) at this snapshot id, to --out; combine with --as-of "
+        "for timestamp travel",
+    )
 
     pd = sub.add_parser(
         "diff",
@@ -885,7 +891,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.table, args.unset_property
             )
         if (args.read is not None or args.as_of is not None) and \
-                args.read_delta is None:
+                args.read_delta is None and args.read_iceberg is None:
             if not args.out:
                 p.error("--read/--as-of requires --out")
             if args.read is not None and args.as_of is not None:
@@ -976,6 +982,24 @@ def main(argv: list[str] | None = None) -> int:
                 dv = None
             ddf = read_delta_table(spark, args.table, dv, as_of=das_of)
             ddf.write.mode("overwrite").parquet(args.out)
+            out["read_rows"] = spark.read.parquet(args.out).count()
+        if args.read_iceberg is not None:
+            if not args.out:
+                p.error("--read-iceberg requires --out")
+            from etl_rust_spark.iceberg import read_iceberg_table
+
+            sid = (None if args.read_iceberg == "latest"
+                   else int(args.read_iceberg))
+            ias_of = None
+            if args.as_of is not None and args.read is None:
+                try:
+                    ias_of = float(args.as_of)
+                except ValueError:
+                    ias_of = args.as_of
+                sid = None
+            idf = read_iceberg_table(spark, args.table, sid,
+                                     as_of=ias_of)
+            idf.write.mode("overwrite").parquet(args.out)
             out["read_rows"] = spark.read.parquet(args.out).count()
         if args.changes is not None:
             if not args.keys or not args.out:

@@ -192,6 +192,21 @@ def avro_encode_bytes(value: Any, schema: Any) -> bytes:
             avro_encode_bytes(value.get(f["name"]), f["type"])
             for f in schema["fields"]
         )
+    if s == "map":
+        if not value:
+            return _avro_long(0)
+        body = b"".join(
+            avro_encode_bytes(k, "string") + avro_encode_bytes(v, schema["values"])
+            for k, v in value.items()
+        )
+        return _avro_long(len(value)) + body + _avro_long(0)
+    if s == "fixed":
+        raw = bytes(value)
+        if len(raw) != schema["size"]:
+            raise ValueError(f"fixed size mismatch: {len(raw)} != {schema['size']}")
+        return raw
+    if s == "enum":
+        return _avro_long(schema["symbols"].index(value))
     raise ValueError(f"unsupported avro schema: {schema!r}")
 
 
@@ -248,6 +263,26 @@ def avro_decode_bytes(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
         for f in schema["fields"]:
             rec[f["name"]], pos = avro_decode_bytes(buf, pos, f["type"])
         return rec, pos
+    if s == "map":  # block-encoded like array; keys are always strings
+        values = schema["values"]
+        out = {}
+        while True:
+            n, pos = _read_avro_long(buf, pos)
+            if n == 0:
+                break
+            if n < 0:
+                _, pos = _read_avro_long(buf, pos)
+                n = -n
+            for _ in range(n):
+                k, pos = avro_decode_bytes(buf, pos, "string")
+                out[k], pos = avro_decode_bytes(buf, pos, values)
+        return out, pos
+    if s == "fixed":
+        n = schema["size"]
+        return bytes(buf[pos : pos + n]), pos + n
+    if s == "enum":
+        idx, pos = _read_avro_long(buf, pos)
+        return schema["symbols"][idx], pos
     raise ValueError(f"unsupported avro schema: {schema!r}")
 
 

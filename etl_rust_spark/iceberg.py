@@ -1,0 +1,450 @@
+"""Jar-free Apache Iceberg READER: plan and scan Iceberg tables
+straight from their own metadata — `vN.metadata.json` → manifest-list
+Avro → manifest Avro → explicit parquet file list — with snapshot
+time travel, driver-side min/max file skipping, and loud refusal of
+anything (v2 delete files, renamed columns, non-parquet files) that a
+by-name scan cannot read correctly.
+
+The other half of the interop story next to :mod:`~.deltalake`: Delta
+covers the log-structured format family, Iceberg the snapshot-tree
+family — together a user can point this engine at either of the two
+table formats a 100 TB estate actually arrives in, without a
+connector jar.  All metadata parsing runs on the existing jar-free
+Avro codecs (:mod:`~.functions.wireformats` — OCF container +
+self-describing schema decode), so REAL manifests written by any
+engine decode generically from their own embedded schema.
+
+Scale posture: snapshot planning reads the metadata JSON once, the
+manifest list once, and only the manifests the snapshot references —
+exactly the bounded metadata walk Iceberg designed (never a directory
+listing, never proportional to table AGE).  Per-manifest work is
+driver-side dict decoding (~100 B/file); the Spark-side manifest scan
+is the named extension past ~1 M files.  The data plan is ONE parquet
+scan over the explicit (pruned) file list — Iceberg data files carry
+ALL columns (partitioning is metadata-only), so no injection join is
+needed at all.
+
+Honesty gates: format-version > 2, v2 DELETE files (position or
+equality — scanning past them would resurrect deleted rows), non-
+parquet data files, unsupported types (uuid), and current-schema
+field names that no longer match the data files' footers (a renamed
+table needs field-id resolution, which a by-name scan cannot do)
+all raise with the limitation named.
+
+Reference parity note: the reference (blockchain-etl/etl-rust) has no
+table-format layer (extract→publish, src/example_config/mod.rs);
+this module is part of the net-new analytics surface.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import struct
+from pathlib import Path
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .functions.wireformats import read_avro_container
+
+__all__ = [
+    "read_iceberg_table",
+    "iceberg_table_files",
+    "iceberg_snapshot",
+    "iceberg_snapshots",
+    "IcebergProtocolError",
+]
+
+
+class IcebergProtocolError(ValueError):
+    """The table needs a reader capability this module does not
+    implement — refusing loudly beats silently misreading (the same
+    contract as the Delta reader's feature gate)."""
+
+
+# ------------------------------------------------------------ metadata
+
+
+def _metadata_dir(path: str) -> Path:
+    return Path(path) / "metadata"
+
+
+def _current_metadata(path: str) -> dict:
+    """Locate the current table-metadata JSON: the Hadoop-catalog
+    `version-hint.text` when present, else the lexicographically
+    newest `*.metadata.json` (both naming schemes zero-pad a leading
+    sequence number, so name order is commit order)."""
+    d = _metadata_dir(path)
+    hint = d / "version-hint.text"
+    if hint.exists():
+        n = hint.read_text().strip()
+        for cand in (d / f"v{n}.metadata.json", d / f"{n}.metadata.json"):
+            if cand.exists():
+                return json.loads(cand.read_text())
+        raise FileNotFoundError(
+            f"version-hint.text names version {n} but no matching "
+            f"metadata file exists under {d}"
+        )
+    cands = sorted(d.glob("*.metadata.json"))
+    if not cands:
+        raise FileNotFoundError(f"no *.metadata.json under {d}")
+    return json.loads(cands[-1].read_text())
+
+
+def _check_format(meta: dict, path: str) -> None:
+    fv = int(meta.get("format-version", 1))
+    if fv > 2:
+        raise IcebergProtocolError(
+            f"{path} is Iceberg format-version {fv}; this reader "
+            "implements <= 2"
+        )
+
+
+def _current_schema(meta: dict) -> dict:
+    if "schemas" in meta:  # v2 (and late v1): schema list + current id
+        sid = meta.get("current-schema-id", 0)
+        for s in meta["schemas"]:
+            if s.get("schema-id", 0) == sid:
+                return s
+        raise IcebergProtocolError(
+            f"current-schema-id {sid} not in the schemas list"
+        )
+    return meta["schema"]  # early v1
+
+
+def _abs_file(path: str, uri: str) -> str:
+    """Manifest/data paths are full URIs in real tables; keep foreign
+    schemes verbatim, strip file://, and resolve bare relatives
+    against the table root (our fixtures)."""
+    p = urlparse(uri)
+    if p.scheme == "file":
+        return p.path
+    if p.scheme:
+        return uri
+    if uri.startswith("/"):
+        return uri
+    return str(Path(path) / uri)
+
+
+# ------------------------------------------------- Iceberg type mapping
+
+_PRIMITIVES = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampNTZType(),   # no zone — Spark NTZ
+    "timestamptz": T.TimestampType(),    # UTC-adjusted instant
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+}
+
+_DECIMAL_RE = re.compile(r"^decimal\((\d+),\s*(\d+)\)$")
+_FIXED_RE = re.compile(r"^fixed\[(\d+)\]$")
+
+
+def _to_spark_type(t) -> T.DataType:
+    if isinstance(t, str):
+        if t in _PRIMITIVES:
+            return _PRIMITIVES[t]
+        m = _DECIMAL_RE.match(t)
+        if m:
+            return T.DecimalType(int(m.group(1)), int(m.group(2)))
+        if _FIXED_RE.match(t):
+            return T.BinaryType()
+        raise IcebergProtocolError(
+            f"Iceberg type {t!r} has no faithful Spark mapping in this "
+            "reader (uuid/time need connector-level coercion)"
+        )
+    kind = t["type"]
+    if kind == "struct":
+        return T.StructType([
+            T.StructField(f["name"], _to_spark_type(f["type"]),
+                          not f.get("required", False))
+            for f in t["fields"]
+        ])
+    if kind == "list":
+        return T.ArrayType(_to_spark_type(t["element"]),
+                           not t.get("element-required", False))
+    if kind == "map":
+        return T.MapType(_to_spark_type(t["key"]),
+                         _to_spark_type(t["value"]),
+                         not t.get("value-required", False))
+    raise IcebergProtocolError(f"unsupported Iceberg type {t!r}")
+
+
+def _spark_schema(schema: dict) -> T.StructType:
+    return T.StructType([
+        T.StructField(f["name"], _to_spark_type(f["type"]),
+                      not f.get("required", False))
+        for f in schema["fields"]
+    ])
+
+
+# -------------------------------------------------- snapshot selection
+
+
+def iceberg_snapshots(path: str) -> list[dict]:
+    """The snapshot history: [{snapshot_id, timestamp_ms, operation,
+    manifest_list}], newest first — DESCRIBE HISTORY's shape."""
+    meta = _current_metadata(path)
+    _check_format(meta, path)
+    out = [
+        {"snapshot_id": s["snapshot-id"],
+         "timestamp_ms": s.get("timestamp-ms"),
+         "operation": (s.get("summary") or {}).get("operation"),
+         "manifest_list": s.get("manifest-list")}
+        for s in meta.get("snapshots") or []
+    ]
+    return sorted(out, key=lambda r: r["timestamp_ms"] or 0, reverse=True)
+
+
+def _select_snapshot(meta: dict, path: str, snapshot_id, as_of) -> dict:
+    snaps = meta.get("snapshots") or []
+    if not snaps:
+        raise FileNotFoundError(f"{path} has no snapshots (empty table)")
+    if as_of is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR as_of, not both")
+        from .versions import _parse_as_of
+
+        t_ms = _parse_as_of(as_of) * 1000.0
+        live = [s for s in snaps if s.get("timestamp-ms", 0) <= t_ms]
+        if not live:
+            raise ValueError(
+                f"no Iceberg snapshot of {path} at or before {as_of!r}"
+            )
+        return max(live, key=lambda s: s["timestamp-ms"])
+    if snapshot_id is not None:
+        for s in snaps:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise FileNotFoundError(
+            f"no snapshot {snapshot_id} in {path} (expired or never "
+            "existed)"
+        )
+    cur = meta.get("current-snapshot-id")
+    for s in snaps:
+        if s["snapshot-id"] == cur:
+            return s
+    raise IcebergProtocolError(
+        f"current-snapshot-id {cur} missing from the snapshots list"
+    )
+
+
+# --------------------------------------------------- manifest plumbing
+
+
+def _read_ocf(fp: str) -> list[dict]:
+    with open(fp, "rb") as f:
+        _, records = read_avro_container(f.read())
+    return records
+
+
+def iceberg_snapshot(
+    path: str, snapshot_id: int | None = None, as_of=None
+) -> dict:
+    """Planned state of one snapshot: live data-file records (the
+    manifest entries' `data_file` structs), the resolved schema, and
+    the snapshot row itself.  Bounded driver-side metadata walk:
+    metadata JSON → manifest list → referenced manifests only."""
+    meta = _current_metadata(path)
+    _check_format(meta, path)
+    snap = _select_snapshot(meta, path, snapshot_id, as_of)
+    schema = _current_schema(meta)
+    if "schema-id" in snap:
+        for s in meta.get("schemas") or []:
+            if s.get("schema-id") == snap["schema-id"]:
+                schema = s
+    if "manifest-list" not in snap:
+        raise IcebergProtocolError(
+            f"snapshot {snap['snapshot-id']} of {path} predates "
+            "manifest lists (embedded `manifests`) — not supported"
+        )
+    files: list[dict] = []
+    for mf in _read_ocf(_abs_file(path, snap["manifest-list"])):
+        if int(mf.get("content", 0)) == 1:
+            raise IcebergProtocolError(
+                f"{path} snapshot {snap['snapshot-id']} references a "
+                "DELETE manifest (v2 position/equality deletes); "
+                "scanning past it would resurrect deleted rows — this "
+                "reader does not implement delete files"
+            )
+        for entry in _read_ocf(_abs_file(path, mf["manifest_path"])):
+            if int(entry.get("status", 1)) == 2:  # DELETED
+                continue
+            df = entry["data_file"]
+            if int(df.get("content", 0)) != 0:
+                raise IcebergProtocolError(
+                    "manifest entry carries a delete file "
+                    f"({df.get('file_path')!r}) — not supported"
+                )
+            fmt = str(df.get("file_format", "PARQUET")).upper()
+            if fmt != "PARQUET":
+                raise IcebergProtocolError(
+                    f"data file {df.get('file_path')!r} is {fmt}; only "
+                    "PARQUET is supported"
+                )
+            files.append(df)
+    return {"snapshot": snap, "schema": schema, "files": files,
+            "metadata": meta}
+
+
+# ------------------------------------------------------- file skipping
+
+
+def _decode_bound(raw: bytes | None, t: str):
+    """Iceberg single-value binary serialization → python, for the
+    types where driver-side comparison is sound.  Unknown types return
+    NotImplemented and the file is KEPT."""
+    import datetime as _dt
+
+    if raw is None:
+        return None
+    if t == "int":
+        return struct.unpack("<i", raw)[0]
+    if t == "long":
+        return struct.unpack("<q", raw)[0]
+    if t == "float":
+        return struct.unpack("<f", raw)[0]
+    if t == "double":
+        return struct.unpack("<d", raw)[0]
+    if t == "string":
+        return raw.decode("utf-8")
+    if t == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(
+            days=struct.unpack("<i", raw)[0]
+        )
+    if t == "boolean":
+        return raw != b"\x00"
+    return NotImplemented
+
+
+def _bounds_of(df_rec: dict, key) -> dict:
+    """lower/upper bounds arrive either as an avro map {field_id: bytes}
+    or the spec's array-of-{key,value} records — normalize to a dict
+    keyed by int field id."""
+    v = df_rec.get(key)
+    if not v:
+        return {}
+    if isinstance(v, dict):
+        return {int(k): val for k, val in v.items()}
+    return {int(e["key"]): e["value"] for e in v}
+
+
+def _keep_file(df_rec: dict, prune, ids: dict[str, tuple[int, str]]) -> bool:
+    if not prune:
+        return True
+    lo_b = _bounds_of(df_rec, "lower_bounds")
+    hi_b = _bounds_of(df_rec, "upper_bounds")
+    for col, lo, hi in prune:
+        if col not in ids:
+            continue
+        fid, t = ids[col]
+        fmin = _decode_bound(lo_b.get(fid), t)
+        fmax = _decode_bound(hi_b.get(fid), t)
+        if fmin is None or fmax is None:
+            continue
+        if fmin is NotImplemented or fmax is NotImplemented:
+            continue
+        try:
+            if (hi is not None and fmin > hi) or (
+                lo is not None and fmax < lo
+            ):
+                return False
+        except TypeError:
+            continue  # mistyped bound: keep — pruning never filters
+    return True
+
+
+def iceberg_table_files(
+    path: str,
+    snapshot_id: int | None = None,
+    as_of=None,
+    prune: list[tuple] | None = None,
+) -> list[str]:
+    """Absolute data-file paths a read would plan after min/max
+    skipping — the test-assertable pruning surface."""
+    snap = iceberg_snapshot(path, snapshot_id, as_of)
+    ids = {
+        f["name"]: (f["id"], f["type"])
+        for f in snap["schema"]["fields"]
+        if isinstance(f["type"], str)
+    }
+    return sorted(
+        _abs_file(path, d["file_path"])
+        for d in snap["files"]
+        if _keep_file(d, prune, ids)
+    )
+
+
+# --------------------------------------------------------------- reader
+
+
+def read_iceberg_table(
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    as_of=None,
+    prune: list[tuple] | None = None,
+) -> DataFrame:
+    """An Iceberg table AS OF ``snapshot_id`` / ``as_of`` (default:
+    current snapshot), planned jar-free from its own metadata tree.
+
+    Resolution is BY NAME over the snapshot schema (Iceberg data files
+    store every column, partition columns included).  Correct-by-name
+    is verified against a real footer before scanning: if the current
+    schema's names are absent from the newest data file (the table was
+    column-renamed, which only field-id resolution can follow), the
+    read refuses instead of returning silent NULL columns."""
+    snap = iceberg_snapshot(path, snapshot_id, as_of)
+    schema = snap["schema"]
+    sschema = _spark_schema(schema)
+    files = {
+        _abs_file(path, d["file_path"]): d for d in snap["files"]
+    }
+    ids = {
+        f["name"]: (f["id"], f["type"])
+        for f in schema["fields"]
+        if isinstance(f["type"], str)
+    }
+    keep = [f for f, d in files.items() if _keep_file(d, prune, ids)]
+    if not keep:
+        return spark.createDataFrame([], sschema)
+    _check_names_resolve(sorted(keep), schema)
+    df = spark.read.schema(sschema).parquet(*keep)
+    return df.select(*[f.name for f in sschema.fields])
+
+
+def _check_names_resolve(files: list[str], schema: dict) -> None:
+    """A few footer reads (pyarrow, driver-side, ≤8 files sampled
+    evenly): every top-level field of the snapshot schema must exist
+    by NAME in at least one sampled footer.  A RENAMED Iceberg column
+    keeps its old name in every footer (only field-id resolution can
+    follow it), so a name in no footer means a by-name scan would hand
+    back a silently-NULL column — refuse loudly instead.  Columns
+    ADDED by evolution exist in the post-add footers, which the spread
+    sample is overwhelmingly likely to hit; a table where an added
+    column's files all fall outside the sample refuses spuriously —
+    the safe direction (no silent NULLs)."""
+    import pyarrow.parquet as pq
+
+    n = len(files)
+    idx = sorted({round(i * (n - 1) / 7) for i in range(8)}) if n > 1 \
+        else [0]
+    seen: set[str] = set()
+    for i in idx:
+        seen.update(pq.read_schema(files[i]).names)
+    missing = [f["name"] for f in schema["fields"]
+               if f["name"] not in seen]
+    if missing:
+        raise IcebergProtocolError(
+            f"schema fields {missing} are absent from every sampled "
+            "data-file footer — the table was column-renamed and needs "
+            "field-id resolution, which this by-name reader does not "
+            "implement"
+        )

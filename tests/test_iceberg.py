@@ -1,0 +1,441 @@
+"""Iceberg reader (etl_rust_spark.iceberg) vs spec-built fixtures.
+
+No Iceberg jar exists in this container, so fixtures are assembled
+per the public Iceberg table spec (metadata JSON, manifest-list Avro,
+manifest Avro via the repo's own OCF writer — which the reader does
+NOT share a schema with: it decodes from each container's embedded
+schema, like any Avro reader of real manifests).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from pathlib import Path
+
+import pytest
+
+from etl_rust_spark.functions.wireformats import write_avro_container
+from etl_rust_spark.iceberg import (
+    IcebergProtocolError,
+    iceberg_snapshot,
+    iceberg_snapshots,
+    iceberg_table_files,
+    read_iceberg_table,
+)
+
+# ----------------------------------------------------- fixture builder
+
+_BOUND_T = [None, {
+    "type": "array",
+    "items": {
+        "type": "record", "name": "kv",
+        "fields": [{"name": "key", "type": "int"},
+                   {"name": "value", "type": "bytes"}],
+    },
+}]
+
+_DATA_FILE_T = {
+    "type": "record", "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int"},
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+        {"name": "lower_bounds", "type": _BOUND_T},
+        {"name": "upper_bounds", "type": _BOUND_T},
+    ],
+}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": [None, "long"]},
+        {"name": "data_file", "type": _DATA_FILE_T},
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record", "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+
+def _avro_fix_nulls(schema):
+    """write_avro_container unions use 'null' strings."""
+    s = json.dumps(schema)
+    return json.loads(s.replace("[null,", '["null",'))
+
+
+def _lb(field_id: int, raw: bytes):
+    return {"key": field_id, "value": raw}
+
+
+def _long_b(v: int) -> bytes:
+    return struct.pack("<q", v)
+
+
+def _str_b(v: str) -> bytes:
+    return v.encode("utf-8")
+
+
+class IceFix:
+    """Assemble an Iceberg table: add parquet files + snapshots, then
+    finish() writes manifests, manifest lists, metadata and hint."""
+
+    def __init__(self, root: Path, fields: list[dict],
+                 format_version: int = 2):
+        self.root = root
+        self.fields = fields
+        self.fv = format_version
+        self.snapshots: list[dict] = []
+        (root / "metadata").mkdir(parents=True)
+        (root / "data").mkdir()
+        self._n = 0
+
+    def write_file(self, rows: list[dict], bounds=None,
+                   fmt: str = "PARQUET") -> dict:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        self._n += 1
+        fp = self.root / "data" / f"f{self._n:03d}.parquet"
+        pq.write_table(pa.Table.from_pylist(rows), fp)
+        return {
+            "content": 0,
+            "file_path": "file://" + str(fp),
+            "file_format": fmt,
+            "record_count": len(rows),
+            "file_size_in_bytes": fp.stat().st_size,
+            "lower_bounds": (bounds or {}).get("lower"),
+            "upper_bounds": (bounds or {}).get("upper"),
+        }
+
+    def add_snapshot(self, data_files: list[dict], ts_ms: int,
+                     manifest_content: int = 0,
+                     statuses: list[int] | None = None,
+                     schema_id: int = 0) -> int:
+        sid = 1000 + len(self.snapshots)
+        mpath = self.root / "metadata" / f"manifest-{sid}.avro"
+        entries = [
+            {"status": (statuses or [1] * len(data_files))[i],
+             "snapshot_id": sid, "data_file": df}
+            for i, df in enumerate(data_files)
+        ]
+        write_avro_container(
+            str(mpath), entries, _avro_fix_nulls(_MANIFEST_ENTRY_SCHEMA),
+            codec="deflate",
+        )
+        lpath = self.root / "metadata" / f"snap-{sid}.avro"
+        write_avro_container(
+            str(lpath),
+            [{"manifest_path": "file://" + str(mpath),
+              "manifest_length": mpath.stat().st_size,
+              "partition_spec_id": 0, "content": manifest_content,
+              "added_snapshot_id": sid}],
+            _avro_fix_nulls(_MANIFEST_FILE_SCHEMA), codec="deflate",
+        )
+        self.snapshots.append({
+            "snapshot-id": sid, "timestamp-ms": ts_ms,
+            "manifest-list": "file://" + str(lpath),
+            "summary": {"operation": "append"}, "schema-id": schema_id,
+        })
+        return sid
+
+    def finish(self, schemas: list[dict] | None = None,
+               current_schema_id: int = 0):
+        meta = {
+            "format-version": self.fv,
+            "table-uuid": "11111111-2222-3333-4444-555555555555",
+            "location": "file://" + str(self.root),
+            "last-updated-ms": max(
+                (s["timestamp-ms"] for s in self.snapshots), default=0),
+            "last-column-id": max(f["id"] for f in self.fields),
+            "schemas": schemas or [
+                {"schema-id": 0, "type": "struct", "fields": self.fields}
+            ],
+            "current-schema-id": current_schema_id,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0,
+            "snapshots": self.snapshots,
+            "current-snapshot-id": self.snapshots[-1]["snapshot-id"]
+            if self.snapshots else None,
+            "snapshot-log": [
+                {"snapshot-id": s["snapshot-id"],
+                 "timestamp-ms": s["timestamp-ms"]}
+                for s in self.snapshots
+            ],
+        }
+        (self.root / "metadata" / "v1.metadata.json").write_text(
+            json.dumps(meta))
+        (self.root / "metadata" / "version-hint.text").write_text("1")
+        return self
+
+
+_FIELDS = [
+    {"id": 1, "name": "k", "required": False, "type": "long"},
+    {"id": 2, "name": "v", "required": False, "type": "string"},
+]
+
+
+def _basic(tmp_path: Path) -> IceFix:
+    fx = IceFix(tmp_path / "ice", _FIELDS)
+    f1 = fx.write_file(
+        [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}],
+        bounds={"lower": [_lb(1, _long_b(1)), _lb(2, _str_b("a"))],
+                "upper": [_lb(1, _long_b(2)), _lb(2, _str_b("b"))]})
+    f2 = fx.write_file(
+        [{"k": 10, "v": "z"}],
+        bounds={"lower": [_lb(1, _long_b(10))],
+                "upper": [_lb(1, _long_b(10))]})
+    fx.add_snapshot([f1], ts_ms=1_000_000)
+    fx.add_snapshot([f1, f2], ts_ms=2_000_000)
+    return fx.finish()
+
+
+# --------------------------------------------------------------- tests
+
+
+def test_read_current_and_by_snapshot(spark, tmp_path):
+    fx = _basic(tmp_path)
+    t = str(fx.root)
+    head = read_iceberg_table(spark, t)
+    assert sorted(r.k for r in head.collect()) == [1, 2, 10]
+    assert head.columns == ["k", "v"]
+    first = read_iceberg_table(spark, t, snapshot_id=1000)
+    assert sorted(r.k for r in first.collect()) == [1, 2]
+    with pytest.raises(FileNotFoundError, match="no snapshot 777"):
+        read_iceberg_table(spark, t, snapshot_id=777)
+
+
+def test_read_as_of(spark, tmp_path):
+    fx = _basic(tmp_path)
+    t = str(fx.root)
+    df = read_iceberg_table(spark, t, as_of=1_500)  # epoch seconds
+    assert sorted(r.k for r in df.collect()) == [1, 2]
+    with pytest.raises(ValueError, match="at or before"):
+        read_iceberg_table(spark, t, as_of=500)
+    with pytest.raises(ValueError, match="snapshot_id OR as_of"):
+        read_iceberg_table(spark, t, snapshot_id=1000, as_of=1_500)
+
+
+def test_snapshots_history(tmp_path):
+    fx = _basic(tmp_path)
+    h = iceberg_snapshots(str(fx.root))
+    assert [s["snapshot_id"] for s in h] == [1001, 1000]
+    assert h[0]["operation"] == "append"
+
+
+def test_bounds_pruning(spark, tmp_path):
+    fx = _basic(tmp_path)
+    t = str(fx.root)
+    assert len(iceberg_table_files(t)) == 2
+    hit = iceberg_table_files(t, prune=[("k", 10, None)])
+    assert len(hit) == 1 and hit[0].endswith("f002.parquet")
+    # string bounds prune too
+    hit = iceberg_table_files(t, prune=[("v", "a", "b")])
+    # f2 has no v-bounds -> kept (sound); f1 matches
+    assert len(hit) == 2
+    assert iceberg_table_files(t, prune=[("k", 99, None)]) == []
+    # mistyped bound keeps everything instead of throwing
+    assert len(iceberg_table_files(t, prune=[("k", "x", "y")])) == 2
+
+
+def test_deleted_entries_dropped(spark, tmp_path):
+    fx = IceFix(tmp_path / "ice", _FIELDS)
+    f1 = fx.write_file([{"k": 1, "v": "a"}])
+    f2 = fx.write_file([{"k": 2, "v": "b"}])
+    # one manifest marks f1 DELETED (status 2), f2 EXISTING (0)
+    fx.add_snapshot([f1, f2], ts_ms=1_000, statuses=[2, 0])
+    fx.finish()
+    df = read_iceberg_table(spark, str(fx.root))
+    assert [r.k for r in df.collect()] == [2]
+
+
+def test_delete_manifest_refuses(spark, tmp_path):
+    fx = IceFix(tmp_path / "ice", _FIELDS)
+    f1 = fx.write_file([{"k": 1, "v": "a"}])
+    fx.add_snapshot([f1], ts_ms=1_000, manifest_content=1)
+    fx.finish()
+    with pytest.raises(IcebergProtocolError, match="resurrect"):
+        iceberg_snapshot(str(fx.root))
+
+
+def test_delete_data_file_content_refuses(spark, tmp_path):
+    fx = IceFix(tmp_path / "ice", _FIELDS)
+    f1 = fx.write_file([{"k": 1, "v": "a"}])
+    f1["content"] = 1  # position-delete file inside a data manifest
+    fx.add_snapshot([f1], ts_ms=1_000)
+    fx.finish()
+    with pytest.raises(IcebergProtocolError, match="delete file"):
+        iceberg_snapshot(str(fx.root))
+
+
+def test_non_parquet_refuses(spark, tmp_path):
+    fx = IceFix(tmp_path / "ice", _FIELDS)
+    f1 = fx.write_file([{"k": 1, "v": "a"}], fmt="ORC")
+    fx.add_snapshot([f1], ts_ms=1_000)
+    fx.finish()
+    with pytest.raises(IcebergProtocolError, match="ORC"):
+        iceberg_snapshot(str(fx.root))
+
+
+def test_future_format_version_refuses(tmp_path):
+    fx = IceFix(tmp_path / "ice", _FIELDS, format_version=3)
+    f1 = fx.write_file([{"k": 1, "v": "a"}])
+    fx.add_snapshot([f1], ts_ms=1_000)
+    fx.finish()
+    with pytest.raises(IcebergProtocolError, match="format-version 3"):
+        iceberg_snapshots(str(fx.root))
+
+
+def test_rename_detection_refuses(spark, tmp_path):
+    """A renamed column exists in NO footer under its new name — the
+    by-name reader must refuse, never return a silently-NULL column."""
+    fields = [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "renamed_v", "required": False,
+         "type": "string"},
+    ]
+    fx = IceFix(tmp_path / "ice", fields)
+    f1 = fx.write_file([{"k": 1, "v": "a"}])  # footer says 'v'
+    fx.add_snapshot([f1], ts_ms=1_000)
+    fx.finish()
+    with pytest.raises(IcebergProtocolError, match="renamed_v"):
+        read_iceberg_table(spark, str(fx.root))
+
+
+def test_added_column_reads_null_from_old_files(spark, tmp_path):
+    """Evolution ADD: old files lack the column and read as NULL; the
+    newest file has it, so the rename gate passes."""
+    fields = _FIELDS + [
+        {"id": 3, "name": "extra", "required": False, "type": "string"},
+    ]
+    fx = IceFix(tmp_path / "ice", fields)
+    f1 = fx.write_file([{"k": 1, "v": "a"}])
+    f2 = fx.write_file([{"k": 2, "v": "b", "extra": "e"}])
+    fx.add_snapshot([f1, f2], ts_ms=1_000)
+    fx.finish()
+    rows = {r.k: r.extra
+            for r in read_iceberg_table(spark, str(fx.root)).collect()}
+    assert rows == {1: None, 2: "e"}
+
+
+def test_snapshot_schema_id_resolution(spark, tmp_path):
+    """Time travel reads the SNAPSHOT's schema, not the current one."""
+    old = [{"id": 1, "name": "k", "required": False, "type": "long"},
+           {"id": 2, "name": "v", "required": False, "type": "string"}]
+    new = old + [{"id": 3, "name": "extra", "required": False,
+                  "type": "long"}]
+    fx = IceFix(tmp_path / "ice", new)
+    f1 = fx.write_file([{"k": 1, "v": "a"}])
+    f2 = fx.write_file([{"k": 2, "v": "b", "extra": 7}])
+    fx.add_snapshot([f1], ts_ms=1_000, schema_id=0)
+    fx.add_snapshot([f1, f2], ts_ms=2_000, schema_id=1)
+    fx.finish(schemas=[
+        {"schema-id": 0, "type": "struct", "fields": old},
+        {"schema-id": 1, "type": "struct", "fields": new},
+    ], current_schema_id=1)
+    first = read_iceberg_table(spark, str(fx.root), snapshot_id=1000)
+    assert first.columns == ["k", "v"]
+    head = read_iceberg_table(spark, str(fx.root))
+    assert head.columns == ["k", "v", "extra"]
+    assert {r.k: r.extra for r in head.collect()} == {1: None, 2: 7}
+
+
+def test_type_mapping(spark, tmp_path):
+    import datetime as dt
+    import decimal
+
+    import pyarrow as pa
+
+    fields = [
+        {"id": 1, "name": "b", "required": False, "type": "boolean"},
+        {"id": 2, "name": "i", "required": False, "type": "int"},
+        {"id": 3, "name": "f", "required": False, "type": "float"},
+        {"id": 4, "name": "d", "required": False, "type": "date"},
+        {"id": 5, "name": "dec", "required": False,
+         "type": "decimal(10, 2)"},
+        {"id": 6, "name": "arr", "required": False,
+         "type": {"type": "list", "element": "long",
+                  "element-required": False}},
+        {"id": 7, "name": "st", "required": False,
+         "type": {"type": "struct", "fields": [
+             {"id": 8, "name": "x", "required": False, "type": "long"},
+         ]}},
+    ]
+    fx = IceFix(tmp_path / "ice", fields)
+    schema = pa.schema([
+        ("b", pa.bool_()), ("i", pa.int32()), ("f", pa.float32()),
+        ("d", pa.date32()), ("dec", pa.decimal128(10, 2)),
+        ("arr", pa.list_(pa.int64())),
+        ("st", pa.struct([("x", pa.int64())])),
+    ])
+    import pyarrow.parquet as pq
+
+    fx._n += 1
+    fp = fx.root / "data" / "f001.parquet"
+    pq.write_table(pa.Table.from_pylist([{
+        "b": True, "i": 3, "f": 1.5, "d": dt.date(2026, 8, 16),
+        "dec": decimal.Decimal("12.34"), "arr": [1, 2],
+        "st": {"x": 9},
+    }], schema=schema), fp)
+    df_rec = {"content": 0, "file_path": "file://" + str(fp),
+              "file_format": "PARQUET", "record_count": 1,
+              "file_size_in_bytes": fp.stat().st_size,
+              "lower_bounds": None, "upper_bounds": None}
+    fx.add_snapshot([df_rec], ts_ms=1_000)
+    fx.finish()
+    df = read_iceberg_table(spark, str(fx.root))
+    assert dict(df.dtypes) == {
+        "b": "boolean", "i": "int", "f": "float", "d": "date",
+        "dec": "decimal(10,2)", "arr": "array<bigint>",
+        "st": "struct<x:bigint>",
+    }
+    r = df.collect()[0]
+    assert r.b is True and r.i == 3 and r.arr == [1, 2] and r.st.x == 9
+
+
+def test_unsupported_type_refuses(tmp_path):
+    from etl_rust_spark.iceberg import _to_spark_type
+
+    with pytest.raises(IcebergProtocolError, match="uuid"):
+        _to_spark_type("uuid")
+
+
+def test_metadata_discovery_without_hint(spark, tmp_path):
+    fx = _basic(tmp_path)
+    (fx.root / "metadata" / "version-hint.text").unlink()
+    # lexicographically newest metadata wins
+    assert len(iceberg_table_files(str(fx.root))) == 2
+    # a dangling hint refuses loudly
+    (fx.root / "metadata" / "version-hint.text").write_text("99")
+    with pytest.raises(FileNotFoundError, match="99"):
+        iceberg_table_files(str(fx.root))
+
+
+def test_cli_read_iceberg(spark, tmp_path, capsys):
+    from etl_rust_spark.__main__ import main
+
+    fx = _basic(tmp_path)
+    out = str(tmp_path / "ice_read")
+    assert main(["table", str(fx.root), "--read-iceberg", "1000",
+                 "--out", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["read_rows"] == 2
+    assert main(["table", str(fx.root), "--read-iceberg", "latest",
+                 "--out", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["read_rows"] == 3
+    assert main(["table", str(fx.root), "--read-iceberg", "latest",
+                 "--as-of", "1500", "--out", out]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["read_rows"] == 2
