@@ -84,6 +84,9 @@ _SUPPORTED_READER_FEATURES = {
     # actually encounter (classic parquet reads fine, a real v2
     # json/sidecar checkpoint raises in _read_checkpoint)
     "v2Checkpoint",
+    # implemented: Z85 + RoaringBitmapArray decode, positions anti-
+    # joined on the scan's `_metadata.row_index` (see _apply_dvs)
+    "deletionVectors",
 }
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
@@ -285,15 +288,11 @@ def delta_snapshot(path: str, version: int | None = None, as_of=None) -> dict:
 
 def _apply_action(a: dict, adds: dict[str, dict], path: str) -> None:
     if "add" in a and a["add"] is not None:
-        add = a["add"]
-        if add.get("deletionVector"):
-            raise DeltaProtocolError(
-                f"{path} has a live deletion vector on "
-                f"{add.get('path')!r}; reading it as a plain file "
-                "would RESURRECT deleted rows — this reader does not "
-                "implement deletion vectors"
-            )
-        adds[add["path"]] = add
+        # an add may carry a deletionVector descriptor (v2 MoR) — the
+        # read path decodes and anti-joins it (_apply_dvs); a re-add of
+        # the same path with a new DV replaces the old state, which
+        # keying by path gives for free
+        adds[a["add"]["path"]] = a["add"]
     elif "remove" in a and a["remove"] is not None:
         adds.pop(a["remove"]["path"], None)
 
@@ -489,6 +488,202 @@ def delta_table_files(
     return sorted(out)
 
 
+# ------------------------------------------------------ deletion vectors
+
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+
+def _z85_decode(s: str) -> bytes:
+    """ZeroMQ Z85: 5 chars → 4 bytes, big-endian base 85 (the encoding
+    Delta uses for inline DVs and the UUID in 'u'-style DV paths)."""
+    if len(s) % 5:
+        raise DeltaProtocolError(
+            f"Z85 payload length {len(s)} is not a multiple of 5"
+        )
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        acc = 0
+        for ch in s[i : i + 5]:
+            try:
+                acc = acc * 85 + _Z85_INDEX[ch]
+            except KeyError:
+                raise DeltaProtocolError(
+                    f"invalid Z85 character {ch!r}"
+                ) from None
+        out += acc.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _roaring_bitmap_positions(data: bytes, pos: int) -> tuple[list[int], int]:
+    """One standard 32-bit RoaringBitmap (RoaringFormatSpec portable
+    serialization) → sorted uint32 values; returns (values, next_pos).
+    Array, bitmap and run containers all supported."""
+    import struct as _st
+
+    cookie = _st.unpack_from("<I", data, pos)[0]
+    has_runs = (cookie & 0xFFFF) == 12347
+    if has_runs:
+        n = (cookie >> 16) + 1
+        pos += 4
+        run_flags = data[pos : pos + (n + 7) // 8]
+        pos += (n + 7) // 8
+    elif cookie == 12346:
+        pos += 4
+        n = _st.unpack_from("<I", data, pos)[0]
+        pos += 4
+        run_flags = b""
+    else:
+        raise DeltaProtocolError(
+            f"unrecognized roaring bitmap cookie {cookie & 0xFFFF}"
+        )
+    keys, cards = [], []
+    for i in range(n):
+        k, c = _st.unpack_from("<HH", data, pos)
+        pos += 4
+        keys.append(k)
+        cards.append(c + 1)
+    if not has_runs or n >= 4:
+        pos += 4 * n  # offsets section — containers follow in order
+    vals: list[int] = []
+    for i in range(n):
+        base = keys[i] << 16
+        is_run = bool(run_flags[i // 8] & (1 << (i % 8))) if has_runs \
+            else False
+        if is_run:
+            n_runs = _st.unpack_from("<H", data, pos)[0]
+            pos += 2
+            for _ in range(n_runs):
+                start, length = _st.unpack_from("<HH", data, pos)
+                pos += 4
+                vals.extend(base + start + j for j in range(length + 1))
+        elif cards[i] > 4096:  # bitmap container: 8 KB bitset
+            words = _st.unpack_from("<1024Q", data, pos)
+            pos += 8192
+            for wi, w in enumerate(words):
+                while w:
+                    b = w & -w
+                    vals.append(base + (wi << 6) + b.bit_length() - 1)
+                    w ^= b
+        else:  # array container
+            arr = _st.unpack_from(f"<{cards[i]}H", data, pos)
+            pos += 2 * cards[i]
+            vals.extend(base + v for v in arr)
+    return vals, pos
+
+
+def _roaring_array_positions(data: bytes) -> list[int]:
+    """Delta's RoaringBitmapArray 'portable' format → sorted int64 row
+    indexes: magic, int64 bitmap count, then each 32-bit bitmap in
+    RoaringFormatSpec portable form with IMPLICIT sequential keys
+    (bitmap i covers [i·2³², (i+1)·2³²))."""
+    import struct as _st
+
+    magic = _st.unpack_from("<i", data, 0)[0]
+    if magic != 1681511377:
+        raise DeltaProtocolError(
+            f"bad RoaringBitmapArray magic {magic} (expected 1681511377)"
+        )
+    n = _st.unpack_from("<q", data, 4)[0]
+    pos = 12
+    out: list[int] = []
+    for i in range(n):
+        vals, pos = _roaring_bitmap_positions(data, pos)
+        out.extend((i << 32) + v for v in vals)
+    return out
+
+
+def _dv_positions(table_path: str, dv: dict) -> list[int]:
+    """A deletionVector descriptor → deleted row indexes.  Inline DVs
+    ('i') carry the Z85 bitmap in the descriptor; 'u' DVs live in
+    `deletion_vector_<uuid>.bin` under the table (optional random
+    prefix); 'p' DVs are absolute paths.  On-disk framing per the
+    protocol: version byte 1 at file start, each DV stored as
+    [size: int32 BE][bitmap][CRC-32 of bitmap: int32 BE] at `offset`.
+    Checksum and cardinality are verified — silently wrong positions
+    would resurrect or over-delete rows."""
+    import struct as _st
+    import zlib
+
+    st = dv["storageType"]
+    if st == "i":
+        data = _z85_decode(dv["pathOrInlineDv"])
+    elif st in ("u", "p"):
+        if st == "u":
+            enc = dv["pathOrInlineDv"]
+            prefix, uuid_part = enc[:-20], enc[-20:]
+            u = uuid.UUID(bytes=_z85_decode(uuid_part))
+            fp = Path(table_path)
+            if prefix:
+                fp = fp / prefix
+            fp = fp / f"deletion_vector_{u}.bin"
+        else:
+            fp = Path(dv["pathOrInlineDv"])
+        raw = fp.read_bytes()
+        if raw[:1] != b"\x01":
+            raise DeltaProtocolError(
+                f"DV file {fp} has unknown format version {raw[0]}"
+            )
+        off = int(dv.get("offset") or 1)
+        size = _st.unpack_from(">i", raw, off)[0]
+        data = raw[off + 4 : off + 4 + size]
+        crc = _st.unpack_from(">I", raw, off + 4 + size)[0]
+        if zlib.crc32(data) & 0xFFFFFFFF != crc:
+            raise DeltaProtocolError(
+                f"DV checksum mismatch in {fp} at offset {off}"
+            )
+        if size != dv.get("sizeInBytes", size):
+            raise DeltaProtocolError(
+                f"DV size mismatch in {fp}: framed {size} vs descriptor "
+                f"{dv.get('sizeInBytes')}"
+            )
+    else:
+        raise DeltaProtocolError(
+            f"unknown deletion vector storageType {st!r}"
+        )
+    positions = _roaring_array_positions(data)
+    card = dv.get("cardinality")
+    if card is not None and card != len(positions):
+        raise DeltaProtocolError(
+            f"DV cardinality mismatch: descriptor says {card}, bitmap "
+            f"holds {len(positions)}"
+        )
+    return positions
+
+
+def _apply_dvs(
+    spark: SparkSession, path: str, df: DataFrame, adds: list[dict]
+) -> DataFrame:
+    """Anti-join deletion vectors into the scan: decode each file's DV
+    driver-side (DVs are KBs — the small side by construction), expose
+    per-row positions via the parquet `_metadata.row_index` column,
+    and drop (file, position) matches with one broadcast left-anti
+    join.  The no-DV files pass through the same join untouched (their
+    paths never appear on the delete side)."""
+    rows = []
+    for a in adds:
+        dv = a.get("deletionVector")
+        if not dv:
+            continue
+        abs_p = _abs_file(path, a["path"])
+        rows.extend((abs_p, p) for p in _dv_positions(path, dv))
+    if not rows:
+        return df
+    dels = spark.createDataFrame(rows, "_dv_fp string, _dv_pos long")
+    df = df.withColumn(
+        "_dv_fp",
+        F.regexp_replace(
+            F.url_decode(F.col("_metadata.file_path")), "^file:/+", "/"
+        ),
+    ).withColumn("_dv_pos", F.col("_metadata.row_index"))
+    return df.join(
+        F.broadcast(dels), ["_dv_fp", "_dv_pos"], "left_anti"
+    ).drop("_dv_fp", "_dv_pos")
+
+
 # --------------------------------------------------------------- reader
 
 
@@ -539,6 +734,9 @@ def read_delta_table(
         )
     files = [_abs_file(path, a["path"]) for a in adds]
     df = spark.read.schema(StructType(data_fields)).parquet(*files)
+    # v2 merge-on-read: deletion vectors anti-join FIRST, directly on
+    # the scan (the `_metadata` columns they need only resolve there)
+    df = _apply_dvs(spark, path, df, adds)
     if part_cols:
         # file → serialized partition values, broadcast-joined on the
         # decoded scan-side file URI ("file://" + absolute path)

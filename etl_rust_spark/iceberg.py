@@ -249,9 +249,17 @@ def iceberg_snapshot(
     path: str, snapshot_id: int | None = None, as_of=None
 ) -> dict:
     """Planned state of one snapshot: live data-file records (the
-    manifest entries' `data_file` structs), the resolved schema, and
-    the snapshot row itself.  Bounded driver-side metadata walk:
-    metadata JSON → manifest list → referenced manifests only."""
+    manifest entries' `data_file` structs, each annotated with its
+    resolved data sequence number under ``_seq``), plus the v2 MERGE-
+    ON-READ state — position-delete and equality-delete file records —
+    the resolved schema, and the snapshot row itself.  Bounded driver-
+    side metadata walk: metadata JSON → manifest list → referenced
+    manifests only.
+
+    Sequence numbers follow the v2 inheritance rule: an entry with a
+    null ``sequence_number`` inherits the manifest's (manifest-list
+    row's) sequence number; v1 tables have no sequence numbers and
+    read as 0 everywhere (all deletes apply — v1 has none anyway)."""
     meta = _current_metadata(path)
     _check_format(meta, path)
     snap = _select_snapshot(meta, path, snapshot_id, as_of)
@@ -266,31 +274,41 @@ def iceberg_snapshot(
             "manifest lists (embedded `manifests`) — not supported"
         )
     files: list[dict] = []
+    pos_deletes: list[dict] = []
+    eq_deletes: list[dict] = []
     for mf in _read_ocf(_abs_file(path, snap["manifest-list"])):
-        if int(mf.get("content", 0)) == 1:
-            raise IcebergProtocolError(
-                f"{path} snapshot {snap['snapshot-id']} references a "
-                "DELETE manifest (v2 position/equality deletes); "
-                "scanning past it would resurrect deleted rows — this "
-                "reader does not implement delete files"
-            )
+        m_seq = int(mf.get("sequence_number") or 0)
         for entry in _read_ocf(_abs_file(path, mf["manifest_path"])):
             if int(entry.get("status", 1)) == 2:  # DELETED
                 continue
             df = entry["data_file"]
-            if int(df.get("content", 0)) != 0:
-                raise IcebergProtocolError(
-                    "manifest entry carries a delete file "
-                    f"({df.get('file_path')!r}) — not supported"
-                )
+            seq = entry.get("sequence_number")
+            df["_seq"] = int(seq) if seq is not None else m_seq
             fmt = str(df.get("file_format", "PARQUET")).upper()
             if fmt != "PARQUET":
                 raise IcebergProtocolError(
-                    f"data file {df.get('file_path')!r} is {fmt}; only "
+                    f"file {df.get('file_path')!r} is {fmt}; only "
                     "PARQUET is supported"
                 )
-            files.append(df)
+            content = int(df.get("content", 0))
+            if content == 0:
+                files.append(df)
+            elif content == 1:
+                pos_deletes.append(df)
+            elif content == 2:
+                if not df.get("equality_ids"):
+                    raise IcebergProtocolError(
+                        f"equality-delete file {df.get('file_path')!r} "
+                        "carries no equality_ids"
+                    )
+                eq_deletes.append(df)
+            else:
+                raise IcebergProtocolError(
+                    f"unknown data_file content {content} "
+                    f"({df.get('file_path')!r})"
+                )
     return {"snapshot": snap, "schema": schema, "files": files,
+            "pos_deletes": pos_deletes, "eq_deletes": eq_deletes,
             "metadata": meta}
 
 
@@ -393,14 +411,27 @@ def read_iceberg_table(
     prune: list[tuple] | None = None,
 ) -> DataFrame:
     """An Iceberg table AS OF ``snapshot_id`` / ``as_of`` (default:
-    current snapshot), planned jar-free from its own metadata tree.
+    current snapshot), planned jar-free from its own metadata tree —
+    including full v2 MERGE-ON-READ semantics:
 
-    Resolution is BY NAME over the snapshot schema (Iceberg data files
-    store every column, partition columns included).  Correct-by-name
-    is verified against a real footer before scanning: if the current
-    schema's names are absent from the newest data file (the table was
-    column-renamed, which only field-id resolution can follow), the
-    read refuses instead of returning silent NULL columns."""
+    - POSITION deletes: delete-file rows are ``(file_path, pos)``;
+      the scan exposes each row's position via Spark's parquet
+      ``_metadata.row_index`` and anti-joins the (broadcast) delete
+      set on (file, position), scoped to data files whose sequence
+      number is <= the delete file's (the v2 application rule).
+    - EQUALITY deletes: delete-file rows carry values for the
+      ``equality_ids`` fields; matching data rows (null-safe equality,
+      per spec) in STRICTLY OLDER data files are dropped via a
+      broadcast left-anti join.
+
+    Both are plain DataFrame anti-joins against driver-planned delete
+    file lists — no shuffle on the data side, delete sets broadcast
+    (delete files are the small side by construction: compaction folds
+    them).  Resolution is BY NAME over the snapshot schema (Iceberg
+    data files store every column — partitioning is metadata-only).
+    Correct-by-name is verified against sampled footers: a renamed
+    table (which only field-id resolution can follow) refuses instead
+    of returning silent NULL columns."""
     snap = iceberg_snapshot(path, snapshot_id, as_of)
     schema = snap["schema"]
     sschema = _spark_schema(schema)
@@ -417,7 +448,103 @@ def read_iceberg_table(
         return spark.createDataFrame([], sschema)
     _check_names_resolve(sorted(keep), schema)
     df = spark.read.schema(sschema).parquet(*keep)
+    if snap["pos_deletes"] or snap["eq_deletes"]:
+        df = _apply_deletes(spark, path, df, snap, files, keep, schema)
     return df.select(*[f.name for f in sschema.fields])
+
+
+def _apply_deletes(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    snap: dict,
+    files: dict[str, dict],
+    keep: list[str],
+    schema: dict,
+) -> DataFrame:
+    """v2 merge-on-read: anti-join position- and equality-delete files
+    into the scan.  Delete files reference data files by their
+    METADATA URI, while the scan sees `_metadata.file_path` — a tiny
+    broadcast map bridges the two and carries each file's sequence
+    number for the application-scope rules."""
+    from pyspark.sql import functions as F
+
+    # scan-side `_metadata.file_path` renders file URIs as
+    # 'file:/abs/path' (single slash); metadata URIs vary — key the
+    # bridge by the RESOLVED absolute path on both sides
+    df = df.withColumn(
+        "_ice_fp",
+        F.regexp_replace(
+            F.url_decode(F.col("_metadata.file_path")),
+            "^file:/+", "/",
+        ),
+    ).withColumn("_ice_pos", F.col("_metadata.row_index"))
+    bridge = spark.createDataFrame(
+        [(f, files[f]["file_path"], files[f]["_seq"]) for f in keep],
+        "_ice_fp string, _ice_uri string, _ice_seq long",
+    )
+    df = df.join(F.broadcast(bridge), "_ice_fp", "left")
+
+    for d in snap["pos_deletes"]:
+        fmt = str(d.get("file_format", "PARQUET")).upper()
+        if fmt != "PARQUET":
+            raise IcebergProtocolError(
+                f"position-delete file {d['file_path']!r} is {fmt}"
+            )
+    for d in snap["eq_deletes"]:
+        fmt = str(d.get("file_format", "PARQUET")).upper()
+        if fmt != "PARQUET":
+            raise IcebergProtocolError(
+                f"equality-delete file {d['file_path']!r} is {fmt}"
+            )
+
+    if snap["pos_deletes"]:
+        # all position-delete files share the (file_path, pos) schema;
+        # each row is scoped by its OWN file's sequence number
+        parts = []
+        for d in snap["pos_deletes"]:
+            parts.append(
+                spark.read.schema("file_path string, pos long")
+                .parquet(_abs_file(path, d["file_path"]))
+                .withColumn("_del_seq", F.lit(d["_seq"]))
+            )
+        dels = parts[0]
+        for p in parts[1:]:
+            dels = dels.unionByName(p)
+        df = df.join(
+            F.broadcast(dels),
+            (df["_ice_uri"] == dels["file_path"])
+            & (df["_ice_pos"] == dels["pos"])
+            & (dels["_del_seq"] >= df["_ice_seq"]),
+            "left_anti",
+        )
+
+    if snap["eq_deletes"]:
+        id_to_name = {f["id"]: f["name"] for f in schema["fields"]}
+        for d in snap["eq_deletes"]:
+            try:
+                cols = [id_to_name[int(i)] for i in d["equality_ids"]]
+            except KeyError as exc:
+                raise IcebergProtocolError(
+                    f"equality-delete file {d['file_path']!r} keys on "
+                    f"field id {exc} which is not in the snapshot "
+                    "schema"
+                ) from None
+            dd = (
+                spark.read.parquet(_abs_file(path, d["file_path"]))
+                .select(*cols)
+            )
+            # spec: equality deletes use null-safe equality and apply
+            # to data files STRICTLY OLDER than the delete file
+            cond = F.lit(True)
+            for c in cols:
+                cond = cond & df[c].eqNullSafe(dd[c])
+            df = df.join(
+                F.broadcast(dd),
+                cond & (F.lit(d["_seq"]) > df["_ice_seq"]),
+                "left_anti",
+            )
+    return df.drop("_ice_fp", "_ice_pos", "_ice_uri", "_ice_seq")
 
 
 def _check_names_resolve(files: list[str], schema: dict) -> None:

@@ -278,9 +278,9 @@ def test_protocol_gates(spark, tmp_path):
     t2 = tmp_path / "d2"
     _commit(t2 / "_delta_log", 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors"]}},
+                      "readerFeatures": ["someFutureFeature"]}},
         _meta(sch)])
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+    with pytest.raises(DeltaProtocolError, match="someFutureFeature"):
         delta_snapshot(str(t2))
     # supported features pass the gate
     t3 = tmp_path / "d3"
@@ -301,19 +301,28 @@ def test_protocol_gates(spark, tmp_path):
         delta_snapshot(str(t4))
 
 
-def test_live_deletion_vector_raises(spark, tmp_path):
+def test_malformed_deletion_vector_raises(spark, tmp_path):
+    """An undecodable DV must fail the READ loudly (a swallowed decode
+    error would resurrect deleted rows); unknown storage types too."""
     t = tmp_path / "delta_dv"
     sz = _write_parquet(t / "f1.parquet", [{"k": 1}])
     _commit(t / "_delta_log", 0, [
         _P1, _meta(_schema_str([("k", "long")])),
         {"add": {"path": "f1.parquet", "partitionValues": {}, "size": sz,
                  "modificationTime": 0, "dataChange": True,
-                 "deletionVector": {"storageType": "u", "pathOrInlineDv":
+                 "deletionVector": {"storageType": "z", "pathOrInlineDv":
                                     "x", "offset": 1, "sizeInBytes": 40,
                                     "cardinality": 1}}},
     ])
-    with pytest.raises(DeltaProtocolError, match="RESURRECT"):
-        delta_snapshot(str(t))
+    with pytest.raises(DeltaProtocolError, match="storageType"):
+        read_delta_table(spark, str(t))
+    # a truncated Z85 inline payload is loud too
+    log = t / "_delta_log"
+    acts = (log / f"{0:020d}.json").read_text().replace(
+        '"storageType": "z"', '"storageType": "i"')
+    (log / f"{0:020d}.json").write_text(acts)
+    with pytest.raises(DeltaProtocolError, match="Z85"):
+        read_delta_table(spark, str(t))
 
 
 def test_absolute_path_adds(spark, tmp_path):
@@ -628,3 +637,259 @@ def test_cli_export_and_read_delta(spark, tmp_path, capsys):
                  "--out", out]) == 0
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["read_rows"] == 12
+
+
+# ---------------------------------------------------- deletion vectors
+
+
+def _roaring_serialize(values):
+    """Test-side 32-bit roaring serializer (RoaringFormatSpec portable,
+    no-run cookie) — structurally independent of the module's decoder;
+    both are pinned to the spec by test_roaring_pinned_bytes."""
+    import struct as st
+    from collections import defaultdict
+
+    conts = defaultdict(list)
+    for v in sorted(set(values)):
+        conts[v >> 16].append(v & 0xFFFF)
+    keys = sorted(conts)
+    n = len(keys)
+    out = bytearray(st.pack("<I", 12346) + st.pack("<I", n))
+    for k in keys:
+        out += st.pack("<HH", k, len(conts[k]) - 1)
+    off = 4 + 4 + 4 * n + 4 * n
+    for k in keys:
+        out += st.pack("<I", off)
+        c = len(conts[k])
+        off += 8192 if c > 4096 else 2 * c
+    for k in keys:
+        c = conts[k]
+        if len(c) > 4096:
+            words = [0] * 1024
+            for v in c:
+                words[v >> 6] |= 1 << (v & 63)
+            out += st.pack("<1024Q", *words)
+        else:
+            out += st.pack(f"<{len(c)}H", *c)
+    return bytes(out)
+
+
+def _rba_serialize(positions):
+    """Delta RoaringBitmapArray portable form (implicit bitmap keys)."""
+    import struct as st
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for p in positions:
+        groups[p >> 32].append(p & 0xFFFFFFFF)
+    nb = (max(groups) + 1) if groups else 0
+    out = bytearray(st.pack("<i", 1681511377) + st.pack("<q", nb))
+    for i in range(nb):
+        out += _roaring_serialize(groups.get(i, []))
+    return bytes(out)
+
+
+def _z85_encode(b: bytes) -> str:
+    from etl_rust_spark.deltalake import _Z85_ALPHABET
+
+    assert len(b) % 4 == 0
+    s = ""
+    for i in range(0, len(b), 4):
+        acc = int.from_bytes(b[i:i + 4], "big")
+        chunk = ""
+        for _ in range(5):
+            chunk = _Z85_ALPHABET[acc % 85] + chunk
+            acc //= 85
+        s += chunk
+    return s
+
+
+def _inline_dv(positions):
+    data = _rba_serialize(positions)
+    pad = (-len(data)) % 4
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": _z85_encode(data + b"\x00" * pad),
+        "sizeInBytes": len(data),
+        "cardinality": len(set(positions)),
+    }
+
+
+def _dv_file(table: Path, dv_datas: list[bytes], prefix: str = ""):
+    """One on-disk DV file holding several DVs; returns descriptors."""
+    import struct as st
+    import uuid as _uuid
+    import zlib
+
+    u = _uuid.uuid4()
+    d = table / prefix if prefix else table
+    d.mkdir(parents=True, exist_ok=True)
+    fp = d / f"deletion_vector_{u}.bin"
+    raw = bytearray(b"\x01")
+    descs = []
+    for data in dv_datas:
+        off = len(raw)
+        raw += st.pack(">i", len(data)) + data
+        raw += st.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+        descs.append({
+            "storageType": "u",
+            "pathOrInlineDv": prefix + _z85_encode(u.bytes),
+            "offset": off,
+            "sizeInBytes": len(data),
+            "cardinality": None,  # caller fills
+        })
+    fp.write_bytes(bytes(raw))
+    return fp, descs
+
+
+def test_roaring_pinned_bytes():
+    """Pin BOTH sides to the spec with hand-computed bytes for the
+    bitmap {1, 3}: no-run cookie 12346, one container (key 0,
+    cardinality 2), one offset, array container values 1 and 3."""
+    from etl_rust_spark.deltalake import _roaring_bitmap_positions
+
+    expected = bytes.fromhex(
+        "3a300000" "01000000" "0000" "0100" "10000000" "0100" "0300"
+    )
+    assert _roaring_serialize([1, 3]) == expected
+    vals, pos = _roaring_bitmap_positions(expected, 0)
+    assert vals == [1, 3] and pos == len(expected)
+
+
+def test_rba_positions_above_32_bits():
+    from etl_rust_spark.deltalake import _roaring_array_positions
+
+    data = _rba_serialize([5, (1 << 32) + 7])
+    assert _roaring_array_positions(data) == [5, (1 << 32) + 7]
+
+
+def test_dv_inline(spark, tmp_path):
+    """Inline ('i') DV masks exactly its positions; time travel to the
+    pre-DV commit still sees every row."""
+    t = tmp_path / "delta_dv_i"
+    log = t / "_delta_log"
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fp = t / "f1.parquet"
+    fp.parent.mkdir(parents=True)
+    pq.write_table(
+        pa.Table.from_pylist([{"k": i} for i in range(6)]), fp)
+    sz = fp.stat().st_size
+    sch = _schema_str([("k", "long")])
+    base = {"path": "f1.parquet", "partitionValues": {}, "size": sz,
+            "modificationTime": 0, "dataChange": True}
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        _meta(sch), {"add": base}])
+    _commit(log, 1, [
+        {"add": {**base, "deletionVector": _inline_dv([1, 3])}}])
+    head = read_delta_table(spark, str(t))
+    assert sorted(r.k for r in head.collect()) == [0, 2, 4, 5]
+    v0 = read_delta_table(spark, str(t), version=0)
+    assert sorted(r.k for r in v0.collect()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_dv_on_disk_with_prefix_and_offsets(spark, tmp_path):
+    """Two DVs share one 'u'-style .bin under a random prefix; each
+    file's DV masks its own rows.  A corrupted byte fails the CRC."""
+    t = tmp_path / "delta_dv_u"
+    log = t / "_delta_log"
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t.mkdir(parents=True)
+    for name, n in (("f1.parquet", 4), ("f2.parquet", 3)):
+        pq.write_table(
+            pa.Table.from_pylist([{"k": i} for i in range(n)]), t / name)
+    fp, descs = _dv_file(
+        t, [_rba_serialize([0]), _rba_serialize([1, 2])], prefix="ab")
+    descs[0]["cardinality"] = 1
+    descs[1]["cardinality"] = 2
+    sch = _schema_str([("k", "long")])
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        _meta(sch),
+        {"add": {"path": "f1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "deletionVector": descs[0]}},
+        {"add": {"path": "f2.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "deletionVector": descs[1]}},
+    ])
+    # f1 loses row 0 -> {1,2,3}; f2 loses rows 1,2 -> {0}
+    assert sorted(r.k for r in
+                  read_delta_table(spark, str(t)).collect()) == \
+        [0, 1, 2, 3]
+    # corrupt one bitmap byte: CRC must catch it
+    raw = bytearray(fp.read_bytes())
+    raw[6] ^= 0xFF
+    fp.write_bytes(bytes(raw))
+    with pytest.raises(DeltaProtocolError, match="checksum"):
+        read_delta_table(spark, str(t)).collect()
+
+
+def test_dv_bitmap_and_run_containers(spark, tmp_path):
+    """Cardinality > 4096 exercises the 8 KB bitmap container; a hand-
+    built run container (cookie 12347) decodes too."""
+    import struct as st
+
+    from etl_rust_spark.deltalake import _roaring_bitmap_positions
+
+    # run container: values 10..20 as one run
+    run = (st.pack("<I", 12347 | ((1 - 1) << 16)) + b"\x01"
+           + st.pack("<HH", 0, 10)      # key 0, cardinality-1 = 10
+           + st.pack("<H", 1)            # one run
+           + st.pack("<HH", 10, 10))     # start 10, length 10
+    vals, _ = _roaring_bitmap_positions(run, 0)
+    assert vals == list(range(10, 21))
+
+    t = tmp_path / "delta_dv_big"
+    log = t / "_delta_log"
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t.mkdir(parents=True)
+    n = 6000
+    pq.write_table(
+        pa.Table.from_pylist([{"k": i} for i in range(n)]),
+        t / "f1.parquet")
+    dead = list(range(5000))  # > 4096 -> bitmap container
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        _meta(_schema_str([("k", "long")])),
+        {"add": {"path": "f1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "deletionVector": _inline_dv(dead)}},
+    ])
+    got = sorted(r.k for r in read_delta_table(spark, str(t)).collect())
+    assert got == list(range(5000, 6000))
+
+
+def test_dv_partitioned_composes(spark, tmp_path):
+    """DV anti-join composes with partition-value injection."""
+    t = tmp_path / "delta_dv_part"
+    log = t / "_delta_log"
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    (t / "p=x").mkdir(parents=True)
+    pq.write_table(
+        pa.Table.from_pylist([{"k": i} for i in range(4)]),
+        t / "p=x" / "f1.parquet")
+    sch = _schema_str([("k", "long"), ("p", "string")])
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        _meta(sch, parts=["p"]),
+        {"add": {"path": "p=x/f1.parquet", "partitionValues": {"p": "x"},
+                 "size": 1, "modificationTime": 0, "dataChange": True,
+                 "deletionVector": _inline_dv([0, 2])}},
+    ])
+    rows = sorted((r.k, r.p) for r in
+                  read_delta_table(spark, str(t)).collect())
+    assert rows == [(1, "x"), (3, "x")]

@@ -45,6 +45,8 @@ _DATA_FILE_T = {
         {"name": "file_size_in_bytes", "type": "long"},
         {"name": "lower_bounds", "type": _BOUND_T},
         {"name": "upper_bounds", "type": _BOUND_T},
+        {"name": "equality_ids", "type": [None, {"type": "array",
+                                                 "items": "int"}]},
     ],
 }
 
@@ -53,6 +55,7 @@ _MANIFEST_ENTRY_SCHEMA = {
     "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": [None, "long"]},
+        {"name": "sequence_number", "type": [None, "long"]},
         {"name": "data_file", "type": _DATA_FILE_T},
     ],
 }
@@ -64,6 +67,7 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
         {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
         {"name": "added_snapshot_id", "type": "long"},
     ],
 }
@@ -102,32 +106,38 @@ class IceFix:
         self._n = 0
 
     def write_file(self, rows: list[dict], bounds=None,
-                   fmt: str = "PARQUET") -> dict:
+                   fmt: str = "PARQUET", content: int = 0,
+                   equality_ids: list[int] | None = None,
+                   schema=None) -> dict:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         self._n += 1
         fp = self.root / "data" / f"f{self._n:03d}.parquet"
-        pq.write_table(pa.Table.from_pylist(rows), fp)
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), fp)
         return {
-            "content": 0,
+            "content": content,
             "file_path": "file://" + str(fp),
             "file_format": fmt,
             "record_count": len(rows),
             "file_size_in_bytes": fp.stat().st_size,
             "lower_bounds": (bounds or {}).get("lower"),
             "upper_bounds": (bounds or {}).get("upper"),
+            "equality_ids": equality_ids,
         }
 
     def add_snapshot(self, data_files: list[dict], ts_ms: int,
                      manifest_content: int = 0,
                      statuses: list[int] | None = None,
-                     schema_id: int = 0) -> int:
+                     schema_id: int = 0, seq: int = 0,
+                     entry_seqs: list[int | None] | None = None) -> int:
         sid = 1000 + len(self.snapshots)
         mpath = self.root / "metadata" / f"manifest-{sid}.avro"
         entries = [
             {"status": (statuses or [1] * len(data_files))[i],
-             "snapshot_id": sid, "data_file": df}
+             "snapshot_id": sid,
+             "sequence_number": (entry_seqs or [None] * len(data_files))[i],
+             "data_file": df}
             for i, df in enumerate(data_files)
         ]
         write_avro_container(
@@ -140,6 +150,7 @@ class IceFix:
             [{"manifest_path": "file://" + str(mpath),
               "manifest_length": mpath.stat().st_size,
               "partition_spec_id": 0, "content": manifest_content,
+              "sequence_number": seq,
               "added_snapshot_id": sid}],
             _avro_fix_nulls(_MANIFEST_FILE_SCHEMA), codec="deflate",
         )
@@ -260,23 +271,98 @@ def test_deleted_entries_dropped(spark, tmp_path):
     assert [r.k for r in df.collect()] == [2]
 
 
-def test_delete_manifest_refuses(spark, tmp_path):
+def test_position_deletes_applied(spark, tmp_path):
+    """v2 MoR: (file_path, pos) delete rows drop exactly those rows;
+    files the deletes never name are untouched."""
     fx = IceFix(tmp_path / "ice", _FIELDS)
-    f1 = fx.write_file([{"k": 1, "v": "a"}])
-    fx.add_snapshot([f1], ts_ms=1_000, manifest_content=1)
+    f1 = fx.write_file([{"k": 1, "v": "a"}, {"k": 2, "v": "b"},
+                        {"k": 3, "v": "c"}])
+    f2 = fx.write_file([{"k": 10, "v": "z"}])
+    pd = fx.write_file(
+        [{"file_path": f1["file_path"], "pos": 0},
+         {"file_path": f1["file_path"], "pos": 2}],
+        content=1)
+    fx.add_snapshot([f1, f2, pd], ts_ms=1_000, seq=1)
     fx.finish()
-    with pytest.raises(IcebergProtocolError, match="resurrect"):
-        iceberg_snapshot(str(fx.root))
+    rows = sorted(r.k for r in
+                  read_iceberg_table(spark, str(fx.root)).collect())
+    assert rows == [2, 10]
 
 
-def test_delete_data_file_content_refuses(spark, tmp_path):
+def test_position_delete_sequence_scoping(spark, tmp_path):
+    """A position delete applies only to data files whose sequence
+    number is <= the delete's — a file REWRITTEN after the delete
+    keeps all its rows."""
     fx = IceFix(tmp_path / "ice", _FIELDS)
-    f1 = fx.write_file([{"k": 1, "v": "a"}])
-    f1["content"] = 1  # position-delete file inside a data manifest
+    f1 = fx.write_file([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    pd = fx.write_file([{"file_path": f1["file_path"], "pos": 0}],
+                       content=1)
+    # data file seq 5, delete seq 1: delete must NOT apply
+    fx.add_snapshot([f1, pd], ts_ms=1_000, seq=1, entry_seqs=[5, 1])
+    fx.finish()
+    rows = sorted(r.k for r in
+                  read_iceberg_table(spark, str(fx.root)).collect())
+    assert rows == [1, 2]
+
+
+def test_equality_deletes_applied(spark, tmp_path):
+    """Equality deletes drop null-safe-matching rows from STRICTLY
+    older data files only."""
+    fx = IceFix(tmp_path / "ice", _FIELDS)
+    f_old = fx.write_file([{"k": 1, "v": "a"}, {"k": 2, "v": None}])
+    f_new = fx.write_file([{"k": 1, "v": "a2"}])
+    import pyarrow as pa
+
+    ed = fx.write_file(
+        [{"k": 1}], content=2, equality_ids=[1],
+        schema=pa.schema([("k", pa.int64())]))
+    # old file seq 1, delete seq 2, new file seq 2 (same as delete —
+    # strictly-older rule keeps it)
+    fx.add_snapshot([f_old, f_new, ed], ts_ms=1_000, seq=2,
+                    entry_seqs=[1, 2, 2])
+    fx.finish()
+    rows = sorted((r.k, r.v) for r in
+                  read_iceberg_table(spark, str(fx.root)).collect())
+    assert rows == [(1, "a2"), (2, None)]
+
+
+def test_equality_delete_null_safe(spark, tmp_path):
+    """NULL equals NULL for equality deletes (spec: null-safe)."""
+    fx = IceFix(tmp_path / "ice", _FIELDS)
+    f1 = fx.write_file([{"k": 1, "v": None}, {"k": 2, "v": "b"}])
+    import pyarrow as pa
+
+    ed = fx.write_file(
+        [{"v": None}], content=2, equality_ids=[2],
+        schema=pa.schema([("v", pa.string())]))
+    fx.add_snapshot([f1, ed], ts_ms=1_000, seq=2, entry_seqs=[1, 2])
+    fx.finish()
+    rows = sorted(r.k for r in
+                  read_iceberg_table(spark, str(fx.root)).collect())
+    assert rows == [2]
+
+
+def test_unknown_content_refuses(spark, tmp_path):
+    fx = IceFix(tmp_path / "ice", _FIELDS)
+    f1 = fx.write_file([{"k": 1, "v": "a"}], content=3)
     fx.add_snapshot([f1], ts_ms=1_000)
     fx.finish()
-    with pytest.raises(IcebergProtocolError, match="delete file"):
+    with pytest.raises(IcebergProtocolError, match="content 3"):
         iceberg_snapshot(str(fx.root))
+
+
+def test_equality_delete_unknown_field_refuses(spark, tmp_path):
+    fx = IceFix(tmp_path / "ice", _FIELDS)
+    f1 = fx.write_file([{"k": 1, "v": "a"}])
+    import pyarrow as pa
+
+    ed = fx.write_file(
+        [{"z": 9}], content=2, equality_ids=[99],
+        schema=pa.schema([("z", pa.int64())]))
+    fx.add_snapshot([f1, ed], ts_ms=1_000, seq=2, entry_seqs=[1, 2])
+    fx.finish()
+    with pytest.raises(IcebergProtocolError, match="99"):
+        read_iceberg_table(spark, str(fx.root)).collect()
 
 
 def test_non_parquet_refuses(spark, tmp_path):
