@@ -533,6 +533,12 @@ def main(argv: list[str] | None = None) -> int:
         "timestamp travel",
     )
     pv.add_argument(
+        "--import-delta", default=None, metavar="DEST",
+        help="replay TABLE's Delta log into a fresh versioned table at "
+        "DEST — history preserved commit-for-commit, data files "
+        "hardlinked (zero bytes copied)",
+    )
+    pv.add_argument(
         "--read-iceberg", default=None, metavar="SNAPSHOT|latest",
         help="read TABLE as an Apache Iceberg table (jar-free metadata "
         "reader) at this snapshot id, to --out; combine with --as-of "
@@ -983,6 +989,12 @@ def main(argv: list[str] | None = None) -> int:
             ddf = read_delta_table(spark, args.table, dv, as_of=das_of)
             ddf.write.mode("overwrite").parquet(args.out)
             out["read_rows"] = spark.read.parquet(args.out).count()
+        if args.import_delta is not None:
+            from etl_rust_spark.deltalake import import_delta_log
+
+            out["imported_versions"] = import_delta_log(
+                spark, args.table, args.import_delta
+            )
         if args.read_iceberg is not None:
             if not args.out:
                 p.error("--read-iceberg requires --out")

@@ -62,6 +62,7 @@ __all__ = [
     "delta_history",
     "delta_latest_version",
     "export_delta_log",
+    "import_delta_log",
     "DeltaProtocolError",
 ]
 
@@ -1082,6 +1083,161 @@ def _write_checkpoint(path: str, delta_version: int, head_manifest: dict,
     (d / "_last_checkpoint").write_text(
         json.dumps({"version": delta_version, "size": n})
     )
+
+
+# -------------------------------------------------------------- importer
+
+
+def import_delta_log(
+    spark: SparkSession, path: str, dest: str,
+) -> int:
+    """The reverse of :func:`export_delta_log`: replay a Delta table's
+    commit history INTO a fresh versioned table at ``dest`` — Delta
+    version i becomes versioned-table version i+1, commit timestamps
+    and per-file stats carried, data files HARDLINKED (zero bytes
+    copied, the `clone_table` discipline; cross-device falls back to
+    copy).  The migration path for a user switching engines without
+    losing time travel.
+
+    Refusals (each with the remediation named): live deletion vectors
+    (materialize via :func:`read_delta_table` + write_table_version),
+    multi-column partitioning (the versioned layer partitions on one
+    column), and partitioned tables whose file paths are not hive-form
+    ``col=value/`` (Delta does not store partition columns in data
+    files, so only a hive layout lets the versioned reader re-derive
+    them).  Column mapping imports as the versioned layer's own
+    ``column_map``.  Returns the number of versions created."""
+    import os
+    import shutil as _shutil
+
+    import pyarrow.parquet as pq
+
+    from .versions import _ROWS_KEY, _commit, latest_version
+
+    if latest_version(dest) is not None:
+        raise FileExistsError(f"{dest} already has a version chain")
+    head = delta_latest_version(path)
+    dest_p = Path(dest)
+    (dest_p / "data").mkdir(parents=True, exist_ok=True)
+    # incremental replay (NOT delta_snapshot per version — that walk
+    # would be quadratic in history length)
+    adds: dict[str, dict] = {}
+    meta = proto = None
+    n = 0
+    prev_meta_json = None
+    parent = None
+    for v in range(0, head + 1):
+        ts = None
+        for a in _commit_actions(path, v):
+            _apply_action(a, adds, path)
+            if "metaData" in a:
+                meta = a["metaData"]
+            if "protocol" in a:
+                proto = a["protocol"]
+            ci = a.get("commitInfo")
+            if ci and ci.get("timestamp"):
+                ts = ci["timestamp"] / 1000.0
+        if proto is None or meta is None:
+            raise DeltaProtocolError(
+                f"Delta commit 0 of {path} lacks protocol/metaData"
+            )
+        _check_protocol(proto, path)
+        schema = _snapshot_schema(meta)
+        _check_mapping_supported(meta, schema)
+        part_cols = list(meta.get("partitionColumns") or [])
+        if len(part_cols) > 1:
+            raise ValueError(
+                f"{path} partitions on {part_cols}; the versioned "
+                "layer takes one partition column — materialize via "
+                "read_delta_table + write_table_version instead"
+            )
+        phys_of = {f.name: _physical_name(f) for f in schema.fields}
+        pb_phys = phys_of[part_cols[0]] if part_cols else None
+        files: list[str] = []
+        stats: dict[str, dict] = {}
+        count = 0
+        for a in adds.values():
+            if a.get("deletionVector"):
+                raise ValueError(
+                    f"Delta version {v} of {path} has a live deletion "
+                    "vector — the import would resurrect its deleted "
+                    "rows; materialize that range via read_delta_table "
+                    "+ write_table_version, or import up to the "
+                    "pre-DV version"
+                )
+            rel = unquote(a["path"])
+            parsed = urlparse(rel)
+            if parsed.scheme or rel.startswith("/"):
+                raise ValueError(
+                    f"add {a['path']!r} is an absolute path (shallow "
+                    "clone) — import the clone source, or materialize "
+                    "via read_delta_table"
+                )
+            if pb_phys and not rel.startswith(f"{pb_phys}="):
+                raise ValueError(
+                    f"partitioned table file {rel!r} is not laid out "
+                    f"hive-style under {pb_phys!r}= — the versioned "
+                    "reader cannot re-derive its partition value; "
+                    "materialize via read_delta_table + "
+                    "write_table_version"
+                )
+            src = Path(path) / rel
+            dst = dest_p / "data" / rel
+            if not dst.exists():
+                dst.parent.mkdir(parents=True, exist_ok=True)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    _shutil.copy2(src, dst)
+            files.append(rel)
+            fstats: dict = {}
+            raw = a.get("stats")
+            s = {}
+            if raw:
+                try:
+                    s = json.loads(raw) if isinstance(raw, str) else raw
+                except json.JSONDecodeError:
+                    s = {}
+            if s.get("numRecords") is not None:
+                fstats[_ROWS_KEY] = s["numRecords"]
+            else:
+                # exact row counts are load-bearing downstream
+                # (metadata-only count(*)): one footer read fills the
+                # gap when the add carried no stats
+                fstats[_ROWS_KEY] = pq.read_metadata(dst).num_rows
+            count += fstats[_ROWS_KEY]
+            mins = s.get("minValues") or {}
+            maxs = s.get("maxValues") or {}
+            for c in mins:
+                if c in maxs:
+                    fstats[c] = [mins[c], maxs[c]]
+            stats[rel] = fstats
+        cmap = {
+            f.name: phys_of[f.name]
+            for f in schema.fields
+            if phys_of[f.name] != f.name
+        }
+        meta_json = json.dumps(meta, sort_keys=True)
+        parent = _commit(
+            dest, sorted(files), count, parent, pb_phys,
+            stats_cols=None, stats=stats or None,
+            op=f"import_delta({v})"
+            + ("" if meta_json == prev_meta_json or prev_meta_json is
+               None else " metadata"),
+            column_map=cmap or None,
+        )
+        prev_meta_json = meta_json
+        if ts is not None:
+            # re-stamp the recorded commit instant with Delta's own
+            # (so AS OF time travel matches the source table's history)
+            from .versions import _manifest_path
+
+            mp = _manifest_path(dest, parent)
+            m = json.loads(mp.read_text())
+            m["ts"] = ts
+            mp.write_text(json.dumps(m, indent=1))
+        n += 1
+    return n
 
 
 # placed at the bottom to keep the import surface obvious: the

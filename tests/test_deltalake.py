@@ -893,3 +893,130 @@ def test_dv_partitioned_composes(spark, tmp_path):
     rows = sorted((r.k, r.p) for r in
                   read_delta_table(spark, str(t)).collect())
     assert rows == [(1, "x"), (3, "x")]
+
+
+# -------------------------------------------------------------- importer
+
+
+def test_import_delta_history(spark, tmp_path):
+    """Import a hand-built Delta log into a fresh versioned chain:
+    version-for-version content parity, timestamps carried for AS OF,
+    stats usable by the metadata-only count(*)."""
+    from etl_rust_spark.deltalake import import_delta_log
+
+    t = _simple_table(tmp_path)
+    dest = str(tmp_path / "vt_imported")
+    n = import_delta_log(spark, str(t), dest)
+    assert n == 3
+    assert V.list_versions(dest) == [1, 2, 3]
+    for dv, ours_v in ((0, 1), (1, 2), (2, 3)):
+        theirs = read_delta_table(spark, str(t), version=dv)
+        ours = V.read_table_version(spark, dest, ours_v)
+        assert sorted(map(tuple, theirs.collect())) == \
+            sorted(map(tuple, ours.select(*theirs.columns).collect()))
+    # data files HARDLINKED, not copied
+    src_f2 = t / "f2.parquet"
+    dst_f2 = Path(dest) / "data" / "f2.parquet"
+    assert src_f2.stat().st_ino == dst_f2.stat().st_ino
+    # Delta's commit instants drive AS OF on the imported chain
+    assert V.version_at_timestamp(dest, 2_500) == 2
+    # carried add.stats serve the metadata-only count path
+    assert V.aggregate_table_metadata(dest, ["count(*)"]) == \
+        {"count(*)": 2}
+    # history records the source Delta versions
+    ops = [h["op"] for h in V.history(dest)]
+    assert ops[0].startswith("import_delta(2)")
+
+
+def test_import_refuses_dv_and_multipartition(spark, tmp_path):
+    from etl_rust_spark.deltalake import import_delta_log
+
+    t = tmp_path / "d_dv"
+    sz = _write_parquet(t / "f1.parquet", [{"k": 1}])
+    _commit(t / "_delta_log", 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        _meta(_schema_str([("k", "long")])),
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": sz,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": _inline_dv([0])}},
+    ])
+    with pytest.raises(ValueError, match="resurrect"):
+        import_delta_log(spark, str(t), str(tmp_path / "x1"))
+    t2 = tmp_path / "d_mp"
+    sz = _write_parquet(t2 / "f1.parquet", [{"k": 1}])
+    _commit(t2 / "_delta_log", 0, [
+        _P1, _meta(_schema_str([("k", "long"), ("a", "string"),
+                                ("b", "string")]), parts=["a", "b"]),
+        {"add": {"path": "f1.parquet",
+                 "partitionValues": {"a": "1", "b": "2"}, "size": sz,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    with pytest.raises(ValueError, match="one partition column"):
+        import_delta_log(spark, str(t2), str(tmp_path / "x2"))
+
+
+def test_import_partitioned_hive_layout(spark, tmp_path):
+    from etl_rust_spark.deltalake import import_delta_log
+
+    t = tmp_path / "d_part"
+    sz1 = _write_parquet(t / "p=x/f1.parquet", [{"k": 1}])
+    sz2 = _write_parquet(t / "p=y/f2.parquet", [{"k": 2}])
+    sch = _schema_str([("k", "long"), ("p", "string")])
+    _commit(t / "_delta_log", 0, [
+        _P1, _meta(sch, parts=["p"]),
+        {"add": {"path": "p=x/f1.parquet", "partitionValues": {"p": "x"},
+                 "size": sz1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "p=y/f2.parquet", "partitionValues": {"p": "y"},
+                 "size": sz2, "modificationTime": 0, "dataChange": True}},
+    ])
+    dest = str(tmp_path / "vt_part")
+    import_delta_log(spark, str(t), dest)
+    ours = V.read_table_version(spark, dest)
+    assert sorted((r.k, r.p) for r in ours.collect()) == \
+        [(1, "x"), (2, "y")]
+    # non-hive layout refuses
+    t2 = tmp_path / "d_flat"
+    sz = _write_parquet(t2 / "f1.parquet", [{"k": 1}])
+    _commit(t2 / "_delta_log", 0, [
+        _P1, _meta(sch, parts=["p"]),
+        {"add": {"path": "f1.parquet", "partitionValues": {"p": "x"},
+                 "size": sz, "modificationTime": 0, "dataChange": True}},
+    ])
+    with pytest.raises(ValueError, match="hive-style"):
+        import_delta_log(spark, str(t2), str(tmp_path / "x3"))
+
+
+def test_roundtrip_export_import_export(spark, tmp_path):
+    """versioned → Delta → versioned: the re-imported chain is
+    content-equal version for version (history-preserving both ways)."""
+    from etl_rust_spark.deltalake import import_delta_log
+
+    src = str(tmp_path / "vt_src")
+    V.write_table_version(
+        spark.range(6).selectExpr("id as k", "id * 2 as v"), src,
+        stats_cols=["k"])
+    V.upsert_table_version(
+        spark, src, spark.range(2).selectExpr("id + 5 as k",
+                                              "id + 100 as v"),
+        keys=["k"])
+    export_delta_log(spark, src)
+    dest = str(tmp_path / "vt_back")
+    n = import_delta_log(spark, src, dest)
+    assert n == 2
+    for v in (1, 2):
+        a = V.read_table_version(spark, src, v)
+        b = V.read_table_version(spark, dest, v)
+        assert sorted(map(tuple, a.collect())) == \
+            sorted(map(tuple, b.select(*a.columns).collect()))
+
+
+def test_cli_import_delta(spark, tmp_path, capsys):
+    from etl_rust_spark.__main__ import main
+
+    t = _simple_table(tmp_path)
+    dest = str(tmp_path / "vt_cli_import")
+    assert main(["table", str(t), "--import-delta", dest]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["imported_versions"] == 3
+    assert V.list_versions(dest) == [1, 2, 3]
