@@ -354,12 +354,71 @@ def _bounds_of(df_rec: dict, key) -> dict:
     return {int(e["key"]): e["value"] for e in v}
 
 
-def _keep_file(df_rec: dict, prune, ids: dict[str, tuple[int, str]]) -> bool:
+def _partition_context(meta: dict, schema: dict) -> dict[str, list]:
+    """source-column name → [(partition_field_name, transform)] for the
+    DEFAULT partition spec's prunable transforms (identity, day).
+    Iceberg partitioning is hidden: users prune on the SOURCE column
+    and the spec tells us how the directory value derives from it."""
+    specs = {s.get("spec-id", 0): s for s in
+             meta.get("partition-specs") or []}
+    spec = specs.get(meta.get("default-spec-id", 0))
+    if not spec:
+        return {}
+    by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    out: dict[str, list] = {}
+    for f in spec.get("fields") or []:
+        src = by_id.get(f.get("source-id"))
+        if src and f.get("transform") in ("identity", "day"):
+            out.setdefault(src, []).append((f["name"], f["transform"]))
+    return out
+
+
+def _day_ordinal(v) -> int | None:
+    """A bound value → days-since-epoch for comparing against a `day`
+    partition transform's stored int; None when unconvertible (keep)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        v = v.date()
+    elif isinstance(v, str):
+        try:
+            v = _dt.date.fromisoformat(v[:10])
+        except ValueError:
+            return None
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    return None
+
+
+def _keep_file(df_rec: dict, prune, ids: dict[str, tuple[int, str]],
+               part_ctx: dict[str, list] | None = None) -> bool:
     if not prune:
         return True
     lo_b = _bounds_of(df_rec, "lower_bounds")
     hi_b = _bounds_of(df_rec, "upper_bounds")
+    part = df_rec.get("partition") or {}
     for col, lo, hi in prune:
+        # partition-transform pruning: the file's partition struct
+        # answers exactly for identity, by day-interval for day
+        for pname, transform in (part_ctx or {}).get(col, []):
+            pv = part.get(pname)
+            if pv is None:
+                continue
+            try:
+                if transform == "identity":
+                    if (hi is not None and pv > hi) or (
+                        lo is not None and pv < lo
+                    ):
+                        return False
+                elif transform == "day":
+                    lo_d = _day_ordinal(lo) if lo is not None else None
+                    hi_d = _day_ordinal(hi) if hi is not None else None
+                    if (hi_d is not None and pv > hi_d) or (
+                        lo_d is not None and pv < lo_d
+                    ):
+                        return False
+            except TypeError:
+                continue  # mistyped bound: keep
         if col not in ids:
             continue
         fid, t = ids[col]
@@ -393,10 +452,11 @@ def iceberg_table_files(
         for f in snap["schema"]["fields"]
         if isinstance(f["type"], str)
     }
+    pctx = _partition_context(snap["metadata"], snap["schema"])
     return sorted(
         _abs_file(path, d["file_path"])
         for d in snap["files"]
-        if _keep_file(d, prune, ids)
+        if _keep_file(d, prune, ids, pctx)
     )
 
 
@@ -443,7 +503,9 @@ def read_iceberg_table(
         for f in schema["fields"]
         if isinstance(f["type"], str)
     }
-    keep = [f for f, d in files.items() if _keep_file(d, prune, ids)]
+    pctx = _partition_context(snap["metadata"], snap["schema"])
+    keep = [f for f, d in files.items()
+            if _keep_file(d, prune, ids, pctx)]
     if not keep:
         return spark.createDataFrame([], sschema)
     _check_names_resolve(sorted(keep), schema)

@@ -47,6 +47,11 @@ _DATA_FILE_T = {
         {"name": "upper_bounds", "type": _BOUND_T},
         {"name": "equality_ids", "type": [None, {"type": "array",
                                                  "items": "int"}]},
+        {"name": "partition", "type": [None, {
+            "type": "record", "name": "pt",
+            "fields": [{"name": "p", "type": [None, "long"]},
+                       {"name": "d", "type": [None, "int"]}],
+        }]},
     ],
 }
 
@@ -108,7 +113,7 @@ class IceFix:
     def write_file(self, rows: list[dict], bounds=None,
                    fmt: str = "PARQUET", content: int = 0,
                    equality_ids: list[int] | None = None,
-                   schema=None) -> dict:
+                   schema=None, partition: dict | None = None) -> dict:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -124,6 +129,7 @@ class IceFix:
             "lower_bounds": (bounds or {}).get("lower"),
             "upper_bounds": (bounds or {}).get("upper"),
             "equality_ids": equality_ids,
+            "partition": partition,
         }
 
     def add_snapshot(self, data_files: list[dict], ts_ms: int,
@@ -525,3 +531,47 @@ def test_cli_read_iceberg(spark, tmp_path, capsys):
                  "--as-of", "1500", "--out", out]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["read_rows"] == 2
+
+
+def test_partition_transform_pruning(spark, tmp_path):
+    """The hidden-partitioning spec prunes on SOURCE columns: identity
+    values compare exactly, `day` transforms compare by day ordinal."""
+    import datetime as dt
+
+    fields = [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "p", "required": False, "type": "long"},
+        {"id": 3, "name": "ts", "required": False, "type": "timestamptz"},
+    ]
+    fx = IceFix(tmp_path / "ice", fields)
+    f1 = fx.write_file([{"k": 1, "p": 7}],
+                       partition={"p": 7, "d": 20_000})
+    f2 = fx.write_file([{"k": 2, "p": 8}],
+                       partition={"p": 8, "d": 20_100})
+    fx.add_snapshot([f1, f2], ts_ms=1_000)
+    fx.finish()
+    # inject the partition spec: identity(p) + day(ts)
+    mp = fx.root / "metadata" / "v1.metadata.json"
+    meta = json.loads(mp.read_text())
+    meta["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"name": "p", "transform": "identity", "source-id": 2,
+         "field-id": 1000},
+        {"name": "d", "transform": "day", "source-id": 3,
+         "field-id": 1001},
+    ]}]
+    mp.write_text(json.dumps(meta))
+    t = str(fx.root)
+    assert len(iceberg_table_files(t)) == 2
+    hit = iceberg_table_files(t, prune=[("p", 8, 8)])
+    assert len(hit) == 1 and hit[0].endswith("f002.parquet")
+    assert iceberg_table_files(t, prune=[("p", 9, None)]) == []
+    # day transform: epoch day 20000 = 2024-10-04, 20100 = 2025-01-12
+    d1 = dt.date(1970, 1, 1) + dt.timedelta(days=20_000)
+    hit = iceberg_table_files(t, prune=[("ts", d1, d1)])
+    assert len(hit) == 1 and hit[0].endswith("f001.parquet")
+    # ISO-string bounds convert too; garbage strings keep everything
+    hit = iceberg_table_files(
+        t, prune=[("ts", d1.isoformat(), d1.isoformat())])
+    assert len(hit) == 1
+    assert len(iceberg_table_files(t, prune=[("ts", "junk", "junk")])) \
+        == 2
