@@ -805,6 +805,7 @@ def export_delta_log(
     path: str,
     versions: list[int] | None = None,
     checkpoint: bool = True,
+    resume: bool = False,
 ) -> int:
     """Replay a versioned table's commit chain as a Delta transaction
     log IN PLACE (``<path>/_delta_log`` next to the existing
@@ -821,6 +822,12 @@ def export_delta_log(
     ALTER to identity partitioning first).  Column-mapped tables
     export natively as Delta column mapping mode `name`.
 
+    ``resume=True`` CONTINUES an existing export — versions committed
+    since the last export become new Delta commits appended to the
+    log (the publish-on-commit loop: commit to the versioned table,
+    re-export, external Delta readers see the new snapshot).  Without
+    it a second export refuses rather than forking the history.
+
     Returns the number of Delta commits written."""
     from .versions import _column_map, _load_manifest, _transform_of
     from .versions import list_versions as _list_versions
@@ -829,11 +836,35 @@ def export_delta_log(
     if not vs:
         raise FileNotFoundError(f"no committed versions under {path}")
     d = _log_dir(path)
-    if d.exists() and any(_COMMIT_RE.match(p.name) for p in d.iterdir()):
+    base_delta = 0  # first Delta commit index this call writes
+    exported = any(
+        _COMMIT_RE.match(p.name) for p in d.iterdir()
+    ) if d.exists() else False
+    if exported and not resume:
         raise FileExistsError(
             f"{d} already holds a Delta log — exporting twice would "
-            "fork the commit history; remove it first to re-export"
+            "fork the commit history; pass resume=True to continue it, "
+            "or remove it to re-export from scratch"
         )
+    if exported and resume:
+        head = delta_latest_version(path)
+        last_src = None
+        for h in delta_history(path):  # newest first
+            op = (h.get("operationParameters") or {})
+            if "sourceVersion" in op:
+                last_src = int(op["sourceVersion"])
+                break
+        if last_src is None:
+            raise ValueError(
+                f"{d} was not written by export_delta_log (no "
+                "sourceVersion in any commitInfo) — cannot resume a "
+                "foreign Delta log"
+            )
+        if versions is None:
+            vs = [v for v in vs if v > last_src]
+            if not vs:
+                return 0
+        base_delta = head + 1
     d.mkdir(parents=True, exist_ok=True)
     manifests = {v: _load_manifest(path, v) for v in vs}
     for v, m in manifests.items():
@@ -860,6 +891,25 @@ def export_delta_log(
     mapped = any(_column_map(m) for m in manifests.values())
     prev_files: set[str] = set()
     prev_meta_json = None
+    emit_protocol = True
+    if base_delta:
+        # resume: diff against the last exported source version and
+        # keep table id / field ids / meta stable across the seam
+        last_m = _load_manifest(path, last_src)
+        prev_files = set(last_m["files"])
+        prev_meta = delta_snapshot(path)["metaData"]
+        prev_meta_json = json.dumps(prev_meta, sort_keys=True)
+        table_id = prev_meta["id"]
+        for f in json.loads(prev_meta["schemaString"])["fields"]:
+            fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+            if fid is not None:
+                field_ids[f["metadata"]
+                          ["delta.columnMapping.physicalName"]] = fid
+        was_mapped = bool(field_ids)
+        mapped = mapped or was_mapped
+        # a previously-plain log whose table gained column mapping
+        # needs the protocol upgrade action; otherwise none
+        emit_protocol = mapped and not was_mapped
     n = 0
     for i, v in enumerate(vs):
         m = manifests[v]
@@ -900,7 +950,7 @@ def export_delta_log(
         ts_ms = int(float(m.get("ts") or
                           _manifest_mtime(path, v)) * 1000)
         actions: list[dict] = []
-        if i == 0:
+        if i == 0 and emit_protocol:
             actions.append({"protocol": _protocol(mapped)})
         if meta_json != prev_meta_json:
             actions.append({"metaData": meta})
@@ -923,14 +973,15 @@ def export_delta_log(
             "operationParameters": {"sourceVersion": str(v)},
             "engineInfo": "etl-rust-spark versioned-table export",
         }})
-        (d / f"{i:020d}.json").write_text(
+        (d / f"{base_delta + i:020d}.json").write_text(
             "".join(json.dumps(a) + "\n" for a in actions)
         )
         prev_files = cur_files
         n += 1
     if checkpoint:
         _write_checkpoint(
-            path, n - 1, manifests[vs[-1]], prev_meta_json, mapped
+            path, base_delta + n - 1, manifests[vs[-1]],
+            prev_meta_json, mapped
         )
     return n
 

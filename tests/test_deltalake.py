@@ -1020,3 +1020,70 @@ def test_cli_import_delta(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["imported_versions"] == 3
     assert V.list_versions(dest) == [1, 2, 3]
+
+
+def test_export_resume_publish_on_commit(spark, tmp_path):
+    """Commit → export → commit more → export(resume=True): external
+    Delta readers follow the chain; the seam diffs correctly, the
+    checkpoint moves, table id and timestamps stay coherent."""
+    src = str(tmp_path / "vt_pub")
+    V.write_table_version(
+        spark.range(4).selectExpr("id as k", "id * 2 as v"), src,
+        stats_cols=["k"])
+    assert export_delta_log(spark, src) == 1
+    id0 = delta_snapshot(src)["metaData"]["id"]
+    # two more versions while the export is stale
+    V.upsert_table_version(
+        spark, src, spark.range(2).selectExpr("id + 3 as k",
+                                              "id + 50 as v"),
+        keys=["k"])
+    V.delete_table_version(spark, src, "k = 0")
+    assert export_delta_log(spark, src, resume=True) == 2
+    assert delta_latest_version(src) == 2
+    assert delta_snapshot(src)["metaData"]["id"] == id0
+    for i, v in enumerate(V.list_versions(src)):
+        ours = V.read_table_version(spark, src, v)
+        theirs = read_delta_table(spark, src, version=i)
+        assert sorted(map(tuple, ours.collect())) == \
+            sorted(map(tuple, theirs.select(*ours.columns).collect()))
+    # idle resume is a no-op
+    assert export_delta_log(spark, src, resume=True) == 0
+    # the moved checkpoint serves a JSON-less read of the new head
+    log = Path(src) / "_delta_log"
+    assert (log / f"{2:020d}.checkpoint.parquet").exists()
+    for f in log.iterdir():
+        if f.suffix == ".json" and f.stem.isdigit():
+            f.unlink()
+    head = read_delta_table(spark, src)
+    ours = V.read_table_version(spark, src)
+    assert sorted(map(tuple, head.select(*ours.columns).collect())) == \
+        sorted(map(tuple, ours.collect()))
+
+
+def test_export_resume_column_mapping_upgrade(spark, tmp_path):
+    """A plain export resumed after the table gained column mapping
+    emits the protocol upgrade and keeps reading."""
+    src = str(tmp_path / "vt_pub_cm")
+    V.write_table_version(
+        spark.range(3).selectExpr("id as k", "id as v"), src)
+    export_delta_log(spark, src)
+    V.rename_columns(spark, src, {"v": "val"})
+    assert export_delta_log(spark, src, resume=True) == 1
+    snap = delta_snapshot(src)
+    assert snap["protocol"]["minReaderVersion"] == 2
+    assert (snap["metaData"]["configuration"]
+            ["delta.columnMapping.mode"]) == "name"
+    df = read_delta_table(spark, src)
+    assert df.columns == ["k", "val"]
+    assert sorted(r.val for r in df.collect()) == [0, 1, 2]
+
+
+def test_export_resume_refuses_foreign_log(spark, tmp_path):
+    src = tmp_path / "vt_foreign"
+    V.write_table_version(
+        spark.range(2).selectExpr("id as k"), str(src))
+    # a hand-made (non-exporter) log in place
+    _commit(src / "_delta_log", 0, [
+        _P1, _meta(_schema_str([("k", "long")]))])
+    with pytest.raises(ValueError, match="foreign"):
+        export_delta_log(spark, str(src), resume=True)
