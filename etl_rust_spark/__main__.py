@@ -539,6 +539,12 @@ def main(argv: list[str] | None = None) -> int:
         "hardlinked (zero bytes copied)",
     )
     pv.add_argument(
+        "--import-iceberg", default=None, metavar="DEST",
+        help="replay TABLE's Iceberg snapshot history into a fresh "
+        "versioned table at DEST — hardlinked files, stats and commit "
+        "instants carried",
+    )
+    pv.add_argument(
         "--read-iceberg", default=None, metavar="SNAPSHOT|latest",
         help="read TABLE as an Apache Iceberg table (jar-free metadata "
         "reader) at this snapshot id, to --out; combine with --as-of "
@@ -994,6 +1000,12 @@ def main(argv: list[str] | None = None) -> int:
 
             out["imported_versions"] = import_delta_log(
                 spark, args.table, args.import_delta
+            )
+        if args.import_iceberg is not None:
+            from etl_rust_spark.iceberg import import_iceberg_table
+
+            out["imported_versions"] = import_iceberg_table(
+                spark, args.table, args.import_iceberg
             )
         if args.read_iceberg is not None:
             if not args.out:

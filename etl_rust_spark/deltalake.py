@@ -1203,6 +1203,27 @@ def import_delta_log(
                 "read_delta_table + write_table_version instead"
             )
         phys_of = {f.name: _physical_name(f) for f in schema.fields}
+        # mid-chain PHYSICAL schema evolution (added/dropped columns;
+        # renames under column mapping keep physical names and import
+        # fine via column_map) leaves mixed-schema files in one
+        # versioned directory — a plain-parquet read samples one
+        # footer for the schema and can silently drop the new column.
+        # The versioned layer's own ALTER pays a full re-snapshot for
+        # exactly this reason, so the import refuses rather than
+        # building the hazard.
+        phys_set = frozenset(phys_of.values())
+        if v == 0:
+            first_phys = phys_set
+        elif phys_set != first_phys:
+            changed = sorted(phys_set ^ first_phys)
+            raise ValueError(
+                f"Delta version {v} of {path} changes the physical "
+                f"column set ({changed}) — importing mixed-schema "
+                "files into one versioned directory is a silent "
+                "read-order hazard; materialize via read_delta_table "
+                "+ write_table_version, or import up to the "
+                "pre-evolution version"
+            )
         pb_phys = phys_of[part_cols[0]] if part_cols else None
         files: list[str] = []
         stats: dict[str, dict] = {}

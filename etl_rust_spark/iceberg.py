@@ -54,6 +54,7 @@ __all__ = [
     "iceberg_table_files",
     "iceberg_snapshot",
     "iceberg_snapshots",
+    "import_iceberg_table",
     "IcebergProtocolError",
 ]
 
@@ -607,6 +608,111 @@ def _apply_deletes(
                 "left_anti",
             )
     return df.drop("_ice_fp", "_ice_pos", "_ice_uri", "_ice_seq")
+
+
+def import_iceberg_table(spark: SparkSession, path: str, dest: str) -> int:
+    """Replay an Iceberg table's snapshot history INTO a fresh
+    versioned table at ``dest`` — snapshot i (chronological) becomes
+    versioned-table version i+1, Iceberg's commit instants carried
+    (AS OF parity), per-file [min,max] stats decoded from the spec's
+    bound serialization where the type allows, exact row counts from
+    ``record_count``, data files HARDLINKED (zero bytes copied; copy
+    fallback cross-device) — the migration path that mirrors
+    :func:`etl_rust_spark.deltalake.import_delta_log`.
+
+    Iceberg data files carry every column (partitioning is metadata-
+    only), so imported files are FLATTENED into ``data/`` under
+    collision-free names and the versioned table is unpartitioned —
+    a hive-style directory would collide with the payload column.
+
+    Refusals, each with the remediation named: live v2 delete files in
+    any snapshot (the import would resurrect rows), and a schema whose
+    field-name set changes across snapshots (mixed-schema files in one
+    directory are a silent read hazard; renames also land here — only
+    field-id resolution can follow them).  Returns versions created."""
+    import os
+    import shutil as _shutil
+
+    from .versions import _commit, _manifest_path, _ROWS_KEY
+    from .versions import latest_version as _lv
+
+    if _lv(dest) is not None:
+        raise FileExistsError(f"{dest} already has a version chain")
+    snaps = sorted(
+        iceberg_snapshots(path), key=lambda s: s["timestamp_ms"] or 0
+    )
+    if not snaps:
+        raise FileNotFoundError(f"{path} has no snapshots")
+    dest_p = Path(dest)
+    (dest_p / "data").mkdir(parents=True, exist_ok=True)
+    linked: dict[str, str] = {}  # source abs path -> dest-relative name
+    first_names = None
+    parent = None
+    n = 0
+    for s in snaps:
+        snap = iceberg_snapshot(path, s["snapshot_id"])
+        if snap["pos_deletes"] or snap["eq_deletes"]:
+            raise ValueError(
+                f"snapshot {s['snapshot_id']} of {path} carries v2 "
+                "delete files — importing its data files verbatim "
+                "would resurrect the deleted rows; materialize via "
+                "read_iceberg_table + write_table_version, or import "
+                "a pre-delete snapshot range"
+            )
+        names = frozenset(f["name"] for f in snap["schema"]["fields"])
+        if first_names is None:
+            first_names = names
+        elif names != first_names:
+            raise ValueError(
+                f"snapshot {s['snapshot_id']} of {path} changes the "
+                f"schema field set ({sorted(names ^ first_names)}) — "
+                "mixed-schema files in one versioned directory are a "
+                "silent read hazard; materialize via "
+                "read_iceberg_table + write_table_version"
+            )
+        ids = {f["id"]: (f["name"], f["type"])
+               for f in snap["schema"]["fields"]
+               if isinstance(f["type"], str)}
+        files: list[str] = []
+        stats: dict[str, dict] = {}
+        count = 0
+        for d in snap["files"]:
+            src = _abs_file(path, d["file_path"])
+            rel = linked.get(src)
+            if rel is None:
+                rel = f"{len(linked):06d}-{Path(src).name}"
+                dst = dest_p / "data" / rel
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    _shutil.copy2(src, dst)
+                linked[src] = rel
+            files.append(rel)
+            fstats: dict = {_ROWS_KEY: int(d["record_count"])}
+            count += fstats[_ROWS_KEY]
+            lo_b = _bounds_of(d, "lower_bounds")
+            hi_b = _bounds_of(d, "upper_bounds")
+            for fid, (name, t) in ids.items():
+                lo = _decode_bound(lo_b.get(fid), t)
+                hi = _decode_bound(hi_b.get(fid), t)
+                if (lo is None or hi is None
+                        or lo is NotImplemented or hi is NotImplemented):
+                    continue
+                if isinstance(lo, (int, float, str)):  # JSON-storable
+                    fstats[name] = [lo, hi]
+            stats[rel] = fstats
+        parent = _commit(
+            dest, sorted(files), count, parent, None,
+            stats=stats or None,
+            op=f"import_iceberg({s['snapshot_id']})",
+        )
+        if s["timestamp_ms"] is not None:
+            mp = _manifest_path(dest, parent)
+            m = json.loads(mp.read_text())
+            m["ts"] = s["timestamp_ms"] / 1000.0
+            mp.write_text(json.dumps(m, indent=1))
+        n += 1
+    return n
 
 
 def _check_names_resolve(files: list[str], schema: dict) -> None:

@@ -15,6 +15,7 @@ from pathlib import Path
 
 import pytest
 
+from etl_rust_spark import versions as V
 from etl_rust_spark.functions.wireformats import write_avro_container
 from etl_rust_spark.iceberg import (
     IcebergProtocolError,
@@ -575,3 +576,73 @@ def test_partition_transform_pruning(spark, tmp_path):
     assert len(hit) == 1
     assert len(iceberg_table_files(t, prune=[("ts", "junk", "junk")])) \
         == 2
+
+
+def test_import_iceberg_history(spark, tmp_path):
+    """Import an Iceberg snapshot chain into a fresh versioned table:
+    content parity per snapshot, hardlinked files, timestamps carried,
+    stats usable for metadata count(*) and range pruning."""
+    from etl_rust_spark.iceberg import import_iceberg_table
+
+    fx = _basic(tmp_path)
+    dest = str(tmp_path / "vt_from_ice")
+    n = import_iceberg_table(spark, str(fx.root), dest)
+    assert n == 2
+    assert V.list_versions(dest) == [1, 2]
+    for sid, ours_v in ((1000, 1), (1001, 2)):
+        theirs = read_iceberg_table(spark, str(fx.root), snapshot_id=sid)
+        ours = V.read_table_version(spark, dest, ours_v)
+        assert sorted(map(tuple, theirs.collect())) == \
+            sorted(map(tuple, ours.select(*theirs.columns).collect()))
+    # hardlinked, not copied
+    src_f1 = fx.root / "data" / "f001.parquet"
+    dst = next((Path(dest) / "data").glob("*f001.parquet"))
+    assert src_f1.stat().st_ino == dst.stat().st_ino
+    # Iceberg's commit instants drive AS OF on the imported chain
+    assert V.version_at_timestamp(dest, 1_500) == 1
+    # record_count becomes exact per-file rows: metadata-only count(*)
+    assert V.aggregate_table_metadata(dest, ["count(*)"]) == \
+        {"count(*)": 3}
+    # decoded bounds prune on the imported chain
+    df = V.read_table_version(spark, dest, prune=[("k", 10, 10)])
+    assert len(df.inputFiles()) == 1
+
+
+def test_import_iceberg_refusals(spark, tmp_path):
+    from etl_rust_spark.iceberg import import_iceberg_table
+
+    # delete files refuse
+    fx = IceFix(tmp_path / "ice1", _FIELDS)
+    f1 = fx.write_file([{"k": 1, "v": "a"}])
+    pd = fx.write_file([{"file_path": f1["file_path"], "pos": 0}],
+                       content=1)
+    fx.add_snapshot([f1, pd], ts_ms=1_000, seq=1)
+    fx.finish()
+    with pytest.raises(ValueError, match="resurrect"):
+        import_iceberg_table(spark, str(fx.root), str(tmp_path / "x1"))
+    # schema-set change across snapshots refuses
+    old = [{"id": 1, "name": "k", "required": False, "type": "long"}]
+    new = old + [{"id": 2, "name": "v", "required": False,
+                  "type": "string"}]
+    fx2 = IceFix(tmp_path / "ice2", new)
+    g1 = fx2.write_file([{"k": 1}])
+    g2 = fx2.write_file([{"k": 2, "v": "b"}])
+    fx2.add_snapshot([g1], ts_ms=1_000, schema_id=0)
+    fx2.add_snapshot([g1, g2], ts_ms=2_000, schema_id=1)
+    fx2.finish(schemas=[
+        {"schema-id": 0, "type": "struct", "fields": old},
+        {"schema-id": 1, "type": "struct", "fields": new},
+    ], current_schema_id=1)
+    with pytest.raises(ValueError, match="field set"):
+        import_iceberg_table(spark, str(fx2.root), str(tmp_path / "x2"))
+
+
+def test_cli_import_iceberg(spark, tmp_path, capsys):
+    from etl_rust_spark.__main__ import main
+
+    fx = _basic(tmp_path)
+    dest = str(tmp_path / "vt_cli_ice")
+    assert main(["table", str(fx.root), "--import-iceberg", dest]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["imported_versions"] == 2
+    assert V.list_versions(dest) == [1, 2]
