@@ -539,6 +539,12 @@ def main(argv: list[str] | None = None) -> int:
         "hardlinked (zero bytes copied)",
     )
     pv.add_argument(
+        "--export-iceberg", action="store_true",
+        help="write Iceberg (v1) metadata next to _manifests so "
+        "Iceberg readers consume this table (zero data copied; our "
+        "version N becomes snapshot id N)",
+    )
+    pv.add_argument(
         "--import-iceberg", default=None, metavar="DEST",
         help="replay TABLE's Iceberg snapshot history into a fresh "
         "versioned table at DEST — hardlinked files, stats and commit "
@@ -1000,6 +1006,12 @@ def main(argv: list[str] | None = None) -> int:
 
             out["imported_versions"] = import_delta_log(
                 spark, args.table, args.import_delta
+            )
+        if args.export_iceberg:
+            from etl_rust_spark.iceberg import export_iceberg_metadata
+
+            out["iceberg_snapshots"] = export_iceberg_metadata(
+                spark, args.table
             )
         if args.import_iceberg is not None:
             from etl_rust_spark.iceberg import import_iceberg_table

@@ -55,6 +55,7 @@ __all__ = [
     "iceberg_snapshot",
     "iceberg_snapshots",
     "import_iceberg_table",
+    "export_iceberg_metadata",
     "IcebergProtocolError",
 ]
 
@@ -743,3 +744,248 @@ def _check_names_resolve(files: list[str], schema: dict) -> None:
             "field-id resolution, which this by-name reader does not "
             "implement"
         )
+
+
+# -------------------------------------------------------------- exporter
+
+_SPARK_TO_ICE = {
+    "boolean": "boolean", "integer": "int", "long": "long",
+    "float": "float", "double": "double", "date": "date",
+    "timestamp_ntz": "timestamp", "timestamp": "timestamptz",
+    "string": "string", "binary": "binary",
+}
+
+
+def _ice_type_of(dt) -> object:
+    """Spark DataType → Iceberg JSON type (primitives + the nested
+    trio); nested field ids are assigned by the caller's counter."""
+    name = dt.typeName()
+    if name in _SPARK_TO_ICE:
+        return _SPARK_TO_ICE[name]
+    if name == "decimal":
+        return f"decimal({dt.precision}, {dt.scale})"
+    raise ValueError(
+        f"Spark type {name!r} has no Iceberg export mapping here — "
+        "nested/exotic columns need a materializing export"
+    )
+
+
+def _encode_bound(v, t: str) -> bytes | None:
+    """Inverse of :func:`_decode_bound` for the exportable subset;
+    None = skip (the reader treats missing bounds as unprunable)."""
+    if t == "int":
+        return struct.pack("<i", int(v))
+    if t == "long":
+        return struct.pack("<q", int(v))
+    if t == "float":
+        return struct.pack("<f", float(v))
+    if t == "double":
+        return struct.pack("<d", float(v))
+    if t == "string":
+        return str(v).encode("utf-8")
+    return None
+
+
+_EXP_DATA_FILE = {
+    "type": "record", "name": "r2", "fields": [
+        {"name": "content", "type": "int"},
+        {"name": "file_path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_in_bytes", "type": "long"},
+        {"name": "lower_bounds", "type": ["null", {
+            "type": "array", "items": {
+                "type": "record", "name": "kv1", "fields": [
+                    {"name": "key", "type": "int"},
+                    {"name": "value", "type": "bytes"}]}}]},
+        {"name": "upper_bounds", "type": ["null", {
+            "type": "array", "items": {
+                "type": "record", "name": "kv2", "fields": [
+                    {"name": "key", "type": "int"},
+                    {"name": "value", "type": "bytes"}]}}]},
+    ],
+}
+
+_EXP_MANIFEST_ENTRY = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "data_file", "type": _EXP_DATA_FILE},
+    ],
+}
+
+_EXP_MANIFEST_FILE = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+    ],
+}
+
+
+def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
+    """Replay a versioned table's commit chain as Iceberg (format-
+    version 1) metadata IN PLACE — ``<path>/metadata/`` next to the
+    existing ``_manifests`` — so Iceberg readers consume the same data
+    files with time travel preserved: our version ``v`` becomes
+    snapshot id ``v`` with our commit instant as its timestamp.  Zero
+    data copied; per-file [min,max] stats encode into the spec's bound
+    serialization for the prunable types.  Completes the interop
+    matrix next to :func:`~.deltalake.export_delta_log`.
+
+    Refuses (remediation named): partitioned tables (our hive layout
+    keeps the partition column OUT of the data files, while Iceberg
+    requires every column in them — re-snapshot unpartitioned first),
+    column-mapped tables (footers carry physical names an Iceberg
+    by-name/by-id reader cannot resolve — re-baseline first), hidden
+    transforms, and outstanding MoR sidecars (readers would resurrect
+    masked rows — compact first).
+
+    Metadata cost is O(live files) per snapshot (every snapshot gets a
+    full manifest) — the straightforward export form; Iceberg's
+    incremental manifest reuse is the named extension if export cost
+    ever dominates.  Returns the number of snapshots written."""
+    from .functions.wireformats import write_avro_container
+    from .versions import (
+        _ROWS_KEY,
+        _column_map,
+        _load_manifest,
+        _manifest_path,
+        _transform_of,
+    )
+    from .versions import list_versions as _list_versions
+    from .versions import read_table_version as _read
+
+    vs = _list_versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    d = _metadata_dir(path)
+    if d.exists() and any(d.glob("*.metadata.json")):
+        raise FileExistsError(
+            f"{d} already holds Iceberg metadata — remove it to "
+            "re-export"
+        )
+    manifests = {v: _load_manifest(path, v) for v in vs}
+    for v, m in manifests.items():
+        if m.get("deletes"):
+            raise ValueError(
+                f"version {v} of {path} carries merge-on-read delete "
+                "sidecars — an Iceberg reader would resurrect the "
+                "masked rows; compact_table_version first"
+            )
+        if _transform_of(m):
+            raise ValueError(
+                f"version {v} of {path} uses a hidden partition "
+                "transform — alter to an identity layout first"
+            )
+        if m.get("partition_by"):
+            raise ValueError(
+                f"version {v} of {path} is hive-partitioned by "
+                f"{m['partition_by']!r}: the partition column lives in "
+                "directory names, not the data files, and Iceberg "
+                "requires every column in the files — re-snapshot "
+                "unpartitioned (alter_table_version(new_partition_by="
+                "None)) first"
+            )
+        if _column_map(m):
+            raise ValueError(
+                f"version {v} of {path} is column-mapped — data-file "
+                "footers carry physical names an Iceberg reader cannot "
+                "resolve; re-baseline with a full snapshot first"
+            )
+    d.mkdir(parents=True, exist_ok=True)
+    field_ids: dict[str, int] = {}
+    schemas: list[dict] = []
+    schema_key_to_id: dict[str, int] = {}
+    snapshots = []
+    root = Path(path)
+    for v in vs:
+        m = manifests[v]
+        sschema = _read(spark, path, v).schema
+        fields = []
+        for f in sschema.fields:
+            fid = field_ids.setdefault(f.name, len(field_ids) + 1)
+            fields.append({"id": fid, "name": f.name,
+                           "required": False,
+                           "type": _ice_type_of(f.dataType)})
+        key = json.dumps(fields, sort_keys=True)
+        if key not in schema_key_to_id:
+            schema_key_to_id[key] = len(schemas)
+            schemas.append({"schema-id": len(schemas),
+                            "type": "struct", "fields": fields})
+        schema_id = schema_key_to_id[key]
+        type_of = {f["name"]: f["type"] for f in fields
+                   if isinstance(f["type"], str)}
+        id_of = {f["name"]: f["id"] for f in fields}
+        stats = m.get("stats") or {}
+        entries = []
+        for rel in sorted(m["files"]):
+            fp = root / "data" / rel
+            fs = stats.get(rel) or {}
+            lo_b, hi_b = [], []
+            for col, bounds in fs.items():
+                if ":" in col or not isinstance(bounds, (list, tuple)):
+                    continue
+                t = type_of.get(col)
+                if not t:
+                    continue
+                lo = _encode_bound(bounds[0], t)
+                hi = _encode_bound(bounds[1], t)
+                if lo is not None and hi is not None:
+                    lo_b.append({"key": id_of[col], "value": lo})
+                    hi_b.append({"key": id_of[col], "value": hi})
+            rows = fs.get(_ROWS_KEY)
+            if rows is None:
+                import pyarrow.parquet as pq
+
+                rows = pq.read_metadata(fp).num_rows
+            entries.append({"status": 1, "snapshot_id": v, "data_file": {
+                "content": 0,
+                "file_path": "file://" + str(fp),
+                "file_format": "PARQUET",
+                "record_count": int(rows),
+                "file_size_in_bytes": fp.stat().st_size,
+                "lower_bounds": lo_b or None,
+                "upper_bounds": hi_b or None,
+            }})
+        mp = d / f"manifest-{v}.avro"
+        write_avro_container(str(mp), entries, _EXP_MANIFEST_ENTRY,
+                             codec="deflate")
+        lp = d / f"snap-{v}.avro"
+        write_avro_container(
+            str(lp),
+            [{"manifest_path": "file://" + str(mp),
+              "manifest_length": mp.stat().st_size,
+              "partition_spec_id": 0, "added_snapshot_id": v}],
+            _EXP_MANIFEST_FILE, codec="deflate",
+        )
+        ts = m.get("ts") or _manifest_path(path, v).stat().st_mtime
+        snapshots.append({
+            "snapshot-id": v,
+            "timestamp-ms": int(float(ts) * 1000),
+            "manifest-list": "file://" + str(lp),
+            "summary": {"operation": (m.get("op") or "append")
+                        .split("(")[0]},
+            "schema-id": schema_id,
+        })
+    meta = {
+        "format-version": 1,
+        "table-uuid": str(__import__("uuid").uuid4()),
+        "location": "file://" + str(root),
+        "last-updated-ms": snapshots[-1]["timestamp-ms"],
+        "last-column-id": len(field_ids),
+        "schemas": schemas,
+        "current-schema-id": snapshots[-1]["schema-id"],
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "snapshots": snapshots,
+        "current-snapshot-id": snapshots[-1]["snapshot-id"],
+        "snapshot-log": [
+            {"snapshot-id": s["snapshot-id"],
+             "timestamp-ms": s["timestamp-ms"]} for s in snapshots
+        ],
+    }
+    (d / "v1.metadata.json").write_text(json.dumps(meta))
+    (d / "version-hint.text").write_text("1")
+    return len(snapshots)

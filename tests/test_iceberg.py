@@ -646,3 +646,92 @@ def test_cli_import_iceberg(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["imported_versions"] == 2
     assert V.list_versions(dest) == [1, 2]
+
+
+# -------------------------------------------------------------- exporter
+
+
+def test_export_iceberg_roundtrip(spark, tmp_path):
+    """versioned → Iceberg metadata → independent Iceberg reader:
+    content-equal snapshot for version, AS OF parity, bounds pruning
+    working on the exported metadata; a second export refuses; and the
+    full circle back through import_iceberg_table re-pins content."""
+    from etl_rust_spark.iceberg import (
+        export_iceberg_metadata,
+        import_iceberg_table,
+    )
+
+    src = str(tmp_path / "vt_ice_src")
+    V.write_table_version(
+        spark.range(8).selectExpr("id as k", "id * 3 as v"), src,
+        stats_cols=["k"])
+    V.upsert_table_version(
+        spark, src,
+        spark.range(3).selectExpr("id + 6 as k", "id + 100 as v"),
+        keys=["k"])
+    V.delete_table_version(spark, src, "k = 2")
+    n = export_iceberg_metadata(spark, src)
+    assert n == 3
+    vs = V.list_versions(src)
+    for v in vs:
+        ours = V.read_table_version(spark, src, v)
+        theirs = read_iceberg_table(spark, src, snapshot_id=v)
+        assert sorted(map(tuple, ours.collect())) == \
+            sorted(map(tuple, theirs.select(*ours.columns).collect()))
+    # snapshot timestamps mirror our commit instants: AS OF agrees
+    h = iceberg_snapshots(src)
+    assert [s["snapshot_id"] for s in h] == [3, 2, 1]
+    # +1 ms: the export truncates our float instants to whole millis
+    mid_ts = h[1]["timestamp_ms"] / 1000.0 + 0.001
+    assert V.version_at_timestamp(src, mid_ts) == 2
+    via_ice = read_iceberg_table(spark, src, as_of=mid_ts)
+    ours2 = V.read_table_version(spark, src, 2)
+    assert sorted(map(tuple, via_ice.select(*ours2.columns).collect())) \
+        == sorted(map(tuple, ours2.collect()))
+    # exported bounds prune
+    hit = iceberg_table_files(src, prune=[("k", 0, 0)])
+    assert 0 < len(hit) < len(iceberg_table_files(src))
+    with pytest.raises(FileExistsError, match="already holds"):
+        export_iceberg_metadata(spark, src)
+    # full circle: import the exported metadata into a new chain
+    back = str(tmp_path / "vt_back")
+    assert import_iceberg_table(spark, src, back) == 3
+    for v in vs:
+        a = V.read_table_version(spark, src, v)
+        b = V.read_table_version(spark, back, v)
+        assert sorted(map(tuple, a.collect())) == \
+            sorted(map(tuple, b.select(*a.columns).collect()))
+
+
+def test_export_iceberg_refusals(spark, tmp_path):
+    from etl_rust_spark.iceberg import export_iceberg_metadata
+
+    p1 = str(tmp_path / "vt_part")
+    V.write_table_version(
+        spark.range(4).selectExpr("id as k",
+                                  "cast(id % 2 as string) as p"),
+        p1, partition_by="p")
+    with pytest.raises(ValueError, match="unpartitioned"):
+        export_iceberg_metadata(spark, p1)
+    p2 = str(tmp_path / "vt_mor")
+    V.write_table_version(spark.range(4).selectExpr("id as k"), p2)
+    V.delete_table_version(spark, p2, "k = 1", mode="mor")
+    with pytest.raises(ValueError, match="compact"):
+        export_iceberg_metadata(spark, p2)
+    p3 = str(tmp_path / "vt_cm")
+    V.write_table_version(
+        spark.range(4).selectExpr("id as k", "id as v"), p3)
+    V.rename_columns(spark, p3, {"v": "val"})
+    with pytest.raises(ValueError, match="re-baseline"):
+        export_iceberg_metadata(spark, p3)
+
+
+def test_cli_export_iceberg(spark, tmp_path, capsys):
+    from etl_rust_spark.__main__ import main
+
+    p = str(tmp_path / "vt_cli_exp")
+    V.write_table_version(spark.range(5).selectExpr("id as k"), p)
+    assert main(["table", p, "--export-iceberg"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["iceberg_snapshots"] == 1
+    assert read_iceberg_table(spark, p).count() == 5
