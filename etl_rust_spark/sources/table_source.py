@@ -401,44 +401,74 @@ class _Staged(WriterCommitMessage):
         self.entries, self.count = entries, count
 
 
-def _resolve_layout(table: str) -> tuple[str | None, dict[str, str]]:
-    """(physical partition column, logical→physical column map) of the
-    head — the sink stages PHYSICAL like everything under data/."""
+def _session_tz() -> str:
+    """The writer's session timezone, captured DRIVER-side at planner
+    construction (Python workers have no SparkSession): TimestampType
+    values reach the worker as naive datetimes rendered in this zone,
+    and the days/hours transform's UTC epoch arithmetic needs the
+    instant back."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return "UTC"
+    return spark.conf.get("spark.sql.session.timeZone") or "UTC"
+
+
+def _resolve_layout(
+    table: str,
+) -> tuple[str | None, dict[str, str], dict | None]:
+    """(physical partition column, logical→physical column map,
+    partition transform) of the head — the sink stages PHYSICAL like
+    everything under data/.  Hidden-partitioned tables stage through
+    the pure-Python transform replica (`_py_transform_value`): the
+    synth directory value derives per row from the source column the
+    payload keeps."""
     from etl_rust_spark.versions import _load_manifest, latest_version
 
     head = latest_version(table)
     if head is None:
-        return None, {}
+        return None, {}, None
     m = _load_manifest(table, head)
-    if m.get("partition_transform"):
-        raise ValueError(
-            f"table {table} is hidden-partitioned "
-            f"({m['partition_transform']['kind']} of "
-            f"{m['partition_transform']['source']!r}) — the "
-            "versioned_table sink cannot derive transform directories "
-            "yet; append via versions.upsert_table_version or "
-            "commit_appended_files with explicit segments"
-        )
-    return m.get("partition_by") or None, dict(m.get("column_map") or {})
+    return (m.get("partition_by") or None,
+            dict(m.get("column_map") or {}),
+            m.get("partition_transform") or None)
 
 
 def _stage_rows(
     table: str, schema, iterator, partition_by: str | None,
     col_map: dict[str, str] | None = None,
+    transform: dict | None = None, tz_name: str = "UTC",
 ) -> _Staged:
     import uuid as _uuid
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from etl_rust_spark.versions import _hive_part_segment
+    from etl_rust_spark.versions import (
+        _hive_part_segment,
+        _py_transform_value,
+    )
 
     cm = col_map or {}
     # the DataFrame carries LOGICAL names; staged files (and partition
     # directory segments) are PHYSICAL, like everything under data/
     names = [f.name for f in schema.fields]
     lpb = None
-    if partition_by is not None:  # physical name from the manifest
+    src_idx = None
+    if transform is not None:
+        # hidden partitioning: the directory value DERIVES from the
+        # source column (which the payload keeps — nothing is dropped);
+        # the synth column itself never exists in the frame
+        inv = {p: l for l, p in cm.items()}
+        src_l = inv.get(transform["source"], transform["source"])
+        if src_l not in names:
+            raise ValueError(
+                f"DataFrame is missing the transform source column "
+                f"{src_l!r}"
+            )
+        src_idx = names.index(src_l)
+    elif partition_by is not None:  # physical name from the manifest
         inv = {p: l for l, p in cm.items()}
         lpb = inv.get(partition_by, partition_by)
         if lpb not in names:
@@ -458,7 +488,10 @@ def _stage_rows(
     groups: dict[object, list[list]] = {}
     counts: dict[object, int] = {}
     for row in iterator:
-        key = row[p_idx] if p_idx is not None else None
+        if src_idx is not None:
+            key = _py_transform_value(transform, row[src_idx], tz_name)
+        else:
+            key = row[p_idx] if p_idx is not None else None
         cols = groups.get(key)
         if cols is None:
             cols = groups[key] = [[] for _ in payload_fields]
@@ -486,7 +519,7 @@ def _stage_rows(
         )
         seg = (
             _hive_part_segment(partition_by, key)
-            if p_idx is not None
+            if p_idx is not None or src_idx is not None
             else None
         )
         entries.append((str(out), seg))
@@ -528,7 +561,9 @@ def _drop_staged(messages) -> None:
 class _TableBatchWriter(DataSourceWriter):
     def __init__(self, opts: _Opts, schema, overwrite: bool) -> None:
         self.opts, self.schema_, self.overwrite = opts, schema, overwrite
-        self.partition_by, self.col_map = _resolve_layout(opts.table)
+        (self.partition_by, self.col_map,
+         self.transform) = _resolve_layout(opts.table)
+        self.tz_name = _session_tz()
         self.txn_app = opts.txn_app
         self.txn_version = opts.txn_version
         if (self.txn_app is None) != (self.txn_version is None):
@@ -537,7 +572,7 @@ class _TableBatchWriter(DataSourceWriter):
     def write(self, iterator):
         return _stage_rows(
             self.opts.table, self.schema_, iterator, self.partition_by,
-            self.col_map,
+            self.col_map, self.transform, self.tz_name,
         )
 
     def commit(self, messages) -> None:
@@ -554,7 +589,9 @@ class _TableBatchWriter(DataSourceWriter):
 class _TableStreamWriter(DataSourceStreamWriter):
     def __init__(self, opts: _Opts, schema) -> None:
         self.opts, self.schema_ = opts, schema
-        self.partition_by, self.col_map = _resolve_layout(opts.table)
+        (self.partition_by, self.col_map,
+         self.transform) = _resolve_layout(opts.table)
+        self.tz_name = _session_tz()
         if not opts.txn_app:
             raise ValueError(
                 "the versioned_table streaming sink requires a txnAppId "
@@ -565,7 +602,7 @@ class _TableStreamWriter(DataSourceStreamWriter):
     def write(self, iterator):
         return _stage_rows(
             self.opts.table, self.schema_, iterator, self.partition_by,
-            self.col_map,
+            self.col_map, self.transform, self.tz_name,
         )
 
     def commit(self, messages, batchId) -> None:

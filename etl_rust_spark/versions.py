@@ -1166,6 +1166,77 @@ def _bucket_seg_of(t: dict, val) -> str | None:
     return str(h % int(t["n"]))
 
 
+def _py_transform_value(t: dict, val, tz_name: str = "UTC") -> str:
+    """Pure-Python twin of :func:`_transform_expr` for one value — the
+    jar-free SINK's per-row synth derivation (no SparkSession in a
+    DataSource writer).  MUST match Spark's rendering exactly: a row
+    staged under the wrong directory value silently vanishes from
+    later bucket point probes and day-range prunes, so anything this
+    replica cannot compute EXACTLY raises (the `_bucket_seg_of`
+    discipline — never a guess).
+
+    ``tz_name`` is the writer's session timezone, captured DRIVER-side:
+    instant (TimestampType) values arrive in the Python worker as
+    naive datetimes rendered in the session zone, and the UTC epoch
+    arithmetic needs the real instant back."""
+    import datetime as _dt
+
+    kind = t["kind"]
+    if val is None:
+        raise ValueError(
+            f"NULL {t['source']!r} has no append-safe transform "
+            "directory — route NULL-source rows through "
+            "upsert_table_version"
+        )
+    if kind in ("days", "hours"):
+        st = t.get("src_type", "")
+        if st.startswith("timestamp") and st != "timestamp_ntz":
+            if not isinstance(val, _dt.datetime):
+                raise ValueError(
+                    f"{kind} transform expected a datetime, got "
+                    f"{type(val).__name__}"
+                )
+            if val.tzinfo is None:
+                from zoneinfo import ZoneInfo
+
+                val = val.replace(tzinfo=ZoneInfo(tz_name))
+            e = int(val.timestamp())
+            d = (_dt.date(1970, 1, 1)
+                 + _dt.timedelta(days=e // 86400)).isoformat()
+            if kind == "days":
+                return d
+            return f"{d}-{(e // 3600) % 24:02d}"
+        if isinstance(val, _dt.datetime):  # timestamp_ntz: wall value
+            return val.strftime(
+                "%Y-%m-%d" if kind == "days" else "%Y-%m-%d-%H"
+            )
+        if isinstance(val, _dt.date):
+            return (val.isoformat() if kind == "days"
+                    else val.isoformat() + "-00")
+        raise ValueError(
+            f"{kind} transform expected a date/datetime, got "
+            f"{type(val).__name__}"
+        )
+    if kind == "bucket":
+        seg = _bucket_seg_of(t, val)
+        if seg is None:
+            raise ValueError(
+                f"bucket transform over {t.get('src_type')!r} has no "
+                f"exact Python replica for {type(val).__name__} values "
+                "— a wrong bucket directory silently drops the row "
+                "from point probes; route through upsert_table_version"
+            )
+        return seg
+    if kind == "truncate":
+        if not isinstance(val, str):
+            raise ValueError(
+                f"truncate transform expected a string, got "
+                f"{type(val).__name__}"
+            )
+        return val[: int(t["n"])]
+    raise ValueError(f"unknown partition transform kind {kind!r}")
+
+
 def _to_logical(df: DataFrame, m: dict) -> DataFrame:
     synth = _synth_of(m)
     if synth and synth in df.columns:

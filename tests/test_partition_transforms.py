@@ -300,7 +300,14 @@ def test_metadata_rename_keeps_transform_working(spark, tmp_path):
     assert got[7] == "g" and len(got) == 5
 
 
-def test_datasource_hides_synth_and_sink_refuses(spark, tmp_path):
+def test_datasource_hides_synth_and_sink_appends_transform(
+    spark, tmp_path
+):
+    """The jar-free sink derives transform directories per row via the
+    pure-Python replica (r10 s4 — closes the documented refusal): the
+    appended file must land in the SAME directory Spark's own staging
+    would pick (a wrong directory silently drops the row from later
+    day-range prunes), and reads/prunes compose."""
     from etl_rust_spark.sources.table_source import VersionedTableDataSource
 
     spark.dataSource.register(VersionedTableDataSource)
@@ -311,9 +318,73 @@ def test_datasource_hides_synth_and_sink_refuses(spark, tmp_path):
     )
     assert df.columns == ["k", "ts", "val"]
     assert df.count() == 4
-    with pytest.raises(Exception, match="hidden-partitioned"):
+    # sink-append one row into an EXISTING day and one into a new day
+    spark.createDataFrame(
+        [(9, _ts("2026-01-01T23:59"), "x"),
+         (10, _ts("2026-03-05T00:00"), "y")],
+        ["k", "ts", "val"],
+    ).write.format("versioned_table").option("path", p).mode(
+        "append"
+    ).save()
+    out = V.read_table_version(spark, p)
+    assert out.count() == 6
+    assert "_p_days_ts" not in out.columns
+    # the sink-staged file shares the directory with Spark-staged ones
+    jan1 = V.read_table_version(
+        spark, p,
+        prune=[("ts", _ts("2026-01-01T00:00"), _ts("2026-01-01T23:59"))],
+    )
+    dirs = {f.rsplit("/", 2)[-2] for f in jan1.inputFiles()}
+    assert dirs == {"_p_days_ts=2026-01-01"}
+    assert {r.k for r in jan1.where("ts >= timestamp'2026-01-01'")
+            .where("ts < timestamp'2026-01-02'").collect()} >= {9}
+    # the new day pruned exactly
+    mar = V.read_table_version(
+        spark, p,
+        prune=[("ts", _ts("2026-03-05T00:00"), _ts("2026-03-05T23:59"))],
+    )
+    assert {f.rsplit("/", 2)[-2] for f in mar.inputFiles()} == {
+        "_p_days_ts=2026-03-05"
+    }
+    assert [r.k for r in mar.collect()] == [10]
+
+
+def test_sink_appends_bucket_table_point_probe_finds_row(
+    spark, tmp_path
+):
+    """Bucket tables: the sink's xxhash64 replica must place the row
+    in the bucket Spark's point probe will look in — the silent-drop
+    hazard the replica's parity pin exists for."""
+    from etl_rust_spark.sources.table_source import VersionedTableDataSource
+
+    spark.dataSource.register(VersionedTableDataSource)
+    p = str(tmp_path / "b")
+    V.write_table_version(
+        spark.createDataFrame([(i, f"u{i}") for i in range(16)],
+                              ["k", "u"]),
+        p, partition_by=("bucket", "k", 8),
+    )
+    spark.createDataFrame([(99, "u99"), (100, "u100")], ["k", "u"]) \
+        .write.format("versioned_table").option("path", p) \
+        .mode("append").save()
+    for probe in (99, 100):
+        r = V.read_table_version(spark, p, point=[("k", probe)])
+        dirs = {f.split("/")[-2] for f in r.inputFiles()}
+        assert len(dirs) == 1, dirs
+        assert [x.u for x in r.where(F.col("k") == probe).collect()] \
+            == [f"u{probe}"]  # found — never a silent drop
+
+
+def test_sink_transform_null_source_raises(spark, tmp_path):
+    from etl_rust_spark.sources.table_source import VersionedTableDataSource
+
+    spark.dataSource.register(VersionedTableDataSource)
+    p = str(tmp_path / "t")
+    _days_table(spark, p)
+    with pytest.raises(Exception, match="NULL"):
         spark.createDataFrame(
-            [(9, _ts("2026-01-01T00:00"), "x")], ["k", "ts", "val"]
+            [(9, None, "x")],
+            V.read_table_version(spark, p).schema,
         ).write.format("versioned_table").option("path", p).mode(
             "append"
         ).save()
