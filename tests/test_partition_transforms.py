@@ -722,3 +722,37 @@ def test_replicate_changes_between_transform_tables(spark, tmp_path):
     )
     assert got == want
     assert "_p_days_ts=2026-02-01" in _dirs(dst)
+
+
+def test_sink_days_utc_under_tokyo_session(spark, tmp_path):
+    """The SINK's Python-side day derivation must also be UTC-pinned:
+    a Tokyo-configured session hands the Python worker naive datetimes
+    RENDERED IN TOKYO, and the replica must convert them back to the
+    instant before the UTC day arithmetic — otherwise the appended
+    file lands in the wrong (local) day directory and vanishes from
+    day-range prunes."""
+    from etl_rust_spark.sources.table_source import VersionedTableDataSource
+
+    spark.dataSource.register(VersionedTableDataSource)
+    p = str(tmp_path / "t")
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        seed = spark.sql(
+            "SELECT 1 AS k, timestamp'2026-01-01 10:00:00 UTC' AS ts"
+        )
+        V.write_table_version(seed, p, partition_by=("days", "ts"))
+        # 23:30 UTC is ALREADY Jan 2 in Tokyo: the sink must still
+        # stage under the UTC day
+        spark.sql(
+            "SELECT 2 AS k, timestamp'2026-01-01 23:30:00 UTC' AS ts"
+        ).write.format("versioned_table").option("path", p).mode(
+            "append"
+        ).save()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert _dirs(p) == ["_p_days_ts=2026-01-01"]
+    pr = V.read_table_version(
+        spark, p, prune=[("ts", "2026-01-01", "2026-01-01T23:59")]
+    )
+    assert sorted(r.k for r in pr.collect()) == [1, 2]
