@@ -1179,7 +1179,17 @@ def import_delta_log(
     parent = None
     for v in range(0, head + 1):
         ts = None
-        for a in _commit_actions(path, v):
+        try:
+            actions = _commit_actions(path, v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"Delta commit {v} of {path} is missing (log cleanup "
+                "removed it) — a history-preserving import needs the "
+                "full JSON commit range; materialize surviving "
+                "snapshots via read_delta_table + write_table_version "
+                "instead"
+            ) from None
+        for a in actions:
             _apply_action(a, adds, path)
             if "metaData" in a:
                 meta = a["metaData"]
@@ -1293,6 +1303,10 @@ def import_delta_log(
         parent = _commit(
             dest, sorted(files), count, parent, pb_phys,
             stats_cols=None, stats=stats or None,
+            # a file-empty version needs the schema recorded so reads
+            # and CDC stay typed (the native delete-all discipline);
+            # Delta's schemaString IS Spark schema JSON
+            schema=None if files else json.loads(meta["schemaString"]),
             op=f"import_delta({v})"
             + ("" if meta_json == prev_meta_json or prev_meta_json is
                None else " metadata"),

@@ -705,6 +705,9 @@ def import_iceberg_table(spark: SparkSession, path: str, dest: str) -> int:
         parent = _commit(
             dest, sorted(files), count, parent, None,
             stats=stats or None,
+            # file-empty snapshots record the schema (delete-all rule)
+            schema=None if files else
+            _spark_schema(snap["schema"]).jsonValue(),
             op=f"import_iceberg({s['snapshot_id']})",
         )
         if s["timestamp_ms"] is not None:

@@ -1087,3 +1087,35 @@ def test_export_resume_refuses_foreign_log(spark, tmp_path):
         _P1, _meta(_schema_str([("k", "long")]))])
     with pytest.raises(ValueError, match="foreign"):
         export_delta_log(spark, str(src), resume=True)
+
+
+def test_export_and_read_empty_version(spark, tmp_path):
+    """A delete-all version exports as a remove-only Delta commit and
+    reads back as an empty typed frame on both sides."""
+    src = str(tmp_path / "vt_empty")
+    V.write_table_version(
+        spark.range(3).selectExpr("id as k", "id as v").coalesce(1),
+        src)
+    V.delete_table_version(spark, src, "true")
+    assert V._load_manifest(src, 2)["files"] == []  # truly file-empty
+    export_delta_log(spark, src)
+    empty = read_delta_table(spark, src)  # head = the empty version
+    assert empty.count() == 0
+    assert empty.columns == ["k", "v"]
+    full = read_delta_table(spark, src, version=0)
+    assert full.count() == 3
+    # and the importer reproduces the empty head
+    from etl_rust_spark.deltalake import import_delta_log
+
+    back = str(tmp_path / "vt_empty_back")
+    import_delta_log(spark, src, back)
+    assert V.read_table_version(spark, back).count() == 0
+
+
+def test_import_cleaned_log_refuses_clearly(spark, tmp_path):
+    from etl_rust_spark.deltalake import import_delta_log
+
+    t = _simple_table(tmp_path)
+    os.remove(t / "_delta_log" / f"{1:020d}.json")
+    with pytest.raises(ValueError, match="log cleanup"):
+        import_delta_log(spark, str(t), str(tmp_path / "x"))

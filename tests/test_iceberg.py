@@ -735,3 +735,21 @@ def test_cli_export_iceberg(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["iceberg_snapshots"] == 1
     assert read_iceberg_table(spark, p).count() == 5
+
+
+def test_export_iceberg_empty_version(spark, tmp_path):
+    """A delete-all version exports as an empty-manifest snapshot and
+    reads back as an empty typed frame."""
+    from etl_rust_spark.iceberg import export_iceberg_metadata
+
+    src = str(tmp_path / "vt_ice_empty")
+    V.write_table_version(
+        spark.range(3).selectExpr("id as k", "id as v").coalesce(1),
+        src)
+    V.delete_table_version(spark, src, "true")
+    assert V._load_manifest(src, 2)["files"] == []  # truly file-empty
+    export_iceberg_metadata(spark, src)
+    head = read_iceberg_table(spark, src)
+    assert head.count() == 0 and head.columns == ["k", "v"]
+    assert read_iceberg_table(spark, src, snapshot_id=1).count() == 3
+    assert iceberg_table_files(src, snapshot_id=2) == []
