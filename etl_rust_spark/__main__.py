@@ -21,6 +21,28 @@ from etl_rust_spark.sources.ranges import block_list_csv
 CHAINS = {"synthetic": SyntheticChain}
 
 
+def _read_input(spark, path: str, fmt: str):
+    """Corpus/table input dispatch for the data-pipeline verbs: the
+    corpus arrives however the lakehouse stores it — plain parquet, a
+    Delta or Iceberg table (jar-free readers), or a versioned table —
+    and every downstream operator sees one DataFrame either way."""
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "delta":
+        from etl_rust_spark.deltalake import read_delta_table
+
+        return read_delta_table(spark, path)
+    if fmt == "iceberg":
+        from etl_rust_spark.iceberg import read_iceberg_table
+
+        return read_iceberg_table(spark, path)
+    if fmt == "versioned":
+        from etl_rust_spark.versions import read_table_version
+
+        return read_table_version(spark, path)
+    raise ValueError(f"unknown input format {fmt!r}")
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="etl_rust_spark")
     p.add_argument("--chain", default="synthetic", choices=sorted(CHAINS))
@@ -130,7 +152,15 @@ def main(argv: list[str] | None = None) -> int:
         help="curate a parquet document corpus (language filter, quality "
         "floor, exact + near dedup, optional PII scrub / markup strip)",
     )
-    pc.add_argument("corpus", help="input parquet path with doc_id, text columns")
+    pc.add_argument("corpus", help="input corpus path with doc_id, text columns")
+    pc.add_argument(
+        "--input-format", default="parquet",
+        choices=["parquet", "delta", "iceberg", "versioned"],
+        help="how to read CORPUS: plain parquet (default), a Delta "
+        "table (jar-free log reader), an Iceberg table, or a "
+        "versioned table — the corpus arrives however the lakehouse "
+        "stores it",
+    )
     pc.add_argument("--out", required=True, help="curated parquet output path")
     pc.add_argument("--languages", default=None, help="comma list, e.g. en,de")
     pc.add_argument(
@@ -205,6 +235,11 @@ def main(argv: list[str] | None = None) -> int:
         "counts and min/max in one aggregation pass",
     )
     pp.add_argument("table", help="input parquet path")
+    pp.add_argument(
+        "--input-format", default="parquet",
+        choices=["parquet", "delta", "iceberg", "versioned"],
+        help="how to read TABLE (parquet | delta | iceberg | versioned)",
+    )
     pp.add_argument("--columns", default=None, help="comma list (default: all)")
     pp.add_argument(
         "--exact-ndv",
@@ -665,7 +700,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "curate":
         from etl_rust_spark.operators import curate, scrub
 
-        docs = spark.read.parquet(args.corpus)
+        docs = _read_input(spark, args.corpus, args.input_format)
         ref_lm = None
         if args.max_perplexity is not None:
             if not args.reference:
@@ -702,7 +737,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "profile":
         from etl_rust_spark.operators import profile as _profile
 
-        df = spark.read.parquet(args.table)
+        df = _read_input(spark, args.table, args.input_format)
         prof = _profile.profile_table(
             df,
             columns=args.columns.split(",") if args.columns else None,

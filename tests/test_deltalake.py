@@ -1119,3 +1119,44 @@ def test_import_cleaned_log_refuses_clearly(spark, tmp_path):
     os.remove(t / "_delta_log" / f"{1:020d}.json")
     with pytest.raises(ValueError, match="log cleanup"):
         import_delta_log(spark, str(t), str(tmp_path / "x"))
+
+
+def test_cli_curate_from_delta_corpus(spark, tmp_path, capsys):
+    """A documents corpus living as a Delta table feeds the curation
+    pipeline directly (--input-format delta) — the lakehouse-in,
+    training-data-out composition."""
+    from etl_rust_spark.__main__ import main
+
+    t = tmp_path / "docs_delta"
+    rows = [
+        {"doc_id": "a", "text": "The quick brown fox jumps over the "
+                                "lazy dog near the river bank today."},
+        {"doc_id": "b", "text": "The quick brown fox jumps over the "
+                                "lazy dog near the river bank today."},
+        {"doc_id": "c", "text": "zz"},  # fails the quality floor
+    ]
+    sz = _write_parquet(t / "f1.parquet", rows)
+    sch = _schema_str([("doc_id", "string"), ("text", "string")])
+    _commit(t / "_delta_log", 0, [
+        _P1, _meta(sch),
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": sz,
+                 "modificationTime": 0, "dataChange": True}},
+    ])
+    out = str(tmp_path / "curated")
+    assert main([
+        "curate", str(t), "--input-format", "delta", "--out", out,
+        "--min-quality-bp", "2000",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # exact dedup dropped one of the identical twins
+    assert len(kept & {"a", "b"}) == 1
+    assert rep["input"] == 3
+
+    # profile reads the Delta table too (one JSON line per column)
+    assert main(["profile", str(t), "--input-format", "delta"]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()
+             if x.startswith("{")]
+    by_col = {r["col_name"]: r for r in lines if "col_name" in r}
+    assert by_col["doc_id"]["n_rows"] == 3
