@@ -19,6 +19,9 @@ Layout
 - ``streaming``  Structured Streaming windows/watermark/foreachBatch pipeline
 - ``functions``  canonical hashing + shared column expressions
 - ``plans``      physical-plan inspection helpers (scale/pushdown assertions)
+- ``versions``   versioned tables: snapshots, time travel, DML, CDC, retention
+- ``deltalake``  jar-free Delta Lake interop (read/export/import/stream)
+- ``iceberg``    jar-free Apache Iceberg interop (read/export/import)
 """
 
 __version__ = "0.1.0"
