@@ -1,0 +1,280 @@
+"""Iceberg tables as a Spark SOURCE: ``spark.read.format
+("iceberg_log")`` / ``spark.readStream.format("iceberg_log")`` over
+the jar-free metadata reader in :mod:`etl_rust_spark.iceberg` — the
+Iceberg half of the streaming-interop story next to
+:mod:`~.delta_source`, built on the same Spark 4 Python DataSource
+API.
+
+Streaming follows Iceberg's incremental-append-scan contract:
+
+- **Offsets are snapshot-log positions.**  The metadata's
+  ``snapshot-log`` is the table's committed, append-only history;
+  micro-batch N consumes the entries in ``(last, head]`` and the
+  checkpoint stores the position, so restart resumes exactly-once.
+- **Append snapshots stream their ADDED files** (manifest entries
+  with status ADDED belonging to that snapshot — the incremental
+  scan Iceberg itself defines).  Iceberg data files carry every
+  column, so a slice is just a parquet read.
+- **Non-append snapshots fail loudly** (overwrite / delete / replace
+  — not representable as an append stream) unless
+  ``skipChangeCommits=true`` skips them, mirroring the Delta source.
+- **Expired history refuses with the re-bootstrap story**: a cursor
+  below the oldest surviving snapshot cannot be replayed (snapshot
+  expiry removed it) — the same contract as the versioned-table CDC
+  consumer.
+- **Schema changes stop the stream** (a bound stream reads one
+  schema; restart picks up the new one).
+- ``startingSnapshot`` = ``latest`` (default) | ``earliest``;
+  ``maxSnapshotsPerTrigger`` paces backlog draining.
+
+Batch reads plan one executor task per live data file of the resolved
+snapshot (``snapshotId`` / ``asOf`` options); snapshots carrying v2
+delete files are routed to :func:`~.iceberg.read_iceberg_table`,
+which can apply them.
+
+Scale: driver touches only metadata (the bounded manifest walk);
+every data file is one executor task; payload bytes never pass
+through the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+)
+
+from .delta_source import _Slice, _read_slice
+
+__all__ = ["IcebergLogDataSource"]
+
+
+class _IOpts:
+    def __init__(self, options: dict) -> None:
+        self.table = options.get("path") or options.get("table")
+        if not self.table:
+            raise ValueError("iceberg_log requires a 'path' option")
+        self.starting = str(
+            options.get("startingsnapshot", "latest")
+        ).lower()
+        self.skip_changes = (
+            str(options.get("skipchangecommits", "false")).lower()
+            == "true"
+        )
+        self.snapshot_id = options.get("snapshotid")
+        self.as_of = options.get("asof")
+        mv = int(options.get("maxsnapshotspertrigger", 0))
+        if mv < 0:
+            raise ValueError("maxSnapshotsPerTrigger must be >= 1")
+        self.max_snapshots = mv or None
+
+
+def _log_entries(table: str) -> list[dict]:
+    from etl_rust_spark.iceberg import _check_format, _current_metadata
+
+    meta = _current_metadata(table)
+    _check_format(meta, table)
+    return list(meta.get("snapshot-log") or [])
+
+
+def _slices_for_snapshot(
+    table: str, sid: int, skip_changes: bool, schema_cols: list[str],
+) -> list[_Slice] | None:
+    """The ADDED data files of one snapshot as read slices, or None
+    when skipChangeCommits drops a non-append snapshot."""
+    from etl_rust_spark.iceberg import (
+        IcebergProtocolError,
+        _abs_file,
+        _current_metadata,
+        _read_ocf,
+        _select_snapshot,
+    )
+
+    meta = _current_metadata(table)
+    snap = _select_snapshot(meta, table, sid, None)
+    op = (snap.get("summary") or {}).get("operation")
+    added: list[_Slice] = []
+    change = op not in (None, "append")
+    if not change:
+        for mf in _read_ocf(_abs_file(table, snap["manifest-list"])):
+            for entry in _read_ocf(_abs_file(table,
+                                             mf["manifest_path"])):
+                df = entry["data_file"]
+                if int(df.get("content", 0)) != 0:
+                    change = True  # delete files present
+                    break
+                st = int(entry.get("status", 1))
+                if st == 2:
+                    change = True  # removals in an "append"?
+                    break
+                if st == 1 and entry.get("snapshot_id") == sid:
+                    fmt = str(df.get("file_format", "PARQUET")).upper()
+                    if fmt != "PARQUET":
+                        raise IcebergProtocolError(
+                            f"file {df.get('file_path')!r} is {fmt}"
+                        )
+                    added.append(_Slice(
+                        _abs_file(table, df["file_path"]), [],
+                        list(schema_cols),
+                    ))
+            if change:
+                break
+    if change:
+        if skip_changes:
+            return None
+        raise ValueError(
+            f"Iceberg snapshot {sid} of {table} (operation {op!r}) is "
+            "not an append — not representable as an append stream.  "
+            "Set skipChangeCommits=true to skip such snapshots, or "
+            "read snapshots via iceberg.read_iceberg_table"
+        )
+    return added
+
+
+class _IcebergBatchReader(DataSourceReader):
+    def __init__(self, opts: _IOpts, schema_cols: list[str]) -> None:
+        self.opts = opts
+        self.schema_cols = schema_cols
+
+    def partitions(self):
+        from etl_rust_spark.iceberg import _abs_file, iceberg_snapshot
+
+        o = self.opts
+        sid = int(o.snapshot_id) if o.snapshot_id is not None else None
+        as_of = None
+        if o.as_of is not None:
+            try:
+                as_of = float(o.as_of)
+            except ValueError:
+                as_of = o.as_of
+            sid = None
+        snap = iceberg_snapshot(o.table, sid, as_of)
+        if snap["pos_deletes"] or snap["eq_deletes"]:
+            raise ValueError(
+                f"snapshot {snap['snapshot']['snapshot-id']} of "
+                f"{o.table} carries v2 delete files — the per-file "
+                "batch source cannot apply the anti-joins; read via "
+                "iceberg.read_iceberg_table"
+            )
+        return [
+            _Slice(_abs_file(o.table, d["file_path"]), [],
+                   list(self.schema_cols))
+            for d in snap["files"]
+        ]
+
+    def read(self, partition: _Slice):
+        yield from _read_slice(partition, self.schema_cols)
+
+
+class _IcebergStreamReader(DataSourceStreamReader):
+    def __init__(self, opts: _IOpts, schema_cols: list[str]) -> None:
+        from etl_rust_spark.iceberg import (
+            _current_metadata,
+            _current_schema,
+        )
+
+        self.opts = opts
+        self.schema_cols = schema_cols
+        meta = _current_metadata(opts.table)
+        # schema binding (Delta-source parity): streamed snapshots
+        # must share the schema captured at start
+        self._schema_id = _current_schema(meta).get("schema-id", 0)
+        self._pos: int | None = None
+
+    def _start_offset(self) -> int:
+        n = len(_log_entries(self.opts.table))
+        return n if self.opts.starting == "latest" else 0
+
+    def initialOffset(self) -> dict:
+        off = self._start_offset()
+        self._pos = off if self._pos is None else max(self._pos, off)
+        return {"pos": off}
+
+    def latestOffset(self) -> dict:
+        head = len(_log_entries(self.opts.table))
+        if self.opts.max_snapshots:
+            if self._pos is None:
+                self._pos = self._start_offset()
+            return {"pos": min(head,
+                               self._pos + self.opts.max_snapshots)}
+        return {"pos": head}
+
+    def partitions(self, start: dict, end: dict):
+        from etl_rust_spark.iceberg import _current_metadata
+
+        self._pos = max(self._pos or 0, int(end["pos"]))
+        t = self.opts.table
+        lo, hi = int(start["pos"]), int(end["pos"])
+        log = _log_entries(t)
+        if lo > len(log):
+            raise ValueError(
+                f"stream cursor {lo} is beyond {t}'s snapshot log "
+                f"({len(log)} entries) — the table was replaced; "
+                "restart the stream"
+            )
+        meta = _current_metadata(t)
+        live = {s["snapshot-id"] for s in meta.get("snapshots") or []}
+        out: list[_Slice] = []
+        for entry in log[lo:hi]:
+            sid = entry["snapshot-id"]
+            if sid not in live:
+                raise ValueError(
+                    f"snapshot {sid} of {t} was expired by retention "
+                    "before this stream consumed it — re-bootstrap the "
+                    "downstream from iceberg.read_iceberg_table and "
+                    "restart from latest"
+                )
+            snap = next(s for s in meta["snapshots"]
+                        if s["snapshot-id"] == sid)
+            if snap.get("schema-id", 0) != self._schema_id:
+                raise ValueError(
+                    f"snapshot {sid} of {t} changes the table schema — "
+                    "a bound stream cannot follow it; restart the "
+                    "stream to pick up the new schema"
+                )
+            slices = _slices_for_snapshot(
+                t, sid, self.opts.skip_changes, self.schema_cols
+            )
+            if slices:
+                out.extend(slices)
+        return out or [_Slice("", [], [])]
+
+    def read(self, partition: _Slice):
+        if not partition.path:
+            return
+        yield from _read_slice(partition, self.schema_cols)
+
+    def commit(self, end: dict) -> None:
+        self._pos = max(self._pos or 0, int(end["pos"]))
+
+
+class IcebergLogDataSource(DataSource):
+    """``spark.read/readStream.format("iceberg_log")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_log"
+
+    def schema(self):
+        from etl_rust_spark.iceberg import (
+            _current_metadata,
+            _current_schema,
+            _spark_schema,
+        )
+
+        opts = _IOpts(self.options)
+        return _spark_schema(_current_schema(
+            _current_metadata(opts.table)
+        ))
+
+    def _cols(self, schema) -> list[str]:
+        return [f.name for f in schema.fields]
+
+    def reader(self, schema) -> DataSourceReader:
+        return _IcebergBatchReader(_IOpts(self.options),
+                                   self._cols(schema))
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _IcebergStreamReader(_IOpts(self.options),
+                                    self._cols(schema))

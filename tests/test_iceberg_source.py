@@ -1,0 +1,178 @@
+"""iceberg_log DataSource: Iceberg tables as jar-free batch and
+STREAMING Spark sources — the incremental-append-scan contract over
+the spec-built fixtures from test_iceberg (carried files marked
+EXISTING, added files ADDED-by-snapshot, the way real manifests are
+written)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from tests.test_iceberg import _FIELDS, IceFix
+
+
+@pytest.fixture()
+def _registered(spark):
+    from etl_rust_spark.sources.iceberg_source import IcebergLogDataSource
+
+    spark.dataSource.register(IcebergLogDataSource)
+    return spark
+
+
+def _run_stream(spark, t, out, ckpt, starting="earliest", **opts):
+    rd = (spark.readStream.format("iceberg_log").option("path", str(t))
+          .option("startingSnapshot", starting))
+    for k, v in opts.items():
+        rd = rd.option(k, v)
+    q = (rd.load().writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def _incremental_table(tmp_path: Path) -> IceFix:
+    """Three append snapshots with correct EXISTING/ADDED statuses."""
+    fx = IceFix(tmp_path / "ice", _FIELDS)
+    f1 = fx.write_file([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    f2 = fx.write_file([{"k": 3, "v": "c"}])
+    f3 = fx.write_file([{"k": 4, "v": "d"}])
+    fx.add_snapshot([f1], ts_ms=1_000, statuses=[1])
+    fx.add_snapshot([f1, f2], ts_ms=2_000, statuses=[0, 1])
+    fx.add_snapshot([f1, f2, f3], ts_ms=3_000, statuses=[0, 0, 1])
+    return fx.finish()
+
+
+def test_batch_read(_registered, tmp_path):
+    spark = _registered
+    fx = _incremental_table(tmp_path)
+    df = (spark.read.format("iceberg_log")
+          .option("path", str(fx.root)).load())
+    assert sorted(r.k for r in df.collect()) == [1, 2, 3, 4]
+    old = (spark.read.format("iceberg_log").option("path", str(fx.root))
+           .option("snapshotId", "1000").load())
+    assert sorted(r.k for r in old.collect()) == [1, 2]
+
+
+def test_batch_refuses_delete_files(_registered, tmp_path):
+    spark = _registered
+    fx = IceFix(tmp_path / "ice", _FIELDS)
+    f1 = fx.write_file([{"k": 1, "v": "a"}])
+    pd = fx.write_file([{"file_path": f1["file_path"], "pos": 0}],
+                       content=1)
+    fx.add_snapshot([f1, pd], ts_ms=1_000, seq=1)
+    fx.finish()
+    with pytest.raises(Exception, match="read_iceberg_table"):
+        (spark.read.format("iceberg_log")
+         .option("path", str(fx.root)).load().collect())
+
+
+def test_stream_appends_exactly_once_across_restart(
+    _registered, tmp_path
+):
+    """Snapshot-log positions are offsets: each append streams its
+    ADDED files exactly once (carried EXISTING files never re-stream),
+    restart resumes from the checkpoint."""
+    spark = _registered
+    fx = _incremental_table(tmp_path)
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    _run_stream(spark, fx.root, out, ckpt)
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4]
+    # a snapshot lands while the stream is down; resume delivers it once
+    f4 = fx.write_file([{"k": 5, "v": "e"}])
+    fx.add_snapshot([f4], ts_ms=4_000, statuses=[1])
+    fx.finish()
+    _run_stream(spark, fx.root, out, ckpt)
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 4, 5]
+    _run_stream(spark, fx.root, out, ckpt)  # idle: no dupes
+    assert sorted(r.k for r in
+                  spark.read.parquet(out).collect()) == [1, 2, 3, 4, 5]
+
+
+def test_stream_change_snapshot_raises_and_skip_skips(
+    _registered, tmp_path
+):
+    spark = _registered
+    fx = IceFix(tmp_path / "ice", _FIELDS)
+    f1 = fx.write_file([{"k": 1, "v": "a"}])
+    f2 = fx.write_file([{"k": 2, "v": "b"}])
+    fx.add_snapshot([f1], ts_ms=1_000, statuses=[1])
+    # an overwrite snapshot: f1 replaced by f2
+    sid = fx.add_snapshot([f2], ts_ms=2_000, statuses=[1])
+    fx.snapshots[-1]["summary"] = {"operation": "overwrite"}
+    fx.finish()
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="not an append"):
+        _run_stream(spark, fx.root, out, ckpt)
+    out2, ckpt2 = str(tmp_path / "sink2"), str(tmp_path / "ckpt2")
+    _run_stream(spark, fx.root, out2, ckpt2, skipChangeCommits="true")
+    assert sorted(r.k for r in
+                  spark.read.parquet(out2).collect()) == [1]
+
+
+def test_stream_expired_snapshot_refuses(_registered, tmp_path):
+    """A cursor below the oldest SURVIVING snapshot cannot replay —
+    the re-bootstrap contract."""
+    spark = _registered
+    fx = _incremental_table(tmp_path)
+    # expire snapshot 1000: drop it from the snapshots list while the
+    # log still names it (Iceberg keeps the full snapshot-log)
+    mp = fx.root / "metadata" / "v1.metadata.json"
+    meta = json.loads(mp.read_text())
+    meta["snapshots"] = [s for s in meta["snapshots"]
+                         if s["snapshot-id"] != 1000]
+    mp.write_text(json.dumps(meta))
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="re-bootstrap"):
+        _run_stream(spark, fx.root, out, ckpt, starting="earliest")
+
+
+def test_stream_starting_latest_and_pacing(_registered, tmp_path):
+    spark = _registered
+    fx = _incremental_table(tmp_path)
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    _run_stream(spark, fx.root, out, ckpt, starting="latest")
+    f4 = fx.write_file([{"k": 9, "v": "z"}])
+    fx.add_snapshot([f4], ts_ms=4_000, statuses=[1])
+    fx.finish()
+    _run_stream(spark, fx.root, out, ckpt, starting="latest")
+    assert sorted(r.k for r in
+                  spark.read.parquet(out).collect()) == [9]
+    # pacing: one snapshot per micro-batch over a backlog
+    fx2 = _incremental_table(tmp_path / "second")
+    out2, ckpt2 = str(tmp_path / "sink2"), str(tmp_path / "ckpt2")
+    _run_stream(spark, fx2.root, out2, ckpt2,
+                maxSnapshotsPerTrigger="1")
+    assert sorted(r.k for r in
+                  spark.read.parquet(out2).collect()) == [1, 2, 3, 4]
+    assert len(list((Path(ckpt2) / "offsets").iterdir())) >= 3
+
+
+def test_stream_schema_change_raises(_registered, tmp_path):
+    spark = _registered
+    old = [{"id": 1, "name": "k", "required": False, "type": "long"},
+           {"id": 2, "name": "v", "required": False, "type": "string"}]
+    new = old + [{"id": 3, "name": "x", "required": False,
+                  "type": "long"}]
+    fx = IceFix(tmp_path / "ice", new)
+    f1 = fx.write_file([{"k": 1, "v": "a"}])
+    f2 = fx.write_file([{"k": 2, "v": "b", "x": 9}])
+    fx.add_snapshot([f1], ts_ms=1_000, statuses=[1], schema_id=1)
+    fx.add_snapshot([f1, f2], ts_ms=2_000, statuses=[0, 1],
+                    schema_id=0)
+    fx.finish(schemas=[
+        {"schema-id": 1, "type": "struct", "fields": old},
+        {"schema-id": 0, "type": "struct", "fields": new},
+    ], current_schema_id=0)
+    # the stream binds the CURRENT schema (id 0); snapshot 1000 carries
+    # schema-id 1 -> raises at the first batch
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="restart the stream"):
+        _run_stream(spark, fx.root, out, ckpt)
