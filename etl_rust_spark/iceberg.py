@@ -759,6 +759,14 @@ _SPARK_TO_ICE = {
 }
 
 
+def _ice_op(op: str, first: bool) -> str:
+    if op in ("append",):
+        return "append"
+    if op == "snapshot":
+        return "append" if first else "overwrite"
+    return op
+
+
 def _ice_type_of(dt) -> object:
     """Spark DataType → Iceberg JSON type (primitives + the nested
     trio); nested field ids are assigned by the caller's counter."""
@@ -903,6 +911,12 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
     schema_key_to_id: dict[str, int] = {}
     snapshots = []
     root = Path(path)
+    # first version that referenced each file: carried files export as
+    # EXISTING with their original snapshot id, added ones as ADDED —
+    # the distinction Iceberg's incremental scan (and this repo's own
+    # iceberg_log stream source) keys on; stamping everything ADDED
+    # would re-stream carried files on every snapshot
+    first_seen: dict[str, int] = {}
     for v in vs:
         m = manifests[v]
         sschema = _read(spark, path, v).schema
@@ -943,7 +957,9 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
                 import pyarrow.parquet as pq
 
                 rows = pq.read_metadata(fp).num_rows
-            entries.append({"status": 1, "snapshot_id": v, "data_file": {
+            added_by = first_seen.setdefault(rel, v)
+            entries.append({"status": 1 if added_by == v else 0,
+                            "snapshot_id": added_by, "data_file": {
                 "content": 0,
                 "file_path": "file://" + str(fp),
                 "file_format": "PARQUET",
@@ -968,8 +984,13 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
             "snapshot-id": v,
             "timestamp-ms": int(float(ts) * 1000),
             "manifest-list": "file://" + str(lp),
-            "summary": {"operation": (m.get("op") or "append")
-                        .split("(")[0]},
+            # Iceberg operation names: the chain's FIRST snapshot and
+            # pure appends are "append" (streamable); a later full
+            # re-snapshot replaces content ("overwrite"); other DML
+            # keeps its own name so incremental consumers classify it
+            "summary": {"operation": _ice_op(
+                (m.get("op") or "append").split("(")[0], v == vs[0]
+            )},
             "schema-id": schema_id,
         })
     meta = {

@@ -176,3 +176,30 @@ def test_stream_schema_change_raises(_registered, tmp_path):
     out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
     with pytest.raises(Exception, match="restart the stream"):
         _run_stream(spark, fx.root, out, ckpt)
+
+
+def test_stream_from_exported_versioned_table(_registered, tmp_path):
+    """Composition: export a versioned chain to Iceberg metadata, then
+    stream it — carried files export as EXISTING with their original
+    snapshot id, so each append streams exactly once."""
+    from etl_rust_spark import versions as V
+    from etl_rust_spark.iceberg import export_iceberg_metadata
+    from etl_rust_spark.versions import commit_appended_files
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark = _registered
+    p = str(tmp_path / "vt")
+    V.write_table_version(
+        spark.range(3).selectExpr("id as k").coalesce(1), p)
+    for i, ks in enumerate(([10, 11], [20])):
+        stage = tmp_path / f"stage{i}.parquet"
+        pq.write_table(pa.Table.from_pylist([{"k": k} for k in ks]),
+                       stage)
+        commit_appended_files(spark, p, [str(stage)], len(ks))
+    export_iceberg_metadata(spark, p)
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    _run_stream(spark, p, out, ckpt)
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == [0, 1, 2, 10, 11, 20]
