@@ -655,6 +655,15 @@ def _dv_positions(table_path: str, dv: dict) -> list[int]:
     return positions
 
 
+def _decoded_file_col(col):
+    """Scan-side file URI → plain absolute path, safely: java's
+    URLDecoder (behind `url_decode`) turns a LITERAL '+' into a space,
+    which would silently break the file-path equality joins for paths
+    containing '+' (NULL partition columns / unmasked DV rows) — so
+    '+' is pre-escaped to %2B and survives the decode verbatim."""
+    return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
+
+
 def _apply_dvs(
     spark: SparkSession, path: str, df: DataFrame, adds: list[dict]
 ) -> DataFrame:
@@ -677,7 +686,8 @@ def _apply_dvs(
     df = df.withColumn(
         "_dv_fp",
         F.regexp_replace(
-            F.url_decode(F.col("_metadata.file_path")), "^file:/+", "/"
+            _decoded_file_col(F.col("_metadata.file_path")),
+            "^file:/+", "/"
         ),
     ).withColumn("_dv_pos", F.col("_metadata.row_index"))
     return df.join(
@@ -755,7 +765,7 @@ def read_delta_table(
         pmap = spark.createDataFrame(map_rows, map_schema)
         df = (
             df.withColumn(
-                "__delta_file", F.url_decode(F.input_file_name())
+                "__delta_file", _decoded_file_col(F.input_file_name())
             )
             .join(F.broadcast(pmap), "__delta_file", "left")
             .drop("__delta_file")

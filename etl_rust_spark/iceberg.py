@@ -536,10 +536,12 @@ def _apply_deletes(
     # scan-side `_metadata.file_path` renders file URIs as
     # 'file:/abs/path' (single slash); metadata URIs vary — key the
     # bridge by the RESOLVED absolute path on both sides
+    from .deltalake import _decoded_file_col
+
     df = df.withColumn(
         "_ice_fp",
         F.regexp_replace(
-            F.url_decode(F.col("_metadata.file_path")),
+            _decoded_file_col(F.col("_metadata.file_path")),
             "^file:/+", "/",
         ),
     ).withColumn("_ice_pos", F.col("_metadata.row_index"))

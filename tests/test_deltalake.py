@@ -1160,3 +1160,33 @@ def test_cli_curate_from_delta_corpus(spark, tmp_path, capsys):
              if x.startswith("{")]
     by_col = {r["col_name"]: r for r in lines if "col_name" in r}
     assert by_col["doc_id"]["n_rows"] == 3
+
+
+def test_plus_and_space_in_file_paths(spark, tmp_path):
+    """File paths with a literal '+' (and a space) survive the scan-
+    side URI decode: java's URLDecoder turns '+' into a space, which
+    used to silently NULL the injected partition columns and unmask
+    DV rows for such paths."""
+    t = tmp_path / "delta_plus"
+    log = t / "_delta_log"
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    (t / "p=x").mkdir(parents=True)
+    name = "a+b c.parquet"
+    pq.write_table(pa.Table.from_pylist(
+        [{"k": i} for i in range(4)]), t / "p=x" / name)
+    sch = _schema_str([("k", "long"), ("p", "string")])
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"]}},
+        _meta(sch, parts=["p"]),
+        {"add": {"path": "p%3Dx/a%2Bb%20c.parquet",
+                 "partitionValues": {"p": "x"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": _inline_dv([0])}},
+    ])
+    rows = sorted((r.k, r.p) for r in
+                  read_delta_table(spark, str(t)).collect())
+    assert rows == [(1, "x"), (2, "x"), (3, "x")]  # row 0 DV-masked,
+    # partition value injected (not NULL) despite '+' in the name
