@@ -874,6 +874,15 @@ def export_delta_log(
             vs = [v for v in vs if v > last_src]
             if not vs:
                 return 0
+        else:
+            overlap = [v for v in vs if v <= last_src]
+            if overlap:
+                raise ValueError(
+                    f"resume=True with explicit versions {overlap} at "
+                    f"or below the last exported source version "
+                    f"{last_src} would duplicate their files in the "
+                    "log — pass only newer versions"
+                )
         base_delta = head + 1
     d.mkdir(parents=True, exist_ok=True)
     manifests = {v: _load_manifest(path, v) for v in vs}

@@ -98,6 +98,13 @@ def _slices_for_snapshot(
     change = op not in (None, "append")
     if not change:
         for mf in _read_ocf(_abs_file(table, snap["manifest-list"])):
+            # incremental-scan narrowing: a manifest that records which
+            # snapshot added it and is NOT ours holds only carried
+            # entries — skip the whole file (real manifest lists always
+            # carry added_snapshot_id; absent means walk it)
+            mf_sid = mf.get("added_snapshot_id")
+            if mf_sid is not None and mf_sid != sid:
+                continue
             for entry in _read_ocf(_abs_file(table,
                                              mf["manifest_path"])):
                 df = entry["data_file"]

@@ -1190,3 +1190,14 @@ def test_plus_and_space_in_file_paths(spark, tmp_path):
                   read_delta_table(spark, str(t)).collect())
     assert rows == [(1, "x"), (2, "x"), (3, "x")]  # row 0 DV-masked,
     # partition value injected (not NULL) despite '+' in the name
+
+
+def test_export_resume_rejects_overlapping_versions(spark, tmp_path):
+    src = str(tmp_path / "vt_overlap")
+    V.write_table_version(spark.range(3).selectExpr("id as k"), src)
+    V.upsert_table_version(
+        spark, src, spark.range(1).selectExpr("id + 9 as k"),
+        keys=["k"])
+    export_delta_log(spark, src)
+    with pytest.raises(ValueError, match="duplicate"):
+        export_delta_log(spark, src, versions=[1, 2], resume=True)
