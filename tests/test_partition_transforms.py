@@ -756,3 +756,68 @@ def test_sink_days_utc_under_tokyo_session(spark, tmp_path):
         spark, p, prune=[("ts", "2026-01-01", "2026-01-01T23:59")]
     )
     assert sorted(r.k for r in pr.collect()) == [1, 2]
+
+
+def test_py_transform_replica_matches_spark_fuzz(spark, tmp_path):
+    """Property pin for the sink's pure-Python transform twin: over
+    random values, _py_transform_value must equal Spark's own
+    _transform_expr rendering for every transform kind — the replica's
+    whole contract is byte-for-byte directory parity."""
+    import random
+
+    from etl_rust_spark.versions import (
+        _py_transform_value,
+        _transform_expr,
+    )
+
+    rng = random.Random(0x7AB5)
+
+    # instants across decades incl. negative epochs and day boundaries
+    instants = [rng.randint(-10**9, 2 * 10**9) for _ in range(40)]
+    instants += [0, -1, 86399, 86400, -86400]
+    df = spark.createDataFrame(
+        [(e,) for e in instants], ["e"]
+    ).selectExpr("timestamp_seconds(e) as ts", "e")
+    for kind in ("days", "hours"):
+        t = {"kind": kind, "source": "ts", "src_type": "timestamp"}
+        got = df.select(
+            "e", _transform_expr(t).alias("s")
+        ).collect()
+        for r in got:
+            py = _py_transform_value(
+                t, datetime.datetime.fromtimestamp(
+                    r.e, datetime.timezone.utc
+                ), "UTC",
+            )
+            assert py == r.s, (kind, r.e, py, r.s)
+
+    # bucket over bigint incl. negatives (xxhash64 sign handling)
+    keys = [rng.randint(-2**62, 2**62) for _ in range(60)] + [0, -1, 1]
+    bt = {"kind": "bucket", "source": "k", "n": 16,
+          "src_type": "bigint"}
+    got = spark.createDataFrame([(k,) for k in keys], ["k"]).select(
+        "k", _transform_expr(bt).alias("s")
+    ).collect()
+    for r in got:
+        assert _py_transform_value(bt, r.k) == r.s, r.k
+
+    # bucket over strings (UTF-8 incl. multibyte)
+    words = ["", "a", "naïve", "東京", "x" * 100] + [
+        f"u{rng.randint(0, 10**6)}" for _ in range(30)
+    ]
+    bs = {"kind": "bucket", "source": "w", "n": 8,
+          "src_type": "string"}
+    got = spark.createDataFrame([(w,) for w in words], ["w"]).select(
+        "w", _transform_expr(bs).alias("s")
+    ).collect()
+    for r in got:
+        assert _py_transform_value(bs, r.w) == r.s, r.w
+
+    # truncate slices by code points, exactly like substring
+    tt = {"kind": "truncate", "source": "w", "n": 3,
+          "src_type": "string"}
+    got = spark.createDataFrame(
+        [(w,) for w in words if w], ["w"]
+    ).select("w", _transform_expr(tt).alias("s")).collect()
+    for r in got:
+        assert _py_transform_value(tt, r.w) == r.s, r.w
