@@ -750,9 +750,13 @@ def read_delta_table(
     df = _apply_dvs(spark, path, df, adds)
     if part_cols:
         # file → serialized partition values, broadcast-joined on the
-        # decoded scan-side file URI ("file://" + absolute path)
+        # scan-side file URI normalized to a PLAIN absolute path (the
+        # same `^file:/+` collapse `_apply_dvs` uses): keying on a
+        # rendered scheme ("file://" vs java's "file:/") would make
+        # every row miss the join and inject silent-NULL partition
+        # columns
         map_rows = [
-            ("file://" + _abs_file(path, a["path"]),
+            (_abs_file(path, a["path"]),
              *[(a.get("partitionValues") or {}).get(phys_of[c])
                for c in part_cols])
             for a in adds
@@ -765,7 +769,11 @@ def read_delta_table(
         pmap = spark.createDataFrame(map_rows, map_schema)
         df = (
             df.withColumn(
-                "__delta_file", _decoded_file_col(F.input_file_name())
+                "__delta_file",
+                F.regexp_replace(
+                    _decoded_file_col(F.input_file_name()),
+                    "^file:/+", "/",
+                ),
             )
             .join(F.broadcast(pmap), "__delta_file", "left")
             .drop("__delta_file")

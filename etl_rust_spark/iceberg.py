@@ -75,9 +75,12 @@ def _metadata_dir(path: str) -> Path:
 
 def _current_metadata(path: str) -> dict:
     """Locate the current table-metadata JSON: the Hadoop-catalog
-    `version-hint.text` when present, else the lexicographically
-    newest `*.metadata.json` (both naming schemes zero-pad a leading
-    sequence number, so name order is commit order)."""
+    `version-hint.text` when present, else the NUMERICALLY newest
+    `*.metadata.json` — Hadoop-catalog names (`v1`, `v2`, … `v10`)
+    are NOT zero-padded, so raw string order would resolve `v9` over
+    `v10` (a stale snapshot); the leading version integer is the
+    sort key, with raw name order only as the tiebreak for foreign
+    naming schemes that carry no parseable number."""
     d = _metadata_dir(path)
     hint = d / "version-hint.text"
     if hint.exists():
@@ -89,7 +92,13 @@ def _current_metadata(path: str) -> dict:
             f"version-hint.text names version {n} but no matching "
             f"metadata file exists under {d}"
         )
-    cands = sorted(d.glob("*.metadata.json"))
+
+    def _vnum(p: Path) -> int:
+        m = re.match(r"^v?(\d+)", p.name)
+        return int(m.group(1)) if m else -1
+
+    cands = sorted(d.glob("*.metadata.json"),
+                   key=lambda p: (_vnum(p), p.name))
     if not cands:
         raise FileNotFoundError(f"no *.metadata.json under {d}")
     return json.loads(cands[-1].read_text())

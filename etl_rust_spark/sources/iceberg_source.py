@@ -115,7 +115,15 @@ def _slices_for_snapshot(
                 if st == 2:
                     change = True  # removals in an "append"?
                     break
-                if st == 1 and entry.get("snapshot_id") == sid:
+                # v2 inheritance: a null manifest-entry snapshot_id
+                # inherits the manifest-list row's added_snapshot_id
+                # (mirrors iceberg_snapshot's sequence_number rule) —
+                # real v2 manifests rely on it, and treating null as
+                # "not ours" would silently skip ADDED files
+                entry_sid = entry.get("snapshot_id")
+                if entry_sid is None:
+                    entry_sid = mf.get("added_snapshot_id")
+                if st == 1 and entry_sid == sid:
                     fmt = str(df.get("file_format", "PARQUET")).upper()
                     if fmt != "PARQUET":
                         raise IcebergProtocolError(

@@ -1200,7 +1200,12 @@ def _py_transform_value(t: dict, val, tz_name: str = "UTC") -> str:
                 from zoneinfo import ZoneInfo
 
                 val = val.replace(tzinfo=ZoneInfo(tz_name))
-            e = int(val.timestamp())
+            # floor, not truncate-toward-zero: Spark's cast-to-bigint
+            # floors, so a pre-1970 instant with fractional seconds
+            # must land in the same day/hour directory
+            import math as _math
+
+            e = _math.floor(val.timestamp())
             d = (_dt.date(1970, 1, 1)
                  + _dt.timedelta(days=e // 86400)).isoformat()
             if kind == "days":

@@ -189,6 +189,28 @@ def test_partitioned_read_and_prune(spark, tmp_path):
     ) == ["f2.parquet", "f3.parquet"]  # NULL kept (sound)
 
 
+def test_scan_uri_normalization_scheme_invariant(spark):
+    """The partition-injection join keys on the scan-side file URI
+    normalized to a PLAIN absolute path; java renders file URIs as
+    file:/abs, file://host/abs or file:///abs depending on the code
+    path, and keying on any one rendering makes every row miss the
+    join — silent-NULL partition columns (ADVICE r10)."""
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.deltalake import _decoded_file_col
+
+    uris = ["file:/x y/f.parquet", "file:///x%20y/f.parquet",
+            "file:/x%20y/f.parquet", "/x y/f.parquet"]
+    got = (
+        spark.createDataFrame([(u,) for u in uris], ["u"])
+        .select(F.regexp_replace(
+            _decoded_file_col(F.col("u")), "^file:/+", "/"
+        ).alias("p"))
+        .collect()
+    )
+    assert {r.p for r in got} == {"/x y/f.parquet"}
+
+
 def test_typed_partition_values(spark, tmp_path):
     t = tmp_path / "delta_typed"
     log = t / "_delta_log"

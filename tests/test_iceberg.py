@@ -137,12 +137,15 @@ class IceFix:
                      manifest_content: int = 0,
                      statuses: list[int] | None = None,
                      schema_id: int = 0, seq: int = 0,
-                     entry_seqs: list[int | None] | None = None) -> int:
+                     entry_seqs: list[int | None] | None = None,
+                     null_entry_sids: bool = False) -> int:
         sid = 1000 + len(self.snapshots)
         mpath = self.root / "metadata" / f"manifest-{sid}.avro"
         entries = [
             {"status": (statuses or [1] * len(data_files))[i],
-             "snapshot_id": sid,
+             # the v2 spec allows null here, inherited from the
+             # manifest-list row's added_snapshot_id
+             "snapshot_id": None if null_entry_sids else sid,
              "sequence_number": (entry_seqs or [None] * len(data_files))[i],
              "data_file": df}
             for i, df in enumerate(data_files)
@@ -507,12 +510,31 @@ def test_unsupported_type_refuses(tmp_path):
 def test_metadata_discovery_without_hint(spark, tmp_path):
     fx = _basic(tmp_path)
     (fx.root / "metadata" / "version-hint.text").unlink()
-    # lexicographically newest metadata wins
+    # numerically newest metadata wins
     assert len(iceberg_table_files(str(fx.root))) == 2
     # a dangling hint refuses loudly
     (fx.root / "metadata" / "version-hint.text").write_text("99")
     with pytest.raises(FileNotFoundError, match="99"):
         iceberg_table_files(str(fx.root))
+
+
+def test_metadata_discovery_sorts_numerically(spark, tmp_path):
+    """Hadoop-catalog metadata names are NOT zero-padded: with the
+    hint missing, `v10` must beat `v9` — raw string order would
+    resolve the STALE v9 snapshot (ADVICE r10)."""
+    fx = _basic(tmp_path)
+    d = fx.root / "metadata"
+    full = json.loads((d / "v1.metadata.json").read_text())
+    stale = dict(full)
+    # v9 = history truncated to the first (1-file) snapshot
+    stale["snapshots"] = full["snapshots"][:1]
+    stale["snapshot-log"] = full["snapshot-log"][:1]
+    stale["current-snapshot-id"] = full["snapshots"][0]["snapshot-id"]
+    (d / "v9.metadata.json").write_text(json.dumps(stale))
+    (d / "v10.metadata.json").write_text(json.dumps(full))
+    (d / "v1.metadata.json").unlink()
+    (d / "version-hint.text").unlink()
+    assert len(iceberg_table_files(str(fx.root))) == 2
 
 
 def test_cli_read_iceberg(spark, tmp_path, capsys):

@@ -96,6 +96,24 @@ def test_stream_appends_exactly_once_across_restart(
                   spark.read.parquet(out).collect()) == [1, 2, 3, 4, 5]
 
 
+def test_stream_inherits_null_entry_snapshot_id(_registered, tmp_path):
+    """The v2 spec allows a null manifest-entry snapshot_id inherited
+    from the manifest-list row's added_snapshot_id; real manifests use
+    it.  Treating null as 'not this snapshot' would silently skip the
+    ADDED files — empty micro-batches, silent data loss (ADVICE r10)."""
+    spark = _registered
+    fx = IceFix(tmp_path / "ice", _FIELDS)
+    f1 = fx.write_file([{"k": 1, "v": "a"}])
+    f2 = fx.write_file([{"k": 2, "v": "b"}])
+    fx.add_snapshot([f1], ts_ms=1_000, null_entry_sids=True)
+    fx.add_snapshot([f2], ts_ms=2_000, null_entry_sids=True)
+    fx.finish()
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    _run_stream(spark, fx.root, out, ckpt)
+    assert sorted(r.k for r in
+                  spark.read.parquet(out).collect()) == [1, 2]
+
+
 def test_stream_change_snapshot_raises_and_skip_skips(
     _registered, tmp_path
 ):

@@ -791,6 +791,26 @@ def test_py_transform_replica_matches_spark_fuzz(spark, tmp_path):
             )
             assert py == r.s, (kind, r.e, py, r.s)
 
+    # fractional seconds on PRE-1970 instants: Spark's cast-to-bigint
+    # floors, so the twin must floor too — int() truncation toward
+    # zero puts e.g. -0.5 s in 1970-01-01 instead of 1969-12-31
+    # (ADVICE r10)
+    frac = [-0.5, -1.25, -86399.5, -86400.5, 0.5, 86399.5]
+    frac += [e + 0.5 for e in instants[:10]]
+    fdf = spark.createDataFrame(
+        [(e,) for e in frac], "e double"
+    ).selectExpr("timestamp_seconds(e) as ts", "e")
+    for kind in ("days", "hours"):
+        t = {"kind": kind, "source": "ts", "src_type": "timestamp"}
+        got = fdf.select("e", _transform_expr(t).alias("s")).collect()
+        for r in got:
+            py = _py_transform_value(
+                t, datetime.datetime.fromtimestamp(
+                    r.e, datetime.timezone.utc
+                ), "UTC",
+            )
+            assert py == r.s, (kind, r.e, py, r.s)
+
     # bucket over bigint incl. negatives (xxhash64 sign handling)
     keys = [rng.randint(-2**62, 2**62) for _ in range(60)] + [0, -1, 1]
     bt = {"kind": "bucket", "source": "k", "n": 16,
