@@ -1,9 +1,10 @@
 """Jar-free Apache Iceberg READER: plan and scan Iceberg tables
 straight from their own metadata — `vN.metadata.json` → manifest-list
 Avro → manifest Avro → explicit parquet file list — with snapshot
-time travel, driver-side min/max file skipping, and loud refusal of
-anything (v2 delete files, renamed columns, non-parquet files) that a
-by-name scan cannot read correctly.
+time travel, driver-side min/max file skipping, FIELD-ID column
+resolution (renamed tables read correctly), and loud refusal of
+anything (unsupported format versions, non-parquet files, no-ids
+files inside an ids estate) that cannot be read correctly.
 
 The other half of the interop story next to :mod:`~.deltalake`: Delta
 covers the log-structured format family, Iceberg the snapshot-tree
@@ -24,11 +25,15 @@ scan over the explicit (pruned) file list — Iceberg data files carry
 ALL columns (partitioning is metadata-only), so no injection join is
 needed at all.
 
-Honesty gates: format-version > 2, v2 DELETE files (position or
-equality — scanning past them would resurrect deleted rows), non-
-parquet data files, unsupported types (uuid), and current-schema
-field names that no longer match the data files' footers (a renamed
-table needs field-id resolution, which a by-name scan cannot do)
+Column resolution follows the spec's projection rule: files whose
+footers carry parquet field ids (everything Iceberg itself writes)
+resolve BY FIELD ID — renames read under their current name, ids
+absent from a file project as NULL — while no-ids estates (add_files
+imports, this repo's own exports) resolve by name behind a sampled-
+footer guard.  Honesty gates: format-version > 2, non-parquet data
+files, unsupported types (uuid), a no-ids file inside an ids estate
+(needs schema.name-mapping.default — the named extension), and
+no-ids estates whose current-schema names match no sampled footer
 all raise with the limitation named.
 
 Reference parity note: the reference (blockchain-etl/etl-rust) has no
@@ -498,11 +503,14 @@ def read_iceberg_table(
     Both are plain DataFrame anti-joins against driver-planned delete
     file lists — no shuffle on the data side, delete sets broadcast
     (delete files are the small side by construction: compaction folds
-    them).  Resolution is BY NAME over the snapshot schema (Iceberg
-    data files store every column — partitioning is metadata-only).
-    Correct-by-name is verified against sampled footers: a renamed
-    table (which only field-id resolution can follow) refuses instead
-    of returning silent NULL columns."""
+    them).  Column resolution follows the spec's projection rule:
+    files whose footers carry parquet field ids (every Iceberg-written
+    file does) resolve BY FIELD ID — so renamed columns read correctly
+    under their current name, and columns added after a file was
+    written read as NULL — grouped into one scan per resolution
+    signature (bounded by schema generations, not file count).  Files
+    without ids (imports, this repo's own exports) resolve by name,
+    verified against sampled footers as before."""
     snap = iceberg_snapshot(path, snapshot_id, as_of)
     schema = snap["schema"]
     sschema = _spark_schema(schema)
@@ -519,11 +527,77 @@ def read_iceberg_table(
             if _keep_file(d, prune, ids, pctx)]
     if not keep:
         return spark.createDataFrame([], sschema)
-    _check_names_resolve(sorted(keep), schema)
-    df = spark.read.schema(sschema).parquet(*keep)
-    if snap["pos_deletes"] or snap["eq_deletes"]:
+    has_dels = bool(snap["pos_deletes"] or snap["eq_deletes"])
+    phys = _resolve_phys_cols(sorted(keep), schema["fields"])
+    if phys is None:  # no-ids estate: by-name fast path, ONE scan
+        _check_names_resolve(sorted(keep), schema)
+        df = spark.read.schema(sschema).parquet(*keep)
+        if has_dels:
+            df = _annotate_positions(df)
+    else:
+        df = _scan_by_field_id(spark, keep, phys, sschema, has_dels)
+    if has_dels:
         df = _apply_deletes(spark, path, df, snap, files, keep, schema)
     return df.select(*[f.name for f in sschema.fields])
+
+
+def _annotate_positions(df: DataFrame) -> DataFrame:
+    """Expose each scanned row's (file, position) as ``_ice_fp`` /
+    ``_ice_pos`` — must happen directly on a scan relation (the
+    ``_metadata`` column only resolves there, not through a union)."""
+    from pyspark.sql import functions as F
+
+    from .deltalake import _decoded_file_col
+
+    return df.withColumn(
+        "_ice_fp",
+        F.regexp_replace(
+            _decoded_file_col(F.col("_metadata.file_path")),
+            "^file:/+", "/",
+        ),
+    ).withColumn("_ice_pos", F.col("_metadata.row_index"))
+
+
+def _scan_by_field_id(
+    spark: SparkSession,
+    keep: list[str],
+    phys: dict[str, list[str | None]],
+    sschema: T.StructType,
+    annotate: bool,
+) -> DataFrame:
+    """Files grouped by their field-id resolution signature — ONE
+    parquet scan per group under the group's PHYSICAL schema, aliased
+    back to the logical names and unioned by name.  The group count is
+    bounded by schema-evolution generations, never file count, so the
+    plan stays a handful of scans; a field id absent from a group's
+    footers projects as a typed NULL (the added-later rule)."""
+    from pyspark.sql import functions as F
+
+    groups: dict[tuple, list[str]] = {}
+    for f in keep:
+        groups.setdefault(tuple(phys[f]), []).append(f)
+    parts = []
+    for sig, fs in groups.items():
+        scan_fields = [
+            T.StructField(p, lf.dataType, True)
+            for p, lf in zip(sig, sschema.fields)
+            if p is not None
+        ]
+        g = spark.read.schema(T.StructType(scan_fields)).parquet(*fs)
+        if annotate:
+            g = _annotate_positions(g)
+        cols = [
+            (F.col(p) if p is not None
+             else F.lit(None).cast(lf.dataType)).alias(lf.name)
+            for p, lf in zip(sig, sschema.fields)
+        ]
+        if annotate:
+            cols += [F.col("_ice_fp"), F.col("_ice_pos")]
+        parts.append(g.select(*cols))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
 
 
 def _apply_deletes(
@@ -539,21 +613,12 @@ def _apply_deletes(
     into the scan.  Delete files reference data files by their
     METADATA URI, while the scan sees `_metadata.file_path` — a tiny
     broadcast map bridges the two and carries each file's sequence
-    number for the application-scope rules."""
+    number for the application-scope rules.  ``df`` arrives already
+    carrying ``_ice_fp`` / ``_ice_pos`` (added per scan relation by
+    :func:`_annotate_positions` — the `_metadata` column does not
+    resolve through the field-id path's union)."""
     from pyspark.sql import functions as F
 
-    # scan-side `_metadata.file_path` renders file URIs as
-    # 'file:/abs/path' (single slash); metadata URIs vary — key the
-    # bridge by the RESOLVED absolute path on both sides
-    from .deltalake import _decoded_file_col
-
-    df = df.withColumn(
-        "_ice_fp",
-        F.regexp_replace(
-            _decoded_file_col(F.col("_metadata.file_path")),
-            "^file:/+", "/",
-        ),
-    ).withColumn("_ice_pos", F.col("_metadata.row_index"))
     bridge = spark.createDataFrame(
         [(f, files[f]["file_path"], files[f]["_seq"]) for f in keep],
         "_ice_fp string, _ice_uri string, _ice_seq long",
@@ -728,6 +793,66 @@ def import_iceberg_table(spark: SparkSession, path: str, dest: str) -> int:
             mp.write_text(json.dumps(m, indent=1))
         n += 1
     return n
+
+
+def _footer_field_ids(fp: str) -> dict[int, str] | None:
+    """Top-level ``{field_id: column_name}`` from a parquet footer
+    (pyarrow surfaces the parquet SchemaElement field_id as
+    ``PARQUET:field_id`` field metadata), or None when the footer
+    carries no ids at all — files written outside Iceberg (add_files
+    imports, this repo's own exporter) have none and resolve by
+    name."""
+    import pyarrow.parquet as pq
+
+    ids: dict[int, str] = {}
+    for f in pq.read_schema(fp):
+        v = (f.metadata or {}).get(b"PARQUET:field_id")
+        if v is not None:
+            ids[int(v)] = f.name
+    return ids or None
+
+
+def _resolve_phys_cols(
+    files: list[str], fields: list[dict]
+) -> dict[str, list[str | None]] | None:
+    """Field-id column resolution (the Iceberg spec's projection rule):
+    per file, the physical column name of each schema field, aligned
+    with ``fields`` — a str when the file stores the field (under its
+    current OR a pre-rename name), None when the field id is absent
+    (added after the file was written → read as NULL).
+
+    Returns None when no SAMPLED footer carries field ids: such an
+    estate (files imported via add_files, or this repo's own exports)
+    resolves by name, and the caller keeps the by-name fast path with
+    its sampled-name guard.  When ids exist, EVERY kept file's footer
+    is read (driver-side, thread-pooled — ~1 ms each; the same
+    ~1 M-file boundary as the rest of the metadata walk, with the
+    Spark-side footer scan as the named extension), because a sampled
+    check cannot see a renamed file outside the sample — the silent-
+    NULL hazard this exists to close."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = len(files)
+    idx = sorted({round(i * (n - 1) / 7) for i in range(8)}) if n > 1 \
+        else [0]
+    if not any(_footer_field_ids(files[i]) for i in idx):
+        return None
+    with ThreadPoolExecutor(min(16, max(1, n))) as ex:
+        footer_ids = dict(zip(files, ex.map(_footer_field_ids, files)))
+    out: dict[str, list[str | None]] = {}
+    for fp, ids in footer_ids.items():
+        if ids is None:
+            # a no-ids file inside an ids estate: name mapping (the
+            # spec's schema.name-mapping.default) is the named
+            # extension; refusing beats guessing
+            raise IcebergProtocolError(
+                f"data file {fp!r} carries no parquet field ids while "
+                "other files in the table do — reading it needs a "
+                "name mapping (schema.name-mapping.default), which "
+                "this reader does not implement"
+            )
+        out[fp] = [ids.get(f["id"]) for f in fields]
+    return out
 
 
 def _check_names_resolve(files: list[str], schema: dict) -> None:

@@ -78,6 +78,46 @@ def _log_entries(table: str) -> list[dict]:
     return list(meta.get("snapshot-log") or [])
 
 
+def _file_slices(
+    table: str, file_paths: list[str], schema_cols: list[str]
+) -> list[_Slice]:
+    """Per-file read slices with the spec's field-id column resolution:
+    files whose footers carry parquet field ids read each schema field
+    under its PHYSICAL (possibly pre-rename) name, and inject a typed
+    NULL for ids absent from the file (added-later columns) — the same
+    rule as read_iceberg_table, so a renamed table streams correctly
+    instead of silently NULLing the renamed column.  No-ids estates
+    (imports, this repo's own exports) resolve by name behind the
+    sampled-footer guard that read_iceberg_table uses (ADVICE r10)."""
+    from etl_rust_spark.iceberg import (
+        _check_names_resolve,
+        _current_metadata,
+        _current_schema,
+        _resolve_phys_cols,
+    )
+
+    if not file_paths:
+        return []
+    sch = _current_schema(_current_metadata(table))
+    by_name = {f["name"]: f for f in sch["fields"]}
+    fields = [by_name[c] for c in schema_cols]
+    phys = _resolve_phys_cols(sorted(file_paths), fields)
+    if phys is None:
+        _check_names_resolve(sorted(file_paths), {"fields": fields})
+        return [_Slice(fp, [], list(schema_cols)) for fp in file_paths]
+    out = []
+    for fp in file_paths:
+        pv, cols = [], []
+        for c, p in zip(schema_cols, phys[fp]):
+            if p is None:
+                pv.append((c, None, "string"))  # NULL-inject
+                cols.append(None)
+            else:
+                cols.append(p)
+        out.append(_Slice(fp, pv, cols))
+    return out
+
+
 def _slices_for_snapshot(
     table: str, sid: int, skip_changes: bool, schema_cols: list[str],
 ) -> list[_Slice] | None:
@@ -94,7 +134,7 @@ def _slices_for_snapshot(
     meta = _current_metadata(table)
     snap = _select_snapshot(meta, table, sid, None)
     op = (snap.get("summary") or {}).get("operation")
-    added: list[_Slice] = []
+    added: list[str] = []
     change = op not in (None, "append")
     if not change:
         for mf in _read_ocf(_abs_file(table, snap["manifest-list"])):
@@ -129,10 +169,7 @@ def _slices_for_snapshot(
                         raise IcebergProtocolError(
                             f"file {df.get('file_path')!r} is {fmt}"
                         )
-                    added.append(_Slice(
-                        _abs_file(table, df["file_path"]), [],
-                        list(schema_cols),
-                    ))
+                    added.append(_abs_file(table, df["file_path"]))
             if change:
                 break
     if change:
@@ -144,7 +181,7 @@ def _slices_for_snapshot(
             "Set skipChangeCommits=true to skip such snapshots, or "
             "read snapshots via iceberg.read_iceberg_table"
         )
-    return added
+    return _file_slices(table, added, schema_cols)
 
 
 class _IcebergBatchReader(DataSourceReader):
@@ -172,11 +209,11 @@ class _IcebergBatchReader(DataSourceReader):
                 "batch source cannot apply the anti-joins; read via "
                 "iceberg.read_iceberg_table"
             )
-        return [
-            _Slice(_abs_file(o.table, d["file_path"]), [],
-                   list(self.schema_cols))
-            for d in snap["files"]
-        ]
+        return _file_slices(
+            o.table,
+            [_abs_file(o.table, d["file_path"]) for d in snap["files"]],
+            self.schema_cols,
+        )
 
     def read(self, partition: _Slice):
         yield from _read_slice(partition, self.schema_cols)

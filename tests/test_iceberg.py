@@ -409,6 +409,132 @@ def test_rename_detection_refuses(spark, tmp_path):
         read_iceberg_table(spark, str(fx.root))
 
 
+def _ids_schema(cols: list[tuple[str, object, int]]):
+    """A pyarrow schema whose columns carry parquet field ids, the way
+    every Iceberg-written data file does."""
+    import pyarrow as pa
+
+    return pa.schema([
+        pa.field(n, t, metadata={b"PARQUET:field_id": str(i).encode()})
+        for n, t, i in cols
+    ])
+
+
+def test_field_id_resolution_reads_renamed_table(spark, tmp_path):
+    """The spec's projection rule: files carrying parquet field ids
+    resolve BY ID, so a renamed column reads its DATA under the new
+    name — the silent-NULL regression this pins is a by-name scan
+    returning NULL for every pre-rename file."""
+    import pyarrow as pa
+
+    fields = [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "renamed_v", "required": False,
+         "type": "string"},
+    ]
+    fx = IceFix(tmp_path / "ice", fields)
+    # pre-rename file: footer column 'v' with field id 2
+    f1 = fx.write_file(
+        [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}],
+        schema=_ids_schema([("k", pa.int64(), 1), ("v", pa.string(), 2)]),
+    )
+    # post-rename file: footer already says 'renamed_v', same id
+    f2 = fx.write_file(
+        [{"k": 3, "renamed_v": "c"}],
+        schema=_ids_schema([("k", pa.int64(), 1),
+                            ("renamed_v", pa.string(), 2)]),
+    )
+    fx.add_snapshot([f1, f2], ts_ms=1_000)
+    fx.finish()
+    df = read_iceberg_table(spark, str(fx.root))
+    assert df.columns == ["k", "renamed_v"]
+    got = {r.k: r.renamed_v for r in df.collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # data, not NULLs
+
+
+def test_field_id_rename_swap_follows_ids(spark, tmp_path):
+    """Swapped names (a<->b): by-name would silently SWAP the columns;
+    by-id keeps each value with its field."""
+    import pyarrow as pa
+
+    fields = [
+        {"id": 1, "name": "b", "required": False, "type": "long"},
+        {"id": 2, "name": "a", "required": False, "type": "long"},
+    ]
+    fx = IceFix(tmp_path / "ice", fields)
+    f1 = fx.write_file(
+        [{"a": 10, "b": 20}],  # footer names are pre-swap
+        schema=_ids_schema([("a", pa.int64(), 1), ("b", pa.int64(), 2)]),
+    )
+    fx.add_snapshot([f1], ts_ms=1_000)
+    fx.finish()
+    r = read_iceberg_table(spark, str(fx.root)).collect()[0]
+    # field id 1 (footer 'a', value 10) is now NAMED 'b'
+    assert (r.b, r.a) == (10, 20)
+
+
+def test_field_id_absent_reads_null(spark, tmp_path):
+    """A field id absent from a file's footer was added after the file
+    was written: it projects as a typed NULL (the added-later rule),
+    even when an UNRELATED same-named column exists under another id."""
+    import pyarrow as pa
+
+    fields = [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 3, "name": "extra", "required": False, "type": "long"},
+    ]
+    fx = IceFix(tmp_path / "ice", fields)
+    f1 = fx.write_file(
+        [{"k": 1}], schema=_ids_schema([("k", pa.int64(), 1)]),
+    )
+    fx.add_snapshot([f1], ts_ms=1_000)
+    fx.finish()
+    r = read_iceberg_table(spark, str(fx.root)).collect()[0]
+    assert (r.k, r.extra) == (1, None)
+
+
+def test_field_id_mixed_with_no_ids_refuses(spark, tmp_path):
+    """A no-ids file inside an ids estate needs a name mapping
+    (schema.name-mapping.default) — refuse, never guess."""
+    import pyarrow as pa
+
+    fx = IceFix(tmp_path / "ice", _FIELDS)
+    f1 = fx.write_file(
+        [{"k": 1, "v": "a"}],
+        schema=_ids_schema([("k", pa.int64(), 1), ("v", pa.string(), 2)]),
+    )
+    f2 = fx.write_file([{"k": 2, "v": "b"}])  # no field ids
+    fx.add_snapshot([f1, f2], ts_ms=1_000)
+    fx.finish()
+    with pytest.raises(IcebergProtocolError, match="name mapping"):
+        read_iceberg_table(spark, str(fx.root)).collect()
+
+
+def test_field_id_path_applies_position_deletes(spark, tmp_path):
+    """MoR through the field-id path: the union of per-generation
+    scans still carries per-scan (file, position) annotations, so
+    position deletes mask rows in a RENAMED table too."""
+    import pyarrow as pa
+
+    fields = [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "renamed_v", "required": False,
+         "type": "string"},
+    ]
+    fx = IceFix(tmp_path / "ice", fields)
+    f1 = fx.write_file(
+        [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}],
+        schema=_ids_schema([("k", pa.int64(), 1), ("v", pa.string(), 2)]),
+    )
+    pd = fx.write_file([{"file_path": f1["file_path"], "pos": 0}],
+                       content=1)
+    fx.add_snapshot([f1, pd], ts_ms=1_000, seq=1)
+    fx.finish()
+    got = [(r.k, r.renamed_v) for r in
+           read_iceberg_table(spark, str(fx.root)).collect()]
+    assert got == [(2, "b")]
+
+
 def test_added_column_reads_null_from_old_files(spark, tmp_path):
     """Evolution ADD: old files lack the column and read as NULL; the
     newest file has it, so the rename gate passes."""

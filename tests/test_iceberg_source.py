@@ -114,6 +114,48 @@ def test_stream_inherits_null_entry_snapshot_id(_registered, tmp_path):
                   spark.read.parquet(out).collect()) == [1, 2]
 
 
+def test_source_field_id_resolution_renamed_table(
+    _registered, tmp_path
+):
+    """Batch AND stream reads resolve columns by parquet field id, so
+    a renamed table's pre-rename files deliver their DATA under the
+    current name — the DataSource twin of the read_iceberg_table rule
+    (ADVICE r10: this path used to NULL-fill silently)."""
+    import pyarrow as pa
+
+    from tests.test_iceberg import _ids_schema
+
+    spark = _registered
+    fields = [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "renamed_v", "required": False,
+         "type": "string"},
+    ]
+    fx = IceFix(tmp_path / "ice", fields)
+    f1 = fx.write_file(
+        [{"k": 1, "v": "a"}],  # pre-rename footer name, same id
+        schema=_ids_schema([("k", pa.int64(), 1), ("v", pa.string(), 2)]),
+    )
+    f2 = fx.write_file(
+        [{"k": 2, "renamed_v": "b"}],
+        schema=_ids_schema([("k", pa.int64(), 1),
+                            ("renamed_v", pa.string(), 2)]),
+    )
+    fx.add_snapshot([f1], ts_ms=1_000)
+    fx.add_snapshot([f1, f2], ts_ms=2_000, statuses=[0, 1])
+    fx.finish()
+    df = (spark.read.format("iceberg_log")
+          .option("path", str(fx.root)).load())
+    assert {(r.k, r.renamed_v) for r in df.collect()} == {
+        (1, "a"), (2, "b")
+    }
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    _run_stream(spark, fx.root, out, ckpt)
+    got = {(r.k, r.renamed_v)
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
 def test_stream_change_snapshot_raises_and_skip_skips(
     _registered, tmp_path
 ):
