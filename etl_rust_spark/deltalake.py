@@ -36,11 +36,13 @@ Scale posture (the 100 TB questions):
   compare exactly, `add.stats` min/max prune ranges — the same
   driver-side discipline as `read_table_version(prune=...)`.
 
-Honesty gates (never misread): unknown reader features, deletion
-vectors, v2 checkpoints, column-mapping `id` mode, nested column
-mapping and non-parquet providers all raise loudly with the feature
-named, matching the Delta protocol's own rule that a reader MUST NOT
-read a table whose reader features it does not implement.
+Honesty gates (never misread): unknown reader features, column-
+mapping `id` mode, nested column mapping and non-parquet providers
+all raise loudly with the feature named, matching the Delta
+protocol's own rule that a reader MUST NOT read a table whose reader
+features it does not implement.  Deletion vectors, classic (single/
+multi-part parquet) checkpoints AND v2 spec checkpoints (json/parquet
+manifest + sidecars) are implemented.
 """
 
 from __future__ import annotations
@@ -81,9 +83,8 @@ class DeltaProtocolError(ValueError):
 _SUPPORTED_READER_FEATURES = {
     "columnMapping",
     "timestampNtz",
-    # listed = "checkpoints MAY be v2"; we gate on the checkpoint we
-    # actually encounter (classic parquet reads fine, a real v2
-    # json/sidecar checkpoint raises in _read_checkpoint)
+    # implemented: json/parquet manifest + _sidecars parquet decode
+    # (see _read_v2_checkpoint)
     "v2Checkpoint",
     # implemented: Z85 + RoaringBitmapArray decode, positions anti-
     # joined on the scan's `_metadata.row_index` (see _apply_dvs)
@@ -93,6 +94,12 @@ _SUPPORTED_READER_FEATURES = {
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(
     r"^(\d{20})\.checkpoint(?:\.(\d{10})\.(\d{10}))?\.parquet$"
+)
+# v2 spec checkpoint manifest: n.checkpoint.<uuid>.{json,parquet}
+_CKPT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\."
+    r"([0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+    r"[0-9a-fA-F]{4}-[0-9a-fA-F]{12})\.(json|parquet)$"
 )
 
 
@@ -106,7 +113,8 @@ def delta_latest_version(path: str) -> int:
     checkpoint may survive)."""
     vs = []
     for p in _log_dir(path).iterdir():
-        m = _COMMIT_RE.match(p.name) or _CKPT_RE.match(p.name)
+        m = (_COMMIT_RE.match(p.name) or _CKPT_RE.match(p.name)
+             or _CKPT_V2_RE.match(p.name))
         if m:
             vs.append(int(m.group(1)))
     if not vs:
@@ -116,15 +124,11 @@ def delta_latest_version(path: str) -> int:
 
 def _checkpoint_parts(path: str, version: int) -> list[Path] | None:
     """The checkpoint file(s) for exactly ``version``, or None.
-    Classic single-part or classic multi-part; a `.checkpoint.json` /
-    sidecar-style v2 checkpoint raises (unsupported, gated loudly)."""
+    Classic single-part, classic multi-part, or a v2 spec checkpoint
+    manifest (``n.checkpoint.<uuid>.{json,parquet}`` — any one
+    manifest is complete by itself; classic is preferred when both
+    coexist during a format transition)."""
     d = _log_dir(path)
-    if (d / f"{version:020d}.checkpoint.json").exists():
-        raise DeltaProtocolError(
-            f"version {version} of {path} has a v2 (json/sidecar) "
-            "checkpoint; this reader implements classic parquet "
-            "checkpoints only"
-        )
     single = d / f"{version:020d}.checkpoint.parquet"
     if single.exists():
         return [single]
@@ -138,6 +142,12 @@ def _checkpoint_parts(path: str, version: int) -> list[Path] | None:
                 f"incomplete: {len(parts)}/{want} parts present"
             )
         return parts
+    v2 = sorted(
+        p for p in d.glob(f"{version:020d}.checkpoint.*")
+        if _CKPT_V2_RE.match(p.name)
+    )
+    if v2:
+        return [v2[0]]
     return None
 
 
@@ -154,45 +164,114 @@ def _latest_checkpoint_at_or_below(path: str, version: int) -> int | None:
         pass
     best = None
     for p in d.iterdir():
-        m = _CKPT_RE.match(p.name)
+        m = _CKPT_RE.match(p.name) or _CKPT_V2_RE.match(p.name)
         if m and int(m.group(1)) <= version:
             best = max(best or -1, int(m.group(1)))
     return best
 
 
-def _read_checkpoint(parts: list[Path]) -> list[dict]:
-    """Classic checkpoint parquet → action dicts (same shape as the
-    JSON commit lines, so replay is one code path)."""
+def _undict(v):
+    # pyarrow maps arrive as [(k, v), ...]; the JSON-commit code
+    # path sees dicts — normalize so replay is one code path
+    if isinstance(v, list) and all(
+        isinstance(x, tuple) and len(x) == 2 for x in v
+    ):
+        return {k: _undict(x) for k, x in v}
+    if isinstance(v, dict):
+        return {k: _undict(x) for k, x in v.items()}
+    return v
+
+
+def _parquet_actions(part: Path, keys: tuple[str, ...]) -> list[dict]:
+    """One checkpoint/sidecar parquet file → action dicts (same shape
+    as the JSON commit lines, so replay is one code path)."""
     import pyarrow.parquet as pq
 
-    def undict(v):
-        # pyarrow maps arrive as [(k, v), ...]; the JSON-commit code
-        # path sees dicts — normalize so replay is one code path
-        if isinstance(v, list) and all(
-            isinstance(x, tuple) and len(x) == 2 for x in v
-        ):
-            return {k: undict(x) for k, x in v}
-        if isinstance(v, dict):
-            return {k: undict(x) for k, x in v.items()}
-        return v
+    actions: list[dict] = []
+    t = pq.read_table(part)
+    cols = set(t.column_names)
+    for row in t.to_pylist():
+        for key in keys:
+            if key in cols and row.get(key) is not None:
+                a = dict(row[key])
+                for mk in ("partitionValues", "configuration", "tags"):
+                    if mk in a:
+                        a[mk] = _undict(a[mk])
+                if key == "metaData" and a.get("format"):
+                    f = dict(a["format"])
+                    f["options"] = _undict(f.get("options"))
+                    a["format"] = f
+                actions.append({key: a})
+    return actions
 
+
+_ACTION_KEYS = ("protocol", "metaData", "add", "remove", "txn")
+
+
+def _read_checkpoint(parts: list[Path]) -> list[dict]:
+    """Checkpoint file(s) → action dicts.  Classic parquet (single or
+    multi-part) and v2 spec checkpoints (json or parquet manifest +
+    parquet sidecars) both land on the same action shape."""
+    if _CKPT_V2_RE.match(parts[0].name):
+        return _read_v2_checkpoint(parts[0])
     actions: list[dict] = []
     for part in parts:
-        t = pq.read_table(part)
-        cols = set(t.column_names)
-        for row in t.to_pylist():
-            for key in ("protocol", "metaData", "add", "remove", "txn"):
-                if key in cols and row.get(key) is not None:
-                    a = dict(row[key])
-                    for mk in ("partitionValues", "configuration",
-                               "tags"):
-                        if mk in a:
-                            a[mk] = undict(a[mk])
-                    if key == "metaData" and a.get("format"):
-                        f = dict(a["format"])
-                        f["options"] = undict(f.get("options"))
-                        a["format"] = f
-                    actions.append({key: a})
+        actions.extend(_parquet_actions(part, _ACTION_KEYS))
+    return actions
+
+
+def _read_v2_checkpoint(manifest: Path) -> list[dict]:
+    """V2 spec checkpoint (Delta 3.x writes these by default on new
+    tables): the manifest — JSON lines or parquet, named
+    ``n.checkpoint.<uuid>.{json,parquet}`` — holds protocol/metaData,
+    the required ``checkpointMetadata`` action (version validated
+    against the file name), optionally file actions inline, and
+    ``sidecar`` pointers to parquet files under
+    ``_delta_log/_sidecars/`` carrying the add/remove actions."""
+    m = _CKPT_V2_RE.match(manifest.name)
+    v = int(m.group(1))
+    if manifest.name.endswith(".json"):
+        raw = [json.loads(line)
+               for line in manifest.read_text().splitlines() if line]
+    else:
+        raw = _parquet_actions(
+            manifest, _ACTION_KEYS + ("sidecar", "checkpointMetadata")
+        )
+    cms = [a["checkpointMetadata"] for a in raw
+           if a.get("checkpointMetadata") is not None]
+    if not cms:
+        raise DeltaProtocolError(
+            f"v2 checkpoint {manifest.name} lacks the required "
+            "checkpointMetadata action"
+        )
+    cv = cms[0].get("version")
+    if cv is not None and int(cv) != v:
+        raise DeltaProtocolError(
+            f"v2 checkpoint {manifest.name} carries checkpointMetadata "
+            f"version {cv} — the manifest is corrupt"
+        )
+    actions = [
+        {k: a[k]}
+        for a in raw
+        for k in _ACTION_KEYS
+        if a.get(k) is not None
+    ]
+    sdir = manifest.parent / "_sidecars"
+    for s in (a["sidecar"] for a in raw if a.get("sidecar") is not None):
+        sp = unquote(str(s["path"]))
+        if "://" in sp:
+            p = Path(urlparse(sp).path)
+        elif sp.startswith("/"):
+            p = Path(sp)
+        else:
+            p = sdir / sp
+        if not p.exists():
+            raise DeltaProtocolError(
+                f"v2 checkpoint sidecar {s['path']!r} is missing "
+                f"(expected at {p})"
+            )
+        # sidecars carry ONLY file actions per the spec
+        actions.extend(_parquet_actions(p, ("add", "remove")))
     return actions
 
 

@@ -420,18 +420,165 @@ def test_checkpoint_replaces_missing_commits(spark, tmp_path):
         delta_snapshot(str(t), 0)
 
 
-def test_v2_checkpoint_raises(tmp_path):
-    t = tmp_path / "delta_v2ck"
+_V2_UUID = "0a1b2c3d-4e5f-4a6b-8c7d-9e0f1a2b3c4d"
+
+
+def _sidecar_schema():
+    import pyarrow as pa
+
+    return pa.schema([
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string())])),
+    ])
+
+
+def _write_v2_checkpoint(t: Path, v: int, fmt: str = "json",
+                         inline: bool = False,
+                         cm_version: int | None = None,
+                         omit_cm: bool = False) -> None:
+    """A spec-shaped v2 checkpoint at version ``v`` from the live
+    snapshot: json or parquet manifest, adds in a _sidecars parquet
+    (default) or inline."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = delta_snapshot(str(t), v)
     log = t / "_delta_log"
-    _commit(log, 0, [_P1, _meta(_schema_str([("k", "long")]))])
-    (log / f"{0:020d}.checkpoint.json").write_text("{}")
-    # with the JSON commit intact the v2 checkpoint is IGNORABLE:
-    # replay from commits is sound, so the read succeeds
-    assert delta_snapshot(str(t), 0)["adds"] == {}
-    # but a log that ROUTES through it (_last_checkpoint) refuses
-    (log / "_last_checkpoint").write_text(json.dumps({"version": 0}))
-    with pytest.raises(DeltaProtocolError, match="v2"):
+    adds = [
+        {"path": a["path"],
+         "partitionValues": a.get("partitionValues") or {},
+         "size": a["size"], "modificationTime": 0, "dataChange": True,
+         "stats": a.get("stats")}
+        for a in snap["adds"].values()
+    ]
+    meta = {
+        "id": snap["metaData"]["id"],
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": snap["metaData"]["schemaString"],
+        "partitionColumns":
+            snap["metaData"].get("partitionColumns") or [],
+        "configuration": {},
+    }
+    proto = {"minReaderVersion": 3, "minWriterVersion": 7,
+             "readerFeatures": ["v2Checkpoint"],
+             "writerFeatures": ["v2Checkpoint"]}
+    cm = {"version": v if cm_version is None else cm_version}
+    side_rel = f"{_V2_UUID}.parquet"
+    if not inline:
+        (log / "_sidecars").mkdir(exist_ok=True)
+        side_rows = [
+            {"add": {**a, "partitionValues":
+                     list(a["partitionValues"].items())}}
+            for a in adds
+        ]
+        pq.write_table(
+            pa.Table.from_pylist(side_rows, schema=_sidecar_schema()),
+            log / "_sidecars" / side_rel,
+        )
+    sidecar = {"path": side_rel,
+               "sizeInBytes": 0 if inline else
+               (log / "_sidecars" / side_rel).stat().st_size,
+               "modificationTime": 0}
+    name = f"{v:020d}.checkpoint.{_V2_UUID}.{fmt}"
+    if fmt == "json":
+        lines = [] if omit_cm else [{"checkpointMetadata": cm}]
+        lines += [{"protocol": proto}, {"metaData": meta}]
+        lines += ([{"add": a} for a in adds] if inline
+                  else [{"sidecar": sidecar}])
+        (log / name).write_text(
+            "".join(json.dumps(ln) + "\n" for ln in lines)
+        )
+    else:
+        rows = [] if omit_cm else [{"checkpointMetadata": cm}]
+        rows += [{"protocol": proto},
+                 {"metaData": {**meta, "configuration": []}}]
+        rows += ([{"add": {**a, "partitionValues":
+                           list(a["partitionValues"].items())}}
+                  for a in adds] if inline else [{"sidecar": sidecar}])
+        schema = pa.schema([
+            ("checkpointMetadata", pa.struct([("version", pa.int64())])),
+            ("protocol", pa.struct([
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+                ("readerFeatures", pa.list_(pa.string())),
+                ("writerFeatures", pa.list_(pa.string()))])),
+            ("metaData", pa.struct([
+                ("id", pa.string()),
+                ("format", pa.struct([
+                    ("provider", pa.string()),
+                    ("options", pa.map_(pa.string(), pa.string()))])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", pa.map_(pa.string(), pa.string()))])),
+            ("add", _sidecar_schema().field("add").type),
+            ("sidecar", pa.struct([
+                ("path", pa.string()),
+                ("sizeInBytes", pa.int64()),
+                ("modificationTime", pa.int64())])),
+        ])
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                       log / name)
+    (log / "_last_checkpoint").write_text(json.dumps({"version": v}))
+
+
+@pytest.mark.parametrize("fmt,inline", [("json", False),
+                                        ("parquet", False),
+                                        ("json", True),
+                                        ("parquet", True)])
+def test_v2_checkpoint_reads(spark, tmp_path, fmt, inline):
+    """V2 spec checkpoints (Delta 3.x default on new tables): json and
+    parquet manifests, adds inline or via _sidecars parquet — after
+    log cleanup the v2-checkpoint-only log reads version-for-version
+    equal to what commit replay produced."""
+    t = _simple_table(tmp_path)
+    # ground truth from pure commit replay, before any cleanup
+    want_v1 = sorted(r.k for r in
+                     read_delta_table(spark, str(t), version=1).collect())
+    want_head = sorted(r.k for r in
+                       read_delta_table(spark, str(t)).collect())
+    _write_v2_checkpoint(t, 1, fmt=fmt, inline=inline)
+    log = t / "_delta_log"
+    os.remove(log / f"{0:020d}.json")
+    os.remove(log / f"{1:020d}.json")  # classic checkpoints "cleaned"
+    assert sorted(
+        r.k for r in read_delta_table(spark, str(t), version=1).collect()
+    ) == want_v1 == [1, 2, 3, 4]
+    assert sorted(
+        r.k for r in read_delta_table(spark, str(t)).collect()
+    ) == want_head == [3, 4]
+    # below the checkpoint with commits gone still raises
+    with pytest.raises(FileNotFoundError, match="commit 0"):
         delta_snapshot(str(t), 0)
+    # discovery also works without the _last_checkpoint pointer
+    os.remove(log / "_last_checkpoint")
+    assert sorted(
+        r.k for r in read_delta_table(spark, str(t)).collect()
+    ) == [3, 4]
+
+
+def test_v2_checkpoint_honesty_gates(spark, tmp_path):
+    t = _simple_table(tmp_path)
+    log = t / "_delta_log"
+    # a manifest without the REQUIRED checkpointMetadata action
+    _write_v2_checkpoint(t, 1, omit_cm=True)
+    with pytest.raises(DeltaProtocolError, match="checkpointMetadata"):
+        delta_snapshot(str(t), 1)
+    os.remove(log / f"{1:020d}.checkpoint.{_V2_UUID}.json")
+    # a manifest whose checkpointMetadata disagrees with its name
+    _write_v2_checkpoint(t, 1, cm_version=7)
+    with pytest.raises(DeltaProtocolError, match="corrupt"):
+        delta_snapshot(str(t), 1)
+    os.remove(log / f"{1:020d}.checkpoint.{_V2_UUID}.json")
+    # a sidecar pointer whose file is gone
+    _write_v2_checkpoint(t, 1)
+    os.remove(log / "_sidecars" / f"{_V2_UUID}.parquet")
+    with pytest.raises(DeltaProtocolError, match="missing"):
+        delta_snapshot(str(t), 1)
 
 
 def test_multipart_checkpoint(spark, tmp_path):
