@@ -31,9 +31,11 @@ Semantics are Delta's streaming-source contract, deliberately:
 Batch reads (``spark.read``) plan the file list of one resolved
 version (``version`` = number | ``latest``, or ``asOf`` = ISO-8601 /
 epoch timestamp) — a distributed time-travel read with one input
-partition per data file.  MoR-masked tables are rejected for batch
-reads here (the anti-join needs a plan; use ``read_table_version``) —
-loud, never silently wrong.
+partition per data file.  MoR-masked versions read correctly: the
+delete sidecars' (file, position) pairs — recorded at delete time,
+broadcast-sized by the writer's ``mor_max_rows`` guard — ship with
+each slice and mask rows executor-side (r11); pre-r11 fingerprint-
+only sidecars refuse loudly with the remediations named.
 
 Hive-style partition-directory values surface as a STRING column
 (``__HIVE_DEFAULT_PARTITION__`` → NULL, percent-escapes decoded);
@@ -91,7 +93,8 @@ def _ddl_of(pa_type) -> str:
 class _FileSlice(InputPartition):
     def __init__(self, path: str, part_col: str | None,
                  part_val: str | None,
-                 phys_cols: list[str] | None = None) -> None:
+                 phys_cols: list[str] | None = None,
+                 masked_pos: frozenset[int] | None = None) -> None:
         self.path = path
         self.part_col = part_col
         self.part_val = part_val
@@ -99,6 +102,44 @@ class _FileSlice(InputPartition):
         # from this slice's own version manifest — column-mapped
         # tables read correctly even mid-stream across a rename
         self.phys_cols = phys_cols
+        # MoR: row positions masked by delete sidecars (None = none) —
+        # broadcast-sized by the writer's mor_max_rows guard
+        self.masked_pos = masked_pos
+
+
+def _masked_positions(
+    table: str, v: int, m: dict
+) -> dict[str, frozenset[int]]:
+    """Data-relative file → masked row positions from the version's
+    MoR delete sidecars — the jar-free twin of versions.
+    _plan_with_deletes' broadcast anti-join, keyed on the (file, pos)
+    pairs sidecars record at delete time (r11).  Pre-r11 sidecars
+    carry only fingerprints, whose string-cast encode a pyarrow reader
+    cannot replicate — those refuse with the remediations named."""
+    deletes = m.get("deletes") or []
+    if not deletes:
+        return {}
+    import pyarrow.parquet as pq
+
+    out: dict[str, set[int]] = {}
+    for d in deletes:
+        sp = Path(table) / "data" / d["path"]
+        names = set(pq.read_schema(sp).names)
+        if not {"_file", "_pos"} <= names:
+            raise ValueError(
+                f"version {v} of {table} carries a pre-r11 merge-on-"
+                "read sidecar without row positions — this source "
+                "cannot replicate the fingerprint anti-join; read via "
+                "versions.read_table_version, or compact_table_version "
+                "to fold the debt first"
+            )
+        scope = set(d["files"])
+        t = pq.read_table(sp, columns=["_file", "_pos"])
+        for f, p in zip(t.column(0).to_pylist(),
+                        t.column(1).to_pylist()):
+            if f in scope:  # carry rule: rewritten files left scope
+                out.setdefault(f, set()).add(p)
+    return {f: frozenset(ps) for f, ps in out.items()}
 
 
 class _Opts:
@@ -157,6 +198,10 @@ def _read_slice(table: str, s: _FileSlice, schema_cols: list[str]) -> Iterator[t
     fpath = str(Path(table) / "data" / s.path)
     tbl = pq.read_table(fpath)
     pdf = tbl.to_pandas()
+    if s.masked_pos:
+        # MoR: drop sidecar-masked rows by file position (to_pandas
+        # yields a RangeIndex in file order, so index == row position)
+        pdf = pdf[~pdf.index.isin(list(s.masked_pos))]
     # Columns Spark reads as TimestampType (UTC-adjusted micros, or
     # INT96 which arrow surfaces TZ-NAIVE) must be tz-aware before the
     # DataSource harness converts them — a naive Timestamp makes its
@@ -215,13 +260,7 @@ class _TableBatchReader(DataSourceReader):
         else:
             v = int(self.opts.version)
         m = _manifest(t, v)
-        if m.get("deletes"):
-            raise ValueError(
-                f"version {v} of {t} carries merge-on-read delete "
-                "sidecars — the jar-free batch source cannot apply the "
-                "anti-join; read via versions.read_table_version, or "
-                "compact_table_version to fold the debt first"
-            )
+        masked = _masked_positions(t, v, m)
         phys = _phys_cols_of(m, self.schema_cols)
         hidden = bool(m.get("partition_transform"))
         out = []
@@ -229,7 +268,8 @@ class _TableBatchReader(DataSourceReader):
             # hidden partitioning: the directory value is DERIVED from a
             # payload column the files already carry — never surface it
             col, val = (None, None) if hidden else _part_of(t, f)
-            out.append(_FileSlice(f, col, val, phys))
+            out.append(_FileSlice(f, col, val, phys,
+                                  masked.get(f)))
         return out
 
     def read(self, partition: _FileSlice):

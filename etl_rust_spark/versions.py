@@ -1897,16 +1897,53 @@ def write_table_version(
 # semantics, NULLs included, with no null-safe-join gymnastics.
 
 
-def _row_fingerprint(df: DataFrame):
-    """Injective full-row fingerprint in sorted-column order — the ONE
-    encoding both the sidecar build and the read-side anti-join use."""
+_MOR_MAX_ROWS = 1_000_000
+
+
+def _check_mor_size(n_matched: int, mor_max_rows: int, op: str,
+                    path: str) -> None:
+    """The MoR cost model is BROADCAST-SIZED takedowns: the sidecar
+    stages through one task (coalesce(1)) and then rides every read as
+    a broadcast delete side.  A broad predicate breaks both halves —
+    one funneled writer task now, an executor-memory-sized broadcast
+    on every read after — so past the row threshold refuse with the
+    CoW remediation instead of silently degrading (VERDICT r10 #5)."""
+    if n_matched > mor_max_rows:
+        raise ValueError(
+            f"{op} of {path} matched {n_matched:,} rows — over the "
+            f"mor_max_rows={mor_max_rows:,} sidecar guard.  A sidecar "
+            "that size funnels through one staging task and then rides "
+            "EVERY read as a broadcast delete side.  Use mode='cow' "
+            "for broad predicates (write amplification once, clean "
+            "reads after), or pass a larger mor_max_rows if the read "
+            "tax is understood"
+        )
+
+
+def _sidecar_rows(matched: DataFrame, m: dict) -> DataFrame:
+    """One sidecar row per matched row: ``_fp`` (the injective full-
+    row fingerprint in PHYSICAL space — column order sorts by NAME, so
+    a rename never changes it) plus ``_file``/``_pos`` (data-relative
+    file and row position, captured from the delete-time scan) so
+    position-capable readers mask without replicating the fingerprint
+    encode.  Fingerprint readers ``select("_fp").distinct()`` and see
+    exactly the pre-r11 shape.  ``matched`` carries the
+    :data:`_POS_COLS` annotations; :func:`_to_physical` passes them
+    through untouched, and they are excluded from the fingerprint."""
     from etl_rust_spark.operators.profile import _fingerprint
 
-    return _fingerprint(df, sorted(df.columns))
+    matched_p = _to_physical(matched, m)
+    fp_cols = sorted(c for c in matched_p.columns
+                     if c not in _POS_COLS)
+    return matched_p.select(
+        _fingerprint(matched_p, fp_cols).alias("_fp"),
+        F.col(_POS_COLS[0]).alias("_file"),
+        F.col(_POS_COLS[1]).alias("_pos"),
+    )
 
 
 def _stage_delete_sidecar(fps: DataFrame, table: str) -> str:
-    """Write a fingerprint frame as ONE parquet under ``data/_deletes/``
+    """Write a sidecar frame as ONE parquet under ``data/_deletes/``
     (sidecars are driver-named, collision-free, and live inside data/
     so expiry's sweep covers them); returns the data-relative path."""
     root = Path(table)
@@ -1939,10 +1976,34 @@ def _carry_deletes(
     return out or None
 
 
+_POS_COLS = ("__pos_file", "__pos_idx")
+
+
+def _pos_annotation_cols(data: str) -> list:
+    """(data-relative file, row position) expressions over a scan's
+    ``_metadata`` columns — recorded into MoR sidecars at delete time
+    so position-capable readers (the jar-free DataSource) can mask
+    rows without replicating the fingerprint string-cast encode.
+    Literal '+' is pre-escaped before url_decode (the deltalake
+    scan-side discipline: java decodes '+' to a space, silently
+    breaking path equality)."""
+    data_abs = str(Path(data).resolve())
+    dec = F.url_decode(
+        F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
+    )
+    rel = F.regexp_replace(
+        F.regexp_replace(dec, "^file:/+", "/"),
+        "^" + re.escape(data_abs) + "/", "",
+    )
+    return [rel.alias(_POS_COLS[0]),
+            F.col("_metadata.row_index").alias(_POS_COLS[1])]
+
+
 def _plan_with_deletes(
     spark: SparkSession, data: str, files: list[str],
     deletes: list[dict] | None,
     synth: str | None = None,
+    positions: bool = False,
 ) -> DataFrame:
     """Plan ``files`` with MoR sidecars applied: files are grouped by
     their APPLICABLE sidecar set (usually one or two groups — most
@@ -1969,14 +2030,25 @@ def _plan_with_deletes(
         df = spark.read.option("basePath", data).parquet(
             *[f"{data}/{f}" for f in fs]
         )
+        if positions:
+            # per scan relation, BEFORE the union (`_metadata` does
+            # not resolve through a union)
+            df = df.select("*", *_pos_annotation_cols(data))
         if synth and synth in df.columns:
             df = df.withColumn(synth, F.col(synth).cast("string"))
         if sidecars:
             dd = spark.read.parquet(
                 *[f"{data}/{s}" for s in sidecars]
             ).select("_fp").distinct()
+            from etl_rust_spark.operators.profile import _fingerprint
+
+            # fingerprint the DATA columns only — the position
+            # annotations are reader-side bookkeeping, never part of
+            # the row identity the sidecars encode
+            fp_cols = sorted(c for c in df.columns
+                             if c not in _POS_COLS)
             df = (
-                df.withColumn("__fp", _row_fingerprint(df))
+                df.withColumn("__fp", _fingerprint(df, fp_cols))
                 .join(
                     F.broadcast(dd),
                     F.col("__fp") == F.col("_fp"),
@@ -2478,6 +2550,11 @@ def table_detail(path: str) -> dict:
         "properties": m.get("properties") or {},
         "column_map": m.get("column_map") or {},
         "n_delete_sidecars": len(m.get("deletes") or []),
+        "delete_sidecar_bytes": sum(
+            (data / d["path"]).stat().st_size
+            for d in m.get("deletes") or []
+            if (data / d["path"]).exists()
+        ),
         "ts": m.get("ts"),
         "op": m.get("op"),
         "txn": m.get("txn") or {},
@@ -3244,6 +3321,7 @@ def delete_table_version(
     prune: list[tuple] | None = None,
     point: list[tuple] | None = None,
     mode: str = "cow",
+    mor_max_rows: int = _MOR_MAX_ROWS,
 ) -> int:
     """Row-level ``DELETE WHERE`` as a new version with FILE-LEVEL
     copy-on-write — the takedown / GDPR-erasure operation a training-
@@ -3287,12 +3365,15 @@ def delete_table_version(
     a deleted row's ARE the deleted rows; identical duplicates that
     both matched the predicate both disappear (they would under CoW
     too).  A later upsert/insert of identical content lands in a new
-    file outside the sidecar's scope and is NOT masked."""
+    file outside the sidecar's scope and is NOT masked.  A predicate
+    matching more than ``mor_max_rows`` refuses with the CoW
+    remediation — the sidecar must stay broadcast-sized (see
+    :func:`_check_mor_size`)."""
     if mode not in ("cow", "mor"):
         raise ValueError(f"mode must be cow|mor, got {mode!r}")
     return _retry_conflicts(
         lambda: _delete_table_version_once(
-            spark, path, predicate, prune, point, mode
+            spark, path, predicate, prune, point, mode, mor_max_rows
         ),
         f"delete from {path}",
     )
@@ -3301,7 +3382,7 @@ def delete_table_version(
 def _delete_table_version_once(
     spark: SparkSession, path: str, predicate,
     prune: list[tuple] | None, point: list[tuple] | None = None,
-    mode: str = "cow",
+    mode: str = "cow", mor_max_rows: int = _MOR_MAX_ROWS,
 ) -> int:
     head = latest_version(path)
     if head is None:
@@ -3318,9 +3399,11 @@ def _delete_table_version_once(
     partition_by = m.get("partition_by") or None
     # the hit-file read applies EXISTING MoR sidecars: already-deleted
     # rows must neither resurrect into rewritten files (CoW) nor count
-    # as matches (both modes)
+    # as matches (both modes); MoR additionally annotates (file, pos)
+    # so the sidecar carries positions for position-capable readers
     hdf = _plan_with_deletes(
-        spark, data, sorted(hit), m.get("deletes"), _synth_of(m)
+        spark, data, sorted(hit), m.get("deletes"), _synth_of(m),
+        positions=mode == "mor",
     )
     ldf = _to_logical(hdf, m)  # user predicate space
     stats_cols = m.get("stats_cols") or None
@@ -3330,13 +3413,8 @@ def _delete_table_version_once(
         n_matched = matched.count()
         if not n_matched:
             return head
-        # fingerprints live in PHYSICAL space (their column order
-        # sorts by NAME — a rename must never change them)
-        matched_p = _to_physical(matched, m)
-        fps = matched_p.select(
-            _row_fingerprint(matched_p).alias("_fp")
-        ).distinct()
-        rel = _stage_delete_sidecar(fps, path)
+        _check_mor_size(n_matched, mor_max_rows, "MoR delete", path)
+        rel = _stage_delete_sidecar(_sidecar_rows(matched, m), path)
         deletes = list(m.get("deletes") or []) + [
             {"path": rel, "files": sorted(hit)}
         ]
@@ -3378,6 +3456,7 @@ def update_table_version(
     prune: list[tuple] | None = None,
     point: list[tuple] | None = None,
     mode: str = "cow",
+    mor_max_rows: int = _MOR_MAX_ROWS,
 ) -> int:
     """Row-level ``UPDATE ... SET ... WHERE`` as a new version —
     completes the DML trio next to :func:`upsert_table_version` and
@@ -3396,12 +3475,15 @@ def update_table_version(
     files and only the UPDATED rows stage as a new (tiny) file — a
     1-row update on a 1 GB file costs a KB sidecar plus one small
     append instead of the full rewrite; :func:`compact_table_version`
-    folds the debt exactly as for MoR deletes."""
+    folds the debt exactly as for MoR deletes.  A predicate matching
+    more than ``mor_max_rows`` refuses with the CoW remediation — the
+    sidecar must stay broadcast-sized (see :func:`_check_mor_size`)."""
     if mode not in ("cow", "mor"):
         raise ValueError(f"mode must be cow|mor, got {mode!r}")
     return _retry_conflicts(
         lambda: _update_table_version_once(
-            spark, path, predicate, set, prune, point, mode
+            spark, path, predicate, set, prune, point, mode,
+            mor_max_rows
         ),
         f"update of {path}",
     )
@@ -3410,7 +3492,7 @@ def update_table_version(
 def _update_table_version_once(
     spark: SparkSession, path: str, predicate, set: dict,
     prune: list[tuple] | None, point: list[tuple] | None,
-    mode: str = "cow",
+    mode: str = "cow", mor_max_rows: int = _MOR_MAX_ROWS,
 ) -> int:
     head = latest_version(path)
     if head is None:
@@ -3428,7 +3510,7 @@ def _update_table_version_once(
     # deletes-aware: MoR-masked rows must not resurrect into the
     # rewritten files (their sidecar scope ends with the rewrite)
     hdf = _plan_with_deletes(spark, data, sorted(hit), m.get("deletes"),
-                             _synth_of(m))
+                             _synth_of(m), positions=mode == "mor")
     ldf = _to_logical(hdf, m)  # SET names / predicates are logical
     unknown = [c for c in set if c not in ldf.columns]
     if unknown:
@@ -3444,16 +3526,16 @@ def _update_table_version_once(
         n_matched = matched_rows.count()
         if not n_matched:
             return head
+        _check_mor_size(n_matched, mor_max_rows, "MoR update", path)
         # old images masked by a sidecar scoped to the hit files; the
         # updated rows (SET applied simultaneously against the old row)
         # append as fresh files OUTSIDE every sidecar's scope.
         # Fingerprints are PHYSICAL (rename-stable)
-        matched_p = _to_physical(matched_rows, m)
-        fps = matched_p.select(
-            _row_fingerprint(matched_p).alias("_fp")
-        ).distinct()
+        side = _sidecar_rows(matched_rows, m)
         uproj = []
         for c in ldf.columns:
+            if c in _POS_COLS:
+                continue
             if c in set:
                 val = set[c]
                 val = F.expr(val) if isinstance(val, str) else val
@@ -3465,7 +3547,7 @@ def _update_table_version_once(
             updated, m.get("constraints"), f"update of {path}"
         )
         new_files = _stage_files(_to_physical(updated, m), path, partition_by)
-        rel = _stage_delete_sidecar(fps, path)
+        rel = _stage_delete_sidecar(side, path)
         deletes = list(m.get("deletes") or []) + [
             {"path": rel, "files": sorted(hit)}
         ]

@@ -1593,6 +1593,44 @@ def test_mor_delete_rewrites_zero_data_files(spark, tmp_path):
     assert V.history(p)[0]["op"] == "delete(mor)"
 
 
+def test_mor_size_guard_refuses_broad_predicates(spark, tmp_path):
+    """VERDICT r10 #5: a MoR sidecar must stay broadcast-sized — a
+    predicate matching more than mor_max_rows refuses with the CoW
+    remediation instead of funneling one staging task and taxing every
+    later read; the head is unchanged, and the explicit override (the
+    read tax understood) still works."""
+    p = _mor_table(spark, tmp_path)
+    with pytest.raises(ValueError, match="mode='cow'"):
+        V.delete_table_version(spark, p, "k < 10", mode="mor",
+                               mor_max_rows=3)
+    with pytest.raises(ValueError, match="mor_max_rows"):
+        V.update_table_version(spark, p, "k < 10", {"val": "'X'"},
+                               mode="mor", mor_max_rows=3)
+    assert V.latest_version(p) == 1  # both refusals left no commit
+    # explicit override: the same predicate commits
+    v = V.delete_table_version(spark, p, "k < 10", mode="mor",
+                               mor_max_rows=100)
+    assert v == 2
+    assert V.read_table_version(spark, p).filter("k < 10").count() == 0
+
+
+def test_table_detail_surfaces_sidecar_bytes(spark, tmp_path):
+    """DESCRIBE DETAIL must show the MoR read-tax size, not just the
+    sidecar count — the cost-model observability half of VERDICT r10
+    #5."""
+    p = _mor_table(spark, tmp_path)
+    assert V.table_detail(p)["delete_sidecar_bytes"] == 0
+    V.delete_table_version(spark, p, "k = 17", mode="mor")
+    d = V.table_detail(p)
+    assert d["n_delete_sidecars"] == 1
+    assert d["delete_sidecar_bytes"] > 0
+    # compaction folds the debt: bytes return to zero
+    V.compact_table_version(spark, p)
+    d2 = V.table_detail(p)
+    assert d2["n_delete_sidecars"] == 0
+    assert d2["delete_sidecar_bytes"] == 0
+
+
 def test_mor_read_parity_with_cow(spark, tmp_path):
     """The MoR head read equals the CoW head read for the same DELETE —
     including NULL-predicate rows (kept) and multi-file hits."""
