@@ -530,15 +530,84 @@ def read_iceberg_table(
     has_dels = bool(snap["pos_deletes"] or snap["eq_deletes"])
     phys = _resolve_phys_cols(sorted(keep), schema["fields"])
     if phys is None:  # no-ids estate: by-name fast path, ONE scan
-        _check_names_resolve(sorted(keep), schema)
-        df = spark.read.schema(sschema).parquet(*keep)
-        if has_dels:
+        missing = _names_missing(sorted(keep), schema)
+        inject = _identity_injection(
+            missing, snap["metadata"], schema
+        ) if missing else {}
+        not_covered = [n for n in missing if n not in inject]
+        if not_covered:
+            _check_names_resolve(sorted(keep), schema)  # raises
+        scan = T.StructType([f for f in sschema.fields
+                             if f.name not in inject])
+        df = spark.read.schema(scan).parquet(*keep)
+        if has_dels or inject:
             df = _annotate_positions(df)
+        if inject:
+            df = _inject_partition_values(
+                spark, df, keep, files, inject, sschema
+            )
+            if not has_dels:
+                df = df.drop("_ice_fp", "_ice_pos")
     else:
         df = _scan_by_field_id(spark, keep, phys, sschema, has_dels)
     if has_dels:
         df = _apply_deletes(spark, path, df, snap, files, keep, schema)
     return df.select(*[f.name for f in sschema.fields])
+
+
+def _identity_injection(
+    missing: list[str], meta: dict, schema: dict
+) -> dict[str, str]:
+    """The spec's column-projection rule, metadata half: for schema
+    fields absent from the data files, ``{field_name:
+    partition_field_name}`` where the DEFAULT spec carries an identity
+    transform over that field — their values resolve from partition
+    metadata instead of the scan (how an identity-partitioned export
+    of a hive-layout table reads back)."""
+    specs = {s.get("spec-id", 0): s for s in
+             meta.get("partition-specs") or []}
+    spec = specs.get(meta.get("default-spec-id", 0)) or {}
+    by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    out: dict[str, str] = {}
+    for pf in spec.get("fields") or []:
+        src = by_id.get(pf.get("source-id"))
+        if src in missing and pf.get("transform") == "identity":
+            out[src] = pf["name"]
+    return out
+
+
+def _inject_partition_values(
+    spark: SparkSession,
+    df: DataFrame,
+    keep: list[str],
+    files: dict[str, dict],
+    inject: dict[str, str],
+    sschema: T.StructType,
+) -> DataFrame:
+    """Fill identity-partitioned fields from each file's manifest
+    ``partition`` struct: a tiny broadcast file→values map joined on
+    the scan's normalized file path (the Delta partition-injection
+    pattern — no per-partition scan fan-out, no shuffle)."""
+    from pyspark.sql import functions as F
+
+    cols = list(inject)
+    rows = [
+        tuple([f] + [
+            (files[f].get("partition") or {}).get(inject[c])
+            for c in cols
+        ])
+        for f in keep
+    ]
+    pmap_schema = T.StructType(
+        [T.StructField("_ice_fp", T.StringType(), False)]
+        + [T.StructField(f"__ipv_{c}", sschema[c].dataType, True)
+           for c in cols]
+    )
+    pmap = spark.createDataFrame(rows, pmap_schema)
+    df = df.join(F.broadcast(pmap), "_ice_fp", "left")
+    for c in cols:
+        df = df.withColumn(c, F.col(f"__ipv_{c}")).drop(f"__ipv_{c}")
+    return df
 
 
 def _annotate_positions(df: DataFrame) -> DataFrame:
@@ -753,6 +822,23 @@ def import_iceberg_table(spark: SparkSession, path: str, dest: str) -> int:
         files: list[str] = []
         stats: dict[str, dict] = {}
         count = 0
+        if snap["files"]:
+            # metadata-only columns (identity-partitioned tables whose
+            # files omit the source column — the projection rule fills
+            # them at read time) cannot be imported verbatim: the
+            # hardlinked file would read silent NULLs here
+            import pyarrow.parquet as pq
+
+            probe = _abs_file(path, snap["files"][0]["file_path"])
+            absent = names - set(pq.read_schema(probe).names)
+            if absent:
+                raise ValueError(
+                    f"snapshot {s['snapshot_id']} of {path} keeps "
+                    f"columns {sorted(absent)} in partition metadata "
+                    "only (not in the data files) — importing verbatim "
+                    "would silently NULL them; materialize via "
+                    "read_iceberg_table + write_table_version"
+                )
         for d in snap["files"]:
             src = _abs_file(path, d["file_path"])
             rel = linked.get(src)
@@ -855,17 +941,14 @@ def _resolve_phys_cols(
     return out
 
 
-def _check_names_resolve(files: list[str], schema: dict) -> None:
+def _names_missing(files: list[str], schema: dict) -> list[str]:
     """A few footer reads (pyarrow, driver-side, ≤8 files sampled
-    evenly): every top-level field of the snapshot schema must exist
-    by NAME in at least one sampled footer.  A RENAMED Iceberg column
-    keeps its old name in every footer (only field-id resolution can
-    follow it), so a name in no footer means a by-name scan would hand
-    back a silently-NULL column — refuse loudly instead.  Columns
-    ADDED by evolution exist in the post-add footers, which the spread
-    sample is overwhelmingly likely to hit; a table where an added
-    column's files all fall outside the sample refuses spuriously —
-    the safe direction (no silent NULLs)."""
+    evenly): the top-level schema fields that exist by NAME in no
+    sampled footer.  Columns ADDED by evolution exist in the post-add
+    footers, which the spread sample is overwhelmingly likely to hit;
+    a table where an added column's files all fall outside the sample
+    reports it missing spuriously — the safe direction (the caller
+    refuses rather than NULL-fills)."""
     import pyarrow.parquet as pq
 
     n = len(files)
@@ -874,8 +957,16 @@ def _check_names_resolve(files: list[str], schema: dict) -> None:
     seen: set[str] = set()
     for i in idx:
         seen.update(pq.read_schema(files[i]).names)
-    missing = [f["name"] for f in schema["fields"]
-               if f["name"] not in seen]
+    return [f["name"] for f in schema["fields"]
+            if f["name"] not in seen]
+
+
+def _check_names_resolve(files: list[str], schema: dict) -> None:
+    """Refuse when a schema field resolves in NO sampled footer: a
+    RENAMED Iceberg column keeps its old name in every footer (only
+    field-id resolution can follow it), so a name in no footer means
+    a by-name scan would hand back a silently-NULL column."""
+    missing = _names_missing(files, schema)
     if missing:
         raise IcebergProtocolError(
             f"schema fields {missing} are absent from every sampled "
@@ -953,13 +1044,45 @@ _EXP_DATA_FILE = {
     ],
 }
 
-_EXP_MANIFEST_ENTRY = {
-    "type": "record", "name": "manifest_entry", "fields": [
-        {"name": "status", "type": "int"},
-        {"name": "snapshot_id", "type": ["null", "long"]},
-        {"name": "data_file", "type": _EXP_DATA_FILE},
-    ],
-}
+def _exp_entry_schema(part_fields: list[tuple[str, str]]) -> dict:
+    """Manifest-entry Avro schema, with the partition struct shaped by
+    the table's identity partition fields (name, iceberg primitive)."""
+    df = json.loads(json.dumps(_EXP_DATA_FILE))  # deep copy
+    if part_fields:
+        avro_of = {"int": "int", "long": "long", "string": "string"}
+        df["fields"].append({"name": "partition", "type": {
+            "type": "record", "name": "pt", "fields": [
+                {"name": n, "type": ["null", avro_of[t]]}
+                for n, t in part_fields
+            ],
+        }})
+    return {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": df},
+        ],
+    }
+
+
+_EXP_PART_TYPES = ("int", "long", "string")
+
+
+def _hive_part_value(rel: str, col: str, t: str):
+    """The typed identity-partition value of one data-relative hive
+    path (``ds=10/part.parquet``); None for the null directory."""
+    from urllib.parse import unquote
+
+    seg = rel.split("/", 1)[0]
+    name, _, raw = seg.partition("=")
+    if name != col:
+        raise ValueError(
+            f"file {rel!r} does not sit under a {col}= directory"
+        )
+    val = unquote(raw)
+    if val == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    return int(val) if t in ("int", "long") else val
 
 _EXP_MANIFEST_FILE = {
     "type": "record", "name": "manifest_file", "fields": [
@@ -981,13 +1104,19 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
     serialization for the prunable types.  Completes the interop
     matrix next to :func:`~.deltalake.export_delta_log`.
 
-    Refuses (remediation named): partitioned tables (our hive layout
-    keeps the partition column OUT of the data files, while Iceberg
-    requires every column in them — re-snapshot unpartitioned first),
-    column-mapped tables (footers carry physical names an Iceberg
-    by-name/by-id reader cannot resolve — re-baseline first), hidden
-    transforms, and outstanding MoR sidecars (readers would resurrect
-    masked rows — compact first).
+    IDENTITY-partitioned (hive layout) tables export with a partition
+    spec and per-entry partition values: our layout keeps the
+    partition column OUT of the data files, and Iceberg's column-
+    projection rule covers exactly that — a field id absent from a
+    file resolves from partition metadata when an identity transform
+    exists for it (the rule :func:`read_iceberg_table` implements).
+
+    Refuses (remediation named): partition VALUE types outside
+    int/long/string (re-snapshot unpartitioned first), column-mapped
+    tables (footers carry physical names an Iceberg by-name/by-id
+    reader cannot resolve — re-baseline first), hidden transforms,
+    and outstanding MoR sidecars (readers would resurrect masked
+    rows — compact first).
 
     Metadata cost is O(live files) per snapshot (every snapshot gets a
     full manifest) — the straightforward export form; Iceberg's
@@ -1026,15 +1155,6 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
                 f"version {v} of {path} uses a hidden partition "
                 "transform — alter to an identity layout first"
             )
-        if m.get("partition_by"):
-            raise ValueError(
-                f"version {v} of {path} is hive-partitioned by "
-                f"{m['partition_by']!r}: the partition column lives in "
-                "directory names, not the data files, and Iceberg "
-                "requires every column in the files — re-snapshot "
-                "unpartitioned (alter_table_version(new_partition_by="
-                "None)) first"
-            )
         if _column_map(m):
             raise ValueError(
                 f"version {v} of {path} is column-mapped — data-file "
@@ -1045,6 +1165,9 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
     field_ids: dict[str, int] = {}
     schemas: list[dict] = []
     schema_key_to_id: dict[str, int] = {}
+    specs: list[dict] = []
+    spec_key_to_id: dict[str, int] = {}
+    last_spec_id = 0
     snapshots = []
     root = Path(path)
     # first version that referenced each file: carried files export as
@@ -1071,6 +1194,33 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
         type_of = {f["name"]: f["type"] for f in fields
                    if isinstance(f["type"], str)}
         id_of = {f["name"]: f["id"] for f in fields}
+        # identity (hive) partitioning: a spec per distinct layout,
+        # partition values decoded from the directory names into each
+        # manifest entry — Iceberg's column-projection rule fills the
+        # column back at read time
+        pb = m.get("partition_by") or None
+        part_fields: list[tuple[str, str]] = []
+        if pb:
+            pt = type_of.get(pb)
+            if pt not in _EXP_PART_TYPES:
+                raise ValueError(
+                    f"version {v} of {path} is partitioned by {pb!r} "
+                    f"of type {pt!r} — partition-value export covers "
+                    f"{_EXP_PART_TYPES}; re-snapshot unpartitioned "
+                    "(alter_table_version(new_partition_by=None)) first"
+                )
+            part_fields = [(pb, pt)]
+        spec_fields = [
+            {"name": n, "transform": "identity",
+             "source-id": id_of[n], "field-id": 1000 + i}
+            for i, (n, t) in enumerate(part_fields)
+        ]
+        skey = json.dumps(spec_fields, sort_keys=True)
+        if skey not in spec_key_to_id:
+            spec_key_to_id[skey] = len(specs)
+            specs.append({"spec-id": len(specs),
+                          "fields": spec_fields})
+        spec_id = spec_key_to_id[skey]
         stats = m.get("stats") or {}
         entries = []
         for rel in sorted(m["files"]):
@@ -1094,8 +1244,7 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
 
                 rows = pq.read_metadata(fp).num_rows
             added_by = first_seen.setdefault(rel, v)
-            entries.append({"status": 1 if added_by == v else 0,
-                            "snapshot_id": added_by, "data_file": {
+            data_file = {
                 "content": 0,
                 "file_path": "file://" + str(fp),
                 "file_format": "PARQUET",
@@ -1103,16 +1252,25 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
                 "file_size_in_bytes": fp.stat().st_size,
                 "lower_bounds": lo_b or None,
                 "upper_bounds": hi_b or None,
-            }})
+            }
+            if part_fields:
+                data_file["partition"] = {
+                    n: _hive_part_value(rel, n, t)
+                    for n, t in part_fields
+                }
+            entries.append({"status": 1 if added_by == v else 0,
+                            "snapshot_id": added_by,
+                            "data_file": data_file})
         mp = d / f"manifest-{v}.avro"
-        write_avro_container(str(mp), entries, _EXP_MANIFEST_ENTRY,
+        write_avro_container(str(mp), entries,
+                             _exp_entry_schema(part_fields),
                              codec="deflate")
         lp = d / f"snap-{v}.avro"
         write_avro_container(
             str(lp),
             [{"manifest_path": "file://" + str(mp),
               "manifest_length": mp.stat().st_size,
-              "partition_spec_id": 0, "added_snapshot_id": v}],
+              "partition_spec_id": spec_id, "added_snapshot_id": v}],
             _EXP_MANIFEST_FILE, codec="deflate",
         )
         ts = m.get("ts") or _manifest_path(path, v).stat().st_mtime
@@ -1129,6 +1287,7 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
             )},
             "schema-id": schema_id,
         })
+        last_spec_id = spec_id
     meta = {
         "format-version": 1,
         "table-uuid": str(__import__("uuid").uuid4()),
@@ -1137,8 +1296,8 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
         "last-column-id": len(field_ids),
         "schemas": schemas,
         "current-schema-id": snapshots[-1]["schema-id"],
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "default-spec-id": 0,
+        "partition-specs": specs,
+        "default-spec-id": last_spec_id,
         "snapshots": snapshots,
         "current-snapshot-id": snapshots[-1]["snapshot-id"],
         "snapshot-log": [

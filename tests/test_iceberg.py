@@ -851,13 +851,75 @@ def test_export_iceberg_roundtrip(spark, tmp_path):
             sorted(map(tuple, b.select(*a.columns).collect()))
 
 
+def test_export_iceberg_partitioned_roundtrip(spark, tmp_path):
+    """VERDICT r10 #7: an identity-(hive-)partitioned versioned table
+    exports with a partition spec + per-entry partition values, and
+    the independent reader fills the metadata-only column back via the
+    spec's column-projection rule — per-version parity incl. a NULL
+    partition, and partition pruning through the exported spec."""
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.iceberg import (
+        export_iceberg_metadata,
+        import_iceberg_table,
+    )
+
+    src = str(tmp_path / "vt_ice_part")
+    df = spark.range(8).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 6,
+               F.concat(F.lit("g"), (F.col("id") % 3).cast("string"))
+               ).alias("p"),  # ids 6,7: NULL partition
+    )
+    V.write_table_version(df, src, partition_by="p")
+    V.upsert_table_version(
+        spark, src,
+        spark.range(2).selectExpr("id + 100 as k", "'g9' as p"),
+        keys=["k"], partition_by="p")
+    V.delete_table_version(spark, src, "k = 1")
+    n = export_iceberg_metadata(spark, src)
+    assert n == 3
+    for v in V.list_versions(src):
+        ours = V.read_table_version(spark, src, v)
+        theirs = read_iceberg_table(spark, src, snapshot_id=v)
+        assert sorted(map(tuple, ours.collect())) == \
+            sorted(map(tuple, theirs.select(*ours.columns).collect())), v
+    # NULL-partition rows survive the projection
+    head = read_iceberg_table(spark, src)
+    assert head.filter("p IS NULL").count() == 2
+    # identity-transform pruning on the exported spec
+    hit = iceberg_table_files(src, prune=[("p", "g9", "g9")])
+    assert 0 < len(hit) < len(iceberg_table_files(src))
+    # importing a metadata-only-column table refuses (silent NULLs)
+    with pytest.raises(ValueError, match="materialize"):
+        import_iceberg_table(spark, src, str(tmp_path / "back"))
+
+
+def test_export_iceberg_int_partition_roundtrip(spark, tmp_path):
+    """Integer partition directories (Spark infers int) export as int
+    partition values and read back typed."""
+    from etl_rust_spark.iceberg import export_iceberg_metadata
+
+    src = str(tmp_path / "vt_ice_ipart")
+    V.write_table_version(
+        spark.range(6).selectExpr("id as k", "cast(id % 2 as int) as ds"),
+        src, partition_by="ds")
+    export_iceberg_metadata(spark, src)
+    ours = V.read_table_version(spark, src)
+    theirs = read_iceberg_table(spark, src)
+    assert dict(theirs.dtypes)["ds"] == dict(ours.dtypes)["ds"]
+    assert sorted(map(tuple, ours.collect())) == \
+        sorted(map(tuple, theirs.select(*ours.columns).collect()))
+
+
 def test_export_iceberg_refusals(spark, tmp_path):
     from etl_rust_spark.iceberg import export_iceberg_metadata
 
+    # identity partitioning exports (see the partitioned round-trip
+    # test); a partition VALUE type outside int/long/string refuses
     p1 = str(tmp_path / "vt_part")
     V.write_table_version(
-        spark.range(4).selectExpr("id as k",
-                                  "cast(id % 2 as string) as p"),
+        spark.range(4).selectExpr("id as k", "id / 2.0 as p"),
         p1, partition_by="p")
     with pytest.raises(ValueError, match="unpartitioned"):
         export_iceberg_metadata(spark, p1)
