@@ -24,10 +24,13 @@ Scale posture (the 100 TB questions):
   or below the target version plus the JSON commits after it — cost
   bounded by Delta's own checkpoint interval, never by table age.
   Checkpoint/commit parsing is driver-side (the same place Delta's
-  own Snapshot lives); per-file metadata is ~100 bytes, so even a
-  1 M-file snapshot is ~100 MB of driver heap — beyond that, reading
-  the checkpoint THROUGH Spark instead of pyarrow is the named
-  extension, not a redesign.
+  own Snapshot lives) and STREAMED: checkpoints decode one record
+  batch at a time with only the action columns projected, so peak
+  driver memory is the LIVE adds dict alone (~1 KB/file of python
+  dict overhead — the inherent cost of an explicit-file-list
+  planner; measured at 100 k files in SCALE.md).  Beyond ~1 M files,
+  reading the checkpoint THROUGH Spark and planning per partition is
+  the named extension, not a redesign.
 - The DATA plan is ONE parquet scan over the snapshot's explicit file
   list (object-store-listing-free), with partition values injected
   via a broadcast map join on `input_file_name()` — no per-partition
@@ -182,42 +185,46 @@ def _undict(v):
     return v
 
 
-def _parquet_actions(part: Path, keys: tuple[str, ...]) -> list[dict]:
+def _parquet_actions(part: Path, keys: tuple[str, ...]):
     """One checkpoint/sidecar parquet file → action dicts (same shape
-    as the JSON commit lines, so replay is one code path)."""
+    as the JSON commit lines, so replay is one code path).  STREAMED:
+    only the requested action columns are read, one record batch at a
+    time, so a 1 M-file checkpoint never materializes twice on the
+    driver — the snapshot fold downstream keeps only the LIVE adds
+    (the inherent cost of an explicit-file-list planner; see the
+    module scale notes)."""
     import pyarrow.parquet as pq
 
-    actions: list[dict] = []
-    t = pq.read_table(part)
-    cols = set(t.column_names)
-    for row in t.to_pylist():
-        for key in keys:
-            if key in cols and row.get(key) is not None:
-                a = dict(row[key])
-                for mk in ("partitionValues", "configuration", "tags"):
-                    if mk in a:
-                        a[mk] = _undict(a[mk])
-                if key == "metaData" and a.get("format"):
-                    f = dict(a["format"])
-                    f["options"] = _undict(f.get("options"))
-                    a["format"] = f
-                actions.append({key: a})
-    return actions
+    pf = pq.ParquetFile(part)
+    cols = [k for k in keys if k in pf.schema_arrow.names]
+    for batch in pf.iter_batches(columns=cols, batch_size=4096):
+        for row in batch.to_pylist():
+            for key in cols:
+                if row.get(key) is not None:
+                    a = dict(row[key])
+                    for mk in ("partitionValues", "configuration",
+                               "tags"):
+                        if mk in a:
+                            a[mk] = _undict(a[mk])
+                    if key == "metaData" and a.get("format"):
+                        f = dict(a["format"])
+                        f["options"] = _undict(f.get("options"))
+                        a["format"] = f
+                    yield {key: a}
 
 
 _ACTION_KEYS = ("protocol", "metaData", "add", "remove", "txn")
 
 
-def _read_checkpoint(parts: list[Path]) -> list[dict]:
-    """Checkpoint file(s) → action dicts.  Classic parquet (single or
-    multi-part) and v2 spec checkpoints (json or parquet manifest +
-    parquet sidecars) both land on the same action shape."""
+def _read_checkpoint(parts: list[Path]):
+    """Checkpoint file(s) → action dicts, lazily.  Classic parquet
+    (single or multi-part) and v2 spec checkpoints (json or parquet
+    manifest + parquet sidecars) both land on the same action shape."""
     if _CKPT_V2_RE.match(parts[0].name):
-        return _read_v2_checkpoint(parts[0])
-    actions: list[dict] = []
+        yield from _read_v2_checkpoint(parts[0])
+        return
     for part in parts:
-        actions.extend(_parquet_actions(part, _ACTION_KEYS))
-    return actions
+        yield from _parquet_actions(part, _ACTION_KEYS)
 
 
 def _read_v2_checkpoint(manifest: Path) -> list[dict]:
@@ -231,33 +238,38 @@ def _read_v2_checkpoint(manifest: Path) -> list[dict]:
     m = _CKPT_V2_RE.match(manifest.name)
     v = int(m.group(1))
     if manifest.name.endswith(".json"):
-        raw = [json.loads(line)
-               for line in manifest.read_text().splitlines() if line]
+        raw = (json.loads(line)
+               for line in manifest.read_text().splitlines() if line)
     else:
         raw = _parquet_actions(
             manifest, _ACTION_KEYS + ("sidecar", "checkpointMetadata")
         )
-    cms = [a["checkpointMetadata"] for a in raw
-           if a.get("checkpointMetadata") is not None]
-    if not cms:
+    saw_cm = False
+    sidecars: list[dict] = []
+    for a in raw:
+        cm = a.get("checkpointMetadata")
+        if cm is not None:
+            saw_cm = True
+            cv = cm.get("version")
+            if cv is not None and int(cv) != v:
+                raise DeltaProtocolError(
+                    f"v2 checkpoint {manifest.name} carries "
+                    f"checkpointMetadata version {cv} — the manifest "
+                    "is corrupt"
+                )
+        if a.get("sidecar") is not None:
+            sidecars.append(a["sidecar"])
+        out = {k: a[k] for k in _ACTION_KEYS
+               if a.get(k) is not None}
+        if out:
+            yield out
+    if not saw_cm:
         raise DeltaProtocolError(
             f"v2 checkpoint {manifest.name} lacks the required "
             "checkpointMetadata action"
         )
-    cv = cms[0].get("version")
-    if cv is not None and int(cv) != v:
-        raise DeltaProtocolError(
-            f"v2 checkpoint {manifest.name} carries checkpointMetadata "
-            f"version {cv} — the manifest is corrupt"
-        )
-    actions = [
-        {k: a[k]}
-        for a in raw
-        for k in _ACTION_KEYS
-        if a.get(k) is not None
-    ]
     sdir = manifest.parent / "_sidecars"
-    for s in (a["sidecar"] for a in raw if a.get("sidecar") is not None):
+    for s in sidecars:
         sp = unquote(str(s["path"]))
         if "://" in sp:
             p = Path(urlparse(sp).path)
@@ -271,8 +283,7 @@ def _read_v2_checkpoint(manifest: Path) -> list[dict]:
                 f"(expected at {p})"
             )
         # sidecars carry ONLY file actions per the spec
-        actions.extend(_parquet_actions(p, ("add", "remove")))
-    return actions
+        yield from _parquet_actions(p, ("add", "remove"))
 
 
 def _commit_actions(path: str, version: int) -> list[dict]:
