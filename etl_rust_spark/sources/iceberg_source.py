@@ -13,8 +13,10 @@ Streaming follows Iceberg's incremental-append-scan contract:
   checkpoint stores the position, so restart resumes exactly-once.
 - **Append snapshots stream their ADDED files** (manifest entries
   with status ADDED belonging to that snapshot — the incremental
-  scan Iceberg itself defines).  Iceberg data files carry every
-  column, so a slice is just a parquet read.
+  scan Iceberg itself defines).  Column projection follows the spec:
+  field-id resolution where footers carry ids, identity-partition
+  injection for metadata-only columns (r11), by-name behind the
+  sampled guard otherwise.
 - **Non-append snapshots fail loudly** (overwrite / delete / replace
   — not representable as an append stream) unless
   ``skipChangeCommits=true`` skips them, mirroring the Delta source.
@@ -78,35 +80,74 @@ def _log_entries(table: str) -> list[dict]:
     return list(meta.get("snapshot-log") or [])
 
 
+_INJECT_TYPE = {"int": "integer", "long": "long", "string": "string"}
+
+
 def _file_slices(
-    table: str, file_paths: list[str], schema_cols: list[str]
+    table: str, records: list[dict], schema_cols: list[str]
 ) -> list[_Slice]:
-    """Per-file read slices with the spec's field-id column resolution:
-    files whose footers carry parquet field ids read each schema field
-    under its PHYSICAL (possibly pre-rename) name, and inject a typed
-    NULL for ids absent from the file (added-later columns) — the same
-    rule as read_iceberg_table, so a renamed table streams correctly
-    instead of silently NULLing the renamed column.  No-ids estates
-    (imports, this repo's own exports) resolve by name behind the
-    sampled-footer guard that read_iceberg_table uses (ADVICE r10)."""
+    """Per-file read slices with the spec's column-projection rules:
+
+    - files whose footers carry parquet field ids read each schema
+      field under its PHYSICAL (possibly pre-rename) name, and inject
+      a typed NULL for ids absent from the file (added-later columns)
+      — the same rule as read_iceberg_table, so a renamed table
+      streams correctly instead of silently NULLing the column;
+    - schema fields absent from a no-ids estate's footers that the
+      DEFAULT spec identity-partitions resolve from each manifest
+      entry's partition struct (how an exported hive-layout table
+      streams back, r11); other absences refuse via the sampled-footer
+      guard (ADVICE r10)."""
     from etl_rust_spark.iceberg import (
+        IcebergProtocolError,
+        _abs_file,
         _check_names_resolve,
         _current_metadata,
         _current_schema,
+        _identity_injection,
+        _names_missing,
         _resolve_phys_cols,
     )
 
-    if not file_paths:
+    if not records:
         return []
-    sch = _current_schema(_current_metadata(table))
+    meta = _current_metadata(table)
+    sch = _current_schema(meta)
     by_name = {f["name"]: f for f in sch["fields"]}
     fields = [by_name[c] for c in schema_cols]
+    file_paths = [_abs_file(table, r["file_path"]) for r in records]
     phys = _resolve_phys_cols(sorted(file_paths), fields)
     if phys is None:
-        _check_names_resolve(sorted(file_paths), {"fields": fields})
-        return [_Slice(fp, [], list(schema_cols)) for fp in file_paths]
+        schema = {"fields": fields}
+        missing = _names_missing(sorted(file_paths), schema)
+        inject = (_identity_injection(missing, meta, schema)
+                  if missing else {})
+        if any(n not in inject for n in missing):
+            _check_names_resolve(sorted(file_paths), schema)  # raises
+        for c in inject:
+            if by_name[c]["type"] not in _INJECT_TYPE:
+                raise IcebergProtocolError(
+                    f"identity-partition field {c!r} of type "
+                    f"{by_name[c]['type']!r} cannot inject through the "
+                    "per-file source; read via read_iceberg_table"
+                )
+        out = []
+        for r in records:
+            part = r.get("partition") or {}
+            pv, cols = [], []
+            for c in schema_cols:
+                if c in inject:
+                    v = part.get(inject[c])
+                    pv.append((c, None if v is None else str(v),
+                               _INJECT_TYPE[by_name[c]["type"]]))
+                    cols.append(None)
+                else:
+                    cols.append(c)
+            out.append(_Slice(_abs_file(table, r["file_path"]),
+                              pv, cols))
+        return out
     out = []
-    for fp in file_paths:
+    for r, fp in zip(records, file_paths):
         pv, cols = [], []
         for c, p in zip(schema_cols, phys[fp]):
             if p is None:
@@ -134,7 +175,7 @@ def _slices_for_snapshot(
     meta = _current_metadata(table)
     snap = _select_snapshot(meta, table, sid, None)
     op = (snap.get("summary") or {}).get("operation")
-    added: list[str] = []
+    added: list[dict] = []
     change = op not in (None, "append")
     if not change:
         for mf in _read_ocf(_abs_file(table, snap["manifest-list"])):
@@ -169,7 +210,7 @@ def _slices_for_snapshot(
                         raise IcebergProtocolError(
                             f"file {df.get('file_path')!r} is {fmt}"
                         )
-                    added.append(_abs_file(table, df["file_path"]))
+                    added.append(df)
             if change:
                 break
     if change:
@@ -190,7 +231,7 @@ class _IcebergBatchReader(DataSourceReader):
         self.schema_cols = schema_cols
 
     def partitions(self):
-        from etl_rust_spark.iceberg import _abs_file, iceberg_snapshot
+        from etl_rust_spark.iceberg import iceberg_snapshot
 
         o = self.opts
         sid = int(o.snapshot_id) if o.snapshot_id is not None else None
@@ -209,11 +250,7 @@ class _IcebergBatchReader(DataSourceReader):
                 "batch source cannot apply the anti-joins; read via "
                 "iceberg.read_iceberg_table"
             )
-        return _file_slices(
-            o.table,
-            [_abs_file(o.table, d["file_path"]) for d in snap["files"]],
-            self.schema_cols,
-        )
+        return _file_slices(o.table, snap["files"], self.schema_cols)
 
     def read(self, partition: _Slice):
         yield from _read_slice(partition, self.schema_cols)

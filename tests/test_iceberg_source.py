@@ -263,3 +263,38 @@ def test_stream_from_exported_versioned_table(_registered, tmp_path):
     _run_stream(spark, p, out, ckpt)
     got = sorted(r.k for r in spark.read.parquet(out).collect())
     assert got == [0, 1, 2, 10, 11, 20]
+
+
+def test_source_injects_identity_partition_values(
+    _registered, tmp_path
+):
+    """An exported hive-partitioned table keeps the partition column
+    in metadata only; the source injects each slice's value from the
+    manifest partition struct (r11) — batch and stream, NULL partition
+    included."""
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark import versions as V
+    from etl_rust_spark.iceberg import export_iceberg_metadata
+
+    spark = _registered
+    p = str(tmp_path / "vt")
+    df = spark.range(5).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 4,
+               (F.col("id") % 2).cast("string")).alias("g"),
+    )
+    V.write_table_version(df, p, partition_by="g")
+    export_iceberg_metadata(spark, p)
+    # parity target: read_table_version (partition type inference
+    # makes g an int — the exported schema records the same type)
+    want = {(r.k, r.g)
+            for r in V.read_table_version(spark, p).collect()}
+    assert (4, None) in want  # the NULL partition row
+    got = (spark.read.format("iceberg_log").option("path", p).load())
+    rows = {(r.k, r.g) for r in got.collect()}
+    assert rows == want
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    _run_stream(spark, p, out, ckpt)
+    srows = {(r.k, r.g) for r in spark.read.parquet(out).collect()}
+    assert srows == rows
