@@ -25,16 +25,19 @@ scan over the explicit (pruned) file list — Iceberg data files carry
 ALL columns (partitioning is metadata-only), so no injection join is
 needed at all.
 
-Column resolution follows the spec's projection rule: files whose
-footers carry parquet field ids (everything Iceberg itself writes)
-resolve BY FIELD ID — renames read under their current name, ids
-absent from a file project as NULL — while no-ids estates (add_files
-imports, this repo's own exports) resolve by name behind a sampled-
+Column resolution follows the spec's projection rules, in order:
+files whose footers carry parquet field ids (everything Iceberg
+itself writes) resolve BY FIELD ID — renames read under their
+current name; no-ids files resolve through the table's
+``schema.name-mapping.default`` when it exists (add_files
+migrations); fields still unresolved fill from partition metadata
+when the default spec identity-partitions them, else read as NULL
+(the added-later rule).  No-ids estates WITHOUT a mapping (this
+repo's own exports) keep a single by-name scan behind a sampled-
 footer guard.  Honesty gates: format-version > 2, non-parquet data
 files, unsupported types (uuid), a no-ids file inside an ids estate
-(needs schema.name-mapping.default — the named extension), and
-no-ids estates whose current-schema names match no sampled footer
-all raise with the limitation named.
+with no mapping, and no-ids estates whose current-schema names match
+no sampled footer all raise with the limitation named.
 
 Reference parity note: the reference (blockchain-etl/etl-rust) has no
 table-format layer (extract→publish, src/example_config/mod.rs);
@@ -528,7 +531,8 @@ def read_iceberg_table(
     if not keep:
         return spark.createDataFrame([], sschema)
     has_dels = bool(snap["pos_deletes"] or snap["eq_deletes"])
-    phys = _resolve_phys_cols(sorted(keep), schema["fields"])
+    phys = _resolve_phys_cols(sorted(keep), schema["fields"],
+                              _name_mapping(snap["metadata"]))
     if phys is None:  # no-ids estate: by-name fast path, ONE scan
         missing = _names_missing(sorted(keep), schema)
         inject = _identity_injection(
@@ -549,7 +553,46 @@ def read_iceberg_table(
             if not has_dels:
                 df = df.drop("_ice_fp", "_ice_pos")
     else:
-        df = _scan_by_field_id(spark, keep, phys, sschema, has_dels)
+        # identity-partition fallback composes with id/mapping
+        # resolution (the spec's projection order): fields UNRESOLVED
+        # in some files fill from those files' partition metadata
+        idx_of = {f.name: i for i, f in enumerate(sschema.fields)}
+        unresolved = [
+            f.name for f in sschema.fields
+            if any(phys[fp][idx_of[f.name]] is None for fp in keep)
+        ]
+        inj = _identity_injection(
+            unresolved, snap["metadata"], schema
+        ) if unresolved else {}
+        df = _scan_by_field_id(spark, keep, phys, sschema,
+                               has_dels or bool(inj))
+        if inj:
+            cols = list(inj)
+            rows = [
+                tuple([fp] + [
+                    (files[fp].get("partition") or {}).get(inj[c])
+                    if phys[fp][idx_of[c]] is None else None
+                    for c in cols
+                ])
+                for fp in keep
+            ]
+            pmap = spark.createDataFrame(rows, T.StructType(
+                [T.StructField("_ice_fp", T.StringType(), False)]
+                + [T.StructField(f"__ipv_{c}", sschema[c].dataType,
+                                 True) for c in cols]
+            ))
+            from pyspark.sql import functions as F
+
+            df = df.join(F.broadcast(pmap), "_ice_fp", "left")
+            for c in cols:
+                # files that STORE the field keep the scanned value
+                # (their pmap entry is NULL); files that don't scanned
+                # NULL and fill from partition metadata
+                df = df.withColumn(
+                    c, F.coalesce(F.col(c), F.col(f"__ipv_{c}"))
+                ).drop(f"__ipv_{c}")
+            if not has_dels:
+                df = df.drop("_ice_fp", "_ice_pos")
     if has_dels:
         df = _apply_deletes(spark, path, df, snap, files, keep, schema)
     return df.select(*[f.name for f in sschema.fields])
@@ -888,18 +931,52 @@ def _footer_field_ids(fp: str) -> dict[int, str] | None:
     carries no ids at all — files written outside Iceberg (add_files
     imports, this repo's own exporter) have none and resolve by
     name."""
+    return _footer_columns(fp)[0]
+
+
+def _footer_columns(fp: str) -> tuple[dict[int, str] | None, list[str]]:
+    """One footer read: (``{field_id: name}`` or None when no column
+    carries an id, all top-level column names)."""
     import pyarrow.parquet as pq
 
+    sch = pq.read_schema(fp)
     ids: dict[int, str] = {}
-    for f in pq.read_schema(fp):
+    for f in sch:
         v = (f.metadata or {}).get(b"PARQUET:field_id")
         if v is not None:
             ids[int(v)] = f.name
-    return ids or None
+    return (ids or None), list(sch.names)
+
+
+def _name_mapping(meta: dict) -> dict[int, list[str]] | None:
+    """The table's ``schema.name-mapping.default`` property →
+    ``{field_id: [candidate names]}`` — the spec's rule for assigning
+    ids to data files WITHOUT parquet field ids (files migrated in
+    via add_files).  Top-level fields only (nested mappings are the
+    named extension); a present-but-unparseable mapping refuses."""
+    raw = (meta.get("properties") or {}).get(
+        "schema.name-mapping.default"
+    )
+    if not raw:
+        return None
+    try:
+        entries = json.loads(raw)
+    except ValueError as exc:
+        raise IcebergProtocolError(
+            f"unparseable schema.name-mapping.default: {exc}"
+        ) from None
+    out: dict[int, list[str]] = {}
+    for e in entries:
+        fid = e.get("field-id")
+        if fid is not None:
+            out[int(fid)] = list(e.get("names") or [])
+    return out or None
 
 
 def _resolve_phys_cols(
-    files: list[str], fields: list[dict]
+    files: list[str],
+    fields: list[dict],
+    mapping: dict[int, list[str]] | None = None,
 ) -> dict[str, list[str | None]] | None:
     """Field-id column resolution (the Iceberg spec's projection rule):
     per file, the physical column name of each schema field, aligned
@@ -907,36 +984,52 @@ def _resolve_phys_cols(
     current OR a pre-rename name), None when the field id is absent
     (added after the file was written → read as NULL).
 
-    Returns None when no SAMPLED footer carries field ids: such an
-    estate (files imported via add_files, or this repo's own exports)
-    resolves by name, and the caller keeps the by-name fast path with
-    its sampled-name guard.  When ids exist, EVERY kept file's footer
-    is read (driver-side, thread-pooled — ~1 ms each; the same
-    ~1 M-file boundary as the rest of the metadata walk, with the
-    Spark-side footer scan as the named extension), because a sampled
-    check cannot see a renamed file outside the sample — the silent-
-    NULL hazard this exists to close."""
+    Files without parquet field ids resolve through ``mapping`` (the
+    table's ``schema.name-mapping.default`` — first candidate name
+    present in the footer wins, per spec; a field the mapping does
+    not place in the file reads as NULL, the spec's rule).
+
+    Returns None when no SAMPLED footer carries field ids AND no
+    mapping exists: such an estate (files imported via add_files, or
+    this repo's own exports) resolves by name, and the caller keeps
+    the by-name fast path with its sampled-name guard.  Otherwise
+    EVERY kept file's footer is read (driver-side, thread-pooled —
+    ~1 ms each; the same ~1 M-file boundary as the rest of the
+    metadata walk, with the Spark-side footer scan as the named
+    extension), because a sampled check cannot see a renamed file
+    outside the sample — the silent-NULL hazard this exists to
+    close."""
     from concurrent.futures import ThreadPoolExecutor
 
     n = len(files)
     idx = sorted({round(i * (n - 1) / 7) for i in range(8)}) if n > 1 \
         else [0]
-    if not any(_footer_field_ids(files[i]) for i in idx):
+    if mapping is None and not any(
+        _footer_field_ids(files[i]) for i in idx
+    ):
         return None
     with ThreadPoolExecutor(min(16, max(1, n))) as ex:
-        footer_ids = dict(zip(files, ex.map(_footer_field_ids, files)))
+        footers = dict(zip(files, ex.map(_footer_columns, files)))
     out: dict[str, list[str | None]] = {}
-    for fp, ids in footer_ids.items():
+    for fp, (ids, names) in footers.items():
         if ids is None:
-            # a no-ids file inside an ids estate: name mapping (the
-            # spec's schema.name-mapping.default) is the named
-            # extension; refusing beats guessing
-            raise IcebergProtocolError(
-                f"data file {fp!r} carries no parquet field ids while "
-                "other files in the table do — reading it needs a "
-                "name mapping (schema.name-mapping.default), which "
-                "this reader does not implement"
-            )
+            if mapping is None:
+                # a no-ids file inside an ids estate with no mapping:
+                # refusing beats guessing
+                raise IcebergProtocolError(
+                    f"data file {fp!r} carries no parquet field ids "
+                    "while other files in the table do — reading it "
+                    "needs a name mapping "
+                    "(schema.name-mapping.default), which this table "
+                    "does not define"
+                )
+            present = set(names)
+            ids = {}
+            for fid, cands in mapping.items():
+                for c in cands:
+                    if c in present:
+                        ids[fid] = c
+                        break
         out[fp] = [ids.get(f["id"]) for f in fields]
     return out
 

@@ -105,6 +105,7 @@ def _file_slices(
         _current_metadata,
         _current_schema,
         _identity_injection,
+        _name_mapping,
         _names_missing,
         _resolve_phys_cols,
     )
@@ -116,7 +117,8 @@ def _file_slices(
     by_name = {f["name"]: f for f in sch["fields"]}
     fields = [by_name[c] for c in schema_cols]
     file_paths = [_abs_file(table, r["file_path"]) for r in records]
-    phys = _resolve_phys_cols(sorted(file_paths), fields)
+    phys = _resolve_phys_cols(sorted(file_paths), fields,
+                              _name_mapping(meta))
     if phys is None:
         schema = {"fields": fields}
         missing = _names_missing(sorted(file_paths), schema)
@@ -146,15 +148,35 @@ def _file_slices(
             out.append(_Slice(_abs_file(table, r["file_path"]),
                               pv, cols))
         return out
+    # identity-partition fallback composes with id/mapping resolution
+    # (spec projection order): fields unresolved in some files fill
+    # from those files' partition metadata
+    unresolved = [c for i, c in enumerate(schema_cols)
+                  if any(phys[fp][i] is None for fp in file_paths)]
+    inj = (_identity_injection(unresolved, meta, {"fields": fields})
+           if unresolved else {})
     out = []
     for r, fp in zip(records, file_paths):
+        part = r.get("partition") or {}
         pv, cols = [], []
         for c, p in zip(schema_cols, phys[fp]):
-            if p is None:
-                pv.append((c, None, "string"))  # NULL-inject
-                cols.append(None)
-            else:
+            if p is not None:
                 cols.append(p)
+                continue
+            cols.append(None)
+            if c in inj:
+                t = by_name[c]["type"]
+                if t not in _INJECT_TYPE:
+                    raise IcebergProtocolError(
+                        f"identity-partition field {c!r} of type "
+                        f"{t!r} cannot inject through the per-file "
+                        "source; read via read_iceberg_table"
+                    )
+                v = part.get(inj[c])
+                pv.append((c, None if v is None else str(v),
+                           _INJECT_TYPE[t]))
+            else:
+                pv.append((c, None, "string"))  # NULL-inject
         out.append(_Slice(fp, pv, cols))
     return out
 

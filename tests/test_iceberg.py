@@ -510,6 +510,118 @@ def test_field_id_mixed_with_no_ids_refuses(spark, tmp_path):
         read_iceberg_table(spark, str(fx.root)).collect()
 
 
+def _set_name_mapping(fx: IceFix, entries: list[dict]) -> None:
+    mp = fx.root / "metadata" / "v1.metadata.json"
+    meta = json.loads(mp.read_text())
+    meta.setdefault("properties", {})[
+        "schema.name-mapping.default"] = json.dumps(entries)
+    mp.write_text(json.dumps(meta))
+
+
+def test_name_mapping_resolves_no_id_files(spark, tmp_path):
+    """schema.name-mapping.default: files without parquet field ids
+    (add_files migrations) resolve through the mapping — a renamed
+    column reads its data under the current name, a mixed ids/no-ids
+    estate reads whole, and an unmapped added field reads NULL (the
+    spec's rule)."""
+    import pyarrow as pa
+
+    fields = [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "renamed_v", "required": False,
+         "type": "string"},
+        {"id": 3, "name": "extra", "required": False, "type": "long"},
+    ]
+    fx = IceFix(tmp_path / "ice", fields)
+    f1 = fx.write_file([{"k": 1, "v": "a"}])          # no ids: old name
+    f2 = fx.write_file(                                # ids: same id
+        [{"k": 2, "renamed_v": "b"}],
+        schema=_ids_schema([("k", pa.int64(), 1),
+                            ("renamed_v", pa.string(), 2)]),
+    )
+    fx.add_snapshot([f1, f2], ts_ms=1_000)
+    fx.finish()
+    _set_name_mapping(fx, [
+        {"field-id": 1, "names": ["k"]},
+        {"field-id": 2, "names": ["renamed_v", "v"]},
+    ])
+    df = read_iceberg_table(spark, str(fx.root))
+    got = {(r.k, r.renamed_v, r.extra) for r in df.collect()}
+    assert got == {(1, "a", None), (2, "b", None)}
+
+
+def test_name_mapping_with_identity_partition_fallback(spark, tmp_path):
+    """The classic Hive migration: no-ids files, a name mapping, and
+    an identity-partitioned column absent from the files — the
+    projection rules compose (mapping first, partition metadata for
+    the unresolved field)."""
+    fields = [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "region", "required": False,
+         "type": "string"},
+    ]
+    fx = IceFix(tmp_path / "ice", fields)
+    f1 = fx.write_file([{"k": 1}], partition={"p": None, "d": None})
+    f2 = fx.write_file([{"k": 2}], partition={"p": None, "d": None})
+    fx.add_snapshot([f1, f2], ts_ms=1_000)
+    fx.finish()
+    # identity spec over region (source-id 2) with string dir values
+    mp = fx.root / "metadata" / "v1.metadata.json"
+    meta = json.loads(mp.read_text())
+    meta["partition-specs"] = [{"spec-id": 0, "fields": [
+        {"name": "region", "transform": "identity", "source-id": 2,
+         "field-id": 1000},
+    ]}]
+    mp.write_text(json.dumps(meta))
+    _set_name_mapping(fx, [{"field-id": 1, "names": ["k"]},
+                           {"field-id": 2, "names": ["region"]}])
+    # re-point the manifest partition structs at string region values
+    # (the fixture's partition record has p/d slots; rewrite entries)
+    from etl_rust_spark.functions.wireformats import (
+        read_avro_container,
+        write_avro_container,
+    )
+
+    man = next((fx.root / "metadata").glob("manifest-*.avro"))
+    _, recs = read_avro_container(man.read_bytes())
+    vals = {"f001.parquet": "eu", "f002.parquet": "us"}
+    schema_json = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "pt", "fields": [
+                            {"name": "region",
+                             "type": ["null", "string"]}]}},
+                ]}},
+        ],
+    }
+    out = []
+    for e in recs:
+        d = e["data_file"]
+        name = d["file_path"].rsplit("/", 1)[-1]
+        out.append({"status": e["status"],
+                    "snapshot_id": e["snapshot_id"], "data_file": {
+            "content": d["content"], "file_path": d["file_path"],
+            "file_format": d["file_format"],
+            "record_count": d["record_count"],
+            "file_size_in_bytes": d["file_size_in_bytes"],
+            "partition": {"region": vals[name]}}})
+    write_avro_container(str(man), out,
+                         _avro_fix_nulls(schema_json), codec="deflate")
+    df = read_iceberg_table(spark, str(fx.root))
+    assert {(r.k, r.region) for r in df.collect()} == {
+        (1, "eu"), (2, "us")
+    }
+
+
 def test_field_id_path_applies_position_deletes(spark, tmp_path):
     """MoR through the field-id path: the union of per-generation
     scans still carries per-scan (file, position) annotations, so
