@@ -1153,6 +1153,7 @@ def _exp_entry_schema(part_fields: list[tuple[str, str]]) -> dict:
         "type": "record", "name": "manifest_entry", "fields": [
             {"name": "status", "type": "int"},
             {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
             {"name": "data_file", "type": df},
         ],
     }
@@ -1182,9 +1183,90 @@ _EXP_MANIFEST_FILE = {
         {"name": "manifest_path", "type": "string"},
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
         {"name": "added_snapshot_id", "type": "long"},
     ],
 }
+
+_EXP_DELETE_ENTRY = {
+    "type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "data_file", "type": {
+            "type": "record", "name": "rd", "fields": [
+                {"name": "content", "type": "int"},
+                {"name": "file_path", "type": "string"},
+                {"name": "file_format", "type": "string"},
+                {"name": "record_count", "type": "long"},
+                {"name": "file_size_in_bytes", "type": "long"},
+            ]}},
+    ],
+}
+
+
+def _export_position_deletes(
+    root: Path, d: Path, m: dict, v: int,
+    side_first_seen: dict[str, int],
+    written: dict[tuple, tuple[str, int]],
+) -> list[dict]:
+    """One snapshot's MoR sidecars as Iceberg v2 POSITION-DELETE
+    files: the r11 positional sidecars record exactly the spec's
+    (file, pos) pairs, re-materialized under metadata/ with the
+    spec's column names and absolute target URIs, filtered to the
+    sidecar's CURRENT scope (the carry rule shrinks it after partial
+    rewrites).  Returns the delete-manifest entries; ``written``
+    caches (sidecar, scope) → file so carried sidecars re-reference
+    instead of re-writing.  Pre-r11 fingerprint-only sidecars refuse
+    with the compact remediation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    entries = []
+    for s in m.get("deletes") or []:
+        sp = root / "data" / s["path"]
+        names = set(pq.read_schema(sp).names)
+        if not {"_file", "_pos"} <= names:
+            raise ValueError(
+                f"version {v} of {root} carries a pre-r11 merge-on-"
+                "read sidecar without row positions — an Iceberg "
+                "export cannot express the fingerprint anti-join; "
+                "compact_table_version first"
+            )
+        scope = tuple(sorted(s["files"]))
+        key = (s["path"], scope)
+        d_seq = side_first_seen.setdefault(s["path"], v)
+        if key not in written:
+            t = pq.read_table(sp, columns=["_file", "_pos"])
+            keep = set(scope)
+            rows = [
+                ("file://" + str(root / "data" / f), p)
+                for f, p in zip(t.column(0).to_pylist(),
+                                t.column(1).to_pylist())
+                if f in keep
+            ]
+            dp = d / f"delete-{v}-{len(written):04d}.parquet"
+            pq.write_table(pa.table(
+                {"file_path": [r[0] for r in rows],
+                 "pos": [r[1] for r in rows]},
+                schema=pa.schema([("file_path", pa.string()),
+                                  ("pos", pa.int64())]),
+            ), dp)
+            written[key] = (str(dp), len(rows))
+        dp_path, n_rows = written[key]
+        entries.append({
+            "status": 1 if d_seq == v else 0,
+            "snapshot_id": d_seq,
+            "sequence_number": d_seq,
+            "data_file": {
+                "content": 1,
+                "file_path": "file://" + dp_path,
+                "file_format": "PARQUET",
+                "record_count": n_rows,
+                "file_size_in_bytes": Path(dp_path).stat().st_size,
+            }})
+    return entries
 
 
 def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
@@ -1204,12 +1286,19 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
     file resolves from partition metadata when an identity transform
     exists for it (the rule :func:`read_iceberg_table` implements).
 
+    Outstanding MoR sidecar debt exports as real Iceberg v2 MERGE-ON-
+    READ (r11): the positional sidecars' (file, pos) pairs become
+    POSITION-DELETE files in per-snapshot delete manifests, with
+    explicit data sequence numbers so carried files stay inside the
+    scope of older deletes; clean chains keep exporting format-
+    version 1.
+
     Refuses (remediation named): partition VALUE types outside
     int/long/string (re-snapshot unpartitioned first), column-mapped
     tables (footers carry physical names an Iceberg by-name/by-id
     reader cannot resolve — re-baseline first), hidden transforms,
-    and outstanding MoR sidecars (readers would resurrect masked
-    rows — compact first).
+    and pre-r11 fingerprint-only sidecars (no positions to export —
+    compact first).
 
     Metadata cost is O(live files) per snapshot (every snapshot gets a
     full manifest) — the straightforward export form; Iceberg's
@@ -1237,12 +1326,6 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
         )
     manifests = {v: _load_manifest(path, v) for v in vs}
     for v, m in manifests.items():
-        if m.get("deletes"):
-            raise ValueError(
-                f"version {v} of {path} carries merge-on-read delete "
-                "sidecars — an Iceberg reader would resurrect the "
-                "masked rows; compact_table_version first"
-            )
         if _transform_of(m):
             raise ValueError(
                 f"version {v} of {path} uses a hidden partition "
@@ -1262,6 +1345,9 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
     spec_key_to_id: dict[str, int] = {}
     last_spec_id = 0
     snapshots = []
+    side_first_seen: dict[str, int] = {}
+    deletes_written: dict[tuple, tuple[str, int]] = {}
+    any_deletes = False
     root = Path(path)
     # first version that referenced each file: carried files export as
     # EXISTING with their original snapshot id, added ones as ADDED —
@@ -1353,18 +1439,40 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
                 }
             entries.append({"status": 1 if added_by == v else 0,
                             "snapshot_id": added_by,
+                            # explicit DATA sequence number (the
+                            # version that added the file): an
+                            # EXISTING entry must not inherit this
+                            # manifest's seq, or it would escape an
+                            # older position delete's scope
+                            "sequence_number": added_by,
                             "data_file": data_file})
         mp = d / f"manifest-{v}.avro"
         write_avro_container(str(mp), entries,
                              _exp_entry_schema(part_fields),
                              codec="deflate")
+        list_rows = [{"manifest_path": "file://" + str(mp),
+                      "manifest_length": mp.stat().st_size,
+                      "partition_spec_id": spec_id,
+                      "content": 0, "sequence_number": v,
+                      "added_snapshot_id": v}]
+        # MoR sidecars export as v2 POSITION-DELETE files in their
+        # own manifest (r11: positional sidecars ARE the spec shape)
+        del_entries = _export_position_deletes(
+            root, d, m, v, side_first_seen, deletes_written
+        )
+        if del_entries:
+            any_deletes = True
+            dmp = d / f"delete-manifest-{v}.avro"
+            write_avro_container(str(dmp), del_entries,
+                                 _EXP_DELETE_ENTRY, codec="deflate")
+            list_rows.append({"manifest_path": "file://" + str(dmp),
+                              "manifest_length": dmp.stat().st_size,
+                              "partition_spec_id": spec_id,
+                              "content": 1, "sequence_number": v,
+                              "added_snapshot_id": v})
         lp = d / f"snap-{v}.avro"
         write_avro_container(
-            str(lp),
-            [{"manifest_path": "file://" + str(mp),
-              "manifest_length": mp.stat().st_size,
-              "partition_spec_id": spec_id, "added_snapshot_id": v}],
-            _EXP_MANIFEST_FILE, codec="deflate",
+            str(lp), list_rows, _EXP_MANIFEST_FILE, codec="deflate",
         )
         ts = m.get("ts") or _manifest_path(path, v).stat().st_mtime
         snapshots.append({
@@ -1382,7 +1490,9 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
         })
         last_spec_id = spec_id
     meta = {
-        "format-version": 1,
+        # position deletes are a v2 construct; clean chains stay v1
+        "format-version": 2 if any_deletes else 1,
+        "last-sequence-number": vs[-1],
         "table-uuid": str(__import__("uuid").uuid4()),
         "location": "file://" + str(root),
         "last-updated-ms": snapshots[-1]["timestamp-ms"],

@@ -1024,6 +1024,44 @@ def test_export_iceberg_int_partition_roundtrip(spark, tmp_path):
         sorted(map(tuple, theirs.select(*ours.columns).collect()))
 
 
+def test_export_iceberg_mor_roundtrip(spark, tmp_path):
+    """Outstanding MoR debt exports as real Iceberg v2 merge-on-read:
+    positional sidecars become position-delete files, data sequence
+    numbers scope them, and the independent reader masks exactly what
+    read_table_version masks — per snapshot, across delete + update
+    and a later append that must NOT be masked."""
+    from etl_rust_spark.iceberg import export_iceberg_metadata
+
+    src = str(tmp_path / "vt_ice_mor")
+    V.write_table_version(
+        spark.range(8).selectExpr("id as k", "id * 3 as v"), src)
+    V.delete_table_version(spark, src, "k = 2", mode="mor")
+    V.update_table_version(spark, src, "k = 5", {"v": "99"},
+                           mode="mor")
+    # a later upsert re-adds k=2 content in a NEW file: the old
+    # delete must not mask it (sequence scoping)
+    V.upsert_table_version(
+        spark, src, spark.createDataFrame([(2, 6)], "k long, v long"),
+        keys=["k"])
+    n = export_iceberg_metadata(spark, src)
+    assert n == 4
+    snaps = json.loads(
+        (Path(src) / "metadata" / "v1.metadata.json").read_text())
+    assert snaps["format-version"] == 2
+    for v, s in zip(V.list_versions(src), snaps["snapshots"]):
+        ours = V.read_table_version(spark, src, v)
+        theirs = read_iceberg_table(
+            spark, src, snapshot_id=s["snapshot-id"])
+        assert sorted(map(tuple, ours.collect())) == \
+            sorted(map(tuple, theirs.select(*ours.columns).collect())
+                   ), v
+    head = {(r.k, r.v) for r in read_iceberg_table(spark, src).collect()}
+    assert (2, 6) in head        # the re-added row survives the delete
+    assert (5, 99) in head       # the MoR update's new image
+    assert (5, 15) not in head   # the old image is masked
+    assert (2, 6 * 0) not in head
+
+
 def test_export_iceberg_refusals(spark, tmp_path):
     from etl_rust_spark.iceberg import export_iceberg_metadata
 
@@ -1035,9 +1073,16 @@ def test_export_iceberg_refusals(spark, tmp_path):
         p1, partition_by="p")
     with pytest.raises(ValueError, match="unpartitioned"):
         export_iceberg_metadata(spark, p1)
+    # MoR debt EXPORTS since r11 (see the MoR round-trip test); a
+    # pre-r11 fingerprint-only sidecar (no positions) still refuses
+    import pyarrow.parquet as pq
+
     p2 = str(tmp_path / "vt_mor")
     V.write_table_version(spark.range(4).selectExpr("id as k"), p2)
     V.delete_table_version(spark, p2, "k = 1", mode="mor")
+    side = V._load_manifest(p2, 2)["deletes"][0]["path"]
+    sp = Path(p2) / "data" / side
+    pq.write_table(pq.read_table(sp, columns=["_fp"]), sp)
     with pytest.raises(ValueError, match="compact"):
         export_iceberg_metadata(spark, p2)
     p3 = str(tmp_path / "vt_cm")
