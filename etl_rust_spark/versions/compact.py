@@ -1,4 +1,5 @@
-"""Compaction: fold small files and merge-on-read sidecar debt into clean size-targeted files, split from dml.py in r11."""
+"""Compaction: fold small files and merge-on-read sidecar debt into
+clean size-targeted files, split from dml.py in r11."""
 
 from __future__ import annotations
 

@@ -1,4 +1,5 @@
-"""Manifest log primitives: paths, load, staging, the CAS commit, conflict retry, and table-op metrics.
+"""Manifest log primitives: paths, load, staging, the CAS commit,
+conflict retry, and table-op metrics.
 
 Mechanical split of the former single-module versions.py (r11); see the package __init__ for the public surface."""
 

@@ -1,4 +1,5 @@
-"""Data-changing operations: write/snapshot, external-file commits, upsert, DELETE/UPDATE (CoW + MoR), MERGE INTO, and compaction.
+"""Data-changing operations: write/snapshot, external-file commits,
+upsert, DELETE/UPDATE (CoW + MoR), MERGE INTO, and compaction.
 
 Mechanical split of the former single-module versions.py (r11); see the package __init__ for the public surface."""
 

@@ -1,4 +1,6 @@
-"""Column mapping, hidden partition transforms, hive path escaping and parquet/Spark type canon — the pure layout/schema helpers of the versioned-table format.
+"""Column mapping, hidden partition transforms, hive path escaping and
+parquet/Spark type canon — the pure layout/schema helpers of the
+versioned-table format.
 
 Mechanical split of the former single-module versions.py (r11); see the package __init__ for the public surface."""
 

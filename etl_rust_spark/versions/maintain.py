@@ -1,4 +1,5 @@
-"""Layout maintenance: alter_table_version (re-snapshot under a new layout) and metadata-only column renames.
+"""Layout maintenance: alter_table_version (re-snapshot under a new
+layout) and metadata-only column renames.
 
 Mechanical split of the former single-module versions.py (r11); see the package __init__ for the public surface."""
 

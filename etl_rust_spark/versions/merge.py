@@ -1,4 +1,5 @@
-"""MERGE INTO (Delta parity): the conditional keyed merge, split from dml.py in r11."""
+"""MERGE INTO (Delta parity): the conditional keyed merge, split from
+dml.py in r11."""
 
 from __future__ import annotations
 

@@ -1,4 +1,6 @@
-"""Metadata queries and table metadata DDL: DESCRIBE DETAIL, metadata-only aggregates, partitions, history, tags, CHECK constraints and properties, diff/CDC reads.
+"""Metadata queries and table metadata DDL: DESCRIBE DETAIL, metadata-
+only aggregates, partitions, history, tags, CHECK constraints and
+properties, diff/CDC reads.
 
 Mechanical split of the former single-module versions.py (r11); see the package __init__ for the public surface."""
 

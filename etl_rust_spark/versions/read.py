@@ -1,4 +1,6 @@
-"""Snapshot reads: read_table_version, AS OF resolution, merge-on-read planning (sidecar anti-joins, positional annotations) and the find-the-files step DML shares.
+"""Snapshot reads: read_table_version, AS OF resolution, merge-on-read
+planning (sidecar anti-joins, positional annotations) and the find-
+the-files step DML shares.
 
 Mechanical split of the former single-module versions.py (r11); see the package __init__ for the public surface."""
 

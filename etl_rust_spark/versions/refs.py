@@ -1,4 +1,5 @@
-"""References and retention: shallow clones, RESTORE, version pins, and expire_versions.
+"""References and retention: shallow clones, RESTORE, version pins, and
+expire_versions.
 
 Mechanical split of the former single-module versions.py (r11); see the package __init__ for the public surface."""
 

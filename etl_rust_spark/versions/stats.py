@@ -1,4 +1,6 @@
-"""Per-file metadata: footer [min,max] stats with truncation, bloom indexes (build + probe), and the sparkless footer stats used by the jar-free sink.
+"""Per-file metadata: footer [min,max] stats with truncation, bloom
+indexes (build + probe), and the sparkless footer stats used by the
+jar-free sink.
 
 Mechanical split of the former single-module versions.py (r11); see the package __init__ for the public surface."""
 
