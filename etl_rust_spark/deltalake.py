@@ -745,6 +745,143 @@ def _dv_positions(table_path: str, dv: dict) -> list[int]:
     return positions
 
 
+def _z85_encode(data: bytes) -> str:
+    """Inverse of :func:`_z85_decode`: 4 bytes → 5 chars, big-endian
+    base 85.  Input is zero-padded to a 4-byte boundary (the
+    descriptor's ``sizeInBytes`` records the true length; the decoder
+    stops after the last bitmap, so pad bytes are never parsed)."""
+    if len(data) % 4:
+        data = data + b"\x00" * (4 - len(data) % 4)
+    out = []
+    for i in range(0, len(data), 4):
+        acc = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            acc, r = divmod(acc, 85)
+            chunk.append(_Z85_ALPHABET[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _serialize_roaring_bitmap(vals: list[int]) -> bytes:
+    """Sorted uint32 values → one RoaringFormatSpec portable bitmap
+    (the inverse of :func:`_roaring_bitmap_positions`).  Always the
+    no-run cookie with an offsets section; array containers up to the
+    spec's 4096-value threshold, 8 KB bitset containers above it — the
+    exact layout real roaring readers seek through, offsets included."""
+    import struct as _st
+
+    containers: dict[int, list[int]] = {}
+    for v in vals:
+        containers.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(containers)
+    n = len(keys)
+    out = bytearray(_st.pack("<II", 12346, n))
+    for k in keys:
+        out += _st.pack("<HH", k, len(containers[k]) - 1)
+    payloads = []
+    for k in keys:
+        c = containers[k]
+        if len(c) > 4096:
+            words = [0] * 1024
+            for v in c:
+                words[v >> 6] |= 1 << (v & 63)
+            payloads.append(_st.pack("<1024Q", *words))
+        else:
+            payloads.append(_st.pack(f"<{len(c)}H", *c))
+    off = 8 + 8 * n  # cookie + count + descriptors + offsets section
+    for p in payloads:
+        out += _st.pack("<i", off)
+        off += len(p)
+    for p in payloads:
+        out += p
+    return bytes(out)
+
+
+def _serialize_roaring_array(positions: list[int]) -> bytes:
+    """Sorted int64 row indexes → Delta's RoaringBitmapArray portable
+    bytes (inverse of :func:`_roaring_array_positions`): magic, int64
+    bitmap count, then one 32-bit bitmap per high-32 key — keys are
+    IMPLICIT and sequential, so gaps serialize as empty bitmaps."""
+    import struct as _st
+
+    groups: dict[int, list[int]] = {}
+    for p in positions:
+        groups.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    n = max(groups) + 1 if groups else 0
+    out = bytearray(_st.pack("<iq", 1681511377, n))
+    for i in range(n):
+        out += _serialize_roaring_bitmap(sorted(groups.get(i, ())))
+    return bytes(out)
+
+
+# Delta's own writer inlines only tiny DVs; everything else goes to a
+# deletion_vector_<uuid>.bin sidecar.  The threshold exercises both
+# descriptor forms in round-trip tests.
+_DV_INLINE_MAX = 40
+
+
+def _make_dv_descriptor(root: Path, positions: frozenset) -> dict:
+    """Deleted row indexes for ONE data file → a deletionVector
+    descriptor (PROTOCOL.md `Deletion Vector Descriptor Schema`).
+    Small bitmaps inline as Z85 (storageType 'i'); larger ones write
+    a 'u'-style `deletion_vector_<uuid>.bin` under the table root with
+    the on-disk framing :func:`_dv_positions` verifies — version byte
+    1, then [size: int32 BE][bitmap][CRC-32: int32 BE] at offset 1."""
+    import struct as _st
+    import zlib
+
+    data = _serialize_roaring_array(sorted(positions))
+    card = len(positions)
+    if len(data) <= _DV_INLINE_MAX:
+        return {
+            "storageType": "i",
+            "pathOrInlineDv": _z85_encode(data),
+            "sizeInBytes": len(data),
+            "cardinality": card,
+        }
+    u = uuid.uuid4()
+    framed = (
+        b"\x01" + _st.pack(">i", len(data)) + data
+        + _st.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    )
+    (root / f"deletion_vector_{u}.bin").write_bytes(framed)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": _z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": card,
+    }
+
+
+def _mor_dv_state(root: Path, m: dict, v: int) -> dict[str, frozenset]:
+    """One manifest's MoR sidecars → {data-relative file: deleted row
+    positions} — the union across sidecars, each filtered to its
+    CURRENT scope (the carry rule shrinks scopes after partial
+    rewrites, so out-of-scope rows must not export).  Pre-r11
+    fingerprint-only sidecars have no positions to export and refuse
+    with the compact remediation (mirrors the Iceberg exporter)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, set] = {}
+    for s in m.get("deletes") or []:
+        sp = root / "data" / s["path"]
+        if not {"_file", "_pos"} <= set(pq.read_schema(sp).names):
+            raise ValueError(
+                f"version {v} of {root} carries a pre-r11 merge-on-"
+                "read sidecar without row positions — a Delta "
+                "deletion vector cannot express the fingerprint "
+                "anti-join; compact_table_version first"
+            )
+        t = pq.read_table(sp, columns=["_file", "_pos"])
+        keep = set(s["files"])
+        for f, p in zip(t.column(0).to_pylist(), t.column(1).to_pylist()):
+            if f in keep:
+                out.setdefault(f, set()).add(p)
+    return {f: frozenset(ps) for f, ps in out.items()}
+
+
 def _decoded_file_col(col):
     """Scan-side file URI → plain absolute path, safely: java's
     URLDecoder (behind `url_decode`) turns a LITERAL '+' into a space,
@@ -922,10 +1059,19 @@ def export_delta_log(
     commit (our version ``v_i`` → Delta version ``i``; the mapping is
     recorded in each commitInfo's ``operationParameters.sourceVersion``).
 
-    Refuses loudly (with the remediation named) on the two features
-    Delta cannot express from the outside: outstanding merge-on-read
-    delete sidecars (a Delta reader would resurrect the masked rows —
-    `compact_table_version` folds the debt first) and hidden partition
+    Outstanding merge-on-read delete sidecars export as real Delta
+    DELETION VECTORS (r12, the symmetric close of the Iceberg
+    position-delete export): each masked file's row positions encode
+    as a RoaringBitmapArray descriptor — inline Z85 when tiny, a
+    `deletion_vector_<uuid>.bin` sidecar with the spec's framing and
+    CRC otherwise — re-committed whenever the mask changes (remove the
+    old (path, DV) state, re-add with the new descriptor), under the
+    table-features protocol (reader 3 / writer 7, `deletionVectors`).
+    Pre-r11 fingerprint-only sidecars carry no positions and refuse
+    with the compact remediation.
+
+    Refuses loudly (with the remediation named) on the one feature
+    Delta cannot express from the outside: hidden partition
     transforms (the synthetic directory column is not in the schema;
     ALTER to identity partitioning first).  Column-mapped tables
     export natively as Delta column mapping mode `name`.
@@ -983,16 +1129,9 @@ def export_delta_log(
                 )
         base_delta = head + 1
     d.mkdir(parents=True, exist_ok=True)
+    root = Path(path)
     manifests = {v: _load_manifest(path, v) for v in vs}
     for v, m in manifests.items():
-        if m.get("deletes"):
-            raise ValueError(
-                f"version {v} of {path} carries merge-on-read delete "
-                "sidecars; a Delta reader cannot apply them and would "
-                "RESURRECT the deleted rows — run "
-                "compact_table_version() and export versions="
-                "[folded versions], or export a post-fold range"
-            )
         if _transform_of(m):
             raise ValueError(
                 f"version {v} of {path} uses a hidden partition "
@@ -1000,13 +1139,21 @@ def export_delta_log(
                 "schema — alter_table_version(new_partition_by=...) "
                 "to an identity layout first"
             )
-    root = Path(path)
+    # outstanding MoR sidecar debt exports as real Delta DELETION
+    # VECTORS: per-file deleted positions re-encode as RoaringBitmap-
+    # Array descriptors (inline Z85 or on-disk .bin), so external
+    # Delta readers mask exactly what read_table_version masks
+    dv_states = {v: _mor_dv_state(root, m, v)
+                 for v, m in manifests.items()}
+    any_dv = any(dv_states.values())
     table_id = str(uuid.uuid4())
     # stable field ids for column mapping, assigned by first
     # appearance of each PHYSICAL name across the exported chain
     field_ids: dict[str, int] = {}
     mapped = any(_column_map(m) for m in manifests.values())
     prev_files: set[str] = set()
+    prev_dv: dict[str, frozenset] = {}
+    prev_desc: dict[str, dict] = {}
     prev_meta_json = None
     emit_protocol = True
     if base_delta:
@@ -1014,7 +1161,9 @@ def export_delta_log(
         # keep table id / field ids / meta stable across the seam
         last_m = _load_manifest(path, last_src)
         prev_files = set(last_m["files"])
-        prev_meta = delta_snapshot(path)["metaData"]
+        prev_dv = _mor_dv_state(root, last_m, last_src)
+        snap = delta_snapshot(path)
+        prev_meta = snap["metaData"]
         prev_meta_json = json.dumps(prev_meta, sort_keys=True)
         table_id = prev_meta["id"]
         for f in json.loads(prev_meta["schemaString"])["fields"]:
@@ -1022,11 +1171,22 @@ def export_delta_log(
             if fid is not None:
                 field_ids[f["metadata"]
                           ["delta.columnMapping.physicalName"]] = fid
+        # the exported log's live DV descriptors — a later DV change
+        # must remove the OLD descriptor, not a re-encoded twin
+        for a in snap["adds"].values():
+            if a.get("deletionVector"):
+                rel = unquote(a["path"])[len("data/"):]
+                prev_desc[rel] = a["deletionVector"]
         was_mapped = bool(field_ids)
         mapped = mapped or was_mapped
-        # a previously-plain log whose table gained column mapping
-        # needs the protocol upgrade action; otherwise none
-        emit_protocol = mapped and not was_mapped
+        was_dv = "deletionVectors" in (
+            snap["protocol"].get("readerFeatures") or []
+        )
+        any_dv = any_dv or was_dv
+        # a previously-plain log whose table gained column mapping or
+        # deletion vectors needs the protocol upgrade action
+        emit_protocol = (mapped and not was_mapped) or \
+            (any_dv and not was_dv)
     n = 0
     for i, v in enumerate(vs):
         m = manifests[v]
@@ -1054,6 +1214,8 @@ def export_delta_log(
                 "delta.columnMapping.mode": "name",
                 "delta.columnMapping.maxColumnId": str(len(field_ids)),
             }
+        if any_dv:
+            conf["delta.enableDeletionVectors"] = "true"
         meta = {
             "id": table_id,
             "format": {"provider": "parquet", "options": {}},
@@ -1068,22 +1230,37 @@ def export_delta_log(
                           _manifest_mtime(path, v)) * 1000)
         actions: list[dict] = []
         if i == 0 and emit_protocol:
-            actions.append({"protocol": _protocol(mapped)})
+            actions.append({"protocol": _protocol(mapped, any_dv)})
         if meta_json != prev_meta_json:
             actions.append({"metaData": meta})
             prev_meta_json = meta_json
         cur_files = set(m["files"])
+        cur_dv = dv_states[v]
         stats = m.get("stats") or {}
-        for f in sorted(cur_files - prev_files):
-            actions.append({"add": _add_action(
-                root, f, stats.get(f) or {}, pb_phys, ts_ms
-            )})
-        for f in sorted(prev_files - cur_files):
-            actions.append({"remove": {
+        # a surviving file whose DV mask changed re-commits per the
+        # protocol: remove the old (path, DV) state, re-add the path
+        # with the new descriptor.  Removes MUST precede adds — the
+        # snapshot fold keys adds by path in action order.
+        changed = {f for f in cur_files & prev_files
+                   if prev_dv.get(f) != cur_dv.get(f)}
+        for f in sorted((prev_files - cur_files) | changed):
+            rm = {
                 "path": quote("data/" + f, safe="/"),
                 "deletionTimestamp": ts_ms,
                 "dataChange": True,
-            }})
+            }
+            if f in prev_desc:
+                rm["deletionVector"] = prev_desc[f]
+            actions.append({"remove": rm})
+        built: dict[str, dict] = {}
+        for f in sorted((cur_files - prev_files) | changed):
+            dvd = (_make_dv_descriptor(root, cur_dv[f])
+                   if f in cur_dv else None)
+            if dvd:
+                built[f] = dvd
+            actions.append({"add": _add_action(
+                root, f, stats.get(f) or {}, pb_phys, ts_ms, dvd
+            )})
         actions.append({"commitInfo": {
             "timestamp": ts_ms,
             "operation": (m.get("op") or "WRITE").upper(),
@@ -1093,12 +1270,15 @@ def export_delta_log(
         (d / f"{base_delta + i:020d}.json").write_text(
             "".join(json.dumps(a) + "\n" for a in actions)
         )
+        prev_desc = {f: built.get(f) or prev_desc[f]
+                     for f in cur_files if f in cur_dv}
         prev_files = cur_files
+        prev_dv = cur_dv
         n += 1
     if checkpoint:
         _write_checkpoint(
             path, base_delta + n - 1, manifests[vs[-1]],
-            prev_meta_json, mapped
+            prev_meta_json, mapped, any_dv, prev_desc
         )
     return n
 
@@ -1109,15 +1289,26 @@ def _manifest_mtime(path: str, v: int) -> float:
     return _manifest_path(path, v).stat().st_mtime
 
 
-def _protocol(mapped: bool) -> dict:
-    # column mapping needs reader 2 / writer 5 per the Delta spec;
-    # plain tables use the legacy floor
+def _protocol(mapped: bool, dv: bool = False) -> dict:
+    # deletion vectors force the table-features protocol (reader 3 /
+    # writer 7 with explicit feature lists, per the Delta spec);
+    # column mapping alone needs reader 2 / writer 5; plain tables
+    # use the legacy floor
+    if dv:
+        feats = ["deletionVectors"] + (["columnMapping"] if mapped else [])
+        return {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": sorted(feats),
+            "writerFeatures": sorted(feats),
+        }
     return ({"minReaderVersion": 2, "minWriterVersion": 5}
             if mapped else {"minReaderVersion": 1, "minWriterVersion": 2})
 
 
 def _add_action(root: Path, rel: str, fstats: dict,
-                pb_phys: str | None, ts_ms: int) -> dict:
+                pb_phys: str | None, ts_ms: int,
+                dv: dict | None = None) -> dict:
     from .versions import _ROWS_KEY, _seg_value_of
 
     fp = root / "data" / rel
@@ -1148,15 +1339,21 @@ def _add_action(root: Path, rel: str, fstats: dict,
     }
     if stats_out:
         add["stats"] = json.dumps(stats_out)
+    if dv:
+        add["deletionVector"] = dv
     return add
 
 
 def _write_checkpoint(path: str, delta_version: int, head_manifest: dict,
-                      meta_json: str, mapped: bool) -> None:
+                      meta_json: str, mapped: bool,
+                      dv: bool = False,
+                      dv_descs: dict[str, dict] | None = None) -> None:
     """Classic single-part checkpoint parquet + `_last_checkpoint`
     pointer for the final exported commit — so Delta readers (and
     this module's own reader) snapshot in ONE parquet read instead of
-    replaying every JSON commit."""
+    replaying every JSON commit.  ``dv_descs`` carries the head
+    snapshot's live deletionVector descriptors per data-relative file
+    (checkpoints must reproduce the full add state, DV included)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1166,11 +1363,12 @@ def _write_checkpoint(path: str, delta_version: int, head_manifest: dict,
     stats = head_manifest.get("stats") or {}
     ts_ms = int(float(head_manifest.get("ts") or 0) * 1000)
     adds = [
-        _add_action(root, f, stats.get(f) or {}, pb_phys, ts_ms)
+        _add_action(root, f, stats.get(f) or {}, pb_phys, ts_ms,
+                    (dv_descs or {}).get(f))
         for f in sorted(head_manifest["files"])
     ]
     n = len(adds) + 2
-    proto = _protocol(mapped)
+    proto = _protocol(mapped, dv)
     rows = {
         "protocol": [proto] + [None] * (n - 1),
         "metaData": [None, {
@@ -1183,6 +1381,13 @@ def _write_checkpoint(path: str, delta_version: int, head_manifest: dict,
         "add": [None, None] + adds,
         "remove": [None] * n,
     }
+    dv_t = pa.struct([
+        ("storageType", pa.string()),
+        ("pathOrInlineDv", pa.string()),
+        ("offset", pa.int32()),
+        ("sizeInBytes", pa.int32()),
+        ("cardinality", pa.int64()),
+    ])
     add_t = pa.struct([
         ("path", pa.string()),
         ("partitionValues", pa.map_(pa.string(), pa.string())),
@@ -1190,11 +1395,14 @@ def _write_checkpoint(path: str, delta_version: int, head_manifest: dict,
         ("modificationTime", pa.int64()),
         ("dataChange", pa.bool_()),
         ("stats", pa.string()),
+        ("deletionVector", dv_t),
     ])
     schema = pa.schema([
         ("protocol", pa.struct([
             ("minReaderVersion", pa.int32()),
             ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
         ])),
         ("metaData", pa.struct([
             ("id", pa.string()),
@@ -1222,6 +1430,11 @@ def _write_checkpoint(path: str, delta_version: int, head_manifest: dict,
             (a.get("partitionValues") or {}).items()
         )
         a.setdefault("stats", None)
+        a.setdefault("deletionVector", None)
+        if a["deletionVector"] is not None:
+            a["deletionVector"] = {
+                "offset": None, **a["deletionVector"]
+            }
         return a
 
     def fix_meta(mrow):

@@ -727,13 +727,153 @@ def test_export_roundtrip_column_mapped(spark, tmp_path):
     assert read_delta_table(spark, str(t)).columns == ["k", "value"]
 
 
-def test_export_refuses_mor_sidecars(spark, tmp_path):
+def test_export_mor_as_deletion_vectors(spark, tmp_path):
+    """Outstanding MoR debt exports as real Delta deletion vectors:
+    positional sidecars re-encode as RoaringBitmapArray descriptors,
+    the mask applies per exported version, and a later re-insert of
+    masked content is NOT masked (the DV belongs to the old file)."""
     t = tmp_path / "vt4"
+    V.write_table_version(
+        spark.range(8).selectExpr("id as k", "id * 3 as v"), str(t))
+    V.delete_table_version(spark, str(t), "k = 2", mode="mor")
+    V.update_table_version(spark, str(t), "k = 5", {"v": "99"},
+                           mode="mor")
+    # re-adds k=2 content in a NEW file: must not be masked (the
+    # upsert also folds the earlier sidecars — carried debt drops
+    # when its files rewrite, exactly like read_table_version)
+    V.upsert_table_version(
+        spark, str(t),
+        spark.createDataFrame([(2, 6)], "k long, v long"), keys=["k"])
+    # head carries live debt so the checkpoint must encode it too
+    V.delete_table_version(spark, str(t), "k = 1", mode="mor")
+    _roundtrip(spark, t)
+    snap = delta_snapshot(str(t))
+    assert snap["protocol"]["minReaderVersion"] == 3
+    assert "deletionVectors" in snap["protocol"]["readerFeatures"]
+    assert (snap["metaData"]["configuration"]
+            ["delta.enableDeletionVectors"]) == "true"
+    descs = [a["deletionVector"] for a in snap["adds"].values()
+             if a.get("deletionVector")]
+    assert descs, "head snapshot lost its deletion vectors"
+    head = {(r.k, r.v)
+            for r in read_delta_table(spark, str(t)).collect()}
+    assert (2, 6) in head      # re-added content survives
+    assert (5, 99) in head     # MoR update's new image
+    assert (5, 15) not in head  # old image masked
+    assert (1, 3) not in head  # the head MoR delete applies
+    # the exporter's checkpoint carries the DVs: a JSON-less log
+    # still reads with masks applied
+    log = t / "_delta_log"
+    for f in log.iterdir():
+        if f.suffix == ".json" and f.stem.isdigit():
+            f.unlink()
+    ours = V.read_table_version(spark, str(t))
+    theirs = read_delta_table(spark, str(t))
+    assert sorted(map(tuple, theirs.select(*ours.columns).collect())) \
+        == sorted(map(tuple, ours.collect()))
+
+
+def test_export_mor_on_disk_dv_and_compaction(spark, tmp_path):
+    """A mask too big to inline goes to a deletion_vector_*.bin
+    sidecar with the spec framing (CRC verified on read), and a later
+    compaction folds the debt — the re-added clean files carry no
+    descriptor."""
+    t = tmp_path / "vt4b"
+    V.write_table_version(
+        spark.range(6000).selectExpr("id as k", "id as v")
+        .coalesce(1), str(t))
+    V.delete_table_version(spark, str(t), "k % 2 = 0", mode="mor",
+                           mor_max_rows=10_000)
+    V.compact_table_version(spark, str(t))
+    _roundtrip(spark, t)
+    # delta version 1 (the MoR delete) used an on-disk 'u' DV
+    from etl_rust_spark.deltalake import _commit_actions
+
+    adds = [a["add"] for a in _commit_actions(str(t), 1)
+            if a.get("add")]
+    dv = next(a["deletionVector"] for a in adds
+              if a.get("deletionVector"))
+    assert dv["storageType"] == "u"
+    assert dv["cardinality"] == 3000
+    assert list(Path(t).glob("deletion_vector_*.bin"))
+    # the compacted head has no DV state left
+    snap = delta_snapshot(str(t))
+    assert not any(a.get("deletionVector")
+                   for a in snap["adds"].values())
+
+
+def test_export_mor_refuses_fingerprint_only_sidecar(spark, tmp_path):
+    """Pre-r11 sidecars carry no row positions — nothing a deletion
+    vector can encode; the compact remediation is named."""
+    import pyarrow.parquet as pq
+
+    t = tmp_path / "vt4c"
     V.write_table_version(
         spark.range(10).selectExpr("id as k", "id as v"), str(t))
     V.delete_table_version(spark, str(t), "k = 3", mode="mor")
-    with pytest.raises(ValueError, match="RESURRECT"):
+    side = V._load_manifest(str(t), 2)["deletes"][0]["path"]
+    sp = Path(t) / "data" / side
+    pq.write_table(pq.read_table(sp, columns=["_fp"]), sp)
+    with pytest.raises(ValueError, match="compact"):
         export_delta_log(spark, str(t))
+
+
+def test_export_mor_resume_protocol_upgrade(spark, tmp_path):
+    """A clean export resumed after MoR commits upgrades the protocol
+    to table features mid-log and masks from the upgrade commit on."""
+    t = tmp_path / "vt4d"
+    V.write_table_version(
+        spark.range(10).selectExpr("id as k", "id * 2 as v"), str(t))
+    assert export_delta_log(spark, str(t)) == 1
+    snap0 = delta_snapshot(str(t))
+    assert snap0["protocol"]["minReaderVersion"] == 1
+    V.delete_table_version(spark, str(t), "k = 4", mode="mor")
+    V.delete_table_version(spark, str(t), "k = 7", mode="mor")
+    assert export_delta_log(spark, str(t), resume=True) == 2
+    snap = delta_snapshot(str(t))
+    assert snap["protocol"]["minReaderVersion"] == 3
+    for i, v in enumerate(V.list_versions(str(t))):
+        ours = V.read_table_version(spark, str(t), v)
+        theirs = read_delta_table(spark, str(t), version=i)
+        assert sorted(map(tuple,
+                          theirs.select(*ours.columns).collect())) \
+            == sorted(map(tuple, ours.collect())), (v, i)
+
+
+def test_roaring_serialize_decode_parity():
+    """The DV encoder round-trips through this module's own decoder
+    across every container form: array, dense bitmap (>4096 values in
+    one 16-bit key space), and multi-bitmap (>2^32 positions) with an
+    EMPTY implicit bitmap in the gap."""
+    from etl_rust_spark.deltalake import (
+        _roaring_array_positions,
+        _serialize_roaring_array,
+    )
+
+    cases = [
+        [],
+        [0],
+        [5, 70_000, 70_001],            # two 16-bit containers
+        list(range(10_000)),            # dense → bitmap container
+        [3, (2 << 32) + 7],             # gap bitmap 1 is empty
+        [65_535, 65_536, (1 << 32) - 1, 1 << 32],
+    ]
+    for positions in cases:
+        data = _serialize_roaring_array(sorted(positions))
+        assert _roaring_array_positions(data) == sorted(positions), \
+            positions
+
+
+def test_z85_encode_decode_parity():
+    from etl_rust_spark.deltalake import _z85_decode, _z85_encode
+
+    for raw in [b"", b"\x00", b"abc", b"abcd", b"abcdefgh",
+                bytes(range(37))]:
+        enc = _z85_encode(raw)
+        assert len(enc) % 5 == 0
+        dec = _z85_decode(enc)
+        assert dec[: len(raw)] == raw
+        assert not any(dec[len(raw):])  # zero padding only
 
 
 def test_export_refuses_hidden_transforms(spark, tmp_path):
