@@ -1001,6 +1001,15 @@ def _resolve_phys_cols(
     close."""
     from concurrent.futures import ThreadPoolExecutor
 
+    if mapping is not None and all(
+        mapping.get(f["id"]) == [f["name"]] for f in fields
+    ):
+        # the mapping is IDENTITY for this schema generation — it
+        # exists to protect EXTERNAL readers against post-export
+        # renames (r12 exports always write one), but resolves every
+        # field to its own current name, so the by-name fast path
+        # gives the same answer without the per-file footer walk
+        mapping = None
     n = len(files)
     idx = sorted({round(i * (n - 1) / 7) for i in range(8)}) if n > 1 \
         else [0]
@@ -1162,6 +1171,29 @@ def _exp_entry_schema(part_fields: list[tuple[str, str]]) -> dict:
 _EXP_PART_TYPES = ("int", "long", "string")
 
 
+def _transform_part_value(rel: str, kind: str):
+    """One data-relative path's directory value → the Iceberg
+    representation of the partition transform's result: day → days
+    from epoch (int), hour → hours from epoch (int), truncate → the
+    truncated string itself.  The directory values are this repo's own
+    rendering (layout._transform_expr, UTC epoch arithmetic), so the
+    conversion is exact — including pre-1970 negatives."""
+    import datetime as _dt
+
+    from .versions import _seg_value_of
+
+    seg = _seg_value_of(rel)
+    if seg is None:
+        return None
+    if kind == "days":
+        return (_dt.date.fromisoformat(seg) - _dt.date(1970, 1, 1)).days
+    if kind == "hours":
+        days = (_dt.date.fromisoformat(seg[:10])
+                - _dt.date(1970, 1, 1)).days
+        return days * 24 + int(seg[11:])
+    return seg  # truncate
+
+
 def _hive_part_value(rel: str, col: str, t: str):
     """The typed identity-partition value of one data-relative hive
     path (``ds=10/part.parquet``); None for the null directory."""
@@ -1293,11 +1325,22 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
     scope of older deletes; clean chains keep exporting format-
     version 1.
 
-    Refuses (remediation named): partition VALUE types outside
-    int/long/string (re-snapshot unpartitioned first), column-mapped
-    tables (footers carry physical names an Iceberg by-name/by-id
-    reader cannot resolve — re-baseline first), hidden transforms,
-    and pre-r11 fingerprint-only sidecars (no positions to export —
+    COLUMN-MAPPED tables export natively (r12): field ids are keyed
+    by the stable PHYSICAL name — a logical rename is a new schema
+    generation over the same ids, which is precisely Iceberg's rename
+    model — and every export writes ``schema.name-mapping.default``
+    (physical footer name → field id) so external readers resolve the
+    id-less parquet correctly even after their own post-export
+    renames.  HIDDEN TRANSFORMS export as Iceberg's own day/hour/
+    truncate partition specs with exact directory-value conversion
+    (UTC epoch units / leading code points); bucket transforms export
+    with an empty spec because the synthetic bucket is xxhash64-based
+    while Iceberg's bucket[N] is murmur3 — advertising the spec would
+    mis-prune external point lookups.
+
+    Refuses (remediation named): identity partition VALUE types
+    outside int/long/string (re-snapshot unpartitioned first) and
+    pre-r11 fingerprint-only sidecars (no positions to export —
     compact first).
 
     Metadata cost is O(live files) per snapshot (every snapshot gets a
@@ -1325,18 +1368,6 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
             "re-export"
         )
     manifests = {v: _load_manifest(path, v) for v in vs}
-    for v, m in manifests.items():
-        if _transform_of(m):
-            raise ValueError(
-                f"version {v} of {path} uses a hidden partition "
-                "transform — alter to an identity layout first"
-            )
-        if _column_map(m):
-            raise ValueError(
-                f"version {v} of {path} is column-mapped — data-file "
-                "footers carry physical names an Iceberg reader cannot "
-                "resolve; re-baseline with a full snapshot first"
-            )
     d.mkdir(parents=True, exist_ok=True)
     field_ids: dict[str, int] = {}
     schemas: list[dict] = []
@@ -1357,28 +1388,42 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
     first_seen: dict[str, int] = {}
     for v in vs:
         m = manifests[v]
+        cmap = _column_map(m)  # logical -> physical
         sschema = _read(spark, path, v).schema
+        # field ids are keyed by PHYSICAL name — stable across logical
+        # renames, which is exactly Iceberg's rename semantics (same
+        # id, new display name); data-file footers, stats keys and
+        # partition directories are all physical, so every id lookup
+        # below goes through the physical name
         fields = []
+        id_of: dict[str, int] = {}
+        type_of: dict[str, str] = {}
         for f in sschema.fields:
-            fid = field_ids.setdefault(f.name, len(field_ids) + 1)
+            phys = cmap.get(f.name, f.name)
+            fid = field_ids.setdefault(phys, len(field_ids) + 1)
+            it = _ice_type_of(f.dataType)
             fields.append({"id": fid, "name": f.name,
-                           "required": False,
-                           "type": _ice_type_of(f.dataType)})
+                           "required": False, "type": it})
+            id_of[phys] = fid
+            if isinstance(it, str):
+                type_of[phys] = it
         key = json.dumps(fields, sort_keys=True)
         if key not in schema_key_to_id:
             schema_key_to_id[key] = len(schemas)
             schemas.append({"schema-id": len(schemas),
                             "type": "struct", "fields": fields})
         schema_id = schema_key_to_id[key]
-        type_of = {f["name"]: f["type"] for f in fields
-                   if isinstance(f["type"], str)}
-        id_of = {f["name"]: f["id"] for f in fields}
         # identity (hive) partitioning: a spec per distinct layout,
         # partition values decoded from the directory names into each
         # manifest entry — Iceberg's column-projection rule fills the
-        # column back at read time
-        pb = m.get("partition_by") or None
+        # column back at read time.  Hidden transforms map onto
+        # Iceberg's own day/hour/truncate transforms (the source
+        # column IS in the data files; partition values are prune
+        # metadata only); bucket is the one exception — see below.
+        transform = _transform_of(m)
+        pb = None if transform else (m.get("partition_by") or None)
         part_fields: list[tuple[str, str]] = []
+        part_value_of = None
         if pb:
             pt = type_of.get(pb)
             if pt not in _EXP_PART_TYPES:
@@ -1389,11 +1434,37 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
                     "(alter_table_version(new_partition_by=None)) first"
                 )
             part_fields = [(pb, pt)]
+            part_value_of = lambda rel, n=pb, t=pt: \
+                _hive_part_value(rel, n, t)
         spec_fields = [
             {"name": n, "transform": "identity",
              "source-id": id_of[n], "field-id": 1000 + i}
             for i, (n, t) in enumerate(part_fields)
         ]
+        if transform and transform["kind"] != "bucket":
+            # day/hour values are UTC epoch units on both sides;
+            # truncate[W] is W leading code points on both sides —
+            # the directory value converts exactly
+            kind = transform["kind"]
+            ice_tf = {"days": "day", "hours": "hour",
+                      "truncate": f"truncate[{transform.get('n')}]"
+                      }[kind]
+            pt = "string" if kind == "truncate" else "int"
+            pname = f"{transform['source']}_{kind}"
+            part_fields = [(pname, pt)]
+            spec_fields = [{
+                "name": pname, "transform": ice_tf,
+                "source-id": id_of[transform["source"]],
+                "field-id": 1000,
+            }]
+            part_value_of = lambda rel, k=kind, n=pname: \
+                _transform_part_value(rel, k)
+        # bucket transforms export with an EMPTY spec on purpose: the
+        # synthetic bucket is xxhash64-based while Iceberg's bucket[N]
+        # is murmur3 — advertising the spec would make an external
+        # engine prune point lookups to the WRONG bucket (silently
+        # dropped rows); an empty spec reads correctly everywhere and
+        # merely forgoes partition pruning
         skey = json.dumps(spec_fields, sort_keys=True)
         if skey not in spec_key_to_id:
             spec_key_to_id[skey] = len(specs)
@@ -1434,8 +1505,7 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
             }
             if part_fields:
                 data_file["partition"] = {
-                    n: _hive_part_value(rel, n, t)
-                    for n, t in part_fields
+                    part_fields[0][0]: part_value_of(rel)
                 }
             entries.append({"status": 1 if added_by == v else 0,
                             "snapshot_id": added_by,
@@ -1507,6 +1577,19 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
             {"snapshot-id": s["snapshot-id"],
              "timestamp-ms": s["timestamp-ms"]} for s in snapshots
         ],
+        # exported data files are Spark-written parquet WITHOUT field
+        # ids, so a post-export rename in an external engine would
+        # silently NULL the column (the exact hazard this repo's read
+        # side closed in r11) — the name mapping pins each field id to
+        # its physical footer name.  For never-renamed tables the
+        # mapping is identity and readers keep the by-name fast path.
+        "properties": {
+            "schema.name-mapping.default": json.dumps([
+                {"field-id": fid, "names": [phys]}
+                for phys, fid in sorted(field_ids.items(),
+                                        key=lambda kv: kv[1])
+            ])
+        },
     }
     (d / "v1.metadata.json").write_text(json.dumps(meta))
     (d / "version-hint.text").write_text("1")

@@ -1085,12 +1085,129 @@ def test_export_iceberg_refusals(spark, tmp_path):
     pq.write_table(pq.read_table(sp, columns=["_fp"]), sp)
     with pytest.raises(ValueError, match="compact"):
         export_iceberg_metadata(spark, p2)
-    p3 = str(tmp_path / "vt_cm")
+
+
+def test_export_iceberg_column_mapped(spark, tmp_path):
+    """Column-mapped tables export natively (r12): field ids key by
+    the stable PHYSICAL name, a rename is a new schema generation over
+    the same ids, and schema.name-mapping.default resolves the id-less
+    parquet — including after a rename done by the EXTERNAL engine on
+    the exported metadata (this repo's own mapping path stands in for
+    the external reader)."""
+    from etl_rust_spark.iceberg import export_iceberg_metadata
+
+    t = str(tmp_path / "vt_ice_cm")
     V.write_table_version(
-        spark.range(4).selectExpr("id as k", "id as v"), p3)
-    V.rename_columns(spark, p3, {"v": "val"})
-    with pytest.raises(ValueError, match="re-baseline"):
-        export_iceberg_metadata(spark, p3)
+        spark.range(6).selectExpr("id as k", "id * 2 as v"), t)
+    V.rename_columns(spark, t, {"v": "val"})
+    V.upsert_table_version(
+        spark, t, spark.createDataFrame([(10, 100)], "k long, val long"),
+        keys=["k"])
+    n = export_iceberg_metadata(spark, t)
+    assert n == 3
+    mp = Path(t) / "metadata" / "v1.metadata.json"
+    meta = json.loads(mp.read_text())
+    mapping = {e["field-id"]: e["names"] for e in json.loads(
+        meta["properties"]["schema.name-mapping.default"])}
+    assert mapping == {1: ["k"], 2: ["v"]}  # physical footer names
+    # two schema generations over the SAME field ids
+    gens = [[(f["id"], f["name"]) for f in s["fields"]]
+            for s in meta["schemas"]]
+    assert gens == [[(1, "k"), (2, "v")], [(1, "k"), (2, "val")]]
+    for v in V.list_versions(t):
+        ours = V.read_table_version(spark, t, v)
+        theirs = read_iceberg_table(spark, t, snapshot_id=v)
+        assert theirs.columns == ours.columns, v
+        assert sorted(map(tuple, ours.collect())) == \
+            sorted(map(tuple,
+                       theirs.select(*ours.columns).collect())), v
+    # a POST-EXPORT rename by the external engine: new display name,
+    # same id — the name mapping must keep reading data, not NULLs
+    for s in meta["schemas"]:
+        for f in s["fields"]:
+            if f["name"] == "val":
+                f["name"] = "value2"
+    mp.write_text(json.dumps(meta))
+    head = read_iceberg_table(spark, t)
+    assert "value2" in head.columns
+    vals = {r.value2 for r in head.collect()}
+    assert None not in vals and 100 in vals
+
+
+def test_export_iceberg_transform_days(spark, tmp_path):
+    """days-partitioned tables export as Iceberg's own `day` transform
+    with exact directory→ordinal conversion: the independent reader
+    both round-trips the data AND prunes files by day through the
+    exported partition values."""
+    import datetime as dt
+
+    from etl_rust_spark.iceberg import (
+        export_iceberg_metadata,
+        iceberg_table_files,
+    )
+
+    t = str(tmp_path / "vt_ice_days")
+    df = spark.range(4).selectExpr(
+        "id as k",
+        "timestamp_micros(cast(id * 86400e6 as long)) as ts")
+    V.write_table_version(df, t, partition_by=("days", "ts"))
+    V.delete_table_version(spark, t, "k = 1")
+    assert export_iceberg_metadata(spark, t) == 2
+    meta = json.loads(
+        (Path(t) / "metadata" / "v1.metadata.json").read_text())
+    spec = meta["partition-specs"][0]["fields"]
+    assert spec == [{"name": "ts_days", "transform": "day",
+                     "source-id": 2, "field-id": 1000}]
+    for v in V.list_versions(t):
+        ours = V.read_table_version(spark, t, v)
+        theirs = read_iceberg_table(spark, t, snapshot_id=v)
+        assert sorted(map(tuple, ours.collect())) == \
+            sorted(map(tuple,
+                       theirs.select(*ours.columns).collect())), v
+    # exported day ordinals prune: k=2 lives on epoch day 2
+    d = dt.date(1970, 1, 3)
+    hit = iceberg_table_files(t, prune=[("ts", d, d)])
+    assert len(hit) == 1
+    assert iceberg_table_files(
+        t, prune=[("ts", dt.date(1980, 1, 1), None)]) == []
+
+
+def test_export_iceberg_transform_truncate_and_bucket(spark, tmp_path):
+    """truncate[W] exports 1:1 (leading code points both sides);
+    bucket exports an EMPTY spec on purpose — the synthetic bucket is
+    xxhash64 while Iceberg's bucket[N] is murmur3, so advertising the
+    spec would mis-prune external engines."""
+    from etl_rust_spark.iceberg import export_iceberg_metadata
+
+    t1 = str(tmp_path / "vt_ice_trunc")
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "alto"), (3, "beta"), (4, None)],
+        "k long, s string")
+    V.write_table_version(df, t1, partition_by=("truncate", "s", 2))
+    assert export_iceberg_metadata(spark, t1) == 1
+    meta = json.loads(
+        (Path(t1) / "metadata" / "v1.metadata.json").read_text())
+    assert meta["partition-specs"][0]["fields"][0]["transform"] == \
+        "truncate[2]"
+    ours = V.read_table_version(spark, t1)
+    theirs = read_iceberg_table(spark, t1)
+    assert sorted(map(tuple, ours.collect()),
+                  key=lambda r: (r[0],)) == \
+        sorted(map(tuple, theirs.select(*ours.columns).collect()),
+               key=lambda r: (r[0],))
+
+    t2 = str(tmp_path / "vt_ice_bucket")
+    V.write_table_version(
+        spark.range(10).selectExpr("id as k", "id * 7 as v"),
+        t2, partition_by=("bucket", "k", 4))
+    assert export_iceberg_metadata(spark, t2) == 1
+    meta2 = json.loads(
+        (Path(t2) / "metadata" / "v1.metadata.json").read_text())
+    assert meta2["partition-specs"] == [{"spec-id": 0, "fields": []}]
+    ours2 = V.read_table_version(spark, t2)
+    theirs2 = read_iceberg_table(spark, t2)
+    assert sorted(map(tuple, ours2.collect())) == \
+        sorted(map(tuple, theirs2.select(*ours2.columns).collect()))
 
 
 def test_cli_export_iceberg(spark, tmp_path, capsys):

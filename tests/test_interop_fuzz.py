@@ -4,10 +4,12 @@ reproduce every surviving version exactly — the certification that the
 export paths are correct for arbitrary op compositions, not just the
 hand-written cases.
 
-The op mix is the export-compatible subset (unpartitioned, CoW only):
-MoR sidecars and hive partitioning are the documented refusals with
-their own tests; everything else the table layer can produce must
-round-trip.
+The op mix covers CoW DML, compaction/zorder, restore — and since r12
+merge-on-read deletes/updates: outstanding sidecar debt exports as
+Delta DELETION VECTORS and Iceberg POSITION DELETES, so mor ops are in
+the fuzz mix, not a refusal.  A second fuzz drives a hidden-transform
+(days) table through the Iceberg leg (Delta still refuses transforms —
+the partition column is not in the schema).
 """
 
 from __future__ import annotations
@@ -38,9 +40,21 @@ def test_interop_export_parity_fuzz(spark, tmp_path):
     for step in range(12):
         op = rng.choice(
             ["upsert", "upsert", "delete", "update", "merge",
-             "compact", "zorder", "restore"]
+             "compact", "zorder", "restore",
+             "mor_delete", "mor_update"]
         )
-        if op == "upsert":
+        if op == "mor_delete":
+            k = rng.randint(1, 10)
+            V.delete_table_version(spark, p, f"k = {k}", mode="mor")
+            state.pop(k, None)
+        elif op == "mor_update":
+            k = rng.randint(1, 10)
+            V.update_table_version(
+                spark, p, f"k = {k}", {"val": "concat(val, '~')"},
+                mode="mor")
+            if k in state:
+                state[k] += "~"
+        elif op == "upsert":
             counter += 1
             rows = list({
                 rng.randint(1, 10): f"u{counter}.{j}"
@@ -113,3 +127,70 @@ def test_interop_export_parity_fuzz(spark, tmp_path):
         via_ice = read_iceberg_table(spark, p, snapshot_id=v)
         assert sorted(map(tuple, via_ice.select(*cols).collect())) \
             == expect, f"iceberg mismatch at snapshot {v}"
+
+
+def test_interop_iceberg_transform_fuzz(spark, tmp_path):
+    """Seeded DML chain on a hidden-transform (days) table, exported
+    through the Iceberg leg only (Delta refuses transforms by design):
+    every surviving snapshot must reproduce exactly, masks included —
+    the certification that transform export composes with MoR debt,
+    compaction and restore, not just the hand-written cases."""
+    import random
+
+    rng = random.Random(0xDA45)
+    p = str(tmp_path / "tt")
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(k, k * 86400, v) for k, v in rows], ["k", "sec", "val"]
+        ).selectExpr(
+            "k", "timestamp_micros(sec * 1000000) as ts", "val")
+
+    V.write_table_version(frame([(1, "s0"), (2, "s1"), (3, "s2")]), p,
+                          partition_by=("days", "ts"))
+    state = {1: "s0", 2: "s1", 3: "s2"}
+    counter = 0
+    for step in range(10):
+        op = rng.choice(["upsert", "upsert", "delete", "mor_delete",
+                         "mor_update", "compact", "restore"])
+        if op == "upsert":
+            counter += 1
+            rows = list({rng.randint(1, 8): f"u{counter}.{j}"
+                         for j in range(rng.randint(1, 3))}.items())
+            V.upsert_table_version(spark, p, frame(rows), keys=["k"],
+                                   partition_by=("days", "ts"))
+            state.update(dict(rows))
+        elif op == "delete":
+            k = rng.randint(1, 8)
+            V.delete_table_version(spark, p, f"k = {k}")
+            state.pop(k, None)
+        elif op == "mor_delete":
+            k = rng.randint(1, 8)
+            V.delete_table_version(spark, p, f"k = {k}", mode="mor")
+            state.pop(k, None)
+        elif op == "mor_update":
+            k = rng.randint(1, 8)
+            V.update_table_version(
+                spark, p, f"k = {k}", {"val": "concat(val, '~')"},
+                mode="mor")
+            if k in state:
+                state[k] += "~"
+        elif op == "compact":
+            V.compact_table_version(spark, p)
+        else:
+            tgt = rng.choice(V.list_versions(p))
+            V.restore_table_version(p, tgt)
+            state = {r.k: r.val
+                     for r in V.read_table_version(spark, p).collect()}
+
+    head = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert head == state
+    versions = V.list_versions(p)
+    assert export_iceberg_metadata(spark, p) == len(versions)
+    for v in versions:
+        ours = V.read_table_version(spark, p, v)
+        cols = ours.columns
+        theirs = read_iceberg_table(spark, p, snapshot_id=v)
+        assert sorted(map(tuple, theirs.select(*cols).collect())) \
+            == sorted(map(tuple, ours.collect())), \
+            f"iceberg mismatch at snapshot {v}"
