@@ -227,14 +227,19 @@ def _read_checkpoint(parts: list[Path]):
         yield from _parquet_actions(part, _ACTION_KEYS)
 
 
-def _read_v2_checkpoint(manifest: Path) -> list[dict]:
+def _read_v2_checkpoint(
+    manifest: Path, defer_sidecars: list[Path] | None = None
+):
     """V2 spec checkpoint (Delta 3.x writes these by default on new
     tables): the manifest — JSON lines or parquet, named
     ``n.checkpoint.<uuid>.{json,parquet}`` — holds protocol/metaData,
     the required ``checkpointMetadata`` action (version validated
     against the file name), optionally file actions inline, and
     ``sidecar`` pointers to parquet files under
-    ``_delta_log/_sidecars/`` carrying the add/remove actions."""
+    ``_delta_log/_sidecars/`` carrying the add/remove actions.
+    ``defer_sidecars``: when a list is passed, resolved sidecar paths
+    are appended to it INSTEAD of being decoded here — the Spark-side
+    planner reads them through executors."""
     m = _CKPT_V2_RE.match(manifest.name)
     v = int(m.group(1))
     if manifest.name.endswith(".json"):
@@ -282,8 +287,59 @@ def _read_v2_checkpoint(manifest: Path) -> list[dict]:
                 f"v2 checkpoint sidecar {s['path']!r} is missing "
                 f"(expected at {p})"
             )
+        if defer_sidecars is not None:
+            defer_sidecars.append(p)
+            continue
         # sidecars carry ONLY file actions per the spec
         yield from _parquet_actions(p, ("add", "remove"))
+
+
+# actions above which snapshot planning routes the checkpoint decode
+# through Spark instead of driver-side pyarrow (SCALE.md: the driver
+# walk is ~10-30 µs/file; past a few hundred thousand actions the
+# parallel JVM decode wins and driver peak stays the live-adds fold)
+_SPARK_PLAN_THRESHOLD = 200_000
+
+
+def _ckpt_action_estimate(parts: list[Path]) -> int:
+    """Cheap action-count estimate for plan routing — parquet footer
+    row counts for classic checkpoints; v2 checkpoints estimate from
+    total sidecar bytes (~100 B/action).  An estimate only steers
+    WHERE the decode runs, never what it produces."""
+    import pyarrow.parquet as pq
+
+    if _CKPT_V2_RE.match(parts[0].name):
+        sdir = parts[0].parent / "_sidecars"
+        if not sdir.exists():
+            return 0
+        return sum(p.stat().st_size
+                   for p in sdir.glob("*.parquet")) // 100
+    return sum(pq.read_metadata(str(p)).num_rows for p in parts)
+
+
+def _spark_checkpoint_actions(spark: SparkSession, parts: list[Path]):
+    """Checkpoint actions decoded THROUGH Spark: the parquet action
+    files (classic parts, or a v2 manifest's sidecars) render to JSON
+    lines JVM-side — ``df.toJSON()`` does the columnar struct decode
+    and null-field dropping in executors, across cores, with zero
+    Python workers — and stream back one partition at a time via
+    ``toLocalIterator``, so driver peak memory stays the live-adds
+    fold itself.  The v2 manifest (tiny: protocol/meta/checkpoint-
+    Metadata/sidecar pointers) still decodes driver-side."""
+    if _CKPT_V2_RE.match(parts[0].name):
+        defer: list[Path] = []
+        yield from _read_v2_checkpoint(parts[0], defer)
+        big = defer
+    else:
+        big = parts
+    if not big:
+        return
+    df = spark.read.parquet(*[str(p) for p in big])
+    keep = [k for k in _ACTION_KEYS if k in df.columns]
+    for line in df.select(*keep).toJSON().toLocalIterator():
+        a = json.loads(line)
+        if a:  # all-null rows render as {}
+            yield a
 
 
 def _commit_actions(path: str, version: int) -> list[dict]:
@@ -308,11 +364,18 @@ def _check_protocol(proto: dict, path: str) -> None:
         )
 
 
-def delta_snapshot(path: str, version: int | None = None, as_of=None) -> dict:
+def delta_snapshot(path: str, version: int | None = None, as_of=None,
+                   spark: SparkSession | None = None,
+                   spark_plan_threshold: int | None = None) -> dict:
     """Snapshot state at ``version`` (default: latest): the live
     ``add`` actions keyed by path, plus the winning metaData/protocol.
-    Pure driver-side metadata — bounded by checkpoint interval +
-    files-per-snapshot, independent of table age or data size."""
+    Driver-side metadata by default — bounded by checkpoint interval +
+    files-per-snapshot, independent of table age or data size.  When
+    ``spark`` is passed and the checkpoint's action estimate exceeds
+    ``spark_plan_threshold``, the checkpoint decode routes THROUGH
+    Spark (:func:`_spark_checkpoint_actions`) — same actions, same
+    fold, but the columnar decode parallelizes across executors and
+    the driver only ever holds the fold result."""
     if as_of is not None:
         if version is not None:
             raise ValueError("pass version OR as_of, not both")
@@ -337,7 +400,13 @@ def delta_snapshot(path: str, version: int | None = None, as_of=None) -> dict:
                 "checkpoint file exists"
             )
         if parts is not None:
-            for a in _read_checkpoint(parts):
+            thr = (_SPARK_PLAN_THRESHOLD if spark_plan_threshold is None
+                   else spark_plan_threshold)
+            routed = (spark is not None
+                      and _ckpt_action_estimate(parts) >= thr)
+            src = (_spark_checkpoint_actions(spark, parts) if routed
+                   else _read_checkpoint(parts))
+            for a in src:
                 _apply_action(a, adds, path)
                 if "metaData" in a:
                     meta = a["metaData"]
@@ -553,16 +622,136 @@ def _keep_add(add: dict, prune, part_types: dict[str, str],
     return True
 
 
+def _delta_table_files_spark(
+    spark: SparkSession, path: str, v: int, ck: int,
+    parts: list[Path], prune,
+) -> list[str]:
+    """Survivors-only planning (r12, the structural scale path): the
+    checkpoint's add actions prune EXECUTOR-side — ``mapInPandas``
+    over the add structs running the exact same :func:`_keep_add` —
+    so the driver materializes O(kept paths), never the full live set;
+    the commits after the checkpoint (bounded by Delta's own
+    checkpoint interval) replay driver-side and reconcile on top.
+    This is what makes a point-lookup plan on a 10 M-file table a
+    seconds-and-MBs operation instead of a full snapshot fold."""
+    # small pass: metaData/protocol (and any inline v2 manifest file
+    # actions) — the manifest is tiny; classic checkpoints answer the
+    # two rows with a filtered JVM scan
+    inline_actions: list[dict] = []
+    if _CKPT_V2_RE.match(parts[0].name):
+        defer: list[Path] = []
+        inline_actions.extend(_read_v2_checkpoint(parts[0], defer))
+        big = defer
+    else:
+        big = parts
+        adf = spark.read.parquet(*[str(p) for p in big])
+        for key in ("metaData", "protocol"):
+            if key in adf.columns:
+                inline_actions.extend(
+                    json.loads(line)
+                    for line in adf.where(f"{key} IS NOT NULL")
+                    .select(key).toJSON().collect()
+                )
+    meta = proto = None
+    late: list[dict] = []
+    for i in range(ck + 1, v + 1):
+        late.extend(_commit_actions(path, i))
+    for a in inline_actions + late:
+        if a.get("metaData") is not None:
+            meta = a["metaData"]
+        if a.get("protocol") is not None:
+            proto = a["protocol"]
+    if proto is None or meta is None:
+        raise DeltaProtocolError(
+            f"version {v} of {path} has no protocol/metaData action — "
+            "not a valid Delta log"
+        )
+    _check_protocol(proto, path)
+    schema = _snapshot_schema(meta)
+    _check_mapping_supported(meta, schema)
+    phys_of = {f.name: _physical_name(f) for f in schema.fields}
+    part_types = {
+        phys_of[c]: schema[c].dataType.typeName()
+        for c in meta.get("partitionColumns") or []
+    }
+    # post-checkpoint churn: any path touched after the checkpoint is
+    # decided by the replay, not by its checkpoint entry
+    touched: set[str] = set()
+    adds_late: dict[str, dict] = {}
+    for a in late:
+        if a.get("add") is not None:
+            touched.add(a["add"]["path"])
+            adds_late[a["add"]["path"]] = a["add"]
+        elif a.get("remove") is not None:
+            touched.add(a["remove"]["path"])
+            adds_late.pop(a["remove"]["path"], None)
+    kept: list[str] = []
+    for a in inline_actions:
+        ad = a.get("add")
+        if ad is not None and ad["path"] not in touched \
+                and _keep_add(ad, prune, part_types, phys_of):
+            kept.append(ad["path"])
+    if big:
+        df = spark.read.parquet(*[str(p) for p in big])
+        if "add" in df.columns:
+            addf = df.where("add IS NOT NULL").select("add")
+
+            def gen(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    out = []
+                    for a in pdf["add"]:
+                        a = _undict(dict(a))
+                        if a["path"] not in touched and _keep_add(
+                            a, prune, part_types, phys_of
+                        ):
+                            out.append(a["path"])
+                    yield pd.DataFrame({"path": out})
+
+            kept.extend(
+                r.path for r in addf.mapInPandas(gen, "path string")
+                .toLocalIterator()
+            )
+    kept.extend(p for p, ad in adds_late.items()
+                if _keep_add(ad, prune, part_types, phys_of))
+    return sorted(_abs_file(path, p) for p in kept)
+
+
 def delta_table_files(
     path: str,
     version: int | None = None,
     as_of=None,
     prune: list[tuple] | None = None,
+    spark: SparkSession | None = None,
+    spark_plan_threshold: int | None = None,
 ) -> list[str]:
     """The absolute data-file paths a read would plan (after partition
     + stats skipping) — the test-assertable pruning surface, mirroring
-    the versioned-table layer's discipline."""
-    snap = delta_snapshot(path, version, as_of)
+    the versioned-table layer's discipline.  With ``spark``, plans
+    above the action threshold prune executor-side and the driver
+    holds only the surviving paths
+    (:func:`_delta_table_files_spark`)."""
+    thr = (_SPARK_PLAN_THRESHOLD if spark_plan_threshold is None
+           else spark_plan_threshold)
+    if spark is not None:
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = _version_at_timestamp(path, as_of)
+            as_of = None
+        head = delta_latest_version(path)
+        v = head if version is None else int(version)
+        if v <= head:
+            ck = _latest_checkpoint_at_or_below(path, v)
+            parts = _checkpoint_parts(path, ck) if ck is not None \
+                else None
+            if parts is not None and _ckpt_action_estimate(parts) >= thr:
+                return _delta_table_files_spark(
+                    spark, path, v, ck, parts, prune
+                )
+    snap = delta_snapshot(path, version, as_of, spark,
+                          spark_plan_threshold)
     meta = snap["metaData"]
     schema = _snapshot_schema(meta)
     _check_mapping_supported(meta, schema)
@@ -942,8 +1131,9 @@ def read_delta_table(
     Column mapping mode `name` resolves physical parquet names back to
     logical ones.  ``prune`` is the same `[(col, lo, hi)]` contract as
     :func:`etl_rust_spark.versions.read_table_version`: a sound
-    optimization, never a filter."""
-    snap = delta_snapshot(path, version, as_of)
+    optimization, never a filter.  Snapshot planning auto-routes big
+    checkpoint decodes through executors (see :func:`delta_snapshot`)."""
+    snap = delta_snapshot(path, version, as_of, spark)
     meta = snap["metaData"]
     schema = _snapshot_schema(meta)
     _check_mapping_supported(meta, schema)
@@ -1051,6 +1241,7 @@ def export_delta_log(
     versions: list[int] | None = None,
     checkpoint: bool = True,
     resume: bool = False,
+    checkpoint_format: str = "classic",
 ) -> int:
     """Replay a versioned table's commit chain as a Delta transaction
     log IN PLACE (``<path>/_delta_log`` next to the existing
@@ -1082,7 +1273,18 @@ def export_delta_log(
     re-export, external Delta readers see the new snapshot).  Without
     it a second export refuses rather than forking the history.
 
+    ``checkpoint_format="v2"`` (r12) writes the spec's v2 checkpoint
+    (JSON manifest + parquet sidecar under ``_delta_log/_sidecars/``)
+    instead of the classic single parquet — the idiomatic shape for
+    Delta 3.x readers, and it exercises this module's own v2 read
+    path against self-written artifacts.
+
     Returns the number of Delta commits written."""
+    if checkpoint_format not in ("classic", "v2"):
+        raise ValueError(
+            f"checkpoint_format must be classic|v2, got "
+            f"{checkpoint_format!r}"
+        )
     from .versions import _column_map, _load_manifest, _transform_of
     from .versions import list_versions as _list_versions
 
@@ -1278,7 +1480,8 @@ def export_delta_log(
     if checkpoint:
         _write_checkpoint(
             path, base_delta + n - 1, manifests[vs[-1]],
-            prev_meta_json, mapped, any_dv, prev_desc
+            prev_meta_json, mapped, any_dv, prev_desc,
+            fmt=checkpoint_format,
         )
     return n
 
@@ -1347,13 +1550,20 @@ def _add_action(root: Path, rel: str, fstats: dict,
 def _write_checkpoint(path: str, delta_version: int, head_manifest: dict,
                       meta_json: str, mapped: bool,
                       dv: bool = False,
-                      dv_descs: dict[str, dict] | None = None) -> None:
-    """Classic single-part checkpoint parquet + `_last_checkpoint`
-    pointer for the final exported commit — so Delta readers (and
-    this module's own reader) snapshot in ONE parquet read instead of
-    replaying every JSON commit.  ``dv_descs`` carries the head
-    snapshot's live deletionVector descriptors per data-relative file
-    (checkpoints must reproduce the full add state, DV included)."""
+                      dv_descs: dict[str, dict] | None = None,
+                      fmt: str = "classic") -> None:
+    """Checkpoint for the final exported commit + `_last_checkpoint`
+    pointer — so Delta readers (and this module's own reader) snapshot
+    in ONE parquet read instead of replaying every JSON commit.
+    ``dv_descs`` carries the head snapshot's live deletionVector
+    descriptors per data-relative file (checkpoints must reproduce the
+    full add state, DV included).  ``fmt="classic"`` writes the
+    single-part parquet every Delta reader understands; ``fmt="v2"``
+    writes the spec's v2 form — a JSON manifest
+    (``n.checkpoint.<uuid>.json`` with protocol/metaData/
+    checkpointMetadata/sidecar actions) plus a parquet sidecar of the
+    file actions under ``_delta_log/_sidecars/`` — the shape Delta 3.x
+    writes by default on new tables."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1450,6 +1660,48 @@ def _write_checkpoint(path: str, delta_version: int, head_manifest: dict,
         )
         return mrow
 
+    d = _log_dir(path)
+    if fmt == "v2":
+        # spec v2: parquet sidecar of the file actions + a JSON-lines
+        # manifest carrying protocol/metaData/checkpointMetadata and
+        # the sidecar pointer (relative to _delta_log/_sidecars/)
+        sdir = d / "_sidecars"
+        sdir.mkdir(exist_ok=True)
+        sname = f"{uuid.uuid4()}.parquet"
+        side = pa.Table.from_pydict(
+            {"add": [fix_add(a) for a in adds],
+             "remove": [None] * len(adds)},
+            schema=pa.schema([
+                ("add", add_t),
+                ("remove", pa.struct([
+                    ("path", pa.string()),
+                    ("deletionTimestamp", pa.int64()),
+                    ("dataChange", pa.bool_()),
+                ])),
+            ]),
+        )
+        pq.write_table(side, sdir / sname)
+        meta_sub = {k: meta[k] for k in (
+            "id", "format", "schemaString", "partitionColumns",
+            "configuration",
+        )}
+        lines = [
+            {"checkpointMetadata": {"version": delta_version}},
+            {"protocol": proto},
+            {"metaData": meta_sub},
+            {"sidecar": {
+                "path": sname,
+                "sizeInBytes": (sdir / sname).stat().st_size,
+                "modificationTime": ts_ms,
+            }},
+        ]
+        mp = d / f"{delta_version:020d}.checkpoint.{uuid.uuid4()}.json"
+        mp.write_text("".join(json.dumps(x) + "\n" for x in lines))
+        (d / "_last_checkpoint").write_text(
+            json.dumps({"version": delta_version, "size": n})
+        )
+        return
+
     table = pa.Table.from_pydict(
         {
             "protocol": rows["protocol"],
@@ -1459,7 +1711,6 @@ def _write_checkpoint(path: str, delta_version: int, head_manifest: dict,
         },
         schema=schema,
     )
-    d = _log_dir(path)
     pq.write_table(table, d / f"{delta_version:020d}.checkpoint.parquet")
     (d / "_last_checkpoint").write_text(
         json.dumps({"version": delta_version, "size": n})

@@ -264,8 +264,50 @@ def _read_ocf(fp: str) -> list[dict]:
     return records
 
 
+# total manifest bytes above which the manifest decode fans out over
+# executors (SCALE.md: driver-side avro decode at 100k entries ≈ 49 MB
+# / 0.85 s single-threaded; past a few tens of MB the parallel decode
+# wins and the driver only holds the entry fold)
+_SPARK_PLAN_THRESHOLD_BYTES = 32 << 20
+
+
+def _decode_manifest_pair(pair: tuple[str, int]):
+    """(manifest_path, manifest_seq) → [(m_seq, entry), ...] — runs on
+    EXECUTORS when planning routes through Spark (the manifests are
+    avro, which Spark cannot scan jar-free; the repo's own codec
+    decodes them per task, so the walk parallelizes per manifest)."""
+    mp, m_seq = pair
+    return [(m_seq, e) for e in _read_ocf(mp)]
+
+
+def _manifest_entries(path: str, mfs: list[dict],
+                      spark: SparkSession | None,
+                      threshold_bytes: int):
+    """Iterate (manifest_seq, entry) across a snapshot's manifests —
+    driver-side below ``threshold_bytes`` of total manifest data,
+    fanned out over executors (one task per manifest, results streamed
+    back partition-wise) above it.  This is metadata-plane control
+    flow, not a data path: the RDD exists because manifests are avro
+    and the decode is per-file imperative; every DATA scan stays in
+    the DataFrame API."""
+    total = sum(int(mf.get("manifest_length") or 0) for mf in mfs)
+    pairs = [(_abs_file(path, mf["manifest_path"]),
+              int(mf.get("sequence_number") or 0)) for mf in mfs]
+    if spark is None or total < threshold_bytes or not pairs:
+        for mp, m_seq in pairs:
+            for e in _read_ocf(mp):
+                yield m_seq, e
+        return
+    rdd = spark.sparkContext.parallelize(
+        pairs, min(len(pairs), 256)
+    ).flatMap(_decode_manifest_pair)
+    yield from rdd.toLocalIterator()
+
+
 def iceberg_snapshot(
-    path: str, snapshot_id: int | None = None, as_of=None
+    path: str, snapshot_id: int | None = None, as_of=None,
+    spark: SparkSession | None = None,
+    spark_plan_threshold_bytes: int | None = None,
 ) -> dict:
     """Planned state of one snapshot: live data-file records (the
     manifest entries' `data_file` structs, each annotated with its
@@ -278,7 +320,12 @@ def iceberg_snapshot(
     Sequence numbers follow the v2 inheritance rule: an entry with a
     null ``sequence_number`` inherits the manifest's (manifest-list
     row's) sequence number; v1 tables have no sequence numbers and
-    read as 0 everywhere (all deletes apply — v1 has none anyway)."""
+    read as 0 everywhere (all deletes apply — v1 has none anyway).
+
+    When ``spark`` is passed and the snapshot's total manifest bytes
+    exceed ``spark_plan_threshold_bytes``, the manifest avro decode
+    fans out over executors (:func:`_manifest_entries`) — same
+    entries, same fold, driver peak bounded by the live file records."""
     meta = _current_metadata(path)
     _check_format(meta, path)
     snap = _select_snapshot(meta, path, snapshot_id, as_of)
@@ -295,37 +342,39 @@ def iceberg_snapshot(
     files: list[dict] = []
     pos_deletes: list[dict] = []
     eq_deletes: list[dict] = []
-    for mf in _read_ocf(_abs_file(path, snap["manifest-list"])):
-        m_seq = int(mf.get("sequence_number") or 0)
-        for entry in _read_ocf(_abs_file(path, mf["manifest_path"])):
-            if int(entry.get("status", 1)) == 2:  # DELETED
-                continue
-            df = entry["data_file"]
-            seq = entry.get("sequence_number")
-            df["_seq"] = int(seq) if seq is not None else m_seq
-            fmt = str(df.get("file_format", "PARQUET")).upper()
-            if fmt != "PARQUET":
+    mfs = _read_ocf(_abs_file(path, snap["manifest-list"]))
+    thr = (_SPARK_PLAN_THRESHOLD_BYTES
+           if spark_plan_threshold_bytes is None
+           else spark_plan_threshold_bytes)
+    for m_seq, entry in _manifest_entries(path, mfs, spark, thr):
+        if int(entry.get("status", 1)) == 2:  # DELETED
+            continue
+        df = entry["data_file"]
+        seq = entry.get("sequence_number")
+        df["_seq"] = int(seq) if seq is not None else m_seq
+        fmt = str(df.get("file_format", "PARQUET")).upper()
+        if fmt != "PARQUET":
+            raise IcebergProtocolError(
+                f"file {df.get('file_path')!r} is {fmt}; only "
+                "PARQUET is supported"
+            )
+        content = int(df.get("content", 0))
+        if content == 0:
+            files.append(df)
+        elif content == 1:
+            pos_deletes.append(df)
+        elif content == 2:
+            if not df.get("equality_ids"):
                 raise IcebergProtocolError(
-                    f"file {df.get('file_path')!r} is {fmt}; only "
-                    "PARQUET is supported"
+                    f"equality-delete file {df.get('file_path')!r} "
+                    "carries no equality_ids"
                 )
-            content = int(df.get("content", 0))
-            if content == 0:
-                files.append(df)
-            elif content == 1:
-                pos_deletes.append(df)
-            elif content == 2:
-                if not df.get("equality_ids"):
-                    raise IcebergProtocolError(
-                        f"equality-delete file {df.get('file_path')!r} "
-                        "carries no equality_ids"
-                    )
-                eq_deletes.append(df)
-            else:
-                raise IcebergProtocolError(
-                    f"unknown data_file content {content} "
-                    f"({df.get('file_path')!r})"
-                )
+            eq_deletes.append(df)
+        else:
+            raise IcebergProtocolError(
+                f"unknown data_file content {content} "
+                f"({df.get('file_path')!r})"
+            )
     return {"snapshot": snap, "schema": schema, "files": files,
             "pos_deletes": pos_deletes, "eq_deletes": eq_deletes,
             "metadata": meta}
@@ -457,15 +506,82 @@ def _keep_file(df_rec: dict, prune, ids: dict[str, tuple[int, str]],
     return True
 
 
+def _prune_manifest_data_paths(pair, prune, ids, pctx):
+    """One manifest → surviving DATA file paths, for the executor-side
+    pruned planning route: the same :func:`_keep_file` the driver walk
+    runs, but only survivors ship back."""
+    mp, _ = pair
+    out = []
+    for e in _read_ocf(mp):
+        if int(e.get("status", 1)) == 2:
+            continue
+        df = e["data_file"]
+        if int(df.get("content", 0)) != 0:
+            continue
+        fmt = str(df.get("file_format", "PARQUET")).upper()
+        if fmt != "PARQUET":
+            raise IcebergProtocolError(
+                f"file {df.get('file_path')!r} is {fmt}; only "
+                "PARQUET is supported"
+            )
+        if _keep_file(df, prune, ids, pctx):
+            out.append(df["file_path"])
+    return out
+
+
 def iceberg_table_files(
     path: str,
     snapshot_id: int | None = None,
     as_of=None,
     prune: list[tuple] | None = None,
+    spark: SparkSession | None = None,
+    spark_plan_threshold_bytes: int | None = None,
 ) -> list[str]:
     """Absolute data-file paths a read would plan after min/max
-    skipping — the test-assertable pruning surface."""
-    snap = iceberg_snapshot(path, snapshot_id, as_of)
+    skipping — the test-assertable pruning surface.  With ``spark``,
+    manifest walks above the byte threshold prune EXECUTOR-side
+    (:func:`_prune_manifest_data_paths`): everything planning needs —
+    schema, partition specs — is in the metadata JSON, so the driver
+    materializes only the surviving paths, never the live file
+    records.  The structural answer to point lookups on 10 M-file
+    estates."""
+    thr = (_SPARK_PLAN_THRESHOLD_BYTES
+           if spark_plan_threshold_bytes is None
+           else spark_plan_threshold_bytes)
+    if spark is not None:
+        meta = _current_metadata(path)
+        _check_format(meta, path)
+        snap_row = _select_snapshot(meta, path, snapshot_id, as_of)
+        schema = _current_schema(meta)
+        if "schema-id" in snap_row:
+            for s in meta.get("schemas") or []:
+                if s.get("schema-id") == snap_row["schema-id"]:
+                    schema = s
+        if "manifest-list" in snap_row:
+            mfs = _read_ocf(_abs_file(path, snap_row["manifest-list"]))
+            total = sum(int(mf.get("manifest_length") or 0)
+                        for mf in mfs)
+            if total >= thr and mfs:
+                ids = {
+                    f["name"]: (f["id"], f["type"])
+                    for f in schema["fields"]
+                    if isinstance(f["type"], str)
+                }
+                pctx = _partition_context(meta, schema)
+                pairs = [(_abs_file(path, mf["manifest_path"]),
+                          int(mf.get("sequence_number") or 0))
+                         for mf in mfs]
+                import functools
+
+                kept = spark.sparkContext.parallelize(
+                    pairs, min(len(pairs), 256)
+                ).flatMap(functools.partial(
+                    _prune_manifest_data_paths,
+                    prune=prune, ids=ids, pctx=pctx,
+                )).collect()
+                return sorted(_abs_file(path, p) for p in kept)
+    snap = iceberg_snapshot(path, snapshot_id, as_of, spark,
+                            spark_plan_threshold_bytes)
     ids = {
         f["name"]: (f["id"], f["type"])
         for f in snap["schema"]["fields"]
@@ -514,7 +630,7 @@ def read_iceberg_table(
     signature (bounded by schema generations, not file count).  Files
     without ids (imports, this repo's own exports) resolve by name,
     verified against sampled footers as before."""
-    snap = iceberg_snapshot(path, snapshot_id, as_of)
+    snap = iceberg_snapshot(path, snapshot_id, as_of, spark)
     schema = snap["schema"]
     sschema = _spark_schema(schema)
     files = {

@@ -1510,3 +1510,85 @@ def test_export_resume_rejects_overlapping_versions(spark, tmp_path):
     export_delta_log(spark, src)
     with pytest.raises(ValueError, match="duplicate"):
         export_delta_log(spark, src, versions=[1, 2], resume=True)
+
+
+def test_spark_side_checkpoint_planning_parity(spark, tmp_path):
+    """Above the routing threshold the checkpoint decode runs THROUGH
+    Spark (JVM-side toJSON, streamed back); the snapshot fold must be
+    byte-equal to the driver-side pyarrow decode — deletion vectors,
+    stats and partition values included."""
+    t = tmp_path / "vt_sp"
+    V.write_table_version(
+        spark.range(40).selectExpr(
+            "id as k", "cast(id % 3 as string) as p"),
+        str(t), partition_by="p", stats_cols=["k"])
+    V.delete_table_version(spark, str(t), "k = 7", mode="mor")
+    export_delta_log(spark, str(t))
+    drv = delta_snapshot(str(t))
+    via = delta_snapshot(str(t), spark=spark, spark_plan_threshold=0)
+    assert via["metaData"] == drv["metaData"]
+    assert via["protocol"] == drv["protocol"]
+    assert set(via["adds"]) == set(drv["adds"])
+    # the JVM JSON render drops null struct fields (e.g. an inline
+    # DV's offset) where pyarrow yields explicit Nones — semantically
+    # identical to every consumer (.get() everywhere); normalize
+    def norm(d):
+        return {k: v for k, v in (d or {}).items() if v is not None}
+
+    for p, a in drv["adds"].items():
+        b = via["adds"][p]
+        for k in ("path", "size", "stats"):
+            assert b.get(k) == a.get(k), (p, k)
+        assert norm(b.get("deletionVector")) == \
+            norm(a.get("deletionVector")), p
+        assert (b.get("partitionValues") or {}) == \
+            (a.get("partitionValues") or {})
+    # the pruning surface agrees too, and the routed read masks MoR
+    assert delta_table_files(
+        str(t), prune=[("k", 0, 3)], spark=spark,
+        spark_plan_threshold=0
+    ) == delta_table_files(str(t), prune=[("k", 0, 3)])
+    ours = V.read_table_version(spark, str(t))
+    import etl_rust_spark.deltalake as D
+
+    old = D._SPARK_PLAN_THRESHOLD
+    D._SPARK_PLAN_THRESHOLD = 0
+    try:
+        theirs = read_delta_table(spark, str(t))
+        assert sorted(map(tuple,
+                          theirs.select(*ours.columns).collect())) \
+            == sorted(map(tuple, ours.collect()))
+    finally:
+        D._SPARK_PLAN_THRESHOLD = old
+
+
+def test_export_v2_checkpoint_roundtrip(spark, tmp_path):
+    """checkpoint_format='v2' writes the spec's manifest+sidecar form;
+    a JSON-less log reads back through this module's own v2 decode
+    path — deletion vectors included — proving write/read symmetry on
+    self-written artifacts."""
+    t = tmp_path / "vt_v2w"
+    V.write_table_version(
+        spark.range(12).selectExpr("id as k", "id * 2 as v"), str(t),
+        stats_cols=["k"])
+    V.delete_table_version(spark, str(t), "k = 5", mode="mor")
+    export_delta_log(spark, str(t), checkpoint_format="v2")
+    from etl_rust_spark.deltalake import _CKPT_V2_RE
+
+    log = t / "_delta_log"
+    assert any(_CKPT_V2_RE.match(p.name) for p in log.iterdir())
+    assert (log / "_sidecars").exists()
+    # kill the JSON commits: only the v2 checkpoint remains
+    for f in log.iterdir():
+        if f.suffix == ".json" and f.stem.isdigit():
+            f.unlink()
+    ours = V.read_table_version(spark, str(t))
+    theirs = read_delta_table(spark, str(t))
+    assert sorted(map(tuple, theirs.select(*ours.columns).collect())) \
+        == sorted(map(tuple, ours.collect()))
+    assert not any(r.k == 5 for r in theirs.collect())
+    # stats survive the sidecar round trip: prune still reaches 1 file
+    from etl_rust_spark.deltalake import delta_table_files
+
+    assert len(delta_table_files(str(t), prune=[("k", 0, 0)])) <= \
+        len(delta_table_files(str(t)))

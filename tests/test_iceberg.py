@@ -1237,3 +1237,52 @@ def test_export_iceberg_empty_version(spark, tmp_path):
     assert head.count() == 0 and head.columns == ["k", "v"]
     assert read_iceberg_table(spark, src, snapshot_id=1).count() == 3
     assert iceberg_table_files(src, snapshot_id=2) == []
+
+
+def test_spark_side_manifest_planning_parity(spark, tmp_path):
+    """Above the routing threshold the manifest avro decode fans out
+    over executors; the snapshot fold must equal the driver-side walk
+    — position deletes, sequence numbers and partition values
+    included — and reads routed through it stay mask-correct."""
+    from etl_rust_spark.iceberg import (
+        export_iceberg_metadata,
+        iceberg_snapshot,
+        iceberg_table_files,
+    )
+
+    t = str(tmp_path / "vt_spark_plan")
+    V.write_table_version(
+        spark.range(20).selectExpr("id as k", "id * 3 as v"), t,
+        stats_cols=["k"])
+    V.delete_table_version(spark, t, "k = 2", mode="mor")
+    V.upsert_table_version(
+        spark, t, spark.createDataFrame([(2, 6)], "k long, v long"),
+        keys=["k"])
+    export_iceberg_metadata(spark, t)
+    drv = iceberg_snapshot(t)
+    via = iceberg_snapshot(t, spark=spark,
+                           spark_plan_threshold_bytes=0)
+    key = lambda d: d["file_path"]
+    for part in ("files", "pos_deletes", "eq_deletes"):
+        assert sorted(via[part], key=key) == \
+            sorted(drv[part], key=key), part
+    assert via["schema"] == drv["schema"]
+    assert iceberg_table_files(
+        t, prune=[("k", 0, 5)], spark=spark,
+        spark_plan_threshold_bytes=0
+    ) == iceberg_table_files(t, prune=[("k", 0, 5)])
+    assert iceberg_table_files(
+        t, spark=spark, spark_plan_threshold_bytes=0
+    ) == iceberg_table_files(t)
+    import etl_rust_spark.iceberg as I
+
+    old = I._SPARK_PLAN_THRESHOLD_BYTES
+    I._SPARK_PLAN_THRESHOLD_BYTES = 0
+    try:
+        ours = V.read_table_version(spark, t)
+        theirs = read_iceberg_table(spark, t)
+        assert sorted(map(tuple,
+                          theirs.select(*ours.columns).collect())) \
+            == sorted(map(tuple, ours.collect()))
+    finally:
+        I._SPARK_PLAN_THRESHOLD_BYTES = old

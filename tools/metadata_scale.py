@@ -8,8 +8,12 @@ The claim under test: checkpoint decode is STREAMED (record batches,
 action columns projected), so peak memory is the live adds dict alone
 — O(files_live), never O(files x decode-copies).
 
-Usage: python tools/metadata_scale.py [N]         (default 100_000)
+Usage: python tools/metadata_scale.py [N] [--spark]  (default 100_000)
 Prints one JSON line; paste the numbers into SCALE.md.
+
+--spark additionally A/Bs the r12 Spark-side planning route (delta
+checkpoint decode via JVM toJSON streaming; iceberg manifest decode
+fanned over executors) against the driver-side walk at the same N.
 """
 
 from __future__ import annotations
@@ -100,6 +104,18 @@ def build_iceberg(root: Path, n: int, per_manifest: int = 10_000) -> str:
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "lower_bounds", "type": ["null", {
+                        "type": "array", "items": {
+                            "type": "record", "name": "kv", "fields": [
+                                {"name": "key", "type": "int"},
+                                {"name": "value", "type": "bytes"},
+                            ]}}]},
+                    {"name": "upper_bounds", "type": ["null", {
+                        "type": "array", "items": {
+                            "type": "record", "name": "kv2", "fields": [
+                                {"name": "key", "type": "int"},
+                                {"name": "value", "type": "bytes"},
+                            ]}}]},
                 ]}},
         ],
     }
@@ -111,6 +127,11 @@ def build_iceberg(root: Path, n: int, per_manifest: int = 10_000) -> str:
             {"name": "added_snapshot_id", "type": "long"},
         ],
     }
+    import struct
+
+    def kb(v):  # iceberg single-value bound serialization for long
+        return struct.pack("<q", v)
+
     mfs = []
     for m0 in range(0, n, per_manifest):
         mp = md / f"manifest-{m0}.avro"
@@ -119,7 +140,10 @@ def build_iceberg(root: Path, n: int, per_manifest: int = 10_000) -> str:
                 "content": 0,
                 "file_path": f"data/f{i:07d}.parquet",
                 "file_format": "PARQUET",
-                "record_count": 1000, "file_size_in_bytes": 1 << 20}}
+                "record_count": 1000, "file_size_in_bytes": 1 << 20,
+                "lower_bounds": [{"key": 1, "value": kb(i * 1000)}],
+                "upper_bounds": [{"key": 1,
+                                  "value": kb(i * 1000 + 999)}]}}
             for i in range(m0, min(m0 + per_manifest, n))
         ], entry_schema, codec="deflate")
         mfs.append({"manifest_path": "file://" + str(mp),
@@ -183,12 +207,12 @@ def main() -> None:
     isnap, t_ice, mem_ice = measured(lambda: iceberg_snapshot(ice))
     assert len(isnap["files"]) == n
     ihit, t_iprune, mem_iprune = measured(
-        lambda: iceberg_table_files(ice)
+        lambda: iceberg_table_files(ice, prune=[("k", 5_000, 5_500)])
     )
     ckpt_mb = round(sum(
         p.stat().st_size for p in (Path(delta) / "_delta_log").iterdir()
     ) / 1e6, 1)
-    print(json.dumps({
+    out = {
         "n_files": n,
         "delta_checkpoint_mb": ckpt_mb,
         "delta_snapshot_sec": t_snap,
@@ -199,7 +223,51 @@ def main() -> None:
         "iceberg_snapshot_peak_mb": mem_ice,
         "iceberg_listfiles_sec": t_iprune,
         "n_listed": len(ihit),
-    }))
+    }
+    if "--spark" in sys.argv:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        # warm the JVM/session once so the A/B measures the plan, not
+        # session start-up
+        spark.range(1).collect()
+        dsnap, t_dsp, mem_dsp = measured(
+            lambda: delta_snapshot(delta, spark=spark,
+                                   spark_plan_threshold=0))
+        assert len(dsnap["adds"]) == n
+        isnap2, t_isp, mem_isp = measured(
+            lambda: iceberg_snapshot(ice, spark=spark,
+                                     spark_plan_threshold_bytes=0))
+        assert len(isnap2["files"]) == n
+        # the structural number: survivors-only pruned planning — the
+        # driver materializes O(kept), never the live set
+        dhit, t_dpp, mem_dpp = measured(
+            lambda: delta_table_files(
+                delta, prune=[("k", 5_000, 5_500)], spark=spark,
+                spark_plan_threshold=0))
+        assert dhit == hit
+        ihit2, t_ipp, mem_ipp = measured(
+            lambda: iceberg_table_files(
+                ice, prune=[("k", 5_000, 5_500)], spark=spark,
+                spark_plan_threshold_bytes=0))
+        out.update({
+            "delta_snapshot_spark_sec": t_dsp,
+            "delta_snapshot_spark_driver_peak_mb": mem_dsp,
+            "iceberg_snapshot_spark_sec": t_isp,
+            "iceberg_snapshot_spark_driver_peak_mb": mem_isp,
+            "delta_pruned_plan_spark_sec": t_dpp,
+            "delta_pruned_plan_spark_driver_peak_mb": mem_dpp,
+            "delta_pruned_plan_spark_hits": len(dhit),
+            "iceberg_pruned_plan_spark_sec": t_ipp,
+            "iceberg_pruned_plan_spark_driver_peak_mb": mem_ipp,
+            "iceberg_pruned_plan_spark_hits": len(ihit2),
+        })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
