@@ -522,6 +522,12 @@ def main(argv: list[str] | None = None) -> int:
         "rewriting hit files (fold with --compact)",
     )
     pv.add_argument(
+        "--dml-mode", default=None, choices=("cow", "mor", "auto"),
+        help="explicit DML mode for --delete-where/--update-where; "
+        "auto routes by match size (small -> sidecar, broad -> CoW); "
+        "overrides --mor",
+    )
+    pv.add_argument(
         "--update-where", default=None, metavar="SQL",
         help="row-level UPDATE of rows matching this predicate "
         "(needs --set)",
@@ -560,6 +566,12 @@ def main(argv: list[str] | None = None) -> int:
         help="write a Delta Lake _delta_log next to _manifests so "
         "external Delta readers consume this table (zero data copied; "
         "our version N becomes Delta commit N-first)",
+    )
+    pv.add_argument(
+        "--checkpoint-format", default="classic",
+        choices=("classic", "v2"),
+        help="checkpoint form for --export-delta: classic single "
+        "parquet, or the v2 manifest+sidecar shape Delta 3.x writes",
     )
     pv.add_argument(
         "--read-delta", default=None, metavar="V|latest",
@@ -991,10 +1003,10 @@ def main(argv: list[str] | None = None) -> int:
                 when_not_matched_insert=_clause(args.not_matched_insert),
                 update_condition=args.update_condition,
             )
+        dml_mode = args.dml_mode or ("mor" if args.mor else "cow")
         if args.delete_where is not None:
             out["version"] = _v.delete_table_version(
-                spark, args.table, args.delete_where,
-                mode="mor" if args.mor else "cow",
+                spark, args.table, args.delete_where, mode=dml_mode,
             )
         if args.update_where is not None:
             if not args.set:
@@ -1002,7 +1014,7 @@ def main(argv: list[str] | None = None) -> int:
             sets = dict(pair.split("=", 1) for pair in args.set)
             out["version"] = _v.update_table_version(
                 spark, args.table, args.update_where, sets,
-                mode="mor" if args.mor else "cow",
+                mode=dml_mode,
             )
         if args.compact is not None or args.compact_bytes is not None:
             out["version"] = _v.compact_table_version(
@@ -1018,7 +1030,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.export_delta:
             from etl_rust_spark.deltalake import export_delta_log
 
-            out["delta_commits"] = export_delta_log(spark, args.table)
+            out["delta_commits"] = export_delta_log(
+                spark, args.table,
+                checkpoint_format=args.checkpoint_format,
+            )
         if args.read_delta is not None:
             if not args.out:
                 p.error("--read-delta requires --out")

@@ -611,9 +611,14 @@ def delete_table_version(
     file outside the sidecar's scope and is NOT masked.  A predicate
     matching more than ``mor_max_rows`` refuses with the CoW
     remediation — the sidecar must stay broadcast-sized (see
-    :func:`_check_mor_size`)."""
-    if mode not in ("cow", "mor"):
-        raise ValueError(f"mode must be cow|mor, got {mode!r}")
+    :func:`_check_mor_size`).
+
+    ``mode="auto"`` (r12) makes the cost model self-executing: matches
+    at or under ``mor_max_rows`` take the sidecar path, broader
+    predicates route to CoW — never a refusal, same parity either
+    way."""
+    if mode not in ("cow", "mor", "auto"):
+        raise ValueError(f"mode must be cow|mor|auto, got {mode!r}")
     return _retry_conflicts(
         lambda: _delete_table_version_once(
             spark, path, predicate, prune, point, mode, mor_max_rows
@@ -646,17 +651,29 @@ def _delete_table_version_once(
     # so the sidecar carries positions for position-capable readers
     hdf = _plan_with_deletes(
         spark, data, sorted(hit), m.get("deletes"), _synth_of(m),
-        positions=mode == "mor",
+        positions=mode in ("mor", "auto"),
     )
     ldf = _to_logical(hdf, m)  # user predicate space
     stats_cols = m.get("stats_cols") or None
     bloom_conf = m.get("blooms_conf")
-    if mode == "mor":
+    if mode in ("mor", "auto"):
         matched = ldf.filter(F.coalesce(cond, F.lit(False)))
         n_matched = matched.count()
         if not n_matched:
             return head
-        _check_mor_size(n_matched, mor_max_rows, "MoR delete", path)
+        if mode == "auto" and n_matched > mor_max_rows:
+            # the cost model, self-executing: a broad predicate pays
+            # the rewrite ONCE instead of riding every read as an
+            # over-sized broadcast delete side.  The position
+            # annotations are MoR bookkeeping — never staged
+            mode = "cow"
+            ldf = ldf.drop(*_POS_COLS)
+        else:
+            if mode == "mor":  # auto never refuses; explicit mor does
+                _check_mor_size(n_matched, mor_max_rows, "MoR delete",
+                                path)
+            mode = "mor"
+    if mode == "mor":
         rel = _stage_delete_sidecar(_sidecar_rows(matched, m), path)
         deletes = list(m.get("deletes") or []) + [
             {"path": rel, "files": sorted(hit)}
@@ -720,9 +737,11 @@ def update_table_version(
     append instead of the full rewrite; :func:`compact_table_version`
     folds the debt exactly as for MoR deletes.  A predicate matching
     more than ``mor_max_rows`` refuses with the CoW remediation — the
-    sidecar must stay broadcast-sized (see :func:`_check_mor_size`)."""
-    if mode not in ("cow", "mor"):
-        raise ValueError(f"mode must be cow|mor, got {mode!r}")
+    sidecar must stay broadcast-sized (see :func:`_check_mor_size`).
+    ``mode="auto"`` (r12) routes instead of refusing: small matches
+    take the sidecar, broad ones pay the rewrite once."""
+    if mode not in ("cow", "mor", "auto"):
+        raise ValueError(f"mode must be cow|mor|auto, got {mode!r}")
     return _retry_conflicts(
         lambda: _update_table_version_once(
             spark, path, predicate, set, prune, point, mode,
@@ -753,7 +772,8 @@ def _update_table_version_once(
     # deletes-aware: MoR-masked rows must not resurrect into the
     # rewritten files (their sidecar scope ends with the rewrite)
     hdf = _plan_with_deletes(spark, data, sorted(hit), m.get("deletes"),
-                             _synth_of(m), positions=mode == "mor")
+                             _synth_of(m),
+                             positions=mode in ("mor", "auto"))
     ldf = _to_logical(hdf, m)  # SET names / predicates are logical
     unknown = [c for c in set if c not in ldf.columns]
     if unknown:
@@ -764,12 +784,22 @@ def _update_table_version_once(
             f"cannot UPDATE partition column {lpb!r} — rows would "
             "move directories; route through delete + upsert"
         )
-    if mode == "mor":
+    if mode in ("mor", "auto"):
         matched_rows = ldf.filter(F.coalesce(cond, F.lit(False)))
         n_matched = matched_rows.count()
         if not n_matched:
             return head
-        _check_mor_size(n_matched, mor_max_rows, "MoR update", path)
+        if mode == "auto" and n_matched > mor_max_rows:
+            # self-executing cost model: broad predicates rewrite once
+            # (CoW) instead of riding reads as an over-sized broadcast
+            mode = "cow"
+            ldf = ldf.drop(*_POS_COLS)
+        else:
+            if mode == "mor":  # auto never refuses; explicit mor does
+                _check_mor_size(n_matched, mor_max_rows, "MoR update",
+                                path)
+            mode = "mor"
+    if mode == "mor":
         # old images masked by a sidecar scoped to the hit files; the
         # updated rows (SET applied simultaneously against the old row)
         # append as fresh files OUTSIDE every sidecar's scope.

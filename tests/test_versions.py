@@ -3100,3 +3100,44 @@ def test_rename_partition_column_and_constraints(spark, tmp_path, capsys):
     # restoring to the pre-rename version restores the old names
     V.restore_table_version(p, 1)
     assert set(V.read_table_version(spark, p).columns) == {"k", "ds", "val"}
+
+
+def test_mor_auto_mode_routes_by_match_size(spark, tmp_path):
+    """mode='auto' (r12) executes the MoR cost model instead of
+    refusing: a small match takes the sidecar path (zero data files
+    rewritten), a broad match routes to CoW (rewrite once, clean reads
+    after) — parity either way, and staged CoW files never leak the
+    MoR position annotations."""
+    import pyarrow.parquet as pq
+
+    p = _mor_table(spark, tmp_path)
+    files_v1 = set(V._load_manifest(p, 1)["files"])
+    # small match -> sidecar: every data file carries over verbatim
+    v2 = V.delete_table_version(spark, p, "k = 17", mode="auto",
+                                mor_max_rows=3)
+    m2 = V._load_manifest(p, v2)
+    assert set(m2["files"]) == files_v1
+    assert m2["deletes"] and m2["op"] == "delete(mor)"
+    # broad match -> CoW: no new sidecar, hit files rewritten
+    v3 = V.delete_table_version(spark, p, "k < 10", mode="auto",
+                                mor_max_rows=3)
+    m3 = V._load_manifest(p, v3)
+    assert m3["op"] == "delete"
+    assert set(m3["files"]) != set(m2["files"])
+    got = sorted(r.k for r in V.read_table_version(spark, p).collect())
+    assert got == sorted(k for k in range(64) if k >= 10 and k != 17)
+    # the CoW rewrite staged clean payload files (no __pos_* columns)
+    new_files = set(m3["files"]) - set(m2["files"])
+    for f in new_files:
+        names = pq.read_schema(str(Path(p) / "data" / f)).names
+        assert not any(c.startswith("__pos") for c in names), names
+    # auto UPDATE: broad -> CoW, small -> sidecar
+    v4 = V.update_table_version(spark, p, "k >= 10", {"val": "'B'"},
+                                mode="auto", mor_max_rows=3)
+    assert V._load_manifest(p, v4)["op"] == "update"
+    v5 = V.update_table_version(spark, p, "k = 20", {"val": "'C'"},
+                                mode="auto", mor_max_rows=3)
+    m5 = V._load_manifest(p, v5)
+    assert m5["op"] == "update(mor)" and m5["deletes"]
+    rows = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert rows[20] == "C" and rows[21] == "B"
