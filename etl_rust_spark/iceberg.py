@@ -1459,10 +1459,13 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
     pre-r11 fingerprint-only sidecars (no positions to export —
     compact first).
 
-    Metadata cost is O(live files) per snapshot (every snapshot gets a
-    full manifest) — the straightforward export form; Iceberg's
-    incremental manifest reuse is the named extension if export cost
-    ever dominates.  Returns the number of snapshots written."""
+    Metadata cost is O(churn) per snapshot (r12): manifest lists
+    re-reference prior manifests whose files all survive — Iceberg's
+    own incremental-reuse discipline — manifests that lost files
+    rewrite filtered, and only new files get a new manifest, so an
+    append-heavy chain exports in O(total files added), not
+    O(live files × versions).  Returns the number of snapshots
+    written."""
     from .functions.wireformats import write_avro_container
     from .versions import (
         _ROWS_KEY,
@@ -1502,6 +1505,9 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
     # iceberg_log stream source) keys on; stamping everything ADDED
     # would re-stream carried files on every snapshot
     first_seen: dict[str, int] = {}
+    # live manifest segments carried snapshot-to-snapshot for
+    # incremental reuse: {path, len, spec, added_by, files}
+    segments: list[dict] = []
     for v in vs:
         m = manifests[v]
         cmap = _column_map(m)  # logical -> physical
@@ -1588,8 +1594,8 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
                           "fields": spec_fields})
         spec_id = spec_key_to_id[skey]
         stats = m.get("stats") or {}
-        entries = []
-        for rel in sorted(m["files"]):
+
+        def build_entry(rel: str, status: int, stamp: int) -> dict:
             fp = root / "data" / rel
             fs = stats.get(rel) or {}
             lo_b, hi_b = [], []
@@ -1609,7 +1615,6 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
                 import pyarrow.parquet as pq
 
                 rows = pq.read_metadata(fp).num_rows
-            added_by = first_seen.setdefault(rel, v)
             data_file = {
                 "content": 0,
                 "file_path": "file://" + str(fp),
@@ -1623,24 +1628,72 @@ def export_iceberg_metadata(spark: SparkSession, path: str) -> int:
                 data_file["partition"] = {
                     part_fields[0][0]: part_value_of(rel)
                 }
-            entries.append({"status": 1 if added_by == v else 0,
-                            "snapshot_id": added_by,
-                            # explicit DATA sequence number (the
-                            # version that added the file): an
-                            # EXISTING entry must not inherit this
-                            # manifest's seq, or it would escape an
-                            # older position delete's scope
-                            "sequence_number": added_by,
-                            "data_file": data_file})
-        mp = d / f"manifest-{v}.avro"
-        write_avro_container(str(mp), entries,
-                             _exp_entry_schema(part_fields),
-                             codec="deflate")
-        list_rows = [{"manifest_path": "file://" + str(mp),
-                      "manifest_length": mp.stat().st_size,
-                      "partition_spec_id": spec_id,
-                      "content": 0, "sequence_number": v,
-                      "added_snapshot_id": v}]
+            # explicit DATA sequence number (the version that added
+            # the file): an EXISTING entry must not inherit its
+            # manifest's seq, or it would escape an older position
+            # delete's scope
+            return {"status": status, "snapshot_id": stamp,
+                    "sequence_number": stamp, "data_file": data_file}
+
+        def write_manifest(entries: list[dict], tag: str) -> dict:
+            mp = d / f"manifest-{v}-{tag}.avro"
+            write_avro_container(str(mp), entries,
+                                 _exp_entry_schema(part_fields),
+                                 codec="deflate")
+            return {"path": str(mp), "len": mp.stat().st_size,
+                    "spec": spec_id, "added_by": v}
+
+        # INCREMENTAL manifest reuse (r12, Iceberg's own discipline):
+        # a snapshot's manifest list re-references prior manifests
+        # whose files all survive; manifests that lost files rewrite
+        # FILTERED (entries keep their original snapshot/sequence
+        # stamps); only genuinely new files get a new manifest.
+        # Export cost becomes O(churn), not O(live files x versions) —
+        # and the iceberg_log source's added_snapshot_id narrowing
+        # skips carried manifests wholesale.
+        cur = set(m["files"])
+        next_segments: list[dict] = []
+        for seg in segments:
+            live = seg["files"] & cur
+            if not live:
+                continue  # fully superseded: drop from the list
+            if live == seg["files"]:
+                next_segments.append(seg)  # untouched: reuse as-is
+                continue
+            rw = write_manifest(
+                [build_entry(rel, 0, first_seen[rel])
+                 for rel in sorted(live)],
+                f"rw{len(next_segments):03d}",
+            )
+            rw["files"] = live
+            next_segments.append(rw)
+        covered = set().union(*(s["files"] for s in next_segments)) \
+            if next_segments else set()
+        added = cur - covered
+        if added:
+            for rel in added:
+                first_seen.setdefault(rel, v)
+            seg = write_manifest(
+                [build_entry(rel, 1, first_seen[rel])
+                 for rel in sorted(added)],
+                "add",
+            )
+            seg["files"] = frozenset(added)
+            next_segments.append(seg)
+        elif not next_segments:
+            # an empty snapshot (delete-everything) still needs a
+            # manifest list; an empty ADDED manifest keeps every
+            # reader's walk uniform
+            seg = write_manifest([], "add")
+            seg["files"] = frozenset()
+            next_segments.append(seg)
+        segments = next_segments
+        list_rows = [{"manifest_path": "file://" + s["path"],
+                      "manifest_length": s["len"],
+                      "partition_spec_id": s["spec"],
+                      "content": 0, "sequence_number": s["added_by"],
+                      "added_snapshot_id": s["added_by"]}
+                     for s in segments]
         # MoR sidecars export as v2 POSITION-DELETE files in their
         # own manifest (r11: positional sidecars ARE the spec shape)
         del_entries = _export_position_deletes(

@@ -1286,3 +1286,47 @@ def test_spark_side_manifest_planning_parity(spark, tmp_path):
             == sorted(map(tuple, ours.collect()))
     finally:
         I._SPARK_PLAN_THRESHOLD_BYTES = old
+
+
+def test_export_incremental_manifest_reuse(spark, tmp_path):
+    """Exported manifest lists re-reference prior manifests (Iceberg's
+    incremental discipline): an append's snapshot reuses the previous
+    manifest file verbatim and adds one for the new files; a delete
+    rewrites ONLY the manifest that lost files.  Export cost is
+    O(churn), not O(live x versions)."""
+    from etl_rust_spark.functions.wireformats import read_avro_container
+    from etl_rust_spark.iceberg import export_iceberg_metadata
+
+    t = str(tmp_path / "vt_incr")
+    V.write_table_version(
+        spark.range(8).selectExpr("id as k", "id * 2 as v")
+        .coalesce(2), t)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stage = tmp_path / "stage.parquet"
+    pq.write_table(pa.table({"k": [100], "v": [200]}), stage)
+    V.commit_appended_files(spark, t, [str(stage)], 1)  # pure append
+    V.delete_table_version(spark, t, "k = 100")
+    export_iceberg_metadata(spark, t)
+
+    def manifest_paths(snap_avro):
+        with open(snap_avro, "rb") as f:
+            _, rows = read_avro_container(f.read())
+        return [r["manifest_path"] for r in rows if r.get("content", 0) == 0]
+
+    md = Path(t) / "metadata"
+    l1 = manifest_paths(md / "snap-1.avro")
+    l2 = manifest_paths(md / "snap-2.avro")
+    l3 = manifest_paths(md / "snap-3.avro")
+    # append: v2 reuses v1's manifest file and adds exactly one
+    assert set(l1) <= set(l2) and len(l2) == len(l1) + 1
+    # delete of only the appended file: v1's manifests survive; the
+    # v2 add-manifest is gone (fully superseded), nothing rewritten
+    assert set(l3) == set(l1)
+    # round trip unchanged
+    for v in V.list_versions(t):
+        ours = V.read_table_version(spark, t, v)
+        theirs = read_iceberg_table(spark, t, snapshot_id=v)
+        assert sorted(map(tuple, ours.collect())) == \
+            sorted(map(tuple, theirs.select(*ours.columns).collect())), v
