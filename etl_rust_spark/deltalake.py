@@ -1731,14 +1731,24 @@ def import_delta_log(
     copy).  The migration path for a user switching engines without
     losing time travel.
 
-    Refusals (each with the remediation named): live deletion vectors
-    (materialize via :func:`read_delta_table` + write_table_version),
-    multi-column partitioning (the versioned layer partitions on one
-    column), and partitioned tables whose file paths are not hive-form
-    ``col=value/`` (Delta does not store partition columns in data
-    files, so only a hive layout lets the versioned reader re-derive
-    them).  Column mapping imports as the versioned layer's own
-    ``column_map``.  Returns the number of versions created."""
+    Live deletion vectors import as positional MERGE-ON-READ sidecars
+    (r12): each version's DV state — (file, deleted positions) decoded
+    from the source descriptors — re-materializes as one (_fp, _file,
+    _pos) sidecar scoped to the masked files, so time travel lands
+    masked exactly as Delta reads it, with zero data rewritten.  One
+    semantic guard: a DV that masks only SOME of a set of full-row
+    duplicates cannot be expressed as a fingerprint mask (the
+    versioned reader's value-exact anti-join would drop the surviving
+    twins too) — that case refuses with the materialize remediation.
+
+    Refusals (each with the remediation named): the partial-duplicate
+    DV case above, multi-column partitioning (the versioned layer
+    partitions on one column), and partitioned tables whose file paths
+    are not hive-form ``col=value/`` (Delta does not store partition
+    columns in data files, so only a hive layout lets the versioned
+    reader re-derive them).  Column mapping imports as the versioned
+    layer's own ``column_map``.  Returns the number of versions
+    created."""
     import os
     import shutil as _shutil
 
@@ -1758,6 +1768,7 @@ def import_delta_log(
     n = 0
     prev_meta_json = None
     parent = None
+    dv_sidecars: dict = {}
     for v in range(0, head + 1):
         ts = None
         try:
@@ -1818,16 +1829,9 @@ def import_delta_log(
         pb_phys = phys_of[part_cols[0]] if part_cols else None
         files: list[str] = []
         stats: dict[str, dict] = {}
+        dv_state: dict[str, frozenset] = {}
         count = 0
         for a in adds.values():
-            if a.get("deletionVector"):
-                raise ValueError(
-                    f"Delta version {v} of {path} has a live deletion "
-                    "vector — the import would resurrect its deleted "
-                    "rows; materialize that range via read_delta_table "
-                    "+ write_table_version, or import up to the "
-                    "pre-DV version"
-                )
             rel = unquote(a["path"])
             parsed = urlparse(rel)
             if parsed.scheme or rel.startswith("/"):
@@ -1875,6 +1879,19 @@ def import_delta_log(
                 if c in maxs:
                     fstats[c] = [mins[c], maxs[c]]
             stats[rel] = fstats
+            dv = a.get("deletionVector")
+            if dv:
+                pos = _dv_positions(path, dv)
+                if pos:
+                    dv_state[rel] = frozenset(pos)
+        deletes = None
+        if dv_state:
+            count -= sum(len(p) for p in dv_state.values())
+            from .versions import _import_positional_sidecar
+
+            deletes = _import_positional_sidecar(
+                spark, path, dest, dv_state, dv_sidecars
+            )
         cmap = {
             f.name: phys_of[f.name]
             for f in schema.fields
@@ -1892,6 +1909,7 @@ def import_delta_log(
             + ("" if meta_json == prev_meta_json or prev_meta_json is
                None else " metadata"),
             column_map=cmap or None,
+            deletes=deletes,
         )
         prev_meta_json = meta_json
         if ts is not None:

@@ -930,11 +930,21 @@ def import_iceberg_table(spark: SparkSession, path: str, dest: str) -> int:
     collision-free names and the versioned table is unpartitioned —
     a hive-style directory would collide with the payload column.
 
-    Refusals, each with the remediation named: live v2 delete files in
-    any snapshot (the import would resurrect rows), and a schema whose
-    field-name set changes across snapshots (mixed-schema files in one
-    directory are a silent read hazard; renames also land here — only
-    field-id resolution can follow them).  Returns versions created."""
+    POSITION deletes import as positional MERGE-ON-READ sidecars
+    (r12, mirrors :func:`~etl_rust_spark.deltalake.import_delta_log`'s
+    DV import): per-snapshot delete state re-materializes as
+    ``(_fp, _file, _pos)`` sidecars with the spec's sequence-number
+    application scope honored, zero data rewritten.  The partial-
+    duplicate guard applies (a mask covering only some of a set of
+    full-row duplicates refuses — no fingerprint representation).
+
+    Refusals, each with the remediation named: EQUALITY delete files
+    (value masks over a column subset have no positional
+    representation), the partial-duplicate position mask above, and a
+    schema whose field-name set changes across snapshots
+    (mixed-schema files in one directory are a silent read hazard;
+    renames also land here — only field-id resolution can follow
+    them).  Returns versions created."""
     import os
     import shutil as _shutil
 
@@ -954,15 +964,16 @@ def import_iceberg_table(spark: SparkSession, path: str, dest: str) -> int:
     first_names = None
     parent = None
     n = 0
+    dv_sidecars: dict = {}
     for s in snaps:
         snap = iceberg_snapshot(path, s["snapshot_id"])
-        if snap["pos_deletes"] or snap["eq_deletes"]:
+        if snap["eq_deletes"]:
             raise ValueError(
                 f"snapshot {s['snapshot_id']} of {path} carries v2 "
-                "delete files — importing its data files verbatim "
-                "would resurrect the deleted rows; materialize via "
-                "read_iceberg_table + write_table_version, or import "
-                "a pre-delete snapshot range"
+                "EQUALITY delete files — value masks over a column "
+                "subset have no positional representation here; "
+                "materialize via read_iceberg_table + "
+                "write_table_version, or import a pre-delete range"
             )
         names = frozenset(f["name"] for f in snap["schema"]["fields"])
         if first_names is None:
@@ -1023,6 +1034,38 @@ def import_iceberg_table(spark: SparkSession, path: str, dest: str) -> int:
                 if isinstance(lo, (int, float, str)):  # JSON-storable
                     fstats[name] = [lo, hi]
             stats[rel] = fstats
+        deletes = None
+        if snap["pos_deletes"]:
+            # POSITION deletes import as positional MoR sidecars
+            # (r12, mirrors the Delta DV import): per-row application
+            # scope follows the spec — a delete row masks data file F
+            # iff seq(F) <= seq(delete file) and the URIs match the
+            # manifests' own strings (the reader's exact join rule)
+            import pyarrow.parquet as pq
+
+            seq_of = {d["file_path"]: d["_seq"] for d in snap["files"]}
+            rel_of = {d["file_path"]: linked[_abs_file(
+                path, d["file_path"])] for d in snap["files"]}
+            dv_raw: dict[str, set] = {}
+            for drec in snap["pos_deletes"]:
+                t2 = pq.read_table(
+                    _abs_file(path, drec["file_path"]),
+                    columns=["file_path", "pos"],
+                )
+                dseq = drec["_seq"]
+                for uri, pos in zip(t2.column(0).to_pylist(),
+                                    t2.column(1).to_pylist()):
+                    if uri in rel_of and seq_of[uri] <= dseq:
+                        dv_raw.setdefault(rel_of[uri], set()).add(
+                            int(pos))
+            if dv_raw:
+                from .versions import _import_positional_sidecar
+
+                dv_state = {f: frozenset(p) for f, p in dv_raw.items()}
+                count -= sum(len(p) for p in dv_state.values())
+                deletes = _import_positional_sidecar(
+                    spark, path, dest, dv_state, dv_sidecars
+                )
         parent = _commit(
             dest, sorted(files), count, parent, None,
             stats=stats or None,
@@ -1030,6 +1073,7 @@ def import_iceberg_table(spark: SparkSession, path: str, dest: str) -> int:
             schema=None if files else
             _spark_schema(snap["schema"]).jsonValue(),
             op=f"import_iceberg({s['snapshot_id']})",
+            deletes=deletes,
         )
         if s["timestamp_ms"] is not None:
             mp = _manifest_path(dest, parent)

@@ -222,6 +222,75 @@ def _plan_with_deletes(
     return out
 
 
+def _import_positional_sidecar(
+    spark: SparkSession, src: str, dest: str,
+    dv_state: dict[str, frozenset],
+    cache: dict,
+) -> list[dict]:
+    """An external table format's row-level delete state — ``{dest
+    data-relative file: deleted row positions}`` — re-materialized as
+    this layer's positional MoR sidecar (r12, shared by the Delta DV
+    and Iceberg position-delete importers): the masked rows (located
+    via ``_metadata.row_index``) fingerprint into the sidecar's
+    ``(_fp, _file, _pos)`` shape, so both the fingerprint reader and
+    the position-capable DataSource mask exactly what the source
+    format masks.  Cached on the full (file → positions) state — a
+    mask that persists unchanged across imported versions
+    re-references the same sidecar file.
+
+    Guards: a mask covering only SOME of a set of full-row duplicates
+    has no fingerprint representation (the value-exact anti-join would
+    drop the surviving twins) and refuses with the materialize
+    remediation; a position that hits no row means a corrupt source
+    descriptor and would silently under-delete — also refuses."""
+    from etl_rust_spark.operators.profile import _fingerprint
+
+    key = frozenset(dv_state.items())
+    if key in cache:
+        return cache[key]
+    data = str(Path(dest) / "data")
+    pdf = _plan_with_deletes(spark, data, sorted(dv_state), None, None,
+                             positions=True)
+    fp_cols = sorted(c for c in pdf.columns if c not in _POS_COLS)
+    ann = pdf.select(
+        _fingerprint(pdf, fp_cols).alias("_fp"),
+        F.col(_POS_COLS[0]), F.col(_POS_COLS[1]),
+    )
+    pairs = spark.createDataFrame(
+        [(f, p) for f, ps in sorted(dv_state.items())
+         for p in sorted(ps)],
+        f"{_POS_COLS[0]} string, {_POS_COLS[1]} long",
+    )
+    matched = ann.join(F.broadcast(pairs), list(_POS_COLS), "semi")
+    n_expect = sum(len(p) for p in dv_state.values())
+    n_matched = matched.count()
+    if n_matched != n_expect:
+        raise ValueError(
+            f"row-level deletes of {src} name {n_expect} row "
+            f"positions but only {n_matched} exist in the data files "
+            "— corrupt delete descriptor or truncated file"
+        )
+    unmatched = ann.join(F.broadcast(pairs), list(_POS_COLS), "anti")
+    clash = (matched.select("_fp").intersect(unmatched.select("_fp"))
+             .limit(1).count())
+    if clash:
+        raise ValueError(
+            f"a row-level delete of {src} masks only some of a set of "
+            "full-row duplicates — a fingerprint sidecar would drop "
+            "the surviving twins too; materialize via the format's "
+            "reader + write_table_version instead"
+        )
+    side = matched.select(
+        "_fp",
+        F.col(_POS_COLS[0]).alias("_file"),
+        F.col(_POS_COLS[1]).alias("_pos"),
+    )
+    rel = _stage_delete_sidecar(side, dest)
+    out = [{"path": rel, "files": sorted(dv_state)}]
+    cache[key] = out
+    return out
+
+
 def _parse_as_of(ts) -> float:
     """AS OF timestamp → epoch seconds.  Accepts epoch int/float, a
     datetime (tz-naive assumed UTC — never silently local), or an

@@ -1237,21 +1237,57 @@ def test_import_delta_history(spark, tmp_path):
     assert ops[0].startswith("import_delta(2)")
 
 
-def test_import_refuses_dv_and_multipartition(spark, tmp_path):
+def test_import_dv_as_mor_sidecar(spark, tmp_path):
+    """Live deletion vectors import as positional MoR sidecars (r12):
+    every imported version reads masked exactly as Delta reads it,
+    with zero data rewritten — pinned by exporting a MoR chain and
+    importing it back (export -> import -> read parity per version)."""
     from etl_rust_spark.deltalake import import_delta_log
 
-    t = tmp_path / "d_dv"
-    sz = _write_parquet(t / "f1.parquet", [{"k": 1}])
+    t = tmp_path / "vt_dv_imp"
+    V.write_table_version(
+        spark.range(10).selectExpr("id as k", "id * 3 as v"), str(t))
+    V.delete_table_version(spark, str(t), "k = 2", mode="mor")
+    V.update_table_version(spark, str(t), "k = 7", {"v": "70"},
+                           mode="mor")
+    export_delta_log(spark, str(t))
+    dest = str(tmp_path / "vt_dv_imp2")
+    assert import_delta_log(spark, str(t), dest) == 3
+    for i, v in enumerate(V.list_versions(str(t))):
+        a = V.read_table_version(spark, str(t), v)
+        b = V.read_table_version(spark, dest, i + 1)
+        assert sorted(map(tuple, a.collect())) == \
+            sorted(map(tuple, b.select(*a.columns).collect())), (v, i)
+    # the import carried the debt as sidecars, not rewrites
+    m = V._load_manifest(dest, 3)
+    assert m["deletes"], "DV state should import as MoR sidecars"
+    assert V.table_detail(dest)["delete_sidecar_bytes"] > 0
+
+
+def test_import_dv_refuses_partial_duplicate_mask(spark, tmp_path):
+    """A DV masking one of two identical rows has no fingerprint
+    representation — the import refuses instead of over-deleting."""
+    from etl_rust_spark.deltalake import import_delta_log
+
+    t = tmp_path / "d_dv_dup"
+    sz = _write_parquet(t / "f1.parquet",
+                        [{"k": 1}, {"k": 1}, {"k": 2}])
     _commit(t / "_delta_log", 0, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["deletionVectors"]}},
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
         _meta(_schema_str([("k", "long")])),
         {"add": {"path": "f1.parquet", "partitionValues": {}, "size": sz,
                  "modificationTime": 0, "dataChange": True,
                  "deletionVector": _inline_dv([0])}},
     ])
-    with pytest.raises(ValueError, match="resurrect"):
+    with pytest.raises(ValueError, match="duplicates"):
         import_delta_log(spark, str(t), str(tmp_path / "x1"))
+
+
+def test_import_refuses_multipartition(spark, tmp_path):
+    from etl_rust_spark.deltalake import import_delta_log
+
     t2 = tmp_path / "d_mp"
     sz = _write_parquet(t2 / "f1.parquet", [{"k": 1}])
     _commit(t2 / "_delta_log", 0, [

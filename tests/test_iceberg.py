@@ -868,17 +868,43 @@ def test_import_iceberg_history(spark, tmp_path):
     assert len(df.inputFiles()) == 1
 
 
+def test_import_iceberg_position_deletes_as_mor(spark, tmp_path):
+    """Position deletes import as positional MoR sidecars (r12): the
+    strongest pin is the full loop — a MoR chain exports as v2
+    position deletes, imports back, and every version reads
+    identically to the original."""
+    from etl_rust_spark.iceberg import (
+        export_iceberg_metadata,
+        import_iceberg_table,
+    )
+
+    src = str(tmp_path / "vt_pd_src")
+    V.write_table_version(
+        spark.range(10).selectExpr("id as k", "id * 3 as v"), src)
+    V.delete_table_version(spark, src, "k = 2", mode="mor")
+    V.update_table_version(spark, src, "k = 7", {"v": "70"},
+                           mode="mor")
+    export_iceberg_metadata(spark, src)
+    dest = str(tmp_path / "vt_pd_dst")
+    assert import_iceberg_table(spark, src, dest) == 3
+    for i, v in enumerate(V.list_versions(src)):
+        a = V.read_table_version(spark, src, v)
+        b = V.read_table_version(spark, dest, i + 1)
+        assert sorted(map(tuple, a.collect())) == \
+            sorted(map(tuple, b.select(*a.columns).collect())), (v, i)
+    assert V._load_manifest(dest, 3)["deletes"]
+
+
 def test_import_iceberg_refusals(spark, tmp_path):
     from etl_rust_spark.iceberg import import_iceberg_table
 
-    # delete files refuse
+    # EQUALITY delete files refuse (no positional representation)
     fx = IceFix(tmp_path / "ice1", _FIELDS)
     f1 = fx.write_file([{"k": 1, "v": "a"}])
-    pd = fx.write_file([{"file_path": f1["file_path"], "pos": 0}],
-                       content=1)
-    fx.add_snapshot([f1, pd], ts_ms=1_000, seq=1)
+    ed = fx.write_file([{"k": 1}], content=2, equality_ids=[1])
+    fx.add_snapshot([f1, ed], ts_ms=1_000, seq=1)
     fx.finish()
-    with pytest.raises(ValueError, match="resurrect"):
+    with pytest.raises(ValueError, match="EQUALITY"):
         import_iceberg_table(spark, str(fx.root), str(tmp_path / "x1"))
     # schema-set change across snapshots refuses
     old = [{"id": 1, "name": "k", "required": False, "type": "long"}]
