@@ -930,21 +930,22 @@ def import_iceberg_table(spark: SparkSession, path: str, dest: str) -> int:
     collision-free names and the versioned table is unpartitioned —
     a hive-style directory would collide with the payload column.
 
-    POSITION deletes import as positional MERGE-ON-READ sidecars
+    Row-level deletes import as positional MERGE-ON-READ sidecars
     (r12, mirrors :func:`~etl_rust_spark.deltalake.import_delta_log`'s
-    DV import): per-snapshot delete state re-materializes as
-    ``(_fp, _file, _pos)`` sidecars with the spec's sequence-number
-    application scope honored, zero data rewritten.  The partial-
-    duplicate guard applies (a mask covering only some of a set of
-    full-row duplicates refuses — no fingerprint representation).
+    DV import): POSITION deletes re-materialize with the spec's
+    sequence-number application scope honored; EQUALITY deletes are
+    RESOLVED at import time (null-safe value match on the
+    equality_ids columns against strictly-older data files — one
+    Spark job per delete file) into the same positional shape.  Zero
+    data rewritten either way.  The partial-duplicate guard applies
+    (a mask covering only some of a set of full-row duplicates
+    refuses — no fingerprint representation).
 
-    Refusals, each with the remediation named: EQUALITY delete files
-    (value masks over a column subset have no positional
-    representation), the partial-duplicate position mask above, and a
-    schema whose field-name set changes across snapshots
-    (mixed-schema files in one directory are a silent read hazard;
-    renames also land here — only field-id resolution can follow
-    them).  Returns versions created."""
+    Refusals, each with the remediation named: the partial-duplicate
+    mask above, and a schema whose field-name set changes across
+    snapshots (mixed-schema files in one directory are a silent read
+    hazard; renames also land here — only field-id resolution can
+    follow them).  Returns versions created."""
     import os
     import shutil as _shutil
 
@@ -967,14 +968,6 @@ def import_iceberg_table(spark: SparkSession, path: str, dest: str) -> int:
     dv_sidecars: dict = {}
     for s in snaps:
         snap = iceberg_snapshot(path, s["snapshot_id"])
-        if snap["eq_deletes"]:
-            raise ValueError(
-                f"snapshot {s['snapshot_id']} of {path} carries v2 "
-                "EQUALITY delete files — value masks over a column "
-                "subset have no positional representation here; "
-                "materialize via read_iceberg_table + "
-                "write_table_version, or import a pre-delete range"
-            )
         names = frozenset(f["name"] for f in snap["schema"]["fields"])
         if first_names is None:
             first_names = names
@@ -1035,12 +1028,16 @@ def import_iceberg_table(spark: SparkSession, path: str, dest: str) -> int:
                     fstats[name] = [lo, hi]
             stats[rel] = fstats
         deletes = None
-        if snap["pos_deletes"]:
-            # POSITION deletes import as positional MoR sidecars
-            # (r12, mirrors the Delta DV import): per-row application
-            # scope follows the spec — a delete row masks data file F
-            # iff seq(F) <= seq(delete file) and the URIs match the
-            # manifests' own strings (the reader's exact join rule)
+        if snap["pos_deletes"] or snap["eq_deletes"]:
+            # row-level deletes import as positional MoR sidecars
+            # (r12, mirrors the Delta DV import).  POSITION deletes:
+            # a row masks data file F iff seq(F) <= seq(delete file)
+            # and the URIs match the manifests' own strings (the
+            # reader's exact join rule).  EQUALITY deletes: the
+            # matched positions are RESOLVED here — null-safe value
+            # match on the equality_ids columns against data files
+            # STRICTLY older than the delete file — so the value mask
+            # becomes a positional one the sidecar can carry.
             import pyarrow.parquet as pq
 
             seq_of = {d["file_path"]: d["_seq"] for d in snap["files"]}
@@ -1058,6 +1055,45 @@ def import_iceberg_table(spark: SparkSession, path: str, dest: str) -> int:
                     if uri in rel_of and seq_of[uri] <= dseq:
                         dv_raw.setdefault(rel_of[uri], set()).add(
                             int(pos))
+            if snap["eq_deletes"]:
+                from .versions import _plan_with_deletes, _POS_COLS
+
+                id_to_name = {f["id"]: f["name"]
+                              for f in snap["schema"]["fields"]}
+                for drec in snap["eq_deletes"]:
+                    try:
+                        cols = [id_to_name[int(i)]
+                                for i in drec["equality_ids"]]
+                    except KeyError as exc:
+                        raise IcebergProtocolError(
+                            f"equality-delete file "
+                            f"{drec['file_path']!r} keys on field id "
+                            f"{exc} which is not in the snapshot "
+                            "schema"
+                        ) from None
+                    older = sorted(
+                        rel_of[d["file_path"]] for d in snap["files"]
+                        if d["_seq"] < drec["_seq"]
+                    )
+                    if not older:
+                        continue
+                    pdf = _plan_with_deletes(
+                        spark, str(dest_p / "data"), older, None,
+                        None, positions=True,
+                    )
+                    dd = spark.read.parquet(
+                        _abs_file(path, drec["file_path"])
+                    ).select(*cols)
+                    cond = None
+                    for c in cols:
+                        e = pdf[c].eqNullSafe(dd[c])
+                        cond = e if cond is None else cond & e
+                    from pyspark.sql import functions as F
+
+                    hit = pdf.join(F.broadcast(dd), cond, "semi") \
+                        .select(*_POS_COLS).collect()
+                    for r in hit:
+                        dv_raw.setdefault(r[0], set()).add(int(r[1]))
             if dv_raw:
                 from .versions import _import_positional_sidecar
 

@@ -895,17 +895,32 @@ def test_import_iceberg_position_deletes_as_mor(spark, tmp_path):
     assert V._load_manifest(dest, 3)["deletes"]
 
 
-def test_import_iceberg_refusals(spark, tmp_path):
+def test_import_iceberg_equality_deletes_resolved(spark, tmp_path):
+    """Equality deletes RESOLVE to positions at import time: the
+    imported version reads identically to the independent reader's
+    merge-on-read application (strictly-older scope, null-safe
+    match)."""
     from etl_rust_spark.iceberg import import_iceberg_table
 
-    # EQUALITY delete files refuse (no positional representation)
-    fx = IceFix(tmp_path / "ice1", _FIELDS)
-    f1 = fx.write_file([{"k": 1, "v": "a"}])
-    ed = fx.write_file([{"k": 1}], content=2, equality_ids=[1])
-    fx.add_snapshot([f1, ed], ts_ms=1_000, seq=1)
+    fx = IceFix(tmp_path / "ice_eq", _FIELDS)
+    f1 = fx.write_file([{"k": 1, "v": "a"}, {"k": 2, "v": "b"},
+                        {"k": 3, "v": "c"}])
+    ed = fx.write_file([{"k": 1}, {"k": 3}], content=2,
+                       equality_ids=[1])
+    fx.add_snapshot([f1, ed], ts_ms=1_000, seq=1, entry_seqs=[0, 1])
     fx.finish()
-    with pytest.raises(ValueError, match="EQUALITY"):
-        import_iceberg_table(spark, str(fx.root), str(tmp_path / "x1"))
+    dest = str(tmp_path / "vt_eq")
+    assert import_iceberg_table(spark, str(fx.root), dest) == 1
+    theirs = sorted(map(tuple, read_iceberg_table(spark, str(fx.root))
+                        .select("k", "v").collect()))
+    ours = sorted(map(tuple, V.read_table_version(spark, dest, 1)
+                      .select("k", "v").collect()))
+    assert ours == theirs == [(2, "b")]
+    assert V._load_manifest(dest, 1)["deletes"]
+
+
+def test_import_iceberg_refusals(spark, tmp_path):
+    from etl_rust_spark.iceberg import import_iceberg_table
     # schema-set change across snapshots refuses
     old = [{"id": 1, "name": "k", "required": False, "type": "long"}]
     new = old + [{"id": 2, "name": "v", "required": False,
