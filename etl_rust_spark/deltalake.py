@@ -334,9 +334,20 @@ def _spark_checkpoint_actions(spark: SparkSession, parts: list[Path]):
         big = parts
     if not big:
         return
+    import pyarrow.parquet as pq
+
     df = spark.read.parquet(*[str(p) for p in big])
     keep = [k for k in _ACTION_KEYS if k in df.columns]
-    for line in df.select(*keep).toJSON().toLocalIterator():
+    # toLocalIterator ships ONE PARTITION per task result, and a
+    # checkpoint parquet is typically one split — a 1M-action result
+    # (~500 MB of JSON) OOMs the driver-side result getter, which
+    # wedges the iterator (measured at 1M files).  Repartition so
+    # each streamed result stays ~50k actions
+    rows = sum(pq.read_metadata(str(p)).num_rows for p in big)
+    n_parts = min(2048, max(8, rows // 50_000 + 1))
+    it = df.select(*keep).repartition(n_parts).toJSON() \
+        .toLocalIterator()
+    for line in it:
         a = json.loads(line)
         if a:  # all-null rows render as {}
             yield a
