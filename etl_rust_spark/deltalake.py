@@ -703,9 +703,18 @@ def _delta_table_files_spark(
                 and _keep_add(ad, prune, part_types, phys_of):
             kept.append(ad["path"])
     if big:
+        import pyarrow.parquet as pq
+
         df = spark.read.parquet(*[str(p) for p in big])
         if "add" in df.columns:
-            addf = df.where("add IS NOT NULL").select("add")
+            # a checkpoint is typically ONE parquet split — without a
+            # repartition the executor-side prune runs on a single
+            # python worker; ~50k adds per task spreads it across
+            # cores with bounded per-task memory
+            rows = sum(pq.read_metadata(str(p)).num_rows for p in big)
+            n_parts = min(2048, max(8, rows // 50_000 + 1))
+            addf = (df.where("add IS NOT NULL").select("add")
+                    .repartition(n_parts))
 
             def gen(batches):
                 import pandas as pd

@@ -5,11 +5,13 @@ export paths are correct for arbitrary op compositions, not just the
 hand-written cases.
 
 The op mix covers CoW DML, compaction/zorder, restore — and since r12
-merge-on-read deletes/updates: outstanding sidecar debt exports as
-Delta DELETION VECTORS and Iceberg POSITION DELETES, so mor ops are in
-the fuzz mix, not a refusal.  A second fuzz drives a hidden-transform
-(days) table through the Iceberg leg (Delta still refuses transforms —
-the partition column is not in the schema).
+merge-on-read deletes/updates AND logical renames: outstanding sidecar
+debt exports as Delta DELETION VECTORS and Iceberg POSITION DELETES,
+and column mapping exports as Delta columnMapping-name / Iceberg
+stable physical-name field ids, so mor and rename ops are in the fuzz
+mix, not refusals.  A second fuzz drives a hidden-transform (days)
+table through the Iceberg leg (Delta still refuses transforms — the
+partition column is not in the schema).
 """
 
 from __future__ import annotations
@@ -27,22 +29,32 @@ from etl_rust_spark.iceberg import (
 def test_interop_export_parity_fuzz(spark, tmp_path):
     rng = random.Random(0x1CE)
     p = str(tmp_path / "t")
+    vc = "val"  # current logical name of the value column
 
     def frame(rows):
         return spark.createDataFrame(
-            [(k, k * 7 % 5, v) for k, v in rows], ["k", "y", "val"]
+            [(k, k * 7 % 5, v) for k, v in rows], ["k", "y", vc]
         )
 
     V.write_table_version(frame([(1, "s0"), (2, "s1")]), p,
                           stats_cols=["k", "y"])
     state = {1: "s0", 2: "s1"}
     counter = 0
-    for step in range(12):
+    for step in range(14):
         op = rng.choice(
             ["upsert", "upsert", "delete", "update", "merge",
              "compact", "zorder", "restore",
-             "mor_delete", "mor_update"]
+             "mor_delete", "mor_update", "rename"]
         )
+        if op == "rename":
+            # metadata-only logical rename (column mapping): both
+            # export legs must keep reading data under the NEW name —
+            # Delta via columnMapping mode name, Iceberg via stable
+            # physical-name field ids + name mapping
+            new = "vl" if vc == "val" else "val"
+            V.rename_columns(spark, p, {vc: new})
+            vc = new
+            continue
         if op == "mor_delete":
             k = rng.randint(1, 10)
             V.delete_table_version(spark, p, f"k = {k}", mode="mor")
@@ -50,7 +62,7 @@ def test_interop_export_parity_fuzz(spark, tmp_path):
         elif op == "mor_update":
             k = rng.randint(1, 10)
             V.update_table_version(
-                spark, p, f"k = {k}", {"val": "concat(val, '~')"},
+                spark, p, f"k = {k}", {vc: f"concat({vc}, '~')"},
                 mode="mor")
             if k in state:
                 state[k] += "~"
@@ -69,7 +81,7 @@ def test_interop_export_parity_fuzz(spark, tmp_path):
         elif op == "update":
             k = rng.randint(1, 10)
             V.update_table_version(
-                spark, p, f"k = {k}", {"val": "concat(val, '!')"})
+                spark, p, f"k = {k}", {vc: f"concat({vc}, '!')"})
             if k in state:
                 state[k] += "!"
         elif op == "merge":
@@ -79,7 +91,7 @@ def test_interop_export_parity_fuzz(spark, tmp_path):
             src = spark.createDataFrame(
                 [(k, k * 7 % 5, f"m{counter}.{k}", o)
                  for k, o in feed.items()],
-                ["k", "y", "val", "op"],
+                ["k", "y", vc, "op"],
             )
             V.merge_table_version(
                 spark, p, src, keys=["k"],
@@ -104,11 +116,12 @@ def test_interop_export_parity_fuzz(spark, tmp_path):
             tgt = rng.choice(V.list_versions(p))
             V.restore_table_version(p, tgt)
             ours = V.read_table_version(spark, p)
-            state = {r.k: r.val for r in ours.collect()}
+            vc = ours.columns[2]  # restore may revert a rename
+            state = {r.k: r[2] for r in ours.collect()}
 
     versions = V.list_versions(p)
     # final-state sanity against the python model before export
-    head_rows = {r.k: r.val
+    head_rows = {r.k: r[2]
                  for r in V.read_table_version(spark, p).collect()}
     assert head_rows == state
 
