@@ -322,10 +322,16 @@ def iceberg_snapshot(
     row's) sequence number; v1 tables have no sequence numbers and
     read as 0 everywhere (all deletes apply — v1 has none anyway).
 
-    When ``spark`` is passed and the snapshot's total manifest bytes
-    exceed ``spark_plan_threshold_bytes``, the manifest avro decode
-    fans out over executors (:func:`_manifest_entries`) — same
-    entries, same fold, driver peak bounded by the live file records."""
+    ``spark_plan_threshold_bytes`` (default None = never) routes the
+    manifest avro decode over executors above that many total manifest
+    bytes (:func:`_manifest_entries`) — same entries, same fold.  The
+    default is OFF on purpose: the full-snapshot contract materializes
+    every live file record driver-side regardless, and the measured
+    1 M-file A/B (SCALE.md) shows the executor decode + pickle ship
+    LOSING to the single-threaded driver walk (63 s vs 27 s) because
+    the fold, not the decode, dominates.  The route that wins —
+    survivors-only pruned planning — lives in
+    :func:`iceberg_table_files`, which never pays the fold at all."""
     meta = _current_metadata(path)
     _check_format(meta, path)
     snap = _select_snapshot(meta, path, snapshot_id, as_of)
@@ -343,10 +349,12 @@ def iceberg_snapshot(
     pos_deletes: list[dict] = []
     eq_deletes: list[dict] = []
     mfs = _read_ocf(_abs_file(path, snap["manifest-list"]))
-    thr = (_SPARK_PLAN_THRESHOLD_BYTES
-           if spark_plan_threshold_bytes is None
-           else spark_plan_threshold_bytes)
-    for m_seq, entry in _manifest_entries(path, mfs, spark, thr):
+    if spark_plan_threshold_bytes is None:
+        spark = None  # measured: the fold dominates — stay driver-side
+        spark_plan_threshold_bytes = 0
+    for m_seq, entry in _manifest_entries(
+        path, mfs, spark, spark_plan_threshold_bytes
+    ):
         if int(entry.get("status", 1)) == 2:  # DELETED
             continue
         df = entry["data_file"]
