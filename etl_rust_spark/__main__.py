@@ -898,12 +898,14 @@ def main(argv: list[str] | None = None) -> int:
                 spark.read.parquet(args.snapshot), args.table,
                 partition_by=pb,
             )
+        dml_mode = args.dml_mode or ("mor" if args.mor else "cow")
         if args.upsert:
             if not args.keys:
                 p.error("--upsert requires --keys")
             out["version"] = _v.upsert_table_version(
                 spark, args.table, spark.read.parquet(args.upsert),
                 keys=args.keys.split(","), partition_by=pb,
+                mode=dml_mode,
             )
         if args.restore is not None:
             v = int(args.restore) if args.restore.isdigit() else args.restore
@@ -1002,8 +1004,8 @@ def main(argv: list[str] | None = None) -> int:
                 when_matched_delete=_clause(args.matched_delete),
                 when_not_matched_insert=_clause(args.not_matched_insert),
                 update_condition=args.update_condition,
+                mode=dml_mode,
             )
-        dml_mode = args.dml_mode or ("mor" if args.mor else "cow")
         if args.delete_where is not None:
             out["version"] = _v.delete_table_version(
                 spark, args.table, args.delete_where, mode=dml_mode,

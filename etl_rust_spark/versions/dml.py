@@ -360,11 +360,47 @@ def upsert_table_version(
     keys: list[str],
     partition_by: str | None = None,
     stats_cols: list[str] | None = None,
+    mode: str = "cow",
+    mor_max_rows: int = _MOR_MAX_ROWS,
 ) -> int:
     """Concurrent-writer-safe wrapper: the merge is computed against a
     fixed head snapshot; if another writer commits first the CAS in
     :func:`_commit` raises and the WHOLE merge re-runs against the new
-    head (losers never orphan a commit — VERDICT r7 #5)."""
+    head (losers never orphan a commit — VERDICT r7 #5).
+
+    ``mode="mor"``/``"auto"`` (r12): a small delta into a huge
+    partition need not rewrite it — the upsert routes through
+    :func:`merge_table_version`'s merge-on-read path (update ``*`` +
+    insert, same keys): matched old images mask via a positional
+    sidecar, the delta appends, ZERO data files rewrite (manifest op
+    reads ``merge(mor)``).  Two contract differences from the CoW
+    leg, both safety-positive: duplicate delta keys RAISE (the CoW
+    leg would insert both), and a key that moves partition masks its
+    OLD copy instead of duplicating it.  Schema evolution (delta
+    carries new columns) cannot mask — ``auto`` falls back to the
+    CoW re-baseline, explicit ``mor`` refuses."""
+    if mode not in ("cow", "mor", "auto"):
+        raise ValueError(f"mode must be cow|mor|auto, got {mode!r}")
+    if mode != "cow" and latest_version(path) is not None:
+        from .merge import merge_table_version
+
+        head_cols = set(
+            read_table_version(spark, path).columns
+        )
+        evolved = set(delta.columns) - head_cols
+        if not evolved:
+            return merge_table_version(
+                spark, path, delta, keys,
+                when_matched_update="*",
+                when_not_matched_insert=True,
+                mode=mode, mor_max_rows=mor_max_rows,
+            )
+        if mode == "mor":
+            raise ValueError(
+                f"MoR upsert cannot add columns {sorted(evolved)} — "
+                "masked files keep their old schema; use mode='cow' "
+                "(or 'auto') for the re-baselining snapshot"
+            )
     return _retry_conflicts(
         lambda: _upsert_table_version_once(
             spark, path, delta, keys, partition_by, stats_cols

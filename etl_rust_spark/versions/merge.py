@@ -26,8 +26,13 @@ from .metadata import (
     _validate_constraints,
 )
 from .read import (
+    _MOR_MAX_ROWS,
+    _POS_COLS,
     _carry_deletes,
+    _check_mor_size,
     _plan_with_deletes,
+    _sidecar_rows,
+    _stage_delete_sidecar,
 )
 from .stats import (
     _new_file_meta,
@@ -45,6 +50,8 @@ def merge_table_version(
     when_not_matched_insert=None,
     update_condition=None,
     prune: list[tuple] | None = None,
+    mode: str = "cow",
+    mor_max_rows: int = _MOR_MAX_ROWS,
 ) -> int:
     """``MERGE INTO`` (Delta parity) — the conditional keyed merge the
     unconditional :func:`upsert_table_version` cannot express, and the
@@ -76,18 +83,29 @@ def merge_table_version(
     reduces to a pure append.  The not-matched anti-join reads only the
     key columns of the head (column-pruned scan).  Reference shape:
     Delta MERGE; the file-level rewrite mirrors this module's
-    delete/update (versions.py r9-r10)."""
+    delete/update (versions.py r9-r10).
+
+    ``mode="mor"`` (r12, completes the DML trio's merge-on-read):
+    matched rows a clause TOUCHES (updated or deleted) mask through a
+    positional sidecar scoped to the hit files, updated images and
+    inserts append as new files — ZERO data files rewritten; untouched
+    matched rows never leave their file.  The sidecar guard
+    (``mor_max_rows``) refuses broad matches with the CoW remediation;
+    ``mode="auto"`` routes instead (small → sidecar, broad → rewrite),
+    exactly like delete/update."""
     if when_matched_update is None and when_matched_delete is None \
             and when_not_matched_insert is None:
         raise ValueError("MERGE needs at least one WHEN clause")
     missing = [k for k in keys if k not in source.columns]
     if missing:
         raise ValueError(f"source is missing key columns: {missing}")
+    if mode not in ("cow", "mor", "auto"):
+        raise ValueError(f"mode must be cow|mor|auto, got {mode!r}")
     return _retry_conflicts(
         lambda: _merge_table_version_once(
             spark, path, source, keys, when_matched_update,
             when_matched_delete, when_not_matched_insert,
-            update_condition, prune,
+            update_condition, prune, mode, mor_max_rows,
         ),
         f"merge into {path}",
     )
@@ -111,6 +129,7 @@ def _merge_cond(c):
 def _merge_table_version_once(
     spark: SparkSession, path: str, source: DataFrame, keys: list[str],
     upd, dele, ins, upd_cond, prune: list[tuple] | None,
+    mode: str = "cow", mor_max_rows: int = _MOR_MAX_ROWS,
 ) -> int:
     head = latest_version(path)
     if head is None:
@@ -233,7 +252,94 @@ def _merge_table_version_once(
 
     new_files: list[str] = []
     n_t = n_out = 0
-    if hit:
+    mor_side_rel = None
+    n_mor_del = 0
+    if mode in ("mor", "auto") and hit:
+        # merge-on-read: mask ONLY the matched rows a clause touches
+        # (updated old images + deleted rows) via a positional sidecar
+        # scoped to the hit files; updated images join the insert
+        # staging below.  Untouched matched rows never leave their
+        # file — zero data files rewritten.
+        t = _to_logical(
+            _plan_with_deletes(spark, data, sorted(hit),
+                               m.get("deletes"), _synth_of(m),
+                               positions=True),
+            m,
+        ).alias("t")
+        s = source.withColumn("__smatch", F.lit(True)).alias("s")
+        on = [F.col(f"t.{k}") == F.col(f"s.{k}") for k in keys]
+        cond_j = on[0]
+        for c in on[1:]:
+            cond_j = cond_j & c
+        joined = t.join(s, cond_j, "left")
+        n_t = t.count()
+        if joined.count() > n_t:
+            raise ValueError(
+                "MERGE: a target row matches more than one source row "
+                "— which source row wins would be nondeterministic; "
+                "de-duplicate the source on the merge keys first "
+                "(Delta raises the same error)"
+            )
+        matched = F.coalesce(F.col("s.__smatch"), F.lit(False))
+        take_delete = (
+            matched & _merge_cond(dele) if dele is not None
+            else F.lit(False)
+        )
+        take_update = F.lit(False)
+        if upd is not None:
+            take_update = matched & ~take_delete & (
+                _merge_cond(upd_cond) if upd_cond is not None
+                else F.lit(True)
+            )
+        touched = joined.filter(take_delete | take_update)
+        n_touched = touched.count()
+        if mode == "auto" and n_touched > mor_max_rows:
+            mode = "cow"  # broad match: pay the rewrite once
+        else:
+            if mode == "mor":  # auto never refuses; explicit mor does
+                _check_mor_size(n_touched, mor_max_rows, "MoR merge",
+                                path)
+            mode = "mor"
+            if n_touched:
+                old_images = touched.select(
+                    *[F.col(f"t.{c}").alias(c)
+                      for c in existing.columns],
+                    F.col(f"t.{_POS_COLS[0]}").alias(_POS_COLS[0]),
+                    F.col(f"t.{_POS_COLS[1]}").alias(_POS_COLS[1]),
+                )
+                upd_rows = joined.filter(take_update)
+                proj_u = []
+                for c in existing.columns:
+                    if upd == "*":
+                        v = F.col(f"s.{c}")
+                    elif isinstance(upd, dict) and c in upd:
+                        vv = upd[c]
+                        v = F.expr(vv) if isinstance(vv, str) else vv
+                    else:
+                        v = F.col(f"t.{c}")
+                    proj_u.append(
+                        v.cast(existing.schema[c].dataType).alias(c)
+                    )
+                updated = upd_rows.select(*proj_u)
+                n_upd = updated.count()
+                if n_upd:
+                    _validate_constraints(
+                        updated, m.get("constraints"),
+                        f"merge into {path}"
+                    )
+                    new_files += _stage_files(
+                        _to_physical(updated, m), path, partition_by
+                    )
+                mor_side_rel = _stage_delete_sidecar(
+                    _sidecar_rows(old_images, m), path
+                )
+                n_mor_del = n_touched - n_upd
+            else:
+                # nothing to mask: no rewrite, no sidecar — inserts
+                # may still land as a pure append below
+                hit = set()
+                n_t = 0
+    if hit and mode != "mor":
         t = _to_logical(
             _plan_with_deletes(spark, data, sorted(hit), m.get("deletes"),
                              _synth_of(m)),
@@ -320,6 +426,23 @@ def _merge_table_version_once(
 
     if not hit and not n_ins:
         return head  # nothing matched, nothing to insert
+    if mor_side_rel is not None:
+        # merge-on-read commit: every data file carries over verbatim;
+        # the new sidecar masks touched old images, updated images and
+        # inserts arrive as appended files
+        stats = dict(m.get("stats") or {})
+        stats.update(
+            _new_file_meta(spark, path, new_files, stats_cols,
+                           bloom_conf)
+        )
+        return _commit(
+            path, m["files"] + new_files,
+            m["count"] - n_mor_del + n_ins, head, partition_by,
+            stats_cols, stats, bloom_conf=bloom_conf, op="merge(mor)",
+            deletes=list(m.get("deletes") or []) + [
+                {"path": mor_side_rel, "files": sorted(hit)}
+            ],
+        )
     carried = [f for f in m["files"] if f not in hit]
     total = m["count"] - (n_t - n_out) + n_ins
     old_stats = m.get("stats") or {}

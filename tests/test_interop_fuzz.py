@@ -44,7 +44,7 @@ def test_interop_export_parity_fuzz(spark, tmp_path):
         op = rng.choice(
             ["upsert", "upsert", "delete", "update", "merge",
              "compact", "zorder", "restore",
-             "mor_delete", "mor_update", "rename"]
+             "mor_delete", "mor_update", "mor_merge", "rename"]
         )
         if op == "rename":
             # metadata-only logical rename (column mapping): both
@@ -84,7 +84,7 @@ def test_interop_export_parity_fuzz(spark, tmp_path):
                 spark, p, f"k = {k}", {vc: f"concat({vc}, '!')"})
             if k in state:
                 state[k] += "!"
-        elif op == "merge":
+        elif op in ("merge", "mor_merge"):
             counter += 1
             feed = {rng.randint(1, 10): rng.choice(["U", "D", "I"])
                     for _ in range(rng.randint(1, 3))}
@@ -99,6 +99,7 @@ def test_interop_export_parity_fuzz(spark, tmp_path):
                 when_matched_delete="s.op = 'D'",
                 when_not_matched_insert="s.op = 'I'",
                 update_condition="s.op = 'U'",
+                mode="mor" if op == "mor_merge" else "cow",
             )
             for k, o in feed.items():
                 if k in state:

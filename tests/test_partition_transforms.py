@@ -564,7 +564,8 @@ def test_model_fuzz_over_transform_table(spark, tmp_path):
     for step in range(12):
         op = rng.choice(
             ["upsert", "upsert", "delete", "mor_delete", "update",
-             "merge", "compact", "zorder", "expire", "restore"]
+             "merge", "mor_merge", "compact", "zorder", "expire",
+             "restore"]
         )
         if op == "upsert":
             counter += 1
@@ -599,7 +600,7 @@ def test_model_fuzz_over_transform_table(spark, tmp_path):
                 model[v] = dict(state)
             else:
                 assert v == head_before
-        elif op == "merge":
+        elif op in ("merge", "mor_merge"):
             counter += 1
             feed = {
                 rng.randint(1, 12): rng.choice(["U", "D", "I"])
@@ -617,6 +618,7 @@ def test_model_fuzz_over_transform_table(spark, tmp_path):
                 when_matched_delete="s.op = 'D'",
                 when_not_matched_insert="s.op = 'I'",
                 update_condition="s.op = 'U'",
+                mode="mor" if op == "mor_merge" else "cow",
             )
             changed = any(k in state for k in feed) or any(
                 k not in state and o == "I" for k, o in feed.items()

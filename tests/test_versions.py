@@ -3141,3 +3141,134 @@ def test_mor_auto_mode_routes_by_match_size(spark, tmp_path):
     assert m5["op"] == "update(mor)" and m5["deletes"]
     rows = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
     assert rows[20] == "C" and rows[21] == "B"
+
+
+def test_merge_mor_masks_without_rewrites(spark, tmp_path):
+    """MERGE mode='mor' (r12): touched matched rows (updated old
+    images + deletes) mask via a positional sidecar, updated images
+    and inserts append, and NOT ONE data file rewrites.  Parity pinned
+    against the same merge run CoW on a clone."""
+    p = _mor_table(spark, tmp_path)
+    clone = str(tmp_path / "clone")
+    V.clone_table(p, clone)
+    src = spark.createDataFrame(
+        [(5, "U"), (17, "D"), (100, "I")], ["k", "op"]
+    ).selectExpr("k", "k % 8 as ds", "concat('n', k) as val", "op")
+    kwargs = dict(
+        keys=["k"],
+        when_matched_update="*",
+        when_matched_delete="s.op = 'D'",
+        when_not_matched_insert="s.op = 'I'",
+        update_condition="s.op = 'U'",
+    )
+    files_before = set(V._load_manifest(p, 1)["files"])
+    v = V.merge_table_version(
+        spark, p, src, mode="mor", **kwargs)
+    m = V._load_manifest(p, v)
+    assert m["op"] == "merge(mor)"
+    assert m["deletes"], "touched rows must mask via sidecar"
+    assert files_before <= set(m["files"])  # zero rewrites
+    V.merge_table_version(
+        spark, clone, src, **kwargs)
+    a = sorted(map(tuple, V.read_table_version(spark, p).collect()))
+    b = sorted(map(tuple, V.read_table_version(spark, clone).collect()))
+    assert a == b
+    got = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert got[5] == "n5" and 17 not in got and got[100] == "n100"
+    # the CDC feed sees through the sidecar: one update postimage, one
+    # delete (NULL payload), one insert for the merge(mor) step
+    ch = {(r.k, r._change_type): r.val
+          for r in V.read_table_changes(spark, p, ["k"], v - 1, v)
+          .collect()}
+    assert ch[(5, "update_postimage")] == "n5"
+    assert ch[(17, "delete")] is None
+    assert ch[(100, "insert")] == "n100"
+    # compaction folds the debt; content unchanged
+    V.compact_table_version(spark, p)
+    assert not V._load_manifest(
+        p, V.latest_version(p)).get("deletes")
+    assert sorted(map(tuple,
+                      V.read_table_version(spark, p).collect())) == a
+
+
+def test_merge_mor_guard_and_auto(spark, tmp_path):
+    """Explicit mor refuses broad matches with the CoW remediation;
+    auto routes them to CoW instead — parity either way."""
+    p = _mor_table(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(k, k % 8, "X") for k in range(40)], ["k", "ds", "val"])
+    with pytest.raises(ValueError, match="mode='cow'"):
+        V.merge_table_version(
+            spark, p, src, keys=["k"], when_matched_update="*",
+            mode="mor", mor_max_rows=3)
+    v = V.merge_table_version(
+        spark, p, src, keys=["k"], when_matched_update="*",
+        mode="auto", mor_max_rows=3)
+    m = V._load_manifest(p, v)
+    assert m["op"] == "merge" and not m.get("deletes")
+    got = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert got[0] == "X" and got[63] == "v63"
+    # small match in auto -> sidecar
+    src2 = spark.createDataFrame([(1, 1, "Y")], ["k", "ds", "val"])
+    v2 = V.merge_table_version(
+        spark, p, src2, keys=["k"], when_matched_update="*",
+        mode="auto", mor_max_rows=3)
+    m2 = V._load_manifest(p, v2)
+    assert m2["op"] == "merge(mor)" and m2["deletes"]
+    assert {r.val for r in V.read_table_version(spark, p)
+            .filter("k = 1").collect()} == {"Y"}
+
+
+def test_upsert_mor_masks_without_rewrites(spark, tmp_path):
+    """upsert mode='mor' (r12): routes through the merge MoR path —
+    matched old images mask via sidecar, the delta appends, zero data
+    files rewrite.  Parity pinned vs the CoW upsert on a clone."""
+    p = _mor_table(spark, tmp_path)
+    clone = str(tmp_path / "clone")
+    V.clone_table(p, clone)
+    delta = spark.createDataFrame(
+        [(5, 5, "U5"), (200, 0, "I200")], ["k", "ds", "val"])
+    files_before = set(V._load_manifest(p, 1)["files"])
+    v = V.upsert_table_version(spark, p, delta, keys=["k"], mode="mor")
+    m = V._load_manifest(p, v)
+    assert m["op"] == "merge(mor)" and m["deletes"]
+    assert files_before <= set(m["files"])  # zero rewrites
+    V.upsert_table_version(spark, clone, delta, keys=["k"],
+                           partition_by="ds")
+    a = sorted(map(tuple, V.read_table_version(spark, p).collect()))
+    b = sorted(map(tuple, V.read_table_version(spark, clone).collect()))
+    assert a == b
+    got = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert got[5] == "U5" and got[200] == "I200" and got[6] == "v6"
+
+
+def test_upsert_mor_evolution_and_auto(spark, tmp_path):
+    """Schema evolution cannot mask: explicit mor refuses, auto falls
+    back to the CoW re-baseline; broad auto deltas route to CoW."""
+    p = _mor_table(spark, tmp_path)
+    wide = spark.createDataFrame(
+        [(5, 5, "U5", "x")], ["k", "ds", "val", "extra"])
+    with pytest.raises(ValueError, match="cannot add columns"):
+        V.upsert_table_version(spark, p, wide, keys=["k"], mode="mor")
+    v = V.upsert_table_version(spark, p, wide, keys=["k"],
+                               partition_by="ds", mode="auto")
+    m = V._load_manifest(p, v)
+    assert m["op"] == "upsert-evolve" and not m.get("deletes")
+    assert "extra" in V.read_table_version(spark, p).columns
+    # broad delta in auto -> merge CoW, small -> sidecar
+    broad = spark.createDataFrame(
+        [(k, k % 8, f"B{k}", None) for k in range(40)],
+        "k: bigint, ds: bigint, val: string, extra: string")
+    v2 = V.upsert_table_version(
+        spark, p, broad, keys=["k"], mode="auto", mor_max_rows=3)
+    m2 = V._load_manifest(p, v2)
+    assert m2["op"] == "merge" and not m2.get("deletes")
+    small = spark.createDataFrame(
+        [(1, 1, "S1", None)],
+        "k: bigint, ds: bigint, val: string, extra: string")
+    v3 = V.upsert_table_version(
+        spark, p, small, keys=["k"], mode="auto", mor_max_rows=3)
+    m3 = V._load_manifest(p, v3)
+    assert m3["op"] == "merge(mor)" and m3["deletes"]
+    got = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert got[1] == "S1" and got[2] == "B2" and got[63] == "v63"
