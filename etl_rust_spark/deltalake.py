@@ -1281,11 +1281,14 @@ def export_delta_log(
     Pre-r11 fingerprint-only sidecars carry no positions and refuse
     with the compact remediation.
 
-    Refuses loudly (with the remediation named) on the one feature
-    Delta cannot express from the outside: hidden partition
-    transforms (the synthetic directory column is not in the schema;
-    ALTER to identity partitioning first).  Column-mapped tables
-    export natively as Delta column mapping mode `name`.
+    Hidden partition transforms (r12) export as Delta GENERATED
+    partition columns: the synthetic directory column joins the
+    schema as a STRING field whose ``delta.generationExpression`` is
+    the exact Spark-SQL mirror of the transform, its per-file value
+    rides ``add.partitionValues`` — external readers partition-prune
+    on it and external Spark writers re-derive it on append (writer
+    feature ``generatedColumns``).  Column-mapped tables export
+    natively as Delta column mapping mode `name`.
 
     ``resume=True`` CONTINUES an existing export — versions committed
     since the last export become new Delta commits appended to the
@@ -1353,14 +1356,16 @@ def export_delta_log(
     d.mkdir(parents=True, exist_ok=True)
     root = Path(path)
     manifests = {v: _load_manifest(path, v) for v in vs}
-    for v, m in manifests.items():
-        if _transform_of(m):
-            raise ValueError(
-                f"version {v} of {path} uses a hidden partition "
-                "transform; Delta requires partition columns in the "
-                "schema — alter_table_version(new_partition_by=...) "
-                "to an identity layout first"
-            )
+    # hidden partition transforms export as GENERATED partition
+    # columns (r12): the synthetic directory column becomes a real
+    # STRING schema field carrying `delta.generationExpression` (the
+    # transform as Spark SQL — Delta's generated-column contract), its
+    # per-file value rides `add.partitionValues` exactly like identity
+    # partitioning, so external readers partition-prune and external
+    # Spark writers re-derive the value on append.  Writer feature
+    # `generatedColumns` (legacy minWriterVersion 4); readers need
+    # nothing new.
+    gen = any(_transform_of(m) for m in manifests.values())
     # outstanding MoR sidecar debt exports as real Delta DELETION
     # VECTORS: per-file deleted positions re-encode as RoaringBitmap-
     # Array descriptors (inline Z85 or on-disk .bin), so external
@@ -1405,10 +1410,16 @@ def export_delta_log(
             snap["protocol"].get("readerFeatures") or []
         )
         any_dv = any_dv or was_dv
-        # a previously-plain log whose table gained column mapping or
-        # deletion vectors needs the protocol upgrade action
+        was_gen = any(
+            "delta.generationExpression" in (f.get("metadata") or {})
+            for f in json.loads(prev_meta["schemaString"])["fields"]
+        )
+        gen = gen or was_gen
+        # a previously-plain log whose table gained column mapping,
+        # deletion vectors, or generated columns needs the protocol
+        # upgrade action
         emit_protocol = (mapped and not was_mapped) or \
-            (any_dv and not was_dv)
+            (any_dv and not was_dv) or (gen and not was_gen)
     n = 0
     for i, v in enumerate(vs):
         m = manifests[v]
@@ -1429,6 +1440,23 @@ def export_delta_log(
             fields.append(
                 {"name": f.name, "type": f.dataType.jsonValue(),
                  "nullable": f.nullable, "metadata": md}
+            )
+        t = _transform_of(m)
+        if t:
+            # the transform's synthetic column, as a generated STRING
+            # partition column: per-file values come from
+            # add.partitionValues (never the payload parquet), and the
+            # generation expression references the LOGICAL source name
+            # so external Spark writers evaluate it post-column-mapping
+            md = {"delta.generationExpression": _generation_expr(
+                t, inv.get(t["source"], t["source"]))}
+            if mapped:
+                fid = field_ids.setdefault(pb_phys, len(field_ids) + 1)
+                md["delta.columnMapping.id"] = fid
+                md["delta.columnMapping.physicalName"] = pb_phys
+            fields.append(
+                {"name": pb_phys, "type": "string",
+                 "nullable": True, "metadata": md}
             )
         conf = {}
         if mapped:
@@ -1452,7 +1480,9 @@ def export_delta_log(
                           _manifest_mtime(path, v)) * 1000)
         actions: list[dict] = []
         if i == 0 and emit_protocol:
-            actions.append({"protocol": _protocol(mapped, any_dv)})
+            actions.append(
+                {"protocol": _protocol(mapped, any_dv, gen)}
+            )
         if meta_json != prev_meta_json:
             actions.append({"metaData": meta})
             prev_meta_json = meta_json
@@ -1501,7 +1531,7 @@ def export_delta_log(
         _write_checkpoint(
             path, base_delta + n - 1, manifests[vs[-1]],
             prev_meta_json, mapped, any_dv, prev_desc,
-            fmt=checkpoint_format,
+            fmt=checkpoint_format, gen=gen,
         )
     return n
 
@@ -1512,21 +1542,113 @@ def _manifest_mtime(path: str, v: int) -> float:
     return _manifest_path(path, v).stat().st_mtime
 
 
-def _protocol(mapped: bool, dv: bool = False) -> dict:
+def _protocol(mapped: bool, dv: bool = False,
+              gen: bool = False) -> dict:
     # deletion vectors force the table-features protocol (reader 3 /
     # writer 7 with explicit feature lists, per the Delta spec);
-    # column mapping alone needs reader 2 / writer 5; plain tables
-    # use the legacy floor
+    # column mapping alone needs reader 2 / writer 5; generated
+    # columns are WRITER-only (legacy minWriterVersion 4 — readers
+    # never evaluate the expression, they read partitionValues);
+    # plain tables use the legacy floor
     if dv:
         feats = ["deletionVectors"] + (["columnMapping"] if mapped else [])
+        if gen:
+            feats.append("generatedColumns")
         return {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
-            "readerFeatures": sorted(feats),
+            "readerFeatures": sorted(
+                f for f in feats if f != "generatedColumns"
+            ),
             "writerFeatures": sorted(feats),
         }
-    return ({"minReaderVersion": 2, "minWriterVersion": 5}
-            if mapped else {"minReaderVersion": 1, "minWriterVersion": 2})
+    if mapped:
+        return {"minReaderVersion": 2, "minWriterVersion": 5}
+    if gen:
+        return {"minReaderVersion": 1, "minWriterVersion": 4}
+    return {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def _generation_expr(t: dict, source: str) -> str:
+    """A partition transform → the EXACT Spark-SQL mirror of
+    versions/layout._transform_expr, stored as the generated column's
+    ``delta.generationExpression``.  Exactness matters: an external
+    Spark writer appending rows evaluates THIS string to route them —
+    a near-miss (session-tz day boundary, int() vs floor) would split
+    one logical partition across two directories.  days/hours of a
+    timestamp instant therefore use the same tz-free epoch arithmetic
+    (pmod-floor, date_from_unix_date); bucket uses Spark's native
+    xxhash64 — the engine's own routing hash, evaluable by any Spark
+    Delta writer."""
+    kind = t["kind"]
+    if kind in ("days", "hours"):
+        st = t.get("src_type", "")
+        if st.startswith("timestamp") and st != "timestamp_ntz":
+            e = f"CAST(`{source}` AS BIGINT)"
+            day = (f"CAST(({e} - pmod({e}, 86400)) / 86400 AS INT)")
+            d = f"CAST(date_from_unix_date({day}) AS STRING)"
+            if kind == "days":
+                return d
+            hr = (f"CAST(pmod(CAST(({e} - pmod({e}, 3600)) / 3600 "
+                  f"AS BIGINT), 24) AS INT)")
+            return (f"CONCAT({d}, '-', "
+                    f"LPAD(CAST({hr} AS STRING), 2, '0'))")
+        fmt = "yyyy-MM-dd" if kind == "days" else "yyyy-MM-dd-HH"
+        return f"date_format(`{source}`, '{fmt}')"
+    if kind == "bucket":
+        return (f"CAST(pmod(xxhash64(`{source}`), {int(t['n'])}) "
+                "AS STRING)")
+    if kind == "truncate":
+        return f"SUBSTRING(`{source}`, 1, {int(t['n'])})"
+    raise ValueError(f"unknown partition transform kind {kind!r}")
+
+
+def _drop_field(schema_json: dict, name: str | None) -> dict:
+    """Schema JSON minus one field (the synthetic generated partition
+    column, when an import reconstructs the hidden transform)."""
+    if not name:
+        return schema_json
+    return {**schema_json, "fields": [
+        f for f in schema_json["fields"] if f["name"] != name
+    ]}
+
+
+def _parse_generation_expr(
+    gexpr: str, schema, phys_of: dict[str, str]
+) -> dict | None:
+    """The inverse of :func:`_generation_expr`, for import: if a
+    generated partition column's expression is one of this module's
+    CANONICAL transform forms, return the transform dict (physical
+    source name, the versioned layer's convention) so the import
+    reconstructs the HIDDEN transform instead of surfacing the
+    synthetic column as data.  Recognition is by exact re-generation
+    — for each candidate (source, kind, n) the canonical string is
+    rebuilt and compared, so a near-miss expression (different tz
+    arithmetic, a different hash) NEVER silently imports as a
+    transform it isn't; it imports as an identity partition column,
+    which is always correct."""
+    import re as _re
+
+    ns = [int(x) for x in _re.findall(r"(?:xxhash64\(`[^`]+`\), |`, 1, )(\d+)", gexpr)]
+    srcs = {m for m in _re.findall(r"`([^`]+)`", gexpr)}
+    by_name = {f.name: f for f in schema.fields}
+    for src in srcs:
+        f = by_name.get(src)
+        if f is None:
+            continue
+        st = f.dataType.simpleString()
+        for kind in ("days", "hours", "bucket", "truncate"):
+            for n in ([None] if kind in ("days", "hours") else ns):
+                t = {"kind": kind, "source": src, "src_type": st}
+                if n is not None:
+                    t["n"] = n
+                try:
+                    cand = _generation_expr(t, src)
+                except ValueError:
+                    continue
+                if cand == gexpr:
+                    return {**t, "source": phys_of.get(src, src)}
+    return None
 
 
 def _add_action(root: Path, rel: str, fstats: dict,
@@ -1571,7 +1693,7 @@ def _write_checkpoint(path: str, delta_version: int, head_manifest: dict,
                       meta_json: str, mapped: bool,
                       dv: bool = False,
                       dv_descs: dict[str, dict] | None = None,
-                      fmt: str = "classic") -> None:
+                      fmt: str = "classic", gen: bool = False) -> None:
     """Checkpoint for the final exported commit + `_last_checkpoint`
     pointer — so Delta readers (and this module's own reader) snapshot
     in ONE parquet read instead of replaying every JSON commit.
@@ -1598,7 +1720,7 @@ def _write_checkpoint(path: str, delta_version: int, head_manifest: dict,
         for f in sorted(head_manifest["files"])
     ]
     n = len(adds) + 2
-    proto = _protocol(mapped, dv)
+    proto = _protocol(mapped, dv, gen)
     rows = {
         "protocol": [proto] + [None] * (n - 1),
         "metaData": [None, {
@@ -1847,6 +1969,20 @@ def import_delta_log(
                 "pre-evolution version"
             )
         pb_phys = phys_of[part_cols[0]] if part_cols else None
+        gen_t = None
+        if part_cols:
+            pf = next(f for f in schema.fields
+                      if f.name == part_cols[0])
+            gexpr = (pf.metadata or {}).get(
+                "delta.generationExpression")
+            if gexpr:
+                # a generated partition column whose expression is one
+                # of this module's canonical transform forms imports
+                # back as the HIDDEN transform (synth column stays out
+                # of the logical schema); anything else imports as an
+                # identity partition column — always correct, just
+                # visible
+                gen_t = _parse_generation_expr(gexpr, schema, phys_of)
         files: list[str] = []
         stats: dict[str, dict] = {}
         dv_state: dict[str, frozenset] = {}
@@ -1860,23 +1996,34 @@ def import_delta_log(
                     "clone) — import the clone source, or materialize "
                     "via read_delta_table"
                 )
-            if pb_phys and not rel.startswith(f"{pb_phys}="):
-                raise ValueError(
-                    f"partitioned table file {rel!r} is not laid out "
-                    f"hive-style under {pb_phys!r}= — the versioned "
-                    "reader cannot re-derive its partition value; "
-                    "materialize via read_delta_table + "
-                    "write_table_version"
-                )
+            rel_dst = rel
+            if pb_phys:
+                # normalize to start AT the hive segment (a table this
+                # module exported prefixes adds with `data/`; external
+                # tables may nest too) — deterministic, so a file that
+                # survives across versions keeps one dest identity
+                segs = rel.split("/")
+                i0 = next(
+                    (j for j, sg in enumerate(segs[:-1])
+                     if sg.startswith(f"{pb_phys}=")), None)
+                if i0 is None:
+                    raise ValueError(
+                        f"partitioned table file {rel!r} is not laid "
+                        f"out hive-style under {pb_phys!r}= — the "
+                        "versioned reader cannot re-derive its "
+                        "partition value; materialize via "
+                        "read_delta_table + write_table_version"
+                    )
+                rel_dst = "/".join(segs[i0:])
             src = Path(path) / rel
-            dst = dest_p / "data" / rel
+            dst = dest_p / "data" / rel_dst
             if not dst.exists():
                 dst.parent.mkdir(parents=True, exist_ok=True)
                 try:
                     os.link(src, dst)
                 except OSError:
                     _shutil.copy2(src, dst)
-            files.append(rel)
+            files.append(rel_dst)
             fstats: dict = {}
             raw = a.get("stats")
             s = {}
@@ -1898,24 +2045,26 @@ def import_delta_log(
             for c in mins:
                 if c in maxs:
                     fstats[c] = [mins[c], maxs[c]]
-            stats[rel] = fstats
+            stats[rel_dst] = fstats
             dv = a.get("deletionVector")
             if dv:
                 pos = _dv_positions(path, dv)
                 if pos:
-                    dv_state[rel] = frozenset(pos)
+                    dv_state[rel_dst] = frozenset(pos)
         deletes = None
         if dv_state:
             count -= sum(len(p) for p in dv_state.values())
             from .versions import _import_positional_sidecar
 
             deletes = _import_positional_sidecar(
-                spark, path, dest, dv_state, dv_sidecars
+                spark, path, dest, dv_state, dv_sidecars,
+                synth=pb_phys if gen_t else None,
             )
         cmap = {
             f.name: phys_of[f.name]
             for f in schema.fields
             if phys_of[f.name] != f.name
+            and not (gen_t and f.name == part_cols[0])
         }
         meta_json = json.dumps(meta, sort_keys=True)
         parent = _commit(
@@ -1924,12 +2073,16 @@ def import_delta_log(
             # a file-empty version needs the schema recorded so reads
             # and CDC stay typed (the native delete-all discipline);
             # Delta's schemaString IS Spark schema JSON
-            schema=None if files else json.loads(meta["schemaString"]),
+            schema=None if files else _drop_field(
+                json.loads(meta["schemaString"]),
+                part_cols[0] if gen_t else None,
+            ),
             op=f"import_delta({v})"
             + ("" if meta_json == prev_meta_json or prev_meta_json is
                None else " metadata"),
             column_map=cmap or None,
             deletes=deletes,
+            transform=gen_t,
         )
         prev_meta_json = meta_json
         if ts is not None:

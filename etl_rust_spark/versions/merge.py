@@ -272,14 +272,6 @@ def _merge_table_version_once(
         for c in on[1:]:
             cond_j = cond_j & c
         joined = t.join(s, cond_j, "left")
-        n_t = t.count()
-        if joined.count() > n_t:
-            raise ValueError(
-                "MERGE: a target row matches more than one source row "
-                "— which source row wins would be nondeterministic; "
-                "de-duplicate the source on the merge keys first "
-                "(Delta raises the same error)"
-            )
         matched = F.coalesce(F.col("s.__smatch"), F.lit(False))
         take_delete = (
             matched & _merge_cond(dele) if dele is not None
@@ -291,8 +283,29 @@ def _merge_table_version_once(
                 _merge_cond(upd_cond) if upd_cond is not None
                 else F.lit(True)
             )
+        # ONE aggregate job answers everything the routing needs: the
+        # (file, pos) annotation is an injective target-row id, so
+        # "some target row matched more than one source row" is
+        # count(matched) > count_distinct(id | matched) — no separate
+        # t.count()/joined.count() scans (each a full pass over the
+        # hit files; at scale the dominant cost of the merge)
+        row_id = F.when(matched, F.concat_ws(
+            "\x00", F.col(f"t.{_POS_COLS[0]}"),
+            F.col(f"t.{_POS_COLS[1]}")))
+        n_matched, n_tgt_matched, n_touched, n_upd_probe = joined.agg(
+            F.count(F.when(matched, 1)),
+            F.count_distinct(row_id),
+            F.count(F.when(take_delete | take_update, 1)),
+            F.count(F.when(take_update, 1)),
+        ).first()
+        if n_matched > n_tgt_matched:
+            raise ValueError(
+                "MERGE: a target row matches more than one source row "
+                "— which source row wins would be nondeterministic; "
+                "de-duplicate the source on the merge keys first "
+                "(Delta raises the same error)"
+            )
         touched = joined.filter(take_delete | take_update)
-        n_touched = touched.count()
         if mode == "auto" and n_touched > mor_max_rows:
             mode = "cow"  # broad match: pay the rewrite once
         else:
@@ -321,7 +334,7 @@ def _merge_table_version_once(
                         v.cast(existing.schema[c].dataType).alias(c)
                     )
                 updated = upd_rows.select(*proj_u)
-                n_upd = updated.count()
+                n_upd = n_upd_probe
                 if n_upd:
                     _validate_constraints(
                         updated, m.get("constraints"),

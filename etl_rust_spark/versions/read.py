@@ -226,6 +226,7 @@ def _import_positional_sidecar(
     spark: SparkSession, src: str, dest: str,
     dv_state: dict[str, frozenset],
     cache: dict,
+    synth: str | None = None,
 ) -> list[dict]:
     """An external table format's row-level delete state — ``{dest
     data-relative file: deleted row positions}`` — re-materialized as
@@ -249,8 +250,12 @@ def _import_positional_sidecar(
     if key in cache:
         return cache[key]
     data = str(Path(dest) / "data")
-    pdf = _plan_with_deletes(spark, data, sorted(dv_state), None, None,
-                             positions=True)
+    # ``synth``: when the dest reconstructs a HIDDEN transform, the
+    # read-side fingerprint includes the synthetic partition column —
+    # the sidecar build must see the identical column set or the
+    # anti-join silently masks nothing
+    pdf = _plan_with_deletes(spark, data, sorted(dv_state), None,
+                             synth, positions=True)
     fp_cols = sorted(c for c in pdf.columns if c not in _POS_COLS)
     ann = pdf.select(
         _fingerprint(pdf, fp_cols).alias("_fp"),

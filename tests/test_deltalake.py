@@ -876,13 +876,64 @@ def test_z85_encode_decode_parity():
         assert not any(dec[len(raw):])  # zero padding only
 
 
-def test_export_refuses_hidden_transforms(spark, tmp_path):
-    t = tmp_path / "vt5"
-    df = spark.range(10).selectExpr(
-        "id as k", "timestamp_micros(cast(id * 86400e6 as long)) as ts")
-    V.write_table_version(df, str(t), partition_by=("days", "ts"))
-    with pytest.raises(ValueError, match="identity"):
-        export_delta_log(spark, str(t))
+def test_export_transform_as_generated_partition_column(spark, tmp_path):
+    """Hidden transforms export as GENERATED partition columns (r12):
+    the synthetic column joins the schema with an exact Spark-SQL
+    generationExpression, partitionValues carry the directory value,
+    and per-version reads round-trip; the generation expression is
+    pinned row-for-row against the engine's own routing expression
+    for every transform kind."""
+    import json as _json
+    from pathlib import Path as _P
+
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.versions.layout import _transform_expr
+
+    for name, pb, mk in [
+        ("days", ("days", "ts"), lambda: spark.range(10).selectExpr(
+            "id as k",
+            "timestamp_micros(cast(id * 86400e6 as long)) as ts")),
+        ("hours", ("hours", "ts"), lambda: spark.range(10).selectExpr(
+            "id as k",
+            "timestamp_micros(cast(id * 3700e6 as long)) as ts")),
+        ("bucket", ("bucket", "k", 4), lambda: spark.range(16)
+            .selectExpr("id as k", "concat('u', id) as u")),
+        ("truncate", ("truncate", "u", 2), lambda: spark.range(9)
+            .selectExpr("id as k", "concat('ab', id) as u")),
+    ]:
+        t = str(tmp_path / f"vt5_{name}")
+        V.write_table_version(mk(), t, partition_by=pb)
+        V.delete_table_version(spark, t, "k = 1", mode="mor")
+        n = export_delta_log(spark, t)
+        assert n == 2
+        log0 = sorted(_P(t, "_delta_log").glob("*.json"))[0]
+        acts = [_json.loads(x) for x in log0.read_text().splitlines()]
+        proto = next(a["protocol"] for a in acts if "protocol" in a)
+        assert "generatedColumns" in proto["writerFeatures"]
+        assert "generatedColumns" not in (
+            proto.get("readerFeatures") or [])
+        meta = next(a["metaData"] for a in acts if "metaData" in a)
+        synth = meta["partitionColumns"][0]
+        assert synth.startswith("_p_")
+        fld = [f for f in _json.loads(meta["schemaString"])["fields"]
+               if f["name"] == synth][0]
+        expr = fld["metadata"]["delta.generationExpression"]
+        m = V._load_manifest(t, 1)
+        base = V.read_table_version(spark, t, 1)
+        assert base.select(
+            F.expr(expr).alias("a"),
+            _transform_expr(m["partition_transform"]).alias("b"),
+        ).filter("a <> b").count() == 0
+        add = next(a["add"] for a in acts if "add" in a)
+        assert synth in add["partitionValues"]
+        for i, vv in enumerate(V.list_versions(t)):
+            ours_df = V.read_table_version(spark, t, vv)
+            cols = ours_df.columns
+            ours = sorted(map(tuple, ours_df.collect()))
+            got = sorted(map(tuple, read_delta_table(
+                spark, t, version=i).select(*cols).collect()))
+            assert ours == got, f"{name} mismatch at v{vv}"
 
 
 def test_export_refuses_double_export(spark, tmp_path):
@@ -1628,3 +1679,91 @@ def test_export_v2_checkpoint_roundtrip(spark, tmp_path):
 
     assert len(delta_table_files(str(t), prune=[("k", 0, 0)])) <= \
         len(delta_table_files(str(t)))
+
+
+def test_import_reconstructs_hidden_transform(spark, tmp_path):
+    """Import of a table this module exported with a generated
+    partition column (r12): the canonical generationExpression parses
+    back into the HIDDEN transform — the synthetic column stays out of
+    the logical schema, every version round-trips masks included, and
+    post-import DML routes through the reconstructed transform."""
+    from etl_rust_spark.deltalake import import_delta_log
+
+    for name, pb, mk in [
+        ("days", ("days", "ts"), lambda: spark.range(12).selectExpr(
+            "id as k",
+            "timestamp_micros(cast(id * 86400e6 as long)) as ts",
+            "concat('v', id) as val")),
+        ("bucket", ("bucket", "k", 4), lambda: spark.range(16)
+            .selectExpr("id as k", "concat('v', id) as val")),
+    ]:
+        p = str(tmp_path / f"src_{name}")
+        q = str(tmp_path / f"imp_{name}")
+        V.write_table_version(mk(), p, partition_by=pb)
+        V.delete_table_version(spark, p, "k = 3", mode="mor")
+        V.update_table_version(spark, p, "k = 5", {"val": "'X'"})
+        export_delta_log(spark, p)
+        n = import_delta_log(spark, p, q)
+        assert n == 3
+        t = V._load_manifest(q, 1).get("partition_transform")
+        assert t and t["kind"] == pb[0] and t["source"] == pb[1]
+        for v in V.list_versions(q):
+            a = sorted(map(tuple,
+                           V.read_table_version(spark, p, v).collect()))
+            b = sorted(map(tuple,
+                           V.read_table_version(spark, q, v).collect()))
+            assert a == b, f"{name} v{v}"
+        # synth never surfaces; DML routes through the transform
+        assert not any(c.startswith("_p_")
+                       for c in V.read_table_version(spark, q).columns)
+        delta = mk().filter("k = 0").selectExpr(
+            "k + 100 as k", *[c for c in mk().columns if c != "k"])
+        V.upsert_table_version(spark, q, delta.select(*mk().columns),
+                               keys=["k"])
+        assert V.read_table_version(spark, q) \
+            .filter("k = 100").count() == 1
+
+
+def test_import_foreign_generation_expr_stays_identity(spark, tmp_path):
+    """A generated partition column whose expression is NOT one of
+    this module's canonical transform forms imports as an identity
+    partition column — never a silently-wrong transform."""
+    import json as _json
+    from pathlib import Path as _P
+
+    from etl_rust_spark.deltalake import import_delta_log
+
+    p = str(tmp_path / "src")
+    q = str(tmp_path / "imp")
+    V.write_table_version(
+        spark.range(8).selectExpr(
+            "id as k",
+            "timestamp_micros(cast(id * 86400e6 as long)) as ts",
+            "concat('v', id) as val"),
+        p, partition_by=("days", "ts"))
+    export_delta_log(spark, p)
+    # rewrite the log's generationExpression to a near-miss (session-tz
+    # day boundary — Delta's own common idiom, NOT our canonical form)
+    log0 = sorted(_P(p, "_delta_log").glob("*.json"))[0]
+    txt = log0.read_text()
+    acts = [_json.loads(x) for x in txt.splitlines()]
+    for a in acts:
+        if "metaData" in a:
+            sch = _json.loads(a["metaData"]["schemaString"])
+            for f in sch["fields"]:
+                md = f.get("metadata") or {}
+                if "delta.generationExpression" in md:
+                    md["delta.generationExpression"] = \
+                        "date_format(CAST(`ts` AS DATE), 'yyyy-MM-dd')"
+            a["metaData"]["schemaString"] = _json.dumps(sch)
+    log0.write_text("".join(_json.dumps(a) + "\n" for a in acts))
+    for ck in _P(p, "_delta_log").glob("*.checkpoint*"):
+        ck.unlink()
+    (_P(p, "_delta_log") / "_last_checkpoint").unlink(missing_ok=True)
+    import_delta_log(spark, p, q)
+    m = V._load_manifest(q, 1)
+    assert not m.get("partition_transform")
+    assert m["partition_by"] == "_p_days_ts"  # identity, visible
+    got = V.read_table_version(spark, q)
+    assert "_p_days_ts" in got.columns
+    assert got.count() == 8

@@ -10,8 +10,8 @@ debt exports as Delta DELETION VECTORS and Iceberg POSITION DELETES,
 and column mapping exports as Delta columnMapping-name / Iceberg
 stable physical-name field ids, so mor and rename ops are in the fuzz
 mix, not refusals.  A second fuzz drives a hidden-transform (days)
-table through the Iceberg leg (Delta still refuses transforms — the
-partition column is not in the schema).
+table through BOTH legs (Iceberg native day transform; Delta as a
+generated partition column since r12).
 """
 
 from __future__ import annotations
@@ -145,10 +145,11 @@ def test_interop_export_parity_fuzz(spark, tmp_path):
 
 def test_interop_iceberg_transform_fuzz(spark, tmp_path):
     """Seeded DML chain on a hidden-transform (days) table, exported
-    through the Iceberg leg only (Delta refuses transforms by design):
-    every surviving snapshot must reproduce exactly, masks included —
-    the certification that transform export composes with MoR debt,
-    compaction and restore, not just the hand-written cases."""
+    through BOTH legs (Iceberg native day-transform spec; Delta as a
+    generated partition column since r12): every surviving snapshot
+    must reproduce exactly, masks included — the certification that
+    transform export composes with MoR debt, compaction and restore,
+    not just the hand-written cases."""
     import random
 
     rng = random.Random(0xDA45)
@@ -201,10 +202,29 @@ def test_interop_iceberg_transform_fuzz(spark, tmp_path):
     assert head == state
     versions = V.list_versions(p)
     assert export_iceberg_metadata(spark, p) == len(versions)
-    for v in versions:
+    assert export_delta_log(spark, p) == len(versions)
+    for i, v in enumerate(versions):
         ours = V.read_table_version(spark, p, v)
         cols = ours.columns
+        expect = sorted(map(tuple, ours.collect()))
         theirs = read_iceberg_table(spark, p, snapshot_id=v)
         assert sorted(map(tuple, theirs.select(*cols).collect())) \
-            == sorted(map(tuple, ours.collect())), \
-            f"iceberg mismatch at snapshot {v}"
+            == expect, f"iceberg mismatch at snapshot {v}"
+        via_delta = read_delta_table(spark, p, version=i)
+        assert sorted(map(tuple, via_delta.select(*cols).collect())) \
+            == expect, f"delta mismatch at our v{v} / delta {i}"
+
+    # the import leg: the Delta log (generated partition column +
+    # DVs) re-imports as a fresh versioned table with the HIDDEN
+    # transform reconstructed, every surviving version equal
+    from etl_rust_spark.deltalake import import_delta_log
+
+    q = str(tmp_path / "imp")
+    assert import_delta_log(spark, p, q) == len(versions)
+    mq = V._load_manifest(q, 1)
+    assert (mq.get("partition_transform") or {}).get("kind") == "days"
+    for i, v in enumerate(versions):
+        a = sorted(map(tuple, V.read_table_version(spark, p, v).collect()))
+        b = sorted(map(tuple,
+                       V.read_table_version(spark, q, i + 1).collect()))
+        assert a == b, f"import mismatch at our v{v} / imported {i + 1}"
