@@ -923,6 +923,79 @@ def _apply_deletes(
     return df.drop("_ice_fp", "_ice_pos", "_ice_uri", "_ice_seq")
 
 
+def _reconstructable_spec(meta: dict):
+    """Can this table's partitioning import as one of the versioned
+    layer's HIDDEN transforms?  Returns ``(transform_dict, synth_name,
+    spec_field_name)`` or None.  Deliberately narrow: exactly ONE spec
+    (never evolved — mixed-spec histories flatten as before), one
+    field, and a transform whose semantics this engine reproduces
+    EXACTLY — day/hour (UTC epoch arithmetic both sides) and string
+    truncate (leading code points both sides).  ``bucket`` NEVER
+    reconstructs: Iceberg buckets with murmur3, this engine with
+    xxhash64 — a reconstructed bucket would route new DML into
+    directories point-probes don't look in (the silent-drop hazard).
+    ``identity`` stays flat because Iceberg keeps the source column IN
+    the data files, where the versioned layout keeps it only in
+    directory names — a hive re-layout would duplicate the column."""
+    specs = meta.get("partition-specs") or []
+    if len(specs) != 1:
+        return None
+    fields = specs[0].get("fields") or []
+    if len(fields) != 1:
+        return None
+    f = fields[0]
+    tr = f.get("transform") or ""
+    sch = None
+    for sc in meta.get("schemas") or []:
+        if sc.get("schema-id") == meta.get("current-schema-id", 0):
+            sch = sc
+    sch = sch or meta.get("schema") or {"fields": []}
+    src = next((fl for fl in sch["fields"]
+                if fl["id"] == f.get("source-id")), None)
+    if src is None or not isinstance(src.get("type"), str):
+        return None
+    it = src["type"]
+    if tr == "day":
+        kind, n = "days", None
+    elif tr == "hour":
+        kind, n = "hours", None
+    elif tr.startswith("truncate[") and it == "string":
+        kind, n = "truncate", int(tr[len("truncate["):-1])
+    else:
+        return None
+    st = {"timestamptz": "timestamp",
+          "timestamp": "timestamp_ntz"}.get(it, it)
+    t = {"kind": kind, "source": src["name"], "src_type": st}
+    if n is not None:
+        t["n"] = n
+    synth = f"_p_{kind}{n if n is not None else ''}_{src['name']}"
+    return t, synth, f["name"]
+
+
+def _part_dir_value(pv, kind: str) -> str | None:
+    """An Iceberg partition-struct value → this layer's directory
+    value string (the inverse of :func:`_transform_part_value`):
+    day → ISO date, hour → ``yyyy-MM-dd-HH`` (divmod floors, so
+    pre-1970 negatives land on the same calendar day as the engine's
+    pmod arithmetic), truncate → the string itself.  Avro decoders
+    that honor the date logical type hand day values as
+    ``datetime.date`` — accepted alongside the raw int ordinal."""
+    import datetime as _dt
+
+    if pv is None:
+        return None
+    if kind == "days":
+        if isinstance(pv, _dt.date):
+            return pv.isoformat()
+        return (_dt.date(1970, 1, 1)
+                + _dt.timedelta(days=int(pv))).isoformat()
+    if kind == "hours":
+        days, hr = divmod(int(pv), 24)
+        d = _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
+        return f"{d.isoformat()}-{hr:02d}"
+    return str(pv)
+
+
 def import_iceberg_table(spark: SparkSession, path: str, dest: str) -> int:
     """Replay an Iceberg table's snapshot history INTO a fresh
     versioned table at ``dest`` — snapshot i (chronological) becomes
@@ -934,9 +1007,16 @@ def import_iceberg_table(spark: SparkSession, path: str, dest: str) -> int:
     :func:`etl_rust_spark.deltalake.import_delta_log`.
 
     Iceberg data files carry every column (partitioning is metadata-
-    only), so imported files are FLATTENED into ``data/`` under
-    collision-free names and the versioned table is unpartitioned —
-    a hive-style directory would collide with the payload column.
+    only), so identity-partitioned imports are FLATTENED into
+    ``data/`` under collision-free names — a hive-style directory
+    would duplicate the payload column.  A never-evolved single-field
+    day/hour/string-truncate spec instead reconstructs as this
+    layer's HIDDEN transform (r12): files hardlink into synth
+    directories derived from each file's partition-struct value, so
+    point/range pruning and post-import DML routing survive the
+    migration.  ``bucket`` stays flat on purpose — Iceberg's murmur3
+    vs this engine's xxhash64 would route new DML into directories
+    point-probes don't search.
 
     Row-level deletes import as positional MERGE-ON-READ sidecars
     (r12, mirrors :func:`~etl_rust_spark.deltalake.import_delta_log`'s
@@ -969,6 +1049,7 @@ def import_iceberg_table(spark: SparkSession, path: str, dest: str) -> int:
         raise FileNotFoundError(f"{path} has no snapshots")
     dest_p = Path(dest)
     (dest_p / "data").mkdir(parents=True, exist_ok=True)
+    recon = _reconstructable_spec(_current_metadata(path))
     linked: dict[str, str] = {}  # source abs path -> dest-relative name
     first_names = None
     parent = None
@@ -1015,7 +1096,23 @@ def import_iceberg_table(spark: SparkSession, path: str, dest: str) -> int:
             rel = linked.get(src)
             if rel is None:
                 rel = f"{len(linked):06d}-{Path(src).name}"
+                if recon:
+                    # hidden-transform reconstruction: hardlink into
+                    # the synth directory derived from the file's OWN
+                    # partition-struct value (metadata, not path — an
+                    # Iceberg table's physical layout is arbitrary)
+                    from urllib.parse import quote as _q
+
+                    t_r, synth_r, pf_name = recon
+                    seg = _part_dir_value(
+                        (d.get("partition") or {}).get(pf_name),
+                        t_r["kind"],
+                    )
+                    seg_dir = ("__HIVE_DEFAULT_PARTITION__"
+                               if seg is None else _q(seg, safe=""))
+                    rel = f"{synth_r}={seg_dir}/{rel}"
                 dst = dest_p / "data" / rel
+                dst.parent.mkdir(parents=True, exist_ok=True)
                 try:
                     os.link(src, dst)
                 except OSError:
@@ -1108,16 +1205,19 @@ def import_iceberg_table(spark: SparkSession, path: str, dest: str) -> int:
                 dv_state = {f: frozenset(p) for f, p in dv_raw.items()}
                 count -= sum(len(p) for p in dv_state.values())
                 deletes = _import_positional_sidecar(
-                    spark, path, dest, dv_state, dv_sidecars
+                    spark, path, dest, dv_state, dv_sidecars,
+                    synth=recon[1] if recon else None,
                 )
         parent = _commit(
-            dest, sorted(files), count, parent, None,
+            dest, sorted(files), count, parent,
+            recon[1] if recon else None,
             stats=stats or None,
             # file-empty snapshots record the schema (delete-all rule)
             schema=None if files else
             _spark_schema(snap["schema"]).jsonValue(),
             op=f"import_iceberg({s['snapshot_id']})",
             deletes=deletes,
+            transform=recon[0] if recon else None,
         )
         if s["timestamp_ms"] is not None:
             mp = _manifest_path(dest, parent)

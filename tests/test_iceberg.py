@@ -1371,3 +1371,54 @@ def test_export_incremental_manifest_reuse(spark, tmp_path):
         theirs = read_iceberg_table(spark, t, snapshot_id=v)
         assert sorted(map(tuple, ours.collect())) == \
             sorted(map(tuple, theirs.select(*ours.columns).collect())), v
+
+
+def test_import_iceberg_reconstructs_transform_spec(spark, tmp_path):
+    """A never-evolved single-field day/hour/string-truncate spec
+    imports as the HIDDEN transform (r12): files hardlink into synth
+    directories derived from each file's partition-struct value —
+    parity per snapshot masks included, post-import DML routes
+    through the transform, point/range prune works.  Bucket stays
+    flat (murmur3 vs xxhash64 would mis-route new DML)."""
+    from etl_rust_spark.iceberg import (
+        export_iceberg_metadata,
+        import_iceberg_table,
+    )
+
+    for name, pb, mk in [
+        ("days", ("days", "ts"), lambda: spark.range(12).selectExpr(
+            "id as k",
+            "timestamp_micros(cast(id * 86400e6 as long)) as ts",
+            "concat('v', id) as val")),
+        ("truncate", ("truncate", "val", 2), lambda: spark.range(9)
+            .selectExpr("id as k", "concat('ab', id) as val")),
+    ]:
+        p = str(tmp_path / f"src_{name}")
+        q = str(tmp_path / f"imp_{name}")
+        V.write_table_version(mk(), p, partition_by=pb)
+        V.delete_table_version(spark, p, "k = 3", mode="mor")
+        export_iceberg_metadata(spark, p)
+        assert import_iceberg_table(spark, p, q) == 2
+        t = V._load_manifest(q, 1).get("partition_transform")
+        assert t and t["kind"] == pb[0] and t["source"] == pb[1], name
+        for i, v in enumerate(V.list_versions(p)):
+            a = sorted(map(tuple,
+                           V.read_table_version(spark, p, v).collect()))
+            b = sorted(map(tuple,
+                           V.read_table_version(spark, q, i + 1)
+                           .collect()))
+            assert a == b, f"{name} v{v}"
+        assert not any(c.startswith("_p_")
+                       for c in V.read_table_version(spark, q).columns)
+    # bucket: imports, but stays UNPARTITIONED — never a transform
+    # whose routing hash disagrees with the source layout
+    p = str(tmp_path / "src_bucket")
+    q = str(tmp_path / "imp_bucket")
+    V.write_table_version(
+        spark.range(16).selectExpr("id as k", "concat('v', id) as val"),
+        p, partition_by=("bucket", "k", 4))
+    export_iceberg_metadata(spark, p)
+    import_iceberg_table(spark, p, q)
+    m = V._load_manifest(q, 1)
+    assert not m.get("partition_transform") and not m.get("partition_by")
+    assert V.read_table_version(spark, q).count() == 16

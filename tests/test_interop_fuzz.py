@@ -214,17 +214,24 @@ def test_interop_iceberg_transform_fuzz(spark, tmp_path):
         assert sorted(map(tuple, via_delta.select(*cols).collect())) \
             == expect, f"delta mismatch at our v{v} / delta {i}"
 
-    # the import leg: the Delta log (generated partition column +
-    # DVs) re-imports as a fresh versioned table with the HIDDEN
-    # transform reconstructed, every surviving version equal
+    # the import legs: BOTH formats re-import as fresh versioned
+    # tables with the HIDDEN transform reconstructed (Delta from the
+    # canonical generationExpression, Iceberg from the day spec),
+    # every surviving version equal, masks included
     from etl_rust_spark.deltalake import import_delta_log
+    from etl_rust_spark.iceberg import import_iceberg_table
 
-    q = str(tmp_path / "imp")
-    assert import_delta_log(spark, p, q) == len(versions)
-    mq = V._load_manifest(q, 1)
-    assert (mq.get("partition_transform") or {}).get("kind") == "days"
-    for i, v in enumerate(versions):
-        a = sorted(map(tuple, V.read_table_version(spark, p, v).collect()))
-        b = sorted(map(tuple,
-                       V.read_table_version(spark, q, i + 1).collect()))
-        assert a == b, f"import mismatch at our v{v} / imported {i + 1}"
+    for leg, imp in (("delta", import_delta_log),
+                     ("iceberg", import_iceberg_table)):
+        q = str(tmp_path / f"imp_{leg}")
+        assert imp(spark, p, q) == len(versions)
+        mq = V._load_manifest(q, 1)
+        assert (mq.get("partition_transform") or {}).get("kind") \
+            == "days", leg
+        for i, v in enumerate(versions):
+            a = sorted(map(tuple,
+                           V.read_table_version(spark, p, v).collect()))
+            b = sorted(map(tuple,
+                           V.read_table_version(spark, q, i + 1)
+                           .collect()))
+            assert a == b, f"{leg} import mismatch at v{v}"
