@@ -155,3 +155,50 @@ def test_binpack_compaction_races_upsert(spark, tmp_path):
     got = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
     assert got[30] == "fresh" and {0, 1, 2, 3, 20, 21} <= set(got)
     _assert_linear_no_leaks(p)
+
+
+def test_mor_merge_races_compaction(spark, tmp_path):
+    """MERGE mode='mor' (r12) under the same race: whichever lands
+    second re-runs against the other's head — the merge's sidecar
+    mask and appended images must survive a concurrent fold."""
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        _t(spark, [(k, k % 2, f"s{k}") for k in range(8)]), p, "ds"
+    )
+    for i in (10, 12):
+        V.upsert_table_version(
+            spark, p, _t(spark, [(i, 0, f"s{i}")]), keys=["k"],
+            partition_by="ds",
+        )
+    errs = []
+
+    def merger():
+        try:
+            V.merge_table_version(
+                spark, p, _t(spark, [(2, 0, "M2"), (99, 1, "I99")]),
+                keys=["k"], when_matched_update="*",
+                when_not_matched_insert=True, mode="mor",
+            )
+        except Exception as e:
+            errs.append(e)
+
+    def compactor():
+        try:
+            V.compact_table_version(spark, p, target_file_bytes=1 << 30)
+        except Exception as e:
+            errs.append(e)
+
+    ts = [threading.Thread(target=merger),
+          threading.Thread(target=compactor)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    got = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert got[2] == "M2" and got[99] == "I99" and got[3] == "s3"
+    _assert_linear_no_leaks(p)
+    V.compact_table_version(spark, p, target_file_bytes=1 << 30)
+    got2 = {r.k: r.val for r in V.read_table_version(spark, p).collect()}
+    assert got2 == got
+    assert not V._load_manifest(p, V.latest_version(p)).get("deletes")

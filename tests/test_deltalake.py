@@ -1767,3 +1767,33 @@ def test_import_foreign_generation_expr_stays_identity(spark, tmp_path):
     got = V.read_table_version(spark, q)
     assert "_p_days_ts" in got.columns
     assert got.count() == 8
+
+
+def test_import_own_partitioned_export_roundtrip(spark, tmp_path):
+    """Our own identity-partitioned export round-trips through import
+    (r12: add paths prefix `data/`; the hive normalization finds the
+    partition segment at any depth) — masks included, partitioning
+    preserved as identity."""
+    from etl_rust_spark.deltalake import import_delta_log
+
+    p = str(tmp_path / "src")
+    q = str(tmp_path / "imp")
+    df = spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(32)], ["k", "ds", "val"]
+    ).repartition(4, "ds")
+    V.write_table_version(df, p, "ds", stats_cols=["k"])
+    V.delete_table_version(spark, p, "k = 3", mode="mor")
+    V.upsert_table_version(
+        spark, p,
+        spark.createDataFrame([(1, 1, "U")], ["k", "ds", "val"]),
+        keys=["k"], partition_by="ds")
+    export_delta_log(spark, p)
+    assert import_delta_log(spark, p, q) == 3
+    m = V._load_manifest(q, 1)
+    assert m["partition_by"] == "ds" and not m.get("partition_transform")
+    for i, v in enumerate(V.list_versions(p)):
+        a = sorted(map(tuple, V.read_table_version(spark, p, v)
+                       .select("k", "ds", "val").collect()))
+        b = sorted(map(tuple, V.read_table_version(spark, q, i + 1)
+                       .select("k", "ds", "val").collect()))
+        assert a == b, f"v{v}"
