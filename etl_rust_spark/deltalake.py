@@ -522,10 +522,10 @@ def _physical_name(field: StructField) -> str:
 
 def _check_mapping_supported(meta: dict, schema: StructType) -> None:
     mode = _mapping_mode(meta)
-    if mode not in ("none", "name"):
+    if mode not in ("none", "name", "id"):
         raise DeltaProtocolError(
             f"column mapping mode {mode!r} is not supported (modes: "
-            "none, name — 'id' needs parquet field-id resolution)"
+            "none, name, id)"
         )
     # nested mapping: physical names below the top level would need
     # recursive schema rewriting inside the scan — gate loudly
@@ -1134,6 +1134,56 @@ def _apply_dvs(
 # --------------------------------------------------------------- reader
 
 
+def _field_id_groups(
+    files: list[str], schema: StructType, part_cols: list[str],
+) -> list[tuple[dict, list[str]]]:
+    """Column mapping mode ``id`` resolution: EVERY file's parquet
+    footer field ids map back to the schema's
+    ``delta.columnMapping.id``s, and files group by the resulting
+    projection — one scan per distinct footer shape (usually one; a
+    table converted from differently-written parquet gets one group
+    per writer generation).  Footer reads are driver-side and
+    thread-pooled (~1 ms each — the same ~1 M-file boundary as the
+    Iceberg field-id path, iceberg._resolve_phys_cols); a SAMPLED
+    check cannot see a deviant file outside the sample, which is
+    the silent-NULL hazard id-mode exists to close.  A data file with
+    no footer ids at all refuses loudly — in id mode the ids are the
+    only resolution contract."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .iceberg import _footer_field_ids
+
+    id_of = {
+        f.name: (f.metadata or {}).get("delta.columnMapping.id")
+        for f in schema.fields
+    }
+    missing = sorted(n for n, i in id_of.items() if i is None)
+    if missing:
+        raise DeltaProtocolError(
+            f"column mapping mode 'id' but schema fields {missing} "
+            "carry no delta.columnMapping.id"
+        )
+    with ThreadPoolExecutor(min(16, max(1, len(files)))) as ex:
+        maps = dict(zip(files, ex.map(_footer_field_ids, files)))
+    data_names = [f.name for f in schema.fields
+                  if f.name not in part_cols]
+    groups: dict[tuple, list[str]] = {}
+    for fp, m in maps.items():
+        if m is None:
+            raise DeltaProtocolError(
+                f"column mapping mode 'id': data file {fp!r} carries "
+                "no parquet field ids — ids are the resolution "
+                "contract in this mode"
+            )
+        key = tuple(m.get(id_of[n]) for n in data_names)
+        groups.setdefault(key, []).append(fp)
+    return [
+        (dict(zip(data_names, key)), sorted(fls))
+        for key, fls in sorted(groups.items(),
+                               key=lambda kv: kv[1][0] if kv[1] else "")
+    ]
+
+
 def read_delta_table(
     spark: SparkSession,
     path: str,
@@ -1181,10 +1231,55 @@ def read_delta_table(
                             for f in schema.fields])
         )
     files = [_abs_file(path, a["path"]) for a in adds]
-    df = spark.read.schema(StructType(data_fields)).parquet(*files)
-    # v2 merge-on-read: deletion vectors anti-join FIRST, directly on
-    # the scan (the `_metadata` columns they need only resolve there)
-    df = _apply_dvs(spark, path, df, adds)
+    id_groups = None
+    if _mapping_mode(meta) == "id":
+        id_groups = _field_id_groups(files, schema, part_cols)
+        if len(id_groups) == 1 and all(
+            id_groups[0][0][f.name] == phys_of[f.name]
+            for f in schema.fields if f.name not in part_cols
+            if id_groups[0][0][f.name] is not None
+        ) and None not in id_groups[0][0].values():
+            # every footer's ids land on the physicalName the schema
+            # records (Spark-written id-mode tables do) — the by-name
+            # single scan below gives the identical answer
+            id_groups = None
+    if id_groups is None:
+        df = spark.read.schema(StructType(data_fields)).parquet(*files)
+        # v2 merge-on-read: deletion vectors anti-join FIRST, directly
+        # on the scan (the `_metadata` columns only resolve there)
+        df = _apply_dvs(spark, path, df, adds)
+    else:
+        # one scan per distinct footer shape: columns resolve BY ID to
+        # that group's parquet names, ids absent from a file project
+        # typed NULL (the id-mode read contract), groups union back
+        # under the schema's physical names.  DVs apply per group —
+        # the `_metadata.row_index` they need resolves on the scan.
+        adds_by_file = {_abs_file(path, a["path"]): a for a in adds}
+        parts = []
+        for id_names, fls in id_groups:
+            g_fields = [
+                StructField(id_names[f.name], f.dataType, True)
+                for f in schema.fields
+                if f.name not in part_cols
+                and id_names[f.name] is not None
+            ]
+            gdf = spark.read.schema(StructType(g_fields)).parquet(*fls)
+            gdf = _apply_dvs(spark, path, gdf,
+                             [adds_by_file[fp] for fp in fls])
+            sel = []
+            for f in schema.fields:
+                if f.name in part_cols:
+                    continue
+                pn = id_names[f.name]
+                sel.append(
+                    (F.col(pn) if pn is not None
+                     else F.lit(None).cast(f.dataType))
+                    .alias(phys_of[f.name])
+                )
+            parts.append(gdf.select(*sel))
+        df = parts[0]
+        for g in parts[1:]:
+            df = df.unionByName(g)
     if part_cols:
         # file → serialized partition values, broadcast-joined on the
         # scan-side file URI normalized to a PLAIN absolute path (the
@@ -1939,6 +2034,14 @@ def import_delta_log(
         _check_protocol(proto, path)
         schema = _snapshot_schema(meta)
         _check_mapping_supported(meta, schema)
+        if _mapping_mode(meta) == "id":
+            raise ValueError(
+                f"{path} uses column mapping mode 'id' — files may "
+                "carry the same column under different parquet names "
+                "and the versioned layer resolves by name (one "
+                "column_map per table, not per file); materialize "
+                "via read_delta_table + write_table_version"
+            )
         part_cols = list(meta.get("partitionColumns") or [])
         if len(part_cols) > 1:
             raise ValueError(

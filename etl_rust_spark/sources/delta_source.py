@@ -103,6 +103,54 @@ def _typed_part_value(s: str | None, type_name: str):
     )
 
 
+def _phys_resolver(table: str, meta: dict, schema):
+    """logical column → physical parquet column, PER FILE: mode
+    ``name`` is uniform (the recorded physicalName); mode ``id``
+    (r12) reads each file's parquet footer field ids — a converted
+    estate may carry the same column under different parquet names
+    per writer generation, which is exactly what per-file slices can
+    express and a uniform map cannot.  An id absent from a footer
+    maps to an impossible sentinel name so the slice reader's
+    missing-column path NULL-fills it (the id-mode read contract); a
+    file with NO ids refuses loudly (ids are the only resolution
+    contract in this mode).  Other modes are identity."""
+    from etl_rust_spark.deltalake import (
+        DeltaProtocolError,
+        _abs_file,
+        _mapping_mode,
+        _physical_name,
+    )
+
+    mode = _mapping_mode(meta)
+    if mode == "id":
+        from etl_rust_spark.iceberg import _footer_field_ids
+
+        ids = {
+            f.name: (f.metadata or {}).get("delta.columnMapping.id")
+            for f in schema.fields
+        }
+
+        def per_file(add: dict) -> dict:
+            m = _footer_field_ids(_abs_file(table, add["path"]))
+            if m is None:
+                raise DeltaProtocolError(
+                    f"column mapping mode 'id': data file "
+                    f"{add['path']!r} carries no parquet field ids"
+                )
+            return {
+                n: (m.get(i) if m.get(i) is not None
+                    else f"\x00absent:{n}")
+                for n, i in ids.items()
+            }
+
+        return per_file
+    if mode == "name":
+        po = {f.name: _physical_name(f) for f in schema.fields}
+    else:
+        po = {f.name: f.name for f in schema.fields}
+    return lambda add: po
+
+
 def _read_slice(s: _Slice, logical_cols: list[str]) -> Iterator[tuple]:
     import pyarrow.parquet as pq
 
@@ -172,14 +220,18 @@ def _plan_version_slices(
         )
     schema = _snapshot_schema(meta)
     part_cols = list(meta.get("partitionColumns") or [])
-    phys_of = {f.name: _physical_name(f) for f in schema.fields} \
-        if _mapping_mode(meta) == "name" else \
+    # partitionValues keys are the RECORDED physical names in both
+    # mapped modes (id-mode footers never hold partition columns)
+    pv_of = {f.name: _physical_name(f) for f in schema.fields} \
+        if _mapping_mode(meta) in ("name", "id") else \
         {f.name: f.name for f in schema.fields}
+    resolve = _phys_resolver(table, meta, schema)
     out = []
     for a in adds:
         pv = a.get("partitionValues") or {}
+        phys_of = resolve(a)
         part_vals = [
-            (c, pv.get(phys_of[c]), schema[c].dataType.typeName())
+            (c, pv.get(pv_of[c]), schema[c].dataType.typeName())
             for c in part_cols
         ]
         phys_cols = [
@@ -218,9 +270,10 @@ class _DeltaBatchReader(DataSourceReader):
         meta = snap["metaData"]
         schema = _snapshot_schema(meta)
         part_cols = list(meta.get("partitionColumns") or [])
-        phys_of = {f.name: _physical_name(f) for f in schema.fields} \
-            if _mapping_mode(meta) == "name" else \
+        pv_of = {f.name: _physical_name(f) for f in schema.fields} \
+            if _mapping_mode(meta) in ("name", "id") else \
             {f.name: f.name for f in schema.fields}
+        resolve = _phys_resolver(o.table, meta, schema)
         out = []
         for a in snap["adds"].values():
             if a.get("deletionVector"):
@@ -231,9 +284,10 @@ class _DeltaBatchReader(DataSourceReader):
                     "deltalake.read_delta_table"
                 )
             pv = a.get("partitionValues") or {}
+            phys_of = resolve(a)
             out.append(_Slice(
                 _abs_file(o.table, a["path"]),
-                [(c, pv.get(phys_of[c]), schema[c].dataType.typeName())
+                [(c, pv.get(pv_of[c]), schema[c].dataType.typeName())
                  for c in part_cols],
                 [None if f.name in part_cols else phys_of[f.name]
                  for f in schema.fields],

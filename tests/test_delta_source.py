@@ -290,3 +290,69 @@ def test_column_mapped_stream(_registered, tmp_path):
     _run_stream(spark, t, out, ckpt)
     rows = spark.read.parquet(out).collect()
     assert [(r.k, r.v) for r in rows] == [(5, "q")]
+
+
+def test_batch_reads_column_mapping_id_mode(_registered, tmp_path):
+    """Mode 'id' (r12): the per-file slice resolves columns by parquet
+    FOOTER field ids — two writer generations carrying the same ids
+    under different parquet names both read right, and a file missing
+    an id NULL-fills that column.  The silent-NULL hazard (resolving
+    by logical name) is exactly what this closes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    spark = _registered
+    t = tmp_path / "dsrc_id"
+    log = t / "_delta_log"
+
+    def pq_ids(name, rows, ids, types):
+        pa_t = {"long": pa.int64(), "string": pa.string()}
+        sch = pa.schema([
+            pa.field(n, pa_t[types[n]],
+                     metadata={b"PARQUET:field_id": str(i).encode()})
+            for n, i in ids.items()
+        ])
+        p = t / name
+        p.parent.mkdir(parents=True, exist_ok=True)
+        pq.write_table(pa.Table.from_pylist(rows, schema=sch), p)
+        return p.stat().st_size
+
+    sz1 = pq_ids("f1.parquet", [{"col-aaa": 1, "col-bbb": "x"}],
+                 {"col-aaa": 1, "col-bbb": 2},
+                 {"col-aaa": "long", "col-bbb": "string"})
+    sz2 = pq_ids("f2.parquet", [{"zz_k": 2, "zz_v": "y"}],
+                 {"zz_k": 1, "zz_v": 2},
+                 {"zz_k": "long", "zz_v": "string"})
+    sz3 = pq_ids("f3.parquet", [{"only_k": 3}], {"only_k": 1},
+                 {"only_k": "long"})
+    md = {
+        "k": {"delta.columnMapping.id": 1,
+              "delta.columnMapping.physicalName": "col-aaa"},
+        "v": {"delta.columnMapping.id": 2,
+              "delta.columnMapping.physicalName": "col-bbb"},
+    }
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "00000000-0000-0000-0000-00000000001d",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({
+                "type": "struct",
+                "fields": [
+                    {"name": "k", "type": "long", "nullable": True,
+                     "metadata": md["k"]},
+                    {"name": "v", "type": "string", "nullable": True,
+                     "metadata": md["v"]},
+                ],
+            }),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+        }},
+        _add("f1.parquet", sz1),
+        _add("f2.parquet", sz2),
+        _add("f3.parquet", sz3),
+    ])
+    df = (spark.read.format("delta_log")
+          .option("path", str(t)).load())
+    rows = {r.k: r.v for r in df.collect()}
+    assert rows == {1: "x", 2: "y", 3: None}

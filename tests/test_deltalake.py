@@ -278,16 +278,89 @@ def test_column_mapping_name_mode(spark, tmp_path):
     assert df.collect()[0].asDict() == {"k": 1, "v": "x"}
 
 
-def test_column_mapping_id_mode_raises(spark, tmp_path):
+def _write_parquet_ids(path: Path, rows: list[dict],
+                       ids: dict[str, int], types: dict[str, str]):
+    """Parquet with field ids in the footer (PARQUET:field_id), the
+    id-mode resolution contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pa_t = {"long": pa.int64(), "string": pa.string()}
+    schema = pa.schema([
+        pa.field(n, pa_t[types[n]],
+                 metadata={b"PARQUET:field_id": str(i).encode()})
+        for n, i in ids.items()
+    ])
+    path.parent.mkdir(parents=True, exist_ok=True)
+    t = pa.Table.from_pylist(rows, schema=schema)
+    pq.write_table(t, path)
+    return path.stat().st_size
+
+
+_CMID_MD = {
+    "k": {"delta.columnMapping.id": 1,
+          "delta.columnMapping.physicalName": "col-aaa"},
+    "v": {"delta.columnMapping.id": 2,
+          "delta.columnMapping.physicalName": "col-bbb"},
+}
+
+
+def test_column_mapping_id_mode_resolves_by_footer_ids(spark, tmp_path):
+    """Mode 'id' (r12): columns resolve by parquet footer FIELD IDS,
+    not names — a file whose parquet names differ from the recorded
+    physicalName (the case mode-name resolution cannot read) still
+    reads correctly; files from different writer generations group
+    into separate scans; an id absent from a file projects typed
+    NULL."""
     t = tmp_path / "delta_cmid"
-    _write_parquet(t / "f1.parquet", [{"k": 1}])
+    log = t / "_delta_log"
+    # gen-A file: parquet names are the physicalNames (Spark-written)
+    sz1 = _write_parquet_ids(
+        t / "f1.parquet", [{"col-aaa": 1, "col-bbb": "x"}],
+        {"col-aaa": 1, "col-bbb": 2},
+        {"col-aaa": "long", "col-bbb": "string"})
+    # gen-B file: SAME ids under different parquet names (converted
+    # estate) — only id resolution reads this one right
+    sz2 = _write_parquet_ids(
+        t / "f2.parquet", [{"zz_k": 2, "zz_v": "y"}],
+        {"zz_k": 1, "zz_v": 2}, {"zz_k": "long", "zz_v": "string"})
+    # gen-C file: id 2 missing entirely -> typed NULL for v
+    sz3 = _write_parquet_ids(
+        t / "f3.parquet", [{"only_k": 3}], {"only_k": 1},
+        {"only_k": "long"})
+    sch = _schema_str([("k", "long"), ("v", "string")],
+                      metadata=_CMID_MD)
+    _commit(log, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _meta(sch, conf={"delta.columnMapping.mode": "id"}),
+        *({"add": {"path": p, "partitionValues": {}, "size": z,
+                   "modificationTime": 0, "dataChange": True}}
+          for p, z in [("f1.parquet", sz1), ("f2.parquet", sz2),
+                       ("f3.parquet", sz3)]),
+    ])
+    df = read_delta_table(spark, str(t))
+    assert df.columns == ["k", "v"]
+    rows = {r.k: r.v for r in df.collect()}
+    assert rows == {1: "x", 2: "y", 3: None}
+
+
+def test_column_mapping_id_mode_refuses_no_ids_file(spark, tmp_path):
+    """A data file with NO footer field ids cannot resolve in id mode
+    — refusing beats guessing by name."""
+    t = tmp_path / "delta_cmid_bad"
+    sz = _write_parquet(t / "f1.parquet", [{"col-aaa": 1,
+                                            "col-bbb": "x"}])
+    sch = _schema_str([("k", "long"), ("v", "string")],
+                      metadata=_CMID_MD)
     _commit(t / "_delta_log", 0, [
         {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
-        _meta(_schema_str([("k", "long")]),
-              conf={"delta.columnMapping.mode": "id"}),
+        _meta(sch, conf={"delta.columnMapping.mode": "id"}),
+        {"add": {"path": "f1.parquet", "partitionValues": {},
+                 "size": sz, "modificationTime": 0,
+                 "dataChange": True}},
     ])
-    with pytest.raises(DeltaProtocolError, match="'id'"):
-        read_delta_table(spark, str(t))
+    with pytest.raises(DeltaProtocolError, match="no parquet field"):
+        read_delta_table(spark, str(t)).collect()
 
 
 def test_protocol_gates(spark, tmp_path):
