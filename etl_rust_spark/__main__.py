@@ -574,6 +574,12 @@ def main(argv: list[str] | None = None) -> int:
         "parquet, or the v2 manifest+sidecar shape Delta 3.x writes",
     )
     pv.add_argument(
+        "--change-data-keys", default=None, metavar="COL[,COL...]",
+        help="with --export-delta: also export the Change Data Feed "
+        "(cdc files per change commit, keyed snapshot diff on these "
+        "columns)",
+    )
+    pv.add_argument(
         "--read-delta", default=None, metavar="V|latest",
         help="read TABLE as a Delta Lake table (jar-free log reader) "
         "at this Delta version, to --out; combine with --as-of for "
@@ -1035,6 +1041,10 @@ def main(argv: list[str] | None = None) -> int:
             out["delta_commits"] = export_delta_log(
                 spark, args.table,
                 checkpoint_format=args.checkpoint_format,
+                change_data_keys=(
+                    args.change_data_keys.split(",")
+                    if args.change_data_keys else None
+                ),
             )
         if args.read_delta is not None:
             if not args.out:

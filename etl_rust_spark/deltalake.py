@@ -58,7 +58,13 @@ from urllib.parse import quote, unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 __all__ = [
     "read_delta_table",
@@ -66,6 +72,7 @@ __all__ = [
     "delta_snapshot",
     "delta_history",
     "delta_latest_version",
+    "delta_table_changes",
     "export_delta_log",
     "import_delta_log",
     "DeltaProtocolError",
@@ -1347,6 +1354,143 @@ def delta_history(path: str) -> list[dict]:
     return sorted(out, key=lambda r: r["version"], reverse=True)
 
 
+def delta_table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Delta CHANGE DATA FEED reader (`table_changes` parity, r12):
+    the row-level changes over ``[from_version, to_version]``, one
+    scan per version, from the log's ``cdc`` actions — the files a
+    CDF-enabled writer stages under ``_change_data/`` with the
+    spec's ``_change_type`` column (insert / delete /
+    update_preimage / update_postimage).  Versions with NO cdc
+    actions follow the spec's derivation rule for the only case it
+    defines completely: pure-append commits read as inserts; a
+    version that changes existing rows (removes, deletion-vector
+    re-adds) without cdc data refuses loudly — deriving deletes would
+    mean guessing which removed rows survived, the exact ambiguity
+    CDF exists to remove.
+
+    Output: the logical schema plus ``_change_type``,
+    ``_commit_version``, ``_commit_timestamp`` — Delta's CDF reader
+    contract, so a consumer can switch between engines without
+    changing its resume logic (cursor = last ``_commit_version``)."""
+    head = delta_latest_version(path)
+    to_v = head if to_version is None else to_version
+    if not 0 <= from_version <= to_v <= head:
+        raise ValueError(
+            f"need 0 <= from_version <= to_version <= head ({head}); "
+            f"got [{from_version}, {to_v}]"
+        )
+    meta = delta_snapshot(path, from_version)["metaData"]
+    parts: list[DataFrame] = []
+    for v in range(from_version, to_v + 1):
+        acts = _commit_actions(path, v)
+        ts_ms = None
+        for a in acts:
+            if "metaData" in a:
+                meta = a["metaData"]
+            ci = a.get("commitInfo")
+            if ci and ci.get("timestamp") is not None:
+                ts_ms = ci["timestamp"]
+        schema = _snapshot_schema(meta)
+        _check_mapping_supported(meta, schema)
+        if _mapping_mode(meta) == "id":
+            raise DeltaProtocolError(
+                f"{path} uses column mapping mode 'id' — the CDF "
+                "reader resolves by name; read snapshots via "
+                "read_delta_table and diff"
+            )
+        phys_of = {f.name: _physical_name(f) for f in schema.fields}
+        part_cols = list(meta.get("partitionColumns") or [])
+        cdcs = [a["cdc"] for a in acts if a.get("cdc")]
+        typed = bool(cdcs)
+        if not cdcs:
+            adds = [a["add"] for a in acts
+                    if a.get("add") and a["add"].get("dataChange", True)]
+            removes = [a["remove"] for a in acts
+                       if a.get("remove")
+                       and a["remove"].get("dataChange", True)]
+            dv_adds = [a for a in adds if a.get("deletionVector")]
+            if removes or dv_adds:
+                raise ValueError(
+                    f"version {v} of {path} changes existing rows "
+                    f"({len(removes)} removes, {len(dv_adds)} "
+                    "deletion-vector rewrites) but records no cdc "
+                    "actions — the writer did not capture Change "
+                    "Data Feed for it; diff snapshots via "
+                    "read_delta_table instead"
+                )
+            if not adds:
+                continue
+            cdcs = adds
+        data_fields = [
+            StructField(phys_of[f.name], f.dataType, True)
+            for f in schema.fields if f.name not in part_cols
+        ]
+        if typed:
+            data_fields.append(
+                StructField("_change_type", StringType(), True))
+        files = [_abs_file(path, r["path"]) for r in cdcs]
+        df = spark.read.schema(StructType(data_fields)).parquet(*files)
+        if not typed:
+            df = df.withColumn("_change_type", F.lit("insert"))
+        if part_cols:
+            map_rows = [
+                (_abs_file(path, r["path"]),
+                 *[(r.get("partitionValues") or {}).get(phys_of[c])
+                   for c in part_cols])
+                for r in cdcs
+            ]
+            map_schema = StructType(
+                [StructField("__delta_file", StringType(), False)]
+                + [StructField(f"__pv_{phys_of[c]}", StringType(),
+                               True) for c in part_cols]
+            )
+            pmap = spark.createDataFrame(map_rows, map_schema)
+            df = (
+                df.withColumn(
+                    "__delta_file",
+                    F.regexp_replace(
+                        _decoded_file_col(F.input_file_name()),
+                        "^file:/+", "/",
+                    ),
+                )
+                .join(F.broadcast(pmap), "__delta_file", "left")
+                .drop("__delta_file")
+            )
+            for c in part_cols:
+                df = df.withColumn(
+                    phys_of[c],
+                    F.col(f"__pv_{phys_of[c]}")
+                    .cast(schema[c].dataType),
+                ).drop(f"__pv_{phys_of[c]}")
+        parts.append(df.select(
+            *[F.col(phys_of[f.name]).alias(f.name)
+              for f in schema.fields],
+            F.col("_change_type"),
+            F.lit(v).cast("int").alias("_commit_version"),
+            (F.lit(ts_ms).cast("long") / 1000).cast("timestamp")
+            .alias("_commit_timestamp"),
+        ))
+    if not parts:
+        schema = _snapshot_schema(meta)
+        return spark.createDataFrame([], StructType(
+            [StructField(f.name, f.dataType, True)
+             for f in schema.fields]
+            + [StructField("_change_type", StringType(), True),
+               StructField("_commit_version", IntegerType(), True),
+               StructField("_commit_timestamp", TimestampType(),
+                           True)]
+        ))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # -------------------------------------------------------------- exporter
 
 
@@ -1357,6 +1501,7 @@ def export_delta_log(
     checkpoint: bool = True,
     resume: bool = False,
     checkpoint_format: str = "classic",
+    change_data_keys: list[str] | None = None,
 ) -> int:
     """Replay a versioned table's commit chain as a Delta transaction
     log IN PLACE (``<path>/_delta_log`` next to the existing
@@ -1390,6 +1535,19 @@ def export_delta_log(
     log (the publish-on-commit loop: commit to the versioned table,
     re-export, external Delta readers see the new snapshot).  Without
     it a second export refuses rather than forking the history.
+
+    ``change_data_keys`` (r12) additionally exports the CHANGE DATA
+    FEED: every change commit (one that removes files or rewrites a
+    deletion vector) stages its row-level changes — insert / delete /
+    update_preimage / update_postimage, computed as a keyed snapshot
+    diff against the previous exported version — as spec cdc files
+    under ``_change_data/`` with a ``cdc`` action per file, under
+    ``delta.enableChangeDataFeed`` + the changeDataFeed writer
+    feature; compaction/zorder versions export with
+    ``dataChange: false`` instead (content-preserving rewrites are
+    not changes — Delta's own OPTIMIZE contract), so external CDF
+    readers skip them.  Pure-append versions need no cdc data (the
+    spec derives inserts from the adds).
 
     ``checkpoint_format="v2"`` (r12) writes the spec's v2 checkpoint
     (JSON manifest + parquet sidecar under ``_delta_log/_sidecars/``)
@@ -1461,6 +1619,7 @@ def export_delta_log(
     # `generatedColumns` (legacy minWriterVersion 4); readers need
     # nothing new.
     gen = any(_transform_of(m) for m in manifests.values())
+    cdf = change_data_keys is not None
     # outstanding MoR sidecar debt exports as real Delta DELETION
     # VECTORS: per-file deleted positions re-encode as RoaringBitmap-
     # Array descriptors (inline Z85 or on-disk .bin), so external
@@ -1476,6 +1635,7 @@ def export_delta_log(
     prev_files: set[str] = set()
     prev_dv: dict[str, frozenset] = {}
     prev_desc: dict[str, dict] = {}
+    prev_src_v: int | None = None
     prev_meta_json = None
     emit_protocol = True
     if base_delta:
@@ -1483,6 +1643,7 @@ def export_delta_log(
         # keep table id / field ids / meta stable across the seam
         last_m = _load_manifest(path, last_src)
         prev_files = set(last_m["files"])
+        prev_src_v = last_src
         prev_dv = _mor_dv_state(root, last_m, last_src)
         snap = delta_snapshot(path)
         prev_meta = snap["metaData"]
@@ -1561,6 +1722,8 @@ def export_delta_log(
             }
         if any_dv:
             conf["delta.enableDeletionVectors"] = "true"
+        if cdf:
+            conf["delta.enableChangeDataFeed"] = "true"
         meta = {
             "id": table_id,
             "format": {"provider": "parquet", "options": {}},
@@ -1576,7 +1739,7 @@ def export_delta_log(
         actions: list[dict] = []
         if i == 0 and emit_protocol:
             actions.append(
-                {"protocol": _protocol(mapped, any_dv, gen)}
+                {"protocol": _protocol(mapped, any_dv, gen, cdf)}
             )
         if meta_json != prev_meta_json:
             actions.append({"metaData": meta})
@@ -1584,6 +1747,10 @@ def export_delta_log(
         cur_files = set(m["files"])
         cur_dv = dv_states[v]
         stats = m.get("stats") or {}
+        # compaction/zorder re-arrange bytes without changing content:
+        # their removes/adds export dataChange=false (Delta's OPTIMIZE
+        # contract) so append streams and CDF readers skip them
+        data_change = (m.get("op") or "") not in ("compact", "zorder")
         # a surviving file whose DV mask changed re-commits per the
         # protocol: remove the old (path, DV) state, re-add the path
         # with the new descriptor.  Removes MUST precede adds — the
@@ -1594,7 +1761,7 @@ def export_delta_log(
             rm = {
                 "path": quote("data/" + f, safe="/"),
                 "deletionTimestamp": ts_ms,
-                "dataChange": True,
+                "dataChange": data_change,
             }
             if f in prev_desc:
                 rm["deletionVector"] = prev_desc[f]
@@ -1606,8 +1773,16 @@ def export_delta_log(
             if dvd:
                 built[f] = dvd
             actions.append({"add": _add_action(
-                root, f, stats.get(f) or {}, pb_phys, ts_ms, dvd
+                root, f, stats.get(f) or {}, pb_phys, ts_ms, dvd,
+                data_change,
             )})
+        if cdf and data_change and prev_src_v is not None and (
+            (prev_files - cur_files) or changed
+        ):
+            actions.extend(_stage_change_data(
+                spark, path, prev_src_v, v, change_data_keys, m,
+                pb_phys,
+            ))
         actions.append({"commitInfo": {
             "timestamp": ts_ms,
             "operation": (m.get("op") or "WRITE").upper(),
@@ -1621,12 +1796,13 @@ def export_delta_log(
                      for f in cur_files if f in cur_dv}
         prev_files = cur_files
         prev_dv = cur_dv
+        prev_src_v = v
         n += 1
     if checkpoint:
         _write_checkpoint(
             path, base_delta + n - 1, manifests[vs[-1]],
             prev_meta_json, mapped, any_dv, prev_desc,
-            fmt=checkpoint_format, gen=gen,
+            fmt=checkpoint_format, gen=gen, cdf=cdf,
         )
     return n
 
@@ -1638,28 +1814,33 @@ def _manifest_mtime(path: str, v: int) -> float:
 
 
 def _protocol(mapped: bool, dv: bool = False,
-              gen: bool = False) -> dict:
+              gen: bool = False, cdf: bool = False) -> dict:
     # deletion vectors force the table-features protocol (reader 3 /
     # writer 7 with explicit feature lists, per the Delta spec);
     # column mapping alone needs reader 2 / writer 5; generated
     # columns are WRITER-only (legacy minWriterVersion 4 — readers
     # never evaluate the expression, they read partitionValues);
     # plain tables use the legacy floor
+    _WRITER_ONLY = ("generatedColumns", "changeDataFeed")
     if dv:
         feats = ["deletionVectors"] + (["columnMapping"] if mapped else [])
         if gen:
             feats.append("generatedColumns")
+        if cdf:
+            feats.append("changeDataFeed")
         return {
             "minReaderVersion": 3,
             "minWriterVersion": 7,
             "readerFeatures": sorted(
-                f for f in feats if f != "generatedColumns"
+                f for f in feats if f not in _WRITER_ONLY
             ),
             "writerFeatures": sorted(feats),
         }
     if mapped:
         return {"minReaderVersion": 2, "minWriterVersion": 5}
-    if gen:
+    if gen or cdf:
+        # generated columns / change data feed are WRITER-only legacy
+        # features (versions 4); readers are unaffected
         return {"minReaderVersion": 1, "minWriterVersion": 4}
     return {"minReaderVersion": 1, "minWriterVersion": 2}
 
@@ -1746,9 +1927,73 @@ def _parse_generation_expr(
     return None
 
 
+def _stage_change_data(
+    spark: SparkSession, path: str, v_old: int, v_new: int,
+    keys: list[str], m: dict, pb_phys: str | None,
+) -> list[dict]:
+    """One exported change commit's CDF rows: a keyed snapshot diff of
+    the versioned table (``diff_table_versions`` — fingerprint join,
+    payload never shuffles) classifies keys into insert / delete /
+    update pre+post images, the union stages as spec cdc parquet
+    under ``_change_data/`` (physical column names, partitioned like
+    the data so partitionValues inject on read), and one ``cdc``
+    action per staged file returns for the commit JSON.  Cost is
+    O(churn) per version — the same bound as the repo's own CDC
+    feed.  An empty diff (e.g. a restore to identical content) still
+    stages one empty cdc file so CDF readers see the version as
+    captured, not missing."""
+    from .versions import (
+        _seg_value_of,
+        _to_physical,
+        diff_table_versions,
+        read_table_version,
+    )
+
+    d = diff_table_versions(spark, path, v_old, v_new, keys)
+    new = read_table_version(spark, path, v_new)
+    old_df = read_table_version(spark, path, v_old)
+    cols = new.columns
+    ins = d.filter("diff = 'added'").select(*keys).join(new, keys)         .select(*cols).withColumn("_change_type", F.lit("insert"))
+    dele = d.filter("diff = 'removed'").select(*keys)         .join(old_df, keys).select(*cols)         .withColumn("_change_type", F.lit("delete"))
+    chk = d.filter("diff = 'changed'").select(*keys)
+    pre = chk.join(old_df, keys).select(*cols)         .withColumn("_change_type", F.lit("update_preimage"))
+    post = chk.join(new, keys).select(*cols)         .withColumn("_change_type", F.lit("update_postimage"))
+    ch = ins.unionByName(dele).unionByName(pre).unionByName(post)
+    phys = _to_physical(ch, m)
+    root = Path(path)
+    stage = root / f"_stage-cdc-{uuid.uuid4().hex}"
+    w = phys.write
+    if pb_phys and ch.limit(1).count():
+        w = w.partitionBy(pb_phys)
+    w.parquet(str(stage))
+    cd = root / "_change_data"
+    out: list[dict] = []
+    for f in sorted(stage.rglob("*.parquet")):
+        rel = str(f.relative_to(stage))
+        dest = cd / rel
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        import os as _os
+
+        _os.rename(f, dest)
+        pv = {}
+        if pb_phys and "/" in rel:
+            pv = {pb_phys: _seg_value_of(rel)}
+        out.append({"cdc": {
+            "path": quote("_change_data/" + rel, safe="/"),
+            "partitionValues": pv,
+            "size": dest.stat().st_size,
+            "dataChange": False,
+        }})
+    import shutil as _shutil
+
+    _shutil.rmtree(stage)
+    return out
+
+
 def _add_action(root: Path, rel: str, fstats: dict,
                 pb_phys: str | None, ts_ms: int,
-                dv: dict | None = None) -> dict:
+                dv: dict | None = None,
+                data_change: bool = True) -> dict:
     from .versions import _ROWS_KEY, _seg_value_of
 
     fp = root / "data" / rel
@@ -1775,7 +2020,7 @@ def _add_action(root: Path, rel: str, fstats: dict,
         "partitionValues": pv,
         "size": st.st_size,
         "modificationTime": ts_ms,
-        "dataChange": True,
+        "dataChange": data_change,
     }
     if stats_out:
         add["stats"] = json.dumps(stats_out)
@@ -1788,7 +2033,8 @@ def _write_checkpoint(path: str, delta_version: int, head_manifest: dict,
                       meta_json: str, mapped: bool,
                       dv: bool = False,
                       dv_descs: dict[str, dict] | None = None,
-                      fmt: str = "classic", gen: bool = False) -> None:
+                      fmt: str = "classic", gen: bool = False,
+                      cdf: bool = False) -> None:
     """Checkpoint for the final exported commit + `_last_checkpoint`
     pointer — so Delta readers (and this module's own reader) snapshot
     in ONE parquet read instead of replaying every JSON commit.
@@ -1815,7 +2061,7 @@ def _write_checkpoint(path: str, delta_version: int, head_manifest: dict,
         for f in sorted(head_manifest["files"])
     ]
     n = len(adds) + 2
-    proto = _protocol(mapped, dv, gen)
+    proto = _protocol(mapped, dv, gen, cdf)
     rows = {
         "protocol": [proto] + [None] * (n - 1),
         "metaData": [None, {

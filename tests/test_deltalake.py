@@ -1870,3 +1870,76 @@ def test_import_own_partitioned_export_roundtrip(spark, tmp_path):
         b = sorted(map(tuple, V.read_table_version(spark, q, i + 1)
                        .select("k", "ds", "val").collect()))
         assert a == b, f"v{v}"
+
+
+def test_cdf_export_and_read(spark, tmp_path):
+    """change_data_keys (r12): change commits export spec cdc files;
+    delta_table_changes returns Delta's CDF contract — insert /
+    delete / update pre+post images with _commit_version — deriving
+    pure-append versions from the adds, and compaction versions
+    (dataChange: false) are correctly absent."""
+    from etl_rust_spark.deltalake import delta_table_changes
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(12)], ["k", "ds", "val"]
+    ).repartition(2, "ds")
+    V.write_table_version(df, p, "ds")
+    V.delete_table_version(spark, p, "k = 3", mode="mor")
+    V.update_table_version(spark, p, "k = 5", {"val": "'X'"})
+    V.compact_table_version(spark, p)
+    assert export_delta_log(spark, p, change_data_keys=["k"]) == 4
+    ch = delta_table_changes(spark, p, 0)
+    assert set(ch.columns) == {"k", "ds", "val", "_change_type",
+                               "_commit_version", "_commit_timestamp"}
+    byv = {}
+    for r in ch.collect():
+        byv.setdefault(r._commit_version, []).append(
+            (r.k, r._change_type, r.val))
+    assert len([1 for k, t, _ in byv[0] if t == "insert"]) == 12
+    assert byv[1] == [(3, "delete", "v3")]
+    assert sorted(byv[2]) == [(5, "update_postimage", "X"),
+                              (5, "update_preimage", "v5")]
+    assert 3 not in byv  # compaction: dataChange false, no changes
+    # windowed read: only the delete version
+    w = delta_table_changes(spark, p, 1, 1).collect()
+    assert [(r.k, r._change_type) for r in w] == [(3, "delete")]
+
+
+def test_cdf_reader_refuses_uncaptured_change_commit(spark, tmp_path):
+    """A change commit exported WITHOUT change_data_keys has no cdc
+    data — deriving deletes would be guessing, so the reader refuses
+    with the remediation named."""
+    from etl_rust_spark.deltalake import delta_table_changes
+
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), p)
+    V.delete_table_version(spark, p, "k = 1")
+    export_delta_log(spark, p)
+    with pytest.raises(ValueError, match="no cdc actions"):
+        delta_table_changes(spark, p, 0).collect()
+    # the pure-append prefix still reads
+    ins = delta_table_changes(spark, p, 0, 0).collect()
+    assert sorted(r.k for r in ins) == [1, 2]
+
+
+def test_cdf_transform_table(spark, tmp_path):
+    """CDF composes with the generated-partition-column export: cdc
+    files partition by the synth column and partition values inject
+    on read."""
+    from etl_rust_spark.deltalake import delta_table_changes
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i * 86400, f"v{i}") for i in range(8)],
+        ["k", "sec", "val"]
+    ).selectExpr("k", "timestamp_micros(sec * 1000000) as ts", "val")
+    V.write_table_version(df, p, ("days", "ts"))
+    V.delete_table_version(spark, p, "k = 3", mode="mor")
+    export_delta_log(spark, p, change_data_keys=["k"])
+    ch = delta_table_changes(spark, p, 1)
+    rows = [(r.k, r._change_type) for r in ch.collect()]
+    assert rows == [(3, "delete")]
+    # the deleted row's payload round-trips through the cdc file
+    assert ch.collect()[0].val == "v3"
