@@ -1671,11 +1671,22 @@ def export_delta_log(
             for f in json.loads(prev_meta["schemaString"])["fields"]
         )
         gen = gen or was_gen
+        was_cdf = (prev_meta.get("configuration") or {}).get(
+            "delta.enableChangeDataFeed") == "true"
+        cdf = cdf or was_cdf
+        if was_cdf and change_data_keys is None:
+            raise ValueError(
+                f"{d} was exported with Change Data Feed — resuming "
+                "without change_data_keys would leave the new change "
+                "commits uncapturable for CDF readers; pass the same "
+                "keys"
+            )
         # a previously-plain log whose table gained column mapping,
-        # deletion vectors, or generated columns needs the protocol
-        # upgrade action
+        # deletion vectors, generated columns, or change data feed
+        # needs the protocol upgrade action
         emit_protocol = (mapped and not was_mapped) or \
-            (any_dv and not was_dv) or (gen and not was_gen)
+            (any_dv and not was_dv) or (gen and not was_gen) or \
+            (cdf and not was_cdf)
     n = 0
     for i, v in enumerate(vs):
         m = manifests[v]

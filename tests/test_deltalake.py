@@ -1943,3 +1943,25 @@ def test_cdf_transform_table(spark, tmp_path):
     assert rows == [(3, "delete")]
     # the deleted row's payload round-trips through the cdc file
     assert ch.collect()[0].val == "v3"
+
+
+def test_cdf_resume_publish_on_commit(spark, tmp_path):
+    """The publish-on-commit loop with CDF: resume exports the new
+    change commits WITH cdc data (protocol/config carried across the
+    seam); resuming a CDF log without the keys refuses — the new
+    commits would be uncapturable."""
+    from etl_rust_spark.deltalake import delta_table_changes
+
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), p)
+    V.delete_table_version(spark, p, "k = 1")
+    assert export_delta_log(spark, p, change_data_keys=["k"]) == 2
+    V.update_table_version(spark, p, "k = 2", {"v": "'B'"})
+    with pytest.raises(ValueError, match="change_data_keys"):
+        export_delta_log(spark, p, resume=True)
+    assert export_delta_log(spark, p, resume=True,
+                            change_data_keys=["k"]) == 1
+    ch = delta_table_changes(spark, p, 2)
+    assert sorted((r.k, r._change_type, r.v) for r in ch.collect()) \
+        == [(2, "update_postimage", "B"), (2, "update_preimage", "b")]
