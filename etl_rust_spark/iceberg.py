@@ -53,6 +53,7 @@ from pathlib import Path
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .functions.wireformats import read_avro_container
@@ -62,6 +63,7 @@ __all__ = [
     "iceberg_table_files",
     "iceberg_snapshot",
     "iceberg_snapshots",
+    "iceberg_table_changes",
     "import_iceberg_table",
     "export_iceberg_metadata",
     "IcebergProtocolError",
@@ -202,6 +204,166 @@ def _spark_schema(schema: dict) -> T.StructType:
                       not f.get("required", False))
         for f in schema["fields"]
     ])
+
+
+def _mask_state(
+    path: str, snap: dict, cache: dict,
+) -> dict[str, frozenset]:
+    """Per data file, the IDENTITY of its applicable row-level delete
+    state — the set of (delete_file, seq) pairs that mask it — so a
+    changelog step can tell which surviving files' visible rows
+    changed without reading them.  Position-delete files are read
+    once (driver-side, cached — delete files are the small side by
+    construction) for their referenced file_paths; equality deletes
+    conservatively mark every strictly-older file (value scope is
+    unknowable without the data scan the changelog is avoiding)."""
+    import pyarrow.parquet as pq
+
+    seq_of = {d["file_path"]: d["_seq"] for d in snap["files"]}
+    state: dict[str, set] = {f: set() for f in seq_of}
+    for drec in snap["pos_deletes"]:
+        key = drec["file_path"]
+        if key not in cache:
+            t = pq.read_table(_abs_file(path, key),
+                              columns=["file_path"])
+            cache[key] = set(t.column(0).to_pylist())
+        for uri in cache[key]:
+            if uri in seq_of and seq_of[uri] <= drec["_seq"]:
+                state[uri].add((key, drec["_seq"]))
+    for drec in snap["eq_deletes"]:
+        for uri, sq in seq_of.items():
+            if sq < drec["_seq"]:
+                state[uri].add((drec["file_path"], drec["_seq"]))
+    return {f: frozenset(v) for f, v in state.items()}
+
+
+def iceberg_table_changes(
+    spark: SparkSession,
+    path: str,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Iceberg CHANGELOG scan (net_changes semantics — the shape
+    Spark's ``create_changelog_view`` produces): the row-level
+    changes over ``(from_snapshot_id, to_snapshot_id]`` in
+    chronological order, computed per step from the file-set and
+    delete-state diff — NEVER a full-table diff:
+
+    - each step reads only the step's CHANGED files (removed, added,
+      or surviving with a different applicable delete state) under
+      the respective snapshots' masks;
+    - ``inserted = new_rows EXCEPT ALL old_rows`` and
+      ``deleted = old_rows EXCEPT ALL new_rows`` cancel carried rows,
+      so a CoW rewrite of one row in a 1000-row file nets exactly one
+      delete + one insert (Iceberg's net-changes rule);
+    - snapshots whose summary operation is content-preserving
+      (``replace`` — Iceberg's compaction — and this repo's exported
+      ``compact``/``zorder``) are skipped entirely.
+
+    ``from_snapshot_id=None`` starts before the first snapshot (the
+    first step emits its rows as inserts).  Output: the table schema
+    plus ``_change_type`` (``insert``/``delete``),
+    ``_snapshot_id``, ``_commit_timestamp`` — updates appear as
+    delete+insert pairs, the Iceberg changelog contract (no keyed
+    images; pair them downstream with a key if needed).  Cost is
+    O(changed rows) per step, the same bound as the repo's own CDC
+    feed."""
+    from pyspark.sql import types as T
+
+    snaps = sorted(iceberg_snapshots(path),
+                   key=lambda r: r["timestamp_ms"] or 0)
+    ids = [int(r["snapshot_id"]) for r in snaps]
+    if to_snapshot_id is None:
+        end = len(ids) - 1
+    else:
+        if int(to_snapshot_id) not in ids:
+            raise ValueError(
+                f"snapshot {to_snapshot_id} not in {path}")
+        end = ids.index(int(to_snapshot_id))
+    if from_snapshot_id is None:
+        start = 0
+    else:
+        if int(from_snapshot_id) not in ids:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} not in {path}")
+        start = ids.index(int(from_snapshot_id)) + 1
+    if start > end:
+        start = end + 1  # legal empty range: caught-up consumer
+    del_cache: dict = {}
+    parts: list[DataFrame] = []
+    out_schema = None
+    for i in range(start, end + 1):
+        sid = ids[i]
+        op = (snaps[i]["operation"] or "").split("(")[0]
+        ts_ms = snaps[i]["timestamp_ms"]
+        if op in ("replace", "compact", "zorder"):
+            continue  # content-preserving rewrite
+        cur = iceberg_snapshot(path, sid)
+        cur_files = {d["file_path"] for d in cur["files"]}
+        if i == 0:
+            old = None
+            removed: set = set()
+            mask_changed: set = set()
+            added = cur_files
+        else:
+            old = iceberg_snapshot(path, ids[i - 1])
+            old_files = {d["file_path"] for d in old["files"]}
+            removed = old_files - cur_files
+            added = cur_files - old_files
+            pm = _mask_state(path, old, del_cache)
+            cm = _mask_state(path, cur, del_cache)
+            mask_changed = {f for f in old_files & cur_files
+                            if pm[f] != cm[f]}
+        new_scope = added | mask_changed
+        old_scope = removed | mask_changed
+        if not new_scope and not old_scope:
+            continue
+        new_rows = read_iceberg_table(
+            spark, path, snapshot_id=sid, _files_subset=new_scope,
+        )
+        if old is not None and old_scope:
+            old_rows = read_iceberg_table(
+                spark, path, snapshot_id=ids[i - 1],
+                _files_subset=old_scope,
+            )
+            if old_rows.columns != new_rows.columns:
+                raise ValueError(
+                    f"snapshot {sid} of {path} changes the column "
+                    f"set — a changelog step cannot net-diff across "
+                    "schema evolution; read the snapshots via "
+                    "read_iceberg_table and diff with a key"
+                )
+        else:
+            old_rows = new_rows.limit(0)
+        ins = new_rows.exceptAll(old_rows).withColumn(
+            "_change_type", F.lit("insert"))
+        dels = old_rows.exceptAll(new_rows).withColumn(
+            "_change_type", F.lit("delete"))
+        step = ins.unionByName(dels).select(
+            "*",
+            F.lit(sid).cast("long").alias("_snapshot_id"),
+            (F.lit(ts_ms).cast("long") / 1000).cast("timestamp")
+            .alias("_commit_timestamp"),
+        )
+        out_schema = step.schema
+        parts.append(step)
+    if not parts:
+        if out_schema is None:
+            base = _spark_schema(
+                iceberg_snapshot(path, ids[end] if ids else None)
+                ["schema"]) if ids else T.StructType([])
+            out_schema = T.StructType(
+                list(base.fields)
+                + [T.StructField("_change_type", T.StringType(), True),
+                   T.StructField("_snapshot_id", T.LongType(), True),
+                   T.StructField("_commit_timestamp",
+                                 T.TimestampType(), True)]
+            )
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # -------------------------------------------------- snapshot selection
@@ -612,6 +774,7 @@ def read_iceberg_table(
     snapshot_id: int | None = None,
     as_of=None,
     prune: list[tuple] | None = None,
+    _files_subset: set | None = None,
 ) -> DataFrame:
     """An Iceberg table AS OF ``snapshot_id`` / ``as_of`` (default:
     current snapshot), planned jar-free from its own metadata tree —
@@ -641,6 +804,12 @@ def read_iceberg_table(
     snap = iceberg_snapshot(path, snapshot_id, as_of, spark)
     schema = snap["schema"]
     sschema = _spark_schema(schema)
+    if _files_subset is not None:
+        # changelog scans (iceberg_table_changes) scope the read to
+        # the step's CHANGED files; the snapshot's delete planning is
+        # untouched, so masks still apply exactly
+        snap = {**snap, "files": [d for d in snap["files"]
+                                  if d["file_path"] in _files_subset]}
     files = {
         _abs_file(path, d["file_path"]): d for d in snap["files"]
     }

@@ -1422,3 +1422,49 @@ def test_import_iceberg_reconstructs_transform_spec(spark, tmp_path):
     m = V._load_manifest(q, 1)
     assert not m.get("partition_transform") and not m.get("partition_by")
     assert V.read_table_version(spark, q).count() == 16
+
+
+def test_iceberg_changelog_net_changes(spark, tmp_path):
+    """iceberg_table_changes (r12): net row changes per snapshot step
+    from the file-set + delete-state diff — a CoW rewrite of one row
+    nets exactly one delete+insert (carried rows cancel), a MoR
+    position delete nets one delete, compaction is skipped, and the
+    exclusive-start window contract matches the repo's own CDC."""
+    from etl_rust_spark.iceberg import (
+        export_iceberg_metadata,
+        iceberg_table_changes,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(12)], ["k", "ds", "val"]
+    ).repartition(2, "ds")
+    V.write_table_version(df, p, "ds")
+    V.delete_table_version(spark, p, "k = 3", mode="mor")
+    V.update_table_version(spark, p, "k = 5", {"val": "'X'"})
+    V.compact_table_version(spark, p)
+    V.upsert_table_version(
+        spark, p,
+        spark.createDataFrame([(99, 1, "I")], ["k", "ds", "val"]),
+        keys=["k"], partition_by="ds")
+    export_iceberg_metadata(spark, p)
+    ch = iceberg_table_changes(spark, p)
+    assert set(ch.columns) == {"k", "ds", "val", "_change_type",
+                               "_snapshot_id", "_commit_timestamp"}
+    byv: dict = {}
+    for r in ch.collect():
+        byv.setdefault(r._snapshot_id, []).append(
+            (r.k, r._change_type, r.val))
+    assert len(byv[1]) == 12
+    assert all(t == "insert" for _, t, _ in byv[1])
+    assert byv[2] == [(3, "delete", "v3")]
+    assert sorted(byv[3]) == [(5, "delete", "v5"), (5, "insert", "X")]
+    assert 4 not in byv  # compaction skipped
+    assert byv[5] == [(99, "insert", "I")]
+    # exclusive-start window
+    w = iceberg_table_changes(spark, p, 2, 3)
+    assert sorted((r.k, r._change_type) for r in w.collect()) \
+        == [(5, "delete"), (5, "insert")]
+    # caught-up consumer: empty frame, full schema
+    empty = iceberg_table_changes(spark, p, 5, 5)
+    assert empty.count() == 0 and "_change_type" in empty.columns
