@@ -1487,6 +1487,12 @@ def delta_table_changes(
         ))
     out = parts[0]
     for p in parts[1:]:
+        if p.columns != out.columns:
+            raise ValueError(
+                f"the CDF range [{from_version}, {to_v}] of {path} "
+                "spans a schema change — window the read per version "
+                "(Delta's own reader has the same restriction)"
+            )
         out = out.unionByName(p)
     return out
 

@@ -126,7 +126,7 @@ def test_interop_export_parity_fuzz(spark, tmp_path):
                  for r in V.read_table_version(spark, p).collect()}
     assert head_rows == state
 
-    n_delta = export_delta_log(spark, p)
+    n_delta = export_delta_log(spark, p, change_data_keys=["k"])
     assert n_delta == len(versions)
     n_ice = export_iceberg_metadata(spark, p)
     assert n_ice == len(versions)
@@ -141,6 +141,46 @@ def test_interop_export_parity_fuzz(spark, tmp_path):
         via_ice = read_iceberg_table(spark, p, snapshot_id=v)
         assert sorted(map(tuple, via_ice.select(*cols).collect())) \
             == expect, f"iceberg mismatch at snapshot {v}"
+
+    # CDF replay (r12): applying the exported Change Data Feed
+    # version by version must reconstruct every snapshot exactly —
+    # the model-level certification that the cdc files carry neither
+    # more nor less than the real changes.  Windowed per version
+    # (renames change the schema mid-chain; Delta's own reader has
+    # the same restriction).
+    from etl_rust_spark.deltalake import delta_table_changes
+
+    replay: dict = {}
+    for i, v in enumerate(versions):
+        ch = delta_table_changes(spark, p, i, i).collect()
+        for r in sorted(ch, key=lambda r: 0 if r._change_type
+                        in ("delete", "update_preimage") else 1):
+            if r._change_type == "delete":
+                replay.pop(r.k, None)
+            elif r._change_type in ("insert", "update_postimage"):
+                replay[r.k] = r[2]
+        truth = {row.k: row[2] for row in
+                 V.read_table_version(spark, p, v).collect()}
+        assert replay == truth, f"CDF replay diverges at v{v}"
+
+    # Iceberg changelog replay: the net delete/insert stream must
+    # reconstruct every snapshot too (updates arrive as delete+insert
+    # pairs — apply deletes first within a step)
+    from etl_rust_spark.iceberg import iceberg_table_changes
+
+    replay = {}
+    prev = None
+    for v in versions:
+        ch = iceberg_table_changes(spark, p, prev, v).collect()
+        for r in sorted(ch, key=lambda r: r._change_type != "delete"):
+            if r._change_type == "delete":
+                replay.pop(r.k, None)
+            else:
+                replay[r.k] = r[2]
+        truth = {row.k: row[2] for row in
+                 V.read_table_version(spark, p, v).collect()}
+        assert replay == truth, f"changelog replay diverges at v{v}"
+        prev = v
 
 
 def test_interop_iceberg_transform_fuzz(spark, tmp_path):
