@@ -71,6 +71,10 @@ class _DOpts:
         )
         self.version = options.get("version", "latest")
         self.as_of = options.get("asof")
+        self.read_change_feed = (
+            str(options.get("readchangefeed", "false")).lower()
+            == "true"
+        )
         mv = int(options.get("maxversionspertrigger", 0))
         if mv < 0:
             raise ValueError("maxVersionsPerTrigger must be >= 1")
@@ -192,10 +196,16 @@ def _read_slice(s: _Slice, logical_cols: list[str]) -> Iterator[tuple]:
 
 def _plan_version_slices(
     table: str, meta: dict, actions: list[dict], v: int,
-    skip_changes: bool,
+    skip_changes: bool, cdf: bool = False,
 ) -> list[_Slice] | None:
     """The slices one Delta commit contributes to the stream, or None
-    when skipChangeCommits drops the whole version."""
+    when skipChangeCommits drops the whole version.  ``cdf``
+    (readChangeFeed, r12): change commits stream their ``cdc`` files
+    (``_change_type`` comes from the file), pure appends stream as
+    inserts with the literal type injected, and ``_commit_version``
+    rides the same constant-injection channel as partition values —
+    a change commit with NO cdc data still raises/skips (the feed
+    was not captured for it)."""
     from etl_rust_spark.deltalake import (
         _abs_file,
         _mapping_mode,
@@ -208,15 +218,18 @@ def _plan_version_slices(
     removes = [a["remove"] for a in actions
                if a.get("remove") and a["remove"].get("dataChange", True)]
     dv_adds = [a for a in adds if a.get("deletionVector")]
-    if removes or dv_adds:
+    cdcs = [a["cdc"] for a in actions if a.get("cdc")] if cdf else []
+    if (removes or dv_adds) and not cdcs:
         if skip_changes:
             return None
         raise ValueError(
             f"Delta version {v} of {table} is a CHANGE commit "
             f"({len(removes)} removes, {len(dv_adds)} deletion-vector "
-            "rewrites) — not representable as an append stream.  Set "
-            "skipChangeCommits=true to skip such versions, or read "
-            "snapshots via deltalake.read_delta_table"
+            "rewrites) — not representable as an append stream"
+            + (" and it carries no cdc data for readChangeFeed"
+               if cdf else "") +
+            ".  Set skipChangeCommits=true to skip such versions, or "
+            "read snapshots via deltalake.read_delta_table"
         )
     schema = _snapshot_schema(meta)
     part_cols = list(meta.get("partitionColumns") or [])
@@ -227,6 +240,21 @@ def _plan_version_slices(
         {f.name: f.name for f in schema.fields}
     resolve = _phys_resolver(table, meta, schema)
     out = []
+    if cdf and cdcs:
+        # the captured feed IS the version's stream contribution
+        for a in cdcs:
+            pv = a.get("partitionValues") or {}
+            part_vals = [
+                (c, pv.get(pv_of[c]), schema[c].dataType.typeName())
+                for c in part_cols
+            ] + [("_commit_version", str(v), "long")]
+            phys_cols = [
+                None if f.name in part_cols else pv_of[f.name]
+                for f in schema.fields
+            ] + ["_change_type", None]
+            out.append(_Slice(_abs_file(table, a["path"]), part_vals,
+                              phys_cols))
+        return out
     for a in adds:
         pv = a.get("partitionValues") or {}
         phys_of = resolve(a)
@@ -238,6 +266,10 @@ def _plan_version_slices(
             None if f.name in part_cols else phys_of[f.name]
             for f in schema.fields
         ]
+        if cdf:
+            part_vals += [("_change_type", "insert", "string"),
+                          ("_commit_version", str(v), "long")]
+            phys_cols += [None, None]
         out.append(_Slice(_abs_file(table, a["path"]), part_vals,
                           phys_cols))
     return out
@@ -357,7 +389,8 @@ class _DeltaStreamReader(DataSourceStreamReader):
                         "restart the stream to pick up the new schema"
                     )
             slices = _plan_version_slices(
-                t, self._meta, actions, v, self.opts.skip_changes
+                t, self._meta, actions, v, self.opts.skip_changes,
+                self.opts.read_change_feed,
             )
             if slices:
                 out.extend(slices)
@@ -390,11 +423,19 @@ class DeltaLogDataSource(DataSource):
         # only needs names + types here, and the reader resolves
         # physical names per slice
         schema = _snapshot_schema(delta_snapshot(opts.table)["metaData"])
-        from pyspark.sql.types import StructField, StructType
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
 
-        return StructType([
-            StructField(f.name, f.dataType, True) for f in schema.fields
-        ])
+        fields = [StructField(f.name, f.dataType, True)
+                  for f in schema.fields]
+        if opts.read_change_feed:
+            fields += [StructField("_change_type", StringType(), True),
+                       StructField("_commit_version", LongType(), True)]
+        return StructType(fields)
 
     def _cols(self, schema) -> list[str]:
         return [f.name for f in schema.fields]

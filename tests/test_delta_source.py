@@ -356,3 +356,45 @@ def test_batch_reads_column_mapping_id_mode(_registered, tmp_path):
           .option("path", str(t)).load())
     rows = {r.k: r.v for r in df.collect()}
     assert rows == {1: "x", 2: "y", 3: None}
+
+
+def test_stream_read_change_feed(_registered, tmp_path):
+    """readChangeFeed (r12): the stream emits the captured Change
+    Data Feed — cdc files for change commits (typed from the file),
+    pure appends as inserts — with _commit_version injected; a change
+    commit without cdc data still raises."""
+    from etl_rust_spark.deltalake import export_delta_log
+
+    spark = _registered
+    p = str(tmp_path / "t")
+    V.write_table_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]), p)
+    V.delete_table_version(spark, p, "k = 1")
+    V.update_table_version(spark, p, "k = 2", {"v": "'B'"})
+    export_delta_log(spark, p, change_data_keys=["k"])
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _run_stream(spark, p, out, ckpt, starting="earliest",
+                readChangeFeed="true")
+    rows = sorted(
+        (r._commit_version, r.k, r._change_type, r.v)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [
+        (0, 1, "insert", "a"),
+        (0, 2, "insert", "b"),
+        (1, 1, "delete", "a"),
+        (2, 2, "update_postimage", "B"),
+        (2, 2, "update_preimage", "b"),
+    ]
+    # without cdc data the change commit still fails loudly
+    p2 = str(tmp_path / "t2")
+    V.write_table_version(
+        spark.createDataFrame([(1, "a")], ["k", "v"]), p2)
+    V.delete_table_version(spark, p2, "k = 1")
+    from etl_rust_spark.deltalake import export_delta_log as _e
+    _e(spark, p2)
+    with pytest.raises(Exception, match="no cdc data|CHANGE commit"):
+        _run_stream(spark, p2, str(tmp_path / "o2"),
+                    str(tmp_path / "c2"), starting="earliest",
+                    readChangeFeed="true")
