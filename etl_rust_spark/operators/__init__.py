@@ -247,7 +247,11 @@ def _op_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (sharded cogroup block-matmul) over two disjoint embedding slices
     # standing in for two corpora, vs a plain SQL theta-join mirror.
     emb = _emb(spark, sf_dir)
-    topk = similarity.cosine_topk(emb.filter(F.col("vec_id") <= 20), emb).select(
+    # r12: BLAS engine form (dq33 precedent) — identical rows, but one
+    # streamed corpus pass instead of a broadcast nested-loop |Q|×N pair
+    # relation with interpreted HOF dots (similarity.cosine_topk_blas's
+    # docstring carries the parity argument).
+    topk = similarity.cosine_topk_blas(emb.filter(F.col("vec_id") <= 20), emb).select(
         F.lit("topk").alias("src"), "qid", "cid", "cos", "rn"
     )
     xj = similarity.cosine_join(
@@ -414,25 +418,16 @@ def _op_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mirrors as plain SQL (similarity.ivf_fixed_topk_duck_sql).  Only
     # the k-means TRAINING remains recall-tested in pytest (≥0.85 vs
     # exact) — iterative refinement is the one non-SQL piece left.
+    # r12: the three branches (LSH query_pred=cid<=20; IVF with
+    # centroids=HYPERPLANES[:8], k=3, n_probe=2; PQ k=3) are computed by
+    # ONE fused corpus pass — row-for-row identical output (the fusion
+    # argument and per-branch arithmetic parity live in
+    # similarity.ann_entry_fused's docstring), 1 corpus scan + 1 Python
+    # crossing + 1 window instead of 3 + 5 + 3.
     emb = _emb(spark, sf_dir)
-    lsh = similarity.ann_lsh_topk(None, emb, query_pred=F.col("cid") <= 20).select(
-        F.lit("lsh").alias("src"), "qid", "cid", "cos", "rn"
-    )
-    ivf = similarity.ivf_topk(
-        emb.filter(F.col("vec_id") <= 20),
-        emb,
-        k=3,
-        n_probe=2,
-        centroids=[similarity.HYPERPLANES[j] for j in range(8)],
-    ).select(F.lit("ivf").alias("src"), "qid", "cid", "cos", "rn")
-    # Third member since r7: the PQ SEARCH path (fixed PQ_CODEBOOKS —
-    # encode → reconstruct → exact re-rank; ADC is dot-with-recon by
-    # identity, so gating the reconstruction gates the ADC math).  PQ
-    # training (k-means) stays recall-tested like IVF's.
-    pq = similarity.pq_fixed_topk(
-        emb.filter(F.col("vec_id") <= 20), emb, k=3
-    ).select(F.lit("pq").alias("src"), "qid", "cid", "cos", "rn")
-    return lsh.unionByName(ivf).unionByName(pq).orderBy("src", "qid", "rn")
+    return similarity.ann_entry_fused(
+        emb, max_query=20, k=3, n_probe=2, prefix_bits=8
+    ).orderBy("src", "qid", "rn")
 
 
 def _op_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -340,9 +340,18 @@ def curate_corpus(
             .filter(F.col("script_pred").isin(list(scripts)))
             .drop("script_pred")
         )
-    lang = text.language_id(docs, text_col, id_col)
-    qual = text.quality_score(docs, text_col, id_col)
-    cur = docs.join(lang, id_col).join(qual, id_col)
+    # Language votes + prediction + quality as PURE PROJECTIONS (r12):
+    # the previous ``docs ⋈ language_id(docs) ⋈ quality_score(docs)``
+    # self-joined the corpus twice to attach per-row arithmetic — two
+    # broadcasts at bench scale, two full-corpus SHUFFLES at 100 TB.
+    # ``with_language_quality`` appends the identical columns in one
+    # codegen pass; the select pins the join-form column order
+    # (id first) so downstream schemas are unchanged.
+    cur = text.with_language_quality(docs, text_col).select(
+        id_col, *[c for c in docs.columns if c != id_col],
+        *[f"n_{lang}" for lang in text.STOPWORDS],
+        "lang_pred", "quality_bp",
+    )
     if languages is not None:
         cur = cur.filter(F.col("lang_pred").isin(list(languages)))
     if min_quality_bp > 0:

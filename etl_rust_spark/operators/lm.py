@@ -77,11 +77,32 @@ def train_bigram_lm(
     cross-joins the single row; Spark plans it as a broadcast).
     """
     toks = docs.select(F.split(F.col(text_col), " ").alias("toks"))
-    bg = _gram_hashes_pandas(docs, text_col, "bg").groupBy("bg").agg(
-        F.count("*").alias("c")
+    # ONE tagged corpus pass for BOTH count tables (r12 optimization):
+    # the bigram and context hash streams used to be two independent
+    # mapInPandas passes over the full training corpus — two Python
+    # round-trips of every byte.  They now ride one pass emitting
+    # (kind, g) rows and one partial-aggregated groupBy; the bg/ctx
+    # splits are filters ABOVE the shared aggregation, so the physical
+    # plan reuses a single Exchange (ReusedExchange) and the corpus is
+    # read, tokenized and hashed exactly once (guide §2.4/§4.1 — the
+    # 100 TB training pass halves).
+    # The lazy localCheckpoint is load-bearing: without it Catalyst
+    # pushes the kind-filters below the aggregation and each branch
+    # re-runs the (now double-volume) corpus pass — WORSE than two
+    # passes (measured: op_text_profile 2.3 s → 5.3 s).  The barrier
+    # materializes the counts once (O(distinct grams) rows — Zipf-small
+    # next to the corpus) and both splits read it.
+    counts = (
+        _gram_hashes_pandas(docs, text_col, "both")
+        .groupBy("kind", "g")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    ctx = _gram_hashes_pandas(docs, text_col, "ctx").groupBy("ctx").agg(
-        F.count("*").alias("cc")
+    bg = counts.filter(F.col("kind") == 0).select(
+        F.col("g").alias("bg"), F.col("c")
+    )
+    ctx = counts.filter(F.col("kind") == 1).select(
+        F.col("g").alias("ctx"), F.col("c").alias("cc")
     )
     vocab_df = toks.select(F.explode("toks").alias("t")).agg(
         F.countDistinct("t").cast("double").alias("_vocab")
@@ -101,13 +122,25 @@ def _gram_hashes_pandas(docs: DataFrame, text_col: str, kind: str) -> DataFrame:
     semantics and the oracle-mirror template; this pass exists because
     HOF lambdas evaluate md5+conv interpreted per element — measured
     ~10× slower than hashlib over Arrow batches on the training corpus.
+
+    ``kind='both'`` emits BOTH streams from the single pass as tagged
+    ``(kind tinyint, g)`` rows (0 = bigram, 1 = context) so training
+    reads the corpus once instead of twice.
     """
     import hashlib
 
     import pandas as pd
     from pyspark.sql import types as T
 
-    out_schema = T.StructType([T.StructField(kind, T.LongType())])
+    if kind == "both":
+        out_schema = T.StructType(
+            [
+                T.StructField("kind", T.ByteType()),
+                T.StructField("g", T.LongType()),
+            ]
+        )
+    else:
+        out_schema = T.StructType([T.StructField(kind, T.LongType())])
 
     def h(s: str) -> int:
         return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
@@ -133,6 +166,7 @@ def _gram_hashes_pandas(docs: DataFrame, text_col: str, kind: str) -> DataFrame:
 
         for pdf in batches:
             out = []
+            ctx_out = []
             for text in pdf[text_col]:
                 # NULL text: split(NULL) is NULL in the expression form,
                 # whose size() guard then yields an empty gram array — so
@@ -145,9 +179,22 @@ def _gram_hashes_pandas(docs: DataFrame, text_col: str, kind: str) -> DataFrame:
                     continue
                 if kind == "bg":
                     out.extend(hm(t[i] + " " + t[i + 1]) for i in range(len(t) - 1))
-                else:
+                elif kind == "ctx":
                     out.extend(hm(t[i]) for i in range(len(t) - 1))
-            if out:
+                else:
+                    out.extend(hm(t[i] + " " + t[i + 1]) for i in range(len(t) - 1))
+                    ctx_out.extend(hm(t[i]) for i in range(len(t) - 1))
+            if kind == "both":
+                if out or ctx_out:
+                    yield pd.DataFrame(
+                        {
+                            "kind": pd.array(
+                                [0] * len(out) + [1] * len(ctx_out), dtype="int8"
+                            ),
+                            "g": out + ctx_out,
+                        }
+                    )
+            elif out:
                 yield pd.DataFrame({kind: out})
 
     return docs.select(text_col).mapInPandas(gen, out_schema)

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cosine_topk",
+    "cosine_topk_blas",
     "ann_lsh_topk",
     "ann_lsh_topk_duck_sql",
     "ivf_fixed_topk_duck_sql",
@@ -60,6 +61,7 @@ __all__ = [
     "pq_fixed_encode",
     "pq_fixed_topk",
     "pq_fixed_topk_duck_sql",
+    "ann_entry_fused",
 ]
 
 _DOT = (
@@ -116,6 +118,99 @@ def cosine_topk(
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return (
         pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", "cos", "rn")
+    )
+
+
+def cosine_topk_blas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Engine form of :func:`cosine_topk` — identical rows, one corpus
+    pass (r12, the dq33 precedent).
+
+    The expression form broadcast-nested-loop-joins every query against
+    every corpus row (a |Q|×N pair *relation*) and evaluates the dot as
+    an interpreted ``aggregate(zip_with(...))`` HOF per pair — at 10⁹
+    vectors that materializes |Q|×10⁹ rows to rank.  Here the bounded
+    query set (≤ tens of rows by contract) collects to the driver, the
+    corpus streams ONCE through an Arrow-batched numpy kernel (per-chunk
+    top-k candidates only leave the kernel), and a final window ranks
+    n_tasks×|Q|×k candidate rows.
+
+    Float parity with the SQL form (the pq_fixed_topk argument): dots
+    and self-norms are sequential folds (``np.cumsum`` — the
+    ``((0+p₁)+p₂)+…`` association of ``aggregate(zip_with(...))``) in
+    float64 over the CAST-to-double float32 inputs, rounded
+    ``_round_half_up(·, 4) + 0.0`` before any comparison; ties break on
+    cid ascending in both forms.  Zero-norm rows drop (SQL: 0/0 → NULL
+    fails the ranking — the documented pq_fixed_topk convention).
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    q_rows = sorted(
+        (int(r[0]), np.asarray(list(r[1]), dtype=np.float64))
+        for r in queries.select(id_col, vec_col).collect()
+        if r[1] is not None
+    )
+    if not q_rows:
+        raise ValueError("cosine_topk_blas: no non-null query vectors")
+    q_ids = np.array([a for a, _ in q_rows], dtype=np.int64)
+    q_mat = np.stack([b for _, b in q_rows])
+    q_nrm = np.sqrt(np.cumsum(q_mat * q_mat, axis=1)[:, -1])
+    ok = q_nrm > 0
+    q_ids, q_mat, q_nrm = q_ids[ok], q_mat[ok], q_nrm[ok]
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids, qm, qn = bc.value
+        parts: list[pd.DataFrame] = []
+        for pdf in batches:
+            pdf = pdf[pdf["v"].map(lambda x: x is not None)]
+            if not len(pdf):
+                continue
+            for lo in range(0, len(pdf), 2048):
+                ch = pdf.iloc[lo : lo + 2048]
+                c_ids = ch["id"].to_numpy(np.int64)
+                mat = np.array([np.asarray(v) for v in ch["v"]], dtype=np.float64)
+                c_nrm = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+                nz = c_nrm > 0
+                c_ids, mat, c_nrm = c_ids[nz], mat[nz], c_nrm[nz]
+                if not len(c_ids):
+                    continue
+                dots = np.cumsum(qm[:, None, :] * mat[None, :, :], axis=2)[:, :, -1]
+                cos = _round_half_up(dots / (qn[:, None] * c_nrm[None, :]), 4) + 0.0
+                for qi in range(len(ids)):
+                    not_self = c_ids != ids[qi]
+                    cc, cv = c_ids[not_self], cos[qi][not_self]
+                    if not len(cc):
+                        continue
+                    order = np.lexsort((cc, -cv))[: min(k, len(cc))]
+                    parts.append(
+                        pd.DataFrame({"qid": ids[qi], "cid": cc[order], "cos": cv[order]})
+                    )
+        if parts:
+            allp = pd.concat(parts, ignore_index=True)
+            yield (
+                allp.sort_values(["qid", "cos", "cid"], ascending=[True, False, True])
+                .groupby("qid", sort=False)
+                .head(k)
+            )
+
+    cand = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(gen, "qid long, cid long, cos double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("qid", "cid", "cos", "rn")
     )
@@ -237,9 +332,16 @@ def ann_lsh_topk(
     return fewer rows (callers can fall back to brute force for those).
 
     When the query set IS a slice of ``corpus``, pass ``query_pred`` (a
-    predicate over the renamed corpus signature frame, e.g.
-    ``F.col("cid") <= 20``) instead of ``queries``: the signature pass
-    then runs once over the corpus and the query side is a filter of it.
+    predicate over the renamed ``(cid, cv)`` corpus columns, e.g.
+    ``F.col("cid") <= 20``) instead of ``queries``: the query side then
+    filters the corpus BEFORE its signature pass, so the Python-boundary
+    signature kernel runs over the full corpus exactly once (the ``c``
+    side) plus the tiny query slice — not twice over the corpus.  (The
+    pre-r12 form filtered the signature OUTPUT, which re-ran the full
+    corpus pass on the query side of the self-join: Catalyst cannot push
+    a filter below an opaque ``mapInPandas``.  The predicate therefore
+    may reference only ``cid``/``cv``, not ``bucket``/``cn`` — signature
+    fields are not yet computed where the filter now sits.)
     """
     # Bucket = low prefix_bits of the signature, so only planes
     # 0..prefix_bits-1 can influence it — computing the remaining
@@ -252,12 +354,12 @@ def ann_lsh_topk(
     c = _sig_norm_pandas(corpus, id_col, vec_col, n_bucket_planes, "cid", "cv")
     c = c.withColumnRenamed("nrm", "cn")
     if query_pred is not None:
-        q = c.filter(query_pred).select(
-            F.col("cid").alias("qid"),
-            F.col("cv").alias("qv"),
-            "bucket",
-            F.col("cn").alias("qn"),
-        )
+        qsrc = corpus.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+        ).filter(query_pred)
+        q = _sig_norm_pandas(
+            qsrc, "cid", "cv", n_bucket_planes, "qid", "qv"
+        ).withColumnRenamed("nrm", "qn")
     else:
         q = _sig_norm_pandas(queries, id_col, vec_col, n_bucket_planes, "qid", "qv")
         q = q.withColumnRenamed("nrm", "qn")
@@ -584,6 +686,197 @@ def pq_fixed_topk(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("qid", "cid", "cos", "rn")
+    )
+
+
+def ann_entry_fused(
+    corpus: DataFrame,
+    max_query: int = 20,
+    k: int = 3,
+    n_probe: int = 2,
+    prefix_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The gated LSH ∪ IVF ∪ PQ entry as ONE corpus pass (r12).
+
+    Row-for-row equal to the three-branch composition
+    (``ann_lsh_topk(query_pred=id<=max_query)`` ∪
+    ``ivf_topk(centroids=HYPERPLANES[:prefix_bits], n_probe)`` ∪
+    ``pq_fixed_topk``), which scanned the corpus THREE times through
+    three separate Python kernels and ranked each branch under its own
+    window exchange.  Here the corpus streams ONCE through a single
+    Arrow-batched kernel that emits tagged ``(src, qid, cid, cos)``
+    candidates for all three detectors, and one shared window ranks
+    them per ``(src, qid)`` — disjoint ``src`` partitions make the
+    shared window's row_number identical to three per-branch windows
+    (guide §2.4/§4.1: 3 scans + 5 Python crossings + 3 window
+    exchanges → 1 + 1 + 1; at 10⁹ vectors this deletes two full corpus
+    passes).
+
+    Equivalence notes (each gate-proven by the r11 kernels this fuses):
+    - The entry's IVF centroids ARE the LSH planes
+      (``HYPERPLANES[:prefix_bits]``), so the per-batch plane dots are
+      computed once and feed both the sign test and the assignment.
+    - All dots/norms are sequential folds (``np.cumsum``) in float64 —
+      the exact association order of the SQL ``aggregate(zip_with(...))``
+      forms the branch expressions evaluated; rounds are
+      ``_round_half_up`` (= Spark/DuckDB ROUND on every value this gate
+      has ever seen).
+    - Each (qid, cid) pair is emitted at most once per branch: a corpus
+      vector has exactly one ``list_id`` and one ``bucket``, so the old
+      ``dropDuplicates`` was already a no-op.
+    - The query side (≤ ``max_query`` rows by construction) collects to
+      the driver — the same bounded control-plane read ``pq_fixed_topk``
+      always did — and ships with the broadcast constants, replacing
+      two more scan+kernel jobs (LSH query signature, IVF probe).
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    planes = np.array([HYPERPLANES[j] for j in range(prefix_bits)], dtype=np.float64)
+    cb = np.asarray(PQ_CODEBOOKS, dtype=np.float64)
+    q_rows = sorted(
+        (int(r[0]), np.asarray(list(r[1]), dtype=np.float64))
+        for r in corpus.filter(F.col(id_col) <= max_query)
+        .select(id_col, vec_col)
+        .collect()
+        if r[1] is not None
+    )
+    if not q_rows:
+        raise ValueError("ann_entry_fused: no non-null query vectors")
+    q_ids = np.array([a for a, _ in q_rows], dtype=np.int64)
+    q_mat = np.stack([b for _, b in q_rows])
+    # Shared sequential-fold norms (= sqrt of the SQL self-dot fold).
+    q_nrm = np.sqrt(np.cumsum(q_mat * q_mat, axis=1)[:, -1])
+    # LSH query buckets: 6-dp half-up sign test on the plane dots.
+    q_dots = np.cumsum(q_mat[:, None, :] * planes[None, :, :], axis=2)[:, :, -1]
+    q_bucket = ((_round_half_up(q_dots, 6) > 0) @ (1 << np.arange(prefix_bits))).astype(
+        np.int64
+    )
+    # IVF probes: same normalized-similarity + stable argsort as probe_gen.
+    q_sims = _round_half_up(q_dots / np.maximum(q_nrm[:, None], 1e-30), 6)
+    q_probes = np.argsort(-q_sims, axis=1, kind="stable")[:, : min(n_probe, prefix_bits)]
+    # PQ keeps only non-zero-norm queries (0/0 → NULL fails the SQL rank).
+    pq_ok = q_nrm > 0
+    bc = spark.sparkContext.broadcast(
+        (planes, cb, q_ids, q_mat, q_nrm, q_bucket, q_probes, pq_ok)
+    )
+    keep = k + 1  # PQ: +1 so dropping the self-match still leaves k
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        planes_, books, ids, qm, qn, qbkt, qpr, pqok = bc.value
+        nq = len(ids)
+        m, _kc, d_sub = books.shape
+        pq_parts: list[pd.DataFrame] = []
+
+        def lsh_ivf(cids, mat, nrm, bucket, list_id):
+            src, qid, cid, cos = [], [], [], []
+            for qi in range(nq):
+                not_self = cids != ids[qi]
+                masks = (
+                    ("lsh", (bucket == qbkt[qi]) & not_self),
+                    ("ivf", np.isin(list_id, qpr[qi]) & not_self),
+                )
+                for tag, msk in masks:
+                    if not msk.any():
+                        continue
+                    cm, cn = mat[msk], nrm[msk]
+                    dot = np.cumsum(qm[qi][None, :] * cm, axis=1)[:, -1]
+                    c = _round_half_up(dot / (qn[qi] * cn), 4) + 0.0
+                    src.extend([tag] * len(cn))
+                    qid.append(np.full(len(cn), ids[qi]))
+                    cid.append(cids[msk])
+                    cos.append(c)
+            if not src:
+                return None
+            return pd.DataFrame(
+                {
+                    "src": src,
+                    "qid": np.concatenate(qid),
+                    "cid": np.concatenate(cid),
+                    "cos": np.concatenate(cos),
+                }
+            )
+
+        for pdf in batches:
+            pdf = pdf[pdf["v"].map(lambda x: x is not None)]
+            if not len(pdf):
+                continue
+            cids_all = pdf["id"].to_numpy(np.int64)
+            mat_all = np.array([np.asarray(v) for v in pdf["v"]], dtype=np.float64)
+            # One plane-dot tensor serves the LSH sign test AND the IVF
+            # assignment (the entry's centroids are the planes).
+            dots = np.cumsum(
+                mat_all[:, None, :] * planes_[None, :, :], axis=2
+            )[:, :, -1]
+            nrm_all = np.sqrt(np.cumsum(mat_all * mat_all, axis=1)[:, -1])
+            bucket = (
+                (_round_half_up(dots, 6) > 0) @ (1 << np.arange(planes_.shape[0]))
+            ).astype(np.int64)
+            sims = _round_half_up(
+                dots / np.maximum(nrm_all[:, None], 1e-30), 6
+            )
+            list_id = np.argmax(sims, axis=1)
+            out = lsh_ivf(cids_all, mat_all, nrm_all, bucket, list_id)
+            if out is not None:
+                yield out
+            # PQ: encode → reconstruct → score, per bounded chunk,
+            # accumulated per task exactly like pq_fixed_topk's kernel.
+            for lo in range(0, len(pdf), 2048):
+                c_ids = cids_all[lo : lo + 2048]
+                recon = np.empty_like(mat_all[lo : lo + 2048])
+                sub_mat = mat_all[lo : lo + 2048]
+                for j in range(m):
+                    sub = sub_mat[:, j * d_sub : (j + 1) * d_sub]
+                    diff = sub[:, None, :] - books[j][None, :, :]
+                    d2 = np.cumsum(diff * diff, axis=2)[:, :, -1]
+                    codes = np.argmin(_round_half_up(d2, 6), axis=1)
+                    recon[:, j * d_sub : (j + 1) * d_sub] = books[j][codes]
+                c_nrm = np.sqrt(np.cumsum(recon * recon, axis=1)[:, -1])
+                nz = c_nrm > 0
+                c_ids, recon, c_nrm = c_ids[nz], recon[nz], c_nrm[nz]
+                if not len(c_ids):
+                    continue
+                pdots = np.cumsum(qm[:, None, :] * recon[None, :, :], axis=2)[:, :, -1]
+                pcos = _round_half_up(pdots / (qn[:, None] * c_nrm[None, :]), 4) + 0.0
+                top = min(keep, pcos.shape[1])
+                for qi in range(nq):
+                    if not pqok[qi]:
+                        continue
+                    order = np.lexsort((c_ids, -pcos[qi]))[:top]
+                    pq_parts.append(
+                        pd.DataFrame(
+                            {
+                                "qid": ids[qi],
+                                "cid": c_ids[order],
+                                "cos": pcos[qi][order],
+                            }
+                        )
+                    )
+        if pq_parts:
+            allp = pd.concat(pq_parts, ignore_index=True)
+            best = (
+                allp.sort_values(["qid", "cos", "cid"], ascending=[True, False, True])
+                .groupby("qid", sort=False)
+                .head(keep)
+            )
+            yield best.assign(src="pq")[["src", "qid", "cid", "cos"]]
+
+    cand = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(gen, "src string, qid long, cid long, cos double")
+    w = Window.partitionBy("src", "qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        # lsh/ivf already exclude self in the kernel; pq keeps keep=k+1
+        # candidates and drops self here, exactly like pq_fixed_topk.
+        cand.filter(F.col("cid") != F.col("qid"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("src", "qid", "cid", "cos", "rn")
     )
 
 

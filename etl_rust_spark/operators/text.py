@@ -80,6 +80,50 @@ def _argmax_case() -> str:
     return "CASE " + " ".join(clauses) + " END"
 
 
+def with_language_quality(df: DataFrame, text_col: str) -> DataFrame:
+    """Append ``n_<lang>`` votes, ``lang_pred`` and ``quality_bp`` to
+    ``df`` as PURE PROJECTIONS — column-for-column identical to
+    ``df ⋈ language_id(df) ⋈ quality_score(df)`` on a unique id, with
+    zero joins.  The joined form shuffles (or broadcasts) the full
+    corpus twice for per-row arithmetic; this is one codegen pass
+    (r12 — guide §2.4, same argument as :func:`text_profile`).
+
+    Uses the exact expressions of :func:`language_id` /
+    :func:`quality_score` (``F.lit(64.0)`` double literal and FLOOR
+    semantics included) so results are bit-identical.  Overwrites any
+    existing ``toks``/``n_<lang>``/``lang_pred``/``quality_bp`` columns.
+    """
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    tmp = df.withColumn("toks", F.split(F.col(text_col), " "))
+    for lang, words in STOPWORDS.items():
+        lit = ", ".join(f"'{w}'" for w in words)
+        tmp = tmp.withColumn(
+            f"n_{lang}",
+            F.expr(f"size(filter(toks, t -> array_contains(array({lit}), t)))"),
+        )
+    nt = F.expr("size(toks)")
+    ttr_raw = F.expr("size(array_distinct(toks)) / CAST(size(toks) AS DOUBLE)")
+    swr = F.expr(
+        f"size(filter(toks, t -> array_contains(array({en}), t)))"
+        " / CAST(size(toks) AS DOUBLE)"
+    )
+    return (
+        tmp.withColumn("lang_pred", F.expr(_argmax_case()))
+        .withColumn(
+            "quality_bp",
+            F.floor(
+                (
+                    F.least(nt / F.lit(64.0), F.lit(1.0)) * 0.4
+                    + ttr_raw * 0.4
+                    + F.least(swr * 5, F.lit(1.0)) * 0.2
+                )
+                * 10000
+            ).cast("long"),
+        )
+        .drop("toks")
+    )
+
+
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, votes per language, lang_pred) via stopword voting."""
     df = df.withColumn("toks", F.split(F.col(text_col), " "))

@@ -66,10 +66,27 @@ def _op_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # carry their user and NULL v_c; global windows carry NULL user.
     ev = _events(spark, sf_dir)
     nouser = F.lit(None).cast("long").alias("user_id")
-    t = tumbling_window(ev).select(
-        F.lit("tumble").alias("src"), nouser, "ws", "we", "n", "v_c"
-    )
-    s = sliding_window(ev).select(
+    # r12 optimization: the tumble rows are EXACTLY the slide rows whose
+    # window start is 600 s-aligned.  slide = window(ts, 600s, 300s), so
+    # every event lands in two windows with starts ≡ 0 and ≡ 300
+    # (mod 600); the ≡ 0 one is precisely its tumbling window(ts, 600s),
+    # and the per-window aggregates (n, v_c) over an identical event set
+    # are identical.  Deriving tumble as a filter of the SAME sliding
+    # aggregation DataFrame lets one scan + one shuffle of events serve
+    # both branches (guide §2.4) — at 100 TB this removes a full events
+    # pass.  tumbling_window() itself is unchanged (streaming consumers
+    # still use it); only this batch entry composes the two.
+    # The lazy localCheckpoint is load-bearing: without it Catalyst
+    # pushes the ws-alignment filter below the aggregation, and the
+    # tumble branch re-scans AND re-Expands (2× rows) the corpus —
+    # worse than two independent passes.  The barrier materializes the
+    # sliding aggregate once (O(windows) rows, tiny next to events) and
+    # both union branches read it.
+    s_agg = sliding_window(ev).localCheckpoint(eager=False)
+    t = s_agg.filter(
+        F.expr("(minute(ws) * 60 + second(ws)) % 600 = 0")
+    ).select(F.lit("tumble").alias("src"), nouser, "ws", "we", "n", "v_c")
+    s = s_agg.select(
         F.lit("slide").alias("src"), nouser, "ws", "we", "n", "v_c"
     )
     sess = session_window_agg(ev).select(
