@@ -496,7 +496,15 @@ def _op_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("h").alias("lvl"), "bs", "event_type", "n", "v_c", "n_users",
         rollup.hist_quantile("hist", 0.5).alias("p50_c"),
     )
-    daily = rollup.merge_rollup(hourly.drop("n_users"), 86400)
+    # The daily merge is read by THREE consumers — the d branch plus
+    # both sides of the retention self-join — so without a barrier the
+    # (ObjectHashAggregate + Exchange) sketch-merge over the hourly
+    # state runs three times.  The same lazy-localCheckpoint pattern as
+    # `hourly` materializes it once (r12 — guide §2.4; O(buckets×types)
+    # rows, interleaved A/B best 2.59 s → 2.31 s at sf0.1).
+    daily = rollup.merge_rollup(hourly.drop("n_users"), 86400).localCheckpoint(
+        eager=False
+    )
     d = daily.select(
         F.lit("d").alias("lvl"), "bs", "event_type", "n", "v_c",
         F.lit(None).cast("long").alias("n_users"),
