@@ -709,25 +709,30 @@ def test_cli_rollup_theta_and_retention_verb(spark, tmp_path, capsys):
     assert rep2["pairs"] == 0
 
 
-def test_read_corpus_zstd_and_xz_jsonl(spark, tmp_path):
-    """.jsonl.zst (the HuggingFace shard format) and .jsonl.xz route
-    through the Python-codec path — per-file parallel binaryFile decode
-    via the in-repo RFC 8878 zstd decoder / stdlib lzma — with the same
-    corrupt-record spill semantics as the native reader.  Fixtures come
-    from the CANONICAL CLI tools, not our own encoder."""
-    import json as _json
-    import lzma
+_CORPUS_SHARD_LINES = [
+    '{"doc_id": 1, "text": "alpha beta"}',
+    '{"doc_id": 2, "text": "gamma delta"}',
+    "{not json at all",
+]
+
+_needs_zstd_cli = pytest.mark.skipif(
+    __import__("shutil").which("zstd") is None,
+    reason="no zstd CLI to produce canonical fixtures",
+)
+
+
+@_needs_zstd_cli
+def test_read_corpus_zstd_jsonl(spark, tmp_path):
+    """.jsonl.zst (the HuggingFace shard format) routes through the
+    Python-codec path — per-file parallel binaryFile decode via the
+    in-repo RFC 8878 zstd decoder — with the same corrupt-record spill
+    semantics as the native reader.  Fixtures come from the CANONICAL
+    CLI tool, not our own encoder."""
     import subprocess
 
     from etl_rust_spark.etl.ingest import read_corpus
 
-    lines = [
-        _json.dumps({"doc_id": 1, "text": "alpha beta"}),
-        _json.dumps({"doc_id": 2, "text": "gamma delta"}),
-        "{not json at all",
-    ]
-    payload = ("\n".join(lines) + "\n").encode()
-
+    payload = ("\n".join(_CORPUS_SHARD_LINES) + "\n").encode()
     raw = tmp_path / "shard.jsonl"
     raw.write_bytes(payload)
     subprocess.run(["zstd", "-q", "-19", str(raw)], check=True)
@@ -740,6 +745,15 @@ def test_read_corpus_zstd_and_xz_jsonl(spark, tmp_path):
     assert set(rows) == {1, 2}
     assert rows[1].text == "alpha beta" and rows[2].source == "ingest"
 
+
+def test_read_corpus_xz_jsonl(spark, tmp_path):
+    """.jsonl.xz routes through the stdlib-lzma Python-codec path with
+    the same corrupt-record spill semantics as the native reader."""
+    import lzma
+
+    from etl_rust_spark.etl.ingest import read_corpus
+
+    payload = ("\n".join(_CORPUS_SHARD_LINES) + "\n").encode()
     xpath = tmp_path / "shard2.jsonl.xz"
     xpath.write_bytes(lzma.compress(payload))
     out2 = read_corpus(
@@ -748,6 +762,7 @@ def test_read_corpus_zstd_and_xz_jsonl(spark, tmp_path):
     assert {r.doc_id for r in out2.collect()} == {1, 2}
 
 
+@_needs_zstd_cli
 def test_read_corpus_zstd_multi_shard_content_ids(spark, tmp_path):
     """Multiple .zst shards in one directory read per-file parallel;
     content-hash ids stay stable across shard layouts."""
