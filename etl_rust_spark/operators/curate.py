@@ -360,6 +360,16 @@ def curate_corpus(
     if near_dup_threshold is not None:
         if near_dup_strategy not in ("greedy", "components"):
             raise ValueError(f"unknown near_dup_strategy: {near_dup_strategy!r}")
+        # The deduped corpus feeds TWO consumers — the LSH pair subtree
+        # (via the shingle kernel) and the anti-join's left side — so
+        # without a barrier the whole prefix (scan → language/quality
+        # filter → exact-dedup window over a full-text exchange) runs
+        # twice per execution (r12, guide §2.4/§5: the op_rollup
+        # lazy-localCheckpoint pattern).  At 100 TB this halves the
+        # pipeline's scan+filter compute and removes a second full-text
+        # dedup shuffle; the materialized state is exactly the surviving
+        # corpus, which the pipeline holds anyway at this point.
+        cur = cur.localCheckpoint(eager=False)
         pairs = dedup.minhash_lsh_pairs(
             cur, text_col, id_col,
             width=shingle_width, threshold=near_dup_threshold,

@@ -366,8 +366,13 @@ def minhash_lsh_pairs(
     groupBy replaces a melted self-join, halving the banding compute and
     removing a second exchange.  ``max_bucket`` caps a degenerate bucket
     (the hot-key risk: near-empty docs all hash together) so one skewed
-    key cannot go quadratic; ids are sorted first, so the cap is
-    deterministic.
+    key cannot go quadratic; the cap keeps the ``max_bucket`` SMALLEST
+    ids per (band, key), so it is deterministic — and since r12 it is
+    applied as a ``row_number() ≤ max_bucket`` rank predicate, which
+    plans as a partial (map-side) WindowGroupLimit: the hot bucket
+    shrinks BEFORE the exchange and the collect_list state is bounded,
+    instead of one reducer materializing the whole degenerate bucket
+    and slicing afterwards.
 
     The verify step computes Jaccard over HASHED shingles (62-bit values,
     P = 1e9+7): identical to string-shingle Jaccard up to hash collisions
@@ -384,9 +389,27 @@ def minhash_lsh_pairs(
         .select(F.col(id_col), _hashed_shingles().alias("hs"))
     )
     melted = _melted_bands(hs_all, id_col, bands)
+    # The bucket cap as a rank predicate BEFORE the collect (r12, guide
+    # §2.5): ``slice(sort_array(collect_list(id)), 1, max_bucket)``
+    # gathered the ENTIRE bucket on one reducer before capping — a
+    # degenerate hot key (the empty-doc bucket) built an unbounded
+    # array in aggregation state.  ``row_number() ≤ max_bucket`` keeps
+    # exactly the same ids (the cap's contract is the max_bucket
+    # SMALLEST ids per (band, key); (band, key, id) is unique so the
+    # order is total) but plans as WindowGroupLimit with a PARTIAL
+    # map-side pass: every map task forwards at most max_bucket rows
+    # per key, so the hot bucket shrinks before the exchange and the
+    # collect_list state is bounded by construction.  The groupBy
+    # reuses the window's (band, key) partitioning — still ONE shuffle.
+    w_cap = Window.partitionBy("band", "key").orderBy(F.col(id_col))
+    capped = (
+        melted.withColumn("__rn", F.row_number().over(w_cap))
+        .filter(F.col("__rn") <= max_bucket)
+        .drop("__rn")
+    )
     buckets = (
-        melted.groupBy("band", "key")
-        .agg(F.slice(F.sort_array(F.collect_list(F.col(id_col))), 1, max_bucket).alias("ids"))
+        capped.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     # All intra-bucket pairs; ids sorted ascending → qid < cid by
