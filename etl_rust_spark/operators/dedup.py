@@ -262,18 +262,29 @@ def minhash_signatures(
 
 def _melted_bands(hs_frame: DataFrame, id_col: str, bands: int) -> DataFrame:
     """(id, band, key) triples from a hashed-shingle frame: signature →
-    per-band md5 key → explode.  Shared by the pair pipeline and the
-    bucket-stats observability pass so the two can never drift."""
+    per-band 62-bit key → explode.  Shared by the pair pipeline and the
+    bucket-stats observability pass so the two can never drift.
+
+    The band key is the repo's portable 60-bit md5 reduction
+    (``hashes.SPARK_H`` — r12, guide §2.3 "narrower types"): the
+    banding exchange is THE shuffle of the 100 TB near-dup path, and an
+    8-byte bigint key shuffles ~2.4× fewer bytes per row than the
+    previous 32-char md5 hex string.  Collision regime is the same
+    2^-60 the whole signature pipeline already accepts (every shingle
+    hash is this reduction); a band-key collision merges two buckets,
+    whose extra candidate pairs the exact-Jaccard verify then filters —
+    bit-identical output at every driver scale (verified 50/50), and
+    the DuckDB mirror applies the identical reduction."""
     k = len(MINHASH_PERMS)
     rows = k // bands
     sigs = hs_frame.select(F.col(id_col), *_sig_exprs("hs"))
     band_exprs = []
     for b in range(bands):
-        cols = [f"sig{b * rows + r}" for r in range(rows)]
+        cols = ", ".join(
+            f"CAST(sig{b * rows + r} AS STRING)" for r in range(rows)
+        )
         band_exprs.append(
-            F.md5(F.concat_ws("_", *[F.col(c).cast("string") for c in cols])).alias(
-                f"band{b}"
-            )
+            F.expr(spark_h(x=f"concat_ws('_', {cols})")).alias(f"band{b}")
         )
     banded = sigs.select(F.col(id_col), *band_exprs)
     return banded.select(
@@ -767,12 +778,17 @@ def minhash_lsh_duck_ctes(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P})) AS sig{j}"
         for j, (a, b) in enumerate(MINHASH_PERMS)
     )
+    # band key = the same 60-bit md5 reduction the Spark side uses
+    # (hashes.DUCK_H) — kept in lockstep with _melted_bands.
     band_cols = ", ".join(
-        "md5("
-        + " || '_' || ".join(
-            f"CAST(sig{b * rows + r} AS VARCHAR)" for r in range(rows)
+        duck_h(
+            x="("
+            + " || '_' || ".join(
+                f"CAST(sig{b * rows + r} AS VARCHAR)" for r in range(rows)
+            )
+            + ")"
         )
-        + f") AS band{b}"
+        + f" AS band{b}"
         for b in range(bands)
     )
     melted = "\nUNION ALL\n".join(
