@@ -12,7 +12,7 @@ formats for text datasets):
 - canonicalization: id/text extraction from configurable field names,
   ``n_chars`` derived, ``lang``/``source`` defaulted when absent,
 - dedupe-safe ids: when the feed has no id field, a deterministic
-  62-bit content hash of the text stands in (stable across re-ingests,
+  60-bit content hash of the text stands in (stable across re-ingests,
   unlike ``monotonically_increasing_id`` which depends on partition
   layout).
 
@@ -110,7 +110,7 @@ def read_corpus(
     n_chars long)``.
 
     ``id_field=None`` derives ``doc_id`` from the text content hash
-    (62-bit, stable across re-ingests and partitionings).  Rows with
+    (60-bit, stable across re-ingests and partitionings).  Rows with
     NULL/empty text are dropped (counted by comparing counts upstream
     if needed); a ``_corrupt_record`` column, if the reader produced
     one, is filtered and dropped.

@@ -364,12 +364,19 @@ def curate_corpus(
         # (via the shingle kernel) and the anti-join's left side — so
         # without a barrier the whole prefix (scan → language/quality
         # filter → exact-dedup window over a full-text exchange) runs
-        # twice per execution (r12, guide §2.4/§5: the op_rollup
-        # lazy-localCheckpoint pattern).  At 100 TB this halves the
-        # pipeline's scan+filter compute and removes a second full-text
-        # dedup shuffle; the materialized state is exactly the surviving
-        # corpus, which the pipeline holds anyway at this point.
-        cur = cur.localCheckpoint(eager=False)
+        # twice per execution (r12, guide §2.4/§5).  r13: the barrier is
+        # the TRACKED MEMORY_AND_DISK persist, not localCheckpoint —
+        # interleaved A/B at sf0.1 (best-of-6, noop sink): persist 2.69 s
+        # vs checkpoint 3.27 s vs no barrier 2.85 s, i.e. the checkpoint
+        # was the one form slower than recomputing (the r12 driver
+        # artifact's 12%-under-control reading, root-caused).  persist
+        # also keeps lineage (an executor loss recomputes instead of
+        # killing the job — the §5 trade localCheckpoint silently made)
+        # and the registry's eviction bounds live cache across calls.
+        # At 100 TB this still halves the pipeline's scan+filter compute
+        # and removes a second full-text dedup shuffle; the cached state
+        # spills gracefully (same policy as the LSH shingle frame).
+        cur = dedup._persist_tracked(cur)
         pairs = dedup.minhash_lsh_pairs(
             cur, text_col, id_col,
             width=shingle_width, threshold=near_dup_threshold,

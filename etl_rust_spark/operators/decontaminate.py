@@ -15,7 +15,7 @@ Shape at 100 TB:
 - The corpus side is scan-shaped: tokenize → n-gram-hash → explode
   *hashes only* (compact longs, never text), then a partial-aggregated
   ``groupBy(doc_id)``.  Cost is linear in corpus tokens.
-- Hashes use the portable 62-bit md5 reduction (`operators/hashes.py`)
+- Hashes use the portable 60-bit md5 reduction (`operators/hashes.py`)
   so the DuckDB mirror is bit-identical; a production pipeline would
   swap in ``xxhash64`` (same plan shape, JVM intrinsic).
 

@@ -170,7 +170,7 @@ def with_shingles(df: DataFrame, text_col: str, width: int = 3) -> DataFrame:
 
 
 def _hashed_shingles() -> "F.Column":
-    """``shingles`` → one 62-bit hash per shingle, computed ONCE.
+    """``shingles`` → one 60-bit hash per shingle, computed ONCE.
 
     Every permutation then works on this array with two integer ops —
     without this hoist each of the k signature columns re-evaluates md5
@@ -262,7 +262,7 @@ def minhash_signatures(
 
 def _melted_bands(hs_frame: DataFrame, id_col: str, bands: int) -> DataFrame:
     """(id, band, key) triples from a hashed-shingle frame: signature →
-    per-band 62-bit key → explode.  Shared by the pair pipeline and the
+    per-band 60-bit key → explode.  Shared by the pair pipeline and the
     bucket-stats observability pass so the two can never drift.
 
     The band key is the repo's portable 60-bit md5 reduction
@@ -385,7 +385,7 @@ def minhash_lsh_pairs(
     instead of one reducer materializing the whole degenerate bucket
     and slicing afterwards.
 
-    The verify step computes Jaccard over HASHED shingles (62-bit values,
+    The verify step computes Jaccard over HASHED shingles (60-bit values,
     P = 1e9+7): identical to string-shingle Jaccard up to hash collisions
     (~|shingles|²/2P per doc pair — negligible), and it means the one
     persisted frame is compact long-arrays, not document text, so the
@@ -515,7 +515,24 @@ def incremental_near_dup_pairs(
     member; cap such groups upstream by running the store build through
     the same ``max_bucket`` discipline, and AQE's skew split handles
     the join stage.
+
+    Store-format guard (ADVICE r12): r12 narrowed the band key from a
+    32-char md5 hex string to the 60-bit bigint reduction, so a store
+    written before r12 holds string keys — an equi-join of bigint batch
+    keys against string store keys casts the hex strings to NULL and
+    silently misses every historical near-dup.  Fail loudly instead:
+    pre-r12 stores must be rebuilt with :func:`signature_store`.
     """
+    from pyspark.sql.types import LongType
+
+    key_type = store_bands.schema["key"].dataType
+    if not isinstance(key_type, LongType):
+        raise TypeError(
+            f"store_bands.key has type {key_type.simpleString()}, expected "
+            "bigint: this store was written with the pre-r12 md5-hex band "
+            "keys and would silently match nothing — rebuild it with "
+            "signature_store() on the current code"
+        )
     new_bands, new_hs = signature_store(new_docs, text_col, id_col, width, bands)
     new_bands = _persist_tracked(new_bands)
     # batch-vs-store: equi-join on (band, key); distinct across bands.

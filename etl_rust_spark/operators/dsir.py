@@ -18,7 +18,7 @@ target domain):
   map-side.  Document text never shuffles.
 - :func:`dsir_select` — sample-without-replacement ∝ exp(logw) via the
   Gumbel-top-k trick with DETERMINISTIC noise: the Gumbel variate is
-  derived from the portable 62-bit hash of ``(seed, doc_id)`` — no
+  derived from the portable 60-bit hash of ``(seed, doc_id)`` — no
   ``rand()``, bit-for-bit replayable across runs and engines, the same
   design rule as ``pack.hash_sample`` / ``pack.hash_shuffle``.  Top-k
   runs as Spark's TakeOrdered (per-partition partial top-k + merge),
@@ -81,7 +81,7 @@ FP_GRID = 10_000
 def _bucket_kernel(docs: DataFrame, text_col: str, id_col: str | None,
                    n_buckets: int) -> DataFrame:
     """Explode each document into hashed (unigram + bigram) feature
-    buckets via an Arrow-batched pass — the same md5→62-bit→mod
+    buckets via an Arrow-batched pass — the same md5→60-bit→mod
     reduction as the expression mirror, at hashlib speed with a Zipfian
     memo (the ``lm.py`` lesson: HOF md5 lambdas evaluate interpreted,
     ~10× slower)."""

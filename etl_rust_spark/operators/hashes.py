@@ -2,7 +2,7 @@
 
 Both engines must compute bit-identical hashes for the oracle gate, so
 everything derives from md5 (identical in Spark and DuckDB) reduced to a
-62-bit positive integer:
+60-bit positive integer:
 
 - Spark : ``CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)``
 - DuckDB: ``('0x' || substr(md5(x), 1, 15))::BIGINT``
@@ -25,7 +25,7 @@ __all__ = [
     "duck_h",
 ]
 
-# 62-bit portable hash of an arbitrary string expression.
+# 60-bit portable hash of an arbitrary string expression.
 SPARK_H = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
 DUCK_H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 

@@ -13,7 +13,7 @@ distributed form:
   never driver-resident.
 - :func:`score_perplexity` — add-k smoothed negative log-likelihood:
   ``P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V)``.  Scoring joins the
-  corpus's exploded bigrams against the counts on a single 62-bit
+  corpus's exploded bigrams against the counts on a single 60-bit
   **hash key** (compact longs — document text never shuffles; the same
   trick as MinHash-LSH banding in ``dedup.py``), then one
   ``groupBy(doc_id)`` average.  Counts tables are keyed equi-joins:

@@ -143,7 +143,7 @@ def read_archive_assets(
       members unpack executor-side (stdlib zipfile/tarfile over an
       in-memory buffer) inside one Arrow ``mapInPandas`` pass, so
       payload bytes never touch the driver and never shuffle.
-    - ``asset_id`` is a deterministic 62-bit hash of
+    - ``asset_id`` is a deterministic 60-bit hash of
       ``archive_path!member`` — stable across re-ingests (the
       ``ingest_corpus`` id discipline), so downstream dedup keys and
       incremental signature stores survive re-runs.
@@ -234,7 +234,7 @@ def read_webdataset_samples(
       txt/json member — an ambiguous fold) follow the archive
       contract: ``on_error='raise'`` fails loudly naming the sample,
       ``'skip'`` drops the sample (not the whole shard).
-    - ``sample_id`` is the same deterministic 62-bit hash discipline as
+    - ``sample_id`` is the same deterministic 60-bit hash discipline as
       ``asset_id``, over ``archive_path!key`` — stable across
       re-ingests so dedup keys and signature stores survive re-runs.
 

@@ -52,7 +52,7 @@ def hash_sample(
     strata_col: str = "lang",
     seed: str = "s0",
 ) -> DataFrame:
-    """Keep rows whose 62-bit content hash of ``(seed, id)`` lands under
+    """Keep rows whose 60-bit content hash of ``(seed, id)`` lands under
     the rate threshold; ``strata_rates`` overrides the base ``rate`` per
     stratum value.  Changing ``seed`` draws an independent sample."""
     key = f"concat('{seed}', ':', CAST({id_col} AS STRING))"
@@ -186,7 +186,7 @@ def hash_shuffle(
     runs, crawl batches, pack adjacency) but REPRODUCIBLY — ``rand()``
     breaks replay and a payload ``orderBy`` over 100 TB is a full
     range-sort.  Here the content hash of ``(seed, id)`` IS the order:
-    rows route by hash-partitioning on the 62-bit key itself (one hash
+    rows route by hash-partitioning on the 60-bit key itself (one hash
     exchange — the same cost any shuffle pays; partitioning on a
     derived ``h % n`` small-int shard column collides under the
     exchange's own murmur and leaves partitions empty/skewed —
@@ -198,7 +198,7 @@ def hash_shuffle(
     permutation; downstream writers emit one file per shard.
 
     The within-shard sort is a per-partition spillable sort, not a
-    global range sort: no sampling pass, no skew (62-bit hash keys are
+    global range sort: no sampling pass, no skew (60-bit hash keys are
     uniform by construction).
     """
     if n_shards < 1:

@@ -69,6 +69,24 @@ _DOT = (
     "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 )
 
+# Bounded-collect contract for the driver-side query reads of the BLAS
+# kernels (VERDICT r12 #8): the gated entries pass ≤ 20 query rows, but a
+# library caller could hand an unbounded frame — cap the control-plane
+# read so it can never become a driver OOM.  At d=64 float64 this bound
+# is ~35 MB of query state, far under any sensible driver heap.
+_MAX_QUERY_ROWS = 65_536
+
+
+def _collect_bounded(df: DataFrame, what: str) -> list:
+    rows = df.limit(_MAX_QUERY_ROWS + 1).collect()
+    if len(rows) > _MAX_QUERY_ROWS:
+        raise ValueError(
+            f"{what}: query side exceeds {_MAX_QUERY_ROWS} rows; the "
+            "driver-collected kernels are for bounded query sets — "
+            "pre-filter the queries or use the distributed join forms"
+        )
+    return rows
+
 # 16 fixed 64-d hyperplanes for the sign-LSH signature.  Deterministic
 # constants (generated once from a seeded RNG, inlined so runs are
 # reproducible without any runtime randomness); values in [-1, 1].
@@ -155,7 +173,9 @@ def cosine_topk_blas(
     spark = corpus.sparkSession
     q_rows = sorted(
         (int(r[0]), np.asarray(list(r[1]), dtype=np.float64))
-        for r in queries.select(id_col, vec_col).collect()
+        for r in _collect_bounded(
+            queries.select(id_col, vec_col), "cosine_topk_blas"
+        )
         if r[1] is not None
     )
     if not q_rows:
@@ -613,7 +633,9 @@ def pq_fixed_topk(
     cb = np.asarray(PQ_CODEBOOKS, dtype=np.float64)
     q_rows = sorted(
         (int(r[0]), np.asarray(list(r[1]), dtype=np.float64))
-        for r in queries.select(id_col, vec_col).collect()
+        for r in _collect_bounded(
+            queries.select(id_col, vec_col), "pq_fixed_topk"
+        )
         if r[1] is not None
     )
     if not q_rows:
@@ -738,9 +760,10 @@ def ann_entry_fused(
     cb = np.asarray(PQ_CODEBOOKS, dtype=np.float64)
     q_rows = sorted(
         (int(r[0]), np.asarray(list(r[1]), dtype=np.float64))
-        for r in corpus.filter(F.col(id_col) <= max_query)
-        .select(id_col, vec_col)
-        .collect()
+        for r in _collect_bounded(
+            corpus.filter(F.col(id_col) <= max_query).select(id_col, vec_col),
+            "ann_entry_fused",
+        )
         if r[1] is not None
     )
     if not q_rows:

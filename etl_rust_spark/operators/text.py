@@ -445,7 +445,7 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     breaking: only the max count is kept, not the winning gram.
     """
     toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("tk"))
-    # hash grams to 62-bit ints before the shuffle (compact keys, same
+    # hash grams to 60-bit ints before the shuffle (compact keys, same
     # cardinality); portable md5 arithmetic keeps it oracle-gateable.
     tok1 = toks.select(
         id_col, F.explode(F.expr(f"transform(tk, t -> {spark_h(x='t')} % {MINHASH_P})")).alias("g")

@@ -158,3 +158,24 @@ def test_canonical_url_three_way_mirror(spark, duck):
     h_sql = h([tuple(r[c] for c in cols) for r in sql_df.collect()])
     h_duck = h([tuple(r[i] for i in idx) for r in d_rows])
     assert h_api == h_sql == h_duck
+
+
+def test_store_band_key_dtype_guard(spark):
+    """A pre-r12 signature store (md5-hex string band keys) must fail
+    loudly instead of silently matching nothing against the bigint
+    batch keys (ADVICE r12)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_rust_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    bands, hs = dedup.signature_store(docs)
+    old_bands = bands.withColumn("key", F.col("key").cast("string"))
+    with _pytest.raises(TypeError, match="pre-r12"):
+        dedup.incremental_near_dup_pairs(docs, old_bands, hs)
+    # the bigint-keyed store passes the guard
+    assert dedup.incremental_near_dup_pairs(docs, bands, hs) is not None
+    dedup.release_caches()

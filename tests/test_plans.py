@@ -256,19 +256,19 @@ def test_lsh_bucket_cap_is_mapside_window_group_limit(spark, sf_dir):
     rep = audit(df)
     plan = rep.plan
     assert plan.count("WindowGroupLimit") >= 2, plan  # partial + final
-    # partial limit sits below the exchange: the first WindowGroupLimit
-    # from the bottom appears AFTER (deeper than) the banding Exchange
-    # in the tree walk — assert via operator order on the banding spine
-    import re
-
+    # partial limit sits below the exchange: in the tree walk the FINAL
+    # WindowGroupLimit prints first, then the banding Exchange, then the
+    # PARTIAL WindowGroupLimit (deepest prints last on its spine) — so
+    # the Exchange index must lie STRICTLY BETWEEN the two
+    # WindowGroupLimit indices (ADVICE r12: the old assertion also
+    # passed a Final→Partial→Exchange order).
     tree = plan.split("\n\n")[0]
     lines = [ln for ln in tree.splitlines() if "WindowGroupLimit" in ln or "Exchange" in ln]
-    # deepest operator prints LAST within its spine: the bottom-most
-    # WindowGroupLimit must be deeper than the exchange above it
-    idx_final = next(i for i, ln in enumerate(lines) if "WindowGroupLimit" in ln)
+    wgl_idx = [i for i, ln in enumerate(lines) if "WindowGroupLimit" in ln]
+    assert len(wgl_idx) >= 2, plan
     assert any(
-        "Exchange" in ln for ln in lines[idx_final + 1 :]
-    ) and "WindowGroupLimit" in " ".join(lines[idx_final + 1 :]), plan
+        "Exchange" in lines[i] for i in range(wgl_idx[0] + 1, wgl_idx[1])
+    ), plan
     dedup.release_caches()
 
 
