@@ -222,13 +222,92 @@ def _hashed_shingles() -> "F.Column":
 
 
 def _sig_exprs(hs_col: str = "__hs") -> list:
-    """MinHash signature columns over a hashed-shingle array column."""
+    """MinHash signature columns over a hashed-shingle array column.
+
+    Since r13 this is the DOCUMENTED SEMANTICS and the parity-test
+    template only — the pipelines evaluate the identical arithmetic
+    inside :func:`_shingle_sigs`' Arrow kernel (VERDICT r12 #4: these
+    k interpreted ``transform``+``array_min`` HOF lambdas never enter
+    codegen and cost ~10-20% of the 100 TB signature stage)."""
     return [
         F.expr(
             f"array_min(transform({hs_col}, h -> ({a} * h + {b}) % {MINHASH_P}))"
         ).alias(f"sig{j}")
         for j, (a, b) in enumerate(MINHASH_PERMS)
     ]
+
+
+def _shingle_sigs() -> "F.Column":
+    """``shingles`` → ``struct(hs array<bigint>, sigs array<bigint>)``
+    in ONE Arrow pass: the 60-bit shingle hashes (:func:`_hashed_shingles`
+    semantics, unchanged) PLUS the k MinHash signature values.
+
+    Signature parity with :func:`_sig_exprs` (the documented form, which
+    the DuckDB mirrors still reproduce):
+
+    - ``(a*h + b) % P`` is computed in int64 numpy — every product is
+      < 2^51 by construction (``hashes.MINHASH_PERMS``: a < 2^21,
+      h < P < 2^30), so the arithmetic is exact, no float rounding.
+    - ``array_min`` SKIPS NULL elements and returns NULL for an empty
+      or all-NULL array; the kernel mins over the non-null hashes and
+      emits NULL when none remain (a NULL text row shingles to
+      ``array(NULL)`` → all sigs NULL, exactly the expression form).
+    - ``transform(NULL, ...)`` is NULL → a NULL shingle array yields
+      NULL for both ``hs`` and ``sigs``.
+
+    Pinned by tests/test_operators.py::test_shingle_sigs_kernel_parity
+    on the real corpus plus the null/short-doc edge rows."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _kernel(col):
+        import hashlib
+
+        import numpy as np
+
+        A = np.array([a for a, _ in MINHASH_PERMS], dtype=np.int64)
+        B = np.array([b for _, b in MINHASH_PERMS], dtype=np.int64)
+        k = len(MINHASH_PERMS)
+
+        # Shingle-hash memo across the batch (same discipline as
+        # _hashed_shingles: md5 is pure, shingles repeat Zipf-style).
+        memo: dict[str, int] = {}
+
+        def hm(s: str) -> int:
+            v = memo.get(s)
+            if v is None:
+                if len(memo) > 1_000_000:
+                    memo.clear()
+                v = memo[s] = (
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                    % MINHASH_P
+                )
+            return v
+
+        hs_out: list = []
+        sig_out: list = []
+        for arr in col:
+            if arr is None:
+                hs_out.append(None)
+                sig_out.append(None)
+                continue
+            hs = [None if s is None else hm(s) for s in arr]
+            vals = np.array(
+                [h for h in hs if h is not None], dtype=np.int64
+            )
+            if len(vals):
+                sigs = ((A[:, None] * vals[None, :] + B[:, None]) % MINHASH_P).min(
+                    axis=1
+                )
+                sig_out.append([int(x) for x in sigs])
+            else:
+                sig_out.append([None] * k)
+            hs_out.append(hs)
+        return pd.DataFrame({"hs": hs_out, "sigs": sig_out})
+
+    return pandas_udf(_kernel, "struct<hs: array<bigint>, sigs: array<bigint>>")(
+        F.col("shingles")
+    )
 
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
@@ -252,18 +331,29 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     return df
 
 
+def _sig_cols(ss_col: str = "__ss") -> list:
+    """sig0..sig{k-1} columns off a :func:`_shingle_sigs` struct column —
+    pure ``element_at`` projections (codegen), value-identical to
+    :func:`_sig_exprs` (parity pinned in tests)."""
+    return [
+        F.expr(f"element_at({ss_col}.sigs, {j + 1})").alias(f"sig{j}")
+        for j in range(len(MINHASH_PERMS))
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, width: int = 3
 ) -> DataFrame:
     """(id, sig0..sig{k-1}): k-permutation MinHash over token shingles."""
-    out = with_shingles(df, text_col, width).withColumn("__hs", _hashed_shingles())
-    return out.select(F.col(id_col), *_sig_exprs())
+    out = with_shingles(df, text_col, width).withColumn("__ss", _shingle_sigs())
+    return out.select(F.col(id_col), *_sig_cols())
 
 
-def _melted_bands(hs_frame: DataFrame, id_col: str, bands: int) -> DataFrame:
-    """(id, band, key) triples from a hashed-shingle frame: signature →
-    per-band 60-bit key → explode.  Shared by the pair pipeline and the
-    bucket-stats observability pass so the two can never drift.
+def _melted_bands(sig_frame: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """(id, band, key) triples from a signature frame (``sig0..sig{k-1}``
+    columns): per-band 60-bit key → explode.  Shared by the pair
+    pipeline and the bucket-stats observability pass so the two can
+    never drift.
 
     The band key is the repo's portable 60-bit md5 reduction
     (``hashes.SPARK_H`` — r12, guide §2.3 "narrower types"): the
@@ -277,7 +367,7 @@ def _melted_bands(hs_frame: DataFrame, id_col: str, bands: int) -> DataFrame:
     the DuckDB mirror applies the identical reduction."""
     k = len(MINHASH_PERMS)
     rows = k // bands
-    sigs = hs_frame.select(F.col(id_col), *_sig_exprs("hs"))
+    sigs = sig_frame.select(F.col(id_col), *[f"sig{j}" for j in range(k)])
     band_exprs = []
     for b in range(bands):
         cols = ", ".join(
@@ -325,11 +415,13 @@ def minhash_bucket_stats(
     ``max_bucket`` members (then raise the cap or pre-filter the
     boilerplate).
     """
-    hs = with_shingles(df.select(id_col, text_col), text_col, width).select(
-        F.col(id_col), _hashed_shingles().alias("hs")
+    sigs = (
+        with_shingles(df.select(id_col, text_col), text_col, width)
+        .withColumn("__ss", _shingle_sigs())
+        .select(F.col(id_col), *_sig_cols())
     )
     sizes = (
-        _melted_bands(hs, id_col, bands)
+        _melted_bands(sigs, id_col, bands)
         .groupBy("band", "key")
         .agg(F.count("*").alias("sz"))
         .filter(F.col("sz") > 1)
@@ -391,13 +483,19 @@ def minhash_lsh_pairs(
     persisted frame is compact long-arrays, not document text, so the
     cache footprint stays a small fraction of corpus size at 100 TB.
     """
-    # Persist the hashed-shingle frame: three plan branches consume it
-    # (the banding path and both sides of the verify join); without a
-    # persist the shingle + hash evaluation runs three times.
+    # Persist the hashed-shingle+signature frame: three plan branches
+    # consume it (the banding path and both sides of the verify join);
+    # without a persist the shingle + hash evaluation runs three times.
+    # Since r13 the k signature values ride the SAME kernel pass
+    # (_shingle_sigs — VERDICT r12 #4: the interpreted transform+
+    # array_min HOFs never entered codegen), so the banding branch reads
+    # precomputed sig columns and the persisted frame grows by k longs
+    # per doc (trivial next to the hash arrays).
     # MEMORY_AND_DISK spills gracefully (same policy as MLlib's LSH join).
     hs_all = _persist_tracked(
         with_shingles(_spread(df.select(id_col, text_col), id_col), text_col, width)
-        .select(F.col(id_col), _hashed_shingles().alias("hs"))
+        .withColumn("__ss", _shingle_sigs())
+        .select(F.col(id_col), F.col("__ss.hs").alias("hs"), *_sig_cols())
     )
     melted = _melted_bands(hs_all, id_col, bands)
     # The bucket cap as a rank predicate BEFORE the collect (r12, guide
@@ -438,9 +536,10 @@ def minhash_lsh_pairs(
         .select("p.qid", "p.cid")
         .distinct()
     )
+    hs_only = hs_all.select(id_col, "hs")
     verified = (
-        cand.join(hs_all.withColumnRenamed(id_col, "qid").withColumnRenamed("hs", "hs_q"), "qid")
-        .join(hs_all.withColumnRenamed(id_col, "cid").withColumnRenamed("hs", "hs_c"), "cid")
+        cand.join(hs_only.withColumnRenamed(id_col, "qid").withColumnRenamed("hs", "hs_q"), "qid")
+        .join(hs_only.withColumnRenamed(id_col, "cid").withColumnRenamed("hs", "hs_c"), "cid")
         .withColumn(
             "jaccard",
             F.round(
@@ -477,10 +576,19 @@ def signature_store(
     candidate join is co-located, and partition ``hs_df`` by an id range
     so the verify join prunes.
     """
-    hs = with_shingles(df.select(id_col, text_col), text_col, width).select(
+    ss = with_shingles(df.select(id_col, text_col), text_col, width).withColumn(
+        "__ss", _shingle_sigs()
+    )
+    bands_df = _melted_bands(
+        ss.select(F.col(id_col), *_sig_cols()), id_col, bands
+    )
+    # hs_df keeps the sig-free kernel: its materialization (the verify
+    # side of the store) has no use for signatures, so don't pay for
+    # them there.
+    hs_df = with_shingles(df.select(id_col, text_col), text_col, width).select(
         F.col(id_col), _hashed_shingles().alias("hs")
     )
-    return _melted_bands(hs, id_col, bands), hs
+    return bands_df, hs_df
 
 
 def incremental_near_dup_pairs(
@@ -588,10 +696,10 @@ def sketches(
     """
     base = (
         with_shingles(df, text_col, width)
-        .withColumn("__hs", _hashed_shingles())
+        .withColumn("__ss", _shingle_sigs())
         .withColumn("__th", F.expr(f"transform(split({text_col}, ' '), t -> {h})"))
     )
-    return base.select(F.col(id_col), *_sig_exprs(), F.expr(sim).alias("simhash"))
+    return base.select(F.col(id_col), *_sig_cols(), F.expr(sim).alias("simhash"))
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
